@@ -1,38 +1,58 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query; ``queries()`` maps
+every implemented operator from SURVEY.md §2 to a (spark, sf_dir) ->
+DataFrame callable; ``oracle_sql()`` gives the DuckDB-equivalent SQL
+for the correctness gate.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, "/root/repo")
+
+from gcp_data_engineering_workshop_spark.plans import stock_pipeline as _sp
+from gcp_data_engineering_workshop_spark.plans import oracles as _orc
+from gcp_data_engineering_workshop_spark.sources import (
+    ticks as _ticks_fn, replay_minute as _replay_fn,
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full reference-pipeline analog on sf0.001."""
+    return _sp.full_pipeline(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # A: reference-pipeline parity
+        "ingest_parse_json": _ticks_fn,
+        "ingest_replay": lambda spark, sf: _replay_fn(spark, sf, 7),
+        "stock_agg_1m": _sp.agg_1m,
+        "stock_sma_5m": _sp.sma_5m,
+        "stock_join_metrics": _sp.joined_metrics,
+        "stock_volume_spike": _sp.volume_spikes,
+        "stock_pipeline_full": _sp.full_pipeline,
+        "dash_overview": _sp.dash_overview,
+        "dash_tickers": _sp.dash_tickers,
+        "dash_detail": _sp.dash_detail,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "ingest_parse_json": _orc.INGEST_PARSE_JSON_SQL,
+        "ingest_replay": _orc.INGEST_REPLAY_SQL,
+        "stock_agg_1m": _orc.AGG_1M_SQL,
+        "stock_sma_5m": _orc.SMA_5M_SQL,
+        "stock_join_metrics": _orc.JOIN_METRICS_SQL,
+        "stock_volume_spike": _orc.VOLUME_SPIKE_SQL,
+        "stock_pipeline_full": _orc.FULL_PIPELINE_SQL,
+        "dash_overview": _orc.DASH_OVERVIEW_SQL,
+        "dash_tickers": _orc.DASH_TICKERS_SQL,
+        "dash_detail": _orc.DASH_DETAIL_SQL,
+    }

@@ -1,0 +1,129 @@
+"""End-to-end batch analog of the reference streaming pipeline
+(analysis-dataflow-pipeline/pipeline.py) plus the dashboard queries
+(frontend-app/app.py).
+
+Output schema mirrors the reference's BigQuery row (pipeline.py:54-66
+/ 129): ticker, window_timestamp (window END, per FormatOutput's
+window.end), latest_price, high_price_1m, total_volume_1m,
+total_value_1m, sma_5m, is_volume_spike, ai_sentiment, ai_summary.
+``system_latency`` is wall-clock processing-time in the reference and
+therefore lives only in the streaming twin (streaming/pipeline.py),
+not in the deterministic batch surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcp_data_engineering_workshop_spark.sources.ticks import ticks
+from gcp_data_engineering_workshop_spark.operators.windows import (
+    tumbling_1m, with_sma_5m, join_metrics,
+)
+from gcp_data_engineering_workshop_spark.operators.anomaly import with_volume_spike
+
+_FINAL_COLS = [
+    "ticker", "window_timestamp", "latest_price", "high_price_1m",
+    "total_volume_1m", "total_value_1m", "sma_5m", "is_volume_spike",
+    "ai_sentiment", "ai_summary",
+]
+
+
+def agg_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: 1-minute tumbling aggregation (pipeline.py:86-97)."""
+    return (
+        tumbling_1m(ticks(spark, sf_dir))
+        .select(
+            "ticker",
+            F.col("window_end").alias("window_timestamp"),
+            "latest_price", "high_price_1m",
+            "total_volume_1m", "total_value_1m",
+        )
+    )
+
+
+def sma_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: 5-min sliding / 1-min aligned SMA (pipeline.py:102-107)."""
+    return (
+        with_sma_5m(tumbling_1m(ticks(spark, sf_dir)))
+        .select("ticker", F.col("window_end").alias("window_timestamp"), "sma_5m")
+    )
+
+
+def joined_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: window-aligned join of 1-min aggs with the SMA stream
+    (pipeline.py:110-119)."""
+    base = tumbling_1m(ticks(spark, sf_dir))
+    j = join_metrics(base, with_sma_5m(base))
+    return j.select(
+        "ticker", F.col("window_end").alias("window_timestamp"),
+        "latest_price", "high_price_1m", "total_volume_1m",
+        "total_value_1m", "sma_5m",
+    )
+
+
+def volume_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: volume-spike detection over the last 10 windows
+    (pipeline.py:19-41)."""
+    return (
+        with_volume_spike(tumbling_1m(ticks(spark, sf_dir)))
+        .select(
+            "ticker", F.col("window_end").alias("window_timestamp"),
+            "total_volume_1m", "avg_volume_10m", "is_volume_spike",
+        )
+    )
+
+
+def full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 (flagship): the whole reference pipeline as ONE declarative
+    plan — decode -> 1-min aggs -> sliding SMA -> spike detection ->
+    BigQuery-shaped projection.
+
+    The SMA and spike columns are window functions over the per-minute
+    aggregates (both partitioned by ticker), so Catalyst computes them
+    in a single Window stage after the grouping shuffle — no extra
+    join or shuffle vs. the reference's CoGroupByKey topology.
+    """
+    df = with_volume_spike(with_sma_5m(tumbling_1m(ticks(spark, sf_dir))))
+    return df.select(
+        "ticker",
+        F.col("window_end").alias("window_timestamp"),
+        "latest_price", "high_price_1m", "total_volume_1m",
+        "total_value_1m", "sma_5m", "is_volume_spike",
+        "ai_sentiment", "ai_summary",
+    )
+
+
+# --- Dashboard queries (frontend-app/app.py) ---------------------------
+
+def dash_overview(spark: SparkSession, sf_dir: str, limit: int = 500) -> DataFrame:
+    """A7: market-overview query (app.py:28-36): most recent N
+    (window_timestamp, ticker, latest_price) rows. Ticker added as a
+    tiebreaker so the selected set is deterministic."""
+    return (
+        full_pipeline(spark, sf_dir)
+        .select("window_timestamp", "ticker", "latest_price")
+        .orderBy(F.col("window_timestamp").desc(), F.col("ticker"))
+        .limit(limit)
+    )
+
+
+def dash_tickers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: distinct tickers (app.py:70)."""
+    return full_pipeline(spark, sf_dir).select("ticker").distinct()
+
+
+def dash_detail(spark: SparkSession, sf_dir: str, ticker: str = "click",
+                limit: int = 100) -> DataFrame:
+    """A9: per-ticker detail, last N windows (app.py:79-95)."""
+    return (
+        full_pipeline(spark, sf_dir)
+        .where(F.col("ticker") == ticker)
+        .select(
+            "window_timestamp", "latest_price", "high_price_1m",
+            "total_volume_1m", "total_value_1m", "sma_5m",
+            "is_volume_spike", "ai_sentiment", "ai_summary",
+        )
+        .orderBy(F.col("window_timestamp").desc())
+        .limit(limit)
+    )
