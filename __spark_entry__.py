@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, "/root/repo")
 
+from gcp_data_engineering_workshop_spark.plans import analytics as _an
 from gcp_data_engineering_workshop_spark.plans import stock_pipeline as _sp
 from gcp_data_engineering_workshop_spark.plans import oracles as _orc
 from gcp_data_engineering_workshop_spark.sources import (
@@ -40,6 +41,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dash_overview": _sp.dash_overview,
         "dash_tickers": _sp.dash_tickers,
         "dash_detail": _sp.dash_detail,
+        # B: general analytics
+        "q1_pricing_summary": _an.q1_pricing_summary,
+        "q3_top_revenue": _an.q3_top_revenue,
+        "q5_region_revenue": _an.q5_region_revenue,
+        "topk_per_group": _an.topk_per_group,
+        "count_distinct_users": _an.count_distinct_users,
+        "anti_join_inactive": _an.anti_join_inactive,
+        "rollup_revenue": _an.rollup_revenue,
+        "sessionize_events": _an.sessionize_events,
+        "event_funnel": _an.event_funnel,
+        "quantity_percentiles": _an.quantity_percentiles,
     }
 
 
@@ -55,4 +67,14 @@ def oracle_sql() -> dict[str, str]:
         "dash_overview": _orc.DASH_OVERVIEW_SQL,
         "dash_tickers": _orc.DASH_TICKERS_SQL,
         "dash_detail": _orc.DASH_DETAIL_SQL,
+        "q1_pricing_summary": _orc.Q1_SQL,
+        "q3_top_revenue": _orc.Q3_SQL,
+        "q5_region_revenue": _orc.Q5_SQL,
+        "topk_per_group": _orc.TOPK_PER_GROUP_SQL,
+        "count_distinct_users": _orc.COUNT_DISTINCT_USERS_SQL,
+        "anti_join_inactive": _orc.ANTI_JOIN_SQL,
+        "rollup_revenue": _orc.ROLLUP_REVENUE_SQL,
+        "sessionize_events": _orc.SESSIONIZE_SQL,
+        "event_funnel": _orc.EVENT_FUNNEL_SQL,
+        "quantity_percentiles": _orc.QUANTITY_PERCENTILES_SQL,
     }

@@ -41,11 +41,14 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    dtypes = dict(df.dtypes)
     for c in _NANO_TS_COLS.get(name, ()):
-        # integer `div`, not `/`: nano epochs (~1.7e18) overflow a
-        # double's 53-bit mantissa, so float division would corrupt
-        # the low digits before truncation.
-        df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        # Only nano-precision columns surface as raw longs; micro
+        # precision reads as a timestamp already. Integer `div`, not
+        # `/`: nano epochs (~1.7e18) overflow a double's 53-bit
+        # mantissa, so float division would corrupt the low digits.
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
     return df
 
 

@@ -172,3 +172,139 @@ SELECT ticker, ts, price, volume, ai_sentiment, ai_summary
 FROM day_ticks, target
 WHERE date_trunc('minute', day_ticks.ts) = target.m
 """
+
+# ---------------------------------------------------------------------------
+# B-block: general analytics oracles (plans/analytics.py)
+# ---------------------------------------------------------------------------
+
+_REV = ("CAST(l_extendedprice AS DECIMAL(18,4)) * "
+        "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))")
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM({_REV}) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM({_REV} * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+Q3_SQL = f"""
+SELECT o_orderkey, o_orderdate,
+       CAST(SUM({_REV}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+Q5_SQL = f"""
+SELECT n_name,
+       CAST(SUM({_REV}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+TOPK_PER_GROUP_SQL = """
+SELECT p_brand, p_partkey, p_name, p_retailprice, rank_in_brand
+FROM (
+  SELECT p_brand, p_partkey, p_name, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey)
+           AS rank_in_brand
+  FROM part
+)
+WHERE rank_in_brand <= 3
+"""
+
+COUNT_DISTINCT_USERS_SQL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users,
+       count(*) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey
+    AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+)
+"""
+
+ROLLUP_REVENUE_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+       o_orderpriority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
+       count(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP(order_year, o_orderpriority)
+"""
+
+SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(SUM(is_start) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM flagged
+GROUP BY user_id
+"""
+
+EVENT_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS c_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS p_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_view_click,
+       (SELECT count(*) FROM p) AS n_view_click_purchase
+"""
+
+QUANTITY_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS p25,
+       quantile_cont(l_quantity, 0.5)  AS p50,
+       quantile_cont(l_quantity, 0.75) AS p75,
+       quantile_cont(l_quantity, 0.95) AS p95
+FROM lineitem
+GROUP BY l_returnflag
+"""
