@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, "/root/repo")
 
 from gcp_data_engineering_workshop_spark.plans import analytics as _an
+from gcp_data_engineering_workshop_spark.plans import textpipeline as _tp
 from gcp_data_engineering_workshop_spark.plans import stock_pipeline as _sp
 from gcp_data_engineering_workshop_spark.plans import oracles as _orc
 from gcp_data_engineering_workshop_spark.sources import (
@@ -52,6 +53,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _an.sessionize_events,
         "event_funnel": _an.event_funnel,
         "quantity_percentiles": _an.quantity_percentiles,
+        # C: training-data pipeline
+        "dedup_exact": _tp.dedup_exact,
+        "dedup_minhash_lsh": _tp.dedup_minhash_lsh,
+        "dedup_simhash": _tp.dedup_simhash,
+        "ngram_jaccard": _tp.ngram_jaccard,
+        "embedding_neardup": _tp.embedding_neardup,
+        "ann_topk": _tp.ann_topk,
+        "ann_lsh": _tp.ann_lsh,
+        "text_lang_id": _tp.text_lang_id,
+        "text_quality": _tp.text_quality,
+        "token_count": _tp.token_count,
+        "doc_fingerprint": _tp.doc_fingerprint,
+        "multimodal_meta": _tp.multimodal_meta,
     }
 
 
@@ -77,4 +91,15 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": _orc.SESSIONIZE_SQL,
         "event_funnel": _orc.EVENT_FUNNEL_SQL,
         "quantity_percentiles": _orc.QUANTITY_PERCENTILES_SQL,
+        "dedup_exact": _orc.DEDUP_EXACT_SQL,
+        "dedup_minhash_lsh": _orc.DEDUP_MINHASH_SQL,
+        "ngram_jaccard": _orc.NGRAM_JACCARD_SQL,
+        "embedding_neardup": _orc.EMBEDDING_NEARDUP_SQL,
+        "ann_topk": _orc.ANN_TOPK_SQL,
+        "text_lang_id": _orc.TEXT_LANG_ID_SQL,
+        "text_quality": _orc.TEXT_QUALITY_SQL,
+        "token_count": _orc.TOKEN_COUNT_SQL,
+        "doc_fingerprint": _orc.DOC_FINGERPRINT_SQL,
+        # dedup_simhash / ann_lsh / multimodal_meta are
+        # hash-function- or stub-dependent: rows-only + pytest parity.
     }

@@ -1,0 +1,52 @@
+"""Vector column-expression library for embedding columns
+(array<float>), JVM-side via higher-order functions.
+
+Dot products fold left-to-right in double precision — the exact
+sequential order the DuckDB oracle's list_sum(list_transform(...))
+uses — so values agree across engines. (DuckDB's built-in
+list_dot_product accumulates in float32 and drifts at ~1e-7; we
+deliberately avoid it on both sides.)
+
+For hot paths over many pairs, `dot_pandas` offers an Arrow-batched
+numpy variant (used by the brute-force ANN bench path where the
+O(n*q) pair count dominates and fused BLAS wins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold double dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; 0.0 for zero-norm inputs."""
+    na, nb = norm(a), norm(b)
+    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb)).otherwise(F.lit(0.0))
+
+
+def hyperplane_bits(a: Column, planes: list[list[float]]) -> Column:
+    """Sign bits of the vector against fixed hyperplanes, packed into
+    a bigint bucket id — the random-hyperplane LSH key. `planes` are
+    seed-fixed literals compiled into the plan (broadcast-free)."""
+    bucket = F.lit(0).cast("bigint")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        d = F.aggregate(
+            F.zip_with(a, plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket

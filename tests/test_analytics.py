@@ -1,0 +1,62 @@
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from gcp_data_engineering_workshop_spark.plans import analytics as an
+
+
+def test_q1_groups(spark, sf_dir):
+    rows = an.q1_pricing_summary(spark, sf_dir).collect()
+    assert {(r.l_returnflag, r.l_linestatus) for r in rows} <= {
+        ("A", "F"), ("N", "F"), ("N", "O"), ("R", "F"), ("R", "O"), ("A", "O")}
+    for r in rows:
+        assert r.sum_disc_price <= r.sum_base_price  # discount only reduces
+        assert r.sum_charge >= r.sum_disc_price      # tax only adds
+        assert r.avg_qty == pytest.approx(r.sum_qty / r.count_order)
+
+
+def test_q3_is_sorted_topk(spark, sf_dir):
+    rows = an.q3_top_revenue(spark, sf_dir).collect()
+    assert len(rows) <= 10
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_topk_per_group(spark, sf_dir):
+    rows = an.topk_per_group(spark, sf_dir).collect()
+    by_brand = {}
+    for r in rows:
+        by_brand.setdefault(r.p_brand, []).append(r)
+    for brand, rs in by_brand.items():
+        assert len(rs) <= 3
+        prices = [x.p_retailprice for x in sorted(rs, key=lambda x: x.rank_in_brand)]
+        assert prices == sorted(prices, reverse=True)
+
+
+def test_sessionize_tiny(spark, sf_dir):
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, t0, 100), (2, t0 + dt.timedelta(minutes=10), 100),
+         (3, t0 + dt.timedelta(minutes=50), 100),   # gap 40min -> new session
+         (4, t0, 200)],
+        "event_id bigint, ts timestamp, user_id bigint")
+    orig = an.load_table
+    try:
+        an.load_table = lambda s, n, d=None: df if n == "events" else orig(s, n, d)
+        out = {r.user_id: r for r in an.sessionize_events(spark, "unused").collect()}
+    finally:
+        an.load_table = orig
+    assert out[100].n_sessions == 2 and out[100].n_events == 3
+    assert out[200].n_sessions == 1
+
+
+def test_funnel_monotone(spark, sf_dir):
+    r = an.event_funnel(spark, sf_dir).collect()[0]
+    assert r.n_view >= r.n_view_click >= r.n_view_click_purchase >= 0
+
+
+def test_percentiles_ordered(spark, sf_dir):
+    for r in an.quantity_percentiles(spark, sf_dir).collect():
+        assert r.p25 <= r.p50 <= r.p75 <= r.p95

@@ -1,0 +1,60 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_data_engineering_workshop_spark.operators import dedup as D
+from gcp_data_engineering_workshop_spark.catalog import load_table
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup_groups(spark):
+    docs = _docs(spark, [
+        (1, "Hello  World"), (2, "hello world"),    # same after normalize
+        (3, "different doc entirely"),
+    ])
+    out = {r.doc_id: r for r in D.exact_dedup(docs).collect()}
+    assert out[1].norm_hash == out[2].norm_hash
+    assert out[1].group_size == 2
+    assert out[1].is_canonical is True and out[2].is_canonical is False
+    assert out[3].group_size == 1
+
+
+def test_minhash_lsh_equals_exact_jaccard(spark, sf_dir):
+    """LSH-verified pairs == exact O(n^2) pairs at tau=0.9 (the
+    S-curve guarantee the oracle relies on)."""
+    docs = load_table(spark, "documents", sf_dir)
+    lsh = {(r.doc_a, r.doc_b) for r in D.minhash_lsh_pairs(docs, tau=0.9).collect()}
+    exact = {(r.doc_a, r.doc_b) for r in D.ngram_jaccard_pairs(docs, tau=0.9).collect()}
+    assert lsh == exact
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    docs = _docs(spark, [
+        (1, "spark window join batch"), (2, "spark window join batch"),
+        (3, "completely unrelated words here xyzzy quux"),
+    ])
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in
+             D.simhash_pairs(docs, max_hamming=64).collect()}
+    assert pairs.get((1, 2)) == 0
+
+
+def test_simhash_chunk_pigeonhole(spark, sf_dir):
+    """Any pair within hamming<=3 must share a 16-bit chunk, so the
+    banded candidate join loses nothing vs exhaustive hamming."""
+    docs = load_table(spark, "documents", sf_dir).limit(200)
+    sig = docs.select("doc_id", D.simhash_chunks("text").alias("chunks"))
+    a = sig.selectExpr("doc_id as doc_a", "chunks as ca")
+    b = sig.selectExpr("doc_id as doc_b", "chunks as cb")
+    hamming = F.aggregate(
+        F.zip_with("ca", "cb", lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("bigint")),
+        F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+    exhaustive = {(r.doc_a, r.doc_b) for r in
+                  a.join(b, F.col("doc_a") < F.col("doc_b"))
+                   .select("doc_a", "doc_b", hamming.alias("h"))
+                   .where(F.col("h") <= 3).collect()}
+    banded = {(r.doc_a, r.doc_b) for r in D.simhash_pairs(docs, 3).collect()}
+    assert banded == exhaustive

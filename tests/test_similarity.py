@@ -1,0 +1,51 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_data_engineering_workshop_spark.catalog import load_table
+from gcp_data_engineering_workshop_spark.functions import vectorfns as V
+from gcp_data_engineering_workshop_spark.operators import similarity as S
+
+
+def test_dot_and_cosine(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]),
+         ([3.0, 4.0], [3.0, 4.0])],
+        "a array<float>, b array<float>")
+    rows = df.select(V.dot("a", "b").alias("d"),
+                     V.cosine("a", "b").alias("c")).collect()
+    assert rows[0].d == pytest.approx(1.0) and rows[0].c == pytest.approx(1.0)
+    assert rows[1].d == pytest.approx(0.0)
+    assert rows[2].d == pytest.approx(25.0) and rows[2].c == pytest.approx(1.0)
+
+
+def test_neardup_threshold(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    rows = S.embedding_neardup_pairs(emb, tau=0.4).collect()
+    assert all(r.dot_sim >= 0.4 and r.vec_a < r.vec_b for r in rows)
+
+
+def test_ann_topk_exact_ordering(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = S.ann_topk(emb, n_queries=3, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r.rank)
+        assert len(rs) == 5
+        sims = [r.dot_sim for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.neighbor_id != q for r in rs)
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in S.ann_topk(emb, n_queries=10, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in S.ann_lsh_topk(emb, n_queries=10, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"LSH recall {recall:.2f} too low"

@@ -1,0 +1,116 @@
+"""Streaming twins: file-source -> memory-sink runs with
+processAllAvailable, parity-checked against the batch operators."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_data_engineering_workshop_spark.sources.ticks import ticks as batch_ticks
+from gcp_data_engineering_workshop_spark.operators.windows import tumbling_1m, with_sma_5m
+from gcp_data_engineering_workshop_spark.operators.anomaly import with_volume_spike
+from gcp_data_engineering_workshop_spark.streaming import pipeline as spl
+from gcp_data_engineering_workshop_spark.streaming import sinks
+from gcp_data_engineering_workshop_spark.streaming.state import stateful_spike_stream
+
+
+@pytest.fixture(scope="module")
+def tick_json_dir(spark, sf_dir, tmp_path_factory):
+    """sf0.001 ticks as JSON-lines files — the 'Pub/Sub topic'."""
+    d = str(tmp_path_factory.mktemp("tickstream"))
+    (batch_ticks(spark, sf_dir)
+     .orderBy("ts")
+     .coalesce(1)
+     .write.mode("overwrite").json(d))
+    return d
+
+
+def _run_to_memory(df, name, output_mode="append"):
+    q = sinks.memory_sink(df, name, output_mode=output_mode)
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_stream_agg_matches_batch(spark, sf_dir, tick_json_dir):
+    # complete mode: append would hold back windows newer than the
+    # watermark (not final yet) — for full parity we want every window
+    stream = spl.read_tick_stream(spark, tick_json_dir)
+    _run_to_memory(spl.agg_1m_stream(stream), "agg1m", "complete")
+    got = {(r.ticker, r.window_start): r
+           for r in spark.table("agg1m").collect()}
+    want = {(r.ticker, r.window_start): r
+            for r in tumbling_1m(batch_ticks(spark, sf_dir)).collect()}
+    assert set(got) == set(want)
+    for k, g in got.items():
+        w = want[k]
+        assert g.latest_price == w.latest_price
+        assert g.total_volume_1m == w.total_volume_1m
+        assert g.total_value_1m == pytest.approx(w.total_value_1m)
+
+
+def test_stream_sma_matches_batch(spark, sf_dir, tick_json_dir):
+    stream = spl.read_tick_stream(spark, tick_json_dir)
+    _run_to_memory(spl.sma_5m_stream(stream), "sma5m", "complete")
+    got = {(r.ticker, r.window_end): r.sma_5m
+           for r in spark.table("sma5m").collect()}
+    want = {(r.ticker, r.window_end): r.sma_5m
+            for r in with_sma_5m(tumbling_1m(batch_ticks(spark, sf_dir))).collect()}
+    # sliding windows emit for minutes with no events too; every batch
+    # (minute-with-events) value must match the stream's
+    assert set(want) <= set(got)
+    for k in want:
+        assert got[k] == pytest.approx(want[k])
+
+
+def test_stateful_spike_matches_batch(spark, sf_dir, tick_json_dir):
+    stream = spl.read_tick_stream(spark, tick_json_dir)
+    spiked = stateful_spike_stream(stream)
+    q = spiked.writeStream.format("memory").queryName("spikes") \
+        .outputMode("update").start()
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.ticker, r.window_start): r for r in spark.table("spikes").collect()}
+    batch = with_volume_spike(tumbling_1m(batch_ticks(spark, sf_dir))).collect()
+    # each ticker's final window is still open in the stream (not
+    # final until later data arrives) — exclude it from parity
+    last = {}
+    for r in batch:
+        if r.ticker not in last or r.window_start > last[r.ticker]:
+            last[r.ticker] = r.window_start
+    want = {(r.ticker, r.window_start): r for r in batch
+            if r.window_start != last[r.ticker]}
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        assert g.is_volume_spike == w.is_volume_spike, k
+        assert g.total_volume_1m == w.total_volume_1m
+        assert g.latest_price == w.latest_price
+        assert g.total_value_1m == pytest.approx(w.total_value_1m)
+        assert g.avg_volume_10m == pytest.approx(w.avg_volume_10m)
+
+
+def test_foreach_batch_upsert_sink(spark, sf_dir, tick_json_dir, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spl.read_tick_stream(spark, tick_json_dir)
+    agg = spl.agg_1m_stream(stream)
+    q = sinks.foreach_batch_upsert(agg, out, ckpt,
+                                   key_cols=("ticker", "window_start"))
+    q.processAllAvailable()
+    q.stop()
+    written = spark.read.parquet(out)
+    n_batch = tumbling_1m(batch_ticks(spark, sf_dir)).count()
+    assert written.dropDuplicates(["ticker", "window_start"]).count() == n_batch
+
+
+def test_format_output_shape(spark, tick_json_dir):
+    stream = spl.read_tick_stream(spark, tick_json_dir)
+    agg = spl.agg_1m_stream(stream).withColumn("sma_5m", F.lit(1.0)) \
+        .withColumn("is_volume_spike", F.lit(False))
+    out = spl.format_output(agg)
+    assert out.columns == [
+        "ticker", "window_timestamp", "latest_price", "high_price_1m",
+        "total_volume_1m", "total_value_1m", "sma_5m", "is_volume_spike",
+        "system_latency", "ai_sentiment", "ai_summary"]

@@ -1,0 +1,66 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_data_engineering_workshop_spark.functions import textfns as T
+from gcp_data_engineering_workshop_spark.plans import textpipeline as tp
+
+
+def _one(spark, text, col):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(col.alias("v")).collect()[0].v
+
+
+def test_lang_id_discriminates_real_languages(spark):
+    cases = {
+        "the cat sat on the mat and it is happy": "en",
+        "el perro corre en la calle y es feliz": "es",
+        "le chien est dans la maison et il est heureux": "fr",
+        "der hund ist in das haus und er ist nicht allein": "de",
+        "这是一个中文句子": "zh",
+    }
+    for text, expected in cases.items():
+        assert _one(spark, text, T.lang_id("text")) == expected
+
+
+def test_shingles(spark):
+    v = _one(spark, "a b c d", T.shingles("text", 3))
+    assert sorted(v) == ["a b c", "b c d"]
+    assert _one(spark, "a b", T.shingles("text", 3)) == []
+
+
+def test_kr_hash_deterministic_and_python_parity(spark):
+    s = "hello world"
+    h = 0
+    for ch in s:
+        h = (h * 31 + ord(ch)) % ((1 << 31) - 1)
+    assert _one(spark, s, T.kr_hash(T.normalize("text"))) == h
+
+
+def test_quality_score_range(spark, sf_dir):
+    rows = tp.text_quality(spark, sf_dir).collect()
+    assert all(0.0 <= r.quality_score <= 1.0 for r in rows)
+    assert all(r.n_words > 0 for r in rows)
+
+
+def test_token_count_tiny(spark):
+    df = spark.createDataFrame([(0, "Hello, world 42 times!")],
+                               "doc_id bigint, text string")
+    orig = tp.load_table
+    try:
+        tp.load_table = lambda s, n, d=None: df if n == "documents" else orig(s, n, d)
+        r = tp.token_count(spark, "unused").collect()[0]
+    finally:
+        tp.load_table = orig
+    assert r.ws_tokens == 4
+    # hello | , | world | 42 | times | !  -> 6 bpe-ish tokens
+    assert r.bpe_tokens == 6
+
+
+def test_multimodal_decode_stub(spark, sf_dir):
+    out = tp.multimodal_meta(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) == 500
+    assert all(r.n_bytes > 0 and r.width >= 64 and r.height >= 64 for r in rows)
+    assert out.columns == ["doc_id", "media_type", "n_bytes", "width", "height", "checksum"]
