@@ -1,0 +1,68 @@
+"""Headline benchmark: runs the flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is fully materialized through the noop sink (no driver
+collect overhead — measures the distributed plan, not py4j
+transfer). First a warmup pass on the smallest table primes the JVM.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+BENCH_QUERIES = [
+    "stock_pipeline_full",   # A6 flagship: full reference-pipeline analog
+    "stock_agg_1m",          # A2 windowed aggregation
+    "q1_pricing_summary",    # B1 wide aggregation
+    "q3_top_revenue",        # B2 join + top-k
+    "q5_region_revenue",     # B3 6-way join
+    "sessionize_events",     # B8 window functions
+    "dedup_exact",           # C1
+    "dedup_minhash_lsh",     # C2 minhash + band join
+    "ann_topk",              # C6 broadcast brute-force ANN
+    "ann_lsh",               # C7 bucketed ANN
+    "text_quality",          # C9 text feature extraction
+    "token_count",           # C10
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+    from gcp_data_engineering_workshop_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = entry_mod.queries()
+
+    # warmup: prime JVM/codegen paths
+    qs["dash_tickers"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+        # operators may persist() intermediates; drop them so each
+        # query is timed cold and memory doesn't accumulate
+        spark.catalog.clearCache()
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -35,10 +35,13 @@ def word_set(col) -> Column:
     return F.array_distinct(words(col))
 
 
-def shingles(col, n: int = 3) -> Column:
-    """Distinct n-word shingles (space-joined). Empty array when the
-    document has fewer than n words."""
-    ws = words(col)
+def shingles_of(ws: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles from an ALREADY-MATERIALIZED word
+    array column. Keep the tokenization in its own projection: inside
+    an interpreted lambda there is no common-subexpression
+    elimination, so referencing `words(text)` directly would re-run
+    the regex+split chain on every element access (quadratic blowup).
+    """
     mk = F.transform(
         F.sequence(F.lit(0), F.size(ws) - n),
         lambda i: F.concat_ws(
@@ -46,6 +49,13 @@ def shingles(col, n: int = 3) -> Column:
     )
     return F.when(F.size(ws) >= n, F.array_distinct(mk)) \
             .otherwise(F.array().cast("array<string>"))
+
+
+def shingles(col, n: int = 3) -> Column:
+    """Distinct n-word shingles (space-joined). Empty array when the
+    document has fewer than n words. Prefer shingles_of(words-column)
+    in hot paths (see note there)."""
+    return shingles_of(words(col), n)
 
 
 def kr_hash(col) -> Column:

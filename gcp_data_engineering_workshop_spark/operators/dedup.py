@@ -31,15 +31,19 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from gcp_data_engineering_workshop_spark.functions.textfns import (
-    normalize, shingles, words, jaccard,
+    normalize, shingles_of, words, jaccard,
 )
 
-_P61 = (1 << 61) - 1  # Mersenne prime for minhash permutations
-
-
 def _perm_params(n_perms: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Multiply-shift hash params: odd 64-bit multiplier + 64-bit
+    offset per permutation. NOTE: an affine map mod a prime is NOT a
+    usable minhash permutation when the multiplier is small relative
+    to the domain — it wraps at most once, stays order-preserving in
+    h, and every 'permutation' then picks the same 1-2 smallest
+    elements (signatures collapse). Multiply-shift mixes the high
+    bits, which is what min-wise hashing actually needs."""
     rng = random.Random(seed)
-    return [(rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 30))
+    return [(rng.randrange(0, 1 << 64) | 1, rng.randrange(0, 1 << 64))
             for _ in range(n_perms)]
 
 
@@ -58,53 +62,92 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def _shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
-    return docs.select("doc_id", shingles("text", n).alias("sh"))
+    # Plan shape matters a lot here (measured 20x):
+    # 1. repartition the RAW scan first — a small parquet input is one
+    #    partition, which would serialize the per-row-heavy
+    #    interpreted work on a single core;
+    # 2. repartition again BETWEEN tokenize and shingle — the exchange
+    #    is a barrier that stops CollapseProject from fusing the
+    #    projections; fused, the shingle lambda re-runs the
+    #    regex+split chain on every element access (quadratic).
+    # Callers must NOT filter on derived columns (e.g. size(sh)>0):
+    # predicate pushdown substitutes the whole expression chain and
+    # re-evaluates it at the single-partition scan.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    wt = (docs.repartition(par)
+          .select("doc_id", words("text").alias("w"))
+          .repartition(par))
+    return wt.select("doc_id", shingles_of(F.col("w"), n).alias("sh"))
 
 
-def minhash_signature(sh: Column, n_perms: int = 64, seed: int = 42) -> Column:
-    """MinHash signature of a shingle array: for each permutation
-    (a,b), min over shingles of (a * h32(shingle) + b) mod (2^61-1).
+def minhash_signature(hashes: Column, n_perms: int = 64, seed: int = 42) -> Column:
+    """MinHash signature of a pre-hashed shingle array (xxhash64
+    longs): for each permutation (a,b), min over shingles of
+    ((a*h + b) mod 2^64) >> 32 — multiply-shift universal hashing
+    (uint64 wraparound mixes the high bits; see _perm_params for why
+    an affine-mod-prime 'permutation' silently breaks minhash).
 
-    Shingle hashing stays JVM-side (xxhash64 masked to 32 bits so
-    a*h+b < 2^62 never overflows), then the 64 per-permutation mins
-    are computed in one Arrow-batched numpy broadcast: Spark's
-    higher-order lambdas are interpreted per element (no codegen), so
-    an expression-tree min over perms x shingles is ~50x slower than
-    the vectorized (n_shingles x n_perms) int64 matrix op.
+    The 64 per-permutation mins are computed in one Arrow-batched
+    numpy broadcast: Spark's higher-order lambdas are interpreted per
+    element (no codegen), so an expression-tree min over perms x
+    shingles is ~50x slower than the vectorized
+    (n_shingles x n_perms) uint64 matrix op.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     params = _perm_params(n_perms, seed)
-    a_vec = np.array([a for a, _ in params], dtype=np.int64)
-    b_vec = np.array([b for _, b in params], dtype=np.int64)
+    a_vec = np.array([a for a, _ in params], dtype=np.uint64)
+    b_vec = np.array([b for _, b in params], dtype=np.uint64)
+    empty = np.full(n_perms, np.iinfo(np.int64).max, dtype=np.int64)
 
-    def _sig(hashes):
+    def _sig(hs):
         def one(h):
             if len(h) == 0:
-                return np.full(len(a_vec), _P61, dtype=np.int64)
-            hv = np.asarray(h, dtype=np.int64)[:, None]  # (s,1)
-            return ((hv * a_vec + b_vec) % _P61).min(axis=0)
-        return hashes.map(one)
+                return empty
+            hv = np.asarray(h, dtype=np.int64).astype(np.uint64)[:, None]
+            mixed = (hv * a_vec + b_vec) >> np.uint64(32)  # wraps mod 2^64
+            return mixed.min(axis=0).astype(np.int64)
+        return hs.map(one)
 
     # `from __future__ import annotations` stringifies hints, which
     # pandas_udf can't introspect — attach real ones explicitly.
-    _sig.__annotations__ = {"hashes": pd.Series, "return": pd.Series}
+    _sig.__annotations__ = {"hs": pd.Series, "return": pd.Series}
     sig = pandas_udf(_sig, "array<bigint>")
 
-    hashes = F.transform(sh, lambda s: F.xxhash64(s).bitwiseAND(F.lit(0xFFFFFFFF)))
     return sig(hashes)
 
 
 def minhash_lsh_pairs(docs: DataFrame, tau: float = 0.9,
-                      n_perms: int = 64, n_bands: int = 32) -> DataFrame:
+                      n_perms: int = 64, n_bands: int = 16) -> DataFrame:
     """C2: near-duplicate pairs via MinHash LSH, verified with exact
-    Jaccard. Output: doc_a, doc_b, jaccard_sim (>= tau)."""
+    Jaccard. Output: doc_a, doc_b, jaccard_sim (>= tau).
+
+    S-curve: 16 bands x 4 rows. At s=tau=0.9 the miss probability is
+    (1 - 0.9^4)^16 ~= 4e-8 (so the verified output equals the exact
+    pair set the oracle computes); at s=0.2 the candidate probability
+    is 1-(1-0.2^4)^16 ~= 2.5% — wider bands (e.g. 32x2) would pull in
+    ~70% of ALL pairs as candidates and turn the verify stage back
+    into O(n^2).
+
+    The verify joins compare xxhash64'd shingle arrays (longs), not
+    the shingle strings: same Jaccard (64-bit collisions are
+    negligible), far cheaper set intersection, and the hash array is
+    computed once per doc and reused for signature + both join sides
+    via persist.
+    """
     rows = n_perms // n_bands
-    sh = _shingle_sets(docs).where(F.size("sh") > 0)
+    # No size(sh)>0 filter: it would push down through the whole
+    # expression chain (see _shingle_sets). Docs with <n words get the
+    # empty-signature sentinel; they can only pair with each other and
+    # verify to jaccard 0.0 < tau, so correctness is unaffected.
+    sh = (_shingle_sets(docs)
+          .select("doc_id",
+                  F.transform("sh", lambda s: F.xxhash64(s)).alias("hs"))
+          .persist())
     sig = sh.select(
-        "doc_id", "sh", minhash_signature(F.col("sh"), n_perms).alias("sig"))
+        "doc_id", minhash_signature(F.col("hs"), n_perms).alias("sig"))
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -126,12 +169,12 @@ def minhash_lsh_pairs(docs: DataFrame, tau: float = 0.9,
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
     return (
         cand.join(a, "doc_a").join(b, "doc_b")
         .select("doc_a", "doc_b",
-                jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"))
+                jaccard(F.col("hs_a"), F.col("hs_b")).alias("jaccard_sim"))
         .where(F.col("jaccard_sim") >= tau)
     )
 
@@ -139,7 +182,8 @@ def minhash_lsh_pairs(docs: DataFrame, tau: float = 0.9,
 def ngram_jaccard_pairs(docs: DataFrame, tau: float = 0.9, n: int = 3) -> DataFrame:
     """C4: exact n-gram Jaccard pairs (the O(n^2) verifier; oracle
     baseline for C2)."""
-    sh = _shingle_sets(docs, n).where(F.size("sh") > 0)
+    # (no size filter — see _shingle_sets; empty sets verify to 0.0)
+    sh = _shingle_sets(docs, n).persist()
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     return (

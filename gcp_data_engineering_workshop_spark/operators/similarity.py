@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from gcp_data_engineering_workshop_spark.functions.vectorfns import dot, hyperplane_bits
+from gcp_data_engineering_workshop_spark.functions.vectorfns import dot
 
 _DIM = 64
 
@@ -74,14 +74,27 @@ def ann_lsh_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
     16 tables -> 1-(1-0.14)^16 ~= 0.9 recall. More planes shrink
     buckets (faster, lower recall); more tables buy recall linearly
     in cost. Recall vs. C6 is pytest-enforced."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
     planes = _planes(n_tables, n_planes)
+    # (n_tables*n_planes, dim) matrix: all sign bits in one matmul.
+    plane_mat = planes.reshape(n_tables * n_planes, -1).T  # (dim, T*P)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def _buckets(embs):
+        mat = np.vstack(embs.to_numpy()).astype(np.float64)  # (rows, dim)
+        bits = (mat @ plane_mat >= 0).reshape(len(embs), n_tables, n_planes)
+        packed = (bits * weights).sum(axis=2).astype(np.int64)  # (rows, T)
+        return pd.Series(list(packed))
+
+    _buckets.__annotations__ = {"embs": pd.Series, "return": pd.Series}
+    buckets_udf = pandas_udf(_buckets, "array<bigint>")
 
     def bucketed(df: DataFrame, idc: str, emc: str) -> DataFrame:
-        tables = F.array(*[
-            F.struct(F.lit(t).alias("tbl"),
-                     hyperplane_bits(F.col(emc), list(planes[t])).alias("bucket"))
-            for t in range(n_tables)
-        ])
+        tables = F.transform(
+            buckets_udf(F.col(emc)),
+            lambda b, i: F.struct(i.alias("tbl"), b.alias("bucket")))
         return df.select(idc, emc, F.explode(tables).alias("tb")) \
                  .select(idc, emc, "tb.tbl", "tb.bucket")
 
