@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, "/root/repo")
 
 from gcp_data_engineering_workshop_spark.plans import analytics as _an
+from gcp_data_engineering_workshop_spark.plans import analytics2 as _an2
 from gcp_data_engineering_workshop_spark.plans import textpipeline as _tp
 from gcp_data_engineering_workshop_spark.plans import stock_pipeline as _sp
 from gcp_data_engineering_workshop_spark.plans import oracles as _orc
@@ -53,6 +54,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _an.sessionize_events,
         "event_funnel": _an.event_funnel,
         "quantity_percentiles": _an.quantity_percentiles,
+        # B extension: more TPC-H shapes + temporal/reshaping ops
+        "q6_forecast_revenue": _an2.q6_forecast_revenue,
+        "q10_returned_items": _an2.q10_returned_items,
+        "q14_promo_revenue": _an2.q14_promo_revenue,
+        "q18_large_orders": _an2.q18_large_orders,
+        "asof_join_purchases": _an2.asof_join_purchases,
+        "range_join_errors": _an2.range_join_errors,
+        "pivot_daily_events": _an2.pivot_daily_events,
+        "cube_revenue": _an2.cube_revenue,
+        "approx_distinct_sketch": _an2.approx_distinct_sketch,
         # C: training-data pipeline
         "dedup_exact": _tp.dedup_exact,
         "dedup_minhash_lsh": _tp.dedup_minhash_lsh,
@@ -91,6 +102,15 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": _orc.SESSIONIZE_SQL,
         "event_funnel": _orc.EVENT_FUNNEL_SQL,
         "quantity_percentiles": _orc.QUANTITY_PERCENTILES_SQL,
+        "q6_forecast_revenue": _orc.Q6_SQL,
+        "q10_returned_items": _orc.Q10_SQL,
+        "q14_promo_revenue": _orc.Q14_SQL,
+        "q18_large_orders": _orc.Q18_SQL,
+        "asof_join_purchases": _orc.ASOF_JOIN_SQL,
+        "range_join_errors": _orc.RANGE_JOIN_SQL,
+        "pivot_daily_events": _orc.PIVOT_SQL,
+        "cube_revenue": _orc.CUBE_SQL,
+        # approx_distinct_sketch: sketch output, rows-only + pytest bound
         "dedup_exact": _orc.DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": _orc.DEDUP_MINHASH_SQL,
         "ngram_jaccard": _orc.NGRAM_JACCARD_SQL,

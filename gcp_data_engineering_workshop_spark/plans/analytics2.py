@@ -1,0 +1,178 @@
+"""Extended analytics operators (SURVEY.md §2 B-block, round-1
+widening): more TPC-H-shaped queries plus the temporal-join and
+reshaping operators (as-of join, range join, pivot, cube) an
+analytics engine is expected to cover.
+
+Same discipline as plans/analytics.py: decimal-exact money math,
+broadcast dimensions, partitioned window functions, deterministic
+orderings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gcp_data_engineering_workshop_spark.catalog import load_table
+
+_DEC = "decimal(18,4)"
+
+
+def _dec(col: str):
+    return F.col(col).cast(_DEC)
+
+
+def _revenue():
+    return _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11 (TPC-H Q6 shape): pure scan-filter-aggregate — the query
+    whose whole cost is predicate pushdown + column pruning. One
+    output row."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.where((F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00"))
+                 & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00"))
+                 & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+                 & (F.col("l_quantity") < 24))
+        .agg(F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+              .cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12 (TPC-H Q10 shape): revenue lost to returns per customer,
+    top 20. Fact-fact join shuffles on the order key; customer side
+    joins after aggregation (smaller)."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00")))
+    li = load_table(spark, "lineitem", sf_dir).where(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .select(F.col("c_custkey"), F.col("c_name"), F.col("c_mktsegment"),
+                F.col("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13 (TPC-H Q14 shape): promo revenue share — conditional
+    aggregation over a broadcast part join. Ratio of exact decimals
+    cast to double (identical division in the oracle)."""
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_type")
+    li = load_table(spark, "lineitem", sf_dir).where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01 00:00:00")))
+    rev = _revenue()
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                   .otherwise(F.lit(0).cast(_DEC))).cast("double") * 100.0
+             / F.sum(rev).cast("double")).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14 (TPC-H Q18 shape): customers with orders above a quantity
+    threshold — aggregate-then-semijoin keeps the big side lean."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+           .where(F.col("total_qty") > 150))
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                "o_totalprice", "total_qty")
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15: backward as-of join — for every purchase, the most recent
+    preceding 'view' of the same user. Expressed as a union + window
+    (last non-null over time order), which scales as one shuffle per
+    key instead of a per-row lookup; the classic Spark formulation of
+    as-of/point-in-time joins."""
+    ev = load_table(spark, "events", sf_dir).select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
+    return (
+        ev.withColumn("last_view_ts", F.last(view_ts, ignorenulls=True).over(w))
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", F.col("event_id").alias("purchase_event_id"),
+                F.col("ts").alias("purchase_ts"), "last_view_ts")
+    )
+
+
+def range_join_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16: range join — errors of the same user in the 5 minutes
+    before each purchase. Equi on user + ts range predicate; Spark
+    plans equi-shuffle + range filter (AQE-skew-safe)."""
+    ev = load_table(spark, "events", sf_dir)
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("event_id").alias("purchase_event_id"),
+        F.col("ts").alias("p_ts"))
+    e = ev.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"))
+    joined = p.join(
+        e, (p.user_id == e.e_user)
+        & (e.e_ts < p.p_ts)
+        & (e.e_ts >= p.p_ts - F.expr("INTERVAL 5 MINUTES")), "left")
+    return (
+        joined.groupBy("user_id", "purchase_event_id")
+        .agg(F.count("e_ts").alias("n_errors_5m_before"))
+    )
+
+
+def pivot_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B17: pivot — daily event counts, one column per event type
+    (fixed value list, so the plan is a single aggregation and the
+    schema is stable for the oracle)."""
+    ev = load_table(spark, "events", sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.select(F.to_date("ts").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B18: CUBE over (status, priority) — all 4 grouping sets in one
+    pass."""
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.sum(_dec("o_totalprice")).cast("double").alias("total_revenue"),
+             F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19: HLL-style approximate distinct users per event type
+    (the 100 TB path for B5; rows-only oracle — accuracy vs the exact
+    count is pytest-bounded at 5% rsd)."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

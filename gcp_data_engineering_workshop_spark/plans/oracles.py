@@ -466,3 +466,101 @@ fpmin AS (
 SELECT fp.doc_id, fp.fp_full, fpmin.fp_min_shingle
 FROM fp LEFT JOIN fpmin ON fp.doc_id = fpmin.doc_id
 """
+
+# ---------------------------------------------------------------------------
+# B-block extension oracles (plans/analytics2.py)
+# ---------------------------------------------------------------------------
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+             * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, c_mktsegment, revenue
+FROM (
+  SELECT o_custkey, CAST(SUM({_REV}) AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+  GROUP BY o_custkey
+) r JOIN customer ON r.o_custkey = c_custkey
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+Q14_SQL = f"""
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV}
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) * 100.0
+         / CAST(SUM({_REV}) AS DOUBLE) AS promo_revenue_pct,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'
+"""
+
+Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+) b
+JOIN orders ON b.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE total_qty > 150
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 100
+"""
+
+ASOF_JOIN_SQL = """
+WITH marked AS (
+  SELECT user_id, event_id, event_type, ts,
+         last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_view_ts
+  FROM events
+)
+SELECT user_id, event_id AS purchase_event_id, ts AS purchase_ts, last_view_ts
+FROM marked WHERE event_type = 'purchase'
+"""
+
+RANGE_JOIN_SQL = """
+SELECT p.user_id, p.event_id AS purchase_event_id,
+       count(e.ts) AS n_errors_5m_before
+FROM events p
+LEFT JOIN events e
+  ON e.user_id = p.user_id AND e.event_type = 'error'
+ AND e.ts < p.ts AND e.ts >= p.ts - INTERVAL 5 MINUTE
+WHERE p.event_type = 'purchase'
+GROUP BY p.user_id, p.event_id
+"""
+
+PIVOT_SQL = """
+SELECT CAST(ts AS DATE) AS day,
+       count(*) FILTER (WHERE event_type = 'click')    AS click,
+       count(*) FILTER (WHERE event_type = 'error')    AS error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS view
+FROM events
+GROUP BY 1
+"""
+
+CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
+       count(*) AS n_orders
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""

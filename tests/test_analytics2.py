@@ -1,0 +1,56 @@
+from __future__ import annotations
+
+import pytest
+
+from gcp_data_engineering_workshop_spark.plans import analytics as an
+from gcp_data_engineering_workshop_spark.plans import analytics2 as an2
+
+
+def test_q6_single_row(spark, sf_dir):
+    r = an2.q6_forecast_revenue(spark, sf_dir).collect()
+    assert len(r) == 1 and r[0].revenue >= 0
+
+
+def test_q14_pct_range(spark, sf_dir):
+    r = an2.q14_promo_revenue(spark, sf_dir).collect()[0]
+    assert 0.0 <= r.promo_revenue_pct <= 100.0
+
+
+def test_asof_join_semantics(spark, sf_dir):
+    rows = an2.asof_join_purchases(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        if r.last_view_ts is not None:
+            assert r.last_view_ts < r.purchase_ts
+
+
+def test_range_join_counts_nonnegative(spark, sf_dir):
+    rows = an2.range_join_errors(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r.n_errors_5m_before >= 0 for r in rows)
+
+
+def test_pivot_row_sums(spark, sf_dir):
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+    total = load_table(spark, "events", sf_dir).count()
+    rows = an2.pivot_daily_events(spark, sf_dir).collect()
+    assert sum(r.click + r.error + r.purchase + r.signup + r.view
+               for r in rows) == total
+
+
+def test_cube_has_grand_total(spark, sf_dir):
+    rows = an2.cube_revenue(spark, sf_dir).collect()
+    grand = [r for r in rows
+             if r.o_orderstatus is None and r.o_orderpriority is None]
+    assert len(grand) == 1
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+    assert grand[0].n_orders == load_table(spark, "orders", sf_dir).count()
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    approx = {r.event_type: r.approx_users
+              for r in an2.approx_distinct_sketch(spark, sf_dir).collect()}
+    exact = {r.event_type: r.distinct_users
+             for r in an.count_distinct_users(spark, sf_dir).collect()}
+    for k, e in exact.items():
+        assert abs(approx[k] - e) <= max(3, 0.15 * e), (k, approx[k], e)
