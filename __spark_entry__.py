@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_daily_events": _an2.pivot_daily_events,
         "cube_revenue": _an2.cube_revenue,
         "approx_distinct_sketch": _an2.approx_distinct_sketch,
+        "salted_agg_volume": _an2.salted_agg_volume,
         # C: training-data pipeline
         "dedup_exact": _tp.dedup_exact,
         "dedup_minhash_lsh": _tp.dedup_minhash_lsh,
@@ -77,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _tp.token_count,
         "doc_fingerprint": _tp.doc_fingerprint,
         "multimodal_meta": _tp.multimodal_meta,
+        "multimodal_frames": _tp.multimodal_frames,
     }
 
 
@@ -111,6 +113,7 @@ def oracle_sql() -> dict[str, str]:
         "pivot_daily_events": _orc.PIVOT_SQL,
         "cube_revenue": _orc.CUBE_SQL,
         # approx_distinct_sketch: sketch output, rows-only + pytest bound
+        "salted_agg_volume": _orc.SALTED_AGG_SQL,
         "dedup_exact": _orc.DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": _orc.DEDUP_MINHASH_SQL,
         "ngram_jaccard": _orc.NGRAM_JACCARD_SQL,

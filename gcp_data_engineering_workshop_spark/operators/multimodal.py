@@ -76,3 +76,39 @@ def decode_stub(media: DataFrame) -> DataFrame:
             })
 
     return media.mapInPandas(batches, schema=DECODED_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, frame_offset_bytes bigint, "
+    "frame_checksum bigint"
+)
+
+
+def frame_sample_stub(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Video-style frame sampling plumbing: each payload yields
+    n_frames evenly-spaced 'frames' (deterministic byte-slices here —
+    STUB for a real codec's keyframe extraction). One input row fans
+    out to n rows inside the same Arrow batch, which is the shape a
+    real frame sampler has: no shuffle, output co-partitioned with
+    the input."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "frame_idx": [], "frame_offset_bytes": [],
+                   "frame_checksum": []}
+            for doc_id, m in zip(pdf["doc_id"], pdf["media"]):
+                payload = bytes(m["payload"])
+                step = max(len(payload) // n_frames, 1)
+                for i in range(n_frames):
+                    off = min(i * step, max(len(payload) - 1, 0))
+                    chunk = payload[off:off + step]
+                    cks = 0
+                    for b in chunk[:64]:
+                        cks = (cks * 31 + b) % ((1 << 31) - 1)
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_offset_bytes"].append(off)
+                    out["frame_checksum"].append(cks)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)

@@ -176,3 +176,19 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def salted_agg_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B20: skew-safe two-phase salted aggregation of tick volume per
+    ticker (operators/skew.py). Integer sums, so the result is
+    bit-identical to the plain groupBy the oracle runs."""
+    from gcp_data_engineering_workshop_spark.operators.skew import salted_sum_count
+    from gcp_data_engineering_workshop_spark.sources.ticks import ticks
+
+    t = ticks(spark, sf_dir).select(
+        "ticker", "volume",
+        F.col("ts"))
+    out = salted_sum_count(t, key="ticker", value="volume", n_salts=16,
+                           salt_source=F.unix_micros("ts"))
+    return out.select("ticker", F.col("total").alias("total_volume"),
+                      F.col("n_rows").alias("n_ticks"))

@@ -564,3 +564,12 @@ SELECT o_orderstatus, o_orderpriority,
 FROM orders
 GROUP BY CUBE(o_orderstatus, o_orderpriority)
 """
+
+SALTED_AGG_SQL = f"""
+WITH {TICKS_CTE.strip()}
+SELECT ticker,
+       CAST(SUM(volume) AS BIGINT) AS total_volume,
+       count(*) AS n_ticks
+FROM ticks2
+GROUP BY ticker
+"""

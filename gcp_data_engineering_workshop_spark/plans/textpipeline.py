@@ -114,3 +114,9 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C12: binary media columns decoded via Arrow-batched
     mapInPandas (codec stubbed; plumbing real)."""
     return M.decode_stub(M.as_media(_docs(spark, sf_dir)))
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C13: frame-sampling plumbing over binary media columns
+    (stubbed codec, real fan-out shape)."""
+    return M.frame_sample_stub(M.as_media(_docs(spark, sf_dir)))

@@ -88,3 +88,13 @@ def format_output(joined: DataFrame) -> DataFrame:
         .alias("system_latency"),
         "ai_sentiment", "ai_summary",
     )
+
+
+def dedup_stream(ticks: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """D7: streaming deduplication — drops replayed/duplicate
+    messages (same ticker+ts) within the watermark horizon. The
+    at-least-once ingestion analog: Pub/Sub redelivery in the
+    reference would double-count volume without this. State is
+    bounded by the watermark (dropDuplicatesWithinWatermark)."""
+    return (ticks.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["ticker", "ts"]))

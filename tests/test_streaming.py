@@ -114,3 +114,40 @@ def test_format_output_shape(spark, tick_json_dir):
         "ticker", "window_timestamp", "latest_price", "high_price_1m",
         "total_volume_1m", "total_value_1m", "sma_5m", "is_volume_spike",
         "system_latency", "ai_sentiment", "ai_summary"]
+
+
+def test_dedup_stream_drops_replays(spark, sf_dir, tmp_path):
+    """Duplicate (replayed) messages are dropped within the
+    watermark: writing the same file content twice must yield the
+    original row count."""
+    d = str(tmp_path / "dups")
+    src = batch_ticks(spark, sf_dir).coalesce(1)
+    src.write.mode("overwrite").json(d)
+    # duplicate every message (simulated redelivery)
+    src.write.mode("append").json(d)
+    stream = spl.read_tick_stream(spark, d)
+    _run_to_memory(spl.dedup_stream(stream), "deduped")
+    assert spark.table("deduped").count() == src.count()
+
+
+def test_multimodal_frames_fanout(spark, sf_dir):
+    from gcp_data_engineering_workshop_spark.plans import textpipeline as tp
+    out = tp.multimodal_frames(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) == 500 * 4
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    assert all(sorted(v) == [0, 1, 2, 3] for v in by_doc.values())
+
+
+def test_salted_agg_equals_plain(spark, sf_dir):
+    from gcp_data_engineering_workshop_spark.plans.analytics2 import salted_agg_volume
+    from gcp_data_engineering_workshop_spark.sources.ticks import ticks as tks
+    got = {r.ticker: (r.total_volume, r.n_ticks)
+           for r in salted_agg_volume(spark, sf_dir).collect()}
+    want = {r.ticker: (r.tv, r.n) for r in
+            tks(spark, sf_dir).groupBy("ticker")
+            .agg(F.sum("volume").alias("tv"), F.count(F.lit(1)).alias("n"))
+            .collect()}
+    assert got == want
