@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_revenue": _an2.cube_revenue,
         "approx_distinct_sketch": _an2.approx_distinct_sketch,
         "salted_agg_volume": _an2.salted_agg_volume,
+        "stats_summary": _an2.stats_summary,
         # C: training-data pipeline
         "dedup_exact": _tp.dedup_exact,
         "dedup_minhash_lsh": _tp.dedup_minhash_lsh,
@@ -79,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _tp.doc_fingerprint,
         "multimodal_meta": _tp.multimodal_meta,
         "multimodal_frames": _tp.multimodal_frames,
+        "dedup_groups": _tp.dedup_groups,
     }
 
 
@@ -114,6 +116,8 @@ def oracle_sql() -> dict[str, str]:
         "cube_revenue": _orc.CUBE_SQL,
         # approx_distinct_sketch: sketch output, rows-only + pytest bound
         "salted_agg_volume": _orc.SALTED_AGG_SQL,
+        "stats_summary": _orc.STATS_SUMMARY_SQL,
+        "dedup_groups": _orc.DEDUP_GROUPS_SQL,
         "dedup_exact": _orc.DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": _orc.DEDUP_MINHASH_SQL,
         "ngram_jaccard": _orc.NGRAM_JACCARD_SQL,

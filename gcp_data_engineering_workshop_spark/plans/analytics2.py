@@ -192,3 +192,24 @@ def salted_agg_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                            salt_source=F.unix_micros("ts"))
     return out.select("ticker", F.col("total").alias("total_volume"),
                       F.col("n_rows").alias("n_ticks"))
+
+
+def stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B21: mean/variance/stddev per key from exact decimal sums
+    (sum, sum of squares) — deterministic across engines, unlike
+    streaming/Welford accumulations which are order-dependent."""
+    from gcp_data_engineering_workshop_spark.sources.ticks import ticks
+
+    t = ticks(spark, sf_dir)
+    s = F.sum(F.col("price").cast("decimal(18,4)")).cast("double")
+    s2 = F.sum(F.col("price").cast("decimal(18,4)")
+               * F.col("price").cast("decimal(18,4)")).cast("double")
+    n = F.count(F.lit(1))
+    mean = s / n
+    var = (s2 - s * s / n) / (n - F.lit(1))
+    return t.groupBy("ticker").agg(
+        n.alias("n_ticks"),
+        F.round(mean, 6).alias("mean_price"),
+        F.round(var, 6).alias("var_price"),
+        F.round(F.sqrt(var), 6).alias("stddev_price"),
+    )

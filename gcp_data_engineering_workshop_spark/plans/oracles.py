@@ -573,3 +573,45 @@ SELECT ticker,
 FROM ticks2
 GROUP BY ticker
 """
+
+DEDUP_GROUPS_SQL = f"""
+WITH RECURSIVE {_WORDS_CTE.strip()}, {_SHINGLES_CTE.strip()},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a, sh b
+  WHERE a.doc_id < b.doc_id
+    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b.s))) >= 0.9
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT node AS doc_id,
+       least(node, min_reach) AS component
+FROM (
+  SELECT a AS node, min(b) AS min_reach FROM reach GROUP BY a
+)
+"""
+
+STATS_SUMMARY_SQL = f"""
+WITH {TICKS_CTE.strip()},
+agg AS (
+  SELECT ticker,
+         count(*) AS n_ticks,
+         CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(price AS DECIMAL(18,4))
+                  * CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS s2
+  FROM ticks GROUP BY ticker
+)
+SELECT ticker, n_ticks,
+       round(s / n_ticks, 6) AS mean_price,
+       round((s2 - s * s / n_ticks) / (n_ticks - 1), 6) AS var_price,
+       round(sqrt((s2 - s * s / n_ticks) / (n_ticks - 1)), 6) AS stddev_price
+FROM agg
+"""

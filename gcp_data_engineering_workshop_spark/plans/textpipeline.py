@@ -120,3 +120,15 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C13: frame-sampling plumbing over binary media columns
     (stubbed codec, real fan-out shape)."""
     return M.frame_sample_stub(M.as_media(_docs(spark, sf_dir)))
+
+
+def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C14: near-dup groups — connected components (iterative min-
+    label propagation) over the exact Jaccard pair graph at tau=0.9.
+    Output: doc_id, component (min doc_id of the group). The oracle
+    computes the same closure with a recursive CTE."""
+    from gcp_data_engineering_workshop_spark.operators.dedup import ngram_jaccard_pairs
+    from gcp_data_engineering_workshop_spark.operators.graph import connected_components
+
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), tau=0.9)
+    return connected_components(pairs)

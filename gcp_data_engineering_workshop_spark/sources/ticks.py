@@ -101,3 +101,24 @@ def replay_minute(spark: SparkSession, sf_dir: str, minute_index: int = 7) -> Da
         day_ticks.join(F.broadcast(target), F.date_trunc("minute", day_ticks.ts) == F.col("m"))
         .select("ticker", "ts", "price", "volume", "ai_sentiment", "ai_summary")
     )
+
+
+def tick_rate_stream(spark: SparkSession, rows_per_second: int = 100,
+                     n_tickers: int = 7):
+    """E5 (streaming): synthetic tick generator on the rate source —
+    the load-test analog of the reference's scheduled ingestion
+    (main.py fetches/replays one minute per invocation; this emits a
+    continuous deterministic feed). Message shape matches
+    streaming.pipeline.TICK_SCHEMA; the AI fields use the same
+    deterministic stub as the batch source."""
+    rate = (spark.readStream.format("rate")
+            .option("rowsPerSecond", rows_per_second).load())
+    sent = ai_sentiment_expr("value")
+    return rate.select(
+        F.concat(F.lit("T"), (F.col("value") % n_tickers).cast("string")).alias("ticker"),
+        F.col("timestamp").alias("ts"),
+        F.round((F.pmod(F.col("value") * _MIX, F.lit(10000))).cast("double") / 100.0 + 10.0, 2).alias("price"),
+        F.pmod(F.col("value") * 2654435761, F.lit(100)).alias("volume"),
+        sent.alias("ai_sentiment"),
+        ai_summary_expr(sent).alias("ai_summary"),
+    )

@@ -98,3 +98,15 @@ def dedup_stream(ticks: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     bounded by the watermark (dropDuplicatesWithinWatermark)."""
     return (ticks.withWatermark("ts", watermark)
             .dropDuplicatesWithinWatermark(["ticker", "ts"]))
+
+
+def joined_metrics_stream(ticks: DataFrame,
+                          watermark: str = "10 minutes") -> DataFrame:
+    """D4: stream-stream join of the two windowed aggregate streams
+    on (ticker, window_end) — the reference's CoGroupByKey topology
+    (pipeline.py:110-119). Spark 4 supports chaining the two stateful
+    window aggregations into an append-mode join; rows emit once both
+    windows finalize past the watermark."""
+    agg = agg_1m_stream(ticks, watermark)
+    sma = sma_5m_stream(ticks, watermark)
+    return agg.join(sma, ["ticker", "window_end"], "inner")

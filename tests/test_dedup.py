@@ -58,3 +58,13 @@ def test_simhash_chunk_pigeonhole(spark, sf_dir):
                    .where(F.col("h") <= 3).collect()}
     banded = {(r.doc_a, r.doc_b) for r in D.simhash_pairs(docs, 3).collect()}
     assert banded == exhaustive
+
+
+def test_connected_components_tiny(spark):
+    from gcp_data_engineering_workshop_spark.operators.graph import connected_components
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "doc_a bigint, doc_b bigint")
+    out = {r.doc_id: r.component for r in connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20}

@@ -151,3 +151,34 @@ def test_salted_agg_equals_plain(spark, sf_dir):
             .agg(F.sum("volume").alias("tv"), F.count(F.lit(1)).alias("n"))
             .collect()}
     assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, tick_json_dir):
+    from gcp_data_engineering_workshop_spark.operators.windows import join_metrics
+    stream = spl.read_tick_stream(spark, tick_json_dir)
+    _run_to_memory(spl.joined_metrics_stream(stream), "joined_ss")
+    got = {(r.ticker, r.window_end): r for r in spark.table("joined_ss").collect()}
+    base = tumbling_1m(batch_ticks(spark, sf_dir))
+    want = {(r.ticker, r.window_end): r
+            for r in join_metrics(base, with_sma_5m(base)).collect()}
+    # append mode emits only watermark-finalized windows: subset of batch
+    assert set(got) <= set(want)
+    assert len(got) >= 0.9 * len(want)
+    for k, g in got.items():
+        assert g.sma_5m == pytest.approx(want[k].sma_5m)
+        assert g.total_volume_1m == want[k].total_volume_1m
+
+
+def test_rate_generator_shape(spark):
+    from gcp_data_engineering_workshop_spark.sources.ticks import tick_rate_stream
+    from gcp_data_engineering_workshop_spark.streaming.pipeline import TICK_SCHEMA
+    stream = tick_rate_stream(spark, rows_per_second=50)
+    want_cols = [c.split()[0] for c in TICK_SCHEMA.split(", ")]
+    assert stream.columns == want_cols
+    q = sinks.memory_sink(stream, "rate_ticks")
+    import time
+    time.sleep(3)
+    q.processAllAvailable(); q.stop()
+    rows = spark.table("rate_ticks").collect()
+    assert len(rows) > 0
+    assert all(r.ticker.startswith("T") and r.volume >= 0 for r in rows)
