@@ -81,6 +81,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": _tp.multimodal_meta,
         "multimodal_frames": _tp.multimodal_frames,
         "dedup_groups": _tp.dedup_groups,
+        "doc_chunking": _tp.doc_chunking,
+        "train_test_split": _tp.train_test_split,
+        "text_scrub": _tp.text_scrub,
+        "vocab_topk": _tp.vocab_topk,
+        "tfidf_topterms": _tp.tfidf_topterms,
     }
 
 
@@ -118,6 +123,11 @@ def oracle_sql() -> dict[str, str]:
         "salted_agg_volume": _orc.SALTED_AGG_SQL,
         "stats_summary": _orc.STATS_SUMMARY_SQL,
         "dedup_groups": _orc.DEDUP_GROUPS_SQL,
+        "doc_chunking": _orc.DOC_CHUNKING_SQL,
+        "train_test_split": _orc.TRAIN_TEST_SPLIT_SQL,
+        "text_scrub": _orc.TEXT_SCRUB_SQL,
+        "vocab_topk": _orc.VOCAB_TOPK_SQL,
+        "tfidf_topterms": _orc.TFIDF_SQL,
         "dedup_exact": _orc.DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": _orc.DEDUP_MINHASH_SQL,
         "ngram_jaccard": _orc.NGRAM_JACCARD_SQL,

@@ -615,3 +615,73 @@ SELECT ticker, n_ticks,
        round(sqrt((s2 - s * s / n_ticks) / (n_ticks - 1)), 6) AS stddev_price
 FROM agg
 """
+
+DOC_CHUNKING_SQL = f"""
+WITH {_WORDS_CTE.strip()},
+starts AS (
+  SELECT doc_id, w, unnest(range(0, greatest(len(w) - 1, 0) + 1, 40)) AS s
+  FROM wt
+)
+SELECT doc_id,
+       CAST(s / 40 AS INT) AS chunk_idx,
+       array_to_string(w[s+1 : s+50], ' ') AS chunk_text,
+       CAST(len(w[s+1 : s+50]) AS BIGINT) AS n_tokens
+FROM starts
+"""
+
+TRAIN_TEST_SPLIT_SQL = f"""
+SELECT doc_id,
+       {_KR.format(s=_NORM)} % 100 AS bucket,
+       CASE WHEN {_KR.format(s=_NORM)} % 100 < 80 THEN 'train'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+TEXT_SCRUB_SQL = """
+SELECT doc_id,
+       md5(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS scrub_hash,
+       CAST(length(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS BIGINT) AS scrub_len
+FROM documents
+"""
+
+VOCAB_TOPK_SQL = f"""
+WITH {_WORDS_CTE.strip()},
+counts AS (
+  SELECT unnest(w) AS token FROM wt
+),
+freqs AS (
+  SELECT token, count(*) AS freq FROM counts GROUP BY token
+),
+ranked AS (
+  SELECT token, freq,
+         CAST(row_number() OVER (ORDER BY freq DESC, token) AS INT) AS rank
+  FROM freqs
+)
+SELECT token, freq, rank FROM ranked WHERE rank <= 100
+"""
+
+TFIDF_SQL = f"""
+WITH {_WORDS_CTE.strip()},
+tokens AS (
+  SELECT doc_id, unnest(w) AS term FROM wt
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tokens)
+  GROUP BY term
+),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf DESC, term) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
+"""

@@ -132,3 +132,90 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), tau=0.9)
     return connected_components(pairs)
+
+
+def doc_chunking(spark: SparkSession, sf_dir: str,
+                 chunk_words: int = 50, stride: int = 40) -> DataFrame:
+    """C15: overlapping-window chunking (50-word chunks, 10-word
+    overlap) — the standard long-document -> training-sample op.
+    Chunk starts at every `stride` words; tokenize once, slice from
+    the materialized array (no per-chunk re-tokenize)."""
+    par = spark.sparkContext.defaultParallelism
+    wt = (_docs(spark, sf_dir).repartition(par)
+          .select("doc_id", T.words("text").alias("w"))
+          .repartition(par))
+    starts = F.sequence(F.lit(0),
+                        F.greatest((F.size("w") - 1), F.lit(0)),
+                        F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / stride).cast("int").alias("chunk_idx"),
+            F.slice(F.col("w"), s + 1, chunk_words).alias("cw")))
+    return (
+        wt.select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", F.col("c.chunk_idx").alias("chunk_idx"),
+                F.concat_ws(" ", F.col("c.cw")).alias("chunk_text"),
+                F.size("c.cw").cast("bigint").alias("n_tokens"))
+    )
+
+
+def train_test_split(spark: SparkSession, sf_dir: str,
+                     train_pct: int = 80) -> DataFrame:
+    """C16: deterministic hash-based train/test split — the
+    engine-neutral Karp-Rabin hash of the normalized text buckets
+    each doc 0-99; content-addressed, so re-runs and replicas agree
+    without coordination."""
+    d = _docs(spark, sf_dir)
+    bucket = T.kr_hash(T.normalize("text")) % 100
+    return d.select(
+        "doc_id", bucket.alias("bucket"),
+        F.when(bucket < train_pct, F.lit("train"))
+         .otherwise(F.lit("test")).alias("split"))
+
+
+def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C17: PII-style scrubbing — digit runs redacted to <NUM>
+    (regexp_replace, JVM-side); emits the scrubbed hash + length so
+    the row stays narrow."""
+    d = _docs(spark, sf_dir)
+    scrubbed = F.regexp_replace(F.col("text"), r"[0-9]+", "<NUM>")
+    return d.select(
+        "doc_id", F.md5(scrubbed).alias("scrub_hash"),
+        F.length(scrubbed).cast("bigint").alias("scrub_len"))
+
+
+def vocab_topk(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
+    """C18: corpus vocabulary — top-k tokens by frequency (the
+    tokenizer-training precursor). Explode -> two-phase count -> one
+    final top-k."""
+    from pyspark.sql.window import Window
+    d = _docs(spark, sf_dir)
+    counts = (
+        d.select(F.explode(T.words("text")).alias("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("freq")))
+    w = Window.orderBy(F.col("freq").desc(), F.col("token"))
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def tfidf_topterms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """C19: top-k TF-IDF terms per document. tf and df are exact
+    integers; idf = ln(N/df) on identical doubles in both engines."""
+    from pyspark.sql.window import Window
+    d = _docs(spark, sf_dir)
+    tokens = d.select("doc_id", F.explode(T.words("text")).alias("term"))
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tokens.select("doc_id", "term").distinct() \
+        .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.select(F.countDistinct("doc_id").alias("n"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "term",
+                F.round(F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6)
+                 .alias("tfidf"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -64,3 +64,32 @@ def test_multimodal_decode_stub(spark, sf_dir):
     assert len(rows) == 500
     assert all(r.n_bytes > 0 and r.width >= 64 and r.height >= 64 for r in rows)
     assert out.columns == ["doc_id", "media_type", "n_bytes", "width", "height", "checksum"]
+
+
+def test_doc_chunking_overlap(spark, sf_dir):
+    rows = tp.doc_chunking(spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc, chunks in list(by_doc.items())[:20]:
+        chunks = sorted(chunks, key=lambda r: r.chunk_idx)
+        assert chunks[0].chunk_idx == 0
+        assert all(c.n_tokens <= 50 for c in chunks)
+        if len(chunks) > 1:
+            # 50-word chunk every 40 words -> 10-word overlap
+            w0 = chunks[0].chunk_text.split(" ")
+            w1 = chunks[1].chunk_text.split(" ")
+            assert w0[40:50] == w1[0:10]
+
+
+def test_train_test_split_ratio(spark, sf_dir):
+    rows = tp.train_test_split(spark, sf_dir).collect()
+    n_train = sum(1 for r in rows if r.split == "train")
+    assert 0.6 <= n_train / len(rows) <= 0.95  # hash split ~80%
+    assert all(0 <= r.bucket < 100 for r in rows)
+
+
+def test_tfidf_rare_terms_score_higher(spark, sf_dir):
+    rows = tp.tfidf_topterms(spark, sf_dir).collect()
+    assert all(r.rank <= 3 for r in rows)
+    assert len({r.doc_id for r in rows}) == 500
