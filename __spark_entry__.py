@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_sketch": _an2.approx_distinct_sketch,
         "salted_agg_volume": _an2.salted_agg_volume,
         "stats_summary": _an2.stats_summary,
+        "session_window_stats": _an2.session_window_stats,
         # C: training-data pipeline
         "dedup_exact": _tp.dedup_exact,
         "dedup_minhash_lsh": _tp.dedup_minhash_lsh,
@@ -122,6 +123,7 @@ def oracle_sql() -> dict[str, str]:
         # approx_distinct_sketch: sketch output, rows-only + pytest bound
         "salted_agg_volume": _orc.SALTED_AGG_SQL,
         "stats_summary": _orc.STATS_SUMMARY_SQL,
+        "session_window_stats": _orc.SESSION_WINDOW_SQL,
         "dedup_groups": _orc.DEDUP_GROUPS_SQL,
         "doc_chunking": _orc.DOC_CHUNKING_SQL,
         "train_test_split": _orc.TRAIN_TEST_SPLIT_SQL,

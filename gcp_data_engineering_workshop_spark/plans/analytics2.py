@@ -213,3 +213,16 @@ def stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var, 6).alias("var_price"),
         F.round(F.sqrt(var), 6).alias("stddev_price"),
     )
+
+
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B22: native gap-based session windows (F.session_window,
+    30-minute gap) per user: one row per session with its start and
+    event count. The streaming twin uses the same operator with a
+    watermark (tests/test_streaming.py)."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("sw.start").alias("session_start"), "n_events")
+    )

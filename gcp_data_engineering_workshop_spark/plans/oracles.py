@@ -685,3 +685,22 @@ ranked AS (
 )
 SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
 """
+
+SESSION_WINDOW_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 30*60*1000000
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM sessions GROUP BY user_id, session_id
+"""

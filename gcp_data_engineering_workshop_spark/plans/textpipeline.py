@@ -124,13 +124,16 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C14: near-dup groups — connected components (iterative min-
-    label propagation) over the exact Jaccard pair graph at tau=0.9.
+    label propagation) over the verified near-dup pair graph at
+    tau=0.9. Edges come from the LSH path (near-linear; identical
+    pair set to the exact O(n^2) verifier at this tau — see
+    minhash_lsh_pairs), so grouping scales with the dedup pipeline.
     Output: doc_id, component (min doc_id of the group). The oracle
-    computes the same closure with a recursive CTE."""
-    from gcp_data_engineering_workshop_spark.operators.dedup import ngram_jaccard_pairs
+    computes the same closure with a recursive CTE over exact pairs."""
+    from gcp_data_engineering_workshop_spark.operators.dedup import minhash_lsh_pairs
     from gcp_data_engineering_workshop_spark.operators.graph import connected_components
 
-    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), tau=0.9)
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), tau=0.9)
     return connected_components(pairs)
 
 

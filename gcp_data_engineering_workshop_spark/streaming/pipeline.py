@@ -110,3 +110,17 @@ def joined_metrics_stream(ticks: DataFrame,
     agg = agg_1m_stream(ticks, watermark)
     sma = sma_5m_stream(ticks, watermark)
     return agg.join(sma, ["ticker", "window_end"], "inner")
+
+
+def session_window_stream(events: DataFrame,
+                          watermark: str = "1 hour") -> DataFrame:
+    """D8: streaming session windows — state closes a session once
+    the watermark passes its gap-extended end; the streaming twin of
+    plans.analytics2.session_window_stats."""
+    from pyspark.sql import functions as _F
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", _F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(_F.count(_F.lit(1)).alias("n_events"))
+        .select("user_id", _F.col("sw.start").alias("session_start"), "n_events")
+    )

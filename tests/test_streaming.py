@@ -182,3 +182,26 @@ def test_rate_generator_shape(spark):
     rows = spark.table("rate_ticks").collect()
     assert len(rows) > 0
     assert all(r.ticker.startswith("T") and r.volume >= 0 for r in rows)
+
+
+def test_session_window_stream_matches_batch(spark, sf_dir, tmp_path):
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+    from gcp_data_engineering_workshop_spark.plans.analytics2 import session_window_stats
+    d = str(tmp_path / "events_json")
+    ev = load_table(spark, "events", sf_dir)
+    # microsecond format: Spark's default JSON timestamp writes millis,
+    # which would shift raw session_start values
+    fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    (ev.orderBy("ts").coalesce(1).write.mode("overwrite")
+     .option("timestampFormat", fmt).json(d))
+    stream = (spark.readStream
+              .schema("event_id bigint, ts timestamp, user_id bigint, "
+                      "event_type string, value double, props string")
+              .option("timestampFormat", fmt)
+              .json(d))
+    _run_to_memory(spl.session_window_stream(stream), "sessions_s", "complete")
+    got = {(r.user_id, r.session_start): r.n_events
+           for r in spark.table("sessions_s").collect()}
+    want = {(r.user_id, r.session_start): r.n_events
+            for r in session_window_stats(spark, sf_dir).collect()}
+    assert got == want
