@@ -67,6 +67,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg_volume": _an2.salted_agg_volume,
         "stats_summary": _an2.stats_summary,
         "session_window_stats": _an2.session_window_stats,
+        "q19_complex_predicates": _an2.q19_complex_predicates,
+        "corr_price_volume": _an2.corr_price_volume,
         # C: training-data pipeline
         "dedup_exact": _tp.dedup_exact,
         "dedup_minhash_lsh": _tp.dedup_minhash_lsh,
@@ -124,6 +126,8 @@ def oracle_sql() -> dict[str, str]:
         "salted_agg_volume": _orc.SALTED_AGG_SQL,
         "stats_summary": _orc.STATS_SUMMARY_SQL,
         "session_window_stats": _orc.SESSION_WINDOW_SQL,
+        "q19_complex_predicates": _orc.Q19_SQL,
+        "corr_price_volume": _orc.CORR_SQL,
         "dedup_groups": _orc.DEDUP_GROUPS_SQL,
         "doc_chunking": _orc.DOC_CHUNKING_SQL,
         "train_test_split": _orc.TRAIN_TEST_SPLIT_SQL,

@@ -226,3 +226,45 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select("user_id", F.col("sw.start").alias("session_start"), "n_events")
     )
+
+
+def q19_complex_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B23 (TPC-H Q19 shape): disjunction of conjunctive
+    brand/size/quantity ranges over a broadcast part join — exercises
+    boolean predicate simplification + partial pushdown."""
+    part = load_table(spark, "part", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15))
+         & (F.col("l_quantity").between(1, 11)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(1, 25))
+           & (F.col("l_quantity").between(10, 20)))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 35))
+           & (F.col("l_quantity").between(20, 30)))
+    )
+    return j.where(cond).agg(
+        F.sum(_revenue()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"))
+
+
+def corr_price_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24: Pearson correlation of price and volume per ticker from
+    exact decimal sums (sum-product form) — order-independent, unlike
+    the built-in corr's streaming accumulation."""
+    from gcp_data_engineering_workshop_spark.sources.ticks import ticks
+
+    t = ticks(spark, sf_dir)
+    dx = F.col("price").cast("decimal(18,4)")
+    dy = F.col("volume").cast("decimal(18,4)")
+    sx = F.sum(dx).cast("double")
+    sy = F.sum(dy).cast("double")
+    sxx = F.sum(dx * dx).cast("double")
+    syy = F.sum(dy * dy).cast("double")
+    sxy = F.sum(dx * dy).cast("double")
+    n = F.count(F.lit(1))
+    num = sxy - sx * sy / n
+    den = F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+    return t.groupBy("ticker").agg(
+        n.alias("n_ticks"),
+        F.round(num / den, 6).alias("corr_price_volume"))

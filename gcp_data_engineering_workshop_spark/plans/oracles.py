@@ -704,3 +704,33 @@ sessions AS (
 SELECT user_id, min(ts) AS session_start, count(*) AS n_events
 FROM sessions GROUP BY user_id, session_id
 """
+
+Q19_SQL = f"""
+SELECT CAST(SUM({_REV}) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+CORR_SQL = f"""
+WITH {TICKS_CTE.strip()},
+agg AS (
+  SELECT ticker, count(*) AS n_ticks,
+         CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(price AS DECIMAL(18,4)) * CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(volume AS DECIMAL(18,4)) * CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(price AS DECIMAL(18,4)) * CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS sxy
+  FROM ticks GROUP BY ticker
+)
+SELECT ticker, n_ticks,
+       round((sxy - sx * sy / n_ticks)
+             / sqrt((sxx - sx * sx / n_ticks) * (syy - sy * sy / n_ticks)), 6)
+         AS corr_price_volume
+FROM agg
+"""

@@ -93,3 +93,43 @@ def test_tfidf_rare_terms_score_higher(spark, sf_dir):
     rows = tp.tfidf_topterms(spark, sf_dir).collect()
     assert all(r.rank <= 3 for r in rows)
     assert len({r.doc_id for r in rows}) == 500
+
+
+def test_property_jaccard_and_krhash(spark):
+    """Property tests (hypothesis): jaccard bounds/symmetry and
+    KR-hash python parity on arbitrary ASCII strings."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                   min_size=0, max_size=80))
+    def check(s):
+        # python-side KR reference
+        norm = " ".join(s.lower().split())
+        h = 0
+        for ch in norm:
+            h = (h * 31 + ord(ch)) % ((1 << 31) - 1)
+        df = spark.createDataFrame([(s,)], "text string")
+        got = df.select(T.kr_hash(T.normalize("text")).alias("v")).collect()[0].v
+        assert got == h
+
+    check()
+
+
+def test_property_jaccard_symmetry(spark):
+    from hypothesis import given, settings, strategies as st
+    words = st.lists(st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+                     min_size=0, max_size=10)
+
+    @settings(max_examples=15, deadline=None)
+    @given(words, words)
+    def check(wa, wb):
+        df = spark.createDataFrame([(wa, wb)], "a array<string>, b array<string>")
+        r = df.select(T.jaccard(F.col("a"), F.col("b")).alias("ab"),
+                      T.jaccard(F.col("b"), F.col("a")).alias("ba")).collect()[0]
+        assert r.ab == r.ba
+        assert 0.0 <= r.ab <= 1.0
+        if set(wa) == set(wb) and wa:
+            assert r.ab == 1.0
+
+    check()
