@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _tp.embedding_neardup,
         "ann_topk": _tp.ann_topk,
         "ann_lsh": _tp.ann_lsh,
+        "ann_ivf": _tp.ann_ivf,
         "text_lang_id": _tp.text_lang_id,
         "text_quality": _tp.text_quality,
         "token_count": _tp.token_count,

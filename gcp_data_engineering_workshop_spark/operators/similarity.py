@@ -119,3 +119,74 @@ def ann_lsh_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def _kmeans_centroids(sample: np.ndarray, k: int, n_iter: int = 10,
+                      seed: int = 42) -> np.ndarray:
+    """Tiny seeded k-means on a driver-side SAMPLE (IVF coarse
+    quantizer training — training is sampled by design; assignment
+    stays distributed)."""
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=k, replace=False)]
+    for _ in range(n_iter):
+        assign = (sample @ cent.T).argmax(axis=1)  # unit vectors: max dot
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 0:
+                    cent[c] = m / norm
+    return cent
+
+
+def ann_ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
+                 n_lists: int = 16, n_probe: int = 4,
+                 sample_size: int = 2048) -> DataFrame:
+    """C20: IVF-style ANN — coarse k-means quantizer partitions the
+    corpus into inverted lists; queries probe their n_probe nearest
+    lists only. The quantizer trains on a driver-side sample (seeded,
+    deterministic); corpus assignment and scoring are one
+    Arrow-batched matmul each. vs. LSH: IVF adapts buckets to the
+    data distribution, so probed lists are denser in true neighbors.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    sample = np.vstack([
+        np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.select("embedding").limit(sample_size).collect()])
+    cent = _kmeans_centroids(sample, n_lists)
+
+    def _lists(embs, n):
+        mat = np.vstack(embs.to_numpy()).astype(np.float64)
+        order = np.argsort(-(mat @ cent.T), axis=1)[:, :n]
+        return pd.Series(list(order.astype(np.int32)))
+
+    def _assign(embs):
+        return _lists(embs, 1)
+
+    def _probe(embs):
+        return _lists(embs, n_probe)
+
+    _assign.__annotations__ = {"embs": pd.Series, "return": pd.Series}
+    _probe.__annotations__ = {"embs": pd.Series, "return": pd.Series}
+    assign_udf = pandas_udf(_assign, "array<int>")
+    probe_udf = pandas_udf(_probe, "array<int>")
+
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ec"),
+        F.explode(assign_udf("embedding")).alias("list_id"))
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq"),
+        F.explode(probe_udf("embedding")).alias("list_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_sim").desc(), F.col("neighbor_id"))
+    return (
+        F.broadcast(queries).join(corpus, "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                _sim(F.col("eq"), F.col("ec")).alias("dot_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -222,3 +222,9 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C20: IVF-bucketed approximate top-5 (data-adaptive scale path;
+    recall pytest-checked against C6)."""
+    return S.ann_ivf_topk(_emb(spark, sf_dir), n_queries=10, k=5)

@@ -49,3 +49,13 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
               for r in S.ann_lsh_topk(emb, n_queries=10, k=5).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"LSH recall {recall:.2f} too low"
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in S.ann_topk(emb, n_queries=10, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in S.ann_ivf_topk(emb, n_queries=10, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall {recall:.2f} too low"
