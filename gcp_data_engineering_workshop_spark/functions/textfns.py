@@ -97,23 +97,40 @@ def stopword_ratio(col, lang: str = "en") -> Column:
     return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
 
 
+def stopword_ratio_of(ws: Column, lang: str = "en") -> Column:
+    """Stopword ratio from a materialized word-array column (hot-path
+    variant — see shingles_of for why)."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    dws = F.array_distinct(ws)
+    hits = F.size(F.array_intersect(dws, sw))
+    n = F.size(dws)
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def lang_id_of(text_col: Column, ws: Column) -> Column:
+    """Heuristic language ID from raw text + a materialized word
+    array: CJK characters -> zh; otherwise the language whose
+    stopword list overlaps the distinct-token set most (ties broken
+    by fixed priority en>es>fr>de; 'und' = no signal)."""
+    has_cjk = F.regexp_count(text_col, F.lit(r"[一-鿿]")) > 0
+    scores = {lang: stopword_ratio_of(ws, lang) for lang in STOPWORDS}
+    best = F.greatest(*scores.values())
+    pick = F.lit("und")
+    for lang in ["de", "fr", "es", "en"]:  # reverse priority; later wins ties
+        pick = F.when(scores[lang] == best, F.lit(lang)).otherwise(pick)
+    return F.when(has_cjk, F.lit("zh")).when(best <= 0, F.lit("und")).otherwise(pick)
+
+
 def lang_id(col) -> Column:
-    """Heuristic language ID: CJK characters -> zh; otherwise the
-    language whose stopword list overlaps the distinct-token set most
-    (ties broken by fixed priority en>es>fr>de; 'und' = no signal).
+    """Heuristic language ID (single-expression variant; prefer
+    lang_id_of with a materialized word column in hot paths).
 
     Note: the synthetic test corpus draws from one vocabulary for all
     lang labels, so accuracy there is meaningless — discrimination is
     unit-tested on real multilingual snippets instead.
     """
     c = F.col(col) if isinstance(col, str) else col
-    has_cjk = F.regexp_count(c, F.lit(r"[一-鿿]")) > 0
-    scores = {lang: stopword_ratio(col, lang) for lang in STOPWORDS}
-    best = F.greatest(*scores.values())
-    pick = F.lit("und")
-    for lang in ["de", "fr", "es", "en"]:  # reverse priority; later wins ties
-        pick = F.when(scores[lang] == best, F.lit(lang)).otherwise(pick)
-    return F.when(has_cjk, F.lit("zh")).when(best <= 0, F.lit("und")).otherwise(pick)
+    return lang_id_of(c, words(col))
 
 
 def quality_features(col) -> dict[str, Column]:

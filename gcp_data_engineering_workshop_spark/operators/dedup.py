@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -196,25 +198,34 @@ def ngram_jaccard_pairs(docs: DataFrame, tau: float = 0.9, n: int = 3) -> DataFr
 
 def simhash_chunks(col, n_chunks: int = 4) -> Column:
     """64-bit SimHash over distinct word tokens, returned as
-    n_chunks x 16-bit ints (chunked for banded candidate joins)."""
-    toks = F.array_distinct(words(col))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    n_chunks x 16-bit ints (chunked for banded candidate joins).
+
+    Token hashing stays JVM-side (xxhash64); the 64 bit-votes are one
+    numpy broadcast per Arrow batch — the expression formulation ran
+    64 interpreted aggregate folds per row."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
     bits_per = 64 // n_chunks
 
-    def chunk(ci: int) -> Column:
-        val = F.lit(0).cast("bigint")
-        for j in range(bits_per):
-            bit = ci * bits_per + j
-            vote = F.aggregate(
-                hashes, F.lit(0).cast("bigint"),
-                lambda acc, h: acc + F.when(
-                    F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1)).otherwise(F.lit(-1)),
-            )
-            val = val + F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        return val
+    def _sig(hs):
+        def one(h):
+            if len(h) == 0:
+                return [0] * n_chunks
+            hv = np.asarray(h, dtype=np.int64).astype(np.uint64)[:, None]
+            bits = ((hv >> np.arange(64, dtype=np.uint64)) & np.uint64(1)) \
+                .astype(np.int64)
+            votes = (bits * 2 - 1).sum(axis=0)
+            simbits = (votes > 0).astype(np.int64)
+            weights = (1 << np.arange(bits_per, dtype=np.int64))
+            return [int((simbits[c * bits_per:(c + 1) * bits_per] * weights).sum())
+                    for c in range(n_chunks)]
+        return hs.map(one)
 
-    return F.array(*[chunk(i) for i in range(n_chunks)])
+    _sig.__annotations__ = {"hs": pd.Series, "return": pd.Series}
+    sig = pandas_udf(_sig, "array<bigint>")
+    toks = F.array_distinct(words(col))
+    return sig(F.transform(toks, lambda t: F.xxhash64(t)))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -222,7 +233,9 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     16-bit chunks (pigeonhole: <=3 flipped bits leave >=1 of 4 chunks
     intact), then exact hamming distance filters. Output: doc_a,
     doc_b, hamming."""
-    sig = docs.select("doc_id", simhash_chunks("text").alias("chunks"))
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sig = docs.repartition(par).select(
+        "doc_id", simhash_chunks("text").alias("chunks"))
     chunked = sig.select(
         "doc_id", "chunks",
         F.explode(

@@ -62,25 +62,57 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_lsh_topk(_emb(spark, sf_dir), n_queries=10, k=5)
 
 
+def _docs_with_words(spark, sf_dir):
+    """(doc_id, lang, text, w) with the tokenization materialized
+    behind an exchange barrier — every downstream feature references
+    the array column instead of re-running the regex chain (see
+    textfns.shingles_of / operators/dedup.py for the measured
+    CollapseProject pathology)."""
+    par = spark.sparkContext.defaultParallelism
+    return (_docs(spark, sf_dir).repartition(par)
+            .select("doc_id", "lang", "text", T.words("text").alias("w"))
+            .repartition(par))
+
+
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8: heuristic language ID next to the dataset label."""
-    return _docs(spark, sf_dir).select(
+    d = _docs_with_words(spark, sf_dir)
+    return d.select(
         "doc_id", F.col("lang").alias("lang_label"),
-        T.lang_id("text").alias("lang_pred"))
+        T.lang_id_of(F.col("text"), F.col("w")).alias("lang_pred"))
 
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C9: quality features + composite score."""
-    d = _docs(spark, sf_dir)
-    feats = T.quality_features("text")
+    """C9: quality features + composite score, computed from the
+    materialized word array (identical values to the single-pass
+    formulation the oracle mirrors)."""
+    d = _docs_with_words(spark, sf_dir)
+    w = F.col("w")
+    text = F.col("text")
+    n_words = F.size(w)
+    n_chars = F.length(text)
+    n_punct = F.regexp_count(text, F.lit(r"[^\w\s]"))
+    n_digit = F.regexp_count(text, F.lit(r"[0-9]"))
+    awl = F.when(
+        n_words > 0,
+        F.aggregate(w, F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + F.length(x)).cast("double") / n_words,
+    ).otherwise(F.lit(0.0))
+    pr = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0))
+    dr = F.when(n_chars > 0, n_digit.cast("double") / n_chars).otherwise(F.lit(0.0))
+    sr = T.stopword_ratio_of(w, "en")
+    score = F.round(
+        0.4 * F.least(n_words.cast("bigint").cast("double") / 100.0, F.lit(1.0))
+        + 0.3 * F.least(sr * 5.0, F.lit(1.0))
+        + 0.3 * (1.0 - F.least(pr * 10.0 + dr * 5.0, F.lit(1.0))), 6)
     return d.select(
         "doc_id",
-        feats["n_words"].alias("n_words"),
-        feats["n_chars"].alias("n_chars"),
-        F.round(feats["avg_word_len"], 6).alias("avg_word_len"),
-        F.round(feats["punct_ratio"], 6).alias("punct_ratio"),
-        F.round(feats["stopword_ratio_en"], 6).alias("stopword_ratio_en"),
-        T.quality_score("text").alias("quality_score"),
+        n_words.cast("bigint").alias("n_words"),
+        n_chars.cast("bigint").alias("n_chars"),
+        F.round(awl, 6).alias("avg_word_len"),
+        F.round(pr, 6).alias("punct_ratio"),
+        F.round(sr, 6).alias("stopword_ratio_en"),
+        score.alias("quality_score"),
     )
 
 
@@ -98,15 +130,45 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C11: Karp-Rabin rolling-hash fingerprints — full-text hash and
-    min over 3-word shingle hashes (winnowing-style representative)."""
-    d = _docs(spark, sf_dir)
-    sh = T.shingles("text", 3)
-    return d.select(
-        "doc_id",
-        T.kr_hash(T.normalize("text")).alias("fp_full"),
-        F.when(F.size(sh) > 0,
-               F.array_min(F.transform(sh, lambda s: T.kr_hash(s))))
-         .otherwise(F.lit(None).cast("bigint")).alias("fp_min_shingle"),
+    min over 3-word shingle hashes (winnowing-style representative).
+
+    The KR folds run in one Arrow-batched Python pass (exact integer
+    math identical to the oracle's list_reduce): the expression-tree
+    fold is interpreted per character and measured 20x slower.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    P = T.KR_MOD
+
+    def _kr(s: str) -> int:
+        h = 0
+        for ch in s:
+            h = (h * 31 + ord(ch)) % P
+        return h
+
+    def _fp(norm: pd.Series, w: pd.Series) -> pd.DataFrame:
+        full, mins = [], []
+        for s, ws in zip(norm, w):
+            full.append(_kr(s))
+            ws = list(ws)
+            if len(ws) >= 3:
+                shingles = {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+                mins.append(min(_kr(g) for g in shingles))
+            else:
+                mins.append(None)
+        return pd.DataFrame({"fp_full": full, "fp_min_shingle": mins})
+
+    _fp.__annotations__ = {"norm": pd.Series, "w": pd.Series,
+                           "return": pd.DataFrame}
+    fp_udf = pandas_udf(_fp, "fp_full bigint, fp_min_shingle bigint")
+
+    d = _docs_with_words(spark, sf_dir)
+    return (
+        d.select("doc_id",
+                 fp_udf(T.normalize("text"), F.col("w")).alias("fp"))
+        .select("doc_id", F.col("fp.fp_full").alias("fp_full"),
+                F.col("fp.fp_min_shingle").alias("fp_min_shingle"))
     )
 
 
