@@ -13,6 +13,7 @@ Usage: python selfcheck.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -68,9 +69,15 @@ def rows_equal(a, b):
 
 def main():
     import __spark_entry__ as entry_mod
-    from gcp_data_engineering_workshop_spark.session import get_spark
 
-    spark = get_spark("selfcheck")
+    if os.environ.get("SELFCHECK_VANILLA"):
+        # Driver-conditions probe: a bare session with none of our
+        # session.py confs (the real driver builds its own session).
+        from pyspark.sql import SparkSession
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        from gcp_data_engineering_workshop_spark.session import get_spark
+        spark = get_spark("selfcheck")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
