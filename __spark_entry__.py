@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_scrub": _tp.text_scrub,
         "vocab_topk": _tp.vocab_topk,
         "tfidf_topterms": _tp.tfidf_topterms,
+        "clean_corpus": _tp.clean_corpus,
     }
 
 
@@ -135,6 +136,7 @@ def oracle_sql() -> dict[str, str]:
         "text_scrub": _orc.TEXT_SCRUB_SQL,
         "vocab_topk": _orc.VOCAB_TOPK_SQL,
         "tfidf_topterms": _orc.TFIDF_SQL,
+        "clean_corpus": _orc.CLEAN_CORPUS_SQL,
         "dedup_exact": _orc.DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": _orc.DEDUP_MINHASH_SQL,
         "ngram_jaccard": _orc.NGRAM_JACCARD_SQL,

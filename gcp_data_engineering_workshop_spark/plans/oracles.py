@@ -734,3 +734,41 @@ SELECT ticker, n_ticks,
          AS corr_price_volume
 FROM agg
 """
+
+CLEAN_CORPUS_SQL = f"""
+WITH {_WORDS_CTE.strip()},
+q AS (
+  SELECT d.doc_id,
+         round(0.4 * least(CAST(len(w) AS DOUBLE)/100.0, 1.0)
+             + 0.3 * least((CASE WHEN len(list_distinct(w)) > 0
+                  THEN CAST(len(list_intersect(list_distinct(w), {_SW['en']})) AS DOUBLE)/len(list_distinct(w))
+                  ELSE 0.0 END) * 5.0, 1.0)
+             + 0.3 * (1.0 - least(
+                  (CASE WHEN length(d.text) > 0
+                   THEN CAST(len(regexp_extract_all(d.text, '[^\\w\\s]')) AS DOUBLE)/length(d.text)
+                   ELSE 0.0 END) * 10.0
+                + (CASE WHEN length(d.text) > 0
+                   THEN CAST(len(regexp_extract_all(d.text, '[0-9]')) AS DOUBLE)/length(d.text)
+                   ELSE 0.0 END) * 5.0, 1.0)), 6) AS quality_score
+  FROM documents d JOIN wt ON d.doc_id = wt.doc_id
+),
+canon AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           doc_id = min(doc_id) OVER (PARTITION BY md5({_NORM})) AS is_canonical
+    FROM documents
+  ) WHERE is_canonical
+),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN {_KR.format(s=_NORM)} % 100 < 80 THEN 'train'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT d.doc_id, d.lang, q.quality_score, sp.split
+FROM documents d
+JOIN q ON d.doc_id = q.doc_id
+JOIN canon ON d.doc_id = canon.doc_id
+JOIN sp ON d.doc_id = sp.doc_id
+WHERE q.quality_score >= 0.5
+"""

@@ -290,3 +290,24 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C20: IVF-bucketed approximate top-5 (data-adaptive scale path;
     recall pytest-checked against C6)."""
     return S.ann_ivf_topk(_emb(spark, sf_dir), n_queries=10, k=5)
+
+
+def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C21: the composed preprocessing pipeline in one plan —
+    quality-filter -> exact-dedup (keep canonical) -> deterministic
+    split. What a user runs end-to-end before training; every stage
+    is one of the already-verified operators."""
+    from gcp_data_engineering_workshop_spark.operators.dedup import exact_dedup
+
+    d = _docs(spark, sf_dir)
+    quality = text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    canon = exact_dedup(d).where(F.col("is_canonical")).select("doc_id")
+    split = train_test_split(spark, sf_dir).select("doc_id", "split")
+    return (
+        d.select("doc_id", "lang")
+        .join(quality, "doc_id")
+        .where(F.col("quality_score") >= 0.5)
+        .join(canon, "doc_id")
+        .join(split, "doc_id")
+        .select("doc_id", "lang", "quality_score", "split")
+    )

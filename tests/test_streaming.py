@@ -205,3 +205,41 @@ def test_session_window_stream_matches_batch(spark, sf_dir, tmp_path):
     want = {(r.user_id, r.session_start): r.n_events
             for r in session_window_stats(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_watermark_no_reemission_of_finalized_window(spark, tmp_path):
+    """Append mode's hard guarantee: a late event for an
+    already-finalized (emitted + state-evicted) window is dropped —
+    the window is never re-emitted or patched. (Spark's late-data
+    drop is best-effort for windows that never had state; the
+    finalized-window case is the correctness-critical one.)"""
+    import datetime as dt, json, time, os
+    d = str(tmp_path / "late"); os.makedirs(d)
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_file(name, rows):
+        with open(os.path.join(d, name), "w") as f:
+            for ts, price in rows:
+                f.write(json.dumps({
+                    "ticker": "A", "ts": ts.isoformat(), "price": price,
+                    "volume": 1, "ai_sentiment": 0.0, "ai_summary": "n"}) + "\n")
+
+    # batch 0: minutes 0, 10, 30 -> watermark after batch = minute 20
+    write_file("a.json", [(t0 + dt.timedelta(minutes=m), 1.0) for m in (0, 10, 30)])
+    time.sleep(1.1)  # distinct mtimes keep file->batch order deterministic
+    # batch 1: minute 31 -> windows [0,1) and [10,11) are emitted and
+    # their state evicted (end <= watermark 20)
+    write_file("b.json", [(t0 + dt.timedelta(minutes=31), 1.0)])
+    time.sleep(1.1)
+    # batch 2: a late event INTO the finalized minute-0 window
+    write_file("c.json", [(t0 + dt.timedelta(seconds=30), 99.0)])
+
+    stream = spl.read_tick_stream(spark, d, max_files_per_trigger=1)
+    agg = spl.agg_1m_stream(stream, watermark="10 minutes")
+    q = sinks.memory_sink(agg, "late_agg", output_mode="append")
+    q.processAllAvailable(); q.stop()
+    rows = [r for r in spark.table("late_agg").collect()
+            if r.window_start == t0]
+    assert len(rows) == 1                  # emitted exactly once
+    assert rows[0].latest_price == 1.0     # late 99.0 was dropped
+    assert rows[0].total_volume_1m == 1
