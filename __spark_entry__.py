@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_daily_events": _an2.pivot_daily_events,
         "cube_revenue": _an2.cube_revenue,
         "approx_distinct_sketch": _an2.approx_distinct_sketch,
+        "approx_quantile_sketch": _an2.approx_quantile_sketch,
         "salted_agg_volume": _an2.salted_agg_volume,
         "stats_summary": _an2.stats_summary,
         "session_window_stats": _an2.session_window_stats,

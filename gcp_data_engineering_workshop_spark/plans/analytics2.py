@@ -268,3 +268,17 @@ def corr_price_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.groupBy("ticker").agg(
         n.alias("n_ticks"),
         F.round(num / den, 6).alias("corr_price_volume"))
+
+
+def approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B25: approximate percentiles per group (approx_percentile /
+    KLL-style sketch) — the 100 TB path for B10's exact percentiles
+    (exact needs a per-group sort; the sketch is one streaming pass
+    with bounded memory). Accuracy vs B10 is pytest-bounded."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_quantity, 0.25, 1000)").alias("p25"),
+        F.expr("approx_percentile(l_quantity, 0.5, 1000)").alias("p50"),
+        F.expr("approx_percentile(l_quantity, 0.75, 1000)").alias("p75"),
+        F.expr("approx_percentile(l_quantity, 0.95, 1000)").alias("p95"),
+    )

@@ -54,3 +54,28 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
              for r in an.count_distinct_users(spark, sf_dir).collect()}
     for k, e in exact.items():
         assert abs(approx[k] - e) <= max(3, 0.15 * e), (k, approx[k], e)
+
+
+def test_approx_quantiles_close_to_exact(spark, sf_dir):
+    approx = {r.l_returnflag: r for r in
+              an2.approx_quantile_sketch(spark, sf_dir).collect()}
+    exact = {r.l_returnflag: r for r in
+             an.quantity_percentiles(spark, sf_dir).collect()}
+    for k, e in exact.items():
+        a = approx[k]
+        for q in ("p25", "p50", "p75", "p95"):
+            assert abs(getattr(a, q) - getattr(e, q)) <= 2.5, (k, q)
+
+
+def test_stats_summary_matches_builtin(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from gcp_data_engineering_workshop_spark.sources.ticks import ticks
+    got = {r.ticker: r for r in an2.stats_summary(spark, sf_dir).collect()}
+    want = {r.ticker: r for r in
+            ticks(spark, sf_dir).groupBy("ticker")
+            .agg(F.avg("price").alias("m"), F.var_samp("price").alias("v"))
+            .collect()}
+    for k, w in want.items():
+        # stats_summary rounds to 6 decimals -> compare at abs 1e-5
+        assert got[k].mean_price == pytest.approx(w.m, abs=1e-5)
+        assert got[k].var_price == pytest.approx(w.v, abs=1e-4, rel=1e-6)
