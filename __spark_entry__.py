@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_stats": _an2.session_window_stats,
         "q19_complex_predicates": _an2.q19_complex_predicates,
         "corr_price_volume": _an2.corr_price_volume,
+        "q7_nation_volume": _an2.q7_nation_volume,
+        "q8_market_share": _an2.q8_market_share,
         # C: training-data pipeline
         "dedup_exact": _tp.dedup_exact,
         "dedup_minhash_lsh": _tp.dedup_minhash_lsh,
@@ -131,6 +133,8 @@ def oracle_sql() -> dict[str, str]:
         "session_window_stats": _orc.SESSION_WINDOW_SQL,
         "q19_complex_predicates": _orc.Q19_SQL,
         "corr_price_volume": _orc.CORR_SQL,
+        "q7_nation_volume": _orc.Q7_SQL,
+        "q8_market_share": _orc.Q8_SQL,
         "dedup_groups": _orc.DEDUP_GROUPS_SQL,
         "doc_chunking": _orc.DOC_CHUNKING_SQL,
         "train_test_split": _orc.TRAIN_TEST_SPLIT_SQL,

@@ -282,3 +282,68 @@ def approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(l_quantity, 0.75, 1000)").alias("p75"),
         F.expr("approx_percentile(l_quantity, 0.95, 1000)").alias("p95"),
     )
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B26 (TPC-H Q7 shape): shipping volume between two nations per
+    year — double nation join with a symmetric pair predicate."""
+    li = load_table(spark, "lineitem", sf_dir).where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00")))
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    supp = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    n1 = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("bigint").alias("l_year"))
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B27 (TPC-H Q8 shape): one nation's revenue share per year
+    among ECONOMY-part orders shipped to customers of one region —
+    conditional aggregation over a 7-table join."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00")))
+    part = load_table(spark, "part", sf_dir).where(
+        F.col("p_type") == "ECONOMY").select("p_partkey")
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    supp = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    nation_c = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    nation_s = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    region = load_table(spark, "region", sf_dir).where(
+        F.col("r_name") == "AMERICA").select("r_regionkey")
+    rev = _revenue()
+    target = F.when(F.col("supp_nation") == "NATION_3", rev) \
+        .otherwise(F.lit(0).cast(_DEC))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation_c), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation_s), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg((F.sum(target).cast("double")
+              / F.sum(rev).cast("double")).alias("mkt_share"),
+             F.count(F.lit(1)).alias("n_items"))
+    )

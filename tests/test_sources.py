@@ -46,3 +46,23 @@ def test_parquet_projection_pushdown(spark, sf_dir):
                           ("l_orderkey", "l_quantity"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "l_extendedprice" not in plan  # pruned at the scan
+
+
+def test_jsonl_malformed_records_quarantined(spark, tmp_path):
+    """At-scale ingestion concern: malformed messages must be
+    quarantined (PERMISSIVE + _corrupt_record), not fail the job."""
+    d = str(tmp_path / "bad"); os.makedirs(d)
+    with open(os.path.join(d, "part.json"), "w") as f:
+        f.write('{"ticker": "A", "price": 1.5, "volume": 2}\n')
+        f.write('not json at all\n')
+        f.write('{"ticker": "B", "price": 2.5, "volume": 3}\n')
+    schema = "ticker string, price double, volume bigint, _corrupt_record string"
+    df = (spark.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(d))
+    rows = df.collect()
+    good = [r for r in rows if r._corrupt_record is None]
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert len(good) == 2 and len(bad) == 1
+    assert bad[0]._corrupt_record == "not json at all"
