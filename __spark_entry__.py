@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_price_volume": _an2.corr_price_volume,
         "q7_nation_volume": _an2.q7_nation_volume,
         "q8_market_share": _an2.q8_market_share,
+        "merge_upsert_orders": _an2.merge_upsert_orders,
         # C: training-data pipeline
         "dedup_exact": _tp.dedup_exact,
         "dedup_minhash_lsh": _tp.dedup_minhash_lsh,
@@ -135,6 +136,7 @@ def oracle_sql() -> dict[str, str]:
         "corr_price_volume": _orc.CORR_SQL,
         "q7_nation_volume": _orc.Q7_SQL,
         "q8_market_share": _orc.Q8_SQL,
+        "merge_upsert_orders": _orc.MERGE_UPSERT_SQL,
         "dedup_groups": _orc.DEDUP_GROUPS_SQL,
         "doc_chunking": _orc.DOC_CHUNKING_SQL,
         "train_test_split": _orc.TRAIN_TEST_SPLIT_SQL,

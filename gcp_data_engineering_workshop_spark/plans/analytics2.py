@@ -347,3 +347,29 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
               / F.sum(rev).cast("double")).alias("mkt_share"),
              F.count(F.lit(1)).alias("n_items"))
     )
+
+
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B28: warehouse MERGE semantics — apply a deterministic update
+    batch to orders (every 97th order re-priced +10% and flagged 'X';
+    one synthetic new order inserted) via one full-outer join + 
+    coalesce (operators/merge.py)."""
+    from gcp_data_engineering_workshop_spark.operators.merge import merge_upsert
+
+    orders = load_table(spark, "orders", sf_dir)
+    updates = (
+        orders.where(F.col("o_orderkey") % 97 == 0)
+        .select("o_orderkey", "o_custkey",
+                F.lit("X").alias("o_orderstatus"),
+                (F.col("o_totalprice").cast(_DEC) * F.lit(1.1).cast(_DEC))
+                 .cast("double").alias("o_totalprice"),
+                "o_orderdate", "o_orderpriority")
+    )
+    new_row = spark.createDataFrame(
+        [(999999999, 1, "N", 123.45, None, "1-URGENT")],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string")
+    merged = merge_upsert(orders, updates.unionByName(new_row),
+                          keys=["o_orderkey"])
+    return merged.select("o_orderkey", "o_custkey", "o_orderstatus",
+                         "o_totalprice", "o_orderpriority")

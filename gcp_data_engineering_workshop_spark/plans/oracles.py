@@ -810,3 +810,22 @@ WHERE p_type = 'ECONOMY'
   AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY 1
 """
+
+MERGE_UPSERT_SQL = """
+WITH updates AS (
+  SELECT o_orderkey, o_custkey,
+         'X' AS o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,4))
+              * CAST(1.1 AS DECIMAL(18,4)) AS DOUBLE) AS o_totalprice,
+         o_orderpriority
+  FROM orders WHERE o_orderkey % 97 = 0
+  UNION ALL
+  SELECT 999999999, 1, 'N', 123.45, '1-URGENT'
+)
+SELECT coalesce(u.o_orderkey, o.o_orderkey) AS o_orderkey,
+       coalesce(u.o_custkey, o.o_custkey) AS o_custkey,
+       coalesce(u.o_orderstatus, o.o_orderstatus) AS o_orderstatus,
+       coalesce(u.o_totalprice, o.o_totalprice) AS o_totalprice,
+       coalesce(u.o_orderpriority, o.o_orderpriority) AS o_orderpriority
+FROM orders o FULL OUTER JOIN updates u ON o.o_orderkey = u.o_orderkey
+"""

@@ -79,3 +79,18 @@ def test_stats_summary_matches_builtin(spark, sf_dir):
         # stats_summary rounds to 6 decimals -> compare at abs 1e-5
         assert got[k].mean_price == pytest.approx(w.m, abs=1e-5)
         assert got[k].var_price == pytest.approx(w.v, abs=1e-4, rel=1e-6)
+
+
+def test_merge_upsert_semantics(spark):
+    from gcp_data_engineering_workshop_spark.operators.merge import merge_upsert
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id bigint, name string, val double")
+    updates = spark.createDataFrame(
+        [(2, "b2", 99.0), (4, "d", 40.0)],
+        "id bigint, name string, val double")
+    out = {r.id: r for r in merge_upsert(target, updates, ["id"]).collect()}
+    assert len(out) == 4
+    assert out[1].val == 10.0            # untouched
+    assert out[2].name == "b2" and out[2].val == 99.0  # updated
+    assert out[4].name == "d"            # inserted
