@@ -43,6 +43,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dash_overview": _sp.dash_overview,
         "dash_tickers": _sp.dash_tickers,
         "dash_detail": _sp.dash_detail,
+        "minute_returns": _sp.minute_returns,
+        "running_volume": _sp.running_volume,
+        "volume_histogram": _sp.volume_histogram,
         # B: general analytics
         "q1_pricing_summary": _an.q1_pricing_summary,
         "q3_top_revenue": _an.q3_top_revenue,
@@ -110,6 +113,9 @@ def oracle_sql() -> dict[str, str]:
         "dash_overview": _orc.DASH_OVERVIEW_SQL,
         "dash_tickers": _orc.DASH_TICKERS_SQL,
         "dash_detail": _orc.DASH_DETAIL_SQL,
+        "minute_returns": _orc.MINUTE_RETURNS_SQL,
+        "running_volume": _orc.RUNNING_VOLUME_SQL,
+        "volume_histogram": _orc.VOLUME_HISTOGRAM_SQL,
         "q1_pricing_summary": _orc.Q1_SQL,
         "q3_top_revenue": _orc.Q3_SQL,
         "q5_region_revenue": _orc.Q5_SQL,

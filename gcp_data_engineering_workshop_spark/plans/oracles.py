@@ -829,3 +829,39 @@ SELECT coalesce(u.o_orderkey, o.o_orderkey) AS o_orderkey,
        coalesce(u.o_orderpriority, o.o_orderpriority) AS o_orderpriority
 FROM orders o FULL OUTER JOIN updates u ON o.o_orderkey = u.o_orderkey
 """
+
+MINUTE_RETURNS_SQL = f"""
+WITH {TICKS_CTE.strip()}, {AGG_CTE.strip()}
+SELECT ticker,
+       window_start + INTERVAL 1 MINUTE AS window_timestamp,
+       latest_price,
+       lag(latest_price) OVER w AS prev_price,
+       CASE WHEN lag(latest_price) OVER w IS NOT NULL
+                 AND lag(latest_price) OVER w != 0
+            THEN (latest_price - lag(latest_price) OVER w)
+                 / lag(latest_price) OVER w
+            ELSE NULL END AS minute_return
+FROM agg
+WINDOW w AS (PARTITION BY ticker ORDER BY window_start)
+"""
+
+RUNNING_VOLUME_SQL = f"""
+WITH {TICKS_CTE.strip()}, {AGG_CTE.strip()}
+SELECT ticker,
+       window_start + INTERVAL 1 MINUTE AS window_timestamp,
+       total_volume_1m,
+       CAST(sum(total_volume_1m) OVER (
+            PARTITION BY ticker, CAST(window_start AS DATE)
+            ORDER BY window_start
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_volume_day
+FROM agg
+"""
+
+VOLUME_HISTOGRAM_SQL = f"""
+WITH {TICKS_CTE.strip()}, {AGG_CTE.strip()}
+SELECT ticker,
+       least(total_volume_1m // 20 + 1, 11) AS bucket,
+       count(*) AS n_windows
+FROM agg
+GROUP BY 1, 2
+"""

@@ -127,3 +127,54 @@ def dash_detail(spark: SparkSession, sf_dir: str, ticker: str = "click",
         .orderBy(F.col("window_timestamp").desc())
         .limit(limit)
     )
+
+
+def minute_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: per-ticker return between consecutive 1-minute windows
+    (lag over the windowed aggregates) — the dashboard's price-change
+    metric. Return is computed from passthrough doubles; rounded to
+    absorb nothing (division of identical operands is deterministic)."""
+    from pyspark.sql.window import Window as W
+    base = tumbling_1m(ticks(spark, sf_dir))
+    w = W.partitionBy("ticker").orderBy("window_start")
+    prev = F.lag("latest_price").over(w)
+    return base.select(
+        "ticker",
+        F.col("window_end").alias("window_timestamp"),
+        "latest_price",
+        prev.alias("prev_price"),
+        F.when(prev.isNotNull() & (prev != 0),
+               (F.col("latest_price") - prev) / prev)
+         .otherwise(F.lit(None).cast("double")).alias("minute_return"),
+    )
+
+
+def running_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: cumulative traded volume per ticker per day (running
+    total over the 1-minute windows) — integer-exact window sum."""
+    from pyspark.sql.window import Window as W
+    base = tumbling_1m(ticks(spark, sf_dir))
+    day = F.to_date("window_start")
+    w = (W.partitionBy("ticker", day).orderBy("window_start")
+         .rowsBetween(W.unboundedPreceding, 0))
+    return base.select(
+        "ticker",
+        F.col("window_end").alias("window_timestamp"),
+        "total_volume_1m",
+        F.sum("total_volume_1m").over(w).alias("cum_volume_day"),
+    )
+
+
+def volume_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: histogram of 1-minute volumes per ticker — 10 fixed-width
+    buckets over [0, 200) plus an overflow bucket, via pure integer
+    arithmetic (identical in the oracle; DuckDB 1.0 lacks
+    width_bucket) — the dashboard distribution panel."""
+    base = tumbling_1m(ticks(spark, sf_dir))
+    bucket = F.least(
+        (F.expr("total_volume_1m div 20") + 1).cast("bigint"), F.lit(11).cast("bigint"))
+    return (
+        base.select("ticker", bucket.alias("bucket"))
+        .groupBy("ticker", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_windows"))
+    )
