@@ -182,14 +182,28 @@ def minhash_lsh_pairs(docs: DataFrame, tau: float = 0.9,
 
 
 def ngram_jaccard_pairs(docs: DataFrame, tau: float = 0.9, n: int = 3) -> DataFrame:
-    """C4: exact n-gram Jaccard pairs (the O(n^2) verifier; oracle
-    baseline for C2)."""
-    # (no size filter — see _shingle_sets; empty sets verify to 0.0)
+    """C4: exact n-gram Jaccard pairs — the verifier / oracle
+    baseline for C2.
+
+    Any pair with jaccard > 0 shares at least one shingle, so
+    candidates come from an inverted-index self-join on the shingle
+    (explode -> equi-join -> distinct) instead of an O(n^2) nested
+    loop; the exact jaccard then runs only on those. Same result set,
+    and the equi-join shuffles on the shingle key — the plan shape
+    that survives a 100x corpus."""
     sh = _shingle_sets(docs, n).persist()
+    inv = sh.select("doc_id", F.explode("sh").alias("s"))
+    cand = (
+        inv.alias("x").join(inv.alias("y"), "s")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        cand.join(a, "doc_a").join(b, "doc_b")
         .select("doc_a", "doc_b",
                 jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"))
         .where(F.col("jaccard_sim") >= tau)

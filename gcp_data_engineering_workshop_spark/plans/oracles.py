@@ -337,14 +337,26 @@ SELECT doc_id, norm_hash,
 FROM h
 """
 
+# inverted-index candidates (pairs sharing >=1 shingle) instead of an
+# O(n^2) cross product — identical result, ~10x faster oracle
+_CAND_CTE = """
+inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM inv x JOIN inv y ON x.g = y.g
+  WHERE x.doc_id < y.doc_id
+)
+"""
+
 _JACCARD_PAIRS = f"""
-WITH {_WORDS_CTE.strip()}, {_SHINGLES_CTE.strip()},
+WITH {_WORDS_CTE.strip()}, {_SHINGLES_CTE.strip()}, {_CAND_CTE.strip()},
 pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  SELECT cand.doc_a, cand.doc_b,
          CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
            / len(list_distinct(list_concat(a.s, b.s))) AS jaccard_sim
-  FROM sh a, sh b
-  WHERE a.doc_id < b.doc_id
+  FROM cand
+  JOIN sh a ON cand.doc_a = a.doc_id
+  JOIN sh b ON cand.doc_b = b.doc_id
 )
 SELECT doc_a, doc_b, jaccard_sim FROM pairs WHERE jaccard_sim >= 0.9
 """
@@ -575,12 +587,13 @@ GROUP BY ticker
 """
 
 DEDUP_GROUPS_SQL = f"""
-WITH RECURSIVE {_WORDS_CTE.strip()}, {_SHINGLES_CTE.strip()},
+WITH RECURSIVE {_WORDS_CTE.strip()}, {_SHINGLES_CTE.strip()}, {_CAND_CTE.strip()},
 pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sh a, sh b
-  WHERE a.doc_id < b.doc_id
-    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+  SELECT cand.doc_a, cand.doc_b
+  FROM cand
+  JOIN sh a ON cand.doc_a = a.doc_id
+  JOIN sh b ON cand.doc_b = b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
           / len(list_distinct(list_concat(a.s, b.s))) >= 0.9
 ),
 edges AS (
