@@ -124,3 +124,26 @@ def session_window_stream(events: DataFrame,
         .agg(_F.count(_F.lit(1)).alias("n_events"))
         .select("user_id", _F.col("sw.start").alias("session_start"), "n_events")
     )
+
+
+def hourly_rollup_stream(ticks: DataFrame,
+                         watermark: str = "10 minutes") -> DataFrame:
+    """D9: chained time-window aggregations in ONE streaming query —
+    1-minute windows re-aggregated into hourly rollups (volume and
+    minute count). Spark 3.5+ supports stacking stateful window aggs
+    as long as the second groups on the first's window column; state
+    for both layers is watermark-bounded."""
+    from pyspark.sql import functions as _F
+    minute = (
+        ticks.withWatermark("ts", watermark)
+        .groupBy("ticker", _F.window("ts", "1 minute").alias("w1"))
+        .agg(_F.sum("volume").alias("vol_1m"))
+    )
+    return (
+        minute
+        .groupBy("ticker", _F.window("w1", "1 hour").alias("wh"))
+        .agg(_F.sum("vol_1m").alias("vol_1h"),
+             _F.count(_F.lit(1)).alias("n_minutes"))
+        .select("ticker", _F.col("wh.start").alias("hour_start"),
+                "vol_1h", "n_minutes")
+    )

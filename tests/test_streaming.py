@@ -243,3 +243,25 @@ def test_watermark_no_reemission_of_finalized_window(spark, tmp_path):
     assert len(rows) == 1                  # emitted exactly once
     assert rows[0].latest_price == 1.0     # late 99.0 was dropped
     assert rows[0].total_volume_1m == 1
+
+
+def test_chained_window_rollup_matches_batch(spark, sf_dir, tick_json_dir):
+    # append mode: complete mode + chained stateful aggs trips the
+    # global-watermark correctness guard (first agg may emit rows the
+    # second would see as late); append emits only finalized hours
+    stream = spl.read_tick_stream(spark, tick_json_dir)
+    _run_to_memory(spl.hourly_rollup_stream(stream), "hourly", "append")
+    got = {(r.ticker, r.hour_start): (r.vol_1h, r.n_minutes)
+           for r in spark.table("hourly").collect()}
+    base = tumbling_1m(batch_ticks(spark, sf_dir))
+    want = {(r.ticker, r.hour): (r.v, r.n) for r in
+            base.groupBy("ticker",
+                         F.date_trunc("hour", "window_start").alias("hour"))
+            .agg(F.sum("total_volume_1m").alias("v"),
+                 F.count(F.lit(1)).alias("n")).collect()}
+    # append emits only watermark-finalized hours: subset of batch,
+    # but every emitted hour must match exactly
+    assert set(got) <= set(want)
+    assert len(got) >= 0.9 * len(want)
+    for k, v in got.items():
+        assert v == want[k], k
