@@ -253,15 +253,24 @@ def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 def vocab_topk(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
     """C18: corpus vocabulary — top-k tokens by frequency (the
     tokenizer-training precursor). Explode -> two-phase count -> one
-    final top-k."""
+    final top-k.
+
+    The top-k is orderBy().limit(k), which Catalyst plans as
+    TakeOrderedAndProject: each partition keeps its local k and the
+    driver merges k x partitions rows. A global row_number Window
+    here would instead sort the ENTIRE distinct-token table through
+    one partition — billions of rows at web-corpus scale. The rank
+    column is re-derived on the k-row result, where a single
+    partition is the right plan."""
     from pyspark.sql.window import Window
     d = _docs(spark, sf_dir)
-    counts = (
+    topk = (
         d.select(F.explode(T.words("text")).alias("token"))
-        .groupBy("token").agg(F.count(F.lit(1)).alias("freq")))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(k))
     w = Window.orderBy(F.col("freq").desc(), F.col("token"))
-    return (counts.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k))
+    return topk.withColumn("rank", F.row_number().over(w))
 
 
 def tfidf_topterms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:

@@ -133,3 +133,19 @@ def test_property_jaccard_symmetry(spark):
             assert r.ab == 1.0
 
     check()
+
+
+def test_vocab_topk_plan_uses_take_ordered(spark, sf_dir):
+    """C18 scale guard: the corpus-wide top-k must plan as
+    TakeOrderedAndProject (per-partition local top-k + driver merge),
+    never a global single-partition sort/Window over the full
+    distinct-token table."""
+    df = tp.vocab_topk(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 100
+    assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == \
+        list(range(1, len(rows) + 1))
+    freqs = [r.freq for r in sorted(rows, key=lambda r: r.rank)]
+    assert freqs == sorted(freqs, reverse=True)
