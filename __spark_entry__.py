@@ -31,61 +31,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """ORDERING POLICY: the driver records correctness rows for the
+    FIRST 50 entries only (CORRECTNESS_r01 stopped there). So entries
+    rotate: (1) queries with no driver row yet come first, (2) then
+    queries new or changed this round, (3) then stable greens; the
+    tail holds queries whose green row exists in a prior round's
+    CORRECTNESS file. Every key keeps its oracle regardless of
+    position — selfcheck.py checks all of them locally."""
     return {
-        # A: reference-pipeline parity
-        "ingest_parse_json": _ticks_fn,
-        "ingest_replay": lambda spark, sf: _replay_fn(spark, sf, 7),
-        "stock_agg_1m": _sp.agg_1m,
-        "stock_sma_5m": _sp.sma_5m,
-        "stock_join_metrics": _sp.joined_metrics,
-        "stock_volume_spike": _sp.volume_spikes,
-        "stock_pipeline_full": _sp.full_pipeline,
-        "dash_overview": _sp.dash_overview,
-        "dash_tickers": _sp.dash_tickers,
-        "dash_detail": _sp.dash_detail,
-        "minute_returns": _sp.minute_returns,
-        "running_volume": _sp.running_volume,
-        "volume_histogram": _sp.volume_histogram,
-        # B: general analytics
-        "q1_pricing_summary": _an.q1_pricing_summary,
-        "q3_top_revenue": _an.q3_top_revenue,
-        "q5_region_revenue": _an.q5_region_revenue,
-        "topk_per_group": _an.topk_per_group,
-        "count_distinct_users": _an.count_distinct_users,
-        "anti_join_inactive": _an.anti_join_inactive,
-        "rollup_revenue": _an.rollup_revenue,
-        "sessionize_events": _an.sessionize_events,
-        "event_funnel": _an.event_funnel,
-        "quantity_percentiles": _an.quantity_percentiles,
-        # B extension: more TPC-H shapes + temporal/reshaping ops
-        "q6_forecast_revenue": _an2.q6_forecast_revenue,
-        "q10_returned_items": _an2.q10_returned_items,
-        "q14_promo_revenue": _an2.q14_promo_revenue,
-        "q18_large_orders": _an2.q18_large_orders,
-        "asof_join_purchases": _an2.asof_join_purchases,
-        "range_join_errors": _an2.range_join_errors,
-        "pivot_daily_events": _an2.pivot_daily_events,
-        "cube_revenue": _an2.cube_revenue,
-        "approx_distinct_sketch": _an2.approx_distinct_sketch,
-        "approx_quantile_sketch": _an2.approx_quantile_sketch,
-        "salted_agg_volume": _an2.salted_agg_volume,
-        "stats_summary": _an2.stats_summary,
-        "session_window_stats": _an2.session_window_stats,
-        "q19_complex_predicates": _an2.q19_complex_predicates,
-        "corr_price_volume": _an2.corr_price_volume,
-        "q7_nation_volume": _an2.q7_nation_volume,
-        "q8_market_share": _an2.q8_market_share,
-        "merge_upsert_orders": _an2.merge_upsert_orders,
-        # C: training-data pipeline
-        "dedup_exact": _tp.dedup_exact,
-        "dedup_minhash_lsh": _tp.dedup_minhash_lsh,
-        "dedup_simhash": _tp.dedup_simhash,
-        "ngram_jaccard": _tp.ngram_jaccard,
-        "embedding_neardup": _tp.embedding_neardup,
-        "ann_topk": _tp.ann_topk,
-        "ann_lsh": _tp.ann_lsh,
-        "ann_ivf": _tp.ann_ivf,
-        "text_lang_id": _tp.text_lang_id,
+        # -- (1) no driver row yet (r1 checked only the first 50) --
         "text_quality": _tp.text_quality,
         "token_count": _tp.token_count,
         "doc_fingerprint": _tp.doc_fingerprint,
@@ -98,6 +52,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _tp.vocab_topk,
         "tfidf_topterms": _tp.tfidf_topterms,
         "clean_corpus": _tp.clean_corpus,
+        # -- (2) new or changed this round --
+        "embedding_neardup_lsh": _tp.embedding_neardup_lsh,
+        "q4_order_priority": _an2.q4_order_priority,
+        "q21_waiting_suppliers": _an2.q21_waiting_suppliers,
+        "ngram_jaccard": _tp.ngram_jaccard,
+        "dedup_minhash_lsh": _tp.dedup_minhash_lsh,
+        # -- (3) stable r1 greens (C then A/B) --
+        "dedup_exact": _tp.dedup_exact,
+        "dedup_simhash": _tp.dedup_simhash,
+        "embedding_neardup": _tp.embedding_neardup,
+        "ann_topk": _tp.ann_topk,
+        "ann_lsh": _tp.ann_lsh,
+        "ann_ivf": _tp.ann_ivf,
+        "text_lang_id": _tp.text_lang_id,
+        "ingest_parse_json": _ticks_fn,
+        "stock_agg_1m": _sp.agg_1m,
+        "stock_pipeline_full": _sp.full_pipeline,
+        "q1_pricing_summary": _an.q1_pricing_summary,
+        "q3_top_revenue": _an.q3_top_revenue,
+        "q5_region_revenue": _an.q5_region_revenue,
+        "topk_per_group": _an.topk_per_group,
+        "count_distinct_users": _an.count_distinct_users,
+        "anti_join_inactive": _an.anti_join_inactive,
+        "rollup_revenue": _an.rollup_revenue,
+        "sessionize_events": _an.sessionize_events,
+        "event_funnel": _an.event_funnel,
+        "quantity_percentiles": _an.quantity_percentiles,
+        "asof_join_purchases": _an2.asof_join_purchases,
+        "range_join_errors": _an2.range_join_errors,
+        "cube_revenue": _an2.cube_revenue,
+        "approx_distinct_sketch": _an2.approx_distinct_sketch,
+        "approx_quantile_sketch": _an2.approx_quantile_sketch,
+        "salted_agg_volume": _an2.salted_agg_volume,
+        "stats_summary": _an2.stats_summary,
+        "session_window_stats": _an2.session_window_stats,
+        "q19_complex_predicates": _an2.q19_complex_predicates,
+        "corr_price_volume": _an2.corr_price_volume,
+        "q7_nation_volume": _an2.q7_nation_volume,
+        "q8_market_share": _an2.q8_market_share,
+        "merge_upsert_orders": _an2.merge_upsert_orders,
+        # -- tail: green in CORRECTNESS_r01 (driver rows on record) --
+        "ingest_replay": lambda spark, sf: _replay_fn(spark, sf, 7),
+        "stock_sma_5m": _sp.sma_5m,
+        "stock_join_metrics": _sp.joined_metrics,
+        "stock_volume_spike": _sp.volume_spikes,
+        "dash_overview": _sp.dash_overview,
+        "dash_tickers": _sp.dash_tickers,
+        "dash_detail": _sp.dash_detail,
+        "minute_returns": _sp.minute_returns,
+        "running_volume": _sp.running_volume,
+        "volume_histogram": _sp.volume_histogram,
+        "q6_forecast_revenue": _an2.q6_forecast_revenue,
+        "q10_returned_items": _an2.q10_returned_items,
+        "q14_promo_revenue": _an2.q14_promo_revenue,
+        "q18_large_orders": _an2.q18_large_orders,
+        "pivot_daily_events": _an2.pivot_daily_events,
     }
 
 
@@ -154,6 +164,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _orc.DEDUP_MINHASH_SQL,
         "ngram_jaccard": _orc.NGRAM_JACCARD_SQL,
         "embedding_neardup": _orc.EMBEDDING_NEARDUP_SQL,
+        # LSH twin carries the SAME oracle as the exact op: per-pair
+        # candidate-miss prob ~9e-9 (see operators/similarity.py)
+        "embedding_neardup_lsh": _orc.EMBEDDING_NEARDUP_SQL,
+        "q4_order_priority": _orc.Q4_SQL,
+        "q21_waiting_suppliers": _orc.Q21_SQL,
         "ann_topk": _orc.ANN_TOPK_SQL,
         "text_lang_id": _orc.TEXT_LANG_ID_SQL,
         "text_quality": _orc.TEXT_QUALITY_SQL,

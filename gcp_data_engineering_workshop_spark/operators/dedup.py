@@ -185,16 +185,39 @@ def ngram_jaccard_pairs(docs: DataFrame, tau: float = 0.9, n: int = 3) -> DataFr
     """C4: exact n-gram Jaccard pairs — the verifier / oracle
     baseline for C2.
 
-    Any pair with jaccard > 0 shares at least one shingle, so
-    candidates come from an inverted-index self-join on the shingle
-    (explode -> equi-join -> distinct) instead of an O(n^2) nested
-    loop; the exact jaccard then runs only on those. Same result set,
-    and the equi-join shuffles on the shingle key — the plan shape
-    that survives a 100x corpus."""
+    Candidates come from a PREFIX-FILTERED inverted-index self-join
+    (AllPairs / PPJoin principle, Bayardo et al. WWW'07): order every
+    doc's shingles rarest-first by global document frequency (ties by
+    shingle value — a total order), and index only the first
+    |A| - ceil(tau*|A|) + 1 of them. Any pair with J >= tau shares at
+    least one shingle from BOTH prefixes — if the prefixes of A and B
+    were disjoint, the intersection would be at most
+    min(|A|,|B|) - prefix_len + ... < ceil(tau*max(|A|,|B|)), a
+    contradiction — so completeness is provable, unlike an ad-hoc
+    df cutoff. At tau=0.9 the index shrinks ~10x and the hottest
+    ("of the and") shingles sort LAST, so they leave the index
+    entirely: no near-quadratic posting-list block on common
+    shingles. The exact jaccard then runs only on candidates; the
+    equi-join shuffles on the shingle key — the plan shape that
+    survives a 100x corpus."""
     sh = _shingle_sets(docs, n).persist()
-    inv = sh.select("doc_id", F.explode("sh").alias("s"))
+    inv = sh.select("doc_id", F.size("sh").alias("sz"),
+                    F.explode("sh").alias("s"))
+    dfreq = inv.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("s").asc())
+    prefix = (
+        inv.join(dfreq, "s")
+        .withColumn("pos", F.row_number().over(w))
+        # prefix len = sz - ceil(tau*sz) + 1; the 1e-9 nudge makes any
+        # float error err toward a LONGER prefix (safe) — a prefix one
+        # short of the bound breaks completeness.
+        .where(F.col("pos")
+               <= F.col("sz")
+               - F.ceil(F.lit(tau) * F.col("sz") - F.lit(1e-9)) + 1)
+        .select("doc_id", "s")
+    )
     cand = (
-        inv.alias("x").join(inv.alias("y"), "s")
+        prefix.alias("x").join(prefix.alias("y"), "s")
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("doc_a"),
                 F.col("y.doc_id").alias("doc_b"))

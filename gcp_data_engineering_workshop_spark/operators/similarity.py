@@ -37,12 +37,85 @@ def _sim(a, b):
 
 
 def embedding_neardup_pairs(emb: DataFrame, tau: float = 0.4) -> DataFrame:
-    """C5: exact near-duplicate pairs by dot similarity >= tau."""
+    """C5 exact baseline: all-pairs dot similarity >= tau. O(n^2)
+    compares — the verification oracle for embedding_neardup_lsh,
+    which is the plan that runs at scale."""
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", _sim(F.col("ea"), F.col("eb")).alias("dot_sim"))
+        .where(F.col("dot_sim") >= tau)
+    )
+
+
+def _hyperplane_bucketer(n_tables: int, n_planes: int, seed: int = 42):
+    """Shared random-hyperplane bucketer (used by ann_lsh_topk and
+    embedding_neardup_lsh): returns bucketed(df, idc, emc) that
+    explodes each vector into its (tbl, sign-bucket) rows. All
+    n_tables x n_planes sign bits come from ONE numpy matmul per
+    Arrow batch."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    planes = _planes(n_tables, n_planes, seed=seed)
+    plane_mat = planes.reshape(n_tables * n_planes, -1).T  # (dim, T*P)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def _buckets(embs):
+        mat = np.vstack(embs.to_numpy()).astype(np.float64)  # (rows, dim)
+        bits = (mat @ plane_mat >= 0).reshape(len(embs), n_tables, n_planes)
+        packed = (bits * weights).sum(axis=2).astype(np.int64)  # (rows, T)
+        return pd.Series(list(packed))
+
+    _buckets.__annotations__ = {"embs": pd.Series, "return": pd.Series}
+    buckets_udf = pandas_udf(_buckets, "array<bigint>")
+
+    def bucketed(df: DataFrame, idc: str, emc: str) -> DataFrame:
+        tables = F.transform(
+            buckets_udf(F.col(emc)),
+            lambda b, i: F.struct(i.alias("tbl"), b.alias("bucket")))
+        return df.select(idc, emc, F.explode(tables).alias("tb")) \
+                 .select(idc, emc, "tb.tbl", "tb.bucket")
+
+    return bucketed
+
+
+def embedding_neardup_lsh(emb: DataFrame, tau: float = 0.4,
+                          n_tables: int = 64, n_planes: int = 3) -> DataFrame:
+    """C5 scale path: threshold near-dup pairs via hyperplane-LSH
+    candidate generation + exact-dot verify. Same output contract as
+    embedding_neardup_pairs (vec_a, vec_b, dot_sim >= tau), but
+    candidates only meet inside a (table, sign-bucket) equi-join —
+    no O(n^2) nested loop anywhere in the plan.
+
+    Recall math (angular LSH): a pair at similarity s collides with
+    one plane with p = 1 - arccos(s)/pi; p(0.4) = 0.631. A 3-plane
+    table catches it with p^3 = 0.251, so 64 tables miss it with
+    (1 - 0.251)^64 ~= 9e-9 — the verified output equals the exact
+    pair set with near-certainty even for threshold-grazing pairs,
+    which is why this op carries the same DuckDB oracle as the exact
+    baseline. Candidate-set SIZE (not recall) depends on the
+    background-similarity gap: corpora whose non-dup pairs sit well
+    below tau produce near-linear candidates; an adversarial
+    background hugging tau degrades candidates toward all-pairs and
+    calls for more planes per table (trading tables for recall).
+    Recall vs. the exact op is additionally pytest-enforced.
+    """
+    bucketed = _hyperplane_bucketer(n_tables, n_planes)
+    b = bucketed(
+        emb.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("e")),
+        "vid", "e")
+    cand = (
+        b.alias("x").join(b.alias("y"), ["tbl", "bucket"])
+        .where(F.col("x.vid") < F.col("y.vid"))
+        .select(F.col("x.vid").alias("vec_a"), F.col("y.vid").alias("vec_b"),
+                F.col("x.e").alias("ea"), F.col("y.e").alias("eb"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return (
+        cand.select("vec_a", "vec_b",
+                    _sim(F.col("ea"), F.col("eb")).alias("dot_sim"))
         .where(F.col("dot_sim") >= tau)
     )
 
@@ -74,29 +147,7 @@ def ann_lsh_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
     16 tables -> 1-(1-0.14)^16 ~= 0.9 recall. More planes shrink
     buckets (faster, lower recall); more tables buy recall linearly
     in cost. Recall vs. C6 is pytest-enforced."""
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    planes = _planes(n_tables, n_planes)
-    # (n_tables*n_planes, dim) matrix: all sign bits in one matmul.
-    plane_mat = planes.reshape(n_tables * n_planes, -1).T  # (dim, T*P)
-    weights = (1 << np.arange(n_planes)).astype(np.int64)
-
-    def _buckets(embs):
-        mat = np.vstack(embs.to_numpy()).astype(np.float64)  # (rows, dim)
-        bits = (mat @ plane_mat >= 0).reshape(len(embs), n_tables, n_planes)
-        packed = (bits * weights).sum(axis=2).astype(np.int64)  # (rows, T)
-        return pd.Series(list(packed))
-
-    _buckets.__annotations__ = {"embs": pd.Series, "return": pd.Series}
-    buckets_udf = pandas_udf(_buckets, "array<bigint>")
-
-    def bucketed(df: DataFrame, idc: str, emc: str) -> DataFrame:
-        tables = F.transform(
-            buckets_udf(F.col(emc)),
-            lambda b, i: F.struct(i.alias("tbl"), b.alias("bucket")))
-        return df.select(idc, emc, F.explode(tables).alias("tb")) \
-                 .select(idc, emc, "tb.tbl", "tb.bucket")
+    bucketed = _hyperplane_bucketer(n_tables, n_planes)
 
     q = bucketed(
         emb.where(F.col("vec_id") < n_queries)

@@ -373,3 +373,74 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                           keys=["o_orderkey"])
     return merged.select("o_orderkey", "o_custkey", "o_orderstatus",
                          "o_totalprice", "o_orderpriority")
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B29 (TPC-H Q4 shape): order-priority checking — the canonical
+    correlated-EXISTS semi-join. Counts orders in a quarter that have
+    at least one late lineitem (shipped > 60 days after the order
+    date; this dataset has no l_commitdate/l_receiptdate, so lateness
+    is ship-vs-order-date).
+
+    Plan shape: LEFT SEMI join on the order key — the EXISTS never
+    duplicates or explodes order rows, and the lineitem side carries
+    only (l_orderkey, l_shipdate) after pruning. Shuffles once on the
+    key; the groupBy on priority is a 5-row hash agg."""
+    orders = load_table(spark, "orders", sf_dir).where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01 00:00:00")))
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & \
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B30 (TPC-H Q21 shape): suppliers who kept orders waiting — the
+    multi-EXISTS query (EXISTS another-supplier lineitem, NOT EXISTS
+    another-supplier LATE lineitem) over finished orders.
+
+    Plan shape: the late-lines frame is computed once; the EXISTS is
+    a LEFT SEMI and the NOT EXISTS a LEFT ANTI, both equi-joined on
+    the order key with the supplier inequality as a residual
+    condition — no row explosion, two key-partitioned shuffles.
+    Supplier and nation dims are broadcast."""
+    orders = load_table(spark, "orders", sf_dir).where(
+        F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    lines = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate")
+         + F.expr("INTERVAL 45 DAYS")).alias("is_late"))
+    late = lines.where(F.col("is_late")).select("l_orderkey", "l_suppkey")
+
+    l1 = late.select(F.col("l_orderkey").alias("ok"),
+                     F.col("l_suppkey").alias("sk"))
+    other = lines.select(F.col("l_orderkey").alias("ok2"),
+                         F.col("l_suppkey").alias("sk2"))
+    other_late = late.select(F.col("l_orderkey").alias("ok3"),
+                             F.col("l_suppkey").alias("sk3"))
+    waiting = (
+        l1.join(other, (F.col("ok") == F.col("ok2"))
+                & (F.col("sk") != F.col("sk2")), "left_semi")
+        .join(other_late, (F.col("ok") == F.col("ok3"))
+              & (F.col("sk") != F.col("sk3")), "left_anti")
+    )
+    supp = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_name", "s_nationkey")
+    nation = load_table(spark, "nation", sf_dir).where(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+    return (
+        waiting.join(F.broadcast(supp), waiting.sk == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )

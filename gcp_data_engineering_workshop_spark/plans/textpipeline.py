@@ -51,6 +51,14 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_neardup_pairs(_emb(spark, sf_dir), tau=0.4)
 
 
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 scale twin: hyperplane-LSH candidate pairs + exact-dot
+    verify — same contract and oracle as embedding_neardup, but no
+    O(n^2) join anywhere in the plan (per-pair candidate-miss
+    probability ~9e-9 at tau=0.4, see operators/similarity.py)."""
+    return S.embedding_neardup_lsh(_emb(spark, sf_dir), tau=0.4)
+
+
 def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6: brute-force cosine/dot top-5 for the first 10 vectors."""
     return S.ann_topk(_emb(spark, sf_dir), n_queries=10, k=5)

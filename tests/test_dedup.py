@@ -68,3 +68,36 @@ def test_connected_components_tiny(spark):
     out = {r.doc_id: r.component for r in connected_components(edges).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_ngram_prefix_filter_complete_vs_bruteforce(spark):
+    """Prefix-filtered candidate generation (AllPairs bound) must
+    recover every qualifying pair even when all docs share heavy
+    boilerplate shingles — the case where the hot shingles drop out
+    of the index prefixes entirely."""
+    boiler = "of the and in a to is on for it"
+    rows = []
+    for i in range(20):
+        rows.append((i, f"{boiler} unique tail words number{i} alpha{i} beta{i}"))
+    # 3 near-dup pairs differing by one trailing word
+    rows.append((100, f"{boiler} shared tail words common one two three four"))
+    rows.append((101, f"{boiler} shared tail words common one two three five"))
+    rows.append((102, f"{boiler} shared tail words common one two three four"))
+    docs = _docs(spark, rows)
+
+    def shingle_set(text):
+        ws = text.lower().split()
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    for tau in (0.9, 0.7, 0.5):
+        expected = set()
+        sets = {d: shingle_set(t) for d, t in rows}
+        for a in sets:
+            for b in sets:
+                if a < b:
+                    j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                    if j >= tau:
+                        expected.add((a, b))
+        got = {(r.doc_a, r.doc_b)
+               for r in D.ngram_jaccard_pairs(docs, tau=tau).collect()}
+        assert got == expected, f"tau={tau}"

@@ -59,3 +59,19 @@ def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
               for r in S.ann_ivf_topk(emb, n_queries=10, k=5).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"IVF recall {recall:.2f} too low"
+
+
+def test_neardup_lsh_matches_exact_pairs(spark, sf_dir):
+    """C5 scale twin: the LSH-bucketed threshold join must recover
+    the exact all-pairs result (per-pair miss prob ~9e-9 at tau=0.4
+    with 64 tables x 3 planes — deterministic seed, so this is a
+    stable equality, not a flaky bound), and its plan must not
+    contain a nested-loop / cartesian join."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    exact = {(r.vec_a, r.vec_b, r.dot_sim)
+             for r in S.embedding_neardup_pairs(emb, tau=0.4).collect()}
+    lsh_df = S.embedding_neardup_lsh(emb, tau=0.4)
+    lsh = {(r.vec_a, r.vec_b, r.dot_sim) for r in lsh_df.collect()}
+    assert lsh == exact and len(exact) > 0
+    plan = lsh_df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
