@@ -37,7 +37,7 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
               .distinct()
               .withColumn("label", F.col("node"))
               .persist())
-    for _ in range(max_iter):
+    for i in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
             .groupBy(F.col("a").alias("node"))
@@ -49,12 +49,25 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
                     F.least(F.col("label"),
                             F.coalesce("nlabel", F.col("label"))).alias("label"))
         )
+        # Every few rounds, cut the lineage: each iteration's plan
+        # nests the previous one, so on long-diameter graphs (path-
+        # like chains, max_iter rounds) the plan tree would grow
+        # without bound and re-plan cost with it. localCheckpoint
+        # materializes the frame and truncates the logical plan.
+        if (i + 1) % 5 == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n").join(labels.alias("o"), "node")
             .where(F.col("n.label") != F.col("o.label"))
             .limit(1).count()
         )
-        labels = new_labels.persist()
+        # the superseded round's labels are never read again — free
+        # the executor memory instead of accumulating one cached
+        # frame per round
+        labels.unpersist()
+        labels = new_labels
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"),

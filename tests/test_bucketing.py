@@ -33,3 +33,28 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig_thresh)
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_bucketed_ticks_make_first_agg_exchange_free(spark, sf_dir):
+    """E7 -> A6: windows.py promises that at scale the raw events
+    would be bucketed by ticker so the flagship pipeline's FIRST
+    shuffle (the 1-minute groupBy) becomes local. Prove it: write the
+    decoded ticks bucketed by ticker, run tumbling_1m on the bucketed
+    table, and the plan has zero Exchanges — hash partitioning on
+    ticker satisfies the (ticker, window) grouping's clustered
+    distribution because ticker is a subset of the grouping keys."""
+    from gcp_data_engineering_workshop_spark.operators.windows import tumbling_1m
+    from gcp_data_engineering_workshop_spark.sources.ticks import ticks
+
+    t = ticks(spark, sf_dir)
+    try:
+        B.write_bucketed(t, "ticks_b", ("ticker",), n_buckets=8, sort=False)
+        agged = tumbling_1m(spark.table("ticks_b"))
+        plan = agged._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, \
+            f"bucketed ticks still shuffle for the 1m agg:\n{plan[:800]}"
+        # same rows as the unbucketed path
+        want = tumbling_1m(t).count()
+        assert agged.count() == want and want > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ticks_b")

@@ -101,3 +101,17 @@ def test_ngram_prefix_filter_complete_vs_bruteforce(spark):
         got = {(r.doc_a, r.doc_b)
                for r in D.ngram_jaccard_pairs(docs, tau=tau).collect()}
         assert got == expected, f"tau={tau}"
+
+
+def test_connected_components_long_chain(spark):
+    """Path graph 0-1-2-...-12 (diameter 12): proves convergence
+    beyond near-clique dedup graphs and exercises the periodic
+    localCheckpoint lineage cut (rounds > 5)."""
+    from gcp_data_engineering_workshop_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)] + [(100, 101)],
+        "doc_a bigint, doc_b bigint")
+    out = {r.doc_id: r.component for r in connected_components(edges).collect()}
+    assert all(out[i] == 0 for i in range(13))
+    assert out[100] == 100 and out[101] == 100

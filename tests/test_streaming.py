@@ -265,3 +265,110 @@ def test_chained_window_rollup_matches_batch(spark, sf_dir, tick_json_dir):
     assert len(got) >= 0.9 * len(want)
     for k, v in got.items():
         assert v == want[k], k
+
+
+def _split_ticks(spark, sf_dir):
+    """Deterministic halves of the tick feed (by row hash)."""
+    t = batch_ticks(spark, sf_dir)
+    h = F.pmod(F.xxhash64("ticker", "ts", "price"), F.lit(2))
+    return t.where(h == 0), t.where(h == 1)
+
+
+def test_parquet_sink_restart_exactly_once(spark, sf_dir, tmp_path):
+    """D-block fault tolerance: a checkpointed file-sink query killed
+    and restarted must produce each input row exactly once. Phase 1
+    processes half the feed and stops (the kill); phase 2 drops more
+    files into the source dir and restarts from the SAME checkpoint —
+    the restarted query must pick up only the unseen files."""
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    half1, half2 = _split_ticks(spark, sf_dir)
+    half1.coalesce(1).write.mode("append").json(src)
+
+    q = sinks.parquet_append_sink(spl.read_tick_stream(spark, src), out, ckpt)
+    q.processAllAvailable()
+    q.stop()  # the kill
+
+    half2.coalesce(1).write.mode("append").json(src)
+    q2 = sinks.parquet_append_sink(spl.read_tick_stream(spark, src), out, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = spark.read.parquet(out)
+    want = batch_ticks(spark, sf_dir)
+    assert got.count() == want.count()
+    # per-ticker counts catch duplication/loss even if totals collide
+    g = {r.ticker: r.n for r in
+         got.groupBy("ticker").agg(F.count(F.lit(1)).alias("n")).collect()}
+    w = {r.ticker: r.n for r in
+         want.groupBy("ticker").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert g == w
+
+
+def test_parquet_sink_replayed_batch_not_duplicated(spark, sf_dir, tmp_path):
+    """Crash-point fault injection: delete the LAST checkpoint commit
+    marker (simulating a crash after the sink committed the batch to
+    _spark_metadata but before the checkpoint recorded it). The
+    restarted query replays that batch; the file sink's manifest
+    protocol must recognize it as already committed and skip it —
+    output stays exactly-once."""
+    import glob
+    import os as _os
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    half1, half2 = _split_ticks(spark, sf_dir)
+    half1.coalesce(1).write.mode("append").json(src)
+    half2.coalesce(1).write.mode("append").json(src)
+
+    q = sinks.parquet_append_sink(
+        spl.read_tick_stream(spark, src, max_files_per_trigger=1), out, ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    commits = sorted(glob.glob(f"{ckpt}/commits/[0-9]*"))
+    assert len(commits) >= 2
+    _os.remove(commits[-1])  # the crash
+    # drop the local-fs checksum shadow too, else the re-write of the
+    # commit marker looks like a concurrent writer to HDFSMetadataLog
+    crc = f"{_os.path.dirname(commits[-1])}/.{_os.path.basename(commits[-1])}.crc"
+    if _os.path.exists(crc):
+        _os.remove(crc)
+
+    q2 = sinks.parquet_append_sink(
+        spl.read_tick_stream(spark, src, max_files_per_trigger=1), out, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+
+    assert spark.read.parquet(out).count() == batch_ticks(spark, sf_dir).count()
+
+
+def test_foreach_batch_upsert_replay_is_idempotent_on_key(spark, sf_dir,
+                                                         tick_json_dir, tmp_path):
+    """The foreachBatch upsert contract under replay: after a crash
+    that loses the last checkpoint commit, the replayed batch appends
+    again (at-least-once raw), but the keyed view stays exactly-once
+    — the reason the sink dedupes on key and stamps _batch_id."""
+    import glob
+    import os as _os
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = spl.read_tick_stream(spark, tick_json_dir)
+    agg = spl.agg_1m_stream(stream)
+    q = sinks.foreach_batch_upsert(agg, out, ckpt,
+                                   key_cols=("ticker", "window_start"))
+    q.processAllAvailable()
+    q.stop()
+
+    commits = sorted(glob.glob(f"{ckpt}/commits/[0-9]*"))
+    _os.remove(commits[-1])  # crash between sink write and commit
+    crc = f"{_os.path.dirname(commits[-1])}/.{_os.path.basename(commits[-1])}.crc"
+    if _os.path.exists(crc):
+        _os.remove(crc)
+
+    q2 = sinks.foreach_batch_upsert(agg, out, ckpt,
+                                    key_cols=("ticker", "window_start"))
+    q2.processAllAvailable()
+    q2.stop()
+
+    written = spark.read.parquet(out)
+    n_batch = tumbling_1m(batch_ticks(spark, sf_dir)).count()
+    assert written.dropDuplicates(["ticker", "window_start"]).count() == n_batch
