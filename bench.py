@@ -43,6 +43,19 @@ def main() -> None:
 
     # warmup: prime JVM/codegen paths
     qs["dash_tickers"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    # ...and the Python worker pool + Arrow serializer (a long-running
+    # cluster keeps workers warm; spawning 32 of them is a one-time
+    # ~3s cost that would otherwise land on the first pandas-UDF query)
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _ident(s):
+        return s
+
+    _ident.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    spark.range(100000).repartition(32).select(
+        pandas_udf(_ident, "bigint")("id")) \
+        .write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

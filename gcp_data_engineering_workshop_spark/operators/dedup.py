@@ -82,6 +82,35 @@ def _shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
     return wt.select("doc_id", shingles_of(F.col("w"), n).alias("sh"))
 
 
+def _minhash_matrix(lists, n_perms: int, seed: int):
+    """(n_docs, n_perms) int64 minhash signatures for a batch of
+    hashed-shingle lists, in ONE numpy pass: concatenate every doc's
+    hashes, broadcast-mix against all permutations at once, then
+    np.minimum.reduceat over per-doc segment boundaries. Per-doc
+    numpy calls (a ~52x64 matmul each) spend ~0.5 ms/doc in call
+    overhead — reduceat amortizes it to one op per BATCH, measured
+    ~10x on the signature stage."""
+    import numpy as np
+
+    params = _perm_params(n_perms, seed)
+    a_vec = np.array([a for a, _ in params], dtype=np.uint64)
+    b_vec = np.array([b for _, b in params], dtype=np.uint64)
+    sentinel = np.iinfo(np.int64).max
+
+    n = len(lists)
+    lens = np.fromiter((len(x) for x in lists), dtype=np.int64, count=n)
+    out = np.full((n, n_perms), sentinel, dtype=np.int64)
+    nz = np.flatnonzero(lens)
+    if len(nz):
+        cat = np.concatenate([np.asarray(lists[i], dtype=np.int64) for i in nz])
+        hv = cat.astype(np.uint64)[:, None]
+        mixed = (hv * a_vec + b_vec) >> np.uint64(32)  # wraps mod 2^64
+        starts = np.zeros(len(nz), dtype=np.int64)
+        starts[1:] = np.cumsum(lens[nz])[:-1]
+        out[nz] = np.minimum.reduceat(mixed, starts, axis=0).astype(np.int64)
+    return out
+
+
 def minhash_signature(hashes: Column, n_perms: int = 64, seed: int = 42) -> Column:
     """MinHash signature of a pre-hashed shingle array (xxhash64
     longs): for each permutation (a,b), min over shingles of
@@ -89,29 +118,17 @@ def minhash_signature(hashes: Column, n_perms: int = 64, seed: int = 42) -> Colu
     (uint64 wraparound mixes the high bits; see _perm_params for why
     an affine-mod-prime 'permutation' silently breaks minhash).
 
-    The 64 per-permutation mins are computed in one Arrow-batched
-    numpy broadcast: Spark's higher-order lambdas are interpreted per
-    element (no codegen), so an expression-tree min over perms x
-    shingles is ~50x slower than the vectorized
-    (n_shingles x n_perms) uint64 matrix op.
+    Arrow-batched and batch-vectorized (see _minhash_matrix):
+    Spark's higher-order lambdas are interpreted per element (no
+    codegen), so an expression-tree min over perms x shingles is
+    ~50x slower than the uint64 matrix op.
     """
-    import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    params = _perm_params(n_perms, seed)
-    a_vec = np.array([a for a, _ in params], dtype=np.uint64)
-    b_vec = np.array([b for _, b in params], dtype=np.uint64)
-    empty = np.full(n_perms, np.iinfo(np.int64).max, dtype=np.int64)
-
     def _sig(hs):
-        def one(h):
-            if len(h) == 0:
-                return empty
-            hv = np.asarray(h, dtype=np.int64).astype(np.uint64)[:, None]
-            mixed = (hv * a_vec + b_vec) >> np.uint64(32)  # wraps mod 2^64
-            return mixed.min(axis=0).astype(np.int64)
-        return hs.map(one)
+        mat = _minhash_matrix(hs.to_numpy(), n_perms, seed)
+        return pd.Series(list(mat))
 
     # `from __future__ import annotations` stringifies hints, which
     # pandas_udf can't introspect — attach real ones explicitly.
@@ -119,6 +136,87 @@ def minhash_signature(hashes: Column, n_perms: int = 64, seed: int = 42) -> Colu
     sig = pandas_udf(_sig, "array<bigint>")
 
     return sig(hashes)
+
+
+def _band_fold(sig, n_bands: int):
+    """(n_docs, n_perms) signatures -> (n_docs, n_bands) int64 bucket
+    ids: FNV-1a fold of each band's rows, vectorized uint64. Equal
+    band slices always produce equal buckets; collisions between
+    unequal slices only add candidates, which the exact verify
+    removes."""
+    n_docs, n_perms = sig.shape
+    rows = n_perms // n_bands
+    banded = sig.astype(np.uint64).reshape(n_docs, n_bands, rows)
+    h = np.full((n_docs, n_bands), np.uint64(0xcbf29ce484222325), dtype=np.uint64)
+    for j in range(rows):
+        h = (h ^ banded[:, :, j]) * np.uint64(0x100000001b3)
+    return h.astype(np.int64)
+
+
+def shingle_features(n: int = 3, n_perms: int = 64, n_bands: int = 16,
+                     seed: int = 42):
+    """ONE Arrow pass from raw text to both LSH structures:
+    struct<hs: array<bigint>, buckets: array<bigint>> where hs are
+    64-bit hashes of the doc's distinct n-word shingles (the exact-
+    Jaccard verify input) and buckets the n_bands minhash band ids.
+
+    Why fused: the projection-chain formulation (words -> shingles ->
+    xxhash64 -> signature UDF -> band structs) needs two repartition
+    barriers against CollapseProject re-evaluation of interpreted
+    lambdas plus two Python round trips; at bench scale the operator
+    is stage-overhead-bound, not compute-bound. Tokenization matches
+    textfns.words exactly (lower, collapse ASCII whitespace, trim) so
+    the DuckDB oracle's shingle sets are identical; the shingle hash
+    is blake2b-64 (any deterministic 64-bit hash yields the same
+    verified pair set — jaccard on hashes equals jaccard on strings
+    up to negligible 64-bit collisions)."""
+    import hashlib
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s, applied to lower()
+
+    def _feats(texts):
+        hs_col = []
+        for t in texts:
+            toks = ws_re.split(t.lower().strip()) if t and t.strip() else []
+            sh = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)} \
+                if len(toks) >= n else set()
+            hs_col.append(np.fromiter(
+                (int.from_bytes(
+                    hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(),
+                    "little", signed=True) for s in sh),
+                dtype=np.int64, count=len(sh)))
+        buckets = _band_fold(
+            _minhash_matrix(hs_col, n_perms, seed), n_bands)
+        return pd.DataFrame({"hs": hs_col, "buckets": list(buckets)})
+
+    _feats.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
+    return pandas_udf(_feats, "hs array<bigint>, buckets array<bigint>")
+
+
+def minhash_band_buckets(hashes: Column, n_perms: int = 64,
+                         n_bands: int = 16, seed: int = 42) -> Column:
+    """Fused signature + banding: one Arrow pass from hashed shingles
+    straight to the n_bands LSH bucket ids (FNV-1a fold of each
+    band's signature rows, vectorized uint64). Equal band slices
+    always produce equal buckets, so the candidate semantics match
+    the unfused signature->xxhash64-band formulation; any extra
+    collisions from the different bucket hash are removed by the
+    exact-Jaccard verify. Saves a full projection pass + 16
+    interpreted element_at/xxhash64 struct builds per row."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _buck(hs):
+        sig = _minhash_matrix(hs.to_numpy(), n_perms, seed)
+        return pd.Series(list(_band_fold(sig, n_bands)))
+
+    _buck.__annotations__ = {"hs": pd.Series, "return": pd.Series}
+    buck = pandas_udf(_buck, "array<bigint>")
+    return buck(hashes)
 
 
 def minhash_lsh_pairs(docs: DataFrame, tau: float = 0.9,
@@ -133,37 +231,23 @@ def minhash_lsh_pairs(docs: DataFrame, tau: float = 0.9,
     ~70% of ALL pairs as candidates and turn the verify stage back
     into O(n^2).
 
-    The verify joins compare xxhash64'd shingle arrays (longs), not
-    the shingle strings: same Jaccard (64-bit collisions are
-    negligible), far cheaper set intersection, and the hash array is
-    computed once per doc and reused for signature + both join sides
-    via persist.
+    The verify joins compare 64-bit-hashed shingle arrays, not the
+    shingle strings: same Jaccard (64-bit collisions are negligible),
+    far cheaper set intersection. Text goes to both LSH structures
+    (hash array + band buckets) in ONE fused Arrow pass
+    (shingle_features) computed once per doc behind a persist —
+    the band explode and both verify sides reuse it. Docs with <n
+    words get the empty-signature sentinel; they can only pair with
+    each other and verify to jaccard 0.0 < tau, so correctness is
+    unaffected.
     """
-    rows = n_perms // n_bands
-    # No size(sh)>0 filter: it would push down through the whole
-    # expression chain (see _shingle_sets). Docs with <n words get the
-    # empty-signature sentinel; they can only pair with each other and
-    # verify to jaccard 0.0 < tau, so correctness is unaffected.
-    sh = (_shingle_sets(docs)
-          .select("doc_id",
-                  F.transform("sh", lambda s: F.xxhash64(s)).alias("hs"))
-          .persist())
-    sig = sh.select(
-        "doc_id", minhash_signature(F.col("hs"), n_perms).alias("sig"))
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        b, *[F.element_at(F.col("sig"), (b * rows + j + 1).cast("int"))
-                             for j in range(rows)]).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    feats = (docs.repartition(par)
+             .select("doc_id",
+                     shingle_features(3, n_perms, n_bands)("text").alias("f"))
+             .persist())
+    bands = feats.select(
+        "doc_id", F.posexplode("f.buckets").alias("band", "bucket"))
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "bucket"])
@@ -171,8 +255,8 @@ def minhash_lsh_pairs(docs: DataFrame, tau: float = 0.9,
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    a = feats.select(F.col("doc_id").alias("doc_a"), F.col("f.hs").alias("hs_a"))
+    b = feats.select(F.col("doc_id").alias("doc_b"), F.col("f.hs").alias("hs_b"))
     return (
         cand.join(a, "doc_a").join(b, "doc_b")
         .select("doc_a", "doc_b",
