@@ -56,6 +56,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": _tp.embedding_neardup_lsh,
         "q4_order_priority": _an2.q4_order_priority,
         "q21_waiting_suppliers": _an2.q21_waiting_suppliers,
+        "q13_customer_distribution": _an2.q13_customer_distribution,
+        "q15_top_supplier": _an2.q15_top_supplier,
+        "q17_small_quantity_revenue": _an2.q17_small_quantity_revenue,
+        "q22_inactive_rich_customers": _an2.q22_inactive_rich_customers,
+        "q2_min_cost_supplier": _an2.q2_min_cost_supplier,
+        "dedup_corpus": _tp.dedup_corpus,
+        "sample_corpus": _tp.sample_corpus,
+        "bigram_pmi": _tp.bigram_pmi,
+        "corpus_stats": _tp.corpus_stats,
         "ngram_jaccard": _tp.ngram_jaccard,
         "dedup_minhash_lsh": _tp.dedup_minhash_lsh,
         # -- (3) stable r1 greens (C then A/B) --
@@ -169,6 +178,15 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_lsh": _orc.EMBEDDING_NEARDUP_SQL,
         "q4_order_priority": _orc.Q4_SQL,
         "q21_waiting_suppliers": _orc.Q21_SQL,
+        "q13_customer_distribution": _orc.Q13_SQL,
+        "q15_top_supplier": _orc.Q15_SQL,
+        "q17_small_quantity_revenue": _orc.Q17_SQL,
+        "q22_inactive_rich_customers": _orc.Q22_SQL,
+        "q2_min_cost_supplier": _orc.Q2_SQL,
+        "dedup_corpus": _orc.DEDUP_CORPUS_SQL,
+        "sample_corpus": _orc.SAMPLE_CORPUS_SQL,
+        "bigram_pmi": _orc.BIGRAM_PMI_SQL,
+        "corpus_stats": _orc.CORPUS_STATS_SQL,
         "ann_topk": _orc.ANN_TOPK_SQL,
         "text_lang_id": _orc.TEXT_LANG_ID_SQL,
         "text_quality": _orc.TEXT_QUALITY_SQL,

@@ -444,3 +444,142 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B31 (TPC-H Q13 shape): distribution of customers by order
+    count INCLUDING zero-order customers — the outer-join + two-level
+    aggregation shape.
+
+    Scale shape: orders pre-aggregate per custkey first (one shuffle
+    of the fact, map-side partial), then LEFT join the customer dim on
+    the same key; the second agg groups a table no bigger than
+    |customers| into a tiny histogram."""
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey")
+    ocnt = (load_table(spark, "orders", sf_dir)
+            .where(F.col("o_orderpriority") != "1-URGENT")
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("n")))
+    return (
+        cust.join(ocnt, cust.c_custkey == ocnt.o_custkey, "left")
+        .select(F.coalesce("n", F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B32 (TPC-H Q15 shape): supplier(s) with the maximum quarterly
+    revenue — the group-wise-max / scalar-subquery shape. The max is
+    a 1-row aggregate cross-joined (broadcast) back against the
+    per-supplier revenue, so no second scan of the fact; revenue is
+    decimal-exact so the equality is bit-stable in both engines."""
+    li = load_table(spark, "lineitem", sf_dir).where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00")))
+    rev = (li.groupBy("l_suppkey")
+           .agg(F.sum(_revenue()).alias("_rev")))
+    mx = rev.agg(F.max("_rev").alias("_mx"))
+    supp = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("_rev") == F.col("_mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name",
+                F.col("_rev").cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B33 (TPC-H Q17 shape): average yearly revenue lost if
+    small-quantity orders (below 20% of the part's average quantity)
+    were not taken — the correlated scalar-aggregate shape, decorrelated
+    into a per-part aggregate joined back to the fact.
+
+    l_quantity values are whole-number doubles, so avg = exact_sum /
+    count is bit-identical in both engines and the 0.2*avg threshold
+    comparison is stable."""
+    part = load_table(spark, "part", sf_dir).where(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")) \
+        .select("p_partkey")
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    avgq = (li.groupBy("l_partkey")
+            .agg((F.lit(0.2) * F.avg("l_quantity")).alias("threshold"))
+            .withColumnRenamed("l_partkey", "a_partkey"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avgq, li.l_partkey == F.col("a_partkey"))
+        .where(F.col("l_quantity") < F.col("threshold"))
+        .agg((F.sum(_dec("l_extendedprice")).cast("double") / 7.0)
+             .alias("avg_yearly"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def q22_inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B34 (TPC-H Q22 shape): customers with above-average account
+    balance and no orders since 2000 (lapsed customers), grouped by
+    nation — global scalar subquery (the average) + NOT EXISTS
+    anti-join with a pushed-down date filter on the orders side.
+
+    The average is computed as exact decimal sum / count cast to
+    double, so the threshold comparison is engine-stable. The anti
+    join shuffles on custkey; the 1-row average broadcasts."""
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_nationkey", "c_acctbal")
+    avg_bal = (cust.where(F.col("c_acctbal") > 0.0)
+               .agg((F.sum(F.col("c_acctbal").cast(_DEC)).cast("double")
+                     / F.count(F.lit(1))).alias("_avg")))
+    orders = (load_table(spark, "orders", sf_dir)
+              .where(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00"))
+              .select("o_custkey"))
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             F.sum(F.col("c_acctbal").cast(_DEC)).cast("double")
+              .alias("totacctbal"))
+        .orderBy("c_nationkey")
+    )
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B35 (TPC-H Q2 shape): per part, the cheapest regional supplier
+    — the group-wise argmin join. No partsupp table exists in this
+    schema, so the part-supplier offer is derived as min lineitem
+    price per (part, supplier) pair; the argmin then runs over
+    suppliers of one region only (dims broadcast), with a
+    deterministic (cost, suppkey) tie-break via min_by on a struct —
+    a single shuffle on the part key, no window over the whole fact."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_suppkey", "l_extendedprice")
+    supp = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+    nation = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name", "n_regionkey")
+    region = load_table(spark, "region", sf_dir).where(
+        F.col("r_name") == "ASIA")
+    regional = (supp.join(F.broadcast(nation),
+                          supp.s_nationkey == nation.n_nationkey)
+                .join(F.broadcast(region),
+                      nation.n_regionkey == region.r_regionkey))
+    offers = (li.join(F.broadcast(regional.select("s_suppkey")),
+                      li.l_suppkey == F.col("s_suppkey"))
+              .groupBy("l_partkey", "l_suppkey")
+              .agg(F.min("l_extendedprice").alias("cost")))
+    best = (offers.groupBy("l_partkey")
+            .agg(F.min(F.struct("cost", "l_suppkey")).alias("b"))
+            .select("l_partkey", F.col("b.cost").alias("cost"),
+                    F.col("b.l_suppkey").alias("best_suppkey")))
+    return (
+        best.join(F.broadcast(regional), F.col("best_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "n_name", F.col("l_partkey").alias("p_partkey"), "cost",
+                "s_acctbal")
+        .orderBy(F.col("s_acctbal").desc(), "s_name", "p_partkey")
+        .limit(100)
+    )

@@ -915,3 +915,180 @@ GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 100
 """
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, COALESCE(n, 0) AS c_count
+  FROM customer
+  LEFT JOIN (
+    SELECT o_custkey, count(*) AS n FROM orders
+    WHERE o_orderpriority <> '1-URGENT' GROUP BY o_custkey
+  ) o ON c_custkey = o_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+Q15_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey, SUM({_REV}) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE r = (SELECT max(r) FROM rev)
+ORDER BY s_suppkey
+"""
+
+Q17_SQL = """
+WITH avgq AS (
+  SELECT l_partkey AS a_partkey, 0.2 * avg(l_quantity) AS threshold
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN avgq ON l_partkey = a_partkey
+WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+  AND l_quantity < threshold
+"""
+
+Q22_SQL = """
+SELECT c_nationkey, count(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+    FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+Q2_SQL = """
+WITH regional AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+),
+offers AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS cost
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM regional)
+  GROUP BY l_partkey, l_suppkey
+),
+best AS (
+  SELECT l_partkey, cost, l_suppkey AS best_suppkey,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY cost, l_suppkey) AS rn
+  FROM offers
+)
+SELECT s_name, n_name, l_partkey AS p_partkey, cost, s_acctbal
+FROM best JOIN regional ON best_suppkey = s_suppkey
+WHERE rn = 1
+ORDER BY s_acctbal DESC, s_name, p_partkey
+LIMIT 100
+"""
+
+
+DEDUP_CORPUS_SQL = f"""
+WITH RECURSIVE {_WORDS_CTE.strip()}, {_SHINGLES_CTE.strip()}, {_CAND_CTE.strip()},
+pairs AS (
+  SELECT cand.doc_a, cand.doc_b
+  FROM cand
+  JOIN sh a ON cand.doc_a = a.doc_id
+  JOIN sh b ON cand.doc_b = b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b.s))) >= 0.9
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a
+)
+SELECT d.doc_id, d.lang
+FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM comp
+                  WHERE comp.node = d.doc_id AND comp.node <> comp.component)
+"""
+
+SAMPLE_CORPUS_SQL = f"""
+SELECT doc_id, {_KR.format(s=_NORM)} AS sample_key
+FROM documents
+ORDER BY sample_key, doc_id
+LIMIT 100
+"""
+
+BIGRAM_PMI_SQL = f"""
+WITH {_WORDS_CTE.strip()},
+uc AS (
+  SELECT t, count(*) AS c1 FROM (SELECT unnest(w) AS t FROM wt) GROUP BY t
+),
+n1t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1 FROM uc),
+bc AS (
+  SELECT b['w1'] AS w1, b['w2'] AS w2, count(*) AS c12
+  FROM (
+    SELECT unnest(list_transform(range(1, len(w)),
+                  i -> struct_pack(w1 := w[i], w2 := w[i + 1]))) AS b
+    FROM wt WHERE len(w) >= 2
+  )
+  GROUP BY 1, 2
+),
+n2t AS (SELECT CAST(SUM(c12) AS BIGINT) AS n2 FROM bc)
+SELECT w1, w2, c12,
+       round(ln((CAST(c12 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE))
+                / (CAST(n2 AS DOUBLE) * CAST(u1.c1 AS DOUBLE)
+                   * CAST(u2.c1 AS DOUBLE))), 6) AS pmi
+FROM bc
+JOIN uc u1 ON bc.w1 = u1.t
+JOIN uc u2 ON bc.w2 = u2.t
+CROSS JOIN n1t CROSS JOIN n2t
+WHERE c12 >= 5
+ORDER BY pmi DESC, w1, w2
+LIMIT 50
+"""
+
+CORPUS_STATS_SQL = f"""
+WITH {_WORDS_CTE.strip()},
+feats AS (
+  SELECT d.doc_id, d.lang,
+         CAST(len(w) AS BIGINT) AS n_tok,
+         round(0.4 * least(CAST(len(w) AS DOUBLE)/100.0, 1.0)
+             + 0.3 * least((CASE WHEN len(list_distinct(w)) > 0
+                 THEN CAST(len(list_intersect(list_distinct(w), {_SW['en']})) AS DOUBLE)/len(list_distinct(w))
+                 ELSE 0.0 END) * 5.0, 1.0)
+             + 0.3 * (1.0 - least(
+                 (CASE WHEN length(d.text) > 0
+                  THEN CAST(len(regexp_extract_all(d.text, '[^\\w\\s]')) AS DOUBLE)/length(d.text)
+                  ELSE 0.0 END) * 10.0
+               + (CASE WHEN length(d.text) > 0
+                  THEN CAST(len(regexp_extract_all(d.text, '[0-9]')) AS DOUBLE)/length(d.text)
+                  ELSE 0.0 END) * 5.0, 1.0)), 6) AS quality_score
+  FROM documents d JOIN wt ON d.doc_id = wt.doc_id
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       round(CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS mean_quality
+FROM feats
+GROUP BY lang
+ORDER BY lang
+"""

@@ -328,3 +328,95 @@ def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(split, "doc_id")
         .select("doc_id", "lang", "quality_score", "split")
     )
+
+
+def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C22: end-to-end near-dup REMOVAL — the op a training-data
+    pipeline actually runs: near-dup pairs (LSH path, C2) -> connected
+    components (C14) -> drop every non-canonical member (keep the min
+    doc_id per group), return the surviving corpus. One anti-join
+    against the (tiny) duplicate list; everything upstream is the
+    already-verified near-linear dedup pipeline."""
+    from gcp_data_engineering_workshop_spark.operators.dedup import minhash_lsh_pairs
+    from gcp_data_engineering_workshop_spark.operators.graph import connected_components
+
+    d = _docs(spark, sf_dir)
+    comp = connected_components(minhash_lsh_pairs(d, tau=0.9))
+    drop = comp.where(F.col("doc_id") != F.col("component")).select("doc_id")
+    return d.join(drop, "doc_id", "left_anti").select("doc_id", "lang")
+
+
+def sample_corpus(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
+    """C23: deterministic uniform corpus sample — order by the
+    engine-neutral content hash (Karp-Rabin of the normalized text,
+    already the train/test-split hash) with doc_id tie-break, take k.
+    Content-addressed: replicas and re-runs agree with no coordination,
+    and the plan is TakeOrderedAndProject (per-partition top-k), never
+    a global sort."""
+    d = _docs(spark, sf_dir)
+    h = T.kr_hash(T.normalize("text"))
+    return (d.select("doc_id", h.alias("sample_key"))
+            .orderBy("sample_key", "doc_id")
+            .limit(k))
+
+
+def bigram_pmi(spark: SparkSession, sf_dir: str, k: int = 50,
+               min_count: int = 5) -> DataFrame:
+    """C24: collocation mining — top-k adjacent-word bigrams by PMI
+    (pointwise mutual information), the phrase/tokenizer-merge-rule
+    precursor. All counts are exact integers from two exploded
+    aggregations; pmi = round(ln((c12*N1*N1)/(N2*c1*c2)), 6) on
+    identical doubles in both engines. Final top-k is
+    orderBy().limit() (TakeOrderedAndProject)."""
+    par = spark.sparkContext.defaultParallelism
+    wt = (_docs(spark, sf_dir).repartition(par)
+          .select("doc_id", T.words("text").alias("w"))
+          .repartition(par))
+    uni = (wt.select(F.explode("w").alias("t"))
+           .groupBy("t").agg(F.count(F.lit(1)).alias("c1")))
+    n1 = uni.agg(F.sum("c1").alias("n1"))
+    bigrams = wt.select(F.explode(F.filter(
+        F.zip_with("w", F.slice("w", 2, F.greatest(F.size("w") - 1, F.lit(1))),
+                   lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))),
+        lambda s: s["w2"].isNotNull())).alias("bg")) \
+        .select("bg.w1", "bg.w2")
+    big = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    n2 = big.agg(F.sum("c12").alias("n2"))
+    u1 = uni.select(F.col("t").alias("w1"), F.col("c1").alias("c_w1"))
+    u2 = uni.select(F.col("t").alias("w2"), F.col("c1").alias("c_w2"))
+    return (
+        big.where(F.col("c12") >= min_count)
+        .join(u1, "w1").join(u2, "w2")
+        .crossJoin(F.broadcast(n1)).crossJoin(F.broadcast(n2))
+        .select("w1", "w2", "c12",
+                F.round(F.log((F.col("c12").cast("double")
+                               * F.col("n1").cast("double")
+                               * F.col("n1").cast("double"))
+                              / (F.col("n2").cast("double")
+                                 * F.col("c_w1").cast("double")
+                                 * F.col("c_w2").cast("double"))), 6)
+                 .alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(k)
+    )
+
+
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C25: per-language corpus summary — doc count, total whitespace
+    tokens, mean quality score. The mean sums the (6-decimal) quality
+    scores as exact decimals so it is aggregation-order-stable, then
+    divides as double."""
+    q = text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("doc_id", "lang",
+                 F.size(T.words("text")).cast("bigint").alias("n_tok"))
+        .join(q, "doc_id")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tok").alias("total_tokens"),
+             F.round(F.sum(F.col("quality_score").cast("decimal(18,6)"))
+                      .cast("double") / F.count(F.lit(1)), 6)
+              .alias("mean_quality"))
+        .orderBy("lang")
+    )

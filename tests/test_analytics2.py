@@ -94,3 +94,65 @@ def test_merge_upsert_semantics(spark):
     assert out[1].val == 10.0            # untouched
     assert out[2].name == "b2" and out[2].val == 99.0  # updated
     assert out[4].name == "d"            # inserted
+
+
+def test_q13_includes_zero_order_customers(spark, sf_dir):
+    """The outer-join shape must keep customers with no (qualifying)
+    orders: histogram buckets sum to the customer count."""
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+    rows = an2.q13_customer_distribution(spark, sf_dir).collect()
+    assert sum(r.custdist for r in rows) == \
+        load_table(spark, "customer", sf_dir).count()
+
+
+def test_q15_is_groupwise_max(spark, sf_dir):
+    rows = an2.q15_top_supplier(spark, sf_dir).collect()
+    assert len(rows) >= 1
+    assert len({r.total_revenue for r in rows}) == 1  # all tied at max
+
+
+def test_q2_argmin_unique_per_part(spark, sf_dir):
+    rows = an2.q2_min_cost_supplier(spark, sf_dir).collect()
+    parts = [r.p_partkey for r in rows]
+    assert len(parts) == len(set(parts))  # one best supplier per part
+    assert all(r.cost > 0 for r in rows)
+
+
+def test_q21_waiting_semantics_tiny(spark):
+    """Hand-built case: order 10 has suppliers 1 (late) and 2 (on
+    time) -> supplier 1 counted; order 20 has both suppliers late ->
+    nobody counted (another supplier is also late); order 30 is
+    single-supplier -> excluded by the EXISTS."""
+    import datetime as dt
+    from pyspark.sql import functions as F
+    from gcp_data_engineering_workshop_spark.plans import analytics2 as a2
+
+    base = dt.datetime(1995, 1, 1)
+    late = base + dt.timedelta(days=90)
+    ok = base + dt.timedelta(days=5)
+    li = spark.createDataFrame(
+        [(10, 1, late), (10, 2, ok),
+         (20, 1, late), (20, 2, late),
+         (30, 1, late)],
+        "l_orderkey bigint, l_suppkey bigint, l_shipdate timestamp")
+    orders = spark.createDataFrame(
+        [(10, base), (20, base), (30, base)],
+        "o_orderkey bigint, o_orderdate timestamp")
+    lines = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate")
+         + F.expr("INTERVAL 45 DAYS")).alias("is_late"))
+    late_lines = lines.where(F.col("is_late")).select("l_orderkey", "l_suppkey")
+    l1 = late_lines.select(F.col("l_orderkey").alias("ok"),
+                           F.col("l_suppkey").alias("sk"))
+    other = lines.select(F.col("l_orderkey").alias("ok2"),
+                         F.col("l_suppkey").alias("sk2"))
+    other_late = late_lines.select(F.col("l_orderkey").alias("ok3"),
+                                   F.col("l_suppkey").alias("sk3"))
+    waiting = (
+        l1.join(other, (F.col("ok") == F.col("ok2"))
+                & (F.col("sk") != F.col("sk2")), "left_semi")
+        .join(other_late, (F.col("ok") == F.col("ok3"))
+              & (F.col("sk") != F.col("sk3")), "left_anti"))
+    got = {(r.ok, r.sk) for r in waiting.collect()}
+    assert got == {(10, 1)}

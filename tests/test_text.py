@@ -149,3 +149,35 @@ def test_vocab_topk_plan_uses_take_ordered(spark, sf_dir):
         list(range(1, len(rows) + 1))
     freqs = [r.freq for r in sorted(rows, key=lambda r: r.rank)]
     assert freqs == sorted(freqs, reverse=True)
+
+
+def test_dedup_corpus_drops_only_noncanonical(spark, sf_dir):
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+    from gcp_data_engineering_workshop_spark.operators.dedup import minhash_lsh_pairs
+    from gcp_data_engineering_workshop_spark.operators.graph import connected_components
+
+    docs = load_table(spark, "documents", sf_dir)
+    kept = {r.doc_id for r in tp.dedup_corpus(spark, sf_dir).collect()}
+    comp = connected_components(minhash_lsh_pairs(docs, tau=0.9)).collect()
+    dropped = {r.doc_id for r in comp if r.doc_id != r.component}
+    canonical = {r.component for r in comp}
+    assert kept.isdisjoint(dropped)
+    assert canonical <= kept
+    assert len(kept) == docs.count() - len(dropped)
+
+
+def test_sample_corpus_plan_and_determinism(spark, sf_dir):
+    df = tp.sample_corpus(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    a = [r.doc_id for r in df.collect()]
+    b = [r.doc_id for r in tp.sample_corpus(spark, sf_dir).collect()]
+    assert a == b and len(a) > 0
+
+
+def test_bigram_pmi_favors_collocations(spark, sf_dir):
+    rows = tp.bigram_pmi(spark, sf_dir).collect()
+    assert len(rows) > 0
+    pmis = [r.pmi for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+    assert all(r.c12 >= 5 for r in rows)
