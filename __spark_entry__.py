@@ -65,6 +65,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_corpus": _tp.sample_corpus,
         "bigram_pmi": _tp.bigram_pmi,
         "corpus_stats": _tp.corpus_stats,
+        "knn_label_propagation": _tp.knn_label_propagation,
+        "stratified_split": _tp.stratified_split,
         "ngram_jaccard": _tp.ngram_jaccard,
         "dedup_minhash_lsh": _tp.dedup_minhash_lsh,
         # -- (3) stable r1 greens (C then A/B) --
@@ -187,6 +189,8 @@ def oracle_sql() -> dict[str, str]:
         "sample_corpus": _orc.SAMPLE_CORPUS_SQL,
         "bigram_pmi": _orc.BIGRAM_PMI_SQL,
         "corpus_stats": _orc.CORPUS_STATS_SQL,
+        "knn_label_propagation": _orc.KNN_LABEL_SQL,
+        "stratified_split": _orc.STRATIFIED_SPLIT_SQL,
         "ann_topk": _orc.ANN_TOPK_SQL,
         "text_lang_id": _orc.TEXT_LANG_ID_SQL,
         "text_quality": _orc.TEXT_QUALITY_SQL,

@@ -1092,3 +1092,37 @@ FROM feats
 GROUP BY lang
 ORDER BY lang
 """
+
+
+KNN_LABEL_SQL = f"""
+WITH s AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round({_DOT}, 6) AS dot_sim
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < 50 AND a.vec_id != b.vec_id
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY dot_sim DESC, neighbor_id) AS rank
+  FROM s
+), votes AS (
+  SELECT query_id, d.lang, count(*) AS votes
+  FROM r JOIN documents d ON r.neighbor_id = d.doc_id
+  WHERE rank <= 5
+  GROUP BY query_id, d.lang
+), best AS (
+  SELECT query_id, lang AS pred_lang, votes,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, lang) AS rn
+  FROM votes
+)
+SELECT query_id, pred_lang, votes FROM best WHERE rn = 1
+ORDER BY query_id
+"""
+
+STRATIFIED_SPLIT_SQL = f"""
+SELECT doc_id, lang,
+       {_KR.format(s=_NORM)} % 100 AS bucket,
+       CASE WHEN {_KR.format(s=_NORM)} % 100 < 80 THEN 'train'
+            ELSE 'test' END AS split
+FROM documents
+"""

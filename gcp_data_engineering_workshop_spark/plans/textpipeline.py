@@ -420,3 +420,43 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
               .alias("mean_quality"))
         .orderBy("lang")
     )
+
+
+def knn_label_propagation(spark: SparkSession, sf_dir: str,
+                          n_queries: int = 50, k: int = 5) -> DataFrame:
+    """C27: kNN label propagation — predict each query document's
+    language by majority vote over its k nearest embedding neighbors'
+    labels (the weak-labeling / label-spreading op of a training-data
+    pipeline). Neighbors come from the verified brute-force top-k
+    (C6); the per-query argmax is a count agg + min_by on a
+    (-votes, lang) key — no unpartitioned window. Ties break to the
+    lexicographically smallest language."""
+    nb = S.ann_topk(_emb(spark, sf_dir), n_queries=n_queries, k=k)
+    labels = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("neighbor_id"), F.col("lang"))
+    votes = (nb.join(labels, "neighbor_id")
+             .groupBy("query_id", "lang")
+             .agg(F.count(F.lit(1)).alias("votes")))
+    return (votes.groupBy("query_id")
+            .agg(F.min_by(F.struct(F.col("lang").alias("pred_lang"),
+                                   F.col("votes")),
+                          F.struct((-F.col("votes")).alias("nv"), F.col("lang")))
+                 .alias("b"))
+            .select("query_id", F.col("b.pred_lang").alias("pred_lang"),
+                    F.col("b.votes").alias("votes"))
+            .orderBy("query_id"))
+
+
+def stratified_split(spark: SparkSession, sf_dir: str,
+                     train_pct: int = 80) -> DataFrame:
+    """C28: per-language deterministic train/test split — the same
+    content-addressed Karp-Rabin bucketing as C16, but the ratio
+    holds WITHIN each language because the hash is uniform per
+    stratum; emits the stratum so downstream samplers can verify
+    proportions. No shuffle at all: one projection over the scan."""
+    d = _docs(spark, sf_dir)
+    bucket = T.kr_hash(T.normalize("text")) % 100
+    return d.select(
+        "doc_id", "lang", bucket.alias("bucket"),
+        F.when(bucket < train_pct, F.lit("train"))
+         .otherwise(F.lit("test")).alias("split"))

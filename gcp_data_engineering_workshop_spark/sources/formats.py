@@ -38,3 +38,30 @@ def write_partitioned_parquet(df: DataFrame, path: str,
                               mode: str = "overwrite") -> None:
     """E4: partitioned parquet writer (hive-style directories)."""
     df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
+def read_orc(spark: SparkSession, path: str,
+             columns: tuple[str, ...] | None = None) -> DataFrame:
+    """E8: ORC reader — same pushdown/pruning properties as parquet
+    (predicate pushdown + column projection reach the stripe reader).
+    """
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """E8: ORC writer (zlib default)."""
+    df.write.mode(mode).orc(path)
+
+
+def overwrite_partitions(df: DataFrame, path: str,
+                         partition_by: tuple[str, ...]) -> None:
+    """E9: DYNAMIC partition overwrite — replaces only the partitions
+    present in `df`, leaving all other partitions untouched (the
+    idempotent daily-backfill write: re-running one day never
+    truncates the rest of the table). Static mode would drop every
+    existing partition first."""
+    (df.write.mode("overwrite")
+       .option("partitionOverwriteMode", "dynamic")
+       .partitionBy(*partition_by)
+       .parquet(path))

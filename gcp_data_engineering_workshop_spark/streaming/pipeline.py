@@ -147,3 +147,15 @@ def hourly_rollup_stream(ticks: DataFrame,
         .select("ticker", _F.col("wh.start").alias("hour_start"),
                 "vol_1h", "n_minutes")
     )
+
+
+def enriched_tick_stream(ticks: DataFrame, dim: DataFrame) -> DataFrame:
+    """D10: stream-static dimension join — the streaming fact
+    enriched against a batch dimension table. Spark plans the static
+    side as a broadcast re-read per micro-batch (no stream state),
+    the standard shape for attaching slowly-changing reference data
+    to an event stream at any scale."""
+    from pyspark.sql import functions as _F
+    return (ticks.join(_F.broadcast(dim), "ticker", "left")
+            .select("ticker", "ts", "price", "volume",
+                    "sector", "listing_venue"))

@@ -66,3 +66,44 @@ def test_jsonl_malformed_records_quarantined(spark, tmp_path):
     bad = [r for r in rows if r._corrupt_record is not None]
     assert len(good) == 2 and len(bad) == 1
     assert bad[0]._corrupt_record == "not json at all"
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """E8: ORC write/read roundtrip; filters and projections reach
+    the ORC scan like they do for parquet."""
+    from gcp_data_engineering_workshop_spark.sources import formats as FMT
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "orders_orc")
+    orders = load_table(spark, "orders", sf_dir)
+    FMT.write_orc(orders, path)
+    rd = FMT.read_orc(spark, path, columns=("o_orderkey", "o_totalprice"))
+    flt = rd.where(F.col("o_totalprice") > 1000.0)
+    assert flt.count() == orders.where(F.col("o_totalprice") > 1000.0).count()
+    scan = flt._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice" \
+        in scan
+    assert "ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>" in scan
+
+
+def test_dynamic_partition_overwrite_keeps_other_partitions(spark, sf_dir, tmp_path):
+    """E9: rewriting ONE partition must not truncate the others (the
+    idempotent daily-backfill contract)."""
+    from gcp_data_engineering_workshop_spark.sources import formats as FMT
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [("2024-01-01", 1, 10.0), ("2024-01-01", 2, 20.0),
+         ("2024-01-02", 3, 30.0)],
+        "day string, id int, v double")
+    FMT.overwrite_partitions(df, path, ("day",))
+    # backfill day 1 with corrected values only
+    fix = spark.createDataFrame([("2024-01-01", 1, 99.0)],
+                                "day string, id int, v double")
+    FMT.overwrite_partitions(fix, path, ("day",))
+    out = spark.read.parquet(path)
+    assert out.where(F.col("day") == "2024-01-02").count() == 1  # untouched
+    d1 = out.where(F.col("day") == "2024-01-01").collect()
+    assert len(d1) == 1 and d1[0].v == 99.0                      # replaced

@@ -372,3 +372,23 @@ def test_foreach_batch_upsert_replay_is_idempotent_on_key(spark, sf_dir,
     written = spark.read.parquet(out)
     n_batch = tumbling_1m(batch_ticks(spark, sf_dir)).count()
     assert written.dropDuplicates(["ticker", "window_start"]).count() == n_batch
+
+
+def test_stream_static_join_enriches_ticks(spark, sf_dir, tick_json_dir):
+    """D10: stream-static dimension join — every streamed tick picks
+    up its dimension attributes; dimension misses stay (left join)."""
+    dim = spark.createDataFrame(
+        [("click", "tech", "NYSE"), ("view", "retail", "NASDAQ")],
+        "ticker string, sector string, listing_venue string")
+    stream = spl.read_tick_stream(spark, tick_json_dir)
+    _run_to_memory(spl.enriched_tick_stream(stream, dim), "enriched")
+    got = spark.table("enriched")
+    n_stream = got.count()
+    assert n_stream == batch_ticks(spark, sf_dir).count()
+    by_ticker = {r.ticker: r for r in
+                 got.where(F.col("ticker").isin("click", "view"))
+                    .dropDuplicates(["ticker"]).collect()}
+    assert by_ticker["click"].sector == "tech"
+    assert by_ticker["view"].listing_venue == "NASDAQ"
+    # unmatched tickers survive with null dims
+    assert got.where(F.col("sector").isNull()).count() > 0
