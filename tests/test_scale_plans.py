@@ -1,0 +1,91 @@
+"""Runtime-adaptivity scale guards (SURVEY.md §4): AQE skew-join
+splitting and runtime bloom-filter join pruning, plan-asserted on
+synthetic data shaped to trigger them.
+
+These two are the mechanisms that keep the 100 TB plans honest when
+static planning guesses wrong: a hot key no longer serializes one
+reducer (AQE splits the skewed partition across tasks), and a
+selective dim filter prunes fact rows at the scan side before the
+shuffle (bloom semi-join reduction). Thresholds are lowered to fire
+at test scale; the plan markers are what production plans show too.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+from pyspark.sql import functions as F
+
+
+@contextmanager
+def _confs(spark, **kv):
+    old = {}
+    try:
+        for k, v in kv.items():
+            key = k.replace("__", ".")
+            try:
+                old[key] = spark.conf.get(key)
+            except Exception:
+                old[key] = None
+            spark.conf.set(key, v)
+        yield
+    finally:
+        for key, v in old.items():
+            if v is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, v)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """90% of fact rows share one key: AQE must re-plan the sort-merge
+    join with the hot partition split (SortMergeJoin(skew=true)) so a
+    single reducer never owns the whole hot key."""
+    with _confs(
+        spark,
+        **{"spark__sql__autoBroadcastJoinThreshold": "-1",
+           "spark__sql__adaptive__skewJoin__enabled": "true",
+           "spark__sql__adaptive__skewJoin__skewedPartitionThresholdInBytes": "4KB",
+           "spark__sql__adaptive__advisoryPartitionSizeInBytes": "2KB",
+           "spark__sql__adaptive__skewJoin__skewedPartitionFactor": "2"},
+    ):
+        skewed = spark.range(0, 60000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(0))
+             .otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"))
+        dim = spark.range(0, 60000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+        j = skewed.join(dim, "k")
+        # collect() (not count()) so the final AQE plan belongs to THIS
+        # DataFrame's QueryExecution — count() plans its own query
+        assert len(j.collect()) == 60000  # inner join on distinct dim keys
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:600]
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, tmp_path):
+    """A selective dimension filter must inject a bloom semi-join
+    filter on the fact side (bloom_filter_agg on the dim build,
+    BloomFilterMightContain / scan-side filter on the fact probe), so
+    non-matching fact rows drop before the shuffle."""
+    fact_p, dim_p = str(tmp_path / "fact"), str(tmp_path / "dim")
+    spark.range(0, 300000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")) \
+        .write.mode("overwrite").parquet(fact_p)
+    spark.range(0, 300000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("f")) \
+        .write.mode("overwrite").parquet(dim_p)
+    with _confs(
+        spark,
+        **{"spark__sql__autoBroadcastJoinThreshold": "-1",
+           "spark__sql__optimizer__runtime__bloomFilter__enabled": "true",
+           "spark__sql__optimizer__runtime__bloomFilter__applicationSideScanSizeThreshold": "0",
+           "spark__sql__optimizer__runtime__bloomFilter__creationSideThreshold": "100MB"},
+    ):
+        fact = spark.read.parquet(fact_p)
+        dim = spark.read.parquet(dim_p).where(F.col("f") == 3)
+        j = fact.join(dim, "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:600]
+        n_dim = dim.count()
+        assert j.count() == n_dim  # unique keys: one fact row per dim row
