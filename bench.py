@@ -31,6 +31,11 @@ BENCH_QUERIES = [
     "ann_lsh",               # C7 bucketed ANN
     "text_quality",          # C9 text feature extraction
     "token_count",           # C10
+    # r2 additions (no r1 baseline — first measured in BENCH_r02):
+    "embedding_neardup_lsh",  # C26 bucketed threshold pairs
+    "dedup_corpus",          # C22 end-to-end near-dup removal
+    "q21_waiting_suppliers",  # B30 multi-EXISTS
+    "bigram_pmi",            # C24 collocation mining
 ]
 
 
