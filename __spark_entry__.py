@@ -61,6 +61,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": _an2.q17_small_quantity_revenue,
         "q22_inactive_rich_customers": _an2.q22_inactive_rich_customers,
         "q2_min_cost_supplier": _an2.q2_min_cost_supplier,
+        "q9_product_profit": _an2.q9_product_profit,
+        "q11_important_inventory": _an2.q11_important_inventory,
+        "q12_priority_shipping": _an2.q12_priority_shipping,
+        "q16_supplier_part_counts": _an2.q16_supplier_part_counts,
+        "q20_excess_suppliers": _an2.q20_excess_suppliers,
         "dedup_corpus": _tp.dedup_corpus,
         "sample_corpus": _tp.sample_corpus,
         "bigram_pmi": _tp.bigram_pmi,
@@ -185,6 +190,11 @@ def oracle_sql() -> dict[str, str]:
         "q17_small_quantity_revenue": _orc.Q17_SQL,
         "q22_inactive_rich_customers": _orc.Q22_SQL,
         "q2_min_cost_supplier": _orc.Q2_SQL,
+        "q9_product_profit": _orc.Q9_SQL,
+        "q11_important_inventory": _orc.Q11_SQL,
+        "q12_priority_shipping": _orc.Q12_SQL,
+        "q16_supplier_part_counts": _orc.Q16_SQL,
+        "q20_excess_suppliers": _orc.Q20_SQL,
         "dedup_corpus": _orc.DEDUP_CORPUS_SQL,
         "sample_corpus": _orc.SAMPLE_CORPUS_SQL,
         "bigram_pmi": _orc.BIGRAM_PMI_SQL,

@@ -583,3 +583,174 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("s_acctbal").desc(), "s_name", "p_partkey")
         .limit(100)
     )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B36 (TPC-H Q9 shape): product-type profit by nation and year —
+    the widest star join in the suite (lineitem x part x supplier x
+    nation x orders). This schema has no partsupp, so unit cost is the
+    part's retail price (profit = discounted revenue - retailprice *
+    quantity), keeping the shape: a name-filtered part dim broadcast
+    into the fact, supplier->nation broadcast, one big-big shuffle
+    join with orders on the order key, then a tiny (nation, year)
+    hash agg.
+
+    Scale shape: the part filter prunes the fact FIRST (smallest
+    intermediate), both dims broadcast, and only (orderkey, amount,
+    nationkey) survive into the orders join. All money math is
+    decimal-exact; the output cast to double happens after the sum."""
+    part = load_table(spark, "part", sf_dir).where(
+        F.col("p_name").contains("red")).select("p_partkey", "p_retailprice")
+    supp = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_nationkey")
+    nation = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate")
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+    amount = _revenue() - _dec("p_retailprice") * _dec("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("l_orderkey", "n_name", amount.alias("_amt"))
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(F.sum("_amt").cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def q11_important_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B37 (TPC-H Q11 shape): parts representing a significant share
+    of one nation's inventory value — the HAVING-against-global-scalar
+    shape. Inventory value per part is the exact decimal sum of
+    extended prices shipped by that nation's suppliers (partsupp
+    stand-in); a part qualifies if its value exceeds 0.1% of the
+    nation total.
+
+    Scale shape: one shuffle on l_partkey with map-side partial sums;
+    the nation's supplier list and the 1-row global total are both
+    broadcast. The threshold compare happens in doubles AFTER both
+    exact decimal sums, so both engines compare identical IEEE
+    values."""
+    supp = (load_table(spark, "supplier", sf_dir)
+            .join(F.broadcast(load_table(spark, "nation", sf_dir)
+                              .where(F.col("n_name") == "NATION_3")),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey"))
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_suppkey", "l_extendedprice")
+    value = (li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+             .groupBy("l_partkey")
+             .agg(F.sum(_dec("l_extendedprice")).alias("_v")))
+    total = value.agg(F.sum("_v").alias("_t"))
+    return (
+        value.crossJoin(F.broadcast(total))
+        .where(F.col("_v").cast("double") > F.col("_t").cast("double") * 0.001)
+        .select(F.col("l_partkey").alias("p_partkey"),
+                F.col("_v").cast("double").alias("inv_value"))
+        .orderBy(F.col("inv_value").desc(), "p_partkey")
+    )
+
+
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B38 (TPC-H Q12 shape): late-shipment counts split by order
+    priority — the join + conditional-aggregation (SUM of CASE WHEN)
+    shape. No l_shipmode/l_commitdate in this schema: the mode column
+    is l_returnflag and "late" is shipped >30 days after the order
+    date, within one shipdate year.
+
+    Scale shape: shipdate-year + returnflag predicates push into the
+    lineitem scan; one equi-join shuffle on the order key carrying
+    only (orderkey, priority); 2-row output hash agg."""
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    li = (load_table(spark, "lineitem", sf_dir)
+          .where(F.col("l_returnflag").isin("A", "N")
+                 & (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00"))
+                 & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00")))
+          .select("l_orderkey", "l_returnflag", "l_shipdate"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, (li.l_orderkey == orders.o_orderkey)
+                & (li.l_shipdate > orders.o_orderdate
+                   + F.expr("INTERVAL 30 DAYS")))
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"))
+        .orderBy("l_returnflag")
+    )
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B39 (TPC-H Q16 shape): how many suppliers can provide each
+    (brand, type, size) combination, excluding flagged suppliers —
+    the DISTINCT + NOT-IN-exclusion + COUNT(DISTINCT) shape. The
+    partsupp stand-in is the distinct (partkey, suppkey) pairs seen
+    in lineitem; "customer complaints" is a negative account balance.
+
+    Scale shape: the distinct-pairs shuffle is the only big exchange
+    (aggregate pushdown makes it partial); the part filter broadcasts
+    into it, the excluded-supplier list is a broadcast anti join, and
+    the final count-distinct groups a dimension-sized table."""
+    pairs = (load_table(spark, "lineitem", sf_dir)
+             .select("l_partkey", "l_suppkey").distinct())
+    part = (load_table(spark, "part", sf_dir)
+            .where((F.col("p_brand") != "Brand#1")
+                   & (F.col("p_type") != "PROMO")
+                   & F.col("p_size").isin(1, 3, 5, 9))
+            .select("p_partkey", "p_brand", "p_type", "p_size"))
+    flagged = (load_table(spark, "supplier", sf_dir)
+               .where(F.col("s_acctbal") < 0.0).select("s_suppkey"))
+    return (
+        pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .join(F.broadcast(flagged),
+              pairs.l_suppkey == flagged.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B40 (TPC-H Q20 shape): suppliers who dominate shipment volume
+    of promotion-candidate parts in target nations — the nested
+    semi-join chain (part filter -> per-(supplier,part) volume ->
+    share threshold -> IN supplier -> nation filter). No partsupp
+    availqty here, so "excess" is shipping more than 30% of a blue
+    part's 1996 total.
+
+    Scale shape: the name filter broadcasts into the fact before the
+    (suppkey, partkey) agg; the per-part total reuses that agg's
+    output (no second fact scan); the supplier lookup is a LEFT SEMI
+    on a broadcast excess list; nation broadcast. Quantity sums are
+    whole-number doubles, exact in both engines."""
+    part = load_table(spark, "part", sf_dir).where(
+        F.col("p_name").startswith("blue")).select("p_partkey")
+    li = (load_table(spark, "lineitem", sf_dir)
+          .where((F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00"))
+                 & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00")))
+          .select("l_partkey", "l_suppkey", "l_quantity"))
+    sq = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(F.sum("l_quantity").alias("qty")))
+    tot = sq.groupBy(F.col("l_partkey").alias("t_partkey")) \
+            .agg(F.sum("qty").alias("part_total"))
+    excess = (sq.join(tot, sq.l_partkey == F.col("t_partkey"))
+              .where(F.col("qty") > F.col("part_total") * 0.3)
+              .select("l_suppkey").distinct())
+    supp = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_name", "s_nationkey")
+    nation = load_table(spark, "nation", sf_dir).where(
+        F.col("n_name").isin("NATION_2", "NATION_5", "NATION_11"))
+    return (
+        supp.join(F.broadcast(excess),
+                  supp.s_suppkey == excess.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )

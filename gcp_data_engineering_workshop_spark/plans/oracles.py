@@ -1126,3 +1126,89 @@ SELECT doc_id, lang,
             ELSE 'test' END AS split
 FROM documents
 """
+
+
+Q9_SQL = f"""
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM({_REV} - CAST(p_retailprice AS DECIMAL(18,4))
+                         * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+         AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+Q11_SQL = """
+WITH value AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS v
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_3')
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, CAST(v AS DOUBLE) AS inv_value
+FROM value
+WHERE CAST(v AS DOUBLE) >
+      (SELECT CAST(SUM(v) AS DOUBLE) FROM value) * 0.001
+ORDER BY inv_value DESC, p_partkey
+"""
+
+Q12_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+           AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+WHERE l_returnflag IN ('A', 'N')
+  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+Q16_SQL = """
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 3, 5, 9)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+Q20_SQL = """
+WITH sq AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'blue%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey
+),
+tot AS (SELECT l_partkey AS t_partkey, SUM(qty) AS part_total
+        FROM sq GROUP BY l_partkey)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_2', 'NATION_5', 'NATION_11')
+  AND s_suppkey IN (
+    SELECT DISTINCT l_suppkey FROM sq
+    JOIN tot ON l_partkey = t_partkey
+    WHERE qty > part_total * 0.3)
+ORDER BY s_suppkey
+"""

@@ -156,3 +156,78 @@ def test_q21_waiting_semantics_tiny(spark):
               & (F.col("sk") != F.col("sk3")), "left_anti"))
     got = {(r.ok, r.sk) for r in waiting.collect()}
     assert got == {(10, 1)}
+
+
+def test_q9_profit_keys_unique(spark, sf_dir):
+    rows = an2.q9_product_profit(spark, sf_dir).collect()
+    keys = [(r.nation, r.o_year) for r in rows]
+    assert len(keys) == len(set(keys)) and len(rows) > 0
+    assert all(1995 <= r.o_year <= 2001 for r in rows)
+
+
+def test_q11_threshold_and_order(spark, sf_dir):
+    rows = an2.q11_important_inventory(spark, sf_dir).collect()
+    vals = [r.inv_value for r in rows]
+    assert vals == sorted(vals, reverse=True) and len(rows) > 0
+    # every retained part must individually clear 0.1% of the sum of
+    # ALL parts' values, which is >= the sum of the retained ones
+    assert all(v > 0.001 * sum(vals) / 1000 for v in vals)
+
+
+def test_q12_partition_of_late_lines(spark, sf_dir):
+    rows = an2.q12_priority_shipping(spark, sf_dir).collect()
+    assert {r.l_returnflag for r in rows} <= {"A", "N"}
+    assert all(r.high_line_count >= 0 and r.low_line_count >= 0 for r in rows)
+    assert sum(r.high_line_count + r.low_line_count for r in rows) > 0
+
+
+def test_q16_excludes_flagged_suppliers(spark, sf_dir):
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+    from pyspark.sql import functions as F
+    rows = an2.q16_supplier_part_counts(spark, sf_dir).collect()
+    assert all(r.p_size in (1, 3, 5, 9) and r.supplier_cnt > 0 for r in rows)
+    n_ok_supp = load_table(spark, "supplier", sf_dir) \
+        .where(F.col("s_acctbal") >= 0.0).count()
+    assert all(r.supplier_cnt <= n_ok_supp for r in rows)
+
+
+def test_q20_dominance_semantics_tiny(spark):
+    """Supplier 1 ships 80 of part 100's 100 units (dominant);
+    suppliers 2/3 split part 200 evenly 50/50 (neither clears 30%+
+    strictly... both do at 50% — but supplier 4's 20 of part 100 does
+    not). Only suppliers in the target nations survive."""
+    import datetime as dt
+    from pyspark.sql import functions as F
+    from gcp_data_engineering_workshop_spark.plans import analytics2 as a2
+    ship = dt.datetime(1996, 6, 1)
+    li = spark.createDataFrame(
+        [(100, 1, 80.0, ship), (100, 4, 20.0, ship),
+         (200, 2, 50.0, ship), (200, 3, 50.0, ship)],
+        "l_partkey long, l_suppkey long, l_quantity double, l_shipdate timestamp")
+    part = spark.createDataFrame([(100, "blue bolt"), (200, "blue gear")],
+                                 "p_partkey long, p_name string")
+    supp = spark.createDataFrame(
+        [(1, "S1", 2), (2, "S2", 5), (3, "S3", 0), (4, "S4", 2)],
+        "s_suppkey long, s_name string, s_nationkey long")
+    nation = spark.createDataFrame(
+        [(0, "NATION_0"), (2, "NATION_2"), (5, "NATION_5")],
+        "n_nationkey long, n_name string")
+    sq = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(F.sum("l_quantity").alias("qty")))
+    tot = sq.groupBy(F.col("l_partkey").alias("t_partkey")) \
+            .agg(F.sum("qty").alias("part_total"))
+    excess = (sq.join(tot, sq.l_partkey == F.col("t_partkey"))
+              .where(F.col("qty") > F.col("part_total") * 0.3)
+              .select("l_suppkey").distinct())
+    got = sorted(r.s_suppkey for r in
+                 supp.join(F.broadcast(excess),
+                           supp.s_suppkey == excess.l_suppkey, "left_semi")
+                 .join(F.broadcast(nation),
+                       supp.s_nationkey == nation.n_nationkey)
+                 .select("s_suppkey").collect())
+    # dominant: 1 (80%), 2 and 3 (50% each); supplier 3 is in
+    # NATION_0 which is not targeted -> filtered by the nation join?
+    # NATION_0 IS in this tiny dim, so 3 survives here; 4 (20%) never
+    # qualifies.
+    assert got == [1, 2, 3]
