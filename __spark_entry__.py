@@ -66,6 +66,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_priority_shipping": _an2.q12_priority_shipping,
         "q16_supplier_part_counts": _an2.q16_supplier_part_counts,
         "q20_excess_suppliers": _an2.q20_excess_suppliers,
+        "gopher_repetition": _tp.gopher_repetition,
+        "decontaminate": _tp.decontaminate,
         "dedup_corpus": _tp.dedup_corpus,
         "sample_corpus": _tp.sample_corpus,
         "bigram_pmi": _tp.bigram_pmi,
@@ -195,6 +197,8 @@ def oracle_sql() -> dict[str, str]:
         "q12_priority_shipping": _orc.Q12_SQL,
         "q16_supplier_part_counts": _orc.Q16_SQL,
         "q20_excess_suppliers": _orc.Q20_SQL,
+        "gopher_repetition": _orc.GOPHER_REPETITION_SQL,
+        "decontaminate": _orc.DECONTAMINATE_SQL,
         "dedup_corpus": _orc.DEDUP_CORPUS_SQL,
         "sample_corpus": _orc.SAMPLE_CORPUS_SQL,
         "bigram_pmi": _orc.BIGRAM_PMI_SQL,

@@ -1212,3 +1212,52 @@ WHERE n_name IN ('NATION_2', 'NATION_5', 'NATION_11')
     WHERE qty > part_total * 0.3)
 ORDER BY s_suppkey
 """
+
+
+GOPHER_REPETITION_SQL = f"""
+WITH {_WORDS_CTE.strip()},
+bg AS (
+  SELECT doc_id,
+         list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS b
+  FROM wt WHERE len(w) >= 2
+),
+feats AS (
+  SELECT wt.doc_id, len(w) AS n_words,
+         CASE WHEN len(w) > 0
+              THEN 1.0 - CAST(len(list_distinct(w)) AS DOUBLE)/len(w)
+              ELSE 0.0 END AS dup_f,
+         CASE WHEN len(w) > 0
+              THEN CAST(list_max(list_transform(list_distinct(w),
+                     x -> len(list_filter(w, y -> y = x)))) AS DOUBLE)/len(w)
+              ELSE 0.0 END AS topw_f,
+         CASE WHEN len(w) >= 2
+              THEN CAST(list_max(list_transform(list_distinct(b),
+                     x -> len(list_filter(b, y -> y = x)))) AS DOUBLE)/(len(w)-1)
+              ELSE 0.0 END AS topb_f
+  FROM wt LEFT JOIN bg ON wt.doc_id = bg.doc_id
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       round(dup_f, 6) AS dup_word_frac,
+       round(topw_f, 6) AS top_word_frac,
+       round(topb_f, 6) AS top_bigram_frac,
+       (n_words >= 20 AND round(dup_f, 6) <= 0.55
+        AND round(topw_f, 6) <= 0.15 AND round(topb_f, 6) <= 0.10) AS keep
+FROM feats
+"""
+
+DECONTAMINATE_SQL = f"""
+WITH {_WORDS_CTE.strip()}, {_SHINGLES_CTE.strip()},
+ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0),
+hits AS (
+  SELECT tr.doc_id, count(DISTINCT tr.g) AS n
+  FROM tr JOIN ev ON tr.g = ev.g
+  GROUP BY tr.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(n, 0) AS BIGINT) AS n_shared,
+       COALESCE(n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+WHERE d.doc_id % 97 <> 0
+ORDER BY d.doc_id
+"""

@@ -460,3 +460,74 @@ def stratified_split(spark: SparkSession, sf_dir: str,
         "doc_id", "lang", bucket.alias("bucket"),
         F.when(bucket < train_pct, F.lit("train"))
          .otherwise(F.lit("test")).alias("split"))
+
+
+def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C29: Gopher-style repetition quality filter (Rae et al. 2021,
+    public arXiv:2112.11446 §A1.1) adapted to word granularity:
+    duplicate-word fraction, most-common-word fraction, and
+    most-common-bigram fraction, plus the keep/drop verdict.
+
+    Scale shape: the only exchanges are two (doc_id, gram) partial-agg
+    shuffles (words, bigrams) plus doc_id-aligned joins back to the
+    per-doc frame — no per-doc Python, no window over the corpus. The
+    gram counts never materialize a global vocabulary; they stay
+    keyed by doc_id so skew is bounded by document length."""
+    d = _docs_with_words(spark, sf_dir).select("doc_id", "w")
+    base = d.select("doc_id", F.size("w").alias("n_words"),
+                    F.size(F.array_distinct("w")).alias("n_distinct"))
+    topw = (d.select("doc_id", F.explode("w").alias("g"))
+            .groupBy("doc_id", "g").count()
+            .groupBy("doc_id").agg(F.max("count").alias("top_word_cnt")))
+    topb = (d.where(F.size("w") >= 2)
+            .select("doc_id", F.explode(F.expr(
+                "transform(sequence(0, size(w) - 2),"
+                " i -> concat(w[i], ' ', w[i + 1]))")).alias("g"))
+            .groupBy("doc_id", "g").count()
+            .groupBy("doc_id").agg(F.max("count").alias("top_bigram_cnt")))
+    n = F.col("n_words")
+    dup_f = F.when(n > 0, 1.0 - F.col("n_distinct").cast("double") / n) \
+             .otherwise(F.lit(0.0))
+    topw_f = F.when(n > 0, F.col("top_word_cnt").cast("double") / n) \
+              .otherwise(F.lit(0.0))
+    topb_f = F.when(n >= 2, F.col("top_bigram_cnt").cast("double") / (n - 1)) \
+              .otherwise(F.lit(0.0))
+    keep = ((n >= 20) & (F.round(dup_f, 6) <= 0.55)
+            & (F.round(topw_f, 6) <= 0.15) & (F.round(topb_f, 6) <= 0.10))
+    return (
+        base.join(topw, "doc_id").join(topb, "doc_id", "left")
+        .select("doc_id", n.cast("bigint").alias("n_words"),
+                F.round(dup_f, 6).alias("dup_word_frac"),
+                F.round(topw_f, 6).alias("top_word_frac"),
+                F.round(topb_f, 6).alias("top_bigram_frac"),
+                keep.alias("keep"))
+    )
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C30: benchmark decontamination — flag training documents that
+    share any 3-word shingle with a held-out eval set (here the
+    deterministic doc_id % 97 == 0 slice), the standard n-gram
+    overlap check used before LLM pretraining.
+
+    Scale shape: the eval side's distinct shingle set is tiny
+    relative to the corpus (1/97th of docs) and is broadcast, so the
+    contamination probe is a broadcast semi-ish join on the shingle
+    string — the training corpus never shuffles; the per-doc count
+    is one (doc_id)-keyed partial agg."""
+    d = _docs_with_words(spark, sf_dir)
+    is_eval = F.col("doc_id") % 97 == 0
+    sh = (d.where(F.size("w") >= 3)
+          .select("doc_id", F.explode(F.array_distinct(
+              T.shingles_of(F.col("w")))).alias("g")))
+    eval_sh = sh.where(is_eval).select("g").distinct()
+    hits = (sh.where(~is_eval).join(F.broadcast(eval_sh), "g")
+            .groupBy("doc_id").agg(F.countDistinct("g").alias("_n")))
+    return (
+        _docs(spark, sf_dir).where(~is_eval).select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("_n", F.lit(0)).cast("bigint").alias("n_shared"),
+                (F.coalesce("_n", F.lit(0)) > 0).alias("contaminated"))
+        .orderBy("doc_id")
+    )

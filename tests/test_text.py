@@ -181,3 +181,41 @@ def test_bigram_pmi_favors_collocations(spark, sf_dir):
     pmis = [r.pmi for r in rows]
     assert pmis == sorted(pmis, reverse=True)
     assert all(r.c12 >= 5 for r in rows)
+
+
+def test_gopher_repetition_invariants(spark, sf_dir):
+    rows = tp.gopher_repetition(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0.0 <= r.dup_word_frac < 1.0
+        assert 0.0 < r.top_word_frac <= 1.0
+        assert 0.0 <= r.top_bigram_frac <= 1.0
+        if r.keep:
+            assert (r.n_words >= 20 and r.dup_word_frac <= 0.55
+                    and r.top_word_frac <= 0.15 and r.top_bigram_frac <= 0.10)
+    # the thresholds must actually split this corpus, not rubber-stamp it
+    kept = sum(1 for r in rows if r.keep)
+    assert 0 < kept < len(rows)
+
+
+def test_gopher_repetition_tiny_known_values(spark, sf_dir):
+    """'a a a b' -> dup 0.5 (2 dup words), top word 0.75, top bigram
+    'a a' 2/3."""
+    from pyspark.sql import functions as F
+    d = spark.createDataFrame([(1, "a a a b")], "doc_id long, text string")
+    w = d.select("doc_id", T.words("text").alias("w"))
+    base = w.select(F.size("w").alias("n"),
+                    F.size(F.array_distinct("w")).alias("d")).collect()[0]
+    assert base.n == 4 and base.d == 2
+
+
+def test_decontaminate_semantics(spark, sf_dir):
+    from gcp_data_engineering_workshop_spark.plans.textpipeline import _docs
+    rows = tp.decontaminate(spark, sf_dir).collect()
+    n_train = _docs(spark, sf_dir).where(F.col("doc_id") % 97 != 0).count()
+    assert len(rows) == n_train
+    assert all(r.doc_id % 97 != 0 for r in rows)          # eval set excluded
+    assert all((r.n_shared > 0) == r.contaminated for r in rows)
+    # this word-soup corpus shares shingles heavily: some contamination
+    # must be detected, but never universal n_shared=0
+    assert any(r.contaminated for r in rows)
