@@ -392,3 +392,39 @@ def test_stream_static_join_enriches_ticks(spark, sf_dir, tick_json_dir):
     assert by_ticker["view"].listing_venue == "NASDAQ"
     # unmatched tickers survive with null dims
     assert got.where(F.col("sector").isNull()).count() > 0
+
+
+def test_rocksdb_state_store_parity(spark, sf_dir, tick_json_dir, tmp_path):
+    """D-block at scale: the same watermarked 1-min agg running on the
+    RocksDB state store provider (state spills to disk instead of
+    living on the executor heap — the 100-TB configuration, where
+    keyed state outgrows memory). Results must be bit-identical to
+    the default provider / batch op, and the provider must actually
+    engage (rocksdb custom metrics + checkpointed state files)."""
+    s2 = spark.newSession()
+    s2.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    ckpt = str(tmp_path / "rocksdb_ckpt")
+    stream = spl.read_tick_stream(s2, tick_json_dir)
+    q = (spl.agg_1m_stream(stream)
+         .writeStream.format("memory").queryName("agg1m_rocks")
+         .outputMode("complete")
+         .option("checkpointLocation", ckpt)
+         .start())
+    q.processAllAvailable()
+    progress = q.lastProgress
+    q.stop()
+
+    got = {(r.ticker, r.window_start): (r.latest_price, r.total_volume_1m)
+           for r in s2.table("agg1m_rocks").collect()}
+    want = {(r.ticker, r.window_start): (r.latest_price, r.total_volume_1m)
+            for r in tumbling_1m(batch_ticks(spark, sf_dir)).collect()}
+    assert got == want
+
+    metrics = progress["stateOperators"][0]["customMetrics"]
+    assert any(k.startswith("rocksdb") for k in metrics)  # provider engaged
+    state_dir = os.path.join(ckpt, "state")
+    assert os.path.isdir(state_dir)
+    state_files = [f for _, _, fs in os.walk(state_dir) for f in fs]
+    assert state_files  # checkpointed RocksDB snapshots/changelogs exist
