@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_excess_suppliers": _an2.q20_excess_suppliers,
         "gopher_repetition": _tp.gopher_repetition,
         "decontaminate": _tp.decontaminate,
+        "user_overlap_sketch": _an2.user_overlap_sketch,
         "dedup_corpus": _tp.dedup_corpus,
         "sample_corpus": _tp.sample_corpus,
         "bigram_pmi": _tp.bigram_pmi,
@@ -163,6 +164,7 @@ def oracle_sql() -> dict[str, str]:
         "pivot_daily_events": _orc.PIVOT_SQL,
         "cube_revenue": _orc.CUBE_SQL,
         # approx_distinct_sketch: sketch output, rows-only + pytest bound
+        # user_overlap_sketch: theta-sketch estimates, rows-only + pytest bound
         "salted_agg_volume": _orc.SALTED_AGG_SQL,
         "stats_summary": _orc.STATS_SUMMARY_SQL,
         "session_window_stats": _orc.SESSION_WINDOW_SQL,

@@ -754,3 +754,33 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+def user_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B41: audience-overlap estimation via Datasketches theta
+    sketches — the MERGEABLE distinct-set algebra that scales where
+    COUNT(DISTINCT) does not: each partition builds a bounded-size
+    sketch, partial aggregation merges them map-side, and the
+    intersection falls out of inclusion-exclusion over three sketch
+    estimates (|A∩B| = |A| + |B| - |A∪B|). One pass over the fact,
+    one 1-row result, no exact distinct shuffle anywhere.
+
+    Rows-only oracle (estimates); accuracy vs the exact counts is
+    pytest-bounded (theta sketches are near-exact below ~16k
+    uniques, so the small-SF bound is tight)."""
+    ev = load_table(spark, "events", sf_dir)
+    is_a = F.col("event_type") == "view"
+    is_b = F.col("event_type") == "purchase"
+    sk = ev.agg(
+        F.theta_sketch_agg(F.when(is_a, F.col("user_id"))).alias("sa"),
+        F.theta_sketch_agg(F.when(is_b, F.col("user_id"))).alias("sb"),
+        F.theta_sketch_agg(
+            F.when(is_a | is_b, F.col("user_id"))).alias("su"))
+    est = sk.select(
+        F.theta_sketch_estimate("sa").alias("viewers"),
+        F.theta_sketch_estimate("sb").alias("purchasers"),
+        F.theta_sketch_estimate("su").alias("either"))
+    return est.select(
+        "viewers", "purchasers", "either",
+        (F.col("viewers") + F.col("purchasers") - F.col("either"))
+        .alias("overlap"))

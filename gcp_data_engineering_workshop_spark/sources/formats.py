@@ -65,3 +65,17 @@ def overwrite_partitions(df: DataFrame, path: str,
        .option("partitionOverwriteMode", "dynamic")
        .partitionBy(*partition_by)
        .parquet(path))
+
+
+def read_binary_files(spark: SparkSession, path: str,
+                      glob: str | None = None) -> DataFrame:
+    """E10: binaryFile reader — the ingestion path for multimodal
+    blobs (images/audio/video) into an opaque `content: binary`
+    column with (path, modificationTime, length) metadata, feeding
+    operators/multimodal.py. Spark parallelizes by file; pushdown on
+    `length`/`path` prunes at listing time; pathGlobFilter prunes
+    before any byte is read."""
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)

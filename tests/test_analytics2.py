@@ -231,3 +231,19 @@ def test_q20_dominance_semantics_tiny(spark):
     # NATION_0 IS in this tiny dim, so 3 survives here; 4 (20%) never
     # qualifies.
     assert got == [1, 2, 3]
+
+
+def test_user_overlap_sketch_bound(spark, sf_dir):
+    """Theta estimates vs exact distinct counts; sketches are exact
+    below their nominal-entries threshold, so allow 2% headroom."""
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+    from pyspark.sql import functions as F
+    got = an2.user_overlap_sketch(spark, sf_dir).collect()[0]
+    ev = load_table(spark, "events", sf_dir)
+    a = {r.user_id for r in ev.where(F.col("event_type") == "view")
+         .select("user_id").distinct().collect()}
+    b = {r.user_id for r in ev.where(F.col("event_type") == "purchase")
+         .select("user_id").distinct().collect()}
+    for est, exact in [(got.viewers, len(a)), (got.purchasers, len(b)),
+                       (got.either, len(a | b)), (got.overlap, len(a & b))]:
+        assert abs(est - exact) <= max(2, 0.02 * exact)

@@ -107,3 +107,39 @@ def test_dynamic_partition_overwrite_keeps_other_partitions(spark, sf_dir, tmp_p
     assert out.where(F.col("day") == "2024-01-02").count() == 1  # untouched
     d1 = out.where(F.col("day") == "2024-01-01").collect()
     assert len(d1) == 1 and d1[0].v == 99.0                      # replaced
+
+
+def test_binary_file_reader(spark, tmp_path):
+    import os
+    blob_dir = tmp_path / "blobs"
+    os.makedirs(blob_dir)
+    (blob_dir / "a.img").write_bytes(b"\x89IMG" + bytes(64))
+    (blob_dir / "b.img").write_bytes(b"\x89IMG" + bytes(128))
+    (blob_dir / "skip.txt").write_bytes(b"not a blob")
+    df = fmt.read_binary_files(spark, str(blob_dir), glob="*.img")
+    rows = {os.path.basename(r.path): r for r in df.collect()}
+    assert set(rows) == {"a.img", "b.img"}
+    assert rows["a.img"].length == 68 and len(rows["a.img"].content) == 68
+    assert bytes(rows["b.img"].content[:4]) == b"\x89IMG"
+
+
+def test_partition_pruning_reaches_scan(spark, sf_dir, tmp_path):
+    """E4's payoff: a filter on the partition column must prune
+    directories at planning time (PartitionFilters, partition count),
+    not scan-and-discard."""
+    from pyspark.sql import functions as F
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+    out = str(tmp_path / "events_by_type")
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "value")
+    fmt.write_partitioned_parquet(ev, out, ("event_type",))
+    got = spark.read.parquet(out).where(F.col("event_type") == "purchase")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    import re
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf is not None and "= purchase)" in pf.group(1)  # pruned at listing
+    # and the predicate must NOT fall through to a row-level filter scan
+    assert "PushedFilters: [IsNotNull(event_type)" not in plan
+    # semantic check: row parity with the unpartitioned source
+    want = ev.where(F.col("event_type") == "purchase").count()
+    assert got.count() == want
