@@ -159,3 +159,29 @@ def enriched_tick_stream(ticks: DataFrame, dim: DataFrame) -> DataFrame:
     return (ticks.join(_F.broadcast(dim), "ticker", "left")
             .select("ticker", "ts", "price", "volume",
                     "sector", "listing_venue"))
+
+
+def purchase_attribution_stream(events: DataFrame,
+                                watermark: str = "10 minutes") -> DataFrame:
+    """D13: watermarked stream-stream LEFT OUTER interval join —
+    purchases attributed to a view by the same user within the
+    preceding 10 minutes. The outer side is the part inner joins
+    (D4) cannot express: a purchase with NO qualifying view still
+    emits (null view timestamp) once the watermark passes its join
+    horizon, so unattributed conversions are never silently dropped.
+    Both sides carry watermarks; the interval condition bounds the
+    buffered state to the 10-minute horizon per side."""
+    from pyspark.sql import functions as _F
+    v = (events.where(_F.col("event_type") == "view")
+         .select(_F.col("user_id").alias("v_user"), _F.col("ts").alias("v_ts"))
+         .withWatermark("v_ts", watermark))
+    p = (events.where(_F.col("event_type") == "purchase")
+         .select("event_id", _F.col("user_id").alias("p_user"),
+                 _F.col("ts").alias("p_ts"))
+         .withWatermark("p_ts", watermark))
+    cond = ((_F.col("p_user") == _F.col("v_user"))
+            & (_F.col("v_ts") >= _F.col("p_ts") - _F.expr("INTERVAL 10 MINUTES"))
+            & (_F.col("v_ts") <= _F.col("p_ts")))
+    return (p.join(v, cond, "leftOuter")
+            .select("event_id", _F.col("p_user").alias("user_id"),
+                    "p_ts", "v_ts"))

