@@ -89,3 +89,19 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, tmp_path):
         assert "bloom_filter_agg" in plan, plan[:600]
         n_dim = dim.count()
         assert j.count() == n_dim  # unique keys: one fact row per dim row
+
+
+def test_q9_star_join_shape(spark, sf_dir):
+    """B36 plan lock: the 5-table star join must keep all three
+    dimension joins broadcast (part/supplier/nation), never
+    sort-merge them, and reach the (nation, year) agg with exactly
+    one hash-partition exchange pair — the shape that survives 100x
+    on the fact side."""
+    from gcp_data_engineering_workshop_spark.plans.analytics2 import q9_product_profit
+    df = q9_product_profit(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3   # part, supplier, nation (+AQE orders)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "partial_sum" in plan                  # map-side combine before the shuffle
+    assert "StringContains(p_name,red)" in plan   # part filter pushed to the scan
