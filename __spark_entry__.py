@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": _tp.gopher_repetition,
         "decontaminate": _tp.decontaminate,
         "user_overlap_sketch": _an2.user_overlap_sketch,
+        "props_variant_stats": _an2.props_variant_stats,
         "dedup_corpus": _tp.dedup_corpus,
         "sample_corpus": _tp.sample_corpus,
         "bigram_pmi": _tp.bigram_pmi,
@@ -199,6 +200,7 @@ def oracle_sql() -> dict[str, str]:
         "q12_priority_shipping": _orc.Q12_SQL,
         "q16_supplier_part_counts": _orc.Q16_SQL,
         "q20_excess_suppliers": _orc.Q20_SQL,
+        "props_variant_stats": _orc.PROPS_VARIANT_SQL,
         "gopher_repetition": _orc.GOPHER_REPETITION_SQL,
         "decontaminate": _orc.DECONTAMINATE_SQL,
         "dedup_corpus": _orc.DEDUP_CORPUS_SQL,

@@ -784,3 +784,26 @@ def user_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "viewers", "purchasers", "either",
         (F.col("viewers") + F.col("purchasers") - F.col("either"))
         .alias("overlap"))
+
+
+def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B42: semi-structured JSON processing via Spark 4 VariantType —
+    `parse_json` once into a binary variant, then typed path
+    extraction (`variant_get`), replacing per-field from_json schemas.
+    The variant decode is a scan-side projection (no Python, no
+    regexes); the agg is one small shuffle on event_type.
+
+    Scale note: variant parse+get is the engine-native path for
+    heterogenous JSON at 100 TB — columnar binary encoding, lazy
+    field access, no full-schema materialization per row."""
+    ev = load_table(spark, "events", sf_dir)
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("k").cast("bigint")).alias("k_sum"),
+             F.min("k").alias("k_min"),
+             F.max("k").alias("k_max"))
+        .orderBy("event_type")
+    )

@@ -1261,3 +1261,15 @@ FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
 WHERE d.doc_id % 97 <> 0
 ORDER BY d.doc_id
 """
+
+
+PROPS_VARIANT_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(SUM(CAST(props->>'$.k' AS INT)) AS BIGINT) AS k_sum,
+       MIN(CAST(props->>'$.k' AS INT)) AS k_min,
+       MAX(CAST(props->>'$.k' AS INT)) AS k_max
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
