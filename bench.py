@@ -36,6 +36,8 @@ BENCH_QUERIES = [
     "dedup_corpus",          # C22 end-to-end near-dup removal
     "q21_waiting_suppliers",  # B30 multi-EXISTS
     "bigram_pmi",            # C24 collocation mining
+    "q9_product_profit",     # B36 widest star join
+    "gopher_repetition",     # C29 repetition quality filter
 ]
 
 
