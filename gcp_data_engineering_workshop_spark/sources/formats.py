@@ -79,3 +79,19 @@ def read_binary_files(spark: SparkSession, path: str,
     if glob:
         r = r.option("pathGlobFilter", glob)
     return r.load(path)
+
+
+def observed(df: DataFrame, name: str, **metrics) -> tuple[DataFrame, "object"]:
+    """E12: pipeline observability via the Observation API — named
+    aggregate metrics (row counts, null counts, value invariants)
+    collected as a SIDE EFFECT of whatever action runs the plan: no
+    second scan, no separate monitoring query. At 100 TB a dedicated
+    `count()` for data-quality checks doubles the read; observe()
+    rides the existing pass. Works identically under streaming
+    (df.observe + QueryProgress.observedMetrics).
+
+    Returns (instrumented_df, observation); read
+    `observation.get` after an action has materialized the frame."""
+    from pyspark.sql import Observation
+    obs = Observation(name)
+    return df.observe(obs, *[v.alias(k) for k, v in metrics.items()]), obs

@@ -143,3 +143,21 @@ def test_partition_pruning_reaches_scan(spark, sf_dir, tmp_path):
     # semantic check: row parity with the unpartitioned source
     want = ev.where(F.col("event_type") == "purchase").count()
     assert got.count() == want
+
+
+def test_observation_metrics_ride_the_action(spark, sf_dir):
+    """E12: data-quality metrics come from the SAME pass as the
+    consuming action — values must equal a dedicated aggregation's."""
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+    ev = load_table(spark, "events", sf_dir)
+    inst, obs = fmt.observed(
+        ev, "quality",
+        n_rows=F.count(F.lit(1)),
+        null_users=F.sum(F.isnull("user_id").cast("bigint")),
+        max_value=F.max("value"))
+    n = inst.count()  # the action that also materializes the metrics
+    got = obs.get
+    assert got["n_rows"] == n
+    assert got["null_users"] == 0
+    want_max = ev.agg(F.max("value")).collect()[0][0]
+    assert got["max_value"] == want_max
