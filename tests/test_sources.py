@@ -161,3 +161,27 @@ def test_observation_metrics_ride_the_action(spark, sf_dir):
     assert got["null_users"] == 0
     want_max = ev.agg(F.max("value")).collect()[0][0]
     assert got["max_value"] == want_max
+
+
+def test_python_datasource_deterministic_ticks(spark):
+    """E13: the custom Python DataSource plans real partitions and
+    regenerates bit-identical data on every read (retry safety)."""
+    from gcp_data_engineering_workshop_spark.sources.pydatasource import (
+        SyntheticTickDataSource)
+    spark.dataSource.register(SyntheticTickDataSource)
+    rd = (spark.read.format("synthetic_ticks")
+          .option("n_rows", "1000").option("num_partitions", "8").load())
+    assert rd.rdd.getNumPartitions() == 8
+    a = sorted((r.tick_id, r.ticker, r.price, r.volume) for r in rd.collect())
+    b = sorted((r.tick_id, r.ticker, r.price, r.volume) for r in
+               spark.read.format("synthetic_ticks")
+               .option("n_rows", "1000").option("num_partitions", "4")
+               .load().collect())
+    assert a == b and len(a) == 1000          # partitioning-independent
+    assert len({t for _, t, _, _ in a}) == 5  # n_tickers default
+    # the source feeds the standard 1-min agg path
+    agg = (rd.groupBy("ticker", F.window("ts", "1 minute"))
+           .agg(F.sum("volume").alias("v")))
+    # each of the 5 tickers emits exactly one row per minute over 200
+    # minutes -> one group per input row
+    assert agg.count() == 1000
