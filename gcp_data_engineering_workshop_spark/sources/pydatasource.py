@@ -23,7 +23,8 @@ retry, and partitioning reproduces bit-identical values.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource, DataSourceReader, DataSourceStreamReader, InputPartition)
 
 _KNUTH = 2654435761  # Knuth multiplicative-hash constant (public domain)
 
@@ -46,6 +47,9 @@ class SyntheticTickDataSource(DataSource):
 
     def reader(self, schema) -> "SyntheticTickReader":
         return SyntheticTickReader(self.options)
+
+    def streamReader(self, schema) -> "SyntheticTickStreamReader":
+        return SyntheticTickStreamReader(self.options)
 
 
 class SyntheticTickReader(DataSourceReader):
@@ -72,3 +76,38 @@ class SyntheticTickReader(DataSourceReader):
             price = 100.0 + ((i * _KNUTH) % 10007) / 100.0
             volume = 1 + (i * 40503) % 997
             yield (i, ticker, ts, price, volume)
+
+
+class SyntheticTickStreamReader(DataSourceStreamReader):
+    """Streaming twin (E13): the same deterministic generator exposed
+    as an offset-tracked micro-batch source — the Pub/Sub-analog
+    ingestion path, but replayable: offsets are plain row indices, so
+    a restarted query re-reads exactly the rows its checkpoint says
+    (the property WAL+checkpoint recovery needs from a source).
+    Emits up to rows_per_batch rows per micro-batch until n_rows."""
+
+    def __init__(self, options):
+        self._b = SyntheticTickReader(options)
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self._latest = 0
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def latestOffset(self):
+        self._latest = min(self._latest + self.rows_per_batch,
+                           self._b.n_rows)
+        return {"i": self._latest}
+
+    def partitions(self, start, end):
+        lo, hi = start["i"], end["i"]
+        n = self._b.num_partitions
+        per = max(1, -(-(hi - lo) // n))
+        return [InputPartition((p_lo, min(p_lo + per, hi)))
+                for p_lo in range(lo, hi, per)]
+
+    def read(self, partition):
+        yield from self._b.read(partition)
+
+    def commit(self, end):
+        pass

@@ -472,3 +472,28 @@ def test_stream_stream_left_outer_join_matches_batch(spark, sf_dir, tmp_path):
     assert got == want
     assert any(vt is None for _, vt in want)  # unmatched purchases exist
     assert len(want) > len({e for e, _ in want}) or True
+
+
+def test_python_datasource_stream_reader(spark, tmp_path):
+    """E13 streaming twin: the custom source emits offset-tracked
+    micro-batches; the streamed rows must equal the batch read of the
+    same generator (replayable offsets)."""
+    from gcp_data_engineering_workshop_spark.sources.pydatasource import (
+        SyntheticTickDataSource)
+    s2 = spark.newSession()
+    s2.dataSource.register(SyntheticTickDataSource)
+    opts = {"n_rows": "200", "rows_per_batch": "60", "num_partitions": "4"}
+    rd = s2.readStream.format("synthetic_ticks").options(**opts).load()
+    q = (rd.writeStream.format("memory").queryName("pyds_stream")
+         .option("checkpointLocation", str(tmp_path / "pyds_ckpt"))
+         .outputMode("append").start())
+    q.processAllAvailable()
+    n_batches = q.lastProgress["batchId"] + 1 if q.lastProgress else 0
+    q.stop()
+    got = sorted((r.tick_id, r.ticker, r.price, r.volume)
+                 for r in s2.table("pyds_stream").collect())
+    want = sorted((r.tick_id, r.ticker, r.price, r.volume)
+                  for r in s2.read.format("synthetic_ticks")
+                  .options(**opts).load().collect())
+    assert got == want and len(got) == 200
+    assert n_batches >= 3  # 200 rows at <=60/batch -> micro-batching real
