@@ -219,3 +219,33 @@ def test_decontaminate_semantics(spark, sf_dir):
     # this word-soup corpus shares shingles heavily: some contamination
     # must be detected, but never universal n_shared=0
     assert any(r.contaminated for r in rows)
+
+
+def test_binaryfile_feeds_multimodal_decode(spark, tmp_path):
+    """E10 -> C12 end-to-end: blobs ingested via the binaryFile
+    source flow straight into the Arrow-batched decode plumbing —
+    the real multimodal ingestion topology (files -> binary column +
+    typed metadata -> mapInPandas features), codec stubbed."""
+    import os
+    from gcp_data_engineering_workshop_spark.sources.formats import (
+        read_binary_files)
+    from gcp_data_engineering_workshop_spark.operators.multimodal import (
+        decode_stub, _fake_decode)
+    d = tmp_path / "media"; os.makedirs(d)
+    payloads = {i: bytes([i] * (50 + i)) for i in range(3)}
+    for i, b in payloads.items():
+        (d / f"{i}.img").write_bytes(b)
+    blobs = read_binary_files(spark, str(d), glob="*.img")
+    media = blobs.select(
+        F.element_at(F.split(F.element_at(F.split("path", "/"), -1), "\\."),
+                     1).cast("bigint").alias("doc_id"),
+        F.struct(F.lit("image/fake").alias("media_type"),
+                 F.col("content").alias("payload"),
+                 F.col("length").alias("n_chars"),
+                 F.lit("binaryFile").alias("origin")).alias("media"))
+    out = {r.doc_id: r for r in decode_stub(media).collect()}
+    assert set(out) == {0, 1, 2}
+    for i, b in payloads.items():
+        w, h, c = _fake_decode(b)
+        assert (out[i].width, out[i].height, out[i].checksum) == (w, h, c)
+        assert out[i].n_bytes == len(b)
