@@ -62,23 +62,72 @@ def _hyperplane_bucketer(n_tables: int, n_planes: int, seed: int = 42):
     plane_mat = planes.reshape(n_tables * n_planes, -1).T  # (dim, T*P)
     weights = (1 << np.arange(n_planes)).astype(np.int64)
 
-    def _buckets(embs):
+    n_words = -(-n_tables // 16)
+
+    def _bucket_rows(embs):
         mat = np.vstack(embs.to_numpy()).astype(np.float64)  # (rows, dim)
         bits = (mat @ plane_mat >= 0).reshape(len(embs), n_tables, n_planes)
         packed = (bits * weights).sum(axis=2).astype(np.int64)  # (rows, T)
-        return pd.Series(list(packed))
+        # signature words: 4-bit groups, 16 tables per bigint — the
+        # canonical-table dedup filter (embedding_neardup_lsh) runs
+        # on these with pure integer codegen, never re-reading arrays
+        words = np.zeros((len(embs), n_words), dtype=np.int64)
+        for w in range(n_words):
+            chunk = packed[:, w * 16:(w + 1) * 16]
+            words[:, w] = (chunk << (4 * np.arange(chunk.shape[1]))).sum(axis=1)
+        return pd.DataFrame({"bks": list(packed), "sig": list(words)})
 
-    _buckets.__annotations__ = {"embs": pd.Series, "return": pd.Series}
-    buckets_udf = pandas_udf(_buckets, "array<bigint>")
+    _bucket_rows.__annotations__ = {"embs": pd.Series, "return": pd.DataFrame}
+    buckets_udf = pandas_udf(_bucket_rows,
+                             "bks array<bigint>, sig array<bigint>")
 
-    def bucketed(df: DataFrame, idc: str, emc: str) -> DataFrame:
-        tables = F.transform(
-            buckets_udf(F.col(emc)),
-            lambda b, i: F.struct(i.alias("tbl"), b.alias("bucket")))
-        return df.select(idc, emc, F.explode(tables).alias("tb")) \
-                 .select(idc, emc, "tb.tbl", "tb.bucket")
+    def bucketed(df: DataFrame, idc: str, emc: str,
+                 with_sig: bool = False) -> DataFrame:
+        assert n_planes <= 4  # 4-bit signature groups
+        base = df.select(idc, emc, buckets_udf(F.col(emc)).alias("_b"))
+        out = base.select(
+            idc, emc, "_b.sig",
+            F.explode(F.transform(
+                "_b.bks", lambda b, i: F.struct(i.alias("tbl"),
+                                                b.alias("bucket")))).alias("tb"))
+        cols = [idc, emc, "tb.tbl", "tb.bucket"]
+        if with_sig:
+            cols += [F.element_at("sig", w + 1).alias(f"sig{w}")
+                     for w in range(n_words)]
+        return out.select(*cols)
 
     return bucketed
+
+
+def _canonical_table_expr(n_tables: int) -> str:
+    """SQL predicate source for multi-table LSH WITHOUT a dedup
+    shuffle: a colliding pair is kept only in the FIRST table where
+    its bucket values agree, so every pair survives exactly once and
+    `dropDuplicates` (a full exchange of the candidate set)
+    disappears from the plan. The first-equal table index is found
+    with pure integer codegen over the packed 4-bit signature words
+    (xs0..,ys0.. columns): XOR the words, collapse each 4-bit group
+    to its occupancy bit, invert to get equal-group LSBs, then
+    lowest-set-bit via bit_count((e & -e) - 1)."""
+    n_words = -(-n_tables // 16)
+
+    def eq_groups(w: int) -> str:
+        mask = 0
+        for g in range(min(16, n_tables - w * 16)):
+            mask |= 1 << (4 * g)
+        z = f"(xs{w} ^ ys{w})"
+        occ = (f"(({z} | shiftrightunsigned({z}, 1) | "
+               f"shiftrightunsigned({z}, 2) | shiftrightunsigned({z}, 3))"
+               f" & {mask}L)")
+        return f"((~{occ}) & {mask}L)"
+
+    expr = None
+    for w in reversed(range(n_words)):
+        ew = eq_groups(w)
+        idx = f"({w * 16} + (bit_count(({ew} & -{ew}) - 1) div 4))"
+        expr = idx if expr is None else \
+            f"(CASE WHEN {ew} != 0 THEN {idx} ELSE {expr} END)"
+    return f"tbl = {expr}"
 
 
 def embedding_neardup_lsh(emb: DataFrame, tau: float = 0.4,
@@ -116,14 +165,31 @@ def embedding_neardup_lsh(emb: DataFrame, tau: float = 0.4,
     op is additionally pytest-enforced.
     """
     bucketed = _hyperplane_bucketer(n_tables, n_planes)
+    n_words = -(-n_tables // 16)
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    # explicit width on the join key: the embeddings table is small on
+    # disk, so AQE would coalesce the self-join inputs to ~1 partition
+    # and then emit the x125 join fan-out on one core (measured 3x on
+    # this op); pinning the partition count keeps the fan-out parallel
     b = bucketed(
         emb.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("e")),
-        "vid", "e").select("vid", "tbl", "bucket")
+        "vid", "e", with_sig=True).repartition(par, "tbl", "bucket")
+    x = b.select(F.col("vid").alias("vec_a"), "tbl", "bucket",
+                 *[F.col(f"sig{w}").alias(f"xs{w}") for w in range(n_words)])
+    y = b.select(F.col("vid").alias("vec_b"), "tbl", "bucket",
+                 *[F.col(f"sig{w}").alias(f"ys{w}") for w in range(n_words)])
     cand = (
-        b.alias("x").join(b.alias("y"), ["tbl", "bucket"])
-        .where(F.col("x.vid") < F.col("y.vid"))
-        .select(F.col("x.vid").alias("vec_a"), F.col("y.vid").alias("vec_b"))
-        .dropDuplicates(["vec_a", "vec_b"])
+        x.join(y, ["tbl", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        # canonical-table filter: each pair survives in exactly one
+        # table, so no dropDuplicates (16M-row partial-agg + dedup
+        # state) is needed — pairs die in codegen
+        .where(F.expr(_canonical_table_expr(n_tables)))
+        .select("vec_a", "vec_b")
+        # first-match is biased toward low tables, so the surviving
+        # pairs are skewed across the (tbl, bucket) partitions; one
+        # cheap exchange of the ID pairs rebalances the verify stage
+        .repartition("vec_a", "vec_b")
     )
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))

@@ -75,3 +75,30 @@ def test_neardup_lsh_matches_exact_pairs(spark, sf_dir):
     assert lsh == exact and len(exact) > 0
     plan = lsh_df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_canonical_table_filter_equals_dedup(spark, sf_dir):
+    """The bit-twiddled first-equal-table filter must reproduce
+    dropDuplicates EXACTLY (each colliding pair once) — it replaces
+    the dedup exchange in embedding_neardup_lsh's plan."""
+    from pyspark.sql import functions as F
+    from gcp_data_engineering_workshop_spark.operators.similarity import (
+        _hyperplane_bucketer, _canonical_table_expr)
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+    emb = load_table(spark, "embeddings", sf_dir)
+    bucketed = _hyperplane_bucketer(64, 3)
+    b = bucketed(emb.select(F.col("vec_id").alias("vid"),
+                            F.col("embedding").alias("e")),
+                 "vid", "e", with_sig=True)
+    x = b.select(F.col("vid").alias("vec_a"), "tbl", "bucket",
+                 *[F.col(f"sig{w}").alias(f"xs{w}") for w in range(4)])
+    y = b.select(F.col("vid").alias("vec_b"), "tbl", "bucket",
+                 *[F.col(f"sig{w}").alias(f"ys{w}") for w in range(4)])
+    joined = x.join(y, ["tbl", "bucket"]).where(F.col("vec_a") < F.col("vec_b"))
+    canon = joined.where(F.expr(_canonical_table_expr(64))) \
+                  .select("vec_a", "vec_b")
+    assert canon.groupBy("vec_a", "vec_b").count() \
+                .where(F.col("count") > 1).count() == 0
+    dedup = joined.select("vec_a", "vec_b").dropDuplicates(["vec_a", "vec_b"])
+    assert dedup.join(canon, ["vec_a", "vec_b"], "left_anti").count() == 0
+    assert canon.count() == dedup.count()
