@@ -111,3 +111,14 @@ class SyntheticTickStreamReader(DataSourceStreamReader):
 
     def commit(self, end):
         pass
+
+
+def register_tick_source(spark) -> None:
+    """Idempotent registration — the data source registry is
+    JVM-global, so a second register() in the same process raises
+    DATA_SOURCE_ALREADY_EXISTS."""
+    try:
+        spark.dataSource.register(SyntheticTickDataSource)
+    except Exception as e:  # AnalysisException: already registered
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(e):
+            raise

@@ -167,8 +167,8 @@ def test_python_datasource_deterministic_ticks(spark):
     """E13: the custom Python DataSource plans real partitions and
     regenerates bit-identical data on every read (retry safety)."""
     from gcp_data_engineering_workshop_spark.sources.pydatasource import (
-        SyntheticTickDataSource)
-    spark.dataSource.register(SyntheticTickDataSource)
+        register_tick_source)
+    register_tick_source(spark)
     rd = (spark.read.format("synthetic_ticks")
           .option("n_rows", "1000").option("num_partitions", "8").load())
     assert rd.rdd.getNumPartitions() == 8

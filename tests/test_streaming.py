@@ -479,9 +479,9 @@ def test_python_datasource_stream_reader(spark, tmp_path):
     micro-batches; the streamed rows must equal the batch read of the
     same generator (replayable offsets)."""
     from gcp_data_engineering_workshop_spark.sources.pydatasource import (
-        SyntheticTickDataSource)
-    s2 = spark.newSession()
-    s2.dataSource.register(SyntheticTickDataSource)
+        register_tick_source)
+    s2 = spark  # registry lookup is session-scoped; register on main
+    register_tick_source(s2)
     opts = {"n_rows": "200", "rows_per_batch": "60", "num_partitions": "4"}
     rd = s2.readStream.format("synthetic_ticks").options(**opts).load()
     q = (rd.writeStream.format("memory").queryName("pyds_stream")
