@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topterms": _tp.tfidf_topterms,
         "clean_corpus": _tp.clean_corpus,
         # -- (2) new or changed this round --
+        "heavy_hitters_cms": _tp.heavy_hitters_cms,
         "embedding_neardup_lsh": _tp.embedding_neardup_lsh,
         "q4_order_priority": _an2.q4_order_priority,
         "q21_waiting_suppliers": _an2.q21_waiting_suppliers,
@@ -179,6 +180,7 @@ def oracle_sql() -> dict[str, str]:
         "train_test_split": _orc.TRAIN_TEST_SPLIT_SQL,
         "text_scrub": _orc.TEXT_SCRUB_SQL,
         "vocab_topk": _orc.VOCAB_TOPK_SQL,
+        "heavy_hitters_cms": _orc.HEAVY_HITTERS_SQL,
         "tfidf_topterms": _orc.TFIDF_SQL,
         "clean_corpus": _orc.CLEAN_CORPUS_SQL,
         "dedup_exact": _orc.DEDUP_EXACT_SQL,

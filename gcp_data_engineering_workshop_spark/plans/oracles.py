@@ -1273,3 +1273,34 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# C31 count-min heavy hitters: the d=4 x w=1024 grid is replayed
+# cell-for-cell — same KR token hash, same bigint row hashes
+# ((h*a+b) % P % w), same min-over-rows estimate, same top-k order.
+HEAVY_HITTERS_SQL = f"""
+WITH {_WORDS_CTE.strip()},
+toks AS (SELECT unnest(w) AS token FROM wt),
+th AS (SELECT token, {_KR.format(s='token')} AS h FROM toks),
+params(r, a, b) AS (
+  VALUES (0, 1103515245, 12345), (1, 69069, 362437),
+         (2, 1664525, 1013904223), (3, 214013, 2531011)
+),
+cells AS (
+  SELECT p.r AS r, ((th.h * p.a + p.b) % 2147483647) % 1024 AS bucket,
+         count(*) AS cnt
+  FROM th CROSS JOIN params p
+  GROUP BY 1, 2
+),
+vocab AS (SELECT token, min(h) AS h FROM th GROUP BY token),
+est AS (
+  SELECT v.token, min(c.cnt) AS est_count
+  FROM vocab v
+  CROSS JOIN params p
+  JOIN cells c
+    ON c.r = p.r AND c.bucket = ((v.h * p.a + p.b) % 2147483647) % 1024
+  GROUP BY v.token
+)
+SELECT token, CAST(est_count AS BIGINT) AS est_count
+FROM est ORDER BY est_count DESC, token LIMIT 50
+"""

@@ -531,3 +531,31 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.coalesce("_n", F.lit(0)) > 0).alias("contaminated"))
         .orderBy("doc_id")
     )
+
+
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str,
+                      k: int = 50) -> DataFrame:
+    """C31: heavy-hitter tokens via a count-min sketch (operators/
+    sketch.py) — mergeable bounded-memory counting where the exact
+    vocab groupBy stops scaling.
+
+    The sketch build's shuffle key space is FIXED at d*w = 4096
+    cells (map-side combine collapses each partition to <= 4096 rows
+    no matter the corpus size), the grid is broadcast for point
+    queries, and shard sketches merge by cell-wise sum (pytest-
+    proven exact). Candidate identities come from the distinct-token
+    table here; at stream/multi-corpus scale the same grid answers
+    point queries with NO raw-token re-scan, which is the operation
+    the exact count can't offer. est >= true always (CMS one-sided
+    error); the top-k by estimate is TakeOrderedAndProject, never a
+    global sort. Oracle-exact: the KR token hash and the d bigint
+    row hashes replay identically in DuckDB."""
+    from gcp_data_engineering_workshop_spark.operators import sketch as SK
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(T.words("text")).alias("token"))
+    grid = SK.cm_build(toks, "token")
+    vocab = toks.distinct()
+    est = SK.cm_estimate(vocab, "token", grid)
+    return (est.select("token", F.col("est_count").cast("bigint")
+                       .alias("est_count"))
+            .orderBy(F.col("est_count").desc(), "token").limit(k))
