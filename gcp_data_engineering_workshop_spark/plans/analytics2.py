@@ -410,10 +410,21 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the order key with the supplier inequality as a residual
     condition — no row explosion, two key-partitioned shuffles.
     Supplier and nation dims are broadcast."""
-    orders = load_table(spark, "orders", sf_dir).where(
+    return _q21_core(load_table(spark, "orders", sf_dir),
+                     load_table(spark, "lineitem", sf_dir),
+                     load_table(spark, "supplier", sf_dir),
+                     load_table(spark, "nation", sf_dir))
+
+
+def _q21_core(orders: DataFrame, li: DataFrame, supp: DataFrame,
+              nation: DataFrame) -> DataFrame:
+    """Q21 join topology on caller-provided frames — the bucketed
+    variant (tests/test_bucketing.py) feeds orderkey-bucketed
+    lineitem/orders so the fact join AND both EXISTS self-joins run
+    exchange-free on the write-time partitioning."""
+    orders = orders.where(
         F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
-    li = load_table(spark, "lineitem", sf_dir).select(
-        "l_orderkey", "l_suppkey", "l_shipdate")
+    li = li.select("l_orderkey", "l_suppkey", "l_shipdate")
     lines = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
         "l_orderkey", "l_suppkey",
         (F.col("l_shipdate") > F.col("o_orderdate")
@@ -432,9 +443,8 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(other_late, (F.col("ok") == F.col("ok3"))
               & (F.col("sk") != F.col("sk3")), "left_anti")
     )
-    supp = load_table(spark, "supplier", sf_dir).select(
-        "s_suppkey", "s_name", "s_nationkey")
-    nation = load_table(spark, "nation", sf_dir).where(
+    supp = supp.select("s_suppkey", "s_name", "s_nationkey")
+    nation = nation.where(
         F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
     return (
         waiting.join(F.broadcast(supp), waiting.sk == supp.s_suppkey)
@@ -599,15 +609,24 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     intermediate), both dims broadcast, and only (orderkey, amount,
     nationkey) survive into the orders join. All money math is
     decimal-exact; the output cast to double happens after the sum."""
-    part = load_table(spark, "part", sf_dir).where(
+    return _q9_core(load_table(spark, "lineitem", sf_dir),
+                    load_table(spark, "orders", sf_dir),
+                    load_table(spark, "part", sf_dir),
+                    load_table(spark, "supplier", sf_dir),
+                    load_table(spark, "nation", sf_dir))
+
+
+def _q9_core(li: DataFrame, orders: DataFrame, part: DataFrame,
+             supp: DataFrame, nation: DataFrame) -> DataFrame:
+    """Q9 join topology on caller-provided frames — the bucketed
+    variant (tests/test_bucketing.py) feeds orderkey-bucketed
+    lineitem/orders so the one big-big join runs exchange-free."""
+    part = part.where(
         F.col("p_name").contains("red")).select("p_partkey", "p_retailprice")
-    supp = load_table(spark, "supplier", sf_dir).select(
-        "s_suppkey", "s_nationkey")
-    nation = load_table(spark, "nation", sf_dir).select(
-        "n_nationkey", "n_name")
-    orders = load_table(spark, "orders", sf_dir).select(
-        "o_orderkey", "o_orderdate")
-    li = load_table(spark, "lineitem", sf_dir).select(
+    supp = supp.select("s_suppkey", "s_nationkey")
+    nation = nation.select("n_nationkey", "n_name")
+    orders = orders.select("o_orderkey", "o_orderdate")
+    li = li.select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
         "l_extendedprice", "l_discount")
     amount = _revenue() - _dec("p_retailprice") * _dec("l_quantity")
