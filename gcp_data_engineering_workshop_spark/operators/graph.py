@@ -26,13 +26,17 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     Returns (doc_id, component) where component = min node id in the
     component. Checkpoint-free: each iteration's frame is small
     (nodes that appear in any edge)."""
-    # persist: the edge list (often an expensive upstream join, e.g.
-    # an O(n^2) jaccard) is re-read every iteration AND for the
-    # convergence check — without this the whole upstream recomputes
-    # per round.
-    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-           .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))))
-    sym = sym.persist()
+    from pyspark.sql import Observation
+
+    # persist the PROJECTED edges BEFORE symmetrizing: the union's
+    # two branches would otherwise each recompute the (often
+    # expensive) upstream pair join — measured as the whole minhash
+    # pipeline running twice inside one job. With the cache, the
+    # first branch materializes it once and the mirror branch reads
+    # the cache.
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
+    sym = e.union(e.select(F.col("b").alias("a"),
+                           F.col("a").alias("b"))).persist()
     labels = (sym.select(F.col("a").alias("node"))
               .distinct()
               .withColumn("label", F.col("node"))
@@ -43,31 +47,37 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("label").alias("nlabel"))
         )
+        # Fused convergence check: the changed-label count rides the
+        # label-update pass as an Observation metric, so each round
+        # is ONE job — no second join-the-old-labels action. A label
+        # only ever decreases, so "changed" is exactly "some
+        # neighbor's min beat my label".
+        obs = Observation(f"cc_round_{i}")
         new_labels = (
             labels.join(neighbor_min, "node", "left")
             .select("node",
                     F.least(F.col("label"),
-                            F.coalesce("nlabel", F.col("label"))).alias("label"))
+                            F.coalesce("nlabel", F.col("label"))).alias("label"),
+                    (F.coalesce("nlabel", F.col("label"))
+                     < F.col("label")).cast("long").alias("_chg"))
+            .observe(obs, F.sum("_chg").alias("changed"))
+            .select("node", "label")
+            .persist()
         )
-        # Every few rounds, cut the lineage: each iteration's plan
-        # nests the previous one, so on long-diameter graphs (path-
-        # like chains, max_iter rounds) the plan tree would grow
-        # without bound and re-plan cost with it. localCheckpoint
-        # materializes the frame and truncates the logical plan.
-        if (i + 1) % 5 == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
-        else:
-            new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n").join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1).count()
-        )
+        new_labels.count()  # materializes the cache AND the metric
+        changed = obs.get["changed"] or 0
         # the superseded round's labels are never read again — free
         # the executor memory instead of accumulating one cached
         # frame per round
         labels.unpersist()
         labels = new_labels
+        # Every few rounds, cut the lineage: each iteration's plan
+        # nests the previous one, so on long-diameter graphs (path-
+        # like chains, max_iter rounds) the plan tree would grow
+        # without bound and re-plan cost with it. localCheckpoint
+        # truncates the logical plan (on the already-hot cache).
+        if (i + 1) % 5 == 0:
+            labels = labels.localCheckpoint(eager=True)
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"),
