@@ -161,6 +161,29 @@ def enriched_tick_stream(ticks: DataFrame, dim: DataFrame) -> DataFrame:
                     "sector", "listing_venue"))
 
 
+def cm_sketch_stream(docs: DataFrame) -> DataFrame:
+    """D14: count-min sketch as streaming state — the streaming twin
+    of plans.textpipeline.heavy_hitters_cms (C31). Token occurrences
+    from a document stream accumulate into the d x w = 4096-cell
+    grid; in complete output mode the streaming aggregation state IS
+    the sketch, and each micro-batch's contribution folds in as the
+    cell-wise sum — exactly the ``cm_merge`` mergeable-state law, so
+    the final grid is bit-identical to the batch sketch over the
+    same corpus (pytest parity in tests/test_streaming.py).
+
+    Why this shape survives a 100 TB stream: the aggregation key
+    space is FIXED at 4096 (r, bucket) cells regardless of vocab
+    size, so state never grows, no watermark is needed, and map-side
+    partial aggregation collapses every micro-batch partition to
+    <= 4096 rows before the stateful exchange. An exact streaming
+    token count would need unbounded vocab-sized state; the grid
+    answers any later frequency point-query with no corpus re-scan."""
+    from gcp_data_engineering_workshop_spark.functions import textfns as T
+    from gcp_data_engineering_workshop_spark.operators.sketch import cm_build
+    toks = docs.select(F.explode(T.words("text")).alias("token"))
+    return cm_build(toks, "token")
+
+
 def purchase_attribution_stream(events: DataFrame,
                                 watermark: str = "10 minutes") -> DataFrame:
     """D13: watermarked stream-stream LEFT OUTER interval join —

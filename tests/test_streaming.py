@@ -497,3 +497,34 @@ def test_python_datasource_stream_reader(spark, tmp_path):
                   .options(**opts).load().collect())
     assert got == want and len(got) == 200
     assert n_batches >= 3  # 200 rows at <=60/batch -> micro-batching real
+
+
+def test_cm_sketch_stream_matches_batch_grid(spark, sf_dir, tmp_path):
+    """D14: the streaming CMS grid (complete mode, micro-batched
+    document stream) must be bit-identical to the batch cm_build
+    over the same corpus — the mergeable-state law applied by the
+    streaming agg state itself."""
+    from gcp_data_engineering_workshop_spark.functions import textfns as T
+    from gcp_data_engineering_workshop_spark.operators.sketch import cm_build
+
+    docs = (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select("doc_id", "text"))
+    d = str(tmp_path / "docstream")
+    # 4 files -> multiple micro-batches with maxFilesPerTrigger=1
+    docs.repartition(4).write.mode("overwrite").json(d)
+
+    stream = (spark.readStream.schema("doc_id bigint, text string")
+              .option("maxFilesPerTrigger", 1).json(d))
+    q = (spl.cm_sketch_stream(stream)
+         .writeStream.format("memory").queryName("cms_stream")
+         .outputMode("complete").start())
+    q.processAllAvailable()
+    n_batches = q.lastProgress["batchId"] + 1 if q.lastProgress else 0
+    q.stop()
+
+    got = {(r.r, r.bucket): r.cnt
+           for r in spark.table("cms_stream").collect()}
+    toks = docs.select(F.explode(T.words("text")).alias("token"))
+    want = {(r.r, r.bucket): r.cnt for r in cm_build(toks, "token").collect()}
+    assert got == want
+    assert n_batches >= 3  # the merge across micro-batches was real
