@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus": _tp.clean_corpus,
         # -- (2) new or changed this round --
         "heavy_hitters_cms": _tp.heavy_hitters_cms,
+        "embedding_neardup_blocked": _tp.embedding_neardup_blocked,
         "embedding_neardup_lsh": _tp.embedding_neardup_lsh,
         "q4_order_priority": _an2.q4_order_priority,
         "q21_waiting_suppliers": _an2.q21_waiting_suppliers,
@@ -190,6 +191,9 @@ def oracle_sql() -> dict[str, str]:
         # LSH twin carries the SAME oracle as the exact op: per-pair
         # candidate-miss prob ~9e-9 (see operators/similarity.py)
         "embedding_neardup_lsh": _orc.EMBEDDING_NEARDUP_SQL,
+        # blocked twin is EXACT (triangle-inequality pruning, no
+        # probabilistic recall): same oracle by construction
+        "embedding_neardup_blocked": _orc.EMBEDDING_NEARDUP_SQL,
         "q4_order_priority": _orc.Q4_SQL,
         "q21_waiting_suppliers": _orc.Q21_SQL,
         "q13_customer_distribution": _orc.Q13_SQL,

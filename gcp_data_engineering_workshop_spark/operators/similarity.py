@@ -202,6 +202,127 @@ def embedding_neardup_lsh(emb: DataFrame, tau: float = 0.4,
     )
 
 
+def _blocked_candidates(emb: DataFrame, tau: float,
+                        n_blocks: int, sample_size: int) -> DataFrame:
+    """Candidate stage of embedding_neardup_blocked: (vec_a, vec_b,
+    ea, eb) with every qualifying pair present EXACTLY once (no dedup
+    shuffle) and provably no qualifying pair pruned. Split out so the
+    pruning power is testable independently of the verify stage."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    spark = emb.sparkSession
+    sample = np.vstack([
+        np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.select("embedding").limit(sample_size).collect()])
+    cent = _kmeans_centroids(sample, n_blocks)
+
+    def _assign(embs):
+        mat = np.vstack(embs.to_numpy()).astype(np.float64)
+        dots = np.clip(mat @ cent.T, -1.0, 1.0)  # (rows, k)
+        cid = dots.argmax(axis=1).astype(np.int32)
+        r = np.arccos(dots[np.arange(len(cid)), cid])
+        return pd.DataFrame(
+            {"cid": cid, "r": r, "dots": list(dots)})
+
+    _assign.__annotations__ = {"embs": pd.Series, "return": pd.DataFrame}
+    assign_udf = pandas_udf(
+        _assign, "cid int, r double, dots array<double>")
+
+    assigned = (
+        emb.select("vec_id", "embedding", assign_udf("embedding").alias("_a"))
+        .select("vec_id", "embedding", "_a.cid", "_a.r", "_a.dots")
+        .persist())
+    # bounded collect: k rows of (cluster, angular radius) — same
+    # legitimacy class as the IVF quantizer sample above
+    radii = {int(row["cid"]): float(row["mr"]) for row in
+             assigned.groupBy("cid").agg(F.max("r").alias("mr")).collect()}
+    R = np.array([radii.get(i, 0.0) for i in range(n_blocks)])
+    theta = float(np.arccos(np.clip(tau, -1.0, 1.0)))
+    cang = np.arccos(np.clip(cent @ cent.T, -1.0, 1.0))
+
+    def cos_gate(j: int) -> float:
+        """Partner-side per-vector gate: x can only reach some
+        y in C_j if angle(x, c_j) <= theta + R_j (triangle
+        inequality), i.e. dot(x, c_j) >= cos(theta + R_j)."""
+        a = theta + R[j]
+        return -1.0 if a >= np.pi else float(np.cos(a))
+
+    pairs = [(bid, i, j, cos_gate(j), cos_gate(i), i == j)
+             for bid, (i, j) in enumerate(
+                 (i, j) for i in range(n_blocks) for j in range(i, n_blocks)
+                 if cang[i, j] <= theta + R[i] + R[j])]
+    pairs_df = spark.createDataFrame(
+        pairs, "block_id int, ci int, cj int, gx double, gy double, "
+               "same boolean")
+
+    x = (assigned.join(F.broadcast(pairs_df), assigned.cid == pairs_df.ci)
+         .where(F.element_at("dots", F.col("cj") + 1) >= F.col("gx"))
+         .select("block_id", "same", F.col("vec_id").alias("id_x"),
+                 F.col("embedding").alias("ex")))
+    y = (assigned.join(F.broadcast(pairs_df), assigned.cid == pairs_df.cj)
+         .where(F.element_at("dots", F.col("ci") + 1) >= F.col("gy"))
+         .select("block_id", F.col("vec_id").alias("id_y"),
+                 F.col("embedding").alias("ey")))
+    return (
+        x.join(y, "block_id")
+        # same-cluster blocks self-join: keep one orientation; cross
+        # blocks already emit each pair once (clusters differ), so
+        # canonicalizing ids needs no dedup exchange anywhere
+        .where(~F.col("same") | (F.col("id_x") < F.col("id_y")))
+        .select(F.least("id_x", "id_y").alias("vec_a"),
+                F.greatest("id_x", "id_y").alias("vec_b"),
+                F.col("ex").alias("ea"), F.col("ey").alias("eb"))
+    )
+
+
+def embedding_neardup_blocked(emb: DataFrame, tau: float = 0.4,
+                              n_blocks: int = 16,
+                              sample_size: int = 2048) -> DataFrame:
+    """C32: EXACT threshold near-dup pairs via angular cluster
+    pruning — the deterministic scale path next to the probabilistic
+    LSH twin (embedding_neardup_lsh). Same output contract and the
+    same DuckDB oracle as embedding_neardup_pairs, but with a
+    guarantee the LSH path can't give: zero missed pairs by
+    construction, not by 1-9e-9 probability.
+
+    How it prunes without a similarity gap ASSUMPTION (the §7.12
+    'L2AP-style' goal; L2AP's prefix filter needs sparse vectors, so
+    for dense embeddings the equivalent exact tool is the triangle
+    inequality on the sphere):
+      - k seeded centroids (driver-sampled k-means, as ann_ivf);
+        one Arrow matmul assigns every vector its cluster, its
+        angular radius r, and its dot to ALL centroids;
+      - block-pair level: clusters (i, j) can contain a qualifying
+        pair only if angle(c_i, c_j) <= theta_tau + R_i + R_j
+        (R = cluster angular radius); other block pairs never join;
+      - vector level: within a surviving block pair, x in C_i can
+        reach some y in C_j only if angle(x, c_j) <= theta_tau + R_j
+        — a codegen filter on the precomputed dots array that cuts
+        replication BEFORE the join;
+      - each pair survives in exactly one block pair (its unordered
+        cluster pair), so there is no dedup shuffle; the exact-dot
+        einsum verify (dot_pandas) keeps only dot >= tau.
+    Both bounds are exact consequences of the triangle inequality,
+    so correctness never depends on the data: on a corpus whose
+    near-threshold background hugs tau (this synthetic one) the gates
+    stay open and the op degrades to distributed block-matmul at
+    Arrow/BLAS speed — the honest floor for an exact join with no
+    gap — while on clustered corpora the block matrix goes sparse
+    and the candidate count collapses (pytest-proven on a separated
+    corpus: >90% of pairs pruned before the verify stage).
+    Parallelism scales with k (block pairs are the join keys):
+    k ~ sqrt(cluster cores) keeps every executor fed."""
+    cand = _blocked_candidates(emb, tau, n_blocks, sample_size)
+    pair_dot = dot_pandas()
+    return (
+        cand.select("vec_a", "vec_b",
+                    F.round(pair_dot(F.col("ea"), F.col("eb")), 6)
+                     .alias("dot_sim"))
+        .where(F.col("dot_sim") >= tau)
+    )
+
+
 def ann_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
     """C6: brute-force top-k neighbors for the first n_queries
     vectors. Output: query_id, neighbor_id, dot_sim, rank."""

@@ -59,6 +59,14 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_neardup_lsh(_emb(spark, sf_dir), tau=0.4)
 
 
+def embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C32 exact scale twin: angular-cluster-pruned threshold pairs —
+    triangle-inequality block pruning + exact einsum verify, zero
+    missed pairs by construction (same oracle as embedding_neardup,
+    as an exactness guarantee rather than a 1-9e-9 probability)."""
+    return S.embedding_neardup_blocked(_emb(spark, sf_dir), tau=0.4)
+
+
 def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6: brute-force cosine/dot top-5 for the first 10 vectors."""
     return S.ann_topk(_emb(spark, sf_dir), n_queries=10, k=5)

@@ -77,6 +77,50 @@ def test_neardup_lsh_matches_exact_pairs(spark, sf_dir):
     assert "NestedLoop" not in plan and "Cartesian" not in plan
 
 
+def test_neardup_blocked_matches_exact_pairs(spark, sf_dir):
+    """C32: the angular-cluster-pruned threshold join is EXACT —
+    equality vs all-pairs is a theorem (triangle inequality), not a
+    recall bound — and its plan has no nested-loop/cartesian join."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    exact = {(r.vec_a, r.vec_b, r.dot_sim)
+             for r in S.embedding_neardup_pairs(emb, tau=0.4).collect()}
+    blk_df = S.embedding_neardup_blocked(emb, tau=0.4)
+    blk = {(r.vec_a, r.vec_b, r.dot_sim) for r in blk_df.collect()}
+    assert blk == exact and len(exact) > 0
+    plan = blk_df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_neardup_blocked_prunes_clustered_corpus(spark):
+    """C32 pruning power: on a corpus with real cluster structure
+    (8 separated clusters, within-sim ~0.95+, cross-sim ~0) the
+    block-pair matrix goes sparse and >80% of all-pairs candidates
+    die BEFORE the verify stage — while the output still equals the
+    exact all-pairs result."""
+    import numpy as np
+    rng = np.random.default_rng(7)
+    rows = []
+    for vid in range(200):
+        c = vid % 8
+        v = 0.03 * rng.standard_normal(64)
+        v[c] += 1.0
+        v /= np.linalg.norm(v)
+        rows.append((vid, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    n = len(rows)
+    all_pairs = n * (n - 1) // 2
+    cand = S._blocked_candidates(emb, tau=0.9, n_blocks=16, sample_size=200)
+    n_cand = cand.count()
+    assert n_cand < 0.2 * all_pairs, \
+        f"pruned too little: {n_cand}/{all_pairs} candidates survived"
+    exact = {(r.vec_a, r.vec_b, r.dot_sim)
+             for r in S.embedding_neardup_pairs(emb, tau=0.9).collect()}
+    blk = {(r.vec_a, r.vec_b, r.dot_sim)
+           for r in S.embedding_neardup_blocked(
+               emb, tau=0.9, n_blocks=16, sample_size=200).collect()}
+    assert blk == exact and len(exact) > 0
+
+
 def test_canonical_table_filter_equals_dedup(spark, sf_dir):
     """The bit-twiddled first-equal-table filter must reproduce
     dropDuplicates EXACTLY (each colliding pair once) — it replaces
