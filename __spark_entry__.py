@@ -54,6 +54,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus": _tp.clean_corpus,
         # -- (2) new or changed this round --
         "heavy_hitters_cms": _tp.heavy_hitters_cms,
+        "temperature_sample": _tp.temperature_sample,
+        "pack_sequences": _tp.pack_sequences,
         "embedding_neardup_blocked": _tp.embedding_neardup_blocked,
         "embedding_neardup_lsh": _tp.embedding_neardup_lsh,
         "q4_order_priority": _an2.q4_order_priority,
@@ -182,6 +184,8 @@ def oracle_sql() -> dict[str, str]:
         "text_scrub": _orc.TEXT_SCRUB_SQL,
         "vocab_topk": _orc.VOCAB_TOPK_SQL,
         "heavy_hitters_cms": _orc.HEAVY_HITTERS_SQL,
+        "temperature_sample": _orc.TEMPERATURE_SAMPLE_SQL,
+        "pack_sequences": _orc.PACK_SEQUENCES_SQL,
         "tfidf_topterms": _orc.TFIDF_SQL,
         "clean_corpus": _orc.CLEAN_CORPUS_SQL,
         "dedup_exact": _orc.DEDUP_EXACT_SQL,

@@ -1304,3 +1304,56 @@ est AS (
 SELECT token, CAST(est_count AS BIGINT) AS est_count
 FROM est ORDER BY est_count DESC, token LIMIT 50
 """
+
+TEMPERATURE_SAMPLE_SQL = f"""
+WITH h AS (
+  SELECT doc_id, lang, {_KR.format(s=_NORM)} AS hh FROM documents
+),
+c AS (SELECT lang, count(*) AS n_g FROM documents GROUP BY lang),
+m AS (SELECT min(n_g) AS n_min FROM c),
+t AS (
+  SELECT lang,
+         CAST(floor(sqrt(CAST(n_g * n_min AS DOUBLE))) AS BIGINT) AS t_g
+  FROM c CROSS JOIN m
+),
+r AS (
+  SELECT doc_id, lang, hh,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rn
+  FROM h
+)
+SELECT r.doc_id, r.lang, CAST(r.rn AS BIGINT) AS sample_rank
+FROM r JOIN t ON r.lang = t.lang
+WHERE r.rn <= t.t_g
+"""
+
+# the same greedy first-fit fold as pack_sequences, replayed as a
+# recursive CTE in deterministic (h, doc_id) order per bucket
+PACK_SEQUENCES_SQL = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id,
+         {_KR.format(s=_NORM)} AS h,
+         CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT doc_id, h, n_tokens, CAST(h % 8 AS INTEGER) AS bucket,
+         ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS rn
+  FROM base
+),
+packed AS (
+  SELECT bucket, doc_id, n_tokens, rn,
+         CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS slot,
+         n_tokens AS acc
+  FROM b WHERE rn = 1
+  UNION ALL
+  SELECT o.bucket, o.doc_id, o.n_tokens, o.rn,
+         CASE WHEN p.acc + o.n_tokens > 128
+              THEN p.pack_id + 1 ELSE p.pack_id END,
+         CASE WHEN p.acc + o.n_tokens > 128
+              THEN CAST(0 AS BIGINT) ELSE p.slot + 1 END,
+         CASE WHEN p.acc + o.n_tokens > 128
+              THEN o.n_tokens ELSE p.acc + o.n_tokens END
+  FROM b o JOIN packed p ON o.bucket = p.bucket AND o.rn = p.rn + 1
+)
+SELECT doc_id, bucket, pack_id, slot, n_tokens FROM packed
+"""

@@ -567,3 +567,97 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str,
     return (est.select("token", F.col("est_count").cast("bigint")
                        .alias("est_count"))
             .orderBy(F.col("est_count").desc(), "token").limit(k))
+
+
+def temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C33: temperature-based multilingual mixture rebalancing
+    (alpha = 0.5) — sample each language g proportionally to
+    n_g^alpha instead of n_g, the standard fix for head languages
+    drowning the tail in multilingual training mixes. With
+    max-rate normalization (the binding minority stratum keeps
+    100%) the per-language target collapses to a closed form:
+
+        t_g = floor(sqrt(n_g * n_min))
+
+    — the geometric mean of the stratum size and the smallest
+    stratum. sqrt is IEEE-correctly-rounded, so unlike pow(n, a)
+    the target is bit-identical across engines: the DuckDB oracle
+    reproduces it exactly. Selection is content-addressed: rank by
+    (Karp-Rabin hash of normalized text, doc_id) within language,
+    keep rank <= t_g — re-runs and replicas agree with no
+    coordination and no RNG.
+
+    Scale: one count agg + one rank window partitioned by language.
+    The rank window sorts each stratum; at 100 TB swap the exact
+    rank for a hash-threshold cutoff (approx quantile of h at
+    t_g/n_g per language, one pass, no sort) — same expected
+    mixture, no per-stratum sort. The exact-rank form is kept here
+    because it is deterministic and oracle-checkable to the row."""
+    from pyspark.sql.window import Window
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", T.kr_hash(T.normalize("text")).alias("h"))
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_g"))
+    n_min = counts.agg(F.min("n_g").alias("n_min"))
+    targets = (counts.crossJoin(F.broadcast(n_min))
+               .select("lang", F.floor(
+                   F.sqrt(F.col("n_g") * F.col("n_min"))).alias("t_g")))
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (d.withColumn("sample_rank", F.row_number().over(w))
+            .join(F.broadcast(targets), "lang")
+            .where(F.col("sample_rank") <= F.col("t_g"))
+            .select("doc_id", "lang",
+                    F.col("sample_rank").cast("bigint").alias("sample_rank")))
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str,
+                   budget: int = 128, n_buckets: int = 8) -> DataFrame:
+    """C34: sequence packing — greedy first-fit of documents into
+    fixed token-budget training sequences, the step between a clean
+    corpus and a trainer that wants dense fixed-length batches.
+
+    Packing is an inherently sequential fold, so the scalable form
+    is BUCKET-LOCAL greedy: documents hash (content-addressed KR
+    hash % n_buckets) into buckets, and within a bucket the fold
+    runs in deterministic (h, doc_id) order — one shuffle on
+    bucket, then one Arrow-batched applyInPandas pass per bucket.
+    A global greedy pack would serialize the corpus through one
+    task and is NOT what real pipelines do; bucket-local packing
+    loses nothing (pack quality depends only on the doc-length
+    distribution, which every hash bucket shares) and scales by
+    raising n_buckets with the cluster. Docs longer than the budget
+    become singleton packs (chunk them first with doc_chunking,
+    C15). Emits one row per document: (doc_id, bucket, pack_id,
+    slot, n_tokens) with pack_id bucket-local and slot the position
+    inside the pack. Oracle: the same greedy fold as a DuckDB
+    recursive CTE over the same (h, doc_id) order — exact row
+    parity, proving the distributed fold loses no determinism."""
+    d = (_docs(spark, sf_dir)
+         .select("doc_id",
+                 T.kr_hash(T.normalize("text")).alias("h"),
+                 F.size(T.words("text")).cast("bigint").alias("n_tokens"))
+         .withColumn("bucket", (F.col("h") % n_buckets).cast("int")))
+
+    def _pack(pdf):
+        pdf = (pdf.sort_values(["h", "doc_id"], kind="mergesort")
+               .reset_index(drop=True))
+        pids, slots = [], []
+        pid, acc, slot = 0, 0, 0
+        for tok in pdf["n_tokens"]:
+            if acc and acc + tok > budget:
+                pid += 1
+                acc, slot = 0, 0
+            acc += int(tok)
+            pids.append(pid)
+            slots.append(slot)
+            slot += 1
+        pdf["pack_id"] = pids
+        pdf["slot"] = slots
+        out = pdf[["doc_id", "bucket", "pack_id", "slot", "n_tokens"]]
+        return out.astype({"doc_id": "int64", "bucket": "int32",
+                           "pack_id": "int64", "slot": "int64",
+                           "n_tokens": "int64"})
+
+    return d.groupBy("bucket").applyInPandas(
+        _pack,
+        "doc_id bigint, bucket int, pack_id bigint, slot bigint, "
+        "n_tokens bigint")

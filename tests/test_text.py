@@ -249,3 +249,50 @@ def test_binaryfile_feeds_multimodal_decode(spark, tmp_path):
         w, h, c = _fake_decode(b)
         assert (out[i].width, out[i].height, out[i].checksum) == (w, h, c)
         assert out[i].n_bytes == len(b)
+
+
+def test_temperature_sample_mixture_invariants(spark, sf_dir):
+    """C33: targets are floor(sqrt(n_g * n_min)) — the minority
+    language keeps everything, every other language is downsampled
+    toward the geometric mean with the minority, and selection is
+    the deterministic content-hash rank prefix (re-run identical)."""
+    import math
+    docs = tp._docs(spark, sf_dir)
+    n_by_lang = {r.lang: r.c for r in
+                 docs.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    n_min = min(n_by_lang.values())
+    out = tp.temperature_sample(spark, sf_dir)
+    got = {r.lang: r.c for r in
+           out.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    for lang, n_g in n_by_lang.items():
+        assert got[lang] == math.floor(math.sqrt(n_g * n_min))
+    min_lang = min(n_by_lang, key=n_by_lang.get)
+    assert got[min_lang] == n_by_lang[min_lang]  # binding stratum: keep all
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, tp.temperature_sample(spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_pack_sequences_greedy_invariants(spark, sf_dir):
+    """C34: within every (bucket, pack) the token sum fits the
+    budget unless the pack is a single over-long doc; slots are
+    dense from 0; every doc appears exactly once; and the fold is
+    genuinely greedy — no pack could have absorbed the FIRST doc of
+    the next pack (the defining first-fit property)."""
+    budget = 128
+    out = tp.pack_sequences(spark, sf_dir, budget=budget).collect()
+    n_docs = tp._docs(spark, sf_dir).count()
+    assert len(out) == n_docs and len({r.doc_id for r in out}) == n_docs
+    from collections import defaultdict
+    packs = defaultdict(list)
+    for r in out:
+        packs[(r.bucket, r.pack_id)].append(r)
+    for (bucket, pid), rows in packs.items():
+        rows.sort(key=lambda r: r.slot)
+        assert [r.slot for r in rows] == list(range(len(rows)))
+        total = sum(r.n_tokens for r in rows)
+        assert total <= budget or len(rows) == 1
+        nxt = packs.get((bucket, pid + 1))
+        if nxt:
+            first_next = min(nxt, key=lambda r: r.slot)
+            assert total + first_next.n_tokens > budget
