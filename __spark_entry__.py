@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_cms": _tp.heavy_hitters_cms,
         "temperature_sample": _tp.temperature_sample,
         "pack_sequences": _tp.pack_sequences,
+        "assign_ids": _tp.assign_ids,
         "embedding_neardup_blocked": _tp.embedding_neardup_blocked,
         "embedding_neardup_lsh": _tp.embedding_neardup_lsh,
         "q4_order_priority": _an2.q4_order_priority,
@@ -186,6 +187,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters_cms": _orc.HEAVY_HITTERS_SQL,
         "temperature_sample": _orc.TEMPERATURE_SAMPLE_SQL,
         "pack_sequences": _orc.PACK_SEQUENCES_SQL,
+        "assign_ids": _orc.ASSIGN_IDS_SQL,
         "tfidf_topterms": _orc.TFIDF_SQL,
         "clean_corpus": _orc.CLEAN_CORPUS_SQL,
         "dedup_exact": _orc.DEDUP_EXACT_SQL,

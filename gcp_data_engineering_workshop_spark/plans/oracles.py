@@ -1357,3 +1357,14 @@ packed AS (
 )
 SELECT doc_id, bucket, pack_id, slot, n_tokens FROM packed
 """
+
+ASSIGN_IDS_SQL = f"""
+WITH h AS (
+  SELECT doc_id, {_KR.format(s=_NORM)} AS hh FROM documents
+)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY hh, doc_id) AS BIGINT) AS global_id,
+       CAST((ROW_NUMBER() OVER (ORDER BY hh, doc_id) - 1) % 16 AS INTEGER)
+         AS shard
+FROM h
+"""

@@ -661,3 +661,23 @@ def pack_sequences(spark: SparkSession, sf_dir: str,
         _pack,
         "doc_id bigint, bucket int, pack_id bigint, slot bigint, "
         "n_tokens bigint")
+
+
+def assign_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C35: dense global training-example IDs in content-hash order
+    via operators/ids.py — global ROW_NUMBER semantics with NO
+    unpartitioned Window: range-partition on the key, rank locally,
+    add per-partition offsets (a bounded one-row-per-partition
+    collect). Also emits the contiguous shard each example lands in
+    (global_id bucketed into 16 shards), the downstream layout a
+    trainer reads. Oracle: plain ROW_NUMBER() OVER (ORDER BY h,
+    doc_id) — proving the two-pass distributed form IS the global
+    rank."""
+    from gcp_data_engineering_workshop_spark.operators import ids as I
+    d = _docs(spark, sf_dir).select(
+        "doc_id", T.kr_hash(T.normalize("text")).alias("h"))
+    out = I.assign_global_ids(d, ["h", "doc_id"], n_parts=8)
+    n_shards = 16
+    return out.select(
+        "doc_id", "global_id",
+        ((F.col("global_id") - 1) % n_shards).cast("int").alias("shard"))

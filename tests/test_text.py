@@ -296,3 +296,21 @@ def test_pack_sequences_greedy_invariants(spark, sf_dir):
         if nxt:
             first_next = min(nxt, key=lambda r: r.slot)
             assert total + first_next.n_tokens > budget
+
+
+def test_assign_ids_dense_rank_no_global_sort(spark, sf_dir):
+    """C35: IDs are exactly 1..N in (content-hash, doc_id) order —
+    dense, deterministic across re-runs — and the plan contains NO
+    single-partition exchange: the global rank comes from range
+    partitions + local ranks + offsets, never from funneling the
+    table through one task."""
+    out_df = tp.assign_ids(spark, sf_dir)
+    out = out_df.collect()
+    n = tp._docs(spark, sf_dir).count()
+    ids = sorted(r.global_id for r in out)
+    assert ids == list(range(1, n + 1))
+    assert all(r.shard == (r.global_id - 1) % 16 for r in out)
+    again = {r.doc_id: r.global_id for r in tp.assign_ids(spark, sf_dir).collect()}
+    assert {r.doc_id: r.global_id for r in out} == again
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
