@@ -95,3 +95,44 @@ def observed(df: DataFrame, name: str, **metrics) -> tuple[DataFrame, "object"]:
     from pyspark.sql import Observation
     obs = Observation(name)
     return df.observe(obs, *[v.alias(k) for k, v in metrics.items()]), obs
+
+
+def compact_parquet(spark: SparkSession, src: str, dst: str,
+                    target_bytes: int = 128 * 1024 * 1024) -> int:
+    """E14: small-file compaction — rewrite a parquet directory into
+    ceil(total_bytes / target_bytes) files. The silent 100-TB killer
+    is the opposite direction: a streaming sink or over-parallel
+    writer leaves millions of KB-sized files, and every downstream
+    scan pays a task per file plus a listing that dwarfs the read.
+
+    Sizing comes from the file listing (inputFiles + FS status), not
+    a count() pass over the data. The rewrite uses coalesce(), not
+    repartition(): shrinking the partition count is a narrow
+    dependency — each output task reads a handful of input files
+    directly, NO shuffle of the table. repartition() would be
+    correct too but pays a full exchange for nothing unless the data
+    also needs rebalancing. Returns the number of files written."""
+    import math
+    from urllib.parse import urlparse
+
+    df = spark.read.parquet(src)
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for uri in df.inputFiles():
+        p = jvm.org.apache.hadoop.fs.Path(uri)
+        total += p.getFileSystem(hconf).getFileStatus(p).getLen()
+    n_out = max(1, math.ceil(total / target_bytes))
+    df.coalesce(n_out).write.mode("overwrite").parquet(dst)
+    out = spark.read.parquet(dst)
+    return len(out.inputFiles())
+
+
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """E15: schema-evolution read — mergeSchema unions the schemas
+    of every file footer (an O(files) metadata pass, no data read),
+    so a column added mid-stream appears table-wide with nulls for
+    the old files. Off by default because footer-merging 100 TB of
+    files per query is waste; turn it on at the READ that follows an
+    evolution, then rewrite or register the unified schema."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -185,3 +185,37 @@ def test_python_datasource_deterministic_ticks(spark):
     # each of the 5 tickers emits exactly one row per minute over 200
     # minutes -> one group per input row
     assert agg.count() == 1000
+
+
+def test_compact_parquet_shrinks_file_count(spark, sf_dir, tmp_path):
+    """E14: 64 tiny files compact to the size-derived target count
+    with identical data, and the rewrite plan is shuffle-free
+    (coalesce = narrow dependency, no Exchange)."""
+    src, dst = str(tmp_path / "tiny"), str(tmp_path / "compact")
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    d.repartition(64).write.parquet(src)
+    assert len(spark.read.parquet(src).inputFiles()) == 64
+    n_files = fmt.compact_parquet(spark, src, dst,
+                                  target_bytes=64 * 1024 * 1024)
+    assert n_files == 1  # well under one 64MB target
+    before = sorted(map(tuple, d.collect()))
+    after = sorted(map(tuple, spark.read.parquet(dst).collect()))
+    assert before == after
+    plan = (spark.read.parquet(src).coalesce(1)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """E15: a column added by a later batch appears table-wide under
+    mergeSchema, null for pre-evolution files; the plain read keeps
+    the old schema (footer merging is opt-in)."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id bigint, v string") \
+        .write.parquet(path)
+    spark.createDataFrame([(2, "b", 9.5)], "id bigint, v string, score double") \
+        .write.mode("append").parquet(path)
+    merged = fmt.read_parquet_evolving(spark, path)
+    assert set(merged.columns) == {"id", "v", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 9.5
