@@ -203,11 +203,23 @@ def embedding_neardup_lsh(emb: DataFrame, tau: float = 0.4,
 
 
 def _blocked_candidates(emb: DataFrame, tau: float,
-                        n_blocks: int, sample_size: int) -> DataFrame:
+                        n_blocks: int, sample_size: int,
+                        salt: int = 1) -> DataFrame:
     """Candidate stage of embedding_neardup_blocked: (vec_a, vec_b,
     ea, eb) with every qualifying pair present EXACTLY once (no dedup
     shuffle) and provably no qualifying pair pruned. Split out so the
-    pruning power is testable independently of the verify stage."""
+    pruning power is testable independently of the verify stage.
+
+    ``salt`` is the skew valve for when a single cluster pair
+    outgrows an executor (a mega-cluster makes its (i,i) block
+    quadratic no matter how k is chosen): each surviving block pair
+    fans out into salt^2 sub-keys — x carries its own id-hash salt
+    and replicates over the partner's salt values, y the mirror — so
+    every (x, y) still meets at EXACTLY one key, (block, sx, sy).
+    Exactness and the no-dedup property are untouched; the join key
+    cardinality multiplies by salt^2 and the biggest partition
+    shrinks by the same factor. salt=1 keeps the un-replicated
+    plan."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -264,8 +276,16 @@ def _blocked_candidates(emb: DataFrame, tau: float,
          .where(F.element_at("dots", F.col("ci") + 1) >= F.col("gy"))
          .select("block_id", F.col("vec_id").alias("id_y"),
                  F.col("embedding").alias("ey")))
+    join_keys = ["block_id"]
+    if salt > 1:
+        salts = F.array(*[F.lit(i) for i in range(salt)])
+        x = (x.withColumn("sx", F.pmod(F.xxhash64("id_x"), salt).cast("int"))
+             .withColumn("sy", F.explode(salts)))
+        y = (y.withColumn("sy", F.pmod(F.xxhash64("id_y"), salt).cast("int"))
+             .withColumn("sx", F.explode(salts)))
+        join_keys = ["block_id", "sx", "sy"]
     return (
-        x.join(y, "block_id")
+        x.join(y, join_keys)
         # same-cluster blocks self-join: keep one orientation; cross
         # blocks already emit each pair once (clusters differ), so
         # canonicalizing ids needs no dedup exchange anywhere
@@ -278,7 +298,8 @@ def _blocked_candidates(emb: DataFrame, tau: float,
 
 def embedding_neardup_blocked(emb: DataFrame, tau: float = 0.4,
                               n_blocks: int = 16,
-                              sample_size: int = 2048) -> DataFrame:
+                              sample_size: int = 2048,
+                              salt: int = 1) -> DataFrame:
     """C32: EXACT threshold near-dup pairs via angular cluster
     pruning — the deterministic scale path next to the probabilistic
     LSH twin (embedding_neardup_lsh). Same output contract and the
@@ -312,8 +333,12 @@ def embedding_neardup_blocked(emb: DataFrame, tau: float = 0.4,
     and the candidate count collapses (pytest-proven on a separated
     corpus: >90% of pairs pruned before the verify stage).
     Parallelism scales with k (block pairs are the join keys):
-    k ~ sqrt(cluster cores) keeps every executor fed."""
-    cand = _blocked_candidates(emb, tau, n_blocks, sample_size)
+    k ~ sqrt(cluster cores) keeps every executor fed; when one
+    natural cluster dominates the corpus (its (i,i) block is
+    quadratic regardless of k), ``salt`` fans each block pair into
+    salt^2 sub-keys without touching exactness — see
+    _blocked_candidates."""
+    cand = _blocked_candidates(emb, tau, n_blocks, sample_size, salt)
     pair_dot = dot_pandas()
     return (
         cand.select("vec_a", "vec_b",

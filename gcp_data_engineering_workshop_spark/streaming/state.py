@@ -107,9 +107,14 @@ def _detect(key: Tuple[Any, ...],
                 st["ai_sentiment"] = float(row.ai_sentiment)
                 st["ai_summary"] = row.ai_summary
 
-    state.update((st["open_minute"], st["latest_ts"], st["latest_price"],
-                  st["high_price"], st["total_volume"], st["total_value"],
-                  st["ai_sentiment"], st["ai_summary"], history))
+    # A group can be invoked with ZERO input rows once a timeout is
+    # configured (timeout tick with no new data): st stays None when
+    # there was also no prior state, and updating would crash. Guard
+    # so switching timeoutConf later cannot break the operator.
+    if st is not None:
+        state.update((st["open_minute"], st["latest_ts"], st["latest_price"],
+                      st["high_price"], st["total_volume"], st["total_value"],
+                      st["ai_sentiment"], st["ai_summary"], history))
     cols = [c.split()[0] for c in SPIKE_OUTPUT_SCHEMA.split(", ")]
     yield pd.DataFrame(out, columns=cols)
 

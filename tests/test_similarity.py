@@ -146,3 +146,21 @@ def test_canonical_table_filter_equals_dedup(spark, sf_dir):
     dedup = joined.select("vec_a", "vec_b").dropDuplicates(["vec_a", "vec_b"])
     assert dedup.join(canon, ["vec_a", "vec_b"], "left_anti").count() == 0
     assert canon.count() == dedup.count()
+
+
+def test_neardup_blocked_salted_is_exact_and_unduplicated(spark, sf_dir):
+    """C32 skew valve: salting block pairs into salt^2 sub-keys
+    changes the physical fan-out only — the candidate multiset still
+    contains every pair exactly once (count identical to unsalted)
+    and the verified output still equals the exact all-pairs set."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    plain = S._blocked_candidates(emb, tau=0.4, n_blocks=16,
+                                  sample_size=2048, salt=1).count()
+    salted = S._blocked_candidates(emb, tau=0.4, n_blocks=16,
+                                   sample_size=2048, salt=4).count()
+    assert salted == plain
+    exact = {(r.vec_a, r.vec_b, r.dot_sim)
+             for r in S.embedding_neardup_pairs(emb, tau=0.4).collect()}
+    got = {(r.vec_a, r.vec_b, r.dot_sim)
+           for r in S.embedding_neardup_blocked(emb, tau=0.4, salt=4).collect()}
+    assert got == exact and len(exact) > 0
