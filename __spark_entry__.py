@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": _tp.temperature_sample,
         "pack_sequences": _tp.pack_sequences,
         "assign_ids": _tp.assign_ids,
+        "domain_cap": _tp.domain_cap,
+        "heavy_hitters_stream_scale": _tp.heavy_hitters_stream_scale,
         "embedding_neardup_blocked": _tp.embedding_neardup_blocked,
         "embedding_neardup_lsh": _tp.embedding_neardup_lsh,
         "q4_order_priority": _an2.q4_order_priority,
@@ -188,6 +190,10 @@ def oracle_sql() -> dict[str, str]:
         "temperature_sample": _orc.TEMPERATURE_SAMPLE_SQL,
         "pack_sequences": _orc.PACK_SEQUENCES_SQL,
         "assign_ids": _orc.ASSIGN_IDS_SQL,
+        "domain_cap": _orc.DOMAIN_CAP_SQL,
+        # same oracle as C31: identical output contract, candidates
+        # provably cover the top-k range on this corpus (pytest)
+        "heavy_hitters_stream_scale": _orc.HEAVY_HITTERS_SQL,
         "tfidf_topterms": _orc.TFIDF_SQL,
         "clean_corpus": _orc.CLEAN_CORPUS_SQL,
         "dedup_exact": _orc.DEDUP_EXACT_SQL,

@@ -122,3 +122,31 @@ def cm_estimate(candidates: DataFrame, col: str,
         .groupBy(col)
         .agg(F.min("cnt").alias("est_count"))
     )
+
+
+def cm_local_topk_candidates(items: DataFrame, col: str,
+                             k_local: int = 200) -> DataFrame:
+    """Stream-scale candidate generation for heavy hitters: the
+    distinct-key table that feeds cm_estimate in the batch plan
+    (heavy_hitters_cms) is itself unbounded — at web scale (or in a
+    stream) "SELECT DISTINCT token" is the thing you can no longer
+    afford. The classic fix: each partition keeps only its LOCAL
+    top-k_local counts (one Counter pass over the partition's Arrow
+    batches, NO shuffle of the raw keys), and the union of local
+    winners — at most k_local x partitions rows — is the candidate
+    set. A key with global share s has expected share s in every
+    hash partition, so true heavy hitters are locally heavy
+    everywhere; only keys near the k_local boundary can flicker,
+    and the CMS estimate (not the local count) still ranks the
+    final top-k. The only shuffle in the candidate path is the
+    dedup of the tiny winner union."""
+    import pandas as pd
+
+    def local_top(batches):
+        from collections import Counter
+        c: Counter = Counter()
+        for pdf in batches:
+            c.update(pdf[col])
+        yield pd.DataFrame({col: [k for k, _ in c.most_common(k_local)]})
+
+    return items.mapInPandas(local_top, f"{col} string").distinct()

@@ -1368,3 +1368,20 @@ SELECT doc_id,
          AS shard
 FROM h
 """
+
+DOMAIN_CAP_SQL = f"""
+WITH h AS (
+  SELECT doc_id, source, {_KR.format(s=_NORM)} AS hh FROM documents
+),
+t AS (SELECT source, count(*) AS src_total FROM documents GROUP BY source),
+r AS (
+  SELECT doc_id, source, hh,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn
+  FROM h
+)
+SELECT r.doc_id, r.source, CAST(r.rn AS BIGINT) AS src_rank,
+       CAST(t.src_total AS BIGINT) AS src_total,
+       t.src_total > 20 AS clipped
+FROM r JOIN t ON r.source = t.source
+WHERE r.rn <= 20
+"""

@@ -681,3 +681,54 @@ def assign_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "global_id",
         ((F.col("global_id") - 1) % n_shards).cast("int").alias("shard"))
+
+
+def domain_cap(spark: SparkSession, sf_dir: str, cap: int = 20) -> DataFrame:
+    """C36: per-source document cap — the anti-spam guard every
+    web-corpus pipeline runs (one domain must not dominate the mix,
+    CommonCrawl-style). Keeps at most `cap` docs per source, chosen
+    by the pipeline's uniform selection primitive (content-hash rank
+    prefix, shared deliberately with temperature_sample C33: one
+    auditable sampling rule everywhere), and reports per-source
+    totals so clipped domains are visible downstream. Scale: one
+    count agg + one rank window partitioned by source; a pathological
+    mega-domain makes a hot rank partition — cap it first with a
+    cheap pre-filter on hash mod (keep-rate ~ cap/n_g) before exact
+    ranking, the same two-tier trick as C33's quantile note."""
+    from pyspark.sql.window import Window
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", T.kr_hash(T.normalize("text")).alias("h"))
+    totals = d.groupBy("source").agg(F.count("*").alias("src_total"))
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (d.withColumn("src_rank", F.row_number().over(w))
+            .where(F.col("src_rank") <= cap)
+            .join(F.broadcast(totals), "source")
+            .select("doc_id", "source",
+                    F.col("src_rank").cast("bigint").alias("src_rank"),
+                    F.col("src_total").cast("bigint").alias("src_total"),
+                    (F.col("src_total") > cap).alias("clipped")))
+
+
+def heavy_hitters_stream_scale(spark: SparkSession, sf_dir: str,
+                               k: int = 50) -> DataFrame:
+    """C37: heavy hitters with BOUNDED candidate generation — same
+    output contract as heavy_hitters_cms (C31), but the candidate
+    identities come from per-partition local top-k winners
+    (operators/sketch.py cm_local_topk_candidates) instead of the
+    unbounded DISTINCT-token table, which is the piece of C31 that
+    stops scaling first (the grid itself is already fixed-size).
+    This is the full stream-scale topology: fixed CMS grid for
+    counts + local-winner union for identities — nothing in the
+    plan grows with the corpus except linearly-scanned input.
+    Shares C31's oracle: on this corpus the local winners cover the
+    entire candidate range, so the top-k by estimate is identical
+    (pytest asserts output equality with C31 directly)."""
+    from gcp_data_engineering_workshop_spark.operators import sketch as SK
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(T.words("text")).alias("token"))
+    grid = SK.cm_build(toks, "token")
+    cand = SK.cm_local_topk_candidates(toks, "token", k_local=4 * k)
+    est = SK.cm_estimate(cand, "token", grid)
+    return (est.select("token", F.col("est_count").cast("bigint")
+                       .alias("est_count"))
+            .orderBy(F.col("est_count").desc(), "token").limit(k))

@@ -314,3 +314,42 @@ def test_assign_ids_dense_rank_no_global_sort(spark, sf_dir):
     assert {r.doc_id: r.global_id for r in out} == again
     plan = out_df._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_domain_cap_invariants(spark, sf_dir):
+    """C36: no source exceeds the cap, totals are the true
+    per-source counts, clipped flags exactly the sources whose
+    total exceeded the cap, and selection is the hash-rank prefix
+    (deterministic re-run)."""
+    cap = 7
+    out = tp.domain_cap(spark, sf_dir, cap=cap).collect()
+    truth = {r.source: r.c for r in
+             tp._docs(spark, sf_dir).groupBy("source")
+               .agg(F.count("*").alias("c")).collect()}
+    from collections import Counter
+    kept = Counter(r.source for r in out)
+    for src, n in truth.items():
+        assert kept[src] == min(n, cap)
+    for r in out:
+        assert r.src_total == truth[r.source]
+        assert r.clipped == (truth[r.source] > cap)
+        assert 1 <= r.src_rank <= cap
+    again = sorted(map(tuple, tp.domain_cap(spark, sf_dir, cap=cap).collect()))
+    assert sorted(map(tuple, out)) == again
+
+
+def test_heavy_hitters_stream_scale_equals_batch(spark, sf_dir):
+    """C37: bounded local-top-k candidate generation reproduces the
+    full DISTINCT-candidate result of C31 exactly, while the
+    candidate set stays bounded by k_local x partitions."""
+    batch = [(r.token, r.est_count)
+             for r in tp.heavy_hitters_cms(spark, sf_dir).collect()]
+    stream = [(r.token, r.est_count)
+              for r in tp.heavy_hitters_stream_scale(spark, sf_dir).collect()]
+    assert stream == batch and len(batch) > 0
+    from gcp_data_engineering_workshop_spark.operators import sketch as SK
+    toks = tp._docs(spark, sf_dir).select(
+        F.explode(T.words("text")).alias("token"))
+    n_parts = toks.rdd.getNumPartitions()
+    cand = SK.cm_local_topk_candidates(toks, "token", k_local=200)
+    assert cand.count() <= 200 * n_parts
