@@ -19,11 +19,14 @@ TABLES = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
-# The driver's parquet stores timestamps as INT64 TIMESTAMP(NANOS),
-# which Spark can only read as raw long nanos (nanosAsLong). Convert
-# to microsecond timestamps (truncating, the same thing DuckDB does
-# when it surfaces them as TIMESTAMP). Session timezone is pinned to
-# UTC so the values collect identically to the oracle's naive ones.
+# The driver's parquet timestamp encoding has varied across rounds:
+# INT64 TIMESTAMP(NANOS) (Spark reads raw long nanos under
+# nanosAsLong) and INT64 TIMESTAMP(MICROS, isAdjustedToUTC=false)
+# (Spark reads TIMESTAMP_NTZ). Normalize both to the session-local
+# TIMESTAMP type, with the session timezone pinned to UTC so the
+# wall-clock fields are preserved and values collect identically to
+# the oracle's naive ones. Downstream code (unix_micros, window lag
+# arithmetic) requires plain TIMESTAMP.
 _NANO_TS_COLS = {
     "events": ("ts",),
     "orders": ("o_orderdate",),
@@ -49,6 +52,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
         # mantissa, so float division would corrupt the low digits.
         if dtypes.get(c) == "bigint":
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        elif dtypes.get(c) == "timestamp_ntz":
+            # NTZ -> LTZ cast reinterprets the wall clock in the
+            # session zone; with UTC pinned this is value-preserving.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -12,6 +12,8 @@ that is joined on the same key daily.
 
 from __future__ import annotations
 
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -20,6 +22,14 @@ def write_bucketed(df: DataFrame, table: str, keys: tuple[str, ...],
     """Materialize a table bucketed (and optionally sorted) by the
     join keys. Pays one shuffle now to never shuffle this join key
     again."""
+    spark = df.sparkSession
+    # A crashed prior run can leave the warehouse directory on disk
+    # with no metastore entry; saveAsTable then fails with
+    # LOCATION_ALREADY_EXISTS even in overwrite mode. Clear both.
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = warehouse.removeprefix("file:") + "/" + table.lower()
+    shutil.rmtree(loc, ignore_errors=True)
     w = df.write.mode("overwrite").bucketBy(n_buckets, *keys)
     if sort:
         w = w.sortBy(*keys)
