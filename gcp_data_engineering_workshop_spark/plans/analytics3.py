@@ -1,0 +1,184 @@
+"""Round-3 analytics widening (SURVEY.md §2 B-block, B43-B47):
+window-frame, set-operator, grouping-set, and slowly-changing-
+dimension shapes that round out the engine's ANSI surface.
+
+Same discipline as plans/analytics.py / analytics2.py: decimal-exact
+money math cast to double at the boundary, aggregate-before-window so
+frames run over reduced frames, deterministic orderings, and no
+unpartitioned windows on the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gcp_data_engineering_workshop_spark.catalog import load_table
+
+_DEC = "decimal(18,4)"
+
+
+def _dec(col: str):
+    return F.col(col).cast(_DEC)
+
+
+def rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B43: trailing 7-day revenue per order priority — a RANGE-frame
+    window (interval-based, not row-count-based), the shape behind
+    every "rolling 7/28-day metric" dashboard.
+
+    Scale posture: the raw fact table is aggregated to (priority,
+    day) FIRST — one map-side-combinable shuffle — so the range
+    window runs over ~|priorities| x |days| rows, not 100 TB of
+    lineitems. The frame orders by epoch-day (unix_date) with an
+    integer [-6, 0] range, which is exactly "this day and the 6
+    calendar days before it" including days absent from the data —
+    semantics a ROWS frame cannot express when days are missing.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    daily = (
+        orders
+        .select(F.col("o_orderpriority"),
+                F.to_date("o_orderdate").alias("day"),
+                F.col("o_totalprice"))
+        .groupBy("o_orderpriority", "day")
+        .agg(F.sum(_dec("o_totalprice")).alias("day_rev"),
+             F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = (Window.partitionBy("o_orderpriority")
+         .orderBy(F.unix_date(F.col("day")))
+         .rangeBetween(-6, 0))
+    return daily.select(
+        "o_orderpriority", "day",
+        F.sum("day_rev").over(w).cast("double").alias("rev_7d"),
+        F.sum("n_orders").over(w).alias("n_orders_7d"),
+    )
+
+
+def value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B44: NTILE(10) decile bucketing of event values per event
+    type, then per-decile stats — the standard "distribution by
+    bucket" report and the percentile-bucket primitive quantile-based
+    features build on.
+
+    The NTILE window is partitioned by event_type (never global) and
+    made deterministic with an (value, event_id) total order so tied
+    values land in a reproducible bucket. Decimal-exact sum crosses
+    the oracle boundary as double.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select("event_type", "value", "event_id")
+        .withColumn("decile", F.ntile(10).over(w))
+        .groupBy("event_type", "decile")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("value").alias("lo"),
+             F.max("value").alias("hi"),
+             F.sum(F.col("value").cast("decimal(18,6)"))
+              .cast("double").alias("sum_value"))
+    )
+
+
+def retention_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B45: INTERSECT / EXCEPT set operators — first-week vs
+    last-week user retention. 'retained' = active both weeks
+    (INTERSECT), 'churned' = first week only (EXCEPT), 'new' = last
+    week only (EXCEPT reversed).
+
+    Set ops plan as distinct-aggregated joins (left-semi / left-anti
+    over hashed keys), so each segment costs one shuffle on user_id
+    over the pre-filtered, pre-distinct week frames — the filters
+    push to the scan.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    wk1 = (ev.where(F.col("ts") < F.lit("2024-01-08 00:00:00"))
+           .select("user_id").distinct())
+    wkn = (ev.where(F.col("ts") >= F.lit("2024-01-24 00:00:00"))
+           .select("user_id").distinct())
+
+    def seg(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")) \
+                 .select(F.lit(name).alias("segment"), "n_users")
+
+    return (
+        seg("retained", wk1.intersect(wkn))
+        .unionAll(seg("churned", wk1.subtract(wkn)))
+        .unionAll(seg("new", wkn.subtract(wk1)))
+    )
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B46: explicit GROUPING SETS — ((year, status), (year), ()) —
+    the asymmetric aggregation lattice neither ROLLUP (B7) nor CUBE
+    (B18) expresses: per-status detail within a year plus the year
+    total plus the grand total, WITHOUT the (status) margin a CUBE
+    would force. One pass over the fact table; Spark expands the sets
+    map-side, so the fact scan is paid once.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    o = orders.select(
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.col("o_orderstatus"), F.col("o_totalprice"))
+    return (
+        o.groupingSets([["order_year", "o_orderstatus"], ["order_year"], []],
+                       "order_year", "o_orderstatus")
+        .agg(F.sum(_dec("o_totalprice")).cast("double").alias("total_revenue"),
+             F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B47: Slowly-Changing-Dimension Type 2 build — apply a change
+    batch to a dimension, closing superseded rows with an effective
+    end date and inserting the new version, keeping full history.
+    The warehouse-maintenance counterpart of B28's MERGE upsert.
+
+    The change batch is derived deterministically from the data:
+    customers with orders on/after 2000-01-01 move to an activity
+    tier ('UPGRADED-GOLD' at >= 3 such orders, else 'UPGRADED-STD').
+    Each dimension row is read ONCE: a single left join against the
+    aggregated change batch, then an inline array-of-struct explode
+    emits either the one unchanged current row or the closed-old +
+    new-current pair — no second scan, no union of two dimension
+    reads. At 100 TB the join shuffles on the dimension key once
+    (or free with both sides bucketed by custkey, see E7).
+    """
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    eff = F.lit("2000-01-01").cast("date")
+    upd = (
+        orders.where(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00"))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_recent"))
+        .select(F.col("o_custkey"),
+                F.when(F.col("n_recent") >= 3, F.lit("UPGRADED-GOLD"))
+                 .otherwise(F.lit("UPGRADED-STD")).alias("new_segment"))
+    )
+    j = cust.join(upd, cust.c_custkey == upd.o_custkey, "left")
+    base_from = F.lit("1990-01-01").cast("date")
+    null_date = F.lit(None).cast("date")
+    versions = F.when(
+        F.col("new_segment").isNull(),
+        F.array(F.struct(F.col("c_mktsegment").alias("segment"),
+                         base_from.alias("valid_from"),
+                         null_date.alias("valid_to"),
+                         F.lit(True).alias("is_current")))
+    ).otherwise(
+        F.array(
+            F.struct(F.col("c_mktsegment").alias("segment"),
+                     base_from.alias("valid_from"),
+                     eff.alias("valid_to"),
+                     F.lit(False).alias("is_current")),
+            F.struct(F.col("new_segment").alias("segment"),
+                     eff.alias("valid_from"),
+                     null_date.alias("valid_to"),
+                     F.lit(True).alias("is_current")),
+        )
+    )
+    return (
+        j.select("c_custkey", "c_name", F.explode(versions).alias("v"))
+        .select("c_custkey", "c_name", "v.segment", "v.valid_from",
+                "v.valid_to", "v.is_current")
+    )

@@ -1385,3 +1385,86 @@ SELECT r.doc_id, r.source, CAST(r.rn AS BIGINT) AS src_rank,
 FROM r JOIN t ON r.source = t.source
 WHERE r.rn <= 20
 """
+
+# ---------------------------------------------------------------------------
+# r3 B-block widening (plans/analytics3.py)
+# ---------------------------------------------------------------------------
+
+ROLLING_7D_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS day_rev,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, day,
+       CAST(SUM(day_rev) OVER w AS DOUBLE) AS rev_7d,
+       CAST(SUM(n_orders) OVER w AS BIGINT) AS n_orders_7d
+FROM daily
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY day - DATE '1970-01-01'
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+VALUE_DECILES_SQL = """
+WITH d AS (
+  SELECT event_type, value,
+         ntile(10) OVER (PARTITION BY event_type
+                         ORDER BY value, event_id) AS decile
+  FROM events
+)
+SELECT event_type, CAST(decile AS INT) AS decile,
+       count(*) AS n_events,
+       min(value) AS lo, max(value) AS hi,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM d GROUP BY event_type, decile
+"""
+
+RETENTION_SET_OPS_SQL = """
+WITH wk1 AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+), wkn AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE ts >= TIMESTAMP '2024-01-24 00:00:00'
+)
+SELECT 'retained' AS segment, count(*) AS n_users
+FROM (SELECT user_id FROM wk1 INTERSECT SELECT user_id FROM wkn)
+UNION ALL
+SELECT 'churned', count(*)
+FROM (SELECT user_id FROM wk1 EXCEPT SELECT user_id FROM wkn)
+UNION ALL
+SELECT 'new', count(*)
+FROM (SELECT user_id FROM wkn EXCEPT SELECT user_id FROM wk1)
+"""
+
+GROUPING_SETS_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+       o_orderstatus,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
+       count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((order_year, o_orderstatus), (order_year), ())
+"""
+
+SCD2_SQL = """
+WITH upd AS (
+  SELECT o_custkey,
+         CASE WHEN count(*) >= 3 THEN 'UPGRADED-GOLD'
+              ELSE 'UPGRADED-STD' END AS new_segment
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  GROUP BY o_custkey
+)
+SELECT c.c_custkey, c.c_name, c.c_mktsegment AS segment,
+       DATE '1990-01-01' AS valid_from,
+       CASE WHEN u.o_custkey IS NULL THEN NULL
+            ELSE DATE '2000-01-01' END AS valid_to,
+       u.o_custkey IS NULL AS is_current
+FROM customer c LEFT JOIN upd u ON c.c_custkey = u.o_custkey
+UNION ALL
+SELECT c.c_custkey, c.c_name, u.new_segment AS segment,
+       DATE '2000-01-01' AS valid_from,
+       NULL AS valid_to, true AS is_current
+FROM customer c JOIN upd u ON c.c_custkey = u.o_custkey
+"""

@@ -1,0 +1,104 @@
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from gcp_data_engineering_workshop_spark.catalog import load_table
+from gcp_data_engineering_workshop_spark.plans import analytics3 as an3
+
+
+def test_rolling_7d_covers_trailing_days(spark, sf_dir):
+    rows = an3.rolling_7d_revenue(spark, sf_dir).collect()
+    assert len(rows) > 0
+    # hand-verify one (priority, day): rev_7d equals the sum of the
+    # daily revenue over [day-6, day]
+    target = rows[len(rows) // 2]
+    orders = load_table(spark, "orders", sf_dir)
+    lo = target.day - dt.timedelta(days=6)
+    expect = (orders
+              .where((F.col("o_orderpriority") == target.o_orderpriority)
+                     & (F.to_date("o_orderdate") >= F.lit(lo))
+                     & (F.to_date("o_orderdate") <= F.lit(target.day)))
+              .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                   .cast("double"))
+              ).collect()[0][0]
+    assert abs(target.rev_7d - expect) < 1e-6
+
+
+def test_rolling_7d_plan_aggregates_before_window(spark, sf_dir):
+    # the RANGE window must consume the reduced daily frame, not the
+    # raw fact table: the plan has a partial+final HashAggregate
+    # BELOW the Window node
+    plan = an3.rolling_7d_revenue(spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_value_deciles_balanced_and_ordered(spark, sf_dir):
+    rows = an3.value_deciles(spark, sf_dir).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: r.decile)
+        assert [r.decile for r in rs] == list(range(1, 11)), t
+        # NTILE balance: bucket sizes differ by at most 1
+        sizes = [r.n_events for r in rs]
+        assert max(sizes) - min(sizes) <= 1, t
+        # buckets are value-ordered: each decile's hi <= next's lo
+        for a, b in zip(rs, rs[1:]):
+            assert a.hi <= b.lo, t
+
+
+def test_retention_segments_partition_the_week_users(spark, sf_dir):
+    rows = {r.segment: r.n_users
+            for r in an3.retention_set_ops(spark, sf_dir).collect()}
+    assert set(rows) == {"retained", "churned", "new"}
+    ev = load_table(spark, "events", sf_dir)
+    wk1 = ev.where(F.col("ts") < F.lit("2024-01-08 00:00:00")) \
+        .select("user_id").distinct().count()
+    wkn = ev.where(F.col("ts") >= F.lit("2024-01-24 00:00:00")) \
+        .select("user_id").distinct().count()
+    assert rows["retained"] + rows["churned"] == wk1
+    assert rows["retained"] + rows["new"] == wkn
+
+
+def test_grouping_sets_lattice_shape(spark, sf_dir):
+    rows = an3.grouping_sets_revenue(spark, sf_dir).collect()
+    grand = [r for r in rows
+             if r.order_year is None and r.o_orderstatus is None]
+    assert len(grand) == 1
+    n_total = load_table(spark, "orders", sf_dir).count()
+    assert grand[0].n_orders == n_total
+    # year margins exist, status margins must NOT (not a CUBE)
+    year_rows = [r for r in rows
+                 if r.order_year is not None and r.o_orderstatus is None]
+    assert len(year_rows) > 0
+    assert sum(r.n_orders for r in year_rows) == n_total
+    status_margin = [r for r in rows
+                     if r.order_year is None and r.o_orderstatus is not None]
+    assert status_margin == []
+
+
+def test_scd2_versions_are_consistent(spark, sf_dir):
+    rows = an3.scd2_customer_dim(spark, sf_dir).collect()
+    n_cust = load_table(spark, "customer", sf_dir).count()
+    by_cust: dict[int, list] = {}
+    for r in rows:
+        by_cust.setdefault(r.c_custkey, []).append(r)
+    assert len(by_cust) == n_cust
+    n_changed = 0
+    for k, vs in by_cust.items():
+        current = [v for v in vs if v.is_current]
+        assert len(current) == 1, k
+        assert current[0].valid_to is None, k
+        if len(vs) == 2:
+            n_changed += 1
+            closed = next(v for v in vs if not v.is_current)
+            # contiguous effective dating: old closes where new opens
+            assert closed.valid_to == current[0].valid_from, k
+            assert current[0].segment.startswith("UPGRADED-"), k
+        else:
+            assert len(vs) == 1, k
+    assert n_changed > 0
