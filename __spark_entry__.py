@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_set_ops": _an3.retention_set_ops,
         "grouping_sets_revenue": _an3.grouping_sets_revenue,
         "scd2_customer_dim": _an3.scd2_customer_dim,
+        "dedup_incremental": _tp.dedup_incremental,
         # -- (3) re-checked green in CORRECTNESS_r02 on current data --
         "dedup_exact": _tp.dedup_exact,
         "dedup_simhash": _tp.dedup_simhash,
@@ -192,6 +193,7 @@ def oracle_sql() -> dict[str, str]:
         "retention_set_ops": _orc.RETENTION_SET_OPS_SQL,
         "grouping_sets_revenue": _orc.GROUPING_SETS_SQL,
         "scd2_customer_dim": _orc.SCD2_SQL,
+        "dedup_incremental": _orc.DEDUP_INCREMENTAL_SQL,
         "dedup_groups": _orc.DEDUP_GROUPS_SQL,
         "doc_chunking": _orc.DOC_CHUNKING_SQL,
         "train_test_split": _orc.TRAIN_TEST_SPLIT_SQL,

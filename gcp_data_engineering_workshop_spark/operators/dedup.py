@@ -381,3 +381,68 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def incremental_dedup(batch: DataFrame, corpus: DataFrame,
+                      tau: float = 0.9, n: int = 3) -> DataFrame:
+    """C38: dedup a NEW document batch against an EXISTING corpus —
+    the daily-ingest shape: at 100 TB you cannot re-dedup the whole
+    corpus per day, so only batch-vs-corpus comparisons are computed
+    (never corpus-vs-corpus, and batch-internal dedup is a separate,
+    much smaller concern handled by C1/C2 on the batch alone).
+    Output: batch docs that survive both stages (doc_id, lang).
+
+    Stage 1 (exact): md5 of normalized text, left-anti join against
+    the corpus's distinct hash set — one shuffle on the hash key (or
+    zero with both sides bucketed by hash).
+    Stage 2 (near-dup): cross-set AllPairs prefix filtering (same
+    principle as ngram_jaccard_pairs, Bayardo et al. WWW'07, applied
+    across two sets): shingles ordered rarest-first by document
+    frequency computed over the UNION of both sides (any one total
+    order shared by both sides preserves the completeness proof —
+    for a pair with J >= tau the two prefixes must share a shingle),
+    each side indexes only its prefix, candidates come from the
+    prefix-prefix equi-join on the shingle key, and exact Jaccard
+    verifies candidates only. The join shuffles on the shingle key;
+    candidate volume stays near-linear because high-df shingles sort
+    out of both prefixes.
+    """
+    norm_hash = F.md5(normalize("text"))
+    corpus_hashes = corpus.select(norm_hash.alias("h")).distinct()
+    surv = (batch.withColumn("h", norm_hash)
+            .join(corpus_hashes, "h", "left_anti")
+            .drop("h"))
+
+    shb = _shingle_sets(surv, n).persist()
+    shc = _shingle_sets(corpus, n).persist()
+    inv_b = shb.select("doc_id", F.size("sh").alias("sz"),
+                       F.explode("sh").alias("s"))
+    inv_c = shc.select("doc_id", F.size("sh").alias("sz"),
+                       F.explode("sh").alias("s"))
+    dfreq = (inv_b.select("s").unionAll(inv_c.select("s"))
+             .groupBy("s").agg(F.count(F.lit(1)).alias("df")))
+
+    def prefix(inv):
+        w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(),
+                                                 F.col("s").asc())
+        return (inv.join(dfreq, "s")
+                .withColumn("pos", F.row_number().over(w))
+                .where(F.col("pos")
+                       <= F.col("sz")
+                       - F.ceil(F.lit(tau) * F.col("sz") - F.lit(1e-9)) + 1)
+                .select("doc_id", "s"))
+
+    cand = (
+        prefix(inv_b).alias("x").join(prefix(inv_c).alias("y"), "s")
+        .select(F.col("x.doc_id").alias("bid"), F.col("y.doc_id").alias("cid"))
+        .distinct()
+    )
+    a = shb.select(F.col("doc_id").alias("bid"), F.col("sh").alias("sh_b"))
+    b = shc.select(F.col("doc_id").alias("cid"), F.col("sh").alias("sh_c"))
+    neardup = (
+        cand.join(a, "bid").join(b, "cid")
+        .where(jaccard(F.col("sh_b"), F.col("sh_c")) >= tau)
+        .select(F.col("bid").alias("doc_id")).distinct()
+    )
+    return (surv.join(neardup, "doc_id", "left_anti")
+            .select("doc_id", "lang"))

@@ -1468,3 +1468,34 @@ SELECT c.c_custkey, c.c_name, u.new_segment AS segment,
        NULL AS valid_to, true AS is_current
 FROM customer c JOIN upd u ON c.c_custkey = u.o_custkey
 """
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH {_WORDS_CTE.strip()}, {_SHINGLES_CTE.strip()},
+bh AS (
+  SELECT doc_id, lang, md5({_NORM}) AS h FROM documents
+  WHERE doc_id % 10 >= 8
+),
+ch AS (
+  SELECT DISTINCT md5({_NORM}) AS h FROM documents WHERE doc_id % 10 < 8
+),
+surv AS (
+  SELECT doc_id, lang FROM bh WHERE h NOT IN (SELECT h FROM ch)
+),
+shb AS (SELECT sh.* FROM sh JOIN surv USING (doc_id)),
+shc AS (SELECT sh.* FROM sh WHERE doc_id % 10 < 8),
+inv_b AS (SELECT doc_id, unnest(s) AS g FROM shb),
+inv_c AS (SELECT doc_id, unnest(s) AS g FROM shc),
+cand AS (
+  SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid
+  FROM inv_b b JOIN inv_c c ON b.g = c.g
+),
+nd AS (
+  SELECT DISTINCT cand.bid
+  FROM cand
+  JOIN shb a ON cand.bid = a.doc_id
+  JOIN shc b2 ON cand.cid = b2.doc_id
+  WHERE CAST(len(list_intersect(a.s, b2.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b2.s))) >= 0.9
+)
+SELECT doc_id, lang FROM surv WHERE doc_id NOT IN (SELECT bid FROM nd)
+"""

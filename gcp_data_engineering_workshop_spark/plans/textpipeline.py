@@ -732,3 +732,14 @@ def heavy_hitters_stream_scale(spark: SparkSession, sf_dir: str,
     return (est.select("token", F.col("est_count").cast("bigint")
                        .alias("est_count"))
             .orderBy(F.col("est_count").desc(), "token").limit(k))
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C38: new-batch-vs-existing-corpus dedup (daily-ingest shape).
+    The batch is the deterministic doc_id % 10 >= 8 slice (~20%),
+    the corpus the rest; survivors are batch docs with no exact-hash
+    match and no >= 0.9-Jaccard near-dup IN THE CORPUS."""
+    d = _docs(spark, sf_dir)
+    batch = d.where(F.col("doc_id") % 10 >= 8)
+    corpus = d.where(F.col("doc_id") % 10 < 8)
+    return D.incremental_dedup(batch, corpus, tau=0.9)

@@ -115,3 +115,60 @@ def test_connected_components_long_chain(spark):
     out = {r.doc_id: r.component for r in connected_components(edges).collect()}
     assert all(out[i] == 0 for i in range(13))
     assert out[100] == 100 and out[101] == 100
+
+
+def test_incremental_dedup_matches_brute_force(spark, sf_dir):
+    """C38 survivors == batch minus (exact-hash matches + brute-force
+    >= tau Jaccard near-dups vs the corpus), computed independently
+    in Python over the small fixture."""
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+
+    d = load_table(spark, "documents", sf_dir)
+    rows = [(r.doc_id, r.text) for r in d.select("doc_id", "text").collect()]
+    import re
+
+    def norm(t):
+        return re.sub(r"\s+", " ", t.lower()).strip()
+
+    def shingle_set(t):
+        ws = norm(t).split(" ")
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    batch = {i: t for i, t in rows if i % 10 >= 8}
+    corpus = {i: t for i, t in rows if i % 10 < 8}
+    corpus_norms = {norm(t) for t in corpus.values()}
+    corpus_sets = {i: shingle_set(t) for i, t in corpus.items()}
+    expected = set()
+    for i, t in batch.items():
+        if norm(t) in corpus_norms:
+            continue
+        s = shingle_set(t)
+        dup = any(
+            s and cs and len(s & cs) / len(s | cs) >= 0.9
+            for cs in corpus_sets.values())
+        if not dup:
+            expected.add(i)
+
+    from gcp_data_engineering_workshop_spark.plans.textpipeline import dedup_incremental
+    got = {r.doc_id for r in dedup_incremental(spark, sf_dir).collect()}
+    assert got == expected
+
+
+def test_incremental_dedup_never_compares_corpus_to_corpus(spark, sf_dir):
+    """The whole point at 100 TB: survivors depend only on
+    batch-vs-corpus comparisons, so adding an intra-corpus duplicate
+    pair must not change the output."""
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+    from gcp_data_engineering_workshop_spark.operators.dedup import incremental_dedup
+    import pyspark.sql.functions as F
+
+    d = load_table(spark, "documents", sf_dir)
+    batch = d.where(F.col("doc_id") % 10 >= 8)
+    corpus = d.where(F.col("doc_id") % 10 < 8)
+    base = {r.doc_id for r in incremental_dedup(batch, corpus).collect()}
+    # duplicate every corpus doc under a fresh id: corpus-side dup
+    # pressure, zero new information about the batch
+    doubled = corpus.unionAll(
+        corpus.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    again = {r.doc_id for r in incremental_dedup(batch, doubled).collect()}
+    assert again == base
