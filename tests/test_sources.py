@@ -219,3 +219,20 @@ def test_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"id", "v", "score"}
     rows = {r.id: r.score for r in merged.collect()}
     assert rows[1] is None and rows[2] == 9.5
+
+
+def test_timestamp_filter_pushdown_survives_load_table(spark, sf_dir):
+    """Timestamp predicates must reach the parquet scan regardless of
+    the driver's timestamp encoding (nanos-as-long or TIMESTAMP_NTZ).
+    Regression test: an NTZ->LTZ .cast() projection on the scan
+    column silently emptied PushedFilters — load_table must instead
+    surface the column as TIMESTAMP at the scan itself."""
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, "lineitem", sf_dir)
+    assert dict(li.dtypes)["l_shipdate"] == "timestamp"
+    flt = li.where(F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00")) \
+        .select("l_quantity")
+    scan = flt._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(l_shipdate" in scan, scan[:600]
