@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_revenue": _an3.grouping_sets_revenue,
         "scd2_customer_dim": _an3.scd2_customer_dim,
         "dedup_incremental": _tp.dedup_incremental,
+        "line_dedup": _tp.line_dedup,
+        "ann_pq": _tp.ann_pq,
         # -- (3) re-checked green in CORRECTNESS_r02 on current data --
         "dedup_exact": _tp.dedup_exact,
         "dedup_simhash": _tp.dedup_simhash,
@@ -194,6 +196,7 @@ def oracle_sql() -> dict[str, str]:
         "grouping_sets_revenue": _orc.GROUPING_SETS_SQL,
         "scd2_customer_dim": _orc.SCD2_SQL,
         "dedup_incremental": _orc.DEDUP_INCREMENTAL_SQL,
+        "line_dedup": _orc.LINE_DEDUP_SQL,
         "dedup_groups": _orc.DEDUP_GROUPS_SQL,
         "doc_chunking": _orc.DOC_CHUNKING_SQL,
         "train_test_split": _orc.TRAIN_TEST_SPLIT_SQL,

@@ -469,3 +469,125 @@ def ann_ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def _kmeans_l2(sample: np.ndarray, k: int, n_iter: int = 10,
+               seed: int = 42) -> np.ndarray:
+    """Plain (non-spherical) seeded k-means for PQ sub-quantizer
+    training: sub-vectors are not unit-norm, so assignment is
+    nearest-centroid in L2 and centroids are raw means."""
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=k, replace=False)].copy()
+    for _ in range(n_iter):
+        d2 = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def ann_pq_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
+                m: int = 8, ks: int = 32, refine: int = 4,
+                sample_size: int = 2048) -> DataFrame:
+    """C40: product-quantization ANN (Jegou et al., PAMI'11) with
+    asymmetric-distance scoring and exact re-rank.
+
+    Why PQ is the third scale path next to LSH (C7) and IVF (C20):
+    the corpus is SCORED FROM its compressed codes — m=8 one-byte
+    codes instead of 64 float64s per vector, a 64x smaller scan — so
+    the approximate pass streams the whole corpus at code width and
+    never touches the raw embedding column (column pruning keeps it
+    out of the scan entirely). The raw vectors are read only for the
+    k*refine survivors per query in the exact re-rank join.
+
+    Stages:
+      1. driver-side training on a bounded seeded sample (the same
+         legitimate pattern as IVF): one L2 k-means per subspace
+         gives (m, ks, dim/m) codebooks;
+      2. encode: one Arrow batch pass, argmin-L2 per subspace ->
+         array<int> of m codes;
+      3. asymmetric scoring: per query, LUT[j][c] = <q_j, cent_jc>
+         is precomputed on the driver (q x m x ks doubles — tiny,
+         broadcast with the closure); per corpus row the approx dot
+         is m LUT gathers instead of a 64-dim dot, vectorized over
+         the Arrow batch for ALL queries at once;
+      4. per-query top-(k*refine) by approx score (small window over
+         the candidate stream), exact dot re-rank on survivors only.
+
+    rows-only + pytest recall vs. the exact baseline (C6), like the
+    other approximate ANN paths.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    sub = _DIM // m
+    sample = np.vstack([
+        np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.select("embedding").limit(sample_size).collect()])
+    books = np.stack([
+        _kmeans_l2(sample[:, j * sub:(j + 1) * sub], ks) for j in range(m)
+    ])  # (m, ks, sub)
+
+    qrows = sorted(
+        emb.where(F.col("vec_id") < n_queries)
+           .select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id)
+    qids = [int(r.vec_id) for r in qrows]
+    qmat = np.vstack([np.asarray(r.embedding, dtype=np.float64)
+                      for r in qrows])  # (q, 64)
+    # luts[q, j, c] = <query_q sub j, codebook[j][c]>
+    luts = np.einsum("qjd,jcd->qjc",
+                     qmat.reshape(len(qids), m, sub), books)
+
+    def _encode(embs):
+        mat = np.vstack(embs.to_numpy()).astype(np.float64) \
+            .reshape(-1, m, sub)
+        # d2[n, j, c] = ||x_nj - cent_jc||^2 ; argmin over c
+        d2 = ((mat[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
+        return pd.Series(list(d2.argmin(axis=2).astype(np.int32)))
+
+    def _ascore(codes):
+        cd = np.vstack(codes.to_numpy())  # (n, m) int
+        # gather: scores[n, q] = sum_j luts[q, j, cd[n, j]] — one
+        # LUT gather per subspace over the whole Arrow batch
+        sc = np.zeros((cd.shape[0], luts.shape[0]))
+        for j in range(m):
+            sc += luts[:, j, cd[:, j]].T
+        return pd.Series(list(sc))
+
+    _encode.__annotations__ = {"embs": pd.Series, "return": pd.Series}
+    _ascore.__annotations__ = {"codes": pd.Series, "return": pd.Series}
+    encode_udf = pandas_udf(_encode, "array<int>")
+    ascore_udf = pandas_udf(_ascore, "array<double>")
+
+    qid_arr = F.array(*[F.lit(v) for v in qids])
+    scored = (
+        emb.select(F.col("vec_id").alias("neighbor_id"),
+                   encode_udf("embedding").alias("code"))
+        .select("neighbor_id",
+                F.posexplode(ascore_udf("code")).alias("qidx", "approx"))
+        .select(F.element_at(qid_arr, F.col("qidx") + 1).alias("query_id"),
+                "neighbor_id", "approx")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("neighbor_id"))
+    cand = (scored.withColumn("arank", F.row_number().over(wa))
+            .where(F.col("arank") <= k * refine)
+            .select("query_id", "neighbor_id"))
+
+    q = emb.select(F.col("vec_id").alias("query_id"),
+                   F.col("embedding").alias("eq"))
+    c = emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("ec"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_sim").desc(), F.col("neighbor_id"))
+    return (
+        cand.join(c, "neighbor_id").join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id",
+                _sim(F.col("eq"), F.col("ec")).alias("dot_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -1499,3 +1499,34 @@ nd AS (
 )
 SELECT doc_id, lang FROM surv WHERE doc_id NOT IN (SELECT bid FROM nd)
 """
+
+LINE_DEDUP_SQL = f"""
+WITH wt AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+),
+seg AS (
+  SELECT doc_id,
+         list_transform(range(0, len(w) // 5),
+                        i -> array_to_string(w[i*5+1:i*5+5], ' ')) AS segs
+  FROM wt
+),
+s1 AS (
+  SELECT doc_id, unnest(segs) AS s, generate_subscripts(segs, 1) AS pos
+  FROM seg
+),
+dfq AS (SELECT s, count(DISTINCT doc_id) AS df FROM s1 GROUP BY s),
+k AS (
+  SELECT s1.doc_id,
+         count(*) AS n_segs,
+         sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_dropped,
+         coalesce(string_agg(CASE WHEN df < 2 THEN s END, ' ' ORDER BY pos),
+                  '') AS cleaned_text
+  FROM s1 JOIN dfq USING (s)
+  GROUP BY s1.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(k.n_segs, 0) AS BIGINT) AS n_segs,
+       CAST(coalesce(k.n_dropped, 0) AS BIGINT) AS n_dropped,
+       coalesce(k.cleaned_text, '') AS cleaned_text
+FROM documents d LEFT JOIN k USING (doc_id)
+"""

@@ -743,3 +743,63 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = d.where(F.col("doc_id") % 10 >= 8)
     corpus = d.where(F.col("doc_id") % 10 < 8)
     return D.incremental_dedup(batch, corpus, tau=0.9)
+
+
+def line_dedup(spark: SparkSession, sf_dir: str,
+               seg_words: int = 5, df_threshold: int = 2) -> DataFrame:
+    """C39: cross-document boilerplate removal (the CCNet/RefinedWeb
+    line-dedup stage): segments that repeat across >= df_threshold
+    documents are boilerplate (headers, footers, navigation chrome)
+    and are removed from every document; per-doc output keeps the
+    surviving text in original order plus drop accounting.
+
+    This corpus has no newlines, so the "line" unit is a
+    non-overlapping seg_words-word chunk; on real web text the
+    splitter would be '\\n' and everything downstream is unchanged.
+
+    Scale shape: one distinct-project + shuffle on the segment key
+    computes document frequency (map-side partial agg), one join
+    annotates segments with their df, one groupBy rebuilds documents.
+    No all-pairs anything — cost is linear in total segment count,
+    which is why line-dedup is the cheapest and usually first
+    near-dup stage in production web pipelines.
+    """
+    d = _docs(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    segs_expr = F.when(
+        F.size("w") >= seg_words,
+        F.expr(f"transform(sequence(0, int(size(w)/{seg_words}) - 1), "
+               f"i -> array_join(slice(w, i*{seg_words}+1, {seg_words}), ' '))")
+    ).otherwise(F.array().cast("array<string>"))
+    seg = (d.repartition(par)
+           .select("doc_id", T.words("text").alias("w"))
+           .repartition(par)
+           .select("doc_id", F.posexplode(segs_expr).alias("pos", "s")))
+    seg = seg.persist()
+    seg_df = (seg.select("doc_id", "s").distinct()
+              .groupBy("s").agg(F.count(F.lit(1)).alias("df")))
+    kept = (seg.join(seg_df, "s")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_segs"),
+                 F.sum((F.col("df") >= df_threshold).cast("long"))
+                  .alias("n_dropped"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(F.col("df") < df_threshold,
+                                    F.struct("pos", "s")))),
+                         lambda x: x["s"]),
+                     " ").alias("cleaned_text")))
+    return (d.select("doc_id")
+            .join(kept, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_segs", F.lit(0)).alias("n_segs"),
+                    F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+                    F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text")))
+
+
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C40: product-quantization ANN (code-width corpus scan +
+    asymmetric LUT scoring + exact re-rank; recall pytest-checked
+    against C6)."""
+    return S.ann_pq_topk(_emb(spark, sf_dir), n_queries=10, k=5)

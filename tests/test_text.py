@@ -353,3 +353,30 @@ def test_heavy_hitters_stream_scale_equals_batch(spark, sf_dir):
     n_parts = toks.rdd.getNumPartitions()
     cand = SK.cm_local_topk_candidates(toks, "token", k_local=200)
     assert cand.count() <= 200 * n_parts
+
+
+def test_line_dedup_removes_cross_doc_boilerplate(spark, sf_dir, tmp_path):
+    """Hand-built corpus: a shared 5-word 'footer' chunk must vanish
+    from every doc while unique chunks survive in order."""
+    import os
+    from gcp_data_engineering_workshop_spark.plans.textpipeline import line_dedup
+
+    footer = "copyright acme corp all rights"
+    docs = [
+        (1, f"alpha beta gamma delta epsilon {footer}", "en", "s", 0),
+        (2, f"one two three four five {footer}", "en", "s", 0),
+        (3, "unique words only in here live", "en", "s", 0),
+        (4, "tiny doc", "en", "s", 0),  # < 5 words: zero segments
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars bigint")
+    d = str(tmp_path / "docs_sf")
+    os.makedirs(d, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+    out = {r.doc_id: r for r in line_dedup(spark, d).collect()}
+    assert out[1].cleaned_text == "alpha beta gamma delta epsilon"
+    assert out[1].n_segs == 2 and out[1].n_dropped == 1
+    assert out[2].cleaned_text == "one two three four five"
+    assert out[3].cleaned_text == "unique words only in here"
+    assert out[3].n_dropped == 0
+    assert out[4].n_segs == 0 and out[4].cleaned_text == ""
