@@ -208,3 +208,26 @@ def purchase_attribution_stream(events: DataFrame,
     return (p.join(v, cond, "leftOuter")
             .select("event_id", _F.col("p_user").alias("user_id"),
                     "p_ts", "v_ts"))
+
+
+def incremental_dedup_stream(doc_stream: DataFrame,
+                             corpus: DataFrame) -> DataFrame:
+    """D15: streaming twin of the incremental-dedup exact stage
+    (C38, operators/dedup.py incremental_dedup): documents streaming
+    in are admitted only when their normalized content hash is
+    absent from the static reference corpus — a stream-static LEFT
+    ANTI join on the hash key.
+
+    The static side reduces to a distinct hash set and broadcasts
+    per micro-batch, so the stream side carries NO state at all (no
+    watermark, nothing to grow): each arriving doc is one hash + one
+    broadcast probe. This is the admission-control front of a
+    continuously-ingesting corpus; the (much rarer) near-dup stage
+    stays in the batch path where candidate generation belongs."""
+    from gcp_data_engineering_workshop_spark.functions.textfns import normalize
+
+    corpus_hashes = corpus.select(
+        F.md5(normalize("text")).alias("h")).distinct()
+    return (doc_stream.withColumn("h", F.md5(normalize("text")))
+            .join(F.broadcast(corpus_hashes), "h", "left_anti")
+            .select("doc_id", "lang"))

@@ -528,3 +528,33 @@ def test_cm_sketch_stream_matches_batch_grid(spark, sf_dir, tmp_path):
     want = {(r.r, r.bucket): r.cnt for r in cm_build(toks, "token").collect()}
     assert got == want
     assert n_batches >= 3  # the merge across micro-batches was real
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """D15: stream-static anti-join admission control equals the
+    batch exact stage — same surviving doc_ids when the batch slice
+    streams in against the static corpus."""
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+    from gcp_data_engineering_workshop_spark.functions.textfns import normalize
+
+    d = load_table(spark, "documents", sf_dir)
+    batch = d.where(F.col("doc_id") % 10 >= 8)
+    corpus = d.where(F.col("doc_id") % 10 < 8)
+
+    src = str(tmp_path / "doc_stream")
+    batch.select("doc_id", "text", "lang").coalesce(2) \
+        .write.mode("overwrite").json(src)
+    stream = (spark.readStream
+              .schema("doc_id bigint, text string, lang string")
+              .json(src))
+    _run_to_memory(
+        spl.incremental_dedup_stream(stream, corpus), "inc_dedup")
+    got = {r.doc_id for r in spark.table("inc_dedup").collect()}
+
+    corpus_hashes = corpus.select(
+        F.md5(normalize("text")).alias("h")).distinct()
+    want = {r.doc_id for r in
+            batch.withColumn("h", F.md5(normalize("text")))
+                 .join(corpus_hashes, "h", "left_anti")
+                 .select("doc_id").collect()}
+    assert got == want and len(want) > 0
