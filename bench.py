@@ -38,6 +38,11 @@ BENCH_QUERIES = [
     "bigram_pmi",            # C24 collocation mining
     "q9_product_profit",     # B36 widest star join
     "gopher_repetition",     # C29 repetition quality filter
+    # r3 additions (no earlier baseline — first measured in BENCH_r03):
+    "rolling_7d_revenue",    # B43 RANGE-frame window over daily agg
+    "line_dedup",            # C39 boilerplate removal
+    "dedup_incremental",     # C38 batch-vs-corpus dedup
+    "ann_pq",                # C40 product-quantization ANN
 ]
 
 
