@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _tp.dedup_incremental,
         "line_dedup": _tp.line_dedup,
         "ann_pq": _tp.ann_pq,
+        "span_dedup_stats": _tp.span_dedup_stats,
+        "tokenize_ids": _tp.tokenize_ids,
         # -- (3) re-checked green in CORRECTNESS_r02 on current data --
         "dedup_exact": _tp.dedup_exact,
         "dedup_simhash": _tp.dedup_simhash,
@@ -197,6 +199,8 @@ def oracle_sql() -> dict[str, str]:
         "scd2_customer_dim": _orc.SCD2_SQL,
         "dedup_incremental": _orc.DEDUP_INCREMENTAL_SQL,
         "line_dedup": _orc.LINE_DEDUP_SQL,
+        "span_dedup_stats": _orc.SPAN_DEDUP_SQL,
+        "tokenize_ids": _orc.TOKENIZE_IDS_SQL,
         "dedup_groups": _orc.DEDUP_GROUPS_SQL,
         "doc_chunking": _orc.DOC_CHUNKING_SQL,
         "train_test_split": _orc.TRAIN_TEST_SPLIT_SQL,

@@ -1530,3 +1530,58 @@ SELECT d.doc_id,
        coalesce(k.cleaned_text, '') AS cleaned_text
 FROM documents d LEFT JOIN k USING (doc_id)
 """
+
+SPAN_DEDUP_SQL = f"""
+WITH {_WORDS_CTE.strip()},
+spans AS (
+  SELECT doc_id, len(w) AS n_words,
+         list_transform(range(0, greatest(len(w) - 9, 0)),
+                        i -> array_to_string(w[i+1:i+10], ' ')) AS sps
+  FROM wt
+),
+s1 AS (
+  SELECT doc_id, unnest(sps) AS sp, generate_subscripts(sps, 1) - 1 AS pos
+  FROM spans
+),
+occ AS (SELECT sp, count(*) AS occ FROM s1 GROUP BY sp),
+dup AS (
+  SELECT s1.doc_id, s1.pos FROM s1 JOIN occ USING (sp) WHERE occ.occ >= 2
+),
+nsp AS (SELECT doc_id, count(*) AS n_spans FROM s1 GROUP BY doc_id),
+nds AS (SELECT doc_id, count(*) AS n_dup_spans FROM dup GROUP BY doc_id),
+cov AS (
+  SELECT doc_id, count(DISTINCT p) AS covered
+  FROM (SELECT doc_id, unnest(range(pos, pos + 10)) AS p FROM dup)
+  GROUP BY doc_id
+)
+SELECT spans.doc_id,
+       CAST(spans.n_words AS BIGINT) AS n_words,
+       CAST(coalesce(nsp.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(nds.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered_positions,
+       coalesce(cov.covered, 0) / spans.n_words AS dup_fraction
+FROM spans
+LEFT JOIN nsp USING (doc_id)
+LEFT JOIN nds USING (doc_id)
+LEFT JOIN cov USING (doc_id)
+"""
+
+TOKENIZE_IDS_SQL = f"""
+WITH {_WORDS_CTE.strip()},
+counts AS (SELECT unnest(w) AS token FROM wt),
+freqs AS (SELECT token, count(*) AS freq FROM counts GROUP BY token),
+vocab AS (
+  SELECT token,
+         CAST(row_number() OVER (ORDER BY freq DESC, token) AS INT)
+           AS token_id
+  FROM freqs ORDER BY freq DESC, token LIMIT 100
+),
+toks AS (
+  SELECT doc_id, unnest(w) AS token,
+         generate_subscripts(w, 1) - 1 AS pos
+  FROM wt
+)
+SELECT toks.doc_id, CAST(toks.pos AS INT) AS pos,
+       coalesce(vocab.token_id, 0) AS token_id
+FROM toks LEFT JOIN vocab USING (token)
+"""

@@ -803,3 +803,85 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     asymmetric LUT scoring + exact re-rank; recall pytest-checked
     against C6)."""
     return S.ann_pq_topk(_emb(spark, sf_dir), n_queries=10, k=5)
+
+
+def span_dedup_stats(spark: SparkSession, sf_dir: str,
+                     span_words: int = 10) -> DataFrame:
+    """C41: exact substring-duplication diagnostics (the Lee et al.
+    'Deduplicating Training Data Makes Language Models Better'
+    measurement): every overlapping span_words-word span that occurs
+    more than once ANYWHERE in the corpus is duplicated text; per doc
+    we report how many spans are duplicated and what fraction of the
+    doc's word positions is covered by at least one duplicated span —
+    the number a trainer watches to decide whether substring-level
+    dedup is worth running.
+
+    Scale shape: stride-1 spans mean ~n_words spans per doc, but
+    everything stays linear — one global occurrence count (map-side
+    combinable shuffle on the span key), one annotate join, and a
+    position-coverage explode bounded by span_words x dup_spans.
+    No pairwise joins at any point (we count occurrences, we never
+    enumerate occurrence PAIRS, which is what makes the diagnostic
+    affordable where pair-listing suffix approaches are not).
+    """
+    L = span_words
+    d = _docs(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    spans_expr = F.when(
+        F.size("w") >= L,
+        F.expr(f"transform(sequence(0, size(w) - {L}), "
+               f"i -> array_join(slice(w, i+1, {L}), ' '))")
+    ).otherwise(F.array().cast("array<string>"))
+    base = (d.repartition(par)
+            .select("doc_id", T.words("text").alias("w"))
+            .repartition(par)
+            .select("doc_id", F.size("w").alias("n_words"),
+                    spans_expr.alias("sps")))
+    sp = base.select("doc_id", F.posexplode("sps").alias("pos", "sp")) \
+        .persist()
+    occ = sp.groupBy("sp").agg(F.count(F.lit(1)).alias("occ"))
+    dup = (sp.join(occ, "sp").where(F.col("occ") >= 2)
+           .select("doc_id", "pos").persist())
+    n_spans = sp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    n_dup = dup.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    cov = (dup.select("doc_id",
+                      F.explode(F.sequence(F.col("pos"),
+                                           F.col("pos") + L - 1)).alias("p"))
+           .distinct()
+           .groupBy("doc_id").agg(F.count(F.lit(1)).alias("covered_positions")))
+    return (base.select("doc_id", "n_words")
+            .join(n_spans, "doc_id", "left")
+            .join(n_dup, "doc_id", "left")
+            .join(cov, "doc_id", "left")
+            .select("doc_id",
+                    F.col("n_words").cast("bigint").alias("n_words"),
+                    F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+                    F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+                    F.coalesce("covered_positions", F.lit(0))
+                     .alias("covered_positions"),
+                    (F.coalesce("covered_positions", F.lit(0))
+                     / F.col("n_words")).alias("dup_fraction")))
+
+
+def tokenize_ids(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
+    """C42: apply a tokenizer vocabulary at corpus scale — the step
+    after vocab_topk (C18) trains the vocab: map every word position
+    to its token id (rank in the top-k vocab; 0 = OOV/unk).
+
+    Scale shape: the vocab is bounded (a tokenizer is 32-256k
+    entries — megabytes), so the mapping is a BROADCAST left join:
+    tokenization stays scan-local with zero shuffles on the corpus
+    side, which is why this runs at ingest speed on any corpus size.
+    Output is one row per (doc, position) so the oracle verifies the
+    complete id sequence, not a summary."""
+    vocab = vocab_topk(spark, sf_dir, k).select(
+        "token", F.col("rank").alias("token_id"))
+    d = _docs(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    toks = (d.repartition(par)
+            .select("doc_id", T.words("text").alias("w"))
+            .repartition(par)
+            .select("doc_id", F.posexplode("w").alias("pos", "token")))
+    return (toks.join(F.broadcast(vocab), "token", "left")
+            .select("doc_id", "pos",
+                    F.coalesce("token_id", F.lit(0)).alias("token_id")))

@@ -380,3 +380,59 @@ def test_line_dedup_removes_cross_doc_boilerplate(spark, sf_dir, tmp_path):
     assert out[3].cleaned_text == "unique words only in here"
     assert out[3].n_dropped == 0
     assert out[4].n_segs == 0 and out[4].cleaned_text == ""
+
+
+def test_span_dedup_stats_hand_corpus(spark, tmp_path):
+    """Two docs share a 10-word span; a third repeats a span inside
+    itself; a fourth is unique. Coverage math is hand-checked."""
+    import os
+    from gcp_data_engineering_workshop_spark.plans.textpipeline import span_dedup_stats
+
+    shared = "a b c d e f g h i j"           # 10 words
+    docs = [
+        (1, shared + " k l m", "en", "s", 0),           # 13 words, span 0 dup
+        (2, "z y " + shared, "en", "s", 0),             # 12 words, span 2 dup
+        (3, shared + " " + shared, "en", "s", 0),       # 20 words, self-repeat
+        (4, "q w e r t y u i o p unique tail", "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars bigint")
+    d = str(tmp_path / "docs_sf")
+    os.makedirs(d, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+    out = {r.doc_id: r for r in span_dedup_stats(spark, d).collect()}
+    # doc 1: spans at 0..3; only span 0 == shared is duplicated
+    # (doc 2 ends with it, doc 3 contains it) -> covers pos 0-9
+    assert out[1].n_spans == 4 and out[1].n_dup_spans == 1
+    assert out[1].covered_positions == 10
+    assert abs(out[1].dup_fraction - 10 / 13) < 1e-12
+    # doc 2: dup span starts at 2 -> covers 2-11 of 12 words
+    assert out[2].covered_positions == 10
+    # doc 3: 'shared shared' = 20 words, 11 spans; span 0 and span 10
+    # equal `shared` (occ >= 2 globally); intermediate wrap spans are
+    # unique. Coverage = [0,9] + [10,19] = all 20 positions
+    assert out[3].n_spans == 11
+    assert out[3].covered_positions == 20 and out[3].dup_fraction == 1.0
+    # doc 4: 12 words, 3 spans, nothing duplicated
+    assert out[4].n_dup_spans == 0 and out[4].dup_fraction == 0.0
+
+
+def test_tokenize_ids_roundtrip_and_oov(spark, sf_dir):
+    """Ids 1..k map back to exactly the vocab tokens; id 0 tokens are
+    exactly the out-of-vocab ones; every word position is covered."""
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+    from gcp_data_engineering_workshop_spark.functions import textfns as T
+    from gcp_data_engineering_workshop_spark.plans.textpipeline import (
+        tokenize_ids, vocab_topk)
+
+    ids = tokenize_ids(spark, sf_dir)
+    d = load_table(spark, "documents", sf_dir)
+    total_positions = d.select(
+        F.explode(T.words("text")).alias("t")).count()
+    assert ids.count() == total_positions
+    vocab = {r.token: r.rank for r in vocab_topk(spark, sf_dir).collect()}
+    toks = (d.select("doc_id", F.posexplode(T.words("text"))
+                     .alias("pos", "token")))
+    joined = toks.join(ids, ["doc_id", "pos"]).collect()
+    for r in joined[:2000]:
+        assert r.token_id == vocab.get(r.token, 0), r
