@@ -1,0 +1,70 @@
+"""End-to-end training-data preprocessing demo: the full corpus
+path a trainer runs before touching a GPU, composed entirely from
+the oracle-verified operators.
+
+  raw documents
+    -> line-level boilerplate removal          (C39 line_dedup)
+    -> quality + repetition filtering          (C9 / C29)
+    -> exact + near-dup removal                (C22 dedup_corpus)
+    -> benchmark decontamination               (C30)
+    -> per-language temperature rebalancing    (C33)
+    -> deterministic train/test split          (C16)
+    -> tokenizer vocab + id application        (C18 / C42)
+    -> sequence packing + dense example ids    (C34 / C35)
+
+Run: python examples/run_training_data_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from gcp_data_engineering_workshop_spark.session import get_spark
+from gcp_data_engineering_workshop_spark.plans import textpipeline as tp
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
+    spark = get_spark("training-data-demo")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = tempfile.mkdtemp(prefix="corpus_")
+
+    scrubbed = tp.line_dedup(spark, sf_dir)
+    quality = tp.text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    repetition = tp.gopher_repetition(spark, sf_dir).select(
+        "doc_id", "dup_word_frac")
+    survivors = tp.dedup_corpus(spark, sf_dir).select("doc_id")
+    decontaminated = tp.decontaminate(spark, sf_dir).select("doc_id")
+    sampled = tp.temperature_sample(spark, sf_dir).select("doc_id")
+    split = tp.train_test_split(spark, sf_dir).select("doc_id", "split")
+
+    corpus = (
+        scrubbed
+        .join(quality, "doc_id").where(F.col("quality_score") >= 0.5)
+        .join(repetition, "doc_id").where(F.col("dup_word_frac") <= 0.5)
+        .join(survivors, "doc_id")
+        .join(decontaminated, "doc_id")
+        .join(sampled, "doc_id")
+        .join(split, "doc_id")
+    )
+    corpus.write.mode("overwrite").parquet(f"{out}/clean_corpus")
+    n = spark.read.parquet(f"{out}/clean_corpus").count()
+    print(f"clean corpus: {n} docs -> {out}/clean_corpus")
+
+    ids = tp.tokenize_ids(spark, sf_dir)
+    packed = tp.pack_sequences(spark, sf_dir)
+    examples = tp.assign_ids(spark, sf_dir)
+    ids.write.mode("overwrite").parquet(f"{out}/token_ids")
+    packed.write.mode("overwrite").parquet(f"{out}/packed")
+    examples.write.mode("overwrite").parquet(f"{out}/examples")
+    print(f"tokenized positions: {ids.count()}, "
+          f"packed rows: {packed.count()}, examples: {examples.count()}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])

@@ -1,0 +1,59 @@
+"""Guards on the driver contract in __spark_entry__.py: every
+registration mistake here silently costs a correctness row, so the
+contract shape itself is tested."""
+
+from __future__ import annotations
+
+import importlib.util
+
+
+def _entry_module():
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+# keys deliberately registered WITHOUT an oracle (hash-/sketch-/
+# stub-dependent; declared rows-only in SURVEY.md §2)
+ROWS_ONLY = {
+    "approx_distinct_sketch", "approx_quantile_sketch", "dedup_simhash",
+    "ann_lsh", "ann_ivf", "ann_pq", "multimodal_meta", "multimodal_frames",
+    "user_overlap_sketch",
+}
+
+
+def test_every_query_is_callable():
+    m = _entry_module()
+    qs = m.queries()
+    assert len(qs) >= 100
+    for k, fn in qs.items():
+        assert callable(fn), k
+
+
+def test_oracle_keys_match_queries():
+    m = _entry_module()
+    qs, orc = m.queries(), m.oracle_sql()
+    # no orphan oracle (an oracle whose query key is gone would never
+    # be checked and hints at a rename slip)
+    assert set(orc) - set(qs) == set()
+    # every query either has an oracle or is a declared rows-only op
+    missing = set(qs) - set(orc)
+    assert missing == ROWS_ONLY, missing ^ ROWS_ONLY
+
+
+def test_queries_with_oracles_lead_the_driver_window():
+    """The driver records rows for the first 50 entries only; a
+    rows-only entry inside the window is fine, but the window must
+    not be wasted on duplicates."""
+    m = _entry_module()
+    keys = list(m.queries())
+    assert len(keys) == len(set(keys))
+
+
+def test_entry_returns_flagship(spark):
+    m = _entry_module()
+    df = m.entry(spark)
+    assert len(df.columns) >= 5
+    assert df.count() > 0
