@@ -877,11 +877,13 @@ def tokenize_ids(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
     vocab = vocab_topk(spark, sf_dir, k).select(
         "token", F.col("rank").alias("token_id"))
     d = _docs(spark, sf_dir)
-    par = spark.sparkContext.defaultParallelism
-    toks = (d.repartition(par)
-            .select("doc_id", T.words("text").alias("w"))
-            .repartition(par)
-            .select("doc_id", F.posexplode("w").alias("pos", "token")))
+    # no repartition barrier here (unlike the shingle ops): the word
+    # array feeds posexplode directly, whose Generate evaluates the
+    # tokenization exactly once per row even after CollapseProject —
+    # so the corpus path stays a pure scan -> explode -> broadcast
+    # probe with zero shuffles
+    toks = d.select("doc_id",
+                    F.posexplode(T.words("text")).alias("pos", "token"))
     return (toks.join(F.broadcast(vocab), "token", "left")
             .select("doc_id", "pos",
                     F.coalesce("token_id", F.lit(0)).alias("token_id")))

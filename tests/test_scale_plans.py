@@ -105,3 +105,45 @@ def test_q9_star_join_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "partial_sum" in plan                  # map-side combine before the shuffle
     assert "StringContains(p_name,red)" in plan   # part filter pushed to the scan
+
+
+def test_grouping_sets_expands_before_single_shuffle(spark, sf_dir):
+    """B46: the lattice costs ONE fact scan and ONE exchange — the
+    Expand node emits the grouping-set rows map-side and the partial
+    aggregate collapses them before the shuffle."""
+    from gcp_data_engineering_workshop_spark.plans import analytics3 as an3
+
+    plan = an3.grouping_sets_revenue(spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange") == 1
+    assert plan.count("FileScan") == 1
+
+
+def test_scd2_reads_dimension_once(spark, sf_dir):
+    """B47: the SCD2 build must not union two dimension reads — one
+    customer scan, versions emitted by the explode."""
+    from gcp_data_engineering_workshop_spark.plans import analytics3 as an3
+
+    plan = an3.scd2_customer_dim(spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("customer.parquet") == 1
+    assert "Generate explode" in plan
+
+
+def test_tokenize_ids_has_no_corpus_side_shuffle(spark, sf_dir):
+    """C42: tokenization is a broadcast map — the corpus path from
+    scan to probe must contain no Exchange (the only exchanges ever
+    allowed are on the tiny vocab build below the broadcast)."""
+    from gcp_data_engineering_workshop_spark.plans.textpipeline import tokenize_ids
+
+    plan = tokenize_ids(spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # the ONLY exchanges in the whole plan belong to the tiny vocab
+    # build (its agg + TakeOrdered) and the broadcast itself — the
+    # corpus path is scan -> explode -> probe with no shuffle, so
+    # stripping the vocab subtree (below BroadcastExchange) must
+    # leave an exchange-free plan
+    assert "BroadcastExchange" in plan
+    corpus_side = plan[:plan.index("BroadcastExchange")]
+    assert "Exchange" not in corpus_side
