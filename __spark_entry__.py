@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq": _tp.ann_pq,
         "span_dedup_stats": _tp.span_dedup_stats,
         "tokenize_ids": _tp.tokenize_ids,
+        "mixture_schedule": _tp.mixture_schedule,
         # -- (3) re-checked green in CORRECTNESS_r02 on current data --
         "dedup_exact": _tp.dedup_exact,
         "dedup_simhash": _tp.dedup_simhash,
@@ -201,6 +202,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _orc.LINE_DEDUP_SQL,
         "span_dedup_stats": _orc.SPAN_DEDUP_SQL,
         "tokenize_ids": _orc.TOKENIZE_IDS_SQL,
+        "mixture_schedule": _orc.MIXTURE_SCHEDULE_SQL,
         "dedup_groups": _orc.DEDUP_GROUPS_SQL,
         "doc_chunking": _orc.DOC_CHUNKING_SQL,
         "train_test_split": _orc.TRAIN_TEST_SPLIT_SQL,

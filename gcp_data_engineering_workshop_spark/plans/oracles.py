@@ -1585,3 +1585,22 @@ SELECT toks.doc_id, CAST(toks.pos AS INT) AS pos,
        coalesce(vocab.token_id, 0) AS token_id
 FROM toks LEFT JOIN vocab USING (token)
 """
+
+MIXTURE_SCHEDULE_SQL = f"""
+WITH h AS (
+  SELECT doc_id, source, {_KR.format(s=_NORM)} AS hh FROM documents
+),
+w AS (
+  SELECT source, sqrt(CAST(SUM(n_chars) AS DOUBLE)) AS w
+  FROM documents GROUP BY source
+),
+r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY hh, doc_id)
+           AS src_rank
+  FROM h
+)
+SELECT r.doc_id, r.source, CAST(r.src_rank AS BIGINT) AS src_rank,
+       (CAST(r.src_rank AS DOUBLE) - 0.5) / w.w AS position
+FROM r JOIN w USING (source)
+"""

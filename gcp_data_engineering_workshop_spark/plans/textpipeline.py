@@ -887,3 +887,36 @@ def tokenize_ids(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
     return (toks.join(F.broadcast(vocab), "token", "left")
             .select("doc_id", "pos",
                     F.coalesce("token_id", F.lit(0)).alias("token_id")))
+
+
+def mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C43: deterministic weighted-interleave training order (stride
+    scheduling): each source s gets weight w_s (here sqrt of its
+    total char mass — the same alpha=0.5 temperature motif as C33),
+    each doc gets position (src_rank - 0.5) / w_s, and reading docs
+    in position order emits source s with frequency proportional to
+    w_s at every prefix — the property a trainer needs so a mixture
+    is honored even if the run stops early or resumes mid-epoch.
+
+    Everything is content-addressed and coordination-free: src_rank
+    orders by the Karp-Rabin content hash (replicas agree with no
+    shared state), the position is a pure closed form, and the
+    output needs NO global sort — position IS the order. The
+    per-source rank window is the only shuffle; for a mega-source
+    whose rank partition outgrows a task, compose with the
+    assign_ids range-partition machinery (C35) per source.
+    """
+    from pyspark.sql.window import Window
+    d = _docs(spark, sf_dir)
+    wts = d.groupBy("source").agg(
+        F.sqrt(F.sum("n_chars").cast("double")).alias("w"))
+    ranked = d.select("doc_id", "source",
+                      T.kr_hash(T.normalize("text")).alias("hh"))
+    wnd = Window.partitionBy("source").orderBy("hh", "doc_id")
+    return (ranked
+            .withColumn("src_rank",
+                        F.row_number().over(wnd).cast("bigint"))
+            .join(F.broadcast(wts), "source")
+            .select("doc_id", "source", "src_rank",
+                    ((F.col("src_rank").cast("double") - 0.5) / F.col("w"))
+                    .alias("position")))

@@ -436,3 +436,36 @@ def test_tokenize_ids_roundtrip_and_oov(spark, sf_dir):
     joined = toks.join(ids, ["doc_id", "pos"]).collect()
     for r in joined[:2000]:
         assert r.token_id == vocab.get(r.token, 0), r
+
+
+def test_mixture_schedule_stride_properties(spark, sf_dir):
+    """Stride scheduling invariants: per-source positions are the
+    exact closed form (k-0.5)/w, and every prefix of the global
+    order honors the weight mixture to within one doc per source."""
+    from gcp_data_engineering_workshop_spark.plans.textpipeline import mixture_schedule
+
+    rows = mixture_schedule(spark, sf_dir).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    weights = {}
+    for s, rs in by_src.items():
+        rs.sort(key=lambda r: r.src_rank)
+        assert [r.src_rank for r in rs] == list(range(1, len(rs) + 1)), s
+        # recover w from the first position and check the closed form
+        w = 0.5 / rs[0].position
+        weights[s] = w
+        for r in rs:
+            assert abs(r.position - (r.src_rank - 0.5) / w) < 1e-9, s
+    total_w = sum(weights.values())
+    ordered = sorted(rows, key=lambda r: (r.position, r.doc_id))
+    n_prefix = len(ordered) // 3
+    prefix = ordered[:n_prefix]
+    horizon = prefix[-1].position
+    from collections import Counter
+    got = Counter(r.source for r in prefix)
+    for s, w in weights.items():
+        # stride scheduling emits floor/ceil(horizon * w) docs of s
+        # by any position horizon
+        expect = horizon * w
+        assert abs(got[s] - expect) <= 1.0, (s, got[s], expect)
