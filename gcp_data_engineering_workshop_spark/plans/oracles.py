@@ -1604,3 +1604,26 @@ SELECT r.doc_id, r.source, CAST(r.src_rank AS BIGINT) AS src_rank,
        (CAST(r.src_rank AS DOUBLE) - 0.5) / w.w AS position
 FROM r JOIN w USING (source)
 """
+
+DAILY_OHLC_SQL = f"""
+WITH {TICKS_CTE.strip()}
+SELECT ticker, CAST(ts AS DATE) AS day,
+       min_by(price, ts) AS open,
+       max(price) AS high,
+       min(price) AS low,
+       max_by(price, ts) AS close,
+       CAST(SUM(volume) AS BIGINT) AS day_volume,
+       count(*) AS n_ticks
+FROM ticks2
+GROUP BY ticker, CAST(ts AS DATE)
+"""
+
+DAILY_VWAP_SQL = f"""
+WITH {TICKS_CTE.strip()}
+SELECT ticker, CAST(ts AS DATE) AS day,
+       CAST(SUM(CAST(price AS DECIMAL(18,4)) * volume) AS DOUBLE)
+         / CAST(SUM(volume) AS DOUBLE) AS vwap,
+       CAST(SUM(volume) AS BIGINT) AS day_volume
+FROM ticks2
+GROUP BY ticker, CAST(ts AS DATE)
+"""

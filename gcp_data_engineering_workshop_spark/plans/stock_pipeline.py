@@ -178,3 +178,40 @@ def volume_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ticker", "bucket")
         .agg(F.count(F.lit(1)).alias("n_windows"))
     )
+
+
+def daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: per-(ticker, day) OHLC candles — open/close are the
+    first/last tick price by event time (min_by/max_by, one
+    map-side-combinable aggregation; no window function and no
+    second pass), high/low plain min/max, plus day volume.
+    The standard market-data rollup the dashboard charts from."""
+    from gcp_data_engineering_workshop_spark.sources.ticks import ticks
+
+    t = ticks(spark, sf_dir)
+    return (
+        t.groupBy("ticker", F.to_date("ts").alias("day"))
+        .agg(F.min_by("price", "ts").alias("open"),
+             F.max("price").alias("high"),
+             F.min("price").alias("low"),
+             F.max_by("price", "ts").alias("close"),
+             F.sum("volume").alias("day_volume"),
+             F.count(F.lit(1)).alias("n_ticks"))
+    )
+
+
+def daily_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15: per-(ticker, day) volume-weighted average price —
+    sum(price*volume)/sum(volume) in exact decimal, cast to double
+    at the boundary (bit-stable under any partitioning/AQE
+    re-plan, like every money aggregate in this engine)."""
+    from gcp_data_engineering_workshop_spark.sources.ticks import ticks
+
+    t = ticks(spark, sf_dir)
+    pv = F.col("price").cast("decimal(18,4)") * F.col("volume")
+    return (
+        t.groupBy("ticker", F.to_date("ts").alias("day"))
+        .agg((F.sum(pv).cast("double")
+              / F.sum("volume").cast("double")).alias("vwap"),
+             F.sum("volume").alias("day_volume"))
+    )

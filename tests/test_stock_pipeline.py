@@ -121,3 +121,25 @@ def test_dash_queries(spark, sf_dir):
     assert tickers == {"click", "view", "purchase", "signup", "error"}
     detail = sp.dash_detail(spark, sf_dir).collect()
     assert 0 < len(detail) <= 100
+
+
+def test_daily_ohlc_invariants(spark, sf_dir):
+    from gcp_data_engineering_workshop_spark.plans.stock_pipeline import daily_ohlc
+
+    rows = daily_ohlc(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.low <= r.open <= r.high, r
+        assert r.low <= r.close <= r.high, r
+        assert r.n_ticks > 0 and r.day_volume >= 0
+
+
+def test_daily_vwap_bounded_by_ohlc(spark, sf_dir):
+    from gcp_data_engineering_workshop_spark.plans.stock_pipeline import (
+        daily_ohlc, daily_vwap)
+
+    ohlc = {(r.ticker, r.day): r for r in daily_ohlc(spark, sf_dir).collect()}
+    for r in daily_vwap(spark, sf_dir).collect():
+        o = ohlc[(r.ticker, r.day)]
+        # volume-weighted mean of per-tick prices lies in [low, high]
+        assert o.low - 1e-9 <= r.vwap <= o.high + 1e-9, r
