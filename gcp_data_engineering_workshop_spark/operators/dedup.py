@@ -419,8 +419,11 @@ def incremental_dedup(batch: DataFrame, corpus: DataFrame,
                        F.explode("sh").alias("s"))
     inv_c = shc.select("doc_id", F.size("sh").alias("sz"),
                        F.explode("sh").alias("s"))
+    # persisted: BOTH sides' prefix stages reference the shared df
+    # order — without the cache the union-wide aggregation runs twice
     dfreq = (inv_b.select("s").unionAll(inv_c.select("s"))
-             .groupBy("s").agg(F.count(F.lit(1)).alias("df")))
+             .groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+             .persist())
 
     def prefix(inv):
         w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(),
