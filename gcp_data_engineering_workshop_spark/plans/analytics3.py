@@ -62,16 +62,36 @@ def value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket" report and the percentile-bucket primitive quantile-based
     features build on.
 
-    The NTILE window is partitioned by event_type (never global) and
-    made deterministic with an (value, event_id) total order so tied
-    values land in a reproducible bucket. Decimal-exact sum crosses
-    the oracle boundary as double.
+    NOT implemented as `ntile() OVER (PARTITION BY event_type)`:
+    with FEW, HUGE groups (5 event types over 100 TB) that window
+    funnels each group through one task — the vocab_topk
+    scale-killer wearing a partition clause. Instead the global rank
+    within each group comes from assign_group_ranks (range-partition
+    by (group, value, id) so a group spans ordered partition slices;
+    bounded per-(slice, group) offset collect), and the decile is
+    NTILE's exact closed form over (rank, group size): with
+    q = n div 10 and r = n mod 10, the first r buckets hold q+1
+    rows. Output is bit-identical to the window NTILE the oracle
+    computes (pytest-asserted too).
     """
+    from gcp_data_engineering_workshop_spark.operators.ids import assign_group_ranks
+
     ev = load_table(spark, "events", sf_dir)
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = assign_group_ranks(
+        ev.select("event_type", "value", "event_id"),
+        ["event_type"], ["value", "event_id"], rank_col="rnk")
+    n = ranked.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    q = F.col("n") / 10
+    big = (F.col("n") % 10) * (F.floor(q) + 1)
+    decile = F.when(
+        F.col("rnk") <= big,
+        F.floor((F.col("rnk") - 1) / (F.floor(q) + 1)) + 1
+    ).otherwise(
+        (F.col("n") % 10)
+        + F.floor((F.col("rnk") - big - 1) / F.floor(q)) + 1)
     return (
-        ev.select("event_type", "value", "event_id")
-        .withColumn("decile", F.ntile(10).over(w))
+        ranked.join(F.broadcast(n), "event_type")
+        .withColumn("decile", decile.cast("int"))
         .groupBy("event_type", "decile")
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.min("value").alias("lo"),

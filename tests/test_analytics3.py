@@ -102,3 +102,47 @@ def test_scd2_versions_are_consistent(spark, sf_dir):
         else:
             assert len(vs) == 1, k
     assert n_changed > 0
+
+
+def test_value_deciles_equal_window_ntile(spark, sf_dir):
+    """The distributed closed-form decile must be bit-identical to
+    the per-group window NTILE it replaces."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    want = {(r.event_type, r.decile): (r.n_events, r.lo, r.hi)
+            for r in ev.select("event_type", "value", "event_id")
+            .withColumn("decile", F.ntile(10).over(w))
+            .groupBy("event_type", "decile")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("value").alias("lo"),
+                 F.max("value").alias("hi")).collect()}
+    got = {(r.event_type, r.decile): (r.n_events, r.lo, r.hi)
+           for r in an3.value_deciles(spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_value_deciles_has_no_per_group_window(spark, sf_dir):
+    """Scale guard: the rank must come from range-partitioned slices
+    (window keyed by the slice id), never a window whose only
+    partition key is the group — 5 groups over 100 TB would funnel
+    through 5 tasks."""
+    plan = an3.value_deciles(spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning(event_type" in plan
+    assert "windowspecdefinition(_pid" in plan
+
+
+def test_assign_group_ranks_small_groups(spark):
+    """Groups smaller than the bucket count and interleaved key
+    ranges still rank densely per group."""
+    from gcp_data_engineering_workshop_spark.operators.ids import assign_group_ranks
+
+    df = spark.createDataFrame(
+        [("a", v) for v in (5, 1, 3)] + [("b", v) for v in (2, 4)],
+        "g string, v bigint")
+    out = assign_group_ranks(df, ["g"], ["v"], n_parts=4).collect()
+    got = {(r.g, r.v): r.grp_rank for r in out}
+    assert got == {("a", 1): 1, ("a", 3): 2, ("a", 5): 3,
+                   ("b", 2): 1, ("b", 4): 2}
