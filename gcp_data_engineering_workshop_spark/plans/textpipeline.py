@@ -902,20 +902,20 @@ def mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders by the Karp-Rabin content hash (replicas agree with no
     shared state), the position is a pure closed form, and the
     output needs NO global sort — position IS the order. The
-    per-source rank window is the only shuffle; for a mega-source
-    whose rank partition outgrows a task, compose with the
-    assign_ids range-partition machinery (C35) per source.
+    per-source rank comes from assign_group_ranks (range-partition
+    slices + bounded offset collect), NOT a per-source window — a
+    mega-source would otherwise funnel through one task.
     """
-    from pyspark.sql.window import Window
+    from gcp_data_engineering_workshop_spark.operators.ids import assign_group_ranks
+
     d = _docs(spark, sf_dir)
     wts = d.groupBy("source").agg(
         F.sqrt(F.sum("n_chars").cast("double")).alias("w"))
-    ranked = d.select("doc_id", "source",
-                      T.kr_hash(T.normalize("text")).alias("hh"))
-    wnd = Window.partitionBy("source").orderBy("hh", "doc_id")
+    ranked = assign_group_ranks(
+        d.select("doc_id", "source",
+                 T.kr_hash(T.normalize("text")).alias("hh")),
+        ["source"], ["hh", "doc_id"], rank_col="src_rank")
     return (ranked
-            .withColumn("src_rank",
-                        F.row_number().over(wnd).cast("bigint"))
             .join(F.broadcast(wts), "source")
             .select("doc_id", "source", "src_rank",
                     ((F.col("src_rank").cast("double") - 0.5) / F.col("w"))
