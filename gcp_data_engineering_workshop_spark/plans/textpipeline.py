@@ -587,13 +587,14 @@ def temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep rank <= t_g — re-runs and replicas agree with no
     coordination and no RNG.
 
-    Scale: one count agg + one rank window partitioned by language.
-    The rank window sorts each stratum; at 100 TB swap the exact
-    rank for a hash-threshold cutoff (approx quantile of h at
-    t_g/n_g per language, one pass, no sort) — same expected
-    mixture, no per-stratum sort. The exact-rank form is kept here
-    because it is deterministic and oracle-checkable to the row."""
-    from pyspark.sql.window import Window
+    Scale: one count agg + a distributed per-language rank
+    (assign_group_ranks: range-partition slices + bounded offset
+    collect, so a mega-language spans tasks instead of sorting
+    through one rank partition). The exact-rank form is kept (vs an
+    approximate hash-threshold cutoff) because it is deterministic
+    and oracle-checkable to the row."""
+    from gcp_data_engineering_workshop_spark.operators.ids import assign_group_ranks
+
     d = _docs(spark, sf_dir).select(
         "doc_id", "lang", T.kr_hash(T.normalize("text")).alias("h"))
     counts = d.groupBy("lang").agg(F.count("*").alias("n_g"))
@@ -601,8 +602,8 @@ def temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     targets = (counts.crossJoin(F.broadcast(n_min))
                .select("lang", F.floor(
                    F.sqrt(F.col("n_g") * F.col("n_min"))).alias("t_g")))
-    w = Window.partitionBy("lang").orderBy("h", "doc_id")
-    return (d.withColumn("sample_rank", F.row_number().over(w))
+    return (assign_group_ranks(d, ["lang"], ["h", "doc_id"],
+                               rank_col="sample_rank")
             .join(F.broadcast(targets), "lang")
             .where(F.col("sample_rank") <= F.col("t_g"))
             .select("doc_id", "lang",
@@ -691,16 +692,16 @@ def domain_cap(spark: SparkSession, sf_dir: str, cap: int = 20) -> DataFrame:
     prefix, shared deliberately with temperature_sample C33: one
     auditable sampling rule everywhere), and reports per-source
     totals so clipped domains are visible downstream. Scale: one
-    count agg + one rank window partitioned by source; a pathological
-    mega-domain makes a hot rank partition — cap it first with a
-    cheap pre-filter on hash mod (keep-rate ~ cap/n_g) before exact
-    ranking, the same two-tier trick as C33's quantile note."""
-    from pyspark.sql.window import Window
+    count agg + a distributed per-source rank (assign_group_ranks —
+    range-partition slices, so a pathological mega-domain spans
+    tasks instead of heating one rank partition)."""
+    from gcp_data_engineering_workshop_spark.operators.ids import assign_group_ranks
+
     d = _docs(spark, sf_dir).select(
         "doc_id", "source", T.kr_hash(T.normalize("text")).alias("h"))
     totals = d.groupBy("source").agg(F.count("*").alias("src_total"))
-    w = Window.partitionBy("source").orderBy("h", "doc_id")
-    return (d.withColumn("src_rank", F.row_number().over(w))
+    return (assign_group_ranks(d, ["source"], ["h", "doc_id"],
+                               rank_col="src_rank")
             .where(F.col("src_rank") <= cap)
             .join(F.broadcast(totals), "source")
             .select("doc_id", "source",
