@@ -84,8 +84,9 @@ def assign_group_ranks(df: DataFrame, group_cols: list[str],
     high-cardinality groups a per-group window is already fine (no
     group outgrows a task), so the two regimes cover each other.
     """
-    keys = [*group_cols, *order_cols]
-    parted = (df.repartitionByRange(n_parts, *[F.col(c) for c in keys])
+    ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    keys = [*[F.col(c) for c in group_cols], *ocols]
+    parted = (df.repartitionByRange(n_parts, *keys)
                 .withColumn("_pid", F.spark_partition_id())
                 .persist())
     sizes = parted.groupBy("_pid", *group_cols).count().collect()
@@ -104,8 +105,7 @@ def assign_group_ranks(df: DataFrame, group_cols: list[str],
         return df.withColumn(rank_col, F.lit(None).cast("bigint"))
     off = spark.createDataFrame(
         rows, [*group_cols, "_pid", "_off"])
-    w = Window.partitionBy("_pid", *group_cols).orderBy(
-        *[F.col(c) for c in order_cols])
+    w = Window.partitionBy("_pid", *group_cols).orderBy(*ocols)
     return (parted
             .join(F.broadcast(off), [*group_cols, "_pid"])
             .withColumn(rank_col,

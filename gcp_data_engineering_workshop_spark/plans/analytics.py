@@ -108,16 +108,21 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def topk_per_group(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
-    """B4: top-k per group via partitioned row_number (deterministic
-    total order: retailprice desc, partkey asc)."""
+    """B4: top-k per group (deterministic total order: retailprice
+    desc, partkey asc). Rank comes from the distributed group-rank
+    (operators/ids.py assign_group_ranks) rather than a window
+    partitioned by brand alone — ~25 brands over a web-scale part
+    table would funnel each brand through one task."""
+    from gcp_data_engineering_workshop_spark.operators.ids import assign_group_ranks
+
     part = load_table(spark, "part", sf_dir)
-    w = Window.partitionBy("p_brand").orderBy(
-        F.col("p_retailprice").desc(), F.col("p_partkey"))
-    return (
-        part.select("p_brand", "p_partkey", "p_name", "p_retailprice",
-                    F.row_number().over(w).alias("rank_in_brand"))
-        .where(F.col("rank_in_brand") <= k)
-    )
+    ranked = assign_group_ranks(
+        part.select("p_brand", "p_partkey", "p_name", "p_retailprice"),
+        ["p_brand"], [F.col("p_retailprice").desc(), F.col("p_partkey")],
+        rank_col="rank_in_brand")
+    return (ranked.where(F.col("rank_in_brand") <= k)
+            .select("p_brand", "p_partkey", "p_name", "p_retailprice",
+                    "rank_in_brand"))
 
 
 def count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
