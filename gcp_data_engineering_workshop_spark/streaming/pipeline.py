@@ -231,3 +231,26 @@ def incremental_dedup_stream(doc_stream: DataFrame,
     return (doc_stream.withColumn("h", F.md5(normalize("text")))
             .join(F.broadcast(corpus_hashes), "h", "left_anti")
             .select("doc_id", "lang"))
+
+
+def ohlc_stream(ticks: DataFrame, window: str = "1 hour",
+                watermark: str = "10 minutes") -> DataFrame:
+    """D16: streaming OHLC candles (A14 twin) — per (ticker,
+    window) open/high/low/close built as ONE watermarked windowed
+    aggregation: open/close are min_by/max_by on event time, which
+    merge correctly across micro-batches (each partial carries its
+    arg-extreme, merge keeps the earlier/later one), so the final
+    candle is identical to the batch rollup over the same ticks —
+    no sort, no per-window state beyond the single running row."""
+    return (
+        ticks.withWatermark("ts", watermark)
+        .groupBy("ticker", F.window("ts", window).alias("w"))
+        .agg(F.min_by("price", "ts").alias("open"),
+             F.max("price").alias("high"),
+             F.min("price").alias("low"),
+             F.max_by("price", "ts").alias("close"),
+             F.sum("volume").alias("w_volume"),
+             F.count(F.lit(1)).alias("n_ticks"))
+        .select("ticker", F.col("w.start").alias("window_start"),
+                "open", "high", "low", "close", "w_volume", "n_ticks")
+    )

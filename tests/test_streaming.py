@@ -558,3 +558,31 @@ def test_streaming_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
                  .join(corpus_hashes, "h", "left_anti")
                  .select("doc_id").collect()}
     assert got == want and len(want) > 0
+
+
+def test_streaming_ohlc_matches_batch(spark, sf_dir, tick_json_dir):
+    """D16: the streamed hourly candles equal the batch rollup over
+    the same ticks — min_by/max_by partials merge correctly across
+    micro-batches."""
+    stream = spl.read_tick_stream(spark, tick_json_dir)
+    _run_to_memory(spl.ohlc_stream(stream), "ohlc", "complete")
+    got = {(r.ticker, r.window_start): r for r in spark.table("ohlc").collect()}
+
+    t = batch_ticks(spark, sf_dir)
+    want = {(r.ticker, r.window_start): r
+            for r in t.groupBy("ticker",
+                               F.window("ts", "1 hour").alias("w"))
+            .agg(F.min_by("price", "ts").alias("open"),
+                 F.max("price").alias("high"),
+                 F.min("price").alias("low"),
+                 F.max_by("price", "ts").alias("close"),
+                 F.sum("volume").alias("w_volume"),
+                 F.count(F.lit(1)).alias("n_ticks"))
+            .select("ticker", F.col("w.start").alias("window_start"),
+                    "open", "high", "low", "close", "w_volume", "n_ticks")
+            .collect()}
+    assert set(got) == set(want) and len(want) > 0
+    for k, g in got.items():
+        w = want[k]
+        assert (g.open, g.high, g.low, g.close, g.w_volume, g.n_ticks) \
+            == (w.open, w.high, w.low, w.close, w.w_volume, w.n_ticks), k
