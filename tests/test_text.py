@@ -469,3 +469,57 @@ def test_mixture_schedule_stride_properties(spark, sf_dir):
         # by any position horizon
         expect = horizon * w
         assert abs(got[s] - expect) <= 1.0, (s, got[s], expect)
+
+
+def test_parse_image_headers_real_containers():
+    """Hand-built minimal PNG/GIF/BMP/JPEG byte streams parse to
+    their true dimensions — no codec library involved."""
+    import struct
+    from gcp_data_engineering_workshop_spark.operators.multimodal import (
+        parse_image_header)
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00")
+    assert parse_image_header(png) == ("image/png", 640, 480)
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    assert parse_image_header(gif) == ("image/gif", 320, 200)
+
+    bmp = (b"BM" + b"\x00" * 16
+           + struct.pack("<ii", 800, -600) + b"\x00" * 4)
+    assert parse_image_header(bmp) == ("image/bmp", 800, 600)
+
+    # JPEG: SOI, APP0 segment, SOF0 with (h=1080, w=1920)
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", 1080, 1920) + b"\x03" + b"\x00" * 9)
+    assert parse_image_header(b"\xff\xd8" + app0 + sof0) \
+        == ("image/jpeg", 1920, 1080)
+
+    assert parse_image_header(b"plain text bytes") is None
+
+
+def test_decode_uses_real_headers_in_batch(spark):
+    """A mixed Arrow batch: recognized containers report true
+    dimensions and sniffed types; unknown payloads fall back to the
+    deterministic fake."""
+    import struct
+    from gcp_data_engineering_workshop_spark.operators import multimodal as MM
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 64, 32) + b"\x08\x02\x00\x00\x00")
+    rows = [(1, {"media_type": "application/octet-stream",
+                 "payload": bytearray(png), "n_chars": 0, "origin": "s"}),
+            (2, {"media_type": "image/fake",
+                 "payload": bytearray(b"not an image"), "n_chars": 0,
+                 "origin": "s"})]
+    media = spark.createDataFrame(
+        rows,
+        "doc_id bigint, media struct<media_type string, payload binary, "
+        "n_chars bigint, origin string>")
+    out = {r.doc_id: r for r in MM.decode_stub(media).collect()}
+    assert (out[1].media_type, out[1].width, out[1].height) \
+        == ("image/png", 64, 32)
+    assert out[2].media_type == "image/fake" and out[2].width >= 64
