@@ -52,7 +52,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stock_volume_spike": _sp.volume_spikes,
         "ingest_parse_json": _ticks_fn,
         "ingest_replay": lambda spark, sf: _replay_fn(spark, sf, 7),
-        "dash_overview": _sp.dash_overview,
         "q1_pricing_summary": _an.q1_pricing_summary,
         "q3_top_revenue": _an.q3_top_revenue,
         "q5_region_revenue": _an.q5_region_revenue,
@@ -93,12 +92,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_schedule": _tp.mixture_schedule,
         "daily_ohlc": _sp.daily_ohlc,
         "daily_vwap": _sp.daily_vwap,
+        "value_rank_dist": _an3.value_rank_dist,
         # -- (3) tail: re-checked green in CORRECTNESS_r02 on current
         # data, or r1-green simple shapes whose siblings re-check the
         # same timestamp/decimal paths inside the window (A11-A13) --
         "minute_returns": _sp.minute_returns,
         "running_volume": _sp.running_volume,
         "volume_histogram": _sp.volume_histogram,
+        "dash_overview": _sp.dash_overview,
         "dash_tickers": _sp.dash_tickers,
         "dash_detail": _sp.dash_detail,
         "dedup_exact": _tp.dedup_exact,
@@ -209,6 +210,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_schedule": _orc.MIXTURE_SCHEDULE_SQL,
         "daily_ohlc": _orc.DAILY_OHLC_SQL,
         "daily_vwap": _orc.DAILY_VWAP_SQL,
+        "value_rank_dist": _orc.VALUE_RANK_DIST_SQL,
         "dedup_groups": _orc.DEDUP_GROUPS_SQL,
         "doc_chunking": _orc.DOC_CHUNKING_SQL,
         "train_test_split": _orc.TRAIN_TEST_SPLIT_SQL,

@@ -112,3 +112,46 @@ def assign_group_ranks(df: DataFrame, group_cols: list[str],
                         (F.row_number().over(w) + F.col("_off"))
                         .cast("bigint"))
             .drop("_pid", "_off"))
+
+
+def group_prefix_sum(df: DataFrame, group_cols: list[str],
+                     order_cols: list, value_col: str,
+                     out_col: str = "prefix_sum",
+                     n_parts: int = 32) -> DataFrame:
+    """Inclusive running sum of ``value_col`` within each group in
+    (order_cols) order — the distributed prefix-sum: range-partition
+    by (group, order keys), local cumulative sum per slice, then add
+    the per-group total of all earlier slices (bounded
+    O(n_parts x n_groups) collect, broadcast back). Same regime note
+    as assign_group_ranks: built for FEW, HUGE groups, where a
+    group-partitioned running-sum window would funnel each group
+    through one task."""
+    ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    keys = [*[F.col(c) for c in group_cols], *ocols]
+    parted = (df.repartitionByRange(n_parts, *keys)
+                .withColumn("_pid", F.spark_partition_id())
+                .persist())
+    sums = parted.groupBy("_pid", *group_cols).agg(
+        F.sum(value_col).alias("_s")).collect()
+    by_group: dict[tuple, list] = {}
+    for r in sums:
+        g = tuple(r[c] for c in group_cols)
+        by_group.setdefault(g, []).append((r["_pid"], r["_s"]))
+    rows = []
+    for g, lst in by_group.items():
+        acc = 0
+        for pid, s in sorted(lst):
+            rows.append((*g, pid, acc))
+            acc += s
+    spark = df.sparkSession
+    if not rows:
+        return df.withColumn(out_col, F.lit(None).cast("bigint"))
+    off = spark.createDataFrame(rows, [*group_cols, "_pid", "_off"])
+    w = (Window.partitionBy("_pid", *group_cols).orderBy(*ocols)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (parted
+            .join(F.broadcast(off), [*group_cols, "_pid"])
+            .withColumn(out_col,
+                        (F.sum(value_col).over(w) + F.col("_off"))
+                        .cast("bigint"))
+            .drop("_pid", "_off"))

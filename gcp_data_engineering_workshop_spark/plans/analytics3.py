@@ -202,3 +202,33 @@ def scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", "v.segment", "v.valid_from",
                 "v.valid_to", "v.is_current")
     )
+
+
+def value_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B48: percent_rank / cume_dist per group at VALUE granularity,
+    with no per-group window.
+
+    Tied rows share one output row, so the op first aggregates to
+    (group, value, count) — map-side combinable — then runs the
+    DISTRIBUTED PREFIX-SUM (operators/ids.py group_prefix_sum) over
+    the value-level frame. percent_rank's rank() is the min rank of
+    the tie group = 1 + rows strictly less = 1 + (cum - cnt), so
+    both statistics are closed forms of (cumulative count, group
+    total): percent_rank = (cum - cnt)/(n - 1), cume_dist = cum/n —
+    exactly the SQL window definitions the oracle computes row-wise.
+    """
+    from gcp_data_engineering_workshop_spark.operators.ids import group_prefix_sum
+
+    ev = load_table(spark, "events", sf_dir)
+    vl = (ev.groupBy("event_type", "value")
+          .agg(F.count(F.lit(1)).alias("n_rows")))
+    ps = group_prefix_sum(vl, ["event_type"], ["value"], "n_rows",
+                          out_col="cum")
+    n = vl.groupBy("event_type").agg(F.sum("n_rows").alias("n"))
+    return (ps.join(F.broadcast(n), "event_type")
+            .select("event_type", "value", "n_rows",
+                    F.when(F.col("n") > 1,
+                           (F.col("cum") - F.col("n_rows"))
+                           / (F.col("n") - 1))
+                     .otherwise(F.lit(0.0)).alias("pct_rank"),
+                    (F.col("cum") / F.col("n")).alias("cum_dist")))

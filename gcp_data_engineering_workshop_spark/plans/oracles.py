@@ -1627,3 +1627,14 @@ SELECT ticker, CAST(ts AS DATE) AS day,
 FROM ticks2
 GROUP BY ticker, CAST(ts AS DATE)
 """
+
+VALUE_RANK_DIST_SQL = """
+SELECT DISTINCT event_type, value,
+       CAST(count(*) OVER (PARTITION BY event_type, value) AS BIGINT)
+         AS n_rows,
+       percent_rank() OVER (PARTITION BY event_type ORDER BY value)
+         AS pct_rank,
+       cume_dist() OVER (PARTITION BY event_type ORDER BY value)
+         AS cum_dist
+FROM events
+"""

@@ -146,3 +146,35 @@ def test_assign_group_ranks_small_groups(spark):
     got = {(r.g, r.v): r.grp_rank for r in out}
     assert got == {("a", 1): 1, ("a", 3): 2, ("a", 5): 3,
                    ("b", 2): 1, ("b", 4): 2}
+
+
+def test_value_rank_dist_equals_window_functions(spark, sf_dir):
+    """The prefix-sum closed forms must equal Spark's own
+    percent_rank()/cume_dist() windows row for row."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value")
+    want = {(r.event_type, r.value): (r.pct_rank, r.cum_dist)
+            for r in ev.select(
+                "event_type", "value",
+                F.percent_rank().over(w).alias("pct_rank"),
+                F.cume_dist().over(w).alias("cum_dist")).collect()}
+    got = an3.value_rank_dist(spark, sf_dir).collect()
+    assert len(got) == len(want)
+    for r in got:
+        wp, wc = want[(r.event_type, r.value)]
+        assert r.pct_rank == wp and r.cum_dist == wc, r
+
+
+def test_group_prefix_sum_matches_running_window(spark):
+    from gcp_data_engineering_workshop_spark.operators.ids import group_prefix_sum
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 5), ("a", 3, 1), ("b", 1, 7), ("b", 2, 2)],
+        "g string, o bigint, v bigint")
+    out = {(r.g, r.o): r.prefix_sum
+           for r in group_prefix_sum(df, ["g"], ["o"], "v",
+                                     n_parts=3).collect()}
+    assert out == {("a", 1): 10, ("a", 2): 15, ("a", 3): 16,
+                   ("b", 1): 7, ("b", 2): 9}
