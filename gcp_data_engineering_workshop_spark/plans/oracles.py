@@ -1638,3 +1638,32 @@ SELECT DISTINCT event_type, value,
          AS cum_dist
 FROM events
 """
+
+BIGRAM_LM_SCORE_SQL = f"""
+WITH {_WORDS_CTE.strip()},
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                                       i -> {{'w1': w[i], 'w2': w[i+1]}})) AS b
+  FROM wt WHERE len(w) >= 2
+),
+bgf AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+ug AS (SELECT unnest(w) AS w1 FROM wt),
+c_bg AS (SELECT w1, w2, count(*) AS c12 FROM bgf GROUP BY w1, w2),
+c_ug AS (SELECT w1, count(*) AS c1 FROM ug GROUP BY w1),
+v AS (SELECT count(DISTINCT w1) AS v FROM ug),
+scored AS (
+  SELECT bgf.doc_id,
+         count(*) AS n_bigrams,
+         round(SUM(ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v.v))) / count(*),
+               6) AS avg_logp
+  FROM bgf
+  JOIN c_bg USING (w1, w2)
+  JOIN c_ug USING (w1)
+  CROSS JOIN v
+  GROUP BY bgf.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       coalesce(s.avg_logp, 0.0) AS avg_logp
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""

@@ -921,3 +921,49 @@ def mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source", "src_rank",
                     ((F.col("src_rank").cast("double") - 0.5) / F.col("w"))
                     .alias("position")))
+
+
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C44: corpus-trained bigram language-model scoring — the
+    perplexity-style quality filter (CCNet's famous stage) with the
+    LM trained ON the corpus itself, no external model: Laplace-
+    smoothed P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V), and each doc
+    scores avg log P over its bigrams. Low scores flag gibberish /
+    boilerplate-mangled text; the trainer thresholds on this column.
+
+    Scale shape: bigram and unigram counts are map-side-combinable
+    aggregations; each doc's bigram stream annotates via equi-joins
+    on the bigram/unigram keys (shuffle on token keys, near-linear),
+    and the per-doc score is one groupBy. Floating point crosses the
+    oracle at round(6): the log-sum's order-dependence is ~1e-14
+    while the rounding grain is 1e-6 — eight orders of margin.
+    """
+    d = _docs(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    wt = (d.repartition(par)
+          .select("doc_id", T.words("text").alias("w"))
+          .repartition(par))
+    bg = wt.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            "CASE WHEN size(w) >= 2 THEN transform(sequence(0, size(w) - 2), "
+            "i -> struct(w[i] AS w1, w[i+1] AS w2)) "
+            "ELSE array() END")).alias("pos", "b")
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    ug = wt.select(F.explode("w").alias("w1"))
+    c_bg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c_ug = ug.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab_n = ug.agg(F.countDistinct("w1").alias("v"))
+    logp = F.log((F.col("c12") + 1).cast("double")
+                 / (F.col("c1") + F.col("v")).cast("double"))
+    scored = (bg.join(c_bg, ["w1", "w2"]).join(c_ug, "w1")
+              .crossJoin(F.broadcast(vocab_n))
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                   F.round(F.sum(logp) / F.count(F.lit(1)), 6)
+                    .alias("avg_logp")))
+    return (d.select("doc_id")
+            .join(scored, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                    F.coalesce("avg_logp", F.lit(0.0)).alias("avg_logp")))

@@ -523,3 +523,26 @@ def test_decode_uses_real_headers_in_batch(spark):
     assert (out[1].media_type, out[1].width, out[1].height) \
         == ("image/png", 64, 32)
     assert out[2].media_type == "image/fake" and out[2].width >= 64
+
+
+def test_bigram_lm_separates_predictable_from_shuffled(spark, tmp_path):
+    """A corpus of one repeated phrasing plus one scrambled doc: the
+    in-distribution docs must out-score the scrambled one (its
+    bigrams are unseen elsewhere, so they take smoothed-floor
+    probability)."""
+    import os
+    from gcp_data_engineering_workshop_spark.plans.textpipeline import bigram_lm_score
+
+    phrase = "the quick brown fox jumps over the lazy dog"
+    docs = [(i, phrase, "en", "s", 0) for i in range(1, 9)]
+    docs.append((9, "dog the over quick lazy jumps fox brown the", "en", "s", 0))
+    docs.append((10, "solo", "en", "s", 0))  # < 2 words: zero bigrams
+    df = spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars bigint")
+    d = str(tmp_path / "docs_sf")
+    os.makedirs(d, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+    out = {r.doc_id: r for r in bigram_lm_score(spark, d).collect()}
+    assert out[1].avg_logp > out[9].avg_logp
+    assert all(out[i].avg_logp == out[1].avg_logp for i in range(2, 9))
+    assert out[10].n_bigrams == 0 and out[10].avg_logp == 0.0
