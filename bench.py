@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "line_dedup",            # C39 boilerplate removal
     "dedup_incremental",     # C38 batch-vs-corpus dedup
     "ann_pq",                # C40 product-quantization ANN
+    "bigram_lm_score",       # C44 LM quality filter
+    "value_rank_dist",       # B48 distributed prefix-sum ranks
 ]
 
 
