@@ -82,3 +82,40 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
             break
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("component"))
+
+
+def connected_components_sql(edges: DataFrame, max_depth: int = 8,
+                             src: str = "doc_a", dst: str = "doc_b") -> DataFrame:
+    """E16: the Spark 4 ``WITH RECURSIVE`` twin of
+    connected_components — bounded-depth reachability in one SQL
+    statement. Spark's recursive CTEs support UNION ALL only (no
+    UNION-distinct fixpoint yet), so cyclic graphs need an explicit
+    depth bound: correct for any graph whose component diameter is
+    <= max_depth, which near-dup clusters (near-cliques, diameter
+    2-3) satisfy with room to spare.
+
+    This exists to exercise the engine surface; the iterative
+    DataFrame operator (connected_components) remains the scale
+    path — UNION ALL enumerates PATHS, so a dense clique's
+    intermediate row count grows with depth where the iterative
+    operator's per-round frame stays at |nodes|.
+    """
+    spark = edges.sparkSession
+    edges.select(F.col(src).alias("a"), F.col(dst).alias("b")) \
+        .createOrReplaceTempView("cc_edges_in")
+    return spark.sql(f"""
+      WITH RECURSIVE sym AS (
+        SELECT a, b FROM cc_edges_in
+        UNION ALL
+        SELECT b, a FROM cc_edges_in
+      ),
+      reach(a, b, depth) AS (
+        SELECT a, b, 1 FROM sym
+        UNION ALL
+        SELECT r.a, e.b, r.depth + 1
+        FROM reach r JOIN sym e ON r.b = e.a
+        WHERE r.depth < {int(max_depth)}
+      )
+      SELECT node AS doc_id, least(node, mr) AS component
+      FROM (SELECT a AS node, min(b) AS mr FROM reach GROUP BY a)
+    """)

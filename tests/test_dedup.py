@@ -172,3 +172,21 @@ def test_incremental_dedup_never_compares_corpus_to_corpus(spark, sf_dir):
         corpus.withColumn("doc_id", F.col("doc_id") + 1_000_000))
     again = {r.doc_id for r in incremental_dedup(batch, doubled).collect()}
     assert again == base
+
+
+def test_recursive_cte_components_match_iterative(spark):
+    """E16: the WITH RECURSIVE formulation equals the iterative
+    operator on bounded-diameter graphs (two triangles + an edge +
+    a 4-chain)."""
+    from gcp_data_engineering_workshop_spark.operators.graph import (
+        connected_components, connected_components_sql)
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (20, 21),
+         (30, 31), (31, 32), (32, 33)],
+        "doc_a bigint, doc_b bigint")
+    want = {(r.doc_id, r.component)
+            for r in connected_components(edges).collect()}
+    got = {(r.doc_id, r.component)
+           for r in connected_components_sql(edges).collect()}
+    assert got == want and len(want) > 0
