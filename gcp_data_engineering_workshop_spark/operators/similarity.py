@@ -348,21 +348,84 @@ def embedding_neardup_blocked(emb: DataFrame, tau: float = 0.4,
     )
 
 
+def _partition_local_topk(df: DataFrame, key_col: str, order_col: str,
+                          tie_col: str, k: int) -> DataFrame:
+    """Per-partition bounded top-k per key — the map side of the
+    two-phase top-k selection every ANN path uses.
+
+    The naive final selection, Window.partitionBy(key), funnels each
+    key's ENTIRE candidate stream through one task; with few queries
+    and a corpus-length stream (the PQ code scan is exactly that)
+    that is a single-task sort of the whole table per query — the
+    plan that dies first at 100 TB. Here each partition instead
+    keeps only its local top-k per key (order_col desc, tie_col asc
+    — the same total order as the merge window), so the stream
+    entering the final window is O(n_partitions * n_keys * k) rows,
+    independent of corpus size. Top-k of a union equals top-k of the
+    union of per-partition top-ks, so the reduction is lossless.
+
+    Memory per task is bounded: batches fold into a running per-key
+    top-k, compacted every few batches — O(n_keys * k) held rows,
+    never the whole partition."""
+    import pandas as pd
+
+    schema = df.schema
+
+    def _fold(batches):
+        held: list = []
+        pending = 0
+
+        def _compact(frames):
+            return (pd.concat(frames, ignore_index=True)
+                    .sort_values([order_col, tie_col],
+                                 ascending=[False, True], kind="mergesort")
+                    .groupby(key_col, sort=False).head(k))
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            held.append(pdf)
+            pending += 1
+            if pending >= 8:
+                held = [_compact(held)]
+                pending = 0
+        if held:
+            yield _compact(held)
+
+    return df.mapInPandas(_fold, schema)
+
+
+def _topk_per_key(scored: DataFrame, k: int, key_col: str = "query_id",
+                  order_col: str = "dot_sim", tie_col: str = "neighbor_id",
+                  rank_name: str = "rank") -> DataFrame:
+    """Two-phase exact top-k per key: per-partition local top-k
+    (bounded, parallel) -> union -> tiny final window over the
+    O(n_parts * k) survivors per key. Output rank == the rank a
+    global per-key window would assign (ties broken by tie_col, so
+    the order is total and deterministic)."""
+    reduced = _partition_local_topk(scored, key_col, order_col, tie_col, k)
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(order_col).desc(), F.col(tie_col))
+    return (reduced.withColumn(rank_name, F.row_number().over(w))
+            .where(F.col(rank_name) <= k))
+
+
 def ann_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
     """C6: brute-force top-k neighbors for the first n_queries
-    vectors. Output: query_id, neighbor_id, dot_sim, rank."""
+    vectors. Output: query_id, neighbor_id, dot_sim, rank.
+
+    The corpus side streams through one codegen stage scoring all
+    queries; final selection is the two-phase local top-k + merge
+    (_topk_per_key), never a per-query global window."""
     q = (emb.where(F.col("vec_id") < n_queries)
          .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")))
     c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ec"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("dot_sim").desc(), F.col("neighbor_id"))
-    return (
+    scored = (
         F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id",
                 _sim(F.col("eq"), F.col("ec")).alias("dot_sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
     )
+    return _topk_per_key(scored, k)
 
 
 def ann_lsh_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
@@ -390,14 +453,10 @@ def ann_lsh_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
         .select("query_id", "neighbor_id", "eq", "ec")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("dot_sim").desc(), F.col("neighbor_id"))
-    return (
-        cand.select("query_id", "neighbor_id",
-                    _sim(F.col("eq"), F.col("ec")).alias("dot_sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    scored = cand.select(
+        "query_id", "neighbor_id",
+        _sim(F.col("eq"), F.col("ec")).alias("dot_sim"))
+    return _topk_per_key(scored, k)
 
 
 def _kmeans_centroids(sample: np.ndarray, k: int, n_iter: int = 10,
@@ -459,16 +518,13 @@ def ann_ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
     queries = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq"),
         F.explode(probe_udf("embedding")).alias("list_id"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("dot_sim").desc(), F.col("neighbor_id"))
-    return (
+    scored = (
         F.broadcast(queries).join(corpus, "list_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id",
                 _sim(F.col("eq"), F.col("ec")).alias("dot_sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
     )
+    return _topk_per_key(scored, k)
 
 
 def _kmeans_l2(sample: np.ndarray, k: int, n_iter: int = 10,
@@ -513,8 +569,10 @@ def ann_pq_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
          broadcast with the closure); per corpus row the approx dot
          is m LUT gathers instead of a 64-dim dot, vectorized over
          the Arrow batch for ALL queries at once;
-      4. per-query top-(k*refine) by approx score (small window over
-         the candidate stream), exact dot re-rank on survivors only.
+      4. per-query top-(k*refine) by approx score via the two-phase
+         local top-k (_topk_per_key — per-partition bounded heaps,
+         then a merge window over O(n_parts * k * refine) rows),
+         exact dot re-rank on survivors only.
 
     rows-only + pytest recall vs. the exact baseline (C6), like the
     other approximate ANN paths.
@@ -572,22 +630,26 @@ def ann_pq_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
                 "neighbor_id", "approx")
         .where(F.col("query_id") != F.col("neighbor_id"))
     )
-    wa = Window.partitionBy("query_id").orderBy(
-        F.col("approx").desc(), F.col("neighbor_id"))
-    cand = (scored.withColumn("arank", F.row_number().over(wa))
-            .where(F.col("arank") <= k * refine)
+    # approximate-pass selection: the candidate stream here is the
+    # ENTIRE corpus x n_queries (that is the point of a PQ code
+    # scan), so this selection above all must not funnel a
+    # corpus-length stream per query through one window task — the
+    # two-phase local top-(k*refine) keeps it partition-parallel
+    cand = (_topk_per_key(scored, k * refine, order_col="approx",
+                          rank_name="arank")
             .select("query_id", "neighbor_id"))
 
-    q = emb.select(F.col("vec_id").alias("query_id"),
-                   F.col("embedding").alias("eq"))
+    # exact re-rank: only the n_queries query vectors are broadcast
+    # (broadcasting the full corpus side would ship the whole
+    # embedding table to every executor at scale)
+    q = (emb.where(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("eq")))
     c = emb.select(F.col("vec_id").alias("neighbor_id"),
                    F.col("embedding").alias("ec"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("dot_sim").desc(), F.col("neighbor_id"))
-    return (
+    rescored = (
         cand.join(c, "neighbor_id").join(F.broadcast(q), "query_id")
         .select("query_id", "neighbor_id",
                 _sim(F.col("eq"), F.col("ec")).alias("dot_sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
     )
+    return _topk_per_key(rescored, k)

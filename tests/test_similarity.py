@@ -179,6 +179,60 @@ def test_ann_pq_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.6, f"PQ recall {recall:.2f} too low"
 
 
+def test_topk_per_key_equals_global_window(spark):
+    """Two-phase local top-k + merge must reproduce the global
+    per-key window EXACTLY — including rank values and tie-breaks —
+    on a frame spread over many partitions with deliberate score
+    ties."""
+    import itertools
+    from pyspark.sql.window import Window
+
+    rows = [(q, n, float((q * 7 + n * 3) % 11))  # many ties per key
+            for q, n in itertools.product(range(4), range(300))
+            if q != n]
+    df = spark.createDataFrame(
+        rows, "query_id int, neighbor_id int, dot_sim double"
+    ).repartition(16)
+    got = {(r.query_id, r.neighbor_id, r.dot_sim, r.rank)
+           for r in S._topk_per_key(df, 5).collect()}
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_sim").desc(), F.col("neighbor_id"))
+    want = {(r.query_id, r.neighbor_id, r.dot_sim, r.rank)
+            for r in df.withColumn("rank", F.row_number().over(w))
+                       .where(F.col("rank") <= 5).collect()}
+    assert got == want and len(want) == 20
+
+
+def test_topk_local_phase_bounds_stream(spark):
+    """The map phase's output is bounded by n_parts * n_keys * k —
+    independent of input size — so the final window never sees a
+    corpus-length stream."""
+    rows = [(q, n, float(n)) for q in range(3) for n in range(2000)]
+    df = spark.createDataFrame(
+        rows, "query_id int, neighbor_id int, dot_sim double"
+    ).repartition(8)
+    reduced = S._partition_local_topk(df, "query_id", "dot_sim",
+                                      "neighbor_id", 5)
+    assert reduced.count() <= 8 * 3 * 5
+
+
+def test_ann_selection_is_two_phase(spark, sf_dir):
+    """Plan guard for the 100-TB posture: every ANN path's final
+    selection must run the bounded local top-k (MapInPandas) BEFORE
+    its rank window — the per-query global-Window-over-the-full-
+    candidate-stream shape must not reappear."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    for df in (S.ann_topk(emb, n_queries=10, k=5),
+               S.ann_lsh_topk(emb, n_queries=10, k=5),
+               S.ann_ivf_topk(emb, n_queries=10, k=5),
+               S.ann_pq_topk(emb, n_queries=10, k=5)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan
+        # the window input must be the reduced stream: MapInPandas
+        # appears below (after, in top-down print order) the Window
+        assert plan.index("Window") < plan.index("MapInPandas")
+
+
 def test_ann_pq_approx_pass_prunes_embedding_column(spark, sf_dir):
     """The PQ promise: the approximate scoring pass reads CODES, not
     raw vectors — the window that ranks approx scores must sit on a
