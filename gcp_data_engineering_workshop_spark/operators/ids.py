@@ -24,9 +24,39 @@ IS the global rank), which is what the DuckDB oracle checks.
 
 from __future__ import annotations
 
+from decimal import Decimal
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
+
+
+def _off_schema(parted: DataFrame, group_cols: list[str],
+                off_type: T.DataType) -> T.StructType:
+    """Explicit schema for the tiny offset table: group-col types are
+    copied from the input (inference would fail on an all-NULL group
+    column, which is a legal group in window semantics)."""
+    return T.StructType(
+        [T.StructField(c, parted.schema[c].dataType, True)
+         for c in group_cols]
+        + [T.StructField("_pid", T.IntegerType(), False),
+           T.StructField("_off", off_type, True)])
+
+
+def _null_safe_off_join(parted: DataFrame, off: DataFrame,
+                        group_cols: list[str]) -> DataFrame:
+    """Attach each row's earlier-slices offset. The window semantics
+    these ops replace treat NULL as its own partition, so the join
+    must match NULL group keys too — a plain equi-join would silently
+    DROP every NULL-keyed row."""
+    p, o = parted.alias("_in_t"), off.alias("_off_t")
+    cond = F.col("_in_t._pid") == F.col("_off_t._pid")
+    for c in group_cols:
+        cond = cond & F.col(f"_in_t.{c}").eqNullSafe(F.col(f"_off_t.{c}"))
+    return (p.join(F.broadcast(o), cond)
+            .drop(F.col("_off_t._pid"),
+                  *[F.col(f"_off_t.{c}") for c in group_cols]))
 
 
 def assign_global_ids(df: DataFrame, order_cols: list[str],
@@ -104,10 +134,9 @@ def assign_group_ranks(df: DataFrame, group_cols: list[str],
     if not rows:
         return df.withColumn(rank_col, F.lit(None).cast("bigint"))
     off = spark.createDataFrame(
-        rows, [*group_cols, "_pid", "_off"])
+        rows, _off_schema(parted, group_cols, T.LongType()))
     w = Window.partitionBy("_pid", *group_cols).orderBy(*ocols)
-    return (parted
-            .join(F.broadcast(off), [*group_cols, "_pid"])
+    return (_null_safe_off_join(parted, off, group_cols)
             .withColumn(rank_col,
                         (F.row_number().over(w) + F.col("_off"))
                         .cast("bigint"))
@@ -131,6 +160,9 @@ def group_prefix_sum(df: DataFrame, group_cols: list[str],
     parted = (df.repartitionByRange(n_parts, *keys)
                 .withColumn("_pid", F.spark_partition_id())
                 .persist())
+    sum_type = parted.select(F.sum(value_col).alias("_s")).schema["_s"].dataType
+    conv = (float if isinstance(sum_type, (T.DoubleType, T.FloatType))
+            else Decimal if isinstance(sum_type, T.DecimalType) else int)
     sums = parted.groupBy("_pid", *group_cols).agg(
         F.sum(value_col).alias("_s")).collect()
     by_group: dict[tuple, list] = {}
@@ -139,18 +171,19 @@ def group_prefix_sum(df: DataFrame, group_cols: list[str],
         by_group.setdefault(g, []).append((r["_pid"], r["_s"]))
     rows = []
     for g, lst in by_group.items():
-        acc = 0
+        acc = conv(0)
         for pid, s in sorted(lst):
             rows.append((*g, pid, acc))
-            acc += s
+            if s is not None:
+                acc += s
     spark = df.sparkSession
     if not rows:
         return df.withColumn(out_col, F.lit(None).cast("bigint"))
-    off = spark.createDataFrame(rows, [*group_cols, "_pid", "_off"])
+    off = spark.createDataFrame(
+        rows, _off_schema(parted, group_cols, sum_type))
     w = (Window.partitionBy("_pid", *group_cols).orderBy(*ocols)
          .rowsBetween(Window.unboundedPreceding, 0))
-    return (parted
-            .join(F.broadcast(off), [*group_cols, "_pid"])
+    return (_null_safe_off_join(parted, off, group_cols)
             .withColumn(out_col,
                         (F.sum(value_col).over(w) + F.col("_off"))
                         .cast("bigint"))

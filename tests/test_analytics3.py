@@ -178,3 +178,45 @@ def test_group_prefix_sum_matches_running_window(spark):
                                      n_parts=3).collect()}
     assert out == {("a", 1): 10, ("a", 2): 15, ("a", 3): 16,
                    ("b", 1): 7, ("b", 2): 9}
+
+
+def test_group_ranks_and_prefix_sum_keep_null_groups(spark):
+    """Window semantics treat NULL as its own partition — the
+    distributed replacements must too. A plain equi-join on the
+    offset table silently DROPS null-keyed rows; the null-safe join
+    keeps them, ranked/summed as one group."""
+    from pyspark.sql.window import Window
+    from gcp_data_engineering_workshop_spark.operators.ids import (
+        assign_group_ranks, group_prefix_sum)
+
+    rows = ([("a", v, v * 2) for v in (5, 1, 3)]
+            + [(None, v, v * 10) for v in (2, 4, 6, 8)])
+    df = spark.createDataFrame(rows, "g string, v bigint, x bigint")
+
+    ranked = assign_group_ranks(df, ["g"], ["v"], n_parts=4)
+    assert ranked.count() == len(rows)  # nothing dropped
+    got = {(r.g, r.v): r.grp_rank for r in ranked.collect()}
+    w = Window.partitionBy("g").orderBy("v")
+    want = {(r.g, r.v): r.rn for r in df.withColumn(
+        "rn", F.row_number().over(w)).collect()}
+    assert got == want
+
+    summed = group_prefix_sum(df, ["g"], ["v"], "x", n_parts=4)
+    assert summed.count() == len(rows)
+    gots = {(r.g, r.v): r.prefix_sum for r in summed.collect()}
+    ws = w.rowsBetween(Window.unboundedPreceding, 0)
+    wants = {(r.g, r.v): r.ps for r in df.withColumn(
+        "ps", F.sum("x").over(ws)).collect()}
+    assert gots == wants
+
+
+def test_group_ranks_all_null_group_column(spark):
+    """An entirely-NULL group column (inference-hostile offset
+    table) still ranks as one global group."""
+    from gcp_data_engineering_workshop_spark.operators.ids import assign_group_ranks
+
+    df = spark.createDataFrame(
+        [(None, v) for v in (30, 10, 20)], "g string, v bigint")
+    got = {r.v: r.grp_rank
+           for r in assign_group_ranks(df, ["g"], ["v"], n_parts=2).collect()}
+    assert got == {10: 1, 20: 2, 30: 3}
