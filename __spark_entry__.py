@@ -34,14 +34,70 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING POLICY: the driver records correctness rows for the
     FIRST 50 entries only. Entries rotate per round: (1) queries
-    whose latest driver row predates the r3 testdata regeneration
-    (CORRECTNESS_r01 ran on the old timestamp encoding) come first,
-    (2) then queries new or changed this round, (3) the tail holds
-    queries re-checked green in CORRECTNESS_r02 on the current data.
+    whose latest driver row is stale (pre-r3-regeneration data),
+    (2) queries whose implementation changed this round (r4: the ANN
+    two-phase top-k and the ids.py rank machinery consumers),
+    (3) r2-green queries rotating back in for refreshed evidence.
+    The tail holds queries with green r3 driver rows on current data
+    plus the declared rows-only sketches (a window slot for those
+    records only err:no_oracle — their bounds live in tests/).
     Every key keeps its oracle regardless of position — selfcheck.py
     checks all of them locally."""
     return {
-        # -- (1) last driver row is r1, on the pre-regeneration data --
+        # -- (1) last driver row is r1, on pre-regeneration data --
+        "running_volume": _sp.running_volume,
+        "volume_histogram": _sp.volume_histogram,
+        "dash_overview": _sp.dash_overview,
+        "dash_tickers": _sp.dash_tickers,
+        "dash_detail": _sp.dash_detail,
+        # -- (2) implementation changed this round (r4) --
+        "ann_topk": _tp.ann_topk,
+        "knn_label_propagation": _tp.knn_label_propagation,
+        "topk_per_group": _an.topk_per_group,
+        "value_deciles": _an3.value_deciles,
+        "temperature_sample": _tp.temperature_sample,
+        "domain_cap": _tp.domain_cap,
+        "mixture_schedule": _tp.mixture_schedule,
+        "value_rank_dist": _an3.value_rank_dist,
+        "assign_ids": _tp.assign_ids,
+        "pack_sequences": _tp.pack_sequences,
+        # -- (3) r2-green, rotating back in for refreshed evidence --
+        "dedup_exact": _tp.dedup_exact,
+        "embedding_neardup": _tp.embedding_neardup,
+        "embedding_neardup_lsh": _tp.embedding_neardup_lsh,
+        "embedding_neardup_blocked": _tp.embedding_neardup_blocked,
+        "dedup_minhash_lsh": _tp.dedup_minhash_lsh,
+        "dedup_groups": _tp.dedup_groups,
+        "dedup_corpus": _tp.dedup_corpus,
+        "text_quality": _tp.text_quality,
+        "token_count": _tp.token_count,
+        "doc_chunking": _tp.doc_chunking,
+        "train_test_split": _tp.train_test_split,
+        "vocab_topk": _tp.vocab_topk,
+        "tfidf_topterms": _tp.tfidf_topterms,
+        "clean_corpus": _tp.clean_corpus,
+        "heavy_hitters_cms": _tp.heavy_hitters_cms,
+        "heavy_hitters_stream_scale": _tp.heavy_hitters_stream_scale,
+        "gopher_repetition": _tp.gopher_repetition,
+        "decontaminate": _tp.decontaminate,
+        "props_variant_stats": _an2.props_variant_stats,
+        "q4_order_priority": _an2.q4_order_priority,
+        "q21_waiting_suppliers": _an2.q21_waiting_suppliers,
+        "q13_customer_distribution": _an2.q13_customer_distribution,
+        "q15_top_supplier": _an2.q15_top_supplier,
+        "q17_small_quantity_revenue": _an2.q17_small_quantity_revenue,
+        "q22_inactive_rich_customers": _an2.q22_inactive_rich_customers,
+        "q2_min_cost_supplier": _an2.q2_min_cost_supplier,
+        "q9_product_profit": _an2.q9_product_profit,
+        "q11_important_inventory": _an2.q11_important_inventory,
+        "q12_priority_shipping": _an2.q12_priority_shipping,
+        "q16_supplier_part_counts": _an2.q16_supplier_part_counts,
+        "q20_excess_suppliers": _an2.q20_excess_suppliers,
+        "text_scrub": _tp.text_scrub,
+        "doc_fingerprint": _tp.doc_fingerprint,
+        "ngram_jaccard": _tp.ngram_jaccard,
+        "bigram_pmi": _tp.bigram_pmi,
+        # -- tail: green r3 driver rows on current data --
         "stock_pipeline_full": _sp.full_pipeline,
         "sessionize_events": _an.sessionize_events,
         "salted_agg_volume": _an2.salted_agg_volume,
@@ -52,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stock_volume_spike": _sp.volume_spikes,
         "ingest_parse_json": _ticks_fn,
         "ingest_replay": lambda spark, sf: _replay_fn(spark, sf, 7),
+        "minute_returns": _sp.minute_returns,
         "q1_pricing_summary": _an.q1_pricing_summary,
         "q3_top_revenue": _an.q3_top_revenue,
         "q5_region_revenue": _an.q5_region_revenue,
@@ -62,7 +119,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": _an2.q14_promo_revenue,
         "q18_large_orders": _an2.q18_large_orders,
         "q19_complex_predicates": _an2.q19_complex_predicates,
-        "topk_per_group": _an.topk_per_group,
         "count_distinct_users": _an.count_distinct_users,
         "anti_join_inactive": _an.anti_join_inactive,
         "rollup_revenue": _an.rollup_revenue,
@@ -76,86 +132,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_price_volume": _an2.corr_price_volume,
         "merge_upsert_orders": _an2.merge_upsert_orders,
         "text_lang_id": _tp.text_lang_id,
-        # -- (2) new or changed this round (r3) --
         "rolling_7d_revenue": _an3.rolling_7d_revenue,
-        "value_deciles": _an3.value_deciles,
         "retention_set_ops": _an3.retention_set_ops,
         "grouping_sets_revenue": _an3.grouping_sets_revenue,
         "scd2_customer_dim": _an3.scd2_customer_dim,
         "dedup_incremental": _tp.dedup_incremental,
         "line_dedup": _tp.line_dedup,
-        "ann_pq": _tp.ann_pq,
         "span_dedup_stats": _tp.span_dedup_stats,
         "tokenize_ids": _tp.tokenize_ids,
-        "mixture_schedule": _tp.mixture_schedule,
         "daily_ohlc": _sp.daily_ohlc,
         "daily_vwap": _sp.daily_vwap,
-        "value_rank_dist": _an3.value_rank_dist,
         "bigram_lm_score": _tp.bigram_lm_score,
-        # -- (3) tail: re-checked green in CORRECTNESS_r02 on current
-        # data, or r1-green simple shapes whose siblings re-check the
-        # same timestamp/decimal paths inside the window (A11-A13) --
-        "minute_returns": _sp.minute_returns,
-        "running_volume": _sp.running_volume,
-        "volume_histogram": _sp.volume_histogram,
-        "dash_overview": _sp.dash_overview,
-        "dash_tickers": _sp.dash_tickers,
-        "dash_detail": _sp.dash_detail,
-        # rows-only sketches: a driver window slot would record only
-        # err:no_oracle — their bounds live in tests/, keep them out
-        # of the 50-entry window
+        "sample_corpus": _tp.sample_corpus,
+        "corpus_stats": _tp.corpus_stats,
+        "stratified_split": _tp.stratified_split,
+        # -- tail: declared rows-only (no oracle by design) --
         "approx_distinct_sketch": _an2.approx_distinct_sketch,
         "approx_quantile_sketch": _an2.approx_quantile_sketch,
-        "dedup_exact": _tp.dedup_exact,
         "dedup_simhash": _tp.dedup_simhash,
-        "embedding_neardup": _tp.embedding_neardup,
-        "ann_topk": _tp.ann_topk,
         "ann_lsh": _tp.ann_lsh,
         "ann_ivf": _tp.ann_ivf,
-        "text_quality": _tp.text_quality,
-        "token_count": _tp.token_count,
-        "doc_fingerprint": _tp.doc_fingerprint,
+        "ann_pq": _tp.ann_pq,
         "multimodal_meta": _tp.multimodal_meta,
         "multimodal_frames": _tp.multimodal_frames,
-        "dedup_groups": _tp.dedup_groups,
-        "doc_chunking": _tp.doc_chunking,
-        "train_test_split": _tp.train_test_split,
-        "text_scrub": _tp.text_scrub,
-        "vocab_topk": _tp.vocab_topk,
-        "tfidf_topterms": _tp.tfidf_topterms,
-        "clean_corpus": _tp.clean_corpus,
-        "heavy_hitters_cms": _tp.heavy_hitters_cms,
-        "temperature_sample": _tp.temperature_sample,
-        "pack_sequences": _tp.pack_sequences,
-        "assign_ids": _tp.assign_ids,
-        "domain_cap": _tp.domain_cap,
-        "heavy_hitters_stream_scale": _tp.heavy_hitters_stream_scale,
-        "embedding_neardup_blocked": _tp.embedding_neardup_blocked,
-        "embedding_neardup_lsh": _tp.embedding_neardup_lsh,
-        "q4_order_priority": _an2.q4_order_priority,
-        "q21_waiting_suppliers": _an2.q21_waiting_suppliers,
-        "q13_customer_distribution": _an2.q13_customer_distribution,
-        "q15_top_supplier": _an2.q15_top_supplier,
-        "q17_small_quantity_revenue": _an2.q17_small_quantity_revenue,
-        "q22_inactive_rich_customers": _an2.q22_inactive_rich_customers,
-        "q2_min_cost_supplier": _an2.q2_min_cost_supplier,
-        "q9_product_profit": _an2.q9_product_profit,
-        "q11_important_inventory": _an2.q11_important_inventory,
-        "q12_priority_shipping": _an2.q12_priority_shipping,
-        "q16_supplier_part_counts": _an2.q16_supplier_part_counts,
-        "q20_excess_suppliers": _an2.q20_excess_suppliers,
-        "gopher_repetition": _tp.gopher_repetition,
-        "decontaminate": _tp.decontaminate,
         "user_overlap_sketch": _an2.user_overlap_sketch,
-        "props_variant_stats": _an2.props_variant_stats,
-        "dedup_corpus": _tp.dedup_corpus,
-        "sample_corpus": _tp.sample_corpus,
-        "bigram_pmi": _tp.bigram_pmi,
-        "corpus_stats": _tp.corpus_stats,
-        "knn_label_propagation": _tp.knn_label_propagation,
-        "stratified_split": _tp.stratified_split,
-        "ngram_jaccard": _tp.ngram_jaccard,
-        "dedup_minhash_lsh": _tp.dedup_minhash_lsh,
     }
 
 
