@@ -1,4 +1,4 @@
-"""Multimodal-column plumbing (SURVEY.md §2 C12).
+"""Multimodal-column plumbing (SURVEY.md §2 C12/C13).
 
 Pattern for image/audio/video at 100 TB: the payload is an opaque
 ``binary`` column with a typed metadata struct alongside; decode /
@@ -6,31 +6,66 @@ feature-extraction runs as Arrow-batched ``mapInPandas`` so bytes
 stream through Python in columnar batches (never row-at-a-time), and
 the partitioning/pruning story stays plain Spark.
 
-Header METADATA parsing is REAL: ``parse_image_header`` reads
-width/height straight from PNG/JPEG/GIF/BMP container bytes (pure
-struct offsets, no codec library), which is all a metadata pass
-needs at 100 TB — pixel DECODE is the part that stays stubbed
-(``_fake_decode`` derives deterministic fake features) because the
-container has no image libraries. The Spark-side contract — schema,
-batch iteration, UDF signature, partition sizing — is real and
-tested; swap ``_fake_decode`` for a real decoder
-(PIL/torchaudio/etc.) on a cluster with the libs installed.
+Decode depth is tiered, most-real first:
+  1. REAL pixel decode for PNG (zlib inflate + scanline unfilter),
+     uncompressed 24-bit BMP, and GIF (LZW decompression, per frame
+     for animations) — see operators/imagecodec.py. These emit true
+     width/height/channels, a mean-luminance feature, and a CRC of
+     the raw pixels.
+  2. REAL container-header parse (``parse_image_header``) when full
+     decode isn't possible (JPEG entropy decode is out of scope for
+     a pure-numpy codec; truncated containers): true dimensions and
+     sniffed type from struct offsets, no pixel stats.
+  3. Deterministic fake features (``_fake_decode``) for anything
+     else — the declared stub that keeps the plumbing working on
+     arbitrary blobs; swap in PIL/ffmpeg on a cluster that has them.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from gcp_data_engineering_workshop_spark.operators import imagecodec as IC
+
 DECODED_SCHEMA = (
     "doc_id bigint, media_type string, n_bytes bigint, "
-    "width int, height int, checksum bigint"
+    "width int, height int, n_channels int, mean_luma double, "
+    "checksum bigint, decoded boolean"
 )
+
+
+def _luma(img: np.ndarray) -> float:
+    """Mean luminance of a decoded frame: Rec.601 weights for RGB(A),
+    plain channel-0 mean for gray(+alpha)."""
+    px = img.astype(np.float64)
+    if img.shape[2] >= 3:
+        y = (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1]
+             + 0.114 * px[:, :, 2])
+    else:
+        y = px[:, :, 0]
+    return round(float(y.mean()), 4)
+
+
+def _try_decode_pixels(payload: bytes):
+    """(media_type, (h, w, c) array) via the real codecs, or None."""
+    try:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return "image/png", IC.decode_png(payload)
+        if payload[:2] == b"BM":
+            return "image/bmp", IC.decode_bmp(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return "image/gif", IC.gif_frames(payload, max_frames=1)[0][1]
+    except (ValueError, zlib.error, struct.error, IndexError):
+        return None
+    return None
 
 
 def as_media(docs: DataFrame) -> DataFrame:
@@ -95,21 +130,27 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     return width, height, checksum
 
 
-def decode_stub(media: DataFrame) -> DataFrame:
+def decode_media(media: DataFrame) -> DataFrame:
     """Arrow-batched decode: mapInPandas over (doc_id, media) rows.
-    Real header parsing for recognized image containers
-    (parse_image_header — true width/height and sniffed media type),
-    deterministic fake features otherwise; real plumbing either
-    way."""
+    Tiered per payload — real pixel decode (PNG/BMP/GIF: true
+    dimensions, channel count, mean luminance, pixel CRC), else real
+    header parse (true dimensions, no pixels), else the deterministic
+    fake. ``decoded`` records which rows carry real pixel stats."""
 
-    def one(m) -> tuple[str, int, int, int]:
+    def one(m):
         payload = bytes(m["payload"])
+        px = _try_decode_pixels(payload)
+        if px is not None:
+            mt, img = px
+            h, w, c = img.shape
+            return (mt, w, h, c, _luma(img),
+                    zlib.crc32(img.tobytes()), True)
         fw, fh, checksum = _fake_decode(payload)
         hdr = parse_image_header(payload)
         if hdr is not None:
             mt, w, h = hdr
-            return mt, w, h, checksum
-        return m["media_type"], fw, fh, checksum
+            return mt, w, h, None, None, checksum, False
+        return m["media_type"], fw, fh, None, None, checksum, False
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -121,32 +162,78 @@ def decode_stub(media: DataFrame) -> DataFrame:
                     lambda m: len(bytes(m["payload"]))).astype("int64"),
                 "width": decoded.map(lambda d: d[1]).astype("int32"),
                 "height": decoded.map(lambda d: d[2]).astype("int32"),
-                "checksum": decoded.map(lambda d: d[3]).astype("int64"),
+                "n_channels": decoded.map(lambda d: d[3]).astype("Int32"),
+                "mean_luma": decoded.map(lambda d: d[4]).astype("float64"),
+                "checksum": decoded.map(lambda d: d[5]).astype("int64"),
+                "decoded": decoded.map(lambda d: d[6]).astype("bool"),
             })
 
     return media.mapInPandas(batches, schema=DECODED_SCHEMA)
 
 
+# kept name: the tiered fallback for unknown payloads is still the
+# declared stub; PNG/BMP/GIF rows are fully decoded
+decode_stub = decode_media
+
+
 FRAME_SCHEMA = (
     "doc_id bigint, frame_idx int, frame_offset_bytes bigint, "
-    "frame_checksum bigint"
+    "frame_checksum bigint, frame_width int, frame_height int, "
+    "mean_intensity double, real_frame boolean"
 )
 
 
-def frame_sample_stub(media: DataFrame, n_frames: int = 4) -> DataFrame:
-    """Video-style frame sampling plumbing: each payload yields
-    n_frames evenly-spaced 'frames' (deterministic byte-slices here —
-    STUB for a real codec's keyframe extraction). One input row fans
-    out to n rows inside the same Arrow batch, which is the shape a
-    real frame sampler has: no shuffle, output co-partitioned with
-    the input."""
+def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Video-style frame sampling: each payload yields up to
+    n_frames evenly-spaced frames inside the same Arrow batch — the
+    shape a real frame sampler has: no shuffle, output co-partitioned
+    with the input.
+
+    GIF payloads (incl. animated) are REAL: frames come from the LZW
+    decoder (imagecodec.gif_frames), evenly sampled across the
+    animation, with true per-frame dimensions, mean intensity, pixel
+    CRC, and the frame's actual byte offset in the container. Other
+    payloads keep the declared byte-slice stub (real codecs for
+    video containers need ffmpeg-class libraries)."""
+
+    def emit(out, doc_id, i, off, cks, w, h, mi, real):
+        out["doc_id"].append(doc_id)
+        out["frame_idx"].append(i)
+        out["frame_offset_bytes"].append(off)
+        out["frame_checksum"].append(cks)
+        out["frame_width"].append(w)
+        out["frame_height"].append(h)
+        out["mean_intensity"].append(mi)
+        out["real_frame"].append(real)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = {"doc_id": [], "frame_idx": [], "frame_offset_bytes": [],
-                   "frame_checksum": []}
+            out = {k: [] for k in
+                   ("doc_id", "frame_idx", "frame_offset_bytes",
+                    "frame_checksum", "frame_width", "frame_height",
+                    "mean_intensity", "real_frame")}
             for doc_id, m in zip(pdf["doc_id"], pdf["media"]):
                 payload = bytes(m["payload"])
+                frames = None
+                if payload[:6] in (b"GIF87a", b"GIF89a"):
+                    try:
+                        frames = IC.gif_frames(payload)
+                    except (ValueError, IndexError, struct.error):
+                        frames = None
+                if frames is not None:
+                    # evenly sample n_frames across the animation
+                    # (all frames when the animation is shorter)
+                    take = (range(len(frames)) if len(frames) <= n_frames
+                            else [0] if n_frames == 1
+                            else [round(i * (len(frames) - 1)
+                                        / (n_frames - 1))
+                                  for i in range(n_frames)])
+                    for i, fi in enumerate(take):
+                        off, img = frames[fi]
+                        emit(out, doc_id, i, off,
+                             zlib.crc32(img.tobytes()),
+                             img.shape[1], img.shape[0], _luma(img), True)
+                    continue
                 step = max(len(payload) // n_frames, 1)
                 for i in range(n_frames):
                     off = min(i * step, max(len(payload) - 1, 0))
@@ -154,10 +241,16 @@ def frame_sample_stub(media: DataFrame, n_frames: int = 4) -> DataFrame:
                     cks = 0
                     for b in chunk[:64]:
                         cks = (cks * 31 + b) % ((1 << 31) - 1)
-                    out["doc_id"].append(doc_id)
-                    out["frame_idx"].append(i)
-                    out["frame_offset_bytes"].append(off)
-                    out["frame_checksum"].append(cks)
-            yield pd.DataFrame(out)
+                    emit(out, doc_id, i, off, cks, None, None, None, False)
+            pdf_out = pd.DataFrame(out)
+            for c, t in (("frame_width", "Int32"), ("frame_height", "Int32"),
+                         ("mean_intensity", "float64"),
+                         ("real_frame", "bool")):
+                pdf_out[c] = pdf_out[c].astype(t)
+            yield pdf_out
 
     return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+# kept name: non-GIF payloads still take the declared byte-slice stub
+frame_sample_stub = frame_sample

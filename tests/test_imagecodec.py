@@ -1,0 +1,197 @@
+"""Golden-pixel tests for the pure-numpy image codecs (C12/C13) and
+their wiring into the multimodal decode/frame-sample operators.
+
+Every fixture is generated in-test with the module's own encoders
+(filter-aware PNG writer, clear-code LZW GIF writer), so the
+decoders are checked against ground-truth numpy arrays, not against
+themselves: encode applies the spec's forward transform, decode must
+invert it exactly.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from gcp_data_engineering_workshop_spark.operators import imagecodec as IC
+from gcp_data_engineering_workshop_spark.operators import multimodal as MM
+
+
+def _img(h, w, c, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_roundtrip_all_color_types(channels):
+    img = _img(13, 9, channels, seed=channels)
+    out = IC.decode_png(IC.encode_png(img))
+    assert out.shape == img.shape
+    assert np.array_equal(out, img)
+
+
+@pytest.mark.parametrize("filt", [0, 1, 2, 3, 4])
+def test_png_unfilters_every_filter_type(filt):
+    """Each PNG scanline filter is applied by the encoder and must be
+    exactly inverted by the decoder."""
+    img = _img(8, 11, 3, seed=10 + filt)
+    out = IC.decode_png(IC.encode_png(img, filters=[filt] * 8))
+    assert np.array_equal(out, img)
+
+
+def test_png_mixed_filters_and_known_pixels():
+    """Hand-built 2x2 RGB image with per-row filters and hand-checked
+    values."""
+    img = np.array([[[255, 0, 0], [0, 255, 0]],
+                    [[0, 0, 255], [255, 255, 255]]], dtype=np.uint8)
+    for filters in ([0, 4], [1, 2], [3, 1], [4, 3]):
+        assert np.array_equal(IC.decode_png(IC.encode_png(img, filters)), img)
+
+
+def test_png_palette_color_type():
+    """Color type 3: indices resolve through PLTE."""
+    palette = np.array([[250, 10, 20], [0, 128, 255], [7, 7, 7]],
+                       dtype=np.uint8)
+    idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+    # build a palette PNG by hand: IHDR(color=3) + PLTE + IDAT
+    h, w = idx.shape
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+           + chunk(b"PLTE", palette.tobytes())
+           + chunk(b"IDAT", zlib.compress(raw))
+           + chunk(b"IEND", b""))
+    assert np.array_equal(IC.decode_png(png), palette[idx])
+
+
+def test_png_rejects_unsupported_variants():
+    img = _img(4, 4, 3)
+    good = bytearray(IC.encode_png(img))
+    with pytest.raises(ValueError):
+        IC.decode_png(b"nope")
+    bad_depth = bytearray(good)
+    bad_depth[24] = 16  # IHDR bit-depth byte
+    with pytest.raises(ValueError):
+        IC.decode_png(bytes(bad_depth))
+
+
+def test_bmp_decode_known_pixels():
+    """24-bit bottom-up BMP built by hand: BGR on disk, padded rows."""
+    img = np.array([[[255, 0, 0], [0, 255, 0]],
+                    [[0, 0, 255], [10, 20, 30]]], dtype=np.uint8)
+    h, w = img.shape[:2]
+    row_bytes = (w * 3 + 3) & ~3
+    rows = b""
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = img[y][:, ::-1].tobytes()  # RGB -> BGR
+        rows += row + b"\x00" * (row_bytes - len(row))
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(rows), 0, 0, 0, 0))
+    assert np.array_equal(IC.decode_bmp(header + rows), img)
+
+
+def test_gif_roundtrip_still_and_animated():
+    palette = np.array([[0, 0, 0], [255, 255, 255], [255, 0, 0],
+                        [0, 0, 255]], dtype=np.uint8)
+    rng = np.random.default_rng(3)
+    idx_frames = [rng.integers(0, 4, size=(7, 5)).astype(np.uint8)
+                  for _ in range(3)]
+    gif = IC.encode_gif(idx_frames, palette)
+    frames = IC.gif_frames(gif)
+    assert len(frames) == 3
+    offsets = [off for off, _ in frames]
+    assert offsets == sorted(offsets) and offsets[0] > 0
+    for (off, got), idx in zip(frames, idx_frames):
+        assert np.array_equal(got, palette[idx])
+
+
+def test_gif_max_frames_bounds_decode():
+    palette = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    idx = [np.full((4, 4), i % 2, dtype=np.uint8) for i in range(5)]
+    assert len(IC.gif_frames(IC.encode_gif(idx, palette), max_frames=2)) == 2
+
+
+def test_decode_media_real_pixel_stats(spark):
+    """C12 end-to-end: PNG/BMP/GIF payloads produce REAL stats
+    (dimensions from decoded pixels, Rec.601 mean luma, pixel CRC);
+    unknown payloads keep the declared fake fallback."""
+    png_img = _img(6, 10, 3, seed=42)
+    gif_pal = np.array([[0, 0, 0], [200, 100, 50]], dtype=np.uint8)
+    gif_idx = np.array([[0, 1], [1, 0], [1, 1]], dtype=np.uint8)
+    payloads = {
+        1: ("image/png?", IC.encode_png(png_img), png_img),
+        2: ("image/gif?", IC.encode_gif([gif_idx], gif_pal),
+            gif_pal[gif_idx]),
+        3: ("application/octet-stream", b"just some opaque bytes", None),
+    }
+    rows = [(k, {"media_type": mt, "payload": bytearray(p),
+                 "n_chars": 0, "origin": "t"})
+            for k, (mt, p, _) in payloads.items()]
+    media = spark.createDataFrame(
+        rows,
+        "doc_id bigint, media struct<media_type string, payload binary, "
+        "n_chars bigint, origin string>")
+    out = {r.doc_id: r for r in MM.decode_media(media).collect()}
+
+    for doc_id, mt in ((1, "image/png"), (2, "image/gif")):
+        img = payloads[doc_id][2]
+        r = out[doc_id]
+        assert r.decoded and r.media_type == mt
+        assert (r.width, r.height, r.n_channels) \
+            == (img.shape[1], img.shape[0], img.shape[2])
+        px = img.astype(np.float64)
+        want_luma = round(float((0.299 * px[:, :, 0] + 0.587 * px[:, :, 1]
+                                 + 0.114 * px[:, :, 2]).mean()), 4)
+        assert r.mean_luma == pytest.approx(want_luma)
+        assert r.checksum == zlib.crc32(img.tobytes())
+    r3 = out[3]
+    assert not r3.decoded and r3.n_channels is None
+    fw, fh, cks = MM._fake_decode(b"just some opaque bytes")
+    assert (r3.width, r3.height, r3.checksum) == (fw, fh, cks)
+
+
+def test_frame_sample_real_gif_frames(spark):
+    """C13: an animated GIF yields REAL sampled frames — true
+    dimensions, per-frame pixel CRCs matching the decoded frames,
+    actual descriptor byte offsets — while non-GIF payloads keep the
+    byte-slice stub fan-out shape."""
+    palette = np.array([[0, 0, 0], [255, 255, 255], [123, 45, 67]],
+                       dtype=np.uint8)
+    rng = np.random.default_rng(11)
+    idx = [rng.integers(0, 3, size=(5, 4)).astype(np.uint8)
+           for _ in range(6)]
+    gif = IC.encode_gif(idx, palette)
+    rows = [(1, {"media_type": "image/gif", "payload": bytearray(gif),
+                 "n_chars": 0, "origin": "t"}),
+            (2, {"media_type": "text/plain",
+                 "payload": bytearray(b"x" * 100), "n_chars": 0,
+                 "origin": "t"})]
+    media = spark.createDataFrame(
+        rows,
+        "doc_id bigint, media struct<media_type string, payload binary, "
+        "n_chars bigint, origin string>")
+    out = MM.frame_sample(media, n_frames=4).collect()
+    gif_rows = sorted([r for r in out if r.doc_id == 1],
+                      key=lambda r: r.frame_idx)
+    stub_rows = [r for r in out if r.doc_id == 2]
+    assert len(gif_rows) == 4 and len(stub_rows) == 4
+    decoded = IC.gif_frames(gif)
+    # 6 frames sampled to 4: indices 0, 2, 3, 5
+    want = [decoded[i] for i in (0, 2, 3, 5)]
+    for r, (off, img) in zip(gif_rows, want):
+        assert r.real_frame
+        assert (r.frame_width, r.frame_height) == (img.shape[1],
+                                                   img.shape[0])
+        assert r.frame_offset_bytes == off
+        assert r.frame_checksum == zlib.crc32(img.tobytes())
+    assert all(not r.real_frame and r.frame_width is None
+               for r in stub_rows)

@@ -63,7 +63,11 @@ def test_multimodal_decode_stub(spark, sf_dir):
     rows = out.collect()
     assert len(rows) == 500
     assert all(r.n_bytes > 0 and r.width >= 64 and r.height >= 64 for r in rows)
-    assert out.columns == ["doc_id", "media_type", "n_bytes", "width", "height", "checksum"]
+    assert out.columns == ["doc_id", "media_type", "n_bytes", "width",
+                           "height", "n_channels", "mean_luma", "checksum",
+                           "decoded"]
+    # text payloads are not decodable images -> all fall back, declared
+    assert all(not r.decoded for r in rows)
 
 
 def test_doc_chunking_overlap(spark, sf_dir):
