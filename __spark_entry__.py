@@ -61,6 +61,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_rank_dist": _an3.value_rank_dist,
         "assign_ids": _tp.assign_ids,
         "pack_sequences": _tp.pack_sequences,
+        # -- (2b) new this round (r4) --
+        "enrich_model_batch": _sp.enrich_model_batch,
         # -- (3) r2-green, rotating back in for refreshed evidence --
         "dedup_exact": _tp.dedup_exact,
         "embedding_neardup": _tp.embedding_neardup,
@@ -96,8 +98,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_scrub": _tp.text_scrub,
         "doc_fingerprint": _tp.doc_fingerprint,
         "ngram_jaccard": _tp.ngram_jaccard,
-        "bigram_pmi": _tp.bigram_pmi,
         # -- tail: green r3 driver rows on current data --
+        "bigram_pmi": _tp.bigram_pmi,
         "stock_pipeline_full": _sp.full_pipeline,
         "sessionize_events": _an.sessionize_events,
         "salted_agg_volume": _an2.salted_agg_volume,
@@ -162,6 +164,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "ingest_parse_json": _orc.INGEST_PARSE_JSON_SQL,
+        # the batched-enrichment path computes the same decoded tick
+        # message with the deterministic model, so it shares A1's SQL
+        "enrich_model_batch": _orc.INGEST_PARSE_JSON_SQL,
         "ingest_replay": _orc.INGEST_REPLAY_SQL,
         "stock_agg_1m": _orc.AGG_1M_SQL,
         "stock_sma_5m": _orc.SMA_5M_SQL,

@@ -215,3 +215,32 @@ def daily_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
               / F.sum("volume").cast("double")).alias("vwap"),
              F.sum("volume").alias("day_volume"))
     )
+
+
+def enrich_model_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16: the reference's batched model-call enrichment stage
+    (main.py:104-160) as an engine operator — decoded tick rows flow
+    through operators/enrichment.enrich_batched, which chunks them to
+    the model batch size, issues one "call" per chunk, json-parses
+    the response, and falls back to neutral defaults per failed chunk
+    (main.py:152-156 semantics). The in-repo deterministic model
+    computes the same sentiment as the AI stub, so this whole
+    fallible path — the exact plumbing a real endpoint would use —
+    is oracle-checked end-to-end against INGEST_PARSE_JSON_SQL."""
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+    from gcp_data_engineering_workshop_spark.operators.enrichment import (
+        deterministic_insight_model, enrich_batched)
+
+    ev = load_table(spark, "events", sf_dir)
+    base = ev.select(
+        "event_id",
+        F.col("event_type").alias("ticker"),
+        F.col("ts"),
+        F.col("value").alias("price"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("volume"),
+    )
+    return enrich_batched(
+        base, deterministic_insight_model, ["event_id"],
+        "ai_sentiment double, ai_summary string",
+        defaults={"ai_sentiment": 0.0, "ai_summary": "neutral"},
+    ).drop("event_id")
