@@ -5,18 +5,27 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 Each query is fully materialized through the noop sink (no driver
 collect overhead — measures the distributed plan, not py4j
 transfer). First a warmup pass on the smallest table primes the JVM.
+
+Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 3) and
+reports the per-query MEDIAN: this box shows up to 3x single-run
+variance under background JVM load, and single-run numbers produced
+four phantom >25% "regressions" in round 3 that a quiet re-run
+erased. The JSON carries every raw run ("spread") so total
+wall-clock spent stays honest.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 BENCH_QUERIES = [
     "stock_pipeline_full",   # A6 flagship: full reference-pipeline analog
@@ -45,6 +54,8 @@ BENCH_QUERIES = [
     "ann_pq",                # C40 product-quantization ANN
     "bigram_lm_score",       # C44 LM quality filter
     "value_rank_dist",       # B48 distributed prefix-sum ranks
+    # r4 additions (no earlier baseline — first measured in BENCH_r04):
+    "enrich_model_batch",    # A16 batched model-call enrichment
 ]
 
 
@@ -71,21 +82,30 @@ def main() -> None:
         pandas_udf(_ident, "bigint")("id")) \
         .write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        # operators may persist() intermediates; drop them so each
-        # query is timed cold and memory doesn't accumulate
-        spark.catalog.clearCache()
+    runs: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    # interleave rounds (all queries once, then again) rather than
+    # back-to-back repeats, so a transient background load burst
+    # lands on different queries in different rounds
+    for _ in range(N_RUNS):
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            runs[name].append(round(time.time() - t0, 3))
+            # operators may persist() intermediates; drop them so each
+            # query is timed cold and memory doesn't accumulate
+            spark.catalog.clearCache()
 
+    timings = {name: round(statistics.median(ts), 3)
+               for name, ts in runs.items()}
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "runs": N_RUNS,
+        "agg": "median",
+        "spread": runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
