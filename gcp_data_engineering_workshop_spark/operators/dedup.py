@@ -35,6 +35,7 @@ from pyspark.sql.window import Window
 from gcp_data_engineering_workshop_spark.functions.textfns import (
     normalize, shingles_of, words, jaccard,
 )
+from gcp_data_engineering_workshop_spark.operators.cachepool import register
 
 def _perm_params(n_perms: int, seed: int = 42) -> list[tuple[int, int]]:
     """Multiply-shift hash params: odd 64-bit multiplier + 64-bit
@@ -242,10 +243,10 @@ def minhash_lsh_pairs(docs: DataFrame, tau: float = 0.9,
     unaffected.
     """
     par = docs.sparkSession.sparkContext.defaultParallelism
-    feats = (docs.repartition(par)
-             .select("doc_id",
-                     shingle_features(3, n_perms, n_bands)("text").alias("f"))
-             .persist())
+    feats = register(
+        docs.repartition(par)
+            .select("doc_id",
+                    shingle_features(3, n_perms, n_bands)("text").alias("f")))
     bands = feats.select(
         "doc_id", F.posexplode("f.buckets").alias("band", "bucket"))
     cand = (
@@ -284,7 +285,7 @@ def ngram_jaccard_pairs(docs: DataFrame, tau: float = 0.9, n: int = 3) -> DataFr
     shingles. The exact jaccard then runs only on candidates; the
     equi-join shuffles on the shingle key — the plan shape that
     survives a 100x corpus."""
-    sh = _shingle_sets(docs, n).persist()
+    sh = register(_shingle_sets(docs, n))
     inv = sh.select("doc_id", F.size("sh").alias("sz"),
                     F.explode("sh").alias("s"))
     dfreq = inv.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
@@ -413,17 +414,17 @@ def incremental_dedup(batch: DataFrame, corpus: DataFrame,
             .join(corpus_hashes, "h", "left_anti")
             .drop("h"))
 
-    shb = _shingle_sets(surv, n).persist()
-    shc = _shingle_sets(corpus, n).persist()
+    shb = register(_shingle_sets(surv, n))
+    shc = register(_shingle_sets(corpus, n))
     inv_b = shb.select("doc_id", F.size("sh").alias("sz"),
                        F.explode("sh").alias("s"))
     inv_c = shc.select("doc_id", F.size("sh").alias("sz"),
                        F.explode("sh").alias("s"))
     # persisted: BOTH sides' prefix stages reference the shared df
     # order — without the cache the union-wide aggregation runs twice
-    dfreq = (inv_b.select("s").unionAll(inv_c.select("s"))
-             .groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-             .persist())
+    dfreq = register(
+        inv_b.select("s").unionAll(inv_c.select("s"))
+             .groupBy("s").agg(F.count(F.lit(1)).alias("df")))
 
     def prefix(inv):
         w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(),

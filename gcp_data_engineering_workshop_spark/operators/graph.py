@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from gcp_data_engineering_workshop_spark.operators.cachepool import register
+
 
 def connected_components(edges: DataFrame, src: str = "doc_a",
                          dst: str = "doc_b", max_iter: int = 20) -> DataFrame:
@@ -34,13 +36,12 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     # pipeline running twice inside one job. With the cache, the
     # first branch materializes it once and the mirror branch reads
     # the cache.
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
-    sym = e.union(e.select(F.col("b").alias("a"),
-                           F.col("a").alias("b"))).persist()
-    labels = (sym.select(F.col("a").alias("node"))
-              .distinct()
-              .withColumn("label", F.col("node"))
-              .persist())
+    e = register(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
+    sym = register(e.union(e.select(F.col("b").alias("a"),
+                                    F.col("a").alias("b"))))
+    labels = register(sym.select(F.col("a").alias("node"))
+                      .distinct()
+                      .withColumn("label", F.col("node")))
     for i in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
@@ -80,6 +81,10 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
             labels = labels.localCheckpoint(eager=True)
         if changed == 0:
             break
+    # enroll the surviving caches in the bounded session pool so a
+    # long session's storage stays O(pool cap), not O(queries run);
+    # per-round superseded labels were already unpersisted above
+    register(labels)
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("component"))
 

@@ -31,6 +31,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from gcp_data_engineering_workshop_spark.operators.cachepool import register
+
 
 def _off_schema(parted: DataFrame, group_cols: list[str],
                 off_type: T.DataType) -> T.StructType:
@@ -66,13 +68,13 @@ def assign_global_ids(df: DataFrame, order_cols: list[str],
     with NO unpartitioned exchange. Deterministic when order_cols is
     a total order (ties would leave the rank ambiguous in ANY
     engine, so callers pass a tie-breaking key)."""
-    parted = (df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
-                # pin the RANGE partition id as data before any later
-                # exchange renumbers physical partitions: every
-                # downstream use (offset lookup, window key) must see
-                # the pre-shuffle id, not whatever stage it runs in
-                .withColumn("_pid", F.spark_partition_id())
-                .persist())
+    parted = register(
+        df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+          # pin the RANGE partition id as data before any later
+          # exchange renumbers physical partitions: every
+          # downstream use (offset lookup, window key) must see
+          # the pre-shuffle id, not whatever stage it runs in
+          .withColumn("_pid", F.spark_partition_id()))
     # one row per partition — bounded by n_parts, not by data size
     sizes = parted.groupBy("_pid").count().collect()
     counts = {r._pid: r["count"] for r in sizes}
@@ -116,9 +118,8 @@ def assign_group_ranks(df: DataFrame, group_cols: list[str],
     """
     ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     keys = [*[F.col(c) for c in group_cols], *ocols]
-    parted = (df.repartitionByRange(n_parts, *keys)
-                .withColumn("_pid", F.spark_partition_id())
-                .persist())
+    parted = register(df.repartitionByRange(n_parts, *keys)
+                      .withColumn("_pid", F.spark_partition_id()))
     sizes = parted.groupBy("_pid", *group_cols).count().collect()
     by_group: dict[tuple, list] = {}
     for r in sizes:
@@ -157,9 +158,8 @@ def group_prefix_sum(df: DataFrame, group_cols: list[str],
     through one task."""
     ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     keys = [*[F.col(c) for c in group_cols], *ocols]
-    parted = (df.repartitionByRange(n_parts, *keys)
-                .withColumn("_pid", F.spark_partition_id())
-                .persist())
+    parted = register(df.repartitionByRange(n_parts, *keys)
+                      .withColumn("_pid", F.spark_partition_id()))
     sum_type = parted.select(F.sum(value_col).alias("_s")).schema["_s"].dataType
     conv = (float if isinstance(sum_type, (T.DoubleType, T.FloatType))
             else Decimal if isinstance(sum_type, T.DecimalType) else int)

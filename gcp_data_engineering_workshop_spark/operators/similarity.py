@@ -241,10 +241,10 @@ def _blocked_candidates(emb: DataFrame, tau: float,
     assign_udf = pandas_udf(
         _assign, "cid int, r double, dots array<double>")
 
-    assigned = (
+    from gcp_data_engineering_workshop_spark.operators.cachepool import register
+    assigned = register(
         emb.select("vec_id", "embedding", assign_udf("embedding").alias("_a"))
-        .select("vec_id", "embedding", "_a.cid", "_a.r", "_a.dots")
-        .persist())
+        .select("vec_id", "embedding", "_a.cid", "_a.r", "_a.dots"))
     # bounded collect: k rows of (cluster, angular radius) — same
     # legitimacy class as the IVF quantizer sample above
     radii = {int(row["cid"]): float(row["mr"]) for row in

@@ -1608,10 +1608,10 @@ FROM r JOIN w USING (source)
 DAILY_OHLC_SQL = f"""
 WITH {TICKS_CTE.strip()}
 SELECT ticker, CAST(ts AS DATE) AS day,
-       min_by(price, ts) AS open,
+       first(price ORDER BY ts, price) AS open,
        max(price) AS high,
        min(price) AS low,
-       max_by(price, ts) AS close,
+       last(price ORDER BY ts, price) AS close,
        CAST(SUM(volume) AS BIGINT) AS day_volume,
        count(*) AS n_ticks
 FROM ticks2

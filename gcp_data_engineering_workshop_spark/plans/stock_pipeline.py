@@ -185,16 +185,23 @@ def daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     first/last tick price by event time (min_by/max_by, one
     map-side-combinable aggregation; no window function and no
     second pass), high/low plain min/max, plus day volume.
-    The standard market-data rollup the dashboard charts from."""
+    The standard market-data rollup the dashboard charts from.
+
+    The arg-extreme ordering is (ts, price), not bare ts: if two
+    ticks for one ticker ever share a timestamp, bare min_by/max_by
+    would pick an engine-arbitrary tie row and the correctness row
+    could flap between runs — the struct key makes the order total
+    (oracle mirrors it with first/last(price ORDER BY ts, price))."""
     from gcp_data_engineering_workshop_spark.sources.ticks import ticks
 
     t = ticks(spark, sf_dir)
+    tie_key = F.struct("ts", "price")
     return (
         t.groupBy("ticker", F.to_date("ts").alias("day"))
-        .agg(F.min_by("price", "ts").alias("open"),
+        .agg(F.min_by("price", tie_key).alias("open"),
              F.max("price").alias("high"),
              F.min("price").alias("low"),
-             F.max_by("price", "ts").alias("close"),
+             F.max_by("price", tie_key).alias("close"),
              F.sum("volume").alias("day_volume"),
              F.count(F.lit(1)).alias("n_ticks"))
     )

@@ -237,18 +237,20 @@ def ohlc_stream(ticks: DataFrame, window: str = "1 hour",
                 watermark: str = "10 minutes") -> DataFrame:
     """D16: streaming OHLC candles (A14 twin) — per (ticker,
     window) open/high/low/close built as ONE watermarked windowed
-    aggregation: open/close are min_by/max_by on event time, which
+    aggregation: open/close are min_by/max_by on (event time, price)
+    — the same total tie-break order as the batch rollup — which
     merge correctly across micro-batches (each partial carries its
     arg-extreme, merge keeps the earlier/later one), so the final
     candle is identical to the batch rollup over the same ticks —
     no sort, no per-window state beyond the single running row."""
+    tie_key = F.struct("ts", "price")
     return (
         ticks.withWatermark("ts", watermark)
         .groupBy("ticker", F.window("ts", window).alias("w"))
-        .agg(F.min_by("price", "ts").alias("open"),
+        .agg(F.min_by("price", tie_key).alias("open"),
              F.max("price").alias("high"),
              F.min("price").alias("low"),
-             F.max_by("price", "ts").alias("close"),
+             F.max_by("price", tie_key).alias("close"),
              F.sum("volume").alias("w_volume"),
              F.count(F.lit(1)).alias("n_ticks"))
         .select("ticker", F.col("w.start").alias("window_start"),

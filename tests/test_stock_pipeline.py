@@ -134,6 +134,27 @@ def test_daily_ohlc_invariants(spark, sf_dir):
         assert r.n_ticks > 0 and r.day_volume >= 0
 
 
+def test_ohlc_timestamp_ties_break_deterministically(spark):
+    """Two ticks sharing (ticker, ts): bare min_by/max_by(price, ts)
+    would pick an engine-arbitrary row; the (ts, price) struct key
+    makes open = lowest price at the earliest tick and close =
+    highest price at the latest tick, on every run and engine."""
+    import datetime as dt
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    t1 = dt.datetime(2024, 1, 1, 16, 0, 0)
+    df = spark.createDataFrame(
+        [("A", t0, 9.0, 1), ("A", t0, 5.0, 1),   # tied opens
+         ("A", t1, 7.0, 1), ("A", t1, 11.0, 1)],  # tied closes
+        "ticker string, ts timestamp, price double, volume bigint")
+    tie_key = F.struct("ts", "price")
+    r = (df.groupBy("ticker")
+         .agg(F.min_by("price", tie_key).alias("open"),
+              F.max_by("price", tie_key).alias("close"))).collect()[0]
+    assert (r.open, r.close) == (5.0, 11.0)
+
+
 def test_daily_vwap_bounded_by_ohlc(spark, sf_dir):
     from gcp_data_engineering_workshop_spark.plans.stock_pipeline import (
         daily_ohlc, daily_vwap)
