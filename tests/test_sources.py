@@ -236,3 +236,115 @@ def test_timestamp_filter_pushdown_survives_load_table(spark, sf_dir):
         .select("l_quantity")
     scan = flt._jdf.queryExecution().executedPlan().toString()
     assert "GreaterThanOrEqual(l_shipdate" in scan, scan[:600]
+
+
+def _write_bar_dump(path, n_minutes=6, tickers=("AAA", "BBB", "CCC")):
+    """Deterministic minute-bar CSV: the yf.download-style dump the
+    bar_replay source reads."""
+    import csv
+    import datetime as dt
+
+    rows = []
+    t0 = dt.datetime(2024, 3, 1, 9, 30)
+    for m in range(n_minutes):
+        for k, tk in enumerate(tickers):
+            o = 100.0 + m + k
+            rows.append({"ticker": tk,
+                         "ts": (t0 + dt.timedelta(minutes=m)).isoformat(sep=" "),
+                         "open": o, "high": o + 1.0, "low": o - 1.0,
+                         "close": o + 0.5, "volume": 10 * (m + 1) + k})
+    with open(path, "w", newline="") as fh:
+        w = csv.DictWriter(fh, fieldnames=list(rows[0]))
+        w.writeheader()
+        w.writerows(rows)
+    return rows
+
+
+def test_bar_replay_batch_reader(spark, tmp_path):
+    """E17 batch: the file-backed OHLCV dump reads back exactly,
+    planned into minute-range shards."""
+    from gcp_data_engineering_workshop_spark.sources.pydatasource import (
+        register_bar_replay_source)
+
+    p = str(tmp_path / "bars.csv")
+    want = _write_bar_dump(p)
+    register_bar_replay_source(spark)
+    df = spark.read.format("bar_replay").option("path", p).load()
+    assert df.columns == ["ticker", "ts", "open", "high", "low",
+                          "close", "volume"]
+    got = {(r.ticker, r.ts.isoformat(sep=" "), r.open, r.close, r.volume)
+           for r in df.collect()}
+    assert got == {(w["ticker"], w["ts"], w["open"], w["close"], w["volume"])
+                   for w in want}
+    assert df.rdd.getNumPartitions() == 4
+
+
+def test_bar_replay_minute_selection_matches_reference_cursor(spark, tmp_path):
+    """The reference replays minute (cursor %% total_minutes) of the
+    dump (main.py:70-75). Selecting that minute from the batch read
+    must yield exactly that minute's bars for every ticker."""
+    from gcp_data_engineering_workshop_spark.sources.pydatasource import (
+        register_bar_replay_source)
+
+    p = str(tmp_path / "bars.csv")
+    _write_bar_dump(p, n_minutes=5)
+    register_bar_replay_source(spark)
+    df = spark.read.format("bar_replay").option("path", p).load()
+    minutes = [r.m for r in
+               df.select(F.col("ts").alias("m")).distinct()
+                 .orderBy("m").collect()]
+    cursor = 7  # 7 % 5 -> minute index 2
+    target = minutes[cursor % len(minutes)]
+    got = df.where(F.col("ts") == target).collect()
+    assert len(got) == 3 and all(r.ts == target for r in got)
+    assert {r.ticker for r in got} == {"AAA", "BBB", "CCC"}
+
+
+def test_bar_replay_stream_one_minute_per_batch(spark, tmp_path):
+    """E17 streaming: the replay emits ONE minute per micro-batch
+    (offset = minute index), the streamed union equals the batch
+    read, and a checkpoint restart resumes mid-replay without
+    duplicating or skipping bars."""
+    from gcp_data_engineering_workshop_spark.sources.pydatasource import (
+        register_bar_replay_source)
+
+    p = str(tmp_path / "bars.csv")
+    _write_bar_dump(p, n_minutes=6)
+    register_bar_replay_source(spark)
+
+    q = (spark.readStream.format("bar_replay").option("path", p).load()
+         .writeStream.format("memory").queryName("bar_stream")
+         .option("checkpointLocation", str(tmp_path / "mem_ckpt"))
+         .outputMode("append").start())
+    q.processAllAvailable()
+    n_batches = q.lastProgress["batchId"] + 1 if q.lastProgress else 0
+    q.stop()
+    got = [(r.ticker, r.ts, r.open, r.volume)
+           for r in spark.table("bar_stream").collect()]
+    want = [(r.ticker, r.ts, r.open, r.volume)
+            for r in spark.read.format("bar_replay").option("path", p)
+            .load().collect()]
+    assert sorted(got) == sorted(want) and len(got) == 18
+    assert n_batches >= 6  # one minute per micro-batch
+
+    # checkpointed file sink: run the replay to completion, then
+    # restart from the same checkpoint — the resumed query must add
+    # NOTHING (exactly-once resume via minute-index offsets, not a
+    # re-replay from minute 0)
+    out, ckpt = str(tmp_path / "bar_out"), str(tmp_path / "bar_ckpt")
+
+    def start_file_sink():
+        return (spark.readStream.format("bar_replay").option("path", p)
+                .load()
+                .writeStream.format("parquet").option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append").start())
+
+    q1 = start_file_sink()
+    q1.processAllAvailable()
+    q1.stop()
+    assert spark.read.parquet(out).count() == 18
+    q2 = start_file_sink()
+    q2.processAllAvailable()
+    q2.stop()
+    assert spark.read.parquet(out).count() == 18
