@@ -63,6 +63,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _tp.pack_sequences,
         # -- (2b) new this round (r4) --
         "enrich_model_batch": _sp.enrich_model_batch,
+        "dash_overview_wide": _sp.dash_overview_wide,
+        "dash_price_sma_long": _sp.dash_price_sma_long,
         # -- (3) r2-green, rotating back in for refreshed evidence --
         "dedup_exact": _tp.dedup_exact,
         "embedding_neardup": _tp.embedding_neardup,
@@ -96,9 +98,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_part_counts": _an2.q16_supplier_part_counts,
         "q20_excess_suppliers": _an2.q20_excess_suppliers,
         "text_scrub": _tp.text_scrub,
+        # -- tail: green r3 driver rows on current data --
         "doc_fingerprint": _tp.doc_fingerprint,
         "ngram_jaccard": _tp.ngram_jaccard,
-        # -- tail: green r3 driver rows on current data --
         "bigram_pmi": _tp.bigram_pmi,
         "stock_pipeline_full": _sp.full_pipeline,
         "sessionize_events": _an.sessionize_events,
@@ -176,6 +178,8 @@ def oracle_sql() -> dict[str, str]:
         "dash_overview": _orc.DASH_OVERVIEW_SQL,
         "dash_tickers": _orc.DASH_TICKERS_SQL,
         "dash_detail": _orc.DASH_DETAIL_SQL,
+        "dash_overview_wide": _orc.DASH_OVERVIEW_WIDE_SQL,
+        "dash_price_sma_long": _orc.DASH_PRICE_SMA_LONG_SQL,
         "minute_returns": _orc.MINUTE_RETURNS_SQL,
         "running_volume": _orc.RUNNING_VOLUME_SQL,
         "volume_histogram": _orc.VOLUME_HISTOGRAM_SQL,

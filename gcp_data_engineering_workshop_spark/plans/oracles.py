@@ -1667,3 +1667,36 @@ SELECT d.doc_id,
        coalesce(s.avg_logp, 0.0) AS avg_logp
 FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 """
+
+
+_TICKER_PIVOT_COLS = ",\n       ".join(
+    f"max(CASE WHEN ticker = '{t}' THEN latest_price END) AS {t}"
+    for t in ("click", "error", "purchase", "signup", "view"))
+
+DASH_OVERVIEW_WIDE_SQL = f"""
+{_PIPELINE_PREFIX},
+ov AS (
+  SELECT window_start + INTERVAL 1 MINUTE AS window_timestamp,
+         ticker, latest_price
+  FROM windowed
+  ORDER BY window_timestamp DESC, ticker
+  LIMIT 500
+)
+SELECT window_timestamp,
+       {_TICKER_PIVOT_COLS}
+FROM ov
+GROUP BY window_timestamp
+"""
+
+DASH_PRICE_SMA_LONG_SQL = f"""
+{_PIPELINE_PREFIX},
+det AS (
+  SELECT window_start + INTERVAL 1 MINUTE AS window_timestamp,
+         latest_price, sma_5m
+  FROM windowed
+  WHERE ticker = 'click'
+)
+SELECT window_timestamp, 'price' AS series, latest_price AS value FROM det
+UNION ALL
+SELECT window_timestamp, 'sma_5m' AS series, sma_5m AS value FROM det
+"""

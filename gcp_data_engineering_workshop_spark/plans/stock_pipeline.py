@@ -251,3 +251,45 @@ def enrich_model_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ai_sentiment double, ai_summary string",
         defaults={"ai_sentiment": 0.0, "ai_summary": "neutral"},
     ).drop("event_id")
+
+
+# the feed's instrument universe (events.event_type) — fixed pivot
+# value list so the wide chart frame has a STABLE schema (same rule
+# as B17's pivot)
+_TICKERS = ["click", "error", "purchase", "signup", "view"]
+
+
+def dash_overview_wide(spark: SparkSession, sf_dir: str,
+                       limit: int = 500) -> DataFrame:
+    """A17: the overview feed reshaped WIDE — one row per
+    window_timestamp, one latest_price column per ticker — the frame
+    the dashboard's multi-series price chart plots directly
+    (app.py:40-49 feeds Altair one row per (ts, ticker); wide
+    per-ticker columns are the equivalent chart feed for
+    st.line_chart-style APIs). Pivot over the FIXED ticker list keeps
+    the schema stable; the boundary window of the top-N selection may
+    be ragged, so missing cells are NULL in both engines."""
+    return (
+        dash_overview(spark, sf_dir, limit)
+        .groupBy("window_timestamp")
+        .pivot("ticker", _TICKERS)
+        .agg(F.max("latest_price"))
+    )
+
+
+def dash_price_sma_long(spark: SparkSession, sf_dir: str,
+                        ticker: str = "click") -> DataFrame:
+    """A18: the per-ticker detail melted LONG — (window_timestamp,
+    series, value) with series in {price, sma_5m} — the tidy frame
+    the layered price+SMA chart encodes by series color
+    (app.py:119-131 builds exactly these two layers). stack() is the
+    zero-shuffle unpivot: one generate over the already-computed
+    pipeline rows."""
+    return (
+        full_pipeline(spark, sf_dir)
+        .where(F.col("ticker") == ticker)
+        .selectExpr(
+            "window_timestamp",
+            "stack(2, 'price', latest_price, 'sma_5m', sma_5m) "
+            "AS (series, value)")
+    )
