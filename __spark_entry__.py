@@ -65,6 +65,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_model_batch": _sp.enrich_model_batch,
         "dash_overview_wide": _sp.dash_overview_wide,
         "dash_price_sma_long": _sp.dash_price_sma_long,
+        "kmeans_assign": _tp.kmeans_assign,
+        "semdedup": _tp.semdedup,
+        "corpus_diff": _tp.corpus_diff,
         # -- (3) r2-green, rotating back in for refreshed evidence --
         "dedup_exact": _tp.dedup_exact,
         "embedding_neardup": _tp.embedding_neardup,
@@ -95,10 +98,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_profit": _an2.q9_product_profit,
         "q11_important_inventory": _an2.q11_important_inventory,
         "q12_priority_shipping": _an2.q12_priority_shipping,
+        # -- tail: green r3 driver rows on current data --
         "q16_supplier_part_counts": _an2.q16_supplier_part_counts,
         "q20_excess_suppliers": _an2.q20_excess_suppliers,
         "text_scrub": _tp.text_scrub,
-        # -- tail: green r3 driver rows on current data --
         "doc_fingerprint": _tp.doc_fingerprint,
         "ngram_jaccard": _tp.ngram_jaccard,
         "bigram_pmi": _tp.bigram_pmi,
@@ -157,6 +160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _tp.ann_lsh,
         "ann_ivf": _tp.ann_ivf,
         "ann_pq": _tp.ann_pq,
+        "kmeans_embeddings": _tp.kmeans_embeddings,
         "multimodal_meta": _tp.multimodal_meta,
         "multimodal_frames": _tp.multimodal_frames,
         "user_overlap_sketch": _an2.user_overlap_sketch,
@@ -180,6 +184,9 @@ def oracle_sql() -> dict[str, str]:
         "dash_detail": _orc.DASH_DETAIL_SQL,
         "dash_overview_wide": _orc.DASH_OVERVIEW_WIDE_SQL,
         "dash_price_sma_long": _orc.DASH_PRICE_SMA_LONG_SQL,
+        "kmeans_assign": _orc.KMEANS_ASSIGN_SQL,
+        "semdedup": _orc.SEMDEDUP_SQL,
+        "corpus_diff": _orc.CORPUS_DIFF_SQL,
         "minute_returns": _orc.MINUTE_RETURNS_SQL,
         "running_volume": _orc.RUNNING_VOLUME_SQL,
         "volume_histogram": _orc.VOLUME_HISTOGRAM_SQL,

@@ -1,0 +1,141 @@
+"""10x scale probe for the C-block heavy operators (VERDICT r3 #9).
+
+Measures how the heaviest training-data operators scale when the
+corpus grows 10x, on the same local[N] box, and reports per-query
+scaling exponents ``log(t_10x / t_1x) / log(10)`` — the evidence
+behind the "holds at 100 TB" claims in PLANS.md.  An exponent near
+1.0 is linear; the sub-linear side is fixed-overhead amortization;
+anything well above 1.0 means super-linear work (all-pairs blowup,
+single-task funnel) and fails the probe.
+
+Scaled corpora are derived from the REAL sf0.1 tables with
+structure-preserving transforms, so the duplicate/cluster structure
+the operators exercise grows linearly instead of quadratically:
+
+- documents: replica r suffixes every token with ``~r`` — Jaccard
+  similarity WITHIN a replica is exactly the original corpus's,
+  while cross-replica shingle sets are disjoint (no spurious
+  cross-replica candidate pairs).
+- embeddings: replica r applies one random orthogonal rotation Q_r
+  (QR of a seeded gaussian) — inner products within a replica are
+  preserved exactly (cosine structure identical), cross-replica
+  pairs decorrelate to the random-background level.
+
+Usage:  python examples/scale_probe_r4.py [out_json]
+Writes scaled parquet under /tmp/scale_probe_r4/ and prints one
+JSON blob with per-target times and exponents.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, "/root/repo")
+
+from gcp_data_engineering_workshop_spark.session import get_spark
+from gcp_data_engineering_workshop_spark.plans import textpipeline as tp
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK = "/tmp/scale_probe_r4"
+SCALES = (1, 10)
+
+# (name, fn) — each fn is the production plan builder, called
+# exactly as bench.py calls it.
+TARGETS = [
+    ("dedup_corpus", tp.dedup_corpus),
+    ("embedding_neardup_blocked", tp.embedding_neardup_blocked),
+    ("ann_pq", tp.ann_pq),
+    ("dedup_incremental", tp.dedup_incremental),
+    ("line_dedup", tp.line_dedup),
+]
+
+
+def build_scaled_dir(k: int) -> str:
+    """Write documents/embeddings parquet at k x sf0.1 scale."""
+    out = os.path.join(WORK, f"x{k}")
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    docs = pq.read_table(os.path.join(BASE, "documents.parquet"))
+    d = docs.to_pydict()
+    n = len(d["doc_id"])
+    cols = {c: [] for c in d}
+    for r in range(k):
+        off = r * 10_000_000
+        for i in range(n):
+            cols["doc_id"].append(d["doc_id"][i] + off)
+            t = d["text"][i]
+            if r == 0:
+                cols["text"].append(t)
+            else:
+                # suffix every token: within-replica Jaccard is
+                # unchanged, cross-replica shingles disjoint.
+                cols["text"].append(
+                    " ".join(w + f"~{r}" for w in t.split(" ")))
+            cols["lang"].append(d["lang"][i])
+            cols["source"].append(d["source"][i])
+            cols["n_chars"].append(len(cols["text"][-1]))
+    pq.write_table(pa.table(cols, schema=docs.schema), os.path.join(out, "documents.parquet"))
+
+    emb = pq.read_table(os.path.join(BASE, "embeddings.parquet"))
+    e = emb.to_pydict()
+    vecs = np.array([list(v) for v in e["embedding"]], dtype=np.float64)
+    m, dim = vecs.shape
+    rng = np.random.default_rng(20260814)
+    vid, ev, lab = [], [], []
+    for r in range(k):
+        if r == 0:
+            rot = np.eye(dim)
+        else:
+            rot, _ = np.linalg.qr(rng.standard_normal((dim, dim)))
+        rv = (vecs @ rot).astype(np.float32)
+        off = r * 1_000_000
+        for i in range(m):
+            vid.append(e["vec_id"][i] + off)
+            ev.append(rv[i].tolist())
+            lab.append(e["label"][i])
+    pq.write_table(
+        pa.table({"vec_id": vid, "embedding": ev, "label": lab}, schema=emb.schema),
+        os.path.join(out, "embeddings.parquet"))
+    open(os.path.join(out, "_DONE"), "w").close()
+    return out
+
+
+def main() -> None:
+    spark = get_spark("scale-probe-r4")
+    dirs = {k: build_scaled_dir(k) for k in SCALES}
+    results: dict[str, dict] = {}
+    for name, fn in TARGETS:
+        row: dict[str, float] = {}
+        for k in SCALES:
+            fn(spark, dirs[k]).count()  # warm-up: JIT + file listing
+            times = []
+            for _ in range(2):
+                t0 = time.monotonic()
+                cnt = fn(spark, dirs[k]).count()
+                times.append(time.monotonic() - t0)
+            row[f"t_x{k}"] = round(min(times), 3)
+            row[f"rows_x{k}"] = cnt
+        row["exponent"] = round(
+            float(np.log(row[f"t_x{SCALES[1]}"] / row[f"t_x{SCALES[0]}"])
+                  / np.log(SCALES[1] / SCALES[0])), 3)
+        results[name] = row
+        print(f"## {name}: {row}", flush=True)
+    blob = {"base": BASE, "scales": list(SCALES), "results": results}
+    print(json.dumps(blob))
+    if len(sys.argv) > 1:
+        json.dump(blob, open(sys.argv[1], "w"), indent=1)
+
+
+if __name__ == "__main__":
+    main()

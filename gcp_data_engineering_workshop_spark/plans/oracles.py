@@ -1700,3 +1700,72 @@ SELECT window_timestamp, 'price' AS series, latest_price AS value FROM det
 UNION ALL
 SELECT window_timestamp, 'sma_5m' AS series, sma_5m AS value FROM det
 """
+
+# C45: one k-means E-step against the deterministic seed centroids
+# (the 8 lowest-vec_id vectors; cluster_id = rank in vec_id order).
+# d2 is rounded to 6 dp BEFORE the argmin and ties break to the
+# lowest cluster_id — the same contract the Spark mapInPandas body
+# implements, so the assignment is deterministic on both engines.
+_D2 = ("round(list_sum(list_transform(range(1, len(e.embedding) + 1), "
+       "i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE)) "
+       "* (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE)))), 6)")
+
+_KMEANS_ASSIGN_CTE = f"""
+c AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster_id,
+         embedding AS ce
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+),
+d AS (
+  SELECT e.vec_id, c.cluster_id, {_D2} AS d2
+  FROM embeddings e CROSS JOIN c
+),
+r AS (
+  SELECT vec_id, cluster_id, d2,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d2, cluster_id) AS rn
+  FROM d
+)"""
+
+KMEANS_ASSIGN_SQL = f"""
+WITH {_KMEANS_ASSIGN_CTE}
+SELECT vec_id, cluster_id, d2 FROM r WHERE rn = 1
+"""
+
+# C47: SemDedup — exact dot pairs restricted to same-cluster, using
+# the C45 seed-centroid assignment.
+SEMDEDUP_SQL = f"""
+WITH {_KMEANS_ASSIGN_CTE},
+s AS (SELECT vec_id, cluster_id FROM r WHERE rn = 1),
+p AS (
+  SELECT sa.cluster_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round({_DOT}, 6) AS dot_sim
+  FROM s sa
+  JOIN s sb ON sa.cluster_id = sb.cluster_id AND sa.vec_id < sb.vec_id
+  JOIN embeddings a ON a.vec_id = sa.vec_id
+  JOIN embeddings b ON b.vec_id = sb.vec_id
+)
+SELECT cluster_id, vec_a, vec_b, dot_sim FROM p WHERE dot_sim >= 0.4
+"""
+
+# C48: corpus snapshot diff by md5 fingerprint (snapshots derived
+# deterministically from the documents table).
+CORPUS_DIFF_SQL = """
+WITH old AS (
+  SELECT doc_id, md5(text) AS h_old FROM documents WHERE doc_id % 11 != 3
+),
+new_v AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 2 THEN upper(text) ELSE text END) AS h_new
+  FROM documents WHERE doc_id % 13 != 5
+),
+j AS (
+  SELECT COALESCE(old.doc_id, new_v.doc_id) AS doc_id,
+         CASE WHEN h_old IS NULL THEN 'added'
+              WHEN h_new IS NULL THEN 'removed'
+              WHEN h_old != h_new THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM old FULL OUTER JOIN new_v ON old.doc_id = new_v.doc_id
+)
+SELECT doc_id, status FROM j WHERE status != 'unchanged'
+"""

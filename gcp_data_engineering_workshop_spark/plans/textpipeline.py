@@ -980,3 +980,63 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id",
                     F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
                     F.coalesce("avg_logp", F.lit(0.0)).alias("avg_logp")))
+
+
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C45: one k-means E-step over the embedding corpus — map-only
+    nearest-centroid assignment against the deterministic seed
+    centroids (the 8 lowest-vec_id vectors). Zero shuffle: the 8x64
+    centroid matrix rides the task closure, the corpus streams
+    through one Arrow-batched stage. Exactly oracle-checkable."""
+    from gcp_data_engineering_workshop_spark.operators.clustering import kmeans_assign as ka
+    return ka(_emb(spark, sf_dir), k=8)
+
+
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C46: full distributed Lloyd's k-means (k=8, 5 rounds) —
+    per-round map-only partial-sum job bounded at n_parts*k rows,
+    driver combine O(k*dim); final assignment is the C45 E-step with
+    the trained centroids. Rows-only (iterative, not SQL-expressible);
+    numpy-parity + SSE-monotone pytest-bounded."""
+    from gcp_data_engineering_workshop_spark.operators.clustering import kmeans_fit
+    asg, _ = kmeans_fit(_emb(spark, sf_dir), k=8, n_iter=5)
+    return asg
+
+
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C47: SemDedup (Abbas et al. 2023) — embedding near-dup pairs
+    searched WITHIN k-means clusters only, so candidates are
+    sum(|cluster|^2) not n^2. Within-cluster pairs are exact
+    (oracle-certified); cross-cluster recall is pytest-bounded vs the
+    exact C5 pair set."""
+    from gcp_data_engineering_workshop_spark.operators.clustering import semdedup_pairs
+    return semdedup_pairs(_emb(spark, sf_dir), k=8, tau=0.4)
+
+
+def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C48: corpus snapshot diff — added / removed / changed doc ids
+    between two corpus versions, compared by content fingerprint
+    (md5) so the shuffle ships 32-byte hashes, never document text.
+    The two snapshots are derived deterministically from the
+    documents table (old drops doc_id%11==3; new drops doc_id%13==5
+    and rewrites doc_id%7==2), so the op is exactly oracle-checkable.
+
+    Scale shape: two pruned scans of the same table, hash projection
+    at the scan, one full-outer equi-join on doc_id. Unchanged rows
+    are filtered out so the result is the (small) change set."""
+    d = _docs(spark, sf_dir)
+    fp = F.md5(F.encode(F.col("text"), "UTF-8"))
+    old = (d.where(F.col("doc_id") % 11 != 3)
+           .select("doc_id", fp.alias("h_old")))
+    new = (d.where(F.col("doc_id") % 13 != 5)
+           .select("doc_id",
+                   F.md5(F.encode(
+                       F.when(F.col("doc_id") % 7 == 2, F.upper("text"))
+                        .otherwise(F.col("text")), "UTF-8")).alias("h_new")))
+    return (old.join(new, "doc_id", "full_outer")
+            .select("doc_id",
+                    F.when(F.col("h_old").isNull(), F.lit("added"))
+                     .when(F.col("h_new").isNull(), F.lit("removed"))
+                     .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
+                     .otherwise(F.lit("unchanged")).alias("status"))
+            .where(F.col("status") != "unchanged"))

@@ -1,0 +1,113 @@
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from gcp_data_engineering_workshop_spark.catalog import load_table
+from gcp_data_engineering_workshop_spark.operators import clustering as C
+from gcp_data_engineering_workshop_spark.operators import similarity as S
+
+
+def _mat(emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows])
+    X = np.vstack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    return ids, X
+
+
+def _np_assign(X, cent):
+    d2 = np.round(((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2), 6)
+    a = d2.argmin(axis=1)
+    return a, d2[np.arange(len(a)), a]
+
+
+def test_kmeans_assign_matches_numpy(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    ids, X = _mat(emb)
+    cent = X[np.argsort(ids)[:8]]
+    want_a, want_d2 = _np_assign(X, cent)
+    got = {r.vec_id: (r.cluster_id, r.d2)
+           for r in C.kmeans_assign(emb, k=8).collect()}
+    assert len(got) == len(ids)
+    for i, vid in enumerate(ids):
+        assert got[vid][0] == want_a[i], vid
+        assert abs(got[vid][1] - want_d2[i]) < 1e-9, vid
+
+
+def test_kmeans_assign_is_map_only(spark, sf_dir):
+    """100-TB posture: the E-step must be a single map-only stage —
+    no Exchange anywhere in the plan."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    plan = C.kmeans_assign(emb, k=8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_kmeans_fit_matches_numpy_lloyd(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    ids, X = _mat(emb)
+    cent = X[np.argsort(ids)[:8]].copy()
+    sses = []
+    for _ in range(5):
+        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        sses.append(float(d2[np.arange(len(a)), a].sum()))
+        for c in range(8):
+            m = a == c
+            if m.any():
+                cent[c] = X[m].mean(axis=0)
+    # SSE must be monotone non-increasing across Lloyd rounds
+    assert all(s2 <= s1 + 1e-9 for s1, s2 in zip(sses, sses[1:]))
+    asg, got_cent = C.kmeans_fit(emb, k=8, n_iter=5)
+    # distributed centroids agree with the single-node reference up
+    # to partial-sum reordering (~1e-12)
+    assert np.allclose(got_cent, cent, atol=1e-8)
+    want_a, _ = _np_assign(X, np.round(got_cent, 20))
+    got = {r.vec_id: r.cluster_id for r in asg.collect()}
+    agree = sum(got[vid] == want_a[i] for i, vid in enumerate(ids))
+    assert agree >= 0.99 * len(ids)
+
+
+def test_kmeans_fit_partials_are_bounded(spark, sf_dir):
+    """The M-step's shuffle-free partial frame is <= n_parts * k rows
+    no matter the corpus size."""
+    emb = load_table(spark, "embeddings", sf_dir).repartition(16)
+    _, cent = C.kmeans_fit(emb, k=8, n_iter=1)
+    assert cent.shape == (8, 64)
+
+
+def test_semdedup_within_cluster_exactness(spark, sf_dir):
+    """SemDedup pairs == the exact pair set restricted to same-cluster
+    (precision 1.0 by construction), and recall vs the full exact set
+    is reported as bounded."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    asg = {r.vec_id: r.cluster_id for r in C.kmeans_assign(emb, k=8).collect()}
+    exact = {(r.vec_a, r.vec_b): r.dot_sim
+             for r in S.embedding_neardup_pairs(emb, tau=0.4).collect()}
+    want = {p: s for p, s in exact.items() if asg[p[0]] == asg[p[1]]}
+    got = {(r.vec_a, r.vec_b): r.dot_sim
+           for r in C.semdedup_pairs(emb, k=8, tau=0.4).collect()}
+    assert got == want
+    if exact:
+        recall = len(got) / len(exact)
+        assert recall >= 0.2  # structural bound; real pairs cluster together
+
+
+def test_corpus_diff_statuses(spark, sf_dir):
+    from gcp_data_engineering_workshop_spark.plans.textpipeline import corpus_diff
+    docs = {r.doc_id: r.text
+            for r in load_table(spark, "documents", sf_dir).collect()}
+    want = {}
+    for did, text in docs.items():
+        in_old, in_new = did % 11 != 3, did % 13 != 5
+        changed = did % 7 == 2 and text.upper() != text
+        if in_old and not in_new:
+            want[did] = "removed"
+        elif in_new and not in_old:
+            want[did] = "added"
+        elif in_old and in_new and changed:
+            want[did] = "changed"
+    got = {r.doc_id: r.status for r in corpus_diff(spark, sf_dir).collect()}
+    assert got == want
