@@ -154,22 +154,75 @@ def build_scaled_dir(k: int) -> str:
     return out
 
 
+def build_clustered_dir(k: int) -> str:
+    """Planted-cluster embeddings at k x base scale: n_clusters grows
+    with k (cluster SIZE stays 5), so the true near-dup pair count is
+    LINEAR in n — the regime where a scalable pair op must beat the
+    exact baseline. Members sit at ~0.93 cosine to their cluster
+    mates; distinct clusters are random directions (near-orthogonal
+    in 64-dim)."""
+    out = os.path.join(WORK, f"c{k}")
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(777)
+    n_clusters, size, dim, sigma = 400 * k, 5, 64, 0.0433
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = centers[:, None, :] + sigma * rng.standard_normal(
+        (n_clusters, size, dim))
+    pts = pts.reshape(-1, dim)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    pq.write_table(pa.table({
+        "vec_id": np.arange(len(pts), dtype=np.int64),
+        "embedding": list(pts.astype(np.float32)),
+        "label": (np.arange(len(pts)) // size).astype(np.int32),
+    }), os.path.join(out, "embeddings.parquet"))
+    open(os.path.join(out, "_DONE"), "w").close()
+    return out
+
+
+def _lsh_auto_clustered(spark, sf_dir):
+    # adaptive plane count (auto_lsh_params): P ~ log2(n) with the
+    # recall paid back in tables — the background-candidate term
+    # T*n^2/2^P stays bounded as n grows. tau=0.9, true pairs ~0.93.
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+    from gcp_data_engineering_workshop_spark.operators.similarity import (
+        embedding_neardup_lsh)
+    return embedding_neardup_lsh(
+        load_table(spark, "embeddings", sf_dir), tau=0.9,
+        auto=True, max_tables=320)
+
+
+# clustered-corpus targets read from build_clustered_dir dirs
+CLUSTERED_TARGETS = [
+    ("lsh_auto_tau09_clustered", _lsh_auto_clustered),
+]
+
+
 def main() -> None:
     spark = get_spark("scale-probe-r4")
     dirs = {k: build_scaled_dir(k) for k in SCALES}
+    cdirs = {k: build_clustered_dir(k) for k in SCALES}
     results: dict[str, dict] = {}
-    for name, fn in TARGETS:
+    only = {s for s in os.environ.get(
+        "SPARK_GRAFT_PROBE_ONLY", "").split(",") if s}
+    for name, fn, ds in ([(n, f, dirs) for n, f in TARGETS]
+                         + [(n, f, cdirs) for n, f in CLUSTERED_TARGETS]):
+        if only and name not in only:
+            continue
         row: dict[str, float] = {}
         for k in SCALES:
             # rows via count (cheap); TIMING via noop write like
             # bench.py — count() lets Catalyst prune expensive output
             # columns (line_dedup's rebuilt text collapsed to a scan)
-            cnt = fn(spark, dirs[k]).count()  # + warm-up: JIT, listing
+            cnt = fn(spark, ds[k]).count()  # + warm-up: JIT, listing
             spark.catalog.clearCache()  # like bench.py: operators may
             times = []                  # persist(); time each run COLD
             for _ in range(2):
                 t0 = time.monotonic()
-                fn(spark, dirs[k]).write.format("noop") \
+                fn(spark, ds[k]).write.format("noop") \
                     .mode("overwrite").save()
                 times.append(time.monotonic() - t0)
                 spark.catalog.clearCache()

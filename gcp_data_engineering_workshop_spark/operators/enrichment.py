@@ -57,6 +57,19 @@ def deterministic_insight_model(records: list[dict]) -> str:
     return json.dumps(out)
 
 
+def deterministic_tick_model(records: list[dict]) -> str:
+    """Streaming-side deterministic model: keyed on ``volume`` (the
+    tick stream doesn't carry event_id), same response shape and
+    hash scheme as deterministic_insight_model."""
+    out = []
+    for r in records:
+        s = ((int(r["volume"]) * _MIX) % 2001 - 1000) / 1000.0
+        label = ("bullish" if s > 0.3
+                 else "bearish" if s < -0.3 else "neutral")
+        out.append({"ai_sentiment": s, "ai_summary": label})
+    return json.dumps(out)
+
+
 def enrich_batched(df: DataFrame,
                    model_fn: Callable[[list[dict]], str],
                    request_cols: list[str],

@@ -83,7 +83,8 @@ def _hyperplane_bucketer(n_tables: int, n_planes: int, seed: int = 42):
 
     def bucketed(df: DataFrame, idc: str, emc: str,
                  with_sig: bool = False) -> DataFrame:
-        assert n_planes <= 4  # 4-bit signature groups
+        if with_sig:
+            assert n_planes <= 4  # 4-bit signature groups
         base = df.select(idc, emc, buckets_udf(F.col(emc)).alias("_b"))
         out = base.select(
             idc, emc, "_b.sig",
@@ -130,8 +131,48 @@ def _canonical_table_expr(n_tables: int) -> str:
     return f"tbl = {expr}"
 
 
+def auto_lsh_params(tau: float, n_rows: int, target_miss: float = 1e-6,
+                    max_tables: int = 128) -> tuple[int, int]:
+    """Cost-model selection of (n_tables, n_planes) for hyperplane
+    LSH at a given threshold and corpus size.
+
+    Physics: a pair at similarity s collides with one plane with
+    p = 1 - arccos(s)/pi, with a P-plane table with p^P, and survives
+    T tables with miss (1 - p^P)^T. A RANDOM (near-orthogonal)
+    background pair collides with ~2^-P per table, so with FIXED P
+    the candidate set is Theta(T * n^2 / 2^P) — quadratic no matter
+    the threshold. Scaling LSH therefore means growing P toward
+    log2(n) (bucket occupancy ~1) and paying the recall back in
+    tables: T(P) = ceil(ln(miss) / ln(1 - p^P)).
+
+    This picks the P in [3, 24] minimizing the modeled cost
+    T*(n^2 / 2^(P+1)) + T*n  (background candidates + bucketing rows)
+    subject to T <= max_tables. Low thresholds (tau ~0.4: p^P decays
+    fast) are recall-bound and stay at small P — there the candidate
+    set is irreducibly dense and the canonical-table no-dedup path
+    carries it; high thresholds (near-dup regime, tau >= 0.7) afford
+    P ~ log2(n) and become near-linear. Used by the scale probe and
+    available to callers via embedding_neardup_lsh(auto=True)."""
+    import math
+    p = 1.0 - math.acos(min(max(tau, -1.0), 1.0)) / math.pi
+    best, best_cost = (64, 3), float("inf")
+    for P in range(3, 25):
+        cp = p ** P
+        if cp >= 1.0:
+            continue
+        T = max(1, math.ceil(math.log(target_miss) / math.log(1.0 - cp)))
+        if T > max_tables:
+            break  # T(P) is increasing in P — nothing larger fits
+        cost = T * (n_rows * n_rows / 2.0 ** (P + 1)) + T * n_rows
+        if cost < best_cost:
+            best, best_cost = (T, P), cost
+    return best
+
+
 def embedding_neardup_lsh(emb: DataFrame, tau: float = 0.4,
-                          n_tables: int = 64, n_planes: int = 3) -> DataFrame:
+                          n_tables: int = 64, n_planes: int = 3,
+                          auto: bool = False,
+                          max_tables: int = 128) -> DataFrame:
     """C5 scale path: threshold near-dup pairs via hyperplane-LSH
     candidate generation + exact-dot verify. Same output contract as
     embedding_neardup_pairs (vec_a, vec_b, dot_sim >= tau), but
@@ -164,7 +205,13 @@ def embedding_neardup_lsh(emb: DataFrame, tau: float = 0.4,
     95s -> ~3s for the same green oracle row. Recall vs. the exact
     op is additionally pytest-enforced.
     """
+    if auto:
+        # bounded metadata action (row count); at warehouse scale this
+        # comes from table stats, not a scan
+        n_tables, n_planes = auto_lsh_params(
+            tau, emb.count(), max_tables=max_tables)
     bucketed = _hyperplane_bucketer(n_tables, n_planes)
+    use_canonical = n_planes <= 4
     n_words = -(-n_tables // 16)
     par = emb.sparkSession.sparkContext.defaultParallelism
     # explicit width on the join key: the embeddings table is small on
@@ -173,19 +220,29 @@ def embedding_neardup_lsh(emb: DataFrame, tau: float = 0.4,
     # this op); pinning the partition count keeps the fan-out parallel
     b = bucketed(
         emb.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("e")),
-        "vid", "e", with_sig=True).repartition(par, "tbl", "bucket")
-    x = b.select(F.col("vid").alias("vec_a"), "tbl", "bucket",
-                 *[F.col(f"sig{w}").alias(f"xs{w}") for w in range(n_words)])
-    y = b.select(F.col("vid").alias("vec_b"), "tbl", "bucket",
-                 *[F.col(f"sig{w}").alias(f"ys{w}") for w in range(n_words)])
-    cand = (
-        x.join(y, ["tbl", "bucket"])
-        .where(F.col("vec_a") < F.col("vec_b"))
+        "vid", "e", with_sig=use_canonical).repartition(par, "tbl", "bucket")
+    sig_x = [F.col(f"sig{w}").alias(f"xs{w}")
+             for w in range(n_words)] if use_canonical else []
+    sig_y = [F.col(f"sig{w}").alias(f"ys{w}")
+             for w in range(n_words)] if use_canonical else []
+    x = b.select(F.col("vid").alias("vec_a"), "tbl", "bucket", *sig_x)
+    y = b.select(F.col("vid").alias("vec_b"), "tbl", "bucket", *sig_y)
+    cand = x.join(y, ["tbl", "bucket"]).where(F.col("vec_a") < F.col("vec_b"))
+    if use_canonical:
         # canonical-table filter: each pair survives in exactly one
         # table, so no dropDuplicates (16M-row partial-agg + dedup
-        # state) is needed — pairs die in codegen
-        .where(F.expr(_canonical_table_expr(n_tables)))
-        .select("vec_a", "vec_b")
+        # state) is needed — pairs die in codegen. This is what makes
+        # the DENSE-candidate regime (low tau, few planes) run at
+        # codegen speed; the 4-bit signature packing caps it at
+        # n_planes <= 4.
+        cand = cand.where(F.expr(_canonical_table_expr(n_tables)))
+    else:
+        # sparse regime (auto-chosen P ~ log2 n): the candidate set is
+        # small by construction, so deduping bare ID pairs is a cheap
+        # exchange proportional to candidates, never to n^2
+        cand = cand.dropDuplicates(["vec_a", "vec_b"])
+    cand = (
+        cand.select("vec_a", "vec_b")
         # first-match is biased toward low tables, so the surviving
         # pairs are skewed across the (tbl, bucket) partitions; one
         # cheap exchange of the ID pairs rebalances the verify stage

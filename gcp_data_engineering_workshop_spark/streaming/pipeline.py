@@ -256,3 +256,28 @@ def ohlc_stream(ticks: DataFrame, window: str = "1 hour",
         .select("ticker", F.col("w.start").alias("window_start"),
                 "open", "high", "low", "close", "w_volume", "n_ticks")
     )
+
+
+def enriched_model_stream(ticks: DataFrame, batch_size: int = 64,
+                          model_fn=None) -> DataFrame:
+    """D17: the reference's model-call enrichment ran INSIDE its
+    streaming pipeline (main.py:104-160, invoked per Pub/Sub batch);
+    this is that stage on Structured Streaming — the same
+    enrich_batched mapInPandas operator applied to the tick stream
+    (mapInPandas is streaming-capable: it runs per micro-batch, per
+    partition, chunking each Arrow batch to the model batch size).
+
+    Stateless: no watermark, no state store — a failed/garbled chunk
+    degrades to neutral defaults inside its own micro-batch and can
+    never poison the trigger or grow state. At scale each executor
+    calls the endpoint independently for its partitions, so call
+    concurrency follows partition count, not a driver-side loop."""
+    from gcp_data_engineering_workshop_spark.operators.enrichment import (
+        deterministic_tick_model, enrich_batched)
+
+    base = ticks.drop("ai_sentiment", "ai_summary")
+    return enrich_batched(
+        base, model_fn or deterministic_tick_model, ["volume"],
+        "ai_sentiment double, ai_summary string",
+        defaults={"ai_sentiment": 0.0, "ai_summary": "neutral"},
+        batch_size=batch_size)

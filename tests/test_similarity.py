@@ -255,3 +255,38 @@ def test_ann_pq_approx_pass_prunes_embedding_column(spark, sf_dir):
         assert [r.rank for r in rs] == list(range(1, 6)), q
         dots = [r.dot_sim for r in rs]
         assert dots == sorted(dots, reverse=True), q
+
+
+def test_auto_lsh_params_scales_planes_with_n():
+    """High tau affords P ~ log2(n): plane count must grow with the
+    corpus while tables stay within budget. Low tau is recall-bound
+    and must stay on the small-P canonical-filter path."""
+    t1, p1 = S.auto_lsh_params(0.9, 2_000, max_tables=320)
+    t2, p2 = S.auto_lsh_params(0.9, 2_000_000, max_tables=320)
+    assert p2 > p1 and t2 <= 320
+    _, p3 = S.auto_lsh_params(0.4, 2_000_000)
+    assert p3 <= 4
+
+
+def test_lsh_auto_high_tau_matches_exact(spark):
+    """The auto path (P > 4, dropDuplicates dedup instead of the
+    canonical-table filter) must reproduce the exact pair set on a
+    planted-cluster corpus at tau=0.9."""
+    import numpy as np
+
+    rng = np.random.default_rng(123)
+    centers = rng.standard_normal((40, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = centers[:, None, :] + 0.0433 * rng.standard_normal((40, 4, 64))
+    pts = pts.reshape(-1, 64)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(pts)],
+        "vec_id long, embedding array<float>")
+    exact = {(r.vec_a, r.vec_b, r.dot_sim)
+             for r in S.embedding_neardup_pairs(emb, tau=0.9).collect()}
+    got = {(r.vec_a, r.vec_b, r.dot_sim)
+           for r in S.embedding_neardup_lsh(
+               emb, tau=0.9, auto=True, max_tables=320).collect()}
+    assert len(exact) > 50        # the planted pairs exist
+    assert got == exact

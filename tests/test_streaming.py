@@ -586,3 +586,46 @@ def test_streaming_ohlc_matches_batch(spark, sf_dir, tick_json_dir):
         w = want[k]
         assert (g.open, g.high, g.low, g.close, g.w_volume, g.n_ticks) \
             == (w.open, w.high, w.low, w.close, w.w_volume, w.n_ticks), k
+
+
+def test_streaming_model_enrichment_matches_batch(spark, sf_dir, tick_json_dir):
+    """D17: the batched model-call enrichment stage runs unchanged on
+    the tick stream; per-row results equal the batch operator on the
+    same data."""
+    from gcp_data_engineering_workshop_spark.operators.enrichment import (
+        deterministic_tick_model, enrich_batched)
+
+    stream = spl.read_tick_stream(spark, tick_json_dir)
+    _run_to_memory(spl.enriched_model_stream(stream), "enrich_s")
+    got = {(r.ticker, r.ts): (r.ai_sentiment, r.ai_summary)
+           for r in spark.table("enrich_s").collect()}
+    want_df = enrich_batched(
+        batch_ticks(spark, sf_dir).drop("ai_sentiment", "ai_summary"),
+        deterministic_tick_model, ["volume"],
+        "ai_sentiment double, ai_summary string",
+        defaults={"ai_sentiment": 0.0, "ai_summary": "neutral"})
+    want = {(r.ticker, r.ts): (r.ai_sentiment, r.ai_summary)
+            for r in want_df.collect()}
+    assert got == want and len(got) > 0
+    assert len({v for v in got.values()}) > 1  # model actually varies
+
+
+def test_streaming_model_enrichment_chunk_fallback(spark, tick_json_dir):
+    """A model that dies on some chunks degrades exactly those chunks
+    to defaults — inside the stream, without failing the query."""
+    def flaky(records):
+        if any(int(r["volume"]) % 3 == 0 for r in records):
+            raise RuntimeError("endpoint 500")
+        from gcp_data_engineering_workshop_spark.operators.enrichment import (
+            deterministic_tick_model)
+        return deterministic_tick_model(records)
+
+    stream = spl.read_tick_stream(spark, tick_json_dir)
+    _run_to_memory(
+        spl.enriched_model_stream(stream, batch_size=1, model_fn=flaky),
+        "enrich_flaky")
+    rows = spark.table("enrich_flaky").collect()
+    assert rows
+    for r in rows:
+        if r.volume % 3 == 0:  # its 1-row chunk raised -> defaults
+            assert (r.ai_sentiment, r.ai_summary) == (0.0, "neutral")
