@@ -136,3 +136,24 @@ def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
     files per query is waste; turn it on at the READ that follows an
     evolution, then rewrite or register the unified schema."""
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def read_xml(spark: SparkSession, path: str, row_tag: str,
+             schema: str | None = None) -> DataFrame:
+    """E18: XML reader (Spark 4 built-in, the spark-xml lineage).
+    Pass an explicit schema to skip the inference scan — at 100 TB an
+    inference pass is a full extra read. XML has no predicate
+    pushdown (row-tag framed text, like JSON-lines); partition
+    parallelism comes from file splits, so feeds should land as many
+    files, not one giant document."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str,
+              root_tag: str = "rows", mode: str = "overwrite") -> None:
+    """E18: XML writer — one <root_tag> document per partition file."""
+    (df.write.mode(mode).format("xml")
+     .option("rowTag", row_tag).option("rootTag", root_tag).save(path))

@@ -348,3 +348,22 @@ def test_bar_replay_stream_one_minute_per_batch(spark, tmp_path):
     q2.processAllAvailable()
     q2.stop()
     assert spark.read.parquet(out).count() == 18
+
+
+def test_xml_roundtrip_with_schema(spark, sf_dir, tmp_path):
+    """E18: XML write/read roundtrip; explicit schema skips the
+    inference scan and value fidelity holds across the format."""
+    from gcp_data_engineering_workshop_spark.sources import formats as FMT
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+
+    path = str(tmp_path / "nation_xml")
+    nation = load_table(spark, "nation", sf_dir)
+    FMT.write_xml(nation, path, row_tag="nation")
+    rd = FMT.read_xml(
+        spark, path, row_tag="nation",
+        schema="n_nationkey bigint, n_name string, n_regionkey bigint")
+    got = {(r.n_nationkey, r.n_name, r.n_regionkey) for r in rd.collect()}
+    want = {(r.n_nationkey, r.n_name, r.n_regionkey)
+            for r in nation.select("n_nationkey", "n_name",
+                                   "n_regionkey").collect()}
+    assert got == want and len(got) > 0

@@ -595,19 +595,27 @@ def test_streaming_model_enrichment_matches_batch(spark, sf_dir, tick_json_dir):
     from gcp_data_engineering_workshop_spark.operators.enrichment import (
         deterministic_tick_model, enrich_batched)
 
+    import collections
     stream = spl.read_tick_stream(spark, tick_json_dir)
     _run_to_memory(spl.enriched_model_stream(stream), "enrich_s")
-    got = {(r.ticker, r.ts): (r.ai_sentiment, r.ai_summary)
-           for r in spark.table("enrich_s").collect()}
+    # (ticker, ts) can repeat; compare full rows as multisets. The
+    # JSON round-trip truncates ts to milliseconds, so truncate both.
+    def _ms(ts):
+        return ts.replace(microsecond=ts.microsecond // 1000 * 1000)
+
+    got = collections.Counter(
+        (r.ticker, _ms(r.ts), r.volume, r.ai_sentiment, r.ai_summary)
+        for r in spark.table("enrich_s").collect())
     want_df = enrich_batched(
         batch_ticks(spark, sf_dir).drop("ai_sentiment", "ai_summary"),
         deterministic_tick_model, ["volume"],
         "ai_sentiment double, ai_summary string",
         defaults={"ai_sentiment": 0.0, "ai_summary": "neutral"})
-    want = {(r.ticker, r.ts): (r.ai_sentiment, r.ai_summary)
-            for r in want_df.collect()}
+    want = collections.Counter(
+        (r.ticker, _ms(r.ts), r.volume, r.ai_sentiment, r.ai_summary)
+        for r in want_df.collect())
     assert got == want and len(got) > 0
-    assert len({v for v in got.values()}) > 1  # model actually varies
+    assert len({k[4] for k in got}) > 1  # model output actually varies
 
 
 def test_streaming_model_enrichment_chunk_fallback(spark, tick_json_dir):
