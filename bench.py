@@ -56,6 +56,9 @@ BENCH_QUERIES = [
     "value_rank_dist",       # B48 distributed prefix-sum ranks
     # r4 additions (no earlier baseline — first measured in BENCH_r04):
     "enrich_model_batch",    # A16 batched model-call enrichment
+    "kmeans_assign",         # C45 map-only E-step
+    "semdedup",              # C47 within-cluster near-dup
+    "corpus_diff",           # C48 snapshot diff
 ]
 
 
