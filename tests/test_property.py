@@ -1,0 +1,88 @@
+"""Property-based parity tests (hypothesis) for the custom
+distributed operators that re-implement window semantics without
+per-group single-task funnels. These are the surfaces where subtle
+parity bugs live (tie-breaks, NULL group keys, slice boundaries), so
+they get randomized inputs, not just fixtures.
+
+Examples are kept few (Spark jobs per example) and deadline-free."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gcp_data_engineering_workshop_spark.operators import similarity as S
+from gcp_data_engineering_workshop_spark.operators.ids import (
+    assign_group_ranks, group_prefix_sum)
+
+# small domains force collisions: duplicate keys, score ties, NULL
+# groups, empty groups
+_rows = st.lists(
+    st.tuples(st.sampled_from([None, "a", "b", "c"]),   # group (incl NULL)
+              st.integers(0, 5),                        # order value (ties)
+              st.integers(0, 9),                        # tiebreak id-ish
+              st.integers(-3, 3)),                      # value
+    min_size=1, max_size=60)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_rows)
+def test_group_ranks_match_window(spark, rows):
+    df = spark.createDataFrame(
+        [(g, o, t, v) for g, o, t, v in rows],
+        "g string, o int, t int, v int").repartition(7)
+    got = {(r.g, r.o, r.t): r.grp_rank
+           for r in assign_group_ranks(df, ["g"], ["o", "t"],
+                                       n_parts=5).collect()
+           if True}
+    w = Window.partitionBy("g").orderBy("o", "t")
+    want = {(r.g, r.o, r.t): r.rn
+            for r in df.withColumn("rn", F.row_number().over(w)).collect()}
+    # ties on the full order key make row_number nondeterministic on
+    # both sides; compare the rank MULTISET per (group, order key)
+    import collections
+    gg = collections.Counter((k[0], k[1], k[2], v) for k, v in got.items())
+    ww = collections.Counter((k[0], k[1], k[2], v) for k, v in want.items())
+    assert set(got) == set(want)
+    assert gg == ww
+
+
+@settings(max_examples=8, deadline=None)
+@given(_rows)
+def test_prefix_sum_matches_window(spark, rows):
+    # unique order key per row (o, t, uid) so the running sum is
+    # deterministic
+    data = [(g, o, i, v) for i, (g, o, t, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "g string, o int, uid int, v int").repartition(7)
+    got = {(r.g, r.o, r.uid): r.prefix_sum
+           for r in group_prefix_sum(df, ["g"], ["o", "uid"], "v",
+                                     n_parts=5).collect()}
+    w = (Window.partitionBy("g").orderBy("o", "uid")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    want = {(r.g, r.o, r.uid): r.ps
+            for r in df.withColumn("ps", F.sum("v").over(w)).collect()}
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 3),      # key
+                          st.integers(0, 200),    # neighbor id
+                          st.integers(0, 4)),     # score (heavy ties)
+                min_size=1, max_size=80),
+       st.integers(1, 6))
+def test_topk_per_key_property(spark, rows, k):
+    dedup = {(q, n): s for q, n, s in rows}
+    data = [(q, n, float(s)) for (q, n), s in dedup.items()]
+    df = spark.createDataFrame(
+        data, "query_id int, neighbor_id int, dot_sim double"
+    ).repartition(9)
+    got = {(r.query_id, r.neighbor_id, r.dot_sim, r.rank)
+           for r in S._topk_per_key(df, k).collect()}
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_sim").desc(), F.col("neighbor_id"))
+    want = {(r.query_id, r.neighbor_id, r.dot_sim, r.rank)
+            for r in df.withColumn("rank", F.row_number().over(w))
+                       .where(F.col("rank") <= k).collect()}
+    assert got == want
