@@ -97,6 +97,7 @@ TARGETS = [
     ("dedup_incremental", tp.dedup_incremental),
     ("line_dedup", tp.line_dedup),
     ("kmeans_assign", tp.kmeans_assign),
+    ("kmeans_fit", tp.kmeans_embeddings),
     ("semdedup_scaled_k", _semdedup_scaled),
 ]
 

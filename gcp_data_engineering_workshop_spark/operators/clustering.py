@@ -104,19 +104,27 @@ def kmeans_fit(emb: DataFrame, k: int = 8, n_iter: int = 5
                     m = a == ci
                     if m.any():
                         s[ci] += X[m].sum(axis=0); n[ci] += int(m.sum())
-            nz = n > 0
+            # FLAT scalar rows (cluster, dim, val) — no nested Arrow
+            # types in the partial frame; still bounded at k*dim rows
+            # per partition regardless of input size
+            nz = np.flatnonzero(n)
             yield pd.DataFrame({
-                "cluster_id": np.arange(k, dtype=np.int32)[nz],
-                "vsum": list(s[nz]), "cnt": n[nz]})
+                "cluster_id": np.repeat(nz, dim).astype(np.int32),
+                "dim_idx": np.tile(np.arange(dim, dtype=np.int32), len(nz)),
+                "val": s[nz].ravel(),
+                "cnt": np.repeat(n[nz], dim)})
         return fn
 
     for _ in range(n_iter):
         rows = (base.mapInPandas(
-            partials(cent), "cluster_id int, vsum array<double>, cnt bigint")
-            .collect())  # bounded: <= n_parts * k tiny rows
+            partials(cent),
+            "cluster_id int, dim_idx int, val double, cnt bigint")
+            .collect())  # bounded: <= n_parts * k * dim tiny rows
         s = np.zeros((k, dim)); n = np.zeros(k, dtype=np.int64)
-        for r in sorted(rows, key=lambda r: r.cluster_id):
-            s[r.cluster_id] += np.asarray(r.vsum); n[r.cluster_id] += r.cnt
+        for r in sorted(rows, key=lambda r: (r.cluster_id, r.dim_idx)):
+            s[r.cluster_id][r.dim_idx] += r.val
+            if r.dim_idx == 0:
+                n[r.cluster_id] += r.cnt
         nz = n > 0
         cent = cent.copy()
         cent[nz] = s[nz] / n[nz, None]
