@@ -6,6 +6,7 @@ the oracle-verified operators.
     -> line-level boilerplate removal          (C39 line_dedup)
     -> quality + repetition filtering          (C9 / C29)
     -> exact + near-dup removal                (C22 dedup_corpus)
+    -> semantic dedup over embeddings          (C46/C47 kmeans + SemDedup)
     -> benchmark decontamination               (C30)
     -> per-language temperature rebalancing    (C33)
     -> deterministic train/test split          (C16)
@@ -39,6 +40,11 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         "doc_id", "dup_word_frac")
     survivors = tp.dedup_corpus(spark, sf_dir).select("doc_id")
     decontaminated = tp.decontaminate(spark, sf_dir).select("doc_id")
+    # semantic layer: embeddings cluster (distributed Lloyd's), then
+    # near-dup pairs are searched within clusters only; drop the
+    # higher vec_id of each semantic-dup pair (doc_id == vec_id here)
+    sem_drop = (tp.semdedup(spark, sf_dir)
+                .select(F.col("vec_b").alias("doc_id")).distinct())
     sampled = tp.temperature_sample(spark, sf_dir).select("doc_id")
     split = tp.train_test_split(spark, sf_dir).select("doc_id", "split")
 
@@ -48,6 +54,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         .join(repetition, "doc_id").where(F.col("dup_word_frac") <= 0.5)
         .join(survivors, "doc_id")
         .join(decontaminated, "doc_id")
+        .join(sem_drop, "doc_id", "left_anti")
         .join(sampled, "doc_id")
         .join(split, "doc_id")
     )
