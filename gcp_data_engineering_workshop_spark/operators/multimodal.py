@@ -8,14 +8,16 @@ the partitioning/pruning story stays plain Spark.
 
 Decode depth is tiered, most-real first:
   1. REAL pixel decode for PNG (zlib inflate + scanline unfilter),
-     uncompressed 24-bit BMP, and GIF (LZW decompression, per frame
-     for animations) — see operators/imagecodec.py. These emit true
+     uncompressed 24-bit BMP, GIF (LZW decompression, per frame for
+     animations), and baseline JPEG (canonical Huffman entropy
+     decode, dequant + IDCT, 4:2:0 chroma upsampling, YCbCr->RGB) —
+     see operators/imagecodec.py. These emit true
      width/height/channels, a mean-luminance feature, and a CRC of
      the raw pixels.
   2. REAL container-header parse (``parse_image_header``) when full
-     decode isn't possible (JPEG entropy decode is out of scope for
-     a pure-numpy codec; truncated containers): true dimensions and
-     sniffed type from struct offsets, no pixel stats.
+     decode isn't possible (progressive/arithmetic JPEG; truncated
+     containers): true dimensions and sniffed type from struct
+     offsets, no pixel stats.
   3. Deterministic fake features (``_fake_decode``) for anything
      else — the declared stub that keeps the plumbing working on
      arbitrary blobs; swap in PIL/ffmpeg on a cluster that has them.
@@ -63,6 +65,8 @@ def _try_decode_pixels(payload: bytes):
             return "image/bmp", IC.decode_bmp(payload)
         if payload[:6] in (b"GIF87a", b"GIF89a"):
             return "image/gif", IC.gif_frames(payload, max_frames=1)[0][1]
+        if payload[:2] == b"\xff\xd8":
+            return "image/jpeg", IC.decode_jpeg(payload)
     except (ValueError, zlib.error, struct.error, IndexError):
         return None
     return None

@@ -195,3 +195,58 @@ def test_frame_sample_real_gif_frames(spark):
         assert r.frame_checksum == zlib.crc32(img.tobytes())
     assert all(not r.real_frame and r.frame_width is None
                for r in stub_rows)
+
+
+def test_jpeg_roundtrip_444():
+    """Baseline JPEG: encode 4:4:4 with the minimal encoder, decode
+    with the full T.81 path (canonical Huffman, dequant, IDCT,
+    YCbCr). A smooth gradient at q95 must round-trip near-exactly."""
+    y, x = np.mgrid[0:32, 0:48]
+    img = np.stack([np.clip(x * 5, 0, 255), np.clip(y * 7, 0, 255),
+                    np.clip((x + y) * 3, 0, 255)], axis=2).astype(np.uint8)
+    dec = IC.decode_jpeg(IC.encode_jpeg(img, quality=95))
+    assert dec.shape == img.shape
+    assert np.max(np.abs(dec.astype(int) - img.astype(int))) <= 4
+
+
+def test_jpeg_roundtrip_grayscale_exact_gradient():
+    y, _ = np.mgrid[0:24, 0:40]
+    g = (y * 8 % 256).astype(np.uint8)
+    dec = IC.decode_jpeg(IC.encode_jpeg(g, quality=90))
+    assert dec.shape == (24, 40, 1)
+    assert np.mean(np.abs(dec[:, :, 0].astype(float) - g)) < 2.0
+
+
+def test_jpeg_roundtrip_420_subsampled_odd_dims():
+    """4:2:0 exercises the MCU interleave + chroma upsampling path;
+    odd dimensions exercise edge padding/cropping."""
+    y, x = np.mgrid[0:37, 0:53]
+    img = np.stack([np.clip(x * 4, 0, 255), np.clip(y * 5, 0, 255),
+                    np.clip(255 - (x + y) * 2, 0, 255)],
+                   axis=2).astype(np.uint8)
+    dec = IC.decode_jpeg(IC.encode_jpeg(img, quality=92, subsample=True))
+    assert dec.shape == img.shape
+    assert np.mean(np.abs(dec.astype(float) - img)) < 4.0
+
+
+def test_jpeg_rejects_non_baseline():
+    import pytest
+    with pytest.raises(ValueError):
+        IC.decode_jpeg(b"\x00\x01not a jpeg")
+    # progressive SOF2 must raise, not mis-decode
+    blob = bytearray(IC.encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+    i = blob.find(b"\xff\xc0")
+    blob[i + 1] = 0xC2
+    with pytest.raises(ValueError):
+        IC.decode_jpeg(bytes(blob))
+
+
+def test_multimodal_decodes_jpeg_payload():
+    from gcp_data_engineering_workshop_spark.operators import multimodal as MM
+    y, x = np.mgrid[0:16, 0:16]
+    img = np.stack([np.clip(x * 16, 0, 255)] * 3, axis=2).astype(np.uint8)
+    blob = IC.encode_jpeg(img, quality=95)
+    got = MM._try_decode_pixels(blob)
+    assert got is not None
+    mt, px = got
+    assert mt == "image/jpeg" and px.shape == (16, 16, 3)
