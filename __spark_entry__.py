@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embeddings": _tp.kmeans_embeddings,
         "multimodal_meta": _tp.multimodal_meta,
         "multimodal_frames": _tp.multimodal_frames,
+        "multimodal_audio": _tp.multimodal_audio,
         "user_overlap_sketch": _an2.user_overlap_sketch,
     }
 

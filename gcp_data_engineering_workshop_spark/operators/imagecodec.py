@@ -856,3 +856,76 @@ def _encode_jpeg_420(img: np.ndarray, quality: int) -> bytes:
     out += bw.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# -------------------------------------------------- MJPEG / WAV (PCM)
+# Motion-JPEG elementary streams are literally concatenated baseline
+# JPEGs (the format DVRs/webcams emit); with the T.81 decoder above,
+# video frame extraction is real for them. Byte-stuffing guarantees
+# 0xFFD8/0xFFD9 never appear inside entropy data, so frame framing by
+# marker scan is exact.
+
+def mjpeg_frames(payload: bytes, max_frames: int | None = None):
+    """Split an MJPEG stream into [(byte_offset, decoded_frame)].
+    Raises ValueError if no complete JPEG frame is found."""
+    frames = []
+    pos = 0
+    while True:
+        start = payload.find(b"\xff\xd8", pos)
+        if start < 0:
+            break
+        end = payload.find(b"\xff\xd9", start + 2)
+        if end < 0:
+            break
+        frames.append((start, decode_jpeg(payload[start:end + 2])))
+        pos = end + 2
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+    if not frames:
+        raise ValueError("no JPEG frames")
+    return frames
+
+
+def decode_wav(payload: bytes):
+    """RIFF/WAVE PCM decode -> (sample_rate, (n_samples, n_channels)
+    int array). Supports 8/16-bit integer PCM (format tag 1)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks pad to even
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    tag, nch, rate, _, _, bits = fmt
+    if tag != 1 or bits not in (8, 16):
+        raise ValueError("unsupported WAV encoding")
+    if bits == 16:
+        samples = np.frombuffer(
+            data[:len(data) // (2 * nch) * 2 * nch], dtype="<i2")
+    else:
+        samples = np.frombuffer(
+            data[:len(data) // nch * nch], dtype=np.uint8
+        ).astype(np.int16) - 128
+    return rate, samples.reshape(-1, nch)
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Minimal 16-bit PCM WAV writer for tests. ``samples``:
+    (n, channels) int16."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    nch = samples.shape[1]
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, nch, rate, rate * nch * 2, nch * 2, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body

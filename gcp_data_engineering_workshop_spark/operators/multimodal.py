@@ -193,12 +193,13 @@ def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
     shape a real frame sampler has: no shuffle, output co-partitioned
     with the input.
 
-    GIF payloads (incl. animated) are REAL: frames come from the LZW
-    decoder (imagecodec.gif_frames), evenly sampled across the
-    animation, with true per-frame dimensions, mean intensity, pixel
-    CRC, and the frame's actual byte offset in the container. Other
-    payloads keep the declared byte-slice stub (real codecs for
-    video containers need ffmpeg-class libraries)."""
+    GIF payloads (incl. animated) and MJPEG elementary streams
+    (concatenated baseline JPEGs — the DVR/webcam format) are REAL:
+    frames come from the LZW / T.81 decoders, evenly sampled, with
+    true per-frame dimensions, mean intensity, pixel CRC, and the
+    frame's actual byte offset in the container. Other payloads keep
+    the declared byte-slice stub (real codecs for interframe-coded
+    containers need ffmpeg-class libraries)."""
 
     def emit(out, doc_id, i, off, cks, w, h, mi, real):
         out["doc_id"].append(doc_id)
@@ -222,6 +223,13 @@ def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
                 if payload[:6] in (b"GIF87a", b"GIF89a"):
                     try:
                         frames = IC.gif_frames(payload)
+                    except (ValueError, IndexError, struct.error):
+                        frames = None
+                elif payload[:2] == b"\xff\xd8":
+                    # MJPEG elementary stream: concatenated baseline
+                    # JPEGs — real frames via the T.81 decoder
+                    try:
+                        frames = IC.mjpeg_frames(payload)
                     except (ValueError, IndexError, struct.error):
                         frames = None
                 if frames is not None:
@@ -258,3 +266,98 @@ def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
 
 # kept name: non-GIF payloads still take the declared byte-slice stub
 frame_sample_stub = frame_sample
+
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, media_type string, n_bytes bigint, "
+    "sample_rate int, n_channels int, n_samples bigint, "
+    "duration_s double, rms double, peak int, checksum bigint, "
+    "decoded boolean"
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Audio-modality twin of decode_media: WAV/PCM payloads decode
+    for REAL (RIFF chunk walk, 8/16-bit PCM — imagecodec.decode_wav)
+    and emit true sample rate / channels / duration plus RMS & peak
+    amplitude and a raw-sample CRC; anything else keeps the
+    deterministic byte-level fallback with decoded=false. Same
+    scale shape as the image path: one Arrow-batched map stage, no
+    shuffle, feature extraction is a numpy pass per payload."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "media_type", "n_bytes", "sample_rate",
+                "n_channels", "n_samples", "duration_s", "rms", "peak",
+                "checksum", "decoded")}
+            for doc_id, m in zip(pdf["doc_id"], pdf["media"]):
+                payload = bytes(m["payload"])
+                out["doc_id"].append(doc_id)
+                out["n_bytes"].append(len(payload))
+                try:
+                    rate, samples = IC.decode_wav(payload)
+                    mono = samples.astype(np.float64)
+                    out["media_type"].append("audio/wav")
+                    out["sample_rate"].append(rate)
+                    out["n_channels"].append(samples.shape[1])
+                    out["n_samples"].append(samples.shape[0])
+                    out["duration_s"].append(
+                        round(samples.shape[0] / rate, 6))
+                    out["rms"].append(
+                        round(float(np.sqrt((mono ** 2).mean())), 4)
+                        if samples.size else 0.0)
+                    out["peak"].append(
+                        int(np.abs(samples).max()) if samples.size else 0)
+                    out["checksum"].append(
+                        zlib.crc32(samples.tobytes()))
+                    out["decoded"].append(True)
+                except (ValueError, struct.error, IndexError):
+                    cks = 0
+                    for b in payload[:256]:
+                        cks = (cks * 31 + b) % ((1 << 31) - 1)
+                    out["media_type"].append("application/octet-stream")
+                    out["sample_rate"].append(None)
+                    out["n_channels"].append(None)
+                    out["n_samples"].append(None)
+                    out["duration_s"].append(None)
+                    out["rms"].append(None)
+                    out["peak"].append(None)
+                    out["checksum"].append(cks)
+                    out["decoded"].append(False)
+            pdf_out = pd.DataFrame(out)
+            for c, t in (("sample_rate", "Int32"), ("n_channels", "Int32"),
+                         ("n_samples", "Int64"), ("duration_s", "float64"),
+                         ("rms", "float64"), ("peak", "Int32")):
+                pdf_out[c] = pdf_out[c].astype(t)
+            yield pdf_out
+
+    return media.mapInPandas(batches, schema=AUDIO_SCHEMA)
+
+
+def as_audio_media(docs: DataFrame) -> DataFrame:
+    """Deterministic WAV payloads derived from doc metadata (the
+    audio analog of as_media's text-bytes wrapping): each doc gets a
+    short PCM tone whose frequency/length derive from doc_id, built
+    in the same Arrow batch — so the full audio path is testable
+    with zero external fixtures."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                n = 400 + int(doc_id) % 7 * 100
+                freq = 100.0 + (int(doc_id) * 2654435761 % 1000)
+                t = np.arange(n, dtype=np.float64)
+                wave = (np.sin(2 * np.pi * freq * t / 16000.0)
+                        * 12000).astype(np.int16)
+                payloads.append(IC.encode_wav(wave, 16000))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media": [{"media_type": "audio/wav", "payload": p,
+                           "n_chars": len(p)} for p in payloads]})
+
+    return docs.select("doc_id").mapInPandas(
+        batches,
+        "doc_id bigint, media struct<media_type string, payload binary, "
+        "n_chars bigint>")

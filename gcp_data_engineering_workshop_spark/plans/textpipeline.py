@@ -1040,3 +1040,13 @@ def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
                      .otherwise(F.lit("unchanged")).alias("status"))
             .where(F.col("status") != "unchanged"))
+
+
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C49: audio-modality features over binary WAV payloads — the
+    payloads are deterministic PCM tones derived per doc_id (zero
+    external fixtures), the decode is the REAL RIFF/PCM path
+    (operators/imagecodec.decode_wav): true sample rate, channels,
+    duration, RMS/peak amplitude, raw-sample CRC. Two chained
+    map-only Arrow stages — no shuffle anywhere."""
+    return M.audio_features(M.as_audio_media(_docs(spark, sf_dir)))

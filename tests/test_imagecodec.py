@@ -250,3 +250,75 @@ def test_multimodal_decodes_jpeg_payload():
     assert got is not None
     mt, px = got
     assert mt == "image/jpeg" and px.shape == (16, 16, 3)
+
+
+def test_wav_roundtrip_and_features():
+    t = np.arange(3200)
+    stereo = np.stack([(np.sin(t / 9) * 9000).astype(np.int16),
+                       (np.sin(t / 17) * 5000).astype(np.int16)], axis=1)
+    rate, got = IC.decode_wav(IC.encode_wav(stereo, 22050))
+    assert rate == 22050 and got.shape == (3200, 2)
+    assert (got == stereo).all()
+
+
+def test_wav_8bit_and_rejects():
+    import pytest
+    # hand-build an 8-bit PCM wav
+    data = bytes(range(64))
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    rate, got = IC.decode_wav(blob)
+    assert rate == 8000 and got.shape == (64, 1)
+    assert got[0, 0] == -128 and got[63, 0] == -65  # unsigned8 -> centered
+    with pytest.raises(ValueError):
+        IC.decode_wav(b"RIFFxxxxNOPE")
+
+
+def test_mjpeg_frame_extraction():
+    y, x = np.mgrid[0:16, 0:16]
+    imgs = [np.stack([np.clip(x * (8 * (i + 1)), 0, 255)] * 3,
+                     axis=2).astype(np.uint8) for i in range(3)]
+    stream = b"".join(IC.encode_jpeg(im, quality=95) for im in imgs)
+    frames = IC.mjpeg_frames(stream)
+    assert len(frames) == 3
+    assert frames[0][0] == 0 and frames[1][0] > 0
+    for (off, dec), im in zip(frames, imgs):
+        assert dec.shape == im.shape
+        assert np.mean(np.abs(dec.astype(float) - im)) < 3.0
+
+
+def test_frame_sample_mjpeg_real_frames(spark):
+    from gcp_data_engineering_workshop_spark.operators import multimodal as MM
+    y, x = np.mgrid[0:8, 0:8]
+    imgs = [np.stack([np.full((8, 8), 32 * i, dtype=np.uint8)] * 3, axis=2)
+            for i in range(6)]
+    stream = b"".join(IC.encode_jpeg(im, quality=95) for im in imgs)
+    media = spark.createDataFrame(
+        [(1, ("video/mjpeg", stream, len(stream), "t"))],
+        "doc_id bigint, media struct<media_type string, payload binary, "
+        "n_chars bigint, origin string>")
+    rows = MM.frame_sample(media, n_frames=4).collect()
+    assert len(rows) == 4
+    assert all(r.real_frame for r in rows)
+    assert [r.frame_idx for r in rows] == [0, 1, 2, 3]
+    # evenly sampled across the 6 frames: intensities are increasing
+    vals = [r.mean_intensity for r in rows]
+    assert vals == sorted(vals) and vals[0] < vals[-1]
+
+
+def test_audio_features_spark_path(spark):
+    from gcp_data_engineering_workshop_spark.operators import multimodal as MM
+    t = np.arange(1600)
+    wav = IC.encode_wav((np.sin(t / 5) * 10000).astype(np.int16), 16000)
+    media = spark.createDataFrame(
+        [(1, ("audio/wav", wav, len(wav))),
+         (2, ("application/octet-stream", b"not audio", 9))],
+        "doc_id bigint, media struct<media_type string, payload binary, "
+        "n_chars bigint>")
+    got = {r.doc_id: r for r in MM.audio_features(media).collect()}
+    assert got[1].decoded and got[1].sample_rate == 16000
+    assert got[1].n_samples == 1600 and abs(got[1].duration_s - 0.1) < 1e-9
+    assert got[1].rms > 5000 and got[1].peak <= 10000
+    assert not got[2].decoded and got[2].sample_rate is None
