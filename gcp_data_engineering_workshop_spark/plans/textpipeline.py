@@ -610,6 +610,29 @@ def temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("sample_rank").cast("bigint").alias("sample_rank")))
 
 
+def greedy_pack_fold(pdf, budget: int):
+    """The bucket-local greedy first-fit fold pack_sequences runs per
+    bucket: deterministic (h, doc_id) order, packs close when the
+    next doc would overflow the budget, over-budget docs become
+    singleton packs. Module-level so the property tests exercise the
+    EXACT production fold against an independent reference."""
+    pdf = (pdf.sort_values(["h", "doc_id"], kind="mergesort")
+           .reset_index(drop=True))
+    pids, slots = [], []
+    pid, acc, slot = 0, 0, 0
+    for tok in pdf["n_tokens"]:
+        if acc and acc + tok > budget:
+            pid += 1
+            acc, slot = 0, 0
+        acc += int(tok)
+        pids.append(pid)
+        slots.append(slot)
+        slot += 1
+    pdf["pack_id"] = pids
+    pdf["slot"] = slots
+    return pdf
+
+
 def pack_sequences(spark: SparkSession, sf_dir: str,
                    budget: int = 128, n_buckets: int = 8) -> DataFrame:
     """C34: sequence packing — greedy first-fit of documents into
@@ -639,21 +662,8 @@ def pack_sequences(spark: SparkSession, sf_dir: str,
          .withColumn("bucket", (F.col("h") % n_buckets).cast("int")))
 
     def _pack(pdf):
-        pdf = (pdf.sort_values(["h", "doc_id"], kind="mergesort")
-               .reset_index(drop=True))
-        pids, slots = [], []
-        pid, acc, slot = 0, 0, 0
-        for tok in pdf["n_tokens"]:
-            if acc and acc + tok > budget:
-                pid += 1
-                acc, slot = 0, 0
-            acc += int(tok)
-            pids.append(pid)
-            slots.append(slot)
-            slot += 1
-        pdf["pack_id"] = pids
-        pdf["slot"] = slots
-        out = pdf[["doc_id", "bucket", "pack_id", "slot", "n_tokens"]]
+        out = greedy_pack_fold(pdf, budget)[
+            ["doc_id", "bucket", "pack_id", "slot", "n_tokens"]]
         return out.astype({"doc_id": "int64", "bucket": "int32",
                            "pack_id": "int64", "slot": "int64",
                            "n_tokens": "int64"})

@@ -86,3 +86,52 @@ def test_topk_per_key_property(spark, rows, k):
             for r in df.withColumn("rank", F.row_number().over(w))
                        .where(F.col("rank") <= k).collect()}
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 10**6),     # content hash
+                          st.integers(0, 40)),       # n_tokens
+                min_size=1, max_size=50, unique_by=lambda t: t[0]),
+       st.integers(8, 32))
+def test_bucket_pack_matches_python_greedy(spark, rows, budget):
+    """The bucket-local greedy pack (applyInPandas fold) must equal a
+    pure-Python first-fit reference over the same (h, doc_id) order —
+    including over-budget singleton docs and zero-token docs."""
+    from gcp_data_engineering_workshop_spark.plans.textpipeline import (
+        greedy_pack_fold)  # the EXACT production fold
+    data = [(i, h, h % 4, t) for i, (h, t) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "doc_id long, h long, bucket int, n_tokens long"
+    ).repartition(5, "bucket")
+
+    def _pack(pdf):
+        return greedy_pack_fold(pdf, budget)
+
+    got = {r.doc_id: (r.bucket, r.pack_id, r.slot) for r in
+           df.groupBy("bucket").applyInPandas(
+               _pack, "doc_id long, h long, bucket int, n_tokens long, "
+                      "pack_id long, slot long").collect()}
+    # python reference: same greedy per bucket in (h, doc_id) order
+    want = {}
+    import collections
+    buckets = collections.defaultdict(list)
+    for i, h, b, t in data:
+        buckets[b].append((h, i, t))
+    for b, docs in buckets.items():
+        pid, acc, slot = 0, 0, 0
+        for h, i, t in sorted(docs):
+            if acc and acc + t > budget:
+                pid += 1
+                acc, slot = 0, 0
+            acc += t
+            want[i] = (b, pid, slot)
+            slot += 1
+    assert got == want
+    # invariants: every pack (except oversized singletons) fits budget
+    pack_tot = collections.defaultdict(int)
+    for i, h, b, t in data:
+        pack_tot[(b, want[i][1])] += t
+    for (b, pid), tot in pack_tot.items():
+        members = [i for i, h, bb, t in data
+                   if bb == b and want[i][1] == pid]
+        assert tot <= budget or len(members) == 1
