@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": _tp.multimodal_meta,
         "multimodal_frames": _tp.multimodal_frames,
         "multimodal_audio": _tp.multimodal_audio,
+        "multimodal_video": _tp.multimodal_video,
         "user_overlap_sketch": _an2.user_overlap_sketch,
     }
 

@@ -361,3 +361,36 @@ def as_audio_media(docs: DataFrame) -> DataFrame:
         batches,
         "doc_id bigint, media struct<media_type string, payload binary, "
         "n_chars bigint>")
+
+
+def as_video_media(docs: DataFrame, n_frames: int = 3,
+                   size: int = 16) -> DataFrame:
+    """Deterministic MJPEG payloads derived per doc_id (video analog
+    of as_audio_media): each doc gets n_frames tiny baseline-JPEG
+    frames whose gradient phase derives from (doc_id, frame index),
+    concatenated into a real MJPEG elementary stream — so the full
+    REAL video-decode path is exercisable as a first-class query
+    with zero fixtures."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        y, x = np.mgrid[0:size, 0:size]
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                frames = []
+                for fi in range(n_frames):
+                    phase = (int(doc_id) * 31 + fi * 40) % 256
+                    img = np.stack(
+                        [np.clip((x * 8 + phase) % 256, 0, 255)] * 3,
+                        axis=2).astype(np.uint8)
+                    frames.append(IC.encode_jpeg(img, quality=90))
+                payloads.append(b"".join(frames))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media": [{"media_type": "video/mjpeg", "payload": p,
+                           "n_chars": len(p)} for p in payloads]})
+
+    return docs.select("doc_id").mapInPandas(
+        batches,
+        "doc_id bigint, media struct<media_type string, payload binary, "
+        "n_chars bigint>")

@@ -1060,3 +1060,13 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     duration, RMS/peak amplitude, raw-sample CRC. Two chained
     map-only Arrow stages — no shuffle anywhere."""
     return M.audio_features(M.as_audio_media(_docs(spark, sf_dir)))
+
+
+def multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C50: REAL video frame extraction as a first-class query — the
+    payloads are deterministic MJPEG elementary streams per doc
+    (operators/multimodal.as_video_media), the frames come from the
+    T.81 JPEG decoder with true dims/intensity/CRC and container
+    byte offsets. Two chained map-only Arrow stages, no shuffle."""
+    return M.frame_sample(M.as_video_media(_docs(spark, sf_dir)),
+                          n_frames=3)

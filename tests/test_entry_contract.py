@@ -21,6 +21,7 @@ ROWS_ONLY = {
     "approx_distinct_sketch", "approx_quantile_sketch", "dedup_simhash",
     "ann_lsh", "ann_ivf", "ann_pq", "multimodal_meta", "multimodal_frames",
     "user_overlap_sketch", "kmeans_embeddings", "multimodal_audio",
+    "multimodal_video",
 }
 
 

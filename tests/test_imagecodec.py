@@ -322,3 +322,21 @@ def test_audio_features_spark_path(spark):
     assert got[1].n_samples == 1600 and abs(got[1].duration_s - 0.1) < 1e-9
     assert got[1].rms > 5000 and got[1].peak <= 10000
     assert not got[2].decoded and got[2].sample_rate is None
+
+
+def test_multimodal_video_query_real_frames(spark):
+    from gcp_data_engineering_workshop_spark.plans.textpipeline import (
+        multimodal_video)
+    rows = multimodal_video(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 500 * 3
+    assert all(r.real_frame for r in rows)
+    assert all(r.frame_width == 16 and r.frame_height == 16 for r in rows)
+    # frames within a doc are distinct (phase moves) and offsets ascend
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for rs in by_doc.values():
+        rs.sort(key=lambda r: r.frame_idx)
+        offs = [r.frame_offset_bytes for r in rs]
+        assert offs == sorted(offs) and offs[0] == 0
+        assert len({r.frame_checksum for r in rs}) > 1
