@@ -130,7 +130,8 @@ def kmeans_fit(emb: DataFrame, k: int = 8, n_iter: int = 5
     return kmeans_assign(emb, cent=cent), cent
 
 
-def semdedup_pairs(emb: DataFrame, k: int = 8, tau: float = 0.4) -> DataFrame:
+def semdedup_pairs(emb: DataFrame, k: int = 8, tau: float = 0.4,
+                   cent: np.ndarray | None = None) -> DataFrame:
     """C47: SemDedup — near-dup pairs searched WITHIN k-means
     clusters only (Abbas et al. 2023). Candidate pairs drop from
     n^2 to sum(|cluster|^2); recall vs the exact pair set is
@@ -138,13 +139,13 @@ def semdedup_pairs(emb: DataFrame, k: int = 8, tau: float = 0.4) -> DataFrame:
     (pytest-bounded; within-cluster results are EXACT, which is what
     the SQL oracle certifies).
 
-    Uses the seed-centroid E-step so the whole composition stays
-    oracle-checkable; production would pass kmeans_fit centroids
-    (same plan shape)."""
+    With ``cent=None`` the seed-centroid E-step keeps the whole
+    composition oracle-checkable; pass ``kmeans_fit`` centroids for
+    the production (trained) variant — same plan shape either way."""
     from gcp_data_engineering_workshop_spark.functions.vectorfns import (
         dot_pandas)
 
-    asg = kmeans_assign(emb, k=k, keep_embedding=True)
+    asg = kmeans_assign(emb, cent=cent, k=k, keep_embedding=True)
     a = asg.select(F.col("cluster_id"), F.col("vec_id").alias("vec_a"),
                    F.col("embedding").alias("ea"))
     b = asg.select(F.col("cluster_id"), F.col("vec_id").alias("vec_b"),

@@ -111,3 +111,19 @@ def test_corpus_diff_statuses(spark, sf_dir):
             want[did] = "changed"
     got = {r.doc_id: r.status for r in corpus_diff(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_semdedup_with_trained_centroids(spark, sf_dir):
+    """Production composition: kmeans_fit centroids feed the SemDedup
+    pair search. Pairs must be exactly the true pair set restricted
+    to same-trained-cluster."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    _, cent = C.kmeans_fit(emb, k=8, n_iter=3)
+    asg = {r.vec_id: r.cluster_id
+           for r in C.kmeans_assign(emb, cent=cent).collect()}
+    exact = {(r.vec_a, r.vec_b) for r in
+             S.embedding_neardup_pairs(emb, tau=0.4).collect()}
+    want = {p for p in exact if asg[p[0]] == asg[p[1]]}
+    got = {(r.vec_a, r.vec_b) for r in
+           C.semdedup_pairs(emb, k=8, tau=0.4, cent=cent).collect()}
+    assert got == want
