@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _tp.dedup_exact,
         "embedding_neardup": _tp.embedding_neardup,
         "embedding_neardup_lsh": _tp.embedding_neardup_lsh,
+        "embedding_neardup_lsh_auto": _tp.embedding_neardup_lsh_auto,
         "embedding_neardup_blocked": _tp.embedding_neardup_blocked,
         "dedup_minhash_lsh": _tp.dedup_minhash_lsh,
         "dedup_groups": _tp.dedup_groups,
@@ -97,8 +98,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_min_cost_supplier": _an2.q2_min_cost_supplier,
         "q9_product_profit": _an2.q9_product_profit,
         "q11_important_inventory": _an2.q11_important_inventory,
-        "q12_priority_shipping": _an2.q12_priority_shipping,
         # -- tail: green r3 driver rows on current data --
+        "q12_priority_shipping": _an2.q12_priority_shipping,
         "q16_supplier_part_counts": _an2.q16_supplier_part_counts,
         "q20_excess_suppliers": _an2.q20_excess_suppliers,
         "text_scrub": _tp.text_scrub,
@@ -256,6 +257,7 @@ def oracle_sql() -> dict[str, str]:
         # LSH twin carries the SAME oracle as the exact op: per-pair
         # candidate-miss prob ~9e-9 (see operators/similarity.py)
         "embedding_neardup_lsh": _orc.EMBEDDING_NEARDUP_SQL,
+        "embedding_neardup_lsh_auto": _orc.EMBEDDING_NEARDUP_SQL,
         # blocked twin is EXACT (triangle-inequality pruning, no
         # probabilistic recall): same oracle by construction
         "embedding_neardup_blocked": _orc.EMBEDDING_NEARDUP_SQL,

@@ -1070,3 +1070,13 @@ def multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte offsets. Two chained map-only Arrow stages, no shuffle."""
     return M.frame_sample(M.as_video_media(_docs(spark, sf_dir)),
                           n_frames=3)
+
+
+def embedding_neardup_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 scale twin, auto-parameterized: same contract and oracle as
+    embedding_neardup, with (n_tables, n_planes) chosen by
+    auto_lsh_params' cost model from the threshold and corpus size
+    (at tau=0.4 it lands on the small-P canonical-filter path; at
+    near-dup thresholds it grows P ~ log2(n) — see PLANS.md §r4).
+    Miss probability at the threshold stays <= 1e-6 by construction."""
+    return S.embedding_neardup_lsh(_emb(spark, sf_dir), tau=0.4, auto=True)
