@@ -662,8 +662,6 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
         return _encode_jpeg_420(img, quality)
     s = 5000 // quality if quality < 50 else 200 - 2 * quality
     qt = np.clip((_STD_QT_LUMA * s + 50) // 100, 1, 255).astype(np.int32)
-    qt2d = np.zeros(64, dtype=np.int32)
-    qt2d[_ZIGZAG] = 0  # placeholder; qt stored in zigzag below
     if ch == 3:
         r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
         planes = [0.299 * r + 0.587 * g + 0.114 * b,
@@ -677,11 +675,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
     out = bytearray(b"\xff\xd8")
-    # DQT: one table, zigzag order (qt is in natural row order)
-    zz_qt = np.empty(64, dtype=np.int32)
-    zz_qt = qt.reshape(64)[_ZIGZAG.argsort()][np.argsort(_ZIGZAG.argsort())]
-    # qt flat index i holds natural order; DQT wants value of natural
-    # index ZIGZAG[k] at position k:
+    # DQT wants the value of natural index ZIGZAG[k] at position k
     zz_qt = qt.reshape(64)[_ZIGZAG]
     out += seg(0xDB, bytes([0x00]) + bytes(int(v) for v in zz_qt))
     comps = bytes()
@@ -861,9 +855,42 @@ def _encode_jpeg_420(img: np.ndarray, quality: int) -> bytes:
 # -------------------------------------------------- MJPEG / WAV (PCM)
 # Motion-JPEG elementary streams are literally concatenated baseline
 # JPEGs (the format DVRs/webcams emit); with the T.81 decoder above,
-# video frame extraction is real for them. Byte-stuffing guarantees
-# 0xFFD8/0xFFD9 never appear inside entropy data, so frame framing by
-# marker scan is exact.
+# video frame extraction is real for them. Framing walks segment
+# lengths: byte stuffing only guarantees no markers inside ENTROPY
+# data, so a raw 0xFFD9 scan could truncate a frame at a stray byte
+# pair inside a DQT/APPn/COM payload — the length walk cannot.
+
+def _jpeg_frame_end(payload: bytes, soi: int) -> int | None:
+    """Index one past this frame's EOI, found by walking marker
+    segment lengths from the SOI at ``soi`` (mirrors decode_jpeg's
+    marker loop). Returns None for a truncated/malformed frame."""
+    pos, n = soi + 2, len(payload)
+    while pos + 1 < n:
+        if payload[pos] != 0xFF:
+            return None
+        m = payload[pos + 1]
+        if m == 0xFF:       # fill byte
+            pos += 1
+            continue
+        if m == 0xD9:       # EOI
+            return pos + 2
+        if m == 0xD8 or 0xD0 <= m <= 0xD7 or m == 0x01:
+            pos += 2        # standalone markers carry no length
+            continue
+        if pos + 4 > n:
+            return None
+        (seglen,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        pos += 2 + seglen
+        if m == 0xDA:
+            # entropy-coded data: only 0xFF00 stuffing and RST
+            # markers may appear inside; scan to the next real marker
+            while pos + 1 < n:
+                if (payload[pos] == 0xFF and payload[pos + 1] != 0x00
+                        and not 0xD0 <= payload[pos + 1] <= 0xD7):
+                    break
+                pos += 1
+    return None
+
 
 def mjpeg_frames(payload: bytes, max_frames: int | None = None):
     """Split an MJPEG stream into [(byte_offset, decoded_frame)].
@@ -874,11 +901,11 @@ def mjpeg_frames(payload: bytes, max_frames: int | None = None):
         start = payload.find(b"\xff\xd8", pos)
         if start < 0:
             break
-        end = payload.find(b"\xff\xd9", start + 2)
-        if end < 0:
+        end = _jpeg_frame_end(payload, start)
+        if end is None:
             break
-        frames.append((start, decode_jpeg(payload[start:end + 2])))
-        pos = end + 2
+        frames.append((start, decode_jpeg(payload[start:end])))
+        pos = end
         if max_frames is not None and len(frames) >= max_frames:
             break
     if not frames:

@@ -307,8 +307,11 @@ def audio_features(media: DataFrame) -> DataFrame:
                     out["rms"].append(
                         round(float(np.sqrt((mono ** 2).mean())), 4)
                         if samples.size else 0.0)
+                    # widen before abs: np.abs(int16 -32768) overflows
+                    # back to -32768, understating a full-scale peak
                     out["peak"].append(
-                        int(np.abs(samples).max()) if samples.size else 0)
+                        int(np.abs(samples.astype(np.int32)).max())
+                        if samples.size else 0)
                     out["checksum"].append(
                         zlib.crc32(samples.tobytes()))
                     out["decoded"].append(True)

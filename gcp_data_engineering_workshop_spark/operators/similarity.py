@@ -155,7 +155,7 @@ def auto_lsh_params(tau: float, n_rows: int, target_miss: float = 1e-6,
     available to callers via embedding_neardup_lsh(auto=True)."""
     import math
     p = 1.0 - math.acos(min(max(tau, -1.0), 1.0)) / math.pi
-    best, best_cost = (64, 3), float("inf")
+    best, best_cost = None, float("inf")
     for P in range(3, 25):
         cp = p ** P
         if cp >= 1.0:
@@ -166,6 +166,14 @@ def auto_lsh_params(tau: float, n_rows: int, target_miss: float = 1e-6,
         cost = T * (n_rows * n_rows / 2.0 ** (P + 1)) + T * n_rows
         if cost < best_cost:
             best, best_cost = (T, P), cost
+    if best is None:
+        # even P=3 needs more than max_tables tables: no feasible
+        # (T, P) meets target_miss — refuse rather than silently
+        # return a default that breaks the documented recall bound
+        raise ValueError(
+            f"auto_lsh_params: no (n_tables<= {max_tables}, n_planes) "
+            f"reaches miss <= {target_miss} at tau={tau}; raise "
+            f"max_tables or relax target_miss")
     return best
 
 
