@@ -188,6 +188,10 @@ def oracle_sql() -> dict[str, str]:
         "dash_overview_wide": _orc.DASH_OVERVIEW_WIDE_SQL,
         "dash_price_sma_long": _orc.DASH_PRICE_SMA_LONG_SQL,
         "kmeans_assign": _orc.KMEANS_ASSIGN_SQL,
+        # the trained (C46) assignment is exactly SQL-replayable:
+        # the fit's 1e-3 centroid rounding makes every unrolled
+        # E/M round bit-identical across engines
+        "kmeans_embeddings": _orc.KMEANS_ASSIGN_TRAINED_SQL,
         "semdedup": _orc.SEMDEDUP_SQL,
         "corpus_diff": _orc.CORPUS_DIFF_SQL,
         "minute_returns": _orc.MINUTE_RETURNS_SQL,

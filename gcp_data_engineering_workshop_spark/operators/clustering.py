@@ -12,9 +12,12 @@ Scale posture:
   k x dim centroid matrix rides the task closure; zero shuffle,
   linear in corpus size.
 - The M-step aggregates per-partition partial (sum, count) vectors:
-  each task emits at most k rows regardless of its input size, and
-  the driver combines O(n_parts * k) tiny rows — the MLlib
-  treeAggregate shape. No iteration ever shuffles the corpus.
+  each task emits at most k * dim flat scalar rows regardless of its
+  input size, a shuffle-side groupBy combines them down to exactly
+  k * dim rows (one tiny exchange, never the corpus), and ONLY those
+  k * dim combined rows reach the driver — so usable k is bounded by
+  the exchange (trivial) instead of driver memory, which is what the
+  SemDedup k ~ sqrt(n) sizing needs at 100 TB.
 - SemDedup's pair search joins on cluster_id, so candidate pairs
   are sum(|cluster|^2) instead of n^2; production sizing keeps
   |cluster| bounded by growing k ~ sqrt(n) (AQE skew-split covers
@@ -29,6 +32,20 @@ from pyspark.sql import functions as F
 
 
 _ASSIGN_SCHEMA = "vec_id bigint, cluster_id int, d2 double"
+
+
+def _d2_matrix(X: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """(rows, k) squared-L2 distances via the expansion
+    ||x||^2 + ||c||^2 - 2 x.c — one BLAS matmul instead of the
+    (rows, k, dim) broadcast temp, which at k=1024/dim=64 would be
+    gigabytes per Arrow batch. Clamped at 0: cancellation can dip a
+    few 1e-14 negative when x equals a centroid, and the clamp also
+    pins the exact-match case to +0.0 (the value the SQL oracle's
+    elementwise sum produces)."""
+    d2 = (np.einsum("ij,ij->i", X, X)[:, None]
+          + np.einsum("ij,ij->i", cent, cent)[None, :]
+          - 2.0 * (X @ cent.T))
+    return np.maximum(d2, 0.0)
 
 
 def seed_centroids(emb: DataFrame, k: int) -> np.ndarray:
@@ -49,7 +66,7 @@ def _assign_batches(cent: np.ndarray, keep_embedding: bool):
             if len(pdf) == 0:
                 continue
             X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-            d2 = np.round(((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2), 6)
+            d2 = np.round(_d2_matrix(X, cent), 6)
             a = d2.argmin(axis=1)  # first (lowest) index on ties
             out = pdf[["vec_id"]].copy()
             out["cluster_id"] = a.astype(np.int32)
@@ -76,16 +93,30 @@ def kmeans_assign(emb: DataFrame, cent: np.ndarray | None = None,
             .mapInPandas(_assign_batches(cent, keep_embedding), schema))
 
 
-def kmeans_fit(emb: DataFrame, k: int = 8, n_iter: int = 5
+def kmeans_fit(emb: DataFrame, k: int = 8, n_iter: int = 5,
+               round_dp: int = 3, stats: dict | None = None
                ) -> tuple[DataFrame, np.ndarray]:
     """C46: full distributed Lloyd's — n_iter (E-step, M-step)
     rounds, then a final assignment DataFrame.
 
-    Each round runs ONE map-only job whose output is bounded at
-    n_parts * k rows (per-partition partial sums), combined on the
-    driver in sorted (cluster_id, then partial order) — O(k * dim)
-    driver state per round, the treeAggregate classic. Empty
-    clusters keep their previous centroid (deterministic)."""
+    Each round: a map-only Arrow E-step emits per-partition partial
+    (sum, count) rows — at most k * dim FLAT scalar rows per task
+    regardless of input size — and a shuffle-side groupBy combines
+    them to exactly k * dim rows before they reach the driver. The
+    per-round exchange and collect are both O(k * dim), independent
+    of corpus size AND of partition count, so k ~ sqrt(n) SemDedup
+    sizing (tens of thousands of clusters at 100 TB) costs megabytes,
+    not the n_parts * k * dim driver combine it would otherwise be.
+
+    Centroids round to ``round_dp`` decimals after every M-step: the
+    decimal contract that makes the fit reproducible across engines
+    (partial sums combine in shuffle order; a 1e-3 grid is ~9 orders
+    of magnitude coarser than the ~1e-12 reorder drift, so the
+    rounded values are order-independent) — which is what lets the
+    DuckDB oracle replay the whole fit with unrolled SQL rounds.
+    Empty clusters keep their previous centroid (deterministic).
+    ``stats`` (optional) records "combine_rows", the max combined
+    M-step frame ever collected — pytest asserts it is k * dim."""
     cent = seed_centroids(emb, k)
     dim = cent.shape[1]
     base = emb.select("vec_id", "embedding")
@@ -98,14 +129,12 @@ def kmeans_fit(emb: DataFrame, k: int = 8, n_iter: int = 5
                 if len(pdf) == 0:
                     continue
                 X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-                a = ((X[:, None, :] - c[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
-                for ci in range(k):
-                    m = a == ci
-                    if m.any():
-                        s[ci] += X[m].sum(axis=0); n[ci] += int(m.sum())
+                a = _d2_matrix(X, c).argmin(axis=1)
+                n += np.bincount(a, minlength=k)
+                np.add.at(s, a, X)
             # FLAT scalar rows (cluster, dim, val) — no nested Arrow
-            # types in the partial frame; still bounded at k*dim rows
-            # per partition regardless of input size
+            # types in the partial frame; bounded at k*dim rows per
+            # partition regardless of input size
             nz = np.flatnonzero(n)
             yield pd.DataFrame({
                 "cluster_id": np.repeat(nz, dim).astype(np.int32),
@@ -118,15 +147,23 @@ def kmeans_fit(emb: DataFrame, k: int = 8, n_iter: int = 5
         rows = (base.mapInPandas(
             partials(cent),
             "cluster_id int, dim_idx int, val double, cnt bigint")
-            .collect())  # bounded: <= n_parts * k * dim tiny rows
+            # combine the partials in the CLUSTER, not on the driver:
+            # one exchange of <= n_parts * k * dim tiny rows down to
+            # k * dim — the only rows the driver ever sees
+            .groupBy("cluster_id", "dim_idx")
+            .agg(F.sum("val").alias("val"), F.sum("cnt").alias("cnt"))
+            .collect())
+        if stats is not None:
+            stats["combine_rows"] = max(stats.get("combine_rows", 0),
+                                        len(rows))
         s = np.zeros((k, dim)); n = np.zeros(k, dtype=np.int64)
-        for r in sorted(rows, key=lambda r: (r.cluster_id, r.dim_idx)):
-            s[r.cluster_id][r.dim_idx] += r.val
+        for r in rows:
+            s[r.cluster_id, r.dim_idx] = r.val
             if r.dim_idx == 0:
-                n[r.cluster_id] += r.cnt
+                n[r.cluster_id] = r.cnt
         nz = n > 0
         cent = cent.copy()
-        cent[nz] = s[nz] / n[nz, None]
+        cent[nz] = np.round(s[nz] / n[nz, None], round_dp)
     return kmeans_assign(emb, cent=cent), cent
 
 

@@ -1732,6 +1732,70 @@ WITH {_KMEANS_ASSIGN_CTE}
 SELECT vec_id, cluster_id, d2 FROM r WHERE rn = 1
 """
 
+# C46 (trained variant): the FULL distributed Lloyd's fit is
+# SQL-replayable because kmeans_fit rounds every M-step centroid to a
+# 1e-3 decimal grid — ~9 orders of magnitude coarser than the
+# ~1e-12 partial-sum reorder drift between engines — so each round's
+# centroids are bit-identical on both sides. The oracle unrolls the
+# n_iter E/M rounds as CTE pairs: E-step argmin on UNROUNDED d2 with
+# ties to the lowest cluster_id (numpy argmin contract), M-step
+# round(avg, 3) per (cluster, dim), empty clusters keeping the
+# previous centroid; the final assignment then applies the C45
+# round-6 d2 contract against the trained centroids.
+_D2T = ("list_sum(list_transform(range(1, len(e.embedding) + 1), "
+        "i -> (CAST(e.embedding[i] AS DOUBLE) - c.ce[i]) "
+        "* (CAST(e.embedding[i] AS DOUBLE) - c.ce[i])))")
+
+
+def _kmeans_fit_ctes(k: int = 8, n_iter: int = 5, dp: int = 3) -> str:
+    parts = [f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k})
+),
+dims AS (
+  SELECT unnest(range(1, (SELECT max(len(embedding)) FROM embeddings) + 1))
+    AS i
+)"""]
+    for r in range(n_iter):
+        parts.append(f"""a{r} AS MATERIALIZED (
+  SELECT vec_id, cluster_id FROM (
+    SELECT e.vec_id, c.cluster_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_D2T}, c.cluster_id) AS rn
+    FROM embeddings e CROSS JOIN c{r} c)
+  WHERE rn = 1
+),
+m{r} AS MATERIALIZED (
+  SELECT a.cluster_id, dims.i AS di,
+         round(avg(CAST(e.embedding[dims.i] AS DOUBLE)), {dp}) AS v
+  FROM a{r} a JOIN embeddings e USING (vec_id) CROSS JOIN dims
+  GROUP BY a.cluster_id, dims.i
+),
+c{r + 1} AS MATERIALIZED (
+  SELECT cluster_id, list(v ORDER BY di) AS ce FROM m{r} GROUP BY cluster_id
+  UNION ALL
+  SELECT cluster_id, ce FROM c{r}
+  WHERE cluster_id NOT IN (SELECT cluster_id FROM m{r})
+)""")
+    return ",\n".join(parts)
+
+
+KMEANS_ASSIGN_TRAINED_SQL = f"""
+WITH {_kmeans_fit_ctes(8, 5, 3)},
+df AS (
+  SELECT e.vec_id, c.cluster_id, round({_D2T}, 6) AS d2
+  FROM embeddings e CROSS JOIN c5 c
+),
+rf AS (
+  SELECT vec_id, cluster_id, d2,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d2, cluster_id) AS rn
+  FROM df
+)
+SELECT vec_id, cluster_id, d2 FROM rf WHERE rn = 1
+"""
+
 # C47: SemDedup — exact dot pairs restricted to same-cluster, using
 # the C45 seed-centroid assignment.
 SEMDEDUP_SQL = f"""

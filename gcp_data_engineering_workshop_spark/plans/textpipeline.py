@@ -1004,10 +1004,14 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C46: full distributed Lloyd's k-means (k=8, 5 rounds) —
-    per-round map-only partial-sum job bounded at n_parts*k rows,
-    driver combine O(k*dim); final assignment is the C45 E-step with
-    the trained centroids. Rows-only (iterative, not SQL-expressible);
-    numpy-parity + SSE-monotone pytest-bounded."""
+    per-round map-only partial-sum job bounded at k*dim rows per
+    task, combined to exactly k*dim rows by a tiny shuffle before
+    the driver sees them; final assignment is the C45 E-step with
+    the trained centroids. EXACTLY oracle-checkable: the fit rounds
+    each M-step centroid to a 1e-3 decimal grid, so the DuckDB
+    oracle replays the whole fit as unrolled E/M CTE rounds
+    (oracles.KMEANS_ASSIGN_TRAINED_SQL) and lands on bit-identical
+    centroids. numpy-parity + SSE-monotone pytest-bounded too."""
     from gcp_data_engineering_workshop_spark.operators.clustering import kmeans_fit
     asg, _ = kmeans_fit(_emb(spark, sf_dir), k=8, n_iter=5)
     return asg

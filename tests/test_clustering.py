@@ -57,25 +57,31 @@ def test_kmeans_fit_matches_numpy_lloyd(spark, sf_dir):
         for c in range(8):
             m = a == c
             if m.any():
-                cent[c] = X[m].mean(axis=0)
-    # SSE must be monotone non-increasing across Lloyd rounds
-    assert all(s2 <= s1 + 1e-9 for s1, s2 in zip(sses, sses[1:]))
+                # same decimal contract as the distributed fit
+                cent[c] = np.round(X[m].mean(axis=0), 3)
+    # SSE must be monotone non-increasing across Lloyd rounds (the
+    # 1e-3 centroid grid perturbs each step by <= dim * 2.5e-7)
+    assert all(s2 <= s1 + 1e-4 for s1, s2 in zip(sses, sses[1:]))
     asg, got_cent = C.kmeans_fit(emb, k=8, n_iter=5)
-    # distributed centroids agree with the single-node reference up
-    # to partial-sum reordering (~1e-12)
-    assert np.allclose(got_cent, cent, atol=1e-8)
-    want_a, _ = _np_assign(X, np.round(got_cent, 20))
+    # distributed centroids agree with the single-node reference
+    # EXACTLY: both round to the same 1e-3 grid, which is far coarser
+    # than the ~1e-12 partial-sum reorder drift
+    assert np.allclose(got_cent, cent, atol=1e-12)
+    want_a, _ = _np_assign(X, got_cent)
     got = {r.vec_id: r.cluster_id for r in asg.collect()}
     agree = sum(got[vid] == want_a[i] for i, vid in enumerate(ids))
     assert agree >= 0.99 * len(ids)
 
 
-def test_kmeans_fit_partials_are_bounded(spark, sf_dir):
-    """The M-step's shuffle-free partial frame is <= n_parts * k rows
-    no matter the corpus size."""
+def test_kmeans_fit_collect_is_k_dim_bounded(spark, sf_dir):
+    """100-TB posture: the M-step partials combine in the CLUSTER —
+    the driver collect is exactly k * dim rows per round, independent
+    of both corpus size and partition count."""
     emb = load_table(spark, "embeddings", sf_dir).repartition(16)
-    _, cent = C.kmeans_fit(emb, k=8, n_iter=1)
+    stats = {}
+    _, cent = C.kmeans_fit(emb, k=8, n_iter=2, stats=stats)
     assert cent.shape == (8, 64)
+    assert stats["combine_rows"] <= 8 * 64
 
 
 def test_semdedup_within_cluster_exactness(spark, sf_dir):
