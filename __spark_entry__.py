@@ -34,23 +34,81 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING POLICY: the driver records correctness rows for the
     FIRST 50 entries only. Entries rotate per round: (1) queries
-    whose latest driver row is stale (pre-r3-regeneration data),
-    (2) queries whose implementation changed this round (r4: the ANN
-    two-phase top-k and the ids.py rank machinery consumers),
-    (3) r2-green queries rotating back in for refreshed evidence.
-    The tail holds queries with green r3 driver rows on current data
-    plus the declared rows-only sketches (a window slot for those
-    records only err:no_oracle — their bounds live in tests/).
-    Every key keeps its oracle regardless of position — selfcheck.py
-    checks all of them locally."""
+    whose latest driver row is oldest (r5: the 10 keys whose last
+    row was r2, pre-regeneration), (2) oracle-able queries whose
+    implementation changed or that are new this round (r5: the
+    distributed-M-step k-means family, span_dedup_apply), (3) the
+    oldest green rows rotating back in for refreshed evidence (r5:
+    the r3-green stock/TPC-H blocks). Rows-only entries never take a
+    window slot — their evidence is pytest bounds, a driver row adds
+    only err:no_oracle. The tail holds queries with green r4 driver
+    rows on current data plus the declared rows-only set. Every key
+    keeps its oracle regardless of position — selfcheck.py checks
+    all of them locally."""
     return {
-        # -- (1) last driver row is r1, on pre-regeneration data --
+        # -- (1) last driver row is r2, on pre-regeneration data --
+        "q12_priority_shipping": _an2.q12_priority_shipping,
+        "q16_supplier_part_counts": _an2.q16_supplier_part_counts,
+        "q20_excess_suppliers": _an2.q20_excess_suppliers,
+        "text_scrub": _tp.text_scrub,
+        "doc_fingerprint": _tp.doc_fingerprint,
+        "ngram_jaccard": _tp.ngram_jaccard,
+        "bigram_pmi": _tp.bigram_pmi,
+        "sample_corpus": _tp.sample_corpus,
+        "corpus_stats": _tp.corpus_stats,
+        "stratified_split": _tp.stratified_split,
+        # -- (2) changed or new this round (r5) --
+        "kmeans_assign": _tp.kmeans_assign,
+        "kmeans_embeddings": _tp.kmeans_embeddings,
+        "semdedup": _tp.semdedup,
+        "span_dedup_apply": _tp.span_dedup_apply,
+        "embedding_neardup_lsh_auto": _tp.embedding_neardup_lsh_auto,
+        # -- (3) r3-green, rotating back in for refreshed evidence --
+        "ingest_parse_json": _ticks_fn,
+        "ingest_replay": lambda spark, sf: _replay_fn(spark, sf, 7),
+        "stock_agg_1m": _sp.agg_1m,
+        "stock_sma_5m": _sp.sma_5m,
+        "stock_join_metrics": _sp.joined_metrics,
+        "stock_volume_spike": _sp.volume_spikes,
+        "stock_pipeline_full": _sp.full_pipeline,
+        "minute_returns": _sp.minute_returns,
+        "daily_ohlc": _sp.daily_ohlc,
+        "daily_vwap": _sp.daily_vwap,
+        "q1_pricing_summary": _an.q1_pricing_summary,
+        "q3_top_revenue": _an.q3_top_revenue,
+        "q5_region_revenue": _an.q5_region_revenue,
+        "q6_forecast_revenue": _an2.q6_forecast_revenue,
+        "q7_nation_volume": _an2.q7_nation_volume,
+        "q8_market_share": _an2.q8_market_share,
+        "q10_returned_items": _an2.q10_returned_items,
+        "q14_promo_revenue": _an2.q14_promo_revenue,
+        "q18_large_orders": _an2.q18_large_orders,
+        "q19_complex_predicates": _an2.q19_complex_predicates,
+        "count_distinct_users": _an.count_distinct_users,
+        "anti_join_inactive": _an.anti_join_inactive,
+        "rollup_revenue": _an.rollup_revenue,
+        "sessionize_events": _an.sessionize_events,
+        "event_funnel": _an.event_funnel,
+        "quantity_percentiles": _an.quantity_percentiles,
+        "asof_join_purchases": _an2.asof_join_purchases,
+        "range_join_errors": _an2.range_join_errors,
+        "pivot_daily_events": _an2.pivot_daily_events,
+        "cube_revenue": _an2.cube_revenue,
+        "salted_agg_volume": _an2.salted_agg_volume,
+        "stats_summary": _an2.stats_summary,
+        "session_window_stats": _an2.session_window_stats,
+        "corr_price_volume": _an2.corr_price_volume,
+        "merge_upsert_orders": _an2.merge_upsert_orders,
+        # ---- window boundary (50) ----
+        # -- tail: green r4 driver rows on current data --
         "running_volume": _sp.running_volume,
         "volume_histogram": _sp.volume_histogram,
         "dash_overview": _sp.dash_overview,
         "dash_tickers": _sp.dash_tickers,
         "dash_detail": _sp.dash_detail,
-        # -- (2) implementation changed this round (r4) --
+        "dash_overview_wide": _sp.dash_overview_wide,
+        "dash_price_sma_long": _sp.dash_price_sma_long,
+        "enrich_model_batch": _sp.enrich_model_batch,
         "ann_topk": _tp.ann_topk,
         "knn_label_propagation": _tp.knn_label_propagation,
         "topk_per_group": _an.topk_per_group,
@@ -61,18 +119,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_rank_dist": _an3.value_rank_dist,
         "assign_ids": _tp.assign_ids,
         "pack_sequences": _tp.pack_sequences,
-        # -- (2b) new this round (r4) --
-        "enrich_model_batch": _sp.enrich_model_batch,
-        "dash_overview_wide": _sp.dash_overview_wide,
-        "dash_price_sma_long": _sp.dash_price_sma_long,
-        "kmeans_assign": _tp.kmeans_assign,
-        "semdedup": _tp.semdedup,
         "corpus_diff": _tp.corpus_diff,
-        # -- (3) r2-green, rotating back in for refreshed evidence --
         "dedup_exact": _tp.dedup_exact,
         "embedding_neardup": _tp.embedding_neardup,
         "embedding_neardup_lsh": _tp.embedding_neardup_lsh,
-        "embedding_neardup_lsh_auto": _tp.embedding_neardup_lsh_auto,
         "embedding_neardup_blocked": _tp.embedding_neardup_blocked,
         "dedup_minhash_lsh": _tp.dedup_minhash_lsh,
         "dedup_groups": _tp.dedup_groups,
@@ -99,46 +149,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_profit": _an2.q9_product_profit,
         "q11_important_inventory": _an2.q11_important_inventory,
         # -- tail: green r3 driver rows on current data --
-        "q12_priority_shipping": _an2.q12_priority_shipping,
-        "q16_supplier_part_counts": _an2.q16_supplier_part_counts,
-        "q20_excess_suppliers": _an2.q20_excess_suppliers,
-        "text_scrub": _tp.text_scrub,
-        "doc_fingerprint": _tp.doc_fingerprint,
-        "ngram_jaccard": _tp.ngram_jaccard,
-        "bigram_pmi": _tp.bigram_pmi,
-        "stock_pipeline_full": _sp.full_pipeline,
-        "sessionize_events": _an.sessionize_events,
-        "salted_agg_volume": _an2.salted_agg_volume,
-        "session_window_stats": _an2.session_window_stats,
-        "stock_agg_1m": _sp.agg_1m,
-        "stock_sma_5m": _sp.sma_5m,
-        "stock_join_metrics": _sp.joined_metrics,
-        "stock_volume_spike": _sp.volume_spikes,
-        "ingest_parse_json": _ticks_fn,
-        "ingest_replay": lambda spark, sf: _replay_fn(spark, sf, 7),
-        "minute_returns": _sp.minute_returns,
-        "q1_pricing_summary": _an.q1_pricing_summary,
-        "q3_top_revenue": _an.q3_top_revenue,
-        "q5_region_revenue": _an.q5_region_revenue,
-        "q6_forecast_revenue": _an2.q6_forecast_revenue,
-        "q7_nation_volume": _an2.q7_nation_volume,
-        "q8_market_share": _an2.q8_market_share,
-        "q10_returned_items": _an2.q10_returned_items,
-        "q14_promo_revenue": _an2.q14_promo_revenue,
-        "q18_large_orders": _an2.q18_large_orders,
-        "q19_complex_predicates": _an2.q19_complex_predicates,
-        "count_distinct_users": _an.count_distinct_users,
-        "anti_join_inactive": _an.anti_join_inactive,
-        "rollup_revenue": _an.rollup_revenue,
-        "event_funnel": _an.event_funnel,
-        "quantity_percentiles": _an.quantity_percentiles,
-        "asof_join_purchases": _an2.asof_join_purchases,
-        "range_join_errors": _an2.range_join_errors,
-        "cube_revenue": _an2.cube_revenue,
-        "pivot_daily_events": _an2.pivot_daily_events,
-        "stats_summary": _an2.stats_summary,
-        "corr_price_volume": _an2.corr_price_volume,
-        "merge_upsert_orders": _an2.merge_upsert_orders,
         "text_lang_id": _tp.text_lang_id,
         "rolling_7d_revenue": _an3.rolling_7d_revenue,
         "retention_set_ops": _an3.retention_set_ops,
@@ -148,12 +158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _tp.line_dedup,
         "span_dedup_stats": _tp.span_dedup_stats,
         "tokenize_ids": _tp.tokenize_ids,
-        "daily_ohlc": _sp.daily_ohlc,
-        "daily_vwap": _sp.daily_vwap,
         "bigram_lm_score": _tp.bigram_lm_score,
-        "sample_corpus": _tp.sample_corpus,
-        "corpus_stats": _tp.corpus_stats,
-        "stratified_split": _tp.stratified_split,
         # -- tail: declared rows-only (no oracle by design) --
         "approx_distinct_sketch": _an2.approx_distinct_sketch,
         "approx_quantile_sketch": _an2.approx_quantile_sketch,
@@ -161,7 +166,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _tp.ann_lsh,
         "ann_ivf": _tp.ann_ivf,
         "ann_pq": _tp.ann_pq,
-        "kmeans_embeddings": _tp.kmeans_embeddings,
+        "semdedup_trained": _tp.semdedup_trained,
+        "image_phash": _tp.image_phash,
+        "image_phash_neardup": _tp.image_phash_neardup,
         "multimodal_meta": _tp.multimodal_meta,
         "multimodal_frames": _tp.multimodal_frames,
         "multimodal_audio": _tp.multimodal_audio,
@@ -233,6 +240,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": _orc.DEDUP_INCREMENTAL_SQL,
         "line_dedup": _orc.LINE_DEDUP_SQL,
         "span_dedup_stats": _orc.SPAN_DEDUP_SQL,
+        "span_dedup_apply": _orc.SPAN_DEDUP_APPLY_SQL,
         "tokenize_ids": _orc.TOKENIZE_IDS_SQL,
         "mixture_schedule": _orc.MIXTURE_SCHEDULE_SQL,
         "daily_ohlc": _orc.DAILY_OHLC_SQL,

@@ -57,6 +57,11 @@ def release(df: DataFrame) -> None:
         pass
 
 
+def size() -> int:
+    """Current pool occupancy (introspection for leak-bound tests)."""
+    return len(_POOL)
+
+
 def clear() -> None:
     """Unpersist everything in the pool (bench/test teardown hook)."""
     while _POOL:

@@ -19,7 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from gcp_data_engineering_workshop_spark.operators.cachepool import register
+from gcp_data_engineering_workshop_spark.operators.cachepool import (
+    register, release)
 
 
 def connected_components(edges: DataFrame, src: str = "doc_a",
@@ -67,10 +68,15 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
         )
         new_labels.count()  # materializes the cache AND the metric
         changed = obs.get["changed"] or 0
+        if i == 0:
+            # sym materialized during that count; the projected-edge
+            # cache it was built from is dead — release it from the
+            # pool eagerly rather than waiting for FIFO eviction
+            release(e)
         # the superseded round's labels are never read again — free
-        # the executor memory instead of accumulating one cached
-        # frame per round
-        labels.unpersist()
+        # the executor memory (and its pool slot, for the initial
+        # registered frame) instead of accumulating one per round
+        release(labels)
         labels = new_labels
         # Every few rounds, cut the lineage: each iteration's plan
         # nests the previous one, so on long-diameter graphs (path-
@@ -81,9 +87,10 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
             labels = labels.localCheckpoint(eager=True)
         if changed == 0:
             break
-    # enroll the surviving caches in the bounded session pool so a
-    # long session's storage stays O(pool cap), not O(queries run);
-    # per-round superseded labels were already unpersisted above
+    # the edge caches are dead once the final labels materialized —
+    # only the label frame the returned plan reads stays pooled, so
+    # a CC run parks exactly ONE frame in the session pool
+    release(sym)
     register(labels)
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("component"))

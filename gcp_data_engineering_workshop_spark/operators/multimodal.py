@@ -366,6 +366,158 @@ def as_audio_media(docs: DataFrame) -> DataFrame:
         "n_chars bigint>")
 
 
+# ----------------------------------------------- image perceptual hash
+# Public pHash construction (pHash.org / the python imagehash recipe):
+# grayscale -> 32x32 area resize -> 2D DCT-II -> 8x8 low-frequency
+# block -> median threshold -> 64-bit sign hash. Near-dup images land
+# within a few bits; the banded join below reuses the C3 SimHash
+# pigeonhole (4 x 16-bit chunks: hamming <= 3 guarantees one equal
+# chunk, so the candidate join is EXACT for max_hamming <= 3).
+
+_DCT32 = None
+
+
+def _dct_mat(n: int = 32) -> np.ndarray:
+    global _DCT32
+    if _DCT32 is None or _DCT32.shape[0] != n:
+        k = np.arange(n)
+        _DCT32 = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    return _DCT32
+
+
+def _area_resize(y: np.ndarray, n: int = 32) -> np.ndarray:
+    """Deterministic box resize: each target cell is the mean of its
+    source index bucket (floor(i * n / dim) mapping) — the arithmetic
+    is plain bucket means, reproducible everywhere."""
+    h, w = y.shape
+    rb = np.floor(np.arange(h) * n / h).astype(np.int64)
+    cb = np.floor(np.arange(w) * n / w).astype(np.int64)
+    s = np.zeros((n, n))
+    cnt = np.zeros((n, n))
+    np.add.at(s, (rb[:, None], cb[None, :]), y)
+    np.add.at(cnt, (rb[:, None], cb[None, :]), 1.0)
+    return s / cnt
+
+
+def phash64(img: np.ndarray) -> int:
+    """64-bit perceptual hash of a decoded (h, w, c) frame. Bit i is
+    1 when DCT low-freq coefficient i (row-major over the 8x8 block)
+    exceeds the block median."""
+    px = img.astype(np.float64)
+    if img.shape[2] >= 3:
+        y = (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1]
+             + 0.114 * px[:, :, 2])
+    else:
+        y = px[:, :, 0]
+    g = _area_resize(y, 32)
+    D = _dct_mat(32)
+    block = (D @ g @ D.T)[:8, :8].ravel()
+    med = np.median(block)
+    bits = block > med
+    h = int((bits.astype(np.uint64)
+             << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+PHASH_SCHEMA = ("doc_id bigint, phash bigint, width int, height int, "
+                "decoded boolean")
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """Per-payload pHash over binary media columns — one Arrow-batched
+    map stage (zero shuffle), real pixels via the PNG/BMP/GIF/JPEG
+    codecs; undecodable payloads emit phash NULL with decoded=false."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in
+                   ("doc_id", "phash", "width", "height", "decoded")}
+            for doc_id, m in zip(pdf["doc_id"], pdf["media"]):
+                px = _try_decode_pixels(bytes(m["payload"]))
+                out["doc_id"].append(doc_id)
+                if px is None:
+                    out["phash"].append(None)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["decoded"].append(False)
+                else:
+                    _, img = px
+                    out["phash"].append(phash64(img))
+                    out["width"].append(img.shape[1])
+                    out["height"].append(img.shape[0])
+                    out["decoded"].append(True)
+            pdf_out = pd.DataFrame(out)
+            pdf_out["phash"] = pdf_out["phash"].astype("Int64")
+            for c in ("width", "height"):
+                pdf_out[c] = pdf_out[c].astype("Int32")
+            yield pdf_out
+
+    return media.mapInPandas(batches, schema=PHASH_SCHEMA)
+
+
+def phash_neardup_pairs(hashes: DataFrame,
+                        max_hamming: int = 3) -> DataFrame:
+    """Image near-dup pairs by banded pHash join — the C3 SimHash
+    machinery on the perceptual hash: candidates must share one of 4
+    16-bit hash chunks (pigeonhole-EXACT for max_hamming <= 3), then
+    bit_count(xor) filters exactly. All JVM-side integer codegen; the
+    only Python stage is the upstream hash itself.
+
+    ``hashes``: (doc_id, phash) — the image_phash output (undecoded
+    NULL rows are dropped)."""
+    assert max_hamming <= 3, "4x16 banding is only exact to hamming 3"
+    sig = hashes.where(F.col("phash").isNotNull()).select("doc_id", "phash")
+    chunked = sig.select(
+        "doc_id", "phash",
+        F.explode(F.expr(
+            "transform(sequence(0, 3), i -> struct(i as ci, "
+            "(shiftrightunsigned(phash, 16 * i) & 65535) as cv))"
+        )).alias("c")).select("doc_id", "phash", "c.ci", "c.cv")
+    hamming = F.bit_count(
+        F.col("x.phash").bitwiseXOR(F.col("y.phash"))).cast("bigint")
+    return (chunked.alias("x")
+            .join(chunked.alias("y"), ["ci", "cv"])
+            .where(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(F.col("x.doc_id").alias("doc_a"),
+                    F.col("y.doc_id").alias("doc_b"),
+                    hamming.alias("hamming"))
+            .distinct()
+            .where(F.col("hamming") <= max_hamming))
+
+
+def as_image_media(docs: DataFrame, group_size: int = 5,
+                   size: int = 64) -> DataFrame:
+    """Deterministic PNG payloads with PLANTED near-dup structure:
+    docs in the same doc_id // group_size group share a smooth
+    group-seeded base pattern (an 8x8 low-frequency field upsampled
+    to size x size) plus tiny per-doc noise — so within-group pHashes
+    sit a few bits apart and cross-group hashes far apart, giving the
+    near-dup join real positives with zero external fixtures."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                g = int(doc_id) // group_size
+                base_rng = np.random.default_rng(g * 2654435761 % (1 << 32))
+                coarse = base_rng.uniform(0, 255, (8, 8))
+                base = np.kron(coarse, np.ones((size // 8, size // 8)))
+                doc_rng = np.random.default_rng(int(doc_id) % (1 << 32))
+                noisy = np.clip(
+                    base + doc_rng.uniform(-2, 2, base.shape), 0, 255)
+                img = np.repeat(noisy[:, :, None], 3, axis=2).astype(np.uint8)
+                payloads.append(IC.encode_png(img))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media": [{"media_type": "image/png", "payload": p,
+                           "n_chars": len(p)} for p in payloads]})
+
+    return docs.select("doc_id").mapInPandas(
+        batches,
+        "doc_id bigint, media struct<media_type string, payload binary, "
+        "n_chars bigint>")
+
+
 def as_video_media(docs: DataFrame, n_frames: int = 3,
                    size: int = 16) -> DataFrame:
     """Deterministic MJPEG payloads derived per doc_id (video analog

@@ -887,6 +887,85 @@ def span_dedup_stats(spark: SparkSession, sf_dir: str,
                      / F.col("n_words")).alias("dup_fraction")))
 
 
+def span_dedup_apply_docs(d: DataFrame, span_words: int = 10,
+                          par: int | None = None) -> DataFrame:
+    """Core of C52 over an arbitrary (doc_id, text) frame — split out
+    so tests can run hand-built corpora with known span overlaps."""
+    L = span_words
+    spans_expr = F.when(
+        F.size("w") >= L,
+        F.expr(f"transform(sequence(0, size(w) - {L}), "
+               f"i -> array_join(slice(w, i+1, {L}), ' '))")
+    ).otherwise(F.array().cast("array<string>"))
+    base = d.select("doc_id", T.words("text").alias("w"))
+    if par:
+        base = base.repartition(par)
+    base = base.select("doc_id", "w", F.size("w").alias("n_words"),
+                       spans_expr.alias("sps"))
+    from gcp_data_engineering_workshop_spark.operators.cachepool import register
+    base = register(base)
+    sp = register(
+        base.select("doc_id", F.posexplode("sps").alias("pos", "sp")))
+    occ = sp.groupBy("sp").agg(F.count(F.lit(1)).alias("occ"))
+    dup = (sp.join(occ, "sp").where(F.col("occ") >= 2)
+           .select("doc_id", "pos"))
+    # word positions covered by >= 1 duplicated span (bounded
+    # fan-out: L rows per dup span, distinct-folded right after)
+    covered = register(
+        dup.select("doc_id",
+                   F.explode(F.sequence(F.col("pos"),
+                                        F.col("pos") + L - 1)).alias("pos"))
+        .distinct())
+    # removed-word + merged-interval accounting: the per-doc sorted
+    # position array is bounded by that doc's own length; an interval
+    # starts wherever the previous position is not adjacent
+    stats = (covered.groupBy("doc_id")
+             .agg(F.sort_array(F.collect_list("pos")).alias("ps"))
+             .select("doc_id", F.size("ps").alias("n_removed_words"),
+                     F.expr("size(filter(sequence(0, size(ps) - 1), "
+                            "i -> i = 0 OR ps[i] != ps[i-1] + 1))")
+                      .cast("bigint").alias("n_spans_removed")))
+    toks = base.select("doc_id", F.posexplode("w").alias("pos", "word"))
+    cleaned = (toks.join(covered, ["doc_id", "pos"], "left_anti")
+               .groupBy("doc_id")
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                       lambda x: x["word"]),
+                   " ").alias("cleaned_text")))
+    return (base.select("doc_id", F.col("n_words").cast("bigint")
+                        .alias("n_words"))
+            .join(stats, "doc_id", "left")
+            .join(cleaned, "doc_id", "left")
+            .select("doc_id", "n_words",
+                    F.coalesce("n_removed_words", F.lit(0)).cast("bigint")
+                     .alias("n_removed_words"),
+                    F.coalesce("n_spans_removed", F.lit(0)).cast("bigint")
+                     .alias("n_spans_removed"),
+                    F.coalesce("cleaned_text", F.lit(""))
+                     .alias("cleaned_text")))
+
+
+def span_dedup_apply(spark: SparkSession, sf_dir: str,
+                     span_words: int = 10) -> DataFrame:
+    """C52: exact substring dedup REMOVAL — the operator a trainer
+    runs after reading C41's diagnostic (the apply half of Lee et
+    al.'s substring pipeline): every word position covered by a
+    stride-1 span_words-word span that occurs more than once anywhere
+    in the corpus is removed from the cleaned text; output keeps the
+    surviving words in order plus removed-word and merged-interval
+    accounting.
+
+    Scale shape: identical to C41 (one occurrence-count shuffle on
+    the span key, one annotate join, a coverage explode bounded by
+    span_words x dup_spans — no pair enumeration anywhere) plus one
+    linear anti-join of word positions against covered positions and
+    a per-doc rebuild whose collect_list is bounded by that doc's own
+    length. Everything stays linear in corpus size."""
+    return span_dedup_apply_docs(_docs(spark, sf_dir), span_words,
+                                 par=spark.sparkContext.defaultParallelism)
+
+
 def tokenize_ids(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
     """C42: apply a tokenizer vocabulary at corpus scale — the step
     after vocab_topk (C18) trains the vocab: map every word position
@@ -1027,6 +1106,39 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_pairs(_emb(spark, sf_dir), k=8, tau=0.4)
 
 
+def semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C55: the full Abbas et al. SemDedup pipeline end-to-end —
+    kmeans_fit at production sizing (k ~ sqrt(n), the choice that
+    keeps |cluster| bounded as n grows), within-cluster exact pair
+    search on the TRAINED centroids, connected components over the
+    pair graph, then keep-canonical (min vec_id per group) anti-join.
+    Output: the surviving corpus (vec_id, cluster_id).
+
+    Rows-only (iterative fit + iterative CC); pytest asserts the pair
+    set equals the exact pairs restricted to same-trained-cluster and
+    the keep-set invariant (exactly one survivor per component, every
+    dropped vector in some component). Scale shape: every stage is
+    the already-audited machinery — map-only E-steps, k*dim-bounded
+    M-step collects, sum(|cluster|^2) pair search, node-bounded CC
+    rounds, one anti-join."""
+    from gcp_data_engineering_workshop_spark.operators.clustering import (
+        kmeans_fit, kmeans_assign, semdedup_pairs)
+    from gcp_data_engineering_workshop_spark.operators.graph import (
+        connected_components)
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    k = max(2, int(round(n ** 0.5)))
+    _, cent = kmeans_fit(emb, k=k, n_iter=5)
+    pairs = semdedup_pairs(emb, tau=0.4, cent=cent)
+    comp = connected_components(pairs, src="vec_a", dst="vec_b")
+    drop = comp.where(F.col("doc_id") != F.col("component")) \
+        .select(F.col("doc_id").alias("vec_id"))
+    return (kmeans_assign(emb, cent=cent)
+            .join(drop, "vec_id", "left_anti")
+            .select("vec_id", "cluster_id"))
+
+
 def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C48: corpus snapshot diff — added / removed / changed doc ids
     between two corpus versions, compared by content fingerprint
@@ -1074,6 +1186,27 @@ def multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte offsets. Two chained map-only Arrow stages, no shuffle."""
     return M.frame_sample(M.as_video_media(_docs(spark, sf_dir)),
                           n_frames=3)
+
+
+def image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C53: perceptual image hashing — deterministic PNG payloads
+    (planted near-dup groups, zero fixtures) through the REAL pixel
+    decoder into the public pHash construction (32x32 area resize ->
+    DCT -> median sign bits). Two chained map-only Arrow stages, no
+    shuffle. Rows-only (the DCT arithmetic is impractical to replay
+    in SQL); golden-hash + exactness pytest in test_multimodal-style
+    coverage (tests/test_imagecodec.py)."""
+    return M.image_phash(M.as_image_media(_docs(spark, sf_dir)))
+
+
+def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C54: image near-dup pairs — banded pHash join (4x16-bit
+    chunks, pigeonhole-EXACT for hamming <= 3) + bit_count verify,
+    all JVM integer codegen after the map-only hash stage. Pairs are
+    the planted within-group variants; pytest asserts the banded
+    pair set equals brute-force hamming pairs."""
+    hashes = M.image_phash(M.as_image_media(_docs(spark, sf_dir)))
+    return M.phash_neardup_pairs(hashes, max_hamming=3)
 
 
 def embedding_neardup_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -101,6 +101,60 @@ def test_semdedup_within_cluster_exactness(spark, sf_dir):
         assert recall >= 0.2  # structural bound; real pairs cluster together
 
 
+def test_semdedup_trained_end_to_end(spark, sf_dir):
+    """C55: survivors = corpus minus non-canonical component members,
+    with the pair graph exactly the same-trained-cluster exact pairs
+    at production k ~ sqrt(n) sizing."""
+    from gcp_data_engineering_workshop_spark.plans.textpipeline import (
+        semdedup_trained)
+    emb = load_table(spark, "embeddings", sf_dir)
+    n = emb.count()
+    k = max(2, int(round(n ** 0.5)))
+    _, cent = C.kmeans_fit(emb, k=k, n_iter=5)
+    asg = {r.vec_id: r.cluster_id
+           for r in C.kmeans_assign(emb, cent=cent).collect()}
+    exact = {(r.vec_a, r.vec_b)
+             for r in S.embedding_neardup_pairs(emb, tau=0.4).collect()}
+    pairs = {p for p in exact if asg[p[0]] == asg[p[1]]}
+    # independent union-find over the expected pair graph
+    parent = {v: v for v in asg}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps = {}
+    for v in asg:
+        comps.setdefault(find(v), set()).add(v)
+    want_kept = {min(members) for members in comps.values()}
+    got = {r.vec_id: r.cluster_id for r in
+           semdedup_trained(spark, sf_dir).collect()}
+    assert set(got) == want_kept
+    # exactly one survivor per component; cluster ids match the
+    # trained assignment
+    assert all(got[v] == asg[v] for v in got)
+
+
+def test_cc_parks_one_pooled_frame(spark, sf_dir):
+    """Leak bound: a connected-components run releases its edge
+    caches eagerly — at most the final label frame (plus nothing
+    else from the run) stays in the session pool."""
+    from gcp_data_engineering_workshop_spark.operators import cachepool
+    from gcp_data_engineering_workshop_spark.operators.graph import (
+        connected_components)
+    cachepool.clear()
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "doc_a bigint, doc_b bigint")
+    out = {r.doc_id: r.component
+           for r in connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+    assert cachepool.size() <= 1
+
+
 def test_corpus_diff_statuses(spark, sf_dir):
     from gcp_data_engineering_workshop_spark.plans.textpipeline import corpus_diff
     docs = {r.doc_id: r.text

@@ -20,8 +20,8 @@ def _entry_module():
 ROWS_ONLY = {
     "approx_distinct_sketch", "approx_quantile_sketch", "dedup_simhash",
     "ann_lsh", "ann_ivf", "ann_pq", "multimodal_meta", "multimodal_frames",
-    "user_overlap_sketch", "kmeans_embeddings", "multimodal_audio",
-    "multimodal_video",
+    "user_overlap_sketch", "multimodal_audio", "multimodal_video",
+    "semdedup_trained", "image_phash", "image_phash_neardup",
 }
 
 

@@ -340,3 +340,74 @@ def test_multimodal_video_query_real_frames(spark):
         offs = [r.frame_offset_bytes for r in rs]
         assert offs == sorted(offs) and offs[0] == 0
         assert len({r.frame_checksum for r in rs}) > 1
+
+
+def test_phash_golden_vs_independent_dct():
+    """phash64 must equal an independently-coded reference: direct
+    nested-sum DCT-II, median threshold, row-major bit order."""
+    import numpy as np
+    from gcp_data_engineering_workshop_spark.operators.multimodal import (
+        _area_resize, phash64)
+
+    rng = np.random.default_rng(7)
+    img = np.repeat(rng.uniform(0, 255, (48, 40))[:, :, None], 3,
+                    axis=2).astype(np.uint8)
+    # independent reference: same public construction, different code
+    px = img.astype(np.float64)
+    y = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+    g = _area_resize(y, 32)
+    dct = np.zeros((8, 8))
+    for u in range(8):
+        for v in range(8):
+            acc = 0.0
+            for i in range(32):
+                for j in range(32):
+                    acc += (g[i, j]
+                            * np.cos(np.pi * (2 * i + 1) * u / 64)
+                            * np.cos(np.pi * (2 * j + 1) * v / 64))
+            dct[u, v] = acc
+    flat = dct.ravel()
+    med = np.median(flat)
+    want = 0
+    for i, b in enumerate(flat > med):
+        if b:
+            want |= 1 << i
+    if want >= 1 << 63:
+        want -= 1 << 64
+    assert phash64(img) == want
+
+
+def test_phash_neardup_banded_equals_bruteforce(spark):
+    """The 4x16 banded join must return EXACTLY the brute-force
+    hamming<=3 pair set (pigeonhole), and the planted groups must
+    actually produce pairs."""
+    from pyspark.sql import functions as F
+
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+    from gcp_data_engineering_workshop_spark.operators import multimodal as M
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001") \
+        .where(F.col("doc_id") < 60)
+    hashes = M.image_phash(M.as_image_media(docs)).collect()
+    assert all(r.decoded for r in hashes)
+    hs = {r.doc_id: r.phash & ((1 << 64) - 1) for r in hashes}
+    want = set()
+    ids = sorted(hs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin(hs[a] ^ hs[b]).count("1") <= 3:
+                want.add((a, b))
+    assert len(want) >= 10  # planted within-group near-dups exist
+    hdf = spark.createDataFrame(
+        [(r.doc_id, r.phash) for r in hashes], "doc_id bigint, phash bigint")
+    got = {(r.doc_a, r.doc_b)
+           for r in M.phash_neardup_pairs(hdf, max_hamming=3).collect()}
+    assert got == want
+
+
+def test_image_phash_query_is_map_only(spark):
+    from gcp_data_engineering_workshop_spark.plans.textpipeline import (
+        image_phash)
+    plan = image_phash(spark, "/root/testdata/sf0.001")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -421,6 +421,42 @@ def test_span_dedup_stats_hand_corpus(spark, tmp_path):
     assert out[4].n_dup_spans == 0 and out[4].dup_fraction == 0.0
 
 
+def test_span_dedup_apply_hand_corpus(spark, tmp_path):
+    """The removal half of the Lee et al. substring pipeline on the
+    same hand corpus as the stats test: covered words vanish from the
+    cleaned text, intervals merge, unique docs survive untouched."""
+    import os
+    from gcp_data_engineering_workshop_spark.plans.textpipeline import (
+        span_dedup_apply)
+
+    shared = "a b c d e f g h i j"           # 10 words
+    docs = [
+        (1, shared + " k l m", "en", "s", 0),           # dup covers 0-9
+        (2, "z y " + shared, "en", "s", 0),             # dup covers 2-11
+        (3, shared + " " + shared, "en", "s", 0),       # fully covered
+        (4, "q w e r t y u i o p unique tail", "en", "s", 0),
+        (5, "tiny doc", "en", "s", 0),                  # < 10 words
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars bigint")
+    d = str(tmp_path / "docs_sf")
+    os.makedirs(d, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+    out = {r.doc_id: r for r in span_dedup_apply(spark, d).collect()}
+    assert out[1].cleaned_text == "k l m"
+    assert out[1].n_removed_words == 10 and out[1].n_spans_removed == 1
+    assert out[2].cleaned_text == "z y"
+    assert out[2].n_removed_words == 10 and out[2].n_spans_removed == 1
+    # doc 3: spans 0 and 10 are both duplicated; their coverage
+    # [0,9] + [10,19] merges into ONE removed interval of 20 words
+    assert out[3].cleaned_text == ""
+    assert out[3].n_removed_words == 20 and out[3].n_spans_removed == 1
+    assert out[4].cleaned_text == "q w e r t y u i o p unique tail"
+    assert out[4].n_removed_words == 0 and out[4].n_spans_removed == 0
+    assert out[5].cleaned_text == "tiny doc"
+    assert out[5].n_words == 2
+
+
 def test_tokenize_ids_roundtrip_and_oov(spark, sf_dir):
     """Ids 1..k map back to exactly the vocab tokens; id 0 tokens are
     exactly the out-of-vocab ones; every word position is covered."""
