@@ -57,23 +57,34 @@ def seed_centroids(emb: DataFrame, k: int) -> np.ndarray:
 
 
 def _assign_batches(cent: np.ndarray, keep_embedding: bool):
-    """mapInPandas body: argmin squared-L2 over the broadcast centroid
+    """mapInArrow body: argmin squared-L2 over the broadcast centroid
     matrix. d2 is rounded to 6 dp BEFORE the argmin and ties break to
     the lowest cluster_id — the exact deterministic contract the
-    DuckDB oracle's (d2, cluster_id) ordering implements."""
+    DuckDB oracle's (d2, cluster_id) ordering implements. Arrow-native
+    (Spark 4): the embedding column converts by offsets-aware flatten
+    + reshape instead of a pandas Series of per-row objects — the
+    conversion IS the hot loop of this map-only stage, and the
+    float64 matrix (hence every d2) is bit-identical either way."""
+    import pyarrow as pa
+    from gcp_data_engineering_workshop_spark.functions.vectorfns import (
+        mat_from_arrow)
+
     def fn(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
+        for b in batches:
+            if b.num_rows == 0:
                 continue
-            X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            emb_col = b.column(b.schema.get_field_index("embedding"))
+            X = mat_from_arrow(emb_col)
             d2 = np.round(_d2_matrix(X, cent), 6)
             a = d2.argmin(axis=1)  # first (lowest) index on ties
-            out = pdf[["vec_id"]].copy()
-            out["cluster_id"] = a.astype(np.int32)
-            out["d2"] = d2[np.arange(len(a)), a]
+            cols = [b.column(b.schema.get_field_index("vec_id")),
+                    pa.array(a.astype(np.int32), type=pa.int32()),
+                    pa.array(d2[np.arange(len(a)), a], type=pa.float64())]
+            names = ["vec_id", "cluster_id", "d2"]
             if keep_embedding:
-                out["embedding"] = pdf["embedding"].to_numpy()
-            yield out
+                cols.append(emb_col)
+                names.append("embedding")
+            yield pa.RecordBatch.from_arrays(cols, names)
     return fn
 
 
@@ -90,7 +101,7 @@ def kmeans_assign(emb: DataFrame, cent: np.ndarray | None = None,
         cent = seed_centroids(emb, k)
     schema = _ASSIGN_SCHEMA + (", embedding array<float>" if keep_embedding else "")
     return (emb.select("vec_id", "embedding")
-            .mapInPandas(_assign_batches(cent, keep_embedding), schema))
+            .mapInArrow(_assign_batches(cent, keep_embedding), schema))
 
 
 def kmeans_fit(emb: DataFrame, k: int = 8, n_iter: int = 5,
@@ -122,13 +133,17 @@ def kmeans_fit(emb: DataFrame, k: int = 8, n_iter: int = 5,
     base = emb.select("vec_id", "embedding")
 
     def partials(c):
+        import pyarrow as pa
+        from gcp_data_engineering_workshop_spark.functions.vectorfns import (
+            mat_from_arrow)
+
         def fn(batches):
-            import pandas as pd
             s = np.zeros((k, dim)); n = np.zeros(k, dtype=np.int64)
-            for pdf in batches:
-                if len(pdf) == 0:
+            for b in batches:
+                if b.num_rows == 0:
                     continue
-                X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+                X = mat_from_arrow(
+                    b.column(b.schema.get_field_index("embedding")))
                 a = _d2_matrix(X, c).argmin(axis=1)
                 n += np.bincount(a, minlength=k)
                 np.add.at(s, a, X)
@@ -136,15 +151,16 @@ def kmeans_fit(emb: DataFrame, k: int = 8, n_iter: int = 5,
             # types in the partial frame; bounded at k*dim rows per
             # partition regardless of input size
             nz = np.flatnonzero(n)
-            yield pd.DataFrame({
-                "cluster_id": np.repeat(nz, dim).astype(np.int32),
-                "dim_idx": np.tile(np.arange(dim, dtype=np.int32), len(nz)),
-                "val": s[nz].ravel(),
-                "cnt": np.repeat(n[nz], dim)})
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.repeat(nz, dim).astype(np.int32)),
+                 pa.array(np.tile(np.arange(dim, dtype=np.int32), len(nz))),
+                 pa.array(s[nz].ravel(), type=pa.float64()),
+                 pa.array(np.repeat(n[nz], dim), type=pa.int64())],
+                ["cluster_id", "dim_idx", "val", "cnt"])
         return fn
 
     for _ in range(n_iter):
-        rows = (base.mapInPandas(
+        rows = (base.mapInArrow(
             partials(cent),
             "cluster_id int, dim_idx int, val double, cnt bigint")
             # combine the partials in the CLUSTER, not on the driver:
@@ -180,7 +196,7 @@ def semdedup_pairs(emb: DataFrame, k: int = 8, tau: float = 0.4,
     composition oracle-checkable; pass ``kmeans_fit`` centroids for
     the production (trained) variant — same plan shape either way."""
     from gcp_data_engineering_workshop_spark.functions.vectorfns import (
-        dot_pandas)
+        dot_arrow)
 
     asg = kmeans_assign(emb, cent=cent, k=k, keep_embedding=True)
     a = asg.select(F.col("cluster_id"), F.col("vec_id").alias("vec_a"),
@@ -190,7 +206,7 @@ def semdedup_pairs(emb: DataFrame, k: int = 8, tau: float = 0.4,
     # exact verify via the Arrow-batched einsum (one BLAS call per
     # batch, ~20x the interpreted fold on dense candidate sets);
     # round(6) keeps the same cross-engine contract as the LSH verify
-    pair_dot = dot_pandas()
+    pair_dot = dot_arrow()
     return (a.join(b, "cluster_id")
             .where(F.col("vec_a") < F.col("vec_b"))
             .select("cluster_id", "vec_a", "vec_b",

@@ -20,7 +20,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from gcp_data_engineering_workshop_spark.functions.vectorfns import dot, dot_pandas
+from gcp_data_engineering_workshop_spark.functions.vectorfns import (
+    dot, dot_arrow)
 
 _DIM = 64
 
@@ -208,7 +209,7 @@ def embedding_neardup_lsh(emb: DataFrame, tau: float = 0.4,
         small side; at cluster scale it's an id-partitioned join
         proportional to the candidate count);
       - the exact-dot verify is one numpy einsum per Arrow batch
-        (dot_pandas), not a per-row fold.
+        (dot_arrow), not a per-row fold.
     Measured at sf0.1 (2k vectors, ~2M degenerate candidates):
     95s -> ~3s for the same green oracle row. Recall vs. the exact
     op is additionally pytest-enforced.
@@ -258,7 +259,7 @@ def embedding_neardup_lsh(emb: DataFrame, tau: float = 0.4,
     )
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    pair_dot = dot_pandas()
+    pair_dot = dot_arrow()
     return (
         cand.join(ea, "vec_a").join(eb, "vec_b")
         .select("vec_a", "vec_b",
@@ -388,7 +389,7 @@ def embedding_neardup_blocked(emb: DataFrame, tau: float = 0.4,
         replication BEFORE the join;
       - each pair survives in exactly one block pair (its unordered
         cluster pair), so there is no dedup shuffle; the exact-dot
-        einsum verify (dot_pandas) keeps only dot >= tau.
+        einsum verify (dot_arrow) keeps only dot >= tau.
     Both bounds are exact consequences of the triangle inequality,
     so correctness never depends on the data: on a corpus whose
     near-threshold background hugs tau (this synthetic one) the gates
@@ -404,7 +405,7 @@ def embedding_neardup_blocked(emb: DataFrame, tau: float = 0.4,
     salt^2 sub-keys without touching exactness — see
     _blocked_candidates."""
     cand = _blocked_candidates(emb, tau, n_blocks, sample_size, salt)
-    pair_dot = dot_pandas()
+    pair_dot = dot_arrow()
     return (
         cand.select("vec_a", "vec_b",
                     F.round(pair_dot(F.col("ea"), F.col("eb")), 6)

@@ -42,7 +42,7 @@ def test_kmeans_assign_is_map_only(spark, sf_dir):
     plan = C.kmeans_assign(emb, k=8)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan
 
 
 def test_kmeans_fit_matches_numpy_lloyd(spark, sf_dir):
