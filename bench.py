@@ -59,6 +59,11 @@ BENCH_QUERIES = [
     "kmeans_assign",         # C45 map-only E-step
     "semdedup",              # C47 within-cluster near-dup
     "corpus_diff",           # C48 snapshot diff
+    # r5 additions (no earlier baseline — first measured in BENCH_r05):
+    "span_dedup_apply",      # C52 substring dedup removal
+    "semdedup_trained",      # C55 full SemDedup pipeline (fit + CC)
+    "image_phash_neardup",   # C54 decode + pHash + banded join
+    "kmeans_embeddings",     # C46 full distributed Lloyd's fit
 ]
 
 

@@ -198,7 +198,12 @@ def semdedup_pairs(emb: DataFrame, k: int = 8, tau: float = 0.4,
     from gcp_data_engineering_workshop_spark.functions.vectorfns import (
         dot_arrow)
 
-    asg = kmeans_assign(emb, cent=cent, k=k, keep_embedding=True)
+    from gcp_data_engineering_workshop_spark.operators.cachepool import (
+        register)
+
+    # persist the assignment: both sides of the cluster_id self-join
+    # read it, and without the cache each side re-runs the E-step
+    asg = register(kmeans_assign(emb, cent=cent, k=k, keep_embedding=True))
     a = asg.select(F.col("cluster_id"), F.col("vec_id").alias("vec_a"),
                    F.col("embedding").alias("ea"))
     b = asg.select(F.col("cluster_id"), F.col("vec_id").alias("vec_b"),

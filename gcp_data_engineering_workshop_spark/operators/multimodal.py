@@ -360,7 +360,11 @@ def as_audio_media(docs: DataFrame) -> DataFrame:
                 "media": [{"media_type": "audio/wav", "payload": p,
                            "n_chars": len(p)} for p in payloads]})
 
-    return docs.select("doc_id").mapInPandas(
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    # one tiny exchange of bare doc_ids: without it the generator
+    # inherits the source file's single partition and the whole
+    # encode pipeline runs on ONE task
+    return docs.select("doc_id").repartition(par).mapInPandas(
         batches,
         "doc_id bigint, media struct<media_type string, payload binary, "
         "n_chars bigint>")
@@ -464,9 +468,14 @@ def phash_neardup_pairs(hashes: DataFrame,
     only Python stage is the upstream hash itself.
 
     ``hashes``: (doc_id, phash) — the image_phash output (undecoded
-    NULL rows are dropped)."""
+    NULL rows are dropped). The hash frame is persisted before the
+    self-join: both join sides (and the banding explode) would
+    otherwise re-run the whole decode+DCT upstream per side."""
+    from gcp_data_engineering_workshop_spark.operators.cachepool import (
+        register)
     assert max_hamming <= 3, "4x16 banding is only exact to hamming 3"
-    sig = hashes.where(F.col("phash").isNotNull()).select("doc_id", "phash")
+    sig = register(hashes.where(F.col("phash").isNotNull())
+                   .select("doc_id", "phash"))
     chunked = sig.select(
         "doc_id", "phash",
         F.explode(F.expr(
@@ -512,7 +521,11 @@ def as_image_media(docs: DataFrame, group_size: int = 5,
                 "media": [{"media_type": "image/png", "payload": p,
                            "n_chars": len(p)} for p in payloads]})
 
-    return docs.select("doc_id").mapInPandas(
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    # one tiny exchange of bare doc_ids: without it the generator
+    # inherits the source file's single partition and the whole
+    # encode pipeline runs on ONE task
+    return docs.select("doc_id").repartition(par).mapInPandas(
         batches,
         "doc_id bigint, media struct<media_type string, payload binary, "
         "n_chars bigint>")
@@ -545,7 +558,11 @@ def as_video_media(docs: DataFrame, n_frames: int = 3,
                 "media": [{"media_type": "video/mjpeg", "payload": p,
                            "n_chars": len(p)} for p in payloads]})
 
-    return docs.select("doc_id").mapInPandas(
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    # one tiny exchange of bare doc_ids: without it the generator
+    # inherits the source file's single partition and the whole
+    # encode pipeline runs on ONE task
+    return docs.select("doc_id").repartition(par).mapInPandas(
         batches,
         "doc_id bigint, media struct<media_type string, payload binary, "
         "n_chars bigint>")

@@ -406,8 +406,13 @@ def test_phash_neardup_banded_equals_bruteforce(spark):
 
 
 def test_image_phash_query_is_map_only(spark):
+    """The decode+DCT pipeline is map-only: the single Exchange in
+    the plan is the round-robin spread of BARE doc_ids before payload
+    generation (parallelizing the single-file source) — no payload
+    or hash ever shuffles."""
     from gcp_data_engineering_workshop_spark.plans.textpipeline import (
         image_phash)
     plan = image_phash(spark, "/root/testdata/sf0.001")._jdf \
         .queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    assert plan.count("Exchange") == 1
+    assert "RoundRobinPartitioning" in plan
