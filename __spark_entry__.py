@@ -169,6 +169,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_trained": _tp.semdedup_trained,
         "image_phash": _tp.image_phash,
         "image_phash_neardup": _tp.image_phash_neardup,
+        "image_dedup_corpus": _tp.image_dedup_corpus,
+        "audio_fingerprint": _tp.audio_fingerprint,
+        "audio_dedup": _tp.audio_dedup,
         "multimodal_meta": _tp.multimodal_meta,
         "multimodal_frames": _tp.multimodal_frames,
         "multimodal_audio": _tp.multimodal_audio,

@@ -460,7 +460,8 @@ def image_phash(media: DataFrame) -> DataFrame:
 
 
 def phash_neardup_pairs(hashes: DataFrame,
-                        max_hamming: int = 3) -> DataFrame:
+                        max_hamming: int = 3,
+                        hash_col: str = "phash") -> DataFrame:
     """Image near-dup pairs by banded pHash join — the C3 SimHash
     machinery on the perceptual hash: candidates must share one of 4
     16-bit hash chunks (pigeonhole-EXACT for max_hamming <= 3), then
@@ -474,8 +475,8 @@ def phash_neardup_pairs(hashes: DataFrame,
     from gcp_data_engineering_workshop_spark.operators.cachepool import (
         register)
     assert max_hamming <= 3, "4x16 banding is only exact to hamming 3"
-    sig = register(hashes.where(F.col("phash").isNotNull())
-                   .select("doc_id", "phash"))
+    sig = register(hashes.where(F.col(hash_col).isNotNull())
+                   .select("doc_id", F.col(hash_col).alias("phash")))
     chunked = sig.select(
         "doc_id", "phash",
         F.explode(F.expr(
@@ -525,6 +526,103 @@ def as_image_media(docs: DataFrame, group_size: int = 5,
     # one tiny exchange of bare doc_ids: without it the generator
     # inherits the source file's single partition and the whole
     # encode pipeline runs on ONE task
+    return docs.select("doc_id").repartition(par).mapInPandas(
+        batches,
+        "doc_id bigint, media struct<media_type string, payload binary, "
+        "n_chars bigint>")
+
+
+# ------------------------------------------------ audio fingerprint
+# Shazam-style landmark idea reduced to its deterministic core: STFT
+# the PCM stream, take the dominant frequency bin per window, pack
+# the first 16 windows' 4-bit quantized bins into a 64-bit
+# fingerprint. Same-recording variants (different gain/phase/length,
+# mild noise) keep their per-window argmax bins, so near-dups sit a
+# few hamming bits apart and the C54 banded join applies unchanged.
+
+FPRINT_SCHEMA = ("doc_id bigint, fprint bigint, n_windows int, "
+                 "sample_rate int, decoded boolean")
+
+
+def audio_fingerprint64(samples: np.ndarray, n_fft: int = 256,
+                        hop: int = 128, n_windows: int = 16) -> int:
+    """64-bit spectral fingerprint of a mono int PCM array: dominant
+    rFFT bin per window, quantized to 4 bits (bin // 8, capped at
+    15), first n_windows windows packed little-endian."""
+    mono = samples.astype(np.float64)
+    if mono.ndim == 2:
+        mono = mono.mean(axis=1)
+    h = 0
+    for w in range(n_windows):
+        seg = mono[w * hop:w * hop + n_fft]
+        if len(seg) < n_fft:
+            seg = np.pad(seg, (0, n_fft - len(seg)))
+        mag = np.abs(np.fft.rfft(seg))
+        mag[0] = 0.0  # ignore DC: gain offsets must not vote
+        bin4 = min(int(mag.argmax()) // 8, 15)
+        h |= bin4 << (4 * w)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """Per-payload spectral fingerprint over binary WAV columns — one
+    Arrow-batched map stage, real RIFF/PCM decode; undecodable
+    payloads emit NULL with decoded=false."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "fprint", "n_windows",
+                                   "sample_rate", "decoded")}
+            for doc_id, m in zip(pdf["doc_id"], pdf["media"]):
+                out["doc_id"].append(doc_id)
+                try:
+                    rate, samples = IC.decode_wav(bytes(m["payload"]))
+                    out["fprint"].append(audio_fingerprint64(samples))
+                    out["n_windows"].append(
+                        max(0, (samples.shape[0] - 256) // 128 + 1))
+                    out["sample_rate"].append(rate)
+                    out["decoded"].append(True)
+                except (ValueError, struct.error, IndexError):
+                    out["fprint"].append(None)
+                    out["n_windows"].append(None)
+                    out["sample_rate"].append(None)
+                    out["decoded"].append(False)
+            pdf_out = pd.DataFrame(out)
+            pdf_out["fprint"] = pdf_out["fprint"].astype("Int64")
+            for c in ("n_windows", "sample_rate"):
+                pdf_out[c] = pdf_out[c].astype("Int32")
+            yield pdf_out
+
+    return media.mapInPandas(batches, schema=FPRINT_SCHEMA)
+
+
+def as_audio_media_grouped(docs: DataFrame, group_size: int = 5
+                           ) -> DataFrame:
+    """Deterministic WAV payloads with PLANTED near-dup structure
+    (audio analog of as_image_media): docs in the same doc_id //
+    group_size group share a tone frequency; per-doc gain, length
+    and low-level noise vary — so within-group fingerprints sit a
+    few bits apart and cross-group tones land in different bins."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                g = int(doc_id) // group_size
+                freq = 300.0 + (g * 2654435761 % 199) * 28.0
+                rng = np.random.default_rng(int(doc_id) % (1 << 32))
+                n = 2304 + int(doc_id) % 3 * 256
+                gain = 8000 + int(doc_id) % 7 * 500
+                t = np.arange(n, dtype=np.float64)
+                wave = (np.sin(2 * np.pi * freq * t / 16000.0) * gain
+                        + rng.uniform(-40, 40, n)).astype(np.int16)
+                payloads.append(IC.encode_wav(wave, 16000))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media": [{"media_type": "audio/wav", "payload": p,
+                           "n_chars": len(p)} for p in payloads]})
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
     return docs.select("doc_id").repartition(par).mapInPandas(
         batches,
         "doc_id bigint, media struct<media_type string, payload binary, "

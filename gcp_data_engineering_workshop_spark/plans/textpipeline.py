@@ -1209,6 +1209,50 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.phash_neardup_pairs(hashes, max_hamming=3)
 
 
+def image_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C56: end-to-end IMAGE near-dup removal — the C22 composition
+    on the visual modality: pHash over real decoded pixels (C53) →
+    banded hamming pairs (C54) → connected components → keep the min
+    doc_id per group → surviving (doc_id, phash). The op an image-
+    corpus curator actually runs; every stage is already-audited
+    machinery (map-only hash, pigeonhole-exact banded join,
+    node-bounded CC rounds, one anti-join)."""
+    from gcp_data_engineering_workshop_spark.operators.cachepool import (
+        register)
+    from gcp_data_engineering_workshop_spark.operators.graph import (
+        connected_components)
+
+    hashes = register(
+        M.image_phash(M.as_image_media(_docs(spark, sf_dir)))
+        .where(F.col("decoded")).select("doc_id", "phash"))
+    pairs = M.phash_neardup_pairs(hashes, max_hamming=3)
+    comp = connected_components(pairs)
+    drop = comp.where(F.col("doc_id") != F.col("component")) \
+        .select("doc_id")
+    return hashes.join(drop, "doc_id", "left_anti")
+
+
+def audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C57: spectral audio fingerprinting — deterministic WAV
+    payloads with planted same-tone groups, decoded by the REAL
+    RIFF/PCM path, then STFT dominant-bin landmarks packed into a
+    64-bit fingerprint (the Shazam landmark idea reduced to its
+    deterministic core). Two map-only Arrow stages. Rows-only
+    (FFT arithmetic impractical in SQL); golden-fingerprint +
+    banded==bruteforce pytest."""
+    return M.audio_fingerprint(
+        M.as_audio_media_grouped(_docs(spark, sf_dir)))
+
+
+def audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C58: audio near-dup pairs — the C54 banded hamming join on the
+    spectral fingerprint (pigeonhole-EXACT to hamming 3); all JVM
+    integer codegen after the map-only fingerprint stage."""
+    fps = M.audio_fingerprint(
+        M.as_audio_media_grouped(_docs(spark, sf_dir)))
+    return M.phash_neardup_pairs(fps, max_hamming=3, hash_col="fprint")
+
+
 def embedding_neardup_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5 scale twin, auto-parameterized: same contract and oracle as
     embedding_neardup, with (n_tables, n_planes) chosen by

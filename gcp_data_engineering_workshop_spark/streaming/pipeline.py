@@ -281,3 +281,16 @@ def enriched_model_stream(ticks: DataFrame, batch_size: int = 64,
         "ai_sentiment double, ai_summary string",
         defaults={"ai_sentiment": 0.0, "ai_summary": "neutral"},
         batch_size=batch_size)
+
+
+def media_decode_stream(media: DataFrame) -> DataFrame:
+    """D18: streaming multimodal decode — pHash feature extraction
+    (C53) over a STREAM of binary media rows, the live-ingest shape
+    of an image pipeline. The batch operator IS the streaming
+    operator: the stage is stateless map-only Arrow (no watermark,
+    no state store), so ``image_phash``'s mapInArrow applies to a
+    streaming DataFrame unchanged and per-micro-batch results are
+    identical to the batch run over the same rows."""
+    from gcp_data_engineering_workshop_spark.operators.multimodal import (
+        image_phash)
+    return image_phash(media)

@@ -416,3 +416,101 @@ def test_image_phash_query_is_map_only(spark):
         .queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "RoundRobinPartitioning" in plan
+
+
+def test_image_dedup_corpus_keeps_canonicals(spark):
+    """C56 end-to-end: survivors = all docs minus non-canonical
+    members of phash-hamming components (independent union-find
+    over brute-force pairs)."""
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+    from gcp_data_engineering_workshop_spark.operators import multimodal as M
+    from gcp_data_engineering_workshop_spark.plans import textpipeline as tp
+    import os
+    import pyspark.sql.functions as F
+
+    src = load_table(spark, "documents", "/root/testdata/sf0.001") \
+        .where(F.col("doc_id") < 60)
+    hashes = M.image_phash(M.as_image_media(src)).collect()
+    hs = {r.doc_id: r.phash & ((1 << 64) - 1) for r in hashes}
+    parent = {v: v for v in hs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(hs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin(hs[a] ^ hs[b]).count("1") <= 3:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    comps = {}
+    for v in ids:
+        comps.setdefault(find(v), []).append(v)
+    want = {min(m) for m in comps.values()}
+    assert len(want) < len(ids)  # planted groups actually collapse
+
+    # run the full plan against a 60-doc slice written as a corpus
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        src.coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(d, "documents.parquet"))
+        got = {r.doc_id for r in tp.image_dedup_corpus(spark, d).collect()}
+    assert got == want
+
+
+def test_audio_fingerprint_golden_vs_independent_dft():
+    """audio_fingerprint64 must equal an independently-coded
+    reference: direct DFT magnitude per window, argmax bin // 8."""
+    from gcp_data_engineering_workshop_spark.operators.multimodal import (
+        audio_fingerprint64)
+
+    rng = np.random.default_rng(5)
+    t = np.arange(3000, dtype=np.float64)
+    wave = (np.sin(2 * np.pi * 1234.0 * t / 16000.0) * 9000
+            + rng.uniform(-40, 40, 3000)).astype(np.int16)
+    want = 0
+    mono = wave.astype(np.float64)
+    for w in range(16):
+        seg = mono[w * 128:w * 128 + 256]
+        if len(seg) < 256:
+            seg = np.concatenate([seg, np.zeros(256 - len(seg))])
+        n = np.arange(256)
+        mags = []
+        for k in range(129):
+            c = np.exp(-2j * np.pi * k * n / 256)
+            mags.append(abs((seg * c).sum()))
+        mags[0] = 0.0
+        want |= min(int(np.argmax(mags)) // 8, 15) << (4 * w)
+    if want >= 1 << 63:
+        want -= 1 << 64
+    assert audio_fingerprint64(wave[:, None]) == want
+
+
+def test_audio_dedup_banded_equals_bruteforce(spark):
+    """C58: the banded fingerprint join returns exactly the
+    brute-force hamming<=3 set, and the planted tone groups yield
+    real pairs."""
+    from pyspark.sql import functions as F
+
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+    from gcp_data_engineering_workshop_spark.operators import multimodal as M
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001") \
+        .where(F.col("doc_id") < 60)
+    fps = M.audio_fingerprint(M.as_audio_media_grouped(docs)).collect()
+    assert all(r.decoded for r in fps)
+    hs = {r.doc_id: r.fprint & ((1 << 64) - 1) for r in fps}
+    ids = sorted(hs)
+    want = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+            if bin(hs[a] ^ hs[b]).count("1") <= 3}
+    assert len(want) >= 10
+    fdf = spark.createDataFrame(
+        [(r.doc_id, r.fprint) for r in fps], "doc_id bigint, fprint bigint")
+    got = {(r.doc_a, r.doc_b) for r in
+           M.phash_neardup_pairs(fdf, max_hamming=3,
+                                 hash_col="fprint").collect()}
+    assert got == want

@@ -637,3 +637,24 @@ def test_streaming_model_enrichment_chunk_fallback(spark, tick_json_dir):
     for r in rows:
         if r.volume % 3 == 0:  # its 1-row chunk raised -> defaults
             assert (r.ai_sentiment, r.ai_summary) == (0.0, "neutral")
+
+
+def test_streaming_media_decode_matches_batch(spark, sf_dir, tmp_path):
+    """D18: streaming pHash over binary media parquet equals the
+    batch C53 hashes row for row."""
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+    from gcp_data_engineering_workshop_spark.operators import multimodal as M
+
+    docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < 80)
+    media = M.as_image_media(docs)
+    src = str(tmp_path / "media_stream")
+    media.coalesce(2).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(media.schema).parquet(src)
+    _run_to_memory(spl.media_decode_stream(stream), "media_phash")
+    got = {r.doc_id: (r.phash, r.decoded)
+           for r in spark.table("media_phash").collect()}
+    want = {r.doc_id: (r.phash, r.decoded)
+            for r in M.image_phash(media).collect()}
+    assert got == want and len(want) == 80
+    assert all(d for _, d in got.values())
