@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embeddings": _tp.kmeans_embeddings,
         "semdedup": _tp.semdedup,
         "span_dedup_apply": _tp.span_dedup_apply,
+        "semdedup_trained": _tp.semdedup_trained,
         "embedding_neardup_lsh_auto": _tp.embedding_neardup_lsh_auto,
         # -- (3) r3-green, rotating back in for refreshed evidence --
         "ingest_parse_json": _ticks_fn,
@@ -98,8 +99,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_summary": _an2.stats_summary,
         "session_window_stats": _an2.session_window_stats,
         "corr_price_volume": _an2.corr_price_volume,
-        "merge_upsert_orders": _an2.merge_upsert_orders,
         # ---- window boundary (50) ----
+        "merge_upsert_orders": _an2.merge_upsert_orders,
         # -- tail: green r4 driver rows on current data --
         "running_volume": _sp.running_volume,
         "volume_histogram": _sp.volume_histogram,
@@ -166,7 +167,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _tp.ann_lsh,
         "ann_ivf": _tp.ann_ivf,
         "ann_pq": _tp.ann_pq,
-        "semdedup_trained": _tp.semdedup_trained,
         "image_phash": _tp.image_phash,
         "image_phash_neardup": _tp.image_phash_neardup,
         "image_dedup_corpus": _tp.image_dedup_corpus,
@@ -202,6 +202,10 @@ def oracle_sql() -> dict[str, str]:
         # the fit's 1e-3 centroid rounding makes every unrolled
         # E/M round bit-identical across engines
         "kmeans_embeddings": _orc.KMEANS_ASSIGN_TRAINED_SQL,
+        # ...and with the fit replayable, the WHOLE SemDedup pipeline
+        # is too: dynamic sqrt(n) seeds, trained pairs, recursive-CTE
+        # components, keep-canonical anti-join
+        "semdedup_trained": _orc.SEMDEDUP_TRAINED_SQL,
         "semdedup": _orc.SEMDEDUP_SQL,
         "corpus_diff": _orc.CORPUS_DIFF_SQL,
         "minute_returns": _orc.MINUTE_RETURNS_SQL,

@@ -1797,11 +1797,17 @@ _D2T = ("list_sum(list_transform(range(1, len(e.embedding) + 1), "
         "* (CAST(e.embedding[i] AS DOUBLE) - c.ce[i])))")
 
 
-def _kmeans_fit_ctes(k: int = 8, n_iter: int = 5, dp: int = 3) -> str:
-    parts = [f"""c0 AS (
+def _kmeans_fit_ctes(k: int | str = 8, n_iter: int = 5,
+                     dp: int = 3) -> str:
+    """Unrolled Lloyd's-fit CTE chain. ``k`` may be an integer or a
+    SQL expression string (e.g. the sqrt(n) SemDedup sizing) — the
+    seed selection uses QUALIFY so a scalar subquery works as the
+    bound."""
+    parts = [f"""c0 AS MATERIALIZED (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
-  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k})
+  FROM embeddings
+  QUALIFY row_number() OVER (ORDER BY vec_id) <= ({k})
 ),
 dims AS (
   SELECT unnest(range(1, (SELECT max(len(embedding)) FROM embeddings) + 1))
@@ -1830,6 +1836,53 @@ c{r + 1} AS MATERIALIZED (
 )""")
     return ",\n".join(parts)
 
+
+# C55: the WHOLE SemDedup pipeline is SQL-replayable — dynamic
+# k = max(2, round(sqrt(n))) seeds, 5 unrolled fit rounds, the
+# trained within-cluster exact pairs, a recursive-CTE component
+# closure, and the keep-canonical anti-join. (Python's banker's
+# round vs SQL's half-away rounding of sqrt(n) cannot disagree:
+# sqrt(integer) is never exactly x.5 — n = x^2 + x + 1/4 has no
+# integer solution.)
+_DYN_K = ("greatest(2, CAST(round(sqrt((SELECT count(*) "
+          "FROM embeddings))) AS INT))")
+
+SEMDEDUP_TRAINED_SQL = f"""
+WITH RECURSIVE {_kmeans_fit_ctes(_DYN_K, 5, 3)},
+dft AS (
+  SELECT e.vec_id, c.cluster_id, round({_D2T}, 6) AS d2
+  FROM embeddings e CROSS JOIN c5 c
+),
+asg AS MATERIALIZED (
+  SELECT vec_id, cluster_id FROM (
+    SELECT vec_id, cluster_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cluster_id) AS rn
+    FROM dft) WHERE rn = 1
+),
+p AS MATERIALIZED (
+  SELECT sa.vec_id AS va, sb.vec_id AS vb
+  FROM asg sa
+  JOIN asg sb ON sa.cluster_id = sb.cluster_id AND sa.vec_id < sb.vec_id
+  JOIN embeddings a ON a.vec_id = sa.vec_id
+  JOIN embeddings b ON b.vec_id = sb.vec_id
+  WHERE round({_DOT}, 6) >= 0.4
+),
+edges AS (
+  SELECT va AS a, vb AS b FROM p UNION SELECT vb, va FROM p
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS node, least(a, min(b)) AS component
+  FROM reach GROUP BY a
+)
+SELECT vec_id, cluster_id FROM asg
+WHERE vec_id NOT IN (SELECT node FROM comp WHERE node != component)
+"""
 
 KMEANS_ASSIGN_TRAINED_SQL = f"""
 WITH {_kmeans_fit_ctes(8, 5, 3)},

@@ -21,7 +21,7 @@ ROWS_ONLY = {
     "approx_distinct_sketch", "approx_quantile_sketch", "dedup_simhash",
     "ann_lsh", "ann_ivf", "ann_pq", "multimodal_meta", "multimodal_frames",
     "user_overlap_sketch", "multimodal_audio", "multimodal_video",
-    "semdedup_trained", "image_phash", "image_phash_neardup",
+    "image_phash", "image_phash_neardup",
     "image_dedup_corpus", "audio_fingerprint", "audio_dedup",
 }
 
