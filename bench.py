@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "semdedup_trained",      # C55 full SemDedup pipeline (fit + CC)
     "image_phash_neardup",   # C54 decode + pHash + banded join
     "kmeans_embeddings",     # C46 full distributed Lloyd's fit
+    "quality_classifier",    # C59 distributed logistic regression
 ]
 
 

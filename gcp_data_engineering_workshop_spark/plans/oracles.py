@@ -1884,6 +1884,73 @@ SELECT vec_id, cluster_id FROM asg
 WHERE vec_id NOT IN (SELECT node FROM comp WHERE node != component)
 """
 
+# C59: distributed logistic regression — same decimal-grid replay
+# trick as the k-means fit: weights round to 1e-6 after every GD
+# step (partial-gradient reorder/FMA drift is ~1e-13), so DuckDB
+# replays the full descent as unrolled CTE rounds. Feature
+# expressions are the C9 (text_quality) pair, already proven
+# cross-engine. z is evaluated with the same left-assoc order on
+# both sides (bias first, then f[i]*w[i] terms).
+
+
+def _logistic_fit_ctes(n_iter: int = 5, lr: float = 0.5,
+                       dp: int = 6) -> str:
+    z = ("(wv_arr[5] + f[1]*wv_arr[1] + f[2]*wv_arr[2] "
+         "+ f[3]*wv_arr[3] + f[4]*wv_arr[4])")
+    parts = [f"""lfeats AS MATERIALIZED (
+  SELECT d.doc_id,
+         [least(CAST(len(w) AS DOUBLE) / 100.0, 1.0),
+          CASE WHEN length(d.text) > 0
+               THEN CAST(len(regexp_extract_all(d.text, '[^\\w\\s]'))
+                         AS DOUBLE) / length(d.text) ELSE 0.0 END,
+          CASE WHEN length(d.text) > 0
+               THEN CAST(len(regexp_extract_all(d.text, '[0-9]'))
+                         AS DOUBLE) / length(d.text) ELSE 0.0 END,
+          CASE WHEN len(list_distinct(w)) > 0
+               THEN CAST(len(list_intersect(list_distinct(w), {_SW['en']}))
+                         AS DOUBLE) / len(list_distinct(w))
+               ELSE 0.0 END] AS f,
+         CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS label
+  FROM documents d JOIN wt ON d.doc_id = wt.doc_id
+),
+lw0 AS (SELECT unnest(range(1, 6)) AS di, 0.0 AS wv)"""]
+    for r in range(n_iter):
+        parts.append(f"""ls{r} AS MATERIALIZED (
+  SELECT doc_id, label, f,
+         1.0 / (1.0 + exp(-{z})) AS s
+  FROM lfeats
+  CROSS JOIN (SELECT list(wv ORDER BY di) AS wv_arr FROM lw{r})
+),
+lg{r} AS (
+  SELECT di.di,
+         sum((z.s - z.label)
+             * CASE WHEN di.di <= 4 THEN z.f[di.di] ELSE 1.0 END) AS val,
+         count(*) AS n
+  FROM ls{r} z CROSS JOIN (SELECT unnest(range(1, 6)) AS di) di
+  GROUP BY di.di
+),
+lw{r + 1} AS MATERIALIZED (
+  SELECT w.di, round(w.wv - {lr} * g.val / g.n, {dp}) AS wv
+  FROM lw{r} w JOIN lg{r} g ON w.di = g.di
+)""")
+    return ",\n".join(parts)
+
+
+QUALITY_CLASSIFIER_SQL = f"""
+WITH {_WORDS_CTE.strip()},
+{_logistic_fit_ctes(5, 0.5, 6)}
+SELECT f.doc_id,
+       round(1.0 / (1.0 + exp(-(wv_arr[5] + f.f[1]*wv_arr[1]
+             + f.f[2]*wv_arr[2] + f.f[3]*wv_arr[3]
+             + f.f[4]*wv_arr[4]))), 6) AS score,
+       round(1.0 / (1.0 + exp(-(wv_arr[5] + f.f[1]*wv_arr[1]
+             + f.f[2]*wv_arr[2] + f.f[3]*wv_arr[3]
+             + f.f[4]*wv_arr[4]))), 6) >= 0.5 AS predicted
+FROM lfeats f
+CROSS JOIN (SELECT list(wv ORDER BY di) AS wv_arr FROM lw5)
+"""
+
+
 KMEANS_ASSIGN_TRAINED_SQL = f"""
 WITH {_kmeans_fit_ctes(8, 5, 3)},
 df AS (

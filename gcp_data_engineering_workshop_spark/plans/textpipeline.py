@@ -1232,6 +1232,43 @@ def image_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashes.join(drop, "doc_id", "left_anti")
 
 
+def quality_classifier(spark: SparkSession, sf_dir: str,
+                       n_iter: int = 5) -> DataFrame:
+    """C59: fastText-style quality classifier TRAINED DISTRIBUTED —
+    full-batch logistic regression over cheap doc features (the C9
+    expressions: length, punct/digit ratios, stopword ratio) with
+    lang='en' as the training signal. Each GD round is one map-only
+    Arrow job emitting per-partition partial gradients, shuffle-
+    combined to exactly dim+1 rows before the O(dim) driver update
+    (operators/classifier.py — the k-means treeAggregate shape).
+    Scoring is a pure JVM column expression. EXACTLY oracle-checkable:
+    weights round to a 1e-6 decimal grid each step, so DuckDB replays
+    the whole descent as unrolled CTE rounds."""
+    from gcp_data_engineering_workshop_spark.operators import classifier as CL
+    from gcp_data_engineering_workshop_spark.operators.cachepool import (
+        register)
+
+    d = _docs_with_words(spark, sf_dir)
+    w = F.col("w")
+    text = F.col("text")
+    n_words = F.size(w)
+    n_chars = F.length(text)
+    pr = F.when(n_chars > 0,
+                F.regexp_count(text, F.lit(r"[^\w\s]")).cast("double")
+                / n_chars).otherwise(F.lit(0.0))
+    dr = F.when(n_chars > 0,
+                F.regexp_count(text, F.lit(r"[0-9]")).cast("double")
+                / n_chars).otherwise(F.lit(0.0))
+    sr = T.stopword_ratio_of(w, "en")
+    feats = register(d.select(
+        "doc_id",
+        F.array(F.least(n_words.cast("double") / 100.0, F.lit(1.0)),
+                pr, dr, sr).alias("features"),
+        (F.col("lang") == "en").cast("double").alias("label")))
+    wv = CL.logistic_fit(feats, dim=4, n_iter=n_iter)
+    return CL.logistic_score(feats, wv)
+
+
 def audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C57: spectral audio fingerprinting — deterministic WAV
     payloads with planted same-tone groups, decoded by the REAL

