@@ -202,7 +202,18 @@ def semdedup_pairs(emb: DataFrame, k: int = 8, tau: float = 0.4,
         register)
 
     # persist the assignment: both sides of the cluster_id self-join
-    # read it, and without the cache each side re-runs the E-step
+    # read it, and without the cache each side re-runs the E-step.
+    #
+    # Width note (why vectors ride the cluster join instead of the
+    # LSH path's attach-ids-later pattern): here every candidate pair
+    # reaches the verify — there is no dedup/filter stage between
+    # candidate generation and the dot product — so O(pairs * dim)
+    # materialization is unavoidable either way. Attaching vectors
+    # AFTER pairing would turn that into an O(pairs * dim) SHUFFLE
+    # (pairs ~ cluster_size * n >> 2n at production sizing), strictly
+    # worse than the O(2n * dim) exchange of the cluster join. The
+    # ID-first pattern wins only when candidates are deduped before
+    # vectors are needed (embedding_neardup_lsh's multi-table case).
     asg = register(kmeans_assign(emb, cent=cent, k=k, keep_embedding=True))
     a = asg.select(F.col("cluster_id"), F.col("vec_id").alias("vec_a"),
                    F.col("embedding").alias("ea"))
