@@ -294,3 +294,33 @@ def media_decode_stream(media: DataFrame) -> DataFrame:
     from gcp_data_engineering_workshop_spark.operators.multimodal import (
         image_phash)
     return image_phash(media)
+
+
+def quality_score_stream(docs: DataFrame, weights) -> DataFrame:
+    """D19: train-offline / score-online — the C59 logistic
+    classifier applied to a STREAM of documents. The trained weight
+    vector is a plain driver-side array compiled into the plan as
+    literals (the broadcast-model pattern); scoring is the same pure
+    JVM sigmoid expression as the batch path, so it is stateless and
+    per-micro-batch results equal the batch scorer row for row.
+    ``docs``: streaming (doc_id, text, lang) rows."""
+    from pyspark.sql import functions as F
+
+    from gcp_data_engineering_workshop_spark.functions import textfns as T
+    from gcp_data_engineering_workshop_spark.operators.classifier import (
+        logistic_score)
+
+    w = T.words("text")
+    text = F.col("text")
+    n_chars = F.length(text)
+    pr = F.when(n_chars > 0,
+                F.regexp_count(text, F.lit(r"[^\w\s]")).cast("double")
+                / n_chars).otherwise(F.lit(0.0))
+    dr = F.when(n_chars > 0,
+                F.regexp_count(text, F.lit(r"[0-9]")).cast("double")
+                / n_chars).otherwise(F.lit(0.0))
+    feats = docs.select(
+        "doc_id",
+        F.array(F.least(F.size(w).cast("double") / 100.0, F.lit(1.0)),
+                pr, dr, T.stopword_ratio_of(w, "en")).alias("features"))
+    return logistic_score(feats, weights)

@@ -135,3 +135,53 @@ def test_bucket_pack_matches_python_greedy(spark, rows, budget):
         members = [i for i, h, bb, t in data
                    if bb == b and want[i][1] == pid]
         assert tot <= budget or len(members) == 1
+
+
+# span_dedup_apply: tiny alphabet forces cross-doc span collisions;
+# docs shorter than the span, fully-covered docs, and interval merges
+# all arise naturally
+# (docs are non-empty: the engine's words("") == [""] convention —
+# oracle-matched — differs from a naive zero-token reference; the
+# empty-doc row is asserted in the hand-corpus test instead)
+_corpora = st.lists(
+    st.lists(st.sampled_from("abcde"), min_size=1, max_size=12),
+    min_size=1, max_size=10)
+
+
+def _span_apply_ref(docs, L):
+    """Independent reference: dict-counted stride-1 spans, coverage
+    sets, interval merge."""
+    from collections import Counter
+    spans = Counter()
+    per_doc = []
+    for words in docs:
+        sps = [" ".join(words[i:i + L])
+               for i in range(max(0, len(words) - L + 1))]
+        per_doc.append(sps)
+        spans.update(sps)
+    out = []
+    for words, sps in zip(docs, per_doc):
+        covered = set()
+        for pos, sp in enumerate(sps):
+            if spans[sp] >= 2:
+                covered.update(range(pos, pos + L))
+        kept = [w for i, w in enumerate(words) if i not in covered]
+        ints = sum(1 for p in covered if p - 1 not in covered)
+        out.append((len(words), len(covered), ints, " ".join(kept)))
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(_corpora)
+def test_span_dedup_apply_property(spark, corpora):
+    from gcp_data_engineering_workshop_spark.plans.textpipeline import (
+        span_dedup_apply_docs)
+    L = 3
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(corpora)]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: (r.n_words, r.n_removed_words, r.n_spans_removed,
+                      r.cleaned_text)
+           for r in span_dedup_apply_docs(d, span_words=L).collect()}
+    want = _span_apply_ref(corpora, L)
+    for i, exp in enumerate(want):
+        assert got[i] == exp, (i, corpora[i], got[i], exp)

@@ -658,3 +658,44 @@ def test_streaming_media_decode_matches_batch(spark, sf_dir, tmp_path):
             for r in M.image_phash(media).collect()}
     assert got == want and len(want) == 80
     assert all(d for _, d in got.values())
+
+
+def test_streaming_quality_score_matches_batch(spark, sf_dir, tmp_path):
+    """D19: train offline (distributed logistic fit), score the
+    document stream online — per-row parity with the batch scorer."""
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+    from gcp_data_engineering_workshop_spark.plans.textpipeline import (
+        quality_classifier)
+
+    d = load_table(spark, "documents", sf_dir)
+    src = str(tmp_path / "doc_stream_q")
+    d.select("doc_id", "text", "lang").coalesce(2) \
+        .write.mode("overwrite").parquet(src)
+    # weights from the same fit the batch query runs
+    from gcp_data_engineering_workshop_spark.plans import textpipeline as tp
+    batch = {r.doc_id: (r.score, r.predicted)
+             for r in quality_classifier(spark, sf_dir).collect()}
+    # re-derive weights via the operator (deterministic fit)
+    import numpy as np
+    from gcp_data_engineering_workshop_spark.operators import classifier as CL
+    from gcp_data_engineering_workshop_spark.functions import textfns as T
+    w = F.col("w")
+    dw = d.select("doc_id", "text", "lang", T.words("text").alias("w"))
+    n_chars = F.length("text")
+    pr = F.when(n_chars > 0, F.regexp_count("text", F.lit(r"[^\w\s]"))
+                .cast("double") / n_chars).otherwise(F.lit(0.0))
+    dr = F.when(n_chars > 0, F.regexp_count("text", F.lit(r"[0-9]"))
+                .cast("double") / n_chars).otherwise(F.lit(0.0))
+    feats = dw.select(
+        "doc_id",
+        F.array(F.least(F.size(w).cast("double") / 100.0, F.lit(1.0)),
+                pr, dr, T.stopword_ratio_of(w, "en")).alias("features"),
+        (F.col("lang") == "en").cast("double").alias("label"))
+    wv = CL.logistic_fit(feats, dim=4, n_iter=5)
+
+    stream = spark.readStream \
+        .schema("doc_id bigint, text string, lang string").parquet(src)
+    _run_to_memory(spl.quality_score_stream(stream, wv), "q_scores")
+    got = {r.doc_id: (r.score, r.predicted)
+           for r in spark.table("q_scores").collect()}
+    assert got == batch and len(got) > 0
