@@ -184,7 +184,8 @@ def kmeans_fit(emb: DataFrame, k: int = 8, n_iter: int = 5,
 
 
 def semdedup_pairs(emb: DataFrame, k: int = 8, tau: float = 0.4,
-                   cent: np.ndarray | None = None) -> DataFrame:
+                   cent: np.ndarray | None = None,
+                   asg: DataFrame | None = None) -> DataFrame:
     """C47: SemDedup — near-dup pairs searched WITHIN k-means
     clusters only (Abbas et al. 2023). Candidate pairs drop from
     n^2 to sum(|cluster|^2); recall vs the exact pair set is
@@ -214,7 +215,9 @@ def semdedup_pairs(emb: DataFrame, k: int = 8, tau: float = 0.4,
     # worse than the O(2n * dim) exchange of the cluster join. The
     # ID-first pattern wins only when candidates are deduped before
     # vectors are needed (embedding_neardup_lsh's multi-table case).
-    asg = register(kmeans_assign(emb, cent=cent, k=k, keep_embedding=True))
+    if asg is None:
+        asg = register(
+            kmeans_assign(emb, cent=cent, k=k, keep_embedding=True))
     a = asg.select(F.col("cluster_id"), F.col("vec_id").alias("vec_a"),
                    F.col("embedding").alias("ea"))
     b = asg.select(F.col("cluster_id"), F.col("vec_id").alias("vec_b"),

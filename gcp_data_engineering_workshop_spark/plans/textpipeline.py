@@ -1121,6 +1121,8 @@ def semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     the already-audited machinery — map-only E-steps, k*dim-bounded
     M-step collects, sum(|cluster|^2) pair search, node-bounded CC
     rounds, one anti-join."""
+    from gcp_data_engineering_workshop_spark.operators.cachepool import (
+        register)
     from gcp_data_engineering_workshop_spark.operators.clustering import (
         kmeans_fit, kmeans_assign, semdedup_pairs)
     from gcp_data_engineering_workshop_spark.operators.graph import (
@@ -1130,13 +1132,15 @@ def semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = emb.count()
     k = max(2, int(round(n ** 0.5)))
     _, cent = kmeans_fit(emb, k=k, n_iter=5)
-    pairs = semdedup_pairs(emb, tau=0.4, cent=cent)
+    # ONE cached E-step serves the pair search (both join sides) AND
+    # the final survivor projection
+    asg = register(kmeans_assign(emb, cent=cent, keep_embedding=True))
+    pairs = semdedup_pairs(emb, tau=0.4, cent=cent, asg=asg)
     comp = connected_components(pairs, src="vec_a", dst="vec_b")
     drop = comp.where(F.col("doc_id") != F.col("component")) \
         .select(F.col("doc_id").alias("vec_id"))
-    return (kmeans_assign(emb, cent=cent)
-            .join(drop, "vec_id", "left_anti")
-            .select("vec_id", "cluster_id"))
+    return (asg.select("vec_id", "cluster_id")
+            .join(drop, "vec_id", "left_anti"))
 
 
 def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
