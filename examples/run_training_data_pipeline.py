@@ -4,9 +4,11 @@ the oracle-verified operators.
 
   raw documents
     -> line-level boilerplate removal          (C39 line_dedup)
+    -> substring (span) dedup removal          (C52 span_dedup_apply)
     -> quality + repetition filtering          (C9 / C29)
+    -> trained quality classifier gate         (C59 quality_classifier)
     -> exact + near-dup removal                (C22 dedup_corpus)
-    -> semantic dedup over embeddings          (C46/C47 kmeans + SemDedup)
+    -> semantic dedup over embeddings          (C55 semdedup_trained)
     -> benchmark decontamination               (C30)
     -> per-language temperature rebalancing    (C33)
     -> deterministic train/test split          (C16)
@@ -35,6 +37,10 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     out = tempfile.mkdtemp(prefix="corpus_")
 
     scrubbed = tp.line_dedup(spark, sf_dir)
+    span_clean = tp.span_dedup_apply(spark, sf_dir).select(
+        "doc_id", "n_removed_words")
+    classifier = tp.quality_classifier(spark, sf_dir).select(
+        "doc_id", F.col("score").alias("clf_score"))
     quality = tp.text_quality(spark, sf_dir).select("doc_id", "quality_score")
     repetition = tp.gopher_repetition(spark, sf_dir).select(
         "doc_id", "dup_word_frac")
@@ -43,18 +49,20 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     # semantic layer: embeddings cluster (distributed Lloyd's), then
     # near-dup pairs are searched within clusters only; drop the
     # higher vec_id of each semantic-dup pair (doc_id == vec_id here)
-    sem_drop = (tp.semdedup(spark, sf_dir)
-                .select(F.col("vec_b").alias("doc_id")).distinct())
+    sem_keep = tp.semdedup_trained(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"))
     sampled = tp.temperature_sample(spark, sf_dir).select("doc_id")
     split = tp.train_test_split(spark, sf_dir).select("doc_id", "split")
 
     corpus = (
         scrubbed
+        .join(span_clean, "doc_id")
         .join(quality, "doc_id").where(F.col("quality_score") >= 0.5)
+        .join(classifier, "doc_id")
         .join(repetition, "doc_id").where(F.col("dup_word_frac") <= 0.5)
         .join(survivors, "doc_id")
         .join(decontaminated, "doc_id")
-        .join(sem_drop, "doc_id", "left_anti")
+        .join(sem_keep, "doc_id", "left_semi")
         .join(sampled, "doc_id")
         .join(split, "doc_id")
     )

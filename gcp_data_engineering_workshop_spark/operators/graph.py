@@ -19,8 +19,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+import itertools
+
 from gcp_data_engineering_workshop_spark.operators.cachepool import (
     register, release)
+
+# Observation names must be unique across the whole session: two CC
+# results composed into ONE downstream plan (e.g. dedup_corpus
+# survivors joined with semdedup_trained keepers) would otherwise
+# collide on the per-round metric name (DUPLICATED_METRICS_NAME)
+_cc_run_ids = itertools.count()
 
 
 def connected_components(edges: DataFrame, src: str = "doc_a",
@@ -43,6 +51,7 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     labels = register(sym.select(F.col("a").alias("node"))
                       .distinct()
                       .withColumn("label", F.col("node")))
+    run_id = next(_cc_run_ids)
     for i in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
@@ -54,7 +63,7 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
         # is ONE job — no second join-the-old-labels action. A label
         # only ever decreases, so "changed" is exactly "some
         # neighbor's min beat my label".
-        obs = Observation(f"cc_round_{i}")
+        obs = Observation(f"cc_{run_id}_round_{i}")
         new_labels = (
             labels.join(neighbor_min, "node", "left")
             .select("node",
