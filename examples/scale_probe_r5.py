@@ -35,6 +35,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/examples")
 
 from gcp_data_engineering_workshop_spark.session import get_spark
 from gcp_data_engineering_workshop_spark.plans import stock_pipeline as sp
@@ -127,6 +128,19 @@ EMB_TARGETS = [
     ("semdedup_trained_pairs", _semdedup_trained_scaled),
 ]
 
+# document-based r5 ops reuse the r4 probe's structure-preserving
+# scaled corpora (token-suffixed replicas): span structure and the
+# planted doc_id-derived media groups replicate per-replica, so true
+# near-dup pair counts grow linearly
+from gcp_data_engineering_workshop_spark.plans import textpipeline as tp  # noqa: E402
+
+DOC_TARGETS = [
+    ("span_dedup_apply", tp.span_dedup_apply),
+    ("quality_classifier", tp.quality_classifier),
+    ("image_phash_neardup", tp.image_phash_neardup),
+    ("audio_dedup", tp.audio_dedup),
+]
+
 
 def probe(spark, name, fn, dirs, results):
     row = {}
@@ -179,11 +193,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     ev_dirs = {k: build_events_dir(k) for k in SCALES}
     emb_dirs = {k: build_emb_dir(k) for k in SCALES}
+    from scale_probe_r4 import build_scaled_dir
+    doc_dirs = {k: build_scaled_dir(k) for k in SCALES}
     results: dict[str, dict] = {}
     only = {s for s in os.environ.get(
         "SPARK_GRAFT_PROBE_ONLY", "").split(",") if s}
     for name, fn, dirs in ([(n, f, ev_dirs) for n, f in EVENT_TARGETS]
-                           + [(n, f, emb_dirs) for n, f in EMB_TARGETS]):
+                           + [(n, f, emb_dirs) for n, f in EMB_TARGETS]
+                           + [(n, f, doc_dirs) for n, f in DOC_TARGETS]):
         if only and name not in only:
             continue
         probe(spark, name, fn, dirs, results)

@@ -600,22 +600,40 @@ def as_audio_media_grouped(docs: DataFrame, group_size: int = 5
                            ) -> DataFrame:
     """Deterministic WAV payloads with PLANTED near-dup structure
     (audio analog of as_image_media): docs in the same doc_id //
-    group_size group share a tone frequency; per-doc gain, length
-    and low-level noise vary — so within-group fingerprints sit a
-    few bits apart and cross-group tones land in different bins."""
+    group_size group share a 16-step TONE SCHEDULE — per 128-sample
+    slice, even slices carry a group-random bin-centered tone at
+    full amplitude, odd slices a quiet tone — so every STFT window
+    has one clearly dominant, group-specific bin and the fingerprint
+    carries ~8 informative nibbles (16^8 classes; a constant tone
+    would collapse all windows to ONE nibble and the whole corpus to
+    16 fingerprint classes, making 'near-dup' pairs Theta(n^2) —
+    the flaw the r5 10x probe caught). Per-doc gain, tail length and
+    low-level noise vary within a group; the 3x amplitude dominance
+    keeps every window's argmax bin stable under that noise."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_slices = 20
         for pdf in it:
             payloads = []
             for doc_id in pdf["doc_id"]:
                 g = int(doc_id) // group_size
-                freq = 300.0 + (g * 2654435761 % 199) * 28.0
-                rng = np.random.default_rng(int(doc_id) % (1 << 32))
-                n = 2304 + int(doc_id) % 3 * 256
+                grng = np.random.default_rng(g * 2654435761 % (1 << 32))
+                # bin-centered frequencies (bin * fs / n_fft) so the
+                # dominant rFFT bin is exact, one per slice
+                bins = grng.integers(8, 120, n_slices)
+                drng = np.random.default_rng(int(doc_id) % (1 << 32))
                 gain = 8000 + int(doc_id) % 7 * 500
-                t = np.arange(n, dtype=np.float64)
-                wave = (np.sin(2 * np.pi * freq * t / 16000.0) * gain
-                        + rng.uniform(-40, 40, n)).astype(np.int16)
+                slices = []
+                for si in range(n_slices + int(doc_id) % 3):
+                    b = int(bins[si % n_slices])
+                    amp = gain if si % 2 == 0 else gain * 0.3
+                    t = np.arange(si * 128, (si + 1) * 128,
+                                  dtype=np.float64)
+                    slices.append(
+                        np.sin(2 * np.pi * b * 62.5 * t / 16000.0) * amp)
+                wave = np.concatenate(slices)
+                wave = (wave + drng.uniform(-40, 40, len(wave))) \
+                    .astype(np.int16)
                 payloads.append(IC.encode_wav(wave, 16000))
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
