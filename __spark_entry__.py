@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup_apply": _tp.span_dedup_apply,
         "semdedup_trained": _tp.semdedup_trained,
         "quality_classifier": _tp.quality_classifier,
+        "semdedup_incremental": _tp.semdedup_incremental,
         "embedding_neardup_lsh_auto": _tp.embedding_neardup_lsh_auto,
         # -- (3) r3-green, rotating back in for refreshed evidence --
         "ingest_parse_json": _ticks_fn,
@@ -98,8 +99,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_revenue": _an2.cube_revenue,
         "salted_agg_volume": _an2.salted_agg_volume,
         "stats_summary": _an2.stats_summary,
-        "session_window_stats": _an2.session_window_stats,
         # ---- window boundary (50) ----
+        "session_window_stats": _an2.session_window_stats,
         "corr_price_volume": _an2.corr_price_volume,
         "merge_upsert_orders": _an2.merge_upsert_orders,
         # -- tail: green r4 driver rows on current data --
@@ -210,6 +211,7 @@ def oracle_sql() -> dict[str, str]:
         # the logistic fit replays the same way: 1e-6 weight grid,
         # unrolled gradient-descent CTE rounds
         "quality_classifier": _orc.QUALITY_CLASSIFIER_SQL,
+        "semdedup_incremental": _orc.SEMDEDUP_INCREMENTAL_SQL,
         "semdedup": _orc.SEMDEDUP_SQL,
         "corpus_diff": _orc.CORPUS_DIFF_SQL,
         "minute_returns": _orc.MINUTE_RETURNS_SQL,

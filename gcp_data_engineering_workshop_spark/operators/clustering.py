@@ -183,6 +183,39 @@ def kmeans_fit(emb: DataFrame, k: int = 8, n_iter: int = 5,
     return kmeans_assign(emb, cent=cent), cent
 
 
+def semdedup_incremental(batch: DataFrame, corpus: DataFrame,
+                         cent: np.ndarray, tau: float = 0.4) -> DataFrame:
+    """C60: incremental SEMANTIC dedup — admit only batch vectors
+    with no near-dup already IN the corpus (the C38 daily-ingest
+    shape on the embedding modality). Both sides assign against the
+    CORPUS-trained centroids (map-only), candidates meet inside a
+    cluster_id equi-join (batch x corpus, never batch x batch or
+    corpus x corpus), the Arrow einsum verifies, and one anti-join
+    keeps the survivors. Returns surviving (vec_id, cluster_id).
+
+    Scale shape: corpus-side work is one E-step scan + its share of
+    the cluster join; candidate count is sum over clusters of
+    |batch_c| * |corpus_c| — bounded by the SemDedup k ~ sqrt(n)
+    sizing exactly like C47."""
+    from gcp_data_engineering_workshop_spark.functions.vectorfns import (
+        dot_arrow)
+    from gcp_data_engineering_workshop_spark.operators.cachepool import (
+        register)
+
+    ab = register(kmeans_assign(batch, cent=cent, keep_embedding=True))
+    ac = kmeans_assign(corpus, cent=cent, keep_embedding=True)
+    pair_dot = dot_arrow()
+    dup = (ab.select("cluster_id", F.col("vec_id").alias("vb"),
+                     F.col("embedding").alias("eb"))
+           .join(ac.select("cluster_id", F.col("embedding").alias("ec")),
+                 "cluster_id")
+           .where(F.round(pair_dot(F.col("eb"), F.col("ec")), 6) >= tau)
+           .select(F.col("vb").alias("vec_id"))
+           .distinct())
+    return (ab.select("vec_id", "cluster_id")
+            .join(dup, "vec_id", "left_anti"))
+
+
 def semdedup_pairs(emb: DataFrame, k: int = 8, tau: float = 0.4,
                    cent: np.ndarray | None = None,
                    asg: DataFrame | None = None) -> DataFrame:

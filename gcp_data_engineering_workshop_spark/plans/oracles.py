@@ -1798,15 +1798,15 @@ _D2T = ("list_sum(list_transform(range(1, len(e.embedding) + 1), "
 
 
 def _kmeans_fit_ctes(k: int | str = 8, n_iter: int = 5,
-                     dp: int = 3) -> str:
-    """Unrolled Lloyd's-fit CTE chain. ``k`` may be an integer or a
-    SQL expression string (e.g. the sqrt(n) SemDedup sizing) — the
-    seed selection uses QUALIFY so a scalar subquery works as the
-    bound."""
+                     dp: int = 3, src: str = "embeddings") -> str:
+    """Unrolled Lloyd's-fit CTE chain over ``src`` (a table or CTE
+    name). ``k`` may be an integer or a SQL expression string (e.g.
+    the sqrt(n) SemDedup sizing) — the seed selection uses QUALIFY
+    so a scalar subquery works as the bound."""
     parts = [f"""c0 AS MATERIALIZED (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
-  FROM embeddings
+  FROM {src}
   QUALIFY row_number() OVER (ORDER BY vec_id) <= ({k})
 ),
 dims AS (
@@ -1819,13 +1819,13 @@ dims AS (
     SELECT e.vec_id, c.cluster_id,
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY {_D2T}, c.cluster_id) AS rn
-    FROM embeddings e CROSS JOIN c{r} c)
+    FROM {src} e CROSS JOIN c{r} c)
   WHERE rn = 1
 ),
 m{r} AS MATERIALIZED (
   SELECT a.cluster_id, dims.i AS di,
          round(avg(CAST(e.embedding[dims.i] AS DOUBLE)), {dp}) AS v
-  FROM a{r} a JOIN embeddings e USING (vec_id) CROSS JOIN dims
+  FROM a{r} a JOIN {src} e USING (vec_id) CROSS JOIN dims
   GROUP BY a.cluster_id, dims.i
 ),
 c{r + 1} AS MATERIALIZED (
@@ -1950,6 +1950,49 @@ FROM lfeats f
 CROSS JOIN (SELECT list(wv ORDER BY di) AS wv_arr FROM lw5)
 """
 
+
+# C60: incremental SEMANTIC dedup — the C38 daily-ingest shape on
+# the embedding modality: centroids fit on the EXISTING corpus only,
+# the new batch assigns against them, candidate pairs are
+# batch x corpus within the same cluster, survivors are batch
+# vectors with no corpus near-dup. Fully SQL-replayable via the
+# src-parametrized fit CTEs.
+_DYN_KC = ("greatest(2, CAST(round(sqrt((SELECT count(*) "
+           "FROM corpus))) AS INT))")
+
+SEMDEDUP_INCREMENTAL_SQL = f"""
+WITH corpus AS MATERIALIZED (
+  SELECT * FROM embeddings WHERE vec_id % 10 < 8
+),
+batch AS MATERIALIZED (
+  SELECT * FROM embeddings WHERE vec_id % 10 >= 8
+),
+{_kmeans_fit_ctes(_DYN_KC, 5, 3, src="corpus")},
+ac AS MATERIALIZED (
+  SELECT vec_id, cluster_id FROM (
+    SELECT e.vec_id, c.cluster_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_D2T}, c.cluster_id) AS rn
+    FROM corpus e CROSS JOIN c5 c) WHERE rn = 1
+),
+ab AS MATERIALIZED (
+  SELECT vec_id, cluster_id FROM (
+    SELECT e.vec_id, c.cluster_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_D2T}, c.cluster_id) AS rn
+    FROM batch e CROSS JOIN c5 c) WHERE rn = 1
+),
+dup AS (
+  SELECT DISTINCT sb.vec_id
+  FROM ab sb
+  JOIN ac sc ON sb.cluster_id = sc.cluster_id
+  JOIN embeddings a ON a.vec_id = sb.vec_id
+  JOIN embeddings b ON b.vec_id = sc.vec_id
+  WHERE round({_DOT}, 6) >= 0.4
+)
+SELECT vec_id, cluster_id FROM ab
+WHERE vec_id NOT IN (SELECT vec_id FROM dup)
+"""
 
 KMEANS_ASSIGN_TRAINED_SQL = f"""
 WITH {_kmeans_fit_ctes(8, 5, 3)},

@@ -1143,6 +1143,24 @@ def semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(drop, "vec_id", "left_anti"))
 
 
+def semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C60: incremental semantic dedup — the C38 daily-ingest shape
+    on embeddings: fit centroids on the EXISTING corpus (vec_id %
+    10 < 8), assign the new batch against them, reject batch vectors
+    with a >= tau corpus neighbor in their cluster. Exactly
+    oracle-checkable (src-parametrized fit CTE replay)."""
+    from gcp_data_engineering_workshop_spark.operators.clustering import (
+        kmeans_fit, semdedup_incremental as _sdi)
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.where(F.col("vec_id") % 10 < 8)
+    batch = emb.where(F.col("vec_id") % 10 >= 8)
+    n = corpus.count()
+    k = max(2, int(round(n ** 0.5)))
+    _, cent = kmeans_fit(corpus, k=k, n_iter=5)
+    return _sdi(batch, corpus, cent, tau=0.4)
+
+
 def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C48: corpus snapshot diff — added / removed / changed doc ids
     between two corpus versions, compared by content fingerprint

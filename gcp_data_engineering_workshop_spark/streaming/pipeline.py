@@ -324,3 +324,30 @@ def quality_score_stream(docs: DataFrame, weights) -> DataFrame:
         F.array(F.least(F.size(w).cast("double") / 100.0, F.lit(1.0)),
                 pr, dr, T.stopword_ratio_of(w, "en")).alias("features"))
     return logistic_score(feats, weights)
+
+
+def semdedup_incremental_stream(new_embs: DataFrame, corpus: DataFrame,
+                                cent, tau: float = 0.4) -> DataFrame:
+    """D20: streaming incremental SEMANTIC dedup (C60 twin) — a
+    stream of new embedding rows is admitted only if no >= tau
+    corpus neighbor exists in its cluster. Stateless end to end:
+    the corpus-trained centroid matrix rides the mapInArrow closure
+    for the stream-side E-step, the corpus assignment is a static
+    frame, and the reject test is one stream-static LEFT ANTI join
+    whose extra predicate is the pure-JVM dot fold (no Python in
+    the join condition — anti joins cannot post-filter). Per-micro-
+    batch results equal the C60 batch survivors row for row."""
+    from pyspark.sql import functions as F
+
+    from gcp_data_engineering_workshop_spark.functions.vectorfns import dot
+    from gcp_data_engineering_workshop_spark.operators.clustering import (
+        kmeans_assign)
+
+    ab = kmeans_assign(new_embs, cent=cent, keep_embedding=True)
+    ac = (kmeans_assign(corpus, cent=cent, keep_embedding=True)
+          .select(F.col("cluster_id").alias("c_cluster"),
+                  F.col("embedding").alias("ec")))
+    cond = ((F.col("cluster_id") == F.col("c_cluster"))
+            & (F.round(dot(F.col("embedding"), F.col("ec")), 6) >= tau))
+    return (ab.join(ac, cond, "left_anti")
+            .select("vec_id", "cluster_id"))

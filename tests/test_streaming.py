@@ -699,3 +699,31 @@ def test_streaming_quality_score_matches_batch(spark, sf_dir, tmp_path):
     got = {r.doc_id: (r.score, r.predicted)
            for r in spark.table("q_scores").collect()}
     assert got == batch and len(got) > 0
+
+
+def test_streaming_semdedup_incremental_matches_batch(spark, sf_dir, tmp_path):
+    """D20: stream-static semantic admission control equals the C60
+    batch survivors when the batch slice streams in."""
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+    from gcp_data_engineering_workshop_spark.operators.clustering import (
+        kmeans_fit)
+    from gcp_data_engineering_workshop_spark.plans.textpipeline import (
+        semdedup_incremental)
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    corpus = emb.where(F.col("vec_id") % 10 < 8)
+    batch = emb.where(F.col("vec_id") % 10 >= 8)
+    n = corpus.count()
+    k = max(2, int(round(n ** 0.5)))
+    _, cent = kmeans_fit(corpus, k=k, n_iter=5)
+
+    src = str(tmp_path / "emb_stream")
+    batch.coalesce(2).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(emb.schema).parquet(src)
+    _run_to_memory(
+        spl.semdedup_incremental_stream(stream, corpus, cent), "sd_inc")
+    got = {(r.vec_id, r.cluster_id)
+           for r in spark.table("sd_inc").collect()}
+    want = {(r.vec_id, r.cluster_id)
+            for r in semdedup_incremental(spark, sf_dir).collect()}
+    assert got == want and len(want) > 0
