@@ -65,6 +65,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_trained": _tp.semdedup_trained,
         "quality_classifier": _tp.quality_classifier,
         "semdedup_incremental": _tp.semdedup_incremental,
+        "span_dedup_keep_first": _tp.span_dedup_keep_first,
+        "ngram_novelty": _tp.ngram_novelty,
         "embedding_neardup_lsh_auto": _tp.embedding_neardup_lsh_auto,
         # -- (3) r3-green, rotating back in for refreshed evidence --
         "ingest_parse_json": _ticks_fn,
@@ -97,9 +99,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_errors": _an2.range_join_errors,
         "pivot_daily_events": _an2.pivot_daily_events,
         "cube_revenue": _an2.cube_revenue,
+        # ---- window boundary (50) ----
         "salted_agg_volume": _an2.salted_agg_volume,
         "stats_summary": _an2.stats_summary,
-        # ---- window boundary (50) ----
         "session_window_stats": _an2.session_window_stats,
         "corr_price_volume": _an2.corr_price_volume,
         "merge_upsert_orders": _an2.merge_upsert_orders,
@@ -212,6 +214,8 @@ def oracle_sql() -> dict[str, str]:
         # unrolled gradient-descent CTE rounds
         "quality_classifier": _orc.QUALITY_CLASSIFIER_SQL,
         "semdedup_incremental": _orc.SEMDEDUP_INCREMENTAL_SQL,
+        "span_dedup_keep_first": _orc.SPAN_DEDUP_KEEP_FIRST_SQL,
+        "ngram_novelty": _orc.NGRAM_NOVELTY_SQL,
         "semdedup": _orc.SEMDEDUP_SQL,
         "corpus_diff": _orc.CORPUS_DIFF_SQL,
         "minute_returns": _orc.MINUTE_RETURNS_SQL,

@@ -1616,6 +1616,88 @@ LEFT JOIN ints USING (doc_id)
 LEFT JOIN kept USING (doc_id)
 """
 
+SPAN_DEDUP_KEEP_FIRST_SQL = f"""
+WITH {_WORDS_CTE.strip()},
+spans AS (
+  SELECT doc_id, len(w) AS n_words,
+         list_transform(range(0, greatest(len(w) - 9, 0)),
+                        i -> array_to_string(w[i+1:i+10], ' ')) AS sps
+  FROM wt
+),
+s1 AS (
+  SELECT doc_id, unnest(sps) AS sp, generate_subscripts(sps, 1) - 1 AS pos
+  FROM spans
+),
+ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY sp ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY sp) AS occ
+  FROM s1
+),
+dup AS (SELECT doc_id, pos FROM ranked WHERE occ >= 2 AND rn > 1),
+cov AS (
+  SELECT DISTINCT doc_id, p
+  FROM (SELECT doc_id, unnest(range(pos, pos + 10)) AS p FROM dup)
+),
+ints AS (
+  SELECT doc_id, count(*) AS n_removed,
+         sum(CASE WHEN prev IS NULL OR p != prev + 1 THEN 1 ELSE 0 END)
+           AS n_ints
+  FROM (SELECT doc_id, p,
+               lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        FROM cov)
+  GROUP BY doc_id
+),
+toks AS (
+  SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) - 1 AS pos
+  FROM wt
+),
+kept AS (
+  SELECT t.doc_id,
+         coalesce(string_agg(CASE WHEN c.p IS NULL THEN t.word END,
+                             ' ' ORDER BY t.pos), '') AS cleaned_text
+  FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.p
+  GROUP BY t.doc_id
+)
+SELECT spans.doc_id,
+       CAST(spans.n_words AS BIGINT) AS n_words,
+       CAST(coalesce(ints.n_removed, 0) AS BIGINT) AS n_removed_words,
+       CAST(coalesce(ints.n_ints, 0) AS BIGINT) AS n_spans_removed,
+       coalesce(kept.cleaned_text, '') AS cleaned_text
+FROM spans
+LEFT JOIN ints USING (doc_id)
+LEFT JOIN kept USING (doc_id)
+"""
+
+NGRAM_NOVELTY_SQL = f"""
+WITH {_WORDS_CTE.strip()},
+spans AS (
+  SELECT doc_id,
+         list_transform(range(0, greatest(len(w) - 2, 0)),
+                        i -> array_to_string(w[i+1:i+3], ' ')) AS sps
+  FROM wt
+),
+sd AS (
+  SELECT DISTINCT doc_id, g
+  FROM (SELECT doc_id, unnest(sps) AS g FROM spans)
+),
+firsts AS (SELECT g, min(doc_id) AS first_doc FROM sd GROUP BY g),
+per AS (
+  SELECT sd.doc_id,
+         count(*) AS n_ngrams,
+         sum(CASE WHEN f.first_doc = sd.doc_id THEN 1 ELSE 0 END)
+           AS n_novel
+  FROM sd JOIN firsts f USING (g)
+  GROUP BY sd.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(per.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+       CAST(coalesce(per.n_novel, 0) AS BIGINT) AS n_novel,
+       round(coalesce(CAST(per.n_novel AS DOUBLE) / per.n_ngrams, 0.0), 6)
+         AS novelty_ratio
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
 TOKENIZE_IDS_SQL = f"""
 WITH {_WORDS_CTE.strip()},
 counts AS (SELECT unnest(w) AS token FROM wt),

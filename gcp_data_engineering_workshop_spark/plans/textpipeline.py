@@ -966,6 +966,111 @@ def span_dedup_apply(spark: SparkSession, sf_dir: str,
                                  par=spark.sparkContext.defaultParallelism)
 
 
+def span_dedup_keep_first(spark: SparkSession, sf_dir: str,
+                          span_words: int = 10) -> DataFrame:
+    """C61: substring dedup that KEEPS ONE COPY — the precise Lee et
+    al. semantic (C52 removes every occurrence of a duplicated span;
+    production dedup keeps the first): for each span occurring more
+    than once, the occurrence with the lowest (doc_id, pos) survives
+    and every other occurrence's word positions are removed.
+
+    Scale shape: ONE shuffle on the span key — occurrence rank and
+    occurrence count ride the same window partition (high-cardinality
+    key: no skew, and one exchange where the groupBy+join
+    formulation pays two) — then the C52 coverage/rebuild tail."""
+    from pyspark.sql.window import Window
+
+    L = span_words
+    d = _docs(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    spans_expr = F.when(
+        F.size("w") >= L,
+        F.expr(f"transform(sequence(0, size(w) - {L}), "
+               f"i -> array_join(slice(w, i+1, {L}), ' '))")
+    ).otherwise(F.array().cast("array<string>"))
+    base = (d.select("doc_id", T.words("text").alias("w"))
+            .repartition(par)
+            .select("doc_id", "w", F.size("w").alias("n_words"),
+                    spans_expr.alias("sps")))
+    from gcp_data_engineering_workshop_spark.operators.cachepool import (
+        register)
+    base = register(base)
+    sp = base.select("doc_id", F.posexplode("sps").alias("pos", "sp"))
+    wspec = Window.partitionBy("sp")
+    ranked = sp.select(
+        "doc_id", "pos",
+        F.row_number().over(wspec.orderBy("doc_id", "pos")).alias("rn"),
+        F.count(F.lit(1)).over(wspec).alias("occ"))
+    dup = ranked.where((F.col("occ") >= 2) & (F.col("rn") > 1)) \
+        .select("doc_id", "pos")
+    covered = register(
+        dup.select("doc_id",
+                   F.explode(F.sequence(F.col("pos"),
+                                        F.col("pos") + L - 1)).alias("pos"))
+        .distinct())
+    stats = (covered.groupBy("doc_id")
+             .agg(F.sort_array(F.collect_list("pos")).alias("ps"))
+             .select("doc_id", F.size("ps").alias("n_removed_words"),
+                     F.expr("size(filter(sequence(0, size(ps) - 1), "
+                            "i -> i = 0 OR ps[i] != ps[i-1] + 1))")
+                      .cast("bigint").alias("n_spans_removed")))
+    toks = base.select("doc_id", F.posexplode("w").alias("pos", "word"))
+    cleaned = (toks.join(covered, ["doc_id", "pos"], "left_anti")
+               .groupBy("doc_id")
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                       lambda x: x["word"]),
+                   " ").alias("cleaned_text")))
+    return (base.select("doc_id", F.col("n_words").cast("bigint")
+                        .alias("n_words"))
+            .join(stats, "doc_id", "left")
+            .join(cleaned, "doc_id", "left")
+            .select("doc_id", "n_words",
+                    F.coalesce("n_removed_words", F.lit(0)).cast("bigint")
+                     .alias("n_removed_words"),
+                    F.coalesce("n_spans_removed", F.lit(0)).cast("bigint")
+                     .alias("n_spans_removed"),
+                    F.coalesce("cleaned_text", F.lit(""))
+                     .alias("cleaned_text")))
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """C62: prefix-novelty diagnostic — per doc, how many of its
+    DISTINCT word n-grams appear for the first time in the corpus
+    when docs are taken in doc_id order (an n-gram is novel in the
+    doc holding its global minimum doc_id). The curve a curriculum /
+    data-ordering study reads. One distinct-project + one shuffle on
+    the n-gram key; no pairwise anything."""
+    L = n
+    d = _docs(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    spans_expr = F.when(
+        F.size("w") >= L,
+        F.expr(f"transform(sequence(0, size(w) - {L}), "
+               f"i -> array_join(slice(w, i+1, {L}), ' '))")
+    ).otherwise(F.array().cast("array<string>"))
+    base = (d.select("doc_id", T.words("text").alias("w"))
+            .repartition(par)
+            .select("doc_id", spans_expr.alias("sps")))
+    sd = (base.select("doc_id", F.explode("sps").alias("g"))
+          .distinct())
+    firsts = sd.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per = (sd.join(firsts, "g")
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_ngrams"),
+                F.sum((F.col("first_doc") == F.col("doc_id"))
+                      .cast("long")).alias("n_novel")))
+    return (d.select("doc_id")
+            .join(per, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+                    F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+                    F.round(F.coalesce(F.col("n_novel")
+                                       / F.col("n_ngrams"), F.lit(0.0)), 6)
+                     .alias("novelty_ratio")))
+
+
 def tokenize_ids(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
     """C42: apply a tokenizer vocabulary at corpus scale — the step
     after vocab_topk (C18) trains the vocab: map every word position

@@ -586,3 +586,37 @@ def test_bigram_lm_separates_predictable_from_shuffled(spark, tmp_path):
     assert out[1].avg_logp > out[9].avg_logp
     assert all(out[i].avg_logp == out[1].avg_logp for i in range(2, 9))
     assert out[10].n_bigrams == 0 and out[10].avg_logp == 0.0
+
+
+def test_span_dedup_keep_first_hand_corpus(spark, tmp_path):
+    """Keep-one-copy semantics: the lowest-(doc_id, pos) occurrence
+    of each duplicated span survives; later occurrences are removed."""
+    import os
+    from gcp_data_engineering_workshop_spark.plans.textpipeline import (
+        span_dedup_keep_first)
+
+    shared = "a b c d e f g h i j"           # 10 words
+    docs = [
+        (1, shared + " k l m", "en", "s", 0),     # FIRST occurrence: kept
+        (2, "z y " + shared, "en", "s", 0),       # later: removed
+        (3, shared + " " + shared, "en", "s", 0),  # pos-0 copy removed too
+        (4, "q w e r t y u i o p unique tail", "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars bigint")
+    d = str(tmp_path / "docs_sf")
+    os.makedirs(d, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+    out = {r.doc_id: r for r in span_dedup_keep_first(spark, d).collect()}
+    # doc 1 holds the first occurrence -> nothing removed
+    assert out[1].cleaned_text == shared + " k l m"
+    assert out[1].n_removed_words == 0
+    # doc 2's occurrence is later -> its copy goes
+    assert out[2].cleaned_text == "z y"
+    assert out[2].n_removed_words == 10 and out[2].n_spans_removed == 1
+    # doc 3: both its `shared` spans are later occurrences; the wrap
+    # spans (j a b...) are unique -> exactly positions 0-9 and 10-19
+    # covered, merged into one interval
+    assert out[3].cleaned_text == ""
+    assert out[3].n_removed_words == 20 and out[3].n_spans_removed == 1
+    assert out[4].n_removed_words == 0
