@@ -37,7 +37,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     whose latest driver row is oldest (r5: the 10 keys whose last
     row was r2, pre-regeneration), (2) oracle-able queries whose
     implementation changed or that are new this round (r5: the
-    distributed-M-step k-means family, span_dedup_apply), (3) the
+    distributed-M-step k-means family, the span-dedup pair, the
+    GD classifier, incremental SemDedup, n-gram novelty), (3) the
     oldest green rows rotating back in for refreshed evidence (r5:
     the r3-green stock/TPC-H blocks). Rows-only entries never take a
     window slot — their evidence is pytest bounds, a driver row adds

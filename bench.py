@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "image_phash_neardup",   # C54 decode + pHash + banded join
     "kmeans_embeddings",     # C46 full distributed Lloyd's fit
     "quality_classifier",    # C59 distributed logistic regression
+    "span_dedup_keep_first",  # C61 keep-one-copy substring dedup
+    "semdedup_incremental",  # C60 batch-vs-corpus semantic dedup
 ]
 
 
