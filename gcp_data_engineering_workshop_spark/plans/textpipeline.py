@@ -974,12 +974,13 @@ def span_dedup_keep_first(spark: SparkSession, sf_dir: str,
     than once, the occurrence with the lowest (doc_id, pos) survives
     and every other occurrence's word positions are removed.
 
-    Scale shape: ONE shuffle on the span key — occurrence rank and
-    occurrence count ride the same window partition (high-cardinality
-    key: no skew, and one exchange where the groupBy+join
-    formulation pays two) — then the C52 coverage/rebuild tail."""
-    from pyspark.sql.window import Window
-
+    Scale shape: same as C52 — a map-side-combinable hash aggregate
+    on the span key computes (occurrence count, min occurrence) per
+    span, one annotate join marks non-first occurrences, then the
+    C52 coverage/rebuild tail. A single-exchange window formulation
+    (rank + count over span partitions) was measured 6.5x SLOWER at
+    sf0.1: the window's per-partition SORT on long string span keys
+    costs far more than the second hash exchange it saves."""
     L = span_words
     d = _docs(spark, sf_dir)
     par = spark.sparkContext.defaultParallelism
@@ -995,14 +996,15 @@ def span_dedup_keep_first(spark: SparkSession, sf_dir: str,
     from gcp_data_engineering_workshop_spark.operators.cachepool import (
         register)
     base = register(base)
-    sp = base.select("doc_id", F.posexplode("sps").alias("pos", "sp"))
-    wspec = Window.partitionBy("sp")
-    ranked = sp.select(
-        "doc_id", "pos",
-        F.row_number().over(wspec.orderBy("doc_id", "pos")).alias("rn"),
-        F.count(F.lit(1)).over(wspec).alias("occ"))
-    dup = ranked.where((F.col("occ") >= 2) & (F.col("rn") > 1)) \
-        .select("doc_id", "pos")
+    sp = register(
+        base.select("doc_id", F.posexplode("sps").alias("pos", "sp")))
+    firsts = sp.groupBy("sp").agg(
+        F.count(F.lit(1)).alias("occ"),
+        F.min(F.struct("doc_id", "pos")).alias("first"))
+    dup = (sp.join(firsts, "sp")
+           .where((F.col("occ") >= 2)
+                  & (F.struct("doc_id", "pos") != F.col("first")))
+           .select("doc_id", "pos"))
     covered = register(
         dup.select("doc_id",
                    F.explode(F.sequence(F.col("pos"),
