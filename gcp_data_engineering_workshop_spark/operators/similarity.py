@@ -56,8 +56,11 @@ def _hyperplane_bucketer(n_tables: int, n_planes: int, seed: int = 42):
     explodes each vector into its (tbl, sign-bucket) rows. All
     n_tables x n_planes sign bits come from ONE numpy matmul per
     Arrow batch."""
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
+    import pyarrow as pa
+    from pyspark.sql.functions import arrow_udf
+
+    from gcp_data_engineering_workshop_spark.functions.vectorfns import (
+        mat_from_arrow)
 
     planes = _planes(n_tables, n_planes, seed=seed)
     plane_mat = planes.reshape(n_tables * n_planes, -1).T  # (dim, T*P)
@@ -65,22 +68,34 @@ def _hyperplane_bucketer(n_tables: int, n_planes: int, seed: int = 42):
 
     n_words = -(-n_tables // 16)
 
+    def _list_col(flat: np.ndarray, n: int, width: int) -> pa.ListArray:
+        return pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * width, width, dtype=np.int32)),
+            pa.array(flat))
+
     def _bucket_rows(embs):
-        mat = np.vstack(embs.to_numpy()).astype(np.float64)  # (rows, dim)
-        bits = (mat @ plane_mat >= 0).reshape(len(embs), n_tables, n_planes)
+        # Arrow-native (Spark 4): offsets-flatten conversion in, flat
+        # buffer + offsets out — no per-row python lists on either
+        # side of the matmul
+        mat = mat_from_arrow(embs)                       # (rows, dim)
+        n = len(mat)
+        bits = (mat @ plane_mat >= 0).reshape(n, n_tables, n_planes)
         packed = (bits * weights).sum(axis=2).astype(np.int64)  # (rows, T)
         # signature words: 4-bit groups, 16 tables per bigint — the
         # canonical-table dedup filter (embedding_neardup_lsh) runs
         # on these with pure integer codegen, never re-reading arrays
-        words = np.zeros((len(embs), n_words), dtype=np.int64)
+        words = np.zeros((n, n_words), dtype=np.int64)
         for w in range(n_words):
             chunk = packed[:, w * 16:(w + 1) * 16]
             words[:, w] = (chunk << (4 * np.arange(chunk.shape[1]))).sum(axis=1)
-        return pd.DataFrame({"bks": list(packed), "sig": list(words)})
+        return pa.StructArray.from_arrays(
+            [_list_col(packed.ravel(), n, n_tables),
+             _list_col(words.ravel(), n, n_words)],
+            ["bks", "sig"])
 
-    _bucket_rows.__annotations__ = {"embs": pd.Series, "return": pd.DataFrame}
-    buckets_udf = pandas_udf(_bucket_rows,
-                             "bks array<bigint>, sig array<bigint>")
+    _bucket_rows.__annotations__ = {"embs": pa.Array, "return": pa.Array}
+    buckets_udf = arrow_udf(_bucket_rows,
+                            "bks array<bigint>, sig array<bigint>")
 
     def bucketed(df: DataFrame, idc: str, emc: str,
                  with_sig: bool = False) -> DataFrame:
