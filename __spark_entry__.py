@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _tp.ann_lsh,
         "ann_ivf": _tp.ann_ivf,
         "ann_pq": _tp.ann_pq,
+        "ann_ivfpq": _tp.ann_ivfpq,
         "image_phash": _tp.image_phash,
         "image_phash_neardup": _tp.image_phash_neardup,
         "image_dedup_corpus": _tp.image_dedup_corpus,

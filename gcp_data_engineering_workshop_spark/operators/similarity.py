@@ -734,3 +734,116 @@ def ann_pq_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
                 _sim(F.col("eq"), F.col("ec")).alias("dot_sim"))
     )
     return _topk_per_key(rescored, k)
+
+
+def ann_ivfpq_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
+                   n_lists: int = 16, n_probe: int = 8,
+                   m: int = 8, ks: int = 64, refine: int = 8,
+                   sample_size: int = 2048) -> DataFrame:
+    """C63: IVF-PQ — the production FAISS composition of C20 and
+    C40 (Jegou et al., PAMI'11 §V): a coarse quantizer routes every
+    vector to an inverted list, PQ codebooks are trained on the
+    RESIDUALS x - cent[list] (residuals concentrate near zero, so
+    the same code budget quantizes far finer than raw-vector PQ),
+    and queries score only their n_probe probed lists from code
+    width: approx<q,x> = <q, cent[list]> + sum_j LUT[q][j][code_j].
+
+    Scale shape: the approximate pass joins the (n_queries * n_probe)
+    broadcast probe table against the encoded corpus on list_id —
+    each corpus row is scored for AT MOST the queries probing its
+    list (vs C40's all-queries-per-row full scan), at code width,
+    with the raw embedding column pruned out of the scan. Selection
+    is the two-phase bounded top-k; the exact re-rank touches
+    k * refine survivors per query. Training is the bounded seeded
+    driver sample, same as IVF/PQ."""
+    import pyarrow as pa
+    from pyspark.sql.functions import arrow_udf
+
+    from gcp_data_engineering_workshop_spark.functions.vectorfns import (
+        mat_from_arrow)
+
+    sub = _DIM // m
+    sample = np.vstack([
+        np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.select("embedding").limit(sample_size).collect()])
+    cent = _kmeans_centroids(sample, n_lists)          # (L, dim)
+    res = sample - cent[(sample @ cent.T).argmax(axis=1)]
+    books = np.stack([
+        _kmeans_l2(res[:, j * sub:(j + 1) * sub], ks) for j in range(m)
+    ])                                                  # (m, ks, sub)
+
+    qrows = sorted(
+        emb.where(F.col("vec_id") < n_queries)
+           .select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id)
+    qids = [int(r.vec_id) for r in qrows]
+    qmat = np.vstack([np.asarray(r.embedding, dtype=np.float64)
+                      for r in qrows])
+    # luts[q, j, c] = <q_j, books[j][c]>  (residual term, list-free);
+    # the <q, cent[l]> term rides the probe table as a literal offset
+    luts = np.einsum("qjd,jcd->qjc",
+                     qmat.reshape(len(qids), m, sub), books)
+    qdots = qmat @ cent.T                               # (q, L)
+    probes = []
+    for qi, qid in enumerate(qids):
+        for li in np.argsort(-qdots[qi])[:n_probe]:
+            probes.append((qid, qi, int(li), float(qdots[qi, li])))
+    spark = emb.sparkSession
+    probe_df = spark.createDataFrame(
+        probes, "query_id bigint, qidx int, list_id int, offset double")
+
+    def _encode(embs):
+        mat = mat_from_arrow(embs)
+        lists = (mat @ cent.T).argmax(axis=1)
+        r = (mat - cent[lists]).reshape(-1, m, sub)
+        d2 = ((r[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
+        codes = d2.argmin(axis=2).astype(np.int32)      # (n, m)
+        n = len(mat)
+        code_col = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * m, m, dtype=np.int32)),
+            pa.array(codes.ravel()))
+        return pa.StructArray.from_arrays(
+            [pa.array(lists.astype(np.int32)), code_col],
+            ["list_id", "code"])
+
+    def _adc(codes, qidxs):
+        if isinstance(codes, pa.ChunkedArray):
+            codes = codes.combine_chunks()
+        cd = codes.flatten().to_numpy(zero_copy_only=False) \
+            .reshape(len(codes), m)
+        qi = qidxs.to_numpy(zero_copy_only=False)
+        sc = np.zeros(len(qi))
+        for j in range(m):
+            sc += luts[qi, j, cd[:, j]]
+        return pa.array(sc, type=pa.float64())
+
+    _encode.__annotations__ = {"embs": pa.Array, "return": pa.Array}
+    _adc.__annotations__ = {"codes": pa.Array, "qidxs": pa.Array,
+                            "return": pa.Array}
+    encode_udf = arrow_udf(_encode, "list_id int, code array<int>")
+    adc_udf = arrow_udf(_adc, "double")
+
+    enc = emb.select(F.col("vec_id").alias("neighbor_id"),
+                     encode_udf("embedding").alias("e")) \
+        .select("neighbor_id", "e.list_id", "e.code")
+    scored = (
+        enc.join(F.broadcast(probe_df), "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                (F.col("offset")
+                 + adc_udf(F.col("code"), F.col("qidx"))).alias("approx"))
+    )
+    cand = (_topk_per_key(scored, k * refine, order_col="approx",
+                          rank_name="arank")
+            .select("query_id", "neighbor_id"))
+    q = (emb.where(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("eq")))
+    c = emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("ec"))
+    rescored = (
+        cand.join(c, "neighbor_id").join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id",
+                _sim(F.col("eq"), F.col("ec")).alias("dot_sim"))
+    )
+    return _topk_per_key(rescored, k)

@@ -966,6 +966,15 @@ def span_dedup_apply(spark: SparkSession, sf_dir: str,
                                  par=spark.sparkContext.defaultParallelism)
 
 
+def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C63: IVF-PQ ANN — the production FAISS composition: coarse
+    quantizer routes vectors to inverted lists, PQ codebooks trained
+    on RESIDUALS, queries score only their probed lists from code
+    width, exact re-rank on survivors (operators/similarity.py).
+    Rows-only; recall pytest vs the exact C6 baseline."""
+    return S.ann_ivfpq_topk(_emb(spark, sf_dir), n_queries=10, k=5)
+
+
 def span_dedup_keep_first(spark: SparkSession, sf_dir: str,
                           span_words: int = 10) -> DataFrame:
     """C61: substring dedup that KEEPS ONE COPY — the precise Lee et

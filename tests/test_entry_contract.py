@@ -19,7 +19,8 @@ def _entry_module():
 # stub-dependent; declared rows-only in SURVEY.md §2)
 ROWS_ONLY = {
     "approx_distinct_sketch", "approx_quantile_sketch", "dedup_simhash",
-    "ann_lsh", "ann_ivf", "ann_pq", "multimodal_meta", "multimodal_frames",
+    "ann_lsh", "ann_ivf", "ann_pq", "ann_ivfpq", "multimodal_meta",
+    "multimodal_frames",
     "user_overlap_sketch", "multimodal_audio", "multimodal_video",
     "image_phash", "image_phash_neardup",
     "image_dedup_corpus", "audio_fingerprint", "audio_dedup",

@@ -290,3 +290,20 @@ def test_lsh_auto_high_tau_matches_exact(spark):
                emb, tau=0.9, auto=True, max_tables=320).collect()}
     assert len(exact) > 50        # the planted pairs exist
     assert got == exact
+
+
+def test_ann_ivfpq_recall_vs_bruteforce(spark, sf_dir):
+    """C63: IVF-PQ (residual codebooks + probed-list ADC + exact
+    re-rank) holds the same recall floor as the other approximate
+    paths, and its approximate pass scores at most the probing
+    queries per corpus row."""
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+    from gcp_data_engineering_workshop_spark.operators import similarity as S
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in S.ann_topk(emb, n_queries=10, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in S.ann_ivfpq_topk(emb, n_queries=10, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF-PQ recall {recall:.2f} too low"
