@@ -514,3 +514,50 @@ def test_audio_dedup_banded_equals_bruteforce(spark):
            M.phash_neardup_pairs(fdf, max_hamming=3,
                                  hash_col="fprint").collect()}
     assert got == want
+
+
+def test_codec_fuzz_truncation_and_corruption():
+    """Decoders must fail CLEANLY (the exception families the
+    operators catch) on truncated or bit-flipped payloads — never
+    hang or return garbage silently. Exercises every container."""
+    rng = np.random.default_rng(99)
+    img = _img(12, 10, 3, seed=1)
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    idx = [rng.integers(0, 2, size=(6, 6)).astype(np.uint8)]
+    wave = (np.sin(np.arange(800) * 0.1) * 9000).astype(np.int16)
+    payloads = {
+        "png": IC.encode_png(img),
+        "jpeg": IC.encode_jpeg(img, quality=85),
+        "gif": IC.encode_gif(idx, pal),
+        "wav": IC.encode_wav(wave),
+    }
+    decoders = {
+        "png": IC.decode_png, "jpeg": IC.decode_jpeg,
+        "gif": lambda p: IC.gif_frames(p), "wav": IC.decode_wav,
+    }
+    ok_errors = (ValueError, struct.error, IndexError, zlib.error,
+                 EOFError, KeyError)
+    for name, payload in payloads.items():
+        dec = decoders[name]
+        dec(payload)  # sanity: intact payload decodes
+        for cut in (4, len(payload) // 3, len(payload) - 2):
+            try:
+                dec(payload[:cut])
+            except ok_errors:
+                pass  # clean failure is the contract
+        for _ in range(10):
+            b = bytearray(payload)
+            for pos in rng.integers(0, len(b), 5):
+                b[pos] ^= 0xFF
+            try:
+                out = dec(bytes(b))
+                # surviving a flip is fine as long as the result is
+                # still well-formed
+                if name == "wav":
+                    assert out[1].ndim == 2
+                elif name == "gif":
+                    assert all(f.ndim == 3 for _, f in out)
+                else:
+                    assert out.ndim == 3
+            except ok_errors:
+                pass
