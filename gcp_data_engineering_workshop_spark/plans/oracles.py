@@ -1616,6 +1616,37 @@ LEFT JOIN ints USING (doc_id)
 LEFT JOIN kept USING (doc_id)
 """
 
+EMBED_DOCS_SQL = f"""
+WITH {_WORDS_CTE.strip()},
+tok AS (SELECT doc_id, len(w) AS n_tokens, unnest(w) AS tok FROM wt),
+hashed AS (
+  SELECT doc_id, n_tokens, {_KR.format(s='tok')} AS h FROM tok
+),
+contrib AS (
+  SELECT doc_id, n_tokens, CAST(h % 64 AS INT) AS idx,
+         CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+  FROM hashed
+),
+acc AS (
+  SELECT doc_id, n_tokens, idx, CAST(sum(sgn) AS DOUBLE) AS v
+  FROM contrib GROUP BY doc_id, n_tokens, idx
+),
+edims AS (SELECT unnest(range(0, 64)) AS i),
+dense AS (
+  SELECT w.doc_id, w.n_tokens, d.i, coalesce(a.v, 0.0) AS v
+  FROM (SELECT DISTINCT doc_id, n_tokens FROM acc) w
+  CROSS JOIN edims d
+  LEFT JOIN acc a ON a.doc_id = w.doc_id AND a.idx = d.i
+),
+nrm AS (SELECT doc_id, sqrt(sum(v * v)) AS nv FROM dense GROUP BY doc_id)
+SELECT dense.doc_id,
+       CAST(dense.n_tokens AS BIGINT) AS n_tokens,
+       list(round(CASE WHEN nv > 0 THEN v / nv ELSE 0.0 END, 6)
+            ORDER BY i) AS embedding
+FROM dense JOIN nrm USING (doc_id)
+GROUP BY dense.doc_id, dense.n_tokens, nv
+"""
+
 SPAN_DEDUP_KEEP_FIRST_SQL = f"""
 WITH {_WORDS_CTE.strip()},
 spans AS (

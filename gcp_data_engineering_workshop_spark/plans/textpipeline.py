@@ -966,6 +966,54 @@ def span_dedup_apply(spark: SparkSession, sf_dir: str,
                                  par=spark.sparkContext.defaultParallelism)
 
 
+def embed_docs(spark: SparkSession, sf_dir: str, dim: int = 64) -> DataFrame:
+    """C64: deterministic text embedder — signed feature hashing
+    (Weinberger et al. 2009) over the cross-engine KR token hash:
+    token t contributes sign(bit 6 of h) to dimension h % dim, the
+    count vector L2-normalizes, every element rounds to 6 dp. The
+    bridge between the documents and embeddings modalities: any
+    doc corpus gets a deterministic, oracle-checkable vector column
+    (unlike a learned encoder, which would be a stub here).
+
+    Scale shape: explode -> one map-side-combinable groupBy on
+    (doc_id, dim_idx) -> per-doc dense rebuild via a bounded
+    map_from_entries fold (64 entries max). JVM expressions end to
+    end — the KR fold, the bucketing, the normalization."""
+    d = _docs(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    base = (d.select("doc_id", T.words("text").alias("w"))
+            .repartition(par))
+    toks = base.select("doc_id", F.size("w").alias("n_tokens"),
+                       F.explode("w").alias("tok"))
+    h = T.kr_hash(F.col("tok"))
+    # materialize h in its own projection so the character fold
+    # evaluates once per token, not once per derived column
+    contrib = toks.select(
+        "doc_id", "n_tokens", h.alias("h")).select(
+        "doc_id", "n_tokens",
+        (F.col("h") % dim).cast("int").alias("idx"),
+        F.when(F.expr("h div 64 % 2 = 0"), F.lit(1))
+         .otherwise(F.lit(-1)).alias("sgn"))
+    acc = (contrib.groupBy("doc_id", "n_tokens", "idx")
+           .agg(F.sum("sgn").cast("double").alias("v")))
+    vec = (acc.groupBy("doc_id", "n_tokens")
+           .agg(F.map_from_entries(F.collect_list(F.struct("idx", "v")))
+                .alias("mp"))
+           .select("doc_id", "n_tokens",
+                   F.expr(f"transform(sequence(0, {dim - 1}), "
+                          f"i -> coalesce(element_at(mp, i), 0D))")
+                   .alias("raw")))
+    nrm = F.sqrt(F.aggregate("raw", F.lit(0.0),
+                             lambda a, x: a + x * x))
+    return vec.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.transform("raw",
+                    lambda x: F.round(
+                        F.when(nrm > 0, x / nrm).otherwise(F.lit(0.0)), 6))
+         .alias("embedding"))
+
+
 def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C63: IVF-PQ ANN — the production FAISS composition: coarse
     quantizer routes vectors to inverted lists, PQ codebooks trained

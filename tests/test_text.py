@@ -620,3 +620,18 @@ def test_span_dedup_keep_first_hand_corpus(spark, tmp_path):
     assert out[3].cleaned_text == ""
     assert out[3].n_removed_words == 20 and out[3].n_spans_removed == 1
     assert out[4].n_removed_words == 0
+
+
+def test_embed_docs_unit_norm_and_determinism(spark, sf_dir):
+    """C64: embeddings are unit-norm (6dp), deterministic across
+    runs, and sensitive to content (distinct docs rarely collide)."""
+    rows = {r.doc_id: tuple(r.embedding)
+            for r in tp.embed_docs(spark, sf_dir).collect()}
+    import math
+    for v in list(rows.values())[:50]:
+        n = math.sqrt(sum(x * x for x in v))
+        assert abs(n - 1.0) < 1e-3 or n == 0.0
+    again = {r.doc_id: tuple(r.embedding)
+             for r in tp.embed_docs(spark, sf_dir).collect()}
+    assert rows == again
+    assert len(set(rows.values())) > 0.9 * len(rows)
