@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup_keep_first": _tp.span_dedup_keep_first,
         "ngram_novelty": _tp.ngram_novelty,
         "embed_docs": _tp.embed_docs,
+        "text_semdedup": _tp.text_semdedup,
         "embedding_neardup_lsh_auto": _tp.embedding_neardup_lsh_auto,
         # -- (3) r3-green, rotating back in for refreshed evidence --
         "ingest_parse_json": _ticks_fn,
@@ -99,8 +100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantity_percentiles": _an.quantity_percentiles,
         "asof_join_purchases": _an2.asof_join_purchases,
         "range_join_errors": _an2.range_join_errors,
-        "pivot_daily_events": _an2.pivot_daily_events,
         # ---- window boundary (50) ----
+        "pivot_daily_events": _an2.pivot_daily_events,
         "cube_revenue": _an2.cube_revenue,
         "salted_agg_volume": _an2.salted_agg_volume,
         "stats_summary": _an2.stats_summary,
@@ -220,6 +221,7 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup_keep_first": _orc.SPAN_DEDUP_KEEP_FIRST_SQL,
         "ngram_novelty": _orc.NGRAM_NOVELTY_SQL,
         "embed_docs": _orc.EMBED_DOCS_SQL,
+        "text_semdedup": _orc.TEXT_SEMDEDUP_SQL,
         "semdedup": _orc.SEMDEDUP_SQL,
         "corpus_diff": _orc.CORPUS_DIFF_SQL,
         "minute_returns": _orc.MINUTE_RETURNS_SQL,

@@ -89,7 +89,8 @@ def _assign_batches(cent: np.ndarray, keep_embedding: bool):
 
 
 def kmeans_assign(emb: DataFrame, cent: np.ndarray | None = None,
-                  k: int = 8, keep_embedding: bool = False) -> DataFrame:
+                  k: int = 8, keep_embedding: bool = False,
+                  emb_type: str = "array<float>") -> DataFrame:
     """C45: one k-means E-step — map-only nearest-centroid assignment.
 
     With ``cent=None`` the centroids are the deterministic seed set,
@@ -99,7 +100,8 @@ def kmeans_assign(emb: DataFrame, cent: np.ndarray | None = None,
     trained variant."""
     if cent is None:
         cent = seed_centroids(emb, k)
-    schema = _ASSIGN_SCHEMA + (", embedding array<float>" if keep_embedding else "")
+    schema = _ASSIGN_SCHEMA + (f", embedding {emb_type}"
+                               if keep_embedding else "")
     return (emb.select("vec_id", "embedding")
             .mapInArrow(_assign_batches(cent, keep_embedding), schema))
 

@@ -1923,7 +1923,7 @@ def _kmeans_fit_ctes(k: int | str = 8, n_iter: int = 5,
   QUALIFY row_number() OVER (ORDER BY vec_id) <= ({k})
 ),
 dims AS (
-  SELECT unnest(range(1, (SELECT max(len(embedding)) FROM embeddings) + 1))
+  SELECT unnest(range(1, (SELECT max(len(embedding)) FROM {src}) + 1))
     AS i
 )"""]
     for r in range(n_iter):
@@ -2105,6 +2105,77 @@ dup AS (
 )
 SELECT vec_id, cluster_id FROM ab
 WHERE vec_id NOT IN (SELECT vec_id FROM dup)
+"""
+
+# C65: the capstone — SemDedup from RAW TEXT: the C64 embedder CTE
+# produces (vec_id, embedding) and the src-parametrized fit chain,
+# trained pair search, recursive closure and keep-canonical all run
+# on it. Deterministic end to end, so the full composition replays.
+_DYN_KD = ("greatest(2, CAST(round(sqrt((SELECT count(*) "
+           "FROM demb))) AS INT))")
+
+TEXT_SEMDEDUP_SQL = f"""
+WITH RECURSIVE {_WORDS_CTE.strip()},
+tok AS (SELECT doc_id, unnest(w) AS tok FROM wt),
+hashed AS (SELECT doc_id, {_KR.format(s='tok')} AS h FROM tok),
+contrib AS (
+  SELECT doc_id, CAST(h % 64 AS INT) AS idx,
+         CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+  FROM hashed
+),
+eacc AS (
+  SELECT doc_id, idx, CAST(sum(sgn) AS DOUBLE) AS v
+  FROM contrib GROUP BY doc_id, idx
+),
+edims AS (SELECT unnest(range(0, 64)) AS i),
+edense AS (
+  SELECT w.doc_id, d.i, coalesce(a.v, 0.0) AS v
+  FROM (SELECT DISTINCT doc_id FROM eacc) w
+  CROSS JOIN edims d
+  LEFT JOIN eacc a ON a.doc_id = w.doc_id AND a.idx = d.i
+),
+enrm AS (SELECT doc_id, sqrt(sum(v * v)) AS nv FROM edense GROUP BY doc_id),
+demb AS MATERIALIZED (
+  SELECT edense.doc_id AS vec_id,
+         list(round(CASE WHEN nv > 0 THEN v / nv ELSE 0.0 END, 6)
+              ORDER BY i) AS embedding
+  FROM edense JOIN enrm USING (doc_id)
+  GROUP BY edense.doc_id, nv
+),
+{_kmeans_fit_ctes(_DYN_KD, 5, 3, src="demb")},
+dft AS (
+  SELECT e.vec_id, c.cluster_id, round({_D2T}, 6) AS d2
+  FROM demb e CROSS JOIN c5 c
+),
+asg AS MATERIALIZED (
+  SELECT vec_id, cluster_id FROM (
+    SELECT vec_id, cluster_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cluster_id) AS rn
+    FROM dft) WHERE rn = 1
+),
+p AS MATERIALIZED (
+  SELECT sa.vec_id AS va, sb.vec_id AS vb
+  FROM asg sa
+  JOIN asg sb ON sa.cluster_id = sb.cluster_id AND sa.vec_id < sb.vec_id
+  JOIN demb a ON a.vec_id = sa.vec_id
+  JOIN demb b ON b.vec_id = sb.vec_id
+  WHERE round({_DOT}, 6) >= 0.95
+),
+edges AS (
+  SELECT va AS a, vb AS b FROM p UNION SELECT vb, va FROM p
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS node, least(a, min(b)) AS component
+  FROM reach GROUP BY a
+)
+SELECT vec_id, cluster_id FROM asg
+WHERE vec_id NOT IN (SELECT node FROM comp WHERE node != component)
 """
 
 KMEANS_ASSIGN_TRAINED_SQL = f"""

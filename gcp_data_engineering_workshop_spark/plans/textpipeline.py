@@ -1014,6 +1014,49 @@ def embed_docs(spark: SparkSession, sf_dir: str, dim: int = 64) -> DataFrame:
          .alias("embedding"))
 
 
+def text_semdedup(spark: SparkSession, sf_dir: str,
+                  tau: float = 0.95) -> DataFrame:
+    """C65: semantic dedup FROM RAW TEXT ONLY — the capstone
+    composition: C64's deterministic hashed embeddings feed the C55
+    SemDedup pipeline (sqrt(n)-sized fit, trained within-cluster
+    pairs, components, keep-canonical), so a corpus with NO
+    embedding column gets end-to-end semantic dedup. Every stage is
+    deterministic, so the WHOLE composition — embedder included —
+    replays in SQL (TEXT_SEMDEDUP_SQL). Output: surviving
+    (vec_id=doc_id, cluster_id).
+
+    tau=0.95 on hashed embeddings: near-dup texts share token
+    multisets, so their count vectors land within a few degrees.
+    The threshold must sit WELL above the common-vocabulary
+    background of hashed count vectors — at 0.8 this corpus
+    over-merges into one long-diameter component (the background
+    cosine of unrelated docs with shared stopword mass reaches
+    ~0.85) and label propagation pays diameter-many rounds."""
+    from gcp_data_engineering_workshop_spark.operators.cachepool import (
+        register)
+    from gcp_data_engineering_workshop_spark.operators.clustering import (
+        kmeans_fit, kmeans_assign, semdedup_pairs)
+    from gcp_data_engineering_workshop_spark.operators.graph import (
+        connected_components)
+
+    emb = register(embed_docs(spark, sf_dir)
+                   .select(F.col("doc_id").alias("vec_id"), "embedding"))
+    n = emb.count()
+    k = max(2, int(round(n ** 0.5)))
+    _, cent = kmeans_fit(emb, k=k, n_iter=5)
+    # double-typed assignment: the derived vectors are 6dp doubles
+    # and must NOT narrow to float32, or the verify dot drifts off
+    # the SQL replay
+    asg = register(kmeans_assign(emb, cent=cent, keep_embedding=True,
+                                 emb_type="array<double>"))
+    pairs = semdedup_pairs(emb, tau=tau, cent=cent, asg=asg)
+    comp = connected_components(pairs, src="vec_a", dst="vec_b")
+    drop = comp.where(F.col("doc_id") != F.col("component")) \
+        .select(F.col("doc_id").alias("vec_id"))
+    return (asg.select("vec_id", "cluster_id")
+            .join(drop, "vec_id", "left_anti"))
+
+
 def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C63: IVF-PQ ANN — the production FAISS composition: coarse
     quantizer routes vectors to inverted lists, PQ codebooks trained
