@@ -135,6 +135,7 @@ EMB_TARGETS = [
 from gcp_data_engineering_workshop_spark.plans import textpipeline as tp  # noqa: E402
 
 DOC_TARGETS = [
+    ("text_semdedup", tp.text_semdedup),
     ("span_dedup_apply", tp.span_dedup_apply),
     ("quality_classifier", tp.quality_classifier),
     ("image_phash_neardup", tp.image_phash_neardup),

@@ -32,11 +32,23 @@ _cc_run_ids = itertools.count()
 
 
 def connected_components(edges: DataFrame, src: str = "doc_a",
-                         dst: str = "doc_b", max_iter: int = 20) -> DataFrame:
+                         dst: str = "doc_b", max_iter: int = 20,
+                         stats: dict | None = None) -> DataFrame:
     """Connected components of an undirected edge list.
     Returns (doc_id, component) where component = min node id in the
     component. Checkpoint-free: each iteration's frame is small
-    (nodes that appear in any edge)."""
+    (nodes that appear in any edge).
+
+    Each round fuses neighbor-min propagation with POINTER JUMPING
+    (path halving: label <- min(label, label-of-label)), so rounds
+    are O(log diameter) instead of O(diameter). Near-clique dedup
+    graphs never noticed the difference (diameter 2-3), but
+    threshold-pair graphs can be chain-like — the raw-text SemDedup
+    corpus produced diameter ~24 paths and plain propagation paid 24
+    driver-synchronized rounds of fixed job overhead (measured ~170s
+    at sf0.1; 5 rounds after the jump). The jump is one extra
+    self-join per round over the tiny label frame — always worth an
+    exponential cut in round count. ``stats`` records "rounds"."""
     from pyspark.sql import Observation
 
     # persist the PROJECTED edges BEFORE symmetrizing: the union's
@@ -64,19 +76,49 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
         # only ever decreases, so "changed" is exactly "some
         # neighbor's min beat my label".
         obs = Observation(f"cc_{run_id}_round_{i}")
-        new_labels = (
+        propagated = (
             labels.join(neighbor_min, "node", "left")
             .select("node",
                     F.least(F.col("label"),
-                            F.coalesce("nlabel", F.col("label"))).alias("label"),
-                    (F.coalesce("nlabel", F.col("label"))
-                     < F.col("label")).cast("long").alias("_chg"))
+                            F.coalesce("nlabel", F.col("label")))
+                    .alias("label"))
+            # persisted: BOTH sides of the pointer-jump self-join
+            # read this frame — unpersisted, the lineage doubles per
+            # round and Catalyst planning blows up exponentially
+            # (the cache populates inside the round's single job)
+            .persist()
+        )
+        # pointer jump (path halving): label <- min(label,
+        # label(label)). label values are node ids, so the jump is a
+        # self-join of the propagated frame on label = node; a
+        # label's own label is always <= it and in the same
+        # component, so the invariant holds and chains collapse
+        # exponentially.
+        ptr = propagated.select(F.col("node").alias("pnode"),
+                                F.col("label").alias("plabel"))
+        new_labels = (
+            propagated.join(ptr, propagated.label == ptr.pnode, "left")
+            .select(propagated.node,
+                    F.least(propagated.label,
+                            F.coalesce(ptr.plabel, propagated.label))
+                    .alias("label"))
+        )
+        old = labels.select(F.col("node").alias("onode"),
+                            F.col("label").alias("olabel"))
+        new_labels = (
+            new_labels.join(old, new_labels.node == old.onode)
+            .select(new_labels.node, new_labels.label,
+                    (new_labels.label < old.olabel).cast("long")
+                    .alias("_chg"))
             .observe(obs, F.sum("_chg").alias("changed"))
             .select("node", "label")
             .persist()
         )
         new_labels.count()  # materializes the cache AND the metric
         changed = obs.get["changed"] or 0
+        release(propagated)
+        if stats is not None:
+            stats["rounds"] = i + 1
         if i == 0:
             # sym materialized during that count; the projected-edge
             # cache it was built from is dead — release it from the
@@ -86,14 +128,16 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
         # the executor memory (and its pool slot, for the initial
         # registered frame) instead of accumulating one per round
         release(labels)
-        labels = new_labels
-        # Every few rounds, cut the lineage: each iteration's plan
-        # nests the previous one, so on long-diameter graphs (path-
-        # like chains, max_iter rounds) the plan tree would grow
-        # without bound and re-plan cost with it. localCheckpoint
-        # truncates the logical plan (on the already-hot cache).
-        if (i + 1) % 5 == 0:
-            labels = labels.localCheckpoint(eager=True)
+        # Cut the lineage EVERY round: with the pointer-jump self-
+        # join the logical plan references the round's frame twice
+        # and the previous labels a third time, so un-truncated it
+        # grows ~5x per round — Catalyst analysis OOMs the driver
+        # within a handful of rounds (observed on a 64-node chain).
+        # localCheckpoint reads the just-populated cache (tiny,
+        # |nodes| rows), so the extra job is negligible; the
+        # checkpointed copy then replaces the cache entry.
+        labels = new_labels.localCheckpoint(eager=True)
+        release(new_labels)
         if changed == 0:
             break
     # the edge caches are dead once the final labels materialized —
