@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_stream_scale": _tp.heavy_hitters_stream_scale,
         "gopher_repetition": _tp.gopher_repetition,
         "decontaminate": _tp.decontaminate,
+        "decontaminate_bloom": _tp.decontaminate_bloom,
         "props_variant_stats": _an2.props_variant_stats,
         "q4_order_priority": _an2.q4_order_priority,
         "q21_waiting_suppliers": _an2.q21_waiting_suppliers,
@@ -311,6 +312,11 @@ def oracle_sql() -> dict[str, str]:
         "props_variant_stats": _orc.PROPS_VARIANT_SQL,
         "gopher_repetition": _orc.GOPHER_REPETITION_SQL,
         "decontaminate": _orc.DECONTAMINATE_SQL,
+        # C66 is plan-level different (bloom prune + exact confirm)
+        # but result-identical by the one-sided-bloom argument — the
+        # SAME SQL is its oracle, which is the point: the oracle
+        # certifies the bloom path loses nothing.
+        "decontaminate_bloom": _orc.DECONTAMINATE_SQL,
         "dedup_corpus": _orc.DEDUP_CORPUS_SQL,
         "sample_corpus": _orc.SAMPLE_CORPUS_SQL,
         "bigram_pmi": _orc.BIGRAM_PMI_SQL,

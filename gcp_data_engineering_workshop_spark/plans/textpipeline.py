@@ -1527,3 +1527,55 @@ def embedding_neardup_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup thresholds it grows P ~ log2(n) — see PLANS.md §r4).
     Miss probability at the threshold stays <= 1e-6 by construction."""
     return S.embedding_neardup_lsh(_emb(spark, sf_dir), tau=0.4, auto=True)
+
+
+def decontaminate_bloom(spark: SparkSession, sf_dir: str,
+                        m_bits: int = 1 << 18,
+                        n_hashes: int = 5) -> DataFrame:
+    """C66: decontamination at eval-suite scale — identical OUTPUT to
+    C30 (same eval slice, same 3-word-shingle semantics, same oracle),
+    but the plan is the one that survives an eval side too large to
+    broadcast as an exact set:
+
+    1. the eval shingles fold into an m-bit bloom bitmap
+       DISTRIBUTED (operators/bloom.py: position rows bit_or-combine
+       to <= m/64 bigint words; the exchange and the driver collect
+       are bounded by the bitmap, never the eval set),
+    2. the bitmap (m/8 bytes) broadcasts into a vectorized Arrow
+       probe that prunes corpus shingles INSIDE the scan stage —
+       zero corpus shuffle for ~all shingles,
+    3. only bloom-positives (true hits + a <1e-3 false-positive
+       sliver at this sizing) reach the exact confirm join, which
+       AQE sizes freely (broadcast here; shuffle of a tiny pruned
+       side at 100 TB).
+
+    Bloom filters are one-sided, so the confirm join restores EXACT
+    semantics — the DuckDB oracle (shared with C30) certifies the
+    bloom path end to end."""
+    from gcp_data_engineering_workshop_spark.operators import bloom as BL
+    from gcp_data_engineering_workshop_spark.operators.cachepool import (
+        register)
+
+    d = _docs_with_words(spark, sf_dir)
+    is_eval = F.col("doc_id") % 97 == 0
+    sh = (d.where(F.size("w") >= 3)
+          .select("doc_id", F.explode(F.array_distinct(
+              T.shingles_of(F.col("w")))).alias("g")))
+    eval_sh = register(sh.where(is_eval).select("g").distinct())
+    bitmap = BL.bloom_build(
+        eval_sh.select(T.kr_hash(F.col("g")).alias("h")), "h",
+        m_bits=m_bits, n_hashes=n_hashes)
+    probe = BL.bloom_might_contain(bitmap, n_hashes)
+    cand = (sh.where(~is_eval)
+            .where(probe(BL.bloom_positions(
+                T.kr_hash(F.col("g")), m_bits, n_hashes))))
+    hits = (cand.join(eval_sh, "g")
+            .groupBy("doc_id").agg(F.countDistinct("g").alias("_n")))
+    return (
+        _docs(spark, sf_dir).where(~is_eval).select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("_n", F.lit(0)).cast("bigint").alias("n_shared"),
+                (F.coalesce("_n", F.lit(0)) > 0).alias("contaminated"))
+        .orderBy("doc_id")
+    )

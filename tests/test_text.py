@@ -635,3 +635,42 @@ def test_embed_docs_unit_norm_and_determinism(spark, sf_dir):
              for r in tp.embed_docs(spark, sf_dir).collect()}
     assert rows == again
     assert len(set(rows.values())) > 0.9 * len(rows)
+
+
+def test_decontaminate_bloom_equals_exact(spark, sf_dir):
+    """C66 == C30 bit for bit: bloom pruning is one-sided and the
+    exact confirm join removes false positives, so the plan change
+    must not change a single row."""
+    exact = {r.doc_id: (r.n_shared, r.contaminated)
+             for r in tp.decontaminate(spark, sf_dir).collect()}
+    bloom = {r.doc_id: (r.n_shared, r.contaminated)
+             for r in tp.decontaminate_bloom(spark, sf_dir).collect()}
+    assert bloom == exact and len(bloom) > 0
+
+
+def test_bloom_build_bounded_and_probe_prunes(spark, sf_dir):
+    """The build collect is bounded by the bitmap (<= m/64 words
+    regardless of key count); the probe keeps every member (one-
+    sided) and prunes most non-members at the documented sizing."""
+    from pyspark.sql import functions as F
+    from gcp_data_engineering_workshop_spark.operators import bloom as BL
+
+    m_bits, k = 1 << 14, 5
+    keys = spark.range(500).select(
+        F.concat(F.lit("k"), F.col("id")).alias("g"))
+    hashed = keys.select(T.kr_hash(F.col("g")).alias("h"))
+    bm = BL.bloom_build(hashed, "h", m_bits=m_bits, n_hashes=k)
+    assert bm.shape == (m_bits // 64,)
+    probe = BL.bloom_might_contain(bm, k)
+
+    def hits(df):
+        return (df.select(T.kr_hash(F.col("g")).alias("h"))
+                .where(probe(BL.bloom_positions(F.col("h"), m_bits, k)))
+                .count())
+
+    assert hits(keys) == 500  # no member is ever pruned
+    others = spark.range(5000).select(
+        F.concat(F.lit("x"), F.col("id")).alias("g"))
+    fp = hits(others)
+    # m/n = 32 bits per key, k=5 => theoretical FP ~ 2e-4; allow 100x
+    assert fp <= 100, f"false-positive rate too high: {fp}/5000"
