@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail: green r3 driver rows on current data --
         "text_lang_id": _tp.text_lang_id,
         "rolling_7d_revenue": _an3.rolling_7d_revenue,
+        "zorder_keys": _an3.zorder_keys,
         "retention_set_ops": _an3.retention_set_ops,
         "grouping_sets_revenue": _an3.grouping_sets_revenue,
         "scd2_customer_dim": _an3.scd2_customer_dim,
@@ -257,6 +258,7 @@ def oracle_sql() -> dict[str, str]:
         "q8_market_share": _orc.Q8_SQL,
         "merge_upsert_orders": _orc.MERGE_UPSERT_SQL,
         "rolling_7d_revenue": _orc.ROLLING_7D_SQL,
+        "zorder_keys": _orc.ZORDER_KEYS_SQL,
         "value_deciles": _orc.VALUE_DECILES_SQL,
         "retention_set_ops": _orc.RETENTION_SET_OPS_SQL,
         "grouping_sets_revenue": _orc.GROUPING_SETS_SQL,

@@ -232,3 +232,28 @@ def value_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
                            / (F.col("n") - 1))
                      .otherwise(F.lit(0.0)).alias("pct_rank"),
                     (F.col("cum") / F.col("n")).alias("cum_dist")))
+
+
+def zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B49: Z-order (Morton) layout codes for lineitem on
+    (l_partkey, l_suppkey) — the clustering key behind
+    OPTIMIZE ZORDER BY, computed with pure JVM bit arithmetic
+    (sources/layout.py). The min/max grid bounds come from one
+    bounded 4-value agg; scaling + interleave then run inside
+    whole-stage codegen. The write path (write_zordered: range-
+    exchange on the code + in-file sort => tight min/max footer
+    stats on BOTH dimensions) is pytest-proven to prune files; this
+    query certifies the CODE arithmetic against DuckDB bit for bit.
+
+    Exactness note: floor((x-lo)*(2^16-1)/span) is evaluated in
+    double by both engines; (x-lo)*65535 < 2^53 for any key below
+    ~2^37, so the product, the correctly-rounded division, and the
+    floor are identical IEEE operations on both sides."""
+    from gcp_data_engineering_workshop_spark.sources.layout import (
+        zorder_code)
+    li = load_table(spark, "lineitem", sf_dir)
+    code, _ = zorder_code(li, "l_partkey", "l_suppkey")
+    return (li.select("l_orderkey", "l_linenumber", "l_partkey",
+                      "l_suppkey", code.alias("zcode"))
+            .orderBy("zcode", "l_orderkey", "l_linenumber")
+            .limit(5000))

@@ -2230,3 +2230,37 @@ j AS (
 )
 SELECT doc_id, status FROM j WHERE status != 'unchanged'
 """
+
+
+def _interleave_sql(va: str, vb: str, bits: int = 16) -> str:
+    """Morton-interleave expression over two pre-scaled SQL ints —
+    textual twin of sources/layout.py:interleave_bits."""
+    terms = [f"(((({va}) >> {i}) & 1) << {2 * i})" for i in range(bits)]
+    terms += [f"(((({vb}) >> {i}) & 1) << {2 * i + 1})" for i in range(bits)]
+    return " | ".join(terms)
+
+
+# B49 z-order codes: bounds from a min/max CTE, the same
+# floor((x-lo)*65535/span) double arithmetic (exact below 2^53),
+# and a 32-term bit interleave — both engines run identical integer
+# and IEEE operations, so codes match bit for bit.
+ZORDER_KEYS_SQL = f"""
+WITH b AS (
+  SELECT min(l_partkey) AS lo_a, max(l_partkey) AS hi_a,
+         min(l_suppkey) AS lo_b, max(l_suppkey) AS hi_b
+  FROM lineitem
+),
+s AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         CAST(floor((l_partkey - lo_a) * 65535
+                    / greatest(hi_a - lo_a, 1)) AS BIGINT) AS ga,
+         CAST(floor((l_suppkey - lo_b) * 65535
+                    / greatest(hi_b - lo_b, 1)) AS BIGINT) AS gb
+  FROM lineitem, b
+)
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       CAST({_interleave_sql('ga', 'gb')} AS BIGINT) AS zcode
+FROM s
+ORDER BY zcode, l_orderkey, l_linenumber
+LIMIT 5000
+"""

@@ -1,0 +1,114 @@
+"""Z-order (Morton) data layout for multi-dimensional scan pruning.
+
+At 100 TB a table is pruned or it is scanned. Sorting on ONE column
+gives parquet min/max stats (row-group and file skipping) on that
+column only; a second dimension's values spray across every file and
+its predicates prune nothing. Z-ordering interleaves the bit
+patterns of two (or more) key columns into a single Morton code and
+range-partitions + sorts on it, so every output file covers a small
+RECTANGLE of the key space — min/max footer stats become tight on
+ALL interleaved dimensions at once, and a conjunctive range
+predicate skips most files/row-groups before any IO. This is the
+layout trick behind Delta/Iceberg OPTIMIZE ZORDER BY, built here
+from public bit arithmetic.
+
+Everything is pure JVM integer expressions (whole-stage codegen, no
+Python crossing), and the code arithmetic — min/max scaling to a
+fixed grid, then bit interleave — replays verbatim in DuckDB, so
+the code column itself is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def interleave_bits(a: Column, b: Column, bits: int = 16) -> Column:
+    """Morton-interleave two non-negative ints already scaled to
+    [0, 2^bits): bit i of ``a`` lands at position 2i, bit i of ``b``
+    at 2i+1. Pure shift/and/or terms — one codegen'd expression."""
+    out = F.lit(0).cast("bigint")
+    for i in range(bits):
+        out = (out
+               .bitwiseOR(F.shiftleft(
+                   F.shiftrightunsigned(a.cast("bigint"), i)
+                   .bitwiseAND(F.lit(1)), 2 * i))
+               .bitwiseOR(F.shiftleft(
+                   F.shiftrightunsigned(b.cast("bigint"), i)
+                   .bitwiseAND(F.lit(1)), 2 * i + 1)))
+    return out
+
+
+def scale_to_grid(c: Column, lo: int, hi: int, bits: int = 16) -> Column:
+    """Map [lo, hi] to the [0, 2^bits) grid with exact bigint
+    arithmetic: floor((x - lo) * (2^bits - 1) / (hi - lo)). lo/hi
+    are data min/max computed once (a bounded 1-row agg) and baked
+    into the plan as literals — the same numbers parameterize the
+    oracle SQL."""
+    top = (1 << bits) - 1
+    span = max(hi - lo, 1)
+    return F.floor((c.cast("bigint") - F.lit(lo)) * F.lit(top)
+                   / F.lit(span)).cast("bigint")
+
+
+def zorder_code(df: DataFrame, col_a: str, col_b: str,
+                bits: int = 16) -> tuple[Column, tuple[int, int, int, int]]:
+    """Z-order code expression for two integer columns of ``df``,
+    plus the (lo_a, hi_a, lo_b, hi_b) bounds used — the bounds are
+    one bounded 4-value agg (O(1) driver data) and are returned so
+    callers (and the oracle) can reproduce the exact arithmetic."""
+    r = df.agg(F.min(col_a), F.max(col_a),
+               F.min(col_b), F.max(col_b)).collect()[0]
+    lo_a, hi_a, lo_b, hi_b = int(r[0]), int(r[1]), int(r[2]), int(r[3])
+    code = interleave_bits(
+        scale_to_grid(F.col(col_a), lo_a, hi_a, bits),
+        scale_to_grid(F.col(col_b), lo_b, hi_b, bits), bits)
+    return code, (lo_a, hi_a, lo_b, hi_b)
+
+
+def write_zordered(df: DataFrame, path: str, col_a: str, col_b: str,
+                   n_files: int = 8, bits: int = 16) -> None:
+    """Write ``df`` as parquet clustered by the Morton code of
+    (col_a, col_b): repartitionByRange on the code splits the curve
+    into contiguous segments (one shuffle, range exchange), and
+    sortWithinPartitions orders rows inside each file so parquet
+    ROW-GROUP stats are tight too, not just file-level ones. The
+    helper column is dropped before writing — layout is a physical
+    property, not a schema change."""
+    code, _ = zorder_code(df, col_a, col_b, bits)
+    (df.withColumn("_z", code)
+       .repartitionByRange(n_files, "_z")
+       .sortWithinPartitions("_z")
+       .drop("_z")
+       .write.mode("overwrite").parquet(path))
+
+
+def file_ranges(path: str, cols: list[str]) -> list[dict]:
+    """Per-file (min, max) footer stats for ``cols`` of a parquet
+    directory — what a file-skipping catalog (Delta/Iceberg) indexes
+    and what the pruning test asserts on. Reads only footers."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(path, name))
+        schema_names = md.schema.to_arrow_schema().names
+        stats = {c: [None, None] for c in cols}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                cname = schema_names[ci] if ci < len(schema_names) else None
+                if cname in stats and col.statistics is not None:
+                    s = col.statistics
+                    lo, hi = stats[cname]
+                    stats[cname] = [
+                        s.min if lo is None else min(lo, s.min),
+                        s.max if hi is None else max(hi, s.max)]
+        out.append({"file": name, **{c: tuple(v) for c, v in stats.items()}})
+    return out
