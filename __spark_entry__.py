@@ -71,6 +71,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_docs": _tp.embed_docs,
         "text_semdedup": _tp.text_semdedup,
         "embedding_neardup_lsh_auto": _tp.embedding_neardup_lsh_auto,
+        "decontaminate_bloom": _tp.decontaminate_bloom,
+        "zorder_keys": _an3.zorder_keys,
         # -- (3) r3-green, rotating back in for refreshed evidence --
         "ingest_parse_json": _ticks_fn,
         "ingest_replay": lambda spark, sf: _replay_fn(spark, sf, 7),
@@ -98,9 +100,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _an.sessionize_events,
         "event_funnel": _an.event_funnel,
         "quantity_percentiles": _an.quantity_percentiles,
+        # ---- window boundary (50) ----
         "asof_join_purchases": _an2.asof_join_purchases,
         "range_join_errors": _an2.range_join_errors,
-        # ---- window boundary (50) ----
         "pivot_daily_events": _an2.pivot_daily_events,
         "cube_revenue": _an2.cube_revenue,
         "salted_agg_volume": _an2.salted_agg_volume,
@@ -146,7 +148,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_stream_scale": _tp.heavy_hitters_stream_scale,
         "gopher_repetition": _tp.gopher_repetition,
         "decontaminate": _tp.decontaminate,
-        "decontaminate_bloom": _tp.decontaminate_bloom,
         "props_variant_stats": _an2.props_variant_stats,
         "q4_order_priority": _an2.q4_order_priority,
         "q21_waiting_suppliers": _an2.q21_waiting_suppliers,
@@ -160,7 +161,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail: green r3 driver rows on current data --
         "text_lang_id": _tp.text_lang_id,
         "rolling_7d_revenue": _an3.rolling_7d_revenue,
-        "zorder_keys": _an3.zorder_keys,
         "retention_set_ops": _an3.retention_set_ops,
         "grouping_sets_revenue": _an3.grouping_sets_revenue,
         "scd2_customer_dim": _an3.scd2_customer_dim,

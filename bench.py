@@ -67,6 +67,9 @@ BENCH_QUERIES = [
     "quality_classifier",    # C59 distributed logistic regression
     "span_dedup_keep_first",  # C61 keep-one-copy substring dedup
     "semdedup_incremental",  # C60 batch-vs-corpus semantic dedup
+    "text_semdedup",         # C65 raw-text capstone (embed+fit+CC)
+    "decontaminate_bloom",   # C66 bloom-pruned decontamination
+    "zorder_keys",           # B49 Morton code computation
 ]
 
 
