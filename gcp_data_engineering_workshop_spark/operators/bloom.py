@@ -89,3 +89,32 @@ def bloom_might_contain(bitmap: np.ndarray, n_hashes: int):
 
     _probe.__annotations__ = {"pos": pa.Array, "return": pa.Array}
     return arrow_udf(_probe, "boolean")
+
+
+def bloom_mask(bitmap: np.ndarray, m_bits: int, n_hashes: int):
+    """Vectorized per-element probe for an array<bigint> HASH column:
+    returns array<boolean> aligned with the input list — used by the
+    streaming twin, where the shingle array stays nested per doc so
+    the plan remains stateless (no explode/re-group aggregation).
+    Positions replay bloom_positions' exact integer arithmetic, so a
+    bitmap built by bloom_build answers consistently."""
+    import pyarrow as pa
+    from pyspark.sql.functions import arrow_udf
+
+    words = bitmap
+
+    def _mask(hs):
+        if isinstance(hs, pa.ChunkedArray):
+            hs = hs.combine_chunks()
+        flat = hs.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        h2 = (flat * KR_BASE + 7) % KR_MOD
+        ok = np.ones(flat.size, dtype=bool)
+        for i in range(n_hashes):
+            pos = (flat + i * h2) % m_bits
+            ok &= ((words[pos >> 6] >> (pos & 63).astype(np.uint64))
+                   & np.uint64(1)).astype(bool)
+        off = pa.compute.subtract(hs.offsets, hs.offsets[0])
+        return pa.ListArray.from_arrays(off, pa.array(ok))
+
+    _mask.__annotations__ = {"hs": pa.Array, "return": pa.Array}
+    return arrow_udf(_mask, "array<boolean>")

@@ -351,3 +351,56 @@ def semdedup_incremental_stream(new_embs: DataFrame, corpus: DataFrame,
             & (F.round(dot(F.col("embedding"), F.col("ec")), 6) >= tau))
     return (ab.join(ac, cond, "left_anti")
             .select("vec_id", "cluster_id"))
+
+
+def decontaminate_stream(doc_stream: DataFrame, eval_docs: DataFrame,
+                         m_bits: int = 1 << 18,
+                         n_hashes: int = 5) -> DataFrame:
+    """D21: streaming decontamination admission control (C66 twin) —
+    flag each arriving training document that shares any 3-word
+    shingle with the held-out eval corpus, STATELESS end to end.
+
+    Build side (static, once per plan): the eval shingle set and its
+    bloom bitmap (operators/bloom.py — the bit_or combine is bounded
+    by the bitmap, never the eval set).
+
+    Stream side: the shingle array and its KR hashes stay NESTED per
+    doc (pure JVM transform), one vectorized Arrow probe masks
+    bloom-positive shingles across the whole batch, and docs whose
+    candidate array is empty — ~all of them — short-circuit to
+    contaminated=false with NO join at all. Only bloom survivors
+    reach the exact confirm, a broadcast semi/anti join pair on
+    array_contains over the (tiny) candidate arrays. No explode, no
+    re-aggregation, no watermark: zero streaming state."""
+    from gcp_data_engineering_workshop_spark.functions import textfns as T
+    from gcp_data_engineering_workshop_spark.operators import bloom as BL
+
+    ev_words = eval_docs.select(
+        "doc_id", T.words("text").alias("w"))
+    eval_sh = (ev_words.where(F.size("w") >= 3)
+               .select(F.explode(F.array_distinct(
+                   T.shingles_of(F.col("w")))).alias("g"))
+               .distinct())
+    bitmap = BL.bloom_build(
+        eval_sh.select(T.kr_hash(F.col("g")).alias("h")), "h",
+        m_bits=m_bits, n_hashes=n_hashes)
+    mask = BL.bloom_mask(bitmap, m_bits, n_hashes)
+
+    w = T.words("text")
+    sh = F.when(F.size(w) >= 3, F.array_distinct(T.shingles_of(w))) \
+        .otherwise(F.array().cast("array<string>"))
+    hs = F.transform(sh, lambda g: T.kr_hash(g))
+    cand = F.filter(
+        F.zip_with(sh, mask(hs),
+                   lambda g, m: F.when(m, g)),
+        lambda x: x.isNotNull())
+    docs = doc_stream.select("doc_id", cand.alias("cand"))
+    clean = docs.where(F.size("cand") == 0) \
+        .select("doc_id", F.lit(False).alias("contaminated"))
+    maybe = docs.where(F.size("cand") > 0)
+    on = F.expr("array_contains(cand, g)")
+    hit = (maybe.join(F.broadcast(eval_sh), on, "left_semi")
+           .select("doc_id", F.lit(True).alias("contaminated")))
+    miss = (maybe.join(F.broadcast(eval_sh), on, "left_anti")
+            .select("doc_id", F.lit(False).alias("contaminated")))
+    return clean.union(hit).union(miss)

@@ -727,3 +727,30 @@ def test_streaming_semdedup_incremental_matches_batch(spark, sf_dir, tmp_path):
     want = {(r.vec_id, r.cluster_id)
             for r in semdedup_incremental(spark, sf_dir).collect()}
     assert got == want and len(want) > 0
+
+
+def test_streaming_decontaminate_matches_batch(spark, sf_dir, tmp_path):
+    """D21: stateless bloom-pruned decontamination over a document
+    stream — per-doc contaminated flags equal the C66 batch path for
+    the same training slice."""
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+    from gcp_data_engineering_workshop_spark.plans.textpipeline import (
+        decontaminate_bloom)
+
+    d = load_table(spark, "documents", sf_dir)
+    eval_docs = d.where(F.col("doc_id") % 97 == 0)
+    train = d.where(F.col("doc_id") % 97 != 0)
+
+    src = str(tmp_path / "doc_stream_dc")
+    train.select("doc_id", "text").coalesce(2) \
+        .write.mode("overwrite").parquet(src)
+    stream = spark.readStream \
+        .schema("doc_id bigint, text string").parquet(src)
+    _run_to_memory(
+        spl.decontaminate_stream(stream, eval_docs), "dc_stream")
+    got = {r.doc_id: r.contaminated
+           for r in spark.table("dc_stream").collect()}
+    want = {r.doc_id: r.contaminated
+            for r in decontaminate_bloom(spark, sf_dir).collect()}
+    assert got == want and len(got) > 0
+    assert any(got.values()) and not all(got.values())
