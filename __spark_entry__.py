@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh_auto": _tp.embedding_neardup_lsh_auto,
         "decontaminate_bloom": _tp.decontaminate_bloom,
         "zorder_keys": _an3.zorder_keys,
+        "salted_join_revenue": _an2.salted_join_revenue,
         # -- (3) r3-green, rotating back in for refreshed evidence --
         "ingest_parse_json": _ticks_fn,
         "ingest_replay": lambda spark, sf: _replay_fn(spark, sf, 7),
@@ -99,8 +100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": _an.rollup_revenue,
         "sessionize_events": _an.sessionize_events,
         "event_funnel": _an.event_funnel,
-        "quantity_percentiles": _an.quantity_percentiles,
         # ---- window boundary (50) ----
+        "quantity_percentiles": _an.quantity_percentiles,
         "asof_join_purchases": _an2.asof_join_purchases,
         "range_join_errors": _an2.range_join_errors,
         "pivot_daily_events": _an2.pivot_daily_events,
@@ -259,6 +260,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_upsert_orders": _orc.MERGE_UPSERT_SQL,
         "rolling_7d_revenue": _orc.ROLLING_7D_SQL,
         "zorder_keys": _orc.ZORDER_KEYS_SQL,
+        "salted_join_revenue": _orc.SALTED_JOIN_SQL,
         "value_deciles": _orc.VALUE_DECILES_SQL,
         "retention_set_ops": _orc.RETENTION_SET_OPS_SQL,
         "grouping_sets_revenue": _orc.GROUPING_SETS_SQL,

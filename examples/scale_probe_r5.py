@@ -136,6 +136,12 @@ from gcp_data_engineering_workshop_spark.plans import textpipeline as tp  # noqa
 
 DOC_TARGETS = [
     ("text_semdedup", tp.text_semdedup),
+    # decontamination pair: the replicated corpus grows BOTH sides
+    # (training shingles and the doc_id%97 eval slice) 10x, which is
+    # exactly the regime where the broadcast-set plan's build side
+    # outgrows broadcast and the bloom path's fixed-size bitmap wins
+    ("decontaminate", tp.decontaminate),
+    ("decontaminate_bloom", tp.decontaminate_bloom),
     ("span_dedup_apply", tp.span_dedup_apply),
     ("quality_classifier", tp.quality_classifier),
     ("image_phash_neardup", tp.image_phash_neardup),

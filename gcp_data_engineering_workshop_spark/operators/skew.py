@@ -40,3 +40,34 @@ def salted_sum_count(df: DataFrame, key: str, value: str,
         .agg(F.sum("_psum").alias("total"),
              F.sum("_pcnt").alias("n_rows"))
     )
+
+
+def salted_join(fact: DataFrame, dim: DataFrame, on: str,
+                n_salts: int = 16, how: str = "inner",
+                salt_source: Column | None = None) -> DataFrame:
+    """Replicate-and-salt join for skewed keys when the build side
+    is too large to broadcast (the regime where AQE's skew split
+    still leaves one straggler sorting a hot key's whole run):
+    every fact row gets a deterministic salt in [0, n_salts); the
+    dim side is replicated once per salt via an exploded literal
+    array; the join key becomes (key, salt), so a hot key's rows
+    spread over n_salts reducers instead of one.
+
+    Results are IDENTICAL to the plain join: each fact row meets
+    exactly the replicas carrying its own salt — i.e. every
+    matching dim row exactly once — for inner and left joins alike
+    (a left-side miss is still a miss under every salt). The dim
+    side pays an n_salts-fold replication through the exchange,
+    which is the explicit, bounded price for removing the unbounded
+    hot-key straggler; choose n_salts ~ the skew factor, not the
+    cluster size.
+
+    The salt must be deterministic (default: xxhash64 over all fact
+    columns) — rand() breaks task retries and speculation."""
+    if salt_source is None:
+        salt_source = F.xxhash64(*[F.col(c) for c in fact.columns])
+    f = fact.withColumn("_salt", F.pmod(salt_source, F.lit(n_salts))
+                        .cast("int"))
+    d = dim.withColumn("_salt", F.explode(F.array(
+        *[F.lit(i) for i in range(n_salts)])))
+    return f.join(d, [on, "_salt"], how).drop("_salt")

@@ -826,3 +826,29 @@ def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("k").alias("k_max"))
         .orderBy("event_type")
     )
+
+
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B50: revenue by order priority through a SALTED fact-dim join
+    (operators/skew.py salted_join) — the join-side counterpart of
+    B20 for the regime AQE skew-split doesn't cover: a build side
+    too large to broadcast with a hot-key run too long to sort on
+    one reducer. The fact side salts deterministically, the orders
+    side replicates n_salts ways, and the join runs on
+    (o_orderkey, _salt); results are bit-identical to the plain
+    join (each lineitem meets its own salt's replica exactly once),
+    which is what the oracle certifies."""
+    from gcp_data_engineering_workshop_spark.operators.skew import (
+        salted_join)
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        (F.col("l_extendedprice").cast(_DEC)
+         * (1 - F.col("l_discount").cast(_DEC))).alias("_rev"))
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority")
+    joined = salted_join(li, orders, on="o_orderkey", n_salts=8)
+    return (joined.groupBy("o_orderpriority")
+            .agg(F.sum("_rev").cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items"))
+            .orderBy("o_orderpriority"))

@@ -2264,3 +2264,18 @@ FROM s
 ORDER BY zcode, l_orderkey, l_linenumber
 LIMIT 5000
 """
+
+
+# B50 salted join: the salt is plan plumbing only — the oracle runs
+# the PLAIN join the salted plan must equal bit for bit (decimal
+# revenue summed exactly, cast to double at the boundary).
+SALTED_JOIN_SQL = """
+SELECT o.o_orderpriority,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,4))))
+            AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""

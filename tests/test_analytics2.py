@@ -247,3 +247,35 @@ def test_user_overlap_sketch_bound(spark, sf_dir):
     for est, exact in [(got.viewers, len(a)), (got.purchasers, len(b)),
                        (got.either, len(a | b)), (got.overlap, len(a & b))]:
         assert abs(est - exact) <= max(2, 0.02 * exact)
+
+
+def test_salted_join_equals_plain_and_spreads_hot_key(spark):
+    """B50 operator contract on a hand-built skewed dataset: the
+    salted join equals the plain join row for row (inner AND left,
+    including dim-side duplicate keys and fact-side misses), and the
+    physical join condition actually carries the salt key."""
+    from pyspark.sql import functions as F
+    from gcp_data_engineering_workshop_spark.operators.skew import (
+        salted_join)
+
+    # hot key 1 carries 90% of fact rows; key 99 has no dim match
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(900)]
+        + [(k, k * 10) for k in range(2, 92)]
+        + [(99, -1)], "k int, v int")
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(1, 92)]
+        + [(1, "dup")],  # duplicate dim key must fan out identically
+        "k int, name string")
+
+    for how in ("inner", "left"):
+        got = sorted((r.k, r.v, r.name) for r in
+                     salted_join(fact, dim, on="k", n_salts=8,
+                                 how=how).collect())
+        want = sorted((r.k, r.v, r.name) for r in
+                      fact.join(dim, "k", how).collect())
+        assert got == want and len(want) > 900
+
+    plan = salted_join(fact, dim, on="k", n_salts=8) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan  # the join really runs on (k, _salt)
