@@ -907,7 +907,14 @@ def span_dedup_apply_docs(d: DataFrame, span_words: int = 10,
     sp = register(
         base.select("doc_id", F.posexplode("sps").alias("pos", "sp")))
     occ = sp.groupBy("sp").agg(F.count(F.lit(1)).alias("occ"))
-    dup = (sp.join(occ, "sp").where(F.col("occ") >= 2)
+    # SHUFFLE_HASH: the default SMJ would SORT both sides on the
+    # long string span key — by far the stage's dominant cost (the
+    # hash agg above needs no order). The hash join builds on the
+    # distinct-span side and STREAMS the occurrence side, so hot
+    # boilerplate spans probe row by row instead of sorting a run
+    # (the skew-safe shape a collect_list formulation would lose).
+    dup = (sp.join(occ.hint("shuffle_hash"), "sp")
+           .where(F.col("occ") >= 2)
            .select("doc_id", "pos"))
     # word positions covered by >= 1 duplicated span (bounded
     # fan-out: L rows per dup span, distinct-folded right after)
@@ -1101,7 +1108,9 @@ def span_dedup_keep_first(spark: SparkSession, sf_dir: str,
     firsts = sp.groupBy("sp").agg(
         F.count(F.lit(1)).alias("occ"),
         F.min(F.struct("doc_id", "pos")).alias("first"))
-    dup = (sp.join(firsts, "sp")
+    # shuffle_hash for the same reason as C52: skip the SMJ's string
+    # sorts, build on distinct spans, stream the occurrences
+    dup = (sp.join(firsts.hint("shuffle_hash"), "sp")
            .where((F.col("occ") >= 2)
                   & (F.struct("doc_id", "pos") != F.col("first")))
            .select("doc_id", "pos"))

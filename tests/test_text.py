@@ -674,3 +674,16 @@ def test_bloom_build_bounded_and_probe_prunes(spark, sf_dir):
     fp = hits(others)
     # m/n = 32 bits per key, k=5 => theoretical FP ~ 2e-4; allow 100x
     assert fp <= 100, f"false-positive rate too high: {fp}/5000"
+
+
+def test_span_dedup_join_is_hash_not_sort(spark, sf_dir):
+    """Plan guard for the C52/C61 annotate join: the span-key join
+    must run as a ShuffledHashJoin (build on distinct spans, stream
+    occurrences) — an SMJ here sorts both sides on long string keys,
+    the stage's dominant cost, and a regression would reintroduce
+    it silently."""
+    for fn in (tp.span_dedup_apply, tp.span_dedup_keep_first):
+        plan = fn(spark, sf_dir)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "ShuffledHashJoin" in plan
+        assert "SortMergeJoin" not in plan, fn.__name__
