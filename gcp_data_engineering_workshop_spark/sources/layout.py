@@ -112,3 +112,40 @@ def file_ranges(path: str, cols: list[str]) -> list[dict]:
                         s.max if hi is None else max(hi, s.max)]
         out.append({"file": name, **{c: tuple(v) for c, v in stats.items()}})
     return out
+
+
+def interleave_bits_n(cols: list[Column], bits: int = 16) -> Column:
+    """N-dimensional Morton interleave: bit i of dimension d lands at
+    position i*n + d, so equal bit-prefixes still describe hypercubes
+    of the key space. With n=2 this places bits exactly like
+    interleave_bits. The result needs n*bits <= 63 total bits
+    (e.g. 3 dims x 16 bits = 48)."""
+    n = len(cols)
+    if n * bits > 63:
+        raise ValueError(f"{n} dims x {bits} bits exceeds a bigint")
+    out = F.lit(0).cast("bigint")
+    for d, c in enumerate(cols):
+        for i in range(bits):
+            out = out.bitwiseOR(F.shiftleft(
+                F.shiftrightunsigned(c.cast("bigint"), i)
+                .bitwiseAND(F.lit(1)), i * n + d))
+    return out
+
+
+def write_zordered_n(df: DataFrame, path: str, cols: list[str],
+                     n_files: int = 8, bits: int = 16) -> None:
+    """N-dimensional write_zordered: min/max bounds for every
+    dimension come from ONE bounded 2n-value agg, each key scales to
+    the shared grid, and the layout clusters on the n-dim Morton
+    code. bits defaults shrink to fit 63 total bits."""
+    bits = min(bits, 63 // len(cols))
+    r = df.agg(*[f for c in cols
+                 for f in (F.min(c), F.max(c))]).collect()[0]
+    scaled = [scale_to_grid(F.col(c), int(r[2 * i]), int(r[2 * i + 1]),
+                            bits)
+              for i, c in enumerate(cols)]
+    (df.withColumn("_z", interleave_bits_n(scaled, bits))
+       .repartitionByRange(n_files, "_z")
+       .sortWithinPartitions("_z")
+       .drop("_z")
+       .write.mode("overwrite").parquet(path))

@@ -461,3 +461,45 @@ def test_zorder_layout_prunes_files(spark, sf_dir, tmp_path):
     pred = (F.col("l_partkey").between(box["a_lo"], box["a_hi"])
             & F.col("l_suppkey").between(box["b_lo"], box["b_hi"]))
     assert zr.where(pred).count() == li.where(pred).count()
+
+
+def test_zorder_3d_interleave_and_layout(spark, sf_dir, tmp_path):
+    """3-D Morton interleave matches an independent Python reference,
+    and the 3-D layout gives every dimension non-trivial file
+    pruning (the 1-D sort gives two of them none)."""
+    from pyspark.sql import functions as F
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+    from gcp_data_engineering_workshop_spark.sources.layout import (
+        file_ranges, interleave_bits_n, write_zordered_n)
+
+    def ref(vals, bits, n):
+        return sum(((v >> i) & 1) << (i * n + d)
+                   for d, v in enumerate(vals) for i in range(bits))
+
+    trip = [(a, b, c) for a in (0, 3, 117, 255)
+            for b in (0, 5, 64) for c in (1, 200, 4095)]
+    df = spark.createDataFrame(trip, "a int, b int, c int")
+    got = {(r.a, r.b, r.c): r.z for r in df.select(
+        "a", "b", "c",
+        interleave_bits_n([F.col("a"), F.col("b"), F.col("c")],
+                          bits=12).alias("z")).collect()}
+    assert all(got[t] == ref(t, 12, 3) for t in trip)
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey", "l_suppkey")
+    n_files = 16
+    path = str(tmp_path / "z3")
+    write_zordered_n(li, path, ["l_orderkey", "l_partkey", "l_suppkey"],
+                     n_files=n_files)
+    frs = file_ranges(path, ["l_orderkey", "l_partkey", "l_suppkey"])
+    assert len(frs) == n_files
+    assert spark.read.parquet(path).count() == li.count()
+    # every dimension's per-file ranges must be narrower than the
+    # full span for most files (i.e. its stats can prune)
+    for col in ("l_orderkey", "l_partkey", "l_suppkey"):
+        lo = min(fr[col][0] for fr in frs)
+        hi = max(fr[col][1] for fr in frs)
+        span = max(hi - lo, 1)
+        narrow = sum((fr[col][1] - fr[col][0]) <= 0.75 * span
+                     for fr in frs)
+        assert narrow >= n_files // 2, (col, narrow)
