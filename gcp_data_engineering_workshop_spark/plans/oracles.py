@@ -1639,12 +1639,14 @@ dense AS (
   LEFT JOIN acc a ON a.doc_id = w.doc_id AND a.idx = d.i
 ),
 nrm AS (SELECT doc_id, sqrt(sum(v * v)) AS nv FROM dense GROUP BY doc_id)
+-- flat (doc_id, dim_idx, value) rows, matching the Spark entry's
+-- posexplode: the gate's pandas canonicalizer cannot hash list
+-- cells, so the vector representation stays internal (VERDICT r5 #1)
 SELECT dense.doc_id,
        CAST(dense.n_tokens AS BIGINT) AS n_tokens,
-       list(round(CASE WHEN nv > 0 THEN v / nv ELSE 0.0 END, 6)
-            ORDER BY i) AS embedding
+       CAST(dense.i AS INT) AS dim_idx,
+       round(CASE WHEN nv > 0 THEN v / nv ELSE 0.0 END, 6) AS value
 FROM dense JOIN nrm USING (doc_id)
-GROUP BY dense.doc_id, dense.n_tokens, nv
 """
 
 SPAN_DEDUP_KEEP_FIRST_SQL = f"""

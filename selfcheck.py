@@ -100,6 +100,22 @@ def main():
         if name not in oracles:
             print(f"ROWS  {name}: {len(srows)} rows (no oracle, rows-only)")
             continue
+        # GATE-PARITY GUARD (VERDICT r5 #2): the driver canonicalizes
+        # with pandas sort_values/factorize, which throws on nested
+        # cells — while this script tuples them up (norm_cell) and
+        # passes. An oracle-checked query with an array/map/struct
+        # output column would therefore pass HERE and burn a red
+        # driver row (exactly what embed_docs did in r5). Fail loudly.
+        from pyspark.sql import types as ST
+        nested = [f.name for f in sdf.schema.fields
+                  if isinstance(f.dataType,
+                                (ST.ArrayType, ST.MapType, ST.StructType))]
+        if nested:
+            failures.append(name)
+            print(f"FAIL  {name}: nested output column(s) {nested} — the "
+                  "driver's canonicalizer cannot hash these; register a "
+                  "flat (exploded or string-joined) projection instead")
+            continue
         try:
             cur = con.execute(oracles[name])
             ocols = [d[0] for d in cur.description]

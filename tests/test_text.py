@@ -626,15 +626,35 @@ def test_embed_docs_unit_norm_and_determinism(spark, sf_dir):
     """C64: embeddings are unit-norm (6dp), deterministic across
     runs, and sensitive to content (distinct docs rarely collide)."""
     rows = {r.doc_id: tuple(r.embedding)
-            for r in tp.embed_docs(spark, sf_dir).collect()}
+            for r in tp.embed_docs_vec(spark, sf_dir).collect()}
     import math
     for v in list(rows.values())[:50]:
         n = math.sqrt(sum(x * x for x in v))
         assert abs(n - 1.0) < 1e-3 or n == 0.0
     again = {r.doc_id: tuple(r.embedding)
-             for r in tp.embed_docs(spark, sf_dir).collect()}
+             for r in tp.embed_docs_vec(spark, sf_dir).collect()}
     assert rows == again
     assert len(set(rows.values())) > 0.9 * len(rows)
+
+
+def test_embed_docs_flat_matches_vec(spark, sf_dir):
+    """C64 driver entry: the flat exploded rows carry exactly the
+    vector components, 64 per doc, and use only scalar columns (the
+    driver-canonicalizer contract that r5's array output violated)."""
+    from pyspark.sql import types as ST
+    vec = {r.doc_id: list(r.embedding)
+           for r in tp.embed_docs_vec(spark, sf_dir).collect()}
+    flat = tp.embed_docs(spark, sf_dir)
+    for f in flat.schema.fields:
+        assert not isinstance(
+            f.dataType, (ST.ArrayType, ST.MapType, ST.StructType)), f.name
+    got: dict[int, dict[int, float]] = {}
+    for r in flat.collect():
+        got.setdefault(r.doc_id, {})[r.dim_idx] = r.value
+    assert set(got) == set(vec)
+    for d, comps in got.items():
+        assert len(comps) == 64
+        assert [comps[i] for i in range(64)] == vec[d]
 
 
 def test_decontaminate_bloom_equals_exact(spark, sf_dir):
