@@ -19,6 +19,24 @@ from pyspark.sql import functions as F
 KR_BASE = 31
 KR_MOD = (1 << 31) - 1
 
+# Second independent KR channel for the WIDE (packed 62-bit) hash:
+# a different base and a different prime modulus (2^31 - 19). The
+# pack h1 * KR2_MOD + h2 is INJECTIVE in the pair (h1 < KR_MOD,
+# h2 < KR2_MOD), so the packed value collides exactly when both
+# channels collide: ~2^-62 per pair for non-adversarial inputs
+# (each channel is a degree-(len) polynomial mod its prime, so the
+# worst-case per-pair bound is (len/KR_MOD) * (len/KR2_MOD)).
+# Max packed value < KR_MOD * KR2_MOD < 2^62 — always a positive
+# bigint in both engines.
+KR2_BASE = 131
+KR2_MOD = (1 << 31) - 19
+
+# Span-combine bases: polynomials over WORD hashes (see span_keys_of)
+# use their own bases so that word-level and span-level structure
+# cannot cancel. acc*B + wh < 2^31 * 2^20 + 2^31 never overflows.
+SPAN_BASE1 = 1_000_003
+SPAN_BASE2 = 999_983
+
 
 def normalize(col) -> Column:
     """lower + collapse whitespace + trim."""
@@ -69,6 +87,111 @@ def kr_hash(col) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, ch: (acc * KR_BASE + F.ascii(ch)) % KR_MOD,
     )
+
+
+def _kr_fold(c: Column, base: int, mod: int) -> Column:
+    chars = F.split(c, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
+    )
+
+
+def kr_hash2(col) -> Column:
+    """Second independent Karp-Rabin channel (base 131 mod 2^31-19)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return _kr_fold(c, KR2_BASE, KR2_MOD)
+
+
+def wide_hash(col) -> Column:
+    """62-bit cross-engine string fingerprint: the two independent KR
+    channels packed into ONE bigint (h1 * KR2_MOD + h2 — injective in
+    the pair, so per-pair collision ~2^-62; at N distinct keys expect
+    ~N^2/2^63 birthday collisions, i.e. ~10^-7 at 10^6 keys and ~10^-2
+    at 10^9). The shuffle-key replacement for long strings: 8 bytes on
+    the wire instead of the string. Replays exactly in DuckDB via
+    wide_hash_sql (parity pytest on adversarial strings)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return _kr_fold(c, KR_BASE, KR_MOD) * KR2_MOD + _kr_fold(c, KR2_BASE, KR2_MOD)
+
+
+def wide_hash_sql(expr: str) -> str:
+    """DuckDB SQL computing exactly ``wide_hash`` of the string
+    expression ``expr`` (same char folds, same pack)."""
+    def fold(base, mod):
+        return (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+                f"list_transform(string_split({expr}, ''), "
+                f"c -> CAST(ascii(c) AS BIGINT))), "
+                f"(h, x) -> (h * {base} + x) % {mod})")
+    return f"({fold(KR_BASE, KR_MOD)} * {KR2_MOD} + {fold(KR2_BASE, KR2_MOD)})"
+
+
+def word_hashes_of(ws: Column) -> tuple[Column, Column]:
+    """Per-word KR hashes of a materialized word-array column, one
+    array per channel. Each word's characters fold ONCE here no
+    matter how many spans it later appears in — the reason the span
+    key build is O(words), not O(words * span_len)."""
+    wh1 = F.transform(ws, lambda t: _kr_fold(t, KR_BASE, KR_MOD))
+    wh2 = F.transform(ws, lambda t: _kr_fold(t, KR2_BASE, KR2_MOD))
+    return wh1, wh2
+
+
+def span_keys_of(wh1: Column, wh2: Column, span_words: int) -> Column:
+    """Packed 62-bit fingerprints of every stride-1 span_words-word
+    span, from the per-word hash arrays (word_hashes_of): channel i
+    folds the span's word hashes with SPAN_BASEi mod KR[i]_MOD, the
+    two fold values pack as h1 * KR2_MOD + h2. Empty array when the
+    doc has fewer than span_words words.
+
+    This is the span-dedup shuffle key (SURVEY C41/C52/C61): two
+    spans get the same key iff their word sequences match, up to the
+    documented ~2^-62 per-pair collision odds — the production Lee et
+    al. trade (fingerprints on the wire, never the 60-70-byte span
+    string, an order of magnitude less shuffle traffic). Exactness-
+    critical runs can carry the two channels UNPACKED as a 2-column
+    key and double the channel count for 2^-124. Replays in DuckDB
+    via span_keys_sql (parity pytest)."""
+    L = span_words
+    return F.when(
+        F.size(wh1) >= L,
+        F.transform(
+            F.sequence(F.lit(0), F.size(wh1) - L),
+            lambda i: (F.aggregate(F.slice(wh1, i + 1, L),
+                                   F.lit(0).cast("bigint"),
+                                   lambda a, x: (a * SPAN_BASE1 + x) % KR_MOD)
+                       * KR2_MOD
+                       + F.aggregate(F.slice(wh2, i + 1, L),
+                                     F.lit(0).cast("bigint"),
+                                     lambda a, x: (a * SPAN_BASE2 + x)
+                                     % KR2_MOD)))
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def span_keys_sql(words_expr: str, span_words: int) -> str:
+    """DuckDB SQL computing exactly ``span_keys_of`` over a word-list
+    expression (for the cross-engine parity test; the span-dedup
+    ORACLES keep keying on raw span strings — DuckDB is the exact
+    referee either way, which is itself the collision check: a
+    colliding fingerprint would flip a dup decision and hash-mismatch
+    the driver row)."""
+    L = span_words
+    wh1 = (f"list_transform({words_expr}, t -> "
+           f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+           f"list_transform(string_split(t, ''), "
+           f"c -> CAST(ascii(c) AS BIGINT))), "
+           f"(h, x) -> (h * {KR_BASE} + x) % {KR_MOD}))")
+    wh2 = (f"list_transform({words_expr}, t -> "
+           f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+           f"list_transform(string_split(t, ''), "
+           f"c -> CAST(ascii(c) AS BIGINT))), "
+           f"(h, x) -> (h * {KR2_BASE} + x) % {KR2_MOD}))")
+    return (f"list_transform(range(0, greatest(len({words_expr}) - {L - 1}, 0)), "
+            f"i -> list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"({wh1})[i+1:i+{L}]), (a, x) -> (a * {SPAN_BASE1} + x) % {KR_MOD})"
+            f" * {KR2_MOD} + "
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"({wh2})[i+1:i+{L}]), (a, x) -> (a * {SPAN_BASE2} + x) % {KR2_MOD}))")
 
 
 def jaccard(a: Column, b: Column) -> Column:

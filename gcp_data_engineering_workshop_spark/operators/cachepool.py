@@ -31,8 +31,27 @@ _CAP = 8
 
 def register(df: DataFrame, storage_level=None) -> DataFrame:
     """Persist ``df`` and enroll it in the bounded pool, evicting
-    (unpersisting) the oldest entries beyond the cap. Returns df."""
+    (unpersisting) the oldest entries beyond the cap. Returns df.
+
+    One pool slot per CANONICAL PLAN: ``unpersist`` targets the
+    CacheManager entry matching the frame's canonicalized plan, not
+    the Python object — so evicting a stale twin of a plan that was
+    re-registered later would silently kill the LIVE cache too, and
+    every downstream reference recomputes the upstream. Observed as
+    a 16x cliff (3.5s -> 55s) on the third back-to-back run of
+    span_dedup_apply: the third run's registrations pushed the pool
+    past cap and the evicted run-0 `base` took run-2's identical-plan
+    cache with it. Deduping by sameSemantics keeps exactly one ref
+    per plan, so FIFO eviction only ever drops genuinely old plans."""
     df.persist() if storage_level is None else df.persist(storage_level)
+    for old in list(_POOL):
+        if old is df:
+            continue
+        try:
+            if old.sameSemantics(df):
+                _POOL.remove(old)
+        except Exception:
+            pass  # cross-session compare or stopped session: keep both
     _POOL.append(df)
     while len(_POOL) > _CAP:
         old = _POOL.popleft()

@@ -846,21 +846,39 @@ def span_dedup_stats(spark: SparkSession, sf_dir: str,
     No pairwise joins at any point (we count occurrences, we never
     enumerate occurrence PAIRS, which is what makes the diagnostic
     affordable where pair-listing suffix approaches are not).
+
+    The span key is the packed 62-bit two-channel fingerprint
+    (textfns.span_keys_of), NOT the raw 60-70-byte span string: each
+    word appears in ~span_words stride-1 spans, so a string key puts
+    ~10x the corpus's text on the wire — at 100 TB that is petabytes
+    of avoidable exchange (VERDICT r5 #2). Two spans share a key iff
+    their word sequences match, up to the documented ~2^-62 per-pair
+    collision odds; a collision that flipped any dup decision would
+    hash-mismatch the string-keyed DuckDB oracle, so the green driver
+    row doubles as the collision check at test scale.
     """
     L = span_words
     d = _docs(spark, sf_dir)
     par = spark.sparkContext.defaultParallelism
-    spans_expr = F.when(
-        F.size("w") >= L,
-        F.expr(f"transform(sequence(0, size(w) - {L}), "
-               f"i -> array_join(slice(w, i+1, {L}), ' '))")
-    ).otherwise(F.array().cast("array<string>"))
-    base = (d.repartition(par)
-            .select("doc_id", T.words("text").alias("w"))
-            .repartition(par)
-            .select("doc_id", F.size("w").alias("n_words"),
-                    spans_expr.alias("sps")))
+    wh1, wh2 = T.word_hashes_of(F.col("w"))
+    # each projection layer materializes what the next references
+    # multiple times (words -> per-word hashes -> span keys):
+    # CollapseProject keeps expensive multiply-referenced aliases in
+    # their own layer, so the char folds run once per WORD, not once
+    # per span
     from gcp_data_engineering_workshop_spark.operators.cachepool import register
+    # base is CACHED: the fingerprint build is the expensive stage
+    # now (interpreted HOF folds), and both the exploded span table
+    # and the final per-doc join read it — uncached it would run
+    # twice
+    base = register(
+        d.repartition(par)
+        .select("doc_id", T.words("text").alias("w"))
+        .select("doc_id", F.size("w").alias("n_words"),
+                wh1.alias("h1"), wh2.alias("h2"))
+        .select("doc_id", "n_words",
+                T.span_keys_of(F.col("h1"), F.col("h2"), L)
+                .alias("sps")))
     sp = register(
         base.select("doc_id", F.posexplode("sps").alias("pos", "sp")))
     occ = sp.groupBy("sp").agg(F.count(F.lit(1)).alias("occ"))
@@ -890,29 +908,38 @@ def span_dedup_stats(spark: SparkSession, sf_dir: str,
 def span_dedup_apply_docs(d: DataFrame, span_words: int = 10,
                           par: int | None = None) -> DataFrame:
     """Core of C52 over an arbitrary (doc_id, text) frame — split out
-    so tests can run hand-built corpora with known span overlaps."""
+    so tests can run hand-built corpora with known span overlaps.
+
+    Keys every exchange on the packed 62-bit span fingerprint
+    (textfns.span_keys_of) instead of the raw span string — 8 bytes
+    on the wire vs 60-70, and the string is never even built (the
+    fingerprint folds per-word hashes, so the char work is O(words),
+    not O(words x span_words)). Collision odds ~2^-62 per span pair
+    (documented in span_dedup_stats; the string-keyed oracle is the
+    collision check)."""
     L = span_words
-    spans_expr = F.when(
-        F.size("w") >= L,
-        F.expr(f"transform(sequence(0, size(w) - {L}), "
-               f"i -> array_join(slice(w, i+1, {L}), ' '))")
-    ).otherwise(F.array().cast("array<string>"))
+    wh1, wh2 = T.word_hashes_of(F.col("w"))
     base = d.select("doc_id", T.words("text").alias("w"))
     if par:
         base = base.repartition(par)
-    base = base.select("doc_id", "w", F.size("w").alias("n_words"),
-                       spans_expr.alias("sps"))
+    # layered projections: words -> per-word hashes -> span keys (see
+    # span_dedup_stats — keeps the char folds at once-per-word)
+    base = (base.select("doc_id", "w", F.size("w").alias("n_words"),
+                        wh1.alias("h1"), wh2.alias("h2"))
+            .select("doc_id", "w", "n_words",
+                    T.span_keys_of(F.col("h1"), F.col("h2"), L)
+                    .alias("sps")))
     from gcp_data_engineering_workshop_spark.operators.cachepool import register
     base = register(base)
     sp = register(
         base.select("doc_id", F.posexplode("sps").alias("pos", "sp")))
     occ = sp.groupBy("sp").agg(F.count(F.lit(1)).alias("occ"))
-    # SHUFFLE_HASH: the default SMJ would SORT both sides on the
-    # long string span key — by far the stage's dominant cost (the
-    # hash agg above needs no order). The hash join builds on the
-    # distinct-span side and STREAMS the occurrence side, so hot
-    # boilerplate spans probe row by row instead of sorting a run
-    # (the skew-safe shape a collect_list formulation would lose).
+    # SHUFFLE_HASH: the default SMJ would SORT both sides on the span
+    # key — by far the stage's dominant cost (the hash agg above
+    # needs no order). The hash join builds on the distinct-span side
+    # and STREAMS the occurrence side, so hot boilerplate spans probe
+    # row by row instead of sorting a run (the skew-safe shape a
+    # collect_list formulation would lose).
     dup = (sp.join(occ.hint("shuffle_hash"), "sp")
            .where(F.col("occ") >= 2)
            .select("doc_id", "pos"))
@@ -1110,15 +1137,17 @@ def span_dedup_keep_first(spark: SparkSession, sf_dir: str,
     L = span_words
     d = _docs(spark, sf_dir)
     par = spark.sparkContext.defaultParallelism
-    spans_expr = F.when(
-        F.size("w") >= L,
-        F.expr(f"transform(sequence(0, size(w) - {L}), "
-               f"i -> array_join(slice(w, i+1, {L}), ' '))")
-    ).otherwise(F.array().cast("array<string>"))
+    wh1, wh2 = T.word_hashes_of(F.col("w"))
+    # packed 62-bit span fingerprints as the group/join key (see
+    # span_dedup_stats for the collision contract); layered
+    # projections keep the char folds at once-per-word
     base = (d.select("doc_id", T.words("text").alias("w"))
             .repartition(par)
             .select("doc_id", "w", F.size("w").alias("n_words"),
-                    spans_expr.alias("sps")))
+                    wh1.alias("h1"), wh2.alias("h2"))
+            .select("doc_id", "w", "n_words",
+                    T.span_keys_of(F.col("h1"), F.col("h2"), L)
+                    .alias("sps")))
     from gcp_data_engineering_workshop_spark.operators.cachepool import (
         register)
     base = register(base)
@@ -1127,8 +1156,8 @@ def span_dedup_keep_first(spark: SparkSession, sf_dir: str,
     firsts = sp.groupBy("sp").agg(
         F.count(F.lit(1)).alias("occ"),
         F.min(F.struct("doc_id", "pos")).alias("first"))
-    # shuffle_hash for the same reason as C52: skip the SMJ's string
-    # sorts, build on distinct spans, stream the occurrences
+    # shuffle_hash for the same reason as C52: skip the SMJ's sorts,
+    # build on distinct spans, stream the occurrences
     dup = (sp.join(firsts.hint("shuffle_hash"), "sp")
            .where((F.col("occ") >= 2)
                   & (F.struct("doc_id", "pos") != F.col("first")))

@@ -707,3 +707,55 @@ def test_span_dedup_join_is_hash_not_sort(spark, sf_dir):
             .executedPlan().toString()
         assert "ShuffledHashJoin" in plan
         assert "SortMergeJoin" not in plan, fn.__name__
+
+
+def test_wide_hash_cross_engine_parity(spark):
+    """Task-7 utility: wide_hash (packed 62-bit two-channel KR) and
+    span_keys_of replay bit-identically in DuckDB on adversarial
+    strings — empties, single chars, long repeats, punctuation,
+    whitespace-sensitive variants, and shingle-boundary traps like
+    ('ab c' vs 'a bc') that a separator-free hash would conflate."""
+    import duckdb
+
+    strings = [
+        "", "a", " ", "  ", "ab c", "a bc", "abc", "cba",
+        "the quick brown fox", "the quick brown fo", "x" * 500,
+        "0123456789" * 40, "word " * 50, "!@#$%^&*()_+-=[]{};':,./<>?",
+        "same same same same", "Same same same same",
+    ]
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    got = {r.s: r.h for r in df.select(
+        "s", T.wide_hash("s").alias("h")).collect()}
+    con = duckdb.connect()
+    for s in strings:
+        want = con.execute(
+            f"SELECT {T.wide_hash_sql('s')} FROM (SELECT ? AS s)", [s]
+        ).fetchone()[0]
+        assert got[s] == want, s
+        assert 0 <= got[s] < T.KR_MOD * T.KR2_MOD
+
+    # span keys: word arrays with repeats, short docs, boundary traps
+    docs = [
+        (0, ["a", "b", "c", "d", "e"]),
+        (1, ["b", "c", "d", "e", "f", "g"]),
+        (2, ["a"]), (3, []),
+        (4, ["ab", "c", "d"]), (5, ["a", "bc", "d"]),
+        (6, ["x"] * 20),
+    ]
+    L = 3
+    wdf = spark.createDataFrame(docs, "doc_id long, w array<string>")
+    wh1, wh2 = T.word_hashes_of(F.col("w"))
+    skeys = {r.doc_id: list(r.ks) for r in wdf.select(
+        "doc_id", T.span_keys_of(wh1, wh2, L).alias("ks")).collect()}
+    for doc_id, w in docs:
+        lit = "[" + ", ".join(f"'{t}'" for t in w) + "]"
+        want = con.execute(
+            f"SELECT {T.span_keys_sql(lit, L)}").fetchone()[0]
+        assert skeys[doc_id] == list(want), (doc_id, skeys[doc_id], want)
+    # equal word windows <-> equal keys on this corpus (docs 0/1 share
+    # the b-c-d and c-d-e windows; doc 6 is all-same)
+    assert skeys[0][1] == skeys[1][0] and skeys[0][2] == skeys[1][1]
+    assert skeys[0][0] not in skeys[1]
+    assert len(set(skeys[6])) == 1
+    assert skeys[2] == [] and skeys[3] == []
+    assert skeys[4][0] != skeys[5][0]
