@@ -128,8 +128,19 @@ def kmeans_fit(emb: DataFrame, k: int = 8, n_iter: int = 5,
     rounded values are order-independent) — which is what lets the
     DuckDB oracle replay the whole fit with unrolled SQL rounds.
     Empty clusters keep their previous centroid (deterministic).
+
+    The loop EARLY-EXITS when a round leaves the rounded centroid
+    grid unchanged: that is a fixed point (same centroids -> same
+    assignment -> same M-step -> same rounded centroids), so every
+    skipped round would have replayed identically and the oracle's
+    full n_iter unroll still matches bit for bit — the exit only
+    drops dead driver-synchronized jobs (VERDICT r6 #5a; the decimal
+    contract is what makes the equality test exact rather than a
+    tolerance heuristic).
+
     ``stats`` (optional) records "combine_rows", the max combined
-    M-step frame ever collected — pytest asserts it is k * dim."""
+    M-step frame ever collected — pytest asserts it is k * dim — and
+    "fit_rounds", the number of E/M rounds actually executed."""
     cent = seed_centroids(emb, k)
     dim = cent.shape[1]
     base = emb.select("vec_id", "embedding")
@@ -161,7 +172,7 @@ def kmeans_fit(emb: DataFrame, k: int = 8, n_iter: int = 5,
                 ["cluster_id", "dim_idx", "val", "cnt"])
         return fn
 
-    for _ in range(n_iter):
+    for it in range(n_iter):
         rows = (base.mapInArrow(
             partials(cent),
             "cluster_id int, dim_idx int, val double, cnt bigint")
@@ -174,14 +185,18 @@ def kmeans_fit(emb: DataFrame, k: int = 8, n_iter: int = 5,
         if stats is not None:
             stats["combine_rows"] = max(stats.get("combine_rows", 0),
                                         len(rows))
+            stats["fit_rounds"] = it + 1
         s = np.zeros((k, dim)); n = np.zeros(k, dtype=np.int64)
         for r in rows:
             s[r.cluster_id, r.dim_idx] = r.val
             if r.dim_idx == 0:
                 n[r.cluster_id] = r.cnt
         nz = n > 0
-        cent = cent.copy()
-        cent[nz] = np.round(s[nz] / n[nz, None], round_dp)
+        new_cent = cent.copy()
+        new_cent[nz] = np.round(s[nz] / n[nz, None], round_dp)
+        if np.array_equal(new_cent, cent):
+            break  # fixed point on the decimal grid (see docstring)
+        cent = new_cent
     return kmeans_assign(emb, cent=cent), cent
 
 

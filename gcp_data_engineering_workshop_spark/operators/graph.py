@@ -48,7 +48,15 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     driver-synchronized rounds of fixed job overhead (measured ~170s
     at sf0.1; 5 rounds after the jump). The jump is one extra
     self-join per round over the tiny label frame — always worth an
-    exponential cut in round count. ``stats`` records "rounds"."""
+    exponential cut in round count. ``stats`` records "rounds".
+
+    A SECOND jump per round (label(label(label(label)))) was measured
+    and REJECTED: on the sf0.1 capstone it nearly doubled
+    text_semdedup (21.2s -> 37.7s median-of-3) because the extra
+    self-join + persist + release per round costs more than the
+    sub-one round it saves once the first jump has already collapsed
+    rounds to ~log2(diameter) — the win would need diameters far
+    beyond what threshold-pair graphs produce."""
     from pyspark.sql import Observation
 
     # persist the PROJECTED edges BEFORE symmetrizing: the union's

@@ -1094,6 +1094,9 @@ def text_semdedup(spark: SparkSession, sf_dir: str,
 
     emb = register(embed_docs_vec(spark, sf_dir)
                    .select(F.col("doc_id").alias("vec_id"), "embedding"))
+    # the count doubles as the cache warm-up for the pooled embed
+    # frame (every later stage reads it), so sizing k costs no extra
+    # pass over the corpus
     n = emb.count()
     k = max(2, int(round(n ** 0.5)))
     _, cent = kmeans_fit(emb, k=k, n_iter=5)

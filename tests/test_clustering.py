@@ -248,3 +248,22 @@ def test_cc_pointer_jumping_on_long_chain(spark):
     assert all(out[i] == 0 for i in range(64))
     assert out[100] == 100 and out[101] == 100
     assert stats["rounds"] <= 10  # ~log2(63) + slack; was 63
+
+
+def test_kmeans_fit_early_exit_is_fixed_point(spark):
+    """The Lloyd loop early-exits once the rounded centroid grid
+    stops moving, and the exit is invisible in the result: a corpus
+    that converges in one round returns the same centroids whether
+    n_iter is 2 or 10, with fit_rounds recording the cut."""
+    import numpy as np
+    # two tight blobs far apart: the seed split is already optimal,
+    # so round 2's M-step reproduces round 1's rounded centroids
+    rows = [(i, [float(i % 2) * 10.0 + (i % 5) * 1e-4] * 4)
+            for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    s_short, s_long = {}, {}
+    _, c_short = C.kmeans_fit(emb, k=2, n_iter=2, stats=s_short)
+    _, c_long = C.kmeans_fit(emb, k=2, n_iter=10, stats=s_long)
+    assert np.array_equal(c_short, c_long)
+    assert s_long["fit_rounds"] < 10
+    assert s_long["fit_rounds"] <= s_short["fit_rounds"] + 1
