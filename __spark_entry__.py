@@ -33,21 +33,79 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING POLICY: the driver records correctness rows for the
-    FIRST 50 entries only. Entries rotate per round: (1) queries
-    whose latest driver row is oldest (r5: the 10 keys whose last
-    row was r2, pre-regeneration), (2) oracle-able queries whose
-    implementation changed or that are new this round (r5: the
-    distributed-M-step k-means family, the span-dedup pair, the
-    GD classifier, incremental SemDedup, n-gram novelty), (3) the
-    oldest green rows rotating back in for refreshed evidence (r5:
-    the r3-green stock/TPC-H blocks). Rows-only entries never take a
-    window slot — their evidence is pytest bounds, a driver row adds
-    only err:no_oracle. The tail holds queries with green r4 driver
-    rows on current data plus the declared rows-only set. Every key
-    keeps its oracle regardless of position — selfcheck.py checks
-    all of them locally."""
+    FIRST 50 entries only. Entries rotate per round: (1) the red or
+    never-windowed keys (r6: embed_docs — r5's one red row, now a
+    flat projection — and the 8 rows-only media/ANN ops that have
+    never had even a row-count recorded under driver conditions,
+    VERDICT r5 #4), (2) oracle-able queries whose implementation
+    changed or that are new this round (r6: the fingerprint-keyed
+    span family, the early-exit k-means family and its CC consumers,
+    the new z-order pruned-scan reader), (3) the oldest green rows
+    rotating back in for refreshed evidence (r6: every key whose
+    last green is r3, plus a slice of the oldest r4 rows). The tail
+    holds queries with green r4/r5 driver rows on current data plus
+    the remaining declared rows-only set. Every key keeps its oracle
+    regardless of position — selfcheck.py checks all of them
+    locally."""
     return {
-        # -- (1) last driver row is r2, on pre-regeneration data --
+        # -- (1a) r5's one red row: now a flat, driver-sortable shape --
+        "embed_docs": _tp.embed_docs,
+        # -- (1b) rows-only, never windowed: record spark_rows under
+        #    driver conditions (err:no_oracle is expected and declared)
+        "ann_ivfpq": _tp.ann_ivfpq,
+        "image_phash": _tp.image_phash,
+        "image_phash_neardup": _tp.image_phash_neardup,
+        "image_dedup_corpus": _tp.image_dedup_corpus,
+        "audio_fingerprint": _tp.audio_fingerprint,
+        "audio_dedup": _tp.audio_dedup,
+        "multimodal_audio": _tp.multimodal_audio,
+        "multimodal_video": _tp.multimodal_video,
+        # -- (2) changed or new this round (r6) --
+        "span_dedup_stats": _tp.span_dedup_stats,
+        "span_dedup_apply": _tp.span_dedup_apply,
+        "span_dedup_keep_first": _tp.span_dedup_keep_first,
+        "kmeans_assign": _tp.kmeans_assign,
+        "kmeans_embeddings": _tp.kmeans_embeddings,
+        "semdedup": _tp.semdedup,
+        "semdedup_trained": _tp.semdedup_trained,
+        "semdedup_incremental": _tp.semdedup_incremental,
+        "text_semdedup": _tp.text_semdedup,
+        "dedup_groups": _tp.dedup_groups,
+        "dedup_corpus": _tp.dedup_corpus,
+        "knn_label_propagation": _tp.knn_label_propagation,
+        "zorder_pruned_scan": _an3.zorder_pruned_scan,
+        # -- (3a) r3-green, rotating back in for refreshed evidence --
+        "quantity_percentiles": _an.quantity_percentiles,
+        "asof_join_purchases": _an2.asof_join_purchases,
+        "range_join_errors": _an2.range_join_errors,
+        "pivot_daily_events": _an2.pivot_daily_events,
+        "cube_revenue": _an2.cube_revenue,
+        "salted_agg_volume": _an2.salted_agg_volume,
+        "stats_summary": _an2.stats_summary,
+        "session_window_stats": _an2.session_window_stats,
+        "corr_price_volume": _an2.corr_price_volume,
+        "merge_upsert_orders": _an2.merge_upsert_orders,
+        "rolling_7d_revenue": _an3.rolling_7d_revenue,
+        "retention_set_ops": _an3.retention_set_ops,
+        "grouping_sets_revenue": _an3.grouping_sets_revenue,
+        "scd2_customer_dim": _an3.scd2_customer_dim,
+        "text_lang_id": _tp.text_lang_id,
+        "dedup_incremental": _tp.dedup_incremental,
+        "line_dedup": _tp.line_dedup,
+        "tokenize_ids": _tp.tokenize_ids,
+        "bigram_lm_score": _tp.bigram_lm_score,
+        # -- (3b) oldest r4-green rows, refreshed --
+        "dash_overview": _sp.dash_overview,
+        "dash_tickers": _sp.dash_tickers,
+        "dash_detail": _sp.dash_detail,
+        "running_volume": _sp.running_volume,
+        "volume_histogram": _sp.volume_histogram,
+        "topk_per_group": _an.topk_per_group,
+        "dedup_exact": _tp.dedup_exact,
+        "text_quality": _tp.text_quality,
+        "token_count": _tp.token_count,
+        # ---- window boundary (50) ----
+        # -- tail: green r5 driver rows on current data --
         "q12_priority_shipping": _an2.q12_priority_shipping,
         "q16_supplier_part_counts": _an2.q16_supplier_part_counts,
         "q20_excess_suppliers": _an2.q20_excess_suppliers,
@@ -58,23 +116,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_corpus": _tp.sample_corpus,
         "corpus_stats": _tp.corpus_stats,
         "stratified_split": _tp.stratified_split,
-        # -- (2) changed or new this round (r5) --
-        "kmeans_assign": _tp.kmeans_assign,
-        "kmeans_embeddings": _tp.kmeans_embeddings,
-        "semdedup": _tp.semdedup,
-        "span_dedup_apply": _tp.span_dedup_apply,
-        "semdedup_trained": _tp.semdedup_trained,
         "quality_classifier": _tp.quality_classifier,
-        "semdedup_incremental": _tp.semdedup_incremental,
-        "span_dedup_keep_first": _tp.span_dedup_keep_first,
         "ngram_novelty": _tp.ngram_novelty,
-        "embed_docs": _tp.embed_docs,
-        "text_semdedup": _tp.text_semdedup,
         "embedding_neardup_lsh_auto": _tp.embedding_neardup_lsh_auto,
         "decontaminate_bloom": _tp.decontaminate_bloom,
         "zorder_keys": _an3.zorder_keys,
         "salted_join_revenue": _an2.salted_join_revenue,
-        # -- (3) r3-green, rotating back in for refreshed evidence --
         "ingest_parse_json": _ticks_fn,
         "ingest_replay": lambda spark, sf: _replay_fn(spark, sf, 7),
         "stock_agg_1m": _sp.agg_1m,
@@ -100,29 +147,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": _an.rollup_revenue,
         "sessionize_events": _an.sessionize_events,
         "event_funnel": _an.event_funnel,
-        # ---- window boundary (50) ----
-        "quantity_percentiles": _an.quantity_percentiles,
-        "asof_join_purchases": _an2.asof_join_purchases,
-        "range_join_errors": _an2.range_join_errors,
-        "pivot_daily_events": _an2.pivot_daily_events,
-        "cube_revenue": _an2.cube_revenue,
-        "salted_agg_volume": _an2.salted_agg_volume,
-        "stats_summary": _an2.stats_summary,
-        "session_window_stats": _an2.session_window_stats,
-        "corr_price_volume": _an2.corr_price_volume,
-        "merge_upsert_orders": _an2.merge_upsert_orders,
         # -- tail: green r4 driver rows on current data --
-        "running_volume": _sp.running_volume,
-        "volume_histogram": _sp.volume_histogram,
-        "dash_overview": _sp.dash_overview,
-        "dash_tickers": _sp.dash_tickers,
-        "dash_detail": _sp.dash_detail,
         "dash_overview_wide": _sp.dash_overview_wide,
         "dash_price_sma_long": _sp.dash_price_sma_long,
         "enrich_model_batch": _sp.enrich_model_batch,
         "ann_topk": _tp.ann_topk,
-        "knn_label_propagation": _tp.knn_label_propagation,
-        "topk_per_group": _an.topk_per_group,
         "value_deciles": _an3.value_deciles,
         "temperature_sample": _tp.temperature_sample,
         "domain_cap": _tp.domain_cap,
@@ -131,15 +160,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assign_ids": _tp.assign_ids,
         "pack_sequences": _tp.pack_sequences,
         "corpus_diff": _tp.corpus_diff,
-        "dedup_exact": _tp.dedup_exact,
         "embedding_neardup": _tp.embedding_neardup,
         "embedding_neardup_lsh": _tp.embedding_neardup_lsh,
         "embedding_neardup_blocked": _tp.embedding_neardup_blocked,
         "dedup_minhash_lsh": _tp.dedup_minhash_lsh,
-        "dedup_groups": _tp.dedup_groups,
-        "dedup_corpus": _tp.dedup_corpus,
-        "text_quality": _tp.text_quality,
-        "token_count": _tp.token_count,
         "doc_chunking": _tp.doc_chunking,
         "train_test_split": _tp.train_test_split,
         "vocab_topk": _tp.vocab_topk,
@@ -159,17 +183,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_min_cost_supplier": _an2.q2_min_cost_supplier,
         "q9_product_profit": _an2.q9_product_profit,
         "q11_important_inventory": _an2.q11_important_inventory,
-        # -- tail: green r3 driver rows on current data --
-        "text_lang_id": _tp.text_lang_id,
-        "rolling_7d_revenue": _an3.rolling_7d_revenue,
-        "retention_set_ops": _an3.retention_set_ops,
-        "grouping_sets_revenue": _an3.grouping_sets_revenue,
-        "scd2_customer_dim": _an3.scd2_customer_dim,
-        "dedup_incremental": _tp.dedup_incremental,
-        "line_dedup": _tp.line_dedup,
-        "span_dedup_stats": _tp.span_dedup_stats,
-        "tokenize_ids": _tp.tokenize_ids,
-        "bigram_lm_score": _tp.bigram_lm_score,
         # -- tail: declared rows-only (no oracle by design) --
         "approx_distinct_sketch": _an2.approx_distinct_sketch,
         "approx_quantile_sketch": _an2.approx_quantile_sketch,
@@ -177,16 +190,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _tp.ann_lsh,
         "ann_ivf": _tp.ann_ivf,
         "ann_pq": _tp.ann_pq,
-        "ann_ivfpq": _tp.ann_ivfpq,
-        "image_phash": _tp.image_phash,
-        "image_phash_neardup": _tp.image_phash_neardup,
-        "image_dedup_corpus": _tp.image_dedup_corpus,
-        "audio_fingerprint": _tp.audio_fingerprint,
-        "audio_dedup": _tp.audio_dedup,
         "multimodal_meta": _tp.multimodal_meta,
         "multimodal_frames": _tp.multimodal_frames,
-        "multimodal_audio": _tp.multimodal_audio,
-        "multimodal_video": _tp.multimodal_video,
         "user_overlap_sketch": _an2.user_overlap_sketch,
     }
 
@@ -260,6 +265,10 @@ def oracle_sql() -> dict[str, str]:
         "merge_upsert_orders": _orc.MERGE_UPSERT_SQL,
         "rolling_7d_revenue": _orc.ROLLING_7D_SQL,
         "zorder_keys": _orc.ZORDER_KEYS_SQL,
+        # B51: layout + footer pruning are plan plumbing; the oracle
+        # filters plain lineitem with the identical integer box and
+        # certifies no skipped file held a match
+        "zorder_pruned_scan": _orc.ZORDER_PRUNED_SCAN_SQL,
         "salted_join_revenue": _orc.SALTED_JOIN_SQL,
         "value_deciles": _orc.VALUE_DECILES_SQL,
         "retention_set_ops": _orc.RETENTION_SET_OPS_SQL,

@@ -2281,3 +2281,26 @@ FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority
 ORDER BY o.o_orderpriority
 """
+
+# B51 pruned scan: the layout + file skipping are plan plumbing only
+# — the oracle filters PLAIN lineitem with the identically-derived
+# integer box, certifying that footer pruning lost no rows.
+ZORDER_PRUNED_SCAN_SQL = """
+WITH b AS (
+  SELECT min(l_partkey) AS lo_a, max(l_partkey) AS hi_a,
+         min(l_suppkey) AS lo_b, max(l_suppkey) AS hi_b
+  FROM lineitem
+),
+box AS (
+  SELECT lo_a + (hi_a - lo_a) * 2 // 5 AS alo,
+         lo_a + (hi_a - lo_a) * 3 // 5 AS ahi,
+         lo_b + (hi_b - lo_b) * 2 // 5 AS blo,
+         lo_b + (hi_b - lo_b) * 3 // 5 AS bhi
+  FROM b
+)
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       CAST(l_quantity AS DOUBLE) AS l_quantity
+FROM lineitem, box
+WHERE l_partkey BETWEEN alo AND ahi
+  AND l_suppkey BETWEEN blo AND bhi
+"""

@@ -114,6 +114,51 @@ def file_ranges(path: str, cols: list[str]) -> list[dict]:
     return out
 
 
+def prune_files(path: str, box: dict[str, tuple[int, int]]
+                ) -> tuple[list[str], int]:
+    """File-skipping from footers — the read-side half of Z-order
+    (what a Delta/Iceberg manifest does before any data IO): keep
+    only files whose per-column (min, max) footer range INTERSECTS
+    every predicate range in ``box``. Returns (kept absolute paths,
+    total data files). Skipping is conservative (footer ranges are
+    supersets of file contents), so pruning never loses a row —
+    correctness is independent of layout; the LAYOUT is what makes
+    the kept set small on conjunctive boxes."""
+    import os
+
+    ranges = file_ranges(path, list(box))
+    kept = []
+    for fr in ranges:
+        hit = True
+        for c, (lo, hi) in box.items():
+            fmin, fmax = fr[c]
+            if fmin is None or fmax is None:
+                continue  # no stats -> cannot skip
+            if fmax < lo or fmin > hi:
+                hit = False
+                break
+        if hit:
+            kept.append(os.path.join(path, fr["file"]))
+    return kept, len(ranges)
+
+
+def read_pruned(spark, path: str, box: dict[str, tuple[int, int]]):
+    """Scan a (z-ordered) parquet directory under a conjunctive box
+    predicate with BOTH pruning levels a lakehouse reader applies:
+    footer-based FILE skipping (prune_files — only surviving files
+    are even opened) and Spark's own row-group skipping from the
+    pushed filters within them. The residual ``where`` keeps
+    exactness on whatever the footers could not exclude."""
+    files, _ = prune_files(path, box)
+    if not files:
+        schema = spark.read.parquet(path).schema
+        return spark.createDataFrame([], schema)
+    df = spark.read.parquet(*files)
+    for c, (lo, hi) in box.items():
+        df = df.where((F.col(c) >= lo) & (F.col(c) <= hi))
+    return df
+
+
 def interleave_bits_n(cols: list[Column], bits: int = 16) -> Column:
     """N-dimensional Morton interleave: bit i of dimension d lands at
     position i*n + d, so equal bit-prefixes still describe hypercubes

@@ -503,3 +503,44 @@ def test_zorder_3d_interleave_and_layout(spark, sf_dir, tmp_path):
         narrow = sum((fr[col][1] - fr[col][0]) <= 0.75 * span
                      for fr in frs)
         assert narrow >= n_files // 2, (col, narrow)
+
+
+def test_zorder_read_side_prunes_and_loses_nothing(spark, sf_dir, tmp_path):
+    """B51 read-side (VERDICT r6 #6): prune_files keeps a strict
+    fraction of a z-ordered lineitem copy under a conjunctive box,
+    read_pruned returns EXACTLY the rows a full filtered scan does,
+    and the registered zorder_pruned_scan query returns that same
+    row multiset."""
+    from pyspark.sql import functions as F
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+    from gcp_data_engineering_workshop_spark.plans.analytics3 import (
+        zorder_pruned_scan)
+    from gcp_data_engineering_workshop_spark.sources.layout import (
+        prune_files, read_pruned, write_zordered)
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    path = str(tmp_path / "z")
+    write_zordered(li, path, "l_partkey", "l_suppkey", n_files=16)
+    r = li.agg(F.min("l_partkey"), F.max("l_partkey"),
+               F.min("l_suppkey"), F.max("l_suppkey")).collect()[0]
+    box = {}
+    for c, lo, hi in (("l_partkey", int(r[0]), int(r[1])),
+                      ("l_suppkey", int(r[2]), int(r[3]))):
+        span = hi - lo
+        box[c] = (lo + span * 2 // 5, lo + span * 3 // 5)
+    kept, total = prune_files(path, box)
+    assert total == 16
+    # middle ~20% box on each dim: the curve confines it to a strict
+    # minority of files (file-level IO avoided before any data read)
+    assert 0 < len(kept) <= total // 2, (len(kept), total)
+    pred = (F.col("l_partkey").between(*box["l_partkey"])
+            & F.col("l_suppkey").between(*box["l_suppkey"]))
+    want = sorted(tuple(x) for x in li.where(pred).collect())
+    got = sorted(tuple(x) for x in read_pruned(spark, path, box)
+                 .select(*li.columns).collect())
+    assert got == want and len(got) > 0
+    # the registered query agrees with the direct filtered scan
+    q = sorted((x.l_orderkey, x.l_linenumber, x.l_partkey, x.l_suppkey)
+               for x in zorder_pruned_scan(spark, sf_dir).collect())
+    assert q == want
