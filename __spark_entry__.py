@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_corpus": _tp.dedup_corpus,
         "knn_label_propagation": _tp.knn_label_propagation,
         "zorder_pruned_scan": _an3.zorder_pruned_scan,
+        "bm25_topk": _tp.bm25_topk,
         # -- (3a) r3-green, rotating back in for refreshed evidence --
         "quantity_percentiles": _an.quantity_percentiles,
         "asof_join_purchases": _an2.asof_join_purchases,
@@ -103,7 +104,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": _an.topk_per_group,
         "dedup_exact": _tp.dedup_exact,
         "text_quality": _tp.text_quality,
-        "token_count": _tp.token_count,
         # ---- window boundary (50) ----
         # -- tail: green r5 driver rows on current data --
         "q12_priority_shipping": _an2.q12_priority_shipping,
@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_test_split": _tp.train_test_split,
         "vocab_topk": _tp.vocab_topk,
         "tfidf_topterms": _tp.tfidf_topterms,
+        "token_count": _tp.token_count,
         "clean_corpus": _tp.clean_corpus,
         "heavy_hitters_cms": _tp.heavy_hitters_cms,
         "heavy_hitters_stream_scale": _tp.heavy_hitters_stream_scale,
@@ -269,6 +270,7 @@ def oracle_sql() -> dict[str, str]:
         # filters plain lineitem with the identical integer box and
         # certifies no skipped file held a match
         "zorder_pruned_scan": _orc.ZORDER_PRUNED_SCAN_SQL,
+        "bm25_topk": _orc.BM25_TOPK_SQL,
         "salted_join_revenue": _orc.SALTED_JOIN_SQL,
         "value_deciles": _orc.VALUE_DECILES_SQL,
         "retention_set_ops": _orc.RETENTION_SET_OPS_SQL,

@@ -2304,3 +2304,46 @@ FROM lineitem, box
 WHERE l_partkey BETWEEN alo AND ahi
   AND l_suppkey BETWEEN blo AND bhi
 """
+
+# C67 BM25: tf/df/dl/N exact integers; Lucene idf + saturation are
+# identical IEEE doubles; per-(query, doc) sums round to 1e-6 before
+# ranking so cross-engine rank order is deterministic (ties by doc_id).
+BM25_TOPK_SQL = f"""
+WITH {_WORDS_CTE.strip()},
+tok AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM wt),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM tok WHERE doc_id % 97 != 0
+  GROUP BY doc_id, dl, term
+),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+stats AS (
+  SELECT count(*) AS n_docs, avg(len(w)) AS avgdl
+  FROM wt WHERE doc_id % 97 != 0
+),
+qterms AS (
+  SELECT DISTINCT doc_id AS query_id, term
+  FROM tok WHERE doc_id % 97 = 0
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum(
+           ln(1.0 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+           * tf.tf * (1.2 + 1)
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl))
+         ), 6) AS score
+  FROM tf
+  JOIN qterms q USING (term)
+  JOIN dfq USING (term)
+  CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score
+FROM ranked WHERE rank <= 5
+"""

@@ -1639,3 +1639,59 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str,
                 (F.coalesce("_n", F.lit(0)) > 0).alias("contaminated"))
         .orderBy("doc_id")
     )
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str, k: int = 5,
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """C67: BM25 retrieval at corpus scale — for every held-out query
+    document (the doc_id % 97 == 0 slice, the same eval split C30
+    decontaminates against), the top-k training documents by the
+    Robertson/Lucene BM25 score. The retrieval step a curation
+    pipeline runs to FIND eval-set neighbors before deciding what to
+    decontaminate, and the classic lexical baseline next to the
+    embedding ANN ops (C6/C20/C63).
+
+    score(q, d) = sum over distinct query terms t of
+      ln(1 + (N - df_t + 0.5)/(df_t + 0.5))          [Lucene idf >= 0]
+      * tf_td * (k1 + 1) / (tf_td + k1 * (1 - b + b * dl_d / avgdl))
+
+    Scale shape: one (doc_id, term) tf aggregate over the corpus
+    (map-side combinable), a broadcast df/N/avgdl enrichment, a
+    broadcast join against the tiny query-term set (1/97th of docs;
+    an inverted-index shuffle join at real scale), one (query, doc)
+    score aggregate, and a per-query top-k window whose partitions
+    are bounded by the candidate sets. The corpus shuffles ONCE, on
+    (doc_id, term). Exactness: tf/df/dl/N are exact integers; idf
+    and the saturation term are identical IEEE doubles in both
+    engines; the per-(query, doc) sum reorders at ~1e-15, 9 orders
+    under the 1e-6 grid the score rounds to BEFORE ranking, and ties
+    rank by doc_id."""
+    from pyspark.sql.window import Window
+    d = _docs_with_words(spark, sf_dir)
+    is_eval = F.col("doc_id") % 97 == 0
+    toks = d.select("doc_id", F.size("w").alias("dl"),
+                    F.explode("w").alias("term"))
+    tf = (toks.where(~is_eval)
+          .groupBy("doc_id", "dl", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = (d.where(~is_eval)
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.avg(F.size("w")).alias("avgdl")))
+    qterms = (toks.where(is_eval)
+              .select(F.col("doc_id").alias("query_id"), "term")
+              .distinct())
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    sat = (F.col("tf") * (k1 + 1)
+           / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))))
+    scored = (tf.join(F.broadcast(qterms), "term")
+              .join(F.broadcast(df_), "term")
+              .crossJoin(F.broadcast(stats))
+              .groupBy("query_id", "doc_id")
+              .agg(F.round(F.sum(idf * sat), 6).alias("score")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "doc_id", "rank", "score"))

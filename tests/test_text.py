@@ -759,3 +759,23 @@ def test_wide_hash_cross_engine_parity(spark):
     assert len(set(skeys[6])) == 1
     assert skeys[2] == [] and skeys[3] == []
     assert skeys[4][0] != skeys[5][0]
+
+
+def test_bm25_topk_invariants(spark, sf_dir):
+    """C67: per-query ranks are 1..k with non-increasing scores,
+    candidates come only from the training split (queries are the
+    held-out doc_id %% 97 slice), and scores are positive (Lucene
+    idf variant is non-negative, tf saturation positive)."""
+    rows = tp.bm25_topk(spark, sf_dir).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert r.doc_id % 97 != 0 and r.query_id % 97 == 0
+        assert r.score > 0
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r.score for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert len(rs) <= 5
