@@ -1695,3 +1695,25 @@ def bm25_topk(spark: SparkSession, sf_dir: str, k: int = 5,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "doc_id", "rank", "score"))
+
+
+def train_bpe_vocab(spark: SparkSession, sf_dir: str,
+                    n_merges: int = 12) -> DataFrame:
+    """C68: distributed BPE tokenizer training (operators/bpe.py) —
+    one corpus-wide (word, freq) aggregate, then n_merges rounds of
+    (pair count -> argmax -> JVM fold merge) over the vocabulary-
+    bounded word table. Output: the learned merge table
+    (merge_rank, left, right, merged, pair_count) — the artifact a
+    trainer ships next to the C42 vocab.
+
+    Rows-only by declaration: applying a merge is a list-building
+    fold DuckDB lambdas cannot express; pytest proves the merge
+    table EXACTLY equals an independent pure-Python subword-nmt-
+    style reference on the same word counts."""
+    from gcp_data_engineering_workshop_spark.operators import bpe as B
+
+    freqs = B.word_freqs(_docs(spark, sf_dir))
+    merges = B.bpe_train(freqs, n_merges=n_merges)
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, "
+                "merged string, pair_count bigint")

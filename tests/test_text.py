@@ -779,3 +779,78 @@ def test_bm25_topk_invariants(spark, sf_dir):
         scores = [r.score for r in rs]
         assert scores == sorted(scores, reverse=True)
         assert len(rs) <= 5
+
+
+def _python_bpe(word_freqs, n_merges, min_count=2):
+    """Independent subword-nmt-style reference: dict of word->freq,
+    symbols are char lists, each round counts adjacent pairs, merges
+    the (count desc, pair lexicographic asc) argmax left-to-right."""
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts = {}
+        for sy, f in vocab.items():
+            for x, y in zip(sy, sy[1:]):
+                counts[(x, y)] = counts.get((x, y), 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        if cnt < min_count:
+            break
+        merges.append((rank, a, b, a + b, cnt))
+        new_vocab = {}
+        for sy, f in vocab.items():
+            out, i = [], 0
+            while i < len(sy):
+                if i + 1 < len(sy) and sy[i] == a and sy[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sy[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_train_bpe_vocab_matches_python_reference(spark, sf_dir):
+    """C68: the distributed trainer's merge table equals the
+    pure-Python subword-nmt-style reference EXACTLY — ranks, pairs,
+    merged tokens, and weighted counts — on the real corpus."""
+    from gcp_data_engineering_workshop_spark.operators.bpe import word_freqs
+
+    wf = {r.word: r.freq
+          for r in word_freqs(tp._docs(spark, sf_dir)).collect()}
+    want = _python_bpe(wf, 12)
+    got = [(r.merge_rank, r.left, r.right, r.merged, r.pair_count)
+           for r in tp.train_bpe_vocab(spark, sf_dir, 12).collect()]
+    got.sort()
+    assert got == want and len(got) == 12
+
+
+def test_bpe_merge_application_edge_cases(spark):
+    """The JVM fold reproduces subword-nmt's left-to-right scan on
+    the overlap traps: runs of the merged pair, the pair's left
+    symbol repeated, and merged-token/raw-symbol name clashes."""
+    from pyspark.sql import functions as F
+    from gcp_data_engineering_workshop_spark.operators.bpe import (
+        _apply_merge)
+
+    cases = [
+        (["a", "a", "a"], ("a", "a"), ["aa", "a"]),
+        (["a", "a", "a", "a"], ("a", "a"), ["aa", "aa"]),
+        (["a", "a", "b"], ("a", "b"), ["a", "ab"]),
+        (["a", "b", "a", "b"], ("a", "b"), ["ab", "ab"]),
+        (["ab", "b"], ("a", "b"), ["ab", "b"]),
+        (["a", "b", "b"], ("a", "b"), ["ab", "b"]),
+        ([], ("a", "b"), []),
+        (["x"], ("a", "b"), ["x"]),
+    ]
+    df = spark.createDataFrame(
+        [(i, sy) for i, (sy, _, _) in enumerate(cases)],
+        "i int, sy array<string>")
+    for i, (sy, (a, b), want) in enumerate(cases):
+        got = df.where(F.col("i") == i).select(
+            _apply_merge(F.col("sy"), a, b).alias("m")).collect()[0].m
+        assert got == want, (sy, (a, b), got, want)
