@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_quantile_sketch": _an2.approx_quantile_sketch,
         "dedup_simhash": _tp.dedup_simhash,
         "train_bpe_vocab": _tp.train_bpe_vocab,
+        "embedding_pca": _tp.embedding_pca,
         "ann_lsh": _tp.ann_lsh,
         "ann_ivf": _tp.ann_ivf,
         "ann_pq": _tp.ann_pq,

@@ -1717,3 +1717,20 @@ def train_bpe_vocab(spark: SparkSession, sf_dir: str,
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, "
                 "merged string, pair_count bigint")
+
+
+def embedding_pca(spark: SparkSession, sf_dir: str,
+                  n_components: int = 8) -> DataFrame:
+    """C69: distributed PCA projection of the embeddings table
+    (operators/pca.py) — the FAISS-style conditioning step before
+    IVF-PQ (C63) and clustering (C45/C46): fit from one flat
+    dim + dim*(dim+1)/2-row combine (the corpus never shuffles),
+    eigh on the driver, map-only projection back out. Output: flat
+    (vec_id, comp_idx, value) rows. Rows-only by declaration (eigh
+    has no SQL replay); pytest proves exact numpy parity and
+    variance ordering."""
+    from gcp_data_engineering_workshop_spark.operators import pca as P
+
+    emb = _emb(spark, sf_dir)
+    mean, comps, _ = P.pca_fit(emb, n_components=n_components)
+    return P.pca_project(emb, mean, comps)

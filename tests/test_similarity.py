@@ -307,3 +307,50 @@ def test_ann_ivfpq_recall_vs_bruteforce(spark, sf_dir):
               for r in S.ann_ivfpq_topk(emb, n_queries=10, k=5).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"IVF-PQ recall {recall:.2f} too low"
+
+
+def test_pca_fit_matches_numpy_and_projects_exactly(spark, sf_dir):
+    """C69: the distributed fit equals an independent numpy PCA under
+    the same rounding contract (mean, components with fixed signs,
+    descending eigenvalues), the combine stays dim-bounded, and the
+    projection rows equal (X - mean) @ W^T."""
+    import numpy as np
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+    from gcp_data_engineering_workshop_spark.operators.pca import (
+        pca_fit, pca_project)
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    n, dim = X.shape
+
+    stats = {}
+    mean, comps, ev = pca_fit(emb.repartition(16), n_components=8,
+                              stats=stats)
+    assert stats["combine_rows"] == 1 + dim + dim * (dim + 1) // 2
+    # independent reference with the same decimal contract
+    rmean = np.round(X.sum(axis=0) / n, 6)
+    g = X.T @ X
+    s = X.sum(axis=0)
+    rcov = np.round((g - np.outer(s, s) / n) / (n - 1), 6)
+    w, v = np.linalg.eigh(rcov)
+    order = np.argsort(w)[::-1][:8]
+    rcomps = v[:, order].T.copy()
+    for c in rcomps:
+        k = int(np.argmax(np.abs(np.round(c, 6))))
+        if c[k] < 0:
+            c *= -1.0
+    assert np.array_equal(mean, rmean)
+    assert np.allclose(comps, np.round(rcomps, 6), atol=2e-6)
+    assert list(ev) == sorted(ev, reverse=True)
+    # orthonormal basis (to rounding)
+    assert np.allclose(comps @ comps.T, np.eye(8), atol=1e-3)
+    # projection parity, exact under the shared rounding
+    want = np.round((X - mean) @ comps.T, 6)
+    got = {}
+    for r in pca_project(emb, mean, comps).collect():
+        got.setdefault(r.vec_id, {})[r.comp_idx] = r.value
+    assert set(got) == set(ids.tolist())
+    for i, vid in enumerate(ids.tolist()):
+        assert [got[vid][j] for j in range(8)] == list(want[i])
