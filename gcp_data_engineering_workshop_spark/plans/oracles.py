@@ -2347,3 +2347,57 @@ ranked AS (
 SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score
 FROM ranked WHERE rank <= 5
 """
+
+# C70 DSIR: hashed-bigram buckets via the span-fingerprint machinery
+# (span_keys_sql at span_words=2, replayed exactly); the per-bucket
+# log-ratio is scaled*1e6 and rounded to BIGINT once, so per-doc
+# scores are exact integer sums (no fp order sensitivity); selection
+# rank is a total order on (score DESC, doc_id).
+from gcp_data_engineering_workshop_spark.functions.textfns import (  # noqa: E402
+    span_keys_sql as _span_keys_sql)
+
+DSIR_SELECT_SQL = f"""
+WITH {_WORDS_CTE.strip()},
+ds AS (
+  SELECT wt.doc_id, d.source IN ('src0', 'src1') AS is_tgt, wt.w
+  FROM wt JOIN documents d ON wt.doc_id = d.doc_id
+),
+f AS (
+  SELECT doc_id, is_tgt, k % 4096 AS b
+  FROM ds, UNNEST({_span_keys_sql('w', 2)}) AS t(k)
+),
+cnt AS (
+  SELECT b, SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS ct,
+         SUM(CASE WHEN NOT is_tgt THEN 1 ELSE 0 END) AS cr
+  FROM f GROUP BY b
+),
+tots AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM cnt),
+lr AS (
+  SELECT b, CAST(round((ln(ct + 1.0) - ln(tt + 4096.0)
+                        - ln(cr + 1.0) + ln(tr + 4096.0)) * 1e6)
+                 AS BIGINT) AS lr
+  FROM cnt, tots
+),
+sc AS (
+  SELECT f.doc_id, SUM(lr.lr) AS score
+  FROM f JOIN lr USING (b) WHERE NOT f.is_tgt
+  GROUP BY f.doc_id
+),
+scored AS (
+  SELECT ds.doc_id, COALESCE(sc.score, 0) AS score
+  FROM ds LEFT JOIN sc ON ds.doc_id = sc.doc_id
+  WHERE NOT ds.is_tgt
+),
+nk AS (
+  SELECT CAST(floor(count(*) * 1.0 / 4.0) AS BIGINT) AS n_keep
+  FROM scored
+),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS sel_rank
+  FROM scored
+)
+SELECT doc_id, CAST(score AS BIGINT) AS score,
+       CAST(sel_rank AS BIGINT) AS sel_rank
+FROM ranked, nk WHERE sel_rank <= n_keep
+"""

