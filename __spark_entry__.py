@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_pruned_scan": _an3.zorder_pruned_scan,
         "bm25_topk": _tp.bm25_topk,
         "dsir_select": _tp.dsir_select,
+        "perplexity_buckets": _tp.perplexity_buckets,
         # -- (3a) r3-green, rotating back in for refreshed evidence --
         "quantity_percentiles": _an.quantity_percentiles,
         "asof_join_purchases": _an2.asof_join_purchases,
@@ -275,6 +276,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_pruned_scan": _orc.ZORDER_PRUNED_SCAN_SQL,
         "bm25_topk": _orc.BM25_TOPK_SQL,
         "dsir_select": _orc.DSIR_SELECT_SQL,
+        "perplexity_buckets": _orc.PERPLEXITY_BUCKETS_SQL,
         "salted_join_revenue": _orc.SALTED_JOIN_SQL,
         "value_deciles": _orc.VALUE_DECILES_SQL,
         "retention_set_ops": _orc.RETENTION_SET_OPS_SQL,

@@ -2401,3 +2401,34 @@ SELECT doc_id, CAST(score AS BIGINT) AS score,
        CAST(sel_rank AS BIGINT) AS sel_rank
 FROM ranked, nk WHERE sel_rank <= n_keep
 """
+
+# C71 perplexity buckets: the C44 LM score feeds an explicit
+# NTILE(3)-closed-form tercile on (avg_logp DESC, doc_id) — integer
+# arithmetic on the rank, identical in both engines.
+PERPLEXITY_BUCKETS_SQL = f"""
+WITH base AS ({BIGRAM_LM_SCORE_SQL.strip().rstrip()}),
+n AS (SELECT count(*) AS n FROM base),
+ranked AS (
+  SELECT doc_id, avg_logp,
+         row_number() OVER (ORDER BY avg_logp DESC, doc_id) AS ppl_rank
+  FROM base
+),
+parts AS (
+  SELECT ranked.*, n.n,
+         CAST(floor(n.n / 3.0) AS BIGINT) AS q, n.n % 3 AS rem
+  FROM ranked, n
+),
+bucketed AS (
+  SELECT doc_id, avg_logp, ppl_rank,
+         CASE WHEN ppl_rank <= rem * (q + 1)
+              THEN CAST(floor((ppl_rank - 1) / (q + 1.0)) AS BIGINT) + 1
+              ELSE rem + CAST(floor((ppl_rank - 1 - rem * (q + 1)) / (q * 1.0))
+                              AS BIGINT) + 1
+         END AS b
+  FROM parts
+)
+SELECT doc_id, avg_logp, CAST(ppl_rank AS BIGINT) AS ppl_rank,
+       CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS bucket
+FROM bucketed
+"""

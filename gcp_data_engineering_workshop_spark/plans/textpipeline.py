@@ -1806,3 +1806,44 @@ def dsir_select(spark: SparkSession, sf_dir: str, m: int = 4096,
             .where(F.col("sel_rank") <= F.col("n_keep"))
             .select("doc_id", F.col("score").cast("bigint").alias("score"),
                     F.col("sel_rank").cast("bigint").alias("sel_rank")))
+
+
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C71: CCNet-style perplexity partitioning (Wenzek et al. 2020,
+    arXiv:1911.00359) — split the corpus into head / middle / tail
+    terciles by language-model score, the curation step that feeds
+    only the most-fluent third to training and quarantines the tail.
+    The LM is the corpus-trained Laplace bigram model of C44 (avg
+    log P per doc, already rounded to the 1e-6 cross-engine grid);
+    HIGHER avg_logp = lower perplexity = head.
+
+    Tercile assignment is the standard NTILE(3) split made explicit
+    so both engines compute the identical closed form: with n docs,
+    q = n div 3, rem = n mod 3, ranks 1..rem*(q+1) land in the first
+    rem (q+1)-sized buckets and the rest in q-sized ones — exactly
+    SQL NTILE, but as integer arithmetic on the distributed
+    range-partitioned rank (ids.assign_global_ids; no single-task
+    global window). Ties break by doc_id, so the split is total."""
+    from gcp_data_engineering_workshop_spark.operators.cachepool import (
+        register)
+    from gcp_data_engineering_workshop_spark.operators.ids import (
+        assign_global_ids)
+
+    scored = register(bigram_lm_score(spark, sf_dir))
+    n = scored.agg(F.count(F.lit(1)).alias("n"))
+    ranked = assign_global_ids(
+        scored.withColumn("_neg", -F.col("avg_logp")),
+        ["_neg", "doc_id"], id_col="ppl_rank")
+    q = (F.col("n") / 3).cast("bigint")
+    rem = F.col("n") % 3
+    thr = rem * (q + 1)
+    r0 = F.col("ppl_rank") - 1
+    bucket = F.when(F.col("ppl_rank") <= thr,
+                    (r0 / (q + 1)).cast("bigint") + 1) \
+              .otherwise(rem + ((r0 - thr) / q).cast("bigint") + 1)
+    label = F.element_at(F.array(F.lit("head"), F.lit("middle"),
+                                 F.lit("tail")), bucket.cast("int"))
+    return (ranked.crossJoin(F.broadcast(n))
+            .select("doc_id", "avg_logp",
+                    F.col("ppl_rank").cast("bigint").alias("ppl_rank"),
+                    label.alias("bucket")))

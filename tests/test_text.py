@@ -882,3 +882,21 @@ def test_dsir_select_invariants(spark, sf_dir):
     # determinism: a second run returns the identical selection
     again = tp.dsir_select(spark, sf_dir).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_perplexity_buckets_invariants(spark, sf_dir):
+    """C71: every doc lands in exactly one tercile, sizes differ by
+    at most one, and score ordering respects the bucket order
+    (min head score >= max middle score >= ... via the rank)."""
+    rows = tp.perplexity_buckets(spark, sf_dir).collect()
+    assert rows
+    assert len({r.doc_id for r in rows}) == len(rows)
+    sizes = {}
+    for r in rows:
+        sizes[r.bucket] = sizes.get(r.bucket, 0) + 1
+    assert set(sizes) == {"head", "middle", "tail"}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    h = [r.avg_logp for r in rows if r.bucket == "head"]
+    m = [r.avg_logp for r in rows if r.bucket == "middle"]
+    t = [r.avg_logp for r in rows if r.bucket == "tail"]
+    assert min(h) >= max(m) and min(m) >= max(t)
