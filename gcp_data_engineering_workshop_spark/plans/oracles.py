@@ -2432,3 +2432,18 @@ SELECT doc_id, avg_logp, CAST(ppl_rank AS BIGINT) AS ppl_rank,
          AS bucket
 FROM bucketed
 """
+
+# C72 Efraimidis-Spirakis weighted sample: exact dyadic uniform from
+# the KR content hash, one ln + one divide, 1e-9 grid before ranking.
+WEIGHTED_SAMPLE_SQL = f"""
+WITH {_WORDS_CTE.strip()},
+base AS (
+  SELECT d.doc_id,
+         CAST(len(w) AS BIGINT) AS weight,
+         round(ln(({_KR.format(s=_NORM)} + 1) / 2147483648.0)
+               / len(w), 9) AS sample_key
+  FROM documents d JOIN wt ON d.doc_id = wt.doc_id
+)
+SELECT doc_id, weight, sample_key
+FROM base ORDER BY sample_key DESC, doc_id LIMIT 100
+"""

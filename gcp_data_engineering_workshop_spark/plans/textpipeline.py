@@ -1847,3 +1847,32 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "avg_logp",
                     F.col("ppl_rank").cast("bigint").alias("ppl_rank"),
                     label.alias("bucket")))
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str,
+                    k: int = 100) -> DataFrame:
+    """C72: weighted sampling WITHOUT replacement, proportional to
+    token count — Efraimidis & Spirakis (2006) exponential-sort
+    keys, the one-pass distributed algorithm for "sample docs
+    proportional to length" that trainers use for doc-level epoch
+    construction. Each doc draws key = ln(u) / w (the log form of
+    u^(1/w)) and the k LARGEST keys win; u is the deterministic
+    content-hash uniform (KR hash of the normalized text + 1) / 2^31
+    — content-addressed like C23/C33, so re-runs and replicas agree
+    with no RNG state.
+
+    Exactness: u is an exact dyadic double (bigint / 2^31), ln is
+    one libm call on the identical double in both engines, the
+    divide by w is one correctly-rounded op, and the key rounds to
+    the 1e-9 grid BEFORE ranking with doc_id tie-break (C67's
+    contract). Scale: the plan is TakeOrderedAndProject — per-
+    partition top-k then a k-row merge, never a global sort."""
+    d = _docs(spark, sf_dir)
+    w = F.size(T.words("text"))
+    u = (T.kr_hash(T.normalize("text")) + 1).cast("double") \
+        / F.lit(2147483648.0)
+    key = F.round(F.log(u) / w.cast("double"), 9)
+    return (d.select("doc_id", w.cast("bigint").alias("weight"),
+                     key.alias("sample_key"))
+            .orderBy(F.col("sample_key").desc(), "doc_id")
+            .limit(k))

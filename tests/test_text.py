@@ -900,3 +900,33 @@ def test_perplexity_buckets_invariants(spark, sf_dir):
     m = [r.avg_logp for r in rows if r.bucket == "middle"]
     t = [r.avg_logp for r in rows if r.bucket == "tail"]
     assert min(h) >= max(m) and min(m) >= max(t)
+
+
+def test_weighted_sample_parity_and_plan(spark, sf_dir):
+    """C72: the selection EXACTLY matches an independent pure-Python
+    Efraimidis-Spirakis replay (same content-hash uniforms), and the
+    physical plan is per-partition top-k, never a global sort."""
+    import math
+    import re
+
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+
+    df = tp.weighted_sample(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+    got = [(r.doc_id, r.weight, r.sample_key) for r in df.collect()]
+    docs = load_table(spark, "documents", sf_dir) \
+        .select("doc_id", "text").collect()
+    KR_MOD = 2147483647
+    ref = []
+    for r in docs:
+        norm = re.sub(r"\s+", " ", r.text.lower()).strip()
+        h = 0
+        for ch in norm:
+            h = (h * 31 + ord(ch)) % KR_MOD
+        w = len(norm.split(" "))
+        key = round(math.log((h + 1) / 2147483648.0) / w, 9)
+        ref.append((r.doc_id, w, key))
+    ref.sort(key=lambda t: (-t[2], t[0]))
+    assert sorted(got) == sorted(ref[:100])
