@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": _tp.dsir_select,
         "perplexity_buckets": _tp.perplexity_buckets,
         "weighted_sample": _tp.weighted_sample,
+        "shuffle_corpus": _tp.shuffle_corpus,
         # -- (3a) r3-green, rotating back in for refreshed evidence --
         "quantity_percentiles": _an.quantity_percentiles,
         "asof_join_purchases": _an2.asof_join_purchases,
@@ -279,6 +280,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": _orc.DSIR_SELECT_SQL,
         "perplexity_buckets": _orc.PERPLEXITY_BUCKETS_SQL,
         "weighted_sample": _orc.WEIGHTED_SAMPLE_SQL,
+        "shuffle_corpus": _orc.SHUFFLE_CORPUS_SQL,
         "salted_join_revenue": _orc.SALTED_JOIN_SQL,
         "value_deciles": _orc.VALUE_DECILES_SQL,
         "retention_set_ops": _orc.RETENTION_SET_OPS_SQL,

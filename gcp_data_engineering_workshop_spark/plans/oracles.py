@@ -2447,3 +2447,18 @@ base AS (
 SELECT doc_id, weight, sample_key
 FROM base ORDER BY sample_key DESC, doc_id LIMIT 100
 """
+
+# C73 shuffle corpus: content-addressed permutation (KR hash, doc_id),
+# integer round-robin sharding.
+SHUFFLE_CORPUS_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY {_KR.format(s=_NORM)}, doc_id) AS pos
+  FROM documents
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       CAST((pos - 1) % 8 AS BIGINT) AS shard_id,
+       CAST(floor((pos - 1) / 8.0) AS BIGINT) + 1 AS pos_in_shard
+FROM ranked
+"""

@@ -1876,3 +1876,31 @@ def weighted_sample(spark: SparkSession, sf_dir: str,
                      key.alias("sample_key"))
             .orderBy(F.col("sample_key").desc(), "doc_id")
             .limit(k))
+
+
+def shuffle_corpus(spark: SparkSession, sf_dir: str,
+                   n_shards: int = 8) -> DataFrame:
+    """C73: deterministic global training-order shuffle + sharding —
+    the step between a finished corpus and a trainer that reads
+    n_shards files in parallel: a content-addressed permutation
+    (order by KR content hash, doc_id tie-break — the C23/C33 idiom,
+    so replicas and re-runs agree with no RNG) assigns each doc a
+    global position, round-robin sharding balances shard sizes to
+    within one doc, and pos_in_shard gives the within-shard read
+    order. Everything downstream of the hash is exact integer
+    arithmetic.
+
+    Scale: the permutation rank is ids.assign_global_ids (range-
+    partitioned slices + bounded offsets — no single-task global
+    window); shard/pos are map-side projections of the rank."""
+    from gcp_data_engineering_workshop_spark.operators.ids import (
+        assign_global_ids)
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", T.kr_hash(T.normalize("text")).alias("_h"))
+    ranked = assign_global_ids(d, ["_h", "doc_id"], id_col="pos")
+    r0 = F.col("pos") - 1
+    return ranked.select(
+        "doc_id", F.col("pos").cast("bigint").alias("pos"),
+        (r0 % n_shards).cast("bigint").alias("shard_id"),
+        ((r0 / n_shards).cast("bigint") + 1).alias("pos_in_shard"))

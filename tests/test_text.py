@@ -930,3 +930,20 @@ def test_weighted_sample_parity_and_plan(spark, sf_dir):
         ref.append((r.doc_id, w, key))
     ref.sort(key=lambda t: (-t[2], t[0]))
     assert sorted(got) == sorted(ref[:100])
+
+
+def test_shuffle_corpus_invariants(spark, sf_dir):
+    """C73: pos is a 1..n permutation, shard sizes balance to within
+    one, (shard_id, pos_in_shard) is consistent with pos, and the
+    order is a genuine shuffle (not doc_id order)."""
+    rows = tp.shuffle_corpus(spark, sf_dir).collect()
+    n = len(rows)
+    assert sorted(r.pos for r in rows) == list(range(1, n + 1))
+    sizes = {}
+    for r in rows:
+        assert r.shard_id == (r.pos - 1) % 8
+        assert r.pos_in_shard == (r.pos - 1) // 8 + 1
+        sizes[r.shard_id] = sizes.get(r.shard_id, 0) + 1
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    by_pos = [r.doc_id for r in sorted(rows, key=lambda r: r.pos)]
+    assert by_pos != sorted(by_pos)
