@@ -70,6 +70,13 @@ BENCH_QUERIES = [
     "text_semdedup",         # C65 raw-text capstone (embed+fit+CC)
     "decontaminate_bloom",   # C66 bloom-pruned decontamination
     "zorder_keys",           # B49 Morton code computation
+    # r6 additions (no earlier baseline — first measured in BENCH_r06):
+    "zorder_pruned_scan",    # B51 footer-pruned z-ordered scan
+    "bm25_topk",             # C67 lexical retrieval
+    "dsir_select",           # C70 importance-resampling selection
+    "perplexity_buckets",    # C71 CCNet tercile partitioning
+    "weighted_sample",       # C72 E-S weighted sampling
+    "shuffle_corpus",        # C73 global shuffle + sharding
 ]
 
 

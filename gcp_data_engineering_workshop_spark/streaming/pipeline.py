@@ -404,3 +404,44 @@ def decontaminate_stream(doc_stream: DataFrame, eval_docs: DataFrame,
     miss = (maybe.join(F.broadcast(eval_sh), on, "left_anti")
             .select("doc_id", F.lit(False).alias("contaminated")))
     return clean.union(hit).union(miss)
+
+
+def lm_score_stream(docs: DataFrame, c_bg: DataFrame, c_ug: DataFrame,
+                    vocab_n: int) -> DataFrame:
+    """D22: train-offline / score-online bigram-LM scoring (the C44 /
+    C71 perplexity filter applied to a STREAM of documents). The LM
+    — bigram counts, unigram counts, vocabulary size — is trained on
+    the static corpus; arriving docs explode to bigrams, stream-
+    static LEFT joins annotate each with its counts (unseen bigrams
+    degrade gracefully to the Laplace floor, exactly the smoothed
+    model's generalization), and one per-doc aggregation rebuilds
+    avg log P. Aggregation over a stream -> run in update/complete
+    output mode; per-micro-batch results for corpus docs equal the
+    C44 batch scorer row for row.
+
+    ``docs``: streaming (doc_id, text) rows. ``c_bg``: static
+    (w1, w2, c12). ``c_ug``: static (w1, c1). ``vocab_n``: the
+    trained vocabulary size, compiled as a literal (D19's
+    broadcast-model pattern)."""
+    from gcp_data_engineering_workshop_spark.functions import textfns as T
+
+    wt = docs.select("doc_id", T.words("text").alias("w"))
+    bg = wt.select(
+        "doc_id",
+        F.explode_outer(F.when(
+            F.size("w") >= 2,
+            F.expr("transform(sequence(0, size(w) - 2), "
+                   "i -> struct(w[i] AS w1, w[i+1] AS w2))"))
+            .otherwise(F.array().cast(
+                "array<struct<w1:string,w2:string>>"))).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    logp = F.log((F.coalesce(F.col("c12"), F.lit(0)) + 1).cast("double")
+                 / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(vocab_n))
+                 .cast("double"))
+    return (bg.join(c_bg, ["w1", "w2"], "left")
+            .join(c_ug, "w1", "left")
+            .groupBy("doc_id")
+            .agg(F.count("w1").alias("n_bigrams"),
+                 F.coalesce(
+                     F.round(F.sum(logp) / F.count("w1"), 6),
+                     F.lit(0.0)).alias("avg_logp")))

@@ -754,3 +754,38 @@ def test_streaming_decontaminate_matches_batch(spark, sf_dir, tmp_path):
             for r in decontaminate_bloom(spark, sf_dir).collect()}
     assert got == want and len(got) > 0
     assert any(got.values()) and not all(got.values())
+
+
+def test_streaming_lm_score_matches_batch(spark, sf_dir, tmp_path):
+    """D22: stream-static bigram-LM scoring equals the C44 batch
+    scorer row for row when the corpus streams through (the LM is
+    trained on the same corpus, so every bigram hits)."""
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+    from gcp_data_engineering_workshop_spark.functions import textfns as T
+    from gcp_data_engineering_workshop_spark.plans.textpipeline import (
+        bigram_lm_score)
+
+    d = load_table(spark, "documents", sf_dir)
+    wt = d.select("doc_id", T.words("text").alias("w"))
+    bgs = wt.where(F.size("w") >= 2).select(F.explode(F.expr(
+        "transform(sequence(0, size(w) - 2), "
+        "i -> struct(w[i] AS w1, w[i+1] AS w2))")).alias("b")) \
+        .select("b.w1", "b.w2")
+    c_bg = bgs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ug = wt.select(F.explode("w").alias("w1"))
+    c_ug = ug.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab_n = ug.select("w1").distinct().count()
+
+    src = str(tmp_path / "doc_stream_lm")
+    d.select("doc_id", "text").coalesce(2) \
+        .write.mode("overwrite").parquet(src)
+    stream = spark.readStream \
+        .schema("doc_id bigint, text string").parquet(src)
+    _run_to_memory(spl.lm_score_stream(stream, c_bg, c_ug, vocab_n),
+                   "lm_scores", "complete")
+    got = {(r.doc_id, r.n_bigrams, r.avg_logp)
+           for r in spark.table("lm_scores").collect()}
+    want = {(r.doc_id, r.n_bigrams, r.avg_logp)
+            for r in bigram_lm_score(spark, sf_dir).collect()
+            if r.n_bigrams > 0}
+    assert got == want and len(want) > 0
