@@ -2462,3 +2462,31 @@ SELECT doc_id, CAST(pos AS BIGINT) AS pos,
        CAST(floor((pos - 1) / 8.0) AS BIGINT) + 1 AS pos_in_shard
 FROM ranked
 """
+
+
+# C74 winnowing: exact integer span-key replay (span_keys_sql at k=4),
+# window-min selection, XOR checksum — all list arithmetic.
+from gcp_data_engineering_workshop_spark.functions.textfns import (  # noqa: E402,F811
+    span_keys_sql as _span_keys_sql)
+
+_WIN_SEL = """CASE
+  WHEN len(sp) >= 4 THEN list_distinct(list_transform(
+    range(0, len(sp) - 3), i -> list_min(sp[i+1:i+4])))
+  WHEN len(sp) > 0 THEN [list_min(sp)]
+  ELSE CAST([] AS BIGINT[]) END"""
+
+WINNOW_FINGERPRINTS_SQL = f"""
+WITH {_WORDS_CTE.strip()},
+sp AS (
+  SELECT doc_id, {_span_keys_sql('w', 4)} AS sp FROM wt
+),
+sel AS (
+  SELECT doc_id, len(sp) AS n_kgrams, {_WIN_SEL} AS s FROM sp
+)
+SELECT doc_id, CAST(n_kgrams AS BIGINT) AS n_kgrams,
+       CAST(len(s) AS BIGINT) AS n_selected,
+       list_min(s) AS fp_min,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), s),
+                   (a, x) -> xor(a, x)) AS fp_xor
+FROM sel
+"""

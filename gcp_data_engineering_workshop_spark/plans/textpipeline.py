@@ -1904,3 +1904,47 @@ def shuffle_corpus(spark: SparkSession, sf_dir: str,
         "doc_id", F.col("pos").cast("bigint").alias("pos"),
         (r0 % n_shards).cast("bigint").alias("shard_id"),
         ((r0 / n_shards).cast("bigint") + 1).alias("pos_in_shard"))
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str,
+                        kgram: int = 4, window: int = 4) -> DataFrame:
+    """C74: winnowing document fingerprints (Schleimer, Wilkerson &
+    Aiken 2003 — the MOSS algorithm): from every doc's stride-1
+    k-gram fingerprint stream (the C41/C52/C61 span-key machinery),
+    select the MINIMUM hash of each window of `window` consecutive
+    k-grams. The selection is position-free and self-synchronizing:
+    any shared run of >= window + kgram - 1 words between two docs
+    is GUARANTEED to share a selected fingerprint, at an expected
+    density of 2/(window+1) — the local alternative to C2's global
+    MinHash for substring-level matching.
+
+    Everything is exact 62-bit integer arithmetic on the packed span
+    keys; the per-doc outputs are the selected-set size, the k-gram
+    count, the min selected fingerprint and the XOR checksum of the
+    selected set (order-free, overflow-free). Scale: beyond the
+    house round-robin spread of the scan, the whole operator is one
+    JVM projection per doc — no data-dependent shuffle; the pairs/
+    dedup consumer would band-join on the selected fingerprints
+    exactly like C54."""
+    par = spark.sparkContext.defaultParallelism
+    d = (_docs(spark, sf_dir).repartition(par)
+         .select("doc_id", T.words("text").alias("w"))
+         .repartition(par))
+    wh1, wh2 = T.word_hashes_of(F.col("w"))
+    spans = T.span_keys_of(wh1, wh2, kgram)
+    dd = d.select("doc_id", spans.alias("sp"))
+    sel = F.when(
+        F.size("sp") >= window,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.size("sp") - window),
+            lambda i: F.array_min(F.slice(F.col("sp"), i + 1, window)))),
+    ).otherwise(F.when(F.size("sp") > 0,
+                       F.array(F.array_min("sp")))
+                .otherwise(F.array().cast("array<bigint>")))
+    return dd.select(
+        "doc_id",
+        F.size("sp").cast("bigint").alias("n_kgrams"),
+        F.size(sel).cast("bigint").alias("n_selected"),
+        F.array_min(sel).alias("fp_min"),
+        F.aggregate(sel, F.lit(0).cast("bigint"),
+                    lambda a, x: a.bitwiseXOR(x)).alias("fp_xor"))

