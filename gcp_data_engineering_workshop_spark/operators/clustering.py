@@ -245,40 +245,78 @@ def semdedup_pairs(emb: DataFrame, k: int = 8, tau: float = 0.4,
 
     With ``cent=None`` the seed-centroid E-step keeps the whole
     composition oracle-checkable; pass ``kmeans_fit`` centroids for
-    the production (trained) variant — same plan shape either way."""
-    from gcp_data_engineering_workshop_spark.functions.vectorfns import (
-        dot_arrow)
+    the production (trained) variant — same plan shape either way.
 
+    Candidate enumeration is a PER-CLUSTER BLOCKED GEMM
+    (applyInArrow), not a cluster_id self-join: the join form
+    materializes O(pairs * dim) rows — both 64-dim vectors riding
+    every one of the sum(|c|^2) candidate rows, ~1 TB at the 500k-doc
+    capstone probe tier, where it ran 45+ min — while the GEMM form
+    shuffles only O(n * dim) once (each vector to its cluster's
+    task), runs X_blk @ X.T per block (the FAISS inner loop), and
+    emits ONLY near-threshold pairs. The dot values are the same
+    float64 matrices as the old einsum path (mat_from_arrow), the
+    block loop bounds G at ~256 MB, and the AUTHORITATIVE 6-dp
+    rounding + tau filter stay on the JVM exactly as before — the
+    in-UDF prefilter keeps a (tau - 1e-6) superset, so the output
+    is bit-identical to the join form (oracle re-verified)."""
+    import pyarrow as pa
+
+    from gcp_data_engineering_workshop_spark.functions.vectorfns import (
+        mat_from_arrow)
     from gcp_data_engineering_workshop_spark.operators.cachepool import (
         register)
 
-    # persist the assignment: both sides of the cluster_id self-join
-    # read it, and without the cache each side re-runs the E-step.
-    #
-    # Width note (why vectors ride the cluster join instead of the
-    # LSH path's attach-ids-later pattern): here every candidate pair
-    # reaches the verify — there is no dedup/filter stage between
-    # candidate generation and the dot product — so O(pairs * dim)
-    # materialization is unavoidable either way. Attaching vectors
-    # AFTER pairing would turn that into an O(pairs * dim) SHUFFLE
-    # (pairs ~ cluster_size * n >> 2n at production sizing), strictly
-    # worse than the O(2n * dim) exchange of the cluster join. The
-    # ID-first pattern wins only when candidates are deduped before
-    # vectors are needed (embedding_neardup_lsh's multi-table case).
     if asg is None:
         asg = register(
             kmeans_assign(emb, cent=cent, k=k, keep_embedding=True))
-    a = asg.select(F.col("cluster_id"), F.col("vec_id").alias("vec_a"),
-                   F.col("embedding").alias("ea"))
-    b = asg.select(F.col("cluster_id"), F.col("vec_id").alias("vec_b"),
-                   F.col("embedding").alias("eb"))
-    # exact verify via the Arrow-batched einsum (one BLAS call per
-    # batch, ~20x the interpreted fold on dense candidate sets);
-    # round(6) keeps the same cross-engine contract as the LSH verify
-    pair_dot = dot_arrow()
-    return (a.join(b, "cluster_id")
-            .where(F.col("vec_a") < F.col("vec_b"))
-            .select("cluster_id", "vec_a", "vec_b",
-                    F.round(pair_dot(F.col("ea"), F.col("eb")), 6)
-                     .alias("dot_sim"))
+
+    prefilter = tau - 1e-6
+
+    # NOTE: deliberately un-annotated — PySpark 4.1's hint inference
+    # raises on partially-resolvable annotations and (upstream bug)
+    # leaves eval_type unbound instead of falling back; bare
+    # signatures take the documented default path.
+    def gemm_pairs(key, table):
+        X = mat_from_arrow(table.column("embedding"))
+        ids = table.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        X = X[order]
+        n = len(ids)
+        blk = max(64, int(3.2e7) // max(n, 1))
+        cols: list[list] = [[], [], []]
+        for i0 in range(0, n, blk):
+            i1 = min(i0 + blk, n)
+            G = X[i0:i1] @ X.T
+            li, lj = np.nonzero(G >= prefilter)
+            gi = li + i0
+            keep = gi < lj  # strict upper triangle in sorted-id order
+            li, gi, gj = li[keep], gi[keep], lj[keep]
+            if len(gi):
+                cols[0].append(ids[gi])
+                cols[1].append(ids[gj])
+                cols[2].append(G[li, gj])
+        if cols[0]:
+            va = np.concatenate(cols[0])
+            vb = np.concatenate(cols[1])
+            ds = np.concatenate(cols[2])
+        else:
+            va = vb = np.empty(0, dtype=np.int64)
+            ds = np.empty(0, dtype=np.float64)
+        return pa.table({
+            "cluster_id": pa.array(
+                np.full(len(va), int(key[0].as_py()), dtype=np.int32)),
+            "vec_a": pa.array(va.astype(np.int64)),
+            "vec_b": pa.array(vb.astype(np.int64)),
+            "dot_sim": pa.array(ds, type=pa.float64()),
+        })
+
+    raw = (asg.select("cluster_id", "vec_id", "embedding")
+           .groupBy("cluster_id")
+           .applyInArrow(gemm_pairs,
+                         "cluster_id int, vec_a bigint, "
+                         "vec_b bigint, dot_sim double"))
+    return (raw.select("cluster_id", "vec_a", "vec_b",
+                       F.round("dot_sim", 6).alias("dot_sim"))
             .where(F.col("dot_sim") >= tau))
