@@ -2490,3 +2490,43 @@ SELECT doc_id, CAST(n_kgrams AS BIGINT) AS n_kgrams,
                    (a, x) -> xor(a, x)) AS fp_xor
 FROM sel
 """
+
+# C75 longest dup run: C41's dup-position derivation + gaps-and-islands
+# (pos - row_number constant on contiguous runs), exact integers.
+LONGEST_DUP_SPAN_SQL = f"""
+WITH {_WORDS_CTE.strip()},
+spans AS (
+  SELECT doc_id, len(w) AS n_words,
+         list_transform(range(0, greatest(len(w) - 9, 0)),
+                        i -> array_to_string(w[i+1:i+10], ' ')) AS sps
+  FROM wt
+),
+s1 AS (
+  SELECT doc_id, unnest(sps) AS sp, generate_subscripts(sps, 1) - 1 AS pos
+  FROM spans
+),
+occ AS (SELECT sp, count(*) AS occ FROM s1 GROUP BY sp),
+dup AS (
+  SELECT s1.doc_id, s1.pos FROM s1 JOIN occ USING (sp) WHERE occ.occ >= 2
+),
+pos AS (
+  SELECT DISTINCT doc_id, p
+  FROM (SELECT doc_id, unnest(range(pos, pos + 10)) AS p FROM dup)
+),
+isl AS (
+  SELECT doc_id, p,
+         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM pos
+),
+runs AS (
+  SELECT doc_id, grp, count(*) AS run FROM isl GROUP BY doc_id, grp
+),
+longest AS (
+  SELECT doc_id, max(run) AS longest_dup_run FROM runs GROUP BY doc_id
+)
+SELECT spans.doc_id,
+       CAST(spans.n_words AS BIGINT) AS n_words,
+       CAST(coalesce(longest.longest_dup_run, 0) AS BIGINT)
+         AS longest_dup_run
+FROM spans LEFT JOIN longest USING (doc_id)
+"""

@@ -1948,3 +1948,61 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str,
         F.array_min(sel).alias("fp_min"),
         F.aggregate(sel, F.lit(0).cast("bigint"),
                     lambda a, x: a.bitwiseXOR(x)).alias("fp_xor"))
+
+
+def longest_dup_span(spark: SparkSession, sf_dir: str,
+                     span_words: int = 10) -> DataFrame:
+    """C75: longest duplicated substring per document — the other
+    Lee et al. dedup diagnostic next to C41's coverage fraction: the
+    length (in word positions) of the longest CONTIGUOUS run of
+    positions covered by some corpus-duplicated span. A doc with
+    dup_fraction 0.3 spread thin is boilerplate; the same fraction
+    in one 500-word run is a wholesale copy — trainers treat them
+    differently.
+
+    Built from the same fingerprint-keyed machinery as C41 (span
+    keys -> occurrence counts -> duplicated positions), then
+    gaps-and-islands: per doc, position minus its rank is constant
+    exactly on contiguous runs, one groupBy per island, max island
+    size per doc. The per-doc window is bounded by document length
+    (high-cardinality small groups — the regime where a plain
+    partitioned window is the right tool, ids.py doctrine), and
+    every exchange is keyed on the 8-byte span fingerprint or
+    doc_id. All counts exact integers."""
+    from pyspark.sql.window import Window
+
+    from gcp_data_engineering_workshop_spark.operators.cachepool import (
+        register)
+
+    L = span_words
+    d = _docs(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    wh1, wh2 = T.word_hashes_of(F.col("w"))
+    base = register(
+        d.repartition(par)
+        .select("doc_id", T.words("text").alias("w"))
+        .select("doc_id", F.size("w").alias("n_words"),
+                wh1.alias("h1"), wh2.alias("h2"))
+        .select("doc_id", "n_words",
+                T.span_keys_of(F.col("h1"), F.col("h2"), L)
+                .alias("sps")))
+    sp = base.select("doc_id", F.posexplode("sps").alias("pos", "sp"))
+    occ = sp.groupBy("sp").agg(F.count(F.lit(1)).alias("occ"))
+    dup = (sp.join(occ, "sp").where(F.col("occ") >= 2)
+           .select("doc_id", "pos"))
+    pos = (dup.select("doc_id",
+                      F.explode(F.sequence(
+                          F.col("pos"), F.col("pos") + L - 1)).alias("p"))
+           .distinct())
+    w = Window.partitionBy("doc_id").orderBy("p")
+    runs = (pos.withColumn("grp", F.col("p") - F.row_number().over(w))
+            .groupBy("doc_id", "grp")
+            .agg(F.count(F.lit(1)).alias("run")))
+    longest = runs.groupBy("doc_id").agg(
+        F.max("run").alias("longest_dup_run"))
+    return (base.select("doc_id", "n_words")
+            .join(longest, "doc_id", "left")
+            .select("doc_id",
+                    F.col("n_words").cast("bigint").alias("n_words"),
+                    F.coalesce("longest_dup_run", F.lit(0))
+                     .cast("bigint").alias("longest_dup_run")))

@@ -996,3 +996,33 @@ def test_winnow_guarantee_and_density(spark, sf_dir):
     assert big
     dens = [r.n_selected / r.n_kgrams for r in big]
     assert 0.15 <= sum(dens) / len(dens) <= 0.7
+
+
+def test_longest_dup_span_hand_corpus(spark):
+    """C75: a planted 14-word shared run (>= span+4 positions
+    covered) yields longest_dup_run == covered-run length on both
+    docs; a unique doc reports 0."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shared = " ".join(f"s{i}" for i in range(14))
+    rows = [
+        (1, shared + " u1a u1b u1c u1d u1e"),
+        (2, "v2a v2b " + shared + " w2a w2b"),
+        (3, " ".join(f"only3_{i}" for i in range(20))),
+    ]
+    tmp = tempfile.mkdtemp()
+    pq.write_table(pa.table({
+        "doc_id": [r[0] for r in rows],
+        "text": [r[1] for r in rows],
+        "lang": ["en"] * 3,
+        "source": ["src0"] * 3,
+        "n_chars": [len(r[1]) for r in rows],
+    }), os.path.join(tmp, "documents.parquet"))
+    out = {r.doc_id: r.longest_dup_run
+           for r in tp.longest_dup_span(spark, tmp).collect()}
+    # 14 shared words -> 5 dup 10-spans -> covered run of 14 positions
+    assert out[1] == 14 and out[2] == 14 and out[3] == 0
