@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_corpus": _tp.shuffle_corpus,
         "winnow_fingerprints": _tp.winnow_fingerprints,
         "longest_dup_span": _tp.longest_dup_span,
+        "quality_attributes": _tp.quality_attributes,
         # -- (3a) r3-green, rotating back in for refreshed evidence --
         "quantity_percentiles": _an.quantity_percentiles,
         "asof_join_purchases": _an2.asof_join_purchases,
@@ -285,6 +286,7 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_corpus": _orc.SHUFFLE_CORPUS_SQL,
         "winnow_fingerprints": _orc.WINNOW_FINGERPRINTS_SQL,
         "longest_dup_span": _orc.LONGEST_DUP_SPAN_SQL,
+        "quality_attributes": _orc.QUALITY_ATTRIBUTES_SQL,
         "salted_join_revenue": _orc.SALTED_JOIN_SQL,
         "value_deciles": _orc.VALUE_DECILES_SQL,
         "retention_set_ops": _orc.RETENTION_SET_OPS_SQL,

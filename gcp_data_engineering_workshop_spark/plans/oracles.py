@@ -2530,3 +2530,17 @@ SELECT spans.doc_id,
          AS longest_dup_run
 FROM spans LEFT JOIN longest USING (doc_id)
 """
+
+# C76 attributes bundle: the three standalone oracles joined on
+# doc_id — certifying the one-pass plan produces identical values.
+QUALITY_ATTRIBUTES_SQL = f"""
+WITH lang AS ({TEXT_LANG_ID_SQL.strip()}),
+q AS ({TEXT_QUALITY_SQL.strip()}),
+tok AS ({TOKEN_COUNT_SQL.strip()})
+SELECT lang.doc_id, lang.lang_label, lang.lang_pred,
+       q.n_words, q.n_chars, q.avg_word_len, q.punct_ratio,
+       q.stopword_ratio_en, q.quality_score,
+       tok.ws_tokens, tok.bpe_tokens
+FROM lang JOIN q ON lang.doc_id = q.doc_id
+JOIN tok ON lang.doc_id = tok.doc_id
+"""

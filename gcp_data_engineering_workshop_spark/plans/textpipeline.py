@@ -2006,3 +2006,52 @@ def longest_dup_span(spark: SparkSession, sf_dir: str,
                     F.col("n_words").cast("bigint").alias("n_words"),
                     F.coalesce("longest_dup_run", F.lit(0))
                      .cast("bigint").alias("longest_dup_run")))
+
+
+def quality_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C76: the single-pass ATTRIBUTES stage — every projection-level
+    quality signal (C8 language ID, C9 quality features + composite
+    score, C10 token counts) computed in ONE map-only pass over the
+    corpus, the way a production curation pipeline materializes its
+    per-doc attributes file (one scan, one wide row per doc) instead
+    of running each signal as its own job. Zero shuffle beyond the
+    house round-robin spread: every column is a pure JVM expression
+    over the shared materialized word array, so adding a signal costs
+    a column, not a pass. Values are IDENTICAL to the standalone
+    queries (same textfns builders) — the oracle certifies that by
+    joining the three standalone oracle SQLs."""
+    d = _docs_with_words(spark, sf_dir)
+    w = F.col("w")
+    text = F.col("text")
+    n_words = F.size(w)
+    n_chars = F.length(text)
+    awl = F.when(
+        n_words > 0,
+        F.aggregate(w, F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + F.length(x)).cast("double")
+        / n_words).otherwise(F.lit(0.0))
+    pr = F.when(n_chars > 0,
+                F.regexp_count(text, F.lit(r"[^\w\s]")).cast("double")
+                / n_chars).otherwise(F.lit(0.0))
+    dr = F.when(n_chars > 0,
+                F.regexp_count(text, F.lit(r"[0-9]")).cast("double")
+                / n_chars).otherwise(F.lit(0.0))
+    sr = T.stopword_ratio_of(w, "en")
+    score = F.round(
+        0.4 * F.least(n_words.cast("bigint").cast("double") / 100.0,
+                      F.lit(1.0))
+        + 0.3 * F.least(sr * 5.0, F.lit(1.0))
+        + 0.3 * (1.0 - F.least(pr * 10.0 + dr * 5.0, F.lit(1.0))), 6)
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        T.lang_id_of(text, w).alias("lang_pred"),
+        n_words.cast("bigint").alias("n_words"),
+        n_chars.cast("bigint").alias("n_chars"),
+        F.round(awl, 6).alias("avg_word_len"),
+        F.round(pr, 6).alias("punct_ratio"),
+        F.round(sr, 6).alias("stopword_ratio_en"),
+        score.alias("quality_score"),
+        F.size(w).cast("bigint").alias("ws_tokens"),
+        F.regexp_count(F.lower(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"))
+         .cast("bigint").alias("bpe_tokens"))

@@ -1026,3 +1026,21 @@ def test_longest_dup_span_hand_corpus(spark):
            for r in tp.longest_dup_span(spark, tmp).collect()}
     # 14 shared words -> 5 dup 10-spans -> covered run of 14 positions
     assert out[1] == 14 and out[2] == 14 and out[3] == 0
+
+
+def test_quality_attributes_matches_standalone(spark, sf_dir):
+    """C76: the one-pass bundle equals the standalone C8/C9/C10
+    queries column for column."""
+    bundle = {r.doc_id: r for r in
+              tp.quality_attributes(spark, sf_dir).collect()}
+    for r in tp.text_quality(spark, sf_dir).collect():
+        b = bundle[r.doc_id]
+        assert (b.n_words, b.n_chars, b.avg_word_len, b.punct_ratio,
+                b.stopword_ratio_en, b.quality_score) == \
+            (r.n_words, r.n_chars, r.avg_word_len, r.punct_ratio,
+             r.stopword_ratio_en, r.quality_score)
+    for r in tp.text_lang_id(spark, sf_dir).collect():
+        assert bundle[r.doc_id].lang_pred == r.lang_pred
+    for r in tp.token_count(spark, sf_dir).collect():
+        b = bundle[r.doc_id]
+        assert (b.ws_tokens, b.bpe_tokens) == (r.ws_tokens, r.bpe_tokens)
