@@ -24,6 +24,9 @@ ROWS_ONLY = {
     "user_overlap_sketch", "multimodal_audio", "multimodal_video",
     "image_phash", "image_phash_neardup",
     "image_dedup_corpus", "audio_fingerprint", "audio_dedup",
+    # r6: BPE merge application is a list-building fold (no DuckDB
+    # lambda); PCA's eigh has no SQL replay — both pytest-paritied
+    "train_bpe_vocab", "embedding_pca",
 }
 
 
