@@ -77,6 +77,9 @@ BENCH_QUERIES = [
     "perplexity_buckets",    # C71 CCNet tercile partitioning
     "weighted_sample",       # C72 E-S weighted sampling
     "shuffle_corpus",        # C73 global shuffle + sharding
+    "winnow_fingerprints",   # C74 MOSS window-min selection
+    "longest_dup_span",      # C75 gaps-and-islands dup runs
+    "quality_attributes",    # C76 one-pass attributes bundle
 ]
 
 
