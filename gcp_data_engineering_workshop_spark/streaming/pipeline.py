@@ -445,3 +445,51 @@ def lm_score_stream(docs: DataFrame, c_bg: DataFrame, c_ug: DataFrame,
                  F.coalesce(
                      F.round(F.sum(logp) / F.count("w1"), 6),
                      F.lit(0.0)).alias("avg_logp")))
+
+
+def attributes_stream(docs: DataFrame) -> DataFrame:
+    """D23: streaming per-doc attributes (C76 twin) — the single-pass
+    quality/attributes stage applied to a STREAM of documents.
+    Entirely stateless: every signal (lang ID, quality features +
+    composite score, token counts) is a pure JVM projection over the
+    arriving row, so there is no watermark, no state store, and
+    per-micro-batch results equal the batch bundle row for row.
+    ``docs``: streaming (doc_id, text, lang) rows."""
+    from gcp_data_engineering_workshop_spark.functions import textfns as T
+
+    wt = docs.select("doc_id", "lang", "text",
+                     T.words("text").alias("w"))
+    w = F.col("w")
+    text = F.col("text")
+    n_words = F.size(w)
+    n_chars = F.length(text)
+    awl = F.when(
+        n_words > 0,
+        F.aggregate(w, F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + F.length(x)).cast("double")
+        / n_words).otherwise(F.lit(0.0))
+    pr = F.when(n_chars > 0,
+                F.regexp_count(text, F.lit(r"[^\w\s]")).cast("double")
+                / n_chars).otherwise(F.lit(0.0))
+    dr = F.when(n_chars > 0,
+                F.regexp_count(text, F.lit(r"[0-9]")).cast("double")
+                / n_chars).otherwise(F.lit(0.0))
+    sr = T.stopword_ratio_of(w, "en")
+    score = F.round(
+        0.4 * F.least(n_words.cast("bigint").cast("double") / 100.0,
+                      F.lit(1.0))
+        + 0.3 * F.least(sr * 5.0, F.lit(1.0))
+        + 0.3 * (1.0 - F.least(pr * 10.0 + dr * 5.0, F.lit(1.0))), 6)
+    return wt.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        T.lang_id_of(text, w).alias("lang_pred"),
+        n_words.cast("bigint").alias("n_words"),
+        n_chars.cast("bigint").alias("n_chars"),
+        F.round(awl, 6).alias("avg_word_len"),
+        F.round(pr, 6).alias("punct_ratio"),
+        F.round(sr, 6).alias("stopword_ratio_en"),
+        score.alias("quality_score"),
+        F.size(w).cast("bigint").alias("ws_tokens"),
+        F.regexp_count(F.lower(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"))
+         .cast("bigint").alias("bpe_tokens"))

@@ -789,3 +789,22 @@ def test_streaming_lm_score_matches_batch(spark, sf_dir, tmp_path):
             for r in bigram_lm_score(spark, sf_dir).collect()
             if r.n_bigrams > 0}
     assert got == want and len(want) > 0
+
+
+def test_streaming_attributes_matches_batch(spark, sf_dir, tmp_path):
+    """D23: the stateless streaming attributes projection equals the
+    C76 batch bundle row for row."""
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+    from gcp_data_engineering_workshop_spark.plans.textpipeline import (
+        quality_attributes)
+
+    d = load_table(spark, "documents", sf_dir)
+    src = str(tmp_path / "doc_stream_attr")
+    d.select("doc_id", "text", "lang").coalesce(2) \
+        .write.mode("overwrite").parquet(src)
+    stream = spark.readStream \
+        .schema("doc_id bigint, text string, lang string").parquet(src)
+    _run_to_memory(spl.attributes_stream(stream), "attrs")
+    got = {tuple(r) for r in spark.table("attrs").collect()}
+    want = {tuple(r) for r in quality_attributes(spark, sf_dir).collect()}
+    assert got == want and len(want) > 0
