@@ -191,3 +191,95 @@ def test_span_dedup_apply_property(spark, corpora):
     want = _span_apply_ref(corpora, L)
     for i, exp in enumerate(want):
         assert got[i] == exp, (i, corpora[i], got[i], exp)
+
+
+# C74 winnowing: random small-alphabet corpora force shared runs;
+# the Spark selection must equal an independent pure-Python winnow
+# (window-min over the same span-key stream), and any two docs
+# sharing a >= window + kgram - 1 word run must share a selected
+# fingerprint (the Schleimer et al. guarantee).
+_docs_strat = st.lists(
+    st.lists(st.sampled_from(list("abcdefgh")), min_size=0, max_size=30),
+    min_size=1, max_size=8)
+
+
+def _py_span_keys(words, L):
+    from gcp_data_engineering_workshop_spark.functions.textfns import (
+        KR_BASE, KR_MOD, KR2_BASE, KR2_MOD, SPAN_BASE1, SPAN_BASE2)
+
+    def fold(word, base, mod):
+        h = 0
+        for ch in word:
+            h = (h * base + ord(ch)) % mod
+        return h
+
+    h1 = [fold(t, KR_BASE, KR_MOD) for t in words]
+    h2 = [fold(t, KR2_BASE, KR2_MOD) for t in words]
+    out = []
+    for i in range(len(words) - L + 1):
+        a = 0
+        for x in h1[i:i + L]:
+            a = (a * SPAN_BASE1 + x) % KR_MOD
+        b = 0
+        for x in h2[i:i + L]:
+            b = (b * SPAN_BASE2 + x) % KR2_MOD
+        out.append(a * KR2_MOD + b)
+    return out
+
+
+def _py_winnow(words, kgram=4, window=4):
+    sp = _py_span_keys(words, kgram)
+    if not sp:
+        return set()
+    if len(sp) < window:
+        return {min(sp)}
+    return {min(sp[i:i + window]) for i in range(len(sp) - window + 1)}
+
+
+@settings(max_examples=6, deadline=None)
+@given(_docs_strat)
+def test_winnow_matches_python_reference(spark, docs):
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gcp_data_engineering_workshop_spark.plans import textpipeline as tp
+
+    texts = [" ".join(ws) for ws in docs]
+    tmp = tempfile.mkdtemp()
+    pq.write_table(pa.table({
+        "doc_id": list(range(len(texts))),
+        "text": texts,
+        "lang": ["en"] * len(texts),
+        "source": ["src0"] * len(texts),
+        "n_chars": [len(t) for t in texts],
+    }), os.path.join(tmp, "documents.parquet"))
+    got = {r.doc_id: (r.n_selected, r.fp_min, r.fp_xor)
+           for r in tp.winnow_fingerprints(spark, tmp).collect()}
+    for i, ws in enumerate(docs):
+        # normalization collapses the doc to the same token stream
+        norm_ws = " ".join(ws).strip().split(" ") \
+            if " ".join(ws).strip() else []
+        sel = _py_winnow(norm_ws)
+        x = 0
+        for v in sel:
+            x ^= v
+        assert got[i] == (len(sel), min(sel) if sel else None, x), i
+    # guarantee: docs sharing a >= 7-word contiguous run share a
+    # selected fingerprint
+    sels = {i: _py_winnow([w for w in " ".join(ws).strip().split(" ")]
+                          if " ".join(ws).strip() else [])
+            for i, ws in enumerate(docs)}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            wi = [w for w in " ".join(docs[i]).strip().split(" ")
+                  ] if " ".join(docs[i]).strip() else []
+            wj = [w for w in " ".join(docs[j]).strip().split(" ")
+                  ] if " ".join(docs[j]).strip() else []
+            runs = {tuple(wi[a:a + 7]) for a in range(len(wi) - 6)}
+            shared = any(tuple(wj[b:b + 7]) in runs
+                         for b in range(len(wj) - 6))
+            if shared:
+                assert sels[i] & sels[j], (i, j)
