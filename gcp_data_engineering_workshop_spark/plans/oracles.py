@@ -2544,3 +2544,58 @@ SELECT lang.doc_id, lang.lang_label, lang.lang_pred,
 FROM lang JOIN q ON lang.doc_id = q.doc_id
 JOIN tok ON lang.doc_id = tok.doc_id
 """
+
+# C77 span-level decontamination: C52's accounting with dup :=
+# "span occurs in the eval slice" (string-keyed — the collision
+# check for the fingerprint path).
+DECONTAMINATE_SPANS_SQL = f"""
+WITH {_WORDS_CTE.strip()},
+spans AS (
+  SELECT doc_id, len(w) AS n_words,
+         list_transform(range(0, greatest(len(w) - 9, 0)),
+                        i -> array_to_string(w[i+1:i+10], ' ')) AS sps
+  FROM wt
+),
+s1 AS (
+  SELECT doc_id, unnest(sps) AS sp, generate_subscripts(sps, 1) - 1 AS pos
+  FROM spans
+),
+evsp AS (SELECT DISTINCT sp FROM s1 WHERE doc_id % 97 = 0),
+dup AS (
+  SELECT s1.doc_id, s1.pos FROM s1 JOIN evsp USING (sp)
+  WHERE s1.doc_id % 97 != 0
+),
+cov AS (
+  SELECT DISTINCT doc_id, p
+  FROM (SELECT doc_id, unnest(range(pos, pos + 10)) AS p FROM dup)
+),
+ints AS (
+  SELECT doc_id, count(*) AS n_removed,
+         sum(CASE WHEN prev IS NULL OR p != prev + 1 THEN 1 ELSE 0 END)
+           AS n_ints
+  FROM (SELECT doc_id, p,
+               lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        FROM cov)
+  GROUP BY doc_id
+),
+toks AS (
+  SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) - 1 AS pos
+  FROM wt WHERE doc_id % 97 != 0
+),
+kept AS (
+  SELECT t.doc_id,
+         coalesce(string_agg(CASE WHEN c.p IS NULL THEN t.word END,
+                             ' ' ORDER BY t.pos), '') AS cleaned_text
+  FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.p
+  GROUP BY t.doc_id
+)
+SELECT spans.doc_id,
+       CAST(spans.n_words AS BIGINT) AS n_words,
+       CAST(coalesce(ints.n_removed, 0) AS BIGINT) AS n_removed_words,
+       CAST(coalesce(ints.n_ints, 0) AS BIGINT) AS n_spans_removed,
+       coalesce(kept.cleaned_text, '') AS cleaned_text
+FROM spans
+LEFT JOIN ints USING (doc_id)
+LEFT JOIN kept USING (doc_id)
+WHERE spans.doc_id % 97 != 0
+"""

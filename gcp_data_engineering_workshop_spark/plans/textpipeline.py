@@ -2055,3 +2055,77 @@ def quality_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(w).cast("bigint").alias("ws_tokens"),
         F.regexp_count(F.lower(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"))
          .cast("bigint").alias("bpe_tokens"))
+
+
+def decontaminate_spans(spark: SparkSession, sf_dir: str,
+                        span_words: int = 10) -> DataFrame:
+    """C77: SUBSTRING-level decontamination (the Lee et al. span
+    machinery pointed at eval overlap instead of self-duplication):
+    any 10-word span of a TRAINING document that also occurs in the
+    held-out eval slice (doc_id % 97 == 0, the C30/C66/C67 split) is
+    removed from the training text — the surgical alternative to
+    C30's drop-the-whole-document flagging, used when eval text is
+    quoted INSIDE otherwise-good training docs. Output: the cleaned
+    training corpus with removed-word / removed-interval accounting
+    (C52's output contract).
+
+    Scale shape: identical to C52 — every exchange keys on the
+    packed 62-bit span fingerprint (the eval span set stays
+    fingerprints end to end; ~8 bytes per span on the wire), the
+    contaminated-position derivation is one shuffle_hash semi join
+    of train spans against the distinct eval-span set, and the
+    rebuild is the same bounded-fanout anti-join + per-doc fold.
+    Collision contract as C41/C52 (~2^-62 per pair; the string-keyed
+    oracle is the collision check)."""
+    from gcp_data_engineering_workshop_spark.operators.cachepool import (
+        register)
+
+    L = span_words
+    d = _docs(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    wh1, wh2 = T.word_hashes_of(F.col("w"))
+    is_eval = F.col("doc_id") % 97 == 0
+    base = register(
+        d.repartition(par)
+        .select("doc_id", T.words("text").alias("w"))
+        .select("doc_id", "w", F.size("w").alias("n_words"),
+                wh1.alias("h1"), wh2.alias("h2"))
+        .select("doc_id", "w", "n_words",
+                T.span_keys_of(F.col("h1"), F.col("h2"), L)
+                .alias("sps")))
+    sp = base.select("doc_id", F.posexplode("sps").alias("pos", "sp"))
+    ev = sp.where(is_eval).select("sp").distinct()
+    cont = (sp.where(~is_eval)
+            .join(ev.hint("shuffle_hash"), "sp", "left_semi")
+            .select("doc_id", "pos"))
+    covered = register(
+        cont.select("doc_id",
+                    F.explode(F.sequence(F.col("pos"),
+                                         F.col("pos") + L - 1)).alias("pos"))
+        .distinct())
+    stats = (covered.groupBy("doc_id")
+             .agg(F.sort_array(F.collect_list("pos")).alias("ps"))
+             .select("doc_id", F.size("ps").alias("n_removed_words"),
+                     F.expr("size(filter(sequence(0, size(ps) - 1), "
+                            "i -> i = 0 OR ps[i] != ps[i-1] + 1))")
+                      .cast("bigint").alias("n_spans_removed")))
+    train = base.where(~is_eval)
+    toks = train.select("doc_id", F.posexplode("w").alias("pos", "word"))
+    cleaned = (toks.join(covered, ["doc_id", "pos"], "left_anti")
+               .groupBy("doc_id")
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                       lambda x: x["word"]),
+                   " ").alias("cleaned_text")))
+    return (train.select("doc_id", F.col("n_words").cast("bigint")
+                         .alias("n_words"))
+            .join(stats, "doc_id", "left")
+            .join(cleaned, "doc_id", "left")
+            .select("doc_id", "n_words",
+                    F.coalesce("n_removed_words", F.lit(0)).cast("bigint")
+                     .alias("n_removed_words"),
+                    F.coalesce("n_spans_removed", F.lit(0)).cast("bigint")
+                     .alias("n_spans_removed"),
+                    F.coalesce("cleaned_text", F.lit(""))
+                     .alias("cleaned_text")))

@@ -1044,3 +1044,37 @@ def test_quality_attributes_matches_standalone(spark, sf_dir):
     for r in tp.token_count(spark, sf_dir).collect():
         b = bundle[r.doc_id]
         assert (b.ws_tokens, b.bpe_tokens) == (r.ws_tokens, r.bpe_tokens)
+
+
+def test_decontaminate_spans_hand_corpus(spark):
+    """C77: a 12-word eval quote inside a training doc is removed
+    (all positions its 10-spans cover), untouched train docs keep
+    their text verbatim, and eval docs never appear in the output."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    quote = " ".join(f"q{i}" for i in range(12))
+    rows = [
+        (0, quote + " eval tail words"),                     # eval (0 % 97)
+        (1, "lead one two " + quote + " after x y z"),       # contaminated
+        (2, " ".join(f"clean{i}" for i in range(15))),       # clean train
+    ]
+    tmp = tempfile.mkdtemp()
+    pq.write_table(pa.table({
+        "doc_id": [r[0] for r in rows],
+        "text": [r[1] for r in rows],
+        "lang": ["en"] * 3,
+        "source": ["src0"] * 3,
+        "n_chars": [len(r[1]) for r in rows],
+    }), os.path.join(tmp, "documents.parquet"))
+    out = {r.doc_id: r for r in
+           tp.decontaminate_spans(spark, tmp).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_removed_words == 12 and out[1].n_spans_removed == 1
+    assert "q0" not in out[1].cleaned_text
+    assert out[1].cleaned_text == "lead one two after x y z"
+    assert out[2].n_removed_words == 0
+    assert out[2].cleaned_text == rows[2][1]
