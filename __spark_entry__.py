@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "longest_dup_span": _tp.longest_dup_span,
         "quality_attributes": _tp.quality_attributes,
         "decontaminate_spans": _tp.decontaminate_spans,
+        "dedup_keep_best": _tp.dedup_keep_best,
         # -- (3a) r3-green, rotating back in for refreshed evidence --
         "quantity_percentiles": _an.quantity_percentiles,
         "asof_join_purchases": _an2.asof_join_purchases,
@@ -289,6 +290,7 @@ def oracle_sql() -> dict[str, str]:
         "longest_dup_span": _orc.LONGEST_DUP_SPAN_SQL,
         "quality_attributes": _orc.QUALITY_ATTRIBUTES_SQL,
         "decontaminate_spans": _orc.DECONTAMINATE_SPANS_SQL,
+        "dedup_keep_best": _orc.DEDUP_KEEP_BEST_SQL,
         "salted_join_revenue": _orc.SALTED_JOIN_SQL,
         "value_deciles": _orc.VALUE_DECILES_SQL,
         "retention_set_ops": _orc.RETENTION_SET_OPS_SQL,

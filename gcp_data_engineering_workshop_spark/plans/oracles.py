@@ -2599,3 +2599,62 @@ LEFT JOIN ints USING (doc_id)
 LEFT JOIN kept USING (doc_id)
 WHERE spans.doc_id % 97 != 0
 """
+
+# C78 keep-best dedup: the C14 recursive closure + C9 score, winner
+# by (score DESC, doc_id), singletons pass through.
+DEDUP_KEEP_BEST_SQL = f"""
+WITH RECURSIVE {_WORDS_CTE.strip()}, {_SHINGLES_CTE.strip()}, {_CAND_CTE.strip()},
+pairs AS (
+  SELECT cand.doc_a, cand.doc_b
+  FROM cand
+  JOIN sh a ON cand.doc_a = a.doc_id
+  JOIN sh b ON cand.doc_b = b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b.s))) >= 0.9
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT node AS doc_id, least(node, min_reach) AS component
+  FROM (SELECT a AS node, min(b) AS min_reach FROM reach GROUP BY a)
+),
+score AS (
+  SELECT d.doc_id,
+         round(0.4 * least(CAST(len(w) AS DOUBLE)/100.0, 1.0)
+             + 0.3 * least((CASE WHEN len(list_distinct(w)) > 0
+                 THEN CAST(len(list_intersect(list_distinct(w), {_SW['en']}))
+                      AS DOUBLE)/len(list_distinct(w)) ELSE 0.0 END) * 5.0,
+                 1.0)
+             + 0.3 * (1.0 - least(
+                 (CASE WHEN length(d.text) > 0
+                  THEN CAST(len(regexp_extract_all(d.text, '[^\\w\\s]'))
+                       AS DOUBLE)/length(d.text) ELSE 0.0 END) * 10.0
+               + (CASE WHEN length(d.text) > 0
+                  THEN CAST(len(regexp_extract_all(d.text, '[0-9]'))
+                       AS DOUBLE)/length(d.text) ELSE 0.0 END) * 5.0,
+                 1.0)), 6) AS quality_score
+  FROM documents d JOIN wt ON d.doc_id = wt.doc_id
+),
+winners AS (
+  SELECT doc_id, component, quality_score
+  FROM (
+    SELECT c.doc_id, c.component, s.quality_score,
+           row_number() OVER (PARTITION BY c.component
+                              ORDER BY s.quality_score DESC, c.doc_id)
+             AS rn
+    FROM comp c JOIN score s USING (doc_id)
+  ) WHERE rn = 1
+),
+singles AS (
+  SELECT s.doc_id, s.doc_id AS component, s.quality_score
+  FROM score s WHERE s.doc_id NOT IN (SELECT doc_id FROM comp)
+)
+SELECT * FROM winners UNION ALL SELECT * FROM singles
+"""

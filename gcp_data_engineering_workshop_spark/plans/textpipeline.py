@@ -2129,3 +2129,44 @@ def decontaminate_spans(spark: SparkSession, sf_dir: str,
                      .alias("n_spans_removed"),
                     F.coalesce("cleaned_text", F.lit(""))
                      .alias("cleaned_text")))
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C78: near-dup dedup keeping the BEST copy — the FineWeb-style
+    canonical rule: within each near-dup component (C14's verified
+    tau=0.9 groups), survive the member with the HIGHEST C9 quality
+    score (doc_id breaks ties), not the lowest id. Two duplicated
+    crawls of the same page usually differ in boilerplate damage;
+    keep-min-id throws a coin, keep-best keeps the clean one.
+    Output: the surviving corpus (doc_id, component, quality_score)
+    — component = own doc_id for docs in no group.
+
+    Scale shape: the pair graph and components are the audited C2/
+    C14 machinery; the winner rule is a per-component window over
+    groups whose size the tau=0.9 verify already bounds (near-dup
+    components are small by construction; the giant-component case
+    is the C65 pointer-jump territory, not this op); the final join
+    is doc_id-keyed."""
+    from pyspark.sql.window import Window
+
+    from gcp_data_engineering_workshop_spark.operators.cachepool import (
+        register)
+    from gcp_data_engineering_workshop_spark.operators.dedup import (
+        minhash_lsh_pairs)
+    from gcp_data_engineering_workshop_spark.operators.graph import (
+        connected_components)
+
+    d = register(_docs(spark, sf_dir).select(
+        "doc_id", T.quality_score("text").alias("quality_score")))
+    comp = connected_components(
+        minhash_lsh_pairs(_docs(spark, sf_dir), tau=0.9))
+    grouped = comp.join(d, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality_score").desc(), "doc_id")
+    winners = (grouped.withColumn("rn", F.row_number().over(w))
+               .where(F.col("rn") == 1)
+               .select("doc_id", "component", "quality_score"))
+    singles = (d.join(comp.select("doc_id"), "doc_id", "left_anti")
+               .select("doc_id", F.col("doc_id").alias("component"),
+                       "quality_score"))
+    return winners.unionByName(singles)

@@ -1078,3 +1078,32 @@ def test_decontaminate_spans_hand_corpus(spark):
     assert out[1].cleaned_text == "lead one two after x y z"
     assert out[2].n_removed_words == 0
     assert out[2].cleaned_text == rows[2][1]
+
+
+def test_dedup_keep_best_invariants(spark, sf_dir):
+    """C78: exactly one survivor per component, the survivor has the
+    component's max quality score (doc_id tie-break), and docs in no
+    group pass through with component == doc_id."""
+    from gcp_data_engineering_workshop_spark.operators.dedup import (
+        minhash_lsh_pairs)
+    from gcp_data_engineering_workshop_spark.operators.graph import (
+        connected_components)
+
+    rows = tp.dedup_keep_best(spark, sf_dir).collect()
+    comp = {r.doc_id: r.component for r in connected_components(
+        minhash_lsh_pairs(tp._docs(spark, sf_dir), tau=0.9)).collect()}
+    score = {r.doc_id: r.quality_score
+             for r in tp.text_quality(spark, sf_dir).collect()}
+    by_comp = {}
+    for d, c in comp.items():
+        by_comp.setdefault(c, []).append(d)
+    surv = {r.doc_id for r in rows}
+    for c, members in by_comp.items():
+        kept = [d for d in members if d in surv]
+        assert len(kept) == 1, (c, kept)
+        best = min(members, key=lambda d: (-score[d], d))
+        assert kept[0] == best
+    for r in rows:
+        if r.doc_id not in comp:
+            assert r.component == r.doc_id
+        assert r.quality_score == score[r.doc_id]
