@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_attributes": _tp.quality_attributes,
         "decontaminate_spans": _tp.decontaminate_spans,
         "dedup_keep_best": _tp.dedup_keep_best,
+        "corpus_report": _tp.corpus_report,
         # -- (3a) r3-green, rotating back in for refreshed evidence --
         "quantity_percentiles": _an.quantity_percentiles,
         "asof_join_purchases": _an2.asof_join_purchases,
@@ -102,9 +103,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _tp.text_lang_id,
         "dedup_incremental": _tp.dedup_incremental,
         "line_dedup": _tp.line_dedup,
+        # ---- window boundary (50) — the 11 new/changed r6 ops above
+        #      displaced the remaining refresh rotations ----
         "tokenize_ids": _tp.tokenize_ids,
         "bigram_lm_score": _tp.bigram_lm_score,
-        # -- (3b) oldest r4-green rows, refreshed --
+        # -- (3b) r4-green rows (back in the tail this round) --
         "dash_overview": _sp.dash_overview,
         "dash_tickers": _sp.dash_tickers,
         "dash_detail": _sp.dash_detail,
@@ -113,7 +116,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": _an.topk_per_group,
         "dedup_exact": _tp.dedup_exact,
         "text_quality": _tp.text_quality,
-        # ---- window boundary (50) ----
         # -- tail: green r5 driver rows on current data --
         "q12_priority_shipping": _an2.q12_priority_shipping,
         "q16_supplier_part_counts": _an2.q16_supplier_part_counts,
@@ -291,6 +293,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_attributes": _orc.QUALITY_ATTRIBUTES_SQL,
         "decontaminate_spans": _orc.DECONTAMINATE_SPANS_SQL,
         "dedup_keep_best": _orc.DEDUP_KEEP_BEST_SQL,
+        "corpus_report": _orc.CORPUS_REPORT_SQL,
         "salted_join_revenue": _orc.SALTED_JOIN_SQL,
         "value_deciles": _orc.VALUE_DECILES_SQL,
         "retention_set_ops": _orc.RETENTION_SET_OPS_SQL,

@@ -2658,3 +2658,74 @@ singles AS (
 )
 SELECT * FROM winners UNION ALL SELECT * FROM singles
 """
+
+# C79 corpus report: six terminal aggregates of already-oracled
+# pipelines, UNION ALL'd as (metric, value) rows.
+CORPUS_REPORT_SQL = f"""
+WITH RECURSIVE {_WORDS_CTE.strip()}, {_SHINGLES_CTE.strip()}, {_CAND_CTE.strip()},
+pairs AS (
+  SELECT cand.doc_a, cand.doc_b
+  FROM cand
+  JOIN sh a ON cand.doc_a = a.doc_id
+  JOIN sh b ON cand.doc_b = b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b.s))) >= 0.9
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT node AS doc_id, least(node, min_reach) AS component
+  FROM (SELECT a AS node, min(b) AS min_reach FROM reach GROUP BY a)
+),
+eh AS (
+  SELECT doc_id, md5({_NORM}) AS h FROM documents
+),
+spans AS (
+  SELECT doc_id, len(w) AS n_words,
+         list_transform(range(0, greatest(len(w) - 9, 0)),
+                        i -> array_to_string(w[i+1:i+10], ' ')) AS sps
+  FROM wt
+),
+s1 AS (
+  SELECT doc_id, unnest(sps) AS sp, generate_subscripts(sps, 1) - 1 AS pos
+  FROM spans
+),
+occ AS (SELECT sp, count(*) AS occ FROM s1 GROUP BY sp),
+dup AS (
+  SELECT s1.doc_id, s1.pos FROM s1 JOIN occ USING (sp) WHERE occ.occ >= 2
+),
+cov AS (
+  SELECT DISTINCT doc_id, p
+  FROM (SELECT doc_id, unnest(range(pos, pos + 10)) AS p FROM dup)
+),
+shex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+evg AS (SELECT DISTINCT g FROM shex WHERE doc_id % 97 = 0),
+conts AS (
+  SELECT DISTINCT doc_id FROM shex
+  WHERE doc_id % 97 != 0 AND g IN (SELECT g FROM evg)
+)
+SELECT 'n_docs' AS metric, CAST(count(*) AS DOUBLE) AS value
+FROM documents
+UNION ALL
+SELECT 'n_words_total', CAST(sum(len(w)) AS DOUBLE) FROM wt
+UNION ALL
+SELECT 'exact_dup_removable', CAST(count(*) AS DOUBLE)
+FROM (SELECT doc_id, h, min(doc_id) OVER (PARTITION BY h) AS mn FROM eh)
+WHERE doc_id != mn
+UNION ALL
+SELECT 'neardup_removable',
+       CAST(count(*) - count(DISTINCT component) AS DOUBLE) FROM comp
+UNION ALL
+SELECT 'span_dup_coverage',
+       round(CAST((SELECT count(*) FROM cov) AS DOUBLE)
+             / (SELECT sum(n_words) FROM spans), 6)
+UNION ALL
+SELECT 'contaminated_docs', CAST(count(*) AS DOUBLE) FROM conts
+"""

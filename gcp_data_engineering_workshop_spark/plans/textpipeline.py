@@ -2170,3 +2170,41 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("doc_id", F.col("doc_id").alias("component"),
                        "quality_score"))
     return winners.unionByName(singles)
+
+
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C79: the corpus DATA CARD — one job emitting the dedup /
+    contamination health metrics a curation team reports before
+    training, as (metric, value) rows: corpus size, exact-dup
+    removable count (C1 non-canonicals), near-dup removable count
+    (C2/C14 nodes minus components), global duplicated-span coverage
+    (C41 aggregated), and eval-contaminated doc count (C30). Each
+    metric is the TERMINAL aggregate of an already-audited pipeline
+    — the report adds only 1-row aggregations and a union, so its
+    scale story is exactly its inputs'."""
+    from gcp_data_engineering_workshop_spark.operators.dedup import (
+        exact_dedup, minhash_lsh_pairs)
+    from gcp_data_engineering_workshop_spark.operators.graph import (
+        connected_components)
+
+    d = _docs(spark, sf_dir)
+
+    def m(name, frame):
+        return frame.select(F.lit(name).alias("metric"),
+                            F.col("value").cast("double").alias("value"))
+
+    n_docs = m("n_docs", d.agg(F.count(F.lit(1)).alias("value")))
+    n_words = m("n_words_total", d.agg(
+        F.sum(F.size(T.words("text"))).alias("value")))
+    exact = m("exact_dup_removable", exact_dedup(d).where(
+        ~F.col("is_canonical")).agg(F.count(F.lit(1)).alias("value")))
+    comp = connected_components(minhash_lsh_pairs(d, tau=0.9))
+    near = m("neardup_removable", comp.agg(
+        (F.count(F.lit(1)) - F.countDistinct("component")).alias("value")))
+    spans = m("span_dup_coverage", span_dedup_stats(spark, sf_dir).agg(
+        F.round(F.sum("covered_positions") / F.sum("n_words"), 6)
+        .alias("value")))
+    cont = m("contaminated_docs", decontaminate(spark, sf_dir).where(
+        "contaminated").agg(F.count(F.lit(1)).alias("value")))
+    return (n_docs.unionByName(n_words).unionByName(exact)
+            .unionByName(near).unionByName(spans).unionByName(cont))
