@@ -80,6 +80,9 @@ BENCH_QUERIES = [
     "winnow_fingerprints",   # C74 MOSS window-min selection
     "longest_dup_span",      # C75 gaps-and-islands dup runs
     "quality_attributes",    # C76 one-pass attributes bundle
+    "decontaminate_spans",   # C77 substring-level decontamination
+    "dedup_keep_best",       # C78 keep-best near-dup dedup
+    "corpus_report",         # C79 data-card composition
 ]
 
 

@@ -1775,10 +1775,15 @@ def dsir_select(spark: SparkSession, sf_dir: str, m: int = 4096,
          .repartition(par))
     wh1, wh2 = T.word_hashes_of(F.col("w"))
     is_tgt = F.col("source").isin("src0", "src1")
-    feats = d.select(
+    # cached: the bucket-count aggregate reads feats once for the
+    # distributions and once more for the raw-side scoring join —
+    # uncached the explode + char folds would run three times
+    from gcp_data_engineering_workshop_spark.operators.cachepool import (
+        register as _register)
+    feats = _register(d.select(
         "doc_id", is_tgt.alias("is_tgt"),
         F.explode(T.span_keys_of(wh1, wh2, 2)).alias("k")
-    ).select("doc_id", "is_tgt", (F.col("k") % m).alias("b"))
+    ).select("doc_id", "is_tgt", (F.col("k") % m).alias("b")))
     cnt = feats.groupBy("b").agg(
         F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("ct"),
         F.sum(F.when(~F.col("is_tgt"), 1).otherwise(0)).alias("cr"))
