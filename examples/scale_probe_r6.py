@@ -83,6 +83,14 @@ TARGETS = [
     ("dedup_corpus", tp.dedup_corpus),
     ("text_semdedup", tp.text_semdedup),
     ("image_phash_neardup", tp.image_phash_neardup),
+    # new r6 ops (replica vocabularies are disjoint, so BM25
+    # candidates, DSIR buckets-hits, and eval-span overlap all grow
+    # linearly by construction)
+    ("dsir_select", tp.dsir_select),
+    ("bm25_topk", tp.bm25_topk),
+    ("perplexity_buckets", tp.perplexity_buckets),
+    ("decontaminate_spans", tp.decontaminate_spans),
+    ("dedup_keep_best", tp.dedup_keep_best),
 ]
 
 
