@@ -5,13 +5,18 @@ the oracle-verified operators.
   raw documents
     -> line-level boilerplate removal          (C39 line_dedup)
     -> substring (span) dedup removal          (C52 span_dedup_apply)
-    -> quality + repetition filtering          (C9 / C29)
+    -> eval-span surgical decontamination      (C77 decontaminate_spans)
+    -> quality + repetition filtering          (C9 / C29, via the
+                                                C76 one-pass bundle)
+    -> perplexity tercile gate (keep head+mid)  (C71)
     -> trained quality classifier gate         (C59 quality_classifier)
-    -> exact + near-dup removal                (C22 dedup_corpus)
+    -> near-dup removal keeping the BEST copy  (C78 dedup_keep_best)
     -> semantic dedup over embeddings          (C55 semdedup_trained)
     -> benchmark decontamination               (C30)
     -> per-language temperature rebalancing    (C33)
+    -> DSIR target-likeness selection          (C70)
     -> deterministic train/test split          (C16)
+    -> global shuffle + shard assignment       (C73)
     -> tokenizer vocab + id application        (C18 / C42)
     -> sequence packing + dense example ids    (C34 / C35)
 
@@ -41,10 +46,16 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         "doc_id", "n_removed_words")
     classifier = tp.quality_classifier(spark, sf_dir).select(
         "doc_id", F.col("score").alias("clf_score"))
-    quality = tp.text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    quality = tp.quality_attributes(spark, sf_dir).select(
+        "doc_id", "quality_score")
+    ppl = tp.perplexity_buckets(spark, sf_dir).where(
+        F.col("bucket") != "tail").select("doc_id")
+    span_decon = tp.decontaminate_spans(spark, sf_dir).select(
+        "doc_id", F.col("n_removed_words").alias("n_decon_words"))
+    dsir = tp.dsir_select(spark, sf_dir).select("doc_id")
     repetition = tp.gopher_repetition(spark, sf_dir).select(
         "doc_id", "dup_word_frac")
-    survivors = tp.dedup_corpus(spark, sf_dir).select("doc_id")
+    survivors = tp.dedup_keep_best(spark, sf_dir).select("doc_id")
     decontaminated = tp.decontaminate(spark, sf_dir).select("doc_id")
     # semantic layer: embeddings cluster (distributed Lloyd's), then
     # near-dup pairs are searched within clusters only; drop the
@@ -63,8 +74,13 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         .join(survivors, "doc_id")
         .join(decontaminated, "doc_id")
         .join(sem_keep, "doc_id", "left_semi")
+        .join(ppl, "doc_id")
+        .join(span_decon, "doc_id")
+        .join(dsir, "doc_id", "left_semi")
         .join(sampled, "doc_id")
         .join(split, "doc_id")
+        .join(tp.shuffle_corpus(spark, sf_dir)
+              .select("doc_id", "shard_id", "pos_in_shard"), "doc_id")
     )
     corpus.write.mode("overwrite").parquet(f"{out}/clean_corpus")
     n = spark.read.parquet(f"{out}/clean_corpus").count()
