@@ -1784,9 +1784,12 @@ def dsir_select(spark: SparkSession, sf_dir: str, m: int = 4096,
         "doc_id", is_tgt.alias("is_tgt"),
         F.explode(T.span_keys_of(wh1, wh2, 2)).alias("k")
     ).select("doc_id", "is_tgt", (F.col("k") % m).alias("b")))
-    cnt = feats.groupBy("b").agg(
+    # cnt is m-bounded (<= 4096 rows) and feeds both tots and lr —
+    # cached so the lr plan reads it twice without re-scanning the
+    # 46M-row feats frame twice
+    cnt = _register(feats.groupBy("b").agg(
         F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("ct"),
-        F.sum(F.when(~F.col("is_tgt"), 1).otherwise(0)).alias("cr"))
+        F.sum(F.when(~F.col("is_tgt"), 1).otherwise(0)).alias("cr")))
     tots = cnt.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
     lr = (cnt.crossJoin(F.broadcast(tots))
           .select("b", F.round(
