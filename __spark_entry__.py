@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_spans": _tp.decontaminate_spans,
         "dedup_keep_best": _tp.dedup_keep_best,
         "corpus_report": _tp.corpus_report,
+        "pagerank_knn": _tp.pagerank_knn,
         # -- (3a) r3-green, rotating back in for refreshed evidence --
         "quantity_percentiles": _an.quantity_percentiles,
         "asof_join_purchases": _an2.asof_join_purchases,
@@ -294,6 +295,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_spans": _orc.DECONTAMINATE_SPANS_SQL,
         "dedup_keep_best": _orc.DEDUP_KEEP_BEST_SQL,
         "corpus_report": _orc.CORPUS_REPORT_SQL,
+        "pagerank_knn": _orc.PAGERANK_KNN_SQL,
         "salted_join_revenue": _orc.SALTED_JOIN_SQL,
         "value_deciles": _orc.VALUE_DECILES_SQL,
         "retention_set_ops": _orc.RETENTION_SET_OPS_SQL,

@@ -2729,3 +2729,52 @@ SELECT 'span_dup_coverage',
 UNION ALL
 SELECT 'contaminated_docs', CAST(count(*) AS DOUBLE) FROM conts
 """
+
+# C80 kNN PageRank: exact kNN edges (every vector a query) + n_iter
+# unrolled power-iteration rounds in FIXED-POINT INTEGER arithmetic
+# (scale 1e12): pr div k per edge, (17 * mass) // 20 damping,
+# (3 * SCALE) // (20 * n) teleport — exact bigint math, zero fp
+# rounding inside the iteration.
+def _pagerank_knn_sql(k=5, n_iter=5):
+    SCALE = 10 ** 12
+    rounds = []
+    prev = "p0"
+    for i in range(1, n_iter + 1):
+        rounds.append(f"""
+p{i} AS (
+  SELECT v.vec_id,
+         CAST((3 * {SCALE}) // (20 * (SELECT n FROM nn))
+              + (17 * coalesce(m.mass, 0)) // 20 AS BIGINT) AS pr_int
+  FROM embeddings v LEFT JOIN (
+    SELECT e.neighbor_id AS vec_id,
+           CAST(sum({prev}.pr_int // {k}) AS BIGINT) AS mass
+    FROM knn e JOIN {prev} ON e.query_id = {prev}.vec_id
+    GROUP BY e.neighbor_id
+  ) m ON v.vec_id = m.vec_id
+)""")
+        prev = f"p{i}"
+    return f"""
+WITH s AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round({_DOT}, 6) AS dot_sim
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id != b.vec_id
+),
+knn AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY dot_sim DESC, neighbor_id) AS rank
+    FROM s
+  ) WHERE rank <= {k}
+),
+nn AS (SELECT count(*) AS n FROM embeddings),
+p0 AS (
+  SELECT vec_id,
+         CAST({SCALE} // (SELECT n FROM nn) AS BIGINT) AS pr_int
+  FROM embeddings
+),{",".join(rounds)}
+SELECT vec_id, pr_int / 1000000000000.0 AS pagerank FROM {prev}
+"""
+
+
+PAGERANK_KNN_SQL = _pagerank_knn_sql()

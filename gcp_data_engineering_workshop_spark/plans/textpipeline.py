@@ -2216,3 +2216,61 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "contaminated").agg(F.count(F.lit(1)).alias("value")))
     return (n_docs.unionByName(n_words).unionByName(exact)
             .unionByName(near).unionByName(spans).unionByName(cont))
+
+
+def pagerank_knn(spark: SparkSession, sf_dir: str, k: int = 5,
+                 n_iter: int = 5) -> DataFrame:
+    """C80: PageRank over the embedding kNN graph — the coreset /
+    representativeness signal: each vector points at its k nearest
+    neighbors (C6's exact top-k with every vector as a query), and
+    n_iter power-iteration rounds (d = 0.85) score how central each
+    example is in embedding space. High-rank points sit in dense,
+    mutually-nearest regions; data-selection pipelines use the score
+    to cap redundant regions or pick prototypes.
+
+    Exactness: the iteration runs in FIXED-POINT INTEGER arithmetic
+    (scale 1e12) — per-edge contribution pr div k, damping as
+    (17 * mass) div 20, teleport as (3 * SCALE) div (20 * n) — so
+    every round is exact bigint math with NO floating-point rounding
+    anywhere (a first attempt on a 1e-8 double grid hit exactly the
+    cross-engine half-boundary flips this avoids: pr/k values are
+    2e-9-decimal multiples, which LAND on the half-grid). Every node
+    has out-degree exactly k, so there is no dangling mass. The
+    oracle replays all n_iter rounds as unrolled integer CTEs; the
+    final projection divides by 1e12 once (same single IEEE op both
+    engines).
+
+    Scale shape: the edge build at this sizing is the broadcast
+    brute-force kNN (C6); at corpus scale the edge list comes from
+    the IVF/IVF-PQ path (C20/C63) and everything downstream is
+    unchanged — each round is one edges-ranks join + one
+    neighbor-keyed sum, both linear in |edges| = k * n, with
+    register/release bounding the cached frontier."""
+    from gcp_data_engineering_workshop_spark.operators.cachepool import (
+        register, release)
+
+    SCALE = 10 ** 12
+    emb = _emb(spark, sf_dir)
+    edges = register(
+        S.ann_topk(emb, n_queries=1 << 62, k=k)
+        .select("query_id", "neighbor_id"))
+    nodes = register(emb.select("vec_id"))
+    n = nodes.count()
+    teleport = (3 * SCALE) // (20 * n)
+    pr = register(nodes.select(
+        "vec_id", F.lit(SCALE // n).alias("pr_int")))
+    for _ in range(n_iter):
+        mass = (edges.join(pr, edges.query_id == pr.vec_id)
+                .groupBy("neighbor_id")
+                .agg(F.sum(F.expr(f"pr_int div {k}")).alias("mass")))
+        new_pr = register(
+            nodes.join(mass, nodes.vec_id == mass.neighbor_id, "left")
+            .select("vec_id",
+                    (F.lit(teleport)
+                     + F.expr("(17 * coalesce(mass, 0)) div 20"))
+                    .cast("bigint").alias("pr_int")))
+        new_pr.count()  # materialize before releasing the parent
+        release(pr)
+        pr = new_pr
+    return pr.select(
+        "vec_id", (F.col("pr_int") / F.lit(1e12)).alias("pagerank"))

@@ -354,3 +354,36 @@ def test_pca_fit_matches_numpy_and_projects_exactly(spark, sf_dir):
     assert set(got) == set(ids.tolist())
     for i, vid in enumerate(ids.tolist()):
         assert [got[vid][j] for j in range(8)] == list(want[i])
+
+
+def test_pagerank_knn_invariants(spark, sf_dir):
+    """C80: ranks are positive, total mass conserves to ~1 (integer
+    truncation loses < n*2e-12 + n*20e-12 per round), hub nodes
+    (high in-degree in the kNN graph) outrank leaf nodes (zero
+    in-degree gets exactly the teleport floor), and a second run is
+    bit-identical."""
+    from pyspark.sql import functions as F
+
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+    from gcp_data_engineering_workshop_spark.operators import similarity as S
+    from gcp_data_engineering_workshop_spark.plans import textpipeline as tp
+
+    rows = {r.vec_id: r.pagerank
+            for r in tp.pagerank_knn(spark, sf_dir).collect()}
+    n = len(rows)
+    assert n > 0 and all(v > 0 for v in rows.values())
+    assert abs(sum(rows.values()) - 1.0) < 1e-6 * n
+    edges = S.ann_topk(load_table(spark, "embeddings", sf_dir),
+                       n_queries=1 << 62, k=5) \
+        .groupBy("neighbor_id").agg(F.count(F.lit(1)).alias("deg")) \
+        .collect()
+    indeg = {r.neighbor_id: r.deg for r in edges}
+    floor = min(rows.values())
+    zero_in = [v for k_, v in rows.items() if k_ not in indeg]
+    if zero_in:
+        assert all(abs(v - floor) < 1e-12 for v in zero_in)
+    hubs = sorted(indeg, key=lambda d: -indeg[d])[:5]
+    assert min(rows[h] for h in hubs) > floor
+    again = {r.vec_id: r.pagerank
+             for r in tp.pagerank_knn(spark, sf_dir).collect()}
+    assert again == rows
