@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "decontaminate_spans",   # C77 substring-level decontamination
     "dedup_keep_best",       # C78 keep-best near-dup dedup
     "corpus_report",         # C79 data-card composition
+    "pagerank_knn",          # C80 fixed-point kNN-graph PageRank
 ]
 
 
