@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": _tp.dedup_keep_best,
         "corpus_report": _tp.corpus_report,
         "pagerank_knn": _tp.pagerank_knn,
+        "kneser_ney_score": _tp.kneser_ney_score,
         # -- (3a) r3-green, rotating back in for refreshed evidence --
         "quantity_percentiles": _an.quantity_percentiles,
         "asof_join_purchases": _an2.asof_join_purchases,
@@ -296,6 +297,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_best": _orc.DEDUP_KEEP_BEST_SQL,
         "corpus_report": _orc.CORPUS_REPORT_SQL,
         "pagerank_knn": _orc.PAGERANK_KNN_SQL,
+        "kneser_ney_score": _orc.KNESER_NEY_SCORE_SQL,
         "salted_join_revenue": _orc.SALTED_JOIN_SQL,
         "value_deciles": _orc.VALUE_DECILES_SQL,
         "retention_set_ops": _orc.RETENTION_SET_OPS_SQL,

@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "dedup_keep_best",       # C78 keep-best near-dup dedup
     "corpus_report",         # C79 data-card composition
     "pagerank_knn",          # C80 fixed-point kNN-graph PageRank
+    "kneser_ney_score",      # C81 interpolated KN bigram LM
 ]
 
 

@@ -2778,3 +2778,41 @@ SELECT vec_id, pr_int / 1000000000000.0 AS pagerank FROM {prev}
 
 
 PAGERANK_KNN_SQL = _pagerank_knn_sql()
+
+# C81 Kneser-Ney: exact integer count/continuation aggregates; the
+# per-bigram probability is the same few IEEE ops on identical
+# doubles; per-doc mean rounds at 1e-6 (C44's contract).
+KNESER_NEY_SCORE_SQL = f"""
+WITH {_WORDS_CTE.strip()},
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                                       i -> {{'w1': w[i], 'w2': w[i+1]}})) AS b
+  FROM wt WHERE len(w) >= 2
+),
+bgf AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+c_bg AS (SELECT w1, w2, count(*) AS c12 FROM bgf GROUP BY w1, w2),
+c_w1 AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n1p_fwd
+  FROM c_bg GROUP BY w1
+),
+c_w2 AS (SELECT w2, count(*) AS n1p_bwd FROM c_bg GROUP BY w2),
+types AS (SELECT count(*) AS n_types FROM c_bg),
+scored AS (
+  SELECT bgf.doc_id,
+         count(*) AS n_bigrams,
+         round(SUM(ln(
+           greatest(c12 - 0.75, 0.0) / c1
+           + (0.75 * n1p_fwd / c1) * (CAST(n1p_bwd AS DOUBLE) / n_types)
+         )) / count(*), 6) AS avg_logp
+  FROM bgf
+  JOIN c_bg USING (w1, w2)
+  JOIN c_w1 USING (w1)
+  JOIN c_w2 USING (w2)
+  CROSS JOIN types
+  GROUP BY bgf.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       coalesce(s.avg_logp, 0.0) AS avg_logp
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""

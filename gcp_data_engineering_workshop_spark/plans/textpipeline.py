@@ -2274,3 +2274,60 @@ def pagerank_knn(spark: SparkSession, sf_dir: str, k: int = 5,
         pr = new_pr
     return pr.select(
         "vec_id", (F.col("pr_int") / F.lit(1e12)).alias("pagerank"))
+
+
+def kneser_ney_score(spark: SparkSession, sf_dir: str,
+                     discount: float = 0.75) -> DataFrame:
+    """C81: interpolated Kneser-Ney bigram scoring — the production
+    n-gram LM (Chen & Goodman 1999) next to C44's Laplace baseline:
+
+        P(w2|w1) = max(c12 - D, 0)/c1 + (D * n1p_fwd(w1)/c1) * Pc(w2)
+        Pc(w2)   = n1p_bwd(w2) / n_bigram_types
+
+    where n1p_fwd(w1) = distinct continuations of w1, n1p_bwd(w2) =
+    distinct histories of w2 — the continuation counts that make KN
+    famously better than frequency smoothing for boilerplate-ish
+    corpora. Each doc scores avg log P over its bigrams (C44's
+    output contract: n_bigrams, avg_logp).
+
+    Exactness: every count is an exact integer from map-side-
+    combinable aggregates; the per-bigram log term is a handful of
+    IEEE ops on identical doubles, and the per-doc mean rounds to
+    1e-6 — C44's cross-engine contract. Scale shape: identical to
+    C44 — count aggregates keyed on token/bigram, broadcast-scalar
+    type totals, equi-join annotation, one per-doc groupBy."""
+    d = _docs(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    wt = (d.repartition(par)
+          .select("doc_id", T.words("text").alias("w"))
+          .repartition(par))
+    bg = wt.select(
+        "doc_id",
+        F.explode(F.expr(
+            "CASE WHEN size(w) >= 2 THEN transform(sequence(0, size(w) - 2), "
+            "i -> struct(w[i] AS w1, w[i+1] AS w2)) "
+            "ELSE array() END")).alias("b")
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c_bg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c_w1 = c_bg.groupBy("w1").agg(
+        F.sum("c12").alias("c1"),
+        F.count(F.lit(1)).alias("n1p_fwd"))
+    c_w2 = c_bg.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_bwd"))
+    types = c_bg.agg(F.count(F.lit(1)).alias("n_types"))
+    D = F.lit(discount)
+    p = (F.greatest(F.col("c12") - D, F.lit(0.0)) / F.col("c1")
+         + (D * F.col("n1p_fwd") / F.col("c1"))
+         * (F.col("n1p_bwd") / F.col("n_types")))
+    scored = (bg.join(c_bg, ["w1", "w2"])
+              .join(c_w1, "w1")
+              .join(c_w2, "w2")
+              .crossJoin(F.broadcast(types))
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                   F.round(F.sum(F.log(p)) / F.count(F.lit(1)), 6)
+                    .alias("avg_logp")))
+    return (d.select("doc_id")
+            .join(scored, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                    F.coalesce("avg_logp", F.lit(0.0)).alias("avg_logp")))

