@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "corpus_report",         # C79 data-card composition
     "pagerank_knn",          # C80 fixed-point kNN-graph PageRank
     "kneser_ney_score",      # C81 interpolated KN bigram LM
+    "cohort_retention",      # B52 retention matrix
 ]
 
 

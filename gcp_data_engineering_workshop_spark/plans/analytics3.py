@@ -299,3 +299,41 @@ def zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_pruned(spark, path, box).select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
         F.col("l_quantity").cast("double").alias("l_quantity"))
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B52: the cohort retention matrix — users grouped by first-
+    activity week (their cohort), each cohort tracked across
+    week-offsets: how many distinct cohort members were active k
+    weeks after joining, and what fraction of the cohort that is.
+    The canonical product-analytics query (every BI tool's retention
+    screen) in long form: (cohort_week, week_offset, n_active,
+    retention).
+
+    Scale shape: one user_id-keyed min-aggregate finds cohorts, one
+    broadcast-join-free equi-join attaches them back to events
+    (user_id-keyed shuffle), and the matrix is a single distinct-
+    count aggregate over (cohort_week, offset) — three linear
+    passes, no window functions. retention = exact-integer ratio
+    rounded at 1e-6; week arithmetic is integer epoch-day math
+    (date_trunc-free, so both engines agree to the day)."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.floor(F.unix_micros("ts") / F.lit(86_400_000_000))
+        .alias("day"))
+    first = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    cohorted = (ev.join(first, "user_id")
+                .select("user_id",
+                        F.floor(F.col("first_day") / 7).alias("cohort_week"),
+                        F.floor((F.col("day") - F.col("first_day")) / 7)
+                        .alias("week_offset")))
+    sizes = (cohorted.where(F.col("week_offset") == 0)
+             .groupBy("cohort_week")
+             .agg(F.countDistinct("user_id").alias("cohort_size")))
+    active = (cohorted.groupBy("cohort_week", "week_offset")
+              .agg(F.countDistinct("user_id").alias("n_active")))
+    return (active.join(sizes, "cohort_week")
+            .select(F.col("cohort_week").cast("bigint").alias("cohort_week"),
+                    F.col("week_offset").cast("bigint").alias("week_offset"),
+                    F.col("n_active").cast("bigint").alias("n_active"),
+                    F.round(F.col("n_active") / F.col("cohort_size"), 6)
+                    .alias("retention")))

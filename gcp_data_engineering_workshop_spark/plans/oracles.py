@@ -2816,3 +2816,37 @@ SELECT d.doc_id,
        coalesce(s.avg_logp, 0.0) AS avg_logp
 FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 """
+
+# B52 cohort retention: integer epoch-day/week arithmetic (micros fit
+# in 2^53, so the double division is exact at day boundaries), exact
+# distinct counts, ratio on the 1e-6 grid.
+COHORT_RETENTION_SQL = """
+WITH ev AS (
+  SELECT user_id,
+         floor(epoch_us(ts) / 86400000000.0) AS day
+  FROM events
+),
+first AS (
+  SELECT user_id, min(day) AS first_day FROM ev GROUP BY user_id
+),
+cohorted AS (
+  SELECT ev.user_id,
+         floor(first.first_day / 7.0) AS cohort_week,
+         floor((ev.day - first.first_day) / 7.0) AS week_offset
+  FROM ev JOIN first USING (user_id)
+),
+sizes AS (
+  SELECT cohort_week, count(DISTINCT user_id) AS cohort_size
+  FROM cohorted WHERE week_offset = 0 GROUP BY cohort_week
+),
+active AS (
+  SELECT cohort_week, week_offset, count(DISTINCT user_id) AS n_active
+  FROM cohorted GROUP BY cohort_week, week_offset
+)
+SELECT CAST(active.cohort_week AS BIGINT) AS cohort_week,
+       CAST(active.week_offset AS BIGINT) AS week_offset,
+       CAST(active.n_active AS BIGINT) AS n_active,
+       round(CAST(active.n_active AS DOUBLE) / sizes.cohort_size, 6)
+         AS retention
+FROM active JOIN sizes USING (cohort_week)
+"""

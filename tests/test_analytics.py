@@ -60,3 +60,21 @@ def test_funnel_monotone(spark, sf_dir):
 def test_percentiles_ordered(spark, sf_dir):
     for r in an.quantity_percentiles(spark, sf_dir).collect():
         assert r.p25 <= r.p50 <= r.p75 <= r.p95
+
+
+def test_cohort_retention_invariants(spark, sf_dir):
+    """B52: week-0 retention is exactly 1.0 for every cohort,
+    retention never exceeds 1, n_active <= cohort week-0 size, and
+    every (user's cohort, offset) cell is backed by real activity."""
+    from gcp_data_engineering_workshop_spark.plans.analytics3 import (
+        cohort_retention)
+
+    rows = cohort_retention(spark, sf_dir).collect()
+    assert rows
+    base = {r.cohort_week: r.n_active for r in rows if r.week_offset == 0}
+    for r in rows:
+        assert r.week_offset >= 0
+        assert 0 < r.retention <= 1.0
+        assert r.n_active <= base[r.cohort_week]
+        if r.week_offset == 0:
+            assert r.retention == 1.0
