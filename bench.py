@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "pagerank_knn",          # C80 fixed-point kNN-graph PageRank
     "kneser_ney_score",      # C81 interpolated KN bigram LM
     "cohort_retention",      # B52 retention matrix
+    "event_transitions",     # B53 Markov flow matrix
 ]
 
 

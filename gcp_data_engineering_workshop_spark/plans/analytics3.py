@@ -337,3 +337,34 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_active").cast("bigint").alias("n_active"),
                     F.round(F.col("n_active") / F.col("cohort_size"), 6)
                     .alias("retention")))
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B53: the user-flow transition matrix — for each ordered pair
+    of event types, how often does a user's next event follow the
+    previous one, and with what conditional probability (the Markov
+    view product analytics draws as a flow/sankey diagram).
+
+    Per-user next-event via lag over (user_id, ts, event_id) — the
+    high-cardinality-small-groups window regime (a user's history
+    fits a task; ids.py doctrine), then one (from, to)-keyed count
+    aggregate. Ties in ts break on event_id so the sequence is a
+    total order in both engines; probability = exact-integer ratio
+    on the 1e-6 grid."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.withColumn("next_type",
+                           F.lead("event_type").over(w))
+             .where(F.col("next_type").isNotNull())
+             .groupBy(F.col("event_type").alias("from_type"),
+                      F.col("next_type").alias("to_type"))
+             .agg(F.count(F.lit(1)).alias("n_transitions")))
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("n_from"))
+    return (pairs.join(totals, "from_type")
+            .select("from_type", "to_type",
+                    F.col("n_transitions").cast("bigint")
+                    .alias("n_transitions"),
+                    F.round(F.col("n_transitions") / F.col("n_from"), 6)
+                    .alias("p_next")))

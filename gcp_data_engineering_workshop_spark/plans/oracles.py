@@ -2850,3 +2850,29 @@ SELECT CAST(active.cohort_week AS BIGINT) AS cohort_week,
          AS retention
 FROM active JOIN sizes USING (cohort_week)
 """
+
+# B53 event transitions: lead over the (user_id, ts, event_id) total
+# order, exact counts, conditional ratio at 1e-6.
+EVENT_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+pairs AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         count(*) AS n_transitions
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+),
+totals AS (
+  SELECT from_type, sum(n_transitions) AS n_from
+  FROM pairs GROUP BY from_type
+)
+SELECT pairs.from_type, pairs.to_type,
+       CAST(pairs.n_transitions AS BIGINT) AS n_transitions,
+       round(CAST(pairs.n_transitions AS DOUBLE) / totals.n_from, 6)
+         AS p_next
+FROM pairs JOIN totals USING (from_type)
+"""

@@ -78,3 +78,28 @@ def test_cohort_retention_invariants(spark, sf_dir):
         assert r.n_active <= base[r.cohort_week]
         if r.week_offset == 0:
             assert r.retention == 1.0
+
+
+def test_event_transitions_invariants(spark, sf_dir):
+    """B53: per-from_type probabilities sum to exactly ~1, counts
+    are positive, and total transitions = total events - distinct
+    users with >= 1 event."""
+    from pyspark.sql import functions as F
+
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+    from gcp_data_engineering_workshop_spark.plans.analytics3 import (
+        event_transitions)
+
+    rows = event_transitions(spark, sf_dir).collect()
+    assert rows
+    by_from = {}
+    for r in rows:
+        assert r.n_transitions > 0 and 0 < r.p_next <= 1
+        by_from.setdefault(r.from_type, 0.0)
+        by_from[r.from_type] += r.p_next
+    for s in by_from.values():
+        assert abs(s - 1.0) < 1e-4
+    ev = load_table(spark, "events", sf_dir)
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n_transitions for r in rows) == n_events - n_users
