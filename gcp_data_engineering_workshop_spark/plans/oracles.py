@@ -2876,3 +2876,52 @@ SELECT pairs.from_type, pairs.to_type,
          AS p_next
 FROM pairs JOIN totals USING (from_type)
 """
+
+# C82 keep-central SemDedup: C55's fit/pairs/closure with the winner
+# chosen by (rounded d2, vec_id) per component.
+SEMDEDUP_KEEP_CENTRAL_SQL = f"""
+WITH RECURSIVE {_kmeans_fit_ctes(_DYN_K, 5, 3)},
+dft AS (
+  SELECT e.vec_id, c.cluster_id, round({_D2T}, 6) AS d2
+  FROM embeddings e CROSS JOIN c5 c
+),
+asg AS MATERIALIZED (
+  SELECT vec_id, cluster_id, d2 FROM (
+    SELECT vec_id, cluster_id, d2,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cluster_id) AS rn
+    FROM dft) WHERE rn = 1
+),
+p AS MATERIALIZED (
+  SELECT sa.vec_id AS va, sb.vec_id AS vb
+  FROM asg sa
+  JOIN asg sb ON sa.cluster_id = sb.cluster_id AND sa.vec_id < sb.vec_id
+  JOIN embeddings a ON a.vec_id = sa.vec_id
+  JOIN embeddings b ON b.vec_id = sb.vec_id
+  WHERE round({_DOT}, 6) >= 0.4
+),
+edges AS (
+  SELECT va AS a, vb AS b FROM p UNION SELECT vb, va FROM p
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS node, least(a, min(b)) AS component
+  FROM reach GROUP BY a
+),
+winners AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT c.node AS vec_id, a.cluster_id,
+           row_number() OVER (PARTITION BY c.component
+                              ORDER BY a.d2, c.node) AS rn
+    FROM comp c JOIN asg a ON c.node = a.vec_id
+  ) WHERE rn = 1
+)
+SELECT vec_id, cluster_id FROM winners
+UNION ALL
+SELECT vec_id, cluster_id FROM asg
+WHERE vec_id NOT IN (SELECT node FROM comp)
+"""

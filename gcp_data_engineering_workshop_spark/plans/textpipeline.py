@@ -2331,3 +2331,46 @@ def kneser_ney_score(spark: SparkSession, sf_dir: str,
             .select("doc_id",
                     F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
                     F.coalesce("avg_logp", F.lit(0.0)).alias("avg_logp")))
+
+
+def semdedup_keep_central(spark: SparkSession, sf_dir: str,
+                          tau: float = 0.4) -> DataFrame:
+    """C82: SemDedup with the PROTOTYPE keep rule — within each
+    semantic-dup component (C55's trained pipeline), survive the
+    member CLOSEST to its cluster centroid (min rounded d2, vec_id
+    tie-break) instead of min vec_id: the Abbas et al. discussion of
+    which duplicate to keep, biased toward the most prototypical
+    example (the min-id rule keeps an arbitrary one). Output: the
+    surviving corpus (vec_id, cluster_id), C55's contract.
+
+    Exactness: d2 is already rounded to 6 dp inside the E-step (the
+    C45 contract both engines implement), so the winner ordering
+    (d2, vec_id) is identical in SQL. Scale shape: C55's audited
+    machinery + one per-component window bounded by component size."""
+    from pyspark.sql.window import Window
+
+    from gcp_data_engineering_workshop_spark.operators.cachepool import (
+        register)
+    from gcp_data_engineering_workshop_spark.operators.clustering import (
+        kmeans_fit, kmeans_assign, semdedup_pairs)
+    from gcp_data_engineering_workshop_spark.operators.graph import (
+        connected_components)
+
+    emb = register(_emb(spark, sf_dir))
+    n = emb.count()
+    k = max(2, int(round(n ** 0.5)))
+    _, cent = kmeans_fit(emb, k=k, n_iter=5)
+    asg = register(kmeans_assign(emb, cent=cent, keep_embedding=True))
+    pairs = semdedup_pairs(emb, tau=tau, cent=cent, asg=asg)
+    comp = connected_components(pairs, src="vec_a", dst="vec_b")
+    members = comp.join(
+        asg.select(F.col("vec_id").alias("doc_id"), "cluster_id", "d2"),
+        "doc_id")
+    w = Window.partitionBy("component").orderBy("d2", "doc_id")
+    winners = (members.withColumn("rn", F.row_number().over(w))
+               .where(F.col("rn") == 1)
+               .select(F.col("doc_id").alias("vec_id"), "cluster_id"))
+    untouched = (asg.select("vec_id", "cluster_id")
+                 .join(comp.select(F.col("doc_id").alias("vec_id")),
+                       "vec_id", "left_anti"))
+    return winners.unionByName(untouched)

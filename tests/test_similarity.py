@@ -387,3 +387,38 @@ def test_pagerank_knn_invariants(spark, sf_dir):
     again = {r.vec_id: r.pagerank
              for r in tp.pagerank_knn(spark, sf_dir).collect()}
     assert again == rows
+
+
+def test_semdedup_keep_central_invariants(spark, sf_dir):
+    """C82: same component partition as C55, exactly one survivor
+    per component, and the survivor is the min-(d2, vec_id) member —
+    while C55 keeps min vec_id (they differ iff the most central
+    member is not the lowest id)."""
+    from pyspark.sql import functions as F
+
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+    from gcp_data_engineering_workshop_spark.operators.clustering import (
+        kmeans_fit, kmeans_assign, semdedup_pairs)
+    from gcp_data_engineering_workshop_spark.operators.graph import (
+        connected_components)
+    from gcp_data_engineering_workshop_spark.plans import textpipeline as tp
+
+    surv = {r.vec_id for r in
+            tp.semdedup_keep_central(spark, sf_dir).collect()}
+    emb = load_table(spark, "embeddings", sf_dir)
+    n = emb.count()
+    k = max(2, int(round(n ** 0.5)))
+    _, cent = kmeans_fit(emb, k=k, n_iter=5)
+    asg = kmeans_assign(emb, cent=cent, keep_embedding=True)
+    d2 = {r.vec_id: r.d2 for r in asg.select("vec_id", "d2").collect()}
+    comp = {r.doc_id: r.component for r in connected_components(
+        semdedup_pairs(emb, tau=0.4, cent=cent, asg=asg),
+        src="vec_a", dst="vec_b").collect()}
+    by_comp = {}
+    for node, c in comp.items():
+        by_comp.setdefault(c, []).append(node)
+    for c, members in by_comp.items():
+        kept = [m for m in members if m in surv]
+        assert len(kept) == 1
+        assert kept[0] == min(members, key=lambda m: (d2[m], m))
+    assert len(surv) == n - (len(comp) - len(by_comp))
