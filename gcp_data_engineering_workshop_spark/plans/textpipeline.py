@@ -2252,7 +2252,7 @@ def pagerank_knn(spark: SparkSession, sf_dir: str, k: int = 5,
     SCALE = 10 ** 12
     emb = _emb(spark, sf_dir)
     edges = register(
-        S.ann_topk(emb, n_queries=1 << 62, k=k)
+        S.knn_graph_gemm(emb, k=k)
         .select("query_id", "neighbor_id"))
     nodes = register(emb.select("vec_id"))
     n = nodes.count()

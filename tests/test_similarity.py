@@ -422,3 +422,16 @@ def test_semdedup_keep_central_invariants(spark, sf_dir):
         assert len(kept) == 1
         assert kept[0] == min(members, key=lambda m: (d2[m], m))
     assert len(surv) == n - (len(comp) - len(by_comp))
+
+
+def test_knn_graph_gemm_matches_join_form(spark, sf_dir):
+    """The GEMM kNN graph equals ann_topk (the join form) row for
+    row when both run over every vector."""
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+    from gcp_data_engineering_workshop_spark.operators import similarity as S
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    got = sorted(tuple(r) for r in S.knn_graph_gemm(emb, k=5).collect())
+    want = sorted(tuple(r) for r in
+                  S.ann_topk(emb, n_queries=1 << 62, k=5).collect())
+    assert got == want and len(got) > 0
