@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": _an3.cohort_retention,
         "event_transitions": _an3.event_transitions,
         "semdedup_keep_central": _tp.semdedup_keep_central,
+        "containment_pairs": _tp.containment_pairs,
         # -- (3a) r3-green, rotating back in for refreshed evidence --
         "quantity_percentiles": _an.quantity_percentiles,
         "asof_join_purchases": _an2.asof_join_purchases,
@@ -304,6 +305,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": _orc.COHORT_RETENTION_SQL,
         "event_transitions": _orc.EVENT_TRANSITIONS_SQL,
         "semdedup_keep_central": _orc.SEMDEDUP_KEEP_CENTRAL_SQL,
+        "containment_pairs": _orc.CONTAINMENT_PAIRS_SQL,
         "salted_join_revenue": _orc.SALTED_JOIN_SQL,
         "value_deciles": _orc.VALUE_DECILES_SQL,
         "retention_set_ops": _orc.RETENTION_SET_OPS_SQL,

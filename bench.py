@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "kneser_ney_score",      # C81 interpolated KN bigram LM
     "cohort_retention",      # B52 retention matrix
     "event_transitions",     # B53 Markov flow matrix
+    "containment_pairs",     # C83 asymmetric containment dedup
 ]
 
 

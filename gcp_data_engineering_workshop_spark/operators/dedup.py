@@ -450,3 +450,54 @@ def incremental_dedup(batch: DataFrame, corpus: DataFrame,
     )
     return (surv.join(neardup, "doc_id", "left_anti")
             .select("doc_id", "lang"))
+
+
+def containment_pairs(docs: DataFrame, tau: float = 0.9,
+                      n: int = 3) -> DataFrame:
+    """C83: shingle CONTAINMENT pairs (Broder 1997's second
+    resemblance measure): C(src -> dst) = |S(src) ∩ S(dst)| /
+    |S(src)| — ASYMMETRIC, so a short doc quoted wholesale inside a
+    long one scores ~1.0 where Jaccard stays low; this is the
+    doc-inside-doc / subsumption detector next to C4's symmetric
+    near-dup. Ordered (doc_src, doc_dst) pairs, src != dst.
+
+    Candidates use the one-sided prefix filter: C >= tau needs
+    |∩| >= ceil(tau * |src|), so src must share a shingle among its
+    sz - ceil(tau * sz) + 1 RAREST shingles (if the whole src prefix
+    missed dst, |∩| <= ceil(tau*sz) - 1 — contradiction); dst
+    indexes ALL its shingles. Probe-side prefix join, exact
+    containment on candidates only — completeness is provable, and
+    the hot boilerplate shingles sort out of the probe prefix
+    exactly as in the C4 AllPairs filter. The DuckDB oracle uses
+    the unfiltered shares-any-shingle candidate superset, so a
+    green row certifies the filter dropped nothing."""
+    sh = register(_shingle_sets(docs, n))
+    inv = sh.select("doc_id", F.size("sh").alias("sz"),
+                    F.explode("sh").alias("s"))
+    dfreq = inv.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(),
+                                             F.col("s").asc())
+    prefix = (
+        inv.join(dfreq, "s")
+        .withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos")
+               <= F.col("sz")
+               - F.ceil(F.lit(tau) * F.col("sz") - F.lit(1e-9)) + 1)
+        .select(F.col("doc_id").alias("doc_src"), "s")
+    )
+    full = sh.select(F.col("doc_id").alias("doc_dst"),
+                     F.explode("sh").alias("s"))
+    cand = (prefix.join(full, "s")
+            .where(F.col("doc_src") != F.col("doc_dst"))
+            .select("doc_src", "doc_dst")
+            .distinct())
+    a = sh.select(F.col("doc_id").alias("doc_src"),
+                  F.col("sh").alias("sh_src"))
+    b = sh.select(F.col("doc_id").alias("doc_dst"),
+                  F.col("sh").alias("sh_dst"))
+    cont = (F.size(F.array_intersect("sh_src", "sh_dst")).cast("double")
+            / F.size("sh_src"))
+    return (cand.join(a, "doc_src").join(b, "doc_dst")
+            .select("doc_src", "doc_dst",
+                    F.round(cont, 6).alias("containment"))
+            .where(F.col("containment") >= tau))

@@ -2925,3 +2925,24 @@ UNION ALL
 SELECT vec_id, cluster_id FROM asg
 WHERE vec_id NOT IN (SELECT node FROM comp)
 """
+
+# C83 containment: unfiltered shares-a-shingle candidate superset
+# (the Spark side prefix-filters; a green row proves completeness),
+# exact integer intersection over the src size.
+CONTAINMENT_PAIRS_SQL = f"""
+WITH {_WORDS_CTE.strip()}, {_SHINGLES_CTE.strip()},
+inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_src, y.doc_id AS doc_dst
+  FROM inv x JOIN inv y ON x.g = y.g
+  WHERE x.doc_id != y.doc_id
+)
+SELECT doc_src, doc_dst,
+       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(a.s), 6) AS containment
+FROM cand
+JOIN sh a ON cand.doc_src = a.doc_id
+JOIN sh b ON cand.doc_dst = b.doc_id
+WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(a.s), 6) >= 0.9
+"""

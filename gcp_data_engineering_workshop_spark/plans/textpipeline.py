@@ -2374,3 +2374,10 @@ def semdedup_keep_central(spark: SparkSession, sf_dir: str,
                  .join(comp.select(F.col("doc_id").alias("vec_id")),
                        "vec_id", "left_anti"))
     return winners.unionByName(untouched)
+
+
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C83: asymmetric shingle-containment pairs (doc-inside-doc /
+    subsumption detection; operators/dedup.py containment_pairs) —
+    tau=0.9 on 3-word shingle sets."""
+    return D.containment_pairs(_docs(spark, sf_dir), tau=0.9)

@@ -1144,3 +1144,36 @@ def test_kneser_ney_properties(spark, sf_dir):
             + (0.75 * fwd[a] / c1[a]) * (bwd[b] / n_types)
         by_hist[a] += p
     assert all(s <= 1.0 + 1e-9 for s in by_hist.values())
+
+
+def test_containment_pairs_asymmetry(spark):
+    """C83: a short doc fully quoted inside a long one scores
+    containment 1.0 in the short->long direction only, while the
+    symmetric Jaccard of the same pair stays low."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    short = " ".join(f"s{i}" for i in range(10))
+    longd = ("intro words here " + short + " "
+             + " ".join(f"l{i}" for i in range(40)))
+    rows = [(1, short), (2, longd),
+            (3, " ".join(f"x{i}" for i in range(12)))]
+    tmp = tempfile.mkdtemp()
+    pq.write_table(pa.table({
+        "doc_id": [r[0] for r in rows],
+        "text": [r[1] for r in rows],
+        "lang": ["en"] * 3,
+        "source": ["src0"] * 3,
+        "n_chars": [len(r[1]) for r in rows],
+    }), os.path.join(tmp, "documents.parquet"))
+    got = {(r.doc_src, r.doc_dst): r.containment
+           for r in tp.containment_pairs(spark, tmp).collect()}
+    assert got.get((1, 2)) == 1.0
+    assert (2, 1) not in got  # long doc is NOT contained in short
+    assert all(k[0] != 3 and k[1] != 3 for k in got)
+    jac = {(r.doc_a, r.doc_b) for r in
+           tp.ngram_jaccard(spark, tmp).collect()}
+    assert (1, 2) not in jac and (2, 1) not in jac
