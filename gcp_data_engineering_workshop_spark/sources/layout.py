@@ -194,3 +194,36 @@ def write_zordered_n(df: DataFrame, path: str, cols: list[str],
        .sortWithinPartitions("_z")
        .drop("_z")
        .write.mode("overwrite").parquet(path))
+
+
+def compact_parquet(spark, path: str, out_path: str,
+                    target_bytes: int = 128 * 1024 * 1024,
+                    sort_cols: list[str] | None = None) -> int:
+    """E20: small-file compaction — the lakehouse maintenance job
+    (Delta OPTIMIZE / Iceberg rewrite_data_files): coalesce a
+    directory of small parquet files into ceil(total_bytes /
+    target_bytes) files, optionally re-sorting within files to
+    restore clustering (pass the z-order/sort columns). Returns the
+    output file count.
+
+    Scale notes: the file count derives from FOOTER-level sizes (no
+    data read to plan), the rewrite is one repartition (or
+    repartitionByRange when re-sorting — keeps files range-disjoint
+    so footer pruning still works) and small files are THE silent
+    scan killer at 100 TB: a 10k-file day-partition with 1 MB files
+    pays 10k open/seek/footer costs per query until compacted."""
+    import math
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path) if f.endswith(".parquet"))
+    n_out = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(path)
+    if sort_cols:
+        df = (df.repartitionByRange(n_out, *[F.col(c) for c in sort_cols])
+              .sortWithinPartitions(*sort_cols))
+    else:
+        df = df.repartition(n_out)
+    df.write.mode("overwrite").parquet(out_path)
+    return sum(1 for f in os.listdir(out_path) if f.endswith(".parquet"))

