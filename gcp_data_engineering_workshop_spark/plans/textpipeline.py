@@ -1775,14 +1775,21 @@ def dsir_select(spark: SparkSession, sf_dir: str, m: int = 4096,
          .repartition(par))
     wh1, wh2 = T.word_hashes_of(F.col("w"))
     is_tgt = F.col("source").isin("src0", "src1")
+    # LAYERED projections (words -> per-word hashes -> bigram keys):
+    # feeding the hash EXPRESSIONS straight into span_keys_of lets
+    # CollapseProject inline the char folds into every per-span
+    # slice — measured 162s vs 20s at the 500k-doc probe tier (the
+    # span_dedup_stats pathology, re-found here)
+    hashed = d.select("doc_id", is_tgt.alias("is_tgt"),
+                      wh1.alias("h1"), wh2.alias("h2"))
     # cached: the bucket-count aggregate reads feats once for the
     # distributions and once more for the raw-side scoring join —
     # uncached the explode + char folds would run three times
     from gcp_data_engineering_workshop_spark.operators.cachepool import (
         register as _register)
-    feats = _register(d.select(
-        "doc_id", is_tgt.alias("is_tgt"),
-        F.explode(T.span_keys_of(wh1, wh2, 2)).alias("k")
+    feats = _register(hashed.select(
+        "doc_id", "is_tgt",
+        F.explode(T.span_keys_of(F.col("h1"), F.col("h2"), 2)).alias("k")
     ).select("doc_id", "is_tgt", (F.col("k") % m).alias("b")))
     # cnt is m-bounded (<= 4096 rows) and feeds both tots and lr —
     # cached so the lr plan reads it twice without re-scanning the
@@ -1938,9 +1945,13 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str,
     d = (_docs(spark, sf_dir).repartition(par)
          .select("doc_id", T.words("text").alias("w"))
          .repartition(par))
+    # layered: words -> per-word hashes -> span keys (the
+    # CollapseProject contract — see span_dedup_stats / dsir_select)
     wh1, wh2 = T.word_hashes_of(F.col("w"))
-    spans = T.span_keys_of(wh1, wh2, kgram)
-    dd = d.select("doc_id", spans.alias("sp"))
+    hashed = d.select("doc_id", wh1.alias("h1"), wh2.alias("h2"))
+    dd = hashed.select(
+        "doc_id",
+        T.span_keys_of(F.col("h1"), F.col("h2"), kgram).alias("sp"))
     sel = F.when(
         F.size("sp") >= window,
         F.array_distinct(F.transform(
