@@ -285,8 +285,12 @@ def zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir).select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
         "l_quantity")
+    # keyed by applicationId so concurrent sessions on the same
+    # scale factor never race overwrite-vs-read on a shared path
+    # (within one session, re-runs still reuse the rewrite)
     path = os.path.join(tempfile.gettempdir(),
                         "spark_graft_zorder_lineitem_"
+                        + spark.sparkContext.applicationId + "_"
                         + sf_dir.rstrip("/").rsplit("/", 1)[-1])
     write_zordered(li, path, "l_partkey", "l_suppkey", n_files=16)
     r = li.agg(F.min("l_partkey"), F.max("l_partkey"),

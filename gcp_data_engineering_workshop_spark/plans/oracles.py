@@ -2443,6 +2443,7 @@ base AS (
          round(ln(({_KR.format(s=_NORM)} + 1) / 2147483648.0)
                / len(w), 9) AS sample_key
   FROM documents d JOIN wt ON d.doc_id = wt.doc_id
+  WHERE len(w) > 0
 )
 SELECT doc_id, weight, sample_key
 FROM base ORDER BY sample_key DESC, doc_id LIMIT 100

@@ -1881,14 +1881,20 @@ def weighted_sample(spark: SparkSession, sf_dir: str,
     divide by w is one correctly-rounded op, and the key rounds to
     the 1e-9 grid BEFORE ranking with doc_id tie-break (C67's
     contract). Scale: the plan is TakeOrderedAndProject — per-
-    partition top-k then a k-row merge, never a global sort."""
+    partition top-k then a k-row merge, never a global sort.
+
+    Zero-word docs are excluded up front (weight 0 means "never
+    sampled" in E-S anyway): ln(u)/0 is NULL in Spark's null-on-zero
+    Divide but -inf under DuckDB IEEE floats, so without the filter
+    the engines disagree whenever such a row could reach the top-k."""
     d = _docs(spark, sf_dir)
     w = F.size(T.words("text"))
     u = (T.kr_hash(T.normalize("text")) + 1).cast("double") \
         / F.lit(2147483648.0)
     key = F.round(F.log(u) / w.cast("double"), 9)
-    return (d.select("doc_id", w.cast("bigint").alias("weight"),
-                     key.alias("sample_key"))
+    return (d.where(w > 0)
+            .select("doc_id", w.cast("bigint").alias("weight"),
+                    key.alias("sample_key"))
             .orderBy(F.col("sample_key").desc(), "doc_id")
             .limit(k))
 
@@ -2230,7 +2236,8 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pagerank_knn(spark: SparkSession, sf_dir: str, k: int = 5,
-                 n_iter: int = 5) -> DataFrame:
+                 n_iter: int = 5, edge_source: str = "exact",
+                 **edge_kwargs) -> DataFrame:
     """C80: PageRank over the embedding kNN graph — the coreset /
     representativeness signal: each vector points at its k nearest
     neighbors (C6's exact top-k with every vector as a query), and
@@ -2251,19 +2258,27 @@ def pagerank_knn(spark: SparkSession, sf_dir: str, k: int = 5,
     final projection divides by 1e12 once (same single IEEE op both
     engines).
 
-    Scale shape: the edge build at this sizing is the broadcast
-    brute-force kNN (C6); at corpus scale the edge list comes from
-    the IVF/IVF-PQ path (C20/C63) and everything downstream is
-    unchanged — each round is one edges-ranks join + one
-    neighbor-keyed sum, both linear in |edges| = k * n, with
-    register/release bounding the cached frontier."""
+    Scale shape: ``edge_source`` picks the edge build —
+    ``"exact"`` (default, the oracle-checked regime) is the blocked
+    GEMM against a task-broadcast corpus matrix (knn_graph_gemm;
+    documented small-n exact path), ``"ivf"`` is the corpus-scale
+    build (knn_graph_ivf): quantizer on a bounded sample, per-list
+    distributed GEMM, NO driver-side collect of the embedding table
+    (pagerank_knn_ivf is the driver-windowed variant; pytest proves
+    n_probe == n_lists reproduces the exact edges and bounds default
+    recall). Everything downstream is edge-agnostic — each round is
+    one edges-ranks join + one neighbor-keyed sum, both linear in
+    |edges| = k * n, with register/release bounding the cached
+    frontier."""
     from gcp_data_engineering_workshop_spark.operators.cachepool import (
         register, release)
 
     SCALE = 10 ** 12
     emb = _emb(spark, sf_dir)
+    build = (S.knn_graph_ivf if edge_source == "ivf"
+             else S.knn_graph_gemm)
     edges = register(
-        S.knn_graph_gemm(emb, k=k)
+        build(emb, k=k, **edge_kwargs)
         .select("query_id", "neighbor_id"))
     nodes = register(emb.select("vec_id"))
     n = nodes.count()
@@ -2285,6 +2300,23 @@ def pagerank_knn(spark: SparkSession, sf_dir: str, k: int = 5,
         pr = new_pr
     return pr.select(
         "vec_id", (F.col("pr_int") / F.lit(1e12)).alias("pagerank"))
+
+
+def pagerank_knn_ivf(spark: SparkSession, sf_dir: str, k: int = 5,
+                     n_iter: int = 5) -> DataFrame:
+    """C84: C80's corpus-scale regime — identical fixed-point
+    PageRank iteration over IVF-built kNN edges (knn_graph_ivf):
+    bounded-sample quantizer, per-list distributed GEMM, zero
+    driver-side collect of the embedding table. Rows-only by design
+    (the quantizer's sampled training is not SQL-replayable);
+    pytest proves n_probe == n_lists reproduces knn_graph_gemm's
+    edge set exactly and bounds default-probe edge recall, and the
+    iteration itself is the oracle-certified C80 code path.
+    n_probe=8 of 16 lists: centrality needs good edge recall, and
+    probing half the lists keeps the candidate scan at n/2 per
+    vector while the top-decile stays aligned (pytest bound)."""
+    return pagerank_knn(spark, sf_dir, k=k, n_iter=n_iter,
+                        edge_source="ivf", n_probe=8)
 
 
 def kneser_ney_score(spark: SparkSession, sf_dir: str,

@@ -435,3 +435,59 @@ def test_knn_graph_gemm_matches_join_form(spark, sf_dir):
     want = sorted(tuple(r) for r in
                   S.ann_topk(emb, n_queries=1 << 62, k=5).collect())
     assert got == want and len(got) > 0
+
+
+def test_knn_graph_ivf_full_probe_exact(spark, sf_dir):
+    """With n_probe == n_lists every member list is probed, so the
+    IVF edge build (no driver collect of the embedding table) must
+    reproduce knn_graph_gemm's edge set EXACTLY — same ids, same
+    rounded dots, same ranks."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    got = sorted(tuple(r) for r in
+                 S.knn_graph_ivf(emb, k=5, n_lists=8,
+                                 n_probe=8).collect())
+    want = sorted(tuple(r) for r in S.knn_graph_gemm(emb, k=5).collect())
+    assert got == want and len(got) > 0
+
+
+def test_knn_graph_ivf_default_probe_recall(spark, sf_dir):
+    """Default-probe IVF edges: every vector still gets k edges, the
+    within-candidate ordering contract holds, and edge recall vs the
+    exact graph is high (probed lists are dense in true neighbors)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in S.knn_graph_gemm(emb, k=5).collect()}
+    approx_rows = S.knn_graph_ivf(emb, k=5, n_lists=8,
+                                  n_probe=4).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in approx_rows}
+    n_q = len({q for q, _ in exact})
+    assert len({q for q, _ in approx}) == n_q
+    by_q = {}
+    for r in approx_rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        keys = [(-r.dot_sim, r.neighbor_id) for r in rs]
+        assert keys == sorted(keys)
+        assert all(r.neighbor_id != q for r in rs)
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall
+
+
+def test_pagerank_knn_ivf_close_to_exact(spark, sf_dir):
+    """C84: the IVF-edge PageRank ranks centrality like the exact
+    graph (Spearman-ish check: top-decile overlap) and sums to ~1."""
+    import gcp_data_engineering_workshop_spark.plans.textpipeline as tp
+
+    exact = {r.vec_id: r.pagerank
+             for r in tp.pagerank_knn(spark, sf_dir).collect()}
+    approx = {r.vec_id: r.pagerank
+              for r in tp.pagerank_knn_ivf(spark, sf_dir).collect()}
+    assert set(exact) == set(approx)
+    total = sum(approx.values())
+    assert abs(total - 1.0) < 0.05
+    top = max(1, len(exact) // 10)
+    top_e = set(sorted(exact, key=lambda v: -exact[v])[:top])
+    top_a = set(sorted(approx, key=lambda v: -approx[v])[:top])
+    assert len(top_e & top_a) / top >= 0.5
