@@ -1177,3 +1177,32 @@ def test_containment_pairs_asymmetry(spark):
     jac = {(r.doc_a, r.doc_b) for r in
            tp.ngram_jaccard(spark, tmp).collect()}
     assert (1, 2) not in jac and (2, 1) not in jac
+
+
+def test_bpe_train_local_matches_recount_reference_deep(spark, sf_dir):
+    """C68 hybrid: the incremental-delta driver loop equals the
+    recount-from-scratch reference EXACTLY deep into the merge
+    table (200 rounds — where any delta-accounting drift would
+    compound and surface)."""
+    from gcp_data_engineering_workshop_spark.operators.bpe import (
+        bpe_train_local, word_freqs)
+
+    wf = {r.word: r.freq
+          for r in word_freqs(tp._docs(spark, sf_dir)).collect()}
+    want = _python_bpe(wf, 200)
+    got = bpe_train_local(wf.items(), n_merges=200)
+    assert got == want and len(got) > 50
+
+
+def test_bpe_train_distributed_matches_local(spark, sf_dir):
+    """The all-distributed round loop and the hybrid driver loop
+    learn the identical merge table."""
+    from gcp_data_engineering_workshop_spark.operators.bpe import (
+        bpe_train, bpe_train_local, word_freqs)
+
+    freqs = word_freqs(tp._docs(spark, sf_dir))
+    dist = bpe_train(freqs, n_merges=6)
+    local = bpe_train_local(
+        ((r.word, r.freq) for r in freqs.toLocalIterator()),
+        n_merges=6)
+    assert dist == local and len(dist) == 6
