@@ -82,6 +82,39 @@ def _detect(key: Tuple[Any, ...],
     else:
         st, history = None, []
 
+    out, st, history = _run_detector(ticker, st, history, pdfs)
+
+    # A group can be invoked with ZERO input rows once a timeout is
+    # configured (timeout tick with no new data): st stays None when
+    # there was also no prior state, and updating would crash. Guard
+    # so switching timeoutConf later cannot break the operator.
+    if st is not None:
+        state.update((st["open_minute"], st["latest_ts"], st["latest_price"],
+                      st["high_price"], st["total_volume"], st["total_value"],
+                      st["ai_sentiment"], st["ai_summary"], history))
+    cols = [c.split()[0] for c in SPIKE_OUTPUT_SCHEMA.split(", ")]
+    yield pd.DataFrame(out, columns=cols)
+
+
+def stateful_spike_stream(ticks: DataFrame) -> DataFrame:
+    """D5: fused windowing + spike detection over a raw tick stream,
+    keyed state per ticker (update mode)."""
+    return ticks.groupBy("ticker").applyInPandasWithState(
+        _detect,
+        outputStructType=SPIKE_OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _run_detector(ticker, st, history, pdfs):
+    """The shared per-key detector scan (D5's _detect body): feed
+    sorted tick rows through the open-window accumulator, closing a
+    window whenever a later-minute tick arrives. Returns (closed
+    rows, open-window state, history) so both state APIs — the
+    legacy GroupState tuple and transformWithState's value/list
+    states — drive the IDENTICAL semantics."""
     out = []
     for pdf in pdfs:
         pdf = pdf.sort_values("ts")
@@ -106,26 +139,90 @@ def _detect(key: Tuple[Any, ...],
                 st["latest_price"] = float(row.price)
                 st["ai_sentiment"] = float(row.ai_sentiment)
                 st["ai_summary"] = row.ai_summary
+    return out, st, history
 
-    # A group can be invoked with ZERO input rows once a timeout is
-    # configured (timeout tick with no new data): st stays None when
-    # there was also no prior state, and updating would crash. Guard
-    # so switching timeoutConf later cannot break the operator.
-    if st is not None:
-        state.update((st["open_minute"], st["latest_ts"], st["latest_price"],
-                      st["high_price"], st["total_volume"], st["total_value"],
-                      st["ai_sentiment"], st["ai_summary"], history))
+
+_OPEN_SCHEMA = (
+    "open_minute bigint, latest_ts bigint, latest_price double, "
+    "high_price double, total_volume bigint, total_value double, "
+    "ai_sentiment double, ai_summary string"
+)
+_ST_KEYS = ("open_minute", "latest_ts", "latest_price", "high_price",
+            "total_volume", "total_value", "ai_sentiment", "ai_summary")
+
+
+class SpikeProcessor:
+    """D24: the D5 spike detector on Spark 4.x's transformWithState —
+    the successor to applyInPandasWithState (arbitrary named states
+    per key instead of one state tuple). The open-window accumulator
+    lives in a ValueState, the 10-minute volume history in a
+    ListState, and every key registers a processing-time TTL timer
+    (default 1h) whose expiry clears both states — the production
+    state-eviction path for tickers that stop trading (expiry is
+    semantics-safe exactly like any state loss past the history
+    horizon: a later tick reopens fresh). Emission semantics and the
+    spike rule are bit-identical to D5 (_run_detector is shared);
+    the parity test checks this twin against BOTH the batch plan and
+    D5's output.
+
+    Defined lazily (class body below) so importing this module never
+    requires the transformWithState API; subclassing happens in
+    spike_processor()."""
+
+
+def spike_processor(ttl_ms: int = 3_600_000):
+    """Build the StatefulProcessor instance (lazy import — see
+    SpikeProcessor docstring)."""
+    import pandas as pd  # noqa: F811 (worker-side import)
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor)
+
     cols = [c.split()[0] for c in SPIKE_OUTPUT_SCHEMA.split(", ")]
-    yield pd.DataFrame(out, columns=cols)
+
+    class _SpikeTWS(SpikeProcessor, StatefulProcessor):
+        def init(self, handle):
+            self._handle = handle
+            self._open = handle.getValueState("open_window", _OPEN_SCHEMA)
+            self._hist = handle.getListState("volume_history",
+                                             "vol bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            ticker = key[0]
+            st = None
+            if self._open.exists():
+                st = dict(zip(_ST_KEYS, self._open.get()))
+            history = ([int(r[0]) for r in self._hist.get()]
+                       if self._hist.exists() else [])
+            out, st, history = _run_detector(ticker, st, history, rows)
+            if st is not None:
+                self._open.update(tuple(st[k] for k in _ST_KEYS))
+                self._hist.put([(v,) for v in history])
+            # one live TTL timer per key: drop the stale one, arm anew
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(
+                timerValues.getCurrentProcessingTimeInMs() + ttl_ms)
+            if out:
+                yield pd.DataFrame(out, columns=cols)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            self._open.clear()
+            self._hist.clear()
+            yield pd.DataFrame([], columns=cols)
+
+        def close(self):
+            pass
+
+    return _SpikeTWS()
 
 
-def stateful_spike_stream(ticks: DataFrame) -> DataFrame:
-    """D5: fused windowing + spike detection over a raw tick stream,
-    keyed state per ticker (update mode)."""
-    return ticks.groupBy("ticker").applyInPandasWithState(
-        _detect,
+def stateful_spike_stream_tws(ticks: DataFrame,
+                              ttl_ms: int = 3_600_000) -> DataFrame:
+    """D24: transformWithStateInPandas twin of D5 (see
+    SpikeProcessor)."""
+    return ticks.groupBy("ticker").transformWithStateInPandas(
+        statefulProcessor=spike_processor(ttl_ms),
         outputStructType=SPIKE_OUTPUT_SCHEMA,
-        stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeMode="ProcessingTime",
     )
