@@ -952,8 +952,9 @@ def knn_graph_ivf(emb: DataFrame, k: int = 5, n_lists: int = 16,
     NO driver-side collect of the embedding table (the r6 judge's
     one remaining hot-path collect, similarity.py knn_graph_gemm).
 
-    Shape: the coarse quantizer trains on a bounded seeded sample
-    (the documented IVF pattern, C20/C63); every vector then routes
+    Shape: the coarse quantizer trains on a bounded deterministic
+    sample (the documented IVF pattern, C20/C63); every vector then
+    routes
     to its n_probe nearest lists as a QUERY and its single nearest
     list as a MEMBER (probe rank 0). One groupBy(list_id) +
     applyInArrow computes the per-list blocked GEMM (probers x
@@ -971,7 +972,24 @@ def knn_graph_ivf(emb: DataFrame, k: int = 5, n_lists: int = 16,
     n_probe == n_lists every member list is probed, so the output
     is IDENTICAL to knn_graph_gemm (pytest-enforced). At the default
     n_probe < n_lists it is the approximate fast path with
-    pytest-bounded recall."""
+    pytest-bounded recall.
+
+    The quantizer sample is DETERMINISTIC (orderBy vec_id, limit N)
+    so repeated builds over the same corpus emit the same edges;
+    n_lists clamps to the sample size (tiny corpora degrade to the
+    exact one-list GEMM instead of crashing k-means), and an empty
+    corpus returns an empty edge frame.
+
+    LIST-SKEW CONSTRAINT: one applyInArrow task holds one list's
+    members plus ALL probers routed to it. The GEMM block loop
+    bounds per-block memory (~256 MB), but a mega-list (a quantizer
+    centroid that captures a large corpus fraction) still serializes
+    its probers through one task. Fine at n_lists=16/sf-scale; at
+    1e9 vectors size n_lists ~ sqrt(n)/probe-budget so expected list
+    size stays bounded, and if the corpus is known-clustered (one
+    dominant mode), salt the mega-list the way blocked_candidates
+    (C32) salts blocks — split members across s sub-lists and probe
+    all s — before running at that scale."""
     import pandas as pd
     import pyarrow as pa
     from pyspark.sql.functions import pandas_udf
@@ -979,9 +997,15 @@ def knn_graph_ivf(emb: DataFrame, k: int = 5, n_lists: int = 16,
     from gcp_data_engineering_workshop_spark.functions.vectorfns import (
         mat_from_arrow)
 
-    sample = np.vstack([
-        np.asarray(r.embedding, dtype=np.float64)
-        for r in emb.select("embedding").limit(sample_size).collect()])
+    edge_schema = "query_id bigint, neighbor_id bigint, dot_sim double"
+    sample_rows = (emb.orderBy("vec_id").limit(sample_size)
+                   .select("embedding").collect())
+    if not sample_rows:
+        return emb.sparkSession.createDataFrame([], edge_schema)
+    sample = np.vstack([np.asarray(r.embedding, dtype=np.float64)
+                        for r in sample_rows])
+    n_lists = min(n_lists, len(sample))
+    n_probe = min(n_probe, n_lists)
     cent = _kmeans_centroids(sample, n_lists)
 
     def _probe(embs):

@@ -2686,7 +2686,7 @@ comp AS (
   FROM (SELECT a AS node, min(b) AS min_reach FROM reach GROUP BY a)
 ),
 eh AS (
-  SELECT doc_id, md5({_NORM}) AS h FROM documents
+  SELECT doc_id, md5(coalesce({_NORM}, '')) AS h FROM documents
 ),
 spans AS (
   SELECT doc_id, len(w) AS n_words,

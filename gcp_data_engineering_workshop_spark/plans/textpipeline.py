@@ -1655,34 +1655,38 @@ def bm25_topk(spark: SparkSession, sf_dir: str, k: int = 5,
       ln(1 + (N - df_t + 0.5)/(df_t + 0.5))          [Lucene idf >= 0]
       * tf_td * (k1 + 1) / (tf_td + k1 * (1 - b + b * dl_d / avgdl))
 
-    Scale shape: ONE (doc_id, term) tf aggregate over the corpus
-    (map-side combinable), registered in the bounded cache pool so
-    the df derivation and the scoring join read the SAME
-    materialization instead of re-running the explode+agg subtree
-    (the r6 judge's largest-constant note: this was the second
-    corpus-side pass); a broadcast df/N/avgdl enrichment; a
-    broadcast join against the tiny query-term set, whose explode
-    touches only the 1/97 eval slice (an inverted-index shuffle
-    join at real scale); one (query, doc) score aggregate; and a
-    per-query top-k window whose partitions are bounded by the
-    candidate sets. The corpus explodes and shuffles ONCE, on
-    (doc_id, term). Exactness: tf/df/dl/N are exact integers; idf
+    Scale shape: a (doc_id, term) tf aggregate over the corpus
+    (map-side combinable) consumed twice — once for the df
+    derivation, once (broadcast-pruned to query terms) for scoring;
+    a broadcast df/N/avgdl enrichment; a broadcast join against the
+    tiny query-term set, whose explode touches only the 1/97 eval
+    slice (an inverted-index shuffle join at real scale); one
+    (query, doc) score aggregate; and a per-query top-k window
+    whose partitions are bounded by the candidate sets.
+
+    MEASURED (r7->r8): caching the tf aggregate so both consumers
+    read one materialization LOSES at every scale — sf0.1 median
+    3.85s -> 4.73s (+20%) and the x100 probe exponent was unchanged
+    at 0.90: the tf table at x100 is tens of millions of rows with
+    term strings, and persisting it costs more than the
+    whole-stage-codegen explode+agg recompute it saves. The
+    two-pass recompute shape below is the deliberate winner; do not
+    re-add the cache without beating it on the x100 probe.
+
+    Exactness: tf/df/dl/N are exact integers; idf
     and the saturation term are identical IEEE doubles in both
     engines; the per-(query, doc) sum reorders at ~1e-15, 9 orders
     under the 1e-6 grid the score rounds to BEFORE ranking, and ties
     rank by doc_id."""
     from pyspark.sql.window import Window
 
-    from gcp_data_engineering_workshop_spark.operators.cachepool import (
-        register)
-
     d = _docs_with_words(spark, sf_dir)
     is_eval = F.col("doc_id") % 97 == 0
     toks = d.select("doc_id", F.size("w").alias("dl"),
                     F.explode("w").alias("term"))
-    tf = register(toks.where(~is_eval)
-                  .groupBy("doc_id", "dl", "term")
-                  .agg(F.count(F.lit(1)).alias("tf")))
+    tf = (toks.where(~is_eval)
+          .groupBy("doc_id", "dl", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = (d.where(~is_eval)
              .agg(F.count(F.lit(1)).alias("n_docs"),
@@ -2244,8 +2248,13 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         return frame.select(F.lit(name).alias("metric"),
                             F.col("value").cast("double").alias("value"))
 
+    # hash coalesced to '' so NULL-normalizing docs form ONE dup
+    # group (count - countDistinct ignores NULLs, which would count
+    # every NULL doc as removable — the old group-based metric kept
+    # one); mirrored in CORPUS_REPORT_SQL's eh CTE
     shared = (d.select(F.size(T.words("text")).alias("nw"),
-                       F.md5(T.normalize("text")).alias("h"))
+                       F.md5(F.coalesce(T.normalize("text"), F.lit("")))
+                        .alias("h"))
               .agg(F.count(F.lit(1)).alias("n_docs"),
                    F.sum("nw").alias("n_words_total"),
                    (F.count(F.lit(1)) - F.countDistinct("h"))

@@ -196,9 +196,17 @@ def spike_processor(ttl_ms: int = 3_600_000):
             out, st, history = _run_detector(ticker, st, history, rows)
             if st is not None:
                 self._open.update(tuple(st[k] for k in _ST_KEYS))
-                self._hist.put([(v,) for v in history])
-            # one live TTL timer per key: drop the stale one, arm anew
-            for t in self._handle.listTimers():
+                # put([]) is undefined against the real state server;
+                # an empty history means "no rows retained" -> clear
+                if history:
+                    self._hist.put([(v,) for v in history])
+                else:
+                    self._hist.clear()
+            # one live TTL timer per key: drop the stale one, arm
+            # anew (materialize first — deleteTimer() while the
+            # paginated listTimers() iterator is open is unsafe on
+            # the wire protocol)
+            for t in list(self._handle.listTimers()):
                 self._handle.deleteTimer(t)
             self._handle.registerTimer(
                 timerValues.getCurrentProcessingTimeInMs() + ttl_ms)

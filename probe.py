@@ -15,6 +15,13 @@ query is a scale regression — treat it like a red correctness row:
 find the plan change, fix or revert. Exponents jitter a few
 hundredths run-to-run; +0.2 is a plan-shape change, not noise.
 
+Besides the document panel, one EMBEDDING leg times the IVF kNN
+edge build (knn_graph_ivf, C84's edge path) at x10/x100/x250 of the
+sf0.1 embedding table (500k vectors at x250) and records driver
+ru_maxrss around each build — the whole point of the IVF rewrite is
+that the corpus matrix never lands on the driver, so the RSS
+high-water mark must stay flat across a 100x corpus growth.
+
 Usage: python probe.py [round_number]
   writes PROBE_r{N}.json (default: next after the largest existing)
   SPARK_GRAFT_PROBE_ONLY=a,b  limit to named panel queries
@@ -27,15 +34,22 @@ import json
 import math
 import os
 import re
+import resource
 import sys
 import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from gcp_data_engineering_workshop_spark.session import get_spark
 from gcp_data_engineering_workshop_spark.plans import textpipeline as tp
+from gcp_data_engineering_workshop_spark.operators.similarity import (
+    knn_graph_ivf)
 
-from examples.scale_probe_r6 import build_docs_dir  # corpus builder
+from examples.scale_probe_r6 import build_docs_dir, WORK  # corpus builder
 
 # The panel: one representative per heavy family — semantic dedup
 # (k-means + per-cluster GEMM + CC), shingle dedup (LSH + CC +
@@ -50,6 +64,71 @@ PANEL = [
 ]
 
 SCALES = (10, 100)
+EMB_SCALES = (10, 100, 250)  # x250 = 500k vectors (sf0.1 has 2k)
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def build_emb_dir(k: int) -> str:
+    """embeddings.parquet at k x sf0.1. Replica r offsets vec_id and
+    np.rolls each embedding by r mod dim positions — unit norms are
+    preserved and replicas are not bytewise-identical vectors, so
+    per-list GEMM work grows linearly with no degenerate all-equal
+    lists. Written one replica at a time (~1 MB each) so the corpus
+    build itself never moves this process's ru_maxrss high-water
+    mark that the RSS leg measures."""
+    out = os.path.join(WORK, f"emb{k}")
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    os.makedirs(out, exist_ok=True)
+    base = pq.read_table(os.path.join(BASE_SF, "embeddings.parquet"))
+    ids = np.asarray(base.column("vec_id"))
+    mat = np.vstack([np.asarray(v, dtype=np.float32)
+                     for v in base.column("embedding").to_pylist()])
+    labels = np.asarray(base.column("label"))
+    dim = mat.shape[1]
+    schema = pa.schema([("vec_id", pa.int64()),
+                        ("embedding", pa.list_(pa.float32())),
+                        ("label", pa.int32())])
+    writer = pq.ParquetWriter(os.path.join(out, "embeddings.parquet"),
+                              schema)
+    for r in range(k):
+        rolled = np.roll(mat, r % dim, axis=1)
+        writer.write_table(pa.table({
+            "vec_id": pa.array(ids + r * 10_000_000, type=pa.int64()),
+            "embedding": pa.array(list(rolled), type=pa.list_(pa.float32())),
+            "label": pa.array(labels, type=pa.int32()),
+        }, schema=schema))
+    writer.close()
+    open(os.path.join(out, "_DONE"), "w").close()
+    print(f"emb x{k}: {len(ids) * k} rows", flush=True)
+    return out
+
+
+def _rss_mb() -> float:
+    return round(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+                 / 1024.0, 1)
+
+
+def run_knn_ivf_leg(spark) -> dict:
+    """Time the IVF kNN edge build per scale; record the driver RSS
+    high-water mark before/after each build. Flat deltas across
+    x10 -> x250 certify the no-driver-collect property (the gemm
+    twin would grow by ~n*dim*8 bytes: ~250 MB at x250)."""
+    row: dict = {}
+    for k in EMB_SCALES:
+        d = build_emb_dir(k)
+        emb = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
+        rss0 = _rss_mb()
+        t0 = time.monotonic()
+        row[f"edges_x{k}"] = knn_graph_ivf(emb, k=5, n_lists=16,
+                                           n_probe=8).count()
+        row[f"t_x{k}"] = round(time.monotonic() - t0, 3)
+        row[f"rss_mb_before_x{k}"] = rss0
+        row[f"rss_mb_after_x{k}"] = _rss_mb()
+        spark.catalog.clearCache()
+    row["exp_10_100"] = round(
+        math.log10(row["t_x100"] / row["t_x10"]), 3)
+    return row
 
 
 def main() -> None:
@@ -64,37 +143,49 @@ def main() -> None:
     spark = get_spark("probe",
                       extra_conf={"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
-    dirs = {k: build_docs_dir(k) for k in SCALES}
     only = {s for s in os.environ.get(
         "SPARK_GRAFT_PROBE_ONLY", "").split(",") if s}
 
     results: dict[str, dict] = {}
-    for name, fn in PANEL:
-        if only and name not in only:
-            continue
-        row: dict = {}
-        for k in SCALES:
-            t0 = time.monotonic()
-            row[f"rows_x{k}"] = fn(spark, dirs[k]).count()  # cold pass
-            row[f"t_x{k}"] = round(time.monotonic() - t0, 3)
-            spark.catalog.clearCache()
-        row["exp_10_100"] = round(
-            math.log10(row["t_x100"] / row["t_x10"]), 3)
-        results[name] = row
-        print(f"## {name}: {row}", flush=True)
+    try:
+        dirs = {k: build_docs_dir(k) for k in SCALES}
+        for name, fn in PANEL:
+            if only and name not in only:
+                continue
+            row = {}
+            for k in SCALES:
+                t0 = time.monotonic()
+                row[f"rows_x{k}"] = fn(spark, dirs[k]).count()  # cold pass
+                row[f"t_x{k}"] = round(time.monotonic() - t0, 3)
+                spark.catalog.clearCache()
+            row["exp_10_100"] = round(
+                math.log10(row["t_x100"] / row["t_x10"]), 3)
+            results[name] = row
+            print(f"## {name}: {row}", flush=True)
+        if not only or "knn_graph_ivf_edges" in only:
+            results["knn_graph_ivf_edges"] = run_knn_ivf_leg(spark)
+            print(f"## knn_graph_ivf_edges: "
+                  f"{results['knn_graph_ivf_edges']}", flush=True)
+    finally:
+        spark.stop()
 
-    # compare against the previous round's probe, if present
-    prev_files = sorted(f for f in glob.glob("PROBE_r*.json")
-                        if f != out_path)
+    # compare against the LATEST ROUND STRICTLY BEFORE rnd (the
+    # lexicographic tail could be a newer round when re-running an
+    # old one, which would invert the comparison)
+    prev_rounds = sorted(
+        (int(m.group(1)), f) for f in glob.glob("PROBE_r*.json")
+        if (m := re.search(r"PROBE_r(\d+)\.json", f))
+        and int(m.group(1)) < rnd)
     regressions = []
-    if prev_files:
-        prev = json.load(open(prev_files[-1]))
+    if prev_rounds:
+        prev_file = prev_rounds[-1][1]
+        prev = json.load(open(prev_file))
         for name, row in results.items():
             p = prev.get("results", {}).get(name)
             if p and row["exp_10_100"] - p["exp_10_100"] > 0.2:
                 regressions.append(
                     {"query": name, "prev_exp": p["exp_10_100"],
-                     "exp": row["exp_10_100"], "prev_file": prev_files[-1]})
+                     "exp": row["exp_10_100"], "prev_file": prev_file})
     blob = {"round": rnd, "scales": list(SCALES),
             "results": results, "regressions": regressions}
     json.dump(blob, open(out_path, "w"), indent=1)
@@ -102,7 +193,6 @@ def main() -> None:
     if regressions:
         print(f"SCALE REGRESSION: {regressions}", file=sys.stderr)
         sys.exit(1)
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -27,6 +27,22 @@ ROWS_ONLY = {
     # r6: BPE merge application is a list-building fold (no DuckDB
     # lambda); PCA's eigh has no SQL replay — both pytest-paritied
     "train_bpe_vocab", "embedding_pca",
+    # r8 (C84): the IVF quantizer's sampled training is not
+    # SQL-replayable; pytest proves n_probe==n_lists edge exactness
+    # and bounds default-probe recall (tests/test_similarity.py)
+    "pagerank_knn_ivf",
+}
+
+# Keys the r8 rotation promises the driver window (VERDICT r7 #1):
+# the never-evidenced pair, the C84 registration, the two r8-changed
+# ops, and the 8 keys stranded at r3 evidence by the r6/r7 boundary
+# slip.
+R8_WINDOW_PRIORITY = {
+    "train_bpe_vocab", "embedding_pca", "pagerank_knn_ivf",
+    "bm25_topk", "corpus_report",
+    "retention_set_ops", "grouping_sets_revenue", "scd2_customer_dim",
+    "text_lang_id", "dedup_incremental", "line_dedup",
+    "tokenize_ids", "bigram_lm_score",
 }
 
 
@@ -56,6 +72,23 @@ def test_queries_with_oracles_lead_the_driver_window():
     m = _entry_module()
     keys = list(m.queries())
     assert len(keys) == len(set(keys))
+
+
+def test_driver_window_boundary_position():
+    """The r6/r7 rounds lost 6 keys x 2 rounds of driver evidence to
+    a comment that claimed the 50-row boundary at the wrong dict
+    position (VERDICT r7 What's-wrong #1). Pin the REAL boundary:
+    the documented last-in-window key must sit at index 49, and
+    every key the r8 rotation promises the window must be inside
+    the first 50."""
+    m = _entry_module()
+    keys = list(m.queries())
+    assert keys.index("corpus_diff") == 49, (
+        "the '==== WINDOW BOUNDARY (50)' comment in __spark_entry__ "
+        "no longer matches the dict: corpus_diff is at index "
+        f"{keys.index('corpus_diff')}")
+    window = set(keys[:50])
+    assert R8_WINDOW_PRIORITY <= window, R8_WINDOW_PRIORITY - window
 
 
 def test_entry_returns_flagship(spark):

@@ -491,3 +491,37 @@ def test_pagerank_knn_ivf_close_to_exact(spark, sf_dir):
     top_e = set(sorted(exact, key=lambda v: -exact[v])[:top])
     top_a = set(sorted(approx, key=lambda v: -approx[v])[:top])
     assert len(top_e & top_a) / top >= 0.5
+
+
+def test_knn_graph_ivf_tiny_and_empty_inputs(spark, sf_dir):
+    """ADVICE r7: fewer rows than n_lists must degrade to the exact
+    small-case build (n_lists clamps to the sample size), and an
+    empty corpus returns an empty edge frame with the edge schema —
+    knn_graph_gemm's behavior at these sizes."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    tiny = emb.orderBy("vec_id").limit(4)
+    got = sorted(tuple(r) for r in
+                 S.knn_graph_ivf(tiny, k=2, n_lists=16,
+                                 n_probe=8).collect())
+    want = sorted(tuple(r) for r in
+                  S.knn_graph_gemm(tiny, k=2).collect())
+    assert got == want and len(got) > 0
+
+    empty = emb.where("vec_id < 0")
+    out = S.knn_graph_ivf(empty, k=2)
+    assert out.columns == ["query_id", "neighbor_id", "dot_sim"]
+    assert out.count() == 0
+
+
+def test_knn_graph_ivf_deterministic(spark, sf_dir):
+    """ADVICE r7: the quantizer sample is orderBy(vec_id).limit(N),
+    so two builds over the same corpus emit identical edges even at
+    the approximate default probe."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    a = sorted(tuple(r) for r in
+               S.knn_graph_ivf(emb, k=3, n_lists=8, n_probe=2,
+                               sample_size=64).collect())
+    b = sorted(tuple(r) for r in
+               S.knn_graph_ivf(emb, k=3, n_lists=8, n_probe=2,
+                               sample_size=64).collect())
+    assert a == b and len(a) > 0
