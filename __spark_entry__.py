@@ -55,9 +55,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_bpe_vocab": _tp.train_bpe_vocab,
         "embedding_pca": _tp.embedding_pca,
         "pagerank_knn_ivf": _tp.pagerank_knn_ivf,
-        # -- (2) changed this round (r8) --
+        # -- (2) changed or NEW this round (r8) --
         "bm25_topk": _tp.bm25_topk,
         "corpus_report": _tp.corpus_report,
+        "dedup_ingest_bloom": _tp.dedup_ingest_bloom,
         # -- (3a) stranded at r3 evidence by the r6/r7 boundary slip --
         "retention_set_ops": _an3.retention_set_ops,
         "grouping_sets_revenue": _an3.grouping_sets_revenue,
@@ -105,7 +106,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": _tp.gopher_repetition,
         "decontaminate": _tp.decontaminate,
         "heavy_hitters_cms": _tp.heavy_hitters_cms,
-        "mixture_schedule": _tp.mixture_schedule,
         "corpus_diff": _tp.corpus_diff,
         # ==== WINDOW BOUNDARY (50): corpus_diff is entry 50; the
         #      driver records rows for nothing below this line.
@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail: remaining r4-green keys (LSH/blocked twins share
         #    the exact op's oracle; sampling/packing ops) --
         "temperature_sample": _tp.temperature_sample,
+        "mixture_schedule": _tp.mixture_schedule,
         "domain_cap": _tp.domain_cap,
         "assign_ids": _tp.assign_ids,
         "pack_sequences": _tp.pack_sequences,
@@ -319,6 +320,10 @@ def oracle_sql() -> dict[str, str]:
         "grouping_sets_revenue": _orc.GROUPING_SETS_SQL,
         "scd2_customer_dim": _orc.SCD2_SQL,
         "dedup_incremental": _orc.DEDUP_INCREMENTAL_SQL,
+        # C85 is plan-level different (bloom prune + exact confirm)
+        # but result-identical by the one-sided-bloom argument —
+        # the plain anti-join SQL certifies the bloom loses nothing
+        "dedup_ingest_bloom": _orc.DEDUP_INGEST_BLOOM_SQL,
         "line_dedup": _orc.LINE_DEDUP_SQL,
         "span_dedup_stats": _orc.SPAN_DEDUP_SQL,
         "span_dedup_apply": _orc.SPAN_DEDUP_APPLY_SQL,

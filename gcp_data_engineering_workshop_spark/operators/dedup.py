@@ -452,6 +452,64 @@ def incremental_dedup(batch: DataFrame, corpus: DataFrame,
             .select("doc_id", "lang"))
 
 
+def incremental_dedup_bloom(batch: DataFrame, corpus: DataFrame,
+                            m_bits: int = 1 << 20,
+                            n_hashes: int = 5) -> DataFrame:
+    """C85: exact-hash ingest admission with BOUNDED membership
+    state — the approximate-membership variant of C38's stage-1
+    anti-join (VERDICT r6/r7 stretch item).
+
+    At 100 TB the "have we seen this exact document" ingest gate
+    cannot shuffle every incoming doc against the corpus hash set
+    per batch: the corpus side is billions of hashes and ~all batch
+    docs are genuinely new. Here the corpus's distinct content
+    hashes fold ONCE into an m-bit bloom bitmap (operators/bloom.py:
+    the build exchange and driver collect are bounded by the BITMAP,
+    m/64 bigint words, never the corpus cardinality), the bitmap
+    broadcasts into a vectorized Arrow probe inside the batch's scan
+    stage, and only bloom-POSITIVE docs (true re-ingests + the FP
+    sliver, ~(1 - e^{-kn/m})^k of the batch) reach the exact
+    confirm anti-join. Bloom negatives are admitted join-free.
+
+    One-sided by construction: a hash in the corpus is NEVER
+    bloom-negative, so admitted = (definite-new) + (maybe-seen that
+    the exact join clears) == the exact anti-join's survivor set bit
+    for bit — which is what the DuckDB oracle certifies, and why an
+    aggressively small m_bits only costs confirm-join traffic, never
+    correctness (pytest forces m_bits=1024 and checks equality).
+
+    The probe key is the md5's leading 8 hex chars mod (2^31-1) —
+    a 31-bit integer derived in pure JVM expressions, meeting
+    bloom_positions' h < 2^31 contract; the bitmap is internal
+    pruning state, so its hash never crosses engines.
+
+    Output: admitted batch docs (doc_id, lang) — C38's stage-1
+    contract. Near-dup admission stays C38's concern; chaining is
+    incremental_dedup_bloom -> stage-2 of incremental_dedup.
+    """
+    from gcp_data_engineering_workshop_spark.functions.textfns import (
+        KR_MOD)
+    from gcp_data_engineering_workshop_spark.operators import bloom as BL
+
+    norm_hash = F.md5(normalize("text"))
+    corpus_hashes = register(
+        corpus.select(norm_hash.alias("h")).distinct())
+    probe_key = (F.conv(F.substring(F.col("h"), 1, 8), 16, 10)
+                 .cast("bigint") % F.lit(KR_MOD))
+    bitmap = BL.bloom_build(
+        corpus_hashes.select(probe_key.alias("hk")), "hk",
+        m_bits=m_bits, n_hashes=n_hashes)
+    probe = BL.bloom_might_contain(bitmap, n_hashes)
+    b = (batch.withColumn("h", norm_hash)
+         .withColumn("_maybe", probe(
+             BL.bloom_positions(probe_key, m_bits, n_hashes))))
+    fresh = b.where(~F.col("_maybe"))
+    confirmed = (b.where(F.col("_maybe"))
+                 .join(corpus_hashes, "h", "left_anti"))
+    return (fresh.unionByName(confirmed)
+            .select("doc_id", "lang"))
+
+
 def containment_pairs(docs: DataFrame, tau: float = 0.9,
                       n: int = 3) -> DataFrame:
     """C83: shingle CONTAINMENT pairs (Broder 1997's second

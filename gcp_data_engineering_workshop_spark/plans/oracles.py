@@ -1500,6 +1500,21 @@ nd AS (
 SELECT doc_id, lang FROM surv WHERE doc_id NOT IN (SELECT bid FROM nd)
 """
 
+# C85 bloom ingest admission: the bloom is one-sided pruning state,
+# so the oracle is the PLAIN exact anti-join — certifying the bloom
+# path admits exactly the unseen-hash docs (same argument as C66).
+DEDUP_INGEST_BLOOM_SQL = f"""
+WITH bh AS (
+  SELECT doc_id, lang, md5({_NORM}) AS h FROM documents
+  WHERE doc_id % 10 >= 8
+),
+ch AS (
+  SELECT DISTINCT md5({_NORM}) AS h FROM documents WHERE doc_id % 10 < 8
+)
+SELECT doc_id, lang FROM bh WHERE h NOT IN (SELECT h FROM ch)
+ORDER BY doc_id
+"""
+
 LINE_DEDUP_SQL = f"""
 WITH wt AS (
   SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents

@@ -756,6 +756,26 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.incremental_dedup(batch, corpus, tau=0.9)
 
 
+def dedup_ingest_bloom(spark: SparkSession, sf_dir: str,
+                       m_bits: int = 1 << 18,
+                       n_hashes: int = 5) -> DataFrame:
+    """C85: exact-hash ingest admission with bounded membership
+    state (operators/dedup.py incremental_dedup_bloom) — C38's
+    daily-ingest split (batch = doc_id % 10 >= 8, corpus = rest):
+    corpus hashes fold into a bloom bitmap bounded by m_bits,
+    bloom-negative batch docs are admitted JOIN-FREE, and only the
+    positive sliver reaches the exact confirm anti-join. One-sided,
+    so the output equals the plain exact anti-join — the shared
+    oracle certifies the bloom path loses nothing (the C66
+    argument applied to the ingest gate)."""
+    d = _docs(spark, sf_dir)
+    batch = d.where(F.col("doc_id") % 10 >= 8)
+    corpus = d.where(F.col("doc_id") % 10 < 8)
+    return (D.incremental_dedup_bloom(batch, corpus, m_bits=m_bits,
+                                      n_hashes=n_hashes)
+            .orderBy("doc_id"))
+
+
 def line_dedup(spark: SparkSession, sf_dir: str,
                seg_words: int = 5, df_threshold: int = 2) -> DataFrame:
     """C39: cross-document boilerplate removal (the CCNet/RefinedWeb

@@ -190,3 +190,62 @@ def test_recursive_cte_components_match_iterative(spark):
     got = {(r.doc_id, r.component)
            for r in connected_components_sql(edges).collect()}
     assert got == want and len(want) > 0
+
+
+def test_ingest_bloom_equals_exact_antijoin(spark, sf_dir):
+    """C85: the bloom-pruned ingest admission equals the plain exact
+    anti-join — at the production sizing AND at an aggressively tiny
+    m_bits=1024 that FORCES false positives into the confirm join
+    (one-sidedness means FPs cost traffic, never correctness)."""
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+    from gcp_data_engineering_workshop_spark.operators.dedup import (
+        incremental_dedup_bloom)
+    import pyspark.sql.functions as F
+    from gcp_data_engineering_workshop_spark.functions.textfns import (
+        normalize)
+
+    d = load_table(spark, "documents", sf_dir)
+    batch = d.where(F.col("doc_id") % 10 >= 8)
+    corpus = d.where(F.col("doc_id") % 10 < 8)
+    h = F.md5(normalize("text"))
+    exact = {r.doc_id for r in
+             batch.withColumn("h", h)
+             .join(corpus.select(h.alias("h")).distinct(), "h",
+                   "left_anti").collect()}
+    for m_bits in (1 << 18, 1024):
+        got = {r.doc_id for r in
+               incremental_dedup_bloom(batch, corpus,
+                                       m_bits=m_bits).collect()}
+        assert got == exact, m_bits
+
+
+def test_ingest_bloom_prunes_join_free_admissions(spark, sf_dir):
+    """The point of the bloom gate: at production sizing, most
+    genuinely-new docs are admitted WITHOUT reaching the confirm
+    join. Re-derive the bloom verdict per batch doc and check the
+    negative (join-free) fraction dominates among the new docs."""
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+    from gcp_data_engineering_workshop_spark.functions.textfns import (
+        normalize, KR_MOD)
+    from gcp_data_engineering_workshop_spark.operators import bloom as BL
+    import pyspark.sql.functions as F
+
+    m_bits, n_hashes = 1 << 18, 5
+    d = load_table(spark, "documents", sf_dir)
+    batch = d.where(F.col("doc_id") % 10 >= 8)
+    corpus = d.where(F.col("doc_id") % 10 < 8)
+    key = (F.conv(F.substring(F.col("h"), 1, 8), 16, 10)
+           .cast("bigint") % F.lit(KR_MOD))
+    corpus_h = corpus.select(F.md5(normalize("text")).alias("h"))
+    bitmap = BL.bloom_build(corpus_h.select(key.alias("hk")).distinct(),
+                            "hk", m_bits=m_bits, n_hashes=n_hashes)
+    probe = BL.bloom_might_contain(bitmap, n_hashes)
+    b = (batch.select("doc_id", F.md5(normalize("text")).alias("h"))
+         .withColumn("maybe", probe(
+             BL.bloom_positions(key, m_bits, n_hashes))))
+    n_batch = b.count()
+    n_pruned = b.where(~F.col("maybe")).count()
+    # corpus docs are ~unique in this fixture, so nearly every batch
+    # doc is new; at m=2^18 for ~400 keys the FP rate is ~0 and the
+    # bloom should admit the overwhelming majority join-free
+    assert n_pruned / n_batch > 0.9, (n_pruned, n_batch)

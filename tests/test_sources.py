@@ -583,3 +583,66 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
         assert hi1 <= lo2 or lo2 >= lo1  # ordered, overlap at most at edges
     got2 = sorted(tuple(r) for r in spark.read.parquet(out2).collect())
     assert got2 == want
+
+
+# ---------------------------------------------------------------- #
+# E21: avrolite — Avro object-container source/sink (pure-Python
+# format layer from the public Avro 1.11 spec; no spark-avro jar in
+# this container)
+# ---------------------------------------------------------------- #
+
+
+def _avro_register(spark):
+    from gcp_data_engineering_workshop_spark.sources.avrolite import (
+        register_avrolite)
+    register_avrolite(spark)
+
+
+def test_avrolite_roundtrip(spark, sf_dir, tmp_path):
+    """Distributed write (one container file per task) then read:
+    row-for-row parity including nulls, on mixed primitive types."""
+    _avro_register(spark)
+    d = str(tmp_path / "avro")
+    src = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+           .select("doc_id", "lang", "n_chars",
+                   (F.col("doc_id") % 7 == 0).alias("flag"),
+                   F.when(F.col("doc_id") % 5 == 0, None)
+                    .otherwise(F.col("source")).alias("source")))
+    src.write.format("avrolite").option("path", d).mode("append").save()
+    back = spark.read.format("avrolite").option("path", d).load()
+    assert back.schema.simpleString() == src.schema.simpleString()
+    a = sorted(tuple(r) for r in back.collect())
+    b = sorted(tuple(r) for r in src.collect())
+    assert a == b
+
+
+def test_avrolite_deflate_and_block_split(spark, sf_dir, tmp_path):
+    """deflate codec roundtrips, and a small partition_bytes forces
+    the reader to split ONE file into MANY partitions on block
+    boundaries — the sync-marker splittability that makes the format
+    cluster-scannable — with no row lost or duplicated."""
+    _avro_register(spark)
+    d = str(tmp_path / "avrodef")
+    src = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+           .select("doc_id", "text").coalesce(1))
+    (src.write.format("avrolite").option("path", d)
+        .option("codec", "deflate").option("records_per_block", "16")
+        .mode("append").save())
+    back = (spark.read.format("avrolite").option("path", d)
+            .option("partition_bytes", str(1 << 12)).load())
+    assert back.rdd.getNumPartitions() > 4
+    assert sorted(tuple(r) for r in back.collect()) == \
+        sorted(tuple(r) for r in src.collect())
+
+
+def test_avrolite_overwrite_mode(spark, tmp_path):
+    _avro_register(spark)
+    d = str(tmp_path / "avroow")
+    df1 = spark.range(100).select(F.col("id"),
+                                  F.lit("a").alias("tag"))
+    df2 = spark.range(7).select(F.col("id"), F.lit("b").alias("tag"))
+    df1.write.format("avrolite").option("path", d).mode("append").save()
+    df2.write.format("avrolite").option("path", d).mode("overwrite").save()
+    back = spark.read.format("avrolite").option("path", d).load()
+    assert back.count() == 7
+    assert {r.tag for r in back.collect()} == {"b"}
