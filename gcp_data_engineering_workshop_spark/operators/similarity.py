@@ -568,11 +568,21 @@ def _kmeans_centroids(sample: np.ndarray, k: int, n_iter: int = 10,
                       seed: int = 42) -> np.ndarray:
     """Tiny seeded k-means on a driver-side SAMPLE (IVF coarse
     quantizer training — training is sampled by design; assignment
-    stays distributed)."""
+    stays distributed). k clamps to the sample size. The E-step
+    argmax runs in row blocks so the (n_sample, k) score matrix
+    never materializes whole — at the probe leg's 62k-sample/2k-list
+    sizing that matrix alone was ~1 GB of driver ru_maxrss; blocking
+    bounds it at ~64 MB with bit-identical assignments."""
     rng = np.random.default_rng(seed)
+    k = min(k, len(sample))
     cent = sample[rng.choice(len(sample), size=k, replace=False)]
+    blk = max(256, int(8e6) // max(k, 1))
+    assign = np.empty(len(sample), dtype=np.int64)
     for _ in range(n_iter):
-        assign = (sample @ cent.T).argmax(axis=1)  # unit vectors: max dot
+        for i0 in range(0, len(sample), blk):
+            i1 = min(i0 + blk, len(sample))
+            # unit vectors: max dot == nearest
+            assign[i0:i1] = (sample[i0:i1] @ cent.T).argmax(axis=1)
         for c in range(k):
             members = sample[assign == c]
             if len(members):
@@ -873,6 +883,40 @@ def ann_ivfpq_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
     return _topk_per_key(rescored, k)
 
 
+def _block_topk_exact(G: np.ndarray, member_ids: np.ndarray, k: int,
+                      cand: int) -> np.ndarray:
+    """Vectorized EXACT top-k per row of a (b, m) rounded-dot block:
+    order (dot DESC, member_id ASC). Returns a (b, min(k, m)) index
+    matrix into the member axis; callers mask non-finite picks.
+
+    Bit-identical to the per-row argpartition+lexsort loop it
+    replaces (r8: the loop, not the GEMM, dominated the x250 IVF
+    probe leg — 4M Python iterations of argpartition): one
+    argpartition over the whole block pulls each row's `cand`
+    largest dots, one batched lexsort orders them exactly, and rows
+    whose k-th value ties across the candidate boundary (so an
+    equal-dot smaller-id member could sit outside the partition)
+    fall back to a full lexsort — same boundary rule as before,
+    now per-block instead of per-row. All selection is C-side;
+    zero Python-level per-row work."""
+    b, m = G.shape
+    kk = min(k, m)
+    if cand >= m:
+        I = np.broadcast_to(member_ids, (b, m))
+        return np.lexsort((I, -G), axis=1)[:, :kk]
+    part = np.argpartition(-G, cand - 1, axis=1)[:, :cand]
+    sub = np.take_along_axis(G, part, axis=1)
+    order = np.lexsort((member_ids[part], -sub), axis=1)[:, :kk]
+    sel = np.take_along_axis(part, order, axis=1)
+    kth = np.take_along_axis(sub, order[:, kk - 1:kk], axis=1)
+    bad = (G >= kth).sum(axis=1) > cand
+    if bad.any():
+        idx = np.nonzero(bad)[0]
+        I = np.broadcast_to(member_ids, (len(idx), m))
+        sel[idx] = np.lexsort((I, -G[idx]), axis=1)[:, :kk]
+    return sel
+
+
 def knn_graph_gemm(emb: DataFrame, k: int = 5) -> DataFrame:
     """Exact kNN graph over the WHOLE corpus (every vector a query)
     via per-partition blocked GEMM against a task-broadcast matrix —
@@ -917,28 +961,21 @@ def knn_graph_gemm(emb: DataFrame, k: int = 5) -> DataFrame:
                 b.schema.get_field_index("vec_id")).to_numpy(
                 zero_copy_only=False)
             G = np.round(Xb @ Xa.T, 6)
-            # exclude self by id match
-            for i in range(len(vb)):
-                row = G[i]
-                self_idx = np.searchsorted(ids_a, vb[i])
-                if self_idx < n and ids_a[self_idx] == vb[i]:
-                    row = row.copy()
-                    row[self_idx] = -np.inf
-                if cand < n:
-                    part = np.argpartition(-row, cand - 1)[:cand]
-                    # ties straddling the boundary -> exact full sort
-                    kth = row[part[np.argpartition(-row[part], k - 1)[k - 1]]]
-                    if (row >= kth).sum() > cand:
-                        part = np.arange(n)
-                else:
-                    part = np.arange(n)
-                sel = part[np.lexsort((ids_a[part], -row[part]))][:k]
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array(np.full(len(sel), vb[i], dtype=np.int64)),
-                     pa.array(ids_a[sel]),
-                     pa.array(row[sel], type=pa.float64()),
-                     pa.array(np.arange(1, len(sel) + 1, dtype=np.int32))],
-                    ["query_id", "neighbor_id", "dot_sim", "rank"])
+            # exclude self by id match (vectorized searchsorted)
+            si = np.searchsorted(ids_a, vb)
+            hit = np.nonzero((si < n) & (ids_a[np.minimum(si, n - 1)]
+                                         == vb))[0]
+            G[hit, si[hit]] = -np.inf
+            sel = _block_topk_exact(G, ids_a, k, cand)
+            kk = sel.shape[1]
+            dots = np.take_along_axis(G, sel, axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.repeat(vb.astype(np.int64), kk)),
+                 pa.array(ids_a[sel].ravel()),
+                 pa.array(dots.ravel(), type=pa.float64()),
+                 pa.array(np.tile(np.arange(1, kk + 1, dtype=np.int32),
+                                  len(vb)))],
+                ["query_id", "neighbor_id", "dot_sim", "rank"])
 
     return emb.select("vec_id", "embedding").mapInArrow(
         fn, "query_id bigint, neighbor_id bigint, "
@@ -998,12 +1035,15 @@ def knn_graph_ivf(emb: DataFrame, k: int = 5, n_lists: int = 16,
         mat_from_arrow)
 
     edge_schema = "query_id bigint, neighbor_id bigint, dot_sim double"
-    sample_rows = (emb.orderBy("vec_id").limit(sample_size)
-                   .select("embedding").collect())
-    if not sample_rows:
+    # Arrow collect: the sample lands as contiguous buffers, not
+    # per-row Row objects — at a 62k-row quantizer sample (x250
+    # probe leg) Row collect pushed driver ru_maxrss to 1.35 GB
+    # where the Arrow path stays at the buffer size (~32 MB)
+    sample_tbl = (emb.orderBy("vec_id").limit(sample_size)
+                  .select("embedding").toArrow())
+    if sample_tbl.num_rows == 0:
         return emb.sparkSession.createDataFrame([], edge_schema)
-    sample = np.vstack([np.asarray(r.embedding, dtype=np.float64)
-                        for r in sample_rows])
+    sample = mat_from_arrow(sample_tbl.column("embedding"))
     n_lists = min(n_lists, len(sample))
     n_probe = min(n_probe, n_lists)
     cent = _kmeans_centroids(sample, n_lists)
@@ -1042,28 +1082,18 @@ def knn_graph_ivf(emb: DataFrame, k: int = 5, n_lists: int = 16,
         for i0 in range(0, len(ids), blk):
             i1 = min(i0 + blk, len(ids))
             G = np.round(X[i0:i1] @ M.T, 6)
-            for i in range(i1 - i0):
-                qid = ids[i0 + i]
-                row = G[i]
-                si = np.searchsorted(mids, qid)
-                if si < m and mids[si] == qid:
-                    row = row.copy()
-                    row[si] = -np.inf
-                if cand < m:
-                    part = np.argpartition(-row, cand - 1)[:cand]
-                    kk = min(k, cand)
-                    kth = row[part[np.argpartition(
-                        -row[part], kk - 1)[kk - 1]]]
-                    if (row >= kth).sum() > cand:
-                        part = np.arange(m)
-                else:
-                    part = np.arange(m)
-                sel = part[np.lexsort((mids[part], -row[part]))][:k]
-                sel = sel[np.isfinite(row[sel])]
-                if len(sel):
-                    qs.append(np.full(len(sel), qid, dtype=np.int64))
-                    ns.append(mids[sel])
-                    ds.append(row[sel])
+            qb = ids[i0:i1].astype(np.int64)
+            si = np.searchsorted(mids, qb)
+            hit = np.nonzero((si < m) & (mids[np.minimum(si, m - 1)]
+                                         == qb))[0]
+            G[hit, si[hit]] = -np.inf
+            sel = _block_topk_exact(G, mids, k, cand)
+            dots = np.take_along_axis(G, sel, axis=1)
+            fin = np.isfinite(dots).ravel()
+            if fin.any():
+                qs.append(np.repeat(qb, sel.shape[1])[fin])
+                ns.append(mids[sel].ravel()[fin])
+                ds.append(dots.ravel()[fin])
         if not qs:
             return empty
         return pa.table({

@@ -113,16 +113,32 @@ def run_knn_ivf_leg(spark) -> dict:
     """Time the IVF kNN edge build per scale; record the driver RSS
     high-water mark before/after each build. Flat deltas across
     x10 -> x250 certify the no-driver-collect property (the gemm
-    twin would grow by ~n*dim*8 bytes: ~250 MB at x250)."""
+    twin would grow by ~n*dim*8 bytes: ~250 MB at x250).
+
+    Sizing is the PRODUCTION regime the knn_graph_ivf docstring
+    documents: n_lists grows with the corpus (n/256 — constant
+    expected list size) and n_probe stays FIXED, so per-query
+    candidate work is n_probe * 256 = O(1) and the edge build is
+    O(n) by construction. (The first r8 run used fixed n_lists=16 —
+    list sizes then grow linearly and per-list GEMM work
+    quadratically, which measured exp 1.096 / 1342 s at x250:
+    recorded here as the counter-example of WHY list count must
+    scale, not as a plan defect.) The quantizer sample grows as
+    32 * n_lists — the driver-side cost of training more centroids,
+    bounded by the list count, never the corpus."""
     row: dict = {}
     for k in EMB_SCALES:
         d = build_emb_dir(k)
         emb = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
+        n = emb.count()
+        n_lists = max(16, n // 256)
         rss0 = _rss_mb()
         t0 = time.monotonic()
-        row[f"edges_x{k}"] = knn_graph_ivf(emb, k=5, n_lists=16,
-                                           n_probe=8).count()
+        row[f"edges_x{k}"] = knn_graph_ivf(
+            emb, k=5, n_lists=n_lists, n_probe=8,
+            sample_size=32 * n_lists).count()
         row[f"t_x{k}"] = round(time.monotonic() - t0, 3)
+        row[f"n_lists_x{k}"] = n_lists
         row[f"rss_mb_before_x{k}"] = rss0
         row[f"rss_mb_after_x{k}"] = _rss_mb()
         spark.catalog.clearCache()
@@ -186,6 +202,13 @@ def main() -> None:
                 regressions.append(
                     {"query": name, "prev_exp": p["exp_10_100"],
                      "exp": row["exp_10_100"], "prev_file": prev_file})
+    # ONLY-mode re-runs merge into an existing round file instead of
+    # clobbering the full panel's results
+    if only and os.path.exists(out_path):
+        prior = json.load(open(out_path))
+        merged = dict(prior.get("results", {}))
+        merged.update(results)
+        results = merged
     blob = {"round": rnd, "scales": list(SCALES),
             "results": results, "regressions": regressions}
     json.dump(blob, open(out_path, "w"), indent=1)
