@@ -59,6 +59,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _tp.bm25_topk,
         "corpus_report": _tp.corpus_report,
         "dedup_ingest_bloom": _tp.dedup_ingest_bloom,
+        "corpus_report_by_source": _tp.corpus_report_by_source,
+        "dedup_minhash_auto": _tp.dedup_minhash_auto,
         # -- (3a) stranded at r3 evidence by the r6/r7 boundary slip --
         "retention_set_ops": _an3.retention_set_ops,
         "grouping_sets_revenue": _an3.grouping_sets_revenue,
@@ -103,9 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _tp.vocab_topk,
         "tfidf_topterms": _tp.tfidf_topterms,
         "clean_corpus": _tp.clean_corpus,
-        "gopher_repetition": _tp.gopher_repetition,
         "decontaminate": _tp.decontaminate,
-        "heavy_hitters_cms": _tp.heavy_hitters_cms,
         "corpus_diff": _tp.corpus_diff,
         # ==== WINDOW BOUNDARY (50): corpus_diff is entry 50; the
         #      driver records rows for nothing below this line.
@@ -205,6 +205,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    the exact op's oracle; sampling/packing ops) --
         "temperature_sample": _tp.temperature_sample,
         "mixture_schedule": _tp.mixture_schedule,
+        "gopher_repetition": _tp.gopher_repetition,
+        "heavy_hitters_cms": _tp.heavy_hitters_cms,
         "domain_cap": _tp.domain_cap,
         "assign_ids": _tp.assign_ids,
         "pack_sequences": _tp.pack_sequences,
@@ -324,6 +326,10 @@ def oracle_sql() -> dict[str, str]:
         # but result-identical by the one-sided-bloom argument —
         # the plain anti-join SQL certifies the bloom loses nothing
         "dedup_ingest_bloom": _orc.DEDUP_INGEST_BLOOM_SQL,
+        "corpus_report_by_source": _orc.CORPUS_REPORT_BY_SOURCE_SQL,
+        # C87 carries C2's oracle: verify restores exactness for ANY
+        # banding — the gate certifies the auto choice loses nothing
+        "dedup_minhash_auto": _orc.DEDUP_MINHASH_SQL,
         "line_dedup": _orc.LINE_DEDUP_SQL,
         "span_dedup_stats": _orc.SPAN_DEDUP_SQL,
         "span_dedup_apply": _orc.SPAN_DEDUP_APPLY_SQL,

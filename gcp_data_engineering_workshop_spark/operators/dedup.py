@@ -220,6 +220,52 @@ def minhash_band_buckets(hashes: Column, n_perms: int = 64,
     return buck(hashes)
 
 
+def auto_minhash_params(tau: float, n_rows: int,
+                        target_miss: float = 1e-6,
+                        max_perms: int = 256,
+                        s_background: float = 0.2) -> tuple[int, int]:
+    """C87: choose (n_perms, n_bands) for minhash_lsh_pairs from the
+    threshold and corpus size — the shingle-LSH analog of C51's
+    auto_lsh_params, replacing the hand-picked 64x16 with the
+    S-curve math made explicit.
+
+    With r rows per band and b bands, a pair at similarity s
+    collides in one band w.p. s^r and is MISSED entirely w.p.
+    (1 - s^r)^b; b(r) = ceil(ln(target_miss) / ln(1 - tau^r)) is the
+    smallest band count meeting the recall target at the threshold.
+    Larger r prunes background pairs harder (a random pair at
+    s_background collides w.p. s_bg^r per band) but pays recall back
+    in bands. This picks the r in [2, 16] minimizing the modeled
+    cost b * (n^2/2) * s_bg^r + b * n (expected background
+    candidates + bucketing rows) subject to r*b <= max_perms.
+    Verify restores exactness regardless of the choice (the chosen
+    params only move candidate traffic), which is why the auto
+    variant carries C2's oracle unchanged."""
+    import math
+
+    best, best_cost = None, float("inf")
+    for r in range(2, 17):
+        p = tau ** r
+        # p ~ 1: no band can miss; p ~ 0 underflows log1p(-p) to 0
+        # (band count would be astronomical — infeasible either way)
+        if p >= 1.0 or 1.0 - p >= 1.0:
+            continue
+        b = max(1, math.ceil(math.log(target_miss)
+                             / math.log(1.0 - p)))
+        if r * b > max_perms:
+            continue
+        cost = (b * (n_rows * n_rows / 2.0) * (s_background ** r)
+                + b * n_rows)
+        if cost < best_cost:
+            best, best_cost = (r * b, b), cost
+    if best is None:
+        raise ValueError(
+            f"auto_minhash_params: no (r, b) with r*b <= {max_perms} "
+            f"reaches miss <= {target_miss} at tau={tau}; raise "
+            f"max_perms or relax target_miss")
+    return best
+
+
 def minhash_lsh_pairs(docs: DataFrame, tau: float = 0.9,
                       n_perms: int = 64, n_bands: int = 16) -> DataFrame:
     """C2: near-duplicate pairs via MinHash LSH, verified with exact

@@ -1263,6 +1263,40 @@ ORDER BY d.doc_id
 """
 
 
+# C86 per-source data card: size/word/dup aggregates by source +
+# C30's contamination flags rolled up to the source
+CORPUS_REPORT_BY_SOURCE_SQL = f"""
+WITH {_WORDS_CTE.strip()}, {_SHINGLES_CTE.strip()},
+ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0),
+hits AS (
+  SELECT tr.doc_id, count(DISTINCT tr.g) AS n
+  FROM tr JOIN ev ON tr.g = ev.g
+  GROUP BY tr.doc_id
+),
+cont AS (
+  SELECT d.source, count(*) AS contaminated_docs
+  FROM documents d JOIN hits ON d.doc_id = hits.doc_id
+  WHERE d.doc_id % 97 <> 0 AND hits.n > 0
+  GROUP BY d.source
+),
+base AS (
+  SELECT d.source,
+         count(*) AS n_docs,
+         CAST(sum(len(w)) AS BIGINT) AS n_words_total,
+         CAST(count(*) - count(DISTINCT md5(coalesce({_NORM}, '')))
+              AS BIGINT) AS exact_dup_removable
+  FROM documents d JOIN wt ON d.doc_id = wt.doc_id
+  GROUP BY d.source
+)
+SELECT base.source, n_docs, n_words_total, exact_dup_removable,
+       CAST(COALESCE(cont.contaminated_docs, 0) AS BIGINT)
+         AS contaminated_docs
+FROM base LEFT JOIN cont ON base.source = cont.source
+ORDER BY base.source
+"""
+
+
 PROPS_VARIANT_SQL = """
 SELECT event_type,
        count(*) AS n_events,

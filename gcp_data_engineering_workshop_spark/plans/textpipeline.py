@@ -34,6 +34,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(_docs(spark, sf_dir), tau=0.9)
 
 
+def dedup_minhash_auto(spark: SparkSession, sf_dir: str,
+                       tau: float = 0.9) -> DataFrame:
+    """C87: C2 with the banding CHOSEN, not hand-picked —
+    auto_minhash_params picks (n_perms, n_bands) from (tau, corpus
+    size) via the S-curve recall bound + modeled background cost
+    (operators/dedup.py). The row count is a bounded metadata action
+    (table stats at warehouse scale). Verify restores exactness for
+    ANY banding, so this carries C2's oracle unchanged — the gate
+    certifies the auto choice loses no pairs."""
+    d = _docs(spark, sf_dir)
+    n_perms, n_bands = D.auto_minhash_params(tau, d.count())
+    return D.minhash_lsh_pairs(d, tau=tau, n_perms=n_perms,
+                               n_bands=n_bands)
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3: SimHash near-dup pairs (hamming <= 3 of 64)."""
     return D.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
@@ -2295,6 +2310,45 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "contaminated").agg(F.count(F.lit(1)).alias("value")))
     return (shared.unionByName(near).unionByName(spans)
             .unionByName(cont))
+
+
+def corpus_report_by_source(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """C86: the per-SOURCE data card — the slice a mixture-curation
+    pipeline reads before setting sampling weights (C43 consumes
+    exactly this shape): for every source, corpus size, total word
+    mass, exact-dup-removable count (C79's count - countDistinct
+    hash metric partitioned by source, NULL-coalesced like C79),
+    and eval-contaminated doc count (C30's flags aggregated up to
+    the source).
+
+    Scale shape: ONE shared scan feeds the three size/dup metrics
+    (groupBy(source) — map-side combinable, source cardinality is
+    tiny); contamination is the terminal aggregate of the audited
+    C30 pipeline joined back through the (doc_id, source) map —
+    the join's left side is only the contaminated sliver. Output:
+    (source, n_docs, n_words_total, exact_dup_removable,
+    contaminated_docs) ordered by source."""
+    d = _docs(spark, sf_dir)
+    base = (d.select("source",
+                     F.size(T.words("text")).alias("nw"),
+                     F.md5(F.coalesce(T.normalize("text"), F.lit("")))
+                      .alias("h"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("nw").cast("bigint").alias("n_words_total"),
+                 (F.count(F.lit(1)) - F.countDistinct("h"))
+                 .cast("bigint").alias("exact_dup_removable")))
+    cont = (decontaminate(spark, sf_dir).where("contaminated")
+            .join(d.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("contaminated_docs")))
+    return (base.join(cont, "source", "left")
+            .select("source", "n_docs", "n_words_total",
+                    "exact_dup_removable",
+                    F.coalesce("contaminated_docs", F.lit(0))
+                     .cast("bigint").alias("contaminated_docs"))
+            .orderBy("source"))
 
 
 def pagerank_knn(spark: SparkSession, sf_dir: str, k: int = 5,

@@ -1206,3 +1206,61 @@ def test_bpe_train_distributed_matches_local(spark, sf_dir):
         ((r.word, r.freq) for r in freqs.toLocalIterator()),
         n_merges=6)
     assert dist == local and len(dist) == 6
+
+
+def test_corpus_report_by_source_consistent_with_global(spark, sf_dir):
+    """C86: the per-source card's columns sum to the global C79
+    numbers where the metrics are additive (n_docs, n_words_total,
+    contaminated docs), and every source in the corpus appears."""
+    import gcp_data_engineering_workshop_spark.plans.textpipeline as tp
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+    import pyspark.sql.functions as F
+
+    per = tp.corpus_report_by_source(spark, sf_dir).collect()
+    glob = {r.metric: r.value
+            for r in tp.corpus_report(spark, sf_dir).collect()}
+    d = load_table(spark, "documents", sf_dir)
+    assert {r.source for r in per} == \
+        {r.source for r in d.select("source").distinct().collect()}
+    assert sum(r.n_docs for r in per) == int(glob["n_docs"])
+    assert sum(r.n_words_total for r in per) == int(glob["n_words_total"])
+    assert sum(r.contaminated_docs for r in per) == \
+        int(glob["contaminated_docs"])
+    # per-source dup mass can only be <= the global pool (splitting
+    # by source can separate dup partners, never create new ones)
+    assert sum(r.exact_dup_removable for r in per) <= \
+        int(glob["exact_dup_removable"])
+
+
+def test_auto_minhash_params_bounds():
+    """C87: the chosen banding meets the documented S-curve recall
+    bound at tau and respects the permutation budget; the infeasible
+    corner refuses instead of silently under-recalling."""
+    import math
+    import pytest
+    from gcp_data_engineering_workshop_spark.operators.dedup import (
+        auto_minhash_params)
+
+    for tau, n in [(0.9, 1000), (0.8, 100000), (0.7, 10_000_000)]:
+        n_perms, n_bands = auto_minhash_params(tau, n)
+        r = n_perms // n_bands
+        assert n_perms == r * n_bands and n_perms <= 256
+        miss = (1 - tau ** r) ** n_bands
+        assert miss <= 1e-6, (tau, n, r, n_bands, miss)
+    with pytest.raises(ValueError):
+        auto_minhash_params(0.05, 1000, target_miss=1e-12,
+                            max_perms=8)
+
+
+def test_dedup_minhash_auto_equals_exact_pairs(spark, sf_dir):
+    """C87 output == the exact verified pair set (same contract the
+    fixed 64x16 banding is oracle-certified against): the auto
+    banding only moves candidate traffic, never the verified
+    result."""
+    import gcp_data_engineering_workshop_spark.plans.textpipeline as tp
+
+    auto = {(r.doc_a, r.doc_b) for r in
+            tp.dedup_minhash_auto(spark, sf_dir).collect()}
+    fixed = {(r.doc_a, r.doc_b) for r in
+             tp.dedup_minhash_lsh(spark, sf_dir).collect()}
+    assert auto == fixed and len(auto) > 0
