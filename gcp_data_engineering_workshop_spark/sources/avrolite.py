@@ -52,7 +52,7 @@ import zlib
 
 from pyspark.sql.datasource import (
     DataSource, DataSourceReader, DataSourceWriter, InputPartition,
-    WriterCommitMessage)
+    SimpleDataSourceStreamReader, WriterCommitMessage)
 
 MAGIC = b"Obj\x01"
 
@@ -276,7 +276,9 @@ def read_blocks(path: str, start: int, end: int):
     with open(path, "rb") as fh:
         schema, codec, sync = read_header(fh)
         codec_obj = _RecordCodec(schema)
-        fh.seek(start)
+        # start=0 (or anything inside the header) means "from the
+        # first data block" — the header has just been consumed
+        fh.seek(max(start, fh.tell()))
         while fh.tell() < end:
             try:
                 n_rec = _read_long_from(fh)
@@ -379,6 +381,9 @@ class AvroLiteDataSource(DataSource):
     def reader(self, schema) -> "AvroLiteReader":
         return AvroLiteReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "AvroLiteStreamReader":
+        return AvroLiteStreamReader(self.options)
+
     def writer(self, schema, overwrite: bool) -> "AvroLiteWriter":
         path = self.options["path"]
         os.makedirs(path, exist_ok=True)
@@ -415,6 +420,53 @@ class AvroLiteReader(DataSourceReader):
         if f is None:
             return
         yield from read_blocks(f, lo, hi)
+
+
+class AvroLiteStreamReader(SimpleDataSourceStreamReader):
+    """E21 streaming twin: tail a directory of container files —
+    the landing-zone ingestion pattern (an upstream system drops
+    .avro loads; the stream picks up each file exactly once).
+
+    Offsets count files in (mtime, name) order, so files appended
+    after the last batch form a stable suffix; the standard
+    file-source contract applies (files are immutable once visible
+    — the writer's task-file + rename-free protocol satisfies it
+    because _SUCCESS lands after every part file is closed).
+    ``read(start)`` derives everything from the committed offset
+    Spark hands back (restart-safe, same argument as
+    BarReplayStreamReader); ``readBetweenOffsets`` replays a
+    planned batch for exactly-once recovery."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def _files(self) -> list[str]:
+        return sorted(_data_files(self.path),
+                      key=lambda f: (os.path.getmtime(f), f))
+
+    def _rows(self, files):
+        # materialized: the simple-reader API snapshots (copies) the
+        # returned iterator for replay, so it must not be a generator;
+        # per-batch driver materialization is the documented tradeoff
+        # of this API class (same as BarReplayStreamReader)
+        out = []
+        for f in files:
+            out.extend(read_blocks(f, 0, os.path.getsize(f)))
+        return out
+
+    def initialOffset(self):
+        return {"n": 0}
+
+    def read(self, start):
+        files = self._files()
+        lo = start["n"]
+        return iter(self._rows(files[lo:])), {"n": len(files)}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(self._rows(self._files()[start["n"]:end["n"]]))
+
+    def commit(self, end):
+        pass
 
 
 class _FileCommit(WriterCommitMessage):

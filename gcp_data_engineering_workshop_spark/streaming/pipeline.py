@@ -233,6 +233,46 @@ def incremental_dedup_stream(doc_stream: DataFrame,
             .select("doc_id", "lang"))
 
 
+def ingest_bloom_stream(doc_stream: DataFrame, corpus: DataFrame,
+                        m_bits: int = 1 << 18,
+                        n_hashes: int = 5) -> DataFrame:
+    """D25: streaming twin of C85 (operators/dedup.py
+    incremental_dedup_bloom) — ingest admission with BOUNDED
+    membership state where D15's plain anti-join broadcasts the
+    whole corpus hash set per micro-batch. The corpus hashes fold
+    ONCE (plan-build time) into an m-bit bloom bitmap; each
+    arriving doc computes its hash + probe positions in pure JVM
+    expressions, one vectorized Arrow probe classifies the batch,
+    bloom-NEGATIVE docs are admitted join-free, and only the
+    positive sliver (true re-ingests + the FP rate) reaches the
+    exact confirm anti-join against the corpus hash set. One-sided,
+    so admitted == D15's output doc-for-doc (pytest-enforced), but
+    the per-batch data movement is the m/8-byte bitmap instead of
+    the full hash set — the shape that survives a corpus whose hash
+    inventory outgrows a broadcast. Zero streaming state, no
+    watermark."""
+    from gcp_data_engineering_workshop_spark.functions.textfns import (
+        KR_MOD, normalize)
+    from gcp_data_engineering_workshop_spark.operators import bloom as BL
+
+    corpus_hashes = corpus.select(
+        F.md5(normalize("text")).alias("h")).distinct()
+    probe_key = (F.conv(F.substring(F.col("h"), 1, 8), 16, 10)
+                 .cast("bigint") % F.lit(KR_MOD))
+    bitmap = BL.bloom_build(
+        corpus_hashes.select(probe_key.alias("hk")), "hk",
+        m_bits=m_bits, n_hashes=n_hashes)
+    probe = BL.bloom_might_contain(bitmap, n_hashes)
+    b = (doc_stream.withColumn("h", F.md5(normalize("text")))
+         .withColumn("_maybe", probe(
+             BL.bloom_positions(probe_key, m_bits, n_hashes))))
+    fresh = b.where(~F.col("_maybe")).select("doc_id", "lang")
+    confirmed = (b.where(F.col("_maybe"))
+                 .join(F.broadcast(corpus_hashes), "h", "left_anti")
+                 .select("doc_id", "lang"))
+    return fresh.union(confirmed)
+
+
 def ohlc_stream(ticks: DataFrame, window: str = "1 hour",
                 watermark: str = "10 minutes") -> DataFrame:
     """D16: streaming OHLC candles (A14 twin) — per (ticker,

@@ -646,3 +646,35 @@ def test_avrolite_overwrite_mode(spark, tmp_path):
     back = spark.read.format("avrolite").option("path", d).load()
     assert back.count() == 7
     assert {r.tag for r in back.collect()} == {"b"}
+
+
+def test_avrolite_stream_tails_directory(spark, tmp_path):
+    """E21 streaming twin: two separate writes land as two sets of
+    container files; a readStream over the directory picks up BOTH
+    (initial catch-up batch + the file appended mid-stream), each
+    row exactly once."""
+    import time
+
+    _avro_register(spark)
+    d = str(tmp_path / "avrostream")
+    df1 = spark.range(50).select(F.col("id"), F.lit("x").alias("tag"))
+    df1.coalesce(1).write.format("avrolite").option("path", d) \
+        .mode("append").save()
+    stream = spark.readStream.format("avrolite").option("path", d).load()
+    q = (stream.writeStream.format("memory")
+         .queryName("avro_tail").outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        assert spark.table("avro_tail").count() == 50
+        time.sleep(0.05)  # distinct mtime for the appended file
+        df2 = spark.range(100, 107).select(
+            F.col("id"), F.lit("y").alias("tag"))
+        df2.coalesce(1).write.format("avrolite").option("path", d) \
+            .mode("append").save()
+        q.processAllAvailable()
+        rows = spark.table("avro_tail").collect()
+    finally:
+        q.stop()
+    ids = [r.id for r in rows]
+    assert len(ids) == len(set(ids)) == 57
+    assert {r.tag for r in rows} == {"x", "y"}

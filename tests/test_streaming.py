@@ -957,3 +957,36 @@ def test_spike_processor_unit_parity_without_wire(spark, sf_dir):
     list(proc.handleExpiredTimer((ticker,), FakeTimerValues(), None))
     assert not handle.states["open_window"].exists()
     assert not handle.states["volume_history"].exists()
+
+
+def test_streaming_ingest_bloom_matches_batch(spark, sf_dir, tmp_path):
+    """D25: the bloom-gated streaming admission equals BOTH the
+    batch C85 operator and D15's plain anti-join on the same split —
+    at production sizing and at an FP-forcing m_bits=1024 (the
+    confirm join must absorb false positives without dropping or
+    duplicating admissions)."""
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+    from gcp_data_engineering_workshop_spark.operators.dedup import (
+        incremental_dedup_bloom)
+
+    d = load_table(spark, "documents", sf_dir)
+    batch = d.where(F.col("doc_id") % 10 >= 8)
+    corpus = d.where(F.col("doc_id") % 10 < 8)
+
+    src = str(tmp_path / "bloom_doc_stream")
+    batch.select("doc_id", "text", "lang").coalesce(2) \
+        .write.mode("overwrite").json(src)
+    want = {r.doc_id for r in
+            incremental_dedup_bloom(batch, corpus).collect()}
+    for m_bits in (1 << 18, 1024):
+        stream = (spark.readStream
+                  .schema("doc_id bigint, text string, lang string")
+                  .json(src))
+        _run_to_memory(
+            spl.ingest_bloom_stream(stream, corpus, m_bits=m_bits),
+            f"ingest_bloom_{m_bits}")
+        rows = spark.table(f"ingest_bloom_{m_bits}").collect()
+        got = [r.doc_id for r in rows]
+        assert len(got) == len(set(got))  # no duplicate admissions
+        assert set(got) == want, m_bits
+    assert len(want) > 0
