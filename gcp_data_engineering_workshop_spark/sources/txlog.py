@@ -241,6 +241,32 @@ def read(spark, root: str, version: int | None = None) -> DataFrame:
     return spark.read.parquet(*files)
 
 
+def merge_upsert(spark, root: str, updates: DataFrame, key: str,
+                 max_retries: int = 5) -> int:
+    """MERGE INTO (upsert) over the transaction log — B28's
+    merge-upsert semantics running against the ACID table instead
+    of a plain directory: read a snapshot, keep every current row
+    whose ``key`` is absent from ``updates``, union the updates,
+    and commit with compare-and-swap against the snapshot version.
+    A commit that lands in between (append or overwrite) fails the
+    CAS and the WHOLE merge re-runs on the fresh snapshot — the
+    read-modify-write is serializable, never lost-update. Staged
+    files from a failed attempt are unreferenced garbage vacuum()
+    collects, never corruption."""
+    for _ in range(max_retries):
+        snap_v = snapshot(root)["version"]
+        cur = read(spark, root, version=snap_v)
+        merged = updates if not cur.columns else \
+            cur.join(updates, key, "left_anti").unionByName(updates)
+        try:
+            return overwrite(merged, root, expected_version=snap_v)
+        except CommitConflict:
+            continue
+    raise CommitConflict(
+        f"merge_upsert lost the snapshot race {max_retries} times "
+        f"under {root}")
+
+
 def vacuum(root: str) -> list[str]:
     """Delete data files no LIVE OR HISTORICAL snapshot references
     (crash leftovers from writers that staged but never committed).

@@ -126,3 +126,48 @@ def test_empty_table_read(spark, tmp_path):
     root = str(tmp_path / "tbl")
     os.makedirs(root)
     assert T.read(spark, root).count() == 0
+
+
+def test_merge_upsert_semantics(spark, tmp_path):
+    """MERGE INTO over the log: matched keys replaced, unmatched
+    kept, new keys inserted — and the pre-merge snapshot still
+    time-travels."""
+    root = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    T.append(base, root)
+    ups = spark.createDataFrame(
+        [(2, "B2"), (4, "d")], "k int, v string")
+    v = T.merge_upsert(spark, root, ups, "k")
+    got = {(r.k, r.v) for r in T.read(spark, root).collect()}
+    assert got == {(1, "a"), (2, "B2"), (3, "c"), (4, "d")}
+    assert {(r.k, r.v) for r in T.read(spark, root, version=1).collect()} \
+        == {(1, "a"), (2, "b"), (3, "c")}
+    assert v == 2
+
+
+def test_merge_upsert_retries_on_cas_conflict(spark, tmp_path, monkeypatch):
+    """A commit landing between the merge's snapshot and its write
+    fails the CAS; the merge re-runs on the fresh snapshot and the
+    interleaved commit's rows survive — no lost update."""
+    root = str(tmp_path / "tbl")
+    T.append(spark.createDataFrame([(1, "a")], "k int, v string"), root)
+    real_overwrite = T.overwrite
+    state = {"raced": False}
+
+    def racing_overwrite(df, r, expected_version=None, **kw):
+        if not state["raced"]:
+            state["raced"] = True
+            # a concurrent append lands AFTER the merge snapshotted
+            T.append(spark.createDataFrame([(9, "z")],
+                                           "k int, v string"), r)
+        return real_overwrite(df, r, expected_version=expected_version,
+                              **kw)
+
+    monkeypatch.setattr(T, "overwrite", racing_overwrite)
+    T.merge_upsert(spark, root,
+                   spark.createDataFrame([(1, "A")], "k int, v string"),
+                   "k")
+    got = {(r.k, r.v) for r in T.read(spark, root).collect()}
+    assert got == {(1, "A"), (9, "z")}  # the raced append survived
+    assert state["raced"]
