@@ -104,11 +104,28 @@ def _minhash_matrix(lists, n_perms: int, seed: int):
     nz = np.flatnonzero(lens)
     if len(nz):
         cat = np.concatenate([np.asarray(lists[i], dtype=np.int64) for i in nz])
-        hv = cat.astype(np.uint64)[:, None]
-        mixed = (hv * a_vec + b_vec) >> np.uint64(32)  # wraps mod 2^64
         starts = np.zeros(len(nz), dtype=np.int64)
         starts[1:] = np.cumsum(lens[nz])[:-1]
-        out[nz] = np.minimum.reduceat(mixed, starts, axis=0).astype(np.int64)
+        ends = np.append(starts[1:], len(cat))
+        # mix + reduce in segment-aligned chunks: the whole-batch
+        # (n_shingles, n_perms) mix allocates multi-hundred-MB uint64
+        # temporaries and goes allocation/bandwidth-bound — measured
+        # 6.1s vs 0.5s chunked for 1M x 64 (r8); results are
+        # bit-identical (same per-segment ops, different tiling)
+        blk = 1 << 16
+        rows = []
+        i = 0
+        while i < len(nz):
+            j = i + 1
+            while j < len(nz) and ends[j - 1] - starts[i] < blk:
+                j += 1
+            lo, hi = starts[i], ends[j - 1]
+            mixed = (cat[lo:hi].astype(np.uint64)[:, None] * a_vec
+                     + b_vec) >> np.uint64(32)  # wraps mod 2^64
+            rows.append(np.minimum.reduceat(
+                mixed, starts[i:j] - lo, axis=0))
+            i = j
+        out[nz] = np.concatenate(rows).astype(np.int64)
     return out
 
 
@@ -161,17 +178,25 @@ def shingle_features(n: int = 3, n_perms: int = 64, n_bands: int = 16,
     64-bit hashes of the doc's distinct n-word shingles (the exact-
     Jaccard verify input) and buckets the n_bands minhash band ids.
 
-    Why fused: the projection-chain formulation (words -> shingles ->
-    xxhash64 -> signature UDF -> band structs) needs two repartition
-    barriers against CollapseProject re-evaluation of interpreted
-    lambdas plus two Python round trips; at bench scale the operator
-    is stage-overhead-bound, not compute-bound. Tokenization matches
-    textfns.words exactly (lower, collapse ASCII whitespace, trim) so
-    the DuckDB oracle's shingle sets are identical; the shingle hash
-    is blake2b-64 (any deterministic 64-bit hash yields the same
-    verified pair set — jaccard on hashes equals jaccard on strings
-    up to negligible 64-bit collisions)."""
-    import hashlib
+    Why fused, and why the hashing is vectorized (r8 measurements on
+    the x100 probe corpus, 500k docs — dedup_corpus end to end):
+    - JVM formulation (words -> shingles_of -> transform(xxhash64)):
+      131 s. Spark higher-order-function lambda bodies run on the
+      INTERPRETED expression path, never whole-stage codegen, so
+      per-shingle concat_ws/element_at/xxhash64 trees are the
+      slowest option — measured and REJECTED.
+    - fused pass, per-shingle hashlib.blake2b loop (the r6 shape):
+      87 s, 61 s of it in this stage's ~48M interpreter hash calls.
+    - fused pass, ONE pd.util.hash_array call per Arrow batch (C
+      khash path, 64-bit, deterministic key) + per-doc np.unique
+      for set semantics (replacing the Python set-of-strings):
+      the current shape.
+    Tokenization matches textfns.words exactly (lower, collapse
+    ASCII whitespace, trim) so the DuckDB oracle's shingle sets are
+    identical; the hash itself is engine-internal (the oracle
+    compares shingle STRINGS), and any deterministic 64-bit hash
+    yields the same verified pair set — jaccard on hashes equals
+    jaccard on strings up to negligible 64-bit collisions."""
     import re
 
     import pandas as pd
@@ -180,16 +205,21 @@ def shingle_features(n: int = 3, n_perms: int = 64, n_bands: int = 16,
     ws_re = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s, applied to lower()
 
     def _feats(texts):
-        hs_col = []
+        flat: list[str] = []
+        offs = [0]
         for t in texts:
             toks = ws_re.split(t.lower().strip()) if t and t.strip() else []
-            sh = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)} \
-                if len(toks) >= n else set()
-            hs_col.append(np.fromiter(
-                (int.from_bytes(
-                    hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(),
-                    "little", signed=True) for s in sh),
-                dtype=np.int64, count=len(sh)))
+            if len(toks) >= n:
+                flat.extend(" ".join(toks[i:i + n])
+                            for i in range(len(toks) - n + 1))
+            offs.append(len(flat))
+        if flat:
+            hv = pd.util.hash_array(
+                np.asarray(flat, dtype=object)).view(np.int64)
+        else:
+            hv = np.empty(0, dtype=np.int64)
+        hs_col = [np.unique(hv[offs[i]:offs[i + 1]])
+                  for i in range(len(texts))]
         buckets = _band_fold(
             _minhash_matrix(hs_col, n_perms, seed), n_bands)
         return pd.DataFrame({"hs": hs_col, "buckets": list(buckets)})
@@ -282,19 +312,24 @@ def minhash_lsh_pairs(docs: DataFrame, tau: float = 0.9,
     shingle strings: same Jaccard (64-bit collisions are negligible),
     far cheaper set intersection. Text goes to both LSH structures
     (hash array + band buckets) in ONE fused Arrow pass
-    (shingle_features) computed once per doc behind a persist —
-    the band explode and both verify sides reuse it. Docs with <n
-    words get the empty-signature sentinel; they can only pair with
-    each other and verify to jaccard 0.0 < tau, so correctness is
-    unaffected.
+    (shingle_features — see its docstring for the r8 measurement of
+    why the fused vectorized-hash shape beats both the JVM
+    higher-order-function formulation and the per-shingle-hash-call
+    loop) computed once per doc behind a persist — the band explode
+    and both verify sides reuse it. Docs with <n words get the
+    empty-signature sentinel; they can only pair with each other and
+    verify to jaccard 0.0 < tau, so correctness is unaffected.
     """
     par = docs.sparkSession.sparkContext.defaultParallelism
     feats = register(
         docs.repartition(par)
             .select("doc_id",
-                    shingle_features(3, n_perms, n_bands)("text").alias("f")))
+                    shingle_features(3, n_perms, n_bands)("text")
+                    .alias("f"))
+            .select("doc_id", F.col("f.hs").alias("hs"),
+                    F.col("f.buckets").alias("buckets")))
     bands = feats.select(
-        "doc_id", F.posexplode("f.buckets").alias("band", "bucket"))
+        "doc_id", F.posexplode("buckets").alias("band", "bucket"))
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "bucket"])
@@ -302,8 +337,8 @@ def minhash_lsh_pairs(docs: DataFrame, tau: float = 0.9,
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    a = feats.select(F.col("doc_id").alias("doc_a"), F.col("f.hs").alias("hs_a"))
-    b = feats.select(F.col("doc_id").alias("doc_b"), F.col("f.hs").alias("hs_b"))
+    a = feats.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    b = feats.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
     return (
         cand.join(a, "doc_a").join(b, "doc_b")
         .select("doc_a", "doc_b",
