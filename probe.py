@@ -202,9 +202,10 @@ def main() -> None:
                 regressions.append(
                     {"query": name, "prev_exp": p["exp_10_100"],
                      "exp": row["exp_10_100"], "prev_file": prev_file})
-    # ONLY-mode re-runs merge into an existing round file instead of
-    # clobbering the full panel's results
-    if only and os.path.exists(out_path):
+    # re-runs merge into an existing same-round file instead of
+    # clobbering results this run didn't produce (ONLY-mode legs,
+    # preserved counterexample records)
+    if os.path.exists(out_path):
         prior = json.load(open(out_path))
         merged = dict(prior.get("results", {}))
         merged.update(results)

@@ -249,3 +249,34 @@ def test_ingest_bloom_prunes_join_free_admissions(spark, sf_dir):
     # doc is new; at m=2^18 for ~400 keys the FP rate is ~0 and the
     # bloom should admit the overwhelming majority join-free
     assert n_pruned / n_batch > 0.9, (n_pruned, n_batch)
+
+
+def test_minhash_compositional_api_matches_fused_pass(spark, sf_dir):
+    """minhash_signature / minhash_band_buckets are the compositional
+    building blocks for corpora that ALREADY carry hashed-shingle
+    arrays (the fused shingle_features path starts from raw text).
+    Same hash arrays in => same band buckets out, so a pre-hashed
+    pipeline and the text pipeline bucket identically."""
+    import numpy as np
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+    from gcp_data_engineering_workshop_spark.operators.dedup import (
+        minhash_band_buckets, minhash_signature, shingle_features,
+        _band_fold)
+    import pyspark.sql.functions as F
+
+    d = load_table(spark, "documents", sf_dir).limit(200)
+    feats = d.select(
+        "doc_id", shingle_features(3, 64, 16)("text").alias("f"))
+    # re-derive buckets from the emitted hash arrays via the
+    # compositional ops
+    redone = feats.select(
+        "doc_id", F.col("f.buckets").alias("want"),
+        minhash_band_buckets(F.col("f.hs"), 64, 16).alias("got"),
+        minhash_signature(F.col("f.hs"), 64).alias("sig"))
+    rows = redone.collect()
+    assert len(rows) == 200
+    for r in rows:
+        assert list(r.got) == list(r.want), r.doc_id
+        # and the standalone signature folds to the same buckets
+        assert list(_band_fold(
+            np.asarray([r.sig], dtype=np.int64), 16)[0]) == list(r.want)
