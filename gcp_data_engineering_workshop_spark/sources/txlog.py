@@ -267,6 +267,83 @@ def merge_upsert(spark, root: str, updates: DataFrame, key: str,
         f"under {root}")
 
 
+def optimize(spark, root: str, target_bytes: int = 128 * 1024 * 1024,
+             sort_cols: list[str] | None = None,
+             max_retries: int = 5) -> int:
+    """OPTIMIZE the table as a TRANSACTION — E20's small-file
+    compaction (and optional re-clustering via sort_cols, e.g. the
+    z-order keys) running under the commit protocol instead of over
+    a bare directory: read a snapshot, rewrite its rows into
+    ceil(bytes/target) files (repartitionByRange + in-file sort when
+    clustering — output files stay range-disjoint so footer pruning
+    keeps working), and commit the swap with compare-and-swap
+    against the snapshot version. A commit landing in between
+    (append/overwrite) fails the CAS and the compaction re-runs on
+    the fresh snapshot — readers NEVER see a half-compacted table,
+    the failure mode bare-directory compaction cannot exclude.
+    Returns the committed version. Small files are THE silent scan
+    killer at 100 TB; this is the maintenance job that fixes them
+    without closing the table to writers."""
+    import math
+
+    for _ in range(max_retries):
+        snap = snapshot(root)
+        if not snap["files"]:
+            return snap["version"]
+        total = sum(m.get("bytes", 0) for m in snap["files"].values())
+        n_out = max(1, math.ceil(total / target_bytes))
+        df = read(spark, root, version=snap["version"])
+        if sort_cols:
+            from pyspark.sql import functions as F
+            df = (df.repartitionByRange(n_out,
+                                        *[F.col(c) for c in sort_cols])
+                  .sortWithinPartitions(*sort_cols))
+        else:
+            df = df.repartition(n_out)
+        try:
+            return overwrite(df, root,
+                             expected_version=snap["version"])
+        except CommitConflict:
+            continue
+    raise CommitConflict(
+        f"optimize lost the snapshot race {max_retries} times "
+        f"under {root}")
+
+
+def stream_sink(root: str):
+    """Exactly-once streaming sink INTO the transaction log: a
+    foreachBatch function that appends each micro-batch as one
+    commit CARRYING ITS BATCH ID — on failure/restart Spark replays
+    the last batch, and the replayed append sees its batchId already
+    committed and becomes a no-op. This is the sink-side idempotence
+    the file-sink manifest gives the built-in sinks, rebuilt on the
+    commit log (and it composes with everything else here: the
+    landed data is snapshot-isolated, time-travelable, optimizable).
+
+    Usage: ``stream.writeStream.foreachBatch(stream_sink(root))``.
+    The batchId scan reads commit METADATA only (O(commits), bounded
+    further by checkpoints at real scale)."""
+
+    def _sink(batch_df, batch_id: int) -> None:
+        for v in _list_versions(root):
+            e = json.load(open(_version_file(root, v)))
+            if e.get("batch_id") == batch_id:
+                return  # replayed micro-batch: already committed
+        adds = _stage_write(batch_df, root)
+        entry = {"op": "stream-append", "ts": time.time(),
+                 "batch_id": batch_id,
+                 "actions": [{"add": a} for a in adds]}
+        for _ in range(20):
+            head = _list_versions(root)
+            v = (head[-1] if head else 0) + 1
+            if _try_commit(root, v, entry):
+                return
+        raise CommitConflict(f"stream batch {batch_id} lost the "
+                             f"version race under {root}")
+
+    return _sink
+
+
 def vacuum(root: str) -> list[str]:
     """Delete data files no LIVE OR HISTORICAL snapshot references
     (crash leftovers from writers that staged but never committed).

@@ -171,3 +171,70 @@ def test_merge_upsert_retries_on_cas_conflict(spark, tmp_path, monkeypatch):
     got = {(r.k, r.v) for r in T.read(spark, root).collect()}
     assert got == {(1, "A"), (9, "z")}  # the raced append survived
     assert state["raced"]
+
+
+def test_optimize_compacts_transactionally(spark, tmp_path):
+    """OPTIMIZE: many tiny commits -> one compacted file set, rows
+    identical, committed as a normal version (old snapshots still
+    time-travel), and file count actually drops."""
+    root = str(tmp_path / "tbl")
+    for i in range(8):
+        T.append(spark.range(i * 10, i * 10 + 10).repartition(4), root)
+    before = T.snapshot(root)
+    assert len(before["files"]) >= 16
+    v = T.optimize(spark, root)
+    after = T.snapshot(root)
+    assert v == after["version"] == before["version"] + 1
+    assert len(after["files"]) < len(before["files"])
+    assert _ids(T.read(spark, root)) == list(range(80))
+    # pre-optimize snapshot unchanged
+    assert len(T.snapshot(root, before["version"])["files"]) \
+        == len(before["files"])
+
+
+def test_optimize_with_clustering_sorts_within_files(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "tbl")
+    T.append(spark.range(1000).select(
+        (F.col("id") * 2654435761 % 1000).alias("k")), root)
+    T.optimize(spark, root, target_bytes=1500, sort_cols=["k"])
+    snap = T.snapshot(root)
+    assert len(snap["files"]) > 1
+    # each output file is internally sorted and files are
+    # range-disjoint (footer pruning keeps working)
+    ranges = []
+    for p in snap["files"]:
+        col = pq.read_table(os.path.join(root, p)).column("k").to_pylist()
+        assert col == sorted(col)
+        ranges.append((min(col), max(col)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
+
+
+def test_stream_sink_exactly_once(spark, tmp_path):
+    """The foreachBatch txlog sink: a real micro-batch stream lands
+    each batch as one commit, and a REPLAYED batch (same batchId) is
+    a no-op — no duplicate rows after restart-style redelivery."""
+    root = str(tmp_path / "tbl")
+    src = str(tmp_path / "src")
+    spark.range(30).select(F.col("id")).coalesce(1) \
+        .write.mode("overwrite").json(src)
+    stream = spark.readStream.schema("id bigint").json(src)
+    sink = T.stream_sink(root)
+    q = stream.writeStream.foreachBatch(sink) \
+        .option("checkpointLocation", str(tmp_path / "ck")).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert _ids(T.read(spark, root)) == list(range(30))
+    committed = [h for h in T.history(root) if h["op"] == "stream-append"]
+    assert committed
+    # simulate Spark's replay-after-crash: same batch id, same data
+    sink(spark.range(30), 0)
+    assert _ids(T.read(spark, root)) == list(range(30))  # no dupes
+    # a genuinely new batch still lands
+    sink(spark.range(100, 103), 99)
+    assert _ids(T.read(spark, root)) == list(range(30)) + [100, 101, 102]
