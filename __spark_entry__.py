@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_bpe_vocab": _tp.train_bpe_vocab,
         "embedding_pca": _tp.embedding_pca,
         "pagerank_knn_ivf": _tp.pagerank_knn_ivf,
+        "ann_index_topk": _tp.ann_index_topk,
         # -- (2) changed or NEW this round (r8) --
         "bm25_topk": _tp.bm25_topk,
         "corpus_report": _tp.corpus_report,
@@ -104,7 +105,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_test_split": _tp.train_test_split,
         "vocab_topk": _tp.vocab_topk,
         "tfidf_topterms": _tp.tfidf_topterms,
-        "clean_corpus": _tp.clean_corpus,
         "decontaminate": _tp.decontaminate,
         "corpus_diff": _tp.corpus_diff,
         # ==== WINDOW BOUNDARY (50): corpus_diff is entry 50; the
@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": _tp.temperature_sample,
         "mixture_schedule": _tp.mixture_schedule,
         "gopher_repetition": _tp.gopher_repetition,
+        "clean_corpus": _tp.clean_corpus,
         "heavy_hitters_cms": _tp.heavy_hitters_cms,
         "domain_cap": _tp.domain_cap,
         "assign_ids": _tp.assign_ids,

@@ -1108,3 +1108,124 @@ def knn_graph_ivf(emb: DataFrame, k: int = 5, n_lists: int = 16,
                              "query_id bigint, neighbor_id bigint, "
                              "dot_sim double"))
     return _topk_per_key(cand_df, k)
+
+
+def ann_index_build(emb: DataFrame, out_dir: str, n_lists: int = 16,
+                    sample_size: int = 2048) -> int:
+    """C88 build side: materialize the IVF structure AS A TABLE —
+    the index-once / query-many production shape (an inverted-file
+    index persisted as a parquet layout instead of living in one
+    process's memory). The coarse quantizer trains on the bounded
+    deterministic sample (knn_graph_ivf's contract); every vector
+    routes to its single nearest list; the corpus writes out
+    PARTITIONED BY list_id, and the centroid matrix lands in a JSON
+    sidecar next to it. Query-time pruning is then plain partition
+    pruning: a reader that filters list_id IN (probed) opens only
+    n_probe/n_lists of the data files — the same mechanism that
+    makes a date-partitioned warehouse scan cheap, applied to
+    vector search. Returns the number of lists written."""
+    import json as _json
+    import os
+
+    from gcp_data_engineering_workshop_spark.functions.vectorfns import (
+        mat_from_arrow)
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    sample_tbl = (emb.orderBy("vec_id").limit(sample_size)
+                  .select("embedding").toArrow())
+    if sample_tbl.num_rows == 0:
+        raise ValueError("ann_index_build: empty embedding table")
+    sample = mat_from_arrow(sample_tbl.column("embedding"))
+    n_lists = min(n_lists, len(sample))
+    cent = _kmeans_centroids(sample, n_lists)
+
+    def _assign(embs):
+        mat = np.vstack(embs.to_numpy()).astype(np.float64)
+        return pd.Series((mat @ cent.T).argmax(axis=1).astype(np.int32))
+
+    _assign.__annotations__ = {"embs": pd.Series, "return": pd.Series}
+    assign_udf = pandas_udf(_assign, "int")
+
+    (emb.select("vec_id", "embedding",
+                assign_udf("embedding").alias("list_id"))
+        .write.mode("overwrite").partitionBy("list_id")
+        .parquet(os.path.join(out_dir, "lists")))
+    with open(os.path.join(out_dir, "centroids.json"), "w") as fh:
+        _json.dump({"n_lists": n_lists, "centroids": cent.tolist()},
+                   fh)
+    return n_lists
+
+
+def ann_index_topk(spark, index_dir: str, queries: DataFrame,
+                   k: int = 5, n_probe: int = 4) -> DataFrame:
+    """C88 query side: top-k over the DISK index, scanning only the
+    probed partitions. The bounded query set (the C6/C20 contract: a
+    handful of query vectors against a big corpus) collects to the
+    driver, probes the sidecar centroids for its n_probe nearest
+    lists, and the index scan filters list_id to the UNION of probed
+    lists — partition pruning drops every other list's files before
+    any IO (pytest asserts inputFiles shrink). Scoring is one
+    mapInArrow GEMM per scanned batch, masked per query to ITS
+    probed lists (so the result is exactly the per-query IVF probe
+    semantics, not union-of-lists slop); merge is the two-phase
+    bounded top-k. Self-matches are excluded (C6's contract).
+    n_probe == n_lists degrades to exact brute force — pytest
+    equates it with ann_topk."""
+    import json as _json
+    import os
+
+    import pyarrow as pa
+
+    from gcp_data_engineering_workshop_spark.functions.vectorfns import (
+        mat_from_arrow)
+
+    side = _json.load(open(os.path.join(index_dir, "centroids.json")))
+    cent = np.asarray(side["centroids"], dtype=np.float64)
+    n_lists = side["n_lists"]
+    n_probe = min(n_probe, n_lists)
+
+    q_rows = queries.select("vec_id", "embedding").orderBy(
+        "vec_id").collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, dot_sim double, "
+                "rank int")
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    Q = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    order = np.argsort(-(Q @ cent.T), axis=1)[:, :n_probe]
+    probed = {int(q_ids[i]): set(map(int, order[i]))
+              for i in range(len(q_ids))}
+    union_lists = sorted({li for s in probed.values() for li in s})
+
+    scan = (spark.read.parquet(os.path.join(index_dir, "lists"))
+            .where(F.col("list_id").isin(union_lists)))
+
+    def fn(batches):
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            X = mat_from_arrow(
+                b.column(b.schema.get_field_index("embedding")))
+            ids = b.column(b.schema.get_field_index("vec_id")) \
+                .to_numpy(zero_copy_only=False)
+            lids = b.column(b.schema.get_field_index("list_id")) \
+                .to_numpy(zero_copy_only=False)
+            G = np.round(Q @ X.T, 6)
+            for i, qid in enumerate(q_ids):
+                mask = np.fromiter((int(li) in probed[int(qid)]
+                                    for li in lids),
+                                   dtype=bool, count=len(lids))
+                mask &= ids != qid
+                if not mask.any():
+                    continue
+                sel = np.nonzero(mask)[0]
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(np.full(len(sel), qid, dtype=np.int64)),
+                     pa.array(ids[sel].astype(np.int64)),
+                     pa.array(G[i, sel], type=pa.float64())],
+                    ["query_id", "neighbor_id", "dot_sim"])
+
+    scored = scan.select("vec_id", "embedding", "list_id").mapInArrow(
+        fn, "query_id bigint, neighbor_id bigint, dot_sim double")
+    return _topk_per_key(scored, k)

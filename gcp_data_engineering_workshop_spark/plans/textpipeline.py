@@ -87,6 +87,33 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_topk(_emb(spark, sf_dir), n_queries=10, k=5)
 
 
+def ann_index_topk(spark: SparkSession, sf_dir: str, k: int = 5,
+                   n_probe: int = 4) -> DataFrame:
+    """C88: disk-backed IVF ANN — the index-once / query-many
+    production shape: the embedding table materializes as a parquet
+    layout PARTITIONED BY IVF list (operators/similarity.py
+    ann_index_build, centroid sidecar included), and the top-k query
+    for the first 10 vectors reads ONLY the probed partitions —
+    partition pruning does the IVF skipping at the storage layer
+    (pytest asserts the scan's inputFiles shrink, and that
+    n_probe == n_lists reproduces C6's brute force exactly).
+    Index path is applicationId-keyed (B51's pattern) so concurrent
+    sessions never race; within a session re-runs reuse the build.
+    Rows-only by design (sampled quantizer training, like C20)."""
+    import os
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    idx = os.path.join(tempfile.gettempdir(),
+                       "spark_graft_ann_index_"
+                       + spark.sparkContext.applicationId + "_"
+                       + sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    if not os.path.exists(os.path.join(idx, "centroids.json")):
+        S.ann_index_build(emb, idx, n_lists=16)
+    q = emb.where(F.col("vec_id") < 10)
+    return S.ann_index_topk(spark, idx, q, k=k, n_probe=n_probe)
+
+
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C7: LSH-bucketed approximate top-5 (scale path; recall
     pytest-checked against C6)."""

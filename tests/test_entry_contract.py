@@ -31,6 +31,9 @@ ROWS_ONLY = {
     # SQL-replayable; pytest proves n_probe==n_lists edge exactness
     # and bounds default-probe recall (tests/test_similarity.py)
     "pagerank_knn_ivf",
+    # r8 (C88): same sampled-quantizer argument for the disk index;
+    # pytest equates full probe with C6 and proves partition pruning
+    "ann_index_topk",
 }
 
 # Keys the r8 rotation promises the driver window (VERDICT r7 #1):
@@ -40,7 +43,7 @@ ROWS_ONLY = {
 R8_WINDOW_PRIORITY = {
     "train_bpe_vocab", "embedding_pca", "pagerank_knn_ivf",
     "bm25_topk", "corpus_report", "dedup_ingest_bloom",
-    "corpus_report_by_source", "dedup_minhash_auto",
+    "corpus_report_by_source", "dedup_minhash_auto", "ann_index_topk",
     "retention_set_ops", "grouping_sets_revenue", "scd2_customer_dim",
     "text_lang_id", "dedup_incremental", "line_dedup",
     "tokenize_ids", "bigram_lm_score",
