@@ -395,7 +395,8 @@ def semdedup_incremental_stream(new_embs: DataFrame, corpus: DataFrame,
 
 def decontaminate_stream(doc_stream: DataFrame, eval_docs: DataFrame,
                          m_bits: int = 1 << 18,
-                         n_hashes: int = 5) -> DataFrame:
+                         n_hashes: int = 5,
+                         extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """D21: streaming decontamination admission control (C66 twin) —
     flag each arriving training document that shares any 3-word
     shingle with the held-out eval corpus, STATELESS end to end.
@@ -434,15 +435,16 @@ def decontaminate_stream(doc_stream: DataFrame, eval_docs: DataFrame,
         F.zip_with(sh, mask(hs),
                    lambda g, m: F.when(m, g)),
         lambda x: x.isNotNull())
-    docs = doc_stream.select("doc_id", cand.alias("cand"))
+    ec = list(extra_cols)  # carried through for downstream aggs (D26)
+    docs = doc_stream.select("doc_id", *ec, cand.alias("cand"))
     clean = docs.where(F.size("cand") == 0) \
-        .select("doc_id", F.lit(False).alias("contaminated"))
+        .select("doc_id", *ec, F.lit(False).alias("contaminated"))
     maybe = docs.where(F.size("cand") > 0)
     on = F.expr("array_contains(cand, g)")
     hit = (maybe.join(F.broadcast(eval_sh), on, "left_semi")
-           .select("doc_id", F.lit(True).alias("contaminated")))
+           .select("doc_id", *ec, F.lit(True).alias("contaminated")))
     miss = (maybe.join(F.broadcast(eval_sh), on, "left_anti")
-            .select("doc_id", F.lit(False).alias("contaminated")))
+            .select("doc_id", *ec, F.lit(False).alias("contaminated")))
     return clean.union(hit).union(miss)
 
 
@@ -533,3 +535,35 @@ def attributes_stream(docs: DataFrame) -> DataFrame:
         F.size(w).cast("bigint").alias("ws_tokens"),
         F.regexp_count(F.lower(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"))
          .cast("bigint").alias("bpe_tokens"))
+
+
+def source_card_stream(doc_stream: DataFrame, eval_docs: DataFrame,
+                       m_bits: int = 1 << 18,
+                       n_hashes: int = 5) -> DataFrame:
+    """D26: streaming per-source data card (C86 twin) — the running
+    (source, n_docs, n_words_total, contaminated_docs) table a
+    continuously-ingesting corpus maintains for mixture decisions,
+    in ONE streaming query: per-doc word counts are a stateless JVM
+    projection, the contamination flag is D21's stateless
+    bloom+confirm classify (extra columns carried through), and the
+    only stateful operator is the final tiny-cardinality
+    groupBy(source) aggregate (complete mode — state is one row per
+    source, bounded by the source vocabulary, not the stream).
+    C86's exact-dup-removable metric deliberately stays batch-only:
+    a streaming countDistinct over content hashes is unbounded
+    state, the one piece of the card that genuinely needs the
+    batch pass."""
+    from gcp_data_engineering_workshop_spark.functions import (
+        textfns as T)
+
+    enriched = doc_stream.select(
+        "doc_id", "text", "source",
+        F.size(T.words("text")).alias("nw"))
+    cls = decontaminate_stream(enriched, eval_docs, m_bits=m_bits,
+                               n_hashes=n_hashes,
+                               extra_cols=("source", "nw"))
+    return (cls.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("nw").cast("bigint").alias("n_words_total"),
+                 F.sum(F.when(F.col("contaminated"), 1).otherwise(0))
+                 .cast("bigint").alias("contaminated_docs")))

@@ -990,3 +990,41 @@ def test_streaming_ingest_bloom_matches_batch(spark, sf_dir, tmp_path):
         assert len(got) == len(set(got))  # no duplicate admissions
         assert set(got) == want, m_bits
     assert len(want) > 0
+
+
+def test_streaming_source_card_matches_batch(spark, sf_dir, tmp_path):
+    """D26: the streamed per-source card equals the batch numbers
+    over the same (non-eval) doc slice — counts, word mass, and the
+    contamination rollup by source."""
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+    from gcp_data_engineering_workshop_spark.functions import (
+        textfns as T)
+    from gcp_data_engineering_workshop_spark.plans.textpipeline import (
+        decontaminate)
+
+    d = load_table(spark, "documents", sf_dir)
+    train = d.where(F.col("doc_id") % 97 != 0)
+    ev = d.where(F.col("doc_id") % 97 == 0)
+
+    src = str(tmp_path / "card_stream")
+    train.select("doc_id", "text", "source").coalesce(2) \
+        .write.mode("overwrite").json(src)
+    stream = (spark.readStream
+              .schema("doc_id bigint, text string, source string")
+              .json(src))
+    _run_to_memory(spl.source_card_stream(stream, ev), "src_card",
+                   "complete")
+    got = {r.source: (r.n_docs, r.n_words_total, r.contaminated_docs)
+           for r in spark.table("src_card").collect()}
+
+    base = {r.source: (r.n, r.nw) for r in
+            train.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.size(T.words("text"))).alias("nw")).collect()}
+    cont = {r.source: r.c for r in
+            decontaminate(spark, sf_dir).where("contaminated")
+            .join(d.select("doc_id", "source"), "doc_id")
+            .groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+            .collect()}
+    want = {s: (n, nw, cont.get(s, 0)) for s, (n, nw) in base.items()}
+    assert got == want and len(want) > 1
