@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ingest_bloom": _tp.dedup_ingest_bloom,
         "corpus_report_by_source": _tp.corpus_report_by_source,
         "dedup_minhash_auto": _tp.dedup_minhash_auto,
+        "contamination_report": _tp.contamination_report,
         # -- (3a) stranded at r3 evidence by the r6/r7 boundary slip --
         "retention_set_ops": _an3.retention_set_ops,
         "grouping_sets_revenue": _an3.grouping_sets_revenue,
@@ -104,7 +105,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunking": _tp.doc_chunking,
         "train_test_split": _tp.train_test_split,
         "vocab_topk": _tp.vocab_topk,
-        "tfidf_topterms": _tp.tfidf_topterms,
         "decontaminate": _tp.decontaminate,
         "corpus_diff": _tp.corpus_diff,
         # ==== WINDOW BOUNDARY (50): corpus_diff is entry 50; the
@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": _tp.temperature_sample,
         "mixture_schedule": _tp.mixture_schedule,
         "gopher_repetition": _tp.gopher_repetition,
+        "tfidf_topterms": _tp.tfidf_topterms,
         "clean_corpus": _tp.clean_corpus,
         "heavy_hitters_cms": _tp.heavy_hitters_cms,
         "domain_cap": _tp.domain_cap,
@@ -328,6 +329,7 @@ def oracle_sql() -> dict[str, str]:
         # the plain anti-join SQL certifies the bloom loses nothing
         "dedup_ingest_bloom": _orc.DEDUP_INGEST_BLOOM_SQL,
         "corpus_report_by_source": _orc.CORPUS_REPORT_BY_SOURCE_SQL,
+        "contamination_report": _orc.CONTAMINATION_REPORT_SQL,
         # C87 carries C2's oracle: verify restores exactness for ANY
         # banding — the gate certifies the auto choice loses nothing
         "dedup_minhash_auto": _orc.DEDUP_MINHASH_SQL,

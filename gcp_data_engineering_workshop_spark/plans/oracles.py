@@ -1263,6 +1263,33 @@ ORDER BY d.doc_id
 """
 
 
+# C89 contamination severity: C30's per-doc n_shared bucketed
+CONTAMINATION_REPORT_SQL = f"""
+WITH {_WORDS_CTE.strip()}, {_SHINGLES_CTE.strip()},
+ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0),
+hits AS (
+  SELECT tr.doc_id, count(DISTINCT tr.g) AS n
+  FROM tr JOIN ev ON tr.g = ev.g
+  GROUP BY tr.doc_id
+),
+per_doc AS (
+  SELECT COALESCE(n, 0) AS n_shared
+  FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+  WHERE d.doc_id % 97 <> 0
+),
+tot AS (SELECT count(*) AS t FROM per_doc)
+SELECT CASE WHEN n_shared = 0 THEN '0'
+            WHEN n_shared <= 2 THEN '1-2'
+            WHEN n_shared <= 9 THEN '3-9'
+            ELSE '10+' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(count(*) AS DOUBLE) / (SELECT t FROM tot), 6) AS frac
+FROM per_doc
+GROUP BY 1
+ORDER BY 1
+"""
+
 # C86 per-source data card: size/word/dup aggregates by source +
 # C30's contamination flags rolled up to the source
 CORPUS_REPORT_BY_SOURCE_SQL = f"""

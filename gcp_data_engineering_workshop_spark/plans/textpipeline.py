@@ -1703,6 +1703,30 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str,
     )
 
 
+def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C89: the contamination SEVERITY report — C30 gives per-doc
+    flags; the decision a curation run actually makes (drop hard
+    overlaps, keep grazing ones, re-tune the shingle width) needs
+    the distribution: training docs bucketed by shared-shingle count
+    (0 / 1-2 / 3-9 / 10+), with counts and corpus fractions. One
+    extra tiny-cardinality aggregate over C30's audited output —
+    same scans, same joins, nothing new to verify but the bucketing
+    arithmetic, which is exact-integer + a 1e-6-rounded ratio."""
+    base = decontaminate(spark, sf_dir)
+    bucket = (F.when(F.col("n_shared") == 0, "0")
+              .when(F.col("n_shared") <= 2, "1-2")
+              .when(F.col("n_shared") <= 9, "3-9")
+              .otherwise("10+"))
+    total = base.count()
+    return (base.select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .select("bucket", "n_docs",
+                    F.round(F.col("n_docs") / F.lit(total), 6)
+                    .alias("frac"))
+            .orderBy("bucket"))
+
+
 def bm25_topk(spark: SparkSession, sf_dir: str, k: int = 5,
               k1: float = 1.2, b: float = 0.75) -> DataFrame:
     """C67: BM25 retrieval at corpus scale — for every held-out query

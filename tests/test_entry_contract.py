@@ -44,6 +44,7 @@ R8_WINDOW_PRIORITY = {
     "train_bpe_vocab", "embedding_pca", "pagerank_knn_ivf",
     "bm25_topk", "corpus_report", "dedup_ingest_bloom",
     "corpus_report_by_source", "dedup_minhash_auto", "ann_index_topk",
+    "contamination_report",
     "retention_set_ops", "grouping_sets_revenue", "scd2_customer_dim",
     "text_lang_id", "dedup_incremental", "line_dedup",
     "tokenize_ids", "bigram_lm_score",

@@ -1264,3 +1264,18 @@ def test_dedup_minhash_auto_equals_exact_pairs(spark, sf_dir):
     fixed = {(r.doc_a, r.doc_b) for r in
              tp.dedup_minhash_lsh(spark, sf_dir).collect()}
     assert auto == fixed and len(auto) > 0
+
+
+def test_contamination_report_reconciles_with_flags(spark, sf_dir):
+    """C89: bucket counts sum to the training-doc count, and the
+    nonzero buckets' total equals C30's contaminated-doc count."""
+    import gcp_data_engineering_workshop_spark.plans.textpipeline as tp
+
+    rep = {r.bucket: (r.n_docs, r.frac)
+           for r in tp.contamination_report(spark, sf_dir).collect()}
+    flags = tp.decontaminate(spark, sf_dir)
+    n_train = flags.count()
+    n_cont = flags.where("contaminated").count()
+    assert sum(n for n, _ in rep.values()) == n_train
+    assert sum(n for b, (n, _) in rep.items() if b != "0") == n_cont
+    assert abs(sum(f for _, f in rep.values()) - 1.0) < 1e-4
