@@ -296,15 +296,51 @@ def read_blocks(path: str, start: int, end: int):
                 yield row
 
 
+NUMERIC = {"int", "long", "float", "double"}
+
+
+def read_blocks_at(path: str, offsets):
+    """Decode rows from the blocks starting at the given offsets
+    (possibly non-contiguous — the filter-pruned read path)."""
+    with open(path, "rb") as fh:
+        schema, codec, sync = read_header(fh)
+        codec_obj = _RecordCodec(schema)
+        for off in offsets:
+            fh.seek(off)
+            n_rec = _read_long_from(fh)
+            n_bytes = _read_long_from(fh)
+            payload = fh.read(n_bytes)
+            if codec == "deflate":
+                payload = zlib.decompress(payload, wbits=-15)
+            if fh.read(16) != sync:
+                raise ValueError(f"sync marker mismatch in {path}")
+            pos = 0
+            for _ in range(n_rec):
+                row, pos = codec_obj.decode(payload, pos)
+                yield row
+
+
 class _Writer:
-    """One open container file: header once, then append blocks."""
+    """One open container file: header once, then append blocks.
+    Numeric fields get per-block min/max ZONE MAPS in a
+    ``<file>.stats.json`` sidecar (block offset + ranges) — the
+    reader's filter pushdown prunes blocks against them before IO,
+    the parquet-row-group-statistics idea applied to the Avro
+    container (block boundaries are already the format's split
+    unit)."""
 
     def __init__(self, path: str, schema: dict, codec: str,
                  records_per_block: int):
         import hashlib
+        self.path = path
         self.codec = codec
         self.rpb = records_per_block
         self.rec = _RecordCodec(schema)
+        self.num_fields = [(i, f[0]) for i, f in
+                           enumerate(self.rec.fields)
+                           if f[1] in NUMERIC]
+        self.stats: list[dict] = []
+        self.cur: dict[str, list] = {}
         self.sync = hashlib.md5(path.encode()).digest()
         self.fh = open(path, "wb")
         self.buf = bytearray()
@@ -325,6 +361,18 @@ class _Writer:
 
     def append(self, row) -> None:
         self.rec.encode(self.buf, row)
+        for i, name in self.num_fields:
+            v = row[i]
+            if v is None:
+                continue
+            mm = self.cur.get(name)
+            if mm is None:
+                self.cur[name] = [v, v]
+            else:
+                if v < mm[0]:
+                    mm[0] = v
+                if v > mm[1]:
+                    mm[1] = v
         self.n_buf += 1
         if self.n_buf >= self.rpb:
             self.flush()
@@ -336,16 +384,22 @@ class _Writer:
         if self.codec == "deflate":
             co = zlib.compressobj(wbits=-15)
             payload = co.compress(payload) + co.flush()
+        off = self.fh.tell()
         blk = bytearray()
         _write_long(blk, self.n_buf)
         _write_long(blk, len(payload))
         self.fh.write(bytes(blk) + payload + self.sync)
+        self.stats.append({"offset": off, "n": self.n_buf,
+                           "ranges": self.cur})
+        self.cur = {}
         self.buf = bytearray()
         self.n_buf = 0
 
     def close(self) -> None:
         self.flush()
         self.fh.close()
+        with open(self.path + ".stats.json", "w") as fh:
+            json.dump({"blocks": self.stats}, fh)
 
 
 # ---------------------------------------------------------------- #
@@ -379,7 +433,14 @@ class AvroLiteDataSource(DataSource):
         return avro_schema_to_ddl(schema)
 
     def reader(self, schema) -> "AvroLiteReader":
-        return AvroLiteReader(self.options)
+        from pyspark.sql import SparkSession
+
+        sess = SparkSession.getActiveSession()
+        enabled = (sess is not None and sess.conf.get(
+            "spark.sql.python.filterPushdown.enabled", "false")
+            == "true")
+        cls = AvroLitePushdownReader if enabled else AvroLiteReader
+        return cls(self.options)
 
     def simpleStreamReader(self, schema) -> "AvroLiteStreamReader":
         return AvroLiteStreamReader(self.options)
@@ -390,36 +451,92 @@ class AvroLiteDataSource(DataSource):
         if overwrite:
             for f in _data_files(path):
                 os.remove(f)
+                if os.path.exists(f + ".stats.json"):
+                    os.remove(f + ".stats.json")
         return AvroLiteWriter(self.options, schema)
 
 
+_RANGE_FILTERS = ("EqualTo", "GreaterThan", "GreaterThanOrEqual",
+                  "LessThan", "LessThanOrEqual")
+
+
+def _block_may_match(ranges: dict, pushed: list) -> bool:
+    """Conservative zone-map check: False only when a pushed filter
+    PROVABLY matches no row of the block. A field missing from the
+    ranges dict means the block holds no non-null value for it —
+    range comparisons then match nothing."""
+    for kind, col, val in pushed:
+        mm = ranges.get(col)
+        if mm is None:
+            return False  # all-null block: no comparison can match
+        lo, hi = mm
+        if kind == "EqualTo" and not (lo <= val <= hi):
+            return False
+        if kind == "GreaterThan" and not (hi > val):
+            return False
+        if kind == "GreaterThanOrEqual" and not (hi >= val):
+            return False
+        if kind == "LessThan" and not (lo < val):
+            return False
+        if kind == "LessThanOrEqual" and not (lo <= val):
+            return False
+    return True
+
+
 class AvroLiteReader(DataSourceReader):
+    """Batch reader: block-splittable, with FILTER PUSHDOWN against
+    the writer's per-block zone maps. pushFilters keeps the
+    supported range comparisons on numeric fields for PRUNING but
+    returns every filter as residual — Spark re-applies them, so
+    pruning only has to be conservative (never drop a block that
+    could match), exactly the parquet row-group-statistics
+    contract."""
+
     def __init__(self, options):
         self.path = options["path"]
         self.partition_bytes = int(
             options.get("partition_bytes", 32 << 20))
+        self._pushed: list = []
+
+    def _file_blocks(self, f: str) -> list[tuple[int, int]]:
+        """[(offset, approx_bytes)] of blocks SURVIVING the pushed
+        filters — from the stats sidecar when present (no data IO),
+        else the block-header scan (no pruning possible)."""
+        stats_path = f + ".stats.json"
+        if os.path.exists(stats_path):
+            blocks = json.load(open(stats_path))["blocks"]
+            out = []
+            for i, b in enumerate(blocks):
+                if self._pushed and not _block_may_match(
+                        b.get("ranges", {}), self._pushed):
+                    continue
+                nxt = (blocks[i + 1]["offset"] if i + 1 < len(blocks)
+                       else os.path.getsize(f))
+                out.append((b["offset"], nxt - b["offset"]))
+            return out
+        return [(off, 1) for off, _n in scan_block_offsets(f)]
 
     def partitions(self):
         parts = []
         for f in _data_files(self.path):
-            offs = scan_block_offsets(f)
-            if not offs:
-                continue
-            size = os.path.getsize(f)
-            lo = offs[0][0]
-            for off, _n in offs[1:]:
-                if off - lo >= self.partition_bytes:
-                    parts.append(InputPartition((f, lo, off)))
-                    lo = off
-            parts.append(InputPartition((f, lo, size)))
+            group: list[int] = []
+            acc = 0
+            for off, nbytes in self._file_blocks(f):
+                group.append(off)
+                acc += nbytes
+                if acc >= self.partition_bytes:
+                    parts.append(InputPartition((f, tuple(group))))
+                    group, acc = [], 0
+            if group:
+                parts.append(InputPartition((f, tuple(group))))
         # an empty dataset still needs one (empty) partition
-        return parts or [InputPartition((None, 0, 0))]
+        return parts or [InputPartition((None, ()))]
 
     def read(self, partition):
-        f, lo, hi = partition.value
+        f, offsets = partition.value
         if f is None:
             return
-        yield from read_blocks(f, lo, hi)
+        yield from read_blocks_at(f, offsets)
 
 
 class AvroLiteStreamReader(SimpleDataSourceStreamReader):
@@ -469,6 +586,24 @@ class AvroLiteStreamReader(SimpleDataSourceStreamReader):
         pass
 
 
+class AvroLitePushdownReader(AvroLiteReader):
+    """AvroLiteReader + pushFilters. Separate class because Spark
+    REFUSES any reader that overrides pushFilters while
+    spark.sql.python.filterPushdown.enabled is false — the
+    DataSource picks this subclass only when the session conf is on
+    (see AvroLiteDataSource.reader)."""
+
+    def pushFilters(self, filters):
+        for f in filters:
+            kind = type(f).__name__
+            if (kind in _RANGE_FILTERS
+                    and len(f.attribute) == 1
+                    and isinstance(f.value, (int, float))
+                    and not isinstance(f.value, bool)):
+                self._pushed.append((kind, f.attribute[0], f.value))
+        return filters  # all residual: Spark re-applies (exactness)
+
+
 class _FileCommit(WriterCommitMessage):
     def __init__(self, filename: str):
         self.filename = filename
@@ -506,6 +641,8 @@ class AvroLiteWriter(DataSourceWriter):
         for m in messages:
             if m is not None and os.path.exists(m.filename):
                 os.remove(m.filename)
+                if os.path.exists(m.filename + ".stats.json"):
+                    os.remove(m.filename + ".stats.json")
 
 
 def register_avrolite(spark) -> None:

@@ -678,3 +678,70 @@ def test_avrolite_stream_tails_directory(spark, tmp_path):
     ids = [r.id for r in rows]
     assert len(ids) == len(set(ids)) == 57
     assert {r.tag for r in rows} == {"x", "y"}
+
+
+def test_avrolite_filter_pushdown_prunes_blocks(spark, tmp_path):
+    """E21 zone maps: per-block min/max sidecars + pushFilters prune
+    blocks BEFORE IO. A sorted id column gives disjoint block
+    ranges; a range predicate must (a) return exactly the right
+    rows through the real Spark plan with python filter pushdown
+    enabled, and (b) shrink the reader's planned block set."""
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    from gcp_data_engineering_workshop_spark.sources.avrolite import (
+        AvroLiteReader, AvroLitePushdownReader)
+
+    _avro_register(spark)
+    d = str(tmp_path / "avrostats")
+    (spark.range(1000).orderBy("id").coalesce(1)
+     .write.format("avrolite").option("path", d)
+     .option("records_per_block", "100").mode("append").save())
+
+    # (b) planner-level: pushed range keeps only matching blocks
+    full = AvroLiteReader({"path": d})
+    n_all = sum(len(p.value[1]) for p in full.partitions())
+    pruned = AvroLitePushdownReader({"path": d})
+    assert list(pruned.pushFilters(
+        [GreaterThanOrEqual(("id",), 900)])) != []
+    n_kept = sum(len(p.value[1]) for p in pruned.partitions())
+    assert n_all == 10 and n_kept == 1, (n_all, n_kept)
+
+    # (a) end-to-end exactness with the pushdown conf ON
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        got = (spark.read.format("avrolite").option("path", d).load()
+               .where("id >= 900 and id < 950").collect())
+        assert sorted(r.id for r in got) == list(range(900, 950))
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled",
+                       "false")
+
+
+def test_avrolite_pruning_is_conservative_on_nulls(spark, tmp_path):
+    """An all-null block for the filtered field is provably
+    unmatchable by a range predicate and may be pruned; rows with
+    values stay exact."""
+    from gcp_data_engineering_workshop_spark.sources.avrolite import (
+        AvroLitePushdownReader)
+    from pyspark.sql.datasource import EqualTo
+
+    _avro_register(spark)
+    d = str(tmp_path / "avronull")
+    df = spark.range(200).select(
+        F.when(F.col("id") < 100, None).otherwise(F.col("id"))
+        .alias("v"), F.col("id"))
+    (df.orderBy("id").coalesce(1).write.format("avrolite")
+     .option("path", d).option("records_per_block", "100")
+     .mode("append").save())
+    r = AvroLitePushdownReader({"path": d})
+    r.pushFilters([EqualTo(("v",), 150)])
+    kept = sum(len(p.value[1]) for p in r.partitions())
+    assert kept == 1  # the all-null block is gone
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        got = (spark.read.format("avrolite").option("path", d).load()
+               .where("v = 150").collect())
+        assert [rr.id for rr in got] == [150]
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled",
+                       "false")
