@@ -88,6 +88,13 @@ BENCH_QUERIES = [
     "cohort_retention",      # B52 retention matrix
     "event_transitions",     # B53 Markov flow matrix
     "containment_pairs",     # C83 asymmetric containment dedup
+    # r9 additions (first measured in BENCH_r09 — the r8 ops that
+    # shipped without a bench row, VERDICT r8 Missing #1):
+    "dedup_ingest_bloom",    # C85 bounded-state bloom ingest gate
+    "dedup_minhash_auto",    # C87 S-curve auto-banded minhash
+    "ann_index_topk",        # C88 disk-backed IVF index query
+    "corpus_report_by_source",  # C86 per-source data card
+    "contamination_report",  # C89 severity report (one-pass r9)
 ]
 
 
@@ -130,16 +137,23 @@ def main() -> None:
     timings = {name: round(statistics.median(ts), 3)
                for name, ts in runs.items()}
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    compact = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "runs": N_RUNS,
         "agg": "median",
-        "spread": runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    # stdout gets ONLY the compact medians line — the driver's
+    # BENCH_r{N}.json capture truncated three rounds running because
+    # the full per-run spread made the line huge (VERDICT r8 Missing
+    # #2). The spread stays honest in BENCH_LOCAL.json in-repo.
+    print(json.dumps(compact))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LOCAL.json"), "w") as fh:
+        json.dump({**compact, "spread": runs}, fh, indent=1)
     spark.stop()
 
 

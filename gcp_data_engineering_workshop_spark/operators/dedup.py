@@ -573,8 +573,15 @@ def incremental_dedup_bloom(batch: DataFrame, corpus: DataFrame,
     from gcp_data_engineering_workshop_spark.operators import bloom as BL
 
     norm_hash = F.md5(normalize("text"))
+    # NULL-text docs hash to NULL; a NULL key never matches in an
+    # anti-join, so the exact path ADMITS them — mirror that here:
+    # keep NULLs out of the bloom build (bloom_positions' int math
+    # would turn them into garbage indices in the Arrow probe) and
+    # force _maybe=false for NULL-hash batch docs so they ride the
+    # join-free admitted leg, doc-for-doc with the exact anti-join.
     corpus_hashes = register(
-        corpus.select(norm_hash.alias("h")).distinct())
+        corpus.select(norm_hash.alias("h"))
+        .where(F.col("h").isNotNull()).distinct())
     probe_key = (F.conv(F.substring(F.col("h"), 1, 8), 16, 10)
                  .cast("bigint") % F.lit(KR_MOD))
     bitmap = BL.bloom_build(
@@ -582,8 +589,9 @@ def incremental_dedup_bloom(batch: DataFrame, corpus: DataFrame,
         m_bits=m_bits, n_hashes=n_hashes)
     probe = BL.bloom_might_contain(bitmap, n_hashes)
     b = (batch.withColumn("h", norm_hash)
-         .withColumn("_maybe", probe(
-             BL.bloom_positions(probe_key, m_bits, n_hashes))))
+         .withColumn("_maybe", F.col("h").isNotNull() & probe(
+             BL.bloom_positions(F.coalesce(probe_key, F.lit(0)),
+                                m_bits, n_hashes))))
     fresh = b.where(~F.col("_maybe"))
     confirmed = (b.where(F.col("_maybe"))
                  .join(corpus_hashes, "h", "left_anti"))

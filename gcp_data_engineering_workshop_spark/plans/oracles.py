@@ -1564,15 +1564,20 @@ SELECT doc_id, lang FROM surv WHERE doc_id NOT IN (SELECT bid FROM nd)
 # C85 bloom ingest admission: the bloom is one-sided pruning state,
 # so the oracle is the PLAIN exact anti-join — certifying the bloom
 # path admits exactly the unseen-hash docs (same argument as C66).
+# NULL semantics mirror Spark's left_anti: a NULL hash (NULL text)
+# never matches, so NULL-hash batch docs are admitted, and a NULL
+# corpus hash must not poison the NOT IN (hence the IS NOT NULL).
 DEDUP_INGEST_BLOOM_SQL = f"""
 WITH bh AS (
   SELECT doc_id, lang, md5({_NORM}) AS h FROM documents
   WHERE doc_id % 10 >= 8
 ),
 ch AS (
-  SELECT DISTINCT md5({_NORM}) AS h FROM documents WHERE doc_id % 10 < 8
+  SELECT DISTINCT md5({_NORM}) AS h FROM documents
+  WHERE doc_id % 10 < 8 AND md5({_NORM}) IS NOT NULL
 )
-SELECT doc_id, lang FROM bh WHERE h NOT IN (SELECT h FROM ch)
+SELECT doc_id, lang FROM bh
+WHERE h IS NULL OR h NOT IN (SELECT h FROM ch)
 ORDER BY doc_id
 """
 

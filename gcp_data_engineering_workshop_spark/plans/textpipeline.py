@@ -1712,18 +1712,27 @@ def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra tiny-cardinality aggregate over C30's audited output —
     same scans, same joins, nothing new to verify but the bucketing
     arithmetic, which is exact-integer + a 1e-6-rounded ratio."""
+    from pyspark.sql.window import Window
+
     base = decontaminate(spark, sf_dir)
     bucket = (F.when(F.col("n_shared") == 0, "0")
               .when(F.col("n_shared") <= 2, "1-2")
               .when(F.col("n_shared") <= 9, "3-9")
               .otherwise("10+"))
-    total = base.count()
-    return (base.select(bucket.alias("bucket"))
-            .groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("n_docs"))
+    # ONE execution of the C30 subtree (VERDICT r8 What's-wrong #1:
+    # the old `total = base.count()` was a driver action that ran
+    # the full decontaminate plan — shingle explode + two broadcast
+    # joins over the corpus — a second time just for a scalar).
+    # Every doc lands in exactly one bucket, so the corpus total IS
+    # sum(n_docs) over the bucket counts — an unpartitioned window
+    # over the <= 4 aggregated rows, free by construction.
+    counts = (base.select(bucket.alias("bucket"))
+              .groupBy("bucket")
+              .agg(F.count(F.lit(1)).alias("n_docs")))
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return (counts
             .select("bucket", "n_docs",
-                    F.round(F.col("n_docs") / F.lit(total), 6)
-                    .alias("frac"))
+                    F.round(F.col("n_docs") / total, 6).alias("frac"))
             .orderBy("bucket"))
 
 

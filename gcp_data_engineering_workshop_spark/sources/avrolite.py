@@ -365,7 +365,18 @@ class _Writer:
             v = row[i]
             if v is None:
                 continue
+            if isinstance(v, float) and v != v:
+                # NaN: Spark orders NaN above every number and
+                # NaN = NaN is true, so NO range predicate can prove
+                # a NaN-holding block unmatchable — mark the field
+                # unboundable for this block ("nan" sentinel) instead
+                # of silently keeping a min/max that would let
+                # `col > x` prune away NaN rows.
+                self.cur[name] = "nan"
+                continue
             mm = self.cur.get(name)
+            if mm == "nan":
+                continue
             if mm is None:
                 self.cur[name] = [v, v]
             else:
@@ -469,6 +480,11 @@ def _block_may_match(ranges: dict, pushed: list) -> bool:
         mm = ranges.get(col)
         if mm is None:
             return False  # all-null block: no comparison can match
+        if mm == "nan":
+            # block holds at least one NaN: under Spark semantics
+            # NaN = NaN and NaN > x are TRUE, so every range
+            # predicate may match — never prune on this field
+            continue
         lo, hi = mm
         if kind == "EqualTo" and not (lo <= val <= hi):
             return False

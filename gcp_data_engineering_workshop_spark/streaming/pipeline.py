@@ -255,8 +255,13 @@ def ingest_bloom_stream(doc_stream: DataFrame, corpus: DataFrame,
         KR_MOD, normalize)
     from gcp_data_engineering_workshop_spark.operators import bloom as BL
 
-    corpus_hashes = corpus.select(
-        F.md5(normalize("text")).alias("h")).distinct()
+    # NULL-hash handling mirrors the batch twin (operators/dedup.py
+    # incremental_dedup_bloom): NULL keys never match an anti-join,
+    # so NULL-text docs are always admitted, and NULLs stay out of
+    # the bloom build / probe integer math.
+    corpus_hashes = (corpus.select(
+        F.md5(normalize("text")).alias("h"))
+        .where(F.col("h").isNotNull()).distinct())
     probe_key = (F.conv(F.substring(F.col("h"), 1, 8), 16, 10)
                  .cast("bigint") % F.lit(KR_MOD))
     bitmap = BL.bloom_build(
@@ -264,8 +269,9 @@ def ingest_bloom_stream(doc_stream: DataFrame, corpus: DataFrame,
         m_bits=m_bits, n_hashes=n_hashes)
     probe = BL.bloom_might_contain(bitmap, n_hashes)
     b = (doc_stream.withColumn("h", F.md5(normalize("text")))
-         .withColumn("_maybe", probe(
-             BL.bloom_positions(probe_key, m_bits, n_hashes))))
+         .withColumn("_maybe", F.col("h").isNotNull() & probe(
+             BL.bloom_positions(F.coalesce(probe_key, F.lit(0)),
+                                m_bits, n_hashes))))
     fresh = b.where(~F.col("_maybe")).select("doc_id", "lang")
     confirmed = (b.where(F.col("_maybe"))
                  .join(F.broadcast(corpus_hashes), "h", "left_anti")

@@ -280,3 +280,24 @@ def test_minhash_compositional_api_matches_fused_pass(spark, sf_dir):
         # and the standalone signature folds to the same buckets
         assert list(_band_fold(
             np.asarray([r.sig], dtype=np.int64), 16)[0]) == list(r.want)
+
+
+def test_ingest_bloom_null_text_docs_are_admitted(spark):
+    """ADVICE r8: NULL-normalizing docs hash to NULL; a NULL key
+    never matches an anti-join, so the exact path ADMITS them — the
+    bloom path must do the same (and not feed NULL positions into
+    the Arrow probe), on both the batch and the corpus side."""
+    from gcp_data_engineering_workshop_spark.operators.dedup import (
+        incremental_dedup_bloom)
+
+    corpus = spark.createDataFrame(
+        [(1, "en", "shared text"), (2, "en", None)],
+        "doc_id bigint, lang string, text string")
+    batch = spark.createDataFrame(
+        [(10, "en", "shared text"),   # true re-ingest: dropped
+         (11, "en", None),            # NULL text: admitted
+         (12, "en", "fresh text")],   # new: admitted
+        "doc_id bigint, lang string, text string")
+    got = {r.doc_id for r in
+           incremental_dedup_bloom(batch, corpus, m_bits=1024).collect()}
+    assert got == {11, 12}

@@ -509,7 +509,11 @@ def test_knn_graph_ivf_tiny_and_empty_inputs(spark, sf_dir):
 
     empty = emb.where("vec_id < 0")
     out = S.knn_graph_ivf(empty, k=2)
-    assert out.columns == ["query_id", "neighbor_id", "dot_sim"]
+    # column-identical to the populated path (incl. rank) — a
+    # data-dependent schema on empty input is a downstream landmine
+    # (ADVICE r8)
+    assert out.columns == ["query_id", "neighbor_id", "dot_sim",
+                           "rank"]
     assert out.count() == 0
 
 

@@ -745,3 +745,43 @@ def test_avrolite_pruning_is_conservative_on_nulls(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.python.filterPushdown.enabled",
                        "false")
+
+
+def test_avrolite_zone_maps_never_prune_nan_blocks(spark, tmp_path):
+    """ADVICE r8: Spark orders NaN above every number and NaN = NaN
+    is true, so a block containing NaN may match ANY range predicate
+    — the writer must not record a min/max that lets `v > x` prune
+    NaN rows away. Block 0 holds small values + one NaN; the
+    predicate's numeric range only matches block 1."""
+    import math
+
+    from pyspark.sql.datasource import GreaterThan
+
+    from gcp_data_engineering_workshop_spark.sources.avrolite import (
+        AvroLitePushdownReader)
+
+    _avro_register(spark)
+    d = str(tmp_path / "avronan")
+    df = spark.range(200).select(
+        F.col("id"),
+        F.when(F.col("id") == 50, float("nan"))
+        .otherwise(F.col("id").cast("double") / 1000.0).alias("v"))
+    (df.orderBy("id").coalesce(1).write.format("avrolite")
+     .option("path", d).option("records_per_block", "100")
+     .mode("append").save())
+    # planner level: the NaN block survives the pushed range filter
+    r = AvroLitePushdownReader({"path": d})
+    r.pushFilters([GreaterThan(("v",), 0.11)])
+    kept = sum(len(p.value[1]) for p in r.partitions())
+    assert kept == 2  # both blocks: block 1 by range, block 0 by NaN
+    # end-to-end: the NaN row is in the result (NaN > 0.11 in Spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        got = (spark.read.format("avrolite").option("path", d).load()
+               .where("v > 0.11").collect())
+        ids = sorted(rr.id for rr in got)
+        assert 50 in ids and ids == [50] + list(range(111, 200))
+        assert any(math.isnan(rr.v) for rr in got)
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled",
+                       "false")
