@@ -151,9 +151,19 @@ def main() -> None:
     # the full per-run spread made the line huge (VERDICT r8 Missing
     # #2). The spread stays honest in BENCH_LOCAL.json in-repo.
     print(json.dumps(compact))
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_LOCAL.json"), "w") as fh:
-        json.dump({**compact, "spread": runs}, fh, indent=1)
+    # The spread file is TRACKED deliberately — it is the in-repo
+    # record of the round's official run (committed once per round).
+    # Interim local runs can redirect it (ADVICE r9: don't let a
+    # scratch run overwrite the round-of-record spread):
+    #   SPARK_GRAFT_BENCH_SPREAD=/tmp/spread.json python bench.py
+    #   SPARK_GRAFT_BENCH_SPREAD=  (empty)  -> skip writing entirely
+    spread_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_SPREAD",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_LOCAL.json"))
+    if spread_path:
+        with open(spread_path, "w") as fh:
+            json.dump({**compact, "spread": runs}, fh, indent=1)
     spark.stop()
 
 

@@ -330,19 +330,33 @@ def read(spark, root: str, version: int | None = None) -> DataFrame:
     return spark.read.parquet(*files)
 
 
+# Max boolean columns per membership-aggregate pass. A million-file
+# table runs ceil(n_files / batch) bounded-width aggregates over the
+# (cached) distinct update keys instead of one pathologically wide
+# plan (VERDICT r9 What's-wrong #3). Tests shrink it to cross the
+# batch boundary with a handful of files.
+_STAT_AGG_BATCH = 1024
+
+
 def _files_touching_keys(spark, files: dict[str, dict], updates: DataFrame,
                          key: str) -> list[str]:
     """The live files whose footer [min,max] range for ``key``
     intersects at least one update key — plus every file lacking a
-    stat for ``key`` (conservative). The membership test runs as ONE
-    distributed aggregate over the distinct update keys (a boolean
-    max per candidate file — n_files columns of map-side-combinable
-    agg, zero collect of the keys, zero join). The file LIST is log
-    metadata and is already on the driver.
+    stat for ``key`` (conservative). The membership test runs as
+    distributed aggregates over the distinct update keys (a boolean
+    max per candidate file — map-side-combinable, zero collect of
+    the keys, zero join), batched ``_STAT_AGG_BATCH`` file-columns
+    per pass so a 100k-file table never builds a 100k-column plan;
+    the distinct-key set is cached across passes. The file LIST is
+    log metadata and is already on the driver.
 
-    At a million-file table the single agg would get wide; a
-    production variant batches the files in column groups of a few
-    thousand per pass — same shape, bounded width."""
+    NaN guard (ADVICE r9): parquet footer min/max EXCLUDES NaN, and
+    in Spark ``NaN >= lo`` is false — so a range test can never
+    select a file on behalf of a NaN update key, even though Spark
+    JOIN keys treat NaN = NaN as equal (a NaN-keyed row in some file
+    WOULD be replaced by a NaN-keyed update). When the updates
+    contain a NaN key, every float-statted file is conservatively
+    treated as touched (stat-less files already are)."""
     from pyspark.sql import functions as F
 
     touched = [p for p, m in files.items()
@@ -352,16 +366,33 @@ def _files_touching_keys(spark, files: dict[str, dict], updates: DataFrame,
     if not ranged:
         return touched
     keys = updates.select(F.col(key).alias("_k")).distinct()
-    aggs = [F.max((F.col("_k") >= F.lit(lo))
-                  & (F.col("_k") <= F.lit(hi))).alias(f"f{i}")
-            for i, (_p, (lo, hi)) in enumerate(ranged)]
-    row = keys.agg(*aggs).collect()[0]
-    touched += [ranged[i][0] for i in range(len(ranged)) if row[i]]
+    if updates.schema[key].dataType.simpleString() in ("float", "double"):
+        has_nan = keys.agg(
+            F.max(F.isnan(F.col("_k")))).collect()[0][0]
+        if has_nan:
+            # every stat-bearing file of a float key may hide NaN
+            # rows the range test can't see — touch them all; the
+            # range test below runs on nothing.
+            return touched + [p for p, _rng in ranged]
+    n_batches = math.ceil(len(ranged) / _STAT_AGG_BATCH)
+    if n_batches > 1:
+        keys = keys.cache()
+    try:
+        for b in range(n_batches):
+            chunk = ranged[b * _STAT_AGG_BATCH:(b + 1) * _STAT_AGG_BATCH]
+            aggs = [F.max((F.col("_k") >= F.lit(lo))
+                          & (F.col("_k") <= F.lit(hi))).alias(f"f{i}")
+                    for i, (_p, (lo, hi)) in enumerate(chunk)]
+            row = keys.agg(*aggs).collect()[0]
+            touched += [chunk[i][0] for i in range(len(chunk)) if row[i]]
+    finally:
+        if n_batches > 1:
+            keys.unpersist()
     return touched
 
 
 def merge_upsert(spark, root: str, updates: DataFrame, key: str,
-                 max_retries: int = 5) -> int:
+                 max_retries: int = 5, checkpoint_every: int = 10) -> int:
     """MERGE INTO (upsert) over the transaction log — B28's
     merge-upsert semantics running against the ACID table, at FILE
     granularity: the footer stats each add action carries prune the
@@ -400,7 +431,7 @@ def merge_upsert(spark, root: str, updates: DataFrame, key: str,
                              + [{"add": a} for a in adds])}
         if snapshot(root)["version"] == snap["version"] and \
                 _try_commit(root, snap["version"] + 1, entry):
-            _maybe_checkpoint(root, snap["version"] + 1, 10)
+            _maybe_checkpoint(root, snap["version"] + 1, checkpoint_every)
             return snap["version"] + 1
         # lost the race: staged files become vacuumable garbage,
         # re-run the merge against the new head
@@ -411,7 +442,7 @@ def merge_upsert(spark, root: str, updates: DataFrame, key: str,
 
 def optimize(spark, root: str, target_bytes: int = 128 * 1024 * 1024,
              sort_cols: list[str] | None = None,
-             max_retries: int = 5) -> int:
+             max_retries: int = 5, checkpoint_every: int = 10) -> int:
     """OPTIMIZE the table as a TRANSACTION — E20's small-file
     compaction running under the commit protocol. FILE-GRANULAR in
     the compaction case: only files under ``target_bytes`` are read
@@ -458,14 +489,15 @@ def optimize(spark, root: str, target_bytes: int = 128 * 1024 * 1024,
                              + [{"add": a} for a in adds])}
         if snapshot(root)["version"] == snap["version"] and \
                 _try_commit(root, snap["version"] + 1, entry):
-            _maybe_checkpoint(root, snap["version"] + 1, 10)
+            _maybe_checkpoint(root, snap["version"] + 1, checkpoint_every)
             return snap["version"] + 1
     raise CommitConflict(
         f"optimize lost the snapshot race {max_retries} times "
         f"under {root}")
 
 
-def stream_sink(root: str, app_id: str = "stream"):
+def stream_sink(root: str, app_id: str = "stream",
+                checkpoint_every: int = 10):
     """Exactly-once streaming sink INTO the transaction log: a
     foreachBatch function that appends each micro-batch as one
     commit CARRYING ITS BATCH ID — on failure/restart Spark replays
@@ -497,7 +529,7 @@ def stream_sink(root: str, app_id: str = "stream"):
             head = _list_versions(root)
             v = (head[-1] if head else 0) + 1
             if _try_commit(root, v, entry):
-                _maybe_checkpoint(root, v, 10)
+                _maybe_checkpoint(root, v, checkpoint_every)
                 return
         raise CommitConflict(f"stream batch {batch_id} lost the "
                              f"version race under {root}")
@@ -546,4 +578,17 @@ def vacuum(root: str, retention_seconds: float = 3600.0) -> list[str]:
         if now - os.path.getmtime(p) >= retention_seconds:
             os.remove(p)
             removed.append(f)
+    # orphaned commit temp files (ADVICE r9): a writer crashing
+    # between writing tmp-*.part and os.link() leaves the temp in
+    # _txlog forever — _list_versions skips it, but nothing else
+    # reclaimed it. Same mtime retention guards an in-flight commit.
+    log_dir = _log_path(root)
+    if os.path.isdir(log_dir):
+        for f in os.listdir(log_dir):
+            if not (f.startswith("tmp-") and f.endswith(".part")):
+                continue
+            p = os.path.join(log_dir, f)
+            if now - os.path.getmtime(p) >= retention_seconds:
+                os.remove(p)
+                removed.append(os.path.join(LOG_DIR, f))
     return sorted(removed)
