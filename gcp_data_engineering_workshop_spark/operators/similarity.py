@@ -14,6 +14,8 @@
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from pyspark.sql import DataFrame
@@ -1115,7 +1117,8 @@ def knn_graph_ivf(emb: DataFrame, k: int = 5, n_lists: int = 16,
 
 
 def ann_index_build(emb: DataFrame, out_dir: str, n_lists: int = 16,
-                    sample_size: int = 2048) -> int:
+                    sample_size: int = 2048,
+                    assignment: str = "flat") -> int:
     """C88 build side: materialize the IVF structure AS A TABLE —
     the index-once / query-many production shape (an inverted-file
     index persisted as a parquet layout instead of living in one
@@ -1127,7 +1130,18 @@ def ann_index_build(emb: DataFrame, out_dir: str, n_lists: int = 16,
     pruning: a reader that filters list_id IN (probed) opens only
     n_probe/n_lists of the data files — the same mechanism that
     makes a date-partitioned warehouse scan cheap, applied to
-    vector search. Returns the number of lists written."""
+    vector search. Returns the number of lists written.
+
+    ``assignment="two_level"`` routes the member assignment through
+    the two-level quantizer (two_level_assign, block_probe=1): the
+    fine centroids never ride a task closure, which is the shape
+    the n/256 list sizing needs past ~1e8 vectors (see
+    two_level_quantizer). Fine centroids are bit-identical to the
+    flat fit's, so the SIDE-CAR (and the query path) is unchanged;
+    only the member routing is the inverted-multi-index
+    approximation. The default stays "flat" (exact assignment, the
+    oracle-checked contract) — pytest bounds the two paths'
+    agreement on the sf corpora."""
     import json as _json
     import os
 
@@ -1144,15 +1158,26 @@ def ann_index_build(emb: DataFrame, out_dir: str, n_lists: int = 16,
     n_lists = min(n_lists, len(sample))
     cent = _kmeans_centroids(sample, n_lists)
 
-    def _assign(embs):
-        mat = np.vstack(embs.to_numpy()).astype(np.float64)
-        return pd.Series((mat @ cent.T).argmax(axis=1).astype(np.int32))
+    if assignment == "two_level":
+        fine_df, coarse = quantizer_from_centroids(
+            emb.sparkSession, cent)
+        assigned = two_level_assign(emb, fine_df, coarse,
+                                    block_probe=1,
+                                    carry_embedding=True)
+    else:
+        def _assign(embs):
+            mat = np.vstack(embs.to_numpy()).astype(np.float64)
+            return pd.Series(
+                (mat @ cent.T).argmax(axis=1).astype(np.int32))
 
-    _assign.__annotations__ = {"embs": pd.Series, "return": pd.Series}
-    assign_udf = pandas_udf(_assign, "int")
+        _assign.__annotations__ = {"embs": pd.Series,
+                                   "return": pd.Series}
+        assign_udf = pandas_udf(_assign, "int")
+        assigned = emb.select(
+            "vec_id", "embedding",
+            assign_udf("embedding").alias("list_id"))
 
-    (emb.select("vec_id", "embedding",
-                assign_udf("embedding").alias("list_id"))
+    (assigned.select("vec_id", "embedding", "list_id")
         .write.mode("overwrite").partitionBy("list_id")
         .parquet(os.path.join(out_dir, "lists")))
     with open(os.path.join(out_dir, "centroids.json"), "w") as fh:
@@ -1234,3 +1259,204 @@ def ann_index_topk(spark, index_dir: str, queries: DataFrame,
     scored = scan.select("vec_id", "embedding", "list_id").mapInArrow(
         fn, "query_id bigint, neighbor_id bigint, dot_sim double")
     return _topk_per_key(scored, k)
+
+
+# ---------------------------------------------------------------- #
+# two-level coarse quantizer (the 1e9-vector assignment regime)
+# ---------------------------------------------------------------- #
+
+
+def two_level_quantizer(emb: DataFrame, n_lists: int,
+                        coarse_k: int | None = None,
+                        sample_size: int = 2048
+                        ) -> tuple[DataFrame, np.ndarray]:
+    """Fit the TWO-LEVEL coarse quantizer (carried r8 task #5 / the
+    IVF family's 1e9-vector regime). The flat quantizer ships the
+    whole (n_lists x dim) centroid matrix in every assignment task's
+    closure — at the n/256 sizing that is O(n): 1e9 vectors =
+    ~4M lists = a ~2 GB closure PER TASK, which is where the flat
+    shape breaks (PLANS.md r10 records the derived bound). Here the
+    fine centroids are grouped into ceil(sqrt(n_lists)) coarse
+    blocks (a k-means over the centroids themselves — the inverted
+    multi-index idea, Babenko & Lempitsky CVPR'12), and only the
+    (sqrt(L) x dim) coarse matrix ever rides a closure; the fine
+    centroids live as a DATAFRAME keyed by coarse block and meet the
+    vectors in a cogroup — executor-side, never collected.
+
+    Returns (fine_df, coarse_cent): fine_df has columns (list_id int,
+    coarse_id int, centroid array<double>) — n_lists rows, one per
+    fine centroid; coarse_cent is the small (coarse_k x dim) numpy
+    matrix. The fine fit reuses the bounded deterministic-sample
+    contract of the flat path (_kmeans_centroids, seeded), so at
+    equal n_lists the FINE CENTROIDS ARE BIT-IDENTICAL to the flat
+    quantizer's — only the assignment topology changes. For a
+    corpus-trained fit at scale, pass centroids from C46's
+    distributed kmeans_fit through ``quantizer_from_centroids``
+    instead."""
+    from gcp_data_engineering_workshop_spark.functions.vectorfns import (
+        mat_from_arrow)
+
+    sample_tbl = (emb.orderBy("vec_id").limit(sample_size)
+                  .select("embedding").toArrow())
+    if sample_tbl.num_rows == 0:
+        raise ValueError("two_level_quantizer: empty embedding table")
+    sample = mat_from_arrow(sample_tbl.column("embedding"))
+    n_lists = min(n_lists, len(sample))
+    fine = _kmeans_centroids(sample, n_lists)
+    return quantizer_from_centroids(emb.sparkSession, fine, coarse_k)
+
+
+def quantizer_from_centroids(spark, fine: np.ndarray,
+                             coarse_k: int | None = None
+                             ) -> tuple[DataFrame, np.ndarray]:
+    """Build the two-level structure from an EXISTING fine-centroid
+    matrix (e.g. C46's distributed kmeans_fit output): cluster the
+    centroids into coarse blocks, emit the fine table + coarse
+    matrix. The driver touches the fine matrix exactly once (here,
+    at fit time — the same O(k * dim) bound as the fit's own
+    M-step collect); assignment tasks never see it again."""
+    n_lists = len(fine)
+    if coarse_k is None:
+        coarse_k = max(1, math.isqrt(n_lists))
+    coarse_k = min(coarse_k, n_lists)
+    coarse = _kmeans_centroids(fine, coarse_k, seed=7)
+    blk = max(256, int(8e6) // max(coarse_k, 1))
+    cids = np.empty(n_lists, dtype=np.int32)
+    for i0 in range(0, n_lists, blk):
+        i1 = min(i0 + blk, n_lists)
+        cids[i0:i1] = (fine[i0:i1] @ coarse.T).argmax(axis=1)
+    fine_df = spark.createDataFrame(
+        [(int(i), int(cids[i]), fine[i].tolist())
+         for i in range(n_lists)],
+        "list_id int, coarse_id int, centroid array<double>")
+    return fine_df, coarse
+
+
+def two_level_assign(emb: DataFrame, fine_df: DataFrame,
+                     coarse_cent: np.ndarray,
+                     block_probe: int = 1,
+                     carry_embedding: bool = False) -> DataFrame:
+    """Assign every vector to its fine list THROUGH the coarse level:
+    a pandas_udf routes each vector to its ``block_probe`` nearest
+    coarse blocks (only the small coarse matrix in the closure), a
+    COGROUP on coarse_id meets the vectors with that block's fine
+    centroids (per-group blocked GEMM argmax, executor-side), and —
+    when block_probe > 1 — a per-vector max reduces the block
+    winners to the global one.
+
+    EXACTNESS: argmax composes — max over blocks of (max within
+    block) IS the global max — so with block_probe == coarse_k
+    (probe every block) the assignment is IDENTICAL to the flat
+    argmax over all n_lists centroids (pytest-enforced parity,
+    including the first-max-index tie rule: highest dot, then
+    lowest list_id). At scale you run block_probe ~ 1-4: the
+    standard inverted-multi-index approximation, with recall
+    pytest-bounded on the sf corpora.
+
+    SHAPE AT 1e9: per-task memory is one coarse block's fine
+    centroids (~L/sqrt(L) = sqrt(L) rows) plus a bounded GEMM row
+    block; the shuffle moves each vector block_probe times (O(n *
+    block_probe * dim) — same bound as knn_graph_ivf's probe leg);
+    NOTHING is O(n_lists) on any single node after fit time.
+
+    Returns (vec_id, list_id[, embedding]) — ``carry_embedding``
+    rides the vector through (block_probe == 1 only, where no
+    reduce shuffle would re-move it): the ann_index_build write
+    path needs it."""
+    import pandas as pd
+    import pyarrow as pa
+    from pyspark.sql.functions import pandas_udf
+
+    from gcp_data_engineering_workshop_spark.functions.vectorfns import (
+        mat_from_arrow)
+
+    if carry_embedding and block_probe != 1:
+        raise ValueError("carry_embedding requires block_probe=1 "
+                         "(the reduce would re-shuffle the vectors)")
+    coarse_k = len(coarse_cent)
+    block_probe = min(block_probe, coarse_k)
+    cc = coarse_cent
+
+    def _route(embs):
+        mat = np.vstack(embs.to_numpy()).astype(np.float64)
+        scores = mat @ cc.T
+        if block_probe >= coarse_k:
+            order = np.argsort(-scores, axis=1)
+        else:
+            part = np.argpartition(-scores, block_probe - 1,
+                                   axis=1)[:, :block_probe]
+            row = np.arange(len(mat))[:, None]
+            part = part[row, np.argsort(-scores[row, part], axis=1)]
+            order = part
+        return pd.Series(list(order[:, :block_probe].astype(np.int32)))
+
+    _route.__annotations__ = {"embs": pd.Series, "return": pd.Series}
+    route_udf = pandas_udf(_route, "array<int>")
+
+    routed = emb.select(
+        "vec_id", "embedding",
+        F.explode(route_udf("embedding")).alias("coarse_id"))
+
+    emb_ddl = emb.schema["embedding"].dataType.simpleString()
+    out_cols = ("vec_id bigint, list_id int, dot double"
+                + (f", embedding {emb_ddl}" if carry_embedding
+                   else ""))
+
+    # NOTE: bare signature on purpose — see semdedup_pairs/gemm_pairs.
+    def block_best(left, right):
+        if left.num_rows == 0 or right.num_rows == 0:
+            emb_pa = (pa.list_(pa.float32())
+                      if "float" in emb_ddl else
+                      pa.list_(pa.float64()))
+            return pa.schema(
+                [("vec_id", pa.int64()), ("list_id", pa.int32()),
+                 ("dot", pa.float64())]
+                + ([("embedding", emb_pa)]
+                   if carry_embedding else [])).empty_table()
+        X = mat_from_arrow(
+            left.column(left.schema.get_field_index("embedding")))
+        vids = left.column(
+            left.schema.get_field_index("vec_id")).to_numpy(
+            zero_copy_only=False)
+        C = mat_from_arrow(
+            right.column(right.schema.get_field_index("centroid")))
+        lids = right.column(
+            right.schema.get_field_index("list_id")).to_numpy(
+            zero_copy_only=False)
+        # sort fine by list_id so argmax's first-max rule means
+        # "lowest list_id" — the flat quantizer's tie contract
+        o = np.argsort(lids, kind="stable")
+        C, lids = C[o], lids[o]
+        blk = max(64, int(3.2e7) // max(len(lids), 1))
+        best_l = np.empty(len(vids), dtype=np.int32)
+        best_d = np.empty(len(vids), dtype=np.float64)
+        for i0 in range(0, len(vids), blk):
+            i1 = min(i0 + blk, len(vids))
+            G = X[i0:i1] @ C.T
+            a = G.argmax(axis=1)
+            best_l[i0:i1] = lids[a]
+            best_d[i0:i1] = G[np.arange(i1 - i0), a]
+        cols = {"vec_id": pa.array(vids.astype(np.int64)),
+                "list_id": pa.array(best_l, type=pa.int32()),
+                "dot": pa.array(best_d, type=pa.float64())}
+        if carry_embedding:
+            cols["embedding"] = left.column(
+                left.schema.get_field_index("embedding"))
+        return pa.table(cols)
+
+    per_block = (routed.groupBy("coarse_id")
+                 .cogroup(fine_df.groupBy("coarse_id"))
+                 .applyInArrow(block_best, out_cols))
+    if block_probe == 1:
+        keep = ["vec_id", "list_id"] + (
+            ["embedding"] if carry_embedding else [])
+        return per_block.select(*keep)
+    # reduce block winners: highest dot, ties -> lowest list_id
+    # (max of (dot, -list_id) struct = the flat first-max rule)
+    return (per_block
+            .groupBy("vec_id")
+            .agg(F.max(F.struct(
+                F.col("dot"),
+                (-F.col("list_id")).alias("neg"))).alias("m"))
+            .select("vec_id",
+                    (-F.col("m.neg")).cast("int").alias("list_id")))

@@ -586,3 +586,101 @@ def test_ann_index_partition_pruning_and_recall(spark, sf_dir, tmp_path):
     exact = {(r.query_id, r.neighbor_id) for r in
              S.ann_topk(emb, n_queries=10, k=5).collect()}
     assert len(approx & exact) / len(exact) >= 0.5
+
+
+def test_two_level_assign_full_probe_is_exact(spark, sf_dir):
+    """Carried r8 task #5: the two-level quantizer with block_probe
+    == coarse_k (probe every block) assigns BIT-IDENTICALLY to the
+    flat argmax over all n_lists centroids — argmax composes (max
+    over blocks of per-block maxes IS the global max), including
+    the first-max tie rule (highest dot, then lowest list_id)."""
+    import numpy as np
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    sample_tbl = (emb.orderBy("vec_id").limit(256)
+                  .select("embedding").toArrow())
+    sample = np.vstack(
+        [np.asarray(v, dtype=np.float64)
+         for v in sample_tbl.column("embedding").to_pylist()])
+    fine = S._kmeans_centroids(sample, 16)
+    # flat reference assignment (driver-side, small sf corpus)
+    all_rows = emb.select("vec_id", "embedding").orderBy(
+        "vec_id").collect()
+    X = np.vstack([np.asarray(r.embedding, dtype=np.float64)
+                   for r in all_rows])
+    flat = {all_rows[i].vec_id: int((X[i] @ fine.T).argmax())
+            for i in range(len(all_rows))}
+    fine_df, coarse = S.quantizer_from_centroids(spark, fine,
+                                                 coarse_k=4)
+    got = {r.vec_id: r.list_id
+           for r in S.two_level_assign(
+               emb, fine_df, coarse,
+               block_probe=len(coarse)).collect()}
+    assert got == flat
+
+
+def test_two_level_assign_default_probe_recall(spark, sf_dir):
+    """block_probe=1 (the at-scale setting) agrees with the flat
+    assignment on the vast majority of vectors — the standard
+    inverted-multi-index approximation, bounded here."""
+    import numpy as np
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    sample_tbl = (emb.orderBy("vec_id").limit(256)
+                  .select("embedding").toArrow())
+    sample = np.vstack(
+        [np.asarray(v, dtype=np.float64)
+         for v in sample_tbl.column("embedding").to_pylist()])
+    fine = S._kmeans_centroids(sample, 16)
+    all_rows = emb.select("vec_id", "embedding").orderBy(
+        "vec_id").collect()
+    X = np.vstack([np.asarray(r.embedding, dtype=np.float64)
+                   for r in all_rows])
+    flat = {all_rows[i].vec_id: int((X[i] @ fine.T).argmax())
+            for i in range(len(all_rows))}
+    fine_df, coarse = S.quantizer_from_centroids(spark, fine,
+                                                 coarse_k=4)
+    rates = {}
+    for bp in (1, 2):
+        got = {r.vec_id: r.list_id
+               for r in S.two_level_assign(
+                   emb, fine_df, coarse, block_probe=bp).collect()}
+        assert set(got) == set(flat)
+        rates[bp] = sum(1 for v, li in got.items()
+                        if flat[v] == li) / len(flat)
+    # synthetic near-random embeddings are the WORST case for the
+    # coarse route (no cluster structure to exploit); still well
+    # above chance (1/coarse_k = 0.25) and monotone in block_probe
+    assert rates[1] >= 0.6, rates
+    assert rates[2] >= 0.8 and rates[2] >= rates[1], rates
+
+
+def test_ann_index_build_two_level_same_sidecar_and_queryable(
+        spark, sf_dir, tmp_path):
+    """ann_index_build(assignment="two_level") writes the SAME
+    centroid sidecar as the flat build (fine centroids are shared),
+    a partitioned layout whose lists cover the corpus exactly once,
+    and the query path returns well-formed top-k over it."""
+    import json
+    import os
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    idx = str(tmp_path / "ivf2l")
+    n_lists = S.ann_index_build(emb, idx, n_lists=8,
+                                assignment="two_level")
+    idx_flat = str(tmp_path / "ivfflat")
+    S.ann_index_build(emb, idx_flat, n_lists=8)
+    side = json.load(open(os.path.join(idx, "centroids.json")))
+    side_flat = json.load(open(os.path.join(idx_flat,
+                                            "centroids.json")))
+    assert side == side_flat  # bit-identical fine centroids
+    written = spark.read.parquet(os.path.join(idx, "lists"))
+    assert written.count() == emb.count()
+    assert written.select("vec_id").distinct().count() == emb.count()
+    q = emb.where(F.col("vec_id") < 3)
+    got = S.ann_index_topk(spark, idx, q, k=5,
+                           n_probe=n_lists).collect()
+    assert {r.query_id for r in got} == {0, 1, 2}
+    for qid in (0, 1, 2):
+        ranks = sorted(r.rank for r in got if r.query_id == qid)
+        assert ranks == [1, 2, 3, 4, 5]
