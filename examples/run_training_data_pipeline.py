@@ -3,6 +3,8 @@ path a trainer runs before touching a GPU, composed entirely from
 the oracle-verified operators.
 
   raw documents
+    -> per-source data card committed to the   (C86 + E22)
+       cards TABLE before anything runs
     -> line-level boilerplate removal          (C39 line_dedup)
     -> substring (span) dedup removal          (C52 span_dedup_apply)
     -> eval-span surgical decontamination      (C77 decontaminate_spans)
@@ -33,13 +35,40 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F
 
 from gcp_data_engineering_workshop_spark.session import get_spark
+from gcp_data_engineering_workshop_spark.catalog import load_table
+from gcp_data_engineering_workshop_spark.functions import textfns as TF
 from gcp_data_engineering_workshop_spark.plans import textpipeline as tp
+from gcp_data_engineering_workshop_spark.sources import txlog as T
 
 
-def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
-    spark = get_spark("training-data-demo")
-    spark.sparkContext.setLogLevel("ERROR")
-    out = tempfile.mkdtemp(prefix="corpus_")
+def _source_card(docs, ids=None):
+    """The C86 card shape (source, n_docs, n_words_total,
+    exact_dup_removable) over ``docs``, optionally restricted to
+    the ``ids`` frame — the before/after commit payload. The
+    contamination column is omitted: the AFTER corpus is
+    decontaminated by construction, so the diff the auditor reads
+    is size/mass/dup-removable per source."""
+    if ids is not None:
+        docs = docs.join(ids, "doc_id", "left_semi")
+    return (docs.select(
+                "source",
+                F.size(TF.words("text")).alias("nw"),
+                F.md5(F.coalesce(TF.normalize("text"), F.lit("")))
+                 .alias("h"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("nw").cast("bigint").alias("n_words_total"),
+                 (F.count(F.lit(1)) - F.countDistinct("h"))
+                 .cast("bigint").alias("exact_dup_removable")))
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001", spark=None,
+         out: str | None = None) -> dict:
+    owns_session = spark is None
+    if owns_session:
+        spark = get_spark("training-data-demo")
+        spark.sparkContext.setLogLevel("ERROR")
+    out = out or tempfile.mkdtemp(prefix="corpus_")
 
     scrubbed = tp.line_dedup(spark, sf_dir)
     span_clean = tp.span_dedup_apply(spark, sf_dir).select(
@@ -82,9 +111,31 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         .join(tp.shuffle_corpus(spark, sf_dir)
               .select("doc_id", "shard_id", "pos_in_shard"), "doc_id")
     )
-    corpus.write.mode("overwrite").parquet(f"{out}/clean_corpus")
-    n = spark.read.parquet(f"{out}/clean_corpus").count()
-    print(f"clean corpus: {n} docs -> {out}/clean_corpus")
+    docs = load_table(spark, "documents", sf_dir)
+    cards_root = f"{out}/data_cards"
+    corpus_root = f"{out}/clean_corpus"
+
+    # BEFORE: the raw per-source card is commit 1 of the cards table
+    v_raw_card = T.append(
+        _source_card(docs).withColumn("stage", F.lit("raw")),
+        cards_root)
+
+    # the corpus lands as ONE atomic commit — readers see the whole
+    # clean corpus or nothing, and the commit is time-travelable
+    v_corpus = T.append(corpus, corpus_root)
+    landed = T.read(spark, corpus_root)
+    n = landed.count()
+    print(f"clean corpus: {n} docs -> txlog table {corpus_root} "
+          f"(version {v_corpus})")
+
+    # AFTER: the clean card computes over the LANDED snapshot (not
+    # the in-flight plan) and commits as version 2 of the cards
+    # table — `T.read(spark, cards_root, version=1)` vs version 2
+    # is the auditor's before/after diff
+    v_clean_card = T.append(
+        _source_card(docs, landed.select("doc_id"))
+        .withColumn("stage", F.lit("clean")),
+        cards_root)
 
     ids = tp.tokenize_ids(spark, sf_dir)
     packed = tp.pack_sequences(spark, sf_dir)
@@ -94,7 +145,13 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     examples.write.mode("overwrite").parquet(f"{out}/examples")
     print(f"tokenized positions: {ids.count()}, "
           f"packed rows: {packed.count()}, examples: {examples.count()}")
-    spark.stop()
+    result = {"out": out, "n_docs": n,
+              "versions": {"raw_card": v_raw_card,
+                           "corpus": v_corpus,
+                           "clean_card": v_clean_card}}
+    if owns_session:
+        spark.stop()
+    return result
 
 
 if __name__ == "__main__":
