@@ -34,36 +34,96 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING POLICY: the driver records correctness rows for the
     FIRST 50 entries only (tests/test_entry_contract.py asserts the
-    boundary position). Entries rotate per round: (1) keys that have
-    NEVER had a driver row (r8: train_bpe_vocab / embedding_pca —
-    the only SURVEY keys with zero driver evidence ever — and
-    pagerank_knn_ivf, C84, registered this round), (2) oracle-able
-    queries whose implementation changed this round (r8: bm25_topk
-    — tf-cache revert — and corpus_report — NULL-hash coalesce),
-    (3) the oldest green rows rotating back in for refreshed
-    evidence (r8: the 8 keys stranded at r3 evidence by two rounds
-    of a mislabeled window boundary — VERDICT r7 What's-wrong #1 —
-    then the oldest r4 slice: the A-block dashboards, the r4 TPC-H
-    tail, and the oldest r4 text/dedup keys). The tail holds
-    queries with green r5/r7 driver rows on current data plus the
-    remaining declared rows-only set. Every key keeps its oracle
+    boundary position). Entries rotate per round — r10 EXECUTES the
+    rotation r9 skipped (VERDICT r9 What's-wrong #1: the r9 window
+    was byte-identical to r8's): (1) oracle keys whose
+    implementation changed this round (contamination_report's
+    windowless total; merge_upsert_orders over the NaN-safe batched
+    txlog pruning), (2) the eleven keys VERDICT r9 names as
+    stranded at r4/r5 driver evidence (q12/q16/q20, text_scrub,
+    doc_fingerprint, ngram_jaccard, sample_corpus, corpus_stats,
+    stratified_split, bigram_pmi, ngram_novelty), (3) the oldest
+    r5-evidence slice (the A-block ingest/agg/derivation pipeline,
+    the B-block core, tfidf/clean_corpus), then (4) the r5 TPC-H
+    remainder and the r4 sampling/selection keys. Every r9-windowed
+    key rotates OUT to the tail — its r9 row stands as evidence
+    while the stale keys refresh. Every key keeps its oracle
     regardless of position — selfcheck.py checks all of them
     locally."""
     return {
-        # -- (1) zero driver evidence ever (rows-only by design) +
-        #    the C84 registration (err:no_oracle expected, declared)
+        # -- (1) oracle keys whose implementation changed in r10
+        #    (contamination_report: windowless total;
+        #    merge_upsert_orders: txlog NaN-key + batched pruning
+        #    rides the same merge semantics contract) --
+        "contamination_report": _tp.contamination_report,
+        "merge_upsert_orders": _an2.merge_upsert_orders,
+        # -- (2) the ~11 keys stranded at r4/r5 driver evidence
+        #    (VERDICT r9 What's-wrong #1's named list) --
+        "q12_priority_shipping": _an2.q12_priority_shipping,
+        "q16_supplier_part_counts": _an2.q16_supplier_part_counts,
+        "q20_excess_suppliers": _an2.q20_excess_suppliers,
+        "text_scrub": _tp.text_scrub,
+        "doc_fingerprint": _tp.doc_fingerprint,
+        "ngram_jaccard": _tp.ngram_jaccard,
+        "sample_corpus": _tp.sample_corpus,
+        "corpus_stats": _tp.corpus_stats,
+        "stratified_split": _tp.stratified_split,
+        "bigram_pmi": _tp.bigram_pmi,
+        "ngram_novelty": _tp.ngram_novelty,
+        # -- (3) the oldest r5-evidence slice: A-block pipeline +
+        #    B-block core + the oldest r4 text keys --
+        "ingest_parse_json": _ticks_fn,
+        "stock_agg_1m": _sp.agg_1m,
+        "stock_sma_5m": _sp.sma_5m,
+        "stock_join_metrics": _sp.joined_metrics,
+        "stock_volume_spike": _sp.volume_spikes,
+        "stock_pipeline_full": _sp.full_pipeline,
+        "ingest_replay": lambda spark, sf: _replay_fn(spark, sf, 7),
+        "minute_returns": _sp.minute_returns,
+        "daily_ohlc": _sp.daily_ohlc,
+        "daily_vwap": _sp.daily_vwap,
+        "q1_pricing_summary": _an.q1_pricing_summary,
+        "q3_top_revenue": _an.q3_top_revenue,
+        "q5_region_revenue": _an.q5_region_revenue,
+        "count_distinct_users": _an.count_distinct_users,
+        "anti_join_inactive": _an.anti_join_inactive,
+        "rollup_revenue": _an.rollup_revenue,
+        "sessionize_events": _an.sessionize_events,
+        "event_funnel": _an.event_funnel,
+        "tfidf_topterms": _tp.tfidf_topterms,
+        "clean_corpus": _tp.clean_corpus,
+        "q6_forecast_revenue": _an2.q6_forecast_revenue,
+        # -- (4) r5 TPC-H remainder + misc + r4 sampling keys --
+        "q10_returned_items": _an2.q10_returned_items,
+        "q14_promo_revenue": _an2.q14_promo_revenue,
+        "q18_large_orders": _an2.q18_large_orders,
+        "q19_complex_predicates": _an2.q19_complex_predicates,
+        "q7_nation_volume": _an2.q7_nation_volume,
+        "q8_market_share": _an2.q8_market_share,
+        "zorder_keys": _an3.zorder_keys,
+        "salted_join_revenue": _an2.salted_join_revenue,
+        "quality_classifier": _tp.quality_classifier,
+        "embedding_neardup_lsh_auto": _tp.embedding_neardup_lsh_auto,
+        "decontaminate_bloom": _tp.decontaminate_bloom,
+        "temperature_sample": _tp.temperature_sample,
+        "mixture_schedule": _tp.mixture_schedule,
+        "gopher_repetition": _tp.gopher_repetition,
+        "heavy_hitters_cms": _tp.heavy_hitters_cms,
+        "domain_cap": _tp.domain_cap,
+        # ==== WINDOW BOUNDARY (50): domain_cap is entry 50; the
+        #      driver records rows for nothing below this line.
+        #      tests/test_entry_contract.py asserts this position ====
+        # -- tail: keys with green r7-r9 driver rows on current
+        #    data, plus the remaining declared rows-only set --
         "train_bpe_vocab": _tp.train_bpe_vocab,
         "embedding_pca": _tp.embedding_pca,
         "pagerank_knn_ivf": _tp.pagerank_knn_ivf,
         "ann_index_topk": _tp.ann_index_topk,
-        # -- (2) changed or NEW this round (r8) --
         "bm25_topk": _tp.bm25_topk,
         "corpus_report": _tp.corpus_report,
         "dedup_ingest_bloom": _tp.dedup_ingest_bloom,
         "corpus_report_by_source": _tp.corpus_report_by_source,
         "dedup_minhash_auto": _tp.dedup_minhash_auto,
-        "contamination_report": _tp.contamination_report,
-        # -- (3a) stranded at r3 evidence by the r6/r7 boundary slip --
         "retention_set_ops": _an3.retention_set_ops,
         "grouping_sets_revenue": _an3.grouping_sets_revenue,
         "scd2_customer_dim": _an3.scd2_customer_dim,
@@ -72,7 +132,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _tp.line_dedup,
         "tokenize_ids": _tp.tokenize_ids,
         "bigram_lm_score": _tp.bigram_lm_score,
-        # -- (3b) oldest r4 evidence: A-block dashboards/derivations --
         "dash_overview": _sp.dash_overview,
         "dash_tickers": _sp.dash_tickers,
         "dash_detail": _sp.dash_detail,
@@ -81,7 +140,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_model_batch": _sp.enrich_model_batch,
         "dash_overview_wide": _sp.dash_overview_wide,
         "dash_price_sma_long": _sp.dash_price_sma_long,
-        # -- (3c) oldest r4 evidence: TPC-H tail + B-block misc --
         "topk_per_group": _an.topk_per_group,
         "q4_order_priority": _an2.q4_order_priority,
         "q21_waiting_suppliers": _an2.q21_waiting_suppliers,
@@ -95,7 +153,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_variant_stats": _an2.props_variant_stats,
         "value_deciles": _an3.value_deciles,
         "value_rank_dist": _an3.value_rank_dist,
-        # -- (3d) oldest r4 evidence: text/dedup keys --
         "dedup_exact": _tp.dedup_exact,
         "dedup_minhash_lsh": _tp.dedup_minhash_lsh,
         "embedding_neardup": _tp.embedding_neardup,
@@ -107,10 +164,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _tp.vocab_topk,
         "decontaminate": _tp.decontaminate,
         "corpus_diff": _tp.corpus_diff,
-        # ==== WINDOW BOUNDARY (50): corpus_diff is entry 50; the
-        #      driver records rows for nothing below this line.
-        #      tests/test_entry_contract.py asserts this position ====
-        # -- tail: green r7 driver rows on current data --
         "embed_docs": _tp.embed_docs,
         "ann_ivfpq": _tp.ann_ivfpq,
         "image_phash": _tp.image_phash,
@@ -157,65 +210,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_summary": _an2.stats_summary,
         "session_window_stats": _an2.session_window_stats,
         "corr_price_volume": _an2.corr_price_volume,
-        "merge_upsert_orders": _an2.merge_upsert_orders,
         "rolling_7d_revenue": _an3.rolling_7d_revenue,
-        # -- tail: green r5 driver rows on current data --
-        "q12_priority_shipping": _an2.q12_priority_shipping,
-        "q16_supplier_part_counts": _an2.q16_supplier_part_counts,
-        "q20_excess_suppliers": _an2.q20_excess_suppliers,
-        "text_scrub": _tp.text_scrub,
-        "doc_fingerprint": _tp.doc_fingerprint,
-        "ngram_jaccard": _tp.ngram_jaccard,
-        "bigram_pmi": _tp.bigram_pmi,
-        "sample_corpus": _tp.sample_corpus,
-        "corpus_stats": _tp.corpus_stats,
-        "stratified_split": _tp.stratified_split,
-        "quality_classifier": _tp.quality_classifier,
-        "ngram_novelty": _tp.ngram_novelty,
-        "embedding_neardup_lsh_auto": _tp.embedding_neardup_lsh_auto,
-        "decontaminate_bloom": _tp.decontaminate_bloom,
-        "zorder_keys": _an3.zorder_keys,
-        "salted_join_revenue": _an2.salted_join_revenue,
-        "ingest_parse_json": _ticks_fn,
-        "ingest_replay": lambda spark, sf: _replay_fn(spark, sf, 7),
-        "stock_agg_1m": _sp.agg_1m,
-        "stock_sma_5m": _sp.sma_5m,
-        "stock_join_metrics": _sp.joined_metrics,
-        "stock_volume_spike": _sp.volume_spikes,
-        "stock_pipeline_full": _sp.full_pipeline,
-        "minute_returns": _sp.minute_returns,
-        "daily_ohlc": _sp.daily_ohlc,
-        "daily_vwap": _sp.daily_vwap,
-        "q1_pricing_summary": _an.q1_pricing_summary,
-        "q3_top_revenue": _an.q3_top_revenue,
-        "q5_region_revenue": _an.q5_region_revenue,
-        "q6_forecast_revenue": _an2.q6_forecast_revenue,
-        "q7_nation_volume": _an2.q7_nation_volume,
-        "q8_market_share": _an2.q8_market_share,
-        "q10_returned_items": _an2.q10_returned_items,
-        "q14_promo_revenue": _an2.q14_promo_revenue,
-        "q18_large_orders": _an2.q18_large_orders,
-        "q19_complex_predicates": _an2.q19_complex_predicates,
-        "count_distinct_users": _an.count_distinct_users,
-        "anti_join_inactive": _an.anti_join_inactive,
-        "rollup_revenue": _an.rollup_revenue,
-        "sessionize_events": _an.sessionize_events,
-        "event_funnel": _an.event_funnel,
-        # -- tail: remaining r4-green keys (LSH/blocked twins share
-        #    the exact op's oracle; sampling/packing ops) --
-        "temperature_sample": _tp.temperature_sample,
-        "mixture_schedule": _tp.mixture_schedule,
-        "gopher_repetition": _tp.gopher_repetition,
-        "tfidf_topterms": _tp.tfidf_topterms,
-        "clean_corpus": _tp.clean_corpus,
-        "heavy_hitters_cms": _tp.heavy_hitters_cms,
-        "domain_cap": _tp.domain_cap,
         "assign_ids": _tp.assign_ids,
         "pack_sequences": _tp.pack_sequences,
         "embedding_neardup_lsh": _tp.embedding_neardup_lsh,
         "embedding_neardup_blocked": _tp.embedding_neardup_blocked,
         "heavy_hitters_stream_scale": _tp.heavy_hitters_stream_scale,
-        # -- tail: declared rows-only (no oracle by design) --
         "approx_distinct_sketch": _an2.approx_distinct_sketch,
         "approx_quantile_sketch": _an2.approx_quantile_sketch,
         "dedup_simhash": _tp.dedup_simhash,

@@ -36,18 +36,16 @@ ROWS_ONLY = {
     "ann_index_topk",
 }
 
-# Keys the r8 rotation promises the driver window (VERDICT r7 #1):
-# the never-evidenced pair, the C84 registration, the two r8-changed
-# ops, and the 8 keys stranded at r3 evidence by the r6/r7 boundary
-# slip.
-R8_WINDOW_PRIORITY = {
-    "train_bpe_vocab", "embedding_pca", "pagerank_knn_ivf",
-    "bm25_topk", "corpus_report", "dedup_ingest_bloom",
-    "corpus_report_by_source", "dedup_minhash_auto", "ann_index_topk",
-    "contamination_report",
-    "retention_set_ops", "grouping_sets_revenue", "scd2_customer_dim",
-    "text_lang_id", "dedup_incremental", "line_dedup",
-    "tokenize_ids", "bigram_lm_score",
+# Keys the r10 rotation promises the driver window (VERDICT r9
+# What's-wrong #1 / next-round #1): the two r10-changed oracle keys
+# and the eleven keys stranded at r4/r5 evidence, named in the
+# verdict.
+R10_WINDOW_PRIORITY = {
+    "contamination_report", "merge_upsert_orders",
+    "q12_priority_shipping", "q16_supplier_part_counts",
+    "q20_excess_suppliers", "text_scrub", "doc_fingerprint",
+    "ngram_jaccard", "sample_corpus", "corpus_stats",
+    "stratified_split", "bigram_pmi", "ngram_novelty",
 }
 
 
@@ -84,16 +82,16 @@ def test_driver_window_boundary_position():
     a comment that claimed the 50-row boundary at the wrong dict
     position (VERDICT r7 What's-wrong #1). Pin the REAL boundary:
     the documented last-in-window key must sit at index 49, and
-    every key the r8 rotation promises the window must be inside
+    every key the r10 rotation promises the window must be inside
     the first 50."""
     m = _entry_module()
     keys = list(m.queries())
-    assert keys.index("corpus_diff") == 49, (
+    assert keys.index("domain_cap") == 49, (
         "the '==== WINDOW BOUNDARY (50)' comment in __spark_entry__ "
-        "no longer matches the dict: corpus_diff is at index "
-        f"{keys.index('corpus_diff')}")
+        "no longer matches the dict: domain_cap is at index "
+        f"{keys.index('domain_cap')}")
     window = set(keys[:50])
-    assert R8_WINDOW_PRIORITY <= window, R8_WINDOW_PRIORITY - window
+    assert R10_WINDOW_PRIORITY <= window, R10_WINDOW_PRIORITY - window
 
 
 def test_entry_returns_flagship(spark):
