@@ -51,10 +51,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     regardless of position — selfcheck.py checks all of them
     locally."""
     return {
-        # -- (1) oracle keys whose implementation changed in r10
-        #    (contamination_report: windowless total;
-        #    merge_upsert_orders: txlog NaN-key + batched pruning
-        #    rides the same merge semantics contract) --
+        # -- (1) contamination_report's implementation changed in
+        #    r10 (windowless total); merge_upsert_orders pins the
+        #    MERGE-semantics contract the r10 txlog work (NaN keys,
+        #    batched pruning) must preserve — its own operator is
+        #    unchanged, the oracle is the semantic anchor --
         "contamination_report": _tp.contamination_report,
         "merge_upsert_orders": _an2.merge_upsert_orders,
         # -- (2) the ~11 keys stranded at r4/r5 driver evidence

@@ -481,3 +481,57 @@ def test_vacuum_reclaims_orphaned_commit_tmp_files(spark, tmp_path):
     assert os.path.join(T.LOG_DIR, "tmp-deadbeef.part") in removed
     assert not os.path.exists(orphan)
     assert _ids(T.read(spark, root)) == [0, 1, 2]
+
+
+def test_read_changes_incremental_appends(spark, tmp_path):
+    """CDF-style incremental read: (from, to] add-file replay with
+    commit tags; append windows are exact row-level increments."""
+    root = str(tmp_path / "tbl")
+    T.append(spark.range(5), root)                     # v1
+    T.append(spark.range(5, 8), root)                  # v2
+    T.append(spark.range(8, 10), root)                 # v3
+    ch = T.read_changes(spark, root, from_version=1)
+    rows = ch.collect()
+    assert sorted(r.id for r in rows) == list(range(5, 10))
+    assert {(r.id, r._commit_version) for r in rows} == (
+        {(i, 2) for i in (5, 6, 7)} | {(8, 3), (9, 3)})
+    assert {r._commit_op for r in rows} == {"append"}
+    # bounded window
+    mid = T.read_changes(spark, root, from_version=1, to_version=2)
+    assert sorted(r.id for r in mid.collect()) == [5, 6, 7]
+    # empty window keeps the full tagged schema
+    none = T.read_changes(spark, root, from_version=3)
+    assert none.count() == 0
+    assert none.columns == ["id", "_commit_version", "_commit_op"]
+
+
+def test_read_changes_op_semantics(spark, tmp_path):
+    """merge commits surface their add files (upsert-stream
+    semantics); optimize commits are EXCLUDED by default (pure
+    re-layout, replaying would duplicate rows downstream)."""
+    root = str(tmp_path / "tbl")
+    T.append(spark.createDataFrame([(1, "a"), (2, "b")],
+                                   "k int, v string").coalesce(1),
+             root)                                          # v1
+    T.append(spark.createDataFrame([(3, "c")],
+                                   "k int, v string").coalesce(1),
+             root)                                          # v2
+    T.merge_upsert(spark, root, spark.createDataFrame(
+        [(2, "B"), (4, "d")], "k int, v string"), "k")      # v3
+    v4 = T.optimize(spark, root, target_bytes=1 << 30)      # v4
+    assert v4 == 4
+    ch = T.read_changes(spark, root, from_version=2)
+    rows = ch.collect()
+    # only the merge commit is in the feed; its adds carry the
+    # updates plus the survivors of the rewritten file(s)
+    assert {r._commit_op for r in rows} == {"merge"}
+    got = {(r.k, r.v) for r in rows}
+    assert {(2, "B"), (4, "d")} <= got
+    assert (2, "b") not in got  # replaced, not re-emitted
+    # applying the feed by key over the v2 snapshot reproduces head
+    head = {(r.k, r.v) for r in T.read(spark, root).collect()}
+    base = {(r.k, r.v) for r in
+            T.read(spark, root, version=2).collect()}
+    keys_changed = {k for k, _v in got}
+    applied = {kv for kv in base if kv[0] not in keys_changed} | got
+    assert applied == head
