@@ -654,3 +654,155 @@ def read_changes(spark, root: str, from_version: int,
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------- #
+# streaming SOURCE from the table (readStream twin of stream_sink)
+# ---------------------------------------------------------------- #
+
+
+def _pa_to_ddl(path: str) -> str:
+    """Spark DDL for the table's row schema, from one live parquet
+    FOOTER (no data read) — primitive top-level columns, the same
+    subset the rest of this module's stats machinery handles."""
+    import pyarrow.parquet as pq
+
+    _MAP = {"int8": "tinyint", "int16": "smallint", "int32": "int",
+            "int64": "bigint", "float": "float", "double": "double",
+            "string": "string", "large_string": "string",
+            "bool": "boolean", "binary": "binary",
+            "date32[day]": "date"}
+    sch = pq.ParquetFile(path).schema_arrow
+    parts = []
+    for f in sch:
+        t = str(f.type)
+        if t.startswith("timestamp"):
+            ddl = "timestamp_ntz" if "tz=" not in t else "timestamp"
+        elif t in _MAP:
+            ddl = _MAP[t]
+        else:
+            raise ValueError(
+                f"txlogstream: unsupported column type {t} "
+                f"for field {f.name}")
+        parts.append(f"{f.name} {ddl}")
+    return ", ".join(parts)
+
+
+class NonAppendChange(Exception):
+    """The stream hit a merge/overwrite commit without
+    ignore_changes=true — emitting its files would re-send rows
+    that were UPDATES downstream as if they were inserts."""
+
+
+try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
+    from pyspark.sql.datasource import (DataSource,
+                                        SimpleDataSourceStreamReader)
+
+    class TxLogStreamReader(SimpleDataSourceStreamReader):
+        """readStream FROM the transaction-log table — the source
+        twin of stream_sink() (together they chain table-to-table
+        streaming pipelines with exactly-once on both edges).
+
+        Offsets ARE log versions: batch (start_v, head_v] emits the
+        add files of the window's commits, so the stream's progress
+        is exactly the table's commit history (restart-safe — Spark
+        re-hands the committed version on recovery, and
+        readBetweenOffsets replays any planned window verbatim,
+        possible because commits are immutable).
+
+        Op semantics (the Delta readStream contract, rebuilt):
+        - append / stream-append: emitted (exact increments).
+        - optimize: SKIPPED — a re-layout changes no data; its add
+          actions are this format's dataChange=false.
+        - merge / overwrite: RAISE NonAppendChange by default (the
+          emitted files would carry updates + survivors, which an
+          append-stream consumer would double-count); opt in with
+          .option("ignore_changes", "true") to receive them under
+          read_changes()'s apply-by-key contract.
+
+        Rows materialize on the driver per batch — the documented
+        tradeoff of the Simple reader API (same as the avrolite
+        tail and BarReplay sources); partition-parallel batches
+        belong to the full DataSourceStreamReader API."""
+
+        def __init__(self, options):
+            self.root = options["path"]
+            self.start_v = int(options.get("starting_version", 0))
+            self.ignore_changes = (
+                str(options.get("ignore_changes", "false")).lower()
+                == "true")
+            snap = snapshot(self.root)
+            if not snap["files"]:
+                raise ValueError(
+                    "txlogstream: table has no live files yet "
+                    f"under {self.root}")
+            first = sorted(snap["files"])[0]
+            import pyarrow.parquet as pq
+            self._fields = [
+                f.name for f in pq.ParquetFile(
+                    os.path.join(self.root, first)).schema_arrow]
+
+        def _rows(self, lo: int, hi: int):
+            import pyarrow.parquet as pq
+
+            out = []
+            for v in _list_versions(self.root):
+                if v <= lo or v > hi:
+                    continue
+                e = json.load(open(_version_file(self.root, v)))
+                if e["op"] == "optimize":
+                    continue  # dataChange=false: same rows, new layout
+                if (e["op"] in ("merge", "overwrite")
+                        and not self.ignore_changes):
+                    raise NonAppendChange(
+                        f"version {v} is a {e['op']} commit; set "
+                        f"ignore_changes=true to stream its files "
+                        f"under the apply-by-key contract")
+                for a in e["actions"]:
+                    if "add" not in a:
+                        continue
+                    tbl = pq.read_table(os.path.join(
+                        self.root, a["add"]["path"]))
+                    for rec in tbl.to_pylist():
+                        out.append(tuple(rec[f] for f in self._fields))
+            return out
+
+        def initialOffset(self):
+            return {"v": self.start_v}
+
+        def read(self, start):
+            versions = _list_versions(self.root)
+            head = versions[-1] if versions else start["v"]
+            return iter(self._rows(start["v"], head)), {"v": head}
+
+        def readBetweenOffsets(self, start, end):
+            return iter(self._rows(start["v"], end["v"]))
+
+        def commit(self, end):
+            pass
+
+    class TxLogStreamDataSource(DataSource):
+        """spark.readStream.format("txlogstream").option("path", root)
+        — register with spark.dataSource.register(TxLogStreamDataSource).
+        """
+
+        @classmethod
+        def name(cls) -> str:
+            return "txlogstream"
+
+        def schema(self) -> str:
+            snap = snapshot(self.options["path"])
+            if not snap["files"]:
+                raise ValueError(
+                    "txlogstream: cannot infer schema from an "
+                    "empty table; commit data first")
+            first = sorted(snap["files"])[0]
+            return _pa_to_ddl(
+                os.path.join(self.options["path"], first))
+
+        def simpleStreamReader(self, schema) -> TxLogStreamReader:
+            return TxLogStreamReader(self.options)
+
+except ImportError:  # pragma: no cover - pyspark<4 fallback
+    TxLogStreamReader = None  # type: ignore[assignment]
+    TxLogStreamDataSource = None  # type: ignore[assignment]

@@ -535,3 +535,126 @@ def test_read_changes_op_semantics(spark, tmp_path):
     keys_changed = {k for k, _v in got}
     applied = {kv for kv in base if kv[0] not in keys_changed} | got
     assert applied == head
+
+
+def test_txlog_stream_source_tails_commits(spark, tmp_path):
+    """readStream FROM the table: the initial batch catches up the
+    existing commits, a commit landing mid-stream arrives in the
+    next batch, every row exactly once; offsets are log versions."""
+    from gcp_data_engineering_workshop_spark.sources.txlog import (
+        TxLogStreamDataSource)
+
+    root = str(tmp_path / "tbl")
+    T.append(spark.range(5).selectExpr("id", "id * 2 as v"), root)
+    T.append(spark.range(5, 8).selectExpr("id", "id * 2 as v"), root)
+    spark.dataSource.register(TxLogStreamDataSource)
+    stream = (spark.readStream.format("txlogstream")
+              .option("path", root).load())
+    q = (stream.writeStream.format("memory")
+         .queryName("txlog_tail").outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        assert spark.table("txlog_tail").count() == 8
+        T.append(spark.range(100, 103)
+                 .selectExpr("id", "id * 2 as v"), root)
+        q.processAllAvailable()
+        rows = spark.table("txlog_tail").collect()
+    finally:
+        q.stop()
+    ids = sorted(r.id for r in rows)
+    assert ids == [0, 1, 2, 3, 4, 5, 6, 7, 100, 101, 102]
+    assert all(r.v == r.id * 2 for r in rows)
+
+
+def test_txlog_stream_source_skips_optimize_rejects_merge(
+        spark, tmp_path):
+    """Op semantics: optimize commits are dataChange=false (stream
+    must NOT re-emit compacted rows); merge commits kill the stream
+    unless ignore_changes opts into the apply-by-key contract."""
+    from gcp_data_engineering_workshop_spark.sources.txlog import (
+        TxLogStreamDataSource, TxLogStreamReader)
+
+    root = str(tmp_path / "tbl")
+    T.append(spark.createDataFrame([(1, "a")], "k int, v string")
+             .coalesce(1), root)                           # v1
+    T.append(spark.createDataFrame([(2, "b")], "k int, v string")
+             .coalesce(1), root)                           # v2
+    T.optimize(spark, root, target_bytes=1 << 30)          # v3
+    spark.dataSource.register(TxLogStreamDataSource)
+    stream = (spark.readStream.format("txlogstream")
+              .option("path", root).load())
+    q = (stream.writeStream.format("memory")
+         .queryName("txlog_opt").outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        rows = spark.table("txlog_opt").collect()
+    finally:
+        q.stop()
+    # appends only, each exactly once — the optimize rewrite of the
+    # same rows is skipped
+    assert sorted((r.k, r.v) for r in rows) == [(1, "a"), (2, "b")]
+
+    T.merge_upsert(spark, root, spark.createDataFrame(
+        [(1, "A")], "k int, v string"), "k")               # v4
+    rdr = TxLogStreamReader({"path": root})
+    with pytest.raises(Exception, match="merge"):
+        rdr._rows(3, 4)
+    rdr_ok = TxLogStreamReader({"path": root,
+                                "ignore_changes": "true"})
+    got = rdr_ok._rows(3, 4)
+    assert (1, "A") in got  # the update rides the feed
+
+
+def test_txlog_stream_source_starting_version(spark, tmp_path):
+    """starting_version skips the catch-up prefix — the consumer
+    that already has the table and wants only new commits."""
+    from gcp_data_engineering_workshop_spark.sources.txlog import (
+        TxLogStreamReader)
+
+    root = str(tmp_path / "tbl")
+    T.append(spark.range(3), root)          # v1
+    T.append(spark.range(3, 5), root)       # v2
+    rdr = TxLogStreamReader({"path": root, "starting_version": "1"})
+    assert rdr.initialOffset() == {"v": 1}
+    rows, off = rdr.read({"v": 1})
+    assert sorted(r[0] for r in rows) == [3, 4]
+    assert off == {"v": 2}
+    # replay of a planned window is verbatim (commits are immutable)
+    assert sorted(r[0] for r in rdr.readBetweenOffsets(
+        {"v": 1}, {"v": 2})) == [3, 4]
+
+
+def test_txlog_table_to_table_streaming_pipeline(spark, tmp_path):
+    """The two streaming edges COMPOSE: readStream FROM table A,
+    transform, exactly-once foreachBatch sink INTO table B — the
+    medallion-hop (bronze -> silver) pipeline shape, entirely on
+    the commit log."""
+    from gcp_data_engineering_workshop_spark.sources.txlog import (
+        TxLogStreamDataSource)
+
+    a = str(tmp_path / "bronze")
+    b = str(tmp_path / "silver")
+    T.append(spark.range(10).selectExpr("id", "id % 3 as grp"), a)
+    spark.dataSource.register(TxLogStreamDataSource)
+    stream = (spark.readStream.format("txlogstream")
+              .option("path", a).load()
+              .where("id % 2 = 0")
+              .selectExpr("id", "grp", "id * 10 as scaled"))
+    q = (stream.writeStream
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .foreachBatch(T.stream_sink(b, app_id="hop"))
+         .start())
+    try:
+        q.processAllAvailable()
+        T.append(spark.range(20, 24)
+                 .selectExpr("id", "id % 3 as grp"), a)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted((r.id, r.scaled)
+                 for r in T.read(spark, b).collect())
+    assert got == [(i, i * 10) for i in (0, 2, 4, 6, 8, 20, 22)]
+    # B's commit log carries the batch-id txn watermarks (the
+    # exactly-once evidence) and only stream-append ops
+    assert {h["op"] for h in T.history(b)} == {"stream-append"}
+    assert T.snapshot(b)["txn"]["hop"] >= 1
