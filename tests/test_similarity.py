@@ -684,3 +684,44 @@ def test_ann_index_build_two_level_same_sidecar_and_queryable(
     for qid in (0, 1, 2):
         ranks = sorted(r.rank for r in got if r.query_id == qid)
         assert ranks == [1, 2, 3, 4, 5]
+
+
+def test_quantizer_from_centroid_df_matches_driver_variant(
+        spark, sf_dir):
+    """The DataFrame-native quantizer builder (no driver fine
+    matrix) groups centroids identically to the driver-side one
+    when the coarse sample covers the table — and the two-level
+    assignment through it keeps the full-probe exactness
+    contract."""
+    import numpy as np
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    tbl = (emb.orderBy("vec_id").limit(256)
+           .select("embedding").toArrow())
+    sample = np.vstack(
+        [np.asarray(v, dtype=np.float64)
+         for v in tbl.column("embedding").to_pylist()])
+    fine = S._kmeans_centroids(sample, 16)
+    fine_df = spark.createDataFrame(
+        [(int(i), fine[i].tolist()) for i in range(len(fine))],
+        "list_id int, centroid array<double>")
+    df_fine, df_coarse = S.quantizer_from_centroid_df(
+        fine_df, coarse_k=4)
+    drv_fine, drv_coarse = S.quantizer_from_centroids(
+        spark, fine, coarse_k=4)
+    assert np.allclose(df_coarse, drv_coarse)
+    assert ({(r.list_id, r.coarse_id) for r in df_fine.collect()}
+            == {(r.list_id, r.coarse_id)
+                for r in drv_fine.collect()})
+    # full-probe exactness holds through the DF-built structure
+    all_rows = emb.select("vec_id", "embedding").orderBy(
+        "vec_id").collect()
+    X = np.vstack([np.asarray(r.embedding, dtype=np.float64)
+                   for r in all_rows])
+    flat = {all_rows[i].vec_id: int((X[i] @ fine.T).argmax())
+            for i in range(len(all_rows))}
+    got = {r.vec_id: r.list_id
+           for r in S.two_level_assign(
+               emb, df_fine, df_coarse,
+               block_probe=len(df_coarse)).collect()}
+    assert got == flat
