@@ -986,7 +986,8 @@ def knn_graph_gemm(emb: DataFrame, k: int = 5) -> DataFrame:
 
 def knn_graph_ivf(emb: DataFrame, k: int = 5, n_lists: int = 16,
                   n_probe: int = 4,
-                  sample_size: int = 2048) -> DataFrame:
+                  sample_size: int = 2048,
+                  salt: int = 1) -> DataFrame:
     """Corpus-scale kNN graph via IVF lists — C80's edge build with
     NO driver-side collect of the embedding table (the r6 judge's
     one remaining hot-path collect, similarity.py knn_graph_gemm).
@@ -1019,16 +1020,23 @@ def knn_graph_ivf(emb: DataFrame, k: int = 5, n_lists: int = 16,
     exact one-list GEMM instead of crashing k-means), and an empty
     corpus returns an empty edge frame.
 
-    LIST-SKEW CONSTRAINT: one applyInArrow task holds one list's
-    members plus ALL probers routed to it. The GEMM block loop
-    bounds per-block memory (~256 MB), but a mega-list (a quantizer
-    centroid that captures a large corpus fraction) still serializes
-    its probers through one task. Fine at n_lists=16/sf-scale; at
-    1e9 vectors size n_lists ~ sqrt(n)/probe-budget so expected list
-    size stays bounded, and if the corpus is known-clustered (one
-    dominant mode), salt the mega-list the way blocked_candidates
-    (C32) salts blocks — split members across s sub-lists and probe
-    all s — before running at that scale."""
+    LIST-SKEW VALVE (``salt``, built r10 — previously a documented
+    mitigation): one applyInArrow task holds one list's members plus
+    ALL probers routed to it; the GEMM block loop bounds per-block
+    memory (~256 MB), but a mega-list (a quantizer centroid
+    capturing a large corpus fraction) still serializes its probers
+    through one task. With salt = s > 1, each list's MEMBERS split
+    deterministically across s sub-lists (vec_id % s) and every
+    prober probes all s — the group key becomes (list, sub), so a
+    mega-list fans across s tasks. EXACT by the same union argument
+    as the main decomposition: sub-lists partition the members, each
+    sub emits its local top-k (>= k), and the global two-phase
+    merge recovers the list's top-k — pytest pins salt=4 output ==
+    salt=1 bit-for-bit. Shuffle cost: probers replicate s times
+    (members don't), so s stays small — it's a skew valve, not a
+    default. Sizing note unchanged: at 1e9 vectors n_lists ~
+    sqrt(n)/probe-budget keeps EXPECTED list size bounded; salt
+    covers the known-clustered corpus with a dominant mode."""
     import pandas as pd
     import pyarrow as pa
     from pyspark.sql.functions import pandas_udf
@@ -1062,16 +1070,34 @@ def knn_graph_ivf(emb: DataFrame, k: int = 5, n_lists: int = 16,
     _probe.__annotations__ = {"embs": pd.Series, "return": pd.Series}
     probe_udf = pandas_udf(_probe, "array<int>")
 
+    salt = max(1, int(salt))
     probed = emb.select(
         "vec_id", "embedding",
         F.posexplode(probe_udf("embedding")).alias("pos", "list_id"))
+    if salt > 1:
+        # members split by vec_id % salt; every prober probes all
+        # sub-lists — is_member marks the one (pos==0, own-sub) row
+        probed = (probed
+                  .select("vec_id", "embedding", "pos", "list_id",
+                          F.explode(F.sequence(
+                              F.lit(0), F.lit(salt - 1)))
+                          .alias("sub_id"))
+                  .withColumn(
+                      "is_member",
+                      (F.col("pos") == 0)
+                      & (F.pmod(F.col("vec_id"), F.lit(salt))
+                         == F.col("sub_id"))))
+    else:
+        probed = probed.withColumn(
+            "sub_id", F.lit(0)).withColumn(
+            "is_member", F.col("pos") == 0)
 
     # NOTE: bare signature on purpose — see semdedup_pairs/gemm_pairs.
     def list_knn(key, table):
         X = mat_from_arrow(table.column("embedding"))
         ids = table.column("vec_id").to_numpy(zero_copy_only=False)
-        pos = table.column("pos").to_numpy(zero_copy_only=False)
-        member = pos == 0
+        member = table.column("is_member").to_numpy(
+            zero_copy_only=False)
         mids, M = ids[member], X[member]
         order = np.argsort(mids, kind="stable")
         mids, M = mids[order], M[order]
@@ -1109,7 +1135,7 @@ def knn_graph_ivf(emb: DataFrame, k: int = 5, n_lists: int = 16,
             "dot_sim": pa.array(np.concatenate(ds),
                                 type=pa.float64())})
 
-    cand_df = (probed.groupBy("list_id")
+    cand_df = (probed.groupBy("list_id", "sub_id")
                .applyInArrow(list_knn,
                              "query_id bigint, neighbor_id bigint, "
                              "dot_sim double"))

@@ -725,3 +725,22 @@ def test_quantizer_from_centroid_df_matches_driver_variant(
                emb, df_fine, df_coarse,
                block_probe=len(df_coarse)).collect()}
     assert got == flat
+
+
+def test_knn_graph_ivf_salted_is_bit_identical(spark, sf_dir):
+    """The r10 list-skew valve: salting splits each list's members
+    across sub-lists and replicates probers — a physical fan-out
+    change only. Output must equal the unsalted build bit-for-bit
+    (members partition, per-sub top-k >= k, global merge recovers
+    the list top-k), at default probe AND at full probe (where it
+    must also equal the exact GEMM graph)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    plain = {tuple(r) for r in S.knn_graph_ivf(
+        emb, k=5, n_lists=8, n_probe=4).collect()}
+    salted = {tuple(r) for r in S.knn_graph_ivf(
+        emb, k=5, n_lists=8, n_probe=4, salt=4).collect()}
+    assert salted == plain and len(plain) > 0
+    exact = {tuple(r) for r in S.knn_graph_gemm(emb, k=5).collect()}
+    full_salted = {tuple(r) for r in S.knn_graph_ivf(
+        emb, k=5, n_lists=8, n_probe=8, salt=3).collect()}
+    assert full_salted == exact
