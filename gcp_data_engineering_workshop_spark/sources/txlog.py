@@ -806,3 +806,58 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
 except ImportError:  # pragma: no cover - pyspark<4 fallback
     TxLogStreamReader = None  # type: ignore[assignment]
     TxLogStreamDataSource = None  # type: ignore[assignment]
+
+
+def read_range(spark, root: str, col: str, lo=None, hi=None,
+               version: int | None = None) -> DataFrame:
+    """Snapshot read with DATA SKIPPING: resolve the live set, drop
+    every file whose footer [min, max] range for ``col`` provably
+    misses [lo, hi], read only the survivors, and apply the exact
+    residual filter — the Delta-paper read-side use of the same
+    per-file stats merge_upsert prunes with. A date-range scan of a
+    100 TB date-clustered table opens the week it asks for.
+
+    Conservative rules (all pytest-pinned):
+    - a file with NO stat for ``col`` always survives;
+    - Spark orders NaN ABOVE every number, so ``col >= lo`` is TRUE
+      for NaN rows the footer stats cannot see — for float/double
+      columns a lo-only scan therefore skips NOTHING (the residual
+      filter still runs; only the IO saving is forfeited). With a
+      finite ``hi`` the residual conjunction excludes NaN rows, so
+      two-sided and hi-only float scans prune normally;
+    - lo/hi of None mean unbounded on that side."""
+    from pyspark.sql import functions as F
+
+    if lo is None and hi is None:
+        return read(spark, root, version)
+    snap = snapshot(root, version)
+    base = read(spark, root, version)
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & (F.col(col) >= F.lit(lo))
+    if hi is not None:
+        cond = cond & (F.col(col) <= F.lit(hi))
+    if not snap["files"]:
+        return base.where(cond)
+    float_key = any(
+        isinstance(m.get("stats", {}).get(col, [None, None])[0], float)
+        for m in snap["files"].values())
+    if float_key and hi is None:
+        return base.where(cond)  # NaN rule: no safe skip
+    keep = []
+    for p, m in snap["files"].items():
+        st = m.get("stats", {}).get(col)
+        if st is None:
+            keep.append(p)
+            continue
+        f_lo, f_hi = st
+        if lo is not None and f_hi < lo:
+            continue
+        if hi is not None and f_lo > hi:
+            continue
+        keep.append(p)
+    if not keep:
+        return base.where(cond).limit(0)
+    pruned = spark.read.parquet(
+        *[os.path.join(root, p) for p in sorted(keep)])
+    return pruned.where(cond)

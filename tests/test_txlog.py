@@ -658,3 +658,63 @@ def test_txlog_table_to_table_streaming_pipeline(spark, tmp_path):
     # exactly-once evidence) and only stream-append ops
     assert {h["op"] for h in T.history(b)} == {"stream-append"}
     assert T.snapshot(b)["txn"]["hop"] >= 1
+
+
+def test_read_range_skips_files_and_stays_exact(spark, tmp_path):
+    """Read-side data skipping: a range scan opens only the files
+    whose footer range intersects, result equal to the full-scan
+    filter; stat-less files always survive."""
+    root = str(tmp_path / "tbl")
+    for lo in (0, 100, 200, 300):
+        T.append(spark.createDataFrame(
+            [(lo + i, f"v{lo + i}") for i in range(10)],
+            "k int, v string").coalesce(1), root)
+    got = T.read_range(spark, root, "k", lo=105, hi=205)
+    want = (T.read(spark, root)
+            .where("k >= 105 and k <= 205").collect())
+    assert sorted(r.k for r in got.collect()) == \
+        sorted(r.k for r in want)
+    # the pruned plan reads 2 of 4 files
+    opened = {os.path.basename(f) for f in got.inputFiles()}
+    assert len(opened) == 2
+    snap = T.snapshot(root)
+    for p in opened:
+        st = snap["files"][p]["stats"]["k"]
+        assert st[1] >= 105 and st[0] <= 205
+    # disjoint range -> zero files, empty exact result, same schema
+    none = T.read_range(spark, root, "k", lo=900, hi=999)
+    assert none.count() == 0 and none.columns == ["k", "v"]
+
+
+def test_read_range_float_nan_rule(spark, tmp_path):
+    """Spark orders NaN above every number: a lo-only float scan
+    must skip NOTHING (NaN rows match `col >= lo` but footer stats
+    can't see them); a two-sided scan excludes NaN via the hi
+    residual and prunes normally."""
+    root = str(tmp_path / "tbl")
+    nan = float("nan")
+    T.append(spark.createDataFrame(
+        [(1.0, "low"), (nan, "weird")], "x double, v string")
+        .coalesce(1), root)
+    T.append(spark.createDataFrame(
+        [(100.0, "hi")], "x double, v string").coalesce(1), root)
+    T.append(spark.createDataFrame(
+        [(500.0, "big")], "x double, v string").coalesce(1), root)
+    # the NaN-bearing file gets NO footer stat for x (arrow omits
+    # min/max when NaN is present) -> it survives as stat-less,
+    # the belt to read_range's NaN-rule suspenders
+    snap = T.snapshot(root)
+    statless = [p for p, m in snap["files"].items()
+                if "x" not in m.get("stats", {})]
+    assert len(statless) == 1
+    # lo-only: the NaN row MUST be in the result (NaN >= 50 is true
+    # in Spark)
+    got = {r.v for r in
+           T.read_range(spark, root, "x", lo=50.0).collect()}
+    assert got == {"weird", "hi", "big"}
+    # two-sided: NaN fails x <= hi; the clean out-of-range file
+    # (500.0) is pruned, the stat-less NaN file is read then
+    # filtered exactly
+    two = T.read_range(spark, root, "x", lo=50.0, hi=200.0)
+    assert {r.v for r in two.collect()} == {"hi"}
+    assert len(two.inputFiles()) == 2  # NaN file + the 100.0 file
