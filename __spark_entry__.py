@@ -20,6 +20,7 @@ from gcp_data_engineering_workshop_spark.plans import analytics2 as _an2
 from gcp_data_engineering_workshop_spark.plans import analytics3 as _an3
 from gcp_data_engineering_workshop_spark.plans import textpipeline as _tp
 from gcp_data_engineering_workshop_spark.plans import stock_pipeline as _sp
+from gcp_data_engineering_workshop_spark.plans import tablefmt as _tf
 from gcp_data_engineering_workshop_spark.plans import oracles as _orc
 from gcp_data_engineering_workshop_spark.sources import (
     ticks as _ticks_fn, replay_minute as _replay_fn,
@@ -36,7 +37,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     FIRST 50 entries only (tests/test_entry_contract.py asserts the
     boundary position). Entries rotate per round — r10 EXECUTES the
     rotation r9 skipped (VERDICT r9 What's-wrong #1: the r9 window
-    was byte-identical to r8's): (1) oracle keys whose
+    was byte-identical to r8's): (0) the three NEW r10 txlog-format
+    oracle keys (never evidenced — E22 was pytest-only until r10),
+    (1) oracle keys whose
     implementation changed this round (contamination_report's
     windowless total; merge_upsert_orders over the NaN-safe batched
     txlog pruning), (2) the eleven keys VERDICT r9 names as
@@ -51,6 +54,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     regardless of position — selfcheck.py checks all of them
     locally."""
     return {
+        # -- (0) NEVER-evidenced: the three r10 txlog-format
+        #    oracle keys (E22 was pytest-only until now) --
+        "txlog_range_scan": _tf.txlog_range_scan,
+        "txlog_change_feed": _tf.txlog_change_feed,
+        "txlog_merge_scan": _tf.txlog_merge_scan,
         # -- (1) contamination_report's implementation changed in
         #    r10 (windowless total); merge_upsert_orders pins the
         #    MERGE-semantics contract the r10 txlog work (NaN keys,
@@ -106,16 +114,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _tp.quality_classifier,
         "embedding_neardup_lsh_auto": _tp.embedding_neardup_lsh_auto,
         "decontaminate_bloom": _tp.decontaminate_bloom,
-        "temperature_sample": _tp.temperature_sample,
-        "mixture_schedule": _tp.mixture_schedule,
-        "gopher_repetition": _tp.gopher_repetition,
         "heavy_hitters_cms": _tp.heavy_hitters_cms,
         "domain_cap": _tp.domain_cap,
         # ==== WINDOW BOUNDARY (50): domain_cap is entry 50; the
         #      driver records rows for nothing below this line.
         #      tests/test_entry_contract.py asserts this position ====
         # -- tail: keys with green r7-r9 driver rows on current
-        #    data, plus the remaining declared rows-only set --
+        #    data, plus the remaining declared rows-only set; the
+        #    three r4-evidence keys displaced by the txlog trio
+        #    lead the r11 rotation --
+        "temperature_sample": _tp.temperature_sample,
+        "mixture_schedule": _tp.mixture_schedule,
+        "gopher_repetition": _tp.gopher_repetition,
         "train_bpe_vocab": _tp.train_bpe_vocab,
         "embedding_pca": _tp.embedding_pca,
         "pagerank_knn_ivf": _tp.pagerank_knn_ivf,
@@ -231,6 +241,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "txlog_range_scan": _tf.TXLOG_RANGE_SCAN_SQL,
+        "txlog_change_feed": _tf.TXLOG_CHANGE_FEED_SQL,
+        "txlog_merge_scan": _tf.TXLOG_MERGE_SCAN_SQL,
         "ingest_parse_json": _orc.INGEST_PARSE_JSON_SQL,
         # the batched-enrichment path computes the same decoded tick
         # message with the deterministic model, so it shares A1's SQL

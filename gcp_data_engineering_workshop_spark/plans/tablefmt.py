@@ -1,0 +1,142 @@
+"""E22 driver-oracle queries: the transaction-log table format
+exercised END-TO-END against plain-SQL oracles (new r10).
+
+The txlog layer was pytest-only evidence until this round — these
+three queries put the format itself under the driver's rows/schema/
+value-hash gate by building a REAL table from the test data inside
+the query, running the table op, and reading the result back
+through the log:
+
+- txlog_range_scan: append -> read_range (read-side data skipping)
+  == a plain BETWEEN filter over the source table;
+- txlog_change_feed: three versioned appends -> read_changes(from=1)
+  == the deterministic slice rule with version/op tags;
+- txlog_merge_scan: append -> merge_upsert (file-granular MERGE
+  through footer-stat pruning + CAS commit) -> read == B28's
+  full-outer-join merge semantics, decimal-exact.
+
+Each call builds its table under a fresh tempdir (the driver runs
+queries in one process; isolation keeps re-runs and bench repeats
+independent). Timestamps stay out of the column set — the oracle
+compares primitives only, the same discipline as B28.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcp_data_engineering_workshop_spark.catalog import load_table
+from gcp_data_engineering_workshop_spark.sources import txlog as T
+
+_DEC = "decimal(18,4)"
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+
+
+def txlog_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E22 read path under the oracle gate: orders lands as four
+    commits, read_range scans [1000, 5000] with footer-stat data
+    skipping — the result must equal a plain BETWEEN over the
+    source (the mod-4 slicing interleaves key ranges, so pruning
+    potency is ~nil here BY DESIGN; this key proves exactness, the
+    skipping pytests prove the IO savings)."""
+    root = tempfile.mkdtemp(prefix="txlog_range_") + "/t"
+    orders = _orders(spark, sf_dir)
+    for b in range(4):
+        T.append(orders.where(F.col("o_orderkey") % 4 == b),
+                 root, checkpoint_every=0)
+    return (T.read_range(spark, root, "o_orderkey",
+                         lo=1000, hi=5000)
+            .orderBy("o_orderkey"))
+
+
+def txlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E22 change feed under the oracle gate: three versioned
+    appends sliced by o_orderkey % 3 (slice b commits as version
+    b + 1), then read_changes(from_version=1) — exactly the rows of
+    slices 1 and 2, tagged with their commit version and op."""
+    root = tempfile.mkdtemp(prefix="txlog_cdf_") + "/t"
+    orders = _orders(spark, sf_dir)
+    for b in range(3):
+        T.append(orders.where(F.col("o_orderkey") % 3 == b),
+                 root, checkpoint_every=0)
+    return (T.read_changes(spark, root, from_version=1)
+            .orderBy("o_orderkey"))
+
+
+def txlog_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E22 MERGE under the oracle gate: orders lands as four
+    range-interleaved commits, B28's deterministic update batch
+    (every 97th order re-priced +10% and flagged 'X', one synthetic
+    insert) applies through the REAL file-granular merge_upsert
+    (footer-stat pruning, anti-join + union rewrite, CAS commit),
+    and the snapshot reads back — equal to the full-outer-join
+    merge semantics B28's oracle states, decimal-exact."""
+    root = tempfile.mkdtemp(prefix="txlog_merge_") + "/t"
+    orders = _orders(spark, sf_dir)
+    for b in range(4):
+        T.append(orders.where(F.col("o_orderkey") % 4 == b),
+                 root, checkpoint_every=0)
+    updates = (
+        orders.where(F.col("o_orderkey") % 97 == 0)
+        .select("o_orderkey", "o_custkey",
+                F.lit("X").alias("o_orderstatus"),
+                (F.col("o_totalprice").cast(_DEC)
+                 * F.lit(1.1).cast(_DEC))
+                .cast("double").alias("o_totalprice"),
+                "o_orderpriority"))
+    new_row = spark.createDataFrame(
+        [(999999999, 1, "N", 123.45, "1-URGENT")],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderpriority string")
+    T.merge_upsert(spark, root, updates.unionByName(new_row),
+                   "o_orderkey", checkpoint_every=0)
+    return T.read(spark, root).orderBy("o_orderkey")
+
+
+TXLOG_RANGE_SCAN_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderpriority
+FROM orders
+WHERE o_orderkey BETWEEN 1000 AND 5000
+ORDER BY o_orderkey
+"""
+
+TXLOG_CHANGE_FEED_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderpriority,
+       CAST((o_orderkey % 3) + 1 AS INTEGER) AS _commit_version,
+       'append' AS _commit_op
+FROM orders
+WHERE (o_orderkey % 3) >= 1
+ORDER BY o_orderkey
+"""
+
+TXLOG_MERGE_SCAN_SQL = """
+WITH updates AS (
+  SELECT o_orderkey, o_custkey,
+         'X' AS o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,4))
+              * CAST(1.1 AS DECIMAL(18,4)) AS DOUBLE) AS o_totalprice,
+         o_orderpriority
+  FROM orders WHERE o_orderkey % 97 = 0
+  UNION ALL
+  SELECT 999999999, 1, 'N', 123.45, '1-URGENT'
+)
+SELECT coalesce(u.o_orderkey, o.o_orderkey) AS o_orderkey,
+       coalesce(u.o_custkey, o.o_custkey) AS o_custkey,
+       coalesce(u.o_orderstatus, o.o_orderstatus) AS o_orderstatus,
+       coalesce(u.o_totalprice, o.o_totalprice) AS o_totalprice,
+       coalesce(u.o_orderpriority, o.o_orderpriority)
+         AS o_orderpriority
+FROM orders o FULL OUTER JOIN updates u
+  ON o.o_orderkey = u.o_orderkey
+ORDER BY o_orderkey
+"""

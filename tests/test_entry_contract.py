@@ -41,6 +41,7 @@ ROWS_ONLY = {
 # and the eleven keys stranded at r4/r5 evidence, named in the
 # verdict.
 R10_WINDOW_PRIORITY = {
+    "txlog_range_scan", "txlog_change_feed", "txlog_merge_scan",
     "contamination_report", "merge_upsert_orders",
     "q12_priority_shipping", "q16_supplier_part_counts",
     "q20_excess_suppliers", "text_scrub", "doc_fingerprint",
