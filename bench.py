@@ -95,6 +95,11 @@ BENCH_QUERIES = [
     "ann_index_topk",        # C88 disk-backed IVF index query
     "corpus_report_by_source",  # C86 per-source data card
     "contamination_report",  # C89 severity report (one-pass r9)
+    # r10 additions (first measured in BENCH_r10): the txlog-format
+    # oracle keys — each BUILDS its table from orders inside the
+    # query, so the number is commit+scan end-to-end, not scan-only
+    "txlog_range_scan",      # E22 append x4 + data-skipped read
+    "txlog_merge_scan",      # E22 file-granular MERGE + snapshot read
 ]
 
 
