@@ -744,3 +744,32 @@ def test_knn_graph_ivf_salted_is_bit_identical(spark, sf_dir):
     full_salted = {tuple(r) for r in S.knn_graph_ivf(
         emb, k=5, n_lists=8, n_probe=8, salt=3).collect()}
     assert full_salted == exact
+
+
+def test_two_level_assign_plan_shape(spark, sf_dir):
+    """The 1e9-regime contract IN THE PLAN: assignment is ONE
+    cogroup over exactly one hash exchange per side (vectors and
+    fine centroids each shuffle once on coarse_id) — no cartesian/
+    nested-loop join and no broadcast of the fine-centroid table
+    anywhere (broadcasting it is precisely the O(n_lists)-per-task
+    shape the operator exists to avoid)."""
+    import numpy as np
+
+    from gcp_data_engineering_workshop_spark.functions.vectorfns import (
+        mat_from_arrow)
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    tbl = (emb.orderBy("vec_id").limit(256)
+           .select("embedding").toArrow())
+    fine = S._kmeans_centroids(
+        mat_from_arrow(tbl.column("embedding")), 16)
+    fine_df, coarse = S.quantizer_from_centroids(spark, fine,
+                                                 coarse_k=4)
+    out = S.two_level_assign(emb, fine_df, coarse, block_probe=1)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]  # AQE prints both
+    assert "Cartesian" not in final and "NestedLoop" not in final
+    assert "BroadcastExchange" not in final
+    assert final.count("FlatMapCoGroups") == 1
+    assert final.count("Exchange hashpartitioning") == 2
