@@ -330,25 +330,46 @@ def read(spark, root: str, version: int | None = None) -> DataFrame:
     return spark.read.parquet(*files)
 
 
-# Max boolean columns per membership-aggregate pass. A million-file
-# table runs ceil(n_files / batch) bounded-width aggregates over the
-# (cached) distinct update keys instead of one pathologically wide
-# plan (VERDICT r9 What's-wrong #3). Tests shrink it to cross the
-# batch boundary with a handful of files.
-_STAT_AGG_BATCH = 1024
+# Max boolean columns per membership-aggregate pass (the FALLBACK
+# path for huge distinct-key sets). A million-file table runs
+# ceil(n_files / batch) bounded-width aggregates over the (cached)
+# distinct update keys instead of one pathologically wide plan
+# (VERDICT r9 What's-wrong #3). Kept small: Catalyst analysis +
+# codegen of the aggregate grow superlinearly in expression count —
+# a 1024-column pass measured ~20 s of pure planning at 1000 files
+# (PLANS.md r10), a 128-column pass stays in the planner's
+# comfortable range.
+_STAT_AGG_BATCH = 128
+
+# Distinct update keys up to this bound collect to the driver and
+# the file-range membership test runs as sorted-keys bisect per
+# file — n_files * log(n_keys) C-level compares, type-exact
+# (Python ints never round through float64, unlike a numpy
+# searchsorted), and ZERO Spark jobs per file batch. A daily 0.1%
+# upsert's key set fits comfortably; beyond the bound the batched
+# distributed aggregate takes over. Tests set 0 to force the
+# fallback.
+_KEY_COLLECT_BOUND = 2_000_000
 
 
 def _files_touching_keys(spark, files: dict[str, dict], updates: DataFrame,
                          key: str) -> list[str]:
     """The live files whose footer [min,max] range for ``key``
     intersects at least one update key — plus every file lacking a
-    stat for ``key`` (conservative). The membership test runs as
-    distributed aggregates over the distinct update keys (a boolean
-    max per candidate file — map-side-combinable, zero collect of
-    the keys, zero join), batched ``_STAT_AGG_BATCH`` file-columns
-    per pass so a 100k-file table never builds a 100k-column plan;
-    the distinct-key set is cached across passes. The file LIST is
-    log metadata and is already on the driver.
+    stat for ``key`` (conservative). Two regimes:
+
+    - distinct keys <= ``_KEY_COLLECT_BOUND`` (the normal upsert):
+      collect the sorted key list once and bisect each file's
+      [lo, hi] against it — n_files * log(n_keys) C-level compares
+      on the driver, type-exact (Python int compares never round a
+      bigint through float64), zero Spark planning per file.
+    - beyond the bound: distributed aggregates over the distinct
+      keys (a boolean max per candidate file — map-side-combinable,
+      zero key collect, zero join), batched ``_STAT_AGG_BATCH``
+      file-columns per pass so a 100k-file table never builds a
+      100k-column plan; the key set is cached across passes.
+
+    The file LIST is log metadata and is already on the driver.
 
     NaN guard (ADVICE r9): parquet footer min/max EXCLUDES NaN, and
     in Spark ``NaN >= lo`` is false — so a range test can never
@@ -366,7 +387,31 @@ def _files_touching_keys(spark, files: dict[str, dict], updates: DataFrame,
     if not ranged:
         return touched
     keys = updates.select(F.col(key).alias("_k")).distinct()
-    if updates.schema[key].dataType.simpleString() in ("float", "double"):
+    is_float = updates.schema[key].dataType.simpleString() in (
+        "float", "double")
+    n_keys = keys.count()
+    if n_keys <= _KEY_COLLECT_BOUND:
+        # fast path: bounded key set -> driver bisect over the file
+        # ranges (no per-batch Spark planning; the aggregate path
+        # below measured ~20 s of pure Catalyst work per 1024-wide
+        # pass at 1000 files)
+        import bisect
+
+        ks = [r[0] for r in keys.collect() if r[0] is not None]
+        if is_float and any(k != k for k in ks):
+            # NaN update key: footer stats exclude NaN but join
+            # keys match NaN = NaN — conservatively touch every
+            # stat-bearing file (ADVICE r9)
+            return touched + [p for p, _rng in ranged]
+        ks = sorted(k for k in ks if k == k)
+        if not ks:
+            return touched
+        for p, (lo, hi) in ranged:
+            i = bisect.bisect_left(ks, lo)
+            if i < len(ks) and ks[i] <= hi:
+                touched.append(p)
+        return touched
+    if is_float:
         has_nan = keys.agg(
             F.max(F.isnan(F.col("_k")))).collect()[0][0]
         if has_nan:

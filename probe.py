@@ -270,6 +270,50 @@ def run_avrolite_zonemap_leg(spark) -> dict:
     return row
 
 
+def run_txlog_merge_scale_leg(spark) -> dict:
+    """E22's 100-TB claim measured: a fixed-size upsert against a
+    range-clustered txlog table must cost ~the same whether the
+    table has 1.5M rows in 100 files or 15M rows in 1000 files —
+    merge reads/rewrites only the key-range-intersecting files, so
+    t_merge tracks TOUCHED files, not the table. Records the merge
+    wall time, the commit's n_remove (files actually rewritten; the
+    assert is <= 4 at BOTH scales), and the decade exponent
+    (expected ~0: snapshot resolution + the batched membership
+    aggregate grow only in metadata width)."""
+    from pyspark.sql import functions as F
+
+    from gcp_data_engineering_workshop_spark.sources import txlog as T
+
+    row: dict = {}
+    for k, (n_rows, n_files) in (("x10", (1_500_000, 100)),
+                                 ("x100", (15_000_000, 1000))):
+        root = os.path.join(WORK, f"txmerge{k}", "t")
+        if not os.path.exists(os.path.join(
+                os.path.dirname(root), "_DONE")):
+            df = (spark.range(n_rows)
+                  .select(F.col("id").alias("k"),
+                          (F.col("id") * 7 % 1000).alias("v"))
+                  .repartitionByRange(n_files, "k"))
+            T.append(df, root, checkpoint_every=0)
+            open(os.path.join(os.path.dirname(root), "_DONE"),
+                 "w").write("")
+        ups = spark.createDataFrame(
+            [(n_rows // 2 + i, -1) for i in range(100)],
+            "k bigint, v bigint")
+        t0 = time.monotonic()
+        T.merge_upsert(spark, root, ups, "k", checkpoint_every=0)
+        row[f"t_merge_{k}"] = round(time.monotonic() - t0, 3)
+        hist = T.history(root)[-1]
+        row[f"files_rewritten_{k}"] = hist["n_remove"]
+        row[f"n_files_{k}"] = n_files
+        spark.catalog.clearCache()
+    row["exp_10_100"] = round(
+        math.log10(row["t_merge_x100"] / row["t_merge_x10"]), 3)
+    row["pruned_ok"] = (row["files_rewritten_x10"] <= 4
+                        and row["files_rewritten_x100"] <= 4)
+    return row
+
+
 def main() -> None:
     if len(sys.argv) > 1:
         rnd = int(sys.argv[1])
@@ -314,6 +358,11 @@ def main() -> None:
                 spark)
             print(f"## avrolite_zonemap: "
                   f"{results['avrolite_zonemap']}", flush=True)
+        if not only or "txlog_merge_scale" in only:
+            results["txlog_merge_scale"] = run_txlog_merge_scale_leg(
+                spark)
+            print(f"## txlog_merge_scale: "
+                  f"{results['txlog_merge_scale']}", flush=True)
     finally:
         spark.stop()
 

@@ -426,6 +426,16 @@ def test_merge_nan_key_touches_all_float_statted_files(spark, tmp_path):
         [(float("nan"), "n")], "k double, v string")
     touched = T._files_touching_keys(spark, snap["files"], ups, "k")
     assert sorted(touched) == sorted(snap["files"])
+    # same conservative rule on the distributed fallback path
+    import gcp_data_engineering_workshop_spark.sources.txlog as _T
+    old = _T._KEY_COLLECT_BOUND
+    try:
+        _T._KEY_COLLECT_BOUND = 0
+        touched2 = T._files_touching_keys(
+            spark, snap["files"], ups, "k")
+        assert sorted(touched2) == sorted(snap["files"])
+    finally:
+        _T._KEY_COLLECT_BOUND = old
 
 
 def test_files_touching_keys_batches_column_groups(spark, tmp_path,
@@ -441,12 +451,15 @@ def test_files_touching_keys_batches_column_groups(spark, tmp_path,
     snap = T.snapshot(root)
     assert len(snap["files"]) == n_files
     ups = spark.createDataFrame([(5,), (105,), (222,)], "k int")
+    bisected = sorted(T._files_touching_keys(
+        spark, snap["files"], ups, "k"))  # fast path (key collect)
+    monkeypatch.setattr(T, "_KEY_COLLECT_BOUND", 0)  # force agg path
     unbatched = sorted(T._files_touching_keys(
         spark, snap["files"], ups, "k"))
     monkeypatch.setattr(T, "_STAT_AGG_BATCH", 7)  # force 4 passes
     batched = sorted(T._files_touching_keys(
         spark, snap["files"], ups, "k"))
-    assert batched == unbatched
+    assert bisected == unbatched == batched
     assert len(batched) == 3  # exactly the three key-bearing files
 
 
