@@ -86,6 +86,66 @@ class CommitConflict(Exception):
     (e.g. the table was overwritten after this writer's snapshot)."""
 
 
+class SchemaMismatch(Exception):
+    """The write's schema differs from the table's recorded schema
+    and the caller did not opt into evolution (merge_schema=True) —
+    or the evolution is unsafe (a shared column changed type, or a
+    column disappeared). Schema ENFORCEMENT is the Delta-paper
+    feature that keeps a typo'd producer from silently landing a
+    divergent file the readers then trip over."""
+
+
+def _schema_check(df: DataFrame, table_schema: str | None,
+                  merge_schema: bool) -> str | None:
+    """Returns the schema JSON to RECORD in this commit (None when
+    the table schema is unchanged). Enforcement rules:
+    - first write (table_schema None): record df's schema;
+    - identical schema: record nothing;
+    - merge_schema=False: raise SchemaMismatch;
+    - merge_schema=True: df may ADD columns; every column shared
+      with the table must keep its exact type, and no table column
+      may disappear from the union (old files simply lack the new
+      columns — read() fills them with NULL via the recorded
+      schema). Records the evolved (union) schema.
+
+    Nullability is NOT part of the contract: parquet stores every
+    column optional and Spark sources disagree about it constantly
+    (spark.range is non-null, a JSON stream is nullable) — recorded
+    schemas are uniformly nullable and comparisons use simpleString,
+    which ignores nullability at every nesting level."""
+    from pyspark.sql.types import StructField, StructType
+
+    new = StructType([StructField(f.name, f.dataType, True)
+                      for f in df.schema.fields])
+    if table_schema is None:
+        return new.json()
+    cur = StructType.fromJson(json.loads(table_schema))
+    if new.simpleString() == cur.simpleString():
+        return None
+    if not merge_schema:
+        raise SchemaMismatch(
+            f"write schema {new.simpleString()} != table schema "
+            f"{cur.simpleString()}; pass merge_schema=True to evolve")
+    cur_by_name = {f.name: f for f in cur.fields}
+    for f in new.fields:
+        if (f.name in cur_by_name
+                and f.dataType.simpleString()
+                != cur_by_name[f.name].dataType.simpleString()):
+            raise SchemaMismatch(
+                f"column {f.name} changes type "
+                f"{cur_by_name[f.name].dataType.simpleString()} -> "
+                f"{f.dataType.simpleString()}; type changes are not "
+                f"evolvable")
+    # every table column survives evolution (old data keeps its
+    # columns; a narrower write's files just lack them on disk and
+    # read back as NULL through the recorded schema — the same
+    # mechanism that backfills NEW columns for OLD files)
+    evolved = StructType(
+        list(cur.fields)
+        + [f for f in new.fields if f.name not in cur_by_name])
+    return evolved.json()
+
+
 def _log_path(root: str) -> str:
     return os.path.join(root, LOG_DIR)
 
@@ -132,6 +192,9 @@ def snapshot(root: str, version: int | None = None) -> dict:
         live = dict(cp["files"])
         txn = dict(cp.get("txn", {}))
         start = cps[-1]
+    schema = None
+    if cps:
+        schema = cp.get("schema")
     for v in versions:
         if v <= start or v > version:
             continue
@@ -144,7 +207,10 @@ def snapshot(root: str, version: int | None = None) -> dict:
         if "batch_id" in entry:
             app = entry.get("app_id", "stream")
             txn[app] = max(txn.get(app, -1), entry["batch_id"])
-    return {"version": version, "files": live, "txn": txn}
+        if "schema" in entry:
+            schema = entry["schema"]
+    return {"version": version, "files": live, "txn": txn,
+            "schema": schema}
 
 
 def history(root: str) -> list[dict]:
@@ -261,22 +327,35 @@ def _maybe_checkpoint(root: str, version: int,
         with open(tmp, "w") as fh:
             json.dump({"version": snap["version"],
                        "files": snap["files"],
-                       "txn": snap["txn"]}, fh)
+                       "txn": snap["txn"],
+                       "schema": snap.get("schema")}, fh)
         os.replace(tmp, path)
 
 
 def append(df: DataFrame, root: str, max_retries: int = 20,
-           checkpoint_every: int = 10) -> int:
+           checkpoint_every: int = 10,
+           merge_schema: bool = False) -> int:
     """Transactionally append ``df``. An append's actions reference
     only its OWN new files, so it serializes after any concurrent
     commit without semantic conflict (append-after-overwrite simply
     adds to the replaced table — the log order IS the serial order);
     losing the version race therefore always just retries at the
-    next number."""
+    next number.
+
+    SCHEMA ENFORCEMENT (Delta-paper contract): the first commit
+    records the table schema; later appends must match it exactly
+    or pass ``merge_schema=True`` to evolve (add columns — type
+    changes always refuse). The evolved schema rides the commit and
+    read() projects every file through it, so old files surface
+    NULL for new columns."""
     os.makedirs(root, exist_ok=True)
+    rec = _schema_check(df, snapshot(root).get("schema"),
+                        merge_schema)
     adds = _stage_write(df, root)
     entry = {"op": "append", "ts": time.time(),
              "actions": [{"add": a} for a in adds]}
+    if rec is not None:
+        entry["schema"] = rec
     for _ in range(max_retries):
         head = _list_versions(root)
         v = (head[-1] if head else 0) + 1
@@ -308,7 +387,12 @@ def overwrite(df: DataFrame, root: str, expected_version: int | None = None,
         entry = {"op": "overwrite", "ts": time.time(),
                  "actions": ([{"remove": {"path": p}}
                               for p in sorted(snap["files"])]
-                             + [{"add": a} for a in adds])}
+                             + [{"add": a} for a in adds]),
+                 # an overwrite REPLACES the table: its schema is
+                 # simply the new data's schema (full-replace is
+                 # the one op where divergence can't strand old
+                 # files behind the recorded schema)
+                 "schema": _schema_check(df, None, False)}
         if _try_commit(root, snap["version"] + 1, entry):
             _maybe_checkpoint(root, snap["version"] + 1,
                               checkpoint_every)
@@ -321,13 +405,25 @@ def read(spark, root: str, version: int | None = None) -> DataFrame:
     """Snapshot-isolated read (optionally time-traveled): resolve
     the live file list as of ``version`` and read exactly those
     parquet files — commits after resolution are invisible to this
-    DataFrame."""
+    DataFrame. When the log carries a recorded schema (every table
+    written since schema tracking), the read projects through the
+    schema AS OF that version — files predating an evolved column
+    surface NULL for it, and time travel returns the old shape."""
+    from pyspark.sql.types import StructType
+
     snap = snapshot(root, version)
     files = [os.path.join(root, p) for p in sorted(snap["files"])]
     if not files:
+        if snap.get("schema"):
+            return spark.createDataFrame(
+                [], StructType.fromJson(json.loads(snap["schema"])))
         return spark.createDataFrame([], "placeholder string") \
             .limit(0).drop("placeholder")
-    return spark.read.parquet(*files)
+    rdr = spark.read
+    if snap.get("schema"):
+        rdr = rdr.schema(
+            StructType.fromJson(json.loads(snap["schema"])))
+    return rdr.parquet(*files)
 
 
 # Max boolean columns per membership-aggregate pass (the FALLBACK
@@ -461,6 +557,12 @@ def merge_upsert(spark, root: str, updates: DataFrame, key: str,
     os.makedirs(root, exist_ok=True)
     for _ in range(max_retries):
         snap = snapshot(root)
+        if snap.get("schema") is not None:
+            # updates must match the table exactly — merge writes
+            # survivors + updates into shared files, so a divergent
+            # update schema can't be quarantined the way an evolved
+            # append can
+            _schema_check(updates, snap["schema"], False)
         touched = sorted(_files_touching_keys(
             spark, snap["files"], updates, key)) if snap["files"] else []
         if touched:
@@ -564,12 +666,16 @@ def stream_sink(root: str, app_id: str = "stream",
     """
 
     def _sink(batch_df, batch_id: int) -> None:
-        if snapshot(root)["txn"].get(app_id, -1) >= batch_id:
+        snap0 = snapshot(root)
+        if snap0["txn"].get(app_id, -1) >= batch_id:
             return  # replayed micro-batch: already committed
+        rec = _schema_check(batch_df, snap0.get("schema"), False)
         adds = _stage_write(batch_df, root)
         entry = {"op": "stream-append", "ts": time.time(),
                  "app_id": app_id, "batch_id": batch_id,
                  "actions": [{"add": a} for a in adds]}
+        if rec is not None:
+            entry["schema"] = rec
         for _ in range(20):
             head = _list_versions(root)
             v = (head[-1] if head else 0) + 1

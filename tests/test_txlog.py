@@ -731,3 +731,77 @@ def test_read_range_float_nan_rule(spark, tmp_path):
     two = T.read_range(spark, root, "x", lo=50.0, hi=200.0)
     assert {r.v for r in two.collect()} == {"hi"}
     assert len(two.inputFiles()) == 2  # NaN file + the 100.0 file
+
+
+def test_schema_enforcement_rejects_divergent_append(spark, tmp_path):
+    """Delta-paper schema enforcement: a typo'd producer can't land
+    a divergent file; nullability differences are NOT divergence."""
+    root = str(tmp_path / "tbl")
+    T.append(spark.createDataFrame([(1, "a")], "k int, v string"),
+             root)
+    with pytest.raises(T.SchemaMismatch, match="merge_schema"):
+        T.append(spark.createDataFrame([(2, 3.5)], "k int, x double"),
+                 root)
+    with pytest.raises(T.SchemaMismatch, match="type"):
+        T.append(spark.createDataFrame([("2", "b")],
+                                       "k string, v string"),
+                 root, merge_schema=True)
+    # nullable-only difference commits fine (spark.range vs JSON
+    # sources disagree about nullability constantly)
+    T.append(spark.createDataFrame([(2, "b")], "k int, v string")
+             .selectExpr("cast(k as int) k", "v"), root)
+    assert sorted((r.k, r.v) for r in T.read(spark, root).collect()) \
+        == [(1, "a"), (2, "b")]
+    # merge updates enforce too
+    with pytest.raises(T.SchemaMismatch):
+        T.merge_upsert(spark, root, spark.createDataFrame(
+            [(1, "a", 9)], "k int, v string, extra int"), "k")
+
+
+def test_schema_evolution_backfills_nulls_and_time_travels(
+        spark, tmp_path):
+    """merge_schema=True adds a column: old files surface NULL for
+    it through the recorded schema; time travel returns the OLD
+    shape; a narrower later write backfills the same way; overwrite
+    resets the schema to the new data's."""
+    root = str(tmp_path / "tbl")
+    T.append(spark.createDataFrame([(1, "a")], "k int, v string"),
+             root)                                          # v1
+    T.append(spark.createDataFrame(
+        [(2, "b", 0.5)], "k int, v string, score double"),
+        root, merge_schema=True)                            # v2
+    cur = T.read(spark, root)
+    assert cur.columns == ["k", "v", "score"]
+    got = {(r.k, r.v, r.score) for r in cur.collect()}
+    assert got == {(1, "a", None), (2, "b", 0.5)}
+    # time travel: v1 predates the column entirely
+    old = T.read(spark, root, version=1)
+    assert old.columns == ["k", "v"]
+    # a narrower write (no score) still matches via evolution and
+    # backfills NULL — the union schema persists
+    T.append(spark.createDataFrame([(3, "c")], "k int, v string"),
+             root, merge_schema=True)                       # v3
+    got3 = {(r.k, r.v, r.score)
+            for r in T.read(spark, root).collect()}
+    assert got3 == {(1, "a", None), (2, "b", 0.5), (3, "c", None)}
+    # checkpoint carries the schema (v3 did not re-record it)
+    T.append(spark.createDataFrame(
+        [(4, "d", 1.0)], "k int, v string, score double"),
+        root, checkpoint_every=1)                           # v4 + cp
+    assert T.snapshot(root)["schema"] is not None
+    # overwrite replaces the schema wholesale
+    T.overwrite(spark.createDataFrame([(9,)], "z bigint"), root)
+    assert T.read(spark, root).columns == ["z"]
+
+
+def test_schema_enforcement_in_stream_sink(spark, tmp_path):
+    """The exactly-once sink enforces the recorded schema per
+    micro-batch — a divergent batch fails loudly instead of landing
+    a stray file."""
+    root = str(tmp_path / "tbl")
+    sink = T.stream_sink(root)
+    sink(spark.range(3).selectExpr("id", "id * 2 as v"), 0)
+    with pytest.raises(T.SchemaMismatch):
+        sink(spark.range(3).selectExpr("id", "'x' as other"), 1)
+    sink(spark.range(3, 5).selectExpr("id", "id * 2 as v"), 1)
+    assert T.read(spark, root).count() == 5
