@@ -777,10 +777,16 @@ def read_changes(spark, root: str, from_version: int,
     read() has). Cost: O(versions in window) log-file reads plus a
     scan of exactly the window's add files — never the table."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
 
     versions = [v for v in _list_versions(root)
                 if v > from_version
                 and (to_version is None or v <= to_version)]
+    # the feed surfaces in ONE shape: the schema as of the window's
+    # END — rows committed before an evolved column arrive with
+    # NULL for it (the same projection read() applies), so the
+    # union below never sees ragged parts
+    end_schema = snapshot(root, to_version).get("schema")
     parts = []
     for v in versions:
         e = json.load(open(_version_file(root, v)))
@@ -790,8 +796,12 @@ def read_changes(spark, root: str, from_version: int,
                 for a in e["actions"] if "add" in a]
         if not adds:
             continue
+        rdr = spark.read
+        if end_schema:
+            rdr = rdr.schema(
+                StructType.fromJson(json.loads(end_schema)))
         parts.append(
-            spark.read.parquet(*adds)
+            rdr.parquet(*adds)
             .withColumn("_commit_version", F.lit(v))
             .withColumn("_commit_op", F.lit(e["op"])))
     if not parts:
@@ -887,11 +897,17 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
                 raise ValueError(
                     "txlogstream: table has no live files yet "
                     f"under {self.root}")
-            first = sorted(snap["files"])[0]
-            import pyarrow.parquet as pq
-            self._fields = [
-                f.name for f in pq.ParquetFile(
-                    os.path.join(self.root, first)).schema_arrow]
+            if snap.get("schema"):
+                from pyspark.sql.types import StructType as _ST
+                self._fields = [
+                    f.name for f in _ST.fromJson(
+                        json.loads(snap["schema"])).fields]
+            else:
+                first = sorted(snap["files"])[0]
+                import pyarrow.parquet as pq
+                self._fields = [
+                    f.name for f in pq.ParquetFile(
+                        os.path.join(self.root, first)).schema_arrow]
 
         def _rows(self, lo: int, hi: int):
             import pyarrow.parquet as pq
@@ -915,7 +931,11 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
                     tbl = pq.read_table(os.path.join(
                         self.root, a["add"]["path"]))
                     for rec in tbl.to_pylist():
-                        out.append(tuple(rec[f] for f in self._fields))
+                        # rec.get: a file predating an evolved
+                        # column yields None for it (the same
+                        # NULL-backfill projection read() applies)
+                        out.append(tuple(rec.get(f)
+                                         for f in self._fields))
             return out
 
         def initialOffset(self):
@@ -947,6 +967,12 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
                 raise ValueError(
                     "txlogstream: cannot infer schema from an "
                     "empty table; commit data first")
+            if snap.get("schema"):
+                from pyspark.sql.types import StructType as _ST
+                st = _ST.fromJson(json.loads(snap["schema"]))
+                return ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}"
+                    for f in st.fields)
             first = sorted(snap["files"])[0]
             return _pa_to_ddl(
                 os.path.join(self.options["path"], first))

@@ -805,3 +805,40 @@ def test_schema_enforcement_in_stream_sink(spark, tmp_path):
         sink(spark.range(3).selectExpr("id", "'x' as other"), 1)
     sink(spark.range(3, 5).selectExpr("id", "id * 2 as v"), 1)
     assert T.read(spark, root).count() == 5
+
+
+def test_read_changes_and_stream_follow_schema_evolution(
+        spark, tmp_path):
+    """After an evolving append, the change feed and the streaming
+    source surface ONE uniform shape (the as-of-window-end schema),
+    backfilling NULL for rows committed before the column existed —
+    no ragged unions, no first-file-wins schema."""
+    from gcp_data_engineering_workshop_spark.sources.txlog import (
+        TxLogStreamDataSource)
+
+    root = str(tmp_path / "tbl")
+    T.append(spark.createDataFrame([(1, "a")], "k int, v string"),
+             root)                                          # v1
+    T.append(spark.createDataFrame(
+        [(2, "b", 0.5)], "k int, v string, score double"),
+        root, merge_schema=True)                            # v2
+    ch = T.read_changes(spark, root, from_version=0)
+    assert ch.columns == ["k", "v", "score",
+                          "_commit_version", "_commit_op"]
+    got = {(r.k, r.v, r.score, r._commit_version)
+           for r in ch.collect()}
+    assert got == {(1, "a", None, 1), (2, "b", 0.5, 2)}
+    # the stream source emits the evolved shape with NULL backfill
+    spark.dataSource.register(TxLogStreamDataSource)
+    stream = (spark.readStream.format("txlogstream")
+              .option("path", root).load())
+    assert stream.columns == ["k", "v", "score"]
+    q = (stream.writeStream.format("memory")
+         .queryName("txlog_evo").outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        rows = spark.table("txlog_evo").collect()
+    finally:
+        q.stop()
+    assert {(r.k, r.v, r.score) for r in rows} == \
+        {(1, "a", None), (2, "b", 0.5)}
