@@ -745,6 +745,46 @@ def vacuum(root: str, retention_seconds: float = 3600.0) -> list[str]:
     return sorted(removed)
 
 
+def restore(root: str, version: int,
+            max_retries: int = 5, checkpoint_every: int = 10) -> int:
+    """RESTORE the table to a historical version — as a NEW commit
+    (Delta's RESTORE semantics: the rollback is itself logged, so
+    it is auditable, time-travelable past, and CAS-serialized with
+    concurrent writers; nothing is rewritten — the commit just
+    re-points the live set at version N's files, which survive on
+    disk as long as vacuum retention allows). The recorded schema
+    rolls back with it. Raises if any of version N's files has
+    already been vacuumed (a deep restore past retention is the
+    same impossibility as a deep time-travel read)."""
+    target = snapshot(root, version)
+    missing = [p for p in target["files"]
+               if not os.path.exists(os.path.join(root, p))]
+    if missing:
+        raise ValueError(
+            f"restore({version}): {len(missing)} data file(s) "
+            f"already vacuumed, e.g. {missing[0]}")
+    for _ in range(max_retries):
+        snap = snapshot(root)
+        entry = {"op": "restore", "ts": time.time(),
+                 "restored_version": version,
+                 "actions": ([{"remove": {"path": p}}
+                              for p in sorted(snap["files"])
+                              if p not in target["files"]]
+                             + [{"add": a} for p, a in
+                                sorted(target["files"].items())
+                                if p not in snap["files"]])}
+        if target.get("schema"):
+            entry["schema"] = target["schema"]
+        if snapshot(root)["version"] == snap["version"] and \
+                _try_commit(root, snap["version"] + 1, entry):
+            _maybe_checkpoint(root, snap["version"] + 1,
+                              checkpoint_every)
+            return snap["version"] + 1
+    raise CommitConflict(
+        f"restore lost the snapshot race {max_retries} times "
+        f"under {root}")
+
+
 def read_changes(spark, root: str, from_version: int,
                  to_version: int | None = None,
                  include_ops: tuple = ("append", "stream-append",

@@ -842,3 +842,36 @@ def test_read_changes_and_stream_follow_schema_evolution(
         q.stop()
     assert {(r.k, r.v, r.score) for r in rows} == \
         {(1, "a", None), (2, "b", 0.5)}
+
+
+def test_restore_rolls_back_as_a_new_commit(spark, tmp_path):
+    """RESTORE re-points the live set at a historical version as a
+    logged, auditable commit: data AND schema roll back, history
+    keeps going forward, and files re-referenced by the restore
+    survive a subsequent vacuum."""
+    root = str(tmp_path / "tbl")
+    T.append(spark.createDataFrame([(1, "a")], "k int, v string"),
+             root)                                          # v1
+    T.append(spark.createDataFrame(
+        [(2, "b", 0.7)], "k int, v string, score double"),
+        root, merge_schema=True)                            # v2
+    T.overwrite(spark.createDataFrame([(9,)], "z bigint"), root)  # v3
+    v4 = T.restore(root, 2)
+    assert v4 == 4
+    back = T.read(spark, root)
+    assert back.columns == ["k", "v", "score"]
+    assert {(r.k, r.v, r.score) for r in back.collect()} == \
+        {(1, "a", None), (2, "b", 0.7)}
+    hist = T.history(root)
+    assert [h["op"] for h in hist] == [
+        "append", "append", "overwrite", "restore"]
+    # the restore's files survive vacuum; v3's overwrite file is
+    # now unreferenced at head but still time-travelable (young)
+    T.vacuum(root)  # default retention protects everything fresh
+    assert {(r.z,) for r in
+            T.read(spark, root, version=3).collect()} == {(9,)}
+    # restoring to a state equal to head is a no-op-shaped commit
+    v5 = T.restore(root, 2)
+    assert v5 == 5
+    assert T.history(root)[-1]["n_add"] == 0
+    assert T.history(root)[-1]["n_remove"] == 0
