@@ -42,7 +42,19 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle with map-side partial aggregation; 4-group output.
     """
     li = load_table(spark, "lineitem", sf_dir)
-    charge = _revenue_expr() * (F.lit(1).cast(_DEC) + _dec("l_tax"))
+    # charge multiplies THREE decimals — at (18,4) factors the
+    # product needs precision 56 and Spark's allowPrecisionLoss
+    # rounds where DuckDB widens, which showed up as float-tolerant
+    # drift at the sf0.1 spot-check (PLANS.md r10). Narrow casts
+    # keep every intermediate inside precision 38 so NEITHER engine
+    # ever rounds: (12,4) x (7,4) -> (20,8), x (7,4) -> (28,12),
+    # exact fixed-point end to end (l_extendedprice < 1e8 fits
+    # (12,4); the discount/tax factors are in [0, 2]).
+    _d12 = F.col("l_extendedprice").cast("decimal(12,4)")
+    _one6 = F.lit(1).cast("decimal(6,4)")
+    charge = (_d12
+              * (_one6 - F.col("l_discount").cast("decimal(6,4)"))
+              * (_one6 + F.col("l_tax").cast("decimal(6,4)")))
     cnt = F.count(F.lit(1))
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00"))
@@ -50,7 +62,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
             F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(_revenue_expr()).cast("double").alias("sum_disc_price"),
+            F.sum(_revenue_expr()).cast("double")
+            .alias("sum_disc_price"),
             F.sum(charge).cast("double").alias("sum_charge"),
             (F.sum(_dec("l_quantity")).cast("double") / cnt).alias("avg_qty"),
             (F.sum(_dec("l_extendedprice")).cast("double") / cnt).alias("avg_price"),

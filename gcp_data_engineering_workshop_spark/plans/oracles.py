@@ -184,8 +184,12 @@ Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM({_REV}) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM({_REV} * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
+       CAST(CAST(SUM({_REV}) AS VARCHAR) AS DOUBLE)
+         AS sum_disc_price,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                     * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))
+                     * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4))))
+                 AS VARCHAR) AS DOUBLE) AS sum_charge,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
        CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
