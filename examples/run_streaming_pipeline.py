@@ -11,6 +11,11 @@ and, in parallel from the same source,
   -> foreachBatch idempotent upsert sink   (≈ WriteToBigQuery
      WRITE_APPEND; stateful output is update-mode, which append-only
      file sinks can't take directly)
+and finally the r10 table-format hop: the joined metrics land in an
+E22 txlog table via the exactly-once stream sink, and a SECOND
+stream (readStream format "txlogstream") tails that table into a
+downstream aggregate — the bronze -> silver medallion shape, both
+edges on the commit log.
 
 Run: python examples/run_streaming_pipeline.py
 """
@@ -61,6 +66,36 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     df.where("is_volume_spike").orderBy("ticker", "window_start") \
       .show(10, truncate=False)
     print(f"windows written: {df.count()}, spikes: {df.where('is_volume_spike').count()}")
+
+    # --- table-to-table hop: joined metrics -> txlog (exactly-once
+    # sink) -> txlogstream source -> downstream per-ticker rollup ---
+    from pyspark.sql import functions as F
+
+    from gcp_data_engineering_workshop_spark.sources import txlog as T
+    from gcp_data_engineering_workshop_spark.sources.txlog import (
+        TxLogStreamDataSource)
+
+    bronze = f"{out}/bronze"
+    q3 = (spl.joined_metrics_stream(
+            spl.read_tick_stream(spark, feed, max_files_per_trigger=2))
+          .writeStream.option("checkpointLocation", f"{out}/ckpt_b")
+          .foreachBatch(T.stream_sink(bronze, app_id="bronze"))
+          .start())
+    q3.processAllAvailable(); q3.stop()
+
+    spark.dataSource.register(TxLogStreamDataSource)
+    silver = (spark.readStream.format("txlogstream")
+              .option("path", bronze).load()
+              .groupBy("ticker")
+              .agg(F.count(F.lit(1)).alias("n_windows"),
+                   F.max("sma_5m").alias("max_sma")))
+    q4 = (silver.writeStream.format("memory").queryName("silver")
+          .outputMode("complete").start())
+    q4.processAllAvailable(); q4.stop()
+    print("\n-- silver rollup (streamed FROM the txlog table) --")
+    spark.table("silver").orderBy("ticker").show(10, truncate=False)
+    print(f"bronze commits: {len(T.history(bronze))}, "
+          f"txn watermark: {T.snapshot(bronze)['txn']}")
     spark.stop()
 
 

@@ -889,6 +889,11 @@ def _pa_to_ddl(path: str) -> str:
     return ", ".join(parts)
 
 
+from datetime import timezone as _tz_mod
+
+_utc = _tz_mod.utc
+
+
 class NonAppendChange(Exception):
     """The stream hit a merge/overwrite commit without
     ignore_changes=true — emitting its files would re-send rows
@@ -937,17 +942,24 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
                 raise ValueError(
                     "txlogstream: table has no live files yet "
                     f"under {self.root}")
+            self._tz_fields: set = set()
             if snap.get("schema"):
                 from pyspark.sql.types import StructType as _ST
-                self._fields = [
-                    f.name for f in _ST.fromJson(
-                        json.loads(snap["schema"])).fields]
+                st = _ST.fromJson(json.loads(snap["schema"]))
+                self._fields = [f.name for f in st.fields]
+                self._tz_fields = {
+                    f.name for f in st.fields
+                    if f.dataType.typeName() == "timestamp"}
             else:
                 first = sorted(snap["files"])[0]
                 import pyarrow.parquet as pq
-                self._fields = [
-                    f.name for f in pq.ParquetFile(
-                        os.path.join(self.root, first)).schema_arrow]
+                sch = pq.ParquetFile(
+                    os.path.join(self.root, first)).schema_arrow
+                self._fields = [f.name for f in sch]
+                self._tz_fields = {
+                    f.name for f in sch
+                    if str(f.type).startswith("timestamp")
+                    and "tz=" in str(f.type)}
 
         def _rows(self, lo: int, hi: int):
             import pyarrow.parquet as pq
@@ -973,9 +985,18 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
                     for rec in tbl.to_pylist():
                         # rec.get: a file predating an evolved
                         # column yields None for it (the same
-                        # NULL-backfill projection read() applies)
-                        out.append(tuple(rec.get(f)
-                                         for f in self._fields))
+                        # NULL-backfill projection read() applies).
+                        # TIMESTAMP (LTZ) fields: parquet stores
+                        # UTC-normalized micros; arrow may hand
+                        # back tz-naive datetimes, which the row
+                        # converter refuses — pin UTC explicitly.
+                        out.append(tuple(
+                            v.replace(tzinfo=_utc)
+                            if (f in self._tz_fields
+                                and v is not None
+                                and v.tzinfo is None) else v
+                            for f in self._fields
+                            for v in (rec.get(f),)))
             return out
 
         def initialOffset(self):
