@@ -86,6 +86,12 @@ class CommitConflict(Exception):
     (e.g. the table was overwritten after this writer's snapshot)."""
 
 
+class ConstraintViolation(Exception):
+    """A write contains rows that make a table CHECK constraint
+    FALSE (SQL semantics: NULL passes — a constraint rejects only
+    provable violations)."""
+
+
 class SchemaMismatch(Exception):
     """The write's schema differs from the table's recorded schema
     and the caller did not opt into evolution (merge_schema=True) —
@@ -193,8 +199,10 @@ def snapshot(root: str, version: int | None = None) -> dict:
         txn = dict(cp.get("txn", {}))
         start = cps[-1]
     schema = None
+    constraints: dict[str, str] = {}
     if cps:
         schema = cp.get("schema")
+        constraints = dict(cp.get("constraints", {}))
     for v in versions:
         if v <= start or v > version:
             continue
@@ -209,8 +217,12 @@ def snapshot(root: str, version: int | None = None) -> dict:
             txn[app] = max(txn.get(app, -1), entry["batch_id"])
         if "schema" in entry:
             schema = entry["schema"]
+        if entry["op"] == "set-constraint":
+            constraints[entry["name"]] = entry["expr"]
+        elif entry["op"] == "drop-constraint":
+            constraints.pop(entry["name"], None)
     return {"version": version, "files": live, "txn": txn,
-            "schema": schema}
+            "schema": schema, "constraints": constraints}
 
 
 def history(root: str) -> list[dict]:
@@ -328,8 +340,69 @@ def _maybe_checkpoint(root: str, version: int,
             json.dump({"version": snap["version"],
                        "files": snap["files"],
                        "txn": snap["txn"],
-                       "schema": snap.get("schema")}, fh)
+                       "schema": snap.get("schema"),
+                       "constraints": snap.get("constraints", {})},
+                      fh)
         os.replace(tmp, path)
+
+
+def _check_constraints(df: DataFrame, constraints: dict) -> None:
+    """One extra distributed pass over the WRITE (not the table):
+    a row violates constraint c when c evaluates to FALSE (NULL
+    passes, SQL CHECK semantics). All constraints validate in a
+    single job; the first offending constraint is named in the
+    error. This is the enforcement cost Delta folds into its write
+    job — a separate bounded pass here, worth one scan of the new
+    data to keep a bad producer from poisoning the table."""
+    from pyspark.sql import functions as F
+
+    if not constraints:
+        return
+    names = sorted(constraints)
+    flags = [F.coalesce(F.expr(constraints[n]), F.lit(True))
+             .alias(f"c{i}") for i, n in enumerate(names)]
+    row = df.select(*flags).agg(
+        *[F.min(f"c{i}").alias(f"c{i}")
+          for i in range(len(names))]).collect()[0]
+    for i, n in enumerate(names):
+        if row[i] is False:
+            raise ConstraintViolation(
+                f"constraint {n!r} ({constraints[n]}) is violated "
+                f"by the write")
+
+
+def add_constraint(root: str, name: str, expr: str,
+                   max_retries: int = 20,
+                   checkpoint_every: int = 10) -> int:
+    """Record a CHECK constraint as a logged commit (auditable,
+    time-travelable, CAS-serialized like every other table change).
+    Enforced on every subsequent append / merge_upsert / stream
+    batch; existing data is NOT retro-validated (the caller can
+    read() and assert if they need that)."""
+    entry = {"op": "set-constraint", "ts": time.time(),
+             "name": name, "expr": expr, "actions": []}
+    for _ in range(max_retries):
+        head = _list_versions(root)
+        v = (head[-1] if head else 0) + 1
+        if _try_commit(root, v, entry):
+            _maybe_checkpoint(root, v, checkpoint_every)
+            return v
+    raise CommitConflict(f"add_constraint lost the version race "
+                         f"{max_retries} times under {root}")
+
+
+def drop_constraint(root: str, name: str, max_retries: int = 20,
+                    checkpoint_every: int = 10) -> int:
+    entry = {"op": "drop-constraint", "ts": time.time(),
+             "name": name, "actions": []}
+    for _ in range(max_retries):
+        head = _list_versions(root)
+        v = (head[-1] if head else 0) + 1
+        if _try_commit(root, v, entry):
+            _maybe_checkpoint(root, v, checkpoint_every)
+            return v
+    raise CommitConflict(f"drop_constraint lost the version race "
+                         f"{max_retries} times under {root}")
 
 
 def append(df: DataFrame, root: str, max_retries: int = 20,
@@ -349,8 +422,9 @@ def append(df: DataFrame, root: str, max_retries: int = 20,
     read() projects every file through it, so old files surface
     NULL for new columns."""
     os.makedirs(root, exist_ok=True)
-    rec = _schema_check(df, snapshot(root).get("schema"),
-                        merge_schema)
+    snap0 = snapshot(root)
+    rec = _schema_check(df, snap0.get("schema"), merge_schema)
+    _check_constraints(df, snap0.get("constraints", {}))
     adds = _stage_write(df, root)
     entry = {"op": "append", "ts": time.time(),
              "actions": [{"add": a} for a in adds]}
@@ -563,6 +637,7 @@ def merge_upsert(spark, root: str, updates: DataFrame, key: str,
             # update schema can't be quarantined the way an evolved
             # append can
             _schema_check(updates, snap["schema"], False)
+        _check_constraints(updates, snap.get("constraints", {}))
         touched = sorted(_files_touching_keys(
             spark, snap["files"], updates, key)) if snap["files"] else []
         if touched:
@@ -670,6 +745,7 @@ def stream_sink(root: str, app_id: str = "stream",
         if snap0["txn"].get(app_id, -1) >= batch_id:
             return  # replayed micro-batch: already committed
         rec = _schema_check(batch_df, snap0.get("schema"), False)
+        _check_constraints(batch_df, snap0.get("constraints", {}))
         adds = _stage_write(batch_df, root)
         entry = {"op": "stream-append", "ts": time.time(),
                  "app_id": app_id, "batch_id": batch_id,

@@ -875,3 +875,45 @@ def test_restore_rolls_back_as_a_new_commit(spark, tmp_path):
     assert v5 == 5
     assert T.history(root)[-1]["n_add"] == 0
     assert T.history(root)[-1]["n_remove"] == 0
+
+
+def test_check_constraints_enforced_on_all_write_paths(
+        spark, tmp_path):
+    """CHECK constraints: logged commits, enforced on append /
+    merge / stream batches, SQL NULL semantics (NULL passes),
+    survive checkpoints, droppable."""
+    root = str(tmp_path / "tbl")
+    T.append(spark.createDataFrame([(1, 10.0)], "k int, price double"),
+             root)
+    T.add_constraint(root, "price_positive", "price > 0")
+    assert T.snapshot(root)["constraints"] == {
+        "price_positive": "price > 0"}
+    # good append passes; NULL passes (SQL CHECK)
+    T.append(spark.createDataFrame([(2, 5.0), (3, None)],
+                                   "k int, price double"), root)
+    with pytest.raises(T.ConstraintViolation, match="price_positive"):
+        T.append(spark.createDataFrame([(4, -1.0)],
+                                       "k int, price double"), root)
+    with pytest.raises(T.ConstraintViolation):
+        T.merge_upsert(spark, root, spark.createDataFrame(
+            [(1, -9.0)], "k int, price double"), "k")
+    sink = T.stream_sink(root, app_id="s")
+    with pytest.raises(T.ConstraintViolation):
+        sink(spark.createDataFrame([(5, 0.0)],
+                                   "k int, price double"), 0)
+    # nothing from the rejected writes landed
+    assert {r.k for r in T.read(spark, root).collect()} == {1, 2, 3}
+    # constraints ride checkpoints
+    T.append(spark.createDataFrame([(6, 1.0)],
+                                   "k int, price double"),
+             root, checkpoint_every=1)
+    assert T.snapshot(root)["constraints"] != {}
+    # drop -> the bad write is accepted
+    T.drop_constraint(root, "price_positive")
+    T.append(spark.createDataFrame([(7, -2.0)],
+                                   "k int, price double"), root)
+    assert {r.k for r in T.read(spark, root).collect()} == \
+        {1, 2, 3, 6, 7}
+    hist_ops = [h["op"] for h in T.history(root)]
+    assert "set-constraint" in hist_ops
+    assert "drop-constraint" in hist_ops
