@@ -74,6 +74,9 @@ import os
 import shutil
 import time
 import uuid
+from datetime import timezone as _tz
+
+_utc = _tz.utc
 
 from pyspark.sql import DataFrame
 
@@ -963,11 +966,6 @@ def _pa_to_ddl(path: str) -> str:
                 f"for field {f.name}")
         parts.append(f"{f.name} {ddl}")
     return ", ".join(parts)
-
-
-from datetime import timezone as _tz_mod
-
-_utc = _tz_mod.utc
 
 
 class NonAppendChange(Exception):
