@@ -376,12 +376,17 @@ def _check_constraints(df: DataFrame, constraints: dict) -> None:
 
 def add_constraint(root: str, name: str, expr: str,
                    max_retries: int = 20,
-                   checkpoint_every: int = 10) -> int:
+                   checkpoint_every: int = 10,
+                   spark=None) -> int:
     """Record a CHECK constraint as a logged commit (auditable,
     time-travelable, CAS-serialized like every other table change).
     Enforced on every subsequent append / merge_upsert / stream
-    batch; existing data is NOT retro-validated (the caller can
-    read() and assert if they need that)."""
+    batch. Pass ``spark`` to RETRO-VALIDATE the existing table
+    before the constraint commits (Delta's ADD CONSTRAINT
+    behavior) — one bounded scan; a violation leaves the log
+    untouched. Without ``spark``, existing data is not checked."""
+    if spark is not None:
+        _check_constraints(read(spark, root), {name: expr})
     entry = {"op": "set-constraint", "ts": time.time(),
              "name": name, "expr": expr, "actions": []}
     for _ in range(max_retries):

@@ -917,3 +917,21 @@ def test_check_constraints_enforced_on_all_write_paths(
     hist_ops = [h["op"] for h in T.history(root)]
     assert "set-constraint" in hist_ops
     assert "drop-constraint" in hist_ops
+
+
+def test_add_constraint_retro_validates_with_session(spark, tmp_path):
+    """Passing a session retro-validates existing data before the
+    constraint commits (Delta's ADD CONSTRAINT): a violated
+    constraint never enters the log."""
+    root = str(tmp_path / "tbl")
+    T.append(spark.createDataFrame([(1, -3.0)],
+                                   "k int, price double"), root)
+    with pytest.raises(T.ConstraintViolation):
+        T.add_constraint(root, "pp", "price > 0", spark=spark)
+    assert T.snapshot(root)["constraints"] == {}
+    # after the offending row is replaced, the same call commits
+    T.overwrite(spark.createDataFrame([(1, 3.0)],
+                                      "k int, price double"), root)
+    v = T.add_constraint(root, "pp", "price > 0", spark=spark)
+    assert T.snapshot(root)["constraints"] == {"pp": "price > 0"}
+    assert v == T.snapshot(root)["version"]
