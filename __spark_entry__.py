@@ -35,39 +35,92 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING POLICY: the driver records correctness rows for the
     FIRST 50 entries only (tests/test_entry_contract.py asserts the
-    boundary position). Entries rotate per round — r10 EXECUTES the
-    rotation r9 skipped (VERDICT r9 What's-wrong #1: the r9 window
-    was byte-identical to r8's): (0) the three NEW r10 txlog-format
-    oracle keys (never evidenced — E22 was pytest-only until r10),
-    (1) oracle keys whose
-    implementation changed this round (contamination_report's
-    windowless total; merge_upsert_orders over the NaN-safe batched
-    txlog pruning), (2) the eleven keys VERDICT r9 names as
-    stranded at r4/r5 driver evidence (q12/q16/q20, text_scrub,
-    doc_fingerprint, ngram_jaccard, sample_corpus, corpus_stats,
-    stratified_split, bigram_pmi, ngram_novelty), (3) the oldest
-    r5-evidence slice (the A-block ingest/agg/derivation pipeline,
-    the B-block core, tfidf/clean_corpus), then (4) the r5 TPC-H
-    remainder and the r4 sampling/selection keys. Every r9-windowed
-    key rotates OUT to the tail — its r9 row stands as evidence
-    while the stale keys refresh. Every key keeps its oracle
-    regardless of position — selfcheck.py checks all of them
-    locally."""
+    boundary position). Entries rotate per round. The r11 window:
+    (0) the four txlog-format keys — the format changed this round
+    (composite MERGE keys, MERGE-DELETE with the NEW
+    txlog_delete_scan oracle key, schema-projected file reads,
+    zero-row-part staging guard), so all four re-evidence on the
+    new code; (1) the eight keys VERDICT r10 names as stranded at
+    r4 driver evidence (temperature_sample, mixture_schedule,
+    gopher_repetition, pack_sequences, assign_ids,
+    heavy_hitters_stream_scale, embedding_neardup_lsh,
+    embedding_neardup_blocked); (2) 38 of the 39 keys whose latest
+    green row is r7 (the whole r7 cohort minus event_transitions,
+    which leads the tail as the r12 rotation head). Every r9/r10-
+    windowed key rotates OUT to the tail — its row stands as
+    evidence while the stale keys refresh. Every key keeps its
+    oracle regardless of position — selfcheck.py checks all of
+    them locally."""
     return {
-        # -- (0) NEVER-evidenced: the three r10 txlog-format
-        #    oracle keys (E22 was pytest-only until now) --
+        # -- (0) CHANGED THIS ROUND: the txlog format grew composite
+        #    MERGE keys, a MERGE-DELETE path (txlog_delete_scan is the
+        #    NEW driver-oracle key), schema-projected file reads and a
+        #    zero-row-part guard in the shared stage-writer — all four
+        #    format keys re-evidence on the new code --
+        "txlog_merge_scan": _tf.txlog_merge_scan,
+        "txlog_delete_scan": _tf.txlog_delete_scan,
         "txlog_range_scan": _tf.txlog_range_scan,
         "txlog_change_feed": _tf.txlog_change_feed,
-        "txlog_merge_scan": _tf.txlog_merge_scan,
-        # -- (1) contamination_report's implementation changed in
-        #    r10 (windowless total); merge_upsert_orders pins the
-        #    MERGE-semantics contract the r10 txlog work (NaN keys,
-        #    batched pruning) must preserve — its own operator is
-        #    unchanged, the oracle is the semantic anchor --
+        # -- (1) the 8 keys stranded at r4 driver evidence (VERDICT
+        #    r10 next-round #2's named list) --
+        "temperature_sample": _tp.temperature_sample,
+        "mixture_schedule": _tp.mixture_schedule,
+        "gopher_repetition": _tp.gopher_repetition,
+        "pack_sequences": _tp.pack_sequences,
+        "assign_ids": _tp.assign_ids,
+        "heavy_hitters_stream_scale": _tp.heavy_hitters_stream_scale,
+        "embedding_neardup_lsh": _tp.embedding_neardup_lsh,
+        "embedding_neardup_blocked": _tp.embedding_neardup_blocked,
+        # -- (2) the r7-evidence block: 38 of the 39 keys whose last
+        #    green row is r7 (event_transitions defers to r12 — it
+        #    leads the tail) --
+        "quantity_percentiles": _an.quantity_percentiles,
+        "asof_join_purchases": _an2.asof_join_purchases,
+        "range_join_errors": _an2.range_join_errors,
+        "pivot_daily_events": _an2.pivot_daily_events,
+        "cube_revenue": _an2.cube_revenue,
+        "salted_agg_volume": _an2.salted_agg_volume,
+        "stats_summary": _an2.stats_summary,
+        "session_window_stats": _an2.session_window_stats,
+        "corr_price_volume": _an2.corr_price_volume,
+        "rolling_7d_revenue": _an3.rolling_7d_revenue,
+        "zorder_pruned_scan": _an3.zorder_pruned_scan,
+        "cohort_retention": _an3.cohort_retention,
+        "dedup_groups": _tp.dedup_groups,
+        "dedup_corpus": _tp.dedup_corpus,
+        "knn_label_propagation": _tp.knn_label_propagation,
+        "kmeans_assign": _tp.kmeans_assign,
+        "kmeans_embeddings": _tp.kmeans_embeddings,
+        "semdedup": _tp.semdedup,
+        "semdedup_trained": _tp.semdedup_trained,
+        "semdedup_incremental": _tp.semdedup_incremental,
+        "text_semdedup": _tp.text_semdedup,
+        "span_dedup_stats": _tp.span_dedup_stats,
+        "span_dedup_apply": _tp.span_dedup_apply,
+        "span_dedup_keep_first": _tp.span_dedup_keep_first,
+        "embed_docs": _tp.embed_docs,
+        "dsir_select": _tp.dsir_select,
+        "perplexity_buckets": _tp.perplexity_buckets,
+        "weighted_sample": _tp.weighted_sample,
+        "shuffle_corpus": _tp.shuffle_corpus,
+        "winnow_fingerprints": _tp.winnow_fingerprints,
+        "longest_dup_span": _tp.longest_dup_span,
+        "quality_attributes": _tp.quality_attributes,
+        "decontaminate_spans": _tp.decontaminate_spans,
+        "dedup_keep_best": _tp.dedup_keep_best,
+        "pagerank_knn": _tp.pagerank_knn,
+        "kneser_ney_score": _tp.kneser_ney_score,
+        "semdedup_keep_central": _tp.semdedup_keep_central,
+        "containment_pairs": _tp.containment_pairs,
+        # ==== WINDOW BOUNDARY (50): containment_pairs is entry 50;
+        #      the driver records rows for nothing below this line.
+        #      tests/test_entry_contract.py asserts this position ====
+        # -- tail: r9/r10-evidenced keys rotate out (their rows
+        #    stand), plus the declared rows-only set;
+        #    event_transitions leads the r12 rotation --
+        "event_transitions": _an3.event_transitions,
         "contamination_report": _tp.contamination_report,
         "merge_upsert_orders": _an2.merge_upsert_orders,
-        # -- (2) the ~11 keys stranded at r4/r5 driver evidence
-        #    (VERDICT r9 What's-wrong #1's named list) --
         "q12_priority_shipping": _an2.q12_priority_shipping,
         "q16_supplier_part_counts": _an2.q16_supplier_part_counts,
         "q20_excess_suppliers": _an2.q20_excess_suppliers,
@@ -79,8 +132,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_split": _tp.stratified_split,
         "bigram_pmi": _tp.bigram_pmi,
         "ngram_novelty": _tp.ngram_novelty,
-        # -- (3) the oldest r5-evidence slice: A-block pipeline +
-        #    B-block core + the oldest r4 text keys --
         "ingest_parse_json": _ticks_fn,
         "stock_agg_1m": _sp.agg_1m,
         "stock_sma_5m": _sp.sma_5m,
@@ -102,7 +153,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topterms": _tp.tfidf_topterms,
         "clean_corpus": _tp.clean_corpus,
         "q6_forecast_revenue": _an2.q6_forecast_revenue,
-        # -- (4) r5 TPC-H remainder + misc + r4 sampling keys --
         "q10_returned_items": _an2.q10_returned_items,
         "q14_promo_revenue": _an2.q14_promo_revenue,
         "q18_large_orders": _an2.q18_large_orders,
@@ -116,16 +166,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_bloom": _tp.decontaminate_bloom,
         "heavy_hitters_cms": _tp.heavy_hitters_cms,
         "domain_cap": _tp.domain_cap,
-        # ==== WINDOW BOUNDARY (50): domain_cap is entry 50; the
-        #      driver records rows for nothing below this line.
-        #      tests/test_entry_contract.py asserts this position ====
-        # -- tail: keys with green r7-r9 driver rows on current
-        #    data, plus the remaining declared rows-only set; the
-        #    three r4-evidence keys displaced by the txlog trio
-        #    lead the r11 rotation --
-        "temperature_sample": _tp.temperature_sample,
-        "mixture_schedule": _tp.mixture_schedule,
-        "gopher_repetition": _tp.gopher_repetition,
         "train_bpe_vocab": _tp.train_bpe_vocab,
         "embedding_pca": _tp.embedding_pca,
         "pagerank_knn_ivf": _tp.pagerank_knn_ivf,
@@ -175,7 +215,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _tp.vocab_topk,
         "decontaminate": _tp.decontaminate,
         "corpus_diff": _tp.corpus_diff,
-        "embed_docs": _tp.embed_docs,
         "ann_ivfpq": _tp.ann_ivfpq,
         "image_phash": _tp.image_phash,
         "image_phash_neardup": _tp.image_phash_neardup,
@@ -184,49 +223,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_dedup": _tp.audio_dedup,
         "multimodal_audio": _tp.multimodal_audio,
         "multimodal_video": _tp.multimodal_video,
-        "span_dedup_stats": _tp.span_dedup_stats,
-        "span_dedup_apply": _tp.span_dedup_apply,
-        "span_dedup_keep_first": _tp.span_dedup_keep_first,
-        "kmeans_assign": _tp.kmeans_assign,
-        "kmeans_embeddings": _tp.kmeans_embeddings,
-        "semdedup": _tp.semdedup,
-        "semdedup_trained": _tp.semdedup_trained,
-        "semdedup_incremental": _tp.semdedup_incremental,
-        "text_semdedup": _tp.text_semdedup,
-        "dedup_groups": _tp.dedup_groups,
-        "dedup_corpus": _tp.dedup_corpus,
-        "knn_label_propagation": _tp.knn_label_propagation,
-        "zorder_pruned_scan": _an3.zorder_pruned_scan,
-        "dsir_select": _tp.dsir_select,
-        "perplexity_buckets": _tp.perplexity_buckets,
-        "weighted_sample": _tp.weighted_sample,
-        "shuffle_corpus": _tp.shuffle_corpus,
-        "winnow_fingerprints": _tp.winnow_fingerprints,
-        "longest_dup_span": _tp.longest_dup_span,
-        "quality_attributes": _tp.quality_attributes,
-        "decontaminate_spans": _tp.decontaminate_spans,
-        "dedup_keep_best": _tp.dedup_keep_best,
-        "pagerank_knn": _tp.pagerank_knn,
-        "kneser_ney_score": _tp.kneser_ney_score,
-        "cohort_retention": _an3.cohort_retention,
-        "event_transitions": _an3.event_transitions,
-        "semdedup_keep_central": _tp.semdedup_keep_central,
-        "containment_pairs": _tp.containment_pairs,
-        "quantity_percentiles": _an.quantity_percentiles,
-        "asof_join_purchases": _an2.asof_join_purchases,
-        "range_join_errors": _an2.range_join_errors,
-        "pivot_daily_events": _an2.pivot_daily_events,
-        "cube_revenue": _an2.cube_revenue,
-        "salted_agg_volume": _an2.salted_agg_volume,
-        "stats_summary": _an2.stats_summary,
-        "session_window_stats": _an2.session_window_stats,
-        "corr_price_volume": _an2.corr_price_volume,
-        "rolling_7d_revenue": _an3.rolling_7d_revenue,
-        "assign_ids": _tp.assign_ids,
-        "pack_sequences": _tp.pack_sequences,
-        "embedding_neardup_lsh": _tp.embedding_neardup_lsh,
-        "embedding_neardup_blocked": _tp.embedding_neardup_blocked,
-        "heavy_hitters_stream_scale": _tp.heavy_hitters_stream_scale,
         "approx_distinct_sketch": _an2.approx_distinct_sketch,
         "approx_quantile_sketch": _an2.approx_quantile_sketch,
         "dedup_simhash": _tp.dedup_simhash,
@@ -244,6 +240,7 @@ def oracle_sql() -> dict[str, str]:
         "txlog_range_scan": _tf.TXLOG_RANGE_SCAN_SQL,
         "txlog_change_feed": _tf.TXLOG_CHANGE_FEED_SQL,
         "txlog_merge_scan": _tf.TXLOG_MERGE_SCAN_SQL,
+        "txlog_delete_scan": _tf.TXLOG_DELETE_SCAN_SQL,
         "ingest_parse_json": _orc.INGEST_PARSE_JSON_SQL,
         # the batched-enrichment path computes the same decoded tick
         # message with the deterministic model, so it shares A1's SQL

@@ -78,7 +78,13 @@ def txlog_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     insert) applies through the REAL file-granular merge_upsert
     (footer-stat pruning, anti-join + union rewrite, CAS commit),
     and the snapshot reads back — equal to the full-outer-join
-    merge semantics B28's oracle states, decimal-exact."""
+    merge semantics B28's oracle states, decimal-exact.
+
+    r11: the merge key is the COMPOSITE (o_orderkey, o_custkey) —
+    every update row carries its order's true custkey, so the match
+    set is unchanged vs the single-key r10 query (o_orderkey is
+    unique), but the query now exercises the conjunctive
+    per-column pruning path end-to-end (VERDICT r11 task #3)."""
     root = tempfile.mkdtemp(prefix="txlog_merge_") + "/t"
     orders = _orders(spark, sf_dir)
     for b in range(4):
@@ -97,7 +103,30 @@ def txlog_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
         "o_totalprice double, o_orderpriority string")
     T.merge_upsert(spark, root, updates.unionByName(new_row),
-                   "o_orderkey", checkpoint_every=0)
+                   ["o_orderkey", "o_custkey"], checkpoint_every=0)
+    return T.read(spark, root).orderBy("o_orderkey")
+
+
+def txlog_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E22 MERGE-DELETE under the oracle gate (new r11): orders
+    lands as four range-interleaved commits, then a WHEN MATCHED
+    DELETE merge removes every 31st order (plus one key that
+    matches nothing — a provable no-op that must not commit), and
+    the snapshot reads back — equal to a plain NOT-filter over the
+    source. The delete runs at file granularity through the same
+    footer-stat pruning as the upsert."""
+    root = tempfile.mkdtemp(prefix="txlog_del_") + "/t"
+    orders = _orders(spark, sf_dir)
+    for b in range(4):
+        T.append(orders.where(F.col("o_orderkey") % 4 == b),
+                 root, checkpoint_every=0)
+    keys = (orders.where(F.col("o_orderkey") % 31 == 0)
+            .select("o_orderkey"))
+    T.merge_delete(spark, root, keys, "o_orderkey",
+                   checkpoint_every=0)
+    miss = spark.createDataFrame([(999999999,)], "o_orderkey bigint")
+    v = T.snapshot(root)["version"]
+    assert T.merge_delete(spark, root, miss, "o_orderkey") == v
     return T.read(spark, root).orderBy("o_orderkey")
 
 
@@ -137,6 +166,14 @@ SELECT coalesce(u.o_orderkey, o.o_orderkey) AS o_orderkey,
        coalesce(u.o_orderpriority, o.o_orderpriority)
          AS o_orderpriority
 FROM orders o FULL OUTER JOIN updates u
-  ON o.o_orderkey = u.o_orderkey
+  ON o.o_orderkey = u.o_orderkey AND o.o_custkey = u.o_custkey
+ORDER BY o_orderkey
+"""
+
+TXLOG_DELETE_SCAN_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderpriority
+FROM orders
+WHERE o_orderkey % 31 <> 0
 ORDER BY o_orderkey
 """

@@ -36,17 +36,16 @@ ROWS_ONLY = {
     "ann_index_topk",
 }
 
-# Keys the r10 rotation promises the driver window (VERDICT r9
-# What's-wrong #1 / next-round #1): the two r10-changed oracle keys
-# and the eleven keys stranded at r4/r5 evidence, named in the
-# verdict.
-R10_WINDOW_PRIORITY = {
+# Keys the r11 rotation promises the driver window (VERDICT r10
+# next-round #2): the four txlog keys re-evidencing the changed
+# format (incl. the NEW txlog_delete_scan) and the eight keys
+# stranded at r4 evidence, named in the verdict.
+R11_WINDOW_PRIORITY = {
     "txlog_range_scan", "txlog_change_feed", "txlog_merge_scan",
-    "contamination_report", "merge_upsert_orders",
-    "q12_priority_shipping", "q16_supplier_part_counts",
-    "q20_excess_suppliers", "text_scrub", "doc_fingerprint",
-    "ngram_jaccard", "sample_corpus", "corpus_stats",
-    "stratified_split", "bigram_pmi", "ngram_novelty",
+    "txlog_delete_scan",
+    "temperature_sample", "mixture_schedule", "gopher_repetition",
+    "pack_sequences", "assign_ids", "heavy_hitters_stream_scale",
+    "embedding_neardup_lsh", "embedding_neardup_blocked",
 }
 
 
@@ -87,12 +86,12 @@ def test_driver_window_boundary_position():
     the first 50."""
     m = _entry_module()
     keys = list(m.queries())
-    assert keys.index("domain_cap") == 49, (
+    assert keys.index("containment_pairs") == 49, (
         "the '==== WINDOW BOUNDARY (50)' comment in __spark_entry__ "
-        "no longer matches the dict: domain_cap is at index "
-        f"{keys.index('domain_cap')}")
+        "no longer matches the dict: containment_pairs is at index "
+        f"{keys.index('containment_pairs')}")
     window = set(keys[:50])
-    assert R10_WINDOW_PRIORITY <= window, R10_WINDOW_PRIORITY - window
+    assert R11_WINDOW_PRIORITY <= window, R11_WINDOW_PRIORITY - window
 
 
 def test_entry_returns_flagship(spark):
