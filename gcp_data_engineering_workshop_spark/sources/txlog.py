@@ -671,6 +671,28 @@ def _read_files(spark, root: str, snap: dict, paths: list[str]) -> DataFrame:
     return rdr.parquet(*[os.path.join(root, p) for p in paths])
 
 
+_MERGE_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def _size_merge_output(merged: DataFrame, snap: dict,
+                       touched: list[str]) -> DataFrame:
+    """Bound the FILE COUNT of a merge rewrite. The natural
+    partitioning of (survivors UNION updates) is the union of both
+    inputs' partitions — a 100-row daily upsert touching one file
+    would otherwise land as ~33 near-empty parts (measured in the
+    r11 probe: the second merge against the same table then
+    'touches' all that debris, and every merge after compounds it —
+    the tiny-file spiral OPTIMIZE exists to undo, created by the
+    very op that should not create it). Rewrite as
+    ceil(touched_bytes / 128 MB) files instead — the touched bytes
+    are log metadata, already on the driver, and they bound the
+    survivor volume; the repartition shuffle moves only the rows the
+    merge already reads, i.e. the pruned set, never the table."""
+    tb = sum(snap["files"][p].get("bytes", 0) for p in touched)
+    return merged.repartition(
+        max(1, math.ceil(tb / _MERGE_TARGET_BYTES)))
+
+
 def merge_upsert(spark, root: str, updates: DataFrame,
                  key: str | list[str],
                  max_retries: int = 5, checkpoint_every: int = 10) -> int:
@@ -713,8 +735,9 @@ def merge_upsert(spark, root: str, updates: DataFrame,
             spark, snap["files"], updates, keys) if snap["files"] else []
         if touched:
             cur = _read_files(spark, root, snap, touched)
-            merged = (cur.join(updates, keys, "left_anti")
-                      .unionByName(updates))
+            merged = _size_merge_output(
+                cur.join(updates, keys, "left_anti")
+                .unionByName(updates), snap, touched)
         else:
             merged = updates
         adds = _stage_write(merged, root)
@@ -761,8 +784,9 @@ def merge_delete(spark, root: str, keys_df: DataFrame,
             spark, snap["files"], probe, keys) if snap["files"] else []
         if not touched:
             return snap["version"]  # provably nothing to delete
-        survivors = (_read_files(spark, root, snap, touched)
-                     .join(probe, keys, "left_anti"))
+        survivors = _size_merge_output(
+            _read_files(spark, root, snap, touched)
+            .join(probe, keys, "left_anti"), snap, touched)
         adds = _stage_write(survivors, root)
         entry = {"op": "merge", "ts": time.time(), "matched": "delete",
                  "actions": ([{"remove": {"path": p}} for p in touched]
