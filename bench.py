@@ -100,6 +100,10 @@ BENCH_QUERIES = [
     # query, so the number is commit+scan end-to-end, not scan-only
     "txlog_range_scan",      # E22 append x4 + data-skipped read
     "txlog_merge_scan",      # E22 file-granular MERGE + snapshot read
+    # r11 additions (like their siblings: table BUILD + DML + read
+    # end-to-end, commit-dominated at this SF):
+    "txlog_delete_scan",     # E22 MERGE-DELETE + snapshot read
+    "txlog_update_scan",     # E22 predicate UPDATE+DELETE + read
 ]
 
 

@@ -130,6 +130,40 @@ def txlog_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.read(spark, root).orderBy("o_orderkey")
 
 
+def txlog_update_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E22 predicate DML under the oracle gate (new r11): orders
+    lands as four range-interleaved commits, then
+
+    - UPDATE ... SET o_orderstatus = 'U',
+      o_totalprice = o_totalprice * 2 WHERE o_totalprice < 1000
+      AND o_orderpriority = '1-URGENT' (assignments evaluate
+      against the OLD row; the conjunctive predicate exercises the
+      stat parser, the two-phase hit scan picks the files), then
+    - DELETE WHERE o_orderkey <= 500 (footer-range pruning), then
+    - a provably-missing DELETE (o_orderkey > 10**12) that must
+      commit NO version,
+
+    and the snapshot reads back — equal to a CASE-WHEN + NOT-filter
+    over the source. Doubling o_totalprice is exact in binary
+    floating point (exponent bump), so the oracle compares without
+    decimal scaffolding."""
+    root = tempfile.mkdtemp(prefix="txlog_upd_") + "/t"
+    orders = _orders(spark, sf_dir)
+    for b in range(4):
+        T.append(orders.where(F.col("o_orderkey") % 4 == b),
+                 root, checkpoint_every=0)
+    T.update_where(
+        spark, root,
+        "o_totalprice < 1000 AND o_orderpriority = '1-URGENT'",
+        {"o_orderstatus": "'U'", "o_totalprice": "o_totalprice * 2"},
+        checkpoint_every=0)
+    T.delete_where(spark, root, "o_orderkey <= 500",
+                   checkpoint_every=0)
+    v = T.snapshot(root)["version"]
+    assert T.delete_where(spark, root, "o_orderkey > 1000000000000") == v
+    return T.read(spark, root).orderBy("o_orderkey")
+
+
 TXLOG_RANGE_SCAN_SQL = """
 SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
        o_orderpriority
@@ -175,5 +209,20 @@ SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
        o_orderpriority
 FROM orders
 WHERE o_orderkey % 31 <> 0
+ORDER BY o_orderkey
+"""
+
+TXLOG_UPDATE_SCAN_SQL = """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_totalprice < 1000
+                 AND o_orderpriority = '1-URGENT'
+            THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+       CASE WHEN o_totalprice < 1000
+                 AND o_orderpriority = '1-URGENT'
+            THEN o_totalprice * 2 ELSE o_totalprice END
+         AS o_totalprice,
+       o_orderpriority
+FROM orders
+WHERE NOT (o_orderkey <= 500)
 ORDER BY o_orderkey
 """

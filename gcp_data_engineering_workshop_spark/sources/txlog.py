@@ -71,6 +71,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import re
 import shutil
 import time
 import uuid
@@ -800,6 +801,313 @@ def merge_delete(spark, root: str, keys_df: DataFrame,
         f"under {root}")
 
 
+_CMP_RE = re.compile(
+    r"^\s*([A-Za-z_]\w*)\s*(<=|>=|==|=|<|>)\s*(.+?)\s*$")
+_CMP_REV_RE = re.compile(
+    r"^\s*(.+?)\s*(<=|>=|==|=|<|>)\s*([A-Za-z_]\w*)\s*$")
+_FLIP = {"<": ">", ">": "<", "<=": ">=", ">=": "<=",
+         "=": "=", "==": "="}
+
+
+def _split_top_and(s: str) -> list[str]:
+    """Split a SQL boolean expression on top-level ANDs only —
+    quote- and paren-aware so ``a = 'x AND y' AND (b OR c)`` yields
+    two conjuncts. Purely lexical; anything it mis-groups is still
+    safe because unrecognized conjuncts simply contribute no
+    pruning (see _parse_conjuncts)."""
+    parts, depth, quoted, last, i = [], 0, False, 0, 0
+    up = s.upper()
+    while i < len(s):
+        c = s[i]
+        if quoted:
+            if c == "'":
+                quoted = False
+        elif c == "'":
+            quoted = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif (depth == 0 and up.startswith("AND", i)
+              and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+              and (i + 3 >= len(s)
+                   or not (s[i + 3].isalnum() or s[i + 3] == "_"))):
+            parts.append(s[last:i])
+            last = i + 3
+            i += 3
+            continue
+        i += 1
+    parts.append(s[last:])
+    return parts
+
+
+def _parse_literal(tok: str):
+    """A pruning-usable literal: int, FINITE float, or a
+    single-quoted string without embedded quotes. None means "not a
+    literal we can reason about" — the conjunct is then ignored for
+    pruning (never unsound; just no IO savings from it). Non-finite
+    floats are refused because footer stats exclude NaN and clamp
+    nothing to infinity."""
+    if (len(tok) >= 2 and tok.startswith("'") and tok.endswith("'")
+            and "'" not in tok[1:-1]):
+        return tok[1:-1]
+    try:
+        return int(tok)
+    except ValueError:
+        pass
+    try:
+        v = float(tok)
+        return v if math.isfinite(v) else None
+    except ValueError:
+        return None
+
+
+def _parse_conjuncts(condition: str) -> list[tuple[str, str, object]]:
+    """The data-skipping view of a predicate: the top-level AND
+    conjuncts of shape ``col OP literal`` (or the mirrored
+    ``literal OP col``, flipped). Everything else — ORs, NOT,
+    functions, col-to-col compares, IN lists — contributes nothing,
+    which is the CONSERVATIVE direction: pruning only ever uses a
+    recognized conjunct to PROVE a file cannot match, so an
+    unrecognized conjunct can only cost IO, never rows. This is the
+    same sound core Delta's data-skipping expression walk keeps."""
+    out = []
+    for raw in _split_top_and(condition):
+        c = raw.strip()
+        while (c.startswith("(") and c.endswith(")")
+               and _balanced(c[1:-1])):
+            c = c[1:-1].strip()
+        m = _CMP_RE.match(c)
+        if m and _parse_literal(m.group(3)) is not None:
+            op = "=" if m.group(2) == "==" else m.group(2)
+            out.append((m.group(1), op, _parse_literal(m.group(3))))
+            continue
+        m = _CMP_REV_RE.match(c)
+        if m and _parse_literal(m.group(1)) is not None:
+            op = "=" if m.group(2) == "==" else _FLIP[m.group(2)]
+            out.append((m.group(3), op, _parse_literal(m.group(1))))
+    return out
+
+
+def _balanced(s: str) -> bool:
+    depth, quoted = 0, False
+    for c in s:
+        if quoted:
+            quoted = c != "'"
+        elif c == "'":
+            quoted = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth < 0:
+                return False
+    return depth == 0 and not quoted
+
+
+def _stat_excludes(st: list, op: str, lit, col_is_float: bool) -> bool:
+    """True when a file's footer [min, max] PROVES no row satisfies
+    ``col OP lit``. Sound under the two stat blind spots:
+
+    - NULL rows: no comparison is ever TRUE of NULL, so min/max over
+      the non-null values decides.
+    - NaN rows (floats): footer stats EXCLUDE NaN, and Spark orders
+      NaN ABOVE every number — so ``col > lit`` / ``col >= lit`` IS
+      satisfied by a NaN row the stats cannot see. Lower-bound ops
+      therefore never exclude a float-typed file (the read_range NaN
+      rule, applied to DML pruning). ``<``/``<=``/``=`` are safe:
+      NaN satisfies none of them against a finite literal.
+    - cross-type compares (string stat vs numeric literal or vice
+      versa) never exclude."""
+    f_lo, f_hi = st
+    if isinstance(lit, str) != isinstance(f_lo, str):
+        return False
+    if op == "<":
+        return f_lo >= lit
+    if op == "<=":
+        return f_lo > lit
+    if op == "=":
+        return lit < f_lo or lit > f_hi
+    if col_is_float:
+        return False  # NaN may hide above f_hi
+    if op == ">":
+        return f_hi <= lit
+    if op == ">=":
+        return f_hi < lit
+    return False
+
+
+def _files_possibly_matching(snap: dict,
+                             conjuncts: list[tuple]) -> list[str]:
+    """Stat-prune the live set against the predicate's recognized
+    conjuncts: a file survives unless SOME conjunct's range test
+    proves it can't match (missing stats always survive). Float
+    detection uses the recorded schema when present, else the stat
+    value's Python type — both err toward float (less pruning)."""
+    float_cols: set[str] = set()
+    if snap.get("schema"):
+        from pyspark.sql.types import StructType
+        for f in StructType.fromJson(json.loads(snap["schema"])).fields:
+            if f.dataType.simpleString() in ("float", "double"):
+                float_cols.add(f.name)
+    keep = []
+    for p, m in snap["files"].items():
+        stats = m.get("stats", {})
+        excluded = False
+        for col, op, lit in conjuncts:
+            st = stats.get(col)
+            if st is None:
+                continue
+            is_f = col in float_cols or isinstance(st[0], float)
+            if _stat_excludes(st, op, lit, is_f):
+                excluded = True
+                break
+        if not excluded:
+            keep.append(p)
+    return keep
+
+
+def _files_with_hits(spark, root: str, snap: dict,
+                     candidates: list[str], cond) -> list[str]:
+    """Phase 2 of DML file-finding (the Delta DELETE shape): scan
+    the stat-surviving candidates ONCE with the exact predicate and
+    keep only the files that actually contain a matching row —
+    rewrites then touch precisely the hit files, not every
+    stat-plausible one. The collect is file NAMES (log-metadata
+    scale, one short string per candidate file), never rows."""
+    from pyspark.sql import functions as F
+
+    hits = (_read_files(spark, root, snap, sorted(candidates))
+            .where(cond)
+            .select(F.input_file_name().alias("_f"))
+            .distinct().collect())
+    names = {os.path.basename(r[0]) for r in hits}
+    return sorted(p for p in candidates if os.path.basename(p) in names)
+
+
+def delete_where(spark, root: str, condition: str,
+                 max_retries: int = 5, checkpoint_every: int = 10) -> int:
+    """DELETE FROM <table> WHERE <condition> — predicate DML at FILE
+    granularity (r11; completes the Delta DML trio next to
+    merge_upsert/merge_delete's by-key paths). Two-phase file
+    finding: (1) footer-stat pruning over the predicate's
+    recognized ``col OP literal`` conjuncts drops every file whose
+    range provably can't match (NaN/NULL/cross-type rules in
+    _stat_excludes); (2) one exact scan of the survivors keeps only
+    files with a REAL matching row. Only those are read and
+    rewritten (survivor rows = NOT(cond) OR cond IS NULL — SQL
+    DELETE keeps NULL-predicate rows); every other add action
+    carries verbatim, unopened. A delete that provably (or
+    actually) matches nothing is a NO-OP returning the unchanged
+    head — no version churn.
+
+    Commits as op="delete" with the predicate recorded for audit.
+    Stream/CDF contract: a delete commit's add files hold SURVIVORS
+    only, so the stream source raises NonAppendChange (opt in with
+    ignore_changes) and read_changes tags it op="delete" with the
+    same survivors-only caveat merge_delete documents."""
+    from pyspark.sql import functions as F
+
+    conjuncts = _parse_conjuncts(condition)
+    for _ in range(max_retries):
+        snap = snapshot(root)
+        if not snap["files"]:
+            return snap["version"]
+        cond = F.expr(condition)
+        cand = _files_possibly_matching(snap, conjuncts)
+        touched = _files_with_hits(spark, root, snap, cand, cond) \
+            if cand else []
+        if not touched:
+            return snap["version"]
+        survivors = _size_merge_output(
+            _read_files(spark, root, snap, touched)
+            .where(~cond | cond.isNull()), snap, touched)
+        adds = _stage_write(survivors, root)
+        entry = {"op": "delete", "ts": time.time(),
+                 "predicate": condition,
+                 "actions": ([{"remove": {"path": p}} for p in touched]
+                             + [{"add": a} for a in adds])}
+        if snapshot(root)["version"] == snap["version"] and \
+                _try_commit(root, snap["version"] + 1, entry):
+            _maybe_checkpoint(root, snap["version"] + 1, checkpoint_every)
+            return snap["version"] + 1
+    raise CommitConflict(
+        f"delete_where lost the snapshot race {max_retries} times "
+        f"under {root}")
+
+
+def update_where(spark, root: str, condition: str,
+                 assignments: dict[str, str],
+                 max_retries: int = 5, checkpoint_every: int = 10) -> int:
+    """UPDATE <table> SET col = expr, ... WHERE <condition> — the
+    predicate-UPDATE half of the DML surface (r11), same two-phase
+    file finding as delete_where. Semantics are SQL UPDATE's:
+
+    - every assignment expression evaluates against the OLD row (all
+      assignments see pre-update values, applied simultaneously);
+    - a row updates only when the predicate is TRUE (NULL = keep);
+    - each assigned expression is cast back to the column's recorded
+      type, so the table schema never drifts through an update;
+    - live CHECK constraints are enforced on the UPDATED rows before
+      the commit (old rows hold by induction — they passed at their
+      own write or at add_constraint's retro-validation).
+
+    Only files containing a matching row are rewritten; the rewrite
+    carries matched rows updated and unmatched neighbors verbatim.
+    Commits as op="update" with predicate + assignments recorded.
+    Stream/CDF: raises NonAppendChange without ignore_changes; under
+    read_changes the add files are updated rows PLUS survivors of
+    the touched files — an apply-by-key consumer gets exact state,
+    the same contract as merge."""
+    from pyspark.sql import functions as F
+
+    conjuncts = _parse_conjuncts(condition)
+    for _ in range(max_retries):
+        snap = snapshot(root)
+        if not snap["files"]:
+            return snap["version"]
+        cond = F.expr(condition)
+        cand = _files_possibly_matching(snap, conjuncts)
+        touched = _files_with_hits(spark, root, snap, cand, cond) \
+            if cand else []
+        if not touched:
+            return snap["version"]
+        cur = _read_files(spark, root, snap, touched)
+        unknown = set(assignments) - set(cur.columns)
+        if unknown:
+            raise ValueError(
+                f"update_where: SET targets not in the table schema: "
+                f"{sorted(unknown)}")
+        flagged = cur.withColumn("_upd", cond.isNotNull() & cond)
+        sel = []
+        for name in cur.columns:
+            if name in assignments:
+                sel.append(
+                    F.when(F.col("_upd"),
+                           F.expr(assignments[name])
+                           .cast(cur.schema[name].dataType))
+                    .otherwise(F.col(name)).alias(name))
+            else:
+                sel.append(F.col(name))
+        rewritten = flagged.select(*sel, "_upd")
+        if snap.get("constraints"):
+            _check_constraints(rewritten.where("_upd").drop("_upd"),
+                               snap["constraints"])
+        out = _size_merge_output(rewritten.drop("_upd"), snap, touched)
+        adds = _stage_write(out, root)
+        entry = {"op": "update", "ts": time.time(),
+                 "predicate": condition, "set": dict(assignments),
+                 "actions": ([{"remove": {"path": p}} for p in touched]
+                             + [{"add": a} for a in adds])}
+        if snapshot(root)["version"] == snap["version"] and \
+                _try_commit(root, snap["version"] + 1, entry):
+            _maybe_checkpoint(root, snap["version"] + 1, checkpoint_every)
+            return snap["version"] + 1
+    raise CommitConflict(
+        f"update_where lost the snapshot race {max_retries} times "
+        f"under {root}")
+
+
 def optimize(spark, root: str, target_bytes: int = 128 * 1024 * 1024,
              sort_cols: list[str] | None = None,
              max_retries: int = 5, checkpoint_every: int = 10) -> int:
@@ -1014,7 +1322,8 @@ def restore(root: str, version: int,
 def read_changes(spark, root: str, from_version: int,
                  to_version: int | None = None,
                  include_ops: tuple = ("append", "stream-append",
-                                       "merge", "overwrite")
+                                       "merge", "overwrite",
+                                       "update", "delete")
                  ) -> DataFrame:
     """Incremental (change-feed) read: the rows committed in
     versions (``from_version``, ``to_version``] — the downstream
@@ -1032,6 +1341,13 @@ def read_changes(spark, root: str, from_version: int,
       would need row tracking this format doesn't carry.
     - overwrite: a full snapshot-replace; the add files ARE the new
       table.
+    - update (r11): same shape as merge — the add files hold the
+      UPDATED rows plus the survivors of the rewritten files;
+      apply-by-key consumers get exact state.
+    - delete (r11): the add files hold SURVIVORS only (the deleted
+      keys simply stop appearing) — same caveat merge_delete's
+      op="merge" commits carry; row-level delete tombstones would
+      need row tracking this format doesn't have.
     - optimize: EXCLUDED by default — a pure re-layout commits no
       data change, and replaying it would duplicate every row of
       the compacted files downstream.
@@ -1132,13 +1448,14 @@ def _plan_window(root: str, lo: int, hi: int,
     - append / stream-append: emitted (exact row-level increments).
     - optimize: SKIPPED — a re-layout changes no data; its add
       actions are this format's dataChange=false.
-    - merge / overwrite / restore: RAISE NonAppendChange by default
-      (a merge's files carry updates + survivors, an overwrite is a
-      snapshot replace, a restore RE-ADDS historical files whose
-      rows already streamed — all three would double-count for an
-      append-stream consumer; the restore leg is ADVICE r11: it
-      previously slipped through as a silent re-emit). Opt in with
-      ignore_changes=true to receive their files under
+    - merge / overwrite / restore / delete / update: RAISE
+      NonAppendChange by default (a merge's or update's files carry
+      updates + survivors, a delete's carry survivors only, an
+      overwrite is a snapshot replace, a restore RE-ADDS historical
+      files whose rows already streamed — all would double-count
+      for an append-stream consumer; the restore leg is ADVICE r11:
+      it previously slipped through as a silent re-emit). Opt in
+      with ignore_changes=true to receive their files under
       read_changes()'s apply-by-key contract.
     - set-/drop-constraint (and any other fileless op): no add
       actions, nothing to emit, never an error."""
@@ -1149,7 +1466,8 @@ def _plan_window(root: str, lo: int, hi: int,
         e = json.load(open(_version_file(root, v)))
         if e["op"] == "optimize":
             continue  # dataChange=false: same rows, new layout
-        if (e["op"] in ("merge", "overwrite", "restore")
+        if (e["op"] in ("merge", "overwrite", "restore",
+                        "delete", "update")
                 and not ignore_changes):
             raise NonAppendChange(
                 f"version {v} is a {e['op']} commit; set "

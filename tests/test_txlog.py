@@ -1297,3 +1297,198 @@ def test_overwrite_enforces_constraints_and_restore_revalidates(
     # unvalidated restore still trusts history (documented)
     T.restore(root2, 1)
     assert _ids(T.read(spark, root2)) == [-2, -1, 0, 1, 2]
+
+
+def test_parse_conjuncts_recognizes_the_prunable_core():
+    """The data-skipping parser: simple comparisons in/out of
+    parens, flipped literal-first forms, quoted strings — and the
+    conservative refusals (OR, functions, col-to-col, NaN/inf,
+    embedded quotes)."""
+    P = T._parse_conjuncts
+    assert P("a > 5 AND b <= 2.5") == [("a", ">", 5), ("b", "<=", 2.5)]
+    assert P("(a >= 1) AND (c = 'x AND y')") == [
+        ("a", ">=", 1), ("c", "=", "x AND y")]
+    assert P("10 < a") == [("a", ">", 10)]
+    assert P("a == 3") == [("a", "=", 3)]
+    # unparseable conjuncts contribute nothing; parseable ones stay
+    assert P("a > 5 OR b < 2") == []
+    assert P("upper(c) = 'X' AND a < 7") == [("a", "<", 7)]
+    assert P("a = b") == []
+    assert P("v = nan") == []          # non-finite literal refused
+    assert P("v < inf AND a > 1") == [("a", ">", 1)]
+    assert P("c = 'it''s'") == []      # embedded quote: refused
+
+
+def test_stat_pruning_rules_including_float_nan():
+    """_stat_excludes soundness table: upper bounds and equality
+    prune; float lower bounds never prune (Spark orders NaN above
+    every number and footer stats exclude NaN); cross-type compares
+    never prune."""
+    E = T._stat_excludes
+    assert E([10, 20], "<", 10, False) is True
+    assert E([10, 20], "<", 11, False) is False
+    assert E([10, 20], "<=", 21, False) is False
+    assert E([10, 20], ">", 20, False) is True
+    assert E([10, 20], ">=", 21, False) is True
+    assert E([10, 20], "=", 25, False) is True
+    assert E([10, 20], "=", 15, False) is False
+    # float column: lower-bound ops refuse (NaN may hide above max)
+    assert E([10.0, 20.0], ">", 20.0, True) is False
+    assert E([10.0, 20.0], ">=", 100.0, True) is False
+    # ...but upper bounds and equality stay safe for floats
+    assert E([10.0, 20.0], "<", 5.0, True) is True
+    assert E([10.0, 20.0], "=", 25.0, True) is True
+    # cross-type: never
+    assert E(["a", "m"], ">", 5, False) is False
+    assert E([10, 20], "=", "x", False) is False
+
+
+def test_delete_where_semantics_and_file_granularity(spark, tmp_path):
+    """Predicate DELETE (r11): stat pruning + exact hit scan rewrite
+    ONLY the files holding matching rows; NULL-predicate rows
+    survive (SQL DELETE); a no-match delete commits NO version; the
+    commit records op=delete with the predicate."""
+    root = str(tmp_path / "tbl")
+    for b in range(3):
+        T.append(
+            spark.range(b * 10, (b + 1) * 10).selectExpr(
+                "id",
+                "if(id % 10 = 9, cast(null as double), "
+                "cast(id as double)) as v").coalesce(1),
+            root, checkpoint_every=0)
+    before = set(T.snapshot(root)["files"])
+    v0 = T.snapshot(root)["version"]
+    v1 = T.delete_where(spark, root, "id >= 25", checkpoint_every=0)
+    assert v1 == v0 + 1
+    after = set(T.snapshot(root)["files"])
+    assert len(before & after) == 2          # files 0 and 1 untouched
+    assert _ids(T.read(spark, root)) == list(range(25))
+    # NULL predicate keeps the row: v is NULL for id=9 (which would
+    # otherwise match v < 5.0 were NULL coerced) — survivors are
+    # 5..24 incl. the NULL-v rows 9 and 19
+    v2 = T.delete_where(spark, root, "v < 5.0", checkpoint_every=0)
+    assert _ids(T.read(spark, root)) == list(range(5, 25))
+    # no-op: provably out of range -> same version, no commit
+    assert T.delete_where(spark, root, "id > 100000") == v2
+    assert T.snapshot(root)["version"] == v2
+    entry = json.load(open(T._version_file(root, v1)))
+    assert entry["op"] == "delete"
+    assert entry["predicate"] == "id >= 25"
+
+
+def test_delete_where_two_phase_rewrites_only_hit_files(
+        spark, tmp_path):
+    """A predicate the stat parser can't use (OR) still rewrites
+    ONLY the files that actually contain a matching row — the exact
+    phase-2 scan decides, not the conservative candidate set."""
+    root = str(tmp_path / "tbl")
+    for b in range(3):
+        T.append(spark.range(b * 10, (b + 1) * 10).coalesce(1),
+                 root, checkpoint_every=0)
+    before = set(T.snapshot(root)["files"])
+    T.delete_where(spark, root, "id = 5 OR id = 25",
+                   checkpoint_every=0)
+    after = set(T.snapshot(root)["files"])
+    assert len(before & after) == 1          # only the middle file kept
+    assert _ids(T.read(spark, root)) == [
+        i for i in range(30) if i not in (5, 25)]
+
+
+def test_update_where_semantics(spark, tmp_path):
+    """Predicate UPDATE (r11): assignments all evaluate against the
+    OLD row (simultaneous semantics — the x/y swap proves it), cast
+    back to the column type, NULL-predicate rows keep their values,
+    untouched files carry verbatim, and the commit records
+    predicate + set."""
+    root = str(tmp_path / "tbl")
+    for b in range(2):
+        T.append(
+            spark.range(b * 10, (b + 1) * 10).selectExpr(
+                "id", "cast(id as double) as x",
+                "cast(id * 100 as double) as y").coalesce(1),
+            root, checkpoint_every=0)
+    before = set(T.snapshot(root)["files"])
+    v = T.update_where(spark, root, "id < 3",
+                       {"x": "y", "y": "x"}, checkpoint_every=0)
+    after = set(T.snapshot(root)["files"])
+    assert len(before & after) == 1          # second file untouched
+    rows = {r.id: (r.x, r.y) for r in T.read(spark, root).collect()}
+    assert rows[1] == (100.0, 1.0)           # swapped, not chained
+    assert rows[5] == (5.0, 500.0)           # unmatched row intact
+    assert rows[15] == (15.0, 1500.0)        # untouched file intact
+    # cast-back: a bigint expression lands as the column's double
+    T.update_where(spark, root, "id = 4", {"x": "id * 2"})
+    sch = dict((f.name, f.dataType.simpleString())
+               for f in T.read(spark, root).schema.fields)
+    assert sch["x"] == "double"
+    assert {r.x for r in T.read(spark, root)
+            .where("id = 4").collect()} == {8.0}
+    entry = json.load(open(T._version_file(root, v)))
+    assert (entry["op"], entry["predicate"]) == ("update", "id < 3")
+    assert entry["set"] == {"x": "y", "y": "x"}
+    # a no-match update commits nothing
+    head = T.snapshot(root)["version"]
+    assert T.update_where(spark, root, "id = 999", {"x": "0.0"}) == head
+    # unknown SET target refused
+    with pytest.raises(ValueError, match="nope"):
+        T.update_where(spark, root, "id = 1", {"nope": "1"})
+
+
+def test_update_where_enforces_constraints(spark, tmp_path):
+    """CHECK constraints validate the UPDATED rows before commit —
+    an update cannot poison a constrained table."""
+    root = str(tmp_path / "tbl")
+    T.append(spark.range(1, 6).selectExpr(
+        "id", "cast(id as double) as v"), root)
+    T.add_constraint(root, "pos", "v > 0")
+    with pytest.raises(T.ConstraintViolation, match="pos"):
+        T.update_where(spark, root, "id = 2", {"v": "-1.0"})
+    assert T.read(spark, root).where("v <= 0").count() == 0
+    T.update_where(spark, root, "id = 2", {"v": "42.0"})  # passes
+    assert {r.v for r in T.read(spark, root)
+            .where("id = 2").collect()} == {42.0}
+
+
+def test_update_delete_stream_and_cdf_contract(spark, tmp_path):
+    """op=update/delete raise NonAppendChange for the stream source
+    (unless ignore_changes) and flow through read_changes tagged
+    with their op — update as updated-rows-plus-survivors (apply-by-
+    key exact), delete as survivors-only (documented caveat)."""
+    root = str(tmp_path / "tbl")
+    T.append(spark.range(10).selectExpr(
+        "id", "cast(id as double) as v").coalesce(1), root)   # v1
+    T.update_where(spark, root, "id = 3", {"v": "99.0"})      # v2
+    T.delete_where(spark, root, "id = 7")                     # v3
+    with pytest.raises(T.NonAppendChange, match="update"):
+        T._plan_window(root, 1, 3, ignore_changes=False)
+    plan = T._plan_window(root, 1, 3, ignore_changes=True)
+    assert [op for _v, op, _f in plan] == ["update", "delete"]
+    ch = T.read_changes(spark, root, from_version=1)
+    ops = {r._commit_version: r._commit_op
+           for r in ch.select("_commit_version", "_commit_op")
+           .distinct().collect()}
+    assert ops == {2: "update", 3: "delete"}
+    # apply-by-key over the update window gives exact state
+    upd = {r.id: r.v for r in ch.where("_commit_version = 2").collect()}
+    assert upd[3] == 99.0
+    # the delete window holds survivors only (no id=7)
+    assert 7 not in {r.id for r in
+                     ch.where("_commit_version = 3").collect()}
+
+
+def test_predicate_dml_on_evolved_table(spark, tmp_path):
+    """delete_where/update_where read touched files through the
+    recorded schema: a predicate over an evolved column backfills
+    NULL for pre-evolution files (NULL predicate = keep)."""
+    root = str(tmp_path / "tbl")
+    T.append(spark.range(5).selectExpr("id"), root)           # pre
+    T.append(spark.range(10, 12).selectExpr(
+        "id", "cast(id as double) as score"),
+        root, merge_schema=True)
+    T.delete_where(spark, root, "score > 10.5")
+    ids = _ids(T.read(spark, root))
+    assert 11 not in ids and set(range(5)) <= set(ids)
+    T.update_where(spark, root, "score >= 10.0", {"score": "0.0"})
+    rows = {r.id: r.score for r in T.read(spark, root).collect()}
+    assert rows[10] == 0.0
+    assert rows[0] is None                   # pre-evolution: untouched
