@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txlog_merge_scan": _tf.txlog_merge_scan,
         "txlog_delete_scan": _tf.txlog_delete_scan,
         "txlog_update_scan": _tf.txlog_update_scan,
+        "txlog_partition_scan": _tf.txlog_partition_scan,
         "txlog_range_scan": _tf.txlog_range_scan,
         "txlog_change_feed": _tf.txlog_change_feed,
         # -- (1) the 8 keys stranded at r4 driver evidence (VERDICT
@@ -111,19 +112,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": _tp.dedup_keep_best,
         "pagerank_knn": _tp.pagerank_knn,
         "kneser_ney_score": _tp.kneser_ney_score,
-        "semdedup_keep_central": _tp.semdedup_keep_central,
-        # ==== WINDOW BOUNDARY (50): semdedup_keep_central is entry
-        #      50; the driver records rows for nothing below this
-        #      line. tests/test_entry_contract.py asserts this
-        #      position. txlog_update_scan (predicate DML, new mid-
-        #      r11) displaced containment_pairs to the tail — a NEW
-        #      key's first evidence outranks refreshing one more r7
-        #      key; containment_pairs joins event_transitions as an
-        #      r12 rotation head ====
+        # ==== WINDOW BOUNDARY (50): kneser_ney_score is entry 50;
+        #      the driver records rows for nothing below this line.
+        #      tests/test_entry_contract.py asserts this position.
+        #      txlog_update_scan + txlog_partition_scan (predicate
+        #      DML and hive partitioning, new mid-r11) displaced
+        #      containment_pairs and semdedup_keep_central to the
+        #      tail — a NEW key's first evidence outranks refreshing
+        #      one more r7 key; both join event_transitions as r12
+        #      rotation heads ====
         # -- tail: r9/r10-evidenced keys rotate out (their rows
         #    stand), plus the declared rows-only set;
-        #    event_transitions + containment_pairs lead the r12
-        #    rotation --
+        #    event_transitions + containment_pairs +
+        #    semdedup_keep_central lead the r12 rotation --
+        "semdedup_keep_central": _tp.semdedup_keep_central,
         "containment_pairs": _tp.containment_pairs,
         "event_transitions": _an3.event_transitions,
         "contamination_report": _tp.contamination_report,
@@ -249,6 +251,7 @@ def oracle_sql() -> dict[str, str]:
         "txlog_merge_scan": _tf.TXLOG_MERGE_SCAN_SQL,
         "txlog_delete_scan": _tf.TXLOG_DELETE_SCAN_SQL,
         "txlog_update_scan": _tf.TXLOG_UPDATE_SCAN_SQL,
+        "txlog_partition_scan": _tf.TXLOG_PARTITION_SCAN_SQL,
         "ingest_parse_json": _orc.INGEST_PARSE_JSON_SQL,
         # the batched-enrichment path computes the same decoded tick
         # message with the deterministic model, so it shares A1's SQL

@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     # end-to-end, commit-dominated at this SF):
     "txlog_delete_scan",     # E22 MERGE-DELETE + snapshot read
     "txlog_update_scan",     # E22 predicate UPDATE+DELETE + read
+    "txlog_partition_scan",  # E22 hive-partitioned append + pruned read
 ]
 
 

