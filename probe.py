@@ -392,6 +392,64 @@ def run_txlog_stream_leg(spark) -> dict:
     return row
 
 
+def run_txlog_partition_leg(spark) -> dict:
+    """The hive-partitioned layout's 100-TB claim (r11): a
+    partition-scoped read_where must cost ~one PARTITION, not the
+    table. Fixed partition size (150k rows), partition COUNT grows
+    10 -> 100 across the decade — so the pruned scan's wall time
+    should stay ~FLAT (exp ~0) while the table grows 10x, and the
+    candidate set must be exactly the target partition's files.
+    Also times a partition-scoped delete_where and records how many
+    files it rewrote (bounded by the partition, at both scales)."""
+    from pyspark.sql import functions as F
+
+    from gcp_data_engineering_workshop_spark.sources import txlog as T
+
+    row: dict = {}
+    per_part = 150_000
+    for k, n_parts in (("x10", 10), ("x100", 100)):
+        root = os.path.join(WORK, f"txpart{k}", "t")
+        import shutil as _sh
+        _sh.rmtree(os.path.dirname(root), ignore_errors=True)
+        n_rows = per_part * n_parts
+        df = (spark.range(n_rows)
+              .select(F.col("id"),
+                      (F.col("id") % n_parts).cast("int").alias("p"),
+                      (F.col("id") * 7 % 1000).alias("v"))
+              .repartition(n_parts, "p"))
+        T.append(df, root, partition_by=["p"], checkpoint_every=0)
+        snap = T.snapshot(root)
+        cand = T._files_possibly_matching(
+            snap, T._parse_conjuncts("p = 3"))
+        row[f"n_files_{k}"] = len(snap["files"])
+        row[f"files_candidate_{k}"] = len(cand)
+        row[f"prune_exact_{k}"] = all(
+            c.startswith("p=3/") for c in cand)
+        t0 = time.monotonic()
+        got = T.read_where(spark, root, "p = 3").count()
+        row[f"t_scan_{k}"] = round(time.monotonic() - t0, 3)
+        assert got == per_part, (got, per_part)
+        t0 = time.monotonic()
+        T.delete_where(spark, root, "p = 3 AND v < 500",
+                       checkpoint_every=0)
+        row[f"t_delete_{k}"] = round(time.monotonic() - t0, 3)
+        row[f"files_rewritten_{k}"] = T.history(root)[-1]["n_remove"]
+        spark.catalog.clearCache()
+    row["exp_scan_10_100"] = round(
+        math.log10(row["t_scan_x100"] / row["t_scan_x10"]), 3)
+    row["exp_delete_10_100"] = round(
+        math.log10(row["t_delete_x100"] / row["t_delete_x10"]), 3)
+    row["pruned_ok"] = (
+        row["prune_exact_x10"] and row["prune_exact_x100"]
+        # candidate set = one partition's files at BOTH scales (the
+        # count must not grow with the table), and the delete only
+        # rewrites within it
+        and row["files_candidate_x100"] <= row["files_candidate_x10"]
+        and row["files_rewritten_x10"] <= row["files_candidate_x10"]
+        and row["files_rewritten_x100"] <= row["files_candidate_x100"])
+    return row
+
+
 def main() -> None:
     if len(sys.argv) > 1:
         rnd = int(sys.argv[1])
@@ -446,6 +504,11 @@ def main() -> None:
                 spark)
             print(f"## txlog_stream_drain: "
                   f"{results['txlog_stream_drain']}", flush=True)
+        if not only or "txlog_partition_prune" in only:
+            results["txlog_partition_prune"] = \
+                run_txlog_partition_leg(spark)
+            print(f"## txlog_partition_prune: "
+                  f"{results['txlog_partition_prune']}", flush=True)
     finally:
         spark.stop()
 
