@@ -235,6 +235,28 @@ def snapshot(root: str, version: int | None = None) -> dict:
             "constraints": constraints}
 
 
+def version_at(root: str, ts: float) -> int:
+    """TIMESTAMP AS OF resolution (r11): the newest version whose
+    commit timestamp is <= ``ts`` (unix seconds) — Delta's
+    timestamp-based time travel rule. Commit timestamps are the
+    writer's clock at commit time; like Delta, ordering is by
+    VERSION and a timestamp query binds to the last version not
+    after it. Raises when ``ts`` predates the first commit."""
+    best = None
+    for v in _list_versions(root):
+        e = json.load(open(_version_file(root, v)))
+        if e["ts"] <= ts:
+            best = v
+        # no early break: multi-writer clock skew can wiggle ts a
+        # little out of version order; the full scan keeps "last
+        # version not after ts" exact (Delta instead rewrites
+        # commit times to be monotone — same user-visible rule)
+    if best is None:
+        raise ValueError(
+            f"no version of {root} exists at or before ts={ts}")
+    return best
+
+
 def history(root: str) -> list[dict]:
     """The commit log, oldest first (op, version, ts, file counts)."""
     out = []
@@ -590,16 +612,25 @@ def overwrite(df: DataFrame, root: str, expected_version: int | None = None,
                          f"{max_retries} times under {root}")
 
 
-def read(spark, root: str, version: int | None = None) -> DataFrame:
+def read(spark, root: str, version: int | None = None,
+         as_of: float | None = None) -> DataFrame:
     """Snapshot-isolated read (optionally time-traveled): resolve
     the live file list as of ``version`` and read exactly those
     parquet files — commits after resolution are invisible to this
     DataFrame. When the log carries a recorded schema (every table
     written since schema tracking), the read projects through the
     schema AS OF that version — files predating an evolved column
-    surface NULL for it, and time travel returns the old shape."""
+    surface NULL for it, and time travel returns the old shape.
+
+    ``as_of`` (r11) is TIMESTAMP AS OF: unix seconds resolved to
+    the newest version committed at or before that instant
+    (version_at); mutually exclusive with ``version``."""
     from pyspark.sql.types import StructType
 
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass version= OR as_of=, not both")
+        version = version_at(root, as_of)
     snap = snapshot(root, version)
     files = [os.path.join(root, p) for p in sorted(snap["files"])]
     if not files:

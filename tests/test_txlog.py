@@ -1694,3 +1694,23 @@ def test_partitioned_optimize_compacts_per_partition(spark, tmp_path):
     assert all(p.startswith("p=") for p in snap["files"])
     after = {(r.id, r.p, r.s) for r in T.read(spark, root).collect()}
     assert after == before
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF (r11): a unix-seconds timestamp resolves to
+    the newest version committed at or before it; pre-history
+    timestamps refuse; version= and as_of= are mutually exclusive."""
+    root = str(tmp_path / "tbl")
+    T.append(spark.range(3), root)                       # v1
+    T.append(spark.range(3, 6), root)                    # v2
+    T.overwrite(spark.range(100, 102), root)             # v3
+    ts = {h["version"]: h["ts"] for h in T.history(root)}
+    assert T.version_at(root, ts[1]) == 1
+    assert T.version_at(root, (ts[1] + ts[2]) / 2) == 1
+    assert T.version_at(root, ts[3] + 3600) == 3
+    assert _ids(T.read(spark, root, as_of=ts[2])) == list(range(6))
+    assert _ids(T.read(spark, root, as_of=ts[3])) == [100, 101]
+    with pytest.raises(ValueError, match="at or before"):
+        T.version_at(root, ts[1] - 10)
+    with pytest.raises(ValueError, match="not both"):
+        T.read(spark, root, version=1, as_of=ts[1])
