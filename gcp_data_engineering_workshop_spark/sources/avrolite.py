@@ -51,7 +51,8 @@ import struct
 import zlib
 
 from pyspark.sql.datasource import (
-    DataSource, DataSourceReader, DataSourceWriter, InputPartition,
+    DataSource, DataSourceReader, DataSourceStreamReader,
+    DataSourceWriter, InputPartition,
     SimpleDataSourceStreamReader, WriterCommitMessage)
 
 MAGIC = b"Obj\x01"
@@ -459,6 +460,15 @@ class AvroLiteDataSource(DataSource):
         cls = AvroLitePushdownReader if enabled else AvroLiteReader
         return cls(self.options)
 
+    def streamReader(self, schema) -> "AvroLiteParallelStreamReader":
+        if str(self.options.get("use_simple_reader",
+                                "false")).lower() == "true":
+            from pyspark.errors import PySparkNotImplementedError
+            raise PySparkNotImplementedError(  # -> simple fallback
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "streamReader"})
+        return AvroLiteParallelStreamReader(self.options)
+
     def simpleStreamReader(self, schema) -> "AvroLiteStreamReader":
         return AvroLiteStreamReader(self.options)
 
@@ -565,6 +575,80 @@ class AvroLiteReader(DataSourceReader):
         if f is None:
             return
         yield from read_blocks_at(f, offsets)
+
+
+class AvroLiteParallelStreamReader(DataSourceStreamReader):
+    """E21 streaming twin on the FULL DataSourceStreamReader API
+    (r11 — the same upgrade D27's txlogstream got): the driver
+    plans only METADATA — the batch's new files split into block
+    groups packed to ~partition_bytes, block offsets from the
+    writer's stats sidecar when present (zero data IO) else one
+    header-skipping scan — and ``read(partition)`` decodes the
+    blocks ON THE EXECUTORS via read_blocks_at. A multi-gigabyte
+    landing-zone drop streams through as many parallel tasks as it
+    has block groups; no row transits the driver (the Simple
+    reader materialized every batch's rows there — it stays as the
+    ``use_simple_reader`` fallback and parity twin).
+
+    Offsets count files in (mtime, name) order — the same contract
+    as the Simple reader: files are immutable once visible and new
+    files form a stable suffix (the writer's task-file + _SUCCESS
+    protocol satisfies it). Restart safety: Spark checkpoints the
+    planned offsets and re-hands them to partitions(); the file
+    list slice [lo:hi) is stable under the suffix contract, so a
+    replanned batch is byte-identical."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+        self.pack_bytes = int(options.get("partition_bytes", 32 << 20))
+
+    def _files(self) -> list[str]:
+        return sorted(_data_files(self.path),
+                      key=lambda f: (os.path.getmtime(f), f))
+
+    def initialOffset(self):
+        return {"n": 0}
+
+    def latestOffset(self):
+        return {"n": len(self._files())}
+
+    def _blocks(self, f: str) -> list[tuple[int, int]]:
+        stats_path = f + ".stats.json"
+        if os.path.exists(stats_path):
+            blocks = json.load(open(stats_path))["blocks"]
+            out = []
+            for i, b in enumerate(blocks):
+                nxt = (blocks[i + 1]["offset"] if i + 1 < len(blocks)
+                       else os.path.getsize(f))
+                out.append((b["offset"], nxt - b["offset"]))
+            return out
+        return [(off, 1) for off, _n in scan_block_offsets(f)]
+
+    def partitions(self, start, end):
+        parts = []
+        for f in self._files()[start["n"]:end["n"]]:
+            group: list[int] = []
+            acc = 0
+            for off, nbytes in self._blocks(f):
+                group.append(off)
+                acc += nbytes
+                if acc >= self.pack_bytes:
+                    parts.append(InputPartition((f, tuple(group))))
+                    group, acc = [], 0
+            if group:
+                parts.append(InputPartition((f, tuple(group))))
+        # a batch whose files hold zero data blocks still needs one
+        # (empty) partition — same guard as the batch reader
+        return parts or [InputPartition((None, ()))]
+
+    def read(self, partition):
+        f, offsets = partition.value
+        if f is None:
+            return
+        yield from read_blocks_at(f, offsets)
+
+    def commit(self, end):
+        pass
 
 
 class AvroLiteStreamReader(SimpleDataSourceStreamReader):

@@ -871,3 +871,53 @@ def test_avrolite_string_zone_maps_conservative_on_nulls_and_types(
     finally:
         spark.conf.set("spark.sql.python.filterPushdown.enabled",
                        "false")
+
+
+def test_avrolite_parallel_stream_reader_default_and_parity(
+        spark, tmp_path):
+    """E21's stream reader is EXECUTOR-PARALLEL by default (r11,
+    the D27 upgrade applied to the landing-zone tail): the driver
+    plans block groups, executors decode them. Parity: the same
+    directory drained through the parallel reader and the Simple
+    fallback yields identical rows; the planner splits a small
+    partition_bytes target into multiple tasks."""
+    import time as _t
+
+    from gcp_data_engineering_workshop_spark.sources.avrolite import (
+        AvroLiteParallelStreamReader)
+
+    _avro_register(spark)
+    d = str(tmp_path / "avropar")
+    (spark.range(500).select(F.col("id"), F.lit("x").alias("tag"))
+     .coalesce(1).write.format("avrolite").option("path", d)
+     .option("records_per_block", "50").mode("append").save())
+    _t.sleep(0.05)
+    (spark.range(500, 600).select(F.col("id"),
+                                  F.lit("y").alias("tag"))
+     .coalesce(1).write.format("avrolite").option("path", d)
+     .option("records_per_block", "50").mode("append").save())
+
+    def drain(name, **opts):
+        rdr = spark.readStream.format("avrolite").option("path", d)
+        for k, v in opts.items():
+            rdr = rdr.option(k, v)
+        q = (rdr.load().writeStream.format("memory")
+             .queryName(name).outputMode("append").start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return sorted(tuple(r) for r in spark.table(name).collect())
+
+    par = drain("avro_par")
+    simple = drain("avro_simple", use_simple_reader="true")
+    assert par == simple
+    assert len(par) == 600
+    # planner: tiny pack target -> multiple block-group partitions
+    r = AvroLiteParallelStreamReader({"path": d,
+                                      "partition_bytes": "1024"})
+    parts = r.partitions({"n": 0}, {"n": 2})
+    assert len(parts) > 2
+    # replanning the same window is byte-identical (restart contract)
+    parts2 = r.partitions({"n": 0}, {"n": 2})
+    assert [p.value for p in parts] == [p.value for p in parts2]
