@@ -392,6 +392,68 @@ def run_txlog_stream_leg(spark) -> dict:
     return row
 
 
+def run_avrolite_stream_leg(spark) -> dict:
+    """E21's executor-parallel stream reader measured the way D27's
+    was (txlog_stream_drain): rows/s through a readStream ->
+    foreachBatch(count) drain of a landing-zone directory at
+    x10/x100, with the x-tier Simple-reader drains recording the
+    parallel/driver-pump ratio. Expect the same shape: ~flat
+    exponent (startup-dominated at these sizes) and a ratio that
+    separates at x100 where the driver pump pays per-row Python."""
+    from pyspark.sql import functions as F
+
+    from gcp_data_engineering_workshop_spark.sources.avrolite import (
+        register_avrolite)
+
+    register_avrolite(spark)
+    row: dict = {}
+
+    def drain(path, simple=False):
+        counts = []
+        rdr = (spark.readStream.format("avrolite")
+               .option("path", path))
+        if simple:
+            rdr = rdr.option("use_simple_reader", "true")
+        t0 = time.monotonic()
+        q = (rdr.load().writeStream
+             .foreachBatch(lambda df, bid: counts.append(df.count()))
+             .start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return round(time.monotonic() - t0, 3), sum(counts)
+
+    for k, (n_rows, n_files) in (("x10", (100_000, 4)),
+                                 ("x100", (1_000_000, 8))):
+        path = os.path.join(WORK, f"avstream{k}")
+        if not os.path.exists(os.path.join(path, "_PROBE_DONE")):
+            per = n_rows // n_files
+            for c in range(n_files):
+                (spark.range(c * per, (c + 1) * per)
+                 .select(F.col("id"),
+                         (F.col("id") * 3 % 997).alias("v"),
+                         F.concat(F.lit("doc-"), F.col("id"))
+                         .alias("tag"))
+                 .coalesce(1)
+                 .write.format("avrolite").option("path", path)
+                 .option("records_per_block", "5000")
+                 .mode("append").save())
+                time.sleep(0.02)  # distinct mtimes: stable order
+            open(os.path.join(path, "_PROBE_DONE"), "w").write("")
+        t, got = drain(path)
+        assert got == n_rows, (got, n_rows)
+        row[f"t_{k}"] = t
+        row[f"rows_per_s_{k}"] = round(got / t, 1)
+        ts, gots = drain(path, simple=True)
+        assert gots == n_rows
+        row[f"t_simple_{k}"] = ts
+        row[f"speedup_vs_simple_{k}"] = round(ts / t, 2)
+    row["exp_10_100"] = round(
+        math.log10(row["t_x100"] / row["t_x10"]), 3)
+    return row
+
+
 def run_txlog_partition_leg(spark) -> dict:
     """The hive-partitioned layout's 100-TB claim (r11): a
     partition-scoped read_where must cost ~one PARTITION, not the
@@ -509,6 +571,11 @@ def main() -> None:
                 run_txlog_partition_leg(spark)
             print(f"## txlog_partition_prune: "
                   f"{results['txlog_partition_prune']}", flush=True)
+        if not only or "avrolite_stream_drain" in only:
+            results["avrolite_stream_drain"] = \
+                run_avrolite_stream_leg(spark)
+            print(f"## avrolite_stream_drain: "
+                  f"{results['avrolite_stream_drain']}", flush=True)
     finally:
         spark.stop()
 
