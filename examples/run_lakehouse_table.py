@@ -1,0 +1,92 @@
+"""Lakehouse table-format tour: the full E22 user surface on one
+hive-partitioned table — the workflow a data engineer runs against
+a Delta-style table, composed entirely from the txlog layer
+(sources/txlog.py; every op here is oracle- or pytest-verified):
+
+  CREATE partitioned     append(partition_by=["o_orderstatus"])
+  APPEND (inherits spec) append(...)
+  PARTITION-PRUNED READ  read_where("o_orderstatus = 'F' AND ...")
+  UPDATE ... WHERE       update_where(cond, {col: expr})
+  DELETE ... WHERE       delete_where(cond)
+  MERGE (composite key)  merge_upsert(updates, ["k1", "k2"])
+  OPTIMIZE               optimize() — per-partition compaction
+  TIME TRAVEL            read(version=N) / read(as_of=unix_ts)
+  CHANGE FEED            read_changes(from_version=...)
+  RESTORE                restore(root, N)
+  VACUUM                 vacuum(root)
+
+Run: python examples/run_lakehouse_table.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from gcp_data_engineering_workshop_spark.catalog import load_table
+from gcp_data_engineering_workshop_spark.session import get_spark
+from gcp_data_engineering_workshop_spark.sources import txlog as T
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
+    spark = spark or get_spark("lakehouse-table-demo")
+    root = tempfile.mkdtemp(prefix="lakehouse_") + "/orders"
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+    # CREATE partitioned + a second append inheriting the spec
+    T.append(orders.where(F.col("o_orderkey") % 2 == 0), root,
+             partition_by=["o_orderstatus"])
+    T.append(orders.where(F.col("o_orderkey") % 2 == 1), root)
+    n0 = T.read(spark, root).count()
+
+    # partition-pruned read: only the F partition's files open
+    pruned = T.read_where(
+        spark, root, "o_orderstatus = 'F' AND o_totalprice < 100000")
+    n_pruned = pruned.count()
+
+    # predicate UPDATE then DELETE (two-phase file finding; the
+    # o_orderkey bounds are always populated, so neither no-ops)
+    v_upd = T.update_where(
+        spark, root, "o_orderkey <= 200",
+        {"o_totalprice": "o_totalprice * 2"})
+    v_del = T.delete_where(spark, root, "o_orderkey <= 100")
+
+    # composite-key MERGE (file-granular through footer pruning)
+    ups = (orders.where(F.col("o_orderkey") % 1000 == 0)
+           .withColumn("o_totalprice", F.lit(0.0)))
+    v_merge = T.merge_upsert(spark, root, ups,
+                             ["o_orderkey", "o_custkey"])
+
+    # OPTIMIZE: per-partition small-file compaction
+    T.optimize(spark, root, target_bytes=64 << 20)
+
+    # TIME TRAVEL both ways + CHANGE FEED + RESTORE
+    ts_created = T.history(root)[1]["ts"]
+    n_at_create = T.read(spark, root, as_of=ts_created).count()
+    feed_ops = sorted({
+        r._commit_op for r in
+        T.read_changes(spark, root, from_version=v_upd - 1,
+                       to_version=v_merge)
+        .select("_commit_op").distinct().collect()})
+    T.restore(root, 2, spark=spark)          # back to CREATE+APPEND
+    n_restored = T.read(spark, root).count()
+    removed = T.vacuum(root, retention_seconds=10 ** 9)  # keeps all
+
+    out = {"rows_created": n0, "rows_pruned_scan": n_pruned,
+           "rows_at_create_ts": n_at_create,
+           "rows_after_restore": n_restored,
+           "feed_ops": feed_ops, "vacuumed": len(removed),
+           "versions": len(T.history(root))}
+    print(out)
+    assert n_restored == n0 == n_at_create
+    assert feed_ops == ["delete", "merge", "update"]
+    return out
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:2])
