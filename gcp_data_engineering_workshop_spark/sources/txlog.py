@@ -830,10 +830,23 @@ def _size_merge_output(merged: DataFrame, snap: dict,
     ceil(touched_bytes / 128 MB) files instead — the touched bytes
     are log metadata, already on the driver, and they bound the
     survivor volume; the repartition shuffle moves only the rows the
-    merge already reads, i.e. the pruned set, never the table."""
+    merge already reads, i.e. the pruned set, never the table.
+
+    On a PARTITIONED table the rewrite hashes on the partition
+    columns (r11): a random repartition would scatter every
+    partition's rows across all n bins and the partitioned writer
+    would split each bin back out per value — up to n x partitions
+    near-empty files from one rewrite. Hashing keeps each
+    partition's rows in one task (collisions split out correctly
+    at write time)."""
+    from pyspark.sql import functions as F
+
     tb = sum(snap["files"][p].get("bytes", 0) for p in touched)
-    return merged.repartition(
-        max(1, math.ceil(tb / _MERGE_TARGET_BYTES)))
+    n = max(1, math.ceil(tb / _MERGE_TARGET_BYTES))
+    pb = snap.get("partition_by")
+    if pb:
+        return merged.repartition(n, *[F.col(c) for c in pb])
+    return merged.repartition(n)
 
 
 def merge_upsert(spark, root: str, updates: DataFrame,
@@ -1353,9 +1366,16 @@ def optimize(spark, root: str, target_bytes: int = 128 * 1024 * 1024,
         # read returns (r11; previously a bare spark.read.parquet)
         df = _read_files(spark, root, snap, victims)
         if sort_cols:
+            # on a partitioned table, range-cluster WITHIN the
+            # partition columns (prepended to the range keys):
+            # ranging on sort_cols alone would hand every task a
+            # slice of every partition, and the partitioned writer
+            # would fan each task out per value — n_out x partitions
+            # files from one re-layout
+            keys = ((snap.get("partition_by") or []) + sort_cols)
             df = (df.repartitionByRange(n_out,
-                                        *[F.col(c) for c in sort_cols])
-                  .sortWithinPartitions(*sort_cols))
+                                        *[F.col(c) for c in keys])
+                  .sortWithinPartitions(*keys))
         elif snap.get("partition_by"):
             # hash on the partition columns: each hive partition's
             # small files coalesce into ONE task (and the partitioned
@@ -1547,6 +1567,13 @@ def restore(root: str, version: int,
                                 if p not in snap["files"]])}
         if target.get("schema"):
             entry["schema"] = target["schema"]
+        # the PARTITION SPEC rolls back with the files (r11): a
+        # restore past a re-partitioning overwrite re-points the
+        # live set at old-layout files — leaving the head's spec in
+        # place would make every reader interpret them through the
+        # wrong directory contract. Always recorded (even []) so an
+        # un-partitioned target resets a partitioned head.
+        entry["partition_by"] = target.get("partition_by", [])
         if snapshot(root)["version"] == snap["version"] and \
                 _try_commit(root, snap["version"] + 1, entry):
             _maybe_checkpoint(root, snap["version"] + 1,

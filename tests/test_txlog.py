@@ -1714,3 +1714,55 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
         T.version_at(root, ts[1] - 10)
     with pytest.raises(ValueError, match="not both"):
         T.read(spark, root, version=1, as_of=ts[1])
+
+
+def test_partitioned_rewrites_do_not_fan_out_files(spark, tmp_path):
+    """Rewrites on a partitioned table route rows by the partition
+    columns: a merge touching all partitions lands ~one file per
+    partition (not bins x partitions), the sort_cols re-layout
+    range-clusters within partitions, and the stream sink inherits
+    the partition spec."""
+    root = str(tmp_path / "tbl")
+    T.append(_pdf(spark, 0, 300), root, partition_by=["p"],
+             checkpoint_every=0)
+    n0 = len(T.snapshot(root)["files"])
+    ups = _pdf(spark, 0, 300).where("id % 10 = 0") \
+        .selectExpr("id", "p", "'u' as s")
+    T.merge_upsert(spark, root, ups, "id", checkpoint_every=0)
+    snap = T.snapshot(root)
+    # every partition touched; the rewrite must not exceed ~one
+    # file per partition (3) plus nothing else
+    assert len(snap["files"]) <= max(n0, 3)
+    assert T.read(spark, root).where("s = 'u'").count() == 30
+    # sort_cols re-layout keeps per-partition file counts bounded
+    T.optimize(spark, root, target_bytes=1 << 30, sort_cols=["id"],
+               checkpoint_every=0)
+    snap2 = T.snapshot(root)
+    assert len(snap2["files"]) <= 4  # ~one per partition
+    assert T.read(spark, root).count() == 300
+    # stream sink inherits the partition layout
+    sink = T.stream_sink(root, app_id="t")
+    sink(_pdf(spark, 300, 310), 0)
+    assert all(p.startswith("p=")
+               for p in T.snapshot(root)["files"])
+    assert T.read(spark, root).count() == 310
+
+
+def test_restore_rolls_back_partition_spec(spark, tmp_path):
+    """RESTORE past a re-partitioning overwrite re-points at
+    old-layout files — the recorded spec must roll back with them
+    (both directions: partitioned -> un-partitioned and back)."""
+    root = str(tmp_path / "tbl")
+    T.append(_pdf(spark, 0, 12), root, partition_by=["p"])   # v1
+    T.overwrite(_pdf(spark, 0, 9), root)                     # v2 flat
+    assert T.snapshot(root)["partition_by"] == []
+    T.restore(root, 1)                                       # v3
+    snap = T.snapshot(root)
+    assert snap["partition_by"] == ["p"]
+    out = T.read(spark, root)
+    assert {r.p for r in out.collect()} == {0, 1, 2}
+    assert out.count() == 12
+    # and back: restore to the flat overwrite
+    T.restore(root, 2)                                       # v4
+    assert T.snapshot(root)["partition_by"] == []
+    assert T.read(spark, root).count() == 9
