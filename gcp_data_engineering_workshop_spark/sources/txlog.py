@@ -1296,22 +1296,26 @@ def update_where(spark, root: str, condition: str,
             raise ValueError(
                 f"update_where: SET targets not in the table schema: "
                 f"{sorted(unknown)}")
-        flagged = cur.withColumn("_upd", cond.isNotNull() & cond)
+        # the match flag rides in a name no user schema can carry
+        # (column names with backticks aside, the uuid suffix makes
+        # collision with real data practically impossible)
+        flag = f"__txlog_upd_{uuid.uuid4().hex[:8]}"
+        flagged = cur.withColumn(flag, cond.isNotNull() & cond)
         sel = []
         for name in cur.columns:
             if name in assignments:
                 sel.append(
-                    F.when(F.col("_upd"),
+                    F.when(F.col(flag),
                            F.expr(assignments[name])
                            .cast(cur.schema[name].dataType))
                     .otherwise(F.col(name)).alias(name))
             else:
                 sel.append(F.col(name))
-        rewritten = flagged.select(*sel, "_upd")
+        rewritten = flagged.select(*sel, flag)
         if snap.get("constraints"):
-            _check_constraints(rewritten.where("_upd").drop("_upd"),
+            _check_constraints(rewritten.where(flag).drop(flag),
                                snap["constraints"])
-        out = _size_merge_output(rewritten.drop("_upd"), snap, touched)
+        out = _size_merge_output(rewritten.drop(flag), snap, touched)
         adds = _stage_write(out, root, snap.get("partition_by"))
         entry = {"op": "update", "ts": time.time(),
                  "predicate": condition, "set": dict(assignments),
