@@ -17,6 +17,9 @@ Layout under a table root:
     _txlog/00000000000000000002.json
     _txlog/checkpoint-<V>.json            full live-file snapshot
     part-<uuid>.parquet                   immutable data files
+    col=value/part-<uuid>.parquet         (hive-partitioned tables,
+                                           r11: spec recorded in the
+                                           log like schema)
 
 Guarantees (each pytest-enforced):
 - ATOMICITY: data files are invisible until the commit file exists;
@@ -255,6 +258,28 @@ def version_at(root: str, ts: float) -> int:
         raise ValueError(
             f"no version of {root} exists at or before ts={ts}")
     return best
+
+
+def describe(root: str, version: int | None = None) -> dict:
+    """DESCRIBE DETAIL analog (r11): one metadata-only dict a user
+    or tool reads before touching data — version, file count and
+    total bytes, partition spec, schema DDL, live constraints, and
+    the streaming txn watermarks. O(log suffix), zero data IO."""
+    snap = snapshot(root, version)
+    ddl = None
+    if snap.get("schema"):
+        from pyspark.sql.types import StructType
+        st = StructType.fromJson(json.loads(snap["schema"]))
+        ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                        for f in st.fields)
+    return {"version": snap["version"],
+            "num_files": len(snap["files"]),
+            "total_bytes": sum(m.get("bytes", 0)
+                               for m in snap["files"].values()),
+            "partition_by": snap.get("partition_by", []),
+            "schema_ddl": ddl,
+            "constraints": dict(snap.get("constraints", {})),
+            "txn": dict(snap.get("txn", {}))}
 
 
 def history(root: str) -> list[dict]:

@@ -1766,3 +1766,26 @@ def test_restore_rolls_back_partition_spec(spark, tmp_path):
     T.restore(root, 2)                                       # v4
     assert T.snapshot(root)["partition_by"] == []
     assert T.read(spark, root).count() == 9
+
+
+def test_describe_and_partitioned_change_feed(spark, tmp_path):
+    """describe() surfaces the table's metadata without data IO;
+    read_changes over a partitioned window re-materializes the
+    partition columns in the recorded order."""
+    root = str(tmp_path / "tbl")
+    T.append(_pdf(spark, 0, 12), root, partition_by=["p"])   # v1
+    T.append(_pdf(spark, 12, 18), root)                      # v2
+    T.add_constraint(root, "pos", "id >= 0")                 # v3
+    d = T.describe(root)
+    assert d["version"] == 3
+    assert d["partition_by"] == ["p"]
+    assert d["num_files"] == len(T.snapshot(root)["files"])
+    assert d["total_bytes"] > 0
+    assert d["schema_ddl"].startswith("id bigint")
+    assert d["constraints"] == {"pos": "id >= 0"}
+    # historical describe: the creating commit's view
+    assert T.describe(root, version=1)["constraints"] == {}
+    ch = T.read_changes(spark, root, from_version=1)
+    assert ch.columns[:4] == ["id", "p", "s", "_commit_version"]
+    rows = {r.id: r.p for r in ch.collect()}
+    assert rows == {i: i % 3 for i in range(12, 18)}
