@@ -36,11 +36,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING POLICY: the driver records correctness rows for the
     FIRST 50 entries only (tests/test_entry_contract.py asserts the
     boundary position). Entries rotate per round. The r11 window:
-    (0) the four txlog-format keys — the format changed this round
+    (0) the SIX txlog-format keys — the format changed this round
     (composite MERGE keys, MERGE-DELETE with the NEW
     txlog_delete_scan oracle key, schema-projected file reads,
-    zero-row-part staging guard), so all four re-evidence on the
-    new code; (1) the eight keys VERDICT r10 names as stranded at
+    zero-row-part staging guard; mid-round: predicate DML with the
+    NEW txlog_update_scan key and hive partitioning with the NEW
+    txlog_partition_scan key), so all six evidence on the new
+    code; (1) the eight keys VERDICT r10 names as stranded at
     r4 driver evidence (temperature_sample, mixture_schedule,
     gopher_repetition, pack_sequences, assign_ids,
     heavy_hitters_stream_scale, embedding_neardup_lsh,
@@ -53,10 +55,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     them locally."""
     return {
         # -- (0) CHANGED THIS ROUND: the txlog format grew composite
-        #    MERGE keys, a MERGE-DELETE path (txlog_delete_scan is the
-        #    NEW driver-oracle key), schema-projected file reads and a
-        #    zero-row-part guard in the shared stage-writer — all four
-        #    format keys re-evidence on the new code --
+        #    MERGE keys, MERGE-DELETE (txlog_delete_scan), predicate
+        #    DML (txlog_update_scan), hive partitioning
+        #    (txlog_partition_scan), schema-projected file reads and
+        #    a zero-row-part guard in the shared stage-writer — all
+        #    six format keys evidence on the new code --
         "txlog_merge_scan": _tf.txlog_merge_scan,
         "txlog_delete_scan": _tf.txlog_delete_scan,
         "txlog_update_scan": _tf.txlog_update_scan,
