@@ -1789,3 +1789,43 @@ def test_describe_and_partitioned_change_feed(spark, tmp_path):
     assert ch.columns[:4] == ["id", "p", "s", "_commit_version"]
     rows = {r.id: r.p for r in ch.collect()}
     assert rows == {i: i % 3 for i in range(12, 18)}
+
+
+def test_multi_column_partitioning(spark, tmp_path):
+    """Two-level hive layout: nested col=value dirs parse in spec
+    order, both levels prune (second-level conjuncts too), DML
+    rewrites land back in the right leaf dirs."""
+    root = str(tmp_path / "tbl")
+    T.append(_pdf(spark, 0, 60), root, partition_by=["p", "s"],
+             checkpoint_every=0)
+    snap = T.snapshot(root)
+    assert snap["partition_by"] == ["p", "s"]
+    assert all(p.startswith("p=") and "/s=" in p
+               for p in snap["files"])
+    meta = next(iter(snap["files"].values()))
+    assert set(meta["partition"]) == {"p", "s"}
+    # second-level pruning alone
+    cand = T._files_possibly_matching(
+        snap, T._parse_conjuncts("s = 's1'"))
+    assert cand and all("/s=s1/" in c for c in cand)
+    # both levels conjunctively
+    cand2 = T._files_possibly_matching(
+        snap, T._parse_conjuncts("p = 2 AND s = 's0'"))
+    assert cand2 and all(c.startswith("p=2/s=s0/") for c in cand2)
+    got = {r.id for r in
+           T.read_where(spark, root, "p = 2 AND s = 's0'").collect()}
+    assert got == {i for i in range(60) if i % 3 == 2 and i % 2 == 0}
+    # predicate delete of one leaf; everything else untouched
+    before = set(snap["files"])
+    T.delete_where(spark, root, "p = 2 AND s = 's0'",
+                   checkpoint_every=0)
+    snap2 = T.snapshot(root)
+    assert all(p in snap2["files"] for p in before
+               if not p.startswith("p=2/s=s0/"))
+    assert T.read(spark, root).count() == 60 - len(got)
+    # update lands rows back in their leaf dirs
+    T.update_where(spark, root, "p = 0 AND s = 's0'",
+                   {"id": "id + 1000"}, checkpoint_every=0)
+    assert T.read(spark, root).where("id >= 1000").count() > 0
+    assert all(("/s=" in p and p.startswith("p="))
+               for p in T.snapshot(root)["files"])
