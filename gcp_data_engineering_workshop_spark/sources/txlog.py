@@ -876,7 +876,8 @@ def _size_merge_output(merged: DataFrame, snap: dict,
 
 def merge_upsert(spark, root: str, updates: DataFrame,
                  key: str | list[str],
-                 max_retries: int = 5, checkpoint_every: int = 10) -> int:
+                 max_retries: int = 5, checkpoint_every: int = 10,
+                 merge_schema: bool = False) -> int:
     """MERGE INTO (upsert) over the transaction log — B28's
     merge-upsert semantics running against the ACID table, at FILE
     granularity: the footer stats each add action carries prune the
@@ -905,12 +906,27 @@ def merge_upsert(spark, root: str, updates: DataFrame,
     os.makedirs(root, exist_ok=True)
     for _ in range(max_retries):
         snap = snapshot(root)
+        rec = None
         if snap.get("schema") is not None:
-            # updates must match the table exactly — merge writes
-            # survivors + updates into shared files, so a divergent
-            # update schema can't be quarantined the way an evolved
-            # append can
-            _schema_check(updates, snap["schema"], False)
+            # updates must match the table exactly, OR evolve it
+            # ADDITIVELY with merge_schema=True (r11, Delta's
+            # autoMerge-on-MERGE): new columns join the table,
+            # survivors and untouched files surface NULL for them.
+            # A NARROWER update is refused even under merge_schema —
+            # the upsert replaces matched rows wholesale, so a
+            # missing column would silently NULL matched rows' data
+            rec = _schema_check(updates, snap["schema"], merge_schema)
+            if rec is not None:
+                from pyspark.sql.types import StructType as _ST
+                table_cols = {f.name for f in _ST.fromJson(
+                    json.loads(snap["schema"])).fields}
+                narrower = table_cols - set(updates.columns)
+                if narrower:
+                    raise SchemaMismatch(
+                        f"merge_upsert updates lack table columns "
+                        f"{sorted(narrower)}; an upsert replaces "
+                        f"matched rows wholesale, so evolution may "
+                        f"only ADD columns")
         _check_constraints(updates, snap.get("constraints", {}))
         touched = _files_touching_keys(
             spark, _pruning_view(snap), updates, keys) \
@@ -919,13 +935,16 @@ def merge_upsert(spark, root: str, updates: DataFrame,
             cur = _read_files(spark, root, snap, touched)
             merged = _size_merge_output(
                 cur.join(updates, keys, "left_anti")
-                .unionByName(updates), snap, touched)
+                .unionByName(updates, allowMissingColumns=True),
+                snap, touched)
         else:
             merged = updates
         adds = _stage_write(merged, root, snap.get("partition_by"))
         entry = {"op": "merge", "ts": time.time(),
                  "actions": ([{"remove": {"path": p}} for p in touched]
                              + [{"add": a} for a in adds])}
+        if rec is not None:
+            entry["schema"] = rec
         if snapshot(root)["version"] == snap["version"] and \
                 _try_commit(root, snap["version"] + 1, entry):
             _maybe_checkpoint(root, snap["version"] + 1, checkpoint_every)

@@ -1829,3 +1829,36 @@ def test_multi_column_partitioning(spark, tmp_path):
     assert T.read(spark, root).where("id >= 1000").count() > 0
     assert all(("/s=" in p and p.startswith("p="))
                for p in T.snapshot(root)["files"])
+
+
+def test_merge_schema_evolution_adds_columns(spark, tmp_path):
+    """merge_upsert(merge_schema=True) evolves ADDITIVELY: updates
+    carry a new column, survivors and untouched files surface NULL
+    for it, the evolved schema rides the merge commit; a NARROWER
+    update refuses even under merge_schema (it would silently NULL
+    matched rows' data)."""
+    root = str(tmp_path / "tbl")
+    for b in range(2):
+        T.append(
+            spark.range(b * 10, (b + 1) * 10).selectExpr(
+                "id", "cast(id as double) as v").coalesce(1),
+            root, checkpoint_every=0)
+    ups = spark.createDataFrame(
+        [(3, 30.0, "gold"), (25, 250.0, "new")],
+        "id bigint, v double, tier string")
+    with pytest.raises(T.SchemaMismatch, match="merge_schema"):
+        T.merge_upsert(spark, root, ups, "id")
+    T.merge_upsert(spark, root, ups, "id", merge_schema=True,
+                   checkpoint_every=0)
+    out = {r.id: (r.v, r.tier) for r in T.read(spark, root).collect()}
+    assert out[3] == (30.0, "gold")          # matched: replaced
+    assert out[25] == (250.0, "new")         # unmatched: inserted
+    assert out[5] == (5.0, None)             # survivor: NULL backfill
+    assert out[15] == (15.0, None)           # untouched file: NULL
+    assert len(out) == 21
+    # narrower update refused even under merge_schema
+    bad = spark.createDataFrame([(4, "x")], "id bigint, tier string")
+    with pytest.raises(T.SchemaMismatch, match="wholesale"):
+        T.merge_upsert(spark, root, bad, "id", merge_schema=True)
+    # time travel returns the pre-evolution shape
+    assert "tier" not in T.read(spark, root, version=2).columns
