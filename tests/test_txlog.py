@@ -1862,3 +1862,29 @@ def test_merge_schema_evolution_adds_columns(spark, tmp_path):
         T.merge_upsert(spark, root, bad, "id", merge_schema=True)
     # time travel returns the pre-evolution shape
     assert "tier" not in T.read(spark, root, version=2).columns
+
+
+def test_stream_crosses_fileless_commits(spark, tmp_path):
+    """A fileless commit (set-constraint) advances the offset head;
+    the parallel reader must plan an EMPTY batch for it and keep
+    streaming — pinned because partitions() returning [] is the
+    path Spark has to tolerate."""
+    from gcp_data_engineering_workshop_spark.sources.txlog import (
+        TxLogStreamDataSource)
+
+    root = str(tmp_path / "tbl")
+    T.append(spark.range(5).selectExpr("id"), root)
+    spark.dataSource.register(TxLogStreamDataSource)
+    q = (spark.readStream.format("txlogstream").option("path", root)
+         .load().writeStream.format("memory")
+         .queryName("txlog_fileless").outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        T.add_constraint(root, "pos", "id >= 0")  # no add actions
+        q.processAllAvailable()
+        assert spark.table("txlog_fileless").count() == 5
+        T.append(spark.range(5, 8).selectExpr("id"), root)
+        q.processAllAvailable()
+        assert spark.table("txlog_fileless").count() == 8
+    finally:
+        q.stop()
