@@ -36,13 +36,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING POLICY: the driver records correctness rows for the
     FIRST 50 entries only (tests/test_entry_contract.py asserts the
     boundary position). Entries rotate per round. The r11 window:
-    (0) the SIX txlog-format keys — the format changed this round
+    (0) the SEVEN txlog-format keys — the format changed this round
     (composite MERGE keys, MERGE-DELETE with the NEW
     txlog_delete_scan oracle key, schema-projected file reads,
     zero-row-part staging guard; mid-round: predicate DML with the
-    NEW txlog_update_scan key and hive partitioning with the NEW
-    txlog_partition_scan key), so all six evidence on the new
-    code; (1) the eight keys VERDICT r10 names as stranded at
+    NEW txlog_update_scan key, hive partitioning with the NEW
+    txlog_partition_scan key, and batch-incremental refresh with
+    the NEW txlog_incremental_scan key), so all seven evidence on
+    the new code; (1) the eight keys VERDICT r10 names as stranded at
     r4 driver evidence (temperature_sample, mixture_schedule,
     gopher_repetition, pack_sequences, assign_ids,
     heavy_hitters_stream_scale, embedding_neardup_lsh,
@@ -58,12 +59,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    MERGE keys, MERGE-DELETE (txlog_delete_scan), predicate
         #    DML (txlog_update_scan), hive partitioning
         #    (txlog_partition_scan), schema-projected file reads and
+        #    batch-incremental refresh (txlog_incremental_scan) and
         #    a zero-row-part guard in the shared stage-writer — all
-        #    six format keys evidence on the new code --
+        #    seven format keys evidence on the new code --
         "txlog_merge_scan": _tf.txlog_merge_scan,
         "txlog_delete_scan": _tf.txlog_delete_scan,
         "txlog_update_scan": _tf.txlog_update_scan,
         "txlog_partition_scan": _tf.txlog_partition_scan,
+        "txlog_incremental_scan": _tf.txlog_incremental_scan,
         "txlog_range_scan": _tf.txlog_range_scan,
         "txlog_change_feed": _tf.txlog_change_feed,
         # -- (1) the 8 keys stranded at r4 driver evidence (VERDICT
@@ -114,20 +117,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_spans": _tp.decontaminate_spans,
         "dedup_keep_best": _tp.dedup_keep_best,
         "pagerank_knn": _tp.pagerank_knn,
-        "kneser_ney_score": _tp.kneser_ney_score,
-        # ==== WINDOW BOUNDARY (50): kneser_ney_score is entry 50;
+        # ==== WINDOW BOUNDARY (50): pagerank_knn is entry 50;
         #      the driver records rows for nothing below this line.
         #      tests/test_entry_contract.py asserts this position.
-        #      txlog_update_scan + txlog_partition_scan (predicate
-        #      DML and hive partitioning, new mid-r11) displaced
-        #      containment_pairs and semdedup_keep_central to the
+        #      txlog_update_scan + txlog_partition_scan +
+        #      txlog_incremental_scan (predicate DML, hive
+        #      partitioning, batch-incremental refresh — all new
+        #      mid-r11) displaced containment_pairs,
+        #      semdedup_keep_central and kneser_ney_score to the
         #      tail — a NEW key's first evidence outranks refreshing
-        #      one more r7 key; both join event_transitions as r12
-        #      rotation heads ====
+        #      one more r7 key; the three join event_transitions as
+        #      r12 rotation heads ====
         # -- tail: r9/r10-evidenced keys rotate out (their rows
         #    stand), plus the declared rows-only set;
         #    event_transitions + containment_pairs +
-        #    semdedup_keep_central lead the r12 rotation --
+        #    semdedup_keep_central + kneser_ney_score lead the r12
+        #    rotation --
+        "kneser_ney_score": _tp.kneser_ney_score,
         "semdedup_keep_central": _tp.semdedup_keep_central,
         "containment_pairs": _tp.containment_pairs,
         "event_transitions": _an3.event_transitions,
@@ -255,6 +261,7 @@ def oracle_sql() -> dict[str, str]:
         "txlog_delete_scan": _tf.TXLOG_DELETE_SCAN_SQL,
         "txlog_update_scan": _tf.TXLOG_UPDATE_SCAN_SQL,
         "txlog_partition_scan": _tf.TXLOG_PARTITION_SCAN_SQL,
+        "txlog_incremental_scan": _tf.TXLOG_INCREMENTAL_SCAN_SQL,
         "ingest_parse_json": _orc.INGEST_PARSE_JSON_SQL,
         # the batched-enrichment path computes the same decoded tick
         # message with the deterministic model, so it shares A1's SQL

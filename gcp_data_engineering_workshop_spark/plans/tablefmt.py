@@ -185,6 +185,36 @@ def txlog_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderkey"))
 
 
+def txlog_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E22 batch-incremental refresh under the oracle gate (new
+    r11): orders lands in a SOURCE table as three versioned
+    appends; refresh_incremental runs TWICE — once after the first
+    two commits, once after the third — so the second run's window
+    starts at the destination's txn watermark. The transformation
+    keeps urgent orders and projects the base columns; a third
+    refresh call must no-op. The destination reads back equal to a
+    plain filter over the source — exactly-once composition of the
+    change feed, the txn watermark, and the stream sink."""
+    src = tempfile.mkdtemp(prefix="txlog_incr_") + "/src"
+    dst = tempfile.mkdtemp(prefix="txlog_incr_") + "/dst"
+    orders = _orders(spark, sf_dir)
+    fn = (lambda d: d.where(
+        F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+                "o_totalprice", "o_orderpriority"))
+    T.append(orders.where(F.col("o_orderkey") % 3 == 0), src,
+             checkpoint_every=0)
+    T.append(orders.where(F.col("o_orderkey") % 3 == 1), src,
+             checkpoint_every=0)
+    T.refresh_incremental(spark, src, dst, fn, checkpoint_every=0)
+    T.append(orders.where(F.col("o_orderkey") % 3 == 2), src,
+             checkpoint_every=0)
+    T.refresh_incremental(spark, src, dst, fn, checkpoint_every=0)
+    assert T.refresh_incremental(spark, src, dst, fn,
+                                 checkpoint_every=0) is None
+    return T.read(spark, dst).orderBy("o_orderkey")
+
+
 TXLOG_RANGE_SCAN_SQL = """
 SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
        o_orderpriority
@@ -230,6 +260,14 @@ SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
        o_orderpriority
 FROM orders
 WHERE o_orderkey % 31 <> 0
+ORDER BY o_orderkey
+"""
+
+TXLOG_INCREMENTAL_SCAN_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderpriority
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
 ORDER BY o_orderkey
 """
 

@@ -1447,6 +1447,43 @@ def optimize(spark, root: str, target_bytes: int = 128 * 1024 * 1024,
         f"under {root}")
 
 
+def refresh_incremental(spark, src_root: str, dst_root: str, fn,
+                        app_id: str = "incremental",
+                        include_ops: tuple = ("append",
+                                              "stream-append"),
+                        checkpoint_every: int = 10) -> int | None:
+    """BATCH-INCREMENTAL refresh (r11): apply ``fn`` to exactly the
+    rows that landed in ``src_root`` since this app's last refresh
+    and commit the result to ``dst_root`` — the nightly-job analog
+    of the streaming medallion hop, exactly-once without a
+    streaming query. The cursor is the DESTINATION's txn watermark
+    (app_id -> last processed source version), so it rides commits
+    and checkpoints like every other piece of table state; a
+    re-run after a crash that committed sees the watermark and
+    no-ops, a crash before the commit replays the same window onto
+    the immutable source log. Returns the destination version
+    committed, or None when the source has nothing new.
+
+    ``fn`` receives the read_changes() DataFrame of the window
+    (with _commit_version/_commit_op tags; default include_ops
+    keeps the exact row-increment ops — appends — and SKIPS
+    merge/update/delete/overwrite windows whose add files carry
+    survivors; widen include_ops only with apply-by-key logic in
+    ``fn``) and returns the rows to append downstream. ``fn`` must
+    be deterministic for the exactly-once replay to be exact."""
+    head = snapshot(src_root)["version"]
+    last = snapshot(dst_root)["txn"].get(app_id, 0)
+    if head <= last:
+        return None
+    delta = read_changes(spark, src_root, from_version=last,
+                         to_version=head, include_ops=include_ops)
+    out = fn(delta)
+    sink = stream_sink(dst_root, app_id=app_id,
+                       checkpoint_every=checkpoint_every)
+    sink(out, head)  # batch id = src version: idempotent replay
+    return snapshot(dst_root)["version"]
+
+
 def stream_sink(root: str, app_id: str = "stream",
                 checkpoint_every: int = 10):
     """Exactly-once streaming sink INTO the transaction log: a

@@ -1888,3 +1888,35 @@ def test_stream_crosses_fileless_commits(spark, tmp_path):
         assert spark.table("txlog_fileless").count() == 8
     finally:
         q.stop()
+
+
+def test_refresh_incremental_exactly_once(spark, tmp_path):
+    """Batch-incremental refresh: each run processes exactly the
+    source window since the destination's watermark; re-runs no-op;
+    non-append source commits are skipped by the default op set
+    (the watermark still advances so they are not reprocessed)."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    fn = (lambda d: d.where("id % 2 = 0")
+          .selectExpr("id", "id * 10 as v"))
+    T.append(spark.range(10).selectExpr("id"), src)          # v1
+    v = T.refresh_incremental(spark, src, dst, fn, app_id="j")
+    assert v == 1
+    assert _ids(T.read(spark, dst)) == [0, 2, 4, 6, 8]
+    # idempotent re-run: nothing new
+    assert T.refresh_incremental(spark, src, dst, fn,
+                                 app_id="j") is None
+    T.append(spark.range(10, 16).selectExpr("id"), src)      # v2
+    T.refresh_incremental(spark, src, dst, fn, app_id="j")
+    assert _ids(T.read(spark, dst)) == [0, 2, 4, 6, 8, 10, 12, 14]
+    # a merge on src is SKIPPED by the default include_ops but the
+    # watermark advances past it (no reprocessing later)
+    T.merge_upsert(spark, src,
+                   spark.createDataFrame([(2,)], "id bigint"), "id")
+    T.refresh_incremental(spark, src, dst, fn, app_id="j")
+    assert _ids(T.read(spark, dst)) == [0, 2, 4, 6, 8, 10, 12, 14]
+    assert T.refresh_incremental(spark, src, dst, fn,
+                                 app_id="j") is None
+    # independent app_ids keep independent cursors
+    v2 = T.refresh_incremental(spark, src, dst, fn, app_id="k")
+    assert v2 is not None  # reprocessed everything under its own id
