@@ -1376,6 +1376,7 @@ def update_where(spark, root: str, condition: str,
 
 def optimize(spark, root: str, target_bytes: int = 128 * 1024 * 1024,
              sort_cols: list[str] | None = None,
+             zorder: list[str] | None = None,
              max_retries: int = 5, checkpoint_every: int = 10) -> int:
     """OPTIMIZE the table as a TRANSACTION — E20's small-file
     compaction running under the commit protocol. FILE-GRANULAR in
@@ -1387,6 +1388,17 @@ def optimize(spark, root: str, target_bytes: int = 128 * 1024 * 1024,
     definition (repartitionByRange + in-file sort; output files stay
     range-disjoint so footer pruning keeps working).
 
+    ``zorder`` (r11) is OPTIMIZE ZORDER BY: the listed INTEGRAL
+    columns Morton-interleave into one code (layout.py's public bit
+    arithmetic — min/max bounds from a single bounded agg, grid
+    scaling, n-dim interleave), and the global re-layout
+    range-clusters on it — every output file covers a small
+    HYPERCUBE of the key space, so footer min/max become tight on
+    ALL listed dimensions at once and read_range/read_where prune
+    multi-dimensional boxes. Mutually exclusive with ``sort_cols``
+    (linear clustering); on a partitioned table the partition
+    columns lead the clustering keys in both modes.
+
     Either way the swap commits with compare-and-swap against the
     snapshot version: a commit landing in between fails the CAS and
     the compaction re-runs on the fresh snapshot — readers NEVER see
@@ -1396,11 +1408,13 @@ def optimize(spark, root: str, target_bytes: int = 128 * 1024 * 1024,
     job that fixes them without closing the table to writers."""
     from pyspark.sql import functions as F
 
+    if sort_cols and zorder:
+        raise ValueError("pass sort_cols OR zorder, not both")
     for _ in range(max_retries):
         snap = snapshot(root)
         if not snap["files"]:
             return snap["version"]
-        if sort_cols:
+        if sort_cols or zorder:
             victims = sorted(snap["files"])  # global re-layout
         else:
             victims = sorted(p for p, m in snap["files"].items()
@@ -1413,7 +1427,29 @@ def optimize(spark, root: str, target_bytes: int = 128 * 1024 * 1024,
         # discovery — a compaction rewrite must not change what a
         # read returns (r11; previously a bare spark.read.parquet)
         df = _read_files(spark, root, snap, victims)
-        if sort_cols:
+        if zorder:
+            from gcp_data_engineering_workshop_spark.sources.layout \
+                import interleave_bits_n, scale_to_grid
+
+            for c in zorder:
+                t = dict(df.dtypes).get(c)
+                if t not in ("tinyint", "smallint", "int", "bigint"):
+                    raise ValueError(
+                        f"zorder column {c} has type {t}; the Morton "
+                        f"grid needs integral columns")
+            bits = min(16, 63 // len(zorder))
+            r = df.agg(*[f for c in zorder
+                         for f in (F.min(c), F.max(c))]).collect()[0]
+            scaled = [scale_to_grid(
+                F.col(c), int(r[2 * i]), int(r[2 * i + 1]), bits)
+                for i, c in enumerate(zorder)]
+            zc = f"__txlog_z_{uuid.uuid4().hex[:8]}"
+            keys = (snap.get("partition_by") or []) + [zc]
+            df = (df.withColumn(zc, interleave_bits_n(scaled, bits))
+                  .repartitionByRange(n_out, *[F.col(c) for c in keys])
+                  .sortWithinPartitions(*keys)
+                  .drop(zc))
+        elif sort_cols:
             # on a partitioned table, range-cluster WITHIN the
             # partition columns (prepended to the range keys):
             # ranging on sort_cols alone would hand every task a

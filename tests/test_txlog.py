@@ -1920,3 +1920,44 @@ def test_refresh_incremental_exactly_once(spark, tmp_path):
     # independent app_ids keep independent cursors
     v2 = T.refresh_incremental(spark, src, dst, fn, app_id="k")
     assert v2 is not None  # reprocessed everything under its own id
+
+
+def test_optimize_zorder_prunes_both_dimensions(spark, tmp_path):
+    """OPTIMIZE ZORDER BY: after the Morton re-layout every file
+    covers a small rectangle of (x, y), so BOTH dimensions' footer
+    ranges prune — including y, which the x-linear layout sprays
+    across every file. Result set stays exact."""
+    root = str(tmp_path / "tbl")
+    grid = spark.range(64 * 64).selectExpr(
+        "cast(id % 64 as bigint) as x",
+        "cast(id div 64 as bigint) as y",
+        "id as payload")
+    # x-linear layout first: 8 files sorted by x
+    T.append(grid.repartitionByRange(8, "x").sortWithinPartitions("x"),
+             root, checkpoint_every=0)
+    snap0 = T.snapshot(root)
+    y_before = T._files_possibly_matching(
+        snap0, T._parse_conjuncts("y >= 10 AND y <= 13"))
+    assert len(y_before) == len(snap0["files"])  # y prunes nothing
+    with pytest.raises(ValueError, match="not both"):
+        T.optimize(spark, root, sort_cols=["x"], zorder=["x", "y"])
+    T.optimize(spark, root, target_bytes=4_000,
+               zorder=["x", "y"], checkpoint_every=0)
+    snap = T.snapshot(root)
+    assert len(snap["files"]) >= 4
+    box = "x >= 10 AND x <= 20 AND y >= 10 AND y <= 20"
+    cand = T._files_possibly_matching(snap, T._parse_conjuncts(box))
+    assert len(cand) < len(snap["files"])
+    y_only = T._files_possibly_matching(
+        snap, T._parse_conjuncts("y >= 10 AND y <= 13"))
+    assert len(y_only) < len(snap["files"])  # y NOW prunes
+    got = sorted((r.x, r.y) for r in
+                 T.read_where(spark, root, box).collect())
+    assert got == sorted((x, y) for x in range(10, 21)
+                         for y in range(10, 21))
+    # non-integral zorder column refused
+    root2 = str(tmp_path / "tbl2")
+    T.append(spark.range(5).selectExpr(
+        "id", "cast(id as double) as d"), root2)
+    with pytest.raises(ValueError, match="integral"):
+        T.optimize(spark, root2, zorder=["d"])
