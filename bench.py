@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "txlog_delete_scan",     # E22 MERGE-DELETE + snapshot read
     "txlog_update_scan",     # E22 predicate UPDATE+DELETE + read
     "txlog_partition_scan",  # E22 hive-partitioned append + pruned read
+    "txlog_incremental_scan",  # E22 exactly-once incremental refresh
 ]
 
 

@@ -1961,3 +1961,21 @@ def test_optimize_zorder_prunes_both_dimensions(spark, tmp_path):
         "id", "cast(id as double) as d"), root2)
     with pytest.raises(ValueError, match="integral"):
         T.optimize(spark, root2, zorder=["d"])
+
+
+def test_update_where_moves_rows_across_partitions(spark, tmp_path):
+    """UPDATE of a partition column migrates matched rows to their
+    new col=value directory (the partitioned writer routes by the
+    post-update value) and pruning finds them there."""
+    root = str(tmp_path / "tbl")
+    T.append(_pdf(spark, 0, 30), root, partition_by=["p"],
+             checkpoint_every=0)
+    T.update_where(spark, root, "id = 4", {"p": "9"},
+                   checkpoint_every=0)
+    snap = T.snapshot(root)
+    assert any(p.startswith("p=9/") for p in snap["files"])
+    got = {r.id for r in T.read_where(spark, root, "p = 9").collect()}
+    assert got == {4}
+    assert {r.id for r in
+            T.read_where(spark, root, "p = 1").collect()} \
+        == {i for i in range(30) if i % 3 == 1} - {4}
