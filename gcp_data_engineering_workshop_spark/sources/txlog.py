@@ -294,6 +294,36 @@ def history(root: str) -> list[dict]:
     return out
 
 
+def _footer_nulls(path: str) -> dict:
+    """Per-file {column: [null_count, num_rows]} from the parquet
+    footer — the stat behind IS NULL / IS NOT NULL data skipping
+    (r11): null_count == 0 proves no row satisfies IS NULL,
+    null_count == num_rows proves none satisfies IS NOT NULL. A
+    column whose footer lacks a null count in ANY row group is
+    absent (conservative)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    agg: dict[str, list] = {}
+    dropped: set[str] = set()
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in dropped:
+                continue
+            st = col.statistics
+            if st is None or st.null_count is None:
+                dropped.add(name)
+                agg.pop(name, None)
+                continue
+            cur = agg.setdefault(name, [0, 0])
+            cur[0] += st.null_count
+            cur[1] += row_group.num_rows
+    return agg
+
+
 def _footer_stats(path: str) -> dict:
     """Per-file min/max column stats from the parquet FOOTER only
     (pyarrow metadata — zero data pages read). Primitive top-level
@@ -415,7 +445,8 @@ def _stage_write(df: DataFrame, root: str,
             dst = os.path.join(root, rel)
             os.replace(src, dst)  # same-FS atomic move
             add = {"path": rel, "bytes": os.path.getsize(dst),
-                   "stats": _footer_stats(dst)}
+                   "stats": _footer_stats(dst),
+                   "nulls": _footer_nulls(dst)}
             if part is not None:
                 add["partition"] = part
             adds.append(add)
@@ -1004,6 +1035,8 @@ def merge_delete(spark, root: str, keys_df: DataFrame,
 
 _CMP_RE = re.compile(
     r"^\s*([A-Za-z_]\w*)\s*(<=|>=|==|=|<|>)\s*(.+?)\s*$")
+_NULL_RE = re.compile(
+    r"^\s*([A-Za-z_]\w*)\s+IS\s+(NOT\s+)?NULL\s*$", re.IGNORECASE)
 _CMP_REV_RE = re.compile(
     r"^\s*(.+?)\s*(<=|>=|==|=|<|>)\s*([A-Za-z_]\w*)\s*$")
 _FLIP = {"<": ">", ">": "<", "<=": ">=", ">=": "<=",
@@ -1078,6 +1111,11 @@ def _parse_conjuncts(condition: str) -> list[tuple[str, str, object]]:
         while (c.startswith("(") and c.endswith(")")
                and _balanced(c[1:-1])):
             c = c[1:-1].strip()
+        m = _NULL_RE.match(c)
+        if m:
+            out.append((m.group(1),
+                        "notnull" if m.group(2) else "isnull", None))
+            continue
         m = _CMP_RE.match(c)
         if m and _parse_literal(m.group(3)) is not None:
             op = "=" if m.group(2) == "==" else m.group(2)
@@ -1217,6 +1255,28 @@ def _files_possibly_matching(snap: dict,
         stats = _effective_stats(m, types)
         excluded = False
         for col, op, lit in conjuncts:
+            if op in ("isnull", "notnull"):
+                # NULL-count skipping (r11): a partition token is
+                # definitive for its column (None = every row NULL);
+                # otherwise the footer null counts decide. Absent
+                # stats survive, as always.
+                part = m.get("partition") or {}
+                if col in part:
+                    tok = part[col]
+                    if (tok is not None) == (op == "isnull"):
+                        excluded = True
+                        break
+                    continue
+                nl = m.get("nulls", {}).get(col)
+                if nl is None:
+                    continue
+                n_null, n_rows = nl
+                if ((op == "isnull" and n_null == 0)
+                        or (op == "notnull" and n_rows > 0
+                            and n_null == n_rows)):
+                    excluded = True
+                    break
+                continue
             st = stats.get(col)
             if st is None:
                 continue

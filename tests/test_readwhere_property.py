@@ -36,11 +36,18 @@ def _render(lit) -> str:
 # cast rejects e.g. bigint < '' outright — an invalid predicate,
 # not a pruning case); numeric columns see int AND float literals
 # (promotion is the interesting path), the string column strings
-_comparison = st.sampled_from(("i", "f", "p", "s")).flatmap(
+_cmp_clause = st.sampled_from(("i", "f", "p", "s")).flatmap(
     lambda c: st.tuples(
         st.just(c), st.sampled_from(_OPS),
         _lit_str if c == "s" else st.one_of(_lit_int, _lit_float))
 ).map(lambda t: f"{t[0]} {t[1]} {_render(t[2])}")
+
+_null_clause = st.tuples(
+    st.sampled_from(_COLS),
+    st.sampled_from(("IS NULL", "IS NOT NULL"))
+).map(lambda t: f"{t[0]} {t[1]}")
+
+_comparison = st.one_of(_cmp_clause, _cmp_clause, _null_clause)
 
 _predicate = st.lists(_comparison, min_size=1, max_size=3).flatmap(
     lambda cs: st.sampled_from([" AND ", " OR "]).map(

@@ -1979,3 +1979,51 @@ def test_update_where_moves_rows_across_partitions(spark, tmp_path):
     assert {r.id for r in
             T.read_where(spark, root, "p = 1").collect()} \
         == {i for i in range(30) if i % 3 == 1} - {4}
+
+
+def test_null_count_data_skipping(spark, tmp_path):
+    """IS NULL / IS NOT NULL skipping (r11): footer null counts
+    prove a file has no NULLs (IS NULL skips it) or only NULLs
+    (IS NOT NULL skips it); partition tokens are definitive for
+    their column; mixed files always survive; results stay exact."""
+    root = str(tmp_path / "tbl")
+    T.append(spark.range(0, 10).selectExpr(
+        "id", "cast(id as double) as v").coalesce(1),
+        root, checkpoint_every=0)                  # no NULLs
+    T.append(spark.range(10, 20).selectExpr(
+        "id", "cast(null as double) as v").coalesce(1),
+        root, checkpoint_every=0)                  # all NULL
+    T.append(spark.range(20, 30).selectExpr(
+        "id", "if(id % 2 = 0, cast(id as double), "
+        "cast(null as double)) as v").coalesce(1),
+        root, checkpoint_every=0)                  # mixed
+    snap = T.snapshot(root)
+    assert len(snap["files"]) == 3
+    isnull = T._files_possibly_matching(
+        snap, T._parse_conjuncts("v IS NULL"))
+    notnull = T._files_possibly_matching(
+        snap, T._parse_conjuncts("v IS NOT NULL"))
+    assert len(isnull) == 2 and len(notnull) == 2
+    assert set(isnull) != set(notnull)
+    assert _ids(T.read_where(spark, root, "v IS NULL")) == \
+        list(range(10, 20)) + [i for i in range(20, 30) if i % 2]
+    assert _ids(T.read_where(spark, root, "v IS NOT NULL")) == \
+        list(range(10)) + [i for i in range(20, 30) if i % 2 == 0]
+    # composes conjunctively with range skipping
+    both = T._files_possibly_matching(
+        snap, T._parse_conjuncts("v IS NOT NULL AND id >= 20"))
+    assert len(both) == 1
+    # partition tokens are definitive
+    root2 = str(tmp_path / "tbl2")
+    T.append(spark.range(10).selectExpr(
+        "id", "if(id < 5, cast(null as int), 1) as p"),
+        root2, partition_by=["p"])
+    snap2 = T.snapshot(root2)
+    nn = T._files_possibly_matching(
+        snap2, T._parse_conjuncts("p IS NOT NULL"))
+    assert nn and all("__HIVE_DEFAULT" not in f for f in nn)
+    inl = T._files_possibly_matching(
+        snap2, T._parse_conjuncts("p IS NULL"))
+    assert inl and all("__HIVE_DEFAULT" in f for f in inl)
+    assert _ids(T.read_where(spark, root2, "p IS NULL")) == \
+        list(range(5))
