@@ -283,14 +283,23 @@ def describe(root: str, version: int | None = None) -> dict:
 
 
 def history(root: str) -> list[dict]:
-    """The commit log, oldest first (op, version, ts, file counts)."""
+    """The commit log, oldest first (op, version, ts, file counts) —
+    plus each op's audit markers when the commit carries them
+    (r11): a predicate delete/update's ``predicate`` (and ``set``),
+    merge_delete's ``matched`` tag, restore's ``restored_version``,
+    the stream sink's ``app_id``/``batch_id``."""
     out = []
     for v in _list_versions(root):
         e = json.load(open(_version_file(root, v)))
-        out.append({"version": v, "op": e["op"], "ts": e["ts"],
-                    "n_add": sum(1 for a in e["actions"] if "add" in a),
-                    "n_remove": sum(1 for a in e["actions"]
-                                    if "remove" in a)})
+        row = {"version": v, "op": e["op"], "ts": e["ts"],
+               "n_add": sum(1 for a in e["actions"] if "add" in a),
+               "n_remove": sum(1 for a in e["actions"]
+                               if "remove" in a)}
+        for k in ("predicate", "set", "matched",
+                  "restored_version", "app_id", "batch_id"):
+            if k in e:
+                row[k] = e[k]
+        out.append(row)
     return out
 
 

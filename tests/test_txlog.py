@@ -2027,3 +2027,26 @@ def test_null_count_data_skipping(spark, tmp_path):
     assert inl and all("__HIVE_DEFAULT" in f for f in inl)
     assert _ids(T.read_where(spark, root2, "p IS NULL")) == \
         list(range(5))
+
+
+def test_history_surfaces_audit_markers(spark, tmp_path):
+    """history() carries each commit's audit markers: predicates
+    and SET maps for predicate DML, the delete tag for merge_delete,
+    the restored version, the sink's app/batch ids."""
+    root = str(tmp_path / "tbl")
+    T.append(spark.range(10).selectExpr(
+        "id", "cast(id as double) as v"), root)
+    T.update_where(spark, root, "id = 1", {"v": "9.0"})
+    T.delete_where(spark, root, "id = 2")
+    T.merge_delete(spark, root,
+                   spark.createDataFrame([(3,)], "id bigint"), "id")
+    T.restore(root, 1)
+    T.stream_sink(root, app_id="s")(
+        spark.range(50, 52).selectExpr(
+            "id", "cast(id as double) as v"), 7)
+    h = {r["version"]: r for r in T.history(root)}
+    assert h[2]["predicate"] == "id = 1" and h[2]["set"] == {"v": "9.0"}
+    assert h[3]["predicate"] == "id = 2"
+    assert h[4]["matched"] == "delete"
+    assert h[5]["restored_version"] == 1
+    assert h[6]["app_id"] == "s" and h[6]["batch_id"] == 7
