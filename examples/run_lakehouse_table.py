@@ -9,9 +9,11 @@ a Delta-style table, composed entirely from the txlog layer
   UPDATE ... WHERE       update_where(cond, {col: expr})
   DELETE ... WHERE       delete_where(cond)
   MERGE (composite key)  merge_upsert(updates, ["k1", "k2"])
-  OPTIMIZE               optimize() — per-partition compaction
+  OPTIMIZE [ZORDER BY]   optimize() / optimize(zorder=[...])
   TIME TRAVEL            read(version=N) / read(as_of=unix_ts)
   CHANGE FEED            read_changes(from_version=...)
+  INCREMENTAL REFRESH    refresh_incremental(src, dst, fn)
+  DESCRIBE / HISTORY     describe(root) / history(root)
   RESTORE                restore(root, N)
   VACUUM                 vacuum(root)
 
@@ -64,6 +66,29 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
 
     # OPTIMIZE: per-partition small-file compaction
     T.optimize(spark, root, target_bytes=64 << 20)
+    detail = T.describe(root)
+
+    # OPTIMIZE ZORDER BY on a second, unpartitioned copy: after the
+    # Morton re-layout BOTH key dimensions' footer ranges prune
+    zroot = tempfile.mkdtemp(prefix="lakehouse_") + "/z"
+    T.append(T.read(spark, root)
+             .select("o_orderkey", "o_custkey", "o_totalprice"),
+             zroot)
+    T.optimize(spark, zroot, target_bytes=4 << 10,
+               zorder=["o_orderkey", "o_custkey"])
+    zsnap = T.snapshot(zroot)
+    zcand = T._files_possibly_matching(
+        zsnap, T._parse_conjuncts(
+            "o_orderkey >= 100 AND o_orderkey <= 400 "
+            "AND o_custkey >= 10 AND o_custkey <= 120"))
+    # INCREMENTAL REFRESH: an exactly-once downstream projection
+    incr = tempfile.mkdtemp(prefix="lakehouse_") + "/incr"
+    T.refresh_incremental(
+        spark, zroot, incr,
+        lambda d: d.where("o_totalprice > 100000")
+        .select("o_orderkey", "o_totalprice"), app_id="demo")
+    assert T.refresh_incremental(
+        spark, zroot, incr, lambda d: d, app_id="demo") is None
 
     # TIME TRAVEL both ways + CHANGE FEED + RESTORE
     ts_created = T.history(root)[1]["ts"]
@@ -81,10 +106,15 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
            "rows_at_create_ts": n_at_create,
            "rows_after_restore": n_restored,
            "feed_ops": feed_ops, "vacuumed": len(removed),
-           "versions": len(T.history(root))}
+           "versions": len(T.history(root)),
+           "partition_by": detail["partition_by"],
+           "zorder_files": len(zsnap["files"]),
+           "zorder_box_candidates": len(zcand),
+           "incr_rows": T.read(spark, incr).count()}
     print(out)
     assert n_restored == n0 == n_at_create
     assert feed_ops == ["delete", "merge", "update"]
+    assert out["zorder_box_candidates"] <= out["zorder_files"]
     return out
 
 
