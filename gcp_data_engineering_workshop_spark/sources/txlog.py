@@ -1636,7 +1636,8 @@ def stream_sink(root: str, app_id: str = "stream",
     return _sink
 
 
-def vacuum(root: str, retention_seconds: float = 3600.0) -> list[str]:
+def vacuum(root: str, retention_seconds: float = 3600.0,
+           dry_run: bool = False) -> list[str]:
     """Delete data files that are (a) referenced by NO reachable log
     entry and (b) older than ``retention_seconds`` (mtime). The
     retention window is the race guard: a concurrent writer's staged
@@ -1652,7 +1653,11 @@ def vacuum(root: str, retention_seconds: float = 3600.0) -> list[str]:
     were removed BEFORE it and have aged past retention are
     reclaimed, so deep time travel is bounded by (checkpoint,
     retention); files still live at the checkpoint, added after it,
-    or younger than retention always survive."""
+    or younger than retention always survive.
+
+    ``dry_run=True`` (r11) returns exactly what a real run would
+    remove, deleting nothing — the look-before-you-leap a table
+    owner runs before giving up time-travel history."""
     cps = _list_checkpoints(root)
     referenced: set[str] = set()
     start = 0
@@ -1687,18 +1692,20 @@ def vacuum(root: str, retention_seconds: float = 3600.0) -> list[str]:
                 continue
             p = os.path.join(dirpath, f)
             if now - os.path.getmtime(p) >= retention_seconds:
-                os.remove(p)
+                if not dry_run:
+                    os.remove(p)
                 removed.append(rel)
     # prune now-empty partition/stage dirs (bottom-up; ignore the
     # root and anything a concurrent writer just created)
-    for dirpath, _dirs, files in sorted(
-            os.walk(root), key=lambda t: -len(t[0])):
-        if dirpath == root or LOG_DIR in dirpath.split(os.sep):
-            continue
-        try:
-            os.rmdir(dirpath)  # fails (kept) unless empty
-        except OSError:
-            pass
+    if not dry_run:
+        for dirpath, _dirs, files in sorted(
+                os.walk(root), key=lambda t: -len(t[0])):
+            if dirpath == root or LOG_DIR in dirpath.split(os.sep):
+                continue
+            try:
+                os.rmdir(dirpath)  # fails (kept) unless empty
+            except OSError:
+                pass
     # orphaned commit temp files (ADVICE r9): a writer crashing
     # between writing tmp-*.part and os.link() leaves the temp in
     # _txlog forever — _list_versions skips it, but nothing else
@@ -1710,7 +1717,8 @@ def vacuum(root: str, retention_seconds: float = 3600.0) -> list[str]:
                 continue
             p = os.path.join(log_dir, f)
             if now - os.path.getmtime(p) >= retention_seconds:
-                os.remove(p)
+                if not dry_run:
+                    os.remove(p)
                 removed.append(os.path.join(LOG_DIR, f))
     return sorted(removed)
 
@@ -1774,12 +1782,13 @@ def restore(root: str, version: int,
         f"under {root}")
 
 
-def read_changes(spark, root: str, from_version: int,
+def read_changes(spark, root: str, from_version: int | None = None,
                  to_version: int | None = None,
                  include_ops: tuple = ("append", "stream-append",
                                        "merge", "overwrite",
-                                       "update", "delete")
-                 ) -> DataFrame:
+                                       "update", "delete"),
+                 from_ts: float | None = None,
+                 to_ts: float | None = None) -> DataFrame:
     """Incremental (change-feed) read: the rows committed in
     versions (``from_version``, ``to_version``] — the downstream
     consumer's "what landed since my last checkpoint" question,
@@ -1812,10 +1821,27 @@ def read_changes(spark, root: str, from_version: int,
     if a LATER commit removed them (their content was committed in
     the window; vacuum retention is the same time-travel bound
     read() has). Cost: O(versions in window) log-file reads plus a
-    scan of exactly the window's add files — never the table."""
+    scan of exactly the window's add files — never the table.
+
+    TIMESTAMP bounds (r11): pass ``from_ts``/``to_ts`` (unix
+    seconds) instead of versions — each resolves through
+    version_at's "newest version at or before the instant" rule,
+    so (from_ts, to_ts] means "what landed after from_ts, up to
+    to_ts". Mixing a version and a timestamp for the SAME bound
+    refuses."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
+    if from_ts is not None:
+        if from_version is not None:
+            raise ValueError("pass from_version OR from_ts, not both")
+        from_version = version_at(root, from_ts)
+    if from_version is None:
+        raise ValueError("read_changes needs from_version or from_ts")
+    if to_ts is not None:
+        if to_version is not None:
+            raise ValueError("pass to_version OR to_ts, not both")
+        to_version = version_at(root, to_ts)
     versions = [v for v in _list_versions(root)
                 if v > from_version
                 and (to_version is None or v <= to_version)]

@@ -2050,3 +2050,32 @@ def test_history_surfaces_audit_markers(spark, tmp_path):
     assert h[4]["matched"] == "delete"
     assert h[5]["restored_version"] == 1
     assert h[6]["app_id"] == "s" and h[6]["batch_id"] == 7
+
+
+def test_read_changes_timestamp_bounds_and_vacuum_dry_run(
+        spark, tmp_path):
+    """read_changes(from_ts/to_ts) resolve through the timestamp-
+    travel rule; vacuum(dry_run=True) reports what a real run would
+    remove while deleting nothing."""
+    root = str(tmp_path / "tbl")
+    T.append(spark.range(3), root)                         # v1
+    T.append(spark.range(3, 6), root)                      # v2
+    T.append(spark.range(6, 9), root)                      # v3
+    ts = {h["version"]: h["ts"] for h in T.history(root)}
+    got = _ids(T.read_changes(spark, root, from_ts=ts[1]))
+    assert got == list(range(3, 9))                        # (v1, head]
+    got2 = _ids(T.read_changes(spark, root, from_ts=ts[1],
+                               to_ts=ts[2]))
+    assert got2 == [3, 4, 5]
+    with pytest.raises(ValueError, match="not both"):
+        T.read_changes(spark, root, from_version=1, from_ts=ts[1])
+    with pytest.raises(ValueError, match="from_version or from_ts"):
+        T.read_changes(spark, root)
+    # dry-run vacuum: reports, does not delete
+    T.overwrite(spark.range(100, 102), root)
+    T._maybe_checkpoint(root, T.snapshot(root)["version"], 1)
+    would = T.vacuum(root, retention_seconds=0, dry_run=True)
+    assert would
+    assert _ids(T.read(spark, root, version=1)) == [0, 1, 2]  # intact
+    really = T.vacuum(root, retention_seconds=0)
+    assert really == would
