@@ -1446,6 +1446,7 @@ def update_where(spark, root: str, condition: str,
 def optimize(spark, root: str, target_bytes: int = 128 * 1024 * 1024,
              sort_cols: list[str] | None = None,
              zorder: list[str] | None = None,
+             where: str | None = None,
              max_retries: int = 5, checkpoint_every: int = 10) -> int:
     """OPTIMIZE the table as a TRANSACTION — E20's small-file
     compaction running under the commit protocol. FILE-GRANULAR in
@@ -1483,11 +1484,31 @@ def optimize(spark, root: str, target_bytes: int = 128 * 1024 * 1024,
         snap = snapshot(root)
         if not snap["files"]:
             return snap["version"]
+        # OPTIMIZE ... WHERE (r11): scope the maintenance to the
+        # files the predicate's recognized conjuncts can touch —
+        # compact/re-layout one hot partition (or key range) while
+        # the rest of a 100 TB table's add actions carry verbatim.
+        # The SAME conservative stat analysis as the DML paths: a
+        # file that MIGHT match is in scope (it may also hold rows
+        # outside the predicate — OPTIMIZE never drops rows, so
+        # over-inclusion only widens the rewrite, never the data).
+        scope = set(snap["files"])
+        if where is not None:
+            conj = _parse_conjuncts(where)
+            if not conj:
+                raise ValueError(
+                    f"optimize where={where!r} has no recognizable "
+                    f"col-OP-literal conjunct; scoping would "
+                    f"silently cover the whole table")
+            scope = set(_files_possibly_matching(snap, conj))
+            if not scope:
+                return snap["version"]
         if sort_cols or zorder:
-            victims = sorted(snap["files"])  # global re-layout
+            victims = sorted(scope)  # scoped re-layout
         else:
-            victims = sorted(p for p, m in snap["files"].items()
-                             if m.get("bytes", 0) < target_bytes)
+            victims = sorted(p for p in scope
+                             if snap["files"][p].get("bytes", 0)
+                             < target_bytes)
             if len(victims) <= 1:
                 return snap["version"]  # nothing worth compacting
         total = sum(snap["files"][p].get("bytes", 0) for p in victims)
@@ -1723,9 +1744,9 @@ def vacuum(root: str, retention_seconds: float = 3600.0,
     return sorted(removed)
 
 
-def restore(root: str, version: int,
+def restore(root: str, version: int | None = None,
             max_retries: int = 5, checkpoint_every: int = 10,
-            spark=None) -> int:
+            spark=None, as_of: float | None = None) -> int:
     """RESTORE the table to a historical version — as a NEW commit
     (Delta's RESTORE semantics: the rollback is itself logged, so
     it is auditable, time-travelable past, and CAS-serialized with
@@ -1742,7 +1763,17 @@ def restore(root: str, version: int,
     to RETRO-VALIDATE version N's content against the constraints
     live at the head before committing (one bounded scan, the same
     contract as add_constraint); without it, restore trusts history
-    (ADVICE r10, documented tradeoff)."""
+    (ADVICE r10, documented tradeoff).
+
+    ``as_of`` (r11): restore to the newest version committed at or
+    before a unix timestamp (TIMESTAMP AS OF, via version_at) —
+    "roll back to how the table looked at 9am"."""
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of, not both")
+        version = version_at(root, as_of)
+    if version is None:
+        raise ValueError("restore needs version or as_of")
     target = snapshot(root, version)
     missing = [p for p in target["files"]
                if not os.path.exists(os.path.join(root, p))]

@@ -2079,3 +2079,36 @@ def test_read_changes_timestamp_bounds_and_vacuum_dry_run(
     assert _ids(T.read(spark, root, version=1)) == [0, 1, 2]  # intact
     really = T.vacuum(root, retention_seconds=0)
     assert really == would
+
+
+def test_optimize_where_scopes_and_restore_as_of(spark, tmp_path):
+    """OPTIMIZE ... WHERE compacts only the predicate's reachable
+    files (here: one partition) leaving every other add action
+    verbatim; restore(as_of=ts) rolls back by timestamp."""
+    root = str(tmp_path / "tbl")
+    for lo in range(0, 30, 6):
+        T.append(_pdf(spark, lo, lo + 6).coalesce(1), root,
+                 partition_by=["p"], checkpoint_every=0)
+    before = dict(T.snapshot(root)["files"])
+    n_p1 = sum(1 for f in before if f.startswith("p=1/"))
+    assert n_p1 > 1
+    T.optimize(spark, root, target_bytes=1 << 30, where="p = 1",
+               checkpoint_every=0)
+    snap = T.snapshot(root)
+    assert sum(1 for f in snap["files"]
+               if f.startswith("p=1/")) == 1      # compacted
+    assert all(f in snap["files"] for f in before
+               if not f.startswith("p=1/"))        # untouched
+    assert T.read(spark, root).count() == 30
+    # unscopable predicate refuses rather than silently going global
+    with pytest.raises(ValueError, match="recognizable"):
+        T.optimize(spark, root, where="p % 2 = 0")
+    # provably-empty scope is a no-op
+    v = T.snapshot(root)["version"]
+    assert T.optimize(spark, root, where="p = 99") == v
+    # restore by timestamp
+    ts1 = T.history(root)[0]["ts"]
+    T.restore(root, as_of=ts1)
+    assert T.read(spark, root).count() == 6
+    with pytest.raises(ValueError, match="not both"):
+        T.restore(root, 1, as_of=ts1)
