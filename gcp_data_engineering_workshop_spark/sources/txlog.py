@@ -1573,6 +1573,59 @@ def optimize(spark, root: str, target_bytes: int = 128 * 1024 * 1024,
         f"under {root}")
 
 
+def clone(src_root: str, dst_root: str, version: int | None = None,
+          as_of: float | None = None,
+          checkpoint_every: int = 10) -> int:
+    """SHALLOW CLONE (r11, the Delta CLONE shape): create a NEW
+    table at ``dst_root`` whose first commit references the
+    source's data files by ABSOLUTE path — zero bytes copied, a
+    dev/test copy of a 100 TB table in one metadata commit.
+    ``version``/``as_of`` clone a historical snapshot.
+
+    The clone is COPY-ON-WRITE by construction: every DML path
+    stages ITS rewrites under the clone's own root and merely drops
+    the absolute-path add actions it replaces — the source's files
+    are never touched (and the clone's vacuum can never reclaim
+    them: its walk sees only clone-root files). Schema and
+    constraints carry over; later schema changes on either side are
+    independent.
+
+    Caveats, stated like Delta states them: (a) VACUUM ON THE
+    SOURCE does not know about clone references — vacuuming source
+    history the clone still points at breaks the clone (keep source
+    retention >= clone lifetime); (b) partitioned sources refuse —
+    Spark's basePath partition discovery needs data under the
+    clone's root, which shallow references are not."""
+    src = snapshot(src_root, version_at(src_root, as_of)
+                   if as_of is not None else version)
+    if src.get("partition_by"):
+        raise ValueError(
+            "shallow clone of a partitioned table is not supported "
+            "(partition discovery needs files under the clone root); "
+            "copy with overwrite(read(...), dst, partition_by=...)")
+    if _list_versions(dst_root):
+        raise ValueError(f"clone target {dst_root} already has a log")
+    os.makedirs(dst_root, exist_ok=True)
+    abs_src = os.path.abspath(src_root)
+    entry = {"op": "clone", "ts": time.time(),
+             "source": abs_src, "source_version": src["version"],
+             "actions": [
+                 {"add": {**m, "path": os.path.join(abs_src, p)}}
+                 for p, m in sorted(src["files"].items())]}
+    if src.get("schema"):
+        entry["schema"] = src["schema"]
+    if not _try_commit(dst_root, 1, entry):
+        raise CommitConflict(f"clone lost the race for {dst_root}")
+    _maybe_checkpoint(dst_root, 1, checkpoint_every)
+    v = 1
+    for name, expr in sorted(src.get("constraints", {}).items()):
+        v += 1
+        _try_commit(dst_root, v,
+                    {"op": "set-constraint", "ts": time.time(),
+                     "name": name, "expr": expr, "actions": []})
+    return v
+
+
 def refresh_incremental(spark, src_root: str, dst_root: str, fn,
                         app_id: str = "incremental",
                         include_ops: tuple = ("append",
@@ -1817,7 +1870,7 @@ def read_changes(spark, root: str, from_version: int | None = None,
                  to_version: int | None = None,
                  include_ops: tuple = ("append", "stream-append",
                                        "merge", "overwrite",
-                                       "update", "delete"),
+                                       "update", "delete", "clone"),
                  from_ts: float | None = None,
                  to_ts: float | None = None) -> DataFrame:
     """Incremental (change-feed) read: the rows committed in
@@ -1891,7 +1944,12 @@ def read_changes(spark, root: str, from_version: int | None = None,
         if not adds:
             continue
         rdr = spark.read
-        partitioned = any("/" in p for p in rels)
+        # RELATIVE paths with a dir component are exactly the hive
+        # partition layout; ABSOLUTE paths are shallow-clone
+        # references to another root (no partition dirs by
+        # construction — clone refuses partitioned sources)
+        partitioned = any("/" in p and not os.path.isabs(p)
+                          for p in rels)
         if partitioned:
             # hive-style partition dirs (exactly the partitioned
             # staging layout): basePath discovery re-derives the

@@ -2112,3 +2112,51 @@ def test_optimize_where_scopes_and_restore_as_of(spark, tmp_path):
     assert T.read(spark, root).count() == 6
     with pytest.raises(ValueError, match="not both"):
         T.restore(root, 1, as_of=ts1)
+
+
+def test_shallow_clone_zero_copy_and_copy_on_write(spark, tmp_path):
+    """Shallow CLONE: one metadata commit references the source's
+    files absolutely (zero data copied); DML on the clone rewrites
+    under the clone's root and never touches the source; the
+    source evolves independently; historical clones work;
+    constraints carry; partitioned sources and non-empty targets
+    refuse; the clone's vacuum cannot reclaim source files."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    T.append(spark.range(10).selectExpr(
+        "id", "cast(id as double) as v"), src)              # v1
+    T.add_constraint(src, "pos", "id >= 0")                 # v2
+    T.append(spark.range(10, 15).selectExpr(
+        "id", "cast(id as double) as v"), src)              # v3
+    T.clone(src, dst)
+    assert _ids(T.read(spark, dst)) == list(range(15))
+    # zero copy: no parquet under the clone root yet
+    assert not [f for f in os.listdir(dst) if f.endswith(".parquet")]
+    assert T.describe(dst)["constraints"] == {"pos": "id >= 0"}
+    # copy-on-write: delete on the clone leaves the source intact
+    T.delete_where(spark, dst, "id < 3")
+    assert _ids(T.read(spark, dst)) == list(range(3, 15))
+    assert _ids(T.read(spark, src)) == list(range(15))
+    # the clone's vacuum never reclaims source-root files
+    T._maybe_checkpoint(dst, T.snapshot(dst)["version"], 1)
+    T.vacuum(dst, retention_seconds=0)
+    assert _ids(T.read(spark, src)) == list(range(15))
+    # source evolves independently of the clone
+    T.append(spark.range(100, 102).selectExpr(
+        "id", "cast(id as double) as v"), src)
+    assert _ids(T.read(spark, dst)) == list(range(3, 15))
+    # historical clone
+    dst2 = str(tmp_path / "dst2")
+    T.clone(src, dst2, version=1)
+    assert _ids(T.read(spark, dst2)) == list(range(10))
+    # refusals
+    with pytest.raises(ValueError, match="already has a log"):
+        T.clone(src, dst)
+    part = str(tmp_path / "part")
+    T.append(_pdf(spark, 0, 6), part, partition_by=["p"])
+    with pytest.raises(ValueError, match="partitioned"):
+        T.clone(part, str(tmp_path / "dst3"))
+    # clone commits flow through the change feed as snapshots
+    ch = T.read_changes(spark, dst2, from_version=0)
+    assert {r._commit_op for r in
+            ch.select("_commit_op").distinct().collect()} == {"clone"}
