@@ -14,8 +14,9 @@ a Delta-style table, composed entirely from the txlog layer
   CHANGE FEED            read_changes(from_version=...)
   INCREMENTAL REFRESH    refresh_incremental(src, dst, fn)
   DESCRIBE / HISTORY     describe(root) / history(root)
-  RESTORE                restore(root, N)
-  VACUUM                 vacuum(root)
+  SHALLOW CLONE          clone(src, dst) — zero-copy, copy-on-write
+  RESTORE                restore(root, N) / restore(as_of=ts)
+  VACUUM                 vacuum(root, dry_run=True) first
 
 Run: python examples/run_lakehouse_table.py [sf_dir]
 """
@@ -100,7 +101,16 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         .select("_commit_op").distinct().collect()})
     T.restore(root, 2, spark=spark)          # back to CREATE+APPEND
     n_restored = T.read(spark, root).count()
+    would = T.vacuum(root, retention_seconds=0, dry_run=True)
     removed = T.vacuum(root, retention_seconds=10 ** 9)  # keeps all
+
+    # SHALLOW CLONE of the z-ordered copy: zero bytes move, DML on
+    # the clone never touches the source
+    croot = tempfile.mkdtemp(prefix="lakehouse_") + "/clone"
+    T.clone(zroot, croot)
+    n_src = T.read(spark, zroot).count()
+    T.delete_where(spark, croot, "o_orderkey <= 300")
+    assert T.read(spark, zroot).count() == n_src
 
     out = {"rows_created": n0, "rows_pruned_scan": n_pruned,
            "rows_at_create_ts": n_at_create,
@@ -110,7 +120,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
            "partition_by": detail["partition_by"],
            "zorder_files": len(zsnap["files"]),
            "zorder_box_candidates": len(zcand),
-           "incr_rows": T.read(spark, incr).count()}
+           "incr_rows": T.read(spark, incr).count(),
+           "vacuum_would_remove": len(would),
+           "clone_rows": T.read(spark, croot).count()}
     print(out)
     assert n_restored == n0 == n_at_create
     assert feed_ops == ["delete", "merge", "update"]
