@@ -130,6 +130,33 @@ def txlog_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.read(spark, root).orderBy("o_orderkey")
 
 
+def txlog_dv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E22 DELETION VECTORS under the oracle gate (new r11, third
+    stint): orders lands as four range-interleaved commits, then
+    TWO merge-on-read deletes run back to back — every 13th order,
+    then every order over 400k — in ``mode="dv"``: no data file is
+    rewritten (asserted on the live file set), the matching
+    positions land in parquet sidecars, and the second delete
+    accumulates onto the first's vectors. The final read_where
+    composes footer-stat skipping with the vector anti-join and
+    must equal a plain conjunctive NOT-filter over the source —
+    proving merge-on-read semantics match copy-on-write exactly."""
+    root = tempfile.mkdtemp(prefix="txlog_dv_") + "/t"
+    orders = _orders(spark, sf_dir)
+    for b in range(4):
+        T.append(orders.where(F.col("o_orderkey") % 4 == b),
+                 root, checkpoint_every=0)
+    files0 = set(T.snapshot(root)["files"])
+    T.delete_where(spark, root, "o_orderkey % 13 = 0", mode="dv",
+                   checkpoint_every=0)
+    T.delete_where(spark, root, "o_totalprice > 400000", mode="dv",
+                   checkpoint_every=0)
+    assert set(T.snapshot(root)["files"]) == files0, \
+        "dv delete must not rewrite any data file"
+    return (T.read_where(spark, root, "o_orderkey > 100")
+            .orderBy("o_orderkey"))
+
+
 def txlog_update_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E22 predicate DML under the oracle gate (new r11): orders
     lands as four range-interleaved commits, then
@@ -276,6 +303,16 @@ SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
        o_orderpriority
 FROM orders
 WHERE o_orderstatus = 'F' AND o_totalprice < 150000
+ORDER BY o_orderkey
+"""
+
+TXLOG_DV_SCAN_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderpriority
+FROM orders
+WHERE o_orderkey % 13 <> 0
+  AND NOT (o_totalprice > 400000)
+  AND o_orderkey > 100
 ORDER BY o_orderkey
 """
 

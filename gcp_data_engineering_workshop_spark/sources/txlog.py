@@ -276,6 +276,11 @@ def describe(root: str, version: int | None = None) -> dict:
             "num_files": len(snap["files"]),
             "total_bytes": sum(m.get("bytes", 0)
                                for m in snap["files"].values()),
+            "num_dv_files": sum(1 for m in snap["files"].values()
+                                if "dv" in m),
+            "deleted_rows": sum(m["dv"].get("deleted", 0)
+                                for m in snap["files"].values()
+                                if "dv" in m),
             "partition_by": snap.get("partition_by", []),
             "schema_ddl": ddl,
             "constraints": dict(snap.get("constraints", {})),
@@ -295,7 +300,7 @@ def history(root: str) -> list[dict]:
                "n_add": sum(1 for a in e["actions"] if "add" in a),
                "n_remove": sum(1 for a in e["actions"]
                                if "remove" in a)}
-        for k in ("predicate", "set", "matched",
+        for k in ("predicate", "set", "matched", "mode",
                   "restored_version", "app_id", "batch_id"):
             if k in e:
                 row[k] = e[k]
@@ -440,7 +445,8 @@ def _stage_write(df: DataFrame, root: str,
             if not f.endswith(".parquet"):
                 continue
             src = os.path.join(dirpath, f)
-            if pq.ParquetFile(src).metadata.num_rows == 0:
+            n_rows = pq.ParquetFile(src).metadata.num_rows
+            if n_rows == 0:
                 continue  # zero-row part: an empty write commits
                 # schema (and nothing else), never dead files
             name = f"part-{uuid.uuid4().hex}.parquet"
@@ -454,6 +460,7 @@ def _stage_write(df: DataFrame, root: str,
             dst = os.path.join(root, rel)
             os.replace(src, dst)  # same-FS atomic move
             add = {"path": rel, "bytes": os.path.getsize(dst),
+                   "rows": n_rows,
                    "stats": _footer_stats(dst),
                    "nulls": _footer_nulls(dst)}
             if part is not None:
@@ -689,7 +696,12 @@ def read(spark, root: str, version: int | None = None,
 
     ``as_of`` (r11) is TIMESTAMP AS OF: unix seconds resolved to
     the newest version committed at or before that instant
-    (version_at); mutually exclusive with ``version``."""
+    (version_at); mutually exclusive with ``version``.
+
+    Deletion vectors apply transparently (via _read_files): a file
+    carrying a ``dv`` ref surfaces only its undeleted rows, and
+    time travel to a pre-delete version resolves the original add
+    action — no vector, all rows."""
     from pyspark.sql.types import StructType
 
     if as_of is not None:
@@ -697,28 +709,13 @@ def read(spark, root: str, version: int | None = None,
             raise ValueError("pass version= OR as_of=, not both")
         version = version_at(root, as_of)
     snap = snapshot(root, version)
-    files = [os.path.join(root, p) for p in sorted(snap["files"])]
-    if not files:
+    if not snap["files"]:
         if snap.get("schema"):
             return spark.createDataFrame(
                 [], StructType.fromJson(json.loads(snap["schema"])))
         return spark.createDataFrame([], "placeholder string") \
             .limit(0).drop("placeholder")
-    rdr = spark.read
-    if snap.get("partition_by"):
-        # partition columns live in directory names; basePath-rooted
-        # partition discovery materializes them with the recorded
-        # schema's TYPES — but Spark appends discovered columns
-        # after the file columns, so the recorded ORDER needs one
-        # zero-cost projection back
-        rdr = rdr.option("basePath", root)
-    if snap.get("schema"):
-        st = StructType.fromJson(json.loads(snap["schema"]))
-        out = rdr.schema(st).parquet(*files)
-        if snap.get("partition_by"):
-            out = out.select(*[f.name for f in st.fields])
-        return out
-    return rdr.parquet(*files)
+    return _read_files(spark, root, snap, sorted(snap["files"]))
 
 
 # Max boolean columns per membership-aggregate pass (the FALLBACK
@@ -853,7 +850,84 @@ def _files_touching_keys_col(spark, files: dict[str, dict],
     return touched
 
 
-def _read_files(spark, root: str, snap: dict, paths: list[str]) -> DataFrame:
+# ---------------------------------------------------------------- #
+# deletion vectors (merge-on-read deletes)
+# ---------------------------------------------------------------- #
+
+# Sidecar dirs live under <root>/_dv/dv-<uuid>/ as ordinary parquet
+# (columns: file string, pos bigint) — "file" is the data file's
+# BASENAME (globally unique by _stage_write's uuid naming), "pos"
+# the PHYSICAL row index within it, exactly what Spark's
+# _metadata.row_index reads back. The public Delta/Iceberg shape
+# (Delta deletion vectors / Iceberg v2 positional delete files):
+# a DELETE marks row positions in a small sidecar instead of
+# rewriting the hit files — at 100 TB, deleting 0.1% of rows costs
+# megabytes of sidecar, not terabytes of rewrite.
+_DV_DIR = "_dv"
+
+# Deleted-position sets at or below this many rows ride the
+# apply-side anti-join as a BROADCAST (the common case — deletes
+# are a sliver of the data); larger sets fall back to a shuffled
+# anti-join AQE can still re-plan.
+_DV_BROADCAST_BOUND = 2_000_000
+
+# OPTIMIZE rewrites (purges) a dv-carrying file once this fraction
+# of its physical rows is deleted — Delta's deletedRowsRatio rule.
+_DV_PURGE_RATIO = 0.05
+
+# Internal metadata column names (the __txlog_ prefix keeps them
+# out of any realistic user schema, same convention as the DML
+# match flag).
+_DV_FILE = "__txlog_dv_file"
+_DV_POS = "__txlog_dv_pos"
+
+
+def _dv_refs(files_meta: dict, paths: list[str]) -> dict:
+    """{data-file basename: dv meta} for the given paths that carry
+    a deletion vector. Basenames are the join key everywhere: they
+    are unique by construction and identical for relative paths,
+    hive-partitioned paths, and a clone's absolute references."""
+    out = {}
+    for p in paths:
+        m = files_meta.get(p) or {}
+        if "dv" in m:
+            out[os.path.basename(p)] = m["dv"]
+    return out
+
+
+def _dv_table(spark, root: str, refs: dict,
+              for_join: bool = True) -> DataFrame:
+    """The deleted-position set for ``refs`` as a (file, pos)
+    DataFrame: union of the referenced sidecar dirs, restricted to
+    the referenced basenames. A sidecar may carry positions for
+    files whose CURRENT ref is a newer sidecar (each new vector is
+    cumulative per file) — those rows are duplicates of a subset
+    and an anti-join is insensitive to them, but the isin filter
+    keeps the scan honest. Broadcast below _DV_BROADCAST_BOUND
+    when the caller feeds a join (``for_join=False`` for union-side
+    consumers — a hint under a union only logs a warning)."""
+    from pyspark.sql import functions as F
+
+    dirs = sorted({r["path"] for r in refs.values()})
+    dv = (spark.read.parquet(*[os.path.join(root, d) for d in dirs])
+          .where(F.col("file").isin(list(refs))))
+    if for_join and sum(r.get("deleted", 0) for r in refs.values()) \
+            <= _DV_BROADCAST_BOUND:
+        dv = F.broadcast(dv)
+    return dv
+
+
+def _clean_non_parquet(d: str) -> None:
+    """Strip committer litter (_SUCCESS, .crc) from a just-written
+    sidecar dir so vacuum's walk sees parquet only."""
+    for dirpath, _dirs, files in os.walk(d):
+        for f in files:
+            if not f.endswith(".parquet"):
+                os.unlink(os.path.join(dirpath, f))
+
+
+def _read_files(spark, root: str, snap: dict, paths: list[str],
+                with_meta: bool = False) -> DataFrame:
     """Read specific live files THROUGH the snapshot's recorded
     schema — the same NULL-backfill projection read() applies, so a
     schema-evolved table's pre-evolution files surface NULL for
@@ -861,22 +935,51 @@ def _read_files(spark, root: str, snap: dict, paths: list[str]) -> DataFrame:
     (ADVICE r10: merge and read_range used bare spark.read.parquet
     here, which broke both on any table that had evolved). On a
     partitioned table the basePath option re-derives the partition
-    columns from the directory names (r11)."""
+    columns from the directory names (r11).
+
+    DELETION VECTORS apply here, once, for every consumer: a path
+    whose add action carries a ``dv`` ref gets its deleted
+    positions anti-joined away on (_metadata.file_name,
+    _metadata.row_index) — so read/read_range/read_where see
+    post-delete state, and every REWRITE path (merge, DML,
+    optimize) naturally materializes the delete and drops the ref.
+    Tables without vectors keep the exact pre-dv plan (no metadata
+    columns, no join). ``with_meta=True`` returns the two
+    _DV_FILE/_DV_POS columns for callers that need provenance
+    (hit-file scans, the dv writer itself)."""
+    from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
+    refs = _dv_refs(snap["files"], paths)
+    need_meta = bool(refs) or with_meta
     rdr = spark.read
     if snap.get("partition_by"):
         rdr = rdr.option("basePath", root)
+    abs_paths = [os.path.join(root, p) for p in paths]
     if snap.get("schema"):
         st = StructType.fromJson(json.loads(snap["schema"]))
-        out = rdr.schema(st).parquet(
-            *[os.path.join(root, p) for p in paths])
-        if snap.get("partition_by"):
-            # recorded column order (discovery appends partition
-            # columns last)
-            out = out.select(*[f.name for f in st.fields])
-        return out
-    return rdr.parquet(*[os.path.join(root, p) for p in paths])
+        out = rdr.schema(st).parquet(*abs_paths)
+        cols = [f.name for f in st.fields]
+    else:
+        out = rdr.parquet(*abs_paths)
+        cols = list(out.columns)
+    if need_meta:
+        out = out.select(
+            *cols,
+            F.col("_metadata.file_name").alias(_DV_FILE),
+            F.col("_metadata.row_index").alias(_DV_POS))
+    elif snap.get("partition_by") and snap.get("schema"):
+        # recorded column order (discovery appends partition
+        # columns last)
+        out = out.select(*cols)
+    if refs:
+        dv = _dv_table(spark, root, refs)
+        out = out.join(
+            dv, (out[_DV_FILE] == dv["file"])
+            & (out[_DV_POS] == dv["pos"]), "left_anti")
+    if need_meta and not with_meta:
+        out = out.drop(_DV_FILE, _DV_POS)
+    return out
 
 
 _MERGE_TARGET_BYTES = 128 * 1024 * 1024
@@ -1305,19 +1408,81 @@ def _files_with_hits(spark, root: str, snap: dict,
     keep only the files that actually contain a matching row —
     rewrites then touch precisely the hit files, not every
     stat-plausible one. The collect is file NAMES (log-metadata
-    scale, one short string per candidate file), never rows."""
+    scale, one short string per candidate file), never rows.
+
+    Provenance comes from _metadata.file_name (not
+    input_file_name(), which is unreliable after a join — and the
+    dv-aware _read_files may anti-join deleted positions away
+    before the predicate runs, so a file whose only matching rows
+    are already deleted correctly stops counting as a hit)."""
     from pyspark.sql import functions as F
 
-    hits = (_read_files(spark, root, snap, sorted(candidates))
+    hits = (_read_files(spark, root, snap, sorted(candidates),
+                        with_meta=True)
             .where(cond)
-            .select(F.input_file_name().alias("_f"))
+            .select(F.col(_DV_FILE).alias("_f"))
             .distinct().collect())
-    names = {os.path.basename(r[0]) for r in hits}
+    names = {r[0] for r in hits}
     return sorted(p for p in candidates if os.path.basename(p) in names)
 
 
+def _dv_delete_actions(spark, root: str, snap: dict,
+                       touched: list[str], cond) -> list[dict]:
+    """Build the commit actions of a merge-on-read delete: ONE scan
+    of the touched files computes, per file, its live row count and
+    its matching row count (a bounded collect — one row per touched
+    file), plus the matching (file, pos) positions. Files whose
+    every live row matches are dropped outright (remove, no re-add
+    — the Delta full-file-delete shortcut); the rest are re-added
+    with a ``dv`` ref to ONE new sidecar dir holding the CUMULATIVE
+    deleted positions (new matches unioned with the files' previous
+    vectors, which are disjoint by construction — already-deleted
+    positions can't re-match through the dv-applied read)."""
+    from pyspark.sql import functions as F
+
+    base = _read_files(spark, root, snap, touched, with_meta=True)
+    flag = cond.isNotNull() & cond
+    per_file = {r[0]: (r[1], r[2]) for r in
+                (base.groupBy(_DV_FILE)
+                 .agg(F.count(F.lit(1)).alias("live"),
+                      F.sum(flag.cast("long")).alias("hit"))
+                 .collect())}
+    full = {n for n, (live, hit) in per_file.items() if hit == live}
+    keep_touched = [p for p in touched
+                    if os.path.basename(p) not in full]
+    actions = [{"remove": {"path": p}} for p in touched]
+    if keep_touched:
+        matches = (base.where(flag)
+                   .where(~F.col(_DV_FILE).isin(list(full))
+                          if full else F.lit(True))
+                   .select(F.col(_DV_FILE).alias("file"),
+                           F.col(_DV_POS).alias("pos")))
+        old_refs = _dv_refs(snap["files"], keep_touched)
+        if old_refs:
+            matches = matches.unionByName(
+                _dv_table(spark, root, old_refs, for_join=False))
+        dv_rel = f"{_DV_DIR}/dv-{uuid.uuid4().hex}"
+        total = sum(per_file[os.path.basename(p)][1]
+                    + (old_refs.get(os.path.basename(p), {})
+                       .get("deleted", 0))
+                    for p in keep_touched)
+        n_parts = max(1, math.ceil(total / 20_000_000))
+        matches.repartition(n_parts).write.parquet(
+            os.path.join(root, dv_rel))
+        _clean_non_parquet(os.path.join(root, dv_rel))
+        for p in keep_touched:
+            name = os.path.basename(p)
+            deleted = per_file[name][1] + (
+                old_refs.get(name, {}).get("deleted", 0))
+            actions.append({"add": {**snap["files"][p],
+                                    "dv": {"path": dv_rel,
+                                           "deleted": deleted}}})
+    return actions
+
+
 def delete_where(spark, root: str, condition: str,
-                 max_retries: int = 5, checkpoint_every: int = 10) -> int:
+                 max_retries: int = 5, checkpoint_every: int = 10,
+                 mode: str = "rewrite") -> int:
     """DELETE FROM <table> WHERE <condition> — predicate DML at FILE
     granularity (r11; completes the Delta DML trio next to
     merge_upsert/merge_delete's by-key paths). Two-phase file
@@ -1325,20 +1490,43 @@ def delete_where(spark, root: str, condition: str,
     recognized ``col OP literal`` conjuncts drops every file whose
     range provably can't match (NaN/NULL/cross-type rules in
     _stat_excludes); (2) one exact scan of the survivors keeps only
-    files with a REAL matching row. Only those are read and
-    rewritten (survivor rows = NOT(cond) OR cond IS NULL — SQL
-    DELETE keeps NULL-predicate rows); every other add action
-    carries verbatim, unopened. A delete that provably (or
+    files with a REAL matching row. A delete that provably (or
     actually) matches nothing is a NO-OP returning the unchanged
     head — no version churn.
 
-    Commits as op="delete" with the predicate recorded for audit.
-    Stream/CDF contract: a delete commit's add files hold SURVIVORS
-    only, so the stream source raises NonAppendChange (opt in with
-    ignore_changes) and read_changes tags it op="delete" with the
-    same survivors-only caveat merge_delete documents."""
+    ``mode`` picks the write strategy over exactly those hit files:
+
+    - "rewrite" (default; copy-on-write, the Delta DELETE shape):
+      hit files are read and rewritten holding survivors only
+      (survivor rows = NOT(cond) OR cond IS NULL — SQL DELETE keeps
+      NULL-predicate rows); every other add action carries
+      verbatim, unopened.
+    - "dv" (merge-on-read, the Delta deletion-vector / Iceberg v2
+      positional-delete shape): NO data file is rewritten — the
+      matching rows' physical positions land in a small parquet
+      sidecar under _dv/ and each hit file's add action is
+      re-committed with a ``dv`` ref; every read path anti-joins
+      the vector away (see _read_files), and any later rewrite of
+      the file (merge, DML, OPTIMIZE — which purges vectors past
+      _DV_PURGE_RATIO) materializes the delete. A file whose every
+      live row matches is dropped outright. Deleting 0.1% of a
+      100 TB table costs megabytes of sidecar, not terabytes of
+      rewrite; the price is the apply-side anti-join on each read
+      until OPTIMIZE purges.
+
+    Commits as op="delete" with the predicate (and dv mode)
+    recorded for audit. Stream/CDF contract: the stream source
+    raises NonAppendChange on either mode (a dv commit's add files
+    are the ORIGINAL bytes, so the stream additionally refuses to
+    re-emit them even under ignore_changes — they carry no new
+    rows and are skipped); read_changes tags op="delete" and
+    applies the commit's own vectors, keeping the survivors-only
+    contract exact in both modes."""
     from pyspark.sql import functions as F
 
+    if mode not in ("rewrite", "dv"):
+        raise ValueError(f"delete_where mode={mode!r}: "
+                         f"expected 'rewrite' or 'dv'")
     conjuncts = _parse_conjuncts(condition)
     for _ in range(max_retries):
         snap = snapshot(root)
@@ -1350,14 +1538,22 @@ def delete_where(spark, root: str, condition: str,
             if cand else []
         if not touched:
             return snap["version"]
-        survivors = _size_merge_output(
-            _read_files(spark, root, snap, touched)
-            .where(~cond | cond.isNull()), snap, touched)
-        adds = _stage_write(survivors, root, snap.get("partition_by"))
+        if mode == "dv":
+            actions = _dv_delete_actions(spark, root, snap,
+                                         touched, cond)
+        else:
+            survivors = _size_merge_output(
+                _read_files(spark, root, snap, touched)
+                .where(~cond | cond.isNull()), snap, touched)
+            adds = _stage_write(survivors, root,
+                                snap.get("partition_by"))
+            actions = ([{"remove": {"path": p}} for p in touched]
+                       + [{"add": a} for a in adds])
         entry = {"op": "delete", "ts": time.time(),
                  "predicate": condition,
-                 "actions": ([{"remove": {"path": p}} for p in touched]
-                             + [{"add": a} for a in adds])}
+                 "actions": actions}
+        if mode == "dv":
+            entry["mode"] = "dv"
         if snapshot(root)["version"] == snap["version"] and \
                 _try_commit(root, snap["version"] + 1, entry):
             _maybe_checkpoint(root, snap["version"] + 1, checkpoint_every)
@@ -1447,6 +1643,7 @@ def optimize(spark, root: str, target_bytes: int = 128 * 1024 * 1024,
              sort_cols: list[str] | None = None,
              zorder: list[str] | None = None,
              where: str | None = None,
+             purge: bool = False,
              max_retries: int = 5, checkpoint_every: int = 10) -> int:
     """OPTIMIZE the table as a TRANSACTION — E20's small-file
     compaction running under the commit protocol. FILE-GRANULAR in
@@ -1503,13 +1700,32 @@ def optimize(spark, root: str, target_bytes: int = 128 * 1024 * 1024,
             scope = set(_files_possibly_matching(snap, conj))
             if not scope:
                 return snap["version"]
+        # deletion-vector PURGE rides every rewrite: _read_files
+        # anti-joins vectors away, so any file OPTIMIZE touches is
+        # re-materialized clean and its dv ref dropped. Plain
+        # compaction additionally VOLUNTEERS dv-carrying files once
+        # the deleted fraction crosses _DV_PURGE_RATIO (Delta's
+        # deletedRowsRatio rule — a file serving mostly-dead rows
+        # pays the anti-join on every read), or all of them under
+        # purge=True (REORG ... APPLY (PURGE)).
+        def _wants_purge(p: str) -> bool:
+            m = snap["files"][p]
+            if "dv" not in m:
+                return False
+            if purge:
+                return True
+            rows = m.get("rows", 0)
+            return bool(rows) and (m["dv"].get("deleted", 0)
+                                   >= _DV_PURGE_RATIO * rows)
+
         if sort_cols or zorder:
             victims = sorted(scope)  # scoped re-layout
         else:
             victims = sorted(p for p in scope
                              if snap["files"][p].get("bytes", 0)
-                             < target_bytes)
-            if len(victims) <= 1:
+                             < target_bytes or _wants_purge(p))
+            if not victims or (len(victims) == 1
+                               and not _wants_purge(victims[0])):
                 return snap["version"]  # nothing worth compacting
         total = sum(snap["files"][p].get("bytes", 0) for p in victims)
         n_out = max(1, math.ceil(total / target_bytes))
@@ -1607,10 +1823,23 @@ def clone(src_root: str, dst_root: str, version: int | None = None,
         raise ValueError(f"clone target {dst_root} already has a log")
     os.makedirs(dst_root, exist_ok=True)
     abs_src = os.path.abspath(src_root)
+
+    def _abs_add(p: str, m: dict) -> dict:
+        a = {**m, "path": os.path.join(abs_src, p)}
+        if "dv" in m:
+            # deletion-vector sidecars are source files too: the
+            # clone references them absolutely, reads anti-join
+            # them exactly as the source does, and the clone's
+            # vacuum can never reclaim them (same walk argument as
+            # data files — and the same source-vacuum caveat)
+            a["dv"] = {**m["dv"],
+                       "path": os.path.join(abs_src, m["dv"]["path"])}
+        return a
+
     entry = {"op": "clone", "ts": time.time(),
              "source": abs_src, "source_version": src["version"],
              "actions": [
-                 {"add": {**m, "path": os.path.join(abs_src, p)}}
+                 {"add": _abs_add(p, m)}
                  for p, m in sorted(src["files"].items())]}
     if src.get("schema"):
         entry["schema"] = src["schema"]
@@ -1734,11 +1963,14 @@ def vacuum(root: str, retention_seconds: float = 3600.0,
     owner runs before giving up time-travel history."""
     cps = _list_checkpoints(root)
     referenced: set[str] = set()
+    dv_dirs: set[str] = set()  # referenced deletion-vector sidecars
     start = 0
     if cps:
         cp = json.load(open(os.path.join(
             _log_path(root), f"checkpoint-{cps[-1]:0{_W}d}.json")))
         referenced.update(cp["files"])
+        dv_dirs.update(m["dv"]["path"] for m in cp["files"].values()
+                       if "dv" in m)
         start = cps[-1]
     for v in _list_versions(root):
         if v <= start:
@@ -1747,11 +1979,17 @@ def vacuum(root: str, retention_seconds: float = 3600.0,
         for a in e["actions"]:
             if "add" in a:
                 referenced.add(a["add"]["path"])
+                if "dv" in a["add"]:
+                    dv_dirs.add(a["add"]["dv"]["path"])
     now = time.time()
     removed = []
     # recursive walk (r11): partitioned tables nest data files under
     # hive-style col=value dirs; crashed writers also strand whole
-    # _stage-* dirs, reclaimed under the same mtime retention guard
+    # _stage-* dirs, reclaimed under the same mtime retention guard.
+    # Deletion-vector sidecar dirs (_dv/dv-*) vacuum as units: their
+    # parquet parts survive while ANY reachable add action points at
+    # the dir, and age out under the same (checkpoint, retention)
+    # bound as data files once every referencing add is rewritten.
     for dirpath, dirs, files in os.walk(root):
         if os.path.basename(dirpath) == LOG_DIR:
             dirs[:] = []
@@ -1762,7 +2000,8 @@ def vacuum(root: str, retention_seconds: float = 3600.0,
                 continue
             rel = (f if rel_dir == "." else
                    "/".join([rel_dir.replace(os.sep, "/"), f]))
-            if rel in referenced:
+            if rel in referenced or any(
+                    rel.startswith(d + "/") for d in dv_dirs):
                 continue
             p = os.path.join(dirpath, f)
             if now - os.path.getmtime(p) >= retention_seconds:
@@ -1830,6 +2069,10 @@ def restore(root: str, version: int | None = None,
     target = snapshot(root, version)
     missing = [p for p in target["files"]
                if not os.path.exists(os.path.join(root, p))]
+    missing += sorted({m["dv"]["path"]
+                       for m in target["files"].values()
+                       if "dv" in m and not os.path.exists(
+                           os.path.join(root, m["dv"]["path"]))})
     if missing:
         raise ValueError(
             f"restore({version}): {len(missing)} data file(s) "
@@ -1839,6 +2082,12 @@ def restore(root: str, version: int | None = None,
                            snapshot(root).get("constraints", {}))
     for _ in range(max_retries):
         snap = snapshot(root)
+        # re-add on META inequality, not just path absence: a
+        # deletion-vector delete re-commits the SAME path with a
+        # different add action, so restoring across one must roll
+        # the dv ref back (or forward) even though the path never
+        # changed — path-presence diffing would silently keep the
+        # head's vector state
         entry = {"op": "restore", "ts": time.time(),
                  "restored_version": version,
                  "actions": ([{"remove": {"path": p}}
@@ -1846,7 +2095,7 @@ def restore(root: str, version: int | None = None,
                               if p not in target["files"]]
                              + [{"add": a} for p, a in
                                 sorted(target["files"].items())
-                                if p not in snap["files"]])}
+                                if snap["files"].get(p) != a])}
         if target.get("schema"):
             entry["schema"] = target["schema"]
         # the PARTITION SPEC rolls back with the files (r11): a
@@ -1963,6 +2212,23 @@ def read_changes(spark, root: str, from_version: int | None = None,
                 part = part.select(*[f.name for f in st.fields])
         else:
             part = rdr.parquet(*adds)
+        # merge-on-read delete (dv mode): the commit's add files are
+        # the ORIGINAL bytes re-committed with a deletion-vector
+        # ref — project through the commit's OWN vectors so the
+        # feed's survivors-only delete contract stays exact
+        dvm = {os.path.basename(a["add"]["path"]): a["add"]["dv"]
+               for a in e["actions"]
+               if "add" in a and "dv" in a["add"]}
+        if dvm:
+            part = part.select(
+                "*",
+                F.col("_metadata.file_name").alias(_DV_FILE),
+                F.col("_metadata.row_index").alias(_DV_POS))
+            dv = _dv_table(spark, root, dvm)
+            part = (part.join(dv, (part[_DV_FILE] == dv["file"])
+                              & (part[_DV_POS] == dv["pos"]),
+                              "left_anti")
+                    .drop(_DV_FILE, _DV_POS))
         parts.append(
             part
             .withColumn("_commit_version", F.lit(v))
@@ -2059,9 +2325,25 @@ def _plan_window(root: str, lo: int, hi: int,
                 f"version {v} is a {e['op']} commit; set "
                 f"ignore_changes=true to stream its files "
                 f"under the apply-by-key contract")
+        # deletion-vector adds are ORIGINAL bytes re-committed with
+        # a vector ref — emitting them raw would resurrect deleted
+        # rows. A dv-delete's adds carry NO new rows, so under
+        # ignore_changes they are SKIPPED (Delta's ignoreDeletes
+        # shape); any other op whose adds carry a vector (today:
+        # streaming a clone of a dv-bearing table) refuses outright
+        # — read_changes/read are the vector-applying paths.
+        dv_adds = [a for a in e["actions"]
+                   if "add" in a and "dv" in a["add"]]
+        if dv_adds and e["op"] != "delete":
+            raise NonAppendChange(
+                f"version {v} ({e['op']}) adds files carrying "
+                f"deletion vectors; the stream cannot emit raw "
+                f"bytes without resurrecting deleted rows — read "
+                f"via read()/read_changes() instead")
         adds = [(a["add"]["path"], a["add"].get("bytes", 0),
                  a["add"].get("partition"))
-                for a in e["actions"] if "add" in a]
+                for a in e["actions"]
+                if "add" in a and "dv" not in a["add"]]
         if adds:
             out.append((v, e["op"], adds))
     return out

@@ -323,6 +323,77 @@ def run_txlog_merge_scale_leg(spark) -> dict:
     return row
 
 
+def run_txlog_dv_scale_leg(spark) -> dict:
+    """Deletion vectors measured at decade scales (r11 third
+    stint): a fixed-selectivity DELETE whose hits spread across
+    EVERY file of the table (id % 1499 == 7, ~0.07%) runs in both
+    modes on identical tables. mode="dv" must rewrite ZERO data
+    files (asserted on the live set) and write a sidecar orders of
+    magnitude smaller than the table; mode="rewrite" rewrites every
+    hit file — here the whole table. Records wall times, the bytes
+    asymmetry, the post-delete full-scan overhead (the anti-join
+    price a reader pays until OPTIMIZE purges), and the dv-delete
+    decade exponent (dominated by the one exact hit scan, so ~1.0
+    slope in data volume is expected — the SAVING is in write
+    amplification, not scan cost)."""
+    from pyspark.sql import functions as F
+
+    from gcp_data_engineering_workshop_spark.sources import txlog as T
+
+    import shutil as _sh
+
+    row: dict = {}
+    for k, (n_rows, n_files) in (("x10", (1_500_000, 100)),
+                                 ("x100", (15_000_000, 1000))):
+        for mode in ("dv", "rewrite"):
+            root = os.path.join(WORK, f"txdv_{mode}_{k}", "t")
+            _sh.rmtree(os.path.dirname(root), ignore_errors=True)
+            df = (spark.range(n_rows)
+                  .select("id", (F.col("id") * 7 % 1000).alias("v"))
+                  .repartitionByRange(n_files, "id"))
+            T.append(df, root, checkpoint_every=0)
+            if mode == "dv":
+                row[f"table_bytes_{k}"] = \
+                    T.describe(root)["total_bytes"]
+                files0 = set(T.snapshot(root)["files"])
+                t0 = time.monotonic()
+                T.read(spark, root).count()
+                t_read0 = time.monotonic() - t0
+            t0 = time.monotonic()
+            T.delete_where(spark, root, "id % 1499 = 7", mode=mode,
+                           checkpoint_every=0)
+            t_del = round(time.monotonic() - t0, 3)
+            if mode == "dv":
+                assert set(T.snapshot(root)["files"]) == files0, \
+                    "dv delete rewrote a data file"
+                row[f"t_dv_delete_{k}"] = t_del
+                row[f"dv_sidecar_bytes_{k}"] = sum(
+                    os.path.getsize(os.path.join(dp, f))
+                    for dp, _d, fs in os.walk(
+                        os.path.join(root, "_dv"))
+                    for f in fs)
+                row[f"files_rewritten_dv_{k}"] = 0
+                t0 = time.monotonic()
+                row[f"rows_after_{k}"] = T.read(spark, root).count()
+                row[f"dv_read_overhead_pct_{k}"] = round(
+                    100 * (time.monotonic() - t0 - t_read0)
+                    / max(t_read0, 1e-9), 1)
+            else:
+                row[f"t_rewrite_delete_{k}"] = t_del
+                row[f"files_rewritten_rewrite_{k}"] = \
+                    T.history(root)[-1]["n_remove"]
+            spark.catalog.clearCache()
+        row[f"n_files_{k}"] = n_files
+    row["bytes_ratio_x100"] = round(
+        row["table_bytes_x100"] / max(row["dv_sidecar_bytes_x100"], 1))
+    row["exp_10_100"] = round(
+        math.log10(row["t_dv_delete_x100"] / row["t_dv_delete_x10"]),
+        3)
+    row["pruned_ok"] = (row["files_rewritten_dv_x10"] == 0
+                        and row["files_rewritten_dv_x100"] == 0)
+    return row
+
+
 def run_txlog_stream_leg(spark) -> dict:
     """r11's owed leg (VERDICT r10 next-round #2): rows/s THROUGH
     the executor-parallel txlogstream source at x10/x100. The drain
@@ -561,6 +632,10 @@ def main() -> None:
                 spark)
             print(f"## txlog_merge_scale: "
                   f"{results['txlog_merge_scale']}", flush=True)
+        if not only or "txlog_dv_scale" in only:
+            results["txlog_dv_scale"] = run_txlog_dv_scale_leg(spark)
+            print(f"## txlog_dv_scale: "
+                  f"{results['txlog_dv_scale']}", flush=True)
         if not only or "txlog_stream_drain" in only:
             results["txlog_stream_drain"] = run_txlog_stream_leg(
                 spark)

@@ -1,0 +1,285 @@
+"""E22: deletion vectors (merge-on-read deletes) — the Delta
+deletion-vector / Iceberg v2 positional-delete shape on the
+transaction log (sources/txlog.py). A dv-mode DELETE writes the
+matching rows' physical positions to a parquet sidecar instead of
+rewriting the hit files; every read path anti-joins the vector
+away; every rewrite (merge, DML, OPTIMIZE) materializes it."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_data_engineering_workshop_spark.sources import txlog as T
+
+
+def _ids(df):
+    return sorted(r.id for r in df.collect())
+
+
+def _dv_count(root):
+    snap = T.snapshot(root)
+    return sum(1 for m in snap["files"].values() if "dv" in m)
+
+
+def _n_data_files(root):
+    """Physical part-*.parquet on disk (excludes _dv sidecars)."""
+    n = 0
+    for dirpath, dirs, files in os.walk(root):
+        if os.path.basename(dirpath) in (T.LOG_DIR, "_dv"):
+            dirs[:] = []
+            continue
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    """Four single-file commits of ids 0..39 (k = id % 4 slices)."""
+    root = str(tmp_path / "tbl")
+    for b in range(4):
+        T.append(spark.range(40).where(F.col("id") % 4 == b)
+                 .coalesce(1), root, checkpoint_every=0)
+    return root
+
+
+def test_dv_delete_matches_rewrite_semantics(spark, tmp_path):
+    """Same predicate, both modes, identical survivors — including
+    the SQL rule that NULL-predicate rows survive a DELETE."""
+    rows = [(i, float(i) if i % 5 else None) for i in range(30)]
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    r1, r2 = str(tmp_path / "a"), str(tmp_path / "b")
+    T.append(df, r1, checkpoint_every=0)
+    T.append(df, r2, checkpoint_every=0)
+    T.delete_where(spark, r1, "v < 12", checkpoint_every=0)
+    T.delete_where(spark, r2, "v < 12", mode="dv", checkpoint_every=0)
+    a = sorted((r.id, r.v) for r in T.read(spark, r1).collect())
+    b = sorted((r.id, r.v) for r in T.read(spark, r2).collect())
+    assert a == b
+    # NULL-predicate rows (v IS NULL) survived in both
+    assert 0 in [i for i, v in b]
+
+
+def test_dv_delete_rewrites_no_data_file(spark, table):
+    before = _n_data_files(table)
+    files_before = set(T.snapshot(table)["files"])
+    T.delete_where(spark, table, "id % 10 = 3", mode="dv",
+                   checkpoint_every=0)
+    # every original data file still on disk, byte-identical set
+    assert set(T.snapshot(table)["files"]) == files_before
+    assert _n_data_files(table) == before
+    assert _ids(T.read(spark, table)) == [
+        i for i in range(40) if i % 10 != 3]
+    # ids 3,13,23,33 live in the mod-4 slices 3 and 1 -> 2 hit files
+    assert _dv_count(table) == 2
+    assert T.history(table)[-1]["mode"] == "dv"
+    d = T.describe(table)
+    assert d["num_dv_files"] == 2 and d["deleted_rows"] == 4
+
+
+def test_dv_second_delete_accumulates(spark, table):
+    T.delete_where(spark, table, "id < 8", mode="dv",
+                   checkpoint_every=0)
+    T.delete_where(spark, table, "id >= 32", mode="dv",
+                   checkpoint_every=0)
+    assert _ids(T.read(spark, table)) == list(range(8, 32))
+    # cumulative per-file counts: 40 ids over 4 files, 2+2 each
+    snap = T.snapshot(table)
+    assert sorted(m["dv"]["deleted"]
+                  for m in snap["files"].values()) == [4, 4, 4, 4]
+    # read_range / read_where agree with read().where()
+    assert _ids(T.read_range(spark, table, "id", lo=10, hi=20)) == \
+        list(range(10, 21))
+    assert _ids(T.read_where(spark, table, "id >= 30")) == [30, 31]
+
+
+def test_dv_full_file_delete_drops_the_file(spark, table):
+    """A predicate matching EVERY live row of a file removes the
+    file outright — no sidecar, no re-add."""
+    T.delete_where(spark, table, "id % 4 = 2", mode="dv",
+                   checkpoint_every=0)
+    snap = T.snapshot(table)
+    assert len(snap["files"]) == 3
+    assert _dv_count(table) == 0  # no partial file -> no vectors
+    assert _ids(T.read(spark, table)) == [
+        i for i in range(40) if i % 4 != 2]
+
+
+def test_dv_time_travel_and_restore(spark, table):
+    v0 = T.snapshot(table)["version"]
+    T.delete_where(spark, table, "id < 20", mode="dv",
+                   checkpoint_every=0)
+    # pre-delete version reads the original add actions: all rows
+    assert _ids(T.read(spark, table, version=v0)) == list(range(40))
+    # restore across the dv commit rolls the vector refs back
+    T.restore(table, v0, checkpoint_every=0)
+    assert _ids(T.read(spark, table)) == list(range(40))
+    assert _dv_count(table) == 0
+    # and restoring FORWARD onto the dv'd version re-applies them
+    T.restore(table, v0 + 1, checkpoint_every=0)
+    assert _ids(T.read(spark, table)) == list(range(20, 40))
+    assert _dv_count(table) == 4
+
+
+def test_dv_merge_materializes_and_drops_ref(spark, table):
+    """A merge touching dv'd files must not resurrect deleted rows,
+    and its rewrite drops the vector ref for the touched files."""
+    T.delete_where(spark, table, "id < 10", mode="dv",
+                   checkpoint_every=0)
+    updates = spark.createDataFrame([(12, ), (999, )], "id bigint")
+    T.merge_upsert(spark, table, updates, "id", checkpoint_every=0)
+    ids = _ids(T.read(spark, table))
+    assert ids == sorted(set(range(10, 40)) | {999})
+    # every touched file was rewritten clean; untouched keep vectors
+    snap = T.snapshot(table)
+    for p, m in snap["files"].items():
+        if "dv" in m:
+            # untouched files: their dv still applies
+            assert m["dv"]["deleted"] > 0
+
+
+def test_dv_update_where_applies_vectors(spark, table):
+    T.delete_where(spark, table, "id >= 35", mode="dv",
+                   checkpoint_every=0)
+    T.update_where(spark, table, "id % 2 = 0", {"id": "id + 100"},
+                   checkpoint_every=0)
+    expect = sorted((i + 100 if i % 2 == 0 else i)
+                    for i in range(35))
+    assert _ids(T.read(spark, table)) == sorted(expect)
+
+
+def test_dv_optimize_purges(spark, table):
+    """Plain OPTIMIZE volunteers dv'd files past the deleted-rows
+    ratio (10% here > 5% rule) and materializes the delete."""
+    T.delete_where(spark, table, "id % 10 = 1", mode="dv",
+                   checkpoint_every=0)
+    assert _dv_count(table) == 2  # ids 1,11,21,31 -> slices 1 and 3
+    T.optimize(spark, table, checkpoint_every=0)
+    assert _dv_count(table) == 0
+    assert _ids(T.read(spark, table)) == [
+        i for i in range(40) if i % 10 != 1]
+
+
+def test_dv_optimize_ratio_rule_and_explicit_purge(spark, tmp_path):
+    """Below the 5% ratio a big file keeps its vector through plain
+    OPTIMIZE; purge=True rewrites it regardless."""
+    root = str(tmp_path / "tbl")
+    T.append(spark.range(1000).coalesce(1), root, checkpoint_every=0)
+    T.delete_where(spark, root, "id = 7", mode="dv",
+                   checkpoint_every=0)  # 0.1% deleted
+    # make the file look "full size" so compaction skips it
+    T.optimize(spark, root, target_bytes=1, checkpoint_every=0)
+    assert _dv_count(root) == 1
+    T.optimize(spark, root, target_bytes=1, purge=True,
+               checkpoint_every=0)
+    assert _dv_count(root) == 0
+    assert _ids(T.read(spark, root)) == [i for i in range(1000)
+                                         if i != 7]
+
+
+def test_dv_read_changes_survivors_contract(spark, table):
+    v = T.delete_where(spark, table, "id < 4", mode="dv",
+                       checkpoint_every=0)
+    feed = T.read_changes(spark, table, from_version=v - 1,
+                          to_version=v)
+    rows = feed.collect()
+    assert all(r._commit_op == "delete" for r in rows)
+    # survivors of the touched files only — deleted ids absent
+    assert sorted(r.id for r in rows) == list(range(4, 40))
+
+
+def test_dv_stream_raises_then_skips(spark, table):
+    """The stream source refuses a dv-delete commit by default and
+    SKIPS its (no-new-rows) adds under ignore_changes."""
+    lo = T.snapshot(table)["version"]
+    T.delete_where(spark, table, "id = 0", mode="dv",
+                   checkpoint_every=0)
+    hi = T.snapshot(table)["version"]
+    with pytest.raises(T.NonAppendChange):
+        T._plan_window(table, lo, hi, ignore_changes=False)
+    assert T._plan_window(table, lo, hi, ignore_changes=True) == []
+    # appends after the delete still stream
+    T.append(spark.range(100, 103), table, checkpoint_every=0)
+    plan = T._plan_window(table, hi, hi + 1, ignore_changes=True)
+    assert len(plan) == 1 and plan[0][1] == "append"
+
+
+def test_dv_vacuum_keeps_referenced_sidecars(spark, table):
+    T.delete_where(spark, table, "id < 6", mode="dv",
+                   checkpoint_every=0)
+    dv_dir = os.path.join(table, "_dv")
+    parts = [os.path.join(dp, f) for dp, _, fs in os.walk(dv_dir)
+             for f in fs if f.endswith(".parquet")]
+    assert parts
+    removed = T.vacuum(table, retention_seconds=0.0)
+    assert not any("_dv/" in r for r in removed)
+    assert _ids(T.read(spark, table)) == list(range(6, 40))
+    # merge rewrites every file -> vectors unreferenced at head,
+    # but still REACHABLE through pre-checkpoint history (no
+    # checkpoint exists), so vacuum keeps them for time travel
+    T.merge_upsert(spark, table,
+                   spark.range(40).select("id"), "id",
+                   checkpoint_every=0)
+    assert T.vacuum(table, retention_seconds=0.0, dry_run=True) == []
+    # a checkpoint bounds the reference scan; vectors now age out
+    T._maybe_checkpoint(table, T.snapshot(table)["version"], 1)
+    removed = T.vacuum(table, retention_seconds=0.0)
+    assert any(r.startswith("_dv/") for r in removed)
+    assert _ids(T.read(spark, table)) == list(range(40))
+
+
+def test_dv_clone_carries_vectors(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    T.append(spark.range(20).coalesce(1), src, checkpoint_every=0)
+    T.delete_where(spark, src, "id >= 15", mode="dv",
+                   checkpoint_every=0)
+    T.clone(src, dst, checkpoint_every=0)
+    assert _ids(T.read(spark, dst)) == list(range(15))
+    # copy-on-write: deleting more on the clone leaves the source
+    T.delete_where(spark, dst, "id >= 10", mode="dv",
+                   checkpoint_every=0)
+    assert _ids(T.read(spark, dst)) == list(range(10))
+    assert _ids(T.read(spark, src)) == list(range(15))
+
+
+def test_dv_on_partitioned_table(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    df = spark.range(30).select(
+        "id", (F.col("id") % 3).alias("k"))
+    T.append(df, root, partition_by=["k"], checkpoint_every=0)
+    T.delete_where(spark, root, "id < 9", mode="dv",
+                   checkpoint_every=0)
+    got = sorted((r.id, r.k) for r in T.read(spark, root).collect())
+    assert got == [(i, i % 3) for i in range(9, 30)]
+    # partition pruning composes with the vector apply
+    assert sorted(r.id for r in
+                  T.read_where(spark, root, "k = 1").collect()) == \
+        [i for i in range(9, 30) if i % 3 == 1]
+
+
+def test_dv_on_schema_evolved_table(spark, tmp_path):
+    """Vectors apply through the recorded-schema NULL-backfill
+    projection: delete rows of a pre-evolution file by a predicate
+    on an original column."""
+    root = str(tmp_path / "tbl")
+    T.append(spark.range(10).coalesce(1), root, checkpoint_every=0)
+    T.merge_upsert(spark, root,
+                   spark.range(10, 12).select(
+                       "id", F.lit(1.0).alias("w")),
+                   "id", merge_schema=True, checkpoint_every=0)
+    T.delete_where(spark, root, "id <= 3", mode="dv",
+                   checkpoint_every=0)
+    rows = sorted((r.id, r.w) for r in T.read(spark, root).collect())
+    assert [i for i, _ in rows] == list(range(4, 12))
+    assert rows[-1] == (11, 1.0)
+
+
+def test_dv_noop_and_mode_validation(spark, table):
+    v = T.snapshot(table)["version"]
+    assert T.delete_where(spark, table, "id > 10000",
+                          mode="dv") == v  # provable miss: no commit
+    with pytest.raises(ValueError):
+        T.delete_where(spark, table, "id = 1", mode="nope")
