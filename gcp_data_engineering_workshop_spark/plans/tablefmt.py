@@ -133,14 +133,17 @@ def txlog_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def txlog_dv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E22 DELETION VECTORS under the oracle gate (new r11, third
     stint): orders lands as four range-interleaved commits, then
-    TWO merge-on-read deletes run back to back — every 13th order,
-    then every order over 400k — in ``mode="dv"``: no data file is
-    rewritten (asserted on the live file set), the matching
-    positions land in parquet sidecars, and the second delete
-    accumulates onto the first's vectors. The final read_where
-    composes footer-stat skipping with the vector anti-join and
-    must equal a plain conjunctive NOT-filter over the source —
-    proving merge-on-read semantics match copy-on-write exactly."""
+    all three merge-on-read DML verbs run in ``mode="dv"`` — DELETE
+    every 13th order, UPDATE cheap orders (double the price, flag
+    'V'; only the updated rows are written, the old positions
+    vector out on files ALREADY carrying the delete's vectors — the
+    accumulation path), and a by-key MERGE-DELETE of every 41st
+    order. No original data file is ever rewritten (asserted). The
+    final read_where composes footer-stat skipping with the vector
+    anti-joins and must equal plain CASE-WHEN + NOT-filter SQL over
+    the source — merge-on-read semantics match copy-on-write
+    exactly. Doubling a double is exact (exponent bump), the same
+    decimal discipline as txlog_update_scan."""
     root = tempfile.mkdtemp(prefix="txlog_dv_") + "/t"
     orders = _orders(spark, sf_dir)
     for b in range(4):
@@ -149,10 +152,16 @@ def txlog_dv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     files0 = set(T.snapshot(root)["files"])
     T.delete_where(spark, root, "o_orderkey % 13 = 0", mode="dv",
                    checkpoint_every=0)
-    T.delete_where(spark, root, "o_totalprice > 400000", mode="dv",
-                   checkpoint_every=0)
-    assert set(T.snapshot(root)["files"]) == files0, \
-        "dv delete must not rewrite any data file"
+    T.update_where(spark, root, "o_totalprice < 2000",
+                   {"o_totalprice": "o_totalprice * 2",
+                    "o_orderstatus": "'V'"},
+                   mode="dv", checkpoint_every=0)
+    T.merge_delete(spark, root,
+                   orders.where(F.col("o_orderkey") % 41 == 0)
+                   .select("o_orderkey"),
+                   "o_orderkey", mode="dv", checkpoint_every=0)
+    assert files0 <= set(T.snapshot(root)["files"]), \
+        "merge-on-read DML must not rewrite any original data file"
     return (T.read_where(spark, root, "o_orderkey > 100")
             .orderBy("o_orderkey"))
 
@@ -307,11 +316,15 @@ ORDER BY o_orderkey
 """
 
 TXLOG_DV_SCAN_SQL = """
-SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_totalprice < 2000 THEN 'V'
+            ELSE o_orderstatus END AS o_orderstatus,
+       CASE WHEN o_totalprice < 2000 THEN o_totalprice * 2
+            ELSE o_totalprice END AS o_totalprice,
        o_orderpriority
 FROM orders
 WHERE o_orderkey % 13 <> 0
-  AND NOT (o_totalprice > 400000)
+  AND o_orderkey % 41 <> 0
   AND o_orderkey > 100
 ORDER BY o_orderkey
 """

@@ -1101,7 +1101,8 @@ def merge_upsert(spark, root: str, updates: DataFrame,
 
 def merge_delete(spark, root: str, keys_df: DataFrame,
                  key: str | list[str],
-                 max_retries: int = 5, checkpoint_every: int = 10) -> int:
+                 max_retries: int = 5, checkpoint_every: int = 10,
+                 mode: str = "rewrite") -> int:
     """MERGE ... WHEN MATCHED THEN DELETE — the other half of the
     Delta MERGE contract (r11): every table row whose (possibly
     composite) ``key`` matches a row of ``keys_df`` is removed;
@@ -1119,7 +1120,20 @@ def merge_delete(spark, root: str, keys_df: DataFrame,
     hold SURVIVORS only, so an apply-by-key consumer keeps the
     deleted keys' stale rows (row-level delete propagation needs
     the row tracking this format doesn't carry; Delta's
-    ignore_changes has the same caveat)."""
+    ignore_changes has the same caveat).
+
+    ``mode="dv"`` (r11): merge-on-read — matching rows' positions
+    land in a deletion-vector sidecar and NO data file is
+    rewritten, the same contract as delete_where(mode="dv"). The
+    exactness is slightly TIGHTER than the rewrite path: dv mode
+    scans the stat-plausible files once, so keys that prune as
+    possible but match nothing commit NO version (the rewrite path
+    rewrites such files verbatim and commits)."""
+    from pyspark.sql import functions as F
+
+    if mode not in ("rewrite", "dv"):
+        raise ValueError(f"merge_delete mode={mode!r}: "
+                         f"expected 'rewrite' or 'dv'")
     keys = [key] if isinstance(key, str) else list(key)
     for _ in range(max_retries):
         snap = snapshot(root)
@@ -1129,13 +1143,36 @@ def merge_delete(spark, root: str, keys_df: DataFrame,
             if snap["files"] else []
         if not touched:
             return snap["version"]  # provably nothing to delete
-        survivors = _size_merge_output(
-            _read_files(spark, root, snap, touched)
-            .join(probe, keys, "left_anti"), snap, touched)
-        adds = _stage_write(survivors, root, snap.get("partition_by"))
+        if mode == "dv":
+            base = _read_files(spark, root, snap, touched,
+                               with_meta=True)
+            matches = base.join(probe, keys, "left_semi")
+            per_hit = {r[0]: r[1] for r in
+                       matches.groupBy(_DV_FILE).count().collect()}
+            if not per_hit:
+                return snap["version"]  # plausible but no real hit
+            real = [p for p in touched
+                    if os.path.basename(p) in per_hit]
+            per_live = {r[0]: r[1] for r in
+                        base.where(F.col(_DV_FILE)
+                                   .isin(list(per_hit)))
+                        .groupBy(_DV_FILE).count().collect()}
+            per_file = {n: (per_live[n], h)
+                        for n, h in per_hit.items()}
+            actions = _dv_mark_actions(spark, root, snap, real,
+                                       matches, per_file)
+        else:
+            survivors = _size_merge_output(
+                _read_files(spark, root, snap, touched)
+                .join(probe, keys, "left_anti"), snap, touched)
+            adds = _stage_write(survivors, root,
+                                snap.get("partition_by"))
+            actions = ([{"remove": {"path": p}} for p in touched]
+                       + [{"add": a} for a in adds])
         entry = {"op": "merge", "ts": time.time(), "matched": "delete",
-                 "actions": ([{"remove": {"path": p}} for p in touched]
-                             + [{"add": a} for a in adds])}
+                 "actions": actions}
+        if mode == "dv":
+            entry["mode"] = "dv"
         if snapshot(root)["version"] == snap["version"] and \
                 _try_commit(root, snap["version"] + 1, entry):
             _maybe_checkpoint(root, snap["version"] + 1, checkpoint_every)
@@ -1426,40 +1463,35 @@ def _files_with_hits(spark, root: str, snap: dict,
     return sorted(p for p in candidates if os.path.basename(p) in names)
 
 
-def _dv_delete_actions(spark, root: str, snap: dict,
-                       touched: list[str], cond) -> list[dict]:
-    """Build the commit actions of a merge-on-read delete: ONE scan
-    of the touched files computes, per file, its live row count and
-    its matching row count (a bounded collect — one row per touched
-    file), plus the matching (file, pos) positions. Files whose
-    every live row matches are dropped outright (remove, no re-add
-    — the Delta full-file-delete shortcut); the rest are re-added
-    with a ``dv`` ref to ONE new sidecar dir holding the CUMULATIVE
-    deleted positions (new matches unioned with the files' previous
-    vectors, which are disjoint by construction — already-deleted
-    positions can't re-match through the dv-applied read)."""
+def _dv_mark_actions(spark, root: str, snap: dict,
+                     touched: list[str], matches: DataFrame,
+                     per_file: dict) -> list[dict]:
+    """Build the remove/re-add actions that MARK rows deleted via a
+    new sidecar: ``matches`` is the (_DV_FILE, _DV_POS) set of rows
+    leaving the table, ``per_file`` maps each touched basename to
+    (live rows, matching rows) — a bounded collect the caller
+    already ran (one row per touched file). Files whose every live
+    row matches are dropped outright (remove, no re-add — the Delta
+    full-file shortcut); the rest are re-added with a ``dv`` ref to
+    ONE new sidecar dir holding the CUMULATIVE deleted positions
+    (new matches unioned with the files' previous vectors, which
+    are disjoint by construction — already-deleted positions can't
+    re-match through the dv-applied read)."""
     from pyspark.sql import functions as F
 
-    base = _read_files(spark, root, snap, touched, with_meta=True)
-    flag = cond.isNotNull() & cond
-    per_file = {r[0]: (r[1], r[2]) for r in
-                (base.groupBy(_DV_FILE)
-                 .agg(F.count(F.lit(1)).alias("live"),
-                      F.sum(flag.cast("long")).alias("hit"))
-                 .collect())}
     full = {n for n, (live, hit) in per_file.items() if hit == live}
     keep_touched = [p for p in touched
                     if os.path.basename(p) not in full]
     actions = [{"remove": {"path": p}} for p in touched]
     if keep_touched:
-        matches = (base.where(flag)
-                   .where(~F.col(_DV_FILE).isin(list(full))
-                          if full else F.lit(True))
-                   .select(F.col(_DV_FILE).alias("file"),
-                           F.col(_DV_POS).alias("pos")))
+        out = (matches
+               .where(~F.col(_DV_FILE).isin(list(full))
+                      if full else F.lit(True))
+               .select(F.col(_DV_FILE).alias("file"),
+                       F.col(_DV_POS).alias("pos")))
         old_refs = _dv_refs(snap["files"], keep_touched)
         if old_refs:
-            matches = matches.unionByName(
+            out = out.unionByName(
                 _dv_table(spark, root, old_refs, for_join=False))
         dv_rel = f"{_DV_DIR}/dv-{uuid.uuid4().hex}"
         total = sum(per_file[os.path.basename(p)][1]
@@ -1467,7 +1499,7 @@ def _dv_delete_actions(spark, root: str, snap: dict,
                        .get("deleted", 0))
                     for p in keep_touched)
         n_parts = max(1, math.ceil(total / 20_000_000))
-        matches.repartition(n_parts).write.parquet(
+        out.repartition(n_parts).write.parquet(
             os.path.join(root, dv_rel))
         _clean_non_parquet(os.path.join(root, dv_rel))
         for p in keep_touched:
@@ -1478,6 +1510,24 @@ def _dv_delete_actions(spark, root: str, snap: dict,
                                     "dv": {"path": dv_rel,
                                            "deleted": deleted}}})
     return actions
+
+
+def _dv_delete_actions(spark, root: str, snap: dict,
+                       touched: list[str], cond) -> list[dict]:
+    """Merge-on-read predicate delete: ONE scan of the touched
+    files computes the per-file (live, matching) counts, then the
+    matching (file, pos) positions feed _dv_mark_actions."""
+    from pyspark.sql import functions as F
+
+    base = _read_files(spark, root, snap, touched, with_meta=True)
+    flag = cond.isNotNull() & cond
+    per_file = {r[0]: (r[1], r[2]) for r in
+                (base.groupBy(_DV_FILE)
+                 .agg(F.count(F.lit(1)).alias("live"),
+                      F.sum(flag.cast("long")).alias("hit"))
+                 .collect())}
+    return _dv_mark_actions(spark, root, snap, touched,
+                            base.where(flag), per_file)
 
 
 def delete_where(spark, root: str, condition: str,
@@ -1565,7 +1615,8 @@ def delete_where(spark, root: str, condition: str,
 
 def update_where(spark, root: str, condition: str,
                  assignments: dict[str, str],
-                 max_retries: int = 5, checkpoint_every: int = 10) -> int:
+                 max_retries: int = 5, checkpoint_every: int = 10,
+                 mode: str = "rewrite") -> int:
     """UPDATE <table> SET col = expr, ... WHERE <condition> — the
     predicate-UPDATE half of the DML surface (r11), same two-phase
     file finding as delete_where. Semantics are SQL UPDATE's:
@@ -1585,9 +1636,25 @@ def update_where(spark, root: str, condition: str,
     Stream/CDF: raises NonAppendChange without ignore_changes; under
     read_changes the add files are updated rows PLUS survivors of
     the touched files — an apply-by-key consumer gets exact state,
-    the same contract as merge."""
+    the same contract as merge.
+
+    ``mode="dv"`` (r11): merge-on-read UPDATE, the deletion-vector
+    shape — ONLY the updated rows are written (as fresh files,
+    sized by the matched fraction of the touched bytes), and the
+    matched rows' OLD positions land in a vector on the otherwise
+    untouched originals. Updating 0.1% of the rows of a 100 TB
+    table writes ~0.1% of the touched bytes instead of rewriting
+    every hit file wholesale. An update that moves a row's
+    PARTITION column composes naturally: the new row lands in its
+    new directory, the old position is vectored out. Same
+    stream/CDF contract — and reading the update window's add
+    files (new rows raw, re-adds through their vectors) yields
+    updated rows plus survivors, exactly the rewrite-mode feed."""
     from pyspark.sql import functions as F
 
+    if mode not in ("rewrite", "dv"):
+        raise ValueError(f"update_where mode={mode!r}: "
+                         f"expected 'rewrite' or 'dv'")
     conjuncts = _parse_conjuncts(condition)
     for _ in range(max_retries):
         snap = snapshot(root)
@@ -1599,8 +1666,11 @@ def update_where(spark, root: str, condition: str,
             if cand else []
         if not touched:
             return snap["version"]
-        cur = _read_files(spark, root, snap, touched)
-        unknown = set(assignments) - set(cur.columns)
+        cur = _read_files(spark, root, snap, touched,
+                          with_meta=(mode == "dv"))
+        user_cols = [c for c in cur.columns
+                     if c not in (_DV_FILE, _DV_POS)]
+        unknown = set(assignments) - set(user_cols)
         if unknown:
             raise ValueError(
                 f"update_where: SET targets not in the table schema: "
@@ -1611,7 +1681,7 @@ def update_where(spark, root: str, condition: str,
         flag = f"__txlog_upd_{uuid.uuid4().hex[:8]}"
         flagged = cur.withColumn(flag, cond.isNotNull() & cond)
         sel = []
-        for name in cur.columns:
+        for name in user_cols:
             if name in assignments:
                 sel.append(
                     F.when(F.col(flag),
@@ -1620,16 +1690,48 @@ def update_where(spark, root: str, condition: str,
                     .otherwise(F.col(name)).alias(name))
             else:
                 sel.append(F.col(name))
-        rewritten = flagged.select(*sel, flag)
-        if snap.get("constraints"):
-            _check_constraints(rewritten.where(flag).drop(flag),
-                               snap["constraints"])
-        out = _size_merge_output(rewritten.drop(flag), snap, touched)
-        adds = _stage_write(out, root, snap.get("partition_by"))
+        pb = snap.get("partition_by")
+        if mode == "dv":
+            per_file = {r[0]: (r[1], r[2]) for r in
+                        (flagged.groupBy(_DV_FILE)
+                         .agg(F.count(F.lit(1)).alias("live"),
+                              F.sum(F.col(flag).cast("long"))
+                              .alias("hit"))
+                         .collect())}
+            matched = flagged.where(F.col(flag))
+            updated = matched.select(*sel)
+            if snap.get("constraints"):
+                _check_constraints(updated, snap["constraints"])
+            # size the new files by the MATCHED fraction of the
+            # touched bytes, not the full touched volume — the
+            # whole point of the mode is writing only the updates
+            tb = sum(snap["files"][p].get("bytes", 0)
+                     * (per_file[os.path.basename(p)][1]
+                        / max(per_file[os.path.basename(p)][0], 1))
+                     for p in touched)
+            n_out = max(1, math.ceil(tb / _MERGE_TARGET_BYTES))
+            updated = (updated.repartition(
+                n_out, *[F.col(c) for c in pb]) if pb
+                else updated.repartition(n_out))
+            adds = _stage_write(updated, root, pb)
+            actions = (_dv_mark_actions(spark, root, snap, touched,
+                                        matched, per_file)
+                       + [{"add": a} for a in adds])
+        else:
+            rewritten = flagged.select(*sel, flag)
+            if snap.get("constraints"):
+                _check_constraints(rewritten.where(flag).drop(flag),
+                                   snap["constraints"])
+            out = _size_merge_output(rewritten.drop(flag), snap,
+                                     touched)
+            adds = _stage_write(out, root, pb)
+            actions = ([{"remove": {"path": p}} for p in touched]
+                       + [{"add": a} for a in adds])
         entry = {"op": "update", "ts": time.time(),
                  "predicate": condition, "set": dict(assignments),
-                 "actions": ([{"remove": {"path": p}} for p in touched]
-                             + [{"add": a} for a in adds])}
+                 "actions": actions}
+        if mode == "dv":
+            entry["mode"] = "dv"
         if snapshot(root)["version"] == snap["version"] and \
                 _try_commit(root, snap["version"] + 1, entry):
             _maybe_checkpoint(root, snap["version"] + 1, checkpoint_every)
@@ -2327,14 +2429,18 @@ def _plan_window(root: str, lo: int, hi: int,
                 f"under the apply-by-key contract")
         # deletion-vector adds are ORIGINAL bytes re-committed with
         # a vector ref — emitting them raw would resurrect deleted
-        # rows. A dv-delete's adds carry NO new rows, so under
-        # ignore_changes they are SKIPPED (Delta's ignoreDeletes
-        # shape); any other op whose adds carry a vector (today:
-        # streaming a clone of a dv-bearing table) refuses outright
-        # — read_changes/read are the vector-applying paths.
+        # rows. A dv-mode DML commit's vector-carrying adds carry
+        # NO new rows (delete: nothing new; update/merge-delete:
+        # the new rows ride the commit's OTHER, vector-free adds),
+        # so under ignore_changes they are SKIPPED (Delta's
+        # ignoreDeletes shape) while the vector-free adds emit. Any
+        # other op whose adds carry a vector (streaming a clone of
+        # a dv-bearing table, a restore across one) refuses
+        # outright — read()/read_changes() are the vector-applying
+        # paths.
         dv_adds = [a for a in e["actions"]
                    if "add" in a and "dv" in a["add"]]
-        if dv_adds and e["op"] != "delete":
+        if dv_adds and e["op"] not in ("delete", "update", "merge"):
             raise NonAppendChange(
                 f"version {v} ({e['op']}) adds files carrying "
                 f"deletion vectors; the stream cannot emit raw "

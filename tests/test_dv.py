@@ -277,6 +277,103 @@ def test_dv_on_schema_evolved_table(spark, tmp_path):
     assert rows[-1] == (11, 1.0)
 
 
+def test_dv_update_matches_rewrite_semantics(spark, tmp_path):
+    """update_where(mode='dv') == rewrite mode, including the SQL
+    rules: NULL-predicate rows untouched, assignments read the OLD
+    row, values cast back to the column type."""
+    rows = [(i, float(i) if i % 5 else None) for i in range(30)]
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    r1, r2 = str(tmp_path / "a"), str(tmp_path / "b")
+    T.append(df, r1, checkpoint_every=0)
+    T.append(df, r2, checkpoint_every=0)
+    sets = {"id": "id + 1000", "v": "id * 1.0"}  # old-row reads
+    T.update_where(spark, r1, "v < 12", sets, checkpoint_every=0)
+    T.update_where(spark, r2, "v < 12", sets, mode="dv",
+                   checkpoint_every=0)
+    a = sorted((r.id, r.v) for r in T.read(spark, r1).collect())
+    b = sorted((r.id, r.v) for r in T.read(spark, r2).collect())
+    assert a == b
+
+
+def test_dv_update_writes_only_updates(spark, table):
+    files0 = set(T.snapshot(table)["files"])
+    T.update_where(spark, table, "id < 4", {"id": "id + 100"},
+                   mode="dv", checkpoint_every=0)
+    snap = T.snapshot(table)
+    # originals all still live (now vectored), plus new small files
+    assert files0 < set(snap["files"])
+    new = set(snap["files"]) - files0
+    assert all("dv" not in snap["files"][p] for p in new)
+    assert T.describe(table)["deleted_rows"] == 4
+    assert _ids(T.read(spark, table)) == sorted(
+        set(range(4, 40)) | {100, 101, 102, 103})
+
+
+def test_dv_update_moves_partition_value(spark, tmp_path):
+    """A dv-mode UPDATE that changes the partition column lands the
+    new row in its new directory and vectors the old position."""
+    root = str(tmp_path / "tbl")
+    df = spark.range(12).select("id", (F.col("id") % 2).alias("k"))
+    T.append(df, root, partition_by=["k"], checkpoint_every=0)
+    T.update_where(spark, root, "id = 3", {"k": "0"}, mode="dv",
+                   checkpoint_every=0)
+    got = sorted((r.id, r.k) for r in T.read(spark, root).collect())
+    assert got == sorted([(i, i % 2) for i in range(12)
+                          if i != 3] + [(3, 0)])
+    assert sorted(r.id for r in T.read_where(
+        spark, root, "k = 0").collect()) == [0, 2, 3, 4, 6, 8, 10]
+
+
+def test_dv_merge_delete_matches_rewrite(spark, tmp_path):
+    r1, r2 = str(tmp_path / "a"), str(tmp_path / "b")
+    for r in (r1, r2):
+        T.append(spark.range(40), r, checkpoint_every=0)
+    keys = spark.createDataFrame(
+        [(i,) for i in (3, 17, 29, 999)], "id bigint")
+    T.merge_delete(spark, r1, keys, "id", checkpoint_every=0)
+    T.merge_delete(spark, r2, keys, "id", mode="dv",
+                   checkpoint_every=0)
+    assert _ids(T.read(spark, r1)) == _ids(T.read(spark, r2))
+    # dv mode: no data file rewritten
+    assert T.describe(r2)["deleted_rows"] == 3
+
+
+def test_dv_merge_delete_no_real_hit_commits_nothing(spark, table):
+    """Keys that survive stat pruning but match no live row must
+    not commit in dv mode (tighter than the rewrite path)."""
+    T.delete_where(spark, table, "id = 20", mode="dv",
+                   checkpoint_every=0)
+    v = T.snapshot(table)["version"]
+    # 20 is in-range for its file's footer stats but already deleted
+    keys = spark.createDataFrame([(20,)], "id bigint")
+    assert T.merge_delete(spark, table, keys, "id",
+                          mode="dv", checkpoint_every=0) == v
+    assert _ids(T.read(spark, table)) == [
+        i for i in range(40) if i != 20]
+
+
+def test_dv_update_change_feed_and_stream(spark, table):
+    """CDF on a dv-update window = updated rows + survivors of the
+    touched files; the stream's ignore_changes emits ONLY the new
+    updated-row files (the vectored re-adds carry no new rows)."""
+    lo = T.snapshot(table)["version"]
+    v = T.update_where(spark, table, "id < 2", {"id": "id + 50"},
+                       mode="dv", checkpoint_every=0)
+    feed = T.read_changes(spark, table, from_version=lo,
+                          to_version=v)
+    # touched file = slice 0 (ids 0,4,...36) and slice 1 (1,5,...37)
+    got = sorted(r.id for r in feed.collect())
+    touched_survivors = sorted(
+        i for i in range(40) if i % 4 in (0, 1) and i >= 2)
+    assert got == sorted(touched_survivors + [50, 51])
+    plan = T._plan_window(table, lo, v, ignore_changes=True)
+    assert len(plan) == 1
+    paths = [p for p, _b, _pt in plan[0][2]]
+    rows = spark.read.parquet(
+        *[f"{table}/{p}" for p in paths]).collect()
+    assert sorted(r.id for r in rows) == [50, 51]
+
+
 def test_dv_noop_and_mode_validation(spark, table):
     v = T.snapshot(table)["version"]
     assert T.delete_where(spark, table, "id > 10000",
