@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "txlog_update_scan",     # E22 predicate UPDATE+DELETE + read
     "txlog_partition_scan",  # E22 hive-partitioned append + pruned read
     "txlog_incremental_scan",  # E22 exactly-once incremental refresh
+    "txlog_dv_scan",         # E22 deletion-vector DML (all 3 verbs)
 ]
 
 

@@ -8,6 +8,8 @@ a Delta-style table, composed entirely from the txlog layer
   PARTITION-PRUNED READ  read_where("o_orderstatus = 'F' AND ...")
   UPDATE ... WHERE       update_where(cond, {col: expr})
   DELETE ... WHERE       delete_where(cond)
+  MERGE-ON-READ DML      delete_where/update_where(mode="dv")
+                         -> optimize(purge=True) materializes
   MERGE (composite key)  merge_upsert(updates, ["k1", "k2"])
   OPTIMIZE [ZORDER BY]   optimize() / optimize(zorder=[...])
   TIME TRAVEL            read(version=N) / read(as_of=unix_ts)
@@ -112,6 +114,23 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
     T.delete_where(spark, croot, "o_orderkey <= 300")
     assert T.read(spark, zroot).count() == n_src
 
+    # DELETION VECTORS (merge-on-read): mark rows deleted/updated
+    # in a positional sidecar instead of rewriting data files —
+    # here against files the clone still SHARES with its source
+    # (zero copies, the source never notices) — then OPTIMIZE
+    # purge=True materializes the vectors away
+    files_before = set(T.snapshot(croot)["files"])
+    T.delete_where(spark, croot, "o_orderkey % 7 = 0", mode="dv")
+    T.update_where(spark, croot, "o_totalprice > 300000",
+                   {"o_totalprice": "o_totalprice / 2"}, mode="dv")
+    assert files_before <= set(T.snapshot(croot)["files"])
+    dv_detail = T.describe(croot)
+    n_marked = T.read(spark, croot).count()
+    T.optimize(spark, croot, purge=True)
+    assert T.describe(croot)["num_dv_files"] == 0
+    assert T.read(spark, croot).count() == n_marked
+    assert T.read(spark, zroot).count() == n_src  # source untouched
+
     out = {"rows_created": n0, "rows_pruned_scan": n_pruned,
            "rows_at_create_ts": n_at_create,
            "rows_after_restore": n_restored,
@@ -122,7 +141,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
            "zorder_box_candidates": len(zcand),
            "incr_rows": T.read(spark, incr).count(),
            "vacuum_would_remove": len(would),
-           "clone_rows": T.read(spark, croot).count()}
+           "clone_rows": T.read(spark, croot).count(),
+           "dv_marked_rows": dv_detail["deleted_rows"],
+           "dv_files": dv_detail["num_dv_files"]}
     print(out)
     assert n_restored == n0 == n_at_create
     assert feed_ops == ["delete", "merge", "update"]

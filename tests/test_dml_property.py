@@ -60,3 +60,25 @@ def test_predicate_dml_equals_direct_transform(spark, tmp_path_factory,
                    {"f": "f + 1", "s": "concat(s, '!')"},
                    checkpoint_every=0)
     assert _rows(T.read(spark, uroot)) == want_upd, cond
+
+
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(cond=_predicate)
+def test_dv_dml_equals_rewrite_dml(spark, tmp_path_factory, cond):
+    """Merge-on-read (mode='dv') and copy-on-write (the default)
+    must be indistinguishable through read() for ANY generated
+    predicate — same NULL/NaN/string-edge data, same verbs, the
+    only difference the write strategy. Runs delete THEN update on
+    the same table so update vectors stack on delete vectors."""
+    base = tmp_path_factory.mktemp("dv_prop")
+    roots = {}
+    for m in ("rewrite", "dv"):
+        root = str(base / m)
+        _mk(spark, root)
+        T.delete_where(spark, root, cond, mode=m, checkpoint_every=0)
+        T.update_where(spark, root, "f >= 0 AND s > ''",
+                       {"f": "f + i", "s": "upper(s)"},
+                       mode=m, checkpoint_every=0)
+        roots[m] = _rows(T.read(spark, root))
+    assert roots["dv"] == roots["rewrite"], cond
