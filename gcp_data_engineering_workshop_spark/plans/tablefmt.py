@@ -166,6 +166,31 @@ def txlog_dv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderkey"))
 
 
+def txlog_cdf_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E22 ROW-LEVEL change feed under the oracle gate (new r11,
+    third stint): three versioned appends, then a dv-mode DELETE of
+    every 17th order and a dv-mode UPDATE doubling cheap orders —
+    read_changes_rows(from_version=0) must reconstruct the exact
+    Delta-CDF row set: every append row tagged insert, exactly the
+    deleted rows tagged delete, and the update's old/new images as
+    update_preimage/update_postimage (possible because deletion
+    vectors are row tracking for the rows they cover). Equals a
+    four-branch UNION ALL over the source."""
+    root = tempfile.mkdtemp(prefix="txlog_cdfr_") + "/t"
+    orders = _orders(spark, sf_dir)
+    for b in range(3):
+        T.append(orders.where(F.col("o_orderkey") % 3 == b),
+                 root, checkpoint_every=0)
+    T.delete_where(spark, root, "o_orderkey % 17 = 0", mode="dv",
+                   checkpoint_every=0)
+    T.update_where(spark, root, "o_totalprice < 1500",
+                   {"o_totalprice": "o_totalprice * 2"},
+                   mode="dv", checkpoint_every=0)
+    return (T.read_changes_rows(spark, root, from_version=0)
+            .orderBy("o_orderkey", "_commit_version",
+                     "_change_type"))
+
+
 def txlog_update_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E22 predicate DML under the oracle gate (new r11): orders
     lands as four range-interleaved commits, then
@@ -327,6 +352,29 @@ WHERE o_orderkey % 13 <> 0
   AND o_orderkey % 41 <> 0
   AND o_orderkey > 100
 ORDER BY o_orderkey
+"""
+
+TXLOG_CDF_ROWS_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderpriority,
+       CAST((o_orderkey % 3) + 1 AS INTEGER) AS _commit_version,
+       'append' AS _commit_op, 'insert' AS _change_type
+FROM orders
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderpriority, 4, 'delete', 'delete'
+FROM orders WHERE o_orderkey % 17 = 0
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderpriority, 5, 'update', 'update_preimage'
+FROM orders
+WHERE o_orderkey % 17 <> 0 AND o_totalprice < 1500
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2,
+       o_orderpriority, 5, 'update', 'update_postimage'
+FROM orders
+WHERE o_orderkey % 17 <> 0 AND o_totalprice < 1500
+ORDER BY o_orderkey, _commit_version, _change_type
 """
 
 TXLOG_UPDATE_SCAN_SQL = """

@@ -1119,8 +1119,9 @@ def merge_delete(spark, root: str, keys_df: DataFrame,
     standard CDF caveat stated honestly: a delete-merge's add files
     hold SURVIVORS only, so an apply-by-key consumer keeps the
     deleted keys' stale rows (row-level delete propagation needs
-    the row tracking this format doesn't carry; Delta's
-    ignore_changes has the same caveat).
+    row tracking; Delta's ignore_changes has the same caveat —
+    run the delete in mode="dv" and read_changes_rows() emits the
+    exact deleted rows instead).
 
     ``mode="dv"`` (r11): merge-on-read — matching rows' positions
     land in a deletion-vector sidecar and NO data file is
@@ -2245,8 +2246,11 @@ def read_changes(spark, root: str, from_version: int | None = None,
       apply-by-key consumers get exact state.
     - delete (r11): the add files hold SURVIVORS only (the deleted
       keys simply stop appearing) — same caveat merge_delete's
-      op="merge" commits carry; row-level delete tombstones would
-      need row tracking this format doesn't have.
+      op="merge" commits carry. Row-level delete tombstones need
+      row tracking — which dv-mode DML provides: for windows of
+      appends + deletion-vector commits, read_changes_rows()
+      emits the exact deleted/updated rows with Delta-CDF
+      _change_type tags.
     - optimize: EXCLUDED by default — a pure re-layout commits no
       data change, and replaying it would duplicate every row of
       the compacted files downstream.
@@ -2341,6 +2345,179 @@ def read_changes(spark, root: str, from_version: int | None = None,
                 .withColumn("_commit_version",
                             F.lit(None).cast("int"))
                 .withColumn("_commit_op",
+                            F.lit(None).cast("string")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _read_paths_at(spark, root: str, rels: list[str],
+                   schema_json: str | None,
+                   with_meta: bool = False) -> DataFrame:
+    """Read specific (possibly since-removed) files through an
+    explicit schema — the read_changes file-reader shape factored
+    for the row-level feed: hive-layout rel paths go through
+    basePath discovery, absolute paths are clone references, and
+    ``with_meta`` appends the (_DV_FILE, _DV_POS) provenance
+    columns the vector joins key on."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    rdr = spark.read
+    partitioned = any("/" in p and not os.path.isabs(p)
+                      for p in rels)
+    if partitioned:
+        rdr = rdr.option("basePath", root)
+    paths = [os.path.join(root, p) for p in rels]
+    if schema_json:
+        st = StructType.fromJson(json.loads(schema_json))
+        out = rdr.schema(st).parquet(*paths)
+        cols = [f.name for f in st.fields]
+    else:
+        out = rdr.parquet(*paths)
+        cols = list(out.columns)
+    if with_meta:
+        out = out.select(
+            *cols,
+            F.col("_metadata.file_name").alias(_DV_FILE),
+            F.col("_metadata.row_index").alias(_DV_POS))
+    elif partitioned and schema_json:
+        out = out.select(*cols)
+    return out
+
+
+def read_changes_rows(spark, root: str,
+                      from_version: int | None = None,
+                      to_version: int | None = None,
+                      from_ts: float | None = None,
+                      to_ts: float | None = None) -> DataFrame:
+    """ROW-LEVEL change feed (r11 third stint) — the Delta CDF
+    `_change_type` contract, reconstructable because deletion
+    vectors ARE row tracking for the rows they cover. For versions
+    (from, to], emits one row per actual row-level change, tagged
+    `_change_type` (plus the usual _commit_version/_commit_op):
+
+    - append / stream-append / clone: every added row, "insert".
+    - dv-mode DELETE / MERGE-DELETE: exactly THIS commit's deleted
+      rows, "delete" — the commit's cumulative vector minus the
+      previous version's (a strict superset by construction), plus
+      every live row of files the commit dropped outright. No
+      survivors are re-emitted — this is the row-level exactness
+      the file-level read_changes() documents as out of reach for
+      rewrite commits.
+    - dv-mode UPDATE: the old images of updated rows
+      ("update_preimage", from the newly vectored positions) and
+      the new images ("update_postimage", the commit's fresh
+      vector-free files).
+    - optimize / constraint commits: nothing (dataChange=false).
+    - rewrite-mode merge/update/delete, overwrite, restore: RAISE —
+      a rewrite mixes changed and carried rows indistinguishably,
+      so row-level typing would be a guess; use the file-level
+      read_changes() (documented survivors contracts) or run DML
+      in mode="dv".
+
+    Rows surface in the schema AS OF the window end, like
+    read_changes. Cost: O(window) log reads + one scan of each dv
+    commit's touched files and each append's add files."""
+    from pyspark.sql import functions as F
+
+    if from_ts is not None:
+        if from_version is not None:
+            raise ValueError("pass from_version OR from_ts, not both")
+        from_version = version_at(root, from_ts)
+    if from_version is None:
+        raise ValueError(
+            "read_changes_rows needs from_version or from_ts")
+    if to_ts is not None:
+        if to_version is not None:
+            raise ValueError("pass to_version OR to_ts, not both")
+        to_version = version_at(root, to_ts)
+    versions = [v for v in _list_versions(root)
+                if v > from_version
+                and (to_version is None or v <= to_version)]
+    end_schema = snapshot(root, to_version).get("schema")
+
+    def _tag(df, v, op, ct):
+        return (df.withColumn("_commit_version", F.lit(v))
+                .withColumn("_commit_op", F.lit(op))
+                .withColumn("_change_type", F.lit(ct)))
+
+    parts = []
+    for v in versions:
+        e = json.load(open(_version_file(root, v)))
+        op = e["op"]
+        if op == "optimize":
+            continue  # dataChange=false
+        adds = [a["add"] for a in e["actions"] if "add" in a]
+        removes = [a["remove"]["path"] for a in e["actions"]
+                   if "remove" in a]
+        if op in ("append", "stream-append", "clone"):
+            if adds:
+                parts.append(_tag(_read_paths_at(
+                    spark, root, [a["path"] for a in adds],
+                    end_schema), v, op, "insert"))
+            continue
+        if e.get("mode") != "dv":
+            if not adds and not removes:
+                continue  # fileless (constraints etc.)
+            raise ValueError(
+                f"read_changes_rows: version {v} is a {op} commit "
+                f"without deletion vectors; row-level change typing "
+                f"is only exact for dv-mode DML — use read_changes "
+                f"for the file-level feed")
+        # dv commit: vectored re-adds + (update only) fresh files
+        prev = snapshot(root, v - 1)
+        pre_ct = ("update_preimage" if op == "update" else "delete")
+        dv_adds = {a["path"]: a for a in adds if "dv" in a}
+        fresh = [a["path"] for a in adds if "dv" not in a]
+        if dv_adds:
+            new_refs = {os.path.basename(p): a["dv"]
+                        for p, a in dv_adds.items()}
+            newly = _dv_table(spark, root, new_refs, for_join=False)
+            prev_refs = _dv_refs(prev["files"], list(dv_adds))
+            if prev_refs:
+                pd = _dv_table(spark, root, prev_refs,
+                               for_join=False)
+                newly = newly.join(
+                    pd, (newly["file"] == pd["file"])
+                    & (newly["pos"] == pd["pos"]), "left_anti")
+            rows = _read_paths_at(spark, root, sorted(dv_adds),
+                                  end_schema, with_meta=True)
+            nw = newly
+            if sum(r.get("deleted", 0) for r in new_refs.values()) \
+                    <= _DV_BROADCAST_BOUND:
+                nw = F.broadcast(newly)
+            rows = (rows.join(nw, (rows[_DV_FILE] == nw["file"])
+                              & (rows[_DV_POS] == nw["pos"]),
+                              "left_semi")
+                    .drop(_DV_FILE, _DV_POS))
+            parts.append(_tag(rows, v, op, pre_ct))
+        dropped = [p for p in removes if p not in dv_adds]
+        if dropped:
+            # files the commit removed outright: every LIVE row (as
+            # of v-1) was deleted/updated this commit
+            rows = _read_paths_at(spark, root, sorted(dropped),
+                                  end_schema, with_meta=True)
+            prev_refs = _dv_refs(prev["files"], dropped)
+            if prev_refs:
+                pd = _dv_table(spark, root, prev_refs)
+                rows = rows.join(
+                    pd, (rows[_DV_FILE] == pd["file"])
+                    & (rows[_DV_POS] == pd["pos"]), "left_anti")
+            parts.append(_tag(rows.drop(_DV_FILE, _DV_POS),
+                              v, op, pre_ct))
+        if fresh:
+            parts.append(_tag(_read_paths_at(
+                spark, root, sorted(fresh), end_schema),
+                v, op, "update_postimage"))
+    if not parts:
+        return (read(spark, root)
+                .limit(0)
+                .withColumn("_commit_version",
+                            F.lit(None).cast("int"))
+                .withColumn("_commit_op", F.lit(None).cast("string"))
+                .withColumn("_change_type",
                             F.lit(None).cast("string")))
     out = parts[0]
     for p in parts[1:]:

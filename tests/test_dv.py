@@ -374,6 +374,65 @@ def test_dv_update_change_feed_and_stream(spark, table):
     assert sorted(r.id for r in rows) == [50, 51]
 
 
+def test_cdf_rows_insert_delete(spark, table):
+    """read_changes_rows: appends type as insert; a dv delete emits
+    EXACTLY this commit's deleted rows (no survivors) — including a
+    second delete, whose rows are the cumulative-minus-previous
+    vector diff, and a fully-dropped file's remaining live rows."""
+    v0 = T.snapshot(table)["version"]
+    T.delete_where(spark, table, "id < 6", mode="dv",
+                   checkpoint_every=0)
+    T.delete_where(spark, table, "id % 4 = 2", mode="dv",
+                   checkpoint_every=0)  # drops slice-2's file fully
+    feed = T.read_changes_rows(spark, table, from_version=0)
+    rows = [(r.id, r._commit_version, r._change_type)
+            for r in feed.collect()]
+    ins = sorted(i for i, _v, t in rows if t == "insert")
+    assert ins == list(range(40))
+    d1 = sorted(i for i, v, t in rows
+                if t == "delete" and v == v0 + 1)
+    assert d1 == [0, 1, 2, 3, 4, 5]
+    d2 = sorted(i for i, v, t in rows
+                if t == "delete" and v == v0 + 2)
+    assert d2 == [i for i in range(6, 40) if i % 4 == 2]
+    # applying the feed reproduces the table exactly
+    state = set(ins) - set(d1) - set(d2)
+    assert sorted(state) == _ids(T.read(spark, table))
+
+
+def test_cdf_rows_update_images(spark, table):
+    v0 = T.snapshot(table)["version"]
+    T.update_where(spark, table, "id < 3", {"id": "id + 100"},
+                   mode="dv", checkpoint_every=0)
+    feed = T.read_changes_rows(spark, table, from_version=v0)
+    rows = [(r.id, r._change_type) for r in feed.collect()]
+    assert sorted(i for i, t in rows if t == "update_preimage") \
+        == [0, 1, 2]
+    assert sorted(i for i, t in rows if t == "update_postimage") \
+        == [100, 101, 102]
+    assert not [i for i, t in rows if t == "delete"]
+
+
+def test_cdf_rows_merge_delete_and_refusals(spark, table):
+    v0 = T.snapshot(table)["version"]
+    keys = spark.createDataFrame([(8,), (9,)], "id bigint")
+    T.merge_delete(spark, table, keys, "id", mode="dv",
+                   checkpoint_every=0)
+    feed = T.read_changes_rows(spark, table, from_version=v0)
+    assert sorted((r.id, r._change_type) for r in feed.collect()) \
+        == [(8, "delete"), (9, "delete")]
+    # a rewrite-mode commit in the window refuses with a clear error
+    T.delete_where(spark, table, "id = 10", checkpoint_every=0)
+    with pytest.raises(ValueError, match="row-level"):
+        T.read_changes_rows(spark, table,
+                            from_version=v0).collect()
+    # optimize commits stay invisible (dataChange=false)
+    T.optimize(spark, table, checkpoint_every=0)
+    v = T.snapshot(table)["version"]
+    assert T.read_changes_rows(spark, table,
+                               from_version=v - 1).count() == 0
+
+
 def test_dv_noop_and_mode_validation(spark, table):
     v = T.snapshot(table)["version"]
     assert T.delete_where(spark, table, "id > 10000",

@@ -43,7 +43,7 @@ ROWS_ONLY = {
 R11_WINDOW_PRIORITY = {
     "txlog_range_scan", "txlog_change_feed", "txlog_merge_scan",
     "txlog_delete_scan", "txlog_update_scan", "txlog_partition_scan",
-    "txlog_incremental_scan", "txlog_dv_scan",
+    "txlog_incremental_scan", "txlog_dv_scan", "txlog_cdf_rows",
     "temperature_sample", "mixture_schedule", "gopher_repetition",
     "pack_sequences", "assign_ids", "heavy_hitters_stream_scale",
     "embedding_neardup_lsh", "embedding_neardup_blocked",
@@ -87,10 +87,10 @@ def test_driver_window_boundary_position():
     the first 50."""
     m = _entry_module()
     keys = list(m.queries())
-    assert keys.index("dedup_keep_best") == 49, (
+    assert keys.index("decontaminate_spans") == 49, (
         "the '==== WINDOW BOUNDARY (50)' comment in __spark_entry__ "
-        "no longer matches the dict: dedup_keep_best is at "
-        f"index {keys.index('dedup_keep_best')}")
+        "no longer matches the dict: decontaminate_spans is at "
+        f"index {keys.index('decontaminate_spans')}")
     window = set(keys[:50])
     assert R11_WINDOW_PRIORITY <= window, R11_WINDOW_PRIORITY - window
 
