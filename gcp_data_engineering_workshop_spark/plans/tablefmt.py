@@ -191,6 +191,39 @@ def txlog_cdf_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "_change_type"))
 
 
+def txlog_replica_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E22 CDF-driven replication under the oracle gate (new r11,
+    third stint): orders lands in a SOURCE table, and
+    replicate_incremental maintains an exact replica through the
+    row-level feed — run TWICE so the second window starts at the
+    replica's txn watermark: first after two appends, then after a
+    third append plus a dv-mode DELETE (every 19th order) and a
+    dv-mode UPDATE (double cheap orders). Reading the REPLICA back
+    must equal CASE-WHEN + NOT-filter SQL over the source — the
+    destination never saw the source's files, only typed change
+    rows applied as merges."""
+    src = tempfile.mkdtemp(prefix="txlog_repl_") + "/src"
+    dst = tempfile.mkdtemp(prefix="txlog_repl_") + "/dst"
+    orders = _orders(spark, sf_dir)
+    for b in range(2):
+        T.append(orders.where(F.col("o_orderkey") % 3 == b),
+                 src, checkpoint_every=0)
+    T.replicate_incremental(spark, src, dst, "o_orderkey",
+                            checkpoint_every=0)
+    T.append(orders.where(F.col("o_orderkey") % 3 == 2),
+             src, checkpoint_every=0)
+    T.delete_where(spark, src, "o_orderkey % 19 = 0", mode="dv",
+                   checkpoint_every=0)
+    T.update_where(spark, src, "o_totalprice < 1200",
+                   {"o_totalprice": "o_totalprice * 2"},
+                   mode="dv", checkpoint_every=0)
+    T.replicate_incremental(spark, src, dst, "o_orderkey",
+                            checkpoint_every=0)
+    assert T.replicate_incremental(spark, src, dst, "o_orderkey",
+                                   checkpoint_every=0) is None
+    return T.read(spark, dst).orderBy("o_orderkey")
+
+
 def txlog_update_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E22 predicate DML under the oracle gate (new r11): orders
     lands as four range-interleaved commits, then
@@ -375,6 +408,16 @@ SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2,
 FROM orders
 WHERE o_orderkey % 17 <> 0 AND o_totalprice < 1500
 ORDER BY o_orderkey, _commit_version, _change_type
+"""
+
+TXLOG_REPLICA_SCAN_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_totalprice < 1200 THEN o_totalprice * 2
+            ELSE o_totalprice END AS o_totalprice,
+       o_orderpriority
+FROM orders
+WHERE o_orderkey % 19 <> 0
+ORDER BY o_orderkey
 """
 
 TXLOG_UPDATE_SCAN_SQL = """

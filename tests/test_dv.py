@@ -433,6 +433,55 @@ def test_cdf_rows_merge_delete_and_refusals(spark, table):
                                from_version=v - 1).count() == 0
 
 
+def _rows(spark, root):
+    from gcp_data_engineering_workshop_spark.sources import txlog
+    return sorted(tuple(r) for r in txlog.read(spark, root).collect())
+
+
+def test_replicate_incremental_exact_copy(spark, tmp_path):
+    """replicate_incremental maintains dst == src through appends
+    and all three dv-mode DML verbs, exactly-once across calls."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.range(30).select(
+        "id", (F.col("id") * 3).alias("v"))
+    T.append(df.where("id < 15"), src, checkpoint_every=0)
+    T.append(df.where("id >= 15"), src, checkpoint_every=0)
+    T.delete_where(spark, src, "id % 5 = 0", mode="dv",
+                   checkpoint_every=0)
+    assert T.replicate_incremental(spark, src, dst, "id",
+                                   checkpoint_every=0) is not None
+    assert _rows(spark, dst) == _rows(spark, src)
+    # nothing new -> no-op
+    assert T.replicate_incremental(spark, src, dst, "id",
+                                   checkpoint_every=0) is None
+    # more source history: update + by-key delete + append
+    T.update_where(spark, src, "id < 8", {"v": "v + 1"}, mode="dv",
+                   checkpoint_every=0)
+    T.merge_delete(spark, src,
+                   spark.createDataFrame([(11,)], "id bigint"),
+                   "id", mode="dv", checkpoint_every=0)
+    T.append(spark.range(100, 103).select(
+        "id", (F.col("id") * 3).alias("v")), src, checkpoint_every=0)
+    T.replicate_incremental(spark, src, dst, "id",
+                            checkpoint_every=0)
+    assert _rows(spark, dst) == _rows(spark, src)
+
+
+def test_replicate_handles_key_moving_update(spark, tmp_path):
+    """An update that MOVES the key column deletes the old key on
+    the replica instead of leaving a stale twin."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    T.append(spark.range(10), src, checkpoint_every=0)
+    T.replicate_incremental(spark, src, dst, "id",
+                            checkpoint_every=0)
+    T.update_where(spark, src, "id = 4", {"id": "id + 500"},
+                   mode="dv", checkpoint_every=0)
+    T.replicate_incremental(spark, src, dst, "id",
+                            checkpoint_every=0)
+    assert _rows(spark, dst) == _rows(spark, src)
+    assert 4 not in _ids(T.read(spark, dst))
+
+
 def test_dv_noop_and_mode_validation(spark, table):
     v = T.snapshot(table)["version"]
     assert T.delete_where(spark, table, "id > 10000",
