@@ -36,7 +36,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING POLICY: the driver records correctness rows for the
     FIRST 50 entries only (tests/test_entry_contract.py asserts the
     boundary position). Entries rotate per round. The r11 window:
-    (0) the TEN txlog-format keys — the format changed this round
+    (0) the ELEVEN txlog-format keys — the format changed this round
     (composite MERGE keys, MERGE-DELETE with the NEW
     txlog_delete_scan oracle key, schema-projected file reads,
     zero-row-part staging guard; mid-round: predicate DML with the
@@ -44,9 +44,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     txlog_partition_scan key, and batch-incremental refresh with
     the NEW txlog_incremental_scan key; third stint: DELETION
     VECTORS — merge-on-read DML — with the NEW txlog_dv_scan key,
-    ROW-LEVEL CDF with the NEW txlog_cdf_rows key, and CDF-driven
-    replication with the NEW txlog_replica_scan key), so all ten
-    evidence on the new code; (1) the eight keys VERDICT r10 names as stranded at
+    ROW-LEVEL CDF with the NEW txlog_cdf_rows key, CDF-driven
+    replication with the NEW txlog_replica_scan key, and COLUMN
+    MAPPING — rename/drop without rewrite — with the NEW
+    txlog_rename_scan key), so all eleven evidence on the new
+    code; (1) the eight keys VERDICT r10 names as stranded at
     r4 driver evidence (temperature_sample, mixture_schedule,
     gopher_repetition, pack_sequences, assign_ids,
     heavy_hitters_stream_scale, embedding_neardup_lsh,
@@ -69,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txlog_dv_scan": _tf.txlog_dv_scan,
         "txlog_cdf_rows": _tf.txlog_cdf_rows,
         "txlog_replica_scan": _tf.txlog_replica_scan,
+        "txlog_rename_scan": _tf.txlog_rename_scan,
         "txlog_delete_scan": _tf.txlog_delete_scan,
         "txlog_update_scan": _tf.txlog_update_scan,
         "txlog_partition_scan": _tf.txlog_partition_scan,
@@ -119,8 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_corpus": _tp.shuffle_corpus,
         "winnow_fingerprints": _tp.winnow_fingerprints,
         "longest_dup_span": _tp.longest_dup_span,
-        "quality_attributes": _tp.quality_attributes,
-        # ==== WINDOW BOUNDARY (50): quality_attributes is entry 50;
+        # ==== WINDOW BOUNDARY (50): longest_dup_span is entry 50;
         #      the driver records rows for nothing below this line.
         #      tests/test_entry_contract.py asserts this position.
         #      txlog_update_scan + txlog_partition_scan +
@@ -130,17 +132,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      semdedup_keep_central and kneser_ney_score to the
         #      tail, and the third stint's txlog_dv_scan (deletion
         #      vectors) + txlog_cdf_rows (row-level CDF) +
-        #      txlog_replica_scan (CDF-driven replication) displaced
-        #      pagerank_knn, dedup_keep_best and decontaminate_spans
-        #      — a NEW key's first evidence outranks refreshing one
-        #      more r7 key; the six join event_transitions as r12
-        #      rotation heads ====
+        #      txlog_replica_scan (CDF-driven replication) +
+        #      txlog_rename_scan (column mapping) displaced
+        #      pagerank_knn, dedup_keep_best, decontaminate_spans
+        #      and quality_attributes — a NEW key's first evidence
+        #      outranks refreshing one more r7 key; the seven join
+        #      event_transitions as r12 rotation heads ====
         # -- tail: r9/r10-evidenced keys rotate out (their rows
         #    stand), plus the declared rows-only set;
         #    event_transitions + pagerank_knn + dedup_keep_best +
-        #    decontaminate_spans + containment_pairs +
-        #    semdedup_keep_central + kneser_ney_score lead the r12
-        #    rotation --
+        #    decontaminate_spans + quality_attributes +
+        #    containment_pairs + semdedup_keep_central +
+        #    kneser_ney_score lead the r12 rotation --
+        "quality_attributes": _tp.quality_attributes,
         "decontaminate_spans": _tp.decontaminate_spans,
         "dedup_keep_best": _tp.dedup_keep_best,
         "pagerank_knn": _tp.pagerank_knn,
@@ -272,6 +276,7 @@ def oracle_sql() -> dict[str, str]:
         "txlog_dv_scan": _tf.TXLOG_DV_SCAN_SQL,
         "txlog_cdf_rows": _tf.TXLOG_CDF_ROWS_SQL,
         "txlog_replica_scan": _tf.TXLOG_REPLICA_SCAN_SQL,
+        "txlog_rename_scan": _tf.TXLOG_RENAME_SCAN_SQL,
         "txlog_delete_scan": _tf.TXLOG_DELETE_SCAN_SQL,
         "txlog_update_scan": _tf.TXLOG_UPDATE_SCAN_SQL,
         "txlog_partition_scan": _tf.TXLOG_PARTITION_SCAN_SQL,

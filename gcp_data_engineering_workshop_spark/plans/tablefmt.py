@@ -224,6 +224,38 @@ def txlog_replica_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.read(spark, dst).orderBy("o_orderkey")
 
 
+def txlog_rename_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E22 COLUMN MAPPING under the oracle gate (new r11, third
+    stint): orders lands, o_totalprice RENAMES to price and
+    o_orderpriority DROPS — both single metadata commits, zero
+    bytes rewritten (asserted on the live file set) — then an
+    append arrives under the NEW logical schema (written physically
+    under the original name), predicate UPDATE and DELETE run
+    against the renamed column (stat pruning translates
+    logical->physical), and read_where scans with a residual bound
+    on it. Equals CASE-WHEN + NOT-filter SQL with the rename as a
+    projection alias."""
+    root = tempfile.mkdtemp(prefix="txlog_ren_") + "/t"
+    orders = _orders(spark, sf_dir)
+    T.append(orders.where(F.col("o_orderkey") % 2 == 0), root,
+             checkpoint_every=0)
+    files0 = set(T.snapshot(root)["files"])
+    T.rename_column(root, "o_totalprice", "price",
+                    checkpoint_every=0)
+    T.drop_column(root, "o_orderpriority", checkpoint_every=0)
+    assert set(T.snapshot(root)["files"]) == files0, \
+        "rename/drop must not touch any data file"
+    T.append(orders.where(F.col("o_orderkey") % 2 == 1)
+             .withColumnRenamed("o_totalprice", "price")
+             .drop("o_orderpriority"), root, checkpoint_every=0)
+    T.update_where(spark, root, "price < 1000",
+                   {"price": "price * 2"}, checkpoint_every=0)
+    T.delete_where(spark, root, "o_orderkey % 23 = 0",
+                   checkpoint_every=0)
+    return (T.read_where(spark, root, "price >= 500")
+            .orderBy("o_orderkey"))
+
+
 def txlog_update_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E22 predicate DML under the oracle gate (new r11): orders
     lands as four range-interleaved commits, then
@@ -417,6 +449,20 @@ SELECT o_orderkey, o_custkey, o_orderstatus,
        o_orderpriority
 FROM orders
 WHERE o_orderkey % 19 <> 0
+ORDER BY o_orderkey
+"""
+
+TXLOG_RENAME_SCAN_SQL = """
+WITH renamed AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_totalprice < 1000 THEN o_totalprice * 2
+              ELSE o_totalprice END AS price
+  FROM orders
+  WHERE o_orderkey % 23 <> 0
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, price
+FROM renamed
+WHERE price >= 500
 ORDER BY o_orderkey
 """
 

@@ -213,6 +213,11 @@ def snapshot(root: str, version: int | None = None) -> dict:
         schema = cp.get("schema")
         part_by = list(cp.get("partition_by", []))
         constraints = dict(cp.get("constraints", {}))
+    colmap: dict[str, str] = {}
+    phys_dropped: list[str] = []
+    if cps:
+        colmap = dict(cp.get("colmap", {}))
+        phys_dropped = list(cp.get("phys_dropped", []))
     for v in versions:
         if v <= start or v > version:
             continue
@@ -229,12 +234,17 @@ def snapshot(root: str, version: int | None = None) -> dict:
             schema = entry["schema"]
         if "partition_by" in entry:
             part_by = list(entry["partition_by"])
+        if "colmap" in entry:
+            colmap = dict(entry["colmap"])
+        if "phys_dropped" in entry:
+            phys_dropped = list(entry["phys_dropped"])
         if entry["op"] == "set-constraint":
             constraints[entry["name"]] = entry["expr"]
         elif entry["op"] == "drop-constraint":
             constraints.pop(entry["name"], None)
     return {"version": version, "files": live, "txn": txn,
             "schema": schema, "partition_by": part_by,
+            "colmap": colmap, "phys_dropped": phys_dropped,
             "constraints": constraints}
 
 
@@ -283,6 +293,7 @@ def describe(root: str, version: int | None = None) -> dict:
                                 if "dv" in m),
             "partition_by": snap.get("partition_by", []),
             "schema_ddl": ddl,
+            "colmap": dict(snap.get("colmap", {})),
             "constraints": dict(snap.get("constraints", {})),
             "txn": dict(snap.get("txn", {}))}
 
@@ -301,6 +312,7 @@ def history(root: str) -> list[dict]:
                "n_remove": sum(1 for a in e["actions"]
                                if "remove" in a)}
         for k in ("predicate", "set", "matched", "mode",
+                  "old", "new", "name",
                   "restored_version", "app_id", "batch_id"):
             if k in e:
                 row[k] = e[k]
@@ -417,7 +429,8 @@ def _parse_partition_dirs(rel_dir: str,
 
 
 def _stage_write(df: DataFrame, root: str,
-                 partition_by: list[str] | None = None) -> list[dict]:
+                 partition_by: list[str] | None = None,
+                 colmap: dict | None = None) -> list[dict]:
     """Distributed parquet write into a staging dir, then move each
     part under the table root with a unique name. Returns add-action
     metadata (path, bytes, footer min/max stats). Files are
@@ -430,9 +443,24 @@ def _stage_write(df: DataFrame, root: str,
     EXACT per-file pruning metadata (a partition value is a [v, v]
     stat) the same consumers use alongside footer ranges. Partition
     columns live in directory names, not in the files, so reads go
-    through basePath partition discovery (see _read_files)."""
+    through basePath partition discovery (see _read_files).
+
+    With a ``colmap`` (column mapping, r11 third stint) the data
+    lands under PHYSICAL column names: `df` arrives with logical
+    names and is projected logical->physical before the write, so
+    footer stats, null counts and partition directory tokens are
+    all physically keyed — one naming domain on disk, forever (a
+    physical name never changes after a file is written; renames
+    touch only the logical side)."""
     import pyarrow.parquet as pq
 
+    from pyspark.sql import functions as F
+
+    if colmap and any(colmap.get(c, c) != c for c in df.columns):
+        df = df.select(*[F.col(c).alias(colmap.get(c, c))
+                         for c in df.columns])
+        partition_by = [colmap.get(c, c)
+                        for c in (partition_by or [])] or None
     stage = os.path.join(root, f"_stage-{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
     if partition_by:
@@ -504,6 +532,8 @@ def _maybe_checkpoint(root: str, version: int,
                        "txn": snap["txn"],
                        "schema": snap.get("schema"),
                        "partition_by": snap.get("partition_by", []),
+                       "colmap": snap.get("colmap", {}),
+                       "phys_dropped": snap.get("phys_dropped", []),
                        "constraints": snap.get("constraints", {})},
                       fh)
         os.replace(tmp, path)
@@ -573,6 +603,158 @@ def drop_constraint(root: str, name: str, max_retries: int = 20,
                          f"{max_retries} times under {root}")
 
 
+def _evolved_colmap(snap: dict, rec_json: str | None) -> dict | None:
+    """Column-mapping entries for the columns an evolution commit
+    ADDS (r11 third stint). Returns the full new logical->physical
+    map when the mapping must change — a new logical name that
+    collides with a physical name ever used (a renamed column's
+    original name, a dropped column's on-disk data) gets a fresh
+    uuid-suffixed physical name, so old bytes can never resurrect
+    under the new column — or None when the existing mapping
+    (possibly identity) already covers the evolved schema."""
+    if rec_json is None:
+        return None
+    from pyspark.sql.types import StructType
+
+    cur = dict(snap.get("colmap") or {})
+    old_fields: set[str] = set()
+    if snap.get("schema"):
+        old_fields = {f.name for f in StructType.fromJson(
+            json.loads(snap["schema"])).fields}
+    new_fields = [f.name for f in StructType.fromJson(
+        json.loads(rec_json)).fields]
+    used = (set(cur.values()) | set(snap.get("phys_dropped", []))
+            | {cur.get(n, n) for n in old_fields})
+    out = dict(cur)
+    changed = False
+    for n in new_fields:
+        if n in old_fields or n in out:
+            continue
+        phys = n
+        if phys in used:
+            phys = f"{n}_{uuid.uuid4().hex[:8]}"
+        if phys != n:
+            out[n] = phys
+            changed = True
+        used.add(phys)
+    return out if changed else None
+
+
+def rename_column(root: str, old: str, new: str,
+                  max_retries: int = 5,
+                  checkpoint_every: int = 10) -> int:
+    """RENAME COLUMN as ONE metadata commit — zero bytes rewritten
+    (Delta column mapping, name mode, from the public description):
+    on-disk files keep their PHYSICAL column names forever; the
+    commit re-points the logical schema and records
+    {new logical: physical} in the table's column map, which every
+    read path (read/read_range/read_where/DML/merge/change feeds/
+    the parallel stream reader) translates through. Renaming a
+    column of a 100 TB table costs one JSON commit.
+
+    Refuses: unknown/duplicate names, PARTITION columns (the
+    directory layout is physical — re-partition with overwrite),
+    and columns referenced by a live CHECK constraint (drop the
+    constraint first; silently breaking its expression would be
+    worse). Time travel to a pre-rename version returns the old
+    name; RESTORE rolls the mapping back."""
+    from pyspark.sql.types import StructField, StructType
+
+    for _ in range(max_retries):
+        snap = snapshot(root)
+        if not snap.get("schema"):
+            raise ValueError(
+                f"rename_column: no recorded schema under {root}")
+        st = StructType.fromJson(json.loads(snap["schema"]))
+        names = [f.name for f in st.fields]
+        if old not in names:
+            raise ValueError(f"rename_column: no column {old!r} "
+                             f"(have {names})")
+        if new in names:
+            raise ValueError(f"rename_column: {new!r} already exists")
+        if old in (snap.get("partition_by") or []):
+            raise ValueError(
+                f"rename_column: {old!r} is a partition column — "
+                f"the directory layout is physical; re-partition "
+                f"with overwrite")
+        for cname, expr in (snap.get("constraints") or {}).items():
+            if re.search(rf"\b{re.escape(old)}\b", expr):
+                raise ValueError(
+                    f"rename_column: constraint {cname!r} "
+                    f"references {old!r}; drop it first")
+        cmap = dict(snap.get("colmap") or {})
+        cmap[new] = cmap.pop(old, old)
+        new_st = StructType(
+            [StructField(new if f.name == old else f.name,
+                         f.dataType, f.nullable) for f in st.fields])
+        entry = {"op": "rename-column", "ts": time.time(),
+                 "old": old, "new": new,
+                 "schema": new_st.json(), "colmap": cmap,
+                 "actions": []}
+        if snapshot(root)["version"] == snap["version"] and \
+                _try_commit(root, snap["version"] + 1, entry):
+            _maybe_checkpoint(root, snap["version"] + 1,
+                              checkpoint_every)
+            return snap["version"] + 1
+    raise CommitConflict(
+        f"rename_column lost the snapshot race under {root}")
+
+
+def drop_column(root: str, name: str, max_retries: int = 5,
+                checkpoint_every: int = 10) -> int:
+    """DROP COLUMN as ONE metadata commit — zero bytes rewritten:
+    the logical schema loses the field, the column's PHYSICAL name
+    is tombstoned in ``phys_dropped`` (so a later schema evolution
+    re-adding the same name maps to a FRESH physical and the old
+    bytes never resurrect), and readers simply stop projecting it.
+    The data remains on disk until the files are next rewritten
+    (merge/DML/OPTIMIZE) — the Delta column-mapping DROP contract.
+    Same refusals as rename: partition columns and
+    constraint-referenced columns."""
+    from pyspark.sql.types import StructType
+
+    for _ in range(max_retries):
+        snap = snapshot(root)
+        if not snap.get("schema"):
+            raise ValueError(
+                f"drop_column: no recorded schema under {root}")
+        st = StructType.fromJson(json.loads(snap["schema"]))
+        names = [f.name for f in st.fields]
+        if name not in names:
+            raise ValueError(f"drop_column: no column {name!r} "
+                             f"(have {names})")
+        if len(names) == 1:
+            raise ValueError("drop_column: cannot drop the last "
+                             "column")
+        if name in (snap.get("partition_by") or []):
+            raise ValueError(
+                f"drop_column: {name!r} is a partition column — "
+                f"re-partition with overwrite")
+        for cname, expr in (snap.get("constraints") or {}).items():
+            if re.search(rf"\b{re.escape(name)}\b", expr):
+                raise ValueError(
+                    f"drop_column: constraint {cname!r} references "
+                    f"{name!r}; drop it first")
+        cmap = dict(snap.get("colmap") or {})
+        phys = cmap.pop(name, name)
+        dropped = list(snap.get("phys_dropped", []))
+        if phys not in dropped:
+            dropped.append(phys)
+        new_st = StructType([f for f in st.fields
+                             if f.name != name])
+        entry = {"op": "drop-column", "ts": time.time(),
+                 "name": name, "schema": new_st.json(),
+                 "colmap": cmap, "phys_dropped": dropped,
+                 "actions": []}
+        if snapshot(root)["version"] == snap["version"] and \
+                _try_commit(root, snap["version"] + 1, entry):
+            _maybe_checkpoint(root, snap["version"] + 1,
+                              checkpoint_every)
+            return snap["version"] + 1
+    raise CommitConflict(
+        f"drop_column lost the snapshot race under {root}")
+
+
 def append(df: DataFrame, root: str, max_retries: int = 20,
            checkpoint_every: int = 10,
            merge_schema: bool = False,
@@ -613,11 +795,16 @@ def append(df: DataFrame, root: str, max_retries: int = 20,
         spec = recorded_pb
     rec = _schema_check(df, snap0.get("schema"), merge_schema)
     _check_constraints(df, snap0.get("constraints", {}))
-    adds = _stage_write(df, root, spec)
+    new_cmap = _evolved_colmap(snap0, rec)
+    eff_cmap = (new_cmap if new_cmap is not None
+                else snap0.get("colmap"))
+    adds = _stage_write(df, root, spec, eff_cmap)
     entry = {"op": "append", "ts": time.time(),
              "actions": [{"add": a} for a in adds]}
     if rec is not None:
         entry["schema"] = rec
+    if new_cmap is not None:
+        entry["colmap"] = new_cmap
     if creating and spec:
         entry["partition_by"] = spec
     for _ in range(max_retries):
@@ -675,7 +862,12 @@ def overwrite(df: DataFrame, root: str, expected_version: int | None = None,
                  # files behind the recorded schema); the partition
                  # spec resets the same way
                  "schema": _schema_check(df, None, False),
-                 "partition_by": spec}
+                 "partition_by": spec,
+                 # full-replace resets the column mapping the way
+                 # it resets the schema: the new files are written
+                 # logical==physical and the old (possibly mapped)
+                 # files are all removed in the same commit
+                 "colmap": {}, "phys_dropped": []}
         if _try_commit(root, snap["version"] + 1, entry):
             _maybe_checkpoint(root, snap["version"] + 1,
                               checkpoint_every)
@@ -948,30 +1140,43 @@ def _read_files(spark, root: str, snap: dict, paths: list[str],
     _DV_FILE/_DV_POS columns for callers that need provenance
     (hit-file scans, the dv writer itself)."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import StructType
+    from pyspark.sql.types import StructField, StructType
 
     refs = _dv_refs(snap["files"], paths)
     need_meta = bool(refs) or with_meta
+    cmap = snap.get("colmap") or {}
     rdr = spark.read
     if snap.get("partition_by"):
         rdr = rdr.option("basePath", root)
     abs_paths = [os.path.join(root, p) for p in paths]
     if snap.get("schema"):
-        st = StructType.fromJson(json.loads(snap["schema"]))
-        out = rdr.schema(st).parquet(*abs_paths)
-        cols = [f.name for f in st.fields]
+        lst = StructType.fromJson(json.loads(snap["schema"]))
+        # COLUMN MAPPING (r11 third stint): files hold PHYSICAL
+        # names; the snapshot's colmap translates to the logical
+        # schema the caller sees. Identity tables skip the alias.
+        pst = StructType(
+            [StructField(cmap.get(f.name, f.name), f.dataType,
+                         f.nullable) for f in lst.fields]) \
+            if cmap else lst
+        out = rdr.schema(pst).parquet(*abs_paths)
+        pairs = [(cmap.get(f.name, f.name), f.name)
+                 for f in lst.fields]
     else:
         out = rdr.parquet(*abs_paths)
-        cols = list(out.columns)
+        pairs = [(c, c) for c in out.columns]
+    mapped = any(p != n for p, n in pairs)
+    sel = [F.col(p).alias(n) if p != n else F.col(n)
+           for p, n in pairs]
     if need_meta:
         out = out.select(
-            *cols,
+            *sel,
             F.col("_metadata.file_name").alias(_DV_FILE),
             F.col("_metadata.row_index").alias(_DV_POS))
-    elif snap.get("partition_by") and snap.get("schema"):
+    elif mapped or (snap.get("partition_by")
+                    and snap.get("schema")):
         # recorded column order (discovery appends partition
-        # columns last)
-        out = out.select(*cols)
+        # columns last) and/or physical->logical projection
+        out = out.select(*sel)
     if refs:
         dv = _dv_table(spark, root, refs)
         out = out.join(
@@ -1082,12 +1287,17 @@ def merge_upsert(spark, root: str, updates: DataFrame,
                 snap, touched)
         else:
             merged = updates
-        adds = _stage_write(merged, root, snap.get("partition_by"))
+        new_cmap = _evolved_colmap(snap, rec)
+        adds = _stage_write(merged, root, snap.get("partition_by"),
+                            (new_cmap if new_cmap is not None
+                             else snap.get("colmap")))
         entry = {"op": "merge", "ts": time.time(),
                  "actions": ([{"remove": {"path": p}} for p in touched]
                              + [{"add": a} for a in adds])}
         if rec is not None:
             entry["schema"] = rec
+        if new_cmap is not None:
+            entry["colmap"] = new_cmap
         if snapshot(root)["version"] == snap["version"] and \
                 _try_commit(root, snap["version"] + 1, entry):
             _maybe_checkpoint(root, snap["version"] + 1, checkpoint_every)
@@ -1167,7 +1377,8 @@ def merge_delete(spark, root: str, keys_df: DataFrame,
                 _read_files(spark, root, snap, touched)
                 .join(probe, keys, "left_anti"), snap, touched)
             adds = _stage_write(survivors, root,
-                                snap.get("partition_by"))
+                                snap.get("partition_by"),
+                                snap.get("colmap"))
             actions = ([{"remove": {"path": p}} for p in touched]
                        + [{"add": a} for a in adds])
         entry = {"op": "merge", "ts": time.time(), "matched": "delete",
@@ -1357,34 +1568,53 @@ def _typed_partition_value(tok: str, type_str: str):
     return None
 
 
+def _inv_colmap(snap: dict) -> dict[str, str] | None:
+    """{physical: logical} when the snapshot carries a non-identity
+    column mapping, else None — the one translation the stat
+    consumers need: file-side metadata (footer stats, null counts,
+    partition tokens) is keyed PHYSICALLY, predicates and merge
+    keys arrive LOGICALLY."""
+    cmap = snap.get("colmap") or {}
+    return ({v: k for k, v in cmap.items()} if cmap else None)
+
+
 def _pruning_view(snap: dict) -> dict[str, dict]:
     """The live file dict with each file's stats replaced by its
-    EFFECTIVE stats (footer ranges + exact partition values) — what
-    the by-key pruning machinery should see on a partitioned table.
-    Unpartitioned tables pass through unchanged (zero copy)."""
-    if not snap.get("partition_by"):
+    EFFECTIVE stats (footer ranges + exact partition values,
+    re-keyed to LOGICAL column names under a column mapping) — what
+    the by-key pruning machinery should see. Plain unpartitioned
+    tables pass through unchanged (zero copy)."""
+    inv = _inv_colmap(snap)
+    if not snap.get("partition_by") and inv is None:
         return snap["files"]
     types = _schema_types(snap)
-    return {p: {**m, "stats": _effective_stats(m, types)}
+    return {p: {**m, "stats": _effective_stats(m, types, inv)}
             for p, m in snap["files"].items()}
 
 
-def _effective_stats(meta: dict, types: dict[str, str]) -> dict:
+def _effective_stats(meta: dict, types: dict[str, str],
+                     inv: dict | None = None) -> dict:
     """A file's pruning view: footer [min,max] ranges PLUS its
     partition values as exact [v, v] ranges (a partition value is
     the strongest possible stat — every row agrees). NULL partition
     values contribute nothing (no comparison selects NULL rows, but
-    a range test can't express that; conservative)."""
+    a range test can't express that; conservative). ``inv``
+    (physical -> logical) re-keys everything to the logical names
+    consumers test against on column-mapped tables."""
     part = meta.get("partition")
+    stats = meta.get("stats", {})
+    if inv:
+        stats = {inv.get(c, c): v for c, v in stats.items()}
     if not part:
-        return meta.get("stats", {})
-    eff = dict(meta.get("stats", {}))
+        return stats
+    eff = dict(stats)
     for c, tok in part.items():
-        if tok is None or c in eff:
+        lc = inv.get(c, c) if inv else c
+        if tok is None or lc in eff:
             continue
-        v = _typed_partition_value(tok, types.get(c, "string"))
+        v = _typed_partition_value(tok, types.get(lc, "string"))
         if v is not None:
-            eff[c] = [v, v]
+            eff[lc] = [v, v]
     return eff
 
 
@@ -1400,24 +1630,28 @@ def _files_possibly_matching(snap: dict,
     types = _schema_types(snap)
     float_cols = {c for c, t in types.items()
                   if t in ("float", "double")}
+    inv = _inv_colmap(snap)
+    cmap = snap.get("colmap") or {}
     keep = []
     for p, m in snap["files"].items():
-        stats = _effective_stats(m, types)
+        stats = _effective_stats(m, types, inv)
         excluded = False
         for col, op, lit in conjuncts:
+            pcol = cmap.get(col, col)  # physical key for raw
+            # file-side metadata (nulls / partition tokens)
             if op in ("isnull", "notnull"):
                 # NULL-count skipping (r11): a partition token is
                 # definitive for its column (None = every row NULL);
                 # otherwise the footer null counts decide. Absent
                 # stats survive, as always.
                 part = m.get("partition") or {}
-                if col in part:
-                    tok = part[col]
+                if pcol in part:
+                    tok = part[pcol]
                     if (tok is not None) == (op == "isnull"):
                         excluded = True
                         break
                     continue
-                nl = m.get("nulls", {}).get(col)
+                nl = m.get("nulls", {}).get(pcol)
                 if nl is None:
                     continue
                 n_null, n_rows = nl
@@ -1597,7 +1831,8 @@ def delete_where(spark, root: str, condition: str,
                 _read_files(spark, root, snap, touched)
                 .where(~cond | cond.isNull()), snap, touched)
             adds = _stage_write(survivors, root,
-                                snap.get("partition_by"))
+                                snap.get("partition_by"),
+                                snap.get("colmap"))
             actions = ([{"remove": {"path": p}} for p in touched]
                        + [{"add": a} for a in adds])
         entry = {"op": "delete", "ts": time.time(),
@@ -1714,7 +1949,8 @@ def update_where(spark, root: str, condition: str,
             updated = (updated.repartition(
                 n_out, *[F.col(c) for c in pb]) if pb
                 else updated.repartition(n_out))
-            adds = _stage_write(updated, root, pb)
+            adds = _stage_write(updated, root, pb,
+                                snap.get("colmap"))
             actions = (_dv_mark_actions(spark, root, snap, touched,
                                         matched, per_file)
                        + [{"add": a} for a in adds])
@@ -1725,7 +1961,8 @@ def update_where(spark, root: str, condition: str,
                                    snap["constraints"])
             out = _size_merge_output(rewritten.drop(flag), snap,
                                      touched)
-            adds = _stage_write(out, root, pb)
+            adds = _stage_write(out, root, pb,
+                                snap.get("colmap"))
             actions = ([{"remove": {"path": p}} for p in touched]
                        + [{"add": a} for a in adds])
         entry = {"op": "update", "ts": time.time(),
@@ -1879,7 +2116,8 @@ def optimize(spark, root: str, target_bytes: int = 128 * 1024 * 1024,
                 n_out, *[F.col(c) for c in snap["partition_by"]])
         else:
             df = df.repartition(n_out)
-        adds = _stage_write(df, root, snap.get("partition_by"))
+        adds = _stage_write(df, root, snap.get("partition_by"),
+                            snap.get("colmap"))
         entry = {"op": "optimize", "ts": time.time(),
                  "actions": ([{"remove": {"path": p}} for p in victims]
                              + [{"add": a} for a in adds])}
@@ -1946,6 +2184,10 @@ def clone(src_root: str, dst_root: str, version: int | None = None,
                  for p, m in sorted(src["files"].items())]}
     if src.get("schema"):
         entry["schema"] = src["schema"]
+    if src.get("colmap"):
+        entry["colmap"] = src["colmap"]
+    if src.get("phys_dropped"):
+        entry["phys_dropped"] = src["phys_dropped"]
     if not _try_commit(dst_root, 1, entry):
         raise CommitConflict(f"clone lost the race for {dst_root}")
     _maybe_checkpoint(dst_root, 1, checkpoint_every)
@@ -2108,7 +2350,8 @@ def stream_sink(root: str, app_id: str = "stream",
         rec = _schema_check(batch_df, snap0.get("schema"), False)
         _check_constraints(batch_df, snap0.get("constraints", {}))
         adds = _stage_write(batch_df, root,
-                            snap0.get("partition_by"))
+                            snap0.get("partition_by"),
+                            snap0.get("colmap"))
         entry = {"op": "stream-append", "ts": time.time(),
                  "app_id": app_id, "batch_id": batch_id,
                  "actions": [{"add": a} for a in adds]}
@@ -2285,6 +2528,11 @@ def restore(root: str, version: int | None = None,
                                 if snap["files"].get(p) != a])}
         if target.get("schema"):
             entry["schema"] = target["schema"]
+        # the COLUMN MAPPING rolls back with the schema (r11 third
+        # stint): a restore across a rename/drop must re-point the
+        # logical names at the same eternal physical columns
+        entry["colmap"] = target.get("colmap", {})
+        entry["phys_dropped"] = target.get("phys_dropped", [])
         # the PARTITION SPEC rolls back with the files (r11): a
         # restore past a re-partitioning overwrite re-points the
         # live set at old-layout files — leaving the head's spec in
@@ -2371,37 +2619,25 @@ def read_changes(spark, root: str, from_version: int | None = None,
     # the feed surfaces in ONE shape: the schema as of the window's
     # END — rows committed before an evolved column arrive with
     # NULL for it (the same projection read() applies), so the
-    # union below never sees ragged parts
-    end_schema = snapshot(root, to_version).get("schema")
+    # union below never sees ragged parts. Column-mapped tables
+    # read through the end snapshot's colmap the same way
+    # (physical names never change, so one map covers every age).
+    end_snap = snapshot(root, to_version)
+    end_schema = end_snap.get("schema")
+    end_colmap = end_snap.get("colmap") or {}
     parts = []
     for v in versions:
         e = json.load(open(_version_file(root, v)))
         if e["op"] not in include_ops:
             continue
         rels = [a["add"]["path"] for a in e["actions"] if "add" in a]
-        adds = [os.path.join(root, p) for p in rels]
-        if not adds:
+        if not rels:
             continue
-        rdr = spark.read
-        # RELATIVE paths with a dir component are exactly the hive
-        # partition layout; ABSOLUTE paths are shallow-clone
-        # references to another root (no partition dirs by
-        # construction — clone refuses partitioned sources)
-        partitioned = any("/" in p and not os.path.isabs(p)
-                          for p in rels)
-        if partitioned:
-            # hive-style partition dirs (exactly the partitioned
-            # staging layout): basePath discovery re-derives the
-            # partition columns; per-commit so a window spanning a
-            # re-partitioning overwrite reads each side correctly
-            rdr = rdr.option("basePath", root)
-        if end_schema:
-            st = StructType.fromJson(json.loads(end_schema))
-            part = rdr.schema(st).parquet(*adds)
-            if partitioned:
-                part = part.select(*[f.name for f in st.fields])
-        else:
-            part = rdr.parquet(*adds)
+        # _read_paths_at: hive rel paths go through basePath
+        # discovery, absolute paths are shallow-clone references,
+        # physical columns alias to the logical schema
+        part = _read_paths_at(spark, root, rels, end_schema,
+                              colmap=end_colmap)
         # merge-on-read delete (dv mode): the commit's add files are
         # the ORIGINAL bytes re-committed with a deletion-vector
         # ref — project through the commit's OWN vectors so the
@@ -2438,16 +2674,21 @@ def read_changes(spark, root: str, from_version: int | None = None,
 
 def _read_paths_at(spark, root: str, rels: list[str],
                    schema_json: str | None,
-                   with_meta: bool = False) -> DataFrame:
+                   with_meta: bool = False,
+                   colmap: dict | None = None) -> DataFrame:
     """Read specific (possibly since-removed) files through an
     explicit schema — the read_changes file-reader shape factored
-    for the row-level feed: hive-layout rel paths go through
-    basePath discovery, absolute paths are clone references, and
+    for the change feeds: hive-layout rel paths go through
+    basePath discovery, absolute paths are clone references,
     ``with_meta`` appends the (_DV_FILE, _DV_POS) provenance
-    columns the vector joins key on."""
+    columns the vector joins key on, and ``colmap`` translates the
+    files' physical column names to the logical schema (column
+    mapping — physical names never change, so one snapshot's map
+    reads files of every age)."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import StructType
+    from pyspark.sql.types import StructField, StructType
 
+    cmap = colmap or {}
     rdr = spark.read
     partitioned = any("/" in p and not os.path.isabs(p)
                       for p in rels)
@@ -2455,19 +2696,27 @@ def _read_paths_at(spark, root: str, rels: list[str],
         rdr = rdr.option("basePath", root)
     paths = [os.path.join(root, p) for p in rels]
     if schema_json:
-        st = StructType.fromJson(json.loads(schema_json))
-        out = rdr.schema(st).parquet(*paths)
-        cols = [f.name for f in st.fields]
+        lst = StructType.fromJson(json.loads(schema_json))
+        pst = StructType(
+            [StructField(cmap.get(f.name, f.name), f.dataType,
+                         f.nullable) for f in lst.fields]) \
+            if cmap else lst
+        out = rdr.schema(pst).parquet(*paths)
+        pairs = [(cmap.get(f.name, f.name), f.name)
+                 for f in lst.fields]
     else:
         out = rdr.parquet(*paths)
-        cols = list(out.columns)
+        pairs = [(c, c) for c in out.columns]
+    mapped = any(p != n for p, n in pairs)
+    sel = [F.col(p).alias(n) if p != n else F.col(n)
+           for p, n in pairs]
     if with_meta:
         out = out.select(
-            *cols,
+            *sel,
             F.col("_metadata.file_name").alias(_DV_FILE),
             F.col("_metadata.row_index").alias(_DV_POS))
-    elif partitioned and schema_json:
-        out = out.select(*cols)
+    elif mapped or (partitioned and schema_json):
+        out = out.select(*sel)
     return out
 
 
@@ -2520,7 +2769,9 @@ def read_changes_rows(spark, root: str,
     versions = [v for v in _list_versions(root)
                 if v > from_version
                 and (to_version is None or v <= to_version)]
-    end_schema = snapshot(root, to_version).get("schema")
+    _end = snapshot(root, to_version)
+    end_schema = _end.get("schema")
+    end_cmap = _end.get("colmap") or {}
 
     def _tag(df, v, op, ct):
         return (df.withColumn("_commit_version", F.lit(v))
@@ -2540,7 +2791,7 @@ def read_changes_rows(spark, root: str,
             if adds:
                 parts.append(_tag(_read_paths_at(
                     spark, root, [a["path"] for a in adds],
-                    end_schema), v, op, "insert"))
+                    end_schema, colmap=end_cmap), v, op, "insert"))
             continue
         if e.get("mode") != "dv":
             if not adds and not removes:
@@ -2567,7 +2818,8 @@ def read_changes_rows(spark, root: str,
                     pd, (newly["file"] == pd["file"])
                     & (newly["pos"] == pd["pos"]), "left_anti")
             rows = _read_paths_at(spark, root, sorted(dv_adds),
-                                  end_schema, with_meta=True)
+                                  end_schema, with_meta=True,
+                                  colmap=end_cmap)
             nw = newly
             if sum(r.get("deleted", 0) for r in new_refs.values()) \
                     <= _DV_BROADCAST_BOUND:
@@ -2582,7 +2834,8 @@ def read_changes_rows(spark, root: str,
             # files the commit removed outright: every LIVE row (as
             # of v-1) was deleted/updated this commit
             rows = _read_paths_at(spark, root, sorted(dropped),
-                                  end_schema, with_meta=True)
+                                  end_schema, with_meta=True,
+                                  colmap=end_cmap)
             prev_refs = _dv_refs(prev["files"], dropped)
             if prev_refs:
                 pd = _dv_table(spark, root, prev_refs)
@@ -2593,8 +2846,8 @@ def read_changes_rows(spark, root: str,
                               v, op, pre_ct))
         if fresh:
             parts.append(_tag(_read_paths_at(
-                spark, root, sorted(fresh), end_schema),
-                v, op, "update_postimage"))
+                spark, root, sorted(fresh), end_schema,
+                colmap=end_cmap), v, op, "update_postimage"))
     if not parts:
         return (read(spark, root)
                 .limit(0)
@@ -2756,9 +3009,16 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
         project through. Picklable by construction (strings and
         dicts of strings only)."""
 
-        def __init__(self, files: list[tuple], schema_json: str):
+        def __init__(self, files: list[tuple], schema_json: str,
+                     colmap: dict | None = None):
             self.files = files  # [(abs path, {col: token} | None)]
             self.schema_json = schema_json
+            # logical -> physical column names, bound when the
+            # reader opened: physical names never change, so the
+            # binding stays valid across later renames (the stream
+            # keeps its open-time logical schema, as Spark streams
+            # must)
+            self.colmap = colmap or {}
 
     class TxLogParallelStreamReader(DataSourceStreamReader):
         """readStream FROM the transaction-log table on the FULL
@@ -2827,6 +3087,9 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
             self._schema_json = schema.json()
             self._last_end: int | None = None
             _stream_fields(self.root)  # validate: schema resolvable
+            # column mapping bound at open time (see
+            # TxLogFilePartition.colmap)
+            self._colmap = snapshot(self.root).get("colmap") or {}
 
         def _cursor_path(self) -> str:
             return os.path.join(_log_path(self.root),
@@ -2867,12 +3130,13 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
                 for rel, nbytes, part in adds:
                     if cur and cur_b + nbytes > self.pack_bytes:
                         parts.append(TxLogFilePartition(
-                            cur, self._schema_json))
+                            cur, self._schema_json, self._colmap))
                         cur, cur_b = [], 0
                     cur.append((os.path.join(self.root, rel), part))
                     cur_b += nbytes
             if cur:
-                parts.append(TxLogFilePartition(cur, self._schema_json))
+                parts.append(TxLogFilePartition(
+                    cur, self._schema_json, self._colmap))
             return parts
 
         def read(self, partition):
@@ -2889,14 +3153,16 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
 
             target = to_arrow_schema(
                 _ST.fromJson(json.loads(partition.schema_json)))
+            cmap = partition.colmap
             for path, part in partition.files:
                 tbl = pq.read_table(path)
                 cols = []
                 for field in target:
-                    if field.name in tbl.column_names:
+                    pname = cmap.get(field.name, field.name)
+                    if pname in tbl.column_names:
                         cols.append(
-                            tbl.column(field.name).cast(field.type))
-                    elif part and part.get(field.name) is not None:
+                            tbl.column(pname).cast(field.type))
+                    elif part and part.get(pname) is not None:
                         # hive partition column: the value lives in
                         # the directory name, not the file — inject
                         # it as a constant column, cast from the
@@ -2904,7 +3170,7 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
                         # date/... exactly like Spark's partition
                         # discovery)
                         cols.append(pa.chunked_array([
-                            pa.array([part[field.name]] * len(tbl),
+                            pa.array([part[pname]] * len(tbl),
                                      type=pa.string())
                             .cast(field.type)]))
                     else:
@@ -2948,12 +3214,19 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
                 str(options.get("ignore_changes", "false")).lower()
                 == "true")
             self.cap = int(options.get("max_versions_per_trigger", 0))
-            if snapshot(self.root).get("partition_by"):
+            snap0 = snapshot(self.root)
+            if snap0.get("partition_by"):
                 raise ValueError(
                     "txlogstream: the simple (driver-side) reader "
                     "does not materialize hive partition columns; "
                     "use the default parallel reader for a "
                     "partitioned table")
+            if snap0.get("colmap"):
+                raise ValueError(
+                    "txlogstream: the simple (driver-side) reader "
+                    "does not translate column-mapped (renamed) "
+                    "physical names; use the default parallel "
+                    "reader")
             self._fields, self._tz_fields = _stream_fields(self.root)
 
         def _rows(self, lo: int, hi: int):
@@ -3083,7 +3356,8 @@ def read_range(spark, root: str, col: str, lo=None, hi=None,
     if not snap["files"]:
         return base.where(cond)
     types = _schema_types(snap)
-    eff = {p: _effective_stats(m, types)
+    inv = _inv_colmap(snap)
+    eff = {p: _effective_stats(m, types, inv)
            for p, m in snap["files"].items()}
     float_key = any(
         isinstance(e.get(col, [None, None])[0], float)

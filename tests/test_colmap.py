@@ -1,0 +1,203 @@
+"""E22: column mapping — RENAME/DROP COLUMN as metadata-only
+commits (sources/txlog.py, the Delta column-mapping name mode from
+the public description): files keep their PHYSICAL column names
+forever; the log maps logical->physical and every read path
+translates. Zero bytes rewritten by a rename on any size table."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_data_engineering_workshop_spark.sources import txlog as T
+
+
+def _n_files(root):
+    n = 0
+    for dirpath, dirs, files in os.walk(root):
+        if os.path.basename(dirpath) == T.LOG_DIR:
+            dirs[:] = []
+            continue
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    T.append(spark.range(20).select(
+        "id", (F.col("id") * 2).alias("v")).coalesce(1),
+        root, checkpoint_every=0)
+    return root
+
+
+def test_rename_is_metadata_only_and_reads_translate(spark, table):
+    before = _n_files(table)
+    v_pre = T.snapshot(table)["version"]
+    T.rename_column(table, "v", "value", checkpoint_every=0)
+    assert _n_files(table) == before  # zero bytes rewritten
+    df = T.read(spark, table)
+    assert df.columns == ["id", "value"]
+    assert df.where("value = 10").collect()[0].id == 5
+    # time travel returns the OLD name; history records the rename
+    assert T.read(spark, table, version=v_pre).columns == ["id", "v"]
+    h = T.history(table)[-1]
+    assert (h["op"], h["old"], h["new"]) == \
+        ("rename-column", "v", "value")
+    assert T.describe(table)["colmap"] == {"value": "v"}
+
+
+def test_rename_then_append_merge_dml_prune(spark, table):
+    """Post-rename writes land PHYSICALLY under the original name;
+    stat pruning, predicate DML, merge keys and read_range all
+    speak the logical name."""
+    T.rename_column(table, "v", "value", checkpoint_every=0)
+    T.append(spark.range(20, 25).select(
+        "id", (F.col("id") * 2).alias("value")).coalesce(1),
+        table, checkpoint_every=0)
+    assert T.read(spark, table).count() == 25
+    # the new file's footer stats are keyed by the PHYSICAL name
+    snap = T.snapshot(table)
+    newest = max(snap["files"].values(), key=lambda m: m["path"])
+    assert all("v" in m["stats"] and "value" not in m["stats"]
+               for m in snap["files"].values())
+    # pruning on the logical name: only the file covering [40,48]
+    cand = T._files_possibly_matching(
+        snap, T._parse_conjuncts("value >= 40"))
+    assert len(cand) == 1
+    assert sorted(r.value for r in T.read_range(
+        spark, table, "value", lo=0, hi=6).collect()) == [0, 2, 4, 6]
+    assert T.read_where(spark, table, "value <= 6").count() == 4
+    T.update_where(spark, table, "value = 48", {"value": "47"},
+                   checkpoint_every=0)
+    T.delete_where(spark, table, "value >= 40", checkpoint_every=0)
+    T.merge_upsert(spark, table, spark.createDataFrame(
+        [(3, 999)], "id bigint, value bigint"), "id",
+        checkpoint_every=0)
+    got = dict((r.id, r.value) for r in T.read(spark, table).collect())
+    assert got[3] == 999 and got[19] == 38 and 20 not in got
+    assert max(got.values()) == 999
+
+
+def test_rename_refusals(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    df = spark.range(10).select("id", (F.col("id") % 2).alias("k"))
+    T.append(df, root, partition_by=["k"], checkpoint_every=0)
+    T.add_constraint(root, "pos", "id >= 0", checkpoint_every=0)
+    with pytest.raises(ValueError, match="partition column"):
+        T.rename_column(root, "k", "bucket")
+    with pytest.raises(ValueError, match="constraint"):
+        T.rename_column(root, "id", "ident")
+    with pytest.raises(ValueError, match="no column"):
+        T.rename_column(root, "nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        T.rename_column(root, "id", "k")
+    with pytest.raises(ValueError, match="constraint"):
+        T.drop_column(root, "id")
+
+
+def test_evolution_collision_gets_fresh_physical(spark, table):
+    """After rename v->value, evolving a NEW column named 'v' must
+    not resurrect the old bytes: it maps to a fresh physical."""
+    T.rename_column(table, "v", "value", checkpoint_every=0)
+    T.merge_upsert(spark, table, spark.createDataFrame(
+        [(100, 1, 7.5)], "id bigint, value bigint, v double"),
+        "id", merge_schema=True, checkpoint_every=0)
+    cmap = T.snapshot(table)["colmap"]
+    assert cmap["value"] == "v" and cmap["v"].startswith("v_")
+    rows = {r.id: r.v for r in T.read(spark, table).collect()}
+    assert rows[100] == 7.5
+    assert rows[0] is None  # old physical 'v' data NOT resurrected
+
+
+def test_drop_column_tombstones_physical(spark, table):
+    """DROP is metadata-only; re-adding the same logical name later
+    maps to a fresh physical so dropped bytes never resurface."""
+    before = _n_files(table)
+    T.drop_column(table, "v", checkpoint_every=0)
+    assert _n_files(table) == before
+    assert T.read(spark, table).columns == ["id"]
+    assert T.snapshot(table)["phys_dropped"] == ["v"]
+    T.merge_upsert(spark, table, spark.createDataFrame(
+        [(100, 5.0)], "id bigint, v double"),
+        "id", merge_schema=True, checkpoint_every=0)
+    rows = {r.id: r.v for r in T.read(spark, table).collect()}
+    assert rows[100] == 5.0 and rows[0] is None
+    with pytest.raises(ValueError, match="last column"):
+        for c in list(T.read(spark, table).columns):
+            T.drop_column(table, c, checkpoint_every=0)
+
+
+def test_restore_rolls_mapping_back_and_forward(spark, table):
+    v_pre = T.snapshot(table)["version"]
+    T.rename_column(table, "v", "value", checkpoint_every=0)
+    v_post = T.snapshot(table)["version"]
+    T.restore(table, v_pre, checkpoint_every=0)
+    assert T.read(spark, table).columns == ["id", "v"]
+    T.restore(table, v_post, checkpoint_every=0)
+    assert T.read(spark, table).columns == ["id", "value"]
+
+
+def test_colmap_with_deletion_vectors_and_cdf(spark, table):
+    T.rename_column(table, "v", "value", checkpoint_every=0)
+    lo = T.snapshot(table)["version"]
+    T.delete_where(spark, table, "value < 6", mode="dv",
+                   checkpoint_every=0)
+    assert sorted(r.value for r in
+                  T.read(spark, table).collect())[:2] == [6, 8]
+    feed = T.read_changes_rows(spark, table, from_version=lo)
+    assert sorted((r.id, r._change_type) for r in feed.collect()) \
+        == [(0, "delete"), (1, "delete"), (2, "delete")]
+    # file-level feed translates too
+    assert "value" in T.read_changes(
+        spark, table, from_version=lo).columns
+
+
+def test_clone_and_optimize_carry_mapping(spark, table, tmp_path):
+    T.rename_column(table, "v", "value", checkpoint_every=0)
+    dst = str(tmp_path / "clone")
+    T.clone(table, dst, checkpoint_every=0)
+    assert T.read(spark, dst).columns == ["id", "value"]
+    assert T.read(spark, dst).where("value = 10").count() == 1
+    # a rewrite (OPTIMIZE) stays physically keyed: reads unchanged
+    T.append(spark.range(20, 23).select(
+        "id", (F.col("id") * 2).alias("value")), table,
+        checkpoint_every=0)
+    T.optimize(spark, table, checkpoint_every=0)
+    assert sorted(r.value for r in T.read(
+        spark, table).collect())[-1] == 44
+    snap = T.snapshot(table)
+    assert all("v" in m["stats"] for m in snap["files"].values())
+
+
+def test_stream_readers_under_mapping(spark, table):
+    """The parallel reader translates via the bound mapping; the
+    simple fallback declares non-support."""
+    T.rename_column(table, "v", "value", checkpoint_every=0)
+    T.append(spark.range(20, 22).select(
+        "id", (F.col("id") * 2).alias("value")), table,
+        checkpoint_every=0)
+    from gcp_data_engineering_workshop_spark.sources.txlog import (
+        TxLogStreamDataSource)
+    try:
+        spark.dataSource.register(TxLogStreamDataSource)
+    except Exception as e:
+        if "ALREADY_EXISTS" not in str(e):
+            raise
+    got = []
+    q = (spark.readStream.format("txlogstream")
+         .option("path", table).load()
+         .writeStream.foreachBatch(
+             lambda df, _b: got.extend(df.collect()))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert sorted(r.value for r in got) == sorted(
+        [i * 2 for i in range(22)])
+    with pytest.raises(Exception, match="column-mapped|colmap|rename"):
+        (spark.readStream.format("txlogstream")
+         .option("path", table)
+         .option("use_simple_reader", "true").load()
+         .writeStream.format("noop")
+         .trigger(availableNow=True).start().awaitTermination(60))
