@@ -36,7 +36,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING POLICY: the driver records correctness rows for the
     FIRST 50 entries only (tests/test_entry_contract.py asserts the
     boundary position). Entries rotate per round. The r11 window:
-    (0) the ELEVEN txlog-format keys — the format changed this round
+    (0) the TWELVE txlog-format keys — the format changed this round
     (composite MERGE keys, MERGE-DELETE with the NEW
     txlog_delete_scan oracle key, schema-projected file reads,
     zero-row-part staging guard; mid-round: predicate DML with the
@@ -47,7 +47,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ROW-LEVEL CDF with the NEW txlog_cdf_rows key, CDF-driven
     replication with the NEW txlog_replica_scan key, and COLUMN
     MAPPING — rename/drop without rewrite — with the NEW
-    txlog_rename_scan key), so all eleven evidence on the new
+    txlog_rename_scan key, and replaceWhere with the NEW
+    txlog_replace_scan key), so all twelve evidence on the new
     code; (1) the eight keys VERDICT r10 names as stranded at
     r4 driver evidence (temperature_sample, mixture_schedule,
     gopher_repetition, pack_sequences, assign_ids,
@@ -72,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txlog_cdf_rows": _tf.txlog_cdf_rows,
         "txlog_replica_scan": _tf.txlog_replica_scan,
         "txlog_rename_scan": _tf.txlog_rename_scan,
+        "txlog_replace_scan": _tf.txlog_replace_scan,
         "txlog_delete_scan": _tf.txlog_delete_scan,
         "txlog_update_scan": _tf.txlog_update_scan,
         "txlog_partition_scan": _tf.txlog_partition_scan,
@@ -121,8 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _tp.weighted_sample,
         "shuffle_corpus": _tp.shuffle_corpus,
         "winnow_fingerprints": _tp.winnow_fingerprints,
-        "longest_dup_span": _tp.longest_dup_span,
-        # ==== WINDOW BOUNDARY (50): longest_dup_span is entry 50;
+        # ==== WINDOW BOUNDARY (50): winnow_fingerprints is entry 50;
         #      the driver records rows for nothing below this line.
         #      tests/test_entry_contract.py asserts this position.
         #      txlog_update_scan + txlog_partition_scan +
@@ -133,17 +134,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      tail, and the third stint's txlog_dv_scan (deletion
         #      vectors) + txlog_cdf_rows (row-level CDF) +
         #      txlog_replica_scan (CDF-driven replication) +
-        #      txlog_rename_scan (column mapping) displaced
-        #      pagerank_knn, dedup_keep_best, decontaminate_spans
-        #      and quality_attributes — a NEW key's first evidence
-        #      outranks refreshing one more r7 key; the seven join
-        #      event_transitions as r12 rotation heads ====
+        #      txlog_rename_scan (column mapping) +
+        #      txlog_replace_scan (replaceWhere) displaced
+        #      pagerank_knn, dedup_keep_best, decontaminate_spans,
+        #      quality_attributes and longest_dup_span — a NEW
+        #      key's first evidence outranks refreshing one more r7
+        #      key; the eight join event_transitions as r12
+        #      rotation heads ====
         # -- tail: r9/r10-evidenced keys rotate out (their rows
         #    stand), plus the declared rows-only set;
         #    event_transitions + pagerank_knn + dedup_keep_best +
         #    decontaminate_spans + quality_attributes +
-        #    containment_pairs + semdedup_keep_central +
-        #    kneser_ney_score lead the r12 rotation --
+        #    longest_dup_span + containment_pairs +
+        #    semdedup_keep_central + kneser_ney_score lead the r12
+        #    rotation --
+        "longest_dup_span": _tp.longest_dup_span,
         "quality_attributes": _tp.quality_attributes,
         "decontaminate_spans": _tp.decontaminate_spans,
         "dedup_keep_best": _tp.dedup_keep_best,
@@ -277,6 +282,7 @@ def oracle_sql() -> dict[str, str]:
         "txlog_cdf_rows": _tf.TXLOG_CDF_ROWS_SQL,
         "txlog_replica_scan": _tf.TXLOG_REPLICA_SCAN_SQL,
         "txlog_rename_scan": _tf.TXLOG_RENAME_SCAN_SQL,
+        "txlog_replace_scan": _tf.TXLOG_REPLACE_SCAN_SQL,
         "txlog_delete_scan": _tf.TXLOG_DELETE_SCAN_SQL,
         "txlog_update_scan": _tf.TXLOG_UPDATE_SCAN_SQL,
         "txlog_partition_scan": _tf.TXLOG_PARTITION_SCAN_SQL,

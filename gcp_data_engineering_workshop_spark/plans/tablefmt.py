@@ -256,6 +256,29 @@ def txlog_rename_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderkey"))
 
 
+def txlog_replace_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E22 replaceWhere under the oracle gate (new r11, third
+    stint): orders lands as four range-interleaved commits, then
+    overwrite_where replaces the scope o_orderstatus = 'P' with a
+    deterministic re-landing of those rows (prices doubled, urgent
+    priority) — survivors of the touched files carry, every other
+    file rides verbatim (file granularity pytest-pinned; here the
+    oracle pins exactness). Equals scope-union SQL: non-P rows
+    verbatim UNION the transformed P slice."""
+    root = tempfile.mkdtemp(prefix="txlog_repw_") + "/t"
+    orders = _orders(spark, sf_dir)
+    for b in range(4):
+        T.append(orders.where(F.col("o_orderkey") % 4 == b),
+                 root, checkpoint_every=0)
+    repl = (orders.where(F.col("o_orderstatus") == "P")
+            .select("o_orderkey", "o_custkey", "o_orderstatus",
+                    (F.col("o_totalprice") * 2).alias("o_totalprice"),
+                    F.lit("1-URGENT").alias("o_orderpriority")))
+    T.overwrite_where(spark, repl, root, "o_orderstatus = 'P'",
+                      checkpoint_every=0)
+    return T.read(spark, root).orderBy("o_orderkey")
+
+
 def txlog_update_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E22 predicate DML under the oracle gate (new r11): orders
     lands as four range-interleaved commits, then
@@ -463,6 +486,19 @@ WITH renamed AS (
 SELECT o_orderkey, o_custkey, o_orderstatus, price
 FROM renamed
 WHERE price >= 500
+ORDER BY o_orderkey
+"""
+
+TXLOG_REPLACE_SCAN_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderpriority
+FROM orders
+WHERE o_orderstatus <> 'P'
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2,
+       '1-URGENT'
+FROM orders
+WHERE o_orderstatus = 'P'
 ORDER BY o_orderkey
 """
 

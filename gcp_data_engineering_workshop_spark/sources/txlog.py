@@ -1979,6 +1979,77 @@ def update_where(spark, root: str, condition: str,
         f"under {root}")
 
 
+def overwrite_where(spark, df: DataFrame, root: str, condition: str,
+                    max_retries: int = 5,
+                    checkpoint_every: int = 10) -> int:
+    """Delta's ``replaceWhere``: transactionally replace EXACTLY the
+    rows matching ``condition`` with ``df`` — the daily
+    partition-reload primitive (re-land one date/tenant slice of a
+    100 TB table without touching the rest). File granularity is
+    the DML machinery's: stat pruning + one exact hit scan find the
+    files holding matching rows; only those are rewritten (their
+    non-matching neighbor rows carry as survivors), every other add
+    action rides verbatim, and the replacement lands alongside. On
+    a hive-partitioned table with a partition-column predicate this
+    touches exactly the target partition's files.
+
+    Guards (the Delta contract): every replacement row must satisfy
+    ``condition`` (else the "replace" would silently leak rows into
+    the untouched scope — refused up front); schema must match the
+    table exactly; CHECK constraints validate the replacement. An
+    EMPTY ``df`` deletes the scope; a condition matching nothing
+    simply lands ``df`` (the scope was empty and is being filled).
+
+    Commits as op="replace" with the predicate recorded. Stream:
+    raises NonAppendChange unless ignore_changes (the add files mix
+    replacement rows and survivors). read_changes: included by
+    default with the same add-files-hold-scope-plus-survivors
+    contract as update."""
+    from pyspark.sql import functions as F
+
+    conjuncts = _parse_conjuncts(condition)
+    cond = F.expr(condition)
+    if df.where(~cond | cond.isNull()).limit(1).count():
+        raise ValueError(
+            f"overwrite_where: replacement rows must all satisfy "
+            f"{condition!r} (found at least one that does not)")
+    os.makedirs(root, exist_ok=True)
+    for _ in range(max_retries):
+        snap = snapshot(root)
+        rec = _schema_check(df, snap.get("schema"), False)
+        _check_constraints(df, snap.get("constraints", {}))
+        cand = _files_possibly_matching(snap, conjuncts) \
+            if snap["files"] else []
+        touched = _files_with_hits(spark, root, snap, cand, cond) \
+            if cand else []
+        if touched:
+            out = (_read_files(spark, root, snap, touched)
+                   .where(~cond | cond.isNull())
+                   .unionByName(df))
+            out = _size_merge_output(out, snap, touched)
+        else:
+            out = df
+        adds = _stage_write(out, root, snap.get("partition_by"),
+                            snap.get("colmap"))
+        entry = {"op": "replace", "ts": time.time(),
+                 "predicate": condition,
+                 "actions": ([{"remove": {"path": p}}
+                              for p in touched]
+                             + [{"add": a} for a in adds])}
+        if rec is not None:
+            entry["schema"] = rec  # creating commit records schema
+        if not entry["actions"]:
+            return snap["version"]  # empty df into an empty scope
+        if snapshot(root)["version"] == snap["version"] and \
+                _try_commit(root, snap["version"] + 1, entry):
+            _maybe_checkpoint(root, snap["version"] + 1,
+                              checkpoint_every)
+            return snap["version"] + 1
+    raise CommitConflict(
+        f"overwrite_where lost the snapshot race {max_retries} "
+        f"times under {root}")
+
+
 def optimize(spark, root: str, target_bytes: int = 128 * 1024 * 1024,
              sort_cols: list[str] | None = None,
              zorder: list[str] | None = None,
@@ -2554,7 +2625,8 @@ def read_changes(spark, root: str, from_version: int | None = None,
                  to_version: int | None = None,
                  include_ops: tuple = ("append", "stream-append",
                                        "merge", "overwrite",
-                                       "update", "delete", "clone"),
+                                       "update", "delete", "clone",
+                                       "replace"),
                  from_ts: float | None = None,
                  to_ts: float | None = None) -> DataFrame:
     """Incremental (change-feed) read: the rows committed in
@@ -2935,7 +3007,7 @@ def _plan_window(root: str, lo: int, hi: int,
         if e["op"] == "optimize":
             continue  # dataChange=false: same rows, new layout
         if (e["op"] in ("merge", "overwrite", "restore",
-                        "delete", "update")
+                        "delete", "update", "replace")
                 and not ignore_changes):
             raise NonAppendChange(
                 f"version {v} is a {e['op']} commit; set "

@@ -2160,3 +2160,80 @@ def test_shallow_clone_zero_copy_and_copy_on_write(spark, tmp_path):
     ch = T.read_changes(spark, dst2, from_version=0)
     assert {r._commit_op for r in
             ch.select("_commit_op").distinct().collect()} == {"clone"}
+
+
+# ------------------------------------------------------------------ #
+# overwrite_where (replaceWhere) — r11 third stint
+# ------------------------------------------------------------------ #
+
+
+def test_replace_where_semantics_and_granularity(spark, tmp_path):
+    """overwrite_where replaces exactly the matching rows; files
+    with no matching row carry verbatim (their add actions — and
+    bytes — untouched)."""
+    root = str(tmp_path / "tbl")
+    for b in range(4):
+        T.append(spark.range(b * 10, b * 10 + 10)
+                 .selectExpr("id", "id * 2 as v").coalesce(1),
+                 root, checkpoint_every=0)
+    files0 = set(T.snapshot(root)["files"])
+    repl = spark.range(100, 103).selectExpr("id", "id as v")
+    T.overwrite_where(spark, repl, root, "id >= 30",
+                      checkpoint_every=0)
+    rows = {r.id: r.v for r in T.read(spark, root).collect()}
+    assert set(rows) == set(range(30)) | {100, 101, 102}
+    assert rows[5] == 10 and rows[100] == 100
+    # only the one file holding id>=30 was removed
+    snap = T.snapshot(root)
+    assert len(files0 - set(snap["files"])) == 1
+    assert T.history(root)[-1]["op"] == "replace"
+
+
+def test_replace_where_partition_reload(spark, tmp_path):
+    """The daily partition-reload shape: replacing one partition
+    touches exactly that partition's files."""
+    from pyspark.sql import functions as F
+    root = str(tmp_path / "tbl")
+    df = spark.range(30).select(
+        "id", (F.col("id") % 3).alias("k"))
+    T.append(df, root, partition_by=["k"], checkpoint_every=0)
+    files0 = {p for p in T.snapshot(root)["files"]}
+    repl = spark.range(200, 204).select(
+        "id", F.lit(1).cast("bigint").alias("k"))
+    T.overwrite_where(spark, repl, root, "k = 1",
+                      checkpoint_every=0)
+    snap = T.snapshot(root)
+    gone = files0 - set(snap["files"])
+    assert gone and all(p.startswith("k=1/") for p in gone)
+    got = sorted(r.id for r in T.read(spark, root).collect())
+    assert got == sorted([i for i in range(30) if i % 3 != 1]
+                         + [200, 201, 202, 203])
+
+
+def test_replace_where_guards_and_edges(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    T.append(spark.range(10).selectExpr("id", "id as v"), root,
+             checkpoint_every=0)
+    # leak guard: a replacement row outside the scope refuses
+    bad = spark.range(3).selectExpr("id", "id as v")
+    with pytest.raises(ValueError, match="satisfy"):
+        T.overwrite_where(spark, bad, root, "id >= 5")
+    # empty replacement = delete the scope
+    empty = spark.range(0).selectExpr("id", "id as v")
+    T.overwrite_where(spark, empty, root, "id >= 7",
+                      checkpoint_every=0)
+    assert _ids(T.read(spark, root)) == list(range(7))
+    # no-match scope = plain landing
+    fresh = spark.range(50, 52).selectExpr("id", "id as v")
+    T.overwrite_where(spark, fresh, root, "id >= 50",
+                      checkpoint_every=0)
+    assert _ids(T.read(spark, root)) == list(range(7)) + [50, 51]
+    # stream raises; change feed carries scope+survivors
+    lo = T.snapshot(root)["version"]
+    T.overwrite_where(spark, spark.range(60, 61)
+                      .selectExpr("id", "id as v"), root,
+                      "id >= 50", checkpoint_every=0)
+    with pytest.raises(T.NonAppendChange):
+        T._plan_window(root, lo, lo + 1, ignore_changes=False)
+    feed = T.read_changes(spark, root, from_version=lo)
+    assert sorted(r.id for r in feed.collect()) == [60]
