@@ -107,6 +107,10 @@ BENCH_QUERIES = [
     "txlog_partition_scan",  # E22 hive-partitioned append + pruned read
     "txlog_incremental_scan",  # E22 exactly-once incremental refresh
     "txlog_dv_scan",         # E22 deletion-vector DML (all 3 verbs)
+    "txlog_cdf_rows",        # E22 row-level CDF reconstruction
+    "txlog_replica_scan",    # E22 CDF-driven replication (2 syncs)
+    "txlog_rename_scan",     # E22 column mapping + DML + pruning
+    "txlog_replace_scan",    # E22 replaceWhere scope reload
 ]
 
 

@@ -10,6 +10,10 @@ a Delta-style table, composed entirely from the txlog layer
   DELETE ... WHERE       delete_where(cond)
   MERGE-ON-READ DML      delete_where/update_where(mode="dv")
                          -> optimize(purge=True) materializes
+  ROW-LEVEL CDF          read_changes_rows() (_change_type tags)
+  REPLICATION            replicate_incremental(src, dst, key)
+  RENAME/DROP COLUMN     rename_column / drop_column (metadata-only)
+  replaceWhere           overwrite_where(df, root, cond)
   MERGE (composite key)  merge_upsert(updates, ["k1", "k2"])
   OPTIMIZE [ZORDER BY]   optimize() / optimize(zorder=[...])
   TIME TRAVEL            read(version=N) / read(as_of=unix_ts)
@@ -130,6 +134,26 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
     assert T.describe(croot)["num_dv_files"] == 0
     assert T.read(spark, croot).count() == n_marked
     assert T.read(spark, zroot).count() == n_src  # source untouched
+
+    # ROW-LEVEL CDF + REPLICATION: a replica of the z-ordered table
+    # maintained through typed change rows (exactly-once via the txn
+    # watermark; its history is appends + dv DML — the feed's
+    # row-level domain; the optimize commit is dataChange=false and
+    # skips)
+    rroot = tempfile.mkdtemp(prefix="lakehouse_") + "/replica"
+    T.replicate_incremental(spark, zroot, rroot, "o_orderkey")
+    T.delete_where(spark, zroot, "o_orderkey % 501 = 0", mode="dv")
+    T.replicate_incremental(spark, zroot, rroot, "o_orderkey")
+    assert (T.read(spark, rroot).count()
+            == T.read(spark, zroot).count())
+
+    # RENAME COLUMN (metadata-only) + replaceWhere scope reload
+    T.rename_column(croot, "o_totalprice", "price")
+    repl = (T.read(spark, croot).where("o_orderkey <= 100")
+            .withColumn("price", F.col("price") * 0))
+    T.overwrite_where(spark, repl, croot, "o_orderkey <= 100")
+    assert T.read_where(spark, croot,
+                        "o_orderkey <= 100 AND price > 0").count() == 0
 
     out = {"rows_created": n0, "rows_pruned_scan": n_pruned,
            "rows_at_create_ts": n_at_create,
