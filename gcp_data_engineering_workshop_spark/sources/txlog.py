@@ -185,6 +185,23 @@ def _list_checkpoints(root: str) -> list[int]:
                   if f.startswith("checkpoint-") and f.endswith(".json"))
 
 
+# Table FEATURES this implementation can read correctly — the Delta
+# protocol/table-features idea (reader versioning): a commit that
+# first uses a semantics-changing capability records it, snapshots
+# carry the cumulative set, and ANY access to a table whose features
+# exceed this set refuses with a clear message instead of silently
+# misreading (a reader without deletion-vector support would
+# resurrect deleted rows; one without column mapping would see
+# physical names or miss columns). Features are monotone — never
+# removed — exactly like Delta's protocol upgrades; time travel to a
+# version before a feature's first use replays the smaller set.
+SUPPORTED_FEATURES = frozenset({"deletion-vectors", "column-mapping"})
+
+
+class UnsupportedTableFeature(Exception):
+    pass
+
+
 def snapshot(root: str, version: int | None = None) -> dict:
     """Resolve the live file set as of ``version`` (default: head).
     Starts from the newest checkpoint <= version and replays only
@@ -215,9 +232,11 @@ def snapshot(root: str, version: int | None = None) -> dict:
         constraints = dict(cp.get("constraints", {}))
     colmap: dict[str, str] = {}
     phys_dropped: list[str] = []
+    feats: set[str] = set()
     if cps:
         colmap = dict(cp.get("colmap", {}))
         phys_dropped = list(cp.get("phys_dropped", []))
+        feats = set(cp.get("features", []))
     for v in versions:
         if v <= start or v > version:
             continue
@@ -238,13 +257,22 @@ def snapshot(root: str, version: int | None = None) -> dict:
             colmap = dict(entry["colmap"])
         if "phys_dropped" in entry:
             phys_dropped = list(entry["phys_dropped"])
+        feats.update(entry.get("features", []))
         if entry["op"] == "set-constraint":
             constraints[entry["name"]] = entry["expr"]
         elif entry["op"] == "drop-constraint":
             constraints.pop(entry["name"], None)
+    unknown = feats - SUPPORTED_FEATURES
+    if unknown:
+        raise UnsupportedTableFeature(
+            f"table under {root} uses features this reader does "
+            f"not support: {sorted(unknown)} (supported: "
+            f"{sorted(SUPPORTED_FEATURES)}); reading it would "
+            f"silently return wrong data — upgrade the reader")
     return {"version": version, "files": live, "txn": txn,
             "schema": schema, "partition_by": part_by,
             "colmap": colmap, "phys_dropped": phys_dropped,
+            "features": sorted(feats),
             "constraints": constraints}
 
 
@@ -294,6 +322,7 @@ def describe(root: str, version: int | None = None) -> dict:
             "partition_by": snap.get("partition_by", []),
             "schema_ddl": ddl,
             "colmap": dict(snap.get("colmap", {})),
+            "features": list(snap.get("features", [])),
             "constraints": dict(snap.get("constraints", {})),
             "txn": dict(snap.get("txn", {}))}
 
@@ -534,6 +563,7 @@ def _maybe_checkpoint(root: str, version: int,
                        "partition_by": snap.get("partition_by", []),
                        "colmap": snap.get("colmap", {}),
                        "phys_dropped": snap.get("phys_dropped", []),
+                       "features": snap.get("features", []),
                        "constraints": snap.get("constraints", {})},
                       fh)
         os.replace(tmp, path)
@@ -691,6 +721,7 @@ def rename_column(root: str, old: str, new: str,
                  "old": old, "new": new,
                  "schema": new_st.json(), "colmap": cmap,
                  "actions": []}
+        _mark_feature(entry, snap, "column-mapping")
         if snapshot(root)["version"] == snap["version"] and \
                 _try_commit(root, snap["version"] + 1, entry):
             _maybe_checkpoint(root, snap["version"] + 1,
@@ -746,6 +777,7 @@ def drop_column(root: str, name: str, max_retries: int = 5,
                  "name": name, "schema": new_st.json(),
                  "colmap": cmap, "phys_dropped": dropped,
                  "actions": []}
+        _mark_feature(entry, snap, "column-mapping")
         if snapshot(root)["version"] == snap["version"] and \
                 _try_commit(root, snap["version"] + 1, entry):
             _maybe_checkpoint(root, snap["version"] + 1,
@@ -805,6 +837,7 @@ def append(df: DataFrame, root: str, max_retries: int = 20,
         entry["schema"] = rec
     if new_cmap is not None:
         entry["colmap"] = new_cmap
+        _mark_feature(entry, snap0, "column-mapping")
     if creating and spec:
         entry["partition_by"] = spec
     for _ in range(max_retries):
@@ -1298,6 +1331,7 @@ def merge_upsert(spark, root: str, updates: DataFrame,
             entry["schema"] = rec
         if new_cmap is not None:
             entry["colmap"] = new_cmap
+            _mark_feature(entry, snap, "column-mapping")
         if snapshot(root)["version"] == snap["version"] and \
                 _try_commit(root, snap["version"] + 1, entry):
             _maybe_checkpoint(root, snap["version"] + 1, checkpoint_every)
@@ -1385,6 +1419,7 @@ def merge_delete(spark, root: str, keys_df: DataFrame,
                  "actions": actions}
         if mode == "dv":
             entry["mode"] = "dv"
+            _mark_feature(entry, snap, "deletion-vectors")
         if snapshot(root)["version"] == snap["version"] and \
                 _try_commit(root, snap["version"] + 1, entry):
             _maybe_checkpoint(root, snap["version"] + 1, checkpoint_every)
@@ -1698,6 +1733,14 @@ def _files_with_hits(spark, root: str, snap: dict,
     return sorted(p for p in candidates if os.path.basename(p) in names)
 
 
+
+def _mark_feature(entry: dict, snap: dict, name: str) -> None:
+    """Record a table feature on the commit that first uses it
+    (monotone; repeats are skipped — the snapshot already carries
+    it)."""
+    if name not in snap.get("features", []):
+        entry.setdefault("features", []).append(name)
+
 def _dv_mark_actions(spark, root: str, snap: dict,
                      touched: list[str], matches: DataFrame,
                      per_file: dict) -> list[dict]:
@@ -1840,6 +1883,7 @@ def delete_where(spark, root: str, condition: str,
                  "actions": actions}
         if mode == "dv":
             entry["mode"] = "dv"
+            _mark_feature(entry, snap, "deletion-vectors")
         if snapshot(root)["version"] == snap["version"] and \
                 _try_commit(root, snap["version"] + 1, entry):
             _maybe_checkpoint(root, snap["version"] + 1, checkpoint_every)
@@ -1970,6 +2014,7 @@ def update_where(spark, root: str, condition: str,
                  "actions": actions}
         if mode == "dv":
             entry["mode"] = "dv"
+            _mark_feature(entry, snap, "deletion-vectors")
         if snapshot(root)["version"] == snap["version"] and \
                 _try_commit(root, snap["version"] + 1, entry):
             _maybe_checkpoint(root, snap["version"] + 1, checkpoint_every)
@@ -2259,6 +2304,8 @@ def clone(src_root: str, dst_root: str, version: int | None = None,
         entry["colmap"] = src["colmap"]
     if src.get("phys_dropped"):
         entry["phys_dropped"] = src["phys_dropped"]
+    if src.get("features"):
+        entry["features"] = list(src["features"])
     if not _try_commit(dst_root, 1, entry):
         raise CommitConflict(f"clone lost the race for {dst_root}")
     _maybe_checkpoint(dst_root, 1, checkpoint_every)

@@ -201,3 +201,58 @@ def test_stream_readers_under_mapping(spark, table):
          .option("use_simple_reader", "true").load()
          .writeStream.format("noop")
          .trigger(availableNow=True).start().awaitTermination(60))
+
+
+# ------------------------------------------------------------------ #
+# protocol table features (r11 third stint)
+# ------------------------------------------------------------------ #
+
+
+def test_features_recorded_and_monotone(spark, table):
+    import json
+    assert T.snapshot(table)["features"] == []
+    T.delete_where(spark, table, "id = 1", mode="dv",
+                   checkpoint_every=0)
+    assert T.snapshot(table)["features"] == ["deletion-vectors"]
+    v_dv = T.snapshot(table)["version"]
+    T.rename_column(table, "v", "value", checkpoint_every=0)
+    assert T.snapshot(table)["features"] == \
+        ["column-mapping", "deletion-vectors"]
+    assert T.describe(table)["features"] == \
+        ["column-mapping", "deletion-vectors"]
+    # a second dv delete does NOT restamp (monotone, no noise)
+    T.delete_where(spark, table, "id = 2", mode="dv",
+                   checkpoint_every=0)
+    e = json.load(open(T._version_file(
+        table, T.snapshot(table)["version"])))
+    assert "features" not in e
+    # time travel before the rename replays the smaller set
+    assert T.snapshot(table, v_dv)["features"] == \
+        ["deletion-vectors"]
+    # features ride checkpoints
+    T._maybe_checkpoint(table, T.snapshot(table)["version"], 1)
+    assert T.snapshot(table)["features"] == \
+        ["column-mapping", "deletion-vectors"]
+
+
+def test_unknown_feature_refuses_every_access(spark, table):
+    """A table written by a future implementation with a feature
+    this reader lacks must refuse EVERY access (snapshot-level
+    check), not silently misread."""
+    import json
+    import os
+    import time as _time
+    v = T.snapshot(table)["version"] + 1
+    entry = {"op": "append", "ts": _time.time(), "actions": [],
+             "features": ["vacuum-protocol-v9"]}
+    tmp = os.path.join(T._log_path(table), "tmp-x.part")
+    json.dump(entry, open(tmp, "w"))
+    os.link(tmp, T._version_file(table, v))
+    os.unlink(tmp)
+    with pytest.raises(T.UnsupportedTableFeature, match="v9"):
+        T.read(spark, table)
+    with pytest.raises(T.UnsupportedTableFeature):
+        T.append(spark.range(3).select(
+            "id", (F.col("id") * 2).alias("v")), table)
+    # time travel BEFORE the foreign commit still works
+    assert T.read(spark, table, version=v - 1).count() == 20
