@@ -2241,6 +2241,27 @@ def optimize(spark, root: str, target_bytes: int = 128 * 1024 * 1024,
                 _try_commit(root, snap["version"] + 1, entry):
             _maybe_checkpoint(root, snap["version"] + 1, checkpoint_every)
             return snap["version"] + 1
+        # LOGICAL conflict detection instead of a blind re-run (the
+        # Delta OPTIMIZE conflict rule): a re-layout of specific old
+        # files COMMUTES with any commit that did not TOUCH one of
+        # its victims — concurrent appends (the common case on a
+        # busy table) just land alongside. Re-CAS the already-staged
+        # entry at the new head; only a commit that touched a victim
+        # forces the full recompute. "Touched" is META equality, not
+        # path presence: a concurrent dv-delete re-adds the same
+        # path with a vector ref, and committing our pre-vector
+        # staging over it would resurrect the deleted rows. Without
+        # this fast path, compaction of a high-ingest table starves
+        # — every append restarts the whole rewrite.
+        while True:
+            head = snapshot(root)
+            if any(head["files"].get(p) != snap["files"][p]
+                   for p in victims):
+                break  # a victim changed: semantic conflict
+            if _try_commit(root, head["version"] + 1, entry):
+                _maybe_checkpoint(root, head["version"] + 1,
+                                  checkpoint_every)
+                return head["version"] + 1
     raise CommitConflict(
         f"optimize lost the snapshot race {max_retries} times "
         f"under {root}")

@@ -2237,3 +2237,64 @@ def test_replace_where_guards_and_edges(spark, tmp_path):
         T._plan_window(root, lo, lo + 1, ignore_changes=False)
     feed = T.read_changes(spark, root, from_version=lo)
     assert sorted(r.id for r in feed.collect()) == [60]
+
+
+def test_optimize_commutes_with_concurrent_append(spark, tmp_path,
+                                                  monkeypatch):
+    """OPTIMIZE racing a concurrent APPEND re-CASes its staged
+    entry instead of recomputing (logical conflict detection: a
+    re-layout commutes with commits that don't touch its victims).
+    The hook appends AFTER optimize stages, so the first CAS fails;
+    the staging counter proves no recompute happened."""
+    root = str(tmp_path / "tbl")
+    for b in range(4):
+        T.append(spark.range(b * 5, b * 5 + 5).coalesce(1), root,
+                 checkpoint_every=0)
+    count = {"total": 0, "raced": False}
+    orig = T._stage_write
+
+    def hooked(df, r, pb=None, cm=None):
+        count["total"] += 1
+        adds = orig(df, r, pb, cm)
+        if not count["raced"]:
+            count["raced"] = True
+            T.append(spark.range(500, 503).coalesce(1), root,
+                     checkpoint_every=0)
+        return adds
+
+    monkeypatch.setattr(T, "_stage_write", hooked)
+    T.optimize(spark, root, checkpoint_every=0)
+    # optimize staged ONCE, the interleaved append staged once
+    assert count["total"] == 2
+    assert _ids(T.read(spark, root)) == \
+        list(range(20)) + [500, 501, 502]
+    assert [h["op"] for h in T.history(root)[-2:]] == \
+        ["append", "optimize"]
+
+
+def test_optimize_recomputes_on_victim_conflict(spark, tmp_path,
+                                                monkeypatch):
+    """A concurrent dv-delete that touches a victim is a REAL
+    conflict: the staged re-layout would resurrect the deleted
+    rows, so optimize must recompute on the fresh snapshot."""
+    root = str(tmp_path / "tbl")
+    for b in range(4):
+        T.append(spark.range(b * 5, b * 5 + 5).coalesce(1), root,
+                 checkpoint_every=0)
+    count = {"total": 0, "raced": False}
+    orig = T._stage_write
+
+    def hooked(df, r, pb=None, cm=None):
+        count["total"] += 1
+        adds = orig(df, r, pb, cm)
+        if not count["raced"]:
+            count["raced"] = True
+            T.delete_where(spark, root, "id = 7", mode="dv",
+                           checkpoint_every=0)
+        return adds
+
+    monkeypatch.setattr(T, "_stage_write", hooked)
+    T.optimize(spark, root, checkpoint_every=0)
+    assert count["total"] >= 2  # recompute happened
+    assert _ids(T.read(spark, root)) == \
+        [i for i in range(20) if i != 7]  # no resurrection
