@@ -95,3 +95,42 @@ def test_read_where_equals_full_filter(spark, tables, cond):
             tuple(_norm(v) for v in r)
             for r in T.read(spark, root).where(cond).collect())
         assert got == want, (root, cond)
+
+
+@pytest.fixture(scope="module")
+def mapped_table(spark, tmp_path_factory):
+    """A COLUMN-MAPPED twin (r11 third stint): the same data lands
+    under original names (i0/f0/s0), three renames re-point the
+    logical schema, and one more file lands POST-rename (written
+    physically under the original names) — so the property runs
+    over a mixed-age mapped table with every pruning blind spot."""
+    base = tmp_path_factory.mktemp("rw_prop_map")
+    mk = (lambda lo, hi, a, b, c: spark.range(lo, hi).selectExpr(
+        f"id as {a}",
+        f"if(id % 11 = 0, cast(null as double),"
+        f" if(id % 13 = 0, cast('NaN' as double),"
+        f"  cast(id - 40 as double))) as {b}",
+        f"if(id % 7 = 0, '', concat('s', id % 19)) as {c}",
+        "cast(id % 3 as int) as p").coalesce(1))
+    root = str(base / "mapped")
+    for lo in range(0, 90, 30):
+        T.append(mk(lo, lo + 30, "i0", "f0", "s0"), root,
+                 checkpoint_every=0)
+    for old, new in (("i0", "i"), ("f0", "f"), ("s0", "s")):
+        T.rename_column(root, old, new, checkpoint_every=0)
+    T.append(mk(90, 120, "i", "f", "s"), root, checkpoint_every=0)
+    return root
+
+
+@settings(max_examples=25, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(cond=_predicate)
+def test_read_where_equals_full_filter_mapped(spark, mapped_table,
+                                              cond):
+    got = sorted(
+        tuple(_norm(v) for v in r)
+        for r in T.read_where(spark, mapped_table, cond).collect())
+    want = sorted(
+        tuple(_norm(v) for v in r)
+        for r in T.read(spark, mapped_table).where(cond).collect())
+    assert got == want, cond
