@@ -36,7 +36,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING POLICY: the driver records correctness rows for the
     FIRST 50 entries only (tests/test_entry_contract.py asserts the
     boundary position). Entries rotate per round. The r11 window:
-    (0) the TWELVE txlog-format keys — the format changed this round
+    (0) the THIRTEEN txlog-format keys — the format changed this round
     (composite MERGE keys, MERGE-DELETE with the NEW
     txlog_delete_scan oracle key, schema-projected file reads,
     zero-row-part staging guard; mid-round: predicate DML with the
@@ -47,9 +47,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ROW-LEVEL CDF with the NEW txlog_cdf_rows key, CDF-driven
     replication with the NEW txlog_replica_scan key, and COLUMN
     MAPPING — rename/drop without rewrite — with the NEW
-    txlog_rename_scan key, and replaceWhere with the NEW
-    txlog_replace_scan key), so all twelve evidence on the new
-    code; (1) the eight keys VERDICT r10 names as stranded at
+    txlog_rename_scan key, replaceWhere with the NEW
+    txlog_replace_scan key, and GENERATED COLUMNS with the NEW
+    txlog_generated_scan key), so all thirteen evidence on the
+    new code; (1) the eight keys VERDICT r10 names as stranded at
     r4 driver evidence (temperature_sample, mixture_schedule,
     gopher_repetition, pack_sequences, assign_ids,
     heavy_hitters_stream_scale, embedding_neardup_lsh,
@@ -74,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txlog_replica_scan": _tf.txlog_replica_scan,
         "txlog_rename_scan": _tf.txlog_rename_scan,
         "txlog_replace_scan": _tf.txlog_replace_scan,
+        "txlog_generated_scan": _tf.txlog_generated_scan,
         "txlog_delete_scan": _tf.txlog_delete_scan,
         "txlog_update_scan": _tf.txlog_update_scan,
         "txlog_partition_scan": _tf.txlog_partition_scan,
@@ -122,8 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": _tp.perplexity_buckets,
         "weighted_sample": _tp.weighted_sample,
         "shuffle_corpus": _tp.shuffle_corpus,
-        "winnow_fingerprints": _tp.winnow_fingerprints,
-        # ==== WINDOW BOUNDARY (50): winnow_fingerprints is entry 50;
+        # ==== WINDOW BOUNDARY (50): shuffle_corpus is entry 50;
         #      the driver records rows for nothing below this line.
         #      tests/test_entry_contract.py asserts this position.
         #      txlog_update_scan + txlog_partition_scan +
@@ -135,19 +136,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      vectors) + txlog_cdf_rows (row-level CDF) +
         #      txlog_replica_scan (CDF-driven replication) +
         #      txlog_rename_scan (column mapping) +
-        #      txlog_replace_scan (replaceWhere) displaced
+        #      txlog_replace_scan (replaceWhere) +
+        #      txlog_generated_scan (generated columns) displaced
         #      pagerank_knn, dedup_keep_best, decontaminate_spans,
-        #      quality_attributes and longest_dup_span — a NEW
-        #      key's first evidence outranks refreshing one more r7
-        #      key; the eight join event_transitions as r12
-        #      rotation heads ====
+        #      quality_attributes, longest_dup_span and
+        #      winnow_fingerprints — a NEW key's first evidence
+        #      outranks refreshing one more r7 key; the nine join
+        #      event_transitions as r12 rotation heads ====
         # -- tail: r9/r10-evidenced keys rotate out (their rows
         #    stand), plus the declared rows-only set;
         #    event_transitions + pagerank_knn + dedup_keep_best +
         #    decontaminate_spans + quality_attributes +
-        #    longest_dup_span + containment_pairs +
-        #    semdedup_keep_central + kneser_ney_score lead the r12
-        #    rotation --
+        #    longest_dup_span + winnow_fingerprints +
+        #    containment_pairs + semdedup_keep_central +
+        #    kneser_ney_score lead the r12 rotation --
+        "winnow_fingerprints": _tp.winnow_fingerprints,
         "longest_dup_span": _tp.longest_dup_span,
         "quality_attributes": _tp.quality_attributes,
         "decontaminate_spans": _tp.decontaminate_spans,
@@ -283,6 +286,7 @@ def oracle_sql() -> dict[str, str]:
         "txlog_replica_scan": _tf.TXLOG_REPLICA_SCAN_SQL,
         "txlog_rename_scan": _tf.TXLOG_RENAME_SCAN_SQL,
         "txlog_replace_scan": _tf.TXLOG_REPLACE_SCAN_SQL,
+        "txlog_generated_scan": _tf.TXLOG_GENERATED_SCAN_SQL,
         "txlog_delete_scan": _tf.TXLOG_DELETE_SCAN_SQL,
         "txlog_update_scan": _tf.TXLOG_UPDATE_SCAN_SQL,
         "txlog_partition_scan": _tf.TXLOG_PARTITION_SCAN_SQL,

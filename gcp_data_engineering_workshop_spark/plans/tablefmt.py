@@ -279,6 +279,30 @@ def txlog_replace_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.read(spark, root).orderBy("o_orderkey")
 
 
+def txlog_generated_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E22 GENERATED COLUMNS under the oracle gate (new r11, third
+    stint): the table declares a generated PARTITION column
+    (bucket = o_orderkey % 7) that no writer ever supplies — both
+    appends land just the base columns and the column computes,
+    laying out hive partitions. An UPDATE then shifts cheap orders'
+    keys, and the generated column RECOMPUTES on the post-update
+    rows. The final read_where prunes on the generated partition
+    column and must equal CASE-WHEN + modulo SQL."""
+    root = tempfile.mkdtemp(prefix="txlog_gen_") + "/t"
+    orders = _orders(spark, sf_dir)
+    T.append(orders.where(F.col("o_orderkey") % 2 == 0), root,
+             partition_by=["bucket"],
+             generated={"bucket": "o_orderkey % 7"},
+             checkpoint_every=0)
+    T.append(orders.where(F.col("o_orderkey") % 2 == 1), root,
+             checkpoint_every=0)
+    T.update_where(spark, root, "o_totalprice < 1000",
+                   {"o_orderkey": "o_orderkey + 1000000000"},
+                   checkpoint_every=0)
+    return (T.read_where(spark, root, "bucket = 3")
+            .orderBy("o_orderkey", "o_custkey"))
+
+
 def txlog_update_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E22 predicate DML under the oracle gate (new r11): orders
     lands as four range-interleaved commits, then
@@ -500,6 +524,21 @@ SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2,
 FROM orders
 WHERE o_orderstatus = 'P'
 ORDER BY o_orderkey
+"""
+
+TXLOG_GENERATED_SCAN_SQL = """
+WITH upd AS (
+  SELECT CASE WHEN o_totalprice < 1000
+              THEN o_orderkey + 1000000000
+              ELSE o_orderkey END AS o_orderkey,
+         o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderpriority, o_orderkey % 7 AS bucket
+FROM upd
+WHERE o_orderkey % 7 = 3
+ORDER BY o_orderkey, o_custkey
 """
 
 TXLOG_UPDATE_SCAN_SQL = """

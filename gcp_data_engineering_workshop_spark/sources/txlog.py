@@ -195,7 +195,8 @@ def _list_checkpoints(root: str) -> list[int]:
 # physical names or miss columns). Features are monotone — never
 # removed — exactly like Delta's protocol upgrades; time travel to a
 # version before a feature's first use replays the smaller set.
-SUPPORTED_FEATURES = frozenset({"deletion-vectors", "column-mapping"})
+SUPPORTED_FEATURES = frozenset({"deletion-vectors", "column-mapping",
+                                "generated-columns"})
 
 
 class UnsupportedTableFeature(Exception):
@@ -233,10 +234,12 @@ def snapshot(root: str, version: int | None = None) -> dict:
     colmap: dict[str, str] = {}
     phys_dropped: list[str] = []
     feats: set[str] = set()
+    generated: dict[str, str] = {}
     if cps:
         colmap = dict(cp.get("colmap", {}))
         phys_dropped = list(cp.get("phys_dropped", []))
         feats = set(cp.get("features", []))
+        generated = dict(cp.get("generated", {}))
     for v in versions:
         if v <= start or v > version:
             continue
@@ -258,6 +261,8 @@ def snapshot(root: str, version: int | None = None) -> dict:
         if "phys_dropped" in entry:
             phys_dropped = list(entry["phys_dropped"])
         feats.update(entry.get("features", []))
+        if "generated" in entry:
+            generated = dict(entry["generated"])
         if entry["op"] == "set-constraint":
             constraints[entry["name"]] = entry["expr"]
         elif entry["op"] == "drop-constraint":
@@ -272,7 +277,7 @@ def snapshot(root: str, version: int | None = None) -> dict:
     return {"version": version, "files": live, "txn": txn,
             "schema": schema, "partition_by": part_by,
             "colmap": colmap, "phys_dropped": phys_dropped,
-            "features": sorted(feats),
+            "features": sorted(feats), "generated": generated,
             "constraints": constraints}
 
 
@@ -323,6 +328,7 @@ def describe(root: str, version: int | None = None) -> dict:
             "schema_ddl": ddl,
             "colmap": dict(snap.get("colmap", {})),
             "features": list(snap.get("features", [])),
+            "generated": dict(snap.get("generated", {})),
             "constraints": dict(snap.get("constraints", {})),
             "txn": dict(snap.get("txn", {}))}
 
@@ -564,6 +570,7 @@ def _maybe_checkpoint(root: str, version: int,
                        "colmap": snap.get("colmap", {}),
                        "phys_dropped": snap.get("phys_dropped", []),
                        "features": snap.get("features", []),
+                       "generated": snap.get("generated", {}),
                        "constraints": snap.get("constraints", {})},
                       fh)
         os.replace(tmp, path)
@@ -631,6 +638,28 @@ def drop_constraint(root: str, name: str, max_retries: int = 20,
             return v
     raise CommitConflict(f"drop_constraint lost the version race "
                          f"{max_retries} times under {root}")
+
+
+def _apply_generated(df: DataFrame, gen: dict) -> DataFrame:
+    """GENERATED ALWAYS AS, the write half (r11 third stint):
+    columns the incoming frame OMITS are computed from their
+    recorded expression; columns it PROVIDES are validated against
+    it (null-safe equality through the CHECK machinery — Delta's
+    implicit generated-column constraint), so a writer can never
+    silently land a value that contradicts the declaration."""
+    from pyspark.sql import functions as F
+
+    if not gen:
+        return df
+    present = {}
+    for c, expr in gen.items():
+        if c in df.columns:
+            present[f"generated<{c}>"] = f"{c} <=> ({expr})"
+        else:
+            df = df.withColumn(c, F.expr(expr))
+    if present:
+        _check_constraints(df, present)
+    return df
 
 
 def _evolved_colmap(snap: dict, rec_json: str | None) -> dict | None:
@@ -712,6 +741,13 @@ def rename_column(root: str, old: str, new: str,
                 raise ValueError(
                     f"rename_column: constraint {cname!r} "
                     f"references {old!r}; drop it first")
+        for gname, gexpr in (snap.get("generated") or {}).items():
+            if gname == old or re.search(
+                    rf"\b{re.escape(old)}\b", gexpr):
+                raise ValueError(
+                    f"rename_column: {old!r} is (or feeds) the "
+                    f"generated column {gname!r}; the recorded "
+                    f"expression would break")
         cmap = dict(snap.get("colmap") or {})
         cmap[new] = cmap.pop(old, old)
         new_st = StructType(
@@ -766,6 +802,12 @@ def drop_column(root: str, name: str, max_retries: int = 5,
                 raise ValueError(
                     f"drop_column: constraint {cname!r} references "
                     f"{name!r}; drop it first")
+        for gname, gexpr in (snap.get("generated") or {}).items():
+            if gname != name and re.search(
+                    rf"\b{re.escape(name)}\b", gexpr):
+                raise ValueError(
+                    f"drop_column: {name!r} feeds the generated "
+                    f"column {gname!r}; drop that first")
         cmap = dict(snap.get("colmap") or {})
         phys = cmap.pop(name, name)
         dropped = list(snap.get("phys_dropped", []))
@@ -778,6 +820,10 @@ def drop_column(root: str, name: str, max_retries: int = 5,
                  "colmap": cmap, "phys_dropped": dropped,
                  "actions": []}
         _mark_feature(entry, snap, "column-mapping")
+        gen = snap.get("generated") or {}
+        if name in gen:
+            entry["generated"] = {k: v for k, v in gen.items()
+                                  if k != name}
         if snapshot(root)["version"] == snap["version"] and \
                 _try_commit(root, snap["version"] + 1, entry):
             _maybe_checkpoint(root, snap["version"] + 1,
@@ -790,7 +836,8 @@ def drop_column(root: str, name: str, max_retries: int = 5,
 def append(df: DataFrame, root: str, max_retries: int = 20,
            checkpoint_every: int = 10,
            merge_schema: bool = False,
-           partition_by: list[str] | None = None) -> int:
+           partition_by: list[str] | None = None,
+           generated: dict[str, str] | None = None) -> int:
     """Transactionally append ``df``. An append's actions reference
     only its OWN new files, so it serializes after any concurrent
     commit without semantic conflict (append-after-overwrite simply
@@ -811,11 +858,27 @@ def append(df: DataFrame, root: str, max_retries: int = 20,
     carries its exact partition values for pruning. Later appends
     INHERIT the recorded spec (passing a different one refuses);
     re-partitioning an existing table is an overwrite-only
-    operation — directory layout is physical, not per-commit."""
+    operation — directory layout is physical, not per-commit.
+
+    GENERATED COLUMNS (r11 third stint, Delta's GENERATED ALWAYS
+    AS): ``generated={col: expr}`` on the CREATING append records
+    the spec like constraints; every write path computes a column
+    the incoming frame omits and VALIDATES one it provides
+    (null-safe equality — a contradicting value refuses). Composes
+    with partitioning: ``partition_by`` a generated date/bucket
+    column and writers supply only the base columns."""
     os.makedirs(root, exist_ok=True)
     snap0 = snapshot(root)
     recorded_pb = snap0.get("partition_by") or []
     creating = snap0["version"] == 0
+    gen = dict(generated or {}) if creating \
+        else dict(snap0.get("generated") or {})
+    if not creating and generated is not None and \
+            dict(generated) != gen:
+        raise ValueError(
+            f"table under {root} records generated columns {gen}; "
+            f"an append cannot change them")
+    df = _apply_generated(df, gen)
     if creating:
         spec = list(partition_by or [])
     else:
@@ -840,6 +903,9 @@ def append(df: DataFrame, root: str, max_retries: int = 20,
         _mark_feature(entry, snap0, "column-mapping")
     if creating and spec:
         entry["partition_by"] = spec
+    if creating and gen:
+        entry["generated"] = gen
+        _mark_feature(entry, snap0, "generated-columns")
     for _ in range(max_retries):
         head = _list_versions(root)
         v = (head[-1] if head else 0) + 1
@@ -852,7 +918,8 @@ def append(df: DataFrame, root: str, max_retries: int = 20,
 
 def overwrite(df: DataFrame, root: str, expected_version: int | None = None,
               max_retries: int = 20, checkpoint_every: int = 10,
-              partition_by: list[str] | None = None) -> int:
+              partition_by: list[str] | None = None,
+              generated: dict[str, str] | None = None) -> int:
     """Transactionally replace the table's contents. If
     ``expected_version`` is given, the overwrite only commits if the
     head is still that version (compare-and-swap semantics — the
@@ -876,6 +943,8 @@ def overwrite(df: DataFrame, root: str, expected_version: int | None = None,
     (they are all removed in the same commit)."""
     os.makedirs(root, exist_ok=True)
     spec = list(partition_by or [])
+    gen = dict(generated or {})
+    df = _apply_generated(df, gen)
     _check_constraints(df, snapshot(root).get("constraints", {}))
     adds = _stage_write(df, root, spec)
     for _ in range(max_retries):
@@ -896,11 +965,13 @@ def overwrite(df: DataFrame, root: str, expected_version: int | None = None,
                  # spec resets the same way
                  "schema": _schema_check(df, None, False),
                  "partition_by": spec,
-                 # full-replace resets the column mapping the way
-                 # it resets the schema: the new files are written
+                 # full-replace resets the column mapping (and the
+                 # generated-column spec) the way it resets the
+                 # schema: the new files are written
                  # logical==physical and the old (possibly mapped)
                  # files are all removed in the same commit
-                 "colmap": {}, "phys_dropped": []}
+                 "colmap": {}, "phys_dropped": [],
+                 "generated": gen}
         if _try_commit(root, snap["version"] + 1, entry):
             _maybe_checkpoint(root, snap["version"] + 1,
                               checkpoint_every)
@@ -1287,6 +1358,8 @@ def merge_upsert(spark, root: str, updates: DataFrame,
     os.makedirs(root, exist_ok=True)
     for _ in range(max_retries):
         snap = snapshot(root)
+        updates = _apply_generated(updates, snap.get("generated")
+                                   or {})
         rec = None
         if snap.get("schema") is not None:
             # updates must match the table exactly, OR evolve it
@@ -1955,6 +2028,14 @@ def update_where(spark, root: str, condition: str,
             raise ValueError(
                 f"update_where: SET targets not in the table schema: "
                 f"{sorted(unknown)}")
+        gen = snap.get("generated") or {}
+        gen_hit = set(assignments) & set(gen)
+        if gen_hit:
+            raise ValueError(
+                f"update_where: {sorted(gen_hit)} are GENERATED "
+                f"columns — they recompute from their expression "
+                f"when source columns update; assign the sources "
+                f"instead")
         # the match flag rides in a name no user schema can carry
         # (column names with backticks aside, the uuid suffix makes
         # collision with real data practically impossible)
@@ -1980,6 +2061,10 @@ def update_where(spark, root: str, condition: str,
                          .collect())}
             matched = flagged.where(F.col(flag))
             updated = matched.select(*sel)
+            for c, e in gen.items():
+                # generated columns recompute on the POST-update row
+                updated = updated.withColumn(
+                    c, F.expr(e).cast(updated.schema[c].dataType))
             if snap.get("constraints"):
                 _check_constraints(updated, snap["constraints"])
             # size the new files by the MATCHED fraction of the
@@ -2000,6 +2085,11 @@ def update_where(spark, root: str, condition: str,
                        + [{"add": a} for a in adds])
         else:
             rewritten = flagged.select(*sel, flag)
+            for c, e in gen.items():
+                rewritten = rewritten.withColumn(
+                    c, F.when(F.col(flag), F.expr(e)
+                              .cast(rewritten.schema[c].dataType))
+                    .otherwise(F.col(c)))
             if snap.get("constraints"):
                 _check_constraints(rewritten.where(flag).drop(flag),
                                    snap["constraints"])
@@ -2061,6 +2151,7 @@ def overwrite_where(spark, df: DataFrame, root: str, condition: str,
     os.makedirs(root, exist_ok=True)
     for _ in range(max_retries):
         snap = snapshot(root)
+        df = _apply_generated(df, snap.get("generated") or {})
         rec = _schema_check(df, snap.get("schema"), False)
         _check_constraints(df, snap.get("constraints", {}))
         cand = _files_possibly_matching(snap, conjuncts) \
@@ -2486,6 +2577,8 @@ def stream_sink(root: str, app_id: str = "stream",
         snap0 = snapshot(root)
         if snap0["txn"].get(app_id, -1) >= batch_id:
             return  # replayed micro-batch: already committed
+        batch_df = _apply_generated(batch_df,
+                                    snap0.get("generated") or {})
         rec = _schema_check(batch_df, snap0.get("schema"), False)
         _check_constraints(batch_df, snap0.get("constraints", {}))
         adds = _stage_write(batch_df, root,
@@ -2672,6 +2765,7 @@ def restore(root: str, version: int | None = None,
         # logical names at the same eternal physical columns
         entry["colmap"] = target.get("colmap", {})
         entry["phys_dropped"] = target.get("phys_dropped", [])
+        entry["generated"] = target.get("generated", {})
         # the PARTITION SPEC rolls back with the files (r11): a
         # restore past a re-partitioning overwrite re-points the
         # live set at old-layout files — leaving the head's spec in

@@ -256,3 +256,82 @@ def test_unknown_feature_refuses_every_access(spark, table):
             "id", (F.col("id") * 2).alias("v")), table)
     # time travel BEFORE the foreign commit still works
     assert T.read(spark, table, version=v - 1).count() == 20
+
+
+# ------------------------------------------------------------------ #
+# generated columns (r11 third stint)
+# ------------------------------------------------------------------ #
+
+
+def test_generated_compute_validate_and_partition(spark, tmp_path):
+    """GENERATED ALWAYS AS: omitted columns compute, provided ones
+    validate (a contradiction refuses), and a generated PARTITION
+    column gives pruning on writes that never supplied it."""
+    root = str(tmp_path / "tbl")
+    base = spark.range(30).selectExpr("id", "id * 10 as v")
+    T.append(base, root, partition_by=["bucket"],
+             generated={"bucket": "id % 3"}, checkpoint_every=0)
+    assert T.describe(root)["generated"] == {"bucket": "id % 3"}
+    assert "generated-columns" in T.snapshot(root)["features"]
+    got = sorted((r.id, r.bucket) for r in
+                 T.read(spark, root).collect())
+    assert got == [(i, i % 3) for i in range(30)]
+    # partition pruning on the generated column
+    assert sorted(r.id for r in T.read_where(
+        spark, root, "bucket = 1").collect()) == \
+        [i for i in range(30) if i % 3 == 1]
+    # a later append inherits and computes
+    T.append(spark.range(30, 33).selectExpr("id", "id * 10 as v"),
+             root, checkpoint_every=0)
+    assert T.read(spark, root).where("id = 31").collect()[0] \
+        .bucket == 1
+    # a provided CORRECT value passes; a contradiction refuses
+    ok = spark.range(33, 34).selectExpr(
+        "id", "id * 10 as v", "cast(id % 3 as bigint) as bucket")
+    T.append(ok, root, checkpoint_every=0)
+    bad = spark.range(34, 35).selectExpr(
+        "id", "id * 10 as v", "cast(99 as bigint) as bucket")
+    with pytest.raises(T.ConstraintViolation):
+        T.append(bad, root, checkpoint_every=0)
+
+
+def test_generated_recomputes_on_update(spark, tmp_path):
+    """UPDATE of a source column recomputes the generated column
+    (both write modes); assigning the generated column refuses."""
+    root = str(tmp_path / "tbl")
+    T.append(spark.range(20).selectExpr("id", "id as src"), root,
+             generated={"twice": "src * 2"}, checkpoint_every=0)
+    with pytest.raises(ValueError, match="GENERATED"):
+        T.update_where(spark, root, "id = 1", {"twice": "5"})
+    T.update_where(spark, root, "id < 3", {"src": "src + 100"},
+                   checkpoint_every=0)
+    T.update_where(spark, root, "id = 3", {"src": "src + 100"},
+                   mode="dv", checkpoint_every=0)
+    rows = {r.id: (r.src, r.twice) for r in
+            T.read(spark, root).collect()}
+    assert rows[0] == (100, 200) and rows[3] == (103, 206)
+    assert rows[10] == (10, 20)
+    # merge computes for omitted generated columns too
+    T.merge_upsert(spark, root, spark.createDataFrame(
+        [(50, 7)], "id bigint, src bigint"), "id",
+        checkpoint_every=0)
+    assert {r.twice for r in T.read(spark, root)
+            .where("id = 50").collect()} == {14}
+
+
+def test_generated_rename_drop_rules(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    T.append(spark.range(5).selectExpr("id", "id as src"), root,
+             generated={"twice": "src * 2"}, checkpoint_every=0)
+    with pytest.raises(ValueError, match="generated"):
+        T.rename_column(root, "src", "s2")  # feeds the expression
+    with pytest.raises(ValueError, match="generated"):
+        T.rename_column(root, "twice", "t2")  # is generated
+    with pytest.raises(ValueError, match="feeds"):
+        T.drop_column(root, "src")
+    # dropping the generated column itself removes its spec
+    T.drop_column(root, "twice", checkpoint_every=0)
+    assert T.snapshot(root)["generated"] == {}
+    T.append(spark.range(5, 8).selectExpr("id", "id as src"), root,
+             checkpoint_every=0)
+    assert T.read(spark, root).count() == 8

@@ -45,6 +45,7 @@ R11_WINDOW_PRIORITY = {
     "txlog_delete_scan", "txlog_update_scan", "txlog_partition_scan",
     "txlog_incremental_scan", "txlog_dv_scan", "txlog_cdf_rows",
     "txlog_replica_scan", "txlog_rename_scan", "txlog_replace_scan",
+    "txlog_generated_scan",
     "temperature_sample", "mixture_schedule", "gopher_repetition",
     "pack_sequences", "assign_ids", "heavy_hitters_stream_scale",
     "embedding_neardup_lsh", "embedding_neardup_blocked",
@@ -88,10 +89,10 @@ def test_driver_window_boundary_position():
     the first 50."""
     m = _entry_module()
     keys = list(m.queries())
-    assert keys.index("winnow_fingerprints") == 49, (
+    assert keys.index("shuffle_corpus") == 49, (
         "the '==== WINDOW BOUNDARY (50)' comment in __spark_entry__ "
-        "no longer matches the dict: winnow_fingerprints is at "
-        f"index {keys.index('winnow_fingerprints')}")
+        "no longer matches the dict: shuffle_corpus is at "
+        f"index {keys.index('shuffle_corpus')}")
     window = set(keys[:50])
     assert R11_WINDOW_PRIORITY <= window, R11_WINDOW_PRIORITY - window
 
