@@ -71,6 +71,7 @@ atomic.
 
 from __future__ import annotations
 
+import functools
 import json
 import math
 import os
@@ -235,11 +236,13 @@ def snapshot(root: str, version: int | None = None) -> dict:
     phys_dropped: list[str] = []
     feats: set[str] = set()
     generated: dict[str, str] = {}
+    bloom: dict = {}
     if cps:
         colmap = dict(cp.get("colmap", {}))
         phys_dropped = list(cp.get("phys_dropped", []))
         feats = set(cp.get("features", []))
         generated = dict(cp.get("generated", {}))
+        bloom = dict(cp.get("bloom", {}))
     for v in versions:
         if v <= start or v > version:
             continue
@@ -263,6 +266,8 @@ def snapshot(root: str, version: int | None = None) -> dict:
         feats.update(entry.get("features", []))
         if "generated" in entry:
             generated = dict(entry["generated"])
+        if "bloom" in entry:
+            bloom = dict(entry["bloom"])
         if entry["op"] == "set-constraint":
             constraints[entry["name"]] = entry["expr"]
         elif entry["op"] == "drop-constraint":
@@ -278,7 +283,7 @@ def snapshot(root: str, version: int | None = None) -> dict:
             "schema": schema, "partition_by": part_by,
             "colmap": colmap, "phys_dropped": phys_dropped,
             "features": sorted(feats), "generated": generated,
-            "constraints": constraints}
+            "bloom": bloom, "constraints": constraints}
 
 
 def version_at(root: str, ts: float) -> int:
@@ -329,6 +334,7 @@ def describe(root: str, version: int | None = None) -> dict:
             "colmap": dict(snap.get("colmap", {})),
             "features": list(snap.get("features", [])),
             "generated": dict(snap.get("generated", {})),
+            "bloom": dict(snap.get("bloom", {})),
             "constraints": dict(snap.get("constraints", {})),
             "txn": dict(snap.get("txn", {}))}
 
@@ -463,9 +469,156 @@ def _parse_partition_dirs(rel_dir: str,
     return out
 
 
+# ---------------------------------------------------------------- #
+# per-file BLOOM FILTER INDEXES (point-equality data skipping)
+# ---------------------------------------------------------------- #
+# Footer [min,max] ranges prune RANGE predicates but are useless for
+# point lookups on high-cardinality unordered columns (a uuid/user-id
+# spread across every file overlaps every range). A declared bloom
+# index writes one small sidecar per data file recording the file's
+# distinct values for the indexed columns; `col = literal` conjuncts
+# then open only the files whose filter might contain the literal —
+# the Delta bloom-filter-index idea, stored per file like parquet's
+# own optional bloom pages. Sidecars are immutable (rewrites recompute
+# them), conservative under deletion vectors (a vectored row's value
+# stays in the filter — false positives only), and absent sidecars
+# simply don't prune.
+
+_BLOOM_DIR = "_bloom"
+_BLOOM_LN2 = math.log(2.0)
+
+
+def _bloom_params(n: int, fpp: float) -> tuple[int, int]:
+    """(m bits, k hashes) for n distinct values at the target false
+    positive rate — the standard sizing formulas."""
+    m = max(64, int(-n * math.log(fpp) / (_BLOOM_LN2 ** 2)))
+    k = max(1, round(m / max(n, 1) * _BLOOM_LN2))
+    return m, min(k, 16)
+
+
+def _bloom_key(v) -> bytes | None:
+    """Deterministic byte encoding of an indexable value. Ints and
+    strings only — float equality is numerically fragile and never
+    a sane point-lookup key; unsupported types make the column
+    unindexable in that file (conservative)."""
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, int):
+        return b"i" + str(v).encode()
+    if isinstance(v, str):
+        return b"s" + v.encode()
+    return None
+
+
+def _bloom_hashes(key: bytes, m: int, k: int) -> list[int]:
+    import hashlib
+
+    d = hashlib.blake2b(key, digest_size=16).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _bloom_sidecar(path: str, cols: list[str], fpp: float,
+                   max_ndv: int, colmap: dict | None) -> dict | None:
+    """Build the sidecar dict for one just-staged file: per indexed
+    column, a base64 bitset over the file's DISTINCT values (read
+    back with pyarrow, one column at a time — the same
+    driver-bounded pass _footer_stats makes for ranges). A column
+    whose distinct count exceeds ``max_ndv`` (or whose type isn't
+    indexable) is omitted for that file — no filter, no pruning,
+    never wrong."""
+    import base64
+
+    import pyarrow.parquet as pq
+
+    out = {}
+    pf = pq.ParquetFile(path)
+    names = set(pf.schema_arrow.names)
+    for col in cols:
+        phys = (colmap or {}).get(col, col)
+        if phys not in names:
+            continue
+        vals = pf.read(columns=[phys]).column(0)
+        import pyarrow.compute as pc
+        distinct = pc.unique(vals).to_pylist()
+        if len(distinct) > max_ndv:
+            continue
+        keys = [_bloom_key(v) for v in distinct]
+        keys = [b for b in keys if b is not None]
+        if not keys:
+            continue
+        m, k = _bloom_params(max(len(keys), 1), fpp)
+        bits = bytearray((m + 7) // 8)
+        for b in keys:
+            for pos in _bloom_hashes(b, m, k):
+                bits[pos >> 3] |= 1 << (pos & 7)
+        out[col] = {"m": m, "k": k,
+                    "bits": base64.b64encode(bytes(bits)).decode()}
+    return out or None
+
+
+def _bloom_might_contain(entry: dict, lit) -> bool:
+    import base64
+
+    key = _bloom_key(lit)
+    if key is None:
+        return True  # unindexable literal: never prune
+    bits = base64.b64decode(entry["bits"])
+    for pos in _bloom_hashes(key, entry["m"], entry["k"]):
+        if not (bits[pos >> 3] >> (pos & 7)) & 1:
+            return False
+    return True
+
+
+@functools.lru_cache(maxsize=4096)
+def _bloom_load(path: str) -> dict:
+    """Sidecars are immutable once referenced — cache by path."""
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def set_bloom_index(root: str, cols: list[str], fpp: float = 0.01,
+                    max_ndv: int = 100_000, max_retries: int = 5,
+                    checkpoint_every: int = 10) -> int:
+    """Declare a bloom index over ``cols`` (int/string columns) as a
+    logged table property: every SUBSEQUENT write stages a per-file
+    sidecar and `col = literal` predicates skip files whose filter
+    excludes the literal. Existing files are not back-filled (their
+    absence of a sidecar just means no pruning) — run OPTIMIZE to
+    rewrite them under the index, the Delta contract."""
+    for _ in range(max_retries):
+        snap = snapshot(root)
+        entry = {"op": "set-bloom", "ts": time.time(),
+                 "bloom": {"cols": list(cols), "fpp": fpp,
+                           "max_ndv": max_ndv},
+                 "actions": []}
+        if snapshot(root)["version"] == snap["version"] and \
+                _try_commit(root, snap["version"] + 1, entry):
+            _maybe_checkpoint(root, snap["version"] + 1,
+                              checkpoint_every)
+            return snap["version"] + 1
+    raise CommitConflict(f"set_bloom_index lost the race under {root}")
+
+
+def drop_bloom_index(root: str, max_retries: int = 5,
+                     checkpoint_every: int = 10) -> int:
+    for _ in range(max_retries):
+        snap = snapshot(root)
+        entry = {"op": "drop-bloom", "ts": time.time(),
+                 "bloom": {}, "actions": []}
+        if snapshot(root)["version"] == snap["version"] and \
+                _try_commit(root, snap["version"] + 1, entry):
+            _maybe_checkpoint(root, snap["version"] + 1,
+                              checkpoint_every)
+            return snap["version"] + 1
+    raise CommitConflict(f"drop_bloom_index lost the race under {root}")
+
+
 def _stage_write(df: DataFrame, root: str,
                  partition_by: list[str] | None = None,
-                 colmap: dict | None = None) -> list[dict]:
+                 colmap: dict | None = None,
+                 bloom: dict | None = None) -> list[dict]:
     """Distributed parquet write into a staging dir, then move each
     part under the table root with a unique name. Returns add-action
     metadata (path, bytes, footer min/max stats). Files are
@@ -530,6 +683,39 @@ def _stage_write(df: DataFrame, root: str,
                 add["partition"] = part
             adds.append(add)
     shutil.rmtree(stage, ignore_errors=True)
+    if bloom and bloom.get("cols") and adds:
+        # sidecar build is a DISTRIBUTED job (one task per staged
+        # file): each executor reads its file's indexed columns and
+        # writes the JSON sidecar next to the data — the driver
+        # never touches column data (a serial driver loop measured
+        # ~70 s at 1000 files in the first probe run; the Spark map
+        # is bounded by the slowest single file)
+        spark_s = df.sparkSession
+        cols = list(bloom["cols"])
+        fpp = bloom.get("fpp", 0.01)
+        ndv = bloom.get("max_ndv", 100_000)
+        cm = dict(colmap or {})
+        os.makedirs(os.path.join(root, _BLOOM_DIR), exist_ok=True)
+        jobs = [(os.path.join(root, a["path"]),
+                 os.path.basename(a["path"])) for a in adds]
+
+        root_abs = os.path.abspath(root)
+
+        def _mk(job):
+            dst, base = job
+            sc_ = _bloom_sidecar(dst, cols, fpp, ndv, cm)
+            if sc_ is None:
+                return (base, None)
+            brel = f"{_BLOOM_DIR}/{base}.json"
+            with open(os.path.join(root_abs, brel), "w") as fh:
+                json.dump(sc_, fh)
+            return (base, brel)
+        built = dict(spark_s.sparkContext.parallelize(
+            jobs, min(len(jobs), 64)).map(_mk).collect())
+        for a in adds:
+            brel = built.get(os.path.basename(a["path"]))
+            if brel:
+                a["bloom"] = brel
     return adds
 
 
@@ -571,6 +757,7 @@ def _maybe_checkpoint(root: str, version: int,
                        "phys_dropped": snap.get("phys_dropped", []),
                        "features": snap.get("features", []),
                        "generated": snap.get("generated", {}),
+                       "bloom": snap.get("bloom", {}),
                        "constraints": snap.get("constraints", {})},
                       fh)
         os.replace(tmp, path)
@@ -748,6 +935,10 @@ def rename_column(root: str, old: str, new: str,
                     f"rename_column: {old!r} is (or feeds) the "
                     f"generated column {gname!r}; the recorded "
                     f"expression would break")
+        if old in (snap.get("bloom") or {}).get("cols", []):
+            raise ValueError(
+                f"rename_column: {old!r} is bloom-indexed; drop "
+                f"the index first (sidecars key the logical name)")
         cmap = dict(snap.get("colmap") or {})
         cmap[new] = cmap.pop(old, old)
         new_st = StructType(
@@ -893,7 +1084,8 @@ def append(df: DataFrame, root: str, max_retries: int = 20,
     new_cmap = _evolved_colmap(snap0, rec)
     eff_cmap = (new_cmap if new_cmap is not None
                 else snap0.get("colmap"))
-    adds = _stage_write(df, root, spec, eff_cmap)
+    adds = _stage_write(df, root, spec, eff_cmap,
+                        snap0.get("bloom"))
     entry = {"op": "append", "ts": time.time(),
              "actions": [{"add": a} for a in adds]}
     if rec is not None:
@@ -945,8 +1137,11 @@ def overwrite(df: DataFrame, root: str, expected_version: int | None = None,
     spec = list(partition_by or [])
     gen = dict(generated or {})
     df = _apply_generated(df, gen)
-    _check_constraints(df, snapshot(root).get("constraints", {}))
-    adds = _stage_write(df, root, spec)
+    snap0 = snapshot(root)
+    _check_constraints(df, snap0.get("constraints", {}))
+    # bloom spec is a table PROPERTY (like constraints): it
+    # survives a full replace and indexes the new files
+    adds = _stage_write(df, root, spec, None, snap0.get("bloom"))
     for _ in range(max_retries):
         snap = snapshot(root)
         if expected_version is not None and \
@@ -1396,7 +1591,8 @@ def merge_upsert(spark, root: str, updates: DataFrame,
         new_cmap = _evolved_colmap(snap, rec)
         adds = _stage_write(merged, root, snap.get("partition_by"),
                             (new_cmap if new_cmap is not None
-                             else snap.get("colmap")))
+                             else snap.get("colmap")),
+                            snap.get("bloom"))
         entry = {"op": "merge", "ts": time.time(),
                  "actions": ([{"remove": {"path": p}} for p in touched]
                              + [{"add": a} for a in adds])}
@@ -1485,7 +1681,8 @@ def merge_delete(spark, root: str, keys_df: DataFrame,
                 .join(probe, keys, "left_anti"), snap, touched)
             adds = _stage_write(survivors, root,
                                 snap.get("partition_by"),
-                                snap.get("colmap"))
+                                snap.get("colmap"),
+                                snap.get("bloom"))
             actions = ([{"remove": {"path": p}} for p in touched]
                        + [{"add": a} for a in adds])
         entry = {"op": "merge", "ts": time.time(), "matched": "delete",
@@ -1727,7 +1924,8 @@ def _effective_stats(meta: dict, types: dict[str, str],
 
 
 def _files_possibly_matching(snap: dict,
-                             conjuncts: list[tuple]) -> list[str]:
+                             conjuncts: list[tuple],
+                             snap_root: str | None = None) -> list[str]:
     """Stat-prune the live set against the predicate's recognized
     conjuncts: a file survives unless SOME conjunct's range test
     proves it can't match (missing stats always survive). Partition
@@ -1770,12 +1968,23 @@ def _files_possibly_matching(snap: dict,
                     break
                 continue
             st = stats.get(col)
-            if st is None:
-                continue
-            is_f = col in float_cols or isinstance(st[0], float)
-            if _stat_excludes(st, op, lit, is_f):
-                excluded = True
-                break
+            if st is not None:
+                is_f = col in float_cols or isinstance(st[0], float)
+                if _stat_excludes(st, op, lit, is_f):
+                    excluded = True
+                    break
+            if op in ("=", "==") and "bloom" in m:
+                # point-equality refinement: ranges said "maybe";
+                # the per-file bloom filter can still prove absence
+                try:
+                    sc = _bloom_load(os.path.join(
+                        snap_root, m["bloom"])) if snap_root else None
+                except OSError:
+                    sc = None
+                if sc and col in sc and \
+                        not _bloom_might_contain(sc[col], lit):
+                    excluded = True
+                    break
         if not excluded:
             keep.append(p)
     return keep
@@ -1934,7 +2143,7 @@ def delete_where(spark, root: str, condition: str,
         if not snap["files"]:
             return snap["version"]
         cond = F.expr(condition)
-        cand = _files_possibly_matching(snap, conjuncts)
+        cand = _files_possibly_matching(snap, conjuncts, root)
         touched = _files_with_hits(spark, root, snap, cand, cond) \
             if cand else []
         if not touched:
@@ -1948,7 +2157,8 @@ def delete_where(spark, root: str, condition: str,
                 .where(~cond | cond.isNull()), snap, touched)
             adds = _stage_write(survivors, root,
                                 snap.get("partition_by"),
-                                snap.get("colmap"))
+                                snap.get("colmap"),
+                                snap.get("bloom"))
             actions = ([{"remove": {"path": p}} for p in touched]
                        + [{"add": a} for a in adds])
         entry = {"op": "delete", "ts": time.time(),
@@ -2014,7 +2224,7 @@ def update_where(spark, root: str, condition: str,
         if not snap["files"]:
             return snap["version"]
         cond = F.expr(condition)
-        cand = _files_possibly_matching(snap, conjuncts)
+        cand = _files_possibly_matching(snap, conjuncts, root)
         touched = _files_with_hits(spark, root, snap, cand, cond) \
             if cand else []
         if not touched:
@@ -2079,7 +2289,8 @@ def update_where(spark, root: str, condition: str,
                 n_out, *[F.col(c) for c in pb]) if pb
                 else updated.repartition(n_out))
             adds = _stage_write(updated, root, pb,
-                                snap.get("colmap"))
+                                snap.get("colmap"),
+                                snap.get("bloom"))
             actions = (_dv_mark_actions(spark, root, snap, touched,
                                         matched, per_file)
                        + [{"add": a} for a in adds])
@@ -2096,7 +2307,8 @@ def update_where(spark, root: str, condition: str,
             out = _size_merge_output(rewritten.drop(flag), snap,
                                      touched)
             adds = _stage_write(out, root, pb,
-                                snap.get("colmap"))
+                                snap.get("colmap"),
+                                snap.get("bloom"))
             actions = ([{"remove": {"path": p}} for p in touched]
                        + [{"add": a} for a in adds])
         entry = {"op": "update", "ts": time.time(),
@@ -2154,7 +2366,7 @@ def overwrite_where(spark, df: DataFrame, root: str, condition: str,
         df = _apply_generated(df, snap.get("generated") or {})
         rec = _schema_check(df, snap.get("schema"), False)
         _check_constraints(df, snap.get("constraints", {}))
-        cand = _files_possibly_matching(snap, conjuncts) \
+        cand = _files_possibly_matching(snap, conjuncts, root) \
             if snap["files"] else []
         touched = _files_with_hits(spark, root, snap, cand, cond) \
             if cand else []
@@ -2166,7 +2378,8 @@ def overwrite_where(spark, df: DataFrame, root: str, condition: str,
         else:
             out = df
         adds = _stage_write(out, root, snap.get("partition_by"),
-                            snap.get("colmap"))
+                            snap.get("colmap"),
+                            snap.get("bloom"))
         entry = {"op": "replace", "ts": time.time(),
                  "predicate": condition,
                  "actions": ([{"remove": {"path": p}}
@@ -2244,7 +2457,7 @@ def optimize(spark, root: str, target_bytes: int = 128 * 1024 * 1024,
                     f"optimize where={where!r} has no recognizable "
                     f"col-OP-literal conjunct; scoping would "
                     f"silently cover the whole table")
-            scope = set(_files_possibly_matching(snap, conj))
+            scope = set(_files_possibly_matching(snap, conj, root))
             if not scope:
                 return snap["version"]
         # deletion-vector PURGE rides every rewrite: _read_files
@@ -2324,7 +2537,8 @@ def optimize(spark, root: str, target_bytes: int = 128 * 1024 * 1024,
         else:
             df = df.repartition(n_out)
         adds = _stage_write(df, root, snap.get("partition_by"),
-                            snap.get("colmap"))
+                            snap.get("colmap"),
+                            snap.get("bloom"))
         entry = {"op": "optimize", "ts": time.time(),
                  "actions": ([{"remove": {"path": p}} for p in victims]
                              + [{"add": a} for a in adds])}
@@ -2403,6 +2617,8 @@ def clone(src_root: str, dst_root: str, version: int | None = None,
             # data files — and the same source-vacuum caveat)
             a["dv"] = {**m["dv"],
                        "path": os.path.join(abs_src, m["dv"]["path"])}
+        if "bloom" in m:
+            a["bloom"] = os.path.join(abs_src, m["bloom"])
         return a
 
     entry = {"op": "clone", "ts": time.time(),
@@ -2583,7 +2799,8 @@ def stream_sink(root: str, app_id: str = "stream",
         _check_constraints(batch_df, snap0.get("constraints", {}))
         adds = _stage_write(batch_df, root,
                             snap0.get("partition_by"),
-                            snap0.get("colmap"))
+                            snap0.get("colmap"),
+                            snap0.get("bloom"))
         entry = {"op": "stream-append", "ts": time.time(),
                  "app_id": app_id, "batch_id": batch_id,
                  "actions": [{"add": a} for a in adds]}
@@ -2631,6 +2848,8 @@ def vacuum(root: str, retention_seconds: float = 3600.0,
         cp = json.load(open(os.path.join(
             _log_path(root), f"checkpoint-{cps[-1]:0{_W}d}.json")))
         referenced.update(cp["files"])
+        referenced.update(m["bloom"] for m in cp["files"].values()
+                          if "bloom" in m)
         dv_dirs.update(m["dv"]["path"] for m in cp["files"].values()
                        if "dv" in m)
         start = cps[-1]
@@ -2641,6 +2860,8 @@ def vacuum(root: str, retention_seconds: float = 3600.0,
         for a in e["actions"]:
             if "add" in a:
                 referenced.add(a["add"]["path"])
+                if "bloom" in a["add"]:
+                    referenced.add(a["add"]["bloom"])
                 if "dv" in a["add"]:
                     dv_dirs.add(a["add"]["dv"]["path"])
     now = time.time()
@@ -2658,7 +2879,9 @@ def vacuum(root: str, retention_seconds: float = 3600.0,
             continue
         rel_dir = os.path.relpath(dirpath, root)
         for f in files:
-            if not f.endswith(".parquet"):
+            is_bloom = (rel_dir == _BLOOM_DIR
+                        and f.endswith(".json"))
+            if not f.endswith(".parquet") and not is_bloom:
                 continue
             rel = (f if rel_dir == "." else
                    "/".join([rel_dir.replace(os.sep, "/"), f]))
@@ -3644,7 +3867,7 @@ def read_where(spark, root: str, condition: str,
     conjuncts = _parse_conjuncts(condition)
     if not conjuncts:
         return base.where(condition)
-    keep = _files_possibly_matching(snap, conjuncts)
+    keep = _files_possibly_matching(snap, conjuncts, root)
     if not keep:
         return base.where(condition).limit(0)
     if len(keep) == len(snap["files"]):

@@ -1,0 +1,143 @@
+"""E22: per-file bloom filter indexes — point-equality data
+skipping on high-cardinality unordered columns where footer
+[min,max] ranges cannot prune (sources/txlog.py, the Delta
+bloom-filter-index idea on parquet's own optional-bloom shape)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_data_engineering_workshop_spark.sources import txlog as T
+
+
+def _cand(root, cond):
+    snap = T.snapshot(root)
+    return T._files_possibly_matching(
+        snap, T._parse_conjuncts(cond), root)
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    """Four HASH-sliced files (id % 4): every file's [min,max] id
+    range covers nearly the whole domain, so range stats alone
+    cannot prune a point lookup — the bloom case."""
+    root = str(tmp_path / "tbl")
+    T.set_bloom_index(root, ["id", "tag"], checkpoint_every=0)
+    df = spark.range(400).select(
+        "id", F.concat(F.lit("u"), F.col("id")).alias("tag"))
+    for b in range(4):
+        T.append(df.where(F.col("id") % 4 == b).coalesce(1), root,
+                 checkpoint_every=0)
+    return root
+
+
+def test_bloom_prunes_point_lookups(spark, table):
+    # ranges alone keep all 4 files; the bloom keeps exactly the
+    # one hash slice holding the key
+    assert len(_cand(table, "id = 17")) == 1
+    assert len(_cand(table, "tag = 'u18'")) == 1
+    # a value NO file holds prunes everything
+    assert _cand(table, "id = 100000") == []
+    assert _cand(table, "tag = 'nope'") == []
+    # range predicates are untouched by the index (still 4)
+    assert len(_cand(table, "id >= 0")) == 4
+    # and exactness holds end to end
+    assert [r.id for r in
+            T.read_where(spark, table, "id = 17").collect()] == [17]
+    assert T.read_where(spark, table, "id = 100000").count() == 0
+
+
+def test_bloom_dml_and_rewrite_recompute(spark, table):
+    """Equality DML rides the same pruning; rewrites (merge/
+    OPTIMIZE) recompute sidecars for their fresh files."""
+    T.delete_where(spark, table, "id = 17", checkpoint_every=0)
+    assert T.read(spark, table).count() == 399
+    # the rewrite's fresh file carries a new sidecar
+    snap = T.snapshot(table)
+    assert all("bloom" in m for m in snap["files"].values())
+    assert len(_cand(table, "id = 21")) == 1
+    T.optimize(spark, table, checkpoint_every=0)
+    snap = T.snapshot(table)
+    assert all("bloom" in m for m in snap["files"].values())
+    # after compaction to one file, the lookup opens that one
+    assert len(_cand(table, "id = 21")) == len(snap["files"])
+
+
+def test_bloom_pre_index_files_and_drop(spark, tmp_path):
+    """Files written BEFORE the index have no sidecar and never
+    prune (conservative); OPTIMIZE back-fills by rewriting;
+    drop_bloom_index stops new sidecars."""
+    root = str(tmp_path / "tbl")
+    df = spark.range(100).select("id")
+    T.append(df.where("id % 2 = 0").coalesce(1), root,
+             checkpoint_every=0)
+    T.set_bloom_index(root, ["id"], checkpoint_every=0)
+    T.append(df.where("id % 2 = 1").coalesce(1), root,
+             checkpoint_every=0)
+    snap = T.snapshot(root)
+    assert sum(1 for m in snap["files"].values()
+               if "bloom" in m) == 1
+    # an in-range odd id: the indexed odd file's bloom keeps it AND
+    # the unindexed even file survives on its covering range
+    # (conservative) -> 2 candidates where full indexing gives 1
+    assert len(_cand(root, "id = 3")) == 2
+    # an in-range even id: the odd file's bloom EXCLUDES it -> 1
+    assert len(_cand(root, "id = 2")) == 1
+    T.optimize(spark, root, target_bytes=1 << 30, checkpoint_every=0)
+    assert len(_cand(root, "id = 3")) == 1  # back-filled by rewrite
+    T.drop_bloom_index(root, checkpoint_every=0)
+    T.append(spark.range(100, 103).select("id"), root,
+             checkpoint_every=0)
+    newest = [m for m in T.snapshot(root)["files"].values()
+              if m["stats"]["id"][0] >= 100]
+    assert all("bloom" not in m for m in newest)
+
+
+def test_bloom_caps_and_vacuum(spark, tmp_path):
+    """A column whose distinct count exceeds max_ndv is omitted in
+    that file (no filter, no pruning, never wrong); referenced
+    sidecars survive vacuum, orphaned ones age out."""
+    root = str(tmp_path / "tbl")
+    T.set_bloom_index(root, ["id"], max_ndv=10, checkpoint_every=0)
+    T.append(spark.range(100).select("id").coalesce(1), root,
+             checkpoint_every=0)  # 100 distinct > cap 10
+    snap = T.snapshot(root)
+    assert all("bloom" not in m for m in snap["files"].values())
+    # re-index with a real cap; rewrite picks it up
+    T.set_bloom_index(root, ["id"], checkpoint_every=0)
+    T.optimize(spark, root, target_bytes=1 << 30, purge=True,
+               checkpoint_every=0)
+    T.append(spark.range(100, 200).select("id").coalesce(1), root,
+             checkpoint_every=0)
+    removed = T.vacuum(root, retention_seconds=0.0)
+    assert not any(r.startswith("_bloom/") for r in removed)
+    assert len(_cand(root, "id = 150")) == 1
+    # a rewrite orphans the old sidecars; a checkpoint bounds the
+    # reference scan and vacuum reclaims them
+    T.optimize(spark, root, target_bytes=1 << 30, checkpoint_every=0)
+    T._maybe_checkpoint(root, T.snapshot(root)["version"], 1)
+    removed = T.vacuum(root, retention_seconds=0.0)
+    assert any(r.startswith("_bloom/") for r in removed)
+    assert T.read(spark, root).count() == 200
+
+
+def test_bloom_with_column_mapping(spark, tmp_path):
+    """Sidecars key LOGICAL names; physically renamed files index
+    correctly, and renaming an indexed column refuses."""
+    root = str(tmp_path / "tbl")
+    T.append(spark.range(50).selectExpr("id", "id * 2 as v")
+             .coalesce(1), root, checkpoint_every=0)
+    T.rename_column(root, "v", "value", checkpoint_every=0)
+    T.set_bloom_index(root, ["value"], checkpoint_every=0)
+    T.append(spark.range(50, 100).selectExpr("id", "id * 2 as value")
+             .coalesce(1), root, checkpoint_every=0)
+    # post-index file prunes on the logical name (stored phys 'v')
+    assert len(_cand(root, "value = 120")) == 1  # indexed file hit
+    # value=121 is odd -> not in the indexed file; the pre-index
+    # file has no sidecar and survives on its range
+    assert len(_cand(root, "value = 121")) <= 1
+    with pytest.raises(ValueError, match="bloom"):
+        T.rename_column(root, "value", "w")

@@ -2253,9 +2253,9 @@ def test_optimize_commutes_with_concurrent_append(spark, tmp_path,
     count = {"total": 0, "raced": False}
     orig = T._stage_write
 
-    def hooked(df, r, pb=None, cm=None):
+    def hooked(df, r, *a, **kw):
         count["total"] += 1
-        adds = orig(df, r, pb, cm)
+        adds = orig(df, r, *a, **kw)
         if not count["raced"]:
             count["raced"] = True
             T.append(spark.range(500, 503).coalesce(1), root,
@@ -2284,9 +2284,9 @@ def test_optimize_recomputes_on_victim_conflict(spark, tmp_path,
     count = {"total": 0, "raced": False}
     orig = T._stage_write
 
-    def hooked(df, r, pb=None, cm=None):
+    def hooked(df, r, *a, **kw):
         count["total"] += 1
-        adds = orig(df, r, pb, cm)
+        adds = orig(df, r, *a, **kw)
         if not count["raced"]:
             count["raced"] = True
             T.delete_where(spark, root, "id = 7", mode="dv",
