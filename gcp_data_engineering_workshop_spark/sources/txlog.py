@@ -485,6 +485,11 @@ def _parse_partition_dirs(rel_dir: str,
 # simply don't prune.
 
 _BLOOM_DIR = "_bloom"
+
+# Max in-range update keys probed against one file's bloom sidecar
+# on the merge fast path; beyond it the file is kept on its range
+# alone (probing cost would rival reading the file).
+_BLOOM_PROBE_BOUND = 5000
 _BLOOM_LN2 = math.log(2.0)
 
 
@@ -1232,7 +1237,8 @@ _KEY_COLLECT_BOUND = 2_000_000
 
 
 def _files_touching_keys(spark, files: dict[str, dict], updates: DataFrame,
-                         keys: str | list[str]) -> list[str]:
+                         keys: str | list[str],
+                         snap_root: str | None = None) -> list[str]:
     """The live files that MAY hold a row matching some update row
     on the (possibly composite) ``keys`` — the conjunctive
     per-column intersection of the single-column tests: a row in
@@ -1250,7 +1256,8 @@ def _files_touching_keys(spark, files: dict[str, dict], updates: DataFrame,
         keys = [keys]
     touched: set[str] | None = None
     for k in keys:
-        t = set(_files_touching_keys_col(spark, files, updates, k))
+        t = set(_files_touching_keys_col(spark, files, updates, k,
+                                         snap_root))
         touched = t if touched is None else (touched & t)
         if not touched:
             break
@@ -1258,7 +1265,8 @@ def _files_touching_keys(spark, files: dict[str, dict], updates: DataFrame,
 
 
 def _files_touching_keys_col(spark, files: dict[str, dict],
-                             updates: DataFrame, key: str) -> list[str]:
+                             updates: DataFrame, key: str,
+                             snap_root: str | None = None) -> list[str]:
     """The live files whose footer [min,max] range for ``key``
     intersects at least one update key — plus every file lacking a
     stat for ``key`` (conservative). Two regimes:
@@ -1314,6 +1322,30 @@ def _files_touching_keys_col(spark, files: dict[str, dict],
         for p, (lo, hi) in ranged:
             i = bisect.bisect_left(ks, lo)
             if i < len(ks) and ks[i] <= hi:
+                # BLOOM refinement (r11 third stint): the range says
+                # "maybe" — on an indexed column, probe the file's
+                # sidecar with the in-range update keys; a file whose
+                # filter excludes ALL of them provably holds no
+                # matching row (false positives only widen). A
+                # scattered-key upsert on a hash-laid-out table drops
+                # from "touch every range-overlapping file" to
+                # ~keys + fpp x files. Bounded per file so a huge
+                # key set never turns pruning into the scan.
+                meta = files[p]
+                if snap_root is not None and "bloom" in meta:
+                    j = bisect.bisect_right(ks, hi)
+                    in_range = ks[i:j]
+                    if len(in_range) <= _BLOOM_PROBE_BOUND:
+                        try:
+                            sc = _bloom_load(os.path.join(
+                                snap_root, meta["bloom"]))
+                        except OSError:
+                            sc = None
+                        ent = (sc or {}).get(key)
+                        if ent is not None and not any(
+                                _bloom_might_contain(ent, kv)
+                                for kv in in_range):
+                            continue
                 touched.append(p)
         return touched
     if is_float:
@@ -1578,7 +1610,7 @@ def merge_upsert(spark, root: str, updates: DataFrame,
                         f"only ADD columns")
         _check_constraints(updates, snap.get("constraints", {}))
         touched = _files_touching_keys(
-            spark, _pruning_view(snap), updates, keys) \
+            spark, _pruning_view(snap), updates, keys, root) \
             if snap["files"] else []
         if touched:
             cur = _read_files(spark, root, snap, touched)
@@ -1653,7 +1685,7 @@ def merge_delete(spark, root: str, keys_df: DataFrame,
         snap = snapshot(root)
         probe = keys_df.select(*keys).dropDuplicates(keys)
         touched = _files_touching_keys(
-            spark, _pruning_view(snap), probe, keys) \
+            spark, _pruning_view(snap), probe, keys, root) \
             if snap["files"] else []
         if not touched:
             return snap["version"]  # provably nothing to delete

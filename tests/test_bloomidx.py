@@ -141,3 +141,24 @@ def test_bloom_with_column_mapping(spark, tmp_path):
     assert len(_cand(root, "value = 121")) <= 1
     with pytest.raises(ValueError, match="bloom"):
         T.rename_column(root, "value", "w")
+
+
+def test_bloom_refines_merge_key_pruning(spark, table):
+    """A scattered-key upsert on a hash-laid-out table: ranges keep
+    every file, the bloom keeps ~the files actually holding the
+    keys — MERGE rewrites those only."""
+    ups = spark.createDataFrame(
+        [(17, "u17"), (18, "u18"), (19, "u19")],
+        "id bigint, tag string")
+    # ids 17,18,19 live in slices 1,2,3 -> exactly 3 files touched
+    T.merge_upsert(spark, table, ups, "id", checkpoint_every=0)
+    h = T.history(table)[-1]
+    assert h["op"] == "merge" and h["n_remove"] <= 3
+    got = T.read(spark, table).where("id in (17,18,19)").collect()
+    assert sorted(r.tag for r in got) == ["u17", "u18", "u19"]
+    # by-key delete rides the same refinement
+    T.merge_delete(spark, table,
+                   spark.createDataFrame([(20,)], "id bigint"),
+                   "id", checkpoint_every=0)
+    assert T.history(table)[-1]["n_remove"] <= 1
+    assert T.read(spark, table).where("id = 20").count() == 0

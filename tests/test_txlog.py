@@ -158,13 +158,13 @@ def test_merge_upsert_retries_on_cas_conflict(spark, tmp_path, monkeypatch):
     real_ftk = T._files_touching_keys
     state = {"raced": False}
 
-    def racing_ftk(spark_, files, updates, key):
+    def racing_ftk(spark_, files, updates, key, *a, **kw):
         if not state["raced"]:
             state["raced"] = True
             # a concurrent append lands AFTER the merge snapshotted
             T.append(spark.createDataFrame([(9, "z")],
                                            "k int, v string"), root)
-        return real_ftk(spark_, files, updates, key)
+        return real_ftk(spark_, files, updates, key, *a, **kw)
 
     monkeypatch.setattr(T, "_files_touching_keys", racing_ftk)
     T.merge_upsert(spark, root,
