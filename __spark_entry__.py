@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txlog_rename_scan": _tf.txlog_rename_scan,
         "txlog_replace_scan": _tf.txlog_replace_scan,
         "txlog_generated_scan": _tf.txlog_generated_scan,
+        "dedup_corpus_inplace": _tf.dedup_corpus_inplace,
         "txlog_delete_scan": _tf.txlog_delete_scan,
         "txlog_update_scan": _tf.txlog_update_scan,
         "txlog_partition_scan": _tf.txlog_partition_scan,
@@ -123,8 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": _tp.dsir_select,
         "perplexity_buckets": _tp.perplexity_buckets,
         "weighted_sample": _tp.weighted_sample,
-        "shuffle_corpus": _tp.shuffle_corpus,
-        # ==== WINDOW BOUNDARY (50): shuffle_corpus is entry 50;
+        # ==== WINDOW BOUNDARY (50): weighted_sample is entry 50;
         #      the driver records rows for nothing below this line.
         #      tests/test_entry_contract.py asserts this position.
         #      txlog_update_scan + txlog_partition_scan +
@@ -137,19 +137,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      txlog_replica_scan (CDF-driven replication) +
         #      txlog_rename_scan (column mapping) +
         #      txlog_replace_scan (replaceWhere) +
-        #      txlog_generated_scan (generated columns) displaced
-        #      pagerank_knn, dedup_keep_best, decontaminate_spans,
-        #      quality_attributes, longest_dup_span and
-        #      winnow_fingerprints — a NEW key's first evidence
-        #      outranks refreshing one more r7 key; the nine join
-        #      event_transitions as r12 rotation heads ====
+        #      txlog_generated_scan (generated columns) +
+        #      dedup_corpus_inplace (the C22 x E22 bridge: in-place
+        #      dv dedup of the corpus table) displaced pagerank_knn,
+        #      dedup_keep_best, decontaminate_spans,
+        #      quality_attributes, longest_dup_span,
+        #      winnow_fingerprints and shuffle_corpus — a NEW key's
+        #      first evidence outranks refreshing one more r7 key;
+        #      the ten join event_transitions as r12 rotation
+        #      heads ====
         # -- tail: r9/r10-evidenced keys rotate out (their rows
         #    stand), plus the declared rows-only set;
         #    event_transitions + pagerank_knn + dedup_keep_best +
         #    decontaminate_spans + quality_attributes +
         #    longest_dup_span + winnow_fingerprints +
-        #    containment_pairs + semdedup_keep_central +
-        #    kneser_ney_score lead the r12 rotation --
+        #    shuffle_corpus + containment_pairs +
+        #    semdedup_keep_central + kneser_ney_score lead the r12
+        #    rotation --
+        "shuffle_corpus": _tp.shuffle_corpus,
         "winnow_fingerprints": _tp.winnow_fingerprints,
         "longest_dup_span": _tp.longest_dup_span,
         "quality_attributes": _tp.quality_attributes,
@@ -287,6 +292,7 @@ def oracle_sql() -> dict[str, str]:
         "txlog_rename_scan": _tf.TXLOG_RENAME_SCAN_SQL,
         "txlog_replace_scan": _tf.TXLOG_REPLACE_SCAN_SQL,
         "txlog_generated_scan": _tf.TXLOG_GENERATED_SCAN_SQL,
+        "dedup_corpus_inplace": _orc.DEDUP_CORPUS_SQL,
         "txlog_delete_scan": _tf.TXLOG_DELETE_SCAN_SQL,
         "txlog_update_scan": _tf.TXLOG_UPDATE_SCAN_SQL,
         "txlog_partition_scan": _tf.TXLOG_PARTITION_SCAN_SQL,

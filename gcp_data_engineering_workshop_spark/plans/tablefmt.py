@@ -303,6 +303,39 @@ def txlog_generated_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderkey", "o_custkey"))
 
 
+def dedup_corpus_inplace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C22 x E22 bridge (new r11, third stint): near-dup REMOVAL
+    IN PLACE on the lakehouse table — the documents corpus lands as
+    a txlog table, the verified near-linear dedup pipeline (LSH
+    candidates -> connected components -> non-canonical members)
+    computes the drop list FROM THE TABLE, and a merge-on-read
+    by-key delete marks those rows in a deletion-vector sidecar —
+    ZERO data files rewritten (asserted: no new paths). Deduping a
+    100 TB corpus costs the dedup compute plus megabytes of
+    vectors; the table reads back identical to C22's dedup_corpus
+    and hash-matches the same recursive-CTE DuckDB oracle."""
+    from gcp_data_engineering_workshop_spark.operators.dedup import (
+        minhash_lsh_pairs)
+    from gcp_data_engineering_workshop_spark.operators.graph import (
+        connected_components)
+    from gcp_data_engineering_workshop_spark.catalog import load_table
+
+    root = tempfile.mkdtemp(prefix="txlog_dedup_") + "/docs"
+    T.append(load_table(spark, "documents", sf_dir), root,
+             checkpoint_every=0)
+    files0 = set(T.snapshot(root)["files"])
+    d = T.read(spark, root)
+    comp = connected_components(minhash_lsh_pairs(d, tau=0.9))
+    drop = (comp.where(F.col("doc_id") != F.col("component"))
+            .select("doc_id"))
+    T.merge_delete(spark, root, drop, "doc_id", mode="dv",
+                   checkpoint_every=0)
+    assert set(T.snapshot(root)["files"]) <= files0, \
+        "in-place dedup must not write any new data file"
+    return (T.read(spark, root).select("doc_id", "lang")
+            .orderBy("doc_id"))
+
+
 def txlog_update_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E22 predicate DML under the oracle gate (new r11): orders
     lands as four range-interleaved commits, then

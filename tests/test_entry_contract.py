@@ -45,7 +45,7 @@ R11_WINDOW_PRIORITY = {
     "txlog_delete_scan", "txlog_update_scan", "txlog_partition_scan",
     "txlog_incremental_scan", "txlog_dv_scan", "txlog_cdf_rows",
     "txlog_replica_scan", "txlog_rename_scan", "txlog_replace_scan",
-    "txlog_generated_scan",
+    "txlog_generated_scan", "dedup_corpus_inplace",
     "temperature_sample", "mixture_schedule", "gopher_repetition",
     "pack_sequences", "assign_ids", "heavy_hitters_stream_scale",
     "embedding_neardup_lsh", "embedding_neardup_blocked",
@@ -89,10 +89,10 @@ def test_driver_window_boundary_position():
     the first 50."""
     m = _entry_module()
     keys = list(m.queries())
-    assert keys.index("shuffle_corpus") == 49, (
+    assert keys.index("weighted_sample") == 49, (
         "the '==== WINDOW BOUNDARY (50)' comment in __spark_entry__ "
-        "no longer matches the dict: shuffle_corpus is at "
-        f"index {keys.index('shuffle_corpus')}")
+        "no longer matches the dict: weighted_sample is at "
+        f"index {keys.index('weighted_sample')}")
     window = set(keys[:50])
     assert R11_WINDOW_PRIORITY <= window, R11_WINDOW_PRIORITY - window
 
