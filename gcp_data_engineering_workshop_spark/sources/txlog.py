@@ -1066,7 +1066,10 @@ def append(df: DataFrame, root: str, max_retries: int = 20,
     os.makedirs(root, exist_ok=True)
     snap0 = snapshot(root)
     recorded_pb = snap0.get("partition_by") or []
-    creating = snap0["version"] == 0
+    # "creating" for the data layout = no schema recorded yet —
+    # fileless property commits (set_bloom_index, constraints) may
+    # legitimately precede the first data append
+    creating = snap0.get("schema") is None and not snap0["files"]
     gen = dict(generated or {}) if creating \
         else dict(snap0.get("generated") or {})
     if not creating and generated is not None and \
@@ -1172,6 +1175,8 @@ def overwrite(df: DataFrame, root: str, expected_version: int | None = None,
                  # files are all removed in the same commit
                  "colmap": {}, "phys_dropped": [],
                  "generated": gen}
+        if gen:
+            _mark_feature(entry, snap, "generated-columns")
         if _try_commit(root, snap["version"] + 1, entry):
             _maybe_checkpoint(root, snap["version"] + 1,
                               checkpoint_every)
@@ -1455,10 +1460,9 @@ def _read_files(spark, root: str, snap: dict, paths: list[str],
     schema — the same NULL-backfill projection read() applies, so a
     schema-evolved table's pre-evolution files surface NULL for
     evolved columns instead of handing back a first-file-wins shape
-    (ADVICE r10: merge and read_range used bare spark.read.parquet
-    here, which broke both on any table that had evolved). On a
-    partitioned table the basePath option re-derives the partition
-    columns from the directory names (r11).
+    (ADVICE r10). The schema/column-mapping/partition projection is
+    _read_paths_at's (one copy — code-review r11); this wrapper
+    layers the snapshot-specific parts on top:
 
     DELETION VECTORS apply here, once, for every consumer: a path
     whose add action carries a ``dv`` ref gets its deleted
@@ -1470,44 +1474,11 @@ def _read_files(spark, root: str, snap: dict, paths: list[str],
     columns, no join). ``with_meta=True`` returns the two
     _DV_FILE/_DV_POS columns for callers that need provenance
     (hit-file scans, the dv writer itself)."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import StructField, StructType
-
     refs = _dv_refs(snap["files"], paths)
     need_meta = bool(refs) or with_meta
-    cmap = snap.get("colmap") or {}
-    rdr = spark.read
-    if snap.get("partition_by"):
-        rdr = rdr.option("basePath", root)
-    abs_paths = [os.path.join(root, p) for p in paths]
-    if snap.get("schema"):
-        lst = StructType.fromJson(json.loads(snap["schema"]))
-        # COLUMN MAPPING (r11 third stint): files hold PHYSICAL
-        # names; the snapshot's colmap translates to the logical
-        # schema the caller sees. Identity tables skip the alias.
-        pst = StructType(
-            [StructField(cmap.get(f.name, f.name), f.dataType,
-                         f.nullable) for f in lst.fields]) \
-            if cmap else lst
-        out = rdr.schema(pst).parquet(*abs_paths)
-        pairs = [(cmap.get(f.name, f.name), f.name)
-                 for f in lst.fields]
-    else:
-        out = rdr.parquet(*abs_paths)
-        pairs = [(c, c) for c in out.columns]
-    mapped = any(p != n for p, n in pairs)
-    sel = [F.col(p).alias(n) if p != n else F.col(n)
-           for p, n in pairs]
-    if need_meta:
-        out = out.select(
-            *sel,
-            F.col("_metadata.file_name").alias(_DV_FILE),
-            F.col("_metadata.row_index").alias(_DV_POS))
-    elif mapped or (snap.get("partition_by")
-                    and snap.get("schema")):
-        # recorded column order (discovery appends partition
-        # columns last) and/or physical->logical projection
-        out = out.select(*sel)
+    out = _read_paths_at(spark, root, paths, snap.get("schema"),
+                         with_meta=need_meta,
+                         colmap=snap.get("colmap"))
     if refs:
         dv = _dv_table(spark, root, refs)
         out = out.join(
@@ -2388,11 +2359,15 @@ def overwrite_where(spark, df: DataFrame, root: str, condition: str,
 
     conjuncts = _parse_conjuncts(condition)
     cond = F.expr(condition)
+    os.makedirs(root, exist_ok=True)
+    # generated columns apply BEFORE the leak guard: replaceWhere
+    # on a generated partition column ("bucket = 3") must see the
+    # computed column, not an unresolved reference (code-review r11)
+    df = _apply_generated(df, snapshot(root).get("generated") or {})
     if df.where(~cond | cond.isNull()).limit(1).count():
         raise ValueError(
             f"overwrite_where: replacement rows must all satisfy "
             f"{condition!r} (found at least one that does not)")
-    os.makedirs(root, exist_ok=True)
     for _ in range(max_retries):
         snap = snapshot(root)
         df = _apply_generated(df, snap.get("generated") or {})
@@ -2590,7 +2565,7 @@ def optimize(spark, root: str, target_bytes: int = 128 * 1024 * 1024,
         # staging over it would resurrect the deleted rows. Without
         # this fast path, compaction of a high-ingest table starves
         # — every append restarts the whole rewrite.
-        while True:
+        for _re_cas in range(20):  # bounded like every writer
             head = snapshot(root)
             if any(head["files"].get(p) != snap["files"][p]
                    for p in victims):
@@ -2666,6 +2641,10 @@ def clone(src_root: str, dst_root: str, version: int | None = None,
         entry["phys_dropped"] = src["phys_dropped"]
     if src.get("features"):
         entry["features"] = list(src["features"])
+    if src.get("generated"):
+        entry["generated"] = dict(src["generated"])
+    if src.get("bloom"):
+        entry["bloom"] = dict(src["bloom"])
     if not _try_commit(dst_root, 1, entry):
         raise CommitConflict(f"clone lost the race for {dst_root}")
     _maybe_checkpoint(dst_root, 1, checkpoint_every)
@@ -3278,9 +3257,24 @@ def read_changes_rows(spark, root: str,
                    if "remove" in a]
         if op in ("append", "stream-append", "clone"):
             if adds:
-                parts.append(_tag(_read_paths_at(
+                ins = _read_paths_at(
                     spark, root, [a["path"] for a in adds],
-                    end_schema, colmap=end_cmap), v, op, "insert"))
+                    end_schema,
+                    with_meta=any("dv" in a for a in adds),
+                    colmap=end_cmap)
+                dvm = {os.path.basename(a["path"]): a["dv"]
+                       for a in adds if "dv" in a}
+                if dvm:
+                    # a CLONE of a dv-bearing table references the
+                    # source's vectored files: its "inserts" are the
+                    # LIVE rows, not the raw bytes (code-review r11:
+                    # the raw read resurrected deleted rows)
+                    dvt = _dv_table(spark, root, dvm)
+                    ins = (ins.join(
+                        dvt, (ins[_DV_FILE] == dvt["file"])
+                        & (ins[_DV_POS] == dvt["pos"]), "left_anti")
+                        .drop(_DV_FILE, _DV_POS))
+                parts.append(_tag(ins, v, op, "insert"))
             continue
         if e.get("mode") != "dv":
             if not adds and not removes:

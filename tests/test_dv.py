@@ -488,3 +488,52 @@ def test_dv_noop_and_mode_validation(spark, table):
                           mode="dv") == v  # provable miss: no commit
     with pytest.raises(ValueError):
         T.delete_where(spark, table, "id = 1", mode="nope")
+
+
+def test_clone_of_dv_table_row_feed_and_specs(spark, tmp_path):
+    """Code-review r11 findings: a clone of a dv-bearing table must
+    (a) emit only LIVE rows as the row feed's inserts — reading the
+    referenced files raw resurrected deleted rows — and (b) carry
+    the generated-column and bloom specs, not just schema/colmap."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    T.set_bloom_index(src, ["id"], checkpoint_every=0)
+    T.append(spark.range(20).selectExpr("id", "id as s"), src,
+             generated={"twice": "s * 2"}, checkpoint_every=0)
+    T.delete_where(spark, src, "id < 5", mode="dv",
+                   checkpoint_every=0)
+    T.clone(src, dst, checkpoint_every=0)
+    feed = T.read_changes_rows(spark, dst, from_version=0)
+    ins = sorted(r.id for r in feed.collect())
+    assert ins == list(range(5, 20))  # no resurrection
+    assert all(r._change_type == "insert" for r in feed.collect())
+    # replication from the clone lands exactly the live rows
+    rep = str(tmp_path / "rep")
+    T.replicate_incremental(spark, dst, rep, "id",
+                            checkpoint_every=0)
+    assert _ids(T.read(spark, rep)) == list(range(5, 20))
+    # specs carried: omitted generated column computes on the clone
+    assert T.snapshot(dst)["generated"] == {"twice": "s * 2"}
+    assert T.snapshot(dst)["bloom"]["cols"] == ["id"]
+    T.append(spark.range(20, 22).selectExpr("id", "id as s"), dst,
+             checkpoint_every=0)
+    row = T.read(spark, dst).where("id = 21").collect()[0]
+    assert row.twice == 42
+    newest = [m for m in T.snapshot(dst)["files"].values()
+              if not os.path.isabs(m["path"])]
+    assert any("bloom" in m for m in newest)  # index still builds
+
+
+def test_replace_where_on_generated_partition(spark, tmp_path):
+    """Code-review r11: replaceWhere on a generated partition
+    column must compute the column before the leak guard."""
+    root = str(tmp_path / "tbl")
+    T.append(spark.range(30).selectExpr("id", "id as s"), root,
+             partition_by=["bucket"],
+             generated={"bucket": "s % 3"}, checkpoint_every=0)
+    repl = spark.range(100, 103).selectExpr(
+        "id", "cast(1 as bigint) as s")  # s%3=1 -> bucket 1
+    T.overwrite_where(spark, repl, root, "bucket = 1",
+                      checkpoint_every=0)
+    got = sorted(r.id for r in T.read(spark, root).collect())
+    assert got == sorted([i for i in range(30) if i % 3 != 1]
+                         + [100, 101, 102])
