@@ -147,3 +147,32 @@ def test_tokenize_ids_has_no_corpus_side_shuffle(spark, sf_dir):
     assert "BroadcastExchange" in plan
     corpus_side = plan[:plan.index("BroadcastExchange")]
     assert "Exchange" not in corpus_side
+
+
+def test_dv_read_plan_shapes(spark, tmp_path):
+    """Deletion-vector plan guards (r11 third stint): a table
+    WITHOUT vectors reads as a bare scan (no join, no metadata
+    columns — the zero-overhead contract), and a vectored read
+    applies the deleted-position set as a BROADCAST left-anti join
+    (a map-side filter, never a shuffle of the data side) while the
+    residual predicate still reaches the scan as a pushed filter."""
+    from gcp_data_engineering_workshop_spark.sources import txlog as T
+
+    root = str(tmp_path / "tbl")
+    T.append(spark.range(2000).selectExpr("id", "id * 2 as v"),
+             root, checkpoint_every=0)
+    clean = T.read(spark, root)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Join" not in clean and "__txlog_dv" not in clean
+    # a delete spread across EVERY file (so skipping can't simply
+    # drop the vectored files — which it correctly does otherwise)
+    T.delete_where(spark, root, "id % 20 = 0", mode="dv",
+                   checkpoint_every=0)
+    df = T.read_where(spark, root, "v >= 1000")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "PushedFilters: [IsNotNull(v), GreaterThanOrEqual(v,1000)" \
+        in plan.replace("\n", " "), plan
+    # and the result is exact
+    assert df.count() == sum(1 for i in range(2000)
+                             if i % 20 and i * 2 >= 1000)
