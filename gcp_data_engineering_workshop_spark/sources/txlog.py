@@ -1243,7 +1243,8 @@ _KEY_COLLECT_BOUND = 2_000_000
 
 def _files_touching_keys(spark, files: dict[str, dict], updates: DataFrame,
                          keys: str | list[str],
-                         snap_root: str | None = None) -> list[str]:
+                         snap_root: str | None = None,
+                         bloom_cols: set | None = None) -> list[str]:
     """The live files that MAY hold a row matching some update row
     on the (possibly composite) ``keys`` — the conjunctive
     per-column intersection of the single-column tests: a row in
@@ -1261,8 +1262,9 @@ def _files_touching_keys(spark, files: dict[str, dict], updates: DataFrame,
         keys = [keys]
     touched: set[str] | None = None
     for k in keys:
-        t = set(_files_touching_keys_col(spark, files, updates, k,
-                                         snap_root))
+        t = set(_files_touching_keys_col(
+            spark, files, updates, k,
+            snap_root if k in (bloom_cols or ()) else None))
         touched = t if touched is None else (touched & t)
         if not touched:
             break
@@ -1554,10 +1556,10 @@ def merge_upsert(spark, root: str, updates: DataFrame,
     unreferenced garbage vacuum() collects, never corruption."""
     keys = [key] if isinstance(key, str) else list(key)
     os.makedirs(root, exist_ok=True)
+    updates = _apply_generated(updates,
+                               snapshot(root).get("generated") or {})
     for _ in range(max_retries):
         snap = snapshot(root)
-        updates = _apply_generated(updates, snap.get("generated")
-                                   or {})
         rec = None
         if snap.get("schema") is not None:
             # updates must match the table exactly, OR evolve it
@@ -1581,7 +1583,8 @@ def merge_upsert(spark, root: str, updates: DataFrame,
                         f"only ADD columns")
         _check_constraints(updates, snap.get("constraints", {}))
         touched = _files_touching_keys(
-            spark, _pruning_view(snap), updates, keys, root) \
+            spark, _pruning_view(snap), updates, keys, root,
+            set((snap.get("bloom") or {}).get("cols", []))) \
             if snap["files"] else []
         if touched:
             cur = _read_files(spark, root, snap, touched)
@@ -1656,7 +1659,8 @@ def merge_delete(spark, root: str, keys_df: DataFrame,
         snap = snapshot(root)
         probe = keys_df.select(*keys).dropDuplicates(keys)
         touched = _files_touching_keys(
-            spark, _pruning_view(snap), probe, keys, root) \
+            spark, _pruning_view(snap), probe, keys, root,
+            set((snap.get("bloom") or {}).get("cols", []))) \
             if snap["files"] else []
         if not touched:
             return snap["version"]  # provably nothing to delete
@@ -1941,6 +1945,11 @@ def _files_possibly_matching(snap: dict,
                   if t in ("float", "double")}
     inv = _inv_colmap(snap)
     cmap = snap.get("colmap") or {}
+    # sidecars are probed ONLY for columns in the snapshot's LIVE
+    # bloom spec: a dropped index's stale sidecar keyed by a reused
+    # logical name (drop index -> rename -> rename another column
+    # into the old name) would otherwise mis-prune (code-review r11)
+    bloom_cols = set((snap.get("bloom") or {}).get("cols", []))
     keep = []
     for p, m in snap["files"].items():
         stats = _effective_stats(m, types, inv)
@@ -1976,7 +1985,8 @@ def _files_possibly_matching(snap: dict,
                 if _stat_excludes(st, op, lit, is_f):
                     excluded = True
                     break
-            if op in ("=", "==") and "bloom" in m:
+            if op in ("=", "==") and "bloom" in m \
+                    and col in bloom_cols:
                 # point-equality refinement: ranges said "maybe";
                 # the per-file bloom filter can still prove absence
                 try:
@@ -2370,7 +2380,6 @@ def overwrite_where(spark, df: DataFrame, root: str, condition: str,
             f"{condition!r} (found at least one that does not)")
     for _ in range(max_retries):
         snap = snapshot(root)
-        df = _apply_generated(df, snap.get("generated") or {})
         rec = _schema_check(df, snap.get("schema"), False)
         _check_constraints(df, snap.get("constraints", {}))
         cand = _files_possibly_matching(snap, conjuncts, root) \
@@ -3000,6 +3009,7 @@ def restore(root: str, version: int | None = None,
         entry["colmap"] = target.get("colmap", {})
         entry["phys_dropped"] = target.get("phys_dropped", [])
         entry["generated"] = target.get("generated", {})
+        entry["bloom"] = target.get("bloom", {})
         # the PARTITION SPEC rolls back with the files (r11): a
         # restore past a re-partitioning overwrite re-points the
         # live set at old-layout files — leaving the head's spec in

@@ -162,3 +162,45 @@ def test_bloom_refines_merge_key_pruning(spark, table):
                    "id", checkpoint_every=0)
     assert T.history(table)[-1]["n_remove"] <= 1
     assert T.read(spark, table).where("id = 20").count() == 0
+
+
+def test_stale_sidecar_never_prunes_after_drop_and_rename(spark,
+                                                          tmp_path):
+    """Code-review r11: a dropped index's stale sidecar keyed by a
+    REUSED logical name must not prune. drop index -> rename the
+    indexed column away -> rename another column into its name: the
+    old per-file filters describe the wrong column's values and are
+    ignored (only the LIVE spec's columns probe)."""
+    root = str(tmp_path / "tbl")
+    T.set_bloom_index(root, ["a"], checkpoint_every=0)
+    T.append(spark.range(50).selectExpr("id as a", "id + 1000 as c")
+             .coalesce(1), root, checkpoint_every=0)
+    T.drop_bloom_index(root, checkpoint_every=0)
+    T.rename_column(root, "a", "x", checkpoint_every=0)
+    T.rename_column(root, "c", "a", checkpoint_every=0)
+    # 'a' now holds 1000..1049; the stale sidecar knows 0..49 only
+    assert len(_cand(root, "a = 1005")) == 1  # NOT pruned away
+    assert T.read_where(spark, root, "a = 1005").count() == 1
+    # merge on the reused name also keeps the file: the existing
+    # a=1005 row MATCHES and updates (x -> 60). Had the stale
+    # sidecar mis-pruned the file, the merge would have missed it
+    # and inserted a duplicate (count 2) instead.
+    T.merge_upsert(spark, root, spark.createDataFrame(
+        [(60, 1005)], "x bigint, a bigint"), "a",
+        checkpoint_every=0)
+    got = T.read(spark, root).where("a = 1005").collect()
+    assert len(got) == 1 and got[0].x == 60
+
+
+def test_restore_rolls_bloom_spec(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    T.append(spark.range(10).select("id"), root, checkpoint_every=0)
+    v_pre = T.snapshot(root)["version"]
+    T.set_bloom_index(root, ["id"], checkpoint_every=0)
+    T.restore(root, v_pre, checkpoint_every=0)
+    assert T.snapshot(root)["bloom"] == {}
+    T.append(spark.range(10, 12).select("id"), root,
+             checkpoint_every=0)
+    newest = [m for m in T.snapshot(root)["files"].values()
+              if m["stats"]["id"][0] >= 10]
+    assert all("bloom" not in m for m in newest)

@@ -122,7 +122,6 @@ def test_op_sequences_match_model(spark, tmp_path_factory, ops):
     assert got == want, (ops, names)
     # the row-level feed replays to the same state when the history
     # is feed-compatible (no rewrite-mode DML in the log)
-    ops_used = {h["op"] for h in T.history(root)}
     modes = {h.get("mode", h["op"]) for h in T.history(root)}
     if {"delete", "update", "merge", "replace"} & modes == set():
         feed = T.read_changes_rows(spark, root, from_version=0)
