@@ -14,6 +14,8 @@ a Delta-style table, composed entirely from the txlog layer
   REPLICATION            replicate_incremental(src, dst, key)
   RENAME/DROP COLUMN     rename_column / drop_column (metadata-only)
   replaceWhere           overwrite_where(df, root, cond)
+  GENERATED COLUMNS      append(generated={"bucket": "id % 7"})
+  BLOOM INDEX            set_bloom_index -> point lookups open ~1 file
   MERGE (composite key)  merge_upsert(updates, ["k1", "k2"])
   OPTIMIZE [ZORDER BY]   optimize() / optimize(zorder=[...])
   TIME TRAVEL            read(version=N) / read(as_of=unix_ts)
@@ -155,6 +157,24 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
     assert T.read_where(spark, croot,
                         "o_orderkey <= 100 AND price > 0").count() == 0
 
+    # GENERATED COLUMNS + BLOOM INDEX on a fresh keyed table: the
+    # writer supplies base columns only (the generated partition
+    # column computes), and a point lookup on the hash-scattered
+    # key opens ~1 file via the per-file bloom sidecars
+    groot = tempfile.mkdtemp(prefix="lakehouse_") + "/keyed"
+    T.set_bloom_index(groot, ["o_orderkey"])
+    T.append(T.read(spark, zroot).repartition(8, "o_orderkey"),
+             groot, partition_by=["bucket"],
+             generated={"bucket": "o_custkey % 4"})
+    k = T.read(spark, groot).limit(1).collect()[0].o_orderkey
+    cand = T._files_possibly_matching(
+        T.snapshot(groot),
+        T._parse_conjuncts(f"o_orderkey = {k}"), groot)
+    n_all = len(T.snapshot(groot)["files"])
+    assert len(cand) < n_all
+    assert T.read_where(spark, groot,
+                        f"o_orderkey = {k}").count() >= 1
+
     out = {"rows_created": n0, "rows_pruned_scan": n_pruned,
            "rows_at_create_ts": n_at_create,
            "rows_after_restore": n_restored,
@@ -167,7 +187,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
            "vacuum_would_remove": len(would),
            "clone_rows": T.read(spark, croot).count(),
            "dv_marked_rows": dv_detail["deleted_rows"],
-           "dv_files": dv_detail["num_dv_files"]}
+           "dv_files": dv_detail["num_dv_files"],
+           "bloom_point_candidates": len(cand),
+           "bloom_files_total": n_all}
     print(out)
     assert n_restored == n0 == n_at_create
     assert feed_ops == ["delete", "merge", "update"]
