@@ -490,6 +490,12 @@ _BLOOM_DIR = "_bloom"
 # on the merge fast path; beyond it the file is kept on its range
 # alone (probing cost would rival reading the file).
 _BLOOM_PROBE_BOUND = 5000
+
+# Max range-surviving candidate files whose sidecars the DRIVER
+# loads for predicate probing; beyond it the probes run as one
+# Spark job (a million-file hash-scattered table's point lookup
+# must not read a million JSONs through one process).
+_BLOOM_DRIVER_LOAD_BOUND = 2048
 _BLOOM_LN2 = math.log(2.0)
 
 
@@ -1932,14 +1938,25 @@ def _effective_stats(meta: dict, types: dict[str, str],
 
 def _files_possibly_matching(snap: dict,
                              conjuncts: list[tuple],
-                             snap_root: str | None = None) -> list[str]:
+                             snap_root: str | None = None,
+                             spark=None) -> list[str]:
     """Stat-prune the live set against the predicate's recognized
     conjuncts: a file survives unless SOME conjunct's range test
     proves it can't match (missing stats always survive). Partition
     values join the test as exact ranges via _effective_stats (r11).
     Float detection uses the recorded schema when present, else the
     stat value's Python type — both err toward float (less
-    pruning)."""
+    pruning).
+
+    BLOOM probing has two regimes (the _KEY_COLLECT_BOUND pattern):
+    up to _BLOOM_DRIVER_LOAD_BOUND range-surviving candidates load
+    their sidecars on the driver (cached, metadata-scale IO);
+    beyond it — a point lookup on a hash-scattered MILLION-file
+    table, where ranges keep everything — the probes run as one
+    Spark job over (path, sidecar) pairs when ``spark`` is given,
+    so the driver never reads a million JSON files. Without a
+    spark handle the over-bound case skips bloom refinement
+    entirely (conservative: range survivors stay)."""
     types = _schema_types(snap)
     float_cols = {c for c, t in types.items()
                   if t in ("float", "double")}
@@ -1950,6 +1967,12 @@ def _files_possibly_matching(snap: dict,
     # logical name (drop index -> rename -> rename another column
     # into the old name) would otherwise mis-prune (code-review r11)
     bloom_cols = set((snap.get("bloom") or {}).get("cols", []))
+    eq_conjs = [(c, l) for c, o, l in conjuncts
+                if o in ("=", "==") and c in bloom_cols]
+    n_bloom_cand = sum(1 for m in snap["files"].values()
+                       if "bloom" in m) if eq_conjs else 0
+    driver_probe = n_bloom_cand <= _BLOOM_DRIVER_LOAD_BOUND
+    pending: list[tuple] = []  # (path, sidecar abs, col, lit)
     keep = []
     for p, m in snap["files"].items():
         stats = _effective_stats(m, types, inv)
@@ -1986,20 +2009,44 @@ def _files_possibly_matching(snap: dict,
                     excluded = True
                     break
             if op in ("=", "==") and "bloom" in m \
-                    and col in bloom_cols:
-                # point-equality refinement: ranges said "maybe";
-                # the per-file bloom filter can still prove absence
-                try:
-                    sc = _bloom_load(os.path.join(
-                        snap_root, m["bloom"])) if snap_root else None
-                except OSError:
-                    sc = None
-                if sc and col in sc and \
-                        not _bloom_might_contain(sc[col], lit):
-                    excluded = True
-                    break
+                    and col in bloom_cols and snap_root:
+                if driver_probe:
+                    # point-equality refinement: ranges said
+                    # "maybe"; the per-file filter can still prove
+                    # absence
+                    try:
+                        sc = _bloom_load(os.path.join(
+                            snap_root, m["bloom"]))
+                    except OSError:
+                        sc = None
+                    if sc and col in sc and \
+                            not _bloom_might_contain(sc[col], lit):
+                        excluded = True
+                        break
+                elif spark is not None:
+                    pending.append((p, os.path.join(
+                        snap_root, m["bloom"]), col, lit))
         if not excluded:
             keep.append(p)
+    if pending and spark is not None:
+        def _probe(job):
+            p, sidecar, col, lit = job
+            try:
+                with open(sidecar) as fh:
+                    sc = json.load(fh)
+            except OSError:
+                return None
+            ent = sc.get(col)
+            if ent is not None and \
+                    not _bloom_might_contain(ent, lit):
+                return p
+            return None
+
+        drop = set(spark.sparkContext.parallelize(
+            pending, min(len(pending), 256)).map(_probe)
+            .filter(lambda x: x is not None).collect())
+        if drop:
+            keep = [p for p in keep if p not in drop]
     return keep
 
 
@@ -2156,7 +2203,8 @@ def delete_where(spark, root: str, condition: str,
         if not snap["files"]:
             return snap["version"]
         cond = F.expr(condition)
-        cand = _files_possibly_matching(snap, conjuncts, root)
+        cand = _files_possibly_matching(snap, conjuncts, root,
+                                        spark)
         touched = _files_with_hits(spark, root, snap, cand, cond) \
             if cand else []
         if not touched:
@@ -2237,7 +2285,8 @@ def update_where(spark, root: str, condition: str,
         if not snap["files"]:
             return snap["version"]
         cond = F.expr(condition)
-        cand = _files_possibly_matching(snap, conjuncts, root)
+        cand = _files_possibly_matching(snap, conjuncts, root,
+                                        spark)
         touched = _files_with_hits(spark, root, snap, cand, cond) \
             if cand else []
         if not touched:
@@ -2382,7 +2431,8 @@ def overwrite_where(spark, df: DataFrame, root: str, condition: str,
         snap = snapshot(root)
         rec = _schema_check(df, snap.get("schema"), False)
         _check_constraints(df, snap.get("constraints", {}))
-        cand = _files_possibly_matching(snap, conjuncts, root) \
+        cand = _files_possibly_matching(snap, conjuncts, root,
+                                        spark) \
             if snap["files"] else []
         touched = _files_with_hits(spark, root, snap, cand, cond) \
             if cand else []
@@ -2473,7 +2523,8 @@ def optimize(spark, root: str, target_bytes: int = 128 * 1024 * 1024,
                     f"optimize where={where!r} has no recognizable "
                     f"col-OP-literal conjunct; scoping would "
                     f"silently cover the whole table")
-            scope = set(_files_possibly_matching(snap, conj, root))
+            scope = set(_files_possibly_matching(snap, conj, root,
+                                                 spark))
             if not scope:
                 return snap["version"]
         # deletion-vector PURGE rides every rewrite: _read_files
@@ -3903,7 +3954,7 @@ def read_where(spark, root: str, condition: str,
     conjuncts = _parse_conjuncts(condition)
     if not conjuncts:
         return base.where(condition)
-    keep = _files_possibly_matching(snap, conjuncts, root)
+    keep = _files_possibly_matching(snap, conjuncts, root, spark)
     if not keep:
         return base.where(condition).limit(0)
     if len(keep) == len(snap["files"]):

@@ -204,3 +204,24 @@ def test_restore_rolls_bloom_spec(spark, tmp_path):
     newest = [m for m in T.snapshot(root)["files"].values()
               if m["stats"]["id"][0] >= 10]
     assert all("bloom" not in m for m in newest)
+
+
+def test_bloom_distributed_probe_regime(spark, table, monkeypatch):
+    """Above _BLOOM_DRIVER_LOAD_BOUND candidates, the sidecar
+    probes run as one Spark job — same candidate set as the driver
+    regime (forced here by dropping the bound to 0)."""
+    want = T._files_possibly_matching(
+        T.snapshot(table), T._parse_conjuncts("id = 17"), table)
+    monkeypatch.setattr(T, "_BLOOM_DRIVER_LOAD_BOUND", 0)
+    got = T._files_possibly_matching(
+        T.snapshot(table), T._parse_conjuncts("id = 17"), table,
+        spark)
+    assert got == want and len(got) == 1
+    # without a spark handle the over-bound case skips refinement
+    # (conservative: range survivors stay)
+    loose = T._files_possibly_matching(
+        T.snapshot(table), T._parse_conjuncts("id = 17"), table)
+    assert set(want) <= set(loose) and len(loose) == 4
+    # the DML path (which passes spark) still prunes end to end
+    T.delete_where(spark, table, "id = 17", checkpoint_every=0)
+    assert T.history(table)[-1]["n_remove"] == 1
