@@ -2492,13 +2492,24 @@ def optimize(spark, root: str, target_bytes: int = 128 * 1024 * 1024,
     (linear clustering); on a partitioned table the partition
     columns lead the clustering keys in both modes.
 
-    Either way the swap commits with compare-and-swap against the
-    snapshot version: a commit landing in between fails the CAS and
-    the compaction re-runs on the fresh snapshot — readers NEVER see
-    a half-compacted table. Returns the committed version (the
-    current version when there was nothing to compact). Small files
-    are THE silent scan killer at 100 TB; this is the maintenance
-    job that fixes them without closing the table to writers."""
+    DELETION VECTORS (r11 third stint): any rewritten file
+    materializes its vector (the dv-aware read drops deleted rows)
+    and loses the ref; plain compaction additionally VOLUNTEERS
+    dv-carrying files past a 5% deleted-rows ratio, and
+    ``purge=True`` rewrites every vectored file in scope (REORG
+    TABLE ... APPLY (PURGE)).
+
+    The swap commits with compare-and-swap against the snapshot
+    version, with LOGICAL conflict detection on a lost race (r11
+    third stint): interleaved commits that touched NO victim (meta
+    equality) commute, and the already-staged entry re-CASes at
+    the new head — compaction of a high-ingest table doesn't
+    starve behind appends; a changed victim forces the full
+    recompute, so readers NEVER see a half-compacted table or a
+    resurrected row. Returns the committed version (the current
+    version when there was nothing to compact). Small files are
+    THE silent scan killer at 100 TB; this is the maintenance job
+    that fixes them without closing the table to writers."""
     from pyspark.sql import functions as F
 
     if sort_cols and zorder:
