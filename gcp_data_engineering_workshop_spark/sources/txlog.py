@@ -538,7 +538,18 @@ def _bloom_sidecar(path: str, cols: list[str], fpp: float,
     driver-bounded pass _footer_stats makes for ranges). A column
     whose distinct count exceeds ``max_ndv`` (or whose type isn't
     indexable) is omitted for that file — no filter, no pruning,
-    never wrong."""
+    never wrong.
+
+    Entries are keyed by PHYSICAL column name (ADVICE r11): the
+    logical name can be freed by drop_bloom_index + drop_column and
+    later REUSED by renaming another column into it — a stale
+    logically-keyed sidecar entry would then probe the wrong
+    column's values and silently mis-prune. Physical names are never
+    reused (_evolved_colmap tombstones every physical ever written),
+    so a physically-keyed entry can never alias a different column;
+    probe sites translate logical->physical via the snapshot's
+    colmap. Pre-fix sidecars keyed logically simply stop matching
+    under a mapping (get() misses -> no pruning, conservative)."""
     import base64
 
     import pyarrow.parquet as pq
@@ -564,8 +575,8 @@ def _bloom_sidecar(path: str, cols: list[str], fpp: float,
         for b in keys:
             for pos in _bloom_hashes(b, m, k):
                 bits[pos >> 3] |= 1 << (pos & 7)
-        out[col] = {"m": m, "k": k,
-                    "bits": base64.b64encode(bytes(bits)).decode()}
+        out[phys] = {"m": m, "k": k,
+                     "bits": base64.b64encode(bytes(bits)).decode()}
     return out or None
 
 
@@ -583,10 +594,17 @@ def _bloom_might_contain(entry: dict, lit) -> bool:
 
 
 @functools.lru_cache(maxsize=4096)
-def _bloom_load(path: str) -> dict:
-    """Sidecars are immutable once referenced — cache by path."""
-    with open(path) as fh:
-        return json.load(fh)
+def _bloom_load(path: str) -> dict | None:
+    """Sidecars are immutable once referenced — cache by path.
+    A missing OR corrupt sidecar returns None (ADVICE r11: a torn
+    write whose add action still committed must degrade to
+    no-pruning, never crash every later probing read); caching the
+    None is safe because a referenced sidecar's bytes never change."""
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
 
 
 def set_bloom_index(root: str, cols: list[str], fpp: float = 0.01,
@@ -718,8 +736,16 @@ def _stage_write(df: DataFrame, root: str,
             if sc_ is None:
                 return (base, None)
             brel = f"{_BLOOM_DIR}/{base}.json"
-            with open(os.path.join(root_abs, brel), "w") as fh:
+            # tmp + rename (the _try_commit discipline): a crash
+            # mid-write must never leave a torn sidecar at the
+            # published path a committed add action references
+            final = os.path.join(root_abs, brel)
+            tmp = f"{final}.tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as fh:
                 json.dump(sc_, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, final)
             return (base, brel)
         built = dict(spark_s.sparkContext.parallelize(
             jobs, min(len(jobs), 64)).map(_mk).collect())
@@ -949,7 +975,9 @@ def rename_column(root: str, old: str, new: str,
         if old in (snap.get("bloom") or {}).get("cols", []):
             raise ValueError(
                 f"rename_column: {old!r} is bloom-indexed; drop "
-                f"the index first (sidecars key the logical name)")
+                f"the index first (the index SPEC lists logical "
+                f"names; sidecar entries themselves key physical "
+                f"names and survive renames)")
         cmap = dict(snap.get("colmap") or {})
         cmap[new] = cmap.pop(old, old)
         new_st = StructType(
@@ -1250,7 +1278,8 @@ _KEY_COLLECT_BOUND = 2_000_000
 def _files_touching_keys(spark, files: dict[str, dict], updates: DataFrame,
                          keys: str | list[str],
                          snap_root: str | None = None,
-                         bloom_cols: set | None = None) -> list[str]:
+                         bloom_cols: set | None = None,
+                         colmap: dict | None = None) -> list[str]:
     """The live files that MAY hold a row matching some update row
     on the (possibly composite) ``keys`` — the conjunctive
     per-column intersection of the single-column tests: a row in
@@ -1270,7 +1299,8 @@ def _files_touching_keys(spark, files: dict[str, dict], updates: DataFrame,
     for k in keys:
         t = set(_files_touching_keys_col(
             spark, files, updates, k,
-            snap_root if k in (bloom_cols or ()) else None))
+            snap_root if k in (bloom_cols or ()) else None,
+            phys_key=(colmap or {}).get(k, k)))
         touched = t if touched is None else (touched & t)
         if not touched:
             break
@@ -1279,7 +1309,8 @@ def _files_touching_keys(spark, files: dict[str, dict], updates: DataFrame,
 
 def _files_touching_keys_col(spark, files: dict[str, dict],
                              updates: DataFrame, key: str,
-                             snap_root: str | None = None) -> list[str]:
+                             snap_root: str | None = None,
+                             phys_key: str | None = None) -> list[str]:
     """The live files whose footer [min,max] range for ``key``
     intersects at least one update key — plus every file lacking a
     stat for ``key`` (conservative). Two regimes:
@@ -1349,12 +1380,10 @@ def _files_touching_keys_col(spark, files: dict[str, dict],
                     j = bisect.bisect_right(ks, hi)
                     in_range = ks[i:j]
                     if len(in_range) <= _BLOOM_PROBE_BOUND:
-                        try:
-                            sc = _bloom_load(os.path.join(
-                                snap_root, meta["bloom"]))
-                        except OSError:
-                            sc = None
-                        ent = (sc or {}).get(key)
+                        sc = _bloom_load(os.path.join(
+                            snap_root, meta["bloom"]))
+                        # sidecars key PHYSICAL names (ADVICE r11)
+                        ent = (sc or {}).get(phys_key or key)
                         if ent is not None and not any(
                                 _bloom_might_contain(ent, kv)
                                 for kv in in_range):
@@ -1590,7 +1619,8 @@ def merge_upsert(spark, root: str, updates: DataFrame,
         _check_constraints(updates, snap.get("constraints", {}))
         touched = _files_touching_keys(
             spark, _pruning_view(snap), updates, keys, root,
-            set((snap.get("bloom") or {}).get("cols", []))) \
+            set((snap.get("bloom") or {}).get("cols", [])),
+            colmap=snap.get("colmap")) \
             if snap["files"] else []
         if touched:
             cur = _read_files(spark, root, snap, touched)
@@ -1666,7 +1696,8 @@ def merge_delete(spark, root: str, keys_df: DataFrame,
         probe = keys_df.select(*keys).dropDuplicates(keys)
         touched = _files_touching_keys(
             spark, _pruning_view(snap), probe, keys, root,
-            set((snap.get("bloom") or {}).get("cols", []))) \
+            set((snap.get("bloom") or {}).get("cols", [])),
+            colmap=snap.get("colmap")) \
             if snap["files"] else []
         if not touched:
             return snap["version"]  # provably nothing to delete
@@ -2010,33 +2041,33 @@ def _files_possibly_matching(snap: dict,
                     break
             if op in ("=", "==") and "bloom" in m \
                     and col in bloom_cols and snap_root:
+                # sidecars are PHYSICALLY keyed (ADVICE r11): a
+                # reused logical name can never revive a stale entry
                 if driver_probe:
                     # point-equality refinement: ranges said
                     # "maybe"; the per-file filter can still prove
                     # absence
-                    try:
-                        sc = _bloom_load(os.path.join(
-                            snap_root, m["bloom"]))
-                    except OSError:
-                        sc = None
-                    if sc and col in sc and \
-                            not _bloom_might_contain(sc[col], lit):
+                    sc = _bloom_load(os.path.join(
+                        snap_root, m["bloom"]))
+                    if sc and pcol in sc and \
+                            not _bloom_might_contain(sc[pcol], lit):
                         excluded = True
                         break
                 elif spark is not None:
                     pending.append((p, os.path.join(
-                        snap_root, m["bloom"]), col, lit))
+                        snap_root, m["bloom"]), pcol, lit))
         if not excluded:
             keep.append(p)
     if pending and spark is not None:
         def _probe(job):
-            p, sidecar, col, lit = job
+            p, sidecar, pcol, lit = job
             try:
                 with open(sidecar) as fh:
                     sc = json.load(fh)
-            except OSError:
+            except (OSError, ValueError):
+                # missing/torn sidecar: degrade to no pruning
                 return None
-            ent = sc.get(col)
+            ent = sc.get(pcol)
             if ent is not None and \
                     not _bloom_might_contain(ent, lit):
                 return p
@@ -3089,6 +3120,57 @@ def restore(root: str, version: int | None = None,
         f"under {root}")
 
 
+def _feed_read_maps(root: str, versions: list[int],
+                    end_snap: dict) -> dict[int, dict]:
+    """Per-version {end-logical: physical} column maps for reading
+    each window commit's add files in the window-END schema.
+
+    Within one colmap EPOCH (between overwrites) the epoch-end
+    colmap covers files of every age: physical names never change,
+    renames move only the logical side, and a drop/re-add assigns a
+    fresh physical so old bytes can't alias. A full OVERWRITE resets
+    the mapping AND the physical naming domain (its files land
+    logical==physical), so one map cannot cover files on both sides
+    — pre-overwrite files of a previously-renamed table read through
+    the post-overwrite (empty) map surfaced NULLs (ADVICE r12). The
+    walk goes DOWN from the window end: end-logical names are
+    rename-traced to each overwrite boundary, where the map re-bases
+    onto the PRE-overwrite snapshot's colmap — column identity
+    crosses a full replace by logical name, the only identity an
+    overwrite preserves. (A RESTORE commit inside a widened
+    include_ops window is not specially traced: restore re-points at
+    existing files whose physical domain the restored colmap already
+    covers, and the row feed refuses restore outright.)"""
+    if not versions:
+        return {}
+    end_cmap = end_snap.get("colmap") or {}
+    schema_json = end_snap.get("schema")
+    if not schema_json:
+        return {v: dict(end_cmap) for v in versions}
+    names = [f["name"]
+             for f in json.loads(schema_json)["fields"]]
+    name_at = {n: n for n in names}  # end logical -> logical at age
+    seg_map: dict | None = None      # None => newest epoch
+    maps: dict[int, dict] = {}
+    for v in sorted(versions, reverse=True):
+        maps[v] = dict(end_cmap if seg_map is None else seg_map)
+        try:
+            e = json.load(open(_version_file(root, v)))
+        except OSError:
+            continue
+        op = e.get("op")
+        if op == "rename-column" and "old" in e and "new" in e:
+            old, new = e["old"], e["new"]
+            name_at = {L: (old if n == new else n)
+                       for L, n in name_at.items()}
+        elif op == "overwrite":
+            pcm = (snapshot(root, v - 1).get("colmap") or {}) \
+                if v > 1 else {}
+            seg_map = {L: pcm.get(n, n)
+                       for L, n in name_at.items()}
+    return maps
+
+
 def read_changes(spark, root: str, from_version: int | None = None,
                  to_version: int | None = None,
                  include_ops: tuple = ("append", "stream-append",
@@ -3160,11 +3242,14 @@ def read_changes(spark, root: str, from_version: int | None = None,
     # END — rows committed before an evolved column arrive with
     # NULL for it (the same projection read() applies), so the
     # union below never sees ragged parts. Column-mapped tables
-    # read through the end snapshot's colmap the same way
-    # (physical names never change, so one map covers every age).
+    # read each commit's files through a PER-VERSION map
+    # (_feed_read_maps): within an epoch that's just the end
+    # snapshot's colmap, but an overwrite inside the window resets
+    # the mapping and older files need their own epoch's map
+    # (ADVICE r12).
     end_snap = snapshot(root, to_version)
     end_schema = end_snap.get("schema")
-    end_colmap = end_snap.get("colmap") or {}
+    read_maps = _feed_read_maps(root, versions, end_snap)
     parts = []
     for v in versions:
         e = json.load(open(_version_file(root, v)))
@@ -3177,7 +3262,7 @@ def read_changes(spark, root: str, from_version: int | None = None,
         # discovery, absolute paths are shallow-clone references,
         # physical columns alias to the logical schema
         part = _read_paths_at(spark, root, rels, end_schema,
-                              colmap=end_colmap)
+                              colmap=read_maps.get(v))
         # merge-on-read delete (dv mode): the commit's add files are
         # the ORIGINAL bytes re-committed with a deletion-vector
         # ref — project through the commit's OWN vectors so the
@@ -3311,7 +3396,7 @@ def read_changes_rows(spark, root: str,
                 and (to_version is None or v <= to_version)]
     _end = snapshot(root, to_version)
     end_schema = _end.get("schema")
-    end_cmap = _end.get("colmap") or {}
+    read_maps = _feed_read_maps(root, versions, _end)
 
     def _tag(df, v, op, ct):
         return (df.withColumn("_commit_version", F.lit(v))
@@ -3333,7 +3418,7 @@ def read_changes_rows(spark, root: str,
                     spark, root, [a["path"] for a in adds],
                     end_schema,
                     with_meta=any("dv" in a for a in adds),
-                    colmap=end_cmap)
+                    colmap=read_maps.get(v))
                 dvm = {os.path.basename(a["path"]): a["dv"]
                        for a in adds if "dv" in a}
                 if dvm:
@@ -3374,7 +3459,7 @@ def read_changes_rows(spark, root: str,
                     & (newly["pos"] == pd["pos"]), "left_anti")
             rows = _read_paths_at(spark, root, sorted(dv_adds),
                                   end_schema, with_meta=True,
-                                  colmap=end_cmap)
+                                  colmap=read_maps.get(v))
             nw = newly
             if sum(r.get("deleted", 0) for r in new_refs.values()) \
                     <= _DV_BROADCAST_BOUND:
@@ -3390,7 +3475,7 @@ def read_changes_rows(spark, root: str,
             # of v-1) was deleted/updated this commit
             rows = _read_paths_at(spark, root, sorted(dropped),
                                   end_schema, with_meta=True,
-                                  colmap=end_cmap)
+                                  colmap=read_maps.get(v))
             prev_refs = _dv_refs(prev["files"], dropped)
             if prev_refs:
                 pd = _dv_table(spark, root, prev_refs)
@@ -3402,7 +3487,7 @@ def read_changes_rows(spark, root: str,
         if fresh:
             parts.append(_tag(_read_paths_at(
                 spark, root, sorted(fresh), end_schema,
-                colmap=end_cmap), v, op, "update_postimage"))
+                colmap=read_maps.get(v)), v, op, "update_postimage"))
     if not parts:
         return (read(spark, root)
                 .limit(0)

@@ -192,6 +192,67 @@ def test_stale_sidecar_never_prunes_after_drop_and_rename(spark,
     assert len(got) == 1 and got[0].x == 60
 
 
+def test_reindexed_reused_name_never_probes_stale_sidecars(
+        spark, tmp_path):
+    """ADVICE r12 (medium): the r11 live-spec guard only covers the
+    NO-reindex case — drop index -> drop_column -> rename another
+    column into the freed name -> set_bloom_index REVIVES the stale
+    probes if sidecar entries key logical names. Entries now key
+    PHYSICAL names (never reused, _evolved_colmap tombstones them),
+    so the old files' sidecars describe a physical name the reused
+    logical can never map to."""
+    root = str(tmp_path / "tbl")
+    T.set_bloom_index(root, ["a"], checkpoint_every=0)
+    T.append(spark.range(50).selectExpr("id as a", "id + 1000 as c")
+             .coalesce(1), root, checkpoint_every=0)
+    T.drop_bloom_index(root, checkpoint_every=0)
+    T.drop_column(root, "a", checkpoint_every=0)
+    T.rename_column(root, "c", "a", checkpoint_every=0)
+    T.set_bloom_index(root, ["a"], checkpoint_every=0)
+    # 'a' now holds 1000..1049; the old file's sidecar knows the
+    # DROPPED column's 0..49 — probing it would prune the hit away
+    assert len(_cand(root, "a = 1010")) == 1
+    assert T.read_where(spark, root, "a = 1010").count() == 1
+    # new writes key sidecars physically; lookups keep pruning
+    T.append(spark.range(1).selectExpr("id + 2000 as a")
+             .coalesce(1), root, checkpoint_every=0)
+    assert T.read_where(spark, root, "a = 2000").count() == 1
+    assert T.read_where(spark, root, "a = 1010").count() == 1
+    # the merge fast path probes through the same physical keying:
+    # the matched row updates in place, never duplicates
+    T.merge_upsert(spark, root, spark.createDataFrame(
+        [(1010,)], "a bigint"), "a", checkpoint_every=0)
+    assert T.read(spark, root).where("a = 1010").count() == 1
+
+
+def test_torn_sidecar_degrades_to_no_pruning(spark, tmp_path):
+    """ADVICE r12 (low): a corrupt/truncated sidecar whose add
+    action committed must degrade to no-pruning, not crash every
+    probing read with JSONDecodeError."""
+    root = str(tmp_path / "tbl")
+    T.set_bloom_index(root, ["id"], checkpoint_every=0)
+    T.append(spark.range(50).select("id").coalesce(1), root,
+             checkpoint_every=0)
+    snap = T.snapshot(root)
+    (path, meta), = snap["files"].items()
+    sidecar = os.path.join(root, meta["bloom"])
+    with open(sidecar, "w") as fh:
+        fh.write('{"id": {"m": 64, "k"')  # torn mid-write
+    T._bloom_load.cache_clear()
+    # driver probe regime: survives, conservatively keeps the file
+    assert _cand(root, "id = 7") == [path]
+    assert T.read_where(spark, root, "id = 7").count() == 1
+    # with a spark handle the same candidate set survives
+    got = T._files_possibly_matching(
+        T.snapshot(root), T._parse_conjuncts("id = 7"), root, spark)
+    assert got == [path]
+    # merge fast path
+    T.merge_upsert(spark, root, spark.createDataFrame(
+        [(7,)], "id bigint"), "id", checkpoint_every=0)
+    assert T.read(spark, root).where("id = 7").count() == 1
+    T._bloom_load.cache_clear()
+
+
 def test_restore_rolls_bloom_spec(spark, tmp_path):
     root = str(tmp_path / "tbl")
     T.append(spark.range(10).select("id"), root, checkpoint_every=0)

@@ -155,6 +155,39 @@ def test_colmap_with_deletion_vectors_and_cdf(spark, table):
         spark, table, from_version=lo).columns
 
 
+def test_change_feed_spans_overwrite_of_renamed_table(spark, table):
+    """ADVICE r12 (low): a change-feed window spanning an OVERWRITE
+    of a previously renamed table must read each commit's files
+    through its own epoch's colmap — the overwrite resets the map,
+    so the pre-overwrite files (physical 'v' under logical 'val')
+    would surface NULL through the window-end (empty) mapping."""
+    T.rename_column(table, "v", "val", checkpoint_every=0)
+    T.append(spark.range(20, 25).select(
+        "id", (F.col("id") * 2).alias("val")).coalesce(1),
+        table, checkpoint_every=0)
+    T.overwrite(spark.range(100, 103).select(
+        "id", (F.col("id") * 3).alias("val")).coalesce(1), table)
+    feed = T.read_changes(spark, table, from_version=0)
+    rows = {r.id: r.val for r in feed.collect()}
+    # pre-overwrite rows surface their values, not NULL
+    assert rows[0] == 0 and rows[24] == 48
+    # post-overwrite rows read through the reset (identity) map
+    assert rows[100] == 300
+    assert all(v is not None for v in rows.values())
+    # a rename AFTER the overwrite re-bases correctly too: the
+    # newest epoch reads through the end colmap, older epochs
+    # rename-trace the end-logical name down to their boundary
+    T.rename_column(table, "val", "w", checkpoint_every=0)
+    T.append(spark.range(200, 202).select(
+        "id", (F.col("id") * 5).alias("w")).coalesce(1),
+        table, checkpoint_every=0)
+    feed2 = T.read_changes(spark, table, from_version=0)
+    rows2 = {r.id: r.w for r in feed2.collect()}
+    assert rows2[0] == 0 and rows2[24] == 48 \
+        and rows2[100] == 300 and rows2[201] == 1005
+    assert all(v is not None for v in rows2.values())
+
+
 def test_clone_and_optimize_carry_mapping(spark, table, tmp_path):
     T.rename_column(table, "v", "value", checkpoint_every=0)
     dst = str(tmp_path / "clone")
