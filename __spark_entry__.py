@@ -35,56 +35,104 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING POLICY: the driver records correctness rows for the
     FIRST 50 entries only (tests/test_entry_contract.py asserts the
-    boundary position). Entries rotate per round. The r11 window:
-    (0) the THIRTEEN txlog-format keys — the format changed this round
-    (composite MERGE keys, MERGE-DELETE with the NEW
-    txlog_delete_scan oracle key, schema-projected file reads,
-    zero-row-part staging guard; mid-round: predicate DML with the
-    NEW txlog_update_scan key, hive partitioning with the NEW
-    txlog_partition_scan key, and batch-incremental refresh with
-    the NEW txlog_incremental_scan key; third stint: DELETION
-    VECTORS — merge-on-read DML — with the NEW txlog_dv_scan key,
-    ROW-LEVEL CDF with the NEW txlog_cdf_rows key, CDF-driven
-    replication with the NEW txlog_replica_scan key, and COLUMN
-    MAPPING — rename/drop without rewrite — with the NEW
-    txlog_rename_scan key, replaceWhere with the NEW
-    txlog_replace_scan key, and GENERATED COLUMNS with the NEW
-    txlog_generated_scan key), so all thirteen evidence on the
-    new code; (1) the eight keys VERDICT r10 names as stranded at
-    r4 driver evidence (temperature_sample, mixture_schedule,
-    gopher_repetition, pack_sequences, assign_ids,
-    heavy_hitters_stream_scale, embedding_neardup_lsh,
-    embedding_neardup_blocked); (2) 38 of the 39 keys whose latest
-    green row is r7 (the whole r7 cohort minus event_transitions,
-    which leads the tail as the r12 rotation head). Every r9/r10-
-    windowed key rotates OUT to the tail — its row stands as
-    evidence while the stale keys refresh. Every key keeps its
-    oracle regardless of position — selfcheck.py checks all of
-    them locally."""
+    boundary position). Entries rotate per round. The r12 window:
+    (0) the six txlog keys whose code paths changed this round — the
+    bloom sidecar physical-name keying fix rides the MERGE fast path
+    and every probing read (txlog_merge_scan), and the change feeds
+    resolve a per-version colmap across overwrite boundaries
+    (txlog_change_feed, txlog_incremental_scan, txlog_cdf_rows,
+    txlog_replica_scan, txlog_rename_scan); (1) the eleven keys
+    VERDICT r11 names as stranded at r7 evidence (event_transitions,
+    pagerank_knn, dedup_keep_best, decontaminate_spans,
+    quality_attributes, longest_dup_span, winnow_fingerprints,
+    shuffle_corpus, containment_pairs, semdedup_keep_central,
+    kneser_ney_score); (2) the oldest 33-key slice of the
+    r9-evidence cohort. Every r10/r11-windowed key rotates OUT to
+    the tail — its row stands as evidence while the stale keys
+    refresh. Every key keeps its oracle regardless of position —
+    selfcheck.py checks all of them locally."""
     return {
-        # -- (0) CHANGED THIS ROUND: the txlog format grew composite
-        #    MERGE keys, MERGE-DELETE (txlog_delete_scan), predicate
-        #    DML (txlog_update_scan), hive partitioning
-        #    (txlog_partition_scan), schema-projected file reads and
-        #    batch-incremental refresh (txlog_incremental_scan) and
-        #    a zero-row-part guard in the shared stage-writer — all
-        #    seven format keys evidence on the new code --
+        # -- (0) CHANGED THIS ROUND (r12): the bloom sidecar fix
+        #    (physical-name keying) touches the MERGE fast path and
+        #    every probing read; the change feeds now resolve a
+        #    PER-VERSION colmap across overwrite boundaries
+        #    (_feed_read_maps) — the six keys exercising those paths
+        #    re-evidence on the new code --
         "txlog_merge_scan": _tf.txlog_merge_scan,
-        "txlog_dv_scan": _tf.txlog_dv_scan,
+        "txlog_change_feed": _tf.txlog_change_feed,
+        "txlog_incremental_scan": _tf.txlog_incremental_scan,
         "txlog_cdf_rows": _tf.txlog_cdf_rows,
         "txlog_replica_scan": _tf.txlog_replica_scan,
         "txlog_rename_scan": _tf.txlog_rename_scan,
+        # -- (1) the ELEVEN keys stranded at r7 driver evidence
+        #    (VERDICT r11 next-round #1's named list — each gave way
+        #    to a new key's first evidence in r11) --
+        "event_transitions": _an3.event_transitions,
+        "pagerank_knn": _tp.pagerank_knn,
+        "dedup_keep_best": _tp.dedup_keep_best,
+        "decontaminate_spans": _tp.decontaminate_spans,
+        "quality_attributes": _tp.quality_attributes,
+        "longest_dup_span": _tp.longest_dup_span,
+        "winnow_fingerprints": _tp.winnow_fingerprints,
+        "shuffle_corpus": _tp.shuffle_corpus,
+        "containment_pairs": _tp.containment_pairs,
+        "semdedup_keep_central": _tp.semdedup_keep_central,
+        "kneser_ney_score": _tp.kneser_ney_score,
+        # -- (2) the oldest slice of the r9-evidence cohort (the
+        #    next-aging set VERDICT r11 names): dashboard/pipeline
+        #    parity keys, the r9 TPC-H shapes, SCD2/set-ops/deciles,
+        #    and the core dedup/text keys --
+        "dash_overview": _sp.dash_overview,
+        "dash_tickers": _sp.dash_tickers,
+        "dash_detail": _sp.dash_detail,
+        "running_volume": _sp.running_volume,
+        "volume_histogram": _sp.volume_histogram,
+        "enrich_model_batch": _sp.enrich_model_batch,
+        "dash_overview_wide": _sp.dash_overview_wide,
+        "dash_price_sma_long": _sp.dash_price_sma_long,
+        "topk_per_group": _an.topk_per_group,
+        "q4_order_priority": _an2.q4_order_priority,
+        "q21_waiting_suppliers": _an2.q21_waiting_suppliers,
+        "q13_customer_distribution": _an2.q13_customer_distribution,
+        "q15_top_supplier": _an2.q15_top_supplier,
+        "q17_small_quantity_revenue": _an2.q17_small_quantity_revenue,
+        "q22_inactive_rich_customers": _an2.q22_inactive_rich_customers,
+        "q2_min_cost_supplier": _an2.q2_min_cost_supplier,
+        "q9_product_profit": _an2.q9_product_profit,
+        "q11_important_inventory": _an2.q11_important_inventory,
+        "props_variant_stats": _an2.props_variant_stats,
+        "value_deciles": _an3.value_deciles,
+        "value_rank_dist": _an3.value_rank_dist,
+        "retention_set_ops": _an3.retention_set_ops,
+        "grouping_sets_revenue": _an3.grouping_sets_revenue,
+        "scd2_customer_dim": _an3.scd2_customer_dim,
+        "dedup_exact": _tp.dedup_exact,
+        "dedup_minhash_lsh": _tp.dedup_minhash_lsh,
+        "embedding_neardup": _tp.embedding_neardup,
+        "ann_topk": _tp.ann_topk,
+        "text_lang_id": _tp.text_lang_id,
+        "text_quality": _tp.text_quality,
+        "token_count": _tp.token_count,
+        "doc_chunking": _tp.doc_chunking,
+        "train_test_split": _tp.train_test_split,
+        # ==== WINDOW BOUNDARY (50): train_test_split is entry 50;
+        #      the driver records rows for nothing below this line.
+        #      tests/test_entry_contract.py asserts this position. ====
+        # -- tail: r10/r11-evidenced keys rotate out (their rows
+        #    stand), plus the declared rows-only set; the remaining
+        #    r9-evidence keys (vocab_topk, decontaminate,
+        #    dedup_incremental, line_dedup, tokenize_ids,
+        #    bigram_lm_score, corpus_diff, bm25_topk, corpus_report,
+        #    dedup_ingest_bloom, corpus_report_by_source,
+        #    dedup_minhash_auto, ...) lead the r13 rotation --
+        "txlog_dv_scan": _tf.txlog_dv_scan,
         "txlog_replace_scan": _tf.txlog_replace_scan,
         "txlog_generated_scan": _tf.txlog_generated_scan,
         "dedup_corpus_inplace": _tf.dedup_corpus_inplace,
         "txlog_delete_scan": _tf.txlog_delete_scan,
         "txlog_update_scan": _tf.txlog_update_scan,
         "txlog_partition_scan": _tf.txlog_partition_scan,
-        "txlog_incremental_scan": _tf.txlog_incremental_scan,
         "txlog_range_scan": _tf.txlog_range_scan,
-        "txlog_change_feed": _tf.txlog_change_feed,
-        # -- (1) the 8 keys stranded at r4 driver evidence (VERDICT
-        #    r10 next-round #2's named list) --
         "temperature_sample": _tp.temperature_sample,
         "mixture_schedule": _tp.mixture_schedule,
         "gopher_repetition": _tp.gopher_repetition,
@@ -93,9 +141,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_stream_scale": _tp.heavy_hitters_stream_scale,
         "embedding_neardup_lsh": _tp.embedding_neardup_lsh,
         "embedding_neardup_blocked": _tp.embedding_neardup_blocked,
-        # -- (2) the r7-evidence block: 38 of the 39 keys whose last
-        #    green row is r7 (event_transitions defers to r12 — it
-        #    leads the tail) --
         "quantity_percentiles": _an.quantity_percentiles,
         "asof_join_purchases": _an2.asof_join_purchases,
         "range_join_errors": _an2.range_join_errors,
@@ -124,47 +169,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": _tp.dsir_select,
         "perplexity_buckets": _tp.perplexity_buckets,
         "weighted_sample": _tp.weighted_sample,
-        # ==== WINDOW BOUNDARY (50): weighted_sample is entry 50;
-        #      the driver records rows for nothing below this line.
-        #      tests/test_entry_contract.py asserts this position.
-        #      txlog_update_scan + txlog_partition_scan +
-        #      txlog_incremental_scan (predicate DML, hive
-        #      partitioning, batch-incremental refresh — all new
-        #      mid-r11) displaced containment_pairs,
-        #      semdedup_keep_central and kneser_ney_score to the
-        #      tail, and the third stint's txlog_dv_scan (deletion
-        #      vectors) + txlog_cdf_rows (row-level CDF) +
-        #      txlog_replica_scan (CDF-driven replication) +
-        #      txlog_rename_scan (column mapping) +
-        #      txlog_replace_scan (replaceWhere) +
-        #      txlog_generated_scan (generated columns) +
-        #      dedup_corpus_inplace (the C22 x E22 bridge: in-place
-        #      dv dedup of the corpus table) displaced pagerank_knn,
-        #      dedup_keep_best, decontaminate_spans,
-        #      quality_attributes, longest_dup_span,
-        #      winnow_fingerprints and shuffle_corpus — a NEW key's
-        #      first evidence outranks refreshing one more r7 key;
-        #      the ten join event_transitions as r12 rotation
-        #      heads ====
-        # -- tail: r9/r10-evidenced keys rotate out (their rows
-        #    stand), plus the declared rows-only set;
-        #    event_transitions + pagerank_knn + dedup_keep_best +
-        #    decontaminate_spans + quality_attributes +
-        #    longest_dup_span + winnow_fingerprints +
-        #    shuffle_corpus + containment_pairs +
-        #    semdedup_keep_central + kneser_ney_score lead the r12
-        #    rotation --
-        "shuffle_corpus": _tp.shuffle_corpus,
-        "winnow_fingerprints": _tp.winnow_fingerprints,
-        "longest_dup_span": _tp.longest_dup_span,
-        "quality_attributes": _tp.quality_attributes,
-        "decontaminate_spans": _tp.decontaminate_spans,
-        "dedup_keep_best": _tp.dedup_keep_best,
-        "pagerank_knn": _tp.pagerank_knn,
-        "kneser_ney_score": _tp.kneser_ney_score,
-        "semdedup_keep_central": _tp.semdedup_keep_central,
-        "containment_pairs": _tp.containment_pairs,
-        "event_transitions": _an3.event_transitions,
         "contamination_report": _tp.contamination_report,
         "merge_upsert_orders": _an2.merge_upsert_orders,
         "q12_priority_shipping": _an2.q12_priority_shipping,
@@ -221,43 +225,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ingest_bloom": _tp.dedup_ingest_bloom,
         "corpus_report_by_source": _tp.corpus_report_by_source,
         "dedup_minhash_auto": _tp.dedup_minhash_auto,
-        "retention_set_ops": _an3.retention_set_ops,
-        "grouping_sets_revenue": _an3.grouping_sets_revenue,
-        "scd2_customer_dim": _an3.scd2_customer_dim,
-        "text_lang_id": _tp.text_lang_id,
         "dedup_incremental": _tp.dedup_incremental,
         "line_dedup": _tp.line_dedup,
         "tokenize_ids": _tp.tokenize_ids,
         "bigram_lm_score": _tp.bigram_lm_score,
-        "dash_overview": _sp.dash_overview,
-        "dash_tickers": _sp.dash_tickers,
-        "dash_detail": _sp.dash_detail,
-        "running_volume": _sp.running_volume,
-        "volume_histogram": _sp.volume_histogram,
-        "enrich_model_batch": _sp.enrich_model_batch,
-        "dash_overview_wide": _sp.dash_overview_wide,
-        "dash_price_sma_long": _sp.dash_price_sma_long,
-        "topk_per_group": _an.topk_per_group,
-        "q4_order_priority": _an2.q4_order_priority,
-        "q21_waiting_suppliers": _an2.q21_waiting_suppliers,
-        "q13_customer_distribution": _an2.q13_customer_distribution,
-        "q15_top_supplier": _an2.q15_top_supplier,
-        "q17_small_quantity_revenue": _an2.q17_small_quantity_revenue,
-        "q22_inactive_rich_customers": _an2.q22_inactive_rich_customers,
-        "q2_min_cost_supplier": _an2.q2_min_cost_supplier,
-        "q9_product_profit": _an2.q9_product_profit,
-        "q11_important_inventory": _an2.q11_important_inventory,
-        "props_variant_stats": _an2.props_variant_stats,
-        "value_deciles": _an3.value_deciles,
-        "value_rank_dist": _an3.value_rank_dist,
-        "dedup_exact": _tp.dedup_exact,
-        "dedup_minhash_lsh": _tp.dedup_minhash_lsh,
-        "embedding_neardup": _tp.embedding_neardup,
-        "ann_topk": _tp.ann_topk,
-        "text_quality": _tp.text_quality,
-        "token_count": _tp.token_count,
-        "doc_chunking": _tp.doc_chunking,
-        "train_test_split": _tp.train_test_split,
         "vocab_topk": _tp.vocab_topk,
         "decontaminate": _tp.decontaminate,
         "corpus_diff": _tp.corpus_diff,

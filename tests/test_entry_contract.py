@@ -36,19 +36,17 @@ ROWS_ONLY = {
     "ann_index_topk",
 }
 
-# Keys the r11 rotation promises the driver window (VERDICT r10
-# next-round #2): the four txlog keys re-evidencing the changed
-# format (incl. the NEW txlog_delete_scan) and the eight keys
-# stranded at r4 evidence, named in the verdict.
-R11_WINDOW_PRIORITY = {
-    "txlog_range_scan", "txlog_change_feed", "txlog_merge_scan",
-    "txlog_delete_scan", "txlog_update_scan", "txlog_partition_scan",
-    "txlog_incremental_scan", "txlog_dv_scan", "txlog_cdf_rows",
-    "txlog_replica_scan", "txlog_rename_scan", "txlog_replace_scan",
-    "txlog_generated_scan", "dedup_corpus_inplace",
-    "temperature_sample", "mixture_schedule", "gopher_repetition",
-    "pack_sequences", "assign_ids", "heavy_hitters_stream_scale",
-    "embedding_neardup_lsh", "embedding_neardup_blocked",
+# Keys the r12 rotation promises the driver window (VERDICT r11
+# next-round #1): the eleven keys stranded at r7 evidence, plus the
+# six txlog keys re-evidencing this round's bloom/colmap-feed fixes.
+R12_WINDOW_PRIORITY = {
+    "event_transitions", "pagerank_knn", "dedup_keep_best",
+    "decontaminate_spans", "quality_attributes", "longest_dup_span",
+    "winnow_fingerprints", "shuffle_corpus", "containment_pairs",
+    "semdedup_keep_central", "kneser_ney_score",
+    "txlog_merge_scan", "txlog_change_feed",
+    "txlog_incremental_scan", "txlog_cdf_rows",
+    "txlog_replica_scan", "txlog_rename_scan",
 }
 
 
@@ -85,16 +83,16 @@ def test_driver_window_boundary_position():
     a comment that claimed the 50-row boundary at the wrong dict
     position (VERDICT r7 What's-wrong #1). Pin the REAL boundary:
     the documented last-in-window key must sit at index 49, and
-    every key the r10 rotation promises the window must be inside
+    every key the r12 rotation promises the window must be inside
     the first 50."""
     m = _entry_module()
     keys = list(m.queries())
-    assert keys.index("weighted_sample") == 49, (
+    assert keys.index("train_test_split") == 49, (
         "the '==== WINDOW BOUNDARY (50)' comment in __spark_entry__ "
-        "no longer matches the dict: weighted_sample is at "
-        f"index {keys.index('weighted_sample')}")
+        "no longer matches the dict: train_test_split is at "
+        f"index {keys.index('train_test_split')}")
     window = set(keys[:50])
-    assert R11_WINDOW_PRIORITY <= window, R11_WINDOW_PRIORITY - window
+    assert R12_WINDOW_PRIORITY <= window, R12_WINDOW_PRIORITY - window
 
 
 def test_entry_returns_flagship(spark):
