@@ -1274,6 +1274,23 @@ _STAT_AGG_BATCH = 128
 # fallback.
 _KEY_COLLECT_BOUND = 2_000_000
 
+# The row bound alone is blind to key WIDTH (VERDICT r11 #5): 2M
+# 500-byte strings is a ~1 GB driver bill where 2M ints is ~60 MB.
+# The collect is additionally capped by ESTIMATED BYTES — row count
+# x (sampled average key length + per-object Python overhead for
+# strings; a flat 32 B for fixed-width types). 64 MB keeps the
+# 2M-int behavior exactly while wide string keys fall back to the
+# distributed aggregate at the row count their width earns.
+_KEY_COLLECT_BYTES = 64 * 1024 * 1024
+_KEY_PYOBJ_OVERHEAD = 56  # CPython str header + list slot, approx
+
+
+def _key_collect_ok(n_keys: int, est_bytes: float) -> bool:
+    """May the merge fast path collect this key set to the driver?
+    Factored for tests to observe the regime decision."""
+    return (n_keys <= _KEY_COLLECT_BOUND
+            and est_bytes <= _KEY_COLLECT_BYTES)
+
 
 def _files_touching_keys(spark, files: dict[str, dict], updates: DataFrame,
                          keys: str | list[str],
@@ -1344,10 +1361,21 @@ def _files_touching_keys_col(spark, files: dict[str, dict],
     if not ranged:
         return touched
     keys = updates.select(F.col(key).alias("_k")).distinct()
-    is_float = updates.schema[key].dataType.simpleString() in (
-        "float", "double")
-    n_keys = keys.count()
-    if n_keys <= _KEY_COLLECT_BOUND:
+    dt = updates.schema[key].dataType.simpleString()
+    is_float = dt in ("float", "double")
+    if dt in ("string", "binary"):
+        # one job: count + sampled average width (bytes-aware
+        # bound, VERDICT r11 #5)
+        row = keys.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.length("_k")).alias("w")).collect()[0]
+        n_keys = row["n"]
+        est_bytes = n_keys * ((row["w"] or 0.0)
+                              + _KEY_PYOBJ_OVERHEAD)
+    else:
+        n_keys = keys.count()
+        est_bytes = n_keys * 32
+    if _key_collect_ok(n_keys, est_bytes):
         # fast path: bounded key set -> driver bisect over the file
         # ranges (no per-batch Spark planning; the aggregate path
         # below measured ~20 s of pure Catalyst work per 1024-wide
@@ -2796,10 +2824,51 @@ def refresh_incremental(spark, src_root: str, dst_root: str, fn,
     return snapshot(dst_root)["version"]
 
 
+def _replicate_collapsed(spark, changes: DataFrame, dst_root: str,
+                         keys: list[str],
+                         checkpoint_every: int) -> None:
+    """Apply a multi-version typed change window to a keyed replica
+    as ONE delete + ONE upsert (replicate_incremental's long-window
+    path). Winner per key = the row with the highest
+    (_commit_version, postimage-outranks-preimage): an update commit
+    emits both images for an in-place update, and the postimage is
+    the final state; a preimage with no postimage for the same key
+    at its version means the key MOVED AWAY — a delete. Primary-key
+    uniqueness (replicate_incremental's stated contract) guarantees
+    at most one postimage per (key, version)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    is_post = F.col("_change_type").isin(
+        "insert", "update_postimage").cast("int")
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("_commit_version").desc(), is_post.desc())
+    winners = (changes
+               .withColumn("_rn", F.row_number().over(w))
+               .where(F.col("_rn") == 1)
+               .drop("_rn")
+               .cache())
+    try:
+        gone = winners.where(~F.col("_change_type").isin(
+            "insert", "update_postimage")).select(*keys)
+        post = (winners.where(F.col("_change_type").isin(
+            "insert", "update_postimage"))
+            .drop("_commit_version", "_commit_op", "_change_type"))
+        if gone.limit(1).count():
+            merge_delete(spark, dst_root, gone, keys,
+                         checkpoint_every=checkpoint_every)
+        if post.limit(1).count():
+            merge_upsert(spark, dst_root, post, keys,
+                         checkpoint_every=checkpoint_every)
+    finally:
+        winners.unpersist()
+
+
 def replicate_incremental(spark, src_root: str, dst_root: str,
                           key: str | list[str],
                           app_id: str = "replica",
-                          checkpoint_every: int = 10) -> int | None:
+                          checkpoint_every: int = 10,
+                          collapse_after: int | None = 8) -> int | None:
     """Exactly-once TABLE REPLICATION over the row-level change feed
     (r11 third stint) — the Delta-docs CDF-replication pattern:
     maintain ``dst_root`` as an exact row-for-row copy of
@@ -2825,7 +2894,25 @@ def replicate_incremental(spark, src_root: str, dst_root: str,
     Returns the destination version after the last applied source
     version, or None when the source has nothing new. ``key`` must
     be unique per row in the source for replication to be exact
-    (the usual CDC primary-key requirement)."""
+    (the usual CDC primary-key requirement).
+
+    LONG-WINDOW COLLAPSE (VERDICT r11 #4): the per-version loop runs
+    one merge_delete + one merge_upsert Spark-job pair PER source
+    version — correct (the changes are order-dependent), but a
+    month-long catch-up over a high-commit source is O(versions)
+    sequential jobs. For a KEYED replica the standard CDC collapse
+    is semantics-preserving: only the LATEST change per key decides
+    the final state, so a window longer than ``collapse_after``
+    versions first reduces to one winner row per key (rank by
+    _commit_version desc, postimages outrank their own version's
+    preimages) and applies as exactly ONE merge_delete (keys whose
+    latest event is a delete or a moved-away preimage) + ONE
+    merge_upsert (keys whose latest event is an insert/postimage) —
+    O(1) jobs for any window length, bit-equal to the per-version
+    path on the final table (pytested against it on random DML
+    histories). Pass ``collapse_after=None`` to force the
+    per-version path (e.g. when a downstream audits the replica's
+    own commit history per source version)."""
     from pyspark.sql import functions as F
 
     keys = [key] if isinstance(key, str) else list(key)
@@ -2838,6 +2925,10 @@ def replicate_incremental(spark, src_root: str, dst_root: str,
     versions = sorted({r[0] for r in
                        changes.select("_commit_version")
                        .distinct().collect()})
+    if collapse_after is not None and len(versions) > collapse_after:
+        _replicate_collapsed(spark, changes, dst_root, keys,
+                             checkpoint_every)
+        versions = []
     out = None
     for v in versions:
         win = changes.where(F.col("_commit_version") == v).cache()

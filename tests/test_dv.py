@@ -482,6 +482,104 @@ def test_replicate_handles_key_moving_update(spark, tmp_path):
     assert 4 not in _ids(T.read(spark, dst))
 
 
+def _dml_history(spark, src, n_versions=20, seed=7):
+    """A deterministic pseudo-random append/dv-DML history covering
+    the collapse edge cases: in-place updates, key-moving updates,
+    deletes of re-inserted keys, re-inserts of deleted keys."""
+    import random
+    rng = random.Random(seed)
+    T.append(spark.range(40).select(
+        "id", (F.col("id") * 3).alias("v")), src, checkpoint_every=0)
+    nxt = 1000
+    while T.snapshot(src)["version"] < n_versions:
+        op = rng.choice(["append", "delete", "update", "move",
+                         "merge_delete"])
+        if op == "append":
+            T.append(spark.range(nxt, nxt + 3).select(
+                "id", (F.col("id") * 3).alias("v")), src,
+                checkpoint_every=0)
+            nxt += 3
+        elif op == "delete":
+            T.delete_where(spark, src, f"id % 7 = {rng.randrange(7)}",
+                           mode="dv", checkpoint_every=0)
+        elif op == "update":
+            T.update_where(spark, src,
+                           f"id % 5 = {rng.randrange(5)}",
+                           {"v": "v + 1"}, mode="dv",
+                           checkpoint_every=0)
+        elif op == "move":
+            T.update_where(spark, src, f"id = {rng.randrange(40)}",
+                           {"id": f"id + {nxt}"}, mode="dv",
+                           checkpoint_every=0)
+            nxt += 100
+        else:
+            ids = _ids(T.read(spark, src))
+            if ids:
+                pick = sorted(ids)[rng.randrange(len(ids))]
+                T.merge_delete(
+                    spark, src,
+                    spark.createDataFrame([(pick,)], "id bigint"),
+                    "id", mode="dv", checkpoint_every=0)
+
+
+def test_replicate_long_window_collapses_to_two_merges(spark,
+                                                       tmp_path):
+    """VERDICT r11 #4: a window spanning > collapse_after versions
+    reduces to latest-change-per-key and applies as ONE merge_delete
+    + ONE merge_upsert — bit-equal to the per-version path on the
+    final table, O(1) jobs for any window length."""
+    src = str(tmp_path / "src")
+    _dml_history(spark, src, n_versions=20)
+    dst_per = str(tmp_path / "dst_per")
+    dst_col = str(tmp_path / "dst_col")
+    T.replicate_incremental(spark, src, dst_per, "id",
+                            checkpoint_every=0, collapse_after=None)
+    T.replicate_incremental(spark, src, dst_col, "id",
+                            checkpoint_every=0, collapse_after=8)
+    assert _rows(spark, dst_col) == _rows(spark, src)
+    assert _rows(spark, dst_col) == _rows(spark, dst_per)
+    # job-count pin: the 20-version window applied as AT MOST one
+    # delete-merge + one upsert-merge + the txn watermark stamp
+    hist = T.history(dst_col)
+    merges = [h for h in hist if h["op"] == "merge"]
+    assert len(merges) <= 2, [h["op"] for h in hist]
+    assert hist[-1]["op"] == "txn"
+    # the per-version replica's history is strictly longer
+    assert len(T.history(dst_per)) > len(hist)
+    # exactly-once carries: nothing new -> no-op on both
+    assert T.replicate_incremental(spark, src, dst_col, "id",
+                                   checkpoint_every=0) is None
+
+
+def test_replicate_collapse_key_lifecycle(spark, tmp_path):
+    """Collapse winners: deleted-then-reinserted keys survive,
+    inserted-then-deleted keys vanish, moved keys leave no twin —
+    all inside ONE collapsed window."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    T.append(spark.range(10).select(
+        "id", (F.col("id") * 3).alias("v")), src, checkpoint_every=0)
+    T.merge_delete(spark, src,
+                   spark.createDataFrame([(3,)], "id bigint"),
+                   "id", mode="dv", checkpoint_every=0)
+    T.append(spark.createDataFrame([(3, 999)], "id bigint, v bigint"),
+             src, checkpoint_every=0)     # re-insert deleted key
+    T.append(spark.createDataFrame([(77, 1)], "id bigint, v bigint"),
+             src, checkpoint_every=0)
+    T.merge_delete(spark, src,
+                   spark.createDataFrame([(77,)], "id bigint"),
+                   "id", mode="dv", checkpoint_every=0)  # ins+del
+    T.update_where(spark, src, "id = 5", {"id": "id + 500"},
+                   mode="dv", checkpoint_every=0)        # move
+    T.update_where(spark, src, "id = 2", {"v": "v + 1"},
+                   mode="dv", checkpoint_every=0)        # in-place
+    T.replicate_incremental(spark, src, dst, "id",
+                            checkpoint_every=0, collapse_after=0)
+    assert _rows(spark, dst) == _rows(spark, src)
+    got = {r.id: r.v for r in T.read(spark, dst).collect()}
+    assert got[3] == 999 and 77 not in got and 5 not in got \
+        and got[505] == 15 and got[2] == 7
+
+
 def test_dv_noop_and_mode_validation(spark, table):
     v = T.snapshot(table)["version"]
     assert T.delete_where(spark, table, "id > 10000",

@@ -463,6 +463,48 @@ def test_files_touching_keys_batches_column_groups(spark, tmp_path,
     assert len(batched) == 3  # exactly the three key-bearing files
 
 
+def test_key_collect_bound_is_bytes_aware(spark, tmp_path,
+                                          monkeypatch):
+    """VERDICT r11 #5: the merge fast path's driver-collect bound
+    scales by key WIDTH — wide string keys at a row count the old
+    2M-row bound would have collected take the distributed
+    fallback, with identical pruning."""
+    root = str(tmp_path / "tbl")
+    for b in range(3):
+        T.append(spark.createDataFrame(
+            [((f"{b}-" + "x" * 200 + f"-{i}"),)
+             for i in range(20)], "k string").coalesce(1),
+            root, checkpoint_every=0)
+    snap = T.snapshot(root)
+    ups = spark.createDataFrame(
+        [(("1-" + "x" * 200 + "-5"),)], "k string")
+    decisions = []
+    real = T._key_collect_ok
+
+    def spy(n, b):
+        out = real(n, b)
+        decisions.append((n, b, out))
+        return out
+    monkeypatch.setattr(T, "_key_collect_ok", spy)
+    fast = sorted(T._files_touching_keys(spark, snap["files"],
+                                         ups, "k"))
+    assert decisions and decisions[-1][2] is True  # narrow: collect
+    # wide keys under a tight bytes bound: row count UNDER the row
+    # bound, but the estimated bytes (1 key x ~260 B) exceed it ->
+    # distributed fallback, same answer
+    monkeypatch.setattr(T, "_KEY_COLLECT_BYTES", 100)
+    decisions.clear()
+    slow = sorted(T._files_touching_keys(spark, snap["files"],
+                                         ups, "k"))
+    assert decisions[-1][2] is False  # the fallback actually ran
+    assert decisions[-1][0] <= T._KEY_COLLECT_BOUND  # rows alone OK
+    assert fast == slow and len(fast) == 1
+    # end to end: a merge under the tight bound still lands right
+    T.merge_upsert(spark, root, ups, "k", checkpoint_every=0)
+    assert T.read(spark, root).where(
+        F.col("k") == ("1-" + "x" * 200 + "-5")).count() == 1
+
+
 def test_checkpoint_every_respected_by_all_ops(spark, tmp_path):
     """ADVICE r9: merge_upsert/optimize/stream_sink honor a caller's
     checkpoint cadence instead of hardcoding 10."""
