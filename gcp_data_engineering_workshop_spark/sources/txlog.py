@@ -2824,6 +2824,56 @@ def refresh_incremental(spark, src_root: str, dst_root: str, fn,
     return snapshot(dst_root)["version"]
 
 
+def _stamp_txn(root: str, app_id: str, batch_id: int,
+               checkpoint_every: int = 10) -> int:
+    """Advance an application watermark with a fileless op="txn"
+    commit (the exactly-once cursor replicate_incremental and
+    replicate_stream ride)."""
+    entry = {"op": "txn", "ts": time.time(),
+             "app_id": app_id, "batch_id": batch_id, "actions": []}
+    for _ in range(20):
+        vs = _list_versions(root)
+        nv = (vs[-1] if vs else 0) + 1
+        if _try_commit(root, nv, entry):
+            _maybe_checkpoint(root, nv, checkpoint_every)
+            return nv
+    raise CommitConflict(
+        f"txn watermark stamp lost the version race under {root}")
+
+
+def replicate_stream(spark, dst_root: str, key: str | list[str],
+                     app_id: str = "cdf-replica",
+                     checkpoint_every: int = 10):
+    """foreachBatch body that turns the txlogcdf streaming source
+    into a CONTINUOUS replica (VERDICT r11 #2's composition):
+
+        q = (spark.readStream.format("txlogcdf")
+             .option("path", src).load()
+             .writeStream.foreachBatch(
+                 replicate_stream(spark, dst, "id"))
+             .start())
+
+    Each micro-batch's typed rows apply through the same
+    latest-change-per-key collapse the batch replicator uses
+    (correct across the batch's whole version span — only the
+    newest event per key decides final state), as ONE merge_delete
+    + ONE merge_upsert. Exactly-once: the destination's txn
+    watermark records the applied BATCH id, so Spark's post-crash
+    replay of a completed batch no-ops, and a crash mid-batch
+    replays merges that converge to the same state (idempotent
+    state overwrites). The result table is pytest-pinned equal to
+    replicate_incremental's over the same source history."""
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if snapshot(dst_root)["txn"].get(app_id, -1) >= batch_id:
+            return  # replayed completed batch
+        _replicate_collapsed(spark, batch_df, dst_root, keys,
+                             checkpoint_every)
+        _stamp_txn(dst_root, app_id, batch_id, checkpoint_every)
+    return _apply
+
+
 def _replicate_collapsed(spark, changes: DataFrame, dst_root: str,
                          keys: list[str],
                          checkpoint_every: int) -> None:
@@ -2955,19 +3005,7 @@ def replicate_incremental(spark, src_root: str, dst_root: str,
             win.unpersist()
     # stamp the watermark with a fileless txn commit so a re-run
     # (or an all-no-op window) still advances exactly once
-    entry = {"op": "txn", "ts": time.time(),
-             "app_id": app_id, "batch_id": head, "actions": []}
-    for _ in range(20):
-        vs = _list_versions(dst_root)
-        nv = (vs[-1] if vs else 0) + 1
-        if _try_commit(dst_root, nv, entry):
-            _maybe_checkpoint(dst_root, nv, checkpoint_every)
-            out = nv
-            break
-    else:
-        raise CommitConflict(
-            f"replicate_incremental lost the version race under "
-            f"{dst_root}")
+    out = _stamp_txn(dst_root, app_id, head, checkpoint_every)
     return out
 
 
@@ -3700,6 +3738,116 @@ def _plan_window(root: str, lo: int, hi: int,
     return out
 
 
+def _plan_cdf_window(root: str, lo: int, hi: int) -> list[tuple]:
+    """The ROW-LEVEL CDF stream plan for versions (lo, hi] — the
+    read_changes_rows() classification re-expressed as per-file
+    EXECUTOR TASKS, planned from log metadata only (the driver never
+    opens a data or vector file). Each task is
+
+        (rel path, partition tokens | None, bytes, version, op,
+         change_type, keep, new-dv dir | None, prev-dv dir | None)
+
+    where ``keep`` tells the executor which rows of the file to
+    emit: "all" (every row), "live" (all minus the prev-dv
+    positions — a dropped file's rows live as of v-1, or a cloned
+    dv-file's live rows), "diff" (new-dv minus prev-dv positions —
+    exactly THIS commit's deleted/updated rows; each vector is
+    cumulative per file, so the difference is the increment).
+
+    Refusals are read_changes_rows' own: rewrite-mode DML,
+    overwrite, restore and replace commits raise NonAppendChange —
+    a rewrite mixes changed and carried rows indistinguishably, so
+    row-level typing would be a guess; run DML in mode="dv" (or
+    consume the file-level txlogstream with ignore_changes)."""
+    tasks: list[tuple] = []
+    for v in _list_versions(root):
+        if v <= lo or v > hi:
+            continue
+        e = json.load(open(_version_file(root, v)))
+        op = e["op"]
+        if op == "optimize":
+            continue  # dataChange=false
+        adds = [a["add"] for a in e["actions"] if "add" in a]
+        removes = [a["remove"]["path"] for a in e["actions"]
+                   if "remove" in a]
+        if op in ("append", "stream-append", "clone"):
+            for a in adds:
+                dv = a.get("dv")
+                # a CLONE of a dv-bearing table: inserts are the
+                # LIVE rows (raw bytes would resurrect deletes)
+                tasks.append((a["path"], a.get("partition"),
+                              a.get("bytes", 0), v, op, "insert",
+                              "live" if dv else "all", None,
+                              dv["path"] if dv else None))
+            continue
+        if e.get("mode") != "dv":
+            if not adds and not removes:
+                continue  # fileless (constraints, renames, txn...)
+            raise NonAppendChange(
+                f"version {v} is a {op} commit without deletion "
+                f"vectors; row-level change typing is only exact "
+                f"for dv-mode DML — run DML in mode='dv' or use "
+                f"the file-level txlogstream source")
+        prev = snapshot(root, v - 1)
+        pre_ct = "update_preimage" if op == "update" else "delete"
+        dv_adds = {a["path"]: a for a in adds if "dv" in a}
+        for p in sorted(dv_adds):
+            a = dv_adds[p]
+            pr = (prev["files"].get(p) or {}).get("dv")
+            tasks.append((p, a.get("partition"), a.get("bytes", 0),
+                          v, op, pre_ct, "diff", a["dv"]["path"],
+                          pr["path"] if pr else None))
+        for p in sorted(x for x in removes if x not in dv_adds):
+            m = prev["files"].get(p) or {}
+            pr = m.get("dv")
+            tasks.append((p, m.get("partition"), m.get("bytes", 0),
+                          v, op, pre_ct, "live", None,
+                          pr["path"] if pr else None))
+        for a in adds:
+            if "dv" not in a:
+                tasks.append((a["path"], a.get("partition"),
+                              a.get("bytes", 0), v, op,
+                              "update_postimage", "all", None, None))
+    return tasks
+
+
+def _arrow_project(tbl, target, cmap: dict, part: dict | None):
+    """EXECUTOR-side projection of a raw parquet table to the exact
+    arrow schema Spark expects: physical->logical rename via the
+    open-time colmap, hive partition tokens injected as constant
+    columns (cast from string exactly like Spark's partition
+    discovery), NULL backfill for fields a pre-evolution file lacks.
+    Shared by the parallel stream reader and the CDF stream reader."""
+    import pyarrow as pa
+
+    cols = []
+    for field in target:
+        pname = cmap.get(field.name, field.name)
+        if pname in tbl.column_names:
+            cols.append(tbl.column(pname).cast(field.type))
+        elif part and part.get(pname) is not None:
+            cols.append(pa.chunked_array([
+                pa.array([part[pname]] * len(tbl), type=pa.string())
+                .cast(field.type)]))
+        else:
+            cols.append(pa.chunked_array(
+                [pa.nulls(len(tbl), field.type)]))
+    return pa.table(cols, schema=target)
+
+
+def _dv_positions(dv_dir: str | None, basename: str) -> set:
+    """EXECUTOR-side read of one file's deleted positions from a dv
+    sidecar dir (parquet dataset of (file, pos) rows; the 'file ==
+    basename' filter pushes into the scan). None dir = no vector."""
+    if not dv_dir:
+        return set()
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(dv_dir, columns=["pos"],
+                      filters=[("file", "==", basename)])
+    return set(t.column("pos").to_pylist())
+
+
 def _stream_fields(root: str):
     """(field names, tz-aware timestamp field names) for the stream
     row shape — from the RECORDED log schema when one exists (every
@@ -3877,37 +4025,19 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
             # same to_arrow_schema the tuple path uses), with NULL
             # columns materialized for fields a pre-evolution file
             # lacks. Zero driver involvement per row.
-            import pyarrow as pa
             import pyarrow.parquet as pq
             from pyspark.sql.pandas.types import to_arrow_schema
             from pyspark.sql.types import StructType as _ST
 
             target = to_arrow_schema(
                 _ST.fromJson(json.loads(partition.schema_json)))
-            cmap = partition.colmap
             for path, part in partition.files:
-                tbl = pq.read_table(path)
-                cols = []
-                for field in target:
-                    pname = cmap.get(field.name, field.name)
-                    if pname in tbl.column_names:
-                        cols.append(
-                            tbl.column(pname).cast(field.type))
-                    elif part and part.get(pname) is not None:
-                        # hive partition column: the value lives in
-                        # the directory name, not the file — inject
-                        # it as a constant column, cast from the
-                        # token through Arrow (string -> int/float/
-                        # date/... exactly like Spark's partition
-                        # discovery)
-                        cols.append(pa.chunked_array([
-                            pa.array([part[pname]] * len(tbl),
-                                     type=pa.string())
-                            .cast(field.type)]))
-                    else:
-                        cols.append(pa.chunked_array(
-                            [pa.nulls(len(tbl), field.type)]))
-                out = pa.table(cols, schema=target)
+                # hive partition columns inject from directory
+                # tokens; colmap renames physical->logical; missing
+                # (pre-evolution) fields NULL-backfill — all in
+                # _arrow_project, shared with the CDF reader
+                out = _arrow_project(pq.read_table(path), target,
+                                     partition.colmap, part)
                 for batch in out.to_batches():
                     yield batch
 
@@ -4048,11 +4178,160 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
         def simpleStreamReader(self, schema) -> TxLogStreamReader:
             return TxLogStreamReader(self.options)
 
+    _CDF_META = ("_commit_version", "_commit_op", "_change_type")
+
+    class TxLogCdfPartition(InputPartition):
+        """One executor task group of a txlogcdf micro-batch: CDF
+        file tasks (see _plan_cdf_window; paths made absolute at
+        plan time) packed to ~partition_bytes, plus the full stream
+        schema JSON (table schema + the three CDF meta columns) and
+        the open-time colmap. Picklable by construction."""
+
+        def __init__(self, tasks: list[tuple], schema_json: str,
+                     colmap: dict | None = None):
+            self.tasks = tasks
+            self.schema_json = schema_json
+            self.colmap = colmap or {}
+
+    class TxLogCdfStreamReader(TxLogParallelStreamReader):
+        """STREAMING ROW-LEVEL CDF source (VERDICT r11 #2) —
+        read_changes_rows() as a readStream format, the capstone of
+        the deletion-vector work: offsets are log versions (the D27
+        contract, inherited — admission control, the reader_id
+        cursor and restart-safe replanning all carry), and each
+        micro-batch emits the window's typed `_change_type` rows:
+
+        - append / stream-append / clone commits -> "insert" rows
+          (a dv-carrying clone emits LIVE rows only);
+        - dv-mode DELETE / MERGE-DELETE -> exactly the commit's
+          deleted rows, "delete";
+        - dv-mode UPDATE -> "update_preimage" (the newly vectored
+          positions) + "update_postimage" (the commit's fresh
+          files);
+        - optimize / fileless commits -> nothing;
+        - rewrite-mode DML / overwrite / restore / replace -> RAISE
+          (read_changes_rows' refusal, carried).
+
+        The vector DIFFS run ON THE EXECUTORS: partitions() plans
+        only log metadata (each task names its data file and the
+        new/prev dv sidecar dirs), read(partition) loads the two
+        position sets with a pushed-down `file == basename` scan,
+        takes the difference, and slices the parquet table — no row
+        or position transits the driver. Composing with
+        foreachBatch(replicate_stream(...)) turns this source into
+        a CONTINUOUS replica (pytest pins it equal to
+        replicate_incremental's result table)."""
+
+        def partitions(self, start, end):
+            self._last_end = end["v"]
+            plan = _plan_cdf_window(self.root, start["v"], end["v"])
+            parts: list[TxLogCdfPartition] = []
+            cur: list[tuple] = []
+            cur_b = 0
+            for (rel, ptok, nbytes, v, op, ct, keep,
+                 new_dv, prev_dv) in plan:
+                if cur and cur_b + nbytes > self.pack_bytes:
+                    parts.append(TxLogCdfPartition(
+                        cur, self._schema_json, self._colmap))
+                    cur, cur_b = [], 0
+                cur.append((
+                    os.path.join(self.root, rel), ptok, v, op, ct,
+                    keep,
+                    os.path.join(self.root, new_dv)
+                    if new_dv else None,
+                    os.path.join(self.root, prev_dv)
+                    if prev_dv else None))
+                cur_b += nbytes
+            if cur:
+                parts.append(TxLogCdfPartition(
+                    cur, self._schema_json, self._colmap))
+            return parts
+
+        def read(self, partition):
+            import numpy as np
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            from pyspark.sql.pandas.types import to_arrow_schema
+            from pyspark.sql.types import StructType as _ST
+
+            full = _ST.fromJson(json.loads(partition.schema_json))
+            data_st = _ST([f for f in full.fields
+                           if f.name not in _CDF_META])
+            target = to_arrow_schema(data_st)
+            target_full = to_arrow_schema(full)
+            meta_type = {f.name: f.type for f in target_full
+                         if f.name in _CDF_META}
+            for (path, ptok, v, op, ct, keep,
+                 new_dv, prev_dv) in partition.tasks:
+                tbl = pq.read_table(path)
+                base = os.path.basename(path)
+                if keep == "live":
+                    drop = _dv_positions(prev_dv, base)
+                    if drop:
+                        mask = np.ones(len(tbl), dtype=bool)
+                        mask[sorted(drop)] = False
+                        tbl = tbl.filter(pa.array(mask))
+                elif keep == "diff":
+                    take = sorted(_dv_positions(new_dv, base)
+                                  - _dv_positions(prev_dv, base))
+                    tbl = tbl.take(pa.array(take, type=pa.int64()))
+                if len(tbl) == 0:
+                    continue
+                out = _arrow_project(tbl, target, partition.colmap,
+                                     ptok)
+                n = len(out)
+                consts = {"_commit_version": v, "_commit_op": op,
+                          "_change_type": ct}
+                # data fields lead the declared schema, the three
+                # meta columns close it — appending constants in
+                # _CDF_META order lands the target_full layout
+                cols = list(out.columns)
+                for mname in _CDF_META:
+                    cols.append(pa.chunked_array([pa.array(
+                        [consts[mname]] * n,
+                        type=meta_type[mname])]))
+                final = pa.table(cols, schema=target_full)
+                for batch in final.to_batches():
+                    yield batch
+
+    class TxLogCdfStreamDataSource(DataSource):
+        """spark.readStream.format("txlogcdf").option("path", root)
+        — register with spark.dataSource.register(
+        TxLogCdfStreamDataSource). Options: path (required),
+        starting_version, max_versions_per_trigger, reader_id,
+        partition_bytes. Schema = the table's recorded schema plus
+        the Delta-CDF meta columns (_commit_version int, _commit_op
+        string, _change_type string)."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "txlogcdf"
+
+        def schema(self) -> str:
+            snap = snapshot(self.options["path"])
+            if not snap.get("schema"):
+                raise ValueError(
+                    "txlogcdf: the row-level change stream needs a "
+                    "recorded table schema; commit data first")
+            from pyspark.sql.types import StructType as _ST
+            st = _ST.fromJson(json.loads(snap["schema"]))
+            return (", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in st.fields)
+                + ", _commit_version int, _commit_op string, "
+                  "_change_type string")
+
+        def streamReader(self, schema) -> TxLogCdfStreamReader:
+            return TxLogCdfStreamReader(self.options, schema)
+
 except ImportError:  # pragma: no cover - pyspark<4 fallback
     TxLogFilePartition = None  # type: ignore[assignment]
     TxLogParallelStreamReader = None  # type: ignore[assignment]
     TxLogStreamReader = None  # type: ignore[assignment]
     TxLogStreamDataSource = None  # type: ignore[assignment]
+    TxLogCdfPartition = None  # type: ignore[assignment]
+    TxLogCdfStreamReader = None  # type: ignore[assignment]
+    TxLogCdfStreamDataSource = None  # type: ignore[assignment]
 
 
 def read_range(spark, root: str, col: str, lo=None, hi=None,
