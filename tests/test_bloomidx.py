@@ -235,7 +235,9 @@ def test_torn_sidecar_degrades_to_no_pruning(spark, tmp_path):
              checkpoint_every=0)
     snap = T.snapshot(root)
     (path, meta), = snap["files"].items()
-    sidecar = os.path.join(root, meta["bloom"])
+    ref = meta["bloom"]
+    sidecar = os.path.join(
+        root, ref["path"] if isinstance(ref, dict) else ref)
     with open(sidecar, "w") as fh:
         fh.write('{"id": {"m": 64, "k"')  # torn mid-write
     T._bloom_load.cache_clear()
@@ -265,6 +267,100 @@ def test_restore_rolls_bloom_spec(spark, tmp_path):
     newest = [m for m in T.snapshot(root)["files"].values()
               if m["stats"]["id"][0] >= 10]
     assert all("bloom" not in m for m in newest)
+
+
+def test_backfill_prunes_like_born_indexed(spark, tmp_path):
+    """VERDICT r11 #3: backfill_bloom_index builds sidecars for
+    pre-index files WITHOUT rewriting data — the back-filled table
+    prunes point reads identically to a born-indexed one, and the
+    back-fill commit removes zero files."""
+    # born-indexed twin
+    born = str(tmp_path / "born")
+    T.set_bloom_index(born, ["id"], checkpoint_every=0)
+    df = spark.range(400).select("id")
+    for b in range(4):
+        T.append(df.where(F.col("id") % 4 == b).coalesce(1), born,
+                 checkpoint_every=0)
+    # back-filled twin: same layout, index declared AFTER the data
+    late = str(tmp_path / "late")
+    for b in range(4):
+        T.append(df.where(F.col("id") % 4 == b).coalesce(1), late,
+                 checkpoint_every=0)
+    T.set_bloom_index(late, ["id"], checkpoint_every=0)
+    assert len(_cand(late, "id = 17")) == 4  # nothing indexed yet
+    v = T.backfill_bloom_index(spark, late, checkpoint_every=0)
+    assert v is not None
+    # identical pruning to the born-indexed table
+    for cond in ("id = 17", "id = 100000", "id >= 0"):
+        assert len(_cand(late, cond)) == len(_cand(born, cond))
+    assert len(_cand(late, "id = 17")) == 1
+    # zero files rewritten: n_remove == 0 on the back-fill commit,
+    # and the data files are byte-identical paths
+    h = T.history(late)[-1]
+    assert h["op"] == "bloom-backfill" and h["n_remove"] == 0
+    assert T.read_where(spark, late, "id = 17").count() == 1
+    # idempotent: everything indexed -> no-op
+    assert T.backfill_bloom_index(spark, late,
+                                  checkpoint_every=0) is None
+
+
+def test_backfill_is_datachange_false_for_streams(spark, tmp_path):
+    """A back-fill commit re-adds every file; the stream and CDF
+    planners must NOT re-emit those rows (optimize's
+    dataChange=false rule), and the row feed skips it."""
+    root = str(tmp_path / "tbl")
+    T.append(spark.range(10).select("id").coalesce(1), root,
+             checkpoint_every=0)
+    T.set_bloom_index(root, ["id"], checkpoint_every=0)
+    T.backfill_bloom_index(spark, root, checkpoint_every=0)
+    head = T.snapshot(root)["version"]
+    assert T._plan_window(root, 0, head, False) != []  # the append
+    assert [v for v, _op, _a in T._plan_window(root, 0, head, False)
+            ] == [1]
+    assert all(t[3] == 1 for t in T._plan_cdf_window(root, 0, head))
+    feed = T.read_changes_rows(spark, root, from_version=0)
+    assert feed.count() == 10  # inserts only, no re-emit
+    # vacuum keeps the consolidated sidecar while referenced
+    assert not [r for r in T.vacuum(root, retention_seconds=0)
+                if r.startswith("_bloom/")]
+
+
+def test_backfill_consolidates_sidecars(spark, tmp_path):
+    """Consolidated group sidecars: a back-fill (or one commit) of
+    many files writes O(files/_BLOOM_GROUP) JSONs, not one per
+    file; probing still resolves per-file entries."""
+    root = str(tmp_path / "tbl")
+    df = spark.range(200).select("id")
+    # 10 pre-index files
+    for b in range(10):
+        T.append(df.where(F.col("id") % 10 == b).coalesce(1), root,
+                 checkpoint_every=0)
+    T.set_bloom_index(root, ["id"], checkpoint_every=0)
+    import gcp_data_engineering_workshop_spark.sources.txlog as _T
+    old = _T._BLOOM_GROUP
+    try:
+        _T._BLOOM_GROUP = 4  # force 3 groups for 10 files
+        T.backfill_bloom_index(spark, root, checkpoint_every=0)
+    finally:
+        _T._BLOOM_GROUP = old
+    sidecars = os.listdir(os.path.join(root, T._BLOOM_DIR))
+    assert len(sidecars) == 3
+    snap = T.snapshot(root)
+    assert all(isinstance(m["bloom"], dict)
+               for m in snap["files"].values())
+    assert len(_cand(root, "id = 17")) == 1
+    assert T.read_where(spark, root, "id = 17").count() == 1
+    # merge fast path probes through the consolidated refs too
+    T.merge_upsert(spark, root, spark.createDataFrame(
+        [(17,)], "id bigint"), "id", checkpoint_every=0)
+    assert T.history(root)[-1]["n_remove"] <= 1
+
+
+def test_backfill_requires_index(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    T.append(spark.range(5).select("id"), root, checkpoint_every=0)
+    with pytest.raises(ValueError, match="no bloom index"):
+        T.backfill_bloom_index(spark, root)
 
 
 def test_bloom_distributed_probe_regime(spark, table, monkeypatch):

@@ -5,12 +5,21 @@ per-op properties can't give (a dv delete under a rename after a
 merge after a replace...). Data stays non-null ints so the model is
 trivially exact; NULL/NaN edge semantics are the dedicated
 per-op property files' job (test_dml_property, test_merge_property,
-test_readwhere_property)."""
+test_readwhere_property).
+
+r12 widens the op vocabulary (VERDICT r11 #6): CLONE-then-DML (the
+sequence hops to a shallow clone mid-history and keeps mutating —
+copy-on-write, vector carry and constraint carry all interact),
+GENERATED-column tables (a computed column rides every write path:
+appends/merges omit it, updates recompute it, replace validates it),
+and CONSTRAINT add/drop toggles (the enforcement pass runs on every
+subsequent write) — the r11 review rounds found bugs exactly in
+these cross-feature seams (clone x CDF, replaceWhere x generated)."""
 
 from __future__ import annotations
 
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -32,28 +41,59 @@ _op = st.one_of(
               st.integers(2, 5)),
     st.tuples(st.just("optimize"), st.booleans()),
     st.tuples(st.just("rename"),),
+    st.tuples(st.just("clone"),),
+    st.tuples(st.just("constraint"),),
 )
 
 
-def _apply(spark, root, model, names, next_id, op):
-    """Apply one op to the table AND the model. ``model`` is
-    {id: v}; ``names`` is the live (id-col, v-col) logical names
-    (rename flips the v column's name); returns next_id."""
-    idc, vc = names
+def _append_df(spark, state, rows):
+    """Build an append frame in the table's current logical shape —
+    generated tables never supply the computed column."""
+    idc, vc = state["names"]
+    return spark.createDataFrame(rows, f"{idc} bigint, {vc} bigint")
+
+
+def _apply(spark, state, op):
+    """Apply one op to the table AND the model. ``state`` carries
+    root, {id: v} model, live (id-col, v-col) logical names (rename
+    flips the v column's name), next_id, generated flag, constraint
+    flag, and a clone counter."""
+    root = state["root"]
+    idc, vc = state["names"]
+    model = state["model"]
     kind = op[0]
     if kind == "append":
         n = op[1]
-        rows = [(next_id + i, (next_id + i) * 3) for i in range(n)]
-        T.append(spark.createDataFrame(
-            rows, f"{idc} bigint, {vc} bigint"), root,
-            checkpoint_every=0)
+        base = state["next_id"]
+        rows = [(base + i, (base + i) * 3) for i in range(n)]
+        T.append(_append_df(spark, state, rows), root,
+                 checkpoint_every=0)
         model.update({i: v for i, v in rows})
-        return next_id + n
+        state["next_id"] = base + n
+        return
+    if kind == "clone":
+        # hop the whole sequence onto a SHALLOW clone: later DML is
+        # copy-on-write against the source's files (and vectors);
+        # constraints/colmap/generated specs must carry
+        state["n_clones"] += 1
+        dst = f"{root}-c{state['n_clones']}"
+        T.clone(root, dst, checkpoint_every=0)
+        state["root"] = dst
+        return
+    if kind == "constraint":
+        if state["constraint"]:
+            T.drop_constraint(root, "c_nonneg", checkpoint_every=0)
+        else:
+            T.add_constraint(root, "c_nonneg", f"{idc} >= 0",
+                             checkpoint_every=0)
+        state["constraint"] = not state["constraint"]
+        return
     if not model:
-        return next_id  # mutations on an empty table: skip
+        return  # mutations on an empty table: skip
     if kind == "delete":
         _, lo, mode = op
-        T.delete_where(spark, root, f"{idc} >= {lo} AND {idc} < {lo + 10}",
+        T.delete_where(spark, root,
+                       f"{idc} >= {lo} AND {idc} < {lo + 10}",
                        mode=mode, checkpoint_every=0)
         for i in [i for i in model if lo <= i < lo + 10]:
             del model[i]
@@ -71,9 +111,8 @@ def _apply(spark, root, model, names, next_id, op):
         # later append can never collide with the inserted key
         keys = [lo, lo + 3, lo + 100000]
         ups = [(k, val) for k in keys]
-        T.merge_upsert(spark, root, spark.createDataFrame(
-            ups, f"{idc} bigint, {vc} bigint"), idc,
-            checkpoint_every=0)
+        T.merge_upsert(spark, root, _append_df(spark, state, ups),
+                       idc, checkpoint_every=0)
         for k in keys:
             model[k] = val
     elif kind == "merge_delete":
@@ -87,10 +126,10 @@ def _apply(spark, root, model, names, next_id, op):
     elif kind == "replace":
         _, lo, n = op
         rows = [(lo + i, -1 - i) for i in range(n)]
-        T.overwrite_where(spark, spark.createDataFrame(
-            rows, f"{idc} bigint, {vc} bigint"), root,
-            f"{idc} >= {lo} AND {idc} < {lo + 10}",
-            checkpoint_every=0)
+        T.overwrite_where(spark, _append_df(spark, state, rows),
+                          root,
+                          f"{idc} >= {lo} AND {idc} < {lo + 10}",
+                          checkpoint_every=0)
         for i in [i for i in model if lo <= i < lo + 10]:
             del model[i]
         model.update({i: v for i, v in rows})
@@ -100,44 +139,64 @@ def _apply(spark, root, model, names, next_id, op):
     elif kind == "rename":
         new = "w" if vc == "v" else "v"
         T.rename_column(root, vc, new, checkpoint_every=0)
-        names[1] = new
-    return next_id
+        state["names"][1] = new
 
 
 @settings(max_examples=10, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
-@given(ops=st.lists(_op, min_size=4, max_size=8))
-def test_op_sequences_match_model(spark, tmp_path_factory, ops):
+@given(ops=st.lists(_op, min_size=4, max_size=8),
+       gen=st.booleans())
+# pinned seams the r11 review rounds showed are where the bugs live:
+# clone-then-DML under a generated column with a rename and a
+# replace; constraint toggles around a clone hop with a dv purge
+@example(ops=[("clone",), ("delete", 0, "dv"), ("constraint",),
+              ("update", 0, 5, "dv"), ("clone",),
+              ("merge_delete", 3, "dv"), ("replace", 10, 3),
+              ("rename",)], gen=True)
+@example(ops=[("constraint",), ("append", 5), ("constraint",),
+              ("clone",), ("append", 4), ("optimize", True),
+              ("merge_upsert", 2, 42), ("constraint",)], gen=False)
+def test_op_sequences_match_model(spark, tmp_path_factory, ops, gen):
     root = str(tmp_path_factory.mktemp("model") / "t")
-    model: dict[int, int] = {}
-    names = ["id", "v"]
-    next_id = 0
-    # always start with data so every op sequence is meaningful
-    next_id = _apply(spark, root, model, names, next_id,
-                     ("append", 30))
+    state = {"root": root, "model": {}, "names": ["id", "v"],
+             "next_id": 0, "constraint": False, "n_clones": 0}
+    # always start with data so every op sequence is meaningful; a
+    # generated table declares g = id*2+1 on the creating append
+    # (writers omit it forever after — every write path computes it)
+    base_rows = [(i, i * 3) for i in range(30)]
+    if gen:
+        T.append(_append_df(spark, state, base_rows), root,
+                 checkpoint_every=0, generated={"g": "id * 2 + 1"})
+    else:
+        T.append(_append_df(spark, state, base_rows), root,
+                 checkpoint_every=0)
+    state["model"].update({i: v for i, v in base_rows})
+    state["next_id"] = 30
     for op in ops:
-        next_id = _apply(spark, root, model, names, next_id, op)
+        _apply(spark, state, op)
+    root = state["root"]
+    model = state["model"]
+    idc, vc = state["names"]
     got = sorted(tuple(r) for r in T.read(spark, root).collect())
-    want = sorted((i, v) for i, v in model.items())
-    assert got == want, (ops, names)
+    want = sorted((i, v, i * 2 + 1) if gen else (i, v)
+                  for i, v in model.items())
+    assert got == want, (ops, gen, state["names"])
     # the row-level feed replays to the same state when the history
     # is feed-compatible (no rewrite-mode DML in the log)
     modes = {h.get("mode", h["op"]) for h in T.history(root)}
     if {"delete", "update", "merge", "replace"} & modes == set():
         feed = T.read_changes_rows(spark, root, from_version=0)
-        state: dict[int, int] = {}
-        idc, vc = names
+        st_: dict[int, tuple] = {}
         for r in sorted(
                 feed.collect(),
                 key=lambda r: (r._commit_version,
                                0 if r._change_type in
                                ("delete", "update_preimage") else 1)):
-            i, v = getattr(r, idc), getattr(r, vc)
+            i = getattr(r, idc)
+            row = (tuple(r)[:3] if gen else tuple(r)[:2])
             t = r._change_type
             if t in ("insert", "update_postimage"):
-                state[i] = v
-            elif t == "delete":
-                state.pop(i, None)
-            elif t == "update_preimage":
-                state.pop(i, None)
-        assert sorted(state.items()) == want, ops
+                st_[i] = row
+            else:  # delete / update_preimage
+                st_.pop(i, None)
+        assert sorted(st_.values()) == want, (ops, gen)
