@@ -152,6 +152,62 @@ def run_knn_ivf_leg(spark) -> dict:
     return row
 
 
+def run_knn_two_level_leg(spark) -> dict:
+    """VERDICT r11 #7: the TWO-LEVEL kNN route gets the
+    decade-exponent + RSS treatment the flat edge leg already has —
+    assignment="two_level" at EVERY scale (the flat leg runs
+    two_level only at x250), with the COARSE-MATRIX CLOSURE SIZE as
+    the contract metric: the whole point of the two-level topology
+    is that only the (sqrt(L) x dim) coarse matrix ever rides a
+    task closure while the n_lists fine centroids stay a cogrouped
+    DataFrame. The leg measures the REAL closure content by fitting
+    the same seeded quantizer knn_graph_ivf builds internally
+    (bit-identical fine centroids by the deterministic-sample
+    contract) and asserts ``closure_ok``: coarse rows <=
+    isqrt(n_lists)+1 at every scale, the x250 closure under 1 MB,
+    and the coarse/fine fraction SHRINKING as the corpus grows
+    (1/sqrt(L) — the flat closure's fraction is a constant 1)."""
+    from gcp_data_engineering_workshop_spark.operators.similarity import (
+        two_level_quantizer)
+
+    row: dict = {}
+    for k in EMB_SCALES:
+        d = build_emb_dir(k)
+        emb = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
+        n = emb.count()
+        n_lists = max(16, n // 256)
+        _fine_df, coarse = two_level_quantizer(
+            emb, n_lists, sample_size=32 * n_lists)
+        row[f"n_lists_x{k}"] = n_lists
+        row[f"coarse_rows_x{k}"] = int(coarse.shape[0])
+        row[f"closure_kb_x{k}"] = round(coarse.nbytes / 1024.0, 1)
+        rss0 = _rss_mb()
+        t0 = time.monotonic()
+        row[f"edges_x{k}"] = knn_graph_ivf(
+            emb, k=5, n_lists=n_lists, n_probe=8,
+            sample_size=32 * n_lists,
+            assignment="two_level").count()
+        row[f"t_x{k}"] = round(time.monotonic() - t0, 3)
+        row[f"rss_mb_before_x{k}"] = rss0
+        row[f"rss_mb_after_x{k}"] = _rss_mb()
+        spark.catalog.clearCache()
+    row["exp_10_100"] = round(
+        math.log10(row["t_x100"] / row["t_x10"]), 3)
+    row["exp_100_250"] = round(
+        math.log10(row["t_x250"] / row["t_x100"])
+        / math.log10(2.5), 3)
+    fr = {k: row[f"coarse_rows_x{k}"] / row[f"n_lists_x{k}"]
+          for k in EMB_SCALES}
+    row["closure_fraction_x250"] = round(fr[250], 4)
+    row["closure_ok"] = bool(
+        all(row[f"coarse_rows_x{k}"]
+            <= math.isqrt(row[f"n_lists_x{k}"]) + 1
+            for k in EMB_SCALES)
+        and row["closure_kb_x250"] < 1024
+        and fr[250] < fr[10])
+    return row
+
+
 def run_ann_index_leg(spark) -> dict:
     """r8 task #3's owed leg (VERDICT r9 Missing #1): C88 build +
     query at x10/x100, recording the PRUNED-PARTITION FRACTION the
@@ -670,6 +726,10 @@ def main() -> None:
             results["knn_graph_ivf_edges"] = run_knn_ivf_leg(spark)
             print(f"## knn_graph_ivf_edges: "
                   f"{results['knn_graph_ivf_edges']}", flush=True)
+        if not only or "knn_two_level" in only:
+            results["knn_two_level"] = run_knn_two_level_leg(spark)
+            print(f"## knn_two_level: {results['knn_two_level']}",
+                  flush=True)
         if not only or "ann_index_topk" in only:
             results["ann_index_topk"] = run_ann_index_leg(spark)
             print(f"## ann_index_topk: {results['ann_index_topk']}",
