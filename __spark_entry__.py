@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txlog_cdf_rows": _tf.txlog_cdf_rows,
         "txlog_replica_scan": _tf.txlog_replica_scan,
         "txlog_rename_scan": _tf.txlog_rename_scan,
+        "txlog_backfill_scan": _tf.txlog_backfill_scan,
         # -- (1) the ELEVEN keys stranded at r7 driver evidence
         #    (VERDICT r11 next-round #1's named list — each gave way
         #    to a new key's first evidence in r11) --
@@ -114,10 +115,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _tp.text_quality,
         "token_count": _tp.token_count,
         "doc_chunking": _tp.doc_chunking,
-        "train_test_split": _tp.train_test_split,
-        # ==== WINDOW BOUNDARY (50): train_test_split is entry 50;
+        # ==== WINDOW BOUNDARY (50): doc_chunking is entry 50
+        #      (txlog_backfill_scan's first evidence displaced
+        #      train_test_split to the tail head per the stated
+        #      new-key policy);
         #      the driver records rows for nothing below this line.
         #      tests/test_entry_contract.py asserts this position. ====
+        "train_test_split": _tp.train_test_split,
         # -- tail: r10/r11-evidenced keys rotate out (their rows
         #    stand), plus the declared rows-only set; the remaining
         #    r9-evidence keys (vocab_topk, decontaminate,
@@ -261,6 +265,7 @@ def oracle_sql() -> dict[str, str]:
         "txlog_cdf_rows": _tf.TXLOG_CDF_ROWS_SQL,
         "txlog_replica_scan": _tf.TXLOG_REPLICA_SCAN_SQL,
         "txlog_rename_scan": _tf.TXLOG_RENAME_SCAN_SQL,
+        "txlog_backfill_scan": _tf.TXLOG_BACKFILL_SCAN_SQL,
         "txlog_replace_scan": _tf.TXLOG_REPLACE_SCAN_SQL,
         "txlog_generated_scan": _tf.TXLOG_GENERATED_SCAN_SQL,
         "dedup_corpus_inplace": _orc.DEDUP_CORPUS_SQL,

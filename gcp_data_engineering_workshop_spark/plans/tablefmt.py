@@ -198,10 +198,13 @@ def txlog_replica_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-level feed — run TWICE so the second window starts at the
     replica's txn watermark: first after two appends, then after a
     third append plus a dv-mode DELETE (every 19th order) and a
-    dv-mode UPDATE (double cheap orders). Reading the REPLICA back
-    must equal CASE-WHEN + NOT-filter SQL over the source — the
-    destination never saw the source's files, only typed change
-    rows applied as merges."""
+    dv-mode UPDATE (double cheap orders). The second sync runs the
+    r12 LONG-WINDOW COLLAPSE path (collapse_after=0: latest-change-
+    per-key, ONE merge_delete + ONE merge_upsert) so the collapsed
+    application is itself under the driver's hash gate. Reading the
+    REPLICA back must equal CASE-WHEN + NOT-filter SQL over the
+    source — the destination never saw the source's files, only
+    typed change rows applied as merges."""
     src = tempfile.mkdtemp(prefix="txlog_repl_") + "/src"
     dst = tempfile.mkdtemp(prefix="txlog_repl_") + "/dst"
     orders = _orders(spark, sf_dir)
@@ -218,7 +221,7 @@ def txlog_replica_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                    {"o_totalprice": "o_totalprice * 2"},
                    mode="dv", checkpoint_every=0)
     T.replicate_incremental(spark, src, dst, "o_orderkey",
-                            checkpoint_every=0)
+                            checkpoint_every=0, collapse_after=0)
     assert T.replicate_incremental(spark, src, dst, "o_orderkey",
                                    checkpoint_every=0) is None
     return T.read(spark, dst).orderBy("o_orderkey")
@@ -586,5 +589,54 @@ SELECT o_orderkey, o_custkey,
        o_orderpriority
 FROM orders
 WHERE NOT (o_orderkey <= 500)
+ORDER BY o_orderkey
+"""
+
+
+def txlog_backfill_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E22 bloom BACK-FILL under the oracle gate (new r12, VERDICT
+    r11 #3): orders lands as EIGHT hash-sliced appends (every
+    file's o_orderkey footer range spans nearly the whole domain,
+    so ranges alone cannot prune a point lookup), the bloom index
+    is declared AFTER the data exists, and backfill_bloom_index
+    builds consolidated sidecars WITHOUT rewriting anything —
+    asserted in-query: the live file set is unchanged, the
+    back-fill commit removes zero files, and a point lookup's
+    candidate set collapses from all 8 files to <= 3. Twenty-five
+    scattered point lookups then union to exactly the IN-list SQL
+    (keys missing at small SFs contribute zero rows on BOTH
+    engines)."""
+    root = tempfile.mkdtemp(prefix="txlog_bf_") + "/t"
+    orders = _orders(spark, sf_dir)
+    for b in range(8):
+        T.append(orders.where(F.col("o_orderkey") % 8 == b), root,
+                 checkpoint_every=0)
+    files0 = set(T.snapshot(root)["files"])
+    T.set_bloom_index(root, ["o_orderkey"], checkpoint_every=0)
+    T.backfill_bloom_index(spark, root, checkpoint_every=0)
+    assert set(T.snapshot(root)["files"]) == files0, \
+        "back-fill must not touch any data file"
+    h = T.history(root)[-1]
+    assert h["op"] == "bloom-backfill" and h["n_remove"] == 0, h
+    keys = _BACKFILL_KEYS
+    cand = T._files_possibly_matching(
+        T.snapshot(root),
+        T._parse_conjuncts(f"o_orderkey = {keys[0]}"), root)
+    assert len(cand) <= 3, (len(cand), "bloom back-fill must prune "
+                            "the hash-scattered point lookup")
+    out = None
+    for k in keys:
+        part = T.read_where(spark, root, f"o_orderkey = {k}")
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("o_orderkey")
+
+
+_BACKFILL_KEYS = list(range(1, 2075, 83))
+
+TXLOG_BACKFILL_SCAN_SQL = f"""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderpriority
+FROM orders
+WHERE o_orderkey IN ({", ".join(str(k) for k in _BACKFILL_KEYS)})
 ORDER BY o_orderkey
 """
