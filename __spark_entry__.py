@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txlog_replica_scan": _tf.txlog_replica_scan,
         "txlog_rename_scan": _tf.txlog_rename_scan,
         "txlog_backfill_scan": _tf.txlog_backfill_scan,
+        "txlog_pushdown_scan": _tf.txlog_pushdown_scan,
         # -- (1) the ELEVEN keys stranded at r7 driver evidence
         #    (VERDICT r11 next-round #1's named list — each gave way
         #    to a new key's first evidence in r11) --
@@ -114,13 +115,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _tp.text_lang_id,
         "text_quality": _tp.text_quality,
         "token_count": _tp.token_count,
-        "doc_chunking": _tp.doc_chunking,
-        # ==== WINDOW BOUNDARY (50): doc_chunking is entry 50
-        #      (txlog_backfill_scan's first evidence displaced
+        # ==== WINDOW BOUNDARY (50): token_count is entry 50
+        #      (txlog_backfill_scan's and txlog_pushdown_scan's
+        #      first evidence displaced doc_chunking and
         #      train_test_split to the tail head per the stated
         #      new-key policy);
         #      the driver records rows for nothing below this line.
         #      tests/test_entry_contract.py asserts this position. ====
+        "doc_chunking": _tp.doc_chunking,
         "train_test_split": _tp.train_test_split,
         # -- tail: r10/r11-evidenced keys rotate out (their rows
         #    stand), plus the declared rows-only set; the remaining
@@ -266,6 +268,7 @@ def oracle_sql() -> dict[str, str]:
         "txlog_replica_scan": _tf.TXLOG_REPLICA_SCAN_SQL,
         "txlog_rename_scan": _tf.TXLOG_RENAME_SCAN_SQL,
         "txlog_backfill_scan": _tf.TXLOG_BACKFILL_SCAN_SQL,
+        "txlog_pushdown_scan": _tf.TXLOG_PUSHDOWN_SCAN_SQL,
         "txlog_replace_scan": _tf.TXLOG_REPLACE_SCAN_SQL,
         "txlog_generated_scan": _tf.TXLOG_GENERATED_SCAN_SQL,
         "dedup_corpus_inplace": _orc.DEDUP_CORPUS_SQL,

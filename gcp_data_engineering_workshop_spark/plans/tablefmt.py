@@ -640,3 +640,64 @@ FROM orders
 WHERE o_orderkey IN ({", ".join(str(k) for k in _BACKFILL_KEYS)})
 ORDER BY o_orderkey
 """
+
+
+def txlog_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E22 BATCH FORMAT under the oracle gate (new r12): the table
+    read as a NATIVE Spark source — spark.read.format("txlog") —
+    with Catalyst filter pushdown planning the file skipping.
+
+    orders lands as four CONTIGUOUS o_orderkey ranges (so zone maps
+    can prune), a dv-mode DELETE marks every o_orderkey % 10 = 3 row
+    (vectors must mask through the format's executor-side read),
+    and o_custkey RENAMES to custkey (the format must project the
+    colmap). The query is then plain DataFrame code — .where() on
+    the format scan — and the pushed conjuncts must plan exactly
+    ONE of the four files (asserted in-query via the reader's
+    survivor set). Equal to the residual SQL over the source table."""
+    from pyspark.sql.datasource import (EqualTo, GreaterThanOrEqual,
+                                        LessThan)
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    T.register(spark)
+    root = tempfile.mkdtemp(prefix="txlog_pd_") + "/t"
+    orders = _orders(spark, sf_dir)
+    bounds = [(0, 1000), (1000, 2000), (2000, 3000), (3000, None)]
+    for lo, hi in bounds:
+        part = orders.where(F.col("o_orderkey") >= lo)
+        if hi is not None:
+            part = part.where(F.col("o_orderkey") < hi)
+        T.append(part, root, checkpoint_every=0)
+    T.delete_where(spark, root, "o_orderkey % 10 = 3", mode="dv")
+    T.rename_column(root, "o_custkey", "custkey")
+    # plan-level contract: the pushed range + status conjuncts keep
+    # exactly the [1000, 2000) file of the four
+    snap = T.snapshot(root)
+    import json as _json
+    from pyspark.sql.types import StructType as _ST
+    rdr = T.TxLogBatchReader(
+        {"path": root}, _ST.fromJson(_json.loads(snap["schema"])),
+        snap, root)
+    rdr.pushFilters([GreaterThanOrEqual(("o_orderkey",), 1200),
+                     LessThan(("o_orderkey",), 1800),
+                     EqualTo(("o_orderstatus",), "O")])
+    kept = rdr._kept_paths()
+    assert len(kept) == 1, (
+        "pushdown must plan exactly the [1000,2000) file", kept)
+    return (spark.read.format("txlog").load(root)
+            .where("o_orderkey >= 1200 AND o_orderkey < 1800 "
+                   "AND o_orderstatus = 'O'")
+            .orderBy("o_orderkey"))
+
+
+TXLOG_PUSHDOWN_SCAN_SQL = """
+SELECT o_orderkey, custkey, o_orderstatus, o_totalprice,
+       o_orderpriority
+FROM (SELECT o_orderkey, o_custkey AS custkey, o_orderstatus,
+             o_totalprice, o_orderpriority
+      FROM orders
+      WHERE o_orderkey >= 1200 AND o_orderkey < 1800
+        AND o_orderstatus = 'O'
+        AND o_orderkey % 10 <> 3)
+ORDER BY o_orderkey
+"""

@@ -26,6 +26,10 @@ _DEFAULT_CONF = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Python data-source filter pushdown (4.1): lets the txlog batch
+    # format's pushFilters see .where() conjuncts and plan only the
+    # files partition values / zone maps / bloom sidecars keep.
+    "spark.sql.python.filterPushdown.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.shuffle.partitions": "32",

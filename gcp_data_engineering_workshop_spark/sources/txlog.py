@@ -3981,7 +3981,7 @@ def _stream_fields(root: str):
 
 
 try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
-    from pyspark.sql.datasource import (DataSource,
+    from pyspark.sql.datasource import (DataSource, DataSourceReader,
                                         DataSourceStreamReader,
                                         InputPartition,
                                         SimpleDataSourceStreamReader)
@@ -4430,6 +4430,280 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
         def streamReader(self, schema) -> TxLogCdfStreamReader:
             return TxLogCdfStreamReader(self.options, schema)
 
+    class TxLogBatchPartition(InputPartition):
+        """One executor task of a batch ``format("txlog")`` scan: a
+        group of live data files (packed to ~partition_bytes), each
+        with its hive-partition token dict and its deletion-vector
+        sidecar dir (both None when absent), plus the Spark schema
+        JSON to project through and the snapshot's colmap.
+        Picklable by construction (strings/dicts/None only)."""
+
+        def __init__(self, files: list[tuple], schema_json: str,
+                     colmap: dict | None = None):
+            self.files = files  # [(abs path, {col: tok}|None, dv|None)]
+            self.schema_json = schema_json
+            self.colmap = colmap or {}
+
+    # Pushed In-lists above this width skip file pruning (each value
+    # is a full metadata pass; a 1000-value IN belongs to the
+    # residual filter, not the planner).
+    _IN_PUSHDOWN_BOUND = 32
+
+    class TxLogPlainBatchReader(DataSourceReader):
+        """BATCH read of the transaction-log table as a native
+        Spark source — the unpruned base: plan every live file,
+        read executor-side through the shared projection. The
+        default reader is the TxLogBatchReader subclass, which adds
+        Catalyst filter pushdown; this base exists because Spark
+        REFUSES a pushFilters-implementing reader when
+        ``spark.sql.python.filterPushdown.enabled`` is false —
+        ``.option("pushdown", "false")`` selects this class so
+        sessions that cannot enable the conf still scan correctly
+        (just without file skipping).
+
+        The snapshot is PINNED when the source resolves (commits
+        after plan time are invisible — the same isolation
+        ``read()`` gives), and the per-row work runs on the
+        EXECUTORS: read(partition) opens each parquet with pyarrow,
+        masks the file's deleted positions from its dv sidecar
+        (file == basename pushed into the sidecar scan), and
+        projects through the shared _arrow_project (colmap +
+        partition tokens + NULL backfill). No row or position
+        transits the driver."""
+
+        _DEFAULT_PACK = 128 * 1024 * 1024
+
+        def __init__(self, options, schema, snap: dict, root: str):
+            self.root = root
+            self.pack_bytes = int(options.get(
+                "partition_bytes", self._DEFAULT_PACK))
+            self._schema_json = schema.json()
+            self._snap = snap
+            self._colmap = snap.get("colmap") or {}
+            self._conjuncts: list[tuple] = []
+            self._in_lists: list[tuple] = []
+
+        def __getstate__(self):
+            # the reader ships to executors alongside read(); the
+            # snapshot dict is plan-time state a million-file table
+            # should not pay to broadcast — partitions carry
+            # everything read() needs
+            st = dict(self.__dict__)
+            st["_snap"] = None
+            return st
+
+        def _kept_paths(self) -> list[str]:
+            snap = self._snap
+            if not snap["files"]:
+                return []
+            keep = set(
+                _files_possibly_matching(snap, self._conjuncts,
+                                         self.root, None)
+                if self._conjuncts else snap["files"])
+            for col, vals in self._in_lists:
+                union: set = set()
+                for v in vals:
+                    union.update(_files_possibly_matching(
+                        snap, [(col, "=", v)], self.root, None))
+                    if len(union) == len(snap["files"]):
+                        break  # nothing left to prune
+                keep &= union
+            return sorted(keep)
+
+        def partitions(self):
+            snap = self._snap
+            files = snap["files"]
+            parts: list[TxLogBatchPartition] = []
+            cur: list[tuple] = []
+            cur_b = 0
+            for p in self._kept_paths():
+                m = files[p] or {}
+                nbytes = m.get("bytes", 0)
+                if cur and cur_b + nbytes > self.pack_bytes:
+                    parts.append(TxLogBatchPartition(
+                        cur, self._schema_json, self._colmap))
+                    cur, cur_b = [], 0
+                dv = m.get("dv")
+                cur.append((
+                    os.path.join(self.root, p), m.get("partition"),
+                    os.path.join(self.root, dv["path"])
+                    if dv else None))
+                cur_b += nbytes
+            if cur:
+                parts.append(TxLogBatchPartition(
+                    cur, self._schema_json, self._colmap))
+            # fully-pruned (or empty-table) scans still need one
+            # no-op task: Spark's Python batch scan requires a
+            # non-empty partition list
+            return parts or [TxLogBatchPartition(
+                [], self._schema_json, self._colmap)]
+
+        def read(self, partition):
+            # EXECUTOR-side, the stream reader's read path plus the
+            # per-file deletion-vector mask (CDF "live" mode)
+            import numpy as np
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            from pyspark.sql.pandas.types import to_arrow_schema
+            from pyspark.sql.types import StructType as _ST
+
+            target = to_arrow_schema(
+                _ST.fromJson(json.loads(partition.schema_json)))
+            for path, part, dv_dir in partition.files:
+                tbl = pq.read_table(path)
+                drop = _dv_positions(dv_dir, os.path.basename(path))
+                if drop:
+                    mask = np.ones(len(tbl), dtype=bool)
+                    mask[sorted(drop)] = False
+                    tbl = tbl.filter(pa.array(mask))
+                out = _arrow_project(tbl, target, partition.colmap,
+                                     part)
+                for batch in out.to_batches():
+                    yield batch
+
+    class TxLogBatchReader(TxLogPlainBatchReader):
+        """The DEFAULT batch reader: TxLogPlainBatchReader plus
+        CATALYST FILTER PUSHDOWN driving the same file skipping
+        ``read_where()`` does by hand.
+
+        With ``spark.sql.python.filterPushdown.enabled=true``
+        (session.py sets it), Spark hands ``.where(...)``'s
+        conjuncts to pushFilters() at plan time; recognized shapes
+        (EqualTo / EqualNullSafe / range ops / In / IsNull /
+        IsNotNull / StringStartsWith on a top-level column with an
+        int/float/str literal) become the conjunct tuples the
+        engine's pruning core consumes, and partitions() plans ONLY
+        the files _files_possibly_matching keeps — partition-value
+        pruning, footer zone maps, and bloom sidecar probes, all
+        from log metadata, no data IO. EVERY filter is returned to
+        Spark for re-application (the Delta data-skipping contract:
+        pushdown here is an IO optimization, never a correctness
+        dependency).
+
+        StringStartsWith pushes as the implied range
+        [prefix, next-prefix): ``col LIKE 'ab%'`` prunes like
+        ``col >= 'ab' AND col < 'ac'`` — sound because Python str
+        compare and Spark's UTF8 binary compare agree on code-point
+        order. In-lists prune as the UNION of their values'
+        survivor sets (a file survives if ANY value might hit),
+        capped at _IN_PUSHDOWN_BOUND values. Bloom probing uses the
+        bounded driver regime only (no Spark handle inside query
+        planning); over-bound tables keep range pruning."""
+
+        @staticmethod
+        def _lit_ok(v) -> bool:
+            return (isinstance(v, (int, float, str))
+                    and not isinstance(v, bool))
+
+        @staticmethod
+        def _prefix_upper(s: str) -> str | None:
+            for i in range(len(s) - 1, -1, -1):
+                if ord(s[i]) < 0x10FFFF:
+                    return s[:i] + chr(ord(s[i]) + 1)
+            return None  # pragma: no cover - all-U+10FFFF prefix
+
+        def pushFilters(self, filters):
+            from pyspark.sql.datasource import (
+                EqualNullSafe, EqualTo, GreaterThan,
+                GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan,
+                LessThanOrEqual, StringStartsWith)
+
+            conjs: list[tuple] = []
+            ins: list[tuple] = []
+            rng = {GreaterThan: ">", GreaterThanOrEqual: ">=",
+                   LessThan: "<", LessThanOrEqual: "<="}
+            for f in filters:
+                attr = getattr(f, "attribute", None)
+                if attr is None or len(attr) != 1:
+                    continue  # nested column paths don't prune
+                col = attr[0]
+                if isinstance(f, (EqualTo, EqualNullSafe)):
+                    if f.value is None:
+                        if isinstance(f, EqualNullSafe):
+                            conjs.append((col, "isnull", None))
+                        # EqualTo(col, NULL) matches nothing, but
+                        # Spark folds that before pushdown; no claim
+                    elif self._lit_ok(f.value):
+                        conjs.append((col, "=", f.value))
+                elif type(f) in rng and self._lit_ok(f.value):
+                    conjs.append((col, rng[type(f)], f.value))
+                elif isinstance(f, In):
+                    vals = [v for v in f.value if self._lit_ok(v)]
+                    # NULL in-list values match nothing; dropping
+                    # them from the union is exact. Values of
+                    # unrecognized types make the whole list
+                    # unprunable (a file might match one of them).
+                    if (vals and len(list(f.value)) == len(vals)
+                            and len(vals) <= _IN_PUSHDOWN_BOUND):
+                        ins.append((col, vals))
+                elif isinstance(f, IsNull):
+                    conjs.append((col, "isnull", None))
+                elif isinstance(f, IsNotNull):
+                    conjs.append((col, "notnull", None))
+                elif (isinstance(f, StringStartsWith)
+                        and isinstance(f.value, str) and f.value):
+                    conjs.append((col, ">=", f.value))
+                    ub = self._prefix_upper(f.value)
+                    if ub is not None:
+                        conjs.append((col, "<", ub))
+            self._conjuncts, self._in_lists = conjs, ins
+            return filters  # all re-applied: pushdown = IO skipping
+
+    class TxLogBatchDataSource(DataSource):
+        """``spark.read.format("txlog").load(root)`` — the batch
+        twin of txlogstream/txlogcdf; register with
+        spark.dataSource.register(TxLogBatchDataSource) (or
+        ``txlog.register(spark)``). Options: path (or the load()
+        arg), version (time travel), timestamp (unix seconds,
+        TIMESTAMP AS OF), partition_bytes, pushdown. Schema = the
+        table's recorded logical schema at the resolved version.
+        ``spark.sql.python.filterPushdown.enabled`` must be true
+        for the default reader (session.py sets it; Spark refuses
+        a pushFilters-implementing reader otherwise) —
+        ``.option("pushdown", "false")`` drops to the plain
+        reader for sessions that cannot enable the conf (correct,
+        just unpruned)."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "txlog"
+
+        def _resolve(self):
+            # pin (root, snapshot) ONCE per source instance so
+            # schema() and reader() agree even if commits land
+            # between planning calls
+            if not hasattr(self, "_pinned"):
+                root = self.options["path"]
+                version = self.options.get("version")
+                ts = self.options.get("timestamp")
+                if version is not None and ts is not None:
+                    raise ValueError(
+                        "txlog: pass version OR timestamp, not both")
+                v = (version_at(root, float(ts)) if ts is not None
+                     else int(version) if version is not None
+                     else None)
+                self._pinned = (root, snapshot(root, v))
+            return self._pinned
+
+        def schema(self):
+            from pyspark.sql.types import StructType as _ST
+
+            _root, snap = self._resolve()
+            if not snap.get("schema"):
+                raise ValueError(
+                    "txlog: batch format needs a recorded table "
+                    "schema; commit data first (or use "
+                    "txlog.read() for pre-schema-tracking tables)")
+            return _ST.fromJson(json.loads(snap["schema"]))
+
+        def reader(self, schema) -> TxLogPlainBatchReader:
+            root, snap = self._resolve()
+            cls = (TxLogPlainBatchReader
+                   if str(self.options.get(
+                       "pushdown", "true")).lower() == "false"
+                   else TxLogBatchReader)
+            return cls(self.options, schema, snap, root)
+
 except ImportError:  # pragma: no cover - pyspark<4 fallback
     TxLogFilePartition = None  # type: ignore[assignment]
     TxLogParallelStreamReader = None  # type: ignore[assignment]
@@ -4438,6 +4712,21 @@ except ImportError:  # pragma: no cover - pyspark<4 fallback
     TxLogCdfPartition = None  # type: ignore[assignment]
     TxLogCdfStreamReader = None  # type: ignore[assignment]
     TxLogCdfStreamDataSource = None  # type: ignore[assignment]
+    TxLogBatchPartition = None  # type: ignore[assignment]
+    TxLogPlainBatchReader = None  # type: ignore[assignment]
+    TxLogBatchReader = None  # type: ignore[assignment]
+    TxLogBatchDataSource = None  # type: ignore[assignment]
+
+
+def register(spark) -> None:
+    """Register all three txlog Spark formats on a session: batch
+    ``format("txlog")``, the streaming source ``txlogstream``, and
+    the row-level change stream ``txlogcdf``."""
+    if TxLogBatchDataSource is None:  # pragma: no cover
+        raise ImportError("txlog formats need pyspark >= 4")
+    spark.dataSource.register(TxLogBatchDataSource)
+    spark.dataSource.register(TxLogStreamDataSource)
+    spark.dataSource.register(TxLogCdfStreamDataSource)
 
 
 def read_range(spark, root: str, col: str, lo=None, hi=None,

@@ -1,0 +1,232 @@
+"""The batch ``spark.read.format("txlog")`` source: Catalyst filter
+pushdown driving the engine's file skipping (partition values, zone
+maps, bloom sidecars), deletion-vector masks applied executor-side,
+time travel via options, colmap/hive/evolved-schema projection parity.
+
+Pruning is proven two ways: unit-level (_kept_paths on a reader fed
+real pushed-filter objects — the exact surviving file set) and
+end-to-end with a POISONED file (a file the plan must skip is
+truncated on disk; the filtered query still answers, the full scan
+cannot)."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (EqualTo, GreaterThan, In,
+                                    IsNotNull, StringStartsWith)
+from pyspark.sql.types import StructType
+
+from gcp_data_engineering_workshop_spark.sources import txlog as T
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    T.register(spark)
+
+
+def _mk_range_table(spark, n=1000, commits=4):
+    """k 0..n-1 split into ``commits`` contiguous ranges (one file
+    each) so zone maps can prune; g = k % 7; name = 'name-<k>'."""
+    root = tempfile.mkdtemp(prefix="txbatch_") + "/t"
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("g"),
+        F.concat(F.lit("name-"), F.col("id")).alias("name"))
+    step = n // commits
+    for b in range(commits):
+        T.append(df.where((F.col("k") >= b * step)
+                          & (F.col("k") < (b + 1) * step))
+                 .coalesce(1), root, checkpoint_every=0)
+    return root
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _reader(root, conjunct_filters):
+    """A TxLogBatchReader fed pushed filters the way Spark does."""
+    snap = T.snapshot(root)
+    schema = StructType.fromJson(json.loads(snap["schema"]))
+    r = T.TxLogBatchReader({"path": root}, schema, snap, root)
+    assert list(r.pushFilters(list(conjunct_filters))) \
+        == list(conjunct_filters)  # every filter handed back
+    return r
+
+
+def test_parity_and_schema(spark):
+    root = _mk_range_table(spark)
+    got = spark.read.format("txlog").load(root)
+    want = T.read(spark, root)
+    assert got.schema == want.schema
+    assert _rows(got) == _rows(want)
+
+
+def test_zone_map_pruning_kept_paths(spark):
+    root = _mk_range_table(spark)
+    r = _reader(root, [IsNotNull(("k",)), EqualTo(("k",), 777)])
+    keep = r._kept_paths()
+    assert len(keep) == 1  # only the [750, 1000) file survives
+    r2 = _reader(root, [GreaterThan(("k",), 499)])
+    assert len(r2._kept_paths()) == 2
+
+
+def test_pruned_file_never_opened(spark):
+    # poison a file the plan must skip: the pruned query answers,
+    # the full scan cannot — proof the file was never read
+    root = _mk_range_table(spark)
+    snap = T.snapshot(root)
+    low_file = next(p for p, m in snap["files"].items()
+                    if m["stats"]["k"][1] < 250)
+    path = os.path.join(root, low_file)
+    with open(path, "wb") as fh:
+        fh.write(b"not parquet")
+    got = (spark.read.format("txlog").load(root)
+           .where("k = 777").collect())
+    assert [(x["k"], x["g"], x["name"]) for x in got] \
+        == [(777, 0, "name-777")]
+    with pytest.raises(Exception):
+        spark.read.format("txlog").load(root).count()
+
+
+def test_in_list_pruning(spark):
+    root = _mk_range_table(spark)
+    r = _reader(root, [In(("k",), [10, 260])])
+    assert len(r._kept_paths()) == 2  # files 0 and 1 only
+    got = (spark.read.format("txlog").load(root)
+           .where(F.col("k").isin(10, 260, 99999)))
+    assert _rows(got) == [(10, 3, "name-10"), (260, 1, "name-260")]
+
+
+def test_startswith_prunes_as_range(spark):
+    root = tempfile.mkdtemp(prefix="txbatch_sw_") + "/t"
+    for prefix in ("apple", "banana", "cherry"):
+        T.append(spark.createDataFrame(
+            [(f"{prefix}-{i}", i) for i in range(50)],
+            "name string, v int").coalesce(1), root,
+            checkpoint_every=0)
+    r = _reader(root, [StringStartsWith(("name",), "banana")])
+    assert len(r._kept_paths()) == 1
+    got = (spark.read.format("txlog").load(root)
+           .where("name like 'banana-4%'"))
+    assert got.count() == 11  # banana-4 and banana-40..banana-49
+
+
+def test_bloom_pruning_through_format(spark):
+    # hash-scattered commits: ranges keep everything, bloom decides
+    root = tempfile.mkdtemp(prefix="txbatch_bl_") + "/t"
+    T.set_bloom_index(root, ["k"])
+    df = spark.range(0, 400).select(F.col("id").alias("k"))
+    for b in range(4):
+        T.append(df.where(F.col("k") % 4 == b).coalesce(1), root,
+                 checkpoint_every=0)
+    r_all = _reader(root, [GreaterThan(("k",), -1)])
+    assert len(r_all._kept_paths()) == 4  # ranges alone: no pruning
+    r_pt = _reader(root, [EqualTo(("k",), 202)])
+    keep = r_pt._kept_paths()
+    assert len(keep) < 4  # bloom excluded ~3 of 4 (1% fpp)
+    got = (spark.read.format("txlog").load(root)
+           .where("k = 202").collect())
+    assert [x["k"] for x in got] == [202]
+
+
+def test_dv_masks_apply(spark):
+    root = _mk_range_table(spark)
+    T.delete_where(spark, root, "g = 3", mode="dv")
+    T.update_where(spark, root, "k = 11", {"name": "'patched'"},
+                   mode="dv")
+    got = spark.read.format("txlog").load(root)
+    want = T.read(spark, root)
+    assert _rows(got) == _rows(want)
+    assert got.where("g = 3").count() == 0
+    assert [x["name"] for x in got.where("k = 11").collect()] \
+        == ["patched"]
+
+
+def test_hive_partition_pruning_and_parity(spark):
+    root = tempfile.mkdtemp(prefix="txbatch_hp_") + "/t"
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("int").alias("bucket"))
+    T.append(df, root, checkpoint_every=0, partition_by=["bucket"])
+    r = _reader(root, [EqualTo(("bucket",), 1)])
+    keep = r._kept_paths()
+    assert keep and all("bucket=1" in p for p in keep)
+    got = spark.read.format("txlog").load(root)
+    want = T.read(spark, root)
+    assert got.schema == want.schema
+    assert _rows(got) == _rows(want)
+    assert got.where("bucket = 1").count() == 100
+
+
+def test_colmap_rename_then_filter(spark):
+    root = _mk_range_table(spark)
+    T.rename_column(root, "k", "key")
+    got = spark.read.format("txlog").load(root)
+    want = T.read(spark, root)
+    assert got.columns == ["key", "g", "name"]
+    assert _rows(got) == _rows(want)
+    # pruning translates the logical name through the colmap
+    r = _reader(root, [EqualTo(("key",), 777)])
+    assert len(r._kept_paths()) == 1
+    assert got.where("key = 777").count() == 1
+
+
+def test_evolved_schema_null_backfill(spark):
+    root = tempfile.mkdtemp(prefix="txbatch_ev_") + "/t"
+    T.append(spark.createDataFrame([(1, "a")], "k int, s string"),
+             root, checkpoint_every=0)
+    T.append(spark.createDataFrame(
+        [(2, "b", 9.5)], "k int, s string, score double"),
+        root, checkpoint_every=0, merge_schema=True)
+    got = spark.read.format("txlog").load(root)
+    want = T.read(spark, root)
+    assert got.schema == want.schema
+    assert _rows(got) == _rows(want)
+    assert got.where("score is null").count() == 1
+
+
+def test_time_travel_options(spark):
+    root = _mk_range_table(spark)
+    T.delete_where(spark, root, "k < 500", mode="dv")
+    v4 = spark.read.format("txlog").option("version", 4).load(root)
+    assert _rows(v4) == _rows(T.read(spark, root, version=4))
+    assert v4.count() == 1000
+    hist = T.history(root)
+    ts4 = next(h["ts"] for h in hist if h["version"] == 4)
+    t4 = (spark.read.format("txlog")
+          .option("timestamp", str(ts4)).load(root))
+    assert t4.count() == 1000
+    with pytest.raises(Exception):
+        (spark.read.format("txlog").option("version", 1)
+         .option("timestamp", str(ts4)).load(root).count())
+
+
+def test_fully_pruned_scan_is_empty(spark):
+    root = _mk_range_table(spark)
+    got = spark.read.format("txlog").load(root).where("k = 99999")
+    assert got.collect() == []
+
+
+def test_plain_reader_when_conf_off(spark):
+    # Spark refuses a pushFilters-implementing reader when the conf
+    # is off; .option("pushdown", "false") selects the plain reader
+    # so such sessions still scan correctly (just unpruned)
+    root = _mk_range_table(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled",
+                   "false")
+    try:
+        with pytest.raises(Exception, match="PUSHDOWN_DISABLED"):
+            (spark.read.format("txlog").load(root)
+             .where("k = 777").collect())
+        got = (spark.read.format("txlog")
+               .option("pushdown", "false").load(root)
+               .where("k = 777").collect())
+        assert [x["k"] for x in got] == [777]
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled",
+                       "true")

@@ -48,6 +48,7 @@ R12_WINDOW_PRIORITY = {
     "txlog_incremental_scan", "txlog_cdf_rows",
     "txlog_replica_scan", "txlog_rename_scan",
     "txlog_backfill_scan",  # NEW r12 key: first evidence
+    "txlog_pushdown_scan",  # NEW r12 key: the batch format
 }
 
 
@@ -88,10 +89,10 @@ def test_driver_window_boundary_position():
     the first 50."""
     m = _entry_module()
     keys = list(m.queries())
-    assert keys.index("doc_chunking") == 49, (
+    assert keys.index("token_count") == 49, (
         "the '==== WINDOW BOUNDARY (50)' comment in __spark_entry__ "
-        "no longer matches the dict: doc_chunking is at "
-        f"index {keys.index('doc_chunking')}")
+        "no longer matches the dict: token_count is at "
+        f"index {keys.index('token_count')}")
     window = set(keys[:50])
     assert R12_WINDOW_PRIORITY <= window, R12_WINDOW_PRIORITY - window
 
