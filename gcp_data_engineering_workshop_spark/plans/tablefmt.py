@@ -647,14 +647,18 @@ def txlog_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     read as a NATIVE Spark source — spark.read.format("txlog") —
     with Catalyst filter pushdown planning the file skipping.
 
-    orders lands as four CONTIGUOUS o_orderkey ranges (so zone maps
-    can prune), a dv-mode DELETE marks every o_orderkey % 10 = 3 row
-    (vectors must mask through the format's executor-side read),
-    and o_custkey RENAMES to custkey (the format must project the
-    colmap). The query is then plain DataFrame code — .where() on
-    the format scan — and the pushed conjuncts must plan exactly
-    ONE of the four files (asserted in-query via the reader's
-    survivor set). Equal to the residual SQL over the source table."""
+    orders lands as four CONTIGUOUS o_orderkey ranges via the
+    NATIVE WRITER — df.write.format("txlog").mode("append") — (so
+    both halves of the source sit under the gate: arrow-task
+    staging + CAS commit on the way in, pushed-filter planning on
+    the way out), a dv-mode DELETE marks every o_orderkey % 10 = 3
+    row (vectors must mask through the format's executor-side
+    read), and o_custkey RENAMES to custkey (the format must
+    project the colmap). The query is then plain DataFrame code —
+    .where() on the format scan — and the pushed conjuncts must
+    plan exactly ONE of the four files (asserted in-query via the
+    reader's survivor set). Equal to the residual SQL over the
+    source table."""
     from pyspark.sql.datasource import (EqualTo, GreaterThanOrEqual,
                                         LessThan)
 
@@ -667,7 +671,8 @@ def txlog_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         part = orders.where(F.col("o_orderkey") >= lo)
         if hi is not None:
             part = part.where(F.col("o_orderkey") < hi)
-        T.append(part, root, checkpoint_every=0)
+        part.coalesce(1).write.format("txlog").mode("append") \
+            .option("checkpoint_every", "0").save(root)
     T.delete_where(spark, root, "o_orderkey % 10 = 3", mode="dv")
     T.rename_column(root, "o_custkey", "custkey")
     # plan-level contract: the pushed range + status conjuncts keep

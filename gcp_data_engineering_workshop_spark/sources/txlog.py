@@ -127,10 +127,18 @@ def _schema_check(df: DataFrame, table_schema: str | None,
     (spark.range is non-null, a JSON stream is nullable) — recorded
     schemas are uniformly nullable and comparisons use simpleString,
     which ignores nullability at every nesting level."""
+    return _schema_check_struct(df.schema, table_schema,
+                                merge_schema)
+
+
+def _schema_check_struct(schema, table_schema: str | None,
+                         merge_schema: bool) -> str | None:
+    """_schema_check on a bare StructType — the native writer path
+    has the declared write schema but no DataFrame."""
     from pyspark.sql.types import StructField, StructType
 
     new = StructType([StructField(f.name, f.dataType, True)
-                      for f in df.schema.fields])
+                      for f in schema.fields])
     if table_schema is None:
         return new.json()
     cur = StructType.fromJson(json.loads(table_schema))
@@ -3981,10 +3989,13 @@ def _stream_fields(root: str):
 
 
 try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
-    from pyspark.sql.datasource import (DataSource, DataSourceReader,
+    from pyspark.sql.datasource import (DataSource,
+                                        DataSourceArrowWriter,
+                                        DataSourceReader,
                                         DataSourceStreamReader,
                                         InputPartition,
-                                        SimpleDataSourceStreamReader)
+                                        SimpleDataSourceStreamReader,
+                                        WriterCommitMessage)
 
     class TxLogFilePartition(InputPartition):
         """One executor task of a txlogstream micro-batch: a group
@@ -4704,6 +4715,202 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
                    else TxLogBatchReader)
             return cls(self.options, schema, snap, root)
 
+        def writer(self, schema, overwrite: bool):
+            return TxLogBatchWriter(self.options, schema, overwrite)
+
+    class TxLogWriteMessage(WriterCommitMessage):
+        """One writer task's staged add actions (paths relative to
+        the table root; empty for a zero-row task)."""
+
+        def __init__(self, adds: list[dict]):
+            self.adds = adds
+
+    class TxLogBatchWriter(DataSourceArrowWriter):
+        """``df.write.format("txlog").mode("append"|"overwrite")
+        .save(root)`` — the WRITE half of the native source, the
+        same transactional contract as append()/overwrite() with
+        the data path on the Arrow writer API: each task streams
+        its RecordBatches into ONE parquet file directly under the
+        table root (invisible until the commit file lands — the
+        log IS the visibility boundary, so no staging dir is
+        needed), computes the add action's footer stats/null
+        counts there, builds the file's bloom sidecar when the
+        table declares an index, and ships ONLY metadata back in
+        its commit message. commit() then CAS-claims the version
+        exactly like the function API; abort() (and vacuum, for
+        crashed tasks) reclaims staged files.
+
+        Parity with append()'s contract, checked AT PLAN TIME
+        (construction runs before any task): schema enforcement
+        via the same _schema_check rules (.option("merge_schema",
+        "true") to evolve, with _evolved_colmap physical-name
+        allocation on mapped tables); column-mapped tables write
+        PHYSICAL names (batch columns rename before hitting
+        parquet, exactly _stage_write's projection). Tables with
+        CHECK constraints, generated columns, or a hive partition
+        layout REFUSE the native writer — those validations run
+        Spark SQL over the incoming frame, which the arrow task
+        path cannot, and silent unenforcement would be worse; use
+        txlog.append()/overwrite() for them. mode("overwrite")
+        resets schema/colmap/layout exactly like overwrite().
+
+        Task retries and speculative duplicates leave at most an
+        unreferenced uuid-named file vacuum reclaims after
+        retention; the winning attempt's message is the only one
+        commit() ever sees."""
+
+        def __init__(self, options, schema, overwrite: bool):
+            self.root = options["path"]
+            self.overwrite = overwrite
+            self.merge_schema = (
+                str(options.get("merge_schema", "false")).lower()
+                == "true")
+            self.checkpoint_every = int(options.get(
+                "checkpoint_every", 10))
+            self.max_retries = int(options.get("max_retries", 20))
+            snap0 = snapshot(self.root)
+            for blocker, what in (
+                    (snap0.get("constraints"), "CHECK constraints"),
+                    (snap0.get("generated"), "generated columns"),
+                    (None if overwrite else
+                     snap0.get("partition_by"),
+                     "a hive partition layout")):
+                if blocker:
+                    raise ValueError(
+                        f"txlog: the table under {self.root} has "
+                        f"{what}, which the native writer cannot "
+                        "validate/produce in arrow tasks — use "
+                        "txlog.append()/overwrite()")
+            if self.overwrite:
+                self._schema_rec = _schema_check_struct(
+                    schema, None, False)
+                self._new_cmap: dict | None = {}
+                eff_cmap: dict | None = None
+            else:
+                self._schema_rec = _schema_check_struct(
+                    schema, snap0.get("schema"), self.merge_schema)
+                self._new_cmap = _evolved_colmap(
+                    snap0, self._schema_rec)
+                eff_cmap = (self._new_cmap
+                            if self._new_cmap is not None
+                            else snap0.get("colmap"))
+            self._write_cmap = {
+                c: p for c, p in (eff_cmap or {}).items()
+                if c != p}
+            self._bloom = snap0.get("bloom")
+
+        def write(self, iterator):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            name = f"part-{uuid.uuid4().hex}.parquet"
+            dst = os.path.join(self.root, name)
+            tmp = dst + ".tmp"
+            writer = None
+            rows = 0
+            try:
+                for batch in iterator:
+                    if self._write_cmap:
+                        batch = pa.RecordBatch.from_arrays(
+                            batch.columns,
+                            [self._write_cmap.get(n, n)
+                             for n in batch.schema.names])
+                    if writer is None:
+                        os.makedirs(self.root, exist_ok=True)
+                        writer = pq.ParquetWriter(tmp, batch.schema)
+                    writer.write_batch(batch)
+                    rows += batch.num_rows
+            finally:
+                if writer is not None:
+                    writer.close()
+            if rows == 0:
+                if writer is not None:
+                    os.unlink(tmp)
+                return TxLogWriteMessage([])
+            os.replace(tmp, dst)
+            add = {"path": name, "bytes": os.path.getsize(dst),
+                   "rows": rows, "stats": _footer_stats(dst),
+                   "nulls": _footer_nulls(dst)}
+            if self._bloom and self._bloom.get("cols"):
+                # per-task consolidated sidecar ({this file: entry})
+                # — the same ref shape _build_bloom_sidecars writes;
+                # OPTIMIZE / back-fill re-consolidate later
+                sc = _bloom_sidecar(
+                    dst, list(self._bloom["cols"]),
+                    self._bloom.get("fpp", 0.01),
+                    self._bloom.get("max_ndv", 100_000),
+                    self._write_cmap)
+                if sc is not None:
+                    os.makedirs(os.path.join(self.root, _BLOOM_DIR),
+                                exist_ok=True)
+                    brel = f"{_BLOOM_DIR}/group-{uuid.uuid4().hex}.json"
+                    final = os.path.join(self.root, brel)
+                    btmp = f"{final}.tmp-{uuid.uuid4().hex}"
+                    with open(btmp, "w") as fh:
+                        json.dump({name: sc}, fh)
+                        fh.flush()
+                        os.fsync(fh.fileno())
+                    os.replace(btmp, final)
+                    add["bloom"] = {"path": brel, "key": name}
+            return TxLogWriteMessage([add])
+
+        def commit(self, messages):
+            adds = [a for m in messages if m is not None
+                    for a in m.adds]
+            if self.overwrite:
+                for _ in range(self.max_retries):
+                    snap = snapshot(self.root)
+                    entry = {
+                        "op": "overwrite", "ts": time.time(),
+                        "actions": ([{"remove": {"path": p}}
+                                     for p in sorted(snap["files"])]
+                                    + [{"add": a} for a in adds]),
+                        "schema": self._schema_rec,
+                        "partition_by": [],
+                        "colmap": {}, "phys_dropped": [],
+                        "generated": {}}
+                    if _try_commit(self.root, snap["version"] + 1,
+                                   entry):
+                        _maybe_checkpoint(self.root,
+                                          snap["version"] + 1,
+                                          self.checkpoint_every)
+                        return
+                raise CommitConflict(
+                    f"overwrite lost the version race "
+                    f"{self.max_retries} times under {self.root}")
+            entry = {"op": "append", "ts": time.time(),
+                     "actions": [{"add": a} for a in adds]}
+            if self._schema_rec is not None:
+                entry["schema"] = self._schema_rec
+            if self._new_cmap is not None:
+                entry["colmap"] = self._new_cmap
+                _mark_feature(entry, snapshot(self.root),
+                              "column-mapping")
+            for _ in range(self.max_retries):
+                head = _list_versions(self.root)
+                v = (head[-1] if head else 0) + 1
+                if _try_commit(self.root, v, entry):
+                    _maybe_checkpoint(self.root, v,
+                                      self.checkpoint_every)
+                    return
+            raise CommitConflict(
+                f"append lost the version race "
+                f"{self.max_retries} times under {self.root}")
+
+        def abort(self, messages):
+            for m in messages:
+                if m is None:
+                    continue
+                for a in m.adds:
+                    for rel in (a["path"],
+                                (a.get("bloom") or {}).get("path")):
+                        if not rel:
+                            continue
+                        try:
+                            os.unlink(os.path.join(self.root, rel))
+                        except OSError:
+                            pass
+
 except ImportError:  # pragma: no cover - pyspark<4 fallback
     TxLogFilePartition = None  # type: ignore[assignment]
     TxLogParallelStreamReader = None  # type: ignore[assignment]
@@ -4716,6 +4923,8 @@ except ImportError:  # pragma: no cover - pyspark<4 fallback
     TxLogPlainBatchReader = None  # type: ignore[assignment]
     TxLogBatchReader = None  # type: ignore[assignment]
     TxLogBatchDataSource = None  # type: ignore[assignment]
+    TxLogWriteMessage = None  # type: ignore[assignment]
+    TxLogBatchWriter = None  # type: ignore[assignment]
 
 
 def register(spark) -> None:

@@ -1,0 +1,195 @@
+"""The native batch writer — df.write.format("txlog") — against
+append()/overwrite() parity, schema enforcement/evolution, column
+mapping, bloom sidecars, the refusal set, and task-level staging
+(zero-row tasks, abort cleanup, vacuum of never-committed files)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+
+from gcp_data_engineering_workshop_spark.sources import txlog as T
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    T.register(spark)
+
+
+def _df(spark, lo=0, hi=1000):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("g"),
+        F.concat(F.lit("n-"), F.col("id")).alias("name"))
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_append_parity_with_function_api(spark):
+    root_w = tempfile.mkdtemp(prefix="txw_") + "/t"
+    root_f = tempfile.mkdtemp(prefix="txf_") + "/t"
+    df = _df(spark)
+    df.write.format("txlog").mode("append").save(root_w)
+    df.write.format("txlog").mode("append").save(root_w)
+    T.append(df, root_f, checkpoint_every=0)
+    T.append(df, root_f, checkpoint_every=0)
+    assert _rows(T.read(spark, root_w)) == _rows(T.read(spark, root_f))
+    hist = T.history(root_w)
+    assert [h["op"] for h in hist] == ["append", "append"]
+    assert all(h["n_remove"] == 0 for h in hist)
+    # round-trip through the native reader too
+    assert _rows(spark.read.format("txlog").load(root_w)) \
+        == _rows(T.read(spark, root_w))
+
+
+def test_schema_enforcement_and_evolution(spark):
+    root = tempfile.mkdtemp(prefix="txw_ev_") + "/t"
+    _df(spark).write.format("txlog").mode("append").save(root)
+    with pytest.raises(Exception, match="SchemaMismatch|merge_schema"):
+        (spark.range(3).select(F.col("id").alias("zzz"))
+         .write.format("txlog").mode("append").save(root))
+    (_df(spark, 1000, 1005)
+     .withColumn("score", F.lit(1.5))
+     .write.format("txlog").mode("append")
+     .option("merge_schema", "true").save(root))
+    r = T.read(spark, root)
+    assert r.columns == ["k", "g", "name", "score"]
+    assert r.where("score is null").count() == 1000
+    assert r.where("score = 1.5").count() == 5
+
+
+def test_overwrite_resets_table(spark):
+    root = tempfile.mkdtemp(prefix="txw_ow_") + "/t"
+    _df(spark).write.format("txlog").mode("append").save(root)
+    (spark.range(3).select(F.col("id").alias("a"))
+     .write.format("txlog").mode("overwrite").save(root))
+    r = T.read(spark, root)
+    assert r.columns == ["a"] and r.count() == 3
+    assert T.history(root)[-1]["op"] == "overwrite"
+    # old version still time-travels
+    assert T.read(spark, root, version=1).count() == 1000
+
+
+def test_colmap_write_lands_physical_names(spark):
+    root = tempfile.mkdtemp(prefix="txw_cm_") + "/t"
+    _df(spark).write.format("txlog").mode("append").save(root)
+    T.rename_column(root, "k", "key")
+    before = set(T.snapshot(root)["files"])
+    (spark.range(1000, 1010).select(
+        F.col("id").alias("key"), (F.col("id") % 7).alias("g"),
+        F.concat(F.lit("n-"), F.col("id")).alias("name"))
+     .write.format("txlog").mode("append").save(root))
+    r = T.read(spark, root)
+    assert r.columns == ["key", "g", "name"]
+    assert r.count() == 1010 and r.where("key >= 1000").count() == 10
+    # the new file stores the PHYSICAL name (k), not the logical
+    import pyarrow.parquet as pq
+    new_files = set(T.snapshot(root)["files"]) - before
+    for p in new_files:
+        names = pq.ParquetFile(os.path.join(root, p)).schema_arrow.names
+        assert "k" in names and "key" not in names, names
+
+
+def test_bloom_sidecars_built_by_writer_tasks(spark):
+    root = tempfile.mkdtemp(prefix="txw_bl_") + "/t"
+    T.set_bloom_index(root, ["k"])
+    _df(spark).repartition(4).write.format("txlog") \
+        .mode("append").save(root)
+    snap = T.snapshot(root)
+    assert all("bloom" in m for m in snap["files"].values())
+    cand = T._files_possibly_matching(
+        snap, T._parse_conjuncts("k = 123"), root)
+    assert len(cand) < len(snap["files"])
+    got = T.read_where(spark, root, "k = 123").collect()
+    assert [x["k"] for x in got] == [123]
+
+
+def test_refusals_route_to_function_api(spark):
+    df = _df(spark)
+    root_c = tempfile.mkdtemp(prefix="txw_rc_") + "/t"
+    T.append(df, root_c, checkpoint_every=0)
+    T.add_constraint(root_c, "k_pos", "k >= 0")
+    with pytest.raises(Exception, match="CHECK constraints"):
+        df.write.format("txlog").mode("append").save(root_c)
+    root_g = tempfile.mkdtemp(prefix="txw_rg_") + "/t"
+    T.append(df, root_g, checkpoint_every=0,
+             generated={"g2": "k % 3"})
+    with pytest.raises(Exception, match="generated columns"):
+        df.write.format("txlog").mode("append").save(root_g)
+    root_p = tempfile.mkdtemp(prefix="txw_rp_") + "/t"
+    T.append(df, root_p, checkpoint_every=0, partition_by=["g"])
+    with pytest.raises(Exception, match="partition layout"):
+        df.write.format("txlog").mode("append").save(root_p)
+    # overwrite is allowed on a partitioned table (it resets the
+    # layout, exactly like overwrite())
+    (spark.range(3).select(F.col("id").alias("a"))
+     .write.format("txlog").mode("overwrite").save(root_p))
+    assert T.read(spark, root_p).columns == ["a"]
+    assert not T.snapshot(root_p).get("partition_by")
+
+
+def test_zero_row_tasks_write_no_files(spark):
+    root = tempfile.mkdtemp(prefix="txw_z_") + "/t"
+    _df(spark, 0, 4).repartition(8).write.format("txlog") \
+        .mode("append").save(root)
+    snap = T.snapshot(root)
+    assert 0 < len(snap["files"]) <= 4
+    assert T.read(spark, root).count() == 4
+
+
+def test_empty_write_commits_schema_only(spark):
+    root = tempfile.mkdtemp(prefix="txw_e_") + "/t"
+    _df(spark).limit(0).write.format("txlog").mode("append") \
+        .save(root)
+    snap = T.snapshot(root)
+    assert snap["files"] == {} and snap.get("schema")
+    r = T.read(spark, root)
+    assert r.columns == ["k", "g", "name"] and r.count() == 0
+
+
+def test_dml_composes_on_writer_written_table(spark):
+    root = tempfile.mkdtemp(prefix="txw_dml_") + "/t"
+    _df(spark).write.format("txlog").mode("append").save(root)
+    T.delete_where(spark, root, "g = 2", mode="dv")
+    r = spark.read.format("txlog").load(root)
+    assert r.where("g = 2").count() == 0
+    assert r.count() == T.read(spark, root).count()
+
+
+def test_abort_unlinks_staged_files(spark):
+    root = tempfile.mkdtemp(prefix="txw_ab_") + "/t"
+    os.makedirs(root)
+    w = T.TxLogBatchWriter({"path": root}, _df(spark).schema, False)
+    batch = pa.RecordBatch.from_pydict(
+        {"k": [1, 2], "g": [1, 2], "name": ["a", "b"]})
+    msg = w.write(iter([batch]))
+    staged = [a["path"] for a in msg.adds]
+    assert staged and all(
+        os.path.exists(os.path.join(root, p)) for p in staged)
+    w.abort([msg, None])
+    assert all(not os.path.exists(os.path.join(root, p))
+               for p in staged)
+    # nothing committed: the table is still empty
+    assert T.snapshot(root)["files"] == {}
+
+
+def test_vacuum_reclaims_never_committed_file(spark):
+    root = tempfile.mkdtemp(prefix="txw_vac_") + "/t"
+    _df(spark, 0, 10).coalesce(1).write.format("txlog") \
+        .mode("append").save(root)
+    w = T.TxLogBatchWriter({"path": root}, _df(spark).schema, False)
+    batch = pa.RecordBatch.from_pydict(
+        {"k": [1], "g": [1], "name": ["x"]})
+    msg = w.write(iter([batch]))  # staged, never committed
+    orphan = os.path.join(root, msg.adds[0]["path"])
+    assert os.path.exists(orphan)
+    removed = T.vacuum(root, retention_seconds=0)
+    assert msg.adds[0]["path"] in removed
+    assert not os.path.exists(orphan)
+    assert T.read(spark, root).count() == 10
