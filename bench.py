@@ -111,6 +111,9 @@ BENCH_QUERIES = [
     "txlog_replica_scan",    # E22 CDF-driven replication (2 syncs)
     "txlog_rename_scan",     # E22 column mapping + DML + pruning
     "txlog_replace_scan",    # E22 replaceWhere scope reload
+    # r12 additions:
+    "txlog_backfill_scan",   # E22 sidecar-only bloom back-fill
+    "txlog_pushdown_scan",   # E23/E24 native writer + pushed-filter scan
 ]
 
 

@@ -691,6 +691,72 @@ def run_txlog_partition_leg(spark) -> dict:
     return row
 
 
+def run_txlog_pushdown_leg(spark) -> dict:
+    """The NATIVE batch source's 100-TB claim (r12 second stint): a
+    pushed range filter on spark.read.format("txlog") must plan ~a
+    constant number of files while the table grows 10x in FILE
+    COUNT (fixed ~150k-row files via repartitionByRange through the
+    native WRITER — so the leg also measures write throughput on
+    the arrow task path). Contract counters, not timers: the
+    reader's survivor set for the pushed conjuncts stays flat
+    across the decade and the pruned fraction falls ~10x; the scan
+    result is exact either way (pushdown is IO skipping only)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+    from pyspark.sql.types import StructType as _ST
+
+    from gcp_data_engineering_workshop_spark.sources import txlog as T
+
+    T.register(spark)
+    row: dict = {}
+    per_file = 150_000
+    lo, hi = 460_000, 500_000  # inside one ~150k-row range file
+    for k, n_files in (("x10", 10), ("x100", 100)):
+        root = os.path.join(WORK, f"txpd{k}", "t")
+        import shutil as _sh
+        _sh.rmtree(os.path.dirname(root), ignore_errors=True)
+        n_rows = per_file * n_files
+        df = (spark.range(n_rows)
+              .select(F.col("id").alias("k"),
+                      (F.col("id") * 7 % 1000).alias("v"))
+              .repartitionByRange(n_files, "k")
+              .sortWithinPartitions("k"))
+        t0 = time.monotonic()
+        df.write.format("txlog").mode("append").save(root)
+        t_w = time.monotonic() - t0
+        row[f"t_write_{k}"] = round(t_w, 3)
+        row[f"write_rows_s_{k}"] = int(n_rows / t_w)
+        snap = T.snapshot(root)
+        row[f"n_files_{k}"] = len(snap["files"])
+        rdr = T.TxLogBatchReader(
+            {"path": root},
+            _ST.fromJson(_json.loads(snap["schema"])), snap, root)
+        rdr.pushFilters([GreaterThanOrEqual(("k",), lo),
+                         LessThan(("k",), hi)])
+        cand = rdr._kept_paths()
+        row[f"files_candidate_{k}"] = len(cand)
+        row[f"pruned_fraction_x100_{k}"] = round(
+            100.0 * len(cand) / len(snap["files"]), 2)
+        t0 = time.monotonic()
+        got = (spark.read.format("txlog").load(root)
+               .where(f"k >= {lo} AND k < {hi}").count())
+        row[f"t_scan_{k}"] = round(time.monotonic() - t0, 3)
+        assert got == hi - lo, (got, hi - lo)
+        spark.catalog.clearCache()
+    row["exp_scan_10_100"] = round(
+        math.log10(row["t_scan_x100"] / row["t_scan_x10"]), 3)
+    row["pruned_ok"] = (
+        # survivor count must not grow with the table (range
+        # boundaries are sampled, so allow one boundary straddle)
+        row["files_candidate_x100"] <= row["files_candidate_x10"] + 1
+        and row["files_candidate_x100"] <= 3
+        and row["pruned_fraction_x100_x100"]
+        <= row["pruned_fraction_x100_x10"] / 5)
+    return row
+
+
 def main() -> None:
     if len(sys.argv) > 1:
         rnd = int(sys.argv[1])
@@ -762,6 +828,11 @@ def main() -> None:
                 run_txlog_partition_leg(spark)
             print(f"## txlog_partition_prune: "
                   f"{results['txlog_partition_prune']}", flush=True)
+        if not only or "txlog_pushdown_prune" in only:
+            results["txlog_pushdown_prune"] = \
+                run_txlog_pushdown_leg(spark)
+            print(f"## txlog_pushdown_prune: "
+                  f"{results['txlog_pushdown_prune']}", flush=True)
         if not only or "avrolite_stream_drain" in only:
             results["avrolite_stream_drain"] = \
                 run_avrolite_stream_leg(spark)
