@@ -4746,13 +4746,27 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
         "true") to evolve, with _evolved_colmap physical-name
         allocation on mapped tables); column-mapped tables write
         PHYSICAL names (batch columns rename before hitting
-        parquet, exactly _stage_write's projection). Tables with
-        CHECK constraints, generated columns, or a hive partition
-        layout REFUSE the native writer — those validations run
-        Spark SQL over the incoming frame, which the arrow task
-        path cannot, and silent unenforcement would be worse; use
-        txlog.append()/overwrite() for them. mode("overwrite")
-        resets schema/colmap/layout exactly like overwrite().
+        parquet, exactly _stage_write's projection).
+
+        HIVE-PARTITIONED tables write natively too (int/string
+        partition columns): each task routes its batches by
+        distinct partition-value combo into one lazily opened file
+        per (task, combo) under ``col=value`` dirs —
+        _stage_write's layout, partition columns in directory
+        names only, tokens quote()-escaped so both this engine's
+        parser and Spark's partition discovery decode them; pass
+        ``.option("partition_by", "a,b")`` on the creating write
+        or an overwrite (appends inherit the recorded spec and
+        refuse a different one).
+
+        Tables with CHECK constraints or generated columns REFUSE
+        the native writer — those validations run Spark SQL over
+        the incoming frame, which the arrow task path cannot, and
+        silent unenforcement would be worse; so do a partition
+        layout combined with column mapping, and non-int/string
+        partition column types; use txlog.append()/overwrite() for
+        them. mode("overwrite") resets schema/colmap/layout
+        exactly like overwrite().
 
         Task retries and speculative duplicates leave at most an
         unreferenced uuid-named file vacuum reclaims after
@@ -4771,16 +4785,28 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
             snap0 = snapshot(self.root)
             for blocker, what in (
                     (snap0.get("constraints"), "CHECK constraints"),
-                    (snap0.get("generated"), "generated columns"),
-                    (None if overwrite else
-                     snap0.get("partition_by"),
-                     "a hive partition layout")):
+                    (snap0.get("generated"), "generated columns")):
                 if blocker:
                     raise ValueError(
                         f"txlog: the table under {self.root} has "
                         f"{what}, which the native writer cannot "
                         "validate/produce in arrow tasks — use "
                         "txlog.append()/overwrite()")
+            opt_spec = [c.strip() for c in str(options.get(
+                "partition_by", "")).split(",") if c.strip()]
+            creating = (snap0.get("schema") is None
+                        and not snap0["files"])
+            self._creating = creating
+            if self.overwrite or creating:
+                self._spec = opt_spec
+            else:
+                recorded = snap0.get("partition_by") or []
+                if opt_spec and opt_spec != recorded:
+                    raise ValueError(
+                        f"table under {self.root} is partitioned "
+                        f"by {recorded}; an append cannot change "
+                        f"the layout to {opt_spec}")
+                self._spec = recorded
             if self.overwrite:
                 self._schema_rec = _schema_check_struct(
                     schema, None, False)
@@ -4797,15 +4823,67 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
             self._write_cmap = {
                 c: p for c, p in (eff_cmap or {}).items()
                 if c != p}
+            if self._spec and self._write_cmap:
+                raise ValueError(
+                    "txlog: the native writer does not combine a "
+                    "partition layout with column mapping — use "
+                    "txlog.append()/overwrite()")
+            if self._spec:
+                by_name = {f.name: f for f in schema.fields}
+                for c in self._spec:
+                    t = (by_name[c].dataType.simpleString()
+                         if c in by_name else "<missing>")
+                    if t not in ("tinyint", "smallint", "int",
+                                 "bigint", "string"):
+                        raise ValueError(
+                            f"txlog: native-writer partition "
+                            f"column {c} has type {t}; only "
+                            "int/string partition columns are "
+                            "supported — use txlog.append()")
             self._bloom = snap0.get("bloom")
+
+        def _finish_file(self, rel: str, rows: int,
+                         part: dict | None) -> dict:
+            """The add action for a just-written file: footer
+            stats/null counts plus the bloom sidecar when the table
+            declares an index (per-task consolidated {file: entry}
+            group JSON — the same ref shape _build_bloom_sidecars
+            writes; OPTIMIZE / back-fill re-consolidate later)."""
+            dst = os.path.join(self.root, rel)
+            add = {"path": rel, "bytes": os.path.getsize(dst),
+                   "rows": rows, "stats": _footer_stats(dst),
+                   "nulls": _footer_nulls(dst)}
+            if part is not None:
+                add["partition"] = part
+            if self._bloom and self._bloom.get("cols"):
+                sc = _bloom_sidecar(
+                    dst, list(self._bloom["cols"]),
+                    self._bloom.get("fpp", 0.01),
+                    self._bloom.get("max_ndv", 100_000),
+                    self._write_cmap)
+                if sc is not None:
+                    base = os.path.basename(rel)
+                    os.makedirs(os.path.join(self.root, _BLOOM_DIR),
+                                exist_ok=True)
+                    brel = f"{_BLOOM_DIR}/group-{uuid.uuid4().hex}.json"
+                    final = os.path.join(self.root, brel)
+                    btmp = f"{final}.tmp-{uuid.uuid4().hex}"
+                    with open(btmp, "w") as fh:
+                        json.dump({base: sc}, fh)
+                        fh.flush()
+                        os.fsync(fh.fileno())
+                    os.replace(btmp, final)
+                    add["bloom"] = {"path": brel, "key": base}
+            return add
 
         def write(self, iterator):
             import pyarrow as pa
             import pyarrow.parquet as pq
 
+            if self._spec:
+                return self._write_partitioned(iterator)
             name = f"part-{uuid.uuid4().hex}.parquet"
-            dst = os.path.join(self.root, name)
-            tmp = dst + ".tmp"
+            tmp = os.path.join(self.root, name + ".tmp")
             writer = None
             rows = 0
             try:
@@ -4827,32 +4905,72 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
                 if writer is not None:
                     os.unlink(tmp)
                 return TxLogWriteMessage([])
-            os.replace(tmp, dst)
-            add = {"path": name, "bytes": os.path.getsize(dst),
-                   "rows": rows, "stats": _footer_stats(dst),
-                   "nulls": _footer_nulls(dst)}
-            if self._bloom and self._bloom.get("cols"):
-                # per-task consolidated sidecar ({this file: entry})
-                # — the same ref shape _build_bloom_sidecars writes;
-                # OPTIMIZE / back-fill re-consolidate later
-                sc = _bloom_sidecar(
-                    dst, list(self._bloom["cols"]),
-                    self._bloom.get("fpp", 0.01),
-                    self._bloom.get("max_ndv", 100_000),
-                    self._write_cmap)
-                if sc is not None:
-                    os.makedirs(os.path.join(self.root, _BLOOM_DIR),
-                                exist_ok=True)
-                    brel = f"{_BLOOM_DIR}/group-{uuid.uuid4().hex}.json"
-                    final = os.path.join(self.root, brel)
-                    btmp = f"{final}.tmp-{uuid.uuid4().hex}"
-                    with open(btmp, "w") as fh:
-                        json.dump({name: sc}, fh)
-                        fh.flush()
-                        os.fsync(fh.fileno())
-                    os.replace(btmp, final)
-                    add["bloom"] = {"path": brel, "key": name}
-            return TxLogWriteMessage([add])
+            os.replace(tmp, os.path.join(self.root, name))
+            return TxLogWriteMessage([
+                self._finish_file(name, rows, None)])
+
+        def _write_partitioned(self, iterator):
+            # hive routing ON the task: each batch splits by its
+            # distinct partition-value combos and streams into one
+            # open ParquetWriter per combo (lazy, one file per
+            # (task, combo)); partition columns live in the
+            # directory names only, exactly _stage_write's layout
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+            from urllib.parse import quote
+
+            open_files: dict[str, list] = {}  # rel -> [w, tok, rows]
+            try:
+                for batch in iterator:
+                    tbl = pa.Table.from_batches([batch])
+                    combos = (tbl.select(self._spec)
+                              .group_by(self._spec).aggregate([])
+                              .to_pylist())
+                    for combo in combos:
+                        mask = None
+                        for c in self._spec:
+                            v = combo[c]
+                            m = (pc.is_null(tbl.column(c))
+                                 if v is None
+                                 else pc.fill_null(pc.equal(
+                                     tbl.column(c), v), False))
+                            mask = m if mask is None \
+                                else pc.and_(mask, m)
+                        data = (tbl.filter(mask)
+                                .drop_columns(list(self._spec)))
+                        rel_dir = "/".join(
+                            f"{c}={_PART_NULL if combo[c] is None else quote(str(combo[c]), safe='')}"
+                            for c in self._spec)
+                        key = rel_dir
+                        st = open_files.get(key)
+                        if st is None:
+                            os.makedirs(os.path.join(
+                                self.root, rel_dir), exist_ok=True)
+                            rel = (f"{rel_dir}/part-"
+                                   f"{uuid.uuid4().hex}.parquet")
+                            w = pq.ParquetWriter(
+                                os.path.join(self.root,
+                                             rel + ".tmp"),
+                                data.schema)
+                            tok = {c: (None if combo[c] is None
+                                       else str(combo[c]))
+                                   for c in self._spec}
+                            st = open_files[key] = [w, tok, 0, rel]
+                        st[0].write_table(data)
+                        st[2] += len(data)
+            finally:
+                for st in open_files.values():
+                    st[0].close()
+            adds = []
+            for w, tok, rows, rel in open_files.values():
+                tmp = os.path.join(self.root, rel + ".tmp")
+                if rows == 0:
+                    os.unlink(tmp)
+                    continue
+                os.replace(tmp, os.path.join(self.root, rel))
+                adds.append(self._finish_file(rel, rows, tok))
+            return TxLogWriteMessage(adds)
 
         def commit(self, messages):
             adds = [a for m in messages if m is not None
@@ -4866,7 +4984,7 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
                                      for p in sorted(snap["files"])]
                                     + [{"add": a} for a in adds]),
                         "schema": self._schema_rec,
-                        "partition_by": [],
+                        "partition_by": self._spec,
                         "colmap": {}, "phys_dropped": [],
                         "generated": {}}
                     if _try_commit(self.root, snap["version"] + 1,
@@ -4882,6 +5000,8 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
                      "actions": [{"add": a} for a in adds]}
             if self._schema_rec is not None:
                 entry["schema"] = self._schema_rec
+            if self._creating and self._spec:
+                entry["partition_by"] = self._spec
             if self._new_cmap is not None:
                 entry["colmap"] = self._new_cmap
                 _mark_feature(entry, snapshot(self.root),

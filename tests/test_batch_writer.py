@@ -122,16 +122,88 @@ def test_refusals_route_to_function_api(spark):
              generated={"g2": "k % 3"})
     with pytest.raises(Exception, match="generated columns"):
         df.write.format("txlog").mode("append").save(root_g)
-    root_p = tempfile.mkdtemp(prefix="txw_rp_") + "/t"
-    T.append(df, root_p, checkpoint_every=0, partition_by=["g"])
-    with pytest.raises(Exception, match="partition layout"):
-        df.write.format("txlog").mode("append").save(root_p)
-    # overwrite is allowed on a partitioned table (it resets the
-    # layout, exactly like overwrite())
+    # a partition layout COMBINED with column mapping refuses
+    root_m = tempfile.mkdtemp(prefix="txw_rm_") + "/t"
+    T.append(df, root_m, checkpoint_every=0, partition_by=["g"])
+    T.rename_column(root_m, "k", "key")
+    with pytest.raises(Exception, match="column mapping"):
+        (df.withColumnRenamed("k", "key")
+         .write.format("txlog").mode("append").save(root_m))
+    # non-int/string partition column types refuse
+    root_t = tempfile.mkdtemp(prefix="txw_rt_") + "/t"
+    with pytest.raises(Exception, match="int/string"):
+        (df.withColumn("score", F.lit(1.5))
+         .write.format("txlog").mode("append")
+         .option("partition_by", "score").save(root_t))
+    # appending a DIFFERENT spec than the recorded one refuses
+    root_s = tempfile.mkdtemp(prefix="txw_rs_") + "/t"
+    T.append(df, root_s, checkpoint_every=0, partition_by=["g"])
+    with pytest.raises(Exception, match="cannot change"):
+        (df.write.format("txlog").mode("append")
+         .option("partition_by", "name").save(root_s))
+
+
+def test_partitioned_write_parity_and_pruning(spark):
+    df = _df(spark)
+    root_w = tempfile.mkdtemp(prefix="txw_pw_") + "/t"
+    root_f = tempfile.mkdtemp(prefix="txw_pf_") + "/t"
+    (df.write.format("txlog").mode("append")
+     .option("partition_by", "g").save(root_w))
+    T.append(df, root_f, checkpoint_every=0, partition_by=["g"])
+    assert T.snapshot(root_w).get("partition_by") == ["g"]
+    assert _rows(T.read(spark, root_w)) == _rows(T.read(spark, root_f))
+    # layout on disk is hive dirs with the partition col absent
+    # from the files, and every add action carries its token
+    snap = T.snapshot(root_w)
+    assert all(p.split("/")[0].startswith("g=") for p in snap["files"])
+    assert all(m.get("partition", {}).get("g") is not None
+               for m in snap["files"].values())
+    # a later writer-append INHERITS the spec without the option
+    _df(spark, 1000, 1100).write.format("txlog").mode("append") \
+        .save(root_w)
+    assert T.read(spark, root_w).count() == 1100
+    # partition pruning through the native reader's pushed filters
+    got = (spark.read.format("txlog").load(root_w)
+           .where("g = 3"))
+    assert _rows(got) == _rows(T.read_where(spark, root_w, "g = 3"))
+    r = T.TxLogBatchReader(
+        {"path": root_w},
+        T.read(spark, root_w).schema, T.snapshot(root_w), root_w)
+    from pyspark.sql.datasource import EqualTo
+    r.pushFilters([EqualTo(("g",), 3)])
+    keep = r._kept_paths()
+    assert keep and all(p.startswith("g=3/") for p in keep)
+
+
+def test_partitioned_write_null_and_string_tokens(spark):
+    root = tempfile.mkdtemp(prefix="txw_pn_") + "/t"
+    df = spark.createDataFrame(
+        [(1, "us east"), (2, None), (3, "eu/west"), (4, "us east")],
+        "k int, region string")
+    (df.write.format("txlog").mode("append")
+     .option("partition_by", "region").save(root))
+    r = T.read(spark, root)
+    assert _rows(r.select("k", "region")) == [
+        (1, "us east"), (2, None), (3, "eu/west"), (4, "us east")]
+    # the native reader decodes the same tokens
+    assert _rows(spark.read.format("txlog").load(root)
+                 .select("k", "region")) == _rows(
+        r.select("k", "region"))
+    assert r.where("region is null").count() == 1
+
+
+def test_partitioned_overwrite_sets_layout(spark):
+    root = tempfile.mkdtemp(prefix="txw_po_") + "/t"
+    _df(spark).write.format("txlog").mode("append").save(root)
+    (_df(spark, 0, 100).write.format("txlog").mode("overwrite")
+     .option("partition_by", "g").save(root))
+    snap = T.snapshot(root)
+    assert snap.get("partition_by") == ["g"]
+    assert T.read(spark, root).count() == 100
+    # and overwriting WITHOUT the option resets to unpartitioned
     (spark.range(3).select(F.col("id").alias("a"))
-     .write.format("txlog").mode("overwrite").save(root_p))
-    assert T.read(spark, root_p).columns == ["a"]
-    assert not T.snapshot(root_p).get("partition_by")
+     .write.format("txlog").mode("overwrite").save(root))
+    assert not T.snapshot(root).get("partition_by")
 
 
 def test_zero_row_tasks_write_no_files(spark):
