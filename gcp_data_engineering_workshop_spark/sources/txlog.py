@@ -388,8 +388,15 @@ def _footer_nulls(path: str) -> dict:
             name = col.path_in_schema
             if "." in name or name in dropped:
                 continue
-            st = col.statistics
-            if st is None or st.null_count is None:
+            try:
+                st = col.statistics
+                has = st is not None and st.null_count is not None
+            except Exception:  # pyarrow can't CAST some stat types
+                # (ArrowNotImplementedError on e.g. decimal stats
+                # from a pyarrow-written footer) — no stat, never
+                # a crash (the _bloom_load discipline)
+                has = False
+            if not has:
                 dropped.add(name)
                 agg.pop(name, None)
                 continue
@@ -418,12 +425,18 @@ def _footer_stats(path: str) -> dict:
             name = col.path_in_schema
             if "." in name or name in dropped:
                 continue  # nested / already disqualified
-            st = col.statistics
-            if st is None or not st.has_min_max:
+            try:
+                st = col.statistics
+                has = st is not None and st.has_min_max
+                mn, mx = (st.min, st.max) if has else (None, None)
+            except Exception:  # pyarrow can't CAST some stat types
+                # (ArrowNotImplementedError on e.g. decimal stats
+                # from a pyarrow-written footer) — treat as absent
+                has = False
+            if not has:
                 dropped.add(name)
                 agg.pop(name, None)
                 continue
-            mn, mx = st.min, st.max
             if isinstance(mn, bytes):
                 try:
                     mn, mx = mn.decode(), mx.decode()

@@ -265,3 +265,23 @@ def test_vacuum_reclaims_never_committed_file(spark):
     assert msg.adds[0]["path"] in removed
     assert not os.path.exists(orphan)
     assert T.read(spark, root).count() == 10
+
+
+def test_timestamp_decimal_roundtrip_parity(spark):
+    # type fidelity through the arrow task path: timestamps and
+    # decimals written by the native writer must read back exactly
+    # what append()'s Spark-parquet path produces
+    root_w = tempfile.mkdtemp(prefix="txw_ts_") + "/t"
+    root_f = tempfile.mkdtemp(prefix="txf_ts_") + "/t"
+    df = spark.sql("""
+        SELECT id AS k,
+               timestamp_micros(CAST(1700000000000000 + id * 1e6
+                                     AS BIGINT)) AS ts,
+               CAST(id * 1.5 AS DECIMAL(18,4)) AS amt
+        FROM range(100)""")
+    df.write.format("txlog").mode("append").save(root_w)
+    T.append(df, root_f, checkpoint_every=0)
+    a, b = T.read(spark, root_w), T.read(spark, root_f)
+    assert a.schema == b.schema
+    assert _rows(a) == _rows(b)
+    assert _rows(spark.read.format("txlog").load(root_w)) == _rows(b)
