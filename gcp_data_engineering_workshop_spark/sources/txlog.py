@@ -4005,6 +4005,7 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
     from pyspark.sql.datasource import (DataSource,
                                         DataSourceArrowWriter,
                                         DataSourceReader,
+                                        DataSourceStreamArrowWriter,
                                         DataSourceStreamReader,
                                         InputPartition,
                                         SimpleDataSourceStreamReader,
@@ -4731,6 +4732,10 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
         def writer(self, schema, overwrite: bool):
             return TxLogBatchWriter(self.options, schema, overwrite)
 
+        def streamWriter(self, schema, overwrite: bool):
+            return TxLogStreamNativeWriter(self.options, schema,
+                                           overwrite)
+
     class TxLogWriteMessage(WriterCommitMessage):
         """One writer task's staged add actions (paths relative to
         the table root; empty for a zero-row task)."""
@@ -5044,6 +5049,70 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
                         except OSError:
                             pass
 
+    class TxLogStreamNativeWriter(TxLogBatchWriter,
+                                  DataSourceStreamArrowWriter):
+        """``df.writeStream.format("txlog").option("path", root)``
+        — the NATIVE streaming sink, completing the format matrix
+        (batch read/write + stream read/CDF + stream write): the
+        batch writer's task machinery verbatim (arrow batches ->
+        uuid-named parquet + footer stats + bloom sidecars +
+        hive-partition routing, all executor-side), with the
+        foreachBatch sink's EXACTLY-ONCE contract on the epoch
+        boundary: commit(messages, batchId) reads the snapshot's
+        per-app ``txn`` watermark and makes a replayed micro-batch
+        a NO-OP (its freshly staged files are left unreferenced for
+        vacuum — data lands twice on disk at worst, never twice in
+        the table), then commits one ``stream-append`` carrying
+        app_id/batch_id exactly like stream_sink().
+
+        Options: path, app_id (the txn watermark key — one per
+        query, default "stream"), plus the batch writer's
+        (merge_schema, partition_by on the creating batch,
+        checkpoint_every, max_retries). The same refusals apply
+        (constraints/generated/colmap+partition — stream_sink()
+        handles those tables); outputMode("complete") refuses
+        (append-only sink)."""
+
+        def __init__(self, options, schema, overwrite: bool):
+            if overwrite:
+                raise ValueError(
+                    "txlog: the streaming sink is append-only — "
+                    "use outputMode('append')")
+            super().__init__(options, schema, False)
+            self.app_id = options.get("app_id", "stream")
+
+        def commit(self, messages, batchId: int) -> None:
+            snap0 = snapshot(self.root)
+            if snap0["txn"].get(self.app_id, -1) >= batchId:
+                return  # replayed micro-batch: already committed
+            adds = [a for m in messages if m is not None
+                    for a in m.adds]
+            entry = {"op": "stream-append", "ts": time.time(),
+                     "app_id": self.app_id, "batch_id": batchId,
+                     "actions": [{"add": a} for a in adds]}
+            if self._schema_rec is not None:
+                entry["schema"] = self._schema_rec
+            if self._creating and self._spec:
+                entry["partition_by"] = self._spec
+            for _ in range(self.max_retries):
+                head = _list_versions(self.root)
+                v = (head[-1] if head else 0) + 1
+                if _try_commit(self.root, v, entry):
+                    _maybe_checkpoint(self.root, v,
+                                      self.checkpoint_every)
+                    # one writer instance serves every epoch of the
+                    # run: schema/layout are recorded by the FIRST
+                    # commit only
+                    self._schema_rec = None
+                    self._creating = False
+                    return
+            raise CommitConflict(
+                f"stream batch {batchId} lost the version race "
+                f"{self.max_retries} times under {self.root}")
+
+        def abort(self, messages, batchId: int) -> None:
+            TxLogBatchWriter.abort(self, messages)
+
 except ImportError:  # pragma: no cover - pyspark<4 fallback
     TxLogFilePartition = None  # type: ignore[assignment]
     TxLogParallelStreamReader = None  # type: ignore[assignment]
@@ -5058,6 +5127,7 @@ except ImportError:  # pragma: no cover - pyspark<4 fallback
     TxLogBatchDataSource = None  # type: ignore[assignment]
     TxLogWriteMessage = None  # type: ignore[assignment]
     TxLogBatchWriter = None  # type: ignore[assignment]
+    TxLogStreamNativeWriter = None  # type: ignore[assignment]
 
 
 def register(spark) -> None:

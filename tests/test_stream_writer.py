@@ -1,0 +1,135 @@
+"""The native streaming sink — writeStream.format("txlog") — vs the
+foreachBatch stream_sink(): table-to-table pipelines, exactly-once
+replay via the txn watermark, partitioned stream writes, refusals."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_data_engineering_workshop_spark.sources import txlog as T
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    T.register(spark)
+
+
+def _src(spark, n=300, commits=3):
+    root = tempfile.mkdtemp(prefix="tsw_src_") + "/t"
+    df = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("g"))
+    for b in range(commits):
+        T.append(df.where(F.col("k") % commits == b), root,
+                 checkpoint_every=0)
+    return root
+
+
+def _drain(spark, src, dst, ckpt, app="q"):
+    q = (spark.readStream.format("txlogstream")
+         .option("path", src).load()
+         .withColumn("k2", F.col("k") * 2)
+         .writeStream.format("txlog").option("path", dst)
+         .option("app_id", app)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+
+def test_table_to_table_pipeline_and_restart_tail(spark):
+    src = _src(spark)
+    dst = tempfile.mkdtemp(prefix="tsw_dst_") + "/t"
+    ckpt = tempfile.mkdtemp(prefix="tsw_ck_")
+    _drain(spark, src, dst, ckpt)
+    out = T.read(spark, dst)
+    assert out.count() == 300
+    assert out.columns == ["k", "g", "k2"]
+    hist = T.history(dst)
+    assert all(h["op"] == "stream-append" for h in hist)
+    assert hist[-1]["app_id"] == "q"
+    # a second run lands ONLY the new source commit
+    extra = spark.range(1000, 1050).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("g"))
+    T.append(extra, src, checkpoint_every=0)
+    _drain(spark, src, dst, ckpt)
+    assert T.read(spark, dst).count() == 350
+    # parity with the foreachBatch sink on the same source
+    dst2 = tempfile.mkdtemp(prefix="tsw_fb_") + "/t"
+    q = (spark.readStream.format("txlogstream")
+         .option("path", src).load()
+         .withColumn("k2", F.col("k") * 2)
+         .writeStream.foreachBatch(T.stream_sink(dst2))
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="tsw_ck2_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert sorted(map(tuple, T.read(spark, dst2).collect())) \
+        == sorted(map(tuple, T.read(spark, dst).collect()))
+
+
+def test_replayed_epoch_is_noop(spark):
+    dst = tempfile.mkdtemp(prefix="tsw_rp_") + "/t"
+    os.makedirs(dst)
+    schema = (spark.range(1).select(F.col("id").alias("k"))
+              .schema)
+    w = T.TxLogStreamNativeWriter({"path": dst}, schema, False)
+    msg = w.write(iter([pa.RecordBatch.from_pydict({"k": [1, 2]})]))
+    w.commit([msg], 0)
+    assert T.read(spark, dst).count() == 2
+    # Spark replays epoch 0 after a failure: same batchId again
+    w2 = T.TxLogStreamNativeWriter({"path": dst}, schema, False)
+    msg2 = w2.write(iter([pa.RecordBatch.from_pydict({"k": [1, 2]})]))
+    w2.commit([msg2], 0)
+    assert T.read(spark, dst).count() == 2  # no double-land
+    assert len(T.history(dst)) == 1
+    # the replay's staged file is unreferenced; vacuum reclaims it
+    removed = T.vacuum(dst, retention_seconds=0)
+    assert msg2.adds[0]["path"] in removed
+    # the next epoch commits normally
+    w2.commit([w2.write(iter([pa.RecordBatch.from_pydict(
+        {"k": [3]})]))], 1)
+    assert T.read(spark, dst).count() == 3
+
+
+def test_schema_recorded_once(spark):
+    dst = tempfile.mkdtemp(prefix="tsw_sch_") + "/t"
+    os.makedirs(dst)
+    schema = spark.range(1).select(F.col("id").alias("k")).schema
+    w = T.TxLogStreamNativeWriter({"path": dst}, schema, False)
+    for b in range(2):
+        w.commit([w.write(iter([pa.RecordBatch.from_pydict(
+            {"k": [b]})]))], b)
+    v1 = json.load(open(T._version_file(dst, 1)))
+    v2 = json.load(open(T._version_file(dst, 2)))
+    assert "schema" in v1 and "schema" not in v2
+
+
+def test_partitioned_stream_write(spark):
+    src = _src(spark)
+    dst = tempfile.mkdtemp(prefix="tsw_pt_") + "/t"
+    ckpt = tempfile.mkdtemp(prefix="tsw_ckp_")
+    q = (spark.readStream.format("txlogstream")
+         .option("path", src).load()
+         .writeStream.format("txlog").option("path", dst)
+         .option("partition_by", "g")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    snap = T.snapshot(dst)
+    assert snap.get("partition_by") == ["g"]
+    assert all(p.split("/")[0].startswith("g=")
+               for p in snap["files"])
+    assert T.read(spark, dst).count() == 300
+    assert T.read_where(spark, dst, "g = 2").count() == 60
+
+
+def test_complete_mode_refuses(spark):
+    dst = tempfile.mkdtemp(prefix="tsw_cm_") + "/t"
+    schema = spark.range(1).select(F.col("id").alias("k")).schema
+    with pytest.raises(ValueError, match="append-only"):
+        T.TxLogStreamNativeWriter({"path": dst}, schema, True)
