@@ -4927,18 +4927,39 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
             return TxLogWriteMessage([
                 self._finish_file(name, rows, None)])
 
+        # Open ParquetWriters per task are BOUNDED: past the cap the
+        # longest-open combo's file finalizes and a later batch for
+        # that combo simply starts another file (multiple files per
+        # partition are always legal) — a task fed thousands of
+        # distinct partition values holds ~cap column writers, not
+        # one per value. Sort the input by the partition columns to
+        # land one file per (task, combo) anyway.
+        _MAX_OPEN_PART_WRITERS = 64
+
         def _write_partitioned(self, iterator):
             # hive routing ON the task: each batch splits by its
-            # distinct partition-value combos and streams into one
-            # open ParquetWriter per combo (lazy, one file per
-            # (task, combo)); partition columns live in the
-            # directory names only, exactly _stage_write's layout
+            # distinct partition-value combos and streams into a
+            # lazily opened ParquetWriter per combo; partition
+            # columns live in the directory names only, exactly
+            # _stage_write's layout
             import pyarrow as pa
             import pyarrow.compute as pc
             import pyarrow.parquet as pq
             from urllib.parse import quote
 
-            open_files: dict[str, list] = {}  # rel -> [w, tok, rows]
+            open_files: dict[str, list] = {}  # key -> [w, tok, rows, rel]
+            adds: list[dict] = []
+
+            def _finalize(key: str) -> None:
+                w, tok, rows, rel = open_files.pop(key)
+                w.close()
+                tmp = os.path.join(self.root, rel + ".tmp")
+                if rows == 0:
+                    os.unlink(tmp)
+                    return
+                os.replace(tmp, os.path.join(self.root, rel))
+                adds.append(self._finish_file(rel, rows, tok))
+
             try:
                 for batch in iterator:
                     tbl = pa.Table.from_batches([batch])
@@ -4960,9 +4981,11 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
                         rel_dir = "/".join(
                             f"{c}={_PART_NULL if combo[c] is None else quote(str(combo[c]), safe='')}"
                             for c in self._spec)
-                        key = rel_dir
-                        st = open_files.get(key)
+                        st = open_files.get(rel_dir)
                         if st is None:
+                            if len(open_files) >= \
+                                    self._MAX_OPEN_PART_WRITERS:
+                                _finalize(next(iter(open_files)))
                             os.makedirs(os.path.join(
                                 self.root, rel_dir), exist_ok=True)
                             rel = (f"{rel_dir}/part-"
@@ -4974,20 +4997,15 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
                             tok = {c: (None if combo[c] is None
                                        else str(combo[c]))
                                    for c in self._spec}
-                            st = open_files[key] = [w, tok, 0, rel]
+                            st = open_files[rel_dir] = \
+                                [w, tok, 0, rel]
                         st[0].write_table(data)
                         st[2] += len(data)
+                for key in list(open_files):
+                    _finalize(key)
             finally:
                 for st in open_files.values():
-                    st[0].close()
-            adds = []
-            for w, tok, rows, rel in open_files.values():
-                tmp = os.path.join(self.root, rel + ".tmp")
-                if rows == 0:
-                    os.unlink(tmp)
-                    continue
-                os.replace(tmp, os.path.join(self.root, rel))
-                adds.append(self._finish_file(rel, rows, tok))
+                    st[0].close()  # error path only: leave tmps
             return TxLogWriteMessage(adds)
 
         def commit(self, messages):

@@ -285,3 +285,30 @@ def test_timestamp_decimal_roundtrip_parity(spark):
     assert a.schema == b.schema
     assert _rows(a) == _rows(b)
     assert _rows(spark.read.format("txlog").load(root_w)) == _rows(b)
+
+
+def test_partitioned_writer_bounds_open_files(spark):
+    # a task fed more distinct partition values than the open-writer
+    # cap ROTATES files (finalize + reopen later) instead of
+    # holding one writer per value — unit-level on the writer
+    # object so the cap override is actually observed by write()
+    root = tempfile.mkdtemp(prefix="txw_cap_") + "/t"
+    schema = (spark.range(1)
+              .select(F.col("id").alias("k"),
+                      F.lit(0).cast("int").alias("p")).schema)
+    w = T.TxLogBatchWriter(
+        {"path": root, "partition_by": "p"}, schema, False)
+    w._MAX_OPEN_PART_WRITERS = 3
+    batches = [pa.RecordBatch.from_pydict(
+        {"k": list(range(b * 10, b * 10 + 10)),
+         "p": [i % 5 for i in range(10)]}) for b in range(2)]
+    msg = w.write(iter(batches))
+    w.commit([msg])
+    # 5 combos but a cap of 3: rotation forces > 5 files, yet
+    # every row lands exactly once and no tmp is stranded
+    assert len(msg.adds) > 5
+    assert sum(a["rows"] for a in msg.adds) == 20
+    assert T.read(spark, root).count() == 20
+    assert T.read_where(spark, root, "p = 2").count() == 4
+    for _dirpath, _d, files in os.walk(root):
+        assert not [f for f in files if f.endswith(".tmp")]
