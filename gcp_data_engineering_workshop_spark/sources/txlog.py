@@ -5150,13 +5150,48 @@ except ImportError:  # pragma: no cover - pyspark<4 fallback
 
 def register(spark) -> None:
     """Register all three txlog Spark formats on a session: batch
-    ``format("txlog")``, the streaming source ``txlogstream``, and
-    the row-level change stream ``txlogcdf``."""
+    ``format("txlog")`` (read, write, AND the native streaming
+    sink), the streaming source ``txlogstream``, and the row-level
+    change stream ``txlogcdf``."""
     if TxLogBatchDataSource is None:  # pragma: no cover
         raise ImportError("txlog formats need pyspark >= 4")
     spark.dataSource.register(TxLogBatchDataSource)
     spark.dataSource.register(TxLogStreamDataSource)
     spark.dataSource.register(TxLogCdfStreamDataSource)
+
+
+def refresh_stream(spark, src_root: str, dst_root: str, fn=None,
+                   app_id: str = "incremental",
+                   checkpoint_dir: str | None = None,
+                   available_now: bool = True):
+    """The STREAMING twin of refresh_incremental() on the native
+    formats (the medallion transform hop as one call):
+    readStream("txlogstream") over the source, ``fn`` applied to
+    the row stream, writeStream("txlog") into the destination with
+    the txn-watermark exactly-once epoch contract. Returns the
+    started StreamingQuery — ``available_now=True`` (default)
+    drains the source's current commits and stops (the continuous
+    analog of one refresh_incremental call; re-invoke with the
+    same checkpoint_dir to pick up only new commits), False runs
+    continuously.
+
+    Contract differences vs the batch refresh: ``fn`` sees plain
+    rows (no _commit_version/_commit_op tags — streams are
+    row-level), and non-append source commits RAISE through the
+    stream source's NonAppendChange instead of being silently
+    excluded by include_ops."""
+    register(spark)
+    df = (spark.readStream.format("txlogstream")
+          .option("path", src_root).load())
+    if fn is not None:
+        df = fn(df)
+    wr = (df.writeStream.format("txlog")
+          .option("path", dst_root).option("app_id", app_id))
+    if checkpoint_dir is not None:
+        wr = wr.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        wr = wr.trigger(availableNow=True)
+    return wr.start()
 
 
 def read_range(spark, root: str, col: str, lo=None, hi=None,

@@ -133,3 +133,32 @@ def test_complete_mode_refuses(spark):
     schema = spark.range(1).select(F.col("id").alias("k")).schema
     with pytest.raises(ValueError, match="append-only"):
         T.TxLogStreamNativeWriter({"path": dst}, schema, True)
+
+
+def test_refresh_stream_parity_with_batch_refresh(spark):
+    # the one-call streaming hop equals refresh_incremental's
+    # result for the same transform (modulo the batch feed's tag
+    # columns, which fn drops here)
+    src = _src(spark)
+    dst_s = tempfile.mkdtemp(prefix="tsw_rs_") + "/t"
+    dst_b = tempfile.mkdtemp(prefix="tsw_rb_") + "/t"
+    ckpt = tempfile.mkdtemp(prefix="tsw_rck_")
+
+    def xform(df):
+        return (df.where(F.col("g") < 3)
+                .withColumn("k2", F.col("k") * 2))
+
+    q = T.refresh_stream(spark, src, dst_s, xform,
+                         checkpoint_dir=ckpt)
+    q.awaitTermination(120)
+    T.refresh_incremental(
+        spark, src, dst_b,
+        lambda d: xform(d).drop("_commit_version", "_commit_op"))
+    a = sorted(map(tuple, T.read(spark, dst_s).collect()))
+    b = sorted(map(tuple, T.read(spark, dst_b).collect()))
+    assert a == b and a
+    # a second invocation with nothing new lands nothing
+    q2 = T.refresh_stream(spark, src, dst_s, xform,
+                          checkpoint_dir=ckpt)
+    q2.awaitTermination(120)
+    assert sorted(map(tuple, T.read(spark, dst_s).collect())) == a
