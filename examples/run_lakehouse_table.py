@@ -21,6 +21,10 @@ a Delta-style table, composed entirely from the txlog layer
   TIME TRAVEL            read(version=N) / read(as_of=unix_ts)
   CHANGE FEED            read_changes(from_version=...)
   INCREMENTAL REFRESH    refresh_incremental(src, dst, fn)
+  NATIVE SPARK FORMATS   df.write.format("txlog") /
+                         spark.read.format("txlog") (pushed-filter
+                         file skipping) / writeStream.format("txlog")
+                         / refresh_stream(src, dst, fn)
   DESCRIBE / HISTORY     describe(root) / history(root)
   SHALLOW CLONE          clone(src, dst) — zero-copy, copy-on-write
   RESTORE                restore(root, N) / restore(as_of=ts)
@@ -175,6 +179,27 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
     assert T.read_where(spark, groot,
                         f"o_orderkey = {k}").count() >= 1
 
+    # NATIVE SPARK FORMATS (r12): the same table as a first-class
+    # Spark source — batch write, pushed-filter batch read, and a
+    # one-call streaming medallion hop
+    T.register(spark)
+    froot = tempfile.mkdtemp(prefix="lakehouse_") + "/native"
+    (T.read(spark, zroot).write.format("txlog").mode("append")
+     .save(froot))
+    native = (spark.read.format("txlog").load(froot)
+              .where("o_orderkey >= 100 AND o_orderkey < 2000"))
+    n_native = native.count()
+    assert n_native == T.read_where(
+        spark, froot,
+        "o_orderkey >= 100 AND o_orderkey < 2000").count()
+    sroot = tempfile.mkdtemp(prefix="lakehouse_") + "/silver"
+    q = T.refresh_stream(
+        spark, froot, sroot,
+        lambda d: d.where(F.col("o_orderkey") % 2 == 0),
+        checkpoint_dir=tempfile.mkdtemp(prefix="lakehouse_ck_"))
+    q.awaitTermination(120)
+    n_silver = T.read(spark, sroot).count()
+
     out = {"rows_created": n0, "rows_pruned_scan": n_pruned,
            "rows_at_create_ts": n_at_create,
            "rows_after_restore": n_restored,
@@ -189,7 +214,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
            "dv_marked_rows": dv_detail["deleted_rows"],
            "dv_files": dv_detail["num_dv_files"],
            "bloom_point_candidates": len(cand),
-           "bloom_files_total": n_all}
+           "bloom_files_total": n_all,
+           "native_format_rows": n_native,
+           "native_stream_rows": n_silver}
     print(out)
     assert n_restored == n0 == n_at_create
     assert feed_ops == ["delete", "merge", "update"]
