@@ -4455,6 +4455,42 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
         def streamReader(self, schema) -> TxLogCdfStreamReader:
             return TxLogCdfStreamReader(self.options, schema)
 
+        def reader(self, schema) -> "TxLogCdfBatchReader":
+            return TxLogCdfBatchReader(self.options, schema)
+
+    class TxLogCdfBatchReader(DataSourceReader):
+        """BATCH row-level CDF through the same format —
+        ``spark.read.format("txlogcdf").option("path", root)
+        .option("from_version", N).option("to_version", M)`` — the
+        Delta ``readChangeFeed`` batch analog: one fixed
+        (from_version, to_version] window of typed _change_type
+        rows, planned and diffed EXACTLY like the stream (the
+        reader wraps TxLogCdfStreamReader and hands it the window
+        as a single pseudo-epoch, so executor-side vector diffs,
+        colmap epochs, and the rewrite-mode refusal are all one
+        code path with read_changes_rows()). from_version is
+        EXCLUSIVE (the function API's convention), default 0;
+        to_version inclusive, default the current head — pinned at
+        plan time for snapshot isolation."""
+
+        def __init__(self, options, schema):
+            self._stream = TxLogCdfStreamReader(options, schema)
+            self.from_v = int(options.get("from_version", 0))
+            to = options.get("to_version")
+            self.to_v = (int(to) if to is not None
+                         else snapshot(options["path"])["version"])
+
+        def partitions(self):
+            parts = self._stream.partitions(
+                {"v": self.from_v}, {"v": self.to_v})
+            return parts or [TxLogCdfPartition(
+                [], self._stream._schema_json,
+                self._stream._colmap)]
+
+        def read(self, partition):
+            return TxLogCdfStreamReader.read(self._stream,
+                                             partition)
+
     class TxLogBatchPartition(InputPartition):
         """One executor task of a batch ``format("txlog")`` scan: a
         group of live data files (packed to ~partition_bytes), each
@@ -5139,6 +5175,7 @@ except ImportError:  # pragma: no cover - pyspark<4 fallback
     TxLogCdfPartition = None  # type: ignore[assignment]
     TxLogCdfStreamReader = None  # type: ignore[assignment]
     TxLogCdfStreamDataSource = None  # type: ignore[assignment]
+    TxLogCdfBatchReader = None  # type: ignore[assignment]
     TxLogBatchPartition = None  # type: ignore[assignment]
     TxLogPlainBatchReader = None  # type: ignore[assignment]
     TxLogBatchReader = None  # type: ignore[assignment]

@@ -195,3 +195,41 @@ def test_cdf_stream_partitioned_table(spark, tmp_path):
         T.read_changes_rows(spark, root, from_version=0))
     dels = got.where("_change_type = 'delete'").collect()
     assert [(r.id, r.bucket) for r in dels] == [(7, 1)]
+
+
+def test_batch_cdf_through_format(spark):
+    # spark.read.format("txlogcdf") == read_changes_rows for the
+    # same window, dv DML included — one code path, two surfaces
+    import tempfile
+    from pyspark.sql import functions as F
+
+    T.register(spark)
+    root = tempfile.mkdtemp(prefix="cdfb_") + "/t"
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("g"))
+    T.append(df, root, checkpoint_every=0)
+    T.delete_where(spark, root, "g = 2", mode="dv")
+    T.update_where(spark, root, "k = 7", {"g": "g + 100"},
+                   mode="dv")
+    got = (spark.read.format("txlogcdf").option("path", root)
+           .option("from_version", 0).load())
+    want = T.read_changes_rows(spark, root, from_version=0)
+    # nullability is not part of the schema contract (txlog's
+    # _schema_check rule); names and types must match exactly
+    assert [(f.name, f.dataType) for f in got.schema.fields] \
+        == [(f.name, f.dataType) for f in want.schema.fields]
+    assert sorted(map(tuple, got.collect())) \
+        == sorted(map(tuple, want.collect()))
+    # a bounded sub-window matches too, and to_version pins
+    got2 = (spark.read.format("txlogcdf").option("path", root)
+            .option("from_version", 1).option("to_version", 2)
+            .load())
+    want2 = T.read_changes_rows(spark, root, from_version=1,
+                                to_version=2)
+    assert sorted(map(tuple, got2.collect())) \
+        == sorted(map(tuple, want2.collect()))
+    # empty window: zero rows, stable schema
+    got3 = (spark.read.format("txlogcdf").option("path", root)
+            .option("from_version", 3).load())
+    assert got3.collect() == []
+    assert got3.schema == got.schema
