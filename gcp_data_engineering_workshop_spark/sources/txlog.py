@@ -116,11 +116,16 @@ def _schema_check(df: DataFrame, table_schema: str | None,
     - first write (table_schema None): record df's schema;
     - identical schema: record nothing;
     - merge_schema=False: raise SchemaMismatch;
-    - merge_schema=True: df may ADD columns; every column shared
-      with the table must keep its exact type, and no table column
-      may disappear from the union (old files simply lack the new
-      columns — read() fills them with NULL via the recorded
-      schema). Records the evolved (union) schema.
+    - merge_schema=True: df may ADD columns (no table column may
+      disappear from the union — old files simply lack the new
+      columns and read() fills them with NULL via the recorded
+      schema) and shared columns may WIDEN losslessly (r12, the
+      public Delta type-widening set: the integer chain,
+      float->double, same-scale decimal precision growth — see
+      _widens_to): a wider write widens the TABLE, a narrower
+      write is accepted as-is and reads through the wider recorded
+      schema; any other type change refuses. Records the evolved
+      schema.
 
     Nullability is NOT part of the contract: parquet stores every
     column optional and Spark sources disagree about it constantly
@@ -129,6 +134,28 @@ def _schema_check(df: DataFrame, table_schema: str | None,
     which ignores nullability at every nesting level."""
     return _schema_check_struct(df.schema, table_schema,
                                 merge_schema)
+
+
+_WIDEN_CHAINS = (("tinyint", "smallint", "int", "bigint"),
+                 ("float", "double"))
+_DECIMAL_RE = re.compile(r"decimal\((\d+),(\d+)\)")
+
+
+def _widens_to(frm: str, to: str) -> bool:
+    """True when a file written as ``frm`` reads LOSSLESSLY through
+    a recorded schema of ``to`` — the public Delta type-widening
+    set this engine supports: the integer chain, float->double, and
+    same-scale decimal precision growth. Both read paths honor it
+    (Spark 4's parquet reader upcasts at scan, the arrow path casts
+    in _arrow_project)."""
+    for chain in _WIDEN_CHAINS:
+        if frm in chain and to in chain:
+            return chain.index(frm) < chain.index(to)
+    mf, mt = _DECIMAL_RE.fullmatch(frm), _DECIMAL_RE.fullmatch(to)
+    if mf and mt:
+        return (mf.group(2) == mt.group(2)
+                and int(mf.group(1)) < int(mt.group(1)))
+    return False
 
 
 def _schema_check_struct(schema, table_schema: str | None,
@@ -148,23 +175,47 @@ def _schema_check_struct(schema, table_schema: str | None,
         raise SchemaMismatch(
             f"write schema {new.simpleString()} != table schema "
             f"{cur.simpleString()}; pass merge_schema=True to evolve")
+    new_by_name = {f.name: f for f in new.fields}
     cur_by_name = {f.name: f for f in cur.fields}
-    for f in new.fields:
-        if (f.name in cur_by_name
-                and f.dataType.simpleString()
-                != cur_by_name[f.name].dataType.simpleString()):
+    evolved_fields = []
+    widened = False
+    for cf in cur.fields:
+        nf = new_by_name.get(cf.name)
+        if nf is None:
+            # every table column survives evolution (a narrower
+            # write's files just lack it on disk and read back as
+            # NULL through the recorded schema)
+            evolved_fields.append(cf)
+            continue
+        ct, nt = (cf.dataType.simpleString(),
+                  nf.dataType.simpleString())
+        if ct == nt:
+            evolved_fields.append(cf)
+        elif _widens_to(ct, nt):
+            # TYPE WIDENING (r12, the public Delta feature): the
+            # write is wider — the TABLE widens; every older file
+            # reads losslessly through the new type
+            evolved_fields.append(nf)
+            widened = True
+        elif _widens_to(nt, ct):
+            # the write is narrower — accepted as-is: its files
+            # store the narrow type and read through the table's
+            # wider recorded schema (no schema change)
+            evolved_fields.append(cf)
+        else:
             raise SchemaMismatch(
-                f"column {f.name} changes type "
-                f"{cur_by_name[f.name].dataType.simpleString()} -> "
-                f"{f.dataType.simpleString()}; type changes are not "
+                f"column {cf.name} changes type {ct} -> {nt}; "
+                f"only lossless widening (int chain, "
+                f"float->double, same-scale decimal precision) is "
                 f"evolvable")
-    # every table column survives evolution (old data keeps its
-    # columns; a narrower write's files just lack them on disk and
-    # read back as NULL through the recorded schema — the same
-    # mechanism that backfills NEW columns for OLD files)
     evolved = StructType(
-        list(cur.fields)
+        evolved_fields
         + [f for f in new.fields if f.name not in cur_by_name])
+    if not widened and all(
+            f.name in cur_by_name for f in new.fields):
+        # nothing widened and nothing added: record no schema (a
+        # pure narrower write leaves the table schema untouched)
+        return None
     return evolved.json()
 
 
