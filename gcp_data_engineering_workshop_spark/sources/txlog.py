@@ -4652,7 +4652,15 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
 
         def read(self, partition):
             # EXECUTOR-side, the stream reader's read path plus the
-            # per-file deletion-vector mask (CDF "live" mode)
+            # per-file deletion-vector mask (CDF "live" mode).
+            # Column PRUNING happens here: only the physical columns
+            # the target schema projects are read from each file
+            # (matters when the caller supplied a narrower .schema()
+            # — the Python DS API has no pruneColumns hook, so a
+            # bare .select() still ships every declared column, but
+            # an explicit schema pays only for what it names). The
+            # dv mask keys PHYSICAL row positions, which a column
+            # subset preserves.
             import numpy as np
             import pyarrow as pa
             import pyarrow.parquet as pq
@@ -4661,8 +4669,18 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
 
             target = to_arrow_schema(
                 _ST.fromJson(json.loads(partition.schema_json)))
+            wanted = {partition.colmap.get(f.name, f.name)
+                      for f in target}
             for path, part, dv_dir in partition.files:
-                tbl = pq.read_table(path)
+                pf = pq.ParquetFile(path)
+                cols = [n for n in pf.schema_arrow.names
+                        if n in wanted]
+                if not cols and pf.schema_arrow.names:
+                    # projection covers none of the file's columns
+                    # (e.g. partition columns only): read ONE for
+                    # the row count the token/NULL backfill needs
+                    cols = [pf.schema_arrow.names[0]]
+                tbl = pf.read(columns=cols)
                 drop = _dv_positions(dv_dir, os.path.basename(path))
                 if drop:
                     mask = np.ones(len(tbl), dtype=bool)
@@ -4928,6 +4946,17 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
             self._write_cmap = {
                 c: p for c, p in (eff_cmap or {}).items()
                 if c != p}
+            # every batch is CAST to this schema before it hits
+            # parquet (physical names, declared types): Spark's
+            # batches already conform (zero-copy cast), and a
+            # hand-fed or drifting batch lands the recorded types
+            # instead of poisoning the table with mismatched files
+            from pyspark.sql.types import StructField as _SF
+            from pyspark.sql.types import StructType as _ST2
+            self._write_schema_json = _ST2(
+                [_SF(self._write_cmap.get(f.name, f.name),
+                     f.dataType, True)
+                 for f in schema.fields]).json()
             if self._spec and self._write_cmap:
                 raise ValueError(
                     "txlog: the native writer does not combine a "
@@ -4981,8 +5010,33 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
                     add["bloom"] = {"path": brel, "key": base}
             return add
 
-        def write(self, iterator):
+        def _cast_batch(self, batch):
+            """Conform one arrow batch to the declared write schema
+            — physical column names, declared types, declared order.
+            A batch that already conforms casts zero-copy."""
             import pyarrow as pa
+
+            target = getattr(self, "_target_arrow", None)
+            if target is None:
+                from pyspark.sql.pandas.types import to_arrow_schema
+                from pyspark.sql.types import StructType as _ST
+                target = self._target_arrow = to_arrow_schema(
+                    _ST.fromJson(json.loads(
+                        self._write_schema_json)))
+            if batch.schema == target:
+                return batch
+            names = list(batch.schema.names)
+            cols = []
+            for i, f in enumerate(target):
+                # positional when names were renamed logical ->
+                # physical (Spark hands columns in declared order);
+                # by-name for hand-fed batches
+                src = (batch.column(i) if self._write_cmap
+                       else batch.column(names.index(f.name)))
+                cols.append(src.cast(f.type))
+            return pa.RecordBatch.from_arrays(cols, schema=target)
+
+        def write(self, iterator):
             import pyarrow.parquet as pq
 
             if self._spec:
@@ -4993,11 +5047,7 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
             rows = 0
             try:
                 for batch in iterator:
-                    if self._write_cmap:
-                        batch = pa.RecordBatch.from_arrays(
-                            batch.columns,
-                            [self._write_cmap.get(n, n)
-                             for n in batch.schema.names])
+                    batch = self._cast_batch(batch)
                     if writer is None:
                         os.makedirs(self.root, exist_ok=True)
                         writer = pq.ParquetWriter(tmp, batch.schema)
@@ -5049,7 +5099,8 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
 
             try:
                 for batch in iterator:
-                    tbl = pa.Table.from_batches([batch])
+                    tbl = pa.Table.from_batches(
+                        [self._cast_batch(batch)])
                     combos = (tbl.select(self._spec)
                               .group_by(self._spec).aggregate([])
                               .to_pylist())
@@ -5197,6 +5248,11 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
                      "actions": [{"add": a} for a in adds]}
             if self._schema_rec is not None:
                 entry["schema"] = self._schema_rec
+            if self._new_cmap is not None and not self.overwrite:
+                # schema evolution on a column-mapped table must
+                # re-record the mapping exactly like append() does
+                entry["colmap"] = self._new_cmap
+                _mark_feature(entry, snap0, "column-mapping")
             if self._creating and self._spec:
                 entry["partition_by"] = self._spec
             for _ in range(self.max_retries):
@@ -5206,9 +5262,10 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
                     _maybe_checkpoint(self.root, v,
                                       self.checkpoint_every)
                     # one writer instance serves every epoch of the
-                    # run: schema/layout are recorded by the FIRST
-                    # commit only
+                    # run: schema/colmap/layout are recorded by the
+                    # FIRST commit only
                     self._schema_rec = None
+                    self._new_cmap = None
                     self._creating = False
                     return
             raise CommitConflict(

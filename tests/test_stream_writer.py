@@ -162,3 +162,26 @@ def test_refresh_stream_parity_with_batch_refresh(spark):
                           checkpoint_dir=ckpt)
     q2.awaitTermination(120)
     assert sorted(map(tuple, T.read(spark, dst_s).collect())) == a
+
+
+def test_stream_colmap_evolution_records_mapping(spark):
+    # evolving a column-mapped table through the stream sink must
+    # re-record the mapping exactly like append() does — a fresh
+    # logical name colliding with an old physical name gets a new
+    # physical name, so old bytes can never resurrect
+    dst = tempfile.mkdtemp(prefix="tsw_cme_") + "/t"
+    T.append(spark.createDataFrame([(1, "a")], "k int, v string"),
+             dst, checkpoint_every=0)
+    T.rename_column(dst, "v", "w")
+    T.drop_column(dst, "w")  # physical 'v' is now history
+    schema = spark.createDataFrame(
+        [(2, "b")], "k int, v string").schema  # reuses name 'v'!
+    w = T.TxLogStreamNativeWriter(
+        {"path": dst, "merge_schema": "true"}, schema, False)
+    w.commit([w.write(iter([pa.RecordBatch.from_pydict(
+        {"k": [2], "v": ["b"]})]))], 0)
+    snap = T.snapshot(dst)
+    # the new logical 'v' maps to a FRESH physical name
+    assert snap["colmap"].get("v", "v") != "v"
+    r = T.read(spark, dst)
+    assert sorted(map(tuple, r.collect())) == [(1, None), (2, "b")]
