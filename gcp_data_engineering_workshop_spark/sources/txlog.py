@@ -1795,17 +1795,20 @@ def merge_upsert(spark, root: str, updates: DataFrame,
             # the upsert replaces matched rows wholesale, so a
             # missing column would silently NULL matched rows' data
             rec = _schema_check(updates, snap["schema"], merge_schema)
-            if rec is not None:
-                from pyspark.sql.types import StructType as _ST
-                table_cols = {f.name for f in _ST.fromJson(
-                    json.loads(snap["schema"])).fields}
-                narrower = table_cols - set(updates.columns)
-                if narrower:
-                    raise SchemaMismatch(
-                        f"merge_upsert updates lack table columns "
-                        f"{sorted(narrower)}; an upsert replaces "
-                        f"matched rows wholesale, so evolution may "
-                        f"only ADD columns")
+            # the guard runs UNCONDITIONALLY (not only when rec
+            # evolved): since r12's type widening, a pure narrower
+            # write passes _schema_check with rec=None for
+            # append-path semantics — but a merge must still refuse
+            from pyspark.sql.types import StructType as _ST
+            table_cols = {f.name for f in _ST.fromJson(
+                json.loads(snap["schema"])).fields}
+            narrower = table_cols - set(updates.columns)
+            if narrower:
+                raise SchemaMismatch(
+                    f"merge_upsert updates lack table columns "
+                    f"{sorted(narrower)}; an upsert replaces "
+                    f"matched rows wholesale, so evolution may "
+                    f"only ADD columns")
         _check_constraints(updates, snap.get("constraints", {}))
         touched = _files_touching_keys(
             spark, _pruning_view(snap), updates, keys, root,
