@@ -707,6 +707,8 @@ def test_avrolite_filter_pushdown_prunes_blocks(spark, tmp_path):
     assert n_all == 10 and n_kept == 1, (n_all, n_kept)
 
     # (a) end-to-end exactness with the pushdown conf ON
+    _prev_pd = spark.conf.get(
+        "spark.sql.python.filterPushdown.enabled", "true")
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     try:
         got = (spark.read.format("avrolite").option("path", d).load()
@@ -714,7 +716,7 @@ def test_avrolite_filter_pushdown_prunes_blocks(spark, tmp_path):
         assert sorted(r.id for r in got) == list(range(900, 950))
     finally:
         spark.conf.set("spark.sql.python.filterPushdown.enabled",
-                       "false")
+                       _prev_pd)
 
 
 def test_avrolite_pruning_is_conservative_on_nulls(spark, tmp_path):
@@ -737,6 +739,8 @@ def test_avrolite_pruning_is_conservative_on_nulls(spark, tmp_path):
     r.pushFilters([EqualTo(("v",), 150)])
     kept = sum(len(p.value[1]) for p in r.partitions())
     assert kept == 1  # the all-null block is gone
+    _prev_pd = spark.conf.get(
+        "spark.sql.python.filterPushdown.enabled", "true")
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     try:
         got = (spark.read.format("avrolite").option("path", d).load()
@@ -744,7 +748,7 @@ def test_avrolite_pruning_is_conservative_on_nulls(spark, tmp_path):
         assert [rr.id for rr in got] == [150]
     finally:
         spark.conf.set("spark.sql.python.filterPushdown.enabled",
-                       "false")
+                       _prev_pd)
 
 
 def test_avrolite_zone_maps_never_prune_nan_blocks(spark, tmp_path):
@@ -775,6 +779,8 @@ def test_avrolite_zone_maps_never_prune_nan_blocks(spark, tmp_path):
     kept = sum(len(p.value[1]) for p in r.partitions())
     assert kept == 2  # both blocks: block 1 by range, block 0 by NaN
     # end-to-end: the NaN row is in the result (NaN > 0.11 in Spark)
+    _prev_pd = spark.conf.get(
+        "spark.sql.python.filterPushdown.enabled", "true")
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     try:
         got = (spark.read.format("avrolite").option("path", d).load()
@@ -784,7 +790,7 @@ def test_avrolite_zone_maps_never_prune_nan_blocks(spark, tmp_path):
         assert any(math.isnan(rr.v) for rr in got)
     finally:
         spark.conf.set("spark.sql.python.filterPushdown.enabled",
-                       "false")
+                       _prev_pd)
 
 
 def test_avrolite_string_zone_maps_prune_blocks(spark, tmp_path):
@@ -823,6 +829,8 @@ def test_avrolite_string_zone_maps_prune_blocks(spark, tmp_path):
                     LessThan(("day",), "2024-04-20")])
     assert sum(len(p.value[1]) for p in r2.partitions()) == 2
     # end-to-end exactness through the real plan
+    _prev_pd = spark.conf.get(
+        "spark.sql.python.filterPushdown.enabled", "true")
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     try:
         got = (spark.read.format("avrolite").option("path", d).load()
@@ -832,7 +840,7 @@ def test_avrolite_string_zone_maps_prune_blocks(spark, tmp_path):
             "2024-06-01", "2024-06-02", "2024-06-03"]
     finally:
         spark.conf.set("spark.sql.python.filterPushdown.enabled",
-                       "false")
+                       _prev_pd)
 
 
 def test_avrolite_string_zone_maps_conservative_on_nulls_and_types(
@@ -863,6 +871,8 @@ def test_avrolite_string_zone_maps_conservative_on_nulls_and_types(
     r2 = AvroLitePushdownReader({"path": d})
     r2.pushFilters([GreaterThan(("name",), 42)])
     assert sum(len(p.value[1]) for p in r2.partitions()) == 1
+    _prev_pd = spark.conf.get(
+        "spark.sql.python.filterPushdown.enabled", "true")
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     try:
         got = (spark.read.format("avrolite").option("path", d).load()
@@ -870,7 +880,7 @@ def test_avrolite_string_zone_maps_conservative_on_nulls_and_types(
         assert [rr.id for rr in got] == [150]
     finally:
         spark.conf.set("spark.sql.python.filterPushdown.enabled",
-                       "false")
+                       _prev_pd)
 
 
 def test_avrolite_parallel_stream_reader_default_and_parity(
