@@ -43,6 +43,12 @@ _op = st.one_of(
     st.tuples(st.just("rename"),),
     st.tuples(st.just("clone"),),
     st.tuples(st.just("constraint"),),
+    # r12 second stint: the NATIVE WRITER as a sequence op — the
+    # same rows land through df.write.format("txlog") wherever the
+    # writer's contract allows (it refuses constraint/generated
+    # tables, where the documented route is append(); the model
+    # must agree either way)
+    st.tuples(st.just("native_append"), st.integers(3, 12)),
 )
 
 
@@ -62,12 +68,19 @@ def _apply(spark, state, op):
     idc, vc = state["names"]
     model = state["model"]
     kind = op[0]
-    if kind == "append":
+    if kind in ("append", "native_append"):
         n = op[1]
         base = state["next_id"]
         rows = [(base + i, (base + i) * 3) for i in range(n)]
-        T.append(_append_df(spark, state, rows), root,
-                 checkpoint_every=0)
+        df = _append_df(spark, state, rows)
+        if (kind == "native_append" and not state["constraint"]
+                and not state["gen"]):
+            (df.write.format("txlog").mode("append")
+             .option("checkpoint_every", "0").save(root))
+        else:
+            # constraint/generated tables refuse the native writer
+            # by contract; the function API is the documented route
+            T.append(df, root, checkpoint_every=0)
         model.update({i: v for i, v in rows})
         state["next_id"] = base + n
         return
@@ -156,10 +169,20 @@ def _apply(spark, state, op):
 @example(ops=[("constraint",), ("append", 5), ("constraint",),
               ("clone",), ("append", 4), ("optimize", True),
               ("merge_upsert", 2, 42), ("constraint",)], gen=False)
+# the native writer across the sharpest seams: through a RENAME
+# (physical-name projection), onto a CLONE (absolute + relative
+# file refs mix), before and after dv DML, and under a constraint
+# toggle (where it must route to the function API)
+@example(ops=[("native_append", 4), ("rename",),
+              ("native_append", 3), ("delete", 0, "dv"),
+              ("clone",), ("native_append", 3),
+              ("constraint",), ("native_append", 2)], gen=False)
 def test_op_sequences_match_model(spark, tmp_path_factory, ops, gen):
     root = str(tmp_path_factory.mktemp("model") / "t")
+    T.register(spark)
     state = {"root": root, "model": {}, "names": ["id", "v"],
-             "next_id": 0, "constraint": False, "n_clones": 0}
+             "next_id": 0, "constraint": False, "n_clones": 0,
+             "gen": gen}
     # always start with data so every op sequence is meaningful; a
     # generated table declares g = id*2+1 on the creating append
     # (writers omit it forever after — every write path computes it)
