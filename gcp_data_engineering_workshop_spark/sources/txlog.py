@@ -3187,7 +3187,9 @@ def replicate_incremental(spark, src_root: str, dst_root: str,
 
 
 def stream_sink(root: str, app_id: str = "stream",
-                checkpoint_every: int = 10):
+                checkpoint_every: int = 10,
+                auto_optimize_every: int = 0,
+                optimize_target_bytes: int = 128 * 1024 * 1024):
     """Exactly-once streaming sink INTO the transaction log: a
     foreachBatch function that appends each micro-batch as one
     commit CARRYING ITS BATCH ID — on failure/restart Spark replays
@@ -3204,6 +3206,14 @@ def stream_sink(root: str, app_id: str = "stream",
     version opened every version JSON — VERDICT r8 What's-wrong
     #2). Batch ids are monotone per query, so watermark >= batchId
     means "already landed".
+
+    ``auto_optimize_every=N`` (r12, Delta's autoCompact shape): a
+    continuous stream lands one small-file commit per micro-batch
+    forever; every Nth batch the sink folds them with a
+    transactional OPTIMIZE after its append commits — downstream
+    streams skip the optimize commit (dataChange=false), replayed
+    batches no-op before it, and the file count stays ~bounded
+    instead of growing one file per trigger per partition.
 
     Usage: ``stream.writeStream.foreachBatch(stream_sink(root))``.
     """
@@ -3230,6 +3240,20 @@ def stream_sink(root: str, app_id: str = "stream",
             v = (head[-1] if head else 0) + 1
             if _try_commit(root, v, entry):
                 _maybe_checkpoint(root, v, checkpoint_every)
+                # AUTO-COMPACTION (r12, Delta's autoCompact): a
+                # long-running stream lands one small-file commit
+                # per micro-batch; every Nth batch folds them with
+                # a transactional OPTIMIZE (its own dataChange=false
+                # commit — downstream streams skip it, replays just
+                # find already-compacted files and no-op the batch
+                # BEFORE this point). Failures don't poison the
+                # batch: the data is committed either way.
+                if auto_optimize_every and \
+                        batch_id % auto_optimize_every == \
+                        auto_optimize_every - 1:
+                    optimize(batch_df.sparkSession, root,
+                             target_bytes=optimize_target_bytes,
+                             checkpoint_every=checkpoint_every)
                 return
         raise CommitConflict(f"stream batch {batch_id} lost the "
                              f"version race under {root}")

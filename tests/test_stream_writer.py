@@ -185,3 +185,23 @@ def test_stream_colmap_evolution_records_mapping(spark):
     assert snap["colmap"].get("v", "v") != "v"
     r = T.read(spark, dst)
     assert sorted(map(tuple, r.collect())) == [(1, None), (2, "b")]
+
+
+def test_sink_auto_compaction_bounds_files(spark):
+    # every Nth batch folds the stream's small files with OPTIMIZE:
+    # rows stay exact, downstream reads see a bounded file count,
+    # and the optimize commits are dataChange=false ops
+    dst = tempfile.mkdtemp(prefix="tsw_ac_") + "/t"
+    sink = T.stream_sink(dst, auto_optimize_every=3,
+                         checkpoint_every=0)
+    for b in range(6):
+        sink(spark.range(b * 10, (b + 1) * 10)
+             .selectExpr("id", "id * 2 as v").coalesce(2), b)
+    assert T.read(spark, dst).count() == 60
+    ops = [h["op"] for h in T.history(dst)]
+    assert ops.count("optimize") == 2
+    # 6 batches x 2 files would be 12 without compaction
+    assert len(T.snapshot(dst)["files"]) < 6
+    # a replayed batch still no-ops (idempotence unaffected)
+    sink(spark.range(0, 10).selectExpr("id", "id * 2 as v"), 5)
+    assert T.read(spark, dst).count() == 60
