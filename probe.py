@@ -571,6 +571,60 @@ def run_txlog_stream_leg(spark) -> dict:
     return row
 
 
+def run_txlog_native_sink_leg(spark) -> dict:
+    """E25's drain rate (r12 second stint): a full table-to-table
+    NATIVE pipeline — readStream("txlogstream") ->
+    writeStream("txlog") — availableNow-drained at x10/x100 over
+    the stream leg's corpus (reused). Rows/s is END-TO-END (decode
+    + arrow task write + stats/commit), the counters are the
+    durable claims: the destination row count equals the source
+    exactly (exactly-once through BOTH native edges), and every
+    destination commit is one stream-append per micro-batch."""
+    from gcp_data_engineering_workshop_spark.sources import txlog as T
+
+    from pyspark.sql import functions as F
+
+    T.register(spark)
+    row: dict = {}
+    for k, (n_rows, n_commits) in (("x10", (150_000, 5)),
+                                   ("x100", (1_500_000, 50))):
+        src = os.path.join(WORK, f"txstream{k}", "t")
+        if not os.path.exists(os.path.join(
+                os.path.dirname(src), "_DONE")):
+            # same corpus the stream-drain leg builds (shared)
+            per = n_rows // n_commits
+            for c in range(n_commits):
+                T.append(spark.range(c * per, (c + 1) * per)
+                         .select(F.col("id"),
+                                 (F.col("id") * 3 % 997).alias("v"))
+                         .repartition(4),
+                         src, checkpoint_every=0)
+            open(os.path.join(os.path.dirname(src), "_DONE"),
+                 "w").write("")
+        dst = os.path.join(WORK, f"txnsink{k}", "t")
+        ck = os.path.join(WORK, f"txnsink{k}", "ck")
+        import shutil as _sh
+        _sh.rmtree(os.path.dirname(dst), ignore_errors=True)
+        t0 = time.monotonic()
+        q = (spark.readStream.format("txlogstream")
+             .option("path", src).load()
+             .writeStream.format("txlog").option("path", dst)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(600)
+        t = round(time.monotonic() - t0, 3)
+        got = T.read(spark, dst).count()
+        assert got == n_rows, (got, n_rows)
+        ops = {h["op"] for h in T.history(dst)}
+        assert ops == {"stream-append"}, ops
+        row[f"t_{k}"] = t
+        row[f"rows_per_s_{k}"] = round(n_rows / t, 1)
+        row[f"dst_files_{k}"] = len(T.snapshot(dst)["files"])
+    row["exp_10_100"] = round(
+        math.log10(row["t_x100"] / row["t_x10"]), 3)
+    return row
+
+
 def run_avrolite_stream_leg(spark) -> dict:
     """E21's executor-parallel stream reader measured the way D27's
     was (txlog_stream_drain): rows/s through a readStream ->
@@ -828,6 +882,11 @@ def main() -> None:
                 run_txlog_partition_leg(spark)
             print(f"## txlog_partition_prune: "
                   f"{results['txlog_partition_prune']}", flush=True)
+        if not only or "txlog_native_sink_drain" in only:
+            results["txlog_native_sink_drain"] = \
+                run_txlog_native_sink_leg(spark)
+            print(f"## txlog_native_sink_drain: "
+                  f"{results['txlog_native_sink_drain']}", flush=True)
         if not only or "txlog_pushdown_prune" in only:
             results["txlog_pushdown_prune"] = \
                 run_txlog_pushdown_leg(spark)
