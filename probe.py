@@ -571,6 +571,83 @@ def run_txlog_stream_leg(spark) -> dict:
     return row
 
 
+def run_txlog_metadata_scale_leg(spark) -> dict:
+    """DRIVER METADATA ceiling (r12 second stint): how fast does
+    snapshot resolution + stat pruning + scan planning run when the
+    table has 10k / 100k FILES? The checkpoint file is the
+    interface (snapshot() trusts it), so the leg synthesizes one
+    with realistic per-file entries — range-clustered stats, null
+    counts, byte sizes — plus a fileless commit, and times the
+    METADATA-ONLY paths a million-file table exercises per query:
+    json checkpoint load, _files_possibly_matching over a point
+    conjunct, and the native reader's partitions() plan. Counters:
+    the candidate set is exactly 1 file at both scales; times scale
+    ~linearly in file count (the extrapolation to 1M files is 10x
+    the x100k row)."""
+    import json as _json
+
+    from pyspark.sql.datasource import EqualTo
+    from pyspark.sql.types import StructType as _ST
+
+    from gcp_data_engineering_workshop_spark.sources import txlog as T
+
+    schema_json = (spark.range(1)
+                   .selectExpr("id as k", "cast(id as double) as v")
+                   .schema.json())
+    row: dict = {}
+    for k, n_files in (("x10k", 10_000), ("x100k", 100_000)):
+        root = os.path.join(WORK, f"txmeta{k}", "t")
+        import shutil as _sh
+        _sh.rmtree(os.path.dirname(root), ignore_errors=True)
+        log = os.path.join(root, "_txlog")
+        os.makedirs(log)
+        files = {
+            f"part-{i:07d}.parquet": {
+                "bytes": 64 << 20, "rows": 500_000,
+                "stats": {"k": [i * 1000, (i + 1) * 1000 - 1],
+                          "v": [0.0, 999.0]},
+                "nulls": {"k": [0, 500_000], "v": [13, 500_000]}}
+            for i in range(n_files)}
+        with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+            _json.dump({"op": "append", "ts": 0.0, "actions": [],
+                        "schema": schema_json}, fh)
+        with open(os.path.join(log, "checkpoint-" + f"{1:020d}"
+                               + ".json"), "w") as fh:
+            _json.dump({"version": 1, "files": files, "txn": {},
+                        "schema": schema_json, "partition_by": [],
+                        "colmap": {}, "phys_dropped": [],
+                        "features": []}, fh)
+        row[f"ckpt_mb_{k}"] = round(os.path.getsize(os.path.join(
+            log, "checkpoint-" + f"{1:020d}" + ".json")) / 1e6, 1)
+        t0 = time.monotonic()
+        snap = T.snapshot(root)
+        row[f"t_snapshot_{k}"] = round(time.monotonic() - t0, 3)
+        assert len(snap["files"]) == n_files
+        target = (n_files // 2) * 1000 + 17
+        t0 = time.monotonic()
+        cand = T._files_possibly_matching(
+            snap, [("k", "=", target)], root, None)
+        row[f"t_prune_{k}"] = round(time.monotonic() - t0, 3)
+        row[f"files_candidate_{k}"] = len(cand)
+        rdr = T.TxLogBatchReader(
+            {"path": root},
+            _ST.fromJson(_json.loads(schema_json)), snap, root)
+        rdr.pushFilters([EqualTo(("k",), target)])
+        t0 = time.monotonic()
+        parts = rdr.partitions()
+        row[f"t_plan_{k}"] = round(time.monotonic() - t0, 3)
+        row[f"planned_tasks_{k}"] = len(parts)
+        row[f"rss_mb_{k}"] = _rss_mb()
+    for phase in ("snapshot", "prune", "plan"):
+        row[f"exp_{phase}_10k_100k"] = round(math.log10(max(
+            row[f"t_{phase}_x100k"], 1e-3) / max(
+            row[f"t_{phase}_x10k"], 1e-3)), 3)
+    row["pruned_ok"] = (row["files_candidate_x10k"] == 1
+                        and row["files_candidate_x100k"] == 1
+                        and row["planned_tasks_x100k"] == 1)
+    return row
+
+
 def run_txlog_native_sink_leg(spark) -> dict:
     """E25's drain rate (r12 second stint): a full table-to-table
     NATIVE pipeline — readStream("txlogstream") ->
@@ -882,6 +959,11 @@ def main() -> None:
                 run_txlog_partition_leg(spark)
             print(f"## txlog_partition_prune: "
                   f"{results['txlog_partition_prune']}", flush=True)
+        if not only or "txlog_metadata_scale" in only:
+            results["txlog_metadata_scale"] = \
+                run_txlog_metadata_scale_leg(spark)
+            print(f"## txlog_metadata_scale: "
+                  f"{results['txlog_metadata_scale']}", flush=True)
         if not only or "txlog_native_sink_drain" in only:
             results["txlog_native_sink_drain"] = \
                 run_txlog_native_sink_leg(spark)
