@@ -4995,12 +4995,12 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
                     t = (by_name[c].dataType.simpleString()
                          if c in by_name else "<missing>")
                     if t not in ("tinyint", "smallint", "int",
-                                 "bigint", "string"):
+                                 "bigint", "string", "date"):
                         raise ValueError(
                             f"txlog: native-writer partition "
                             f"column {c} has type {t}; only "
-                            "int/string partition columns are "
-                            "supported — use txlog.append()")
+                            "int/string/date partition columns "
+                            "are supported — use txlog.append()")
             self._bloom = snap0.get("bloom")
 
         def _finish_file(self, rel: str, rows: int,

@@ -312,3 +312,26 @@ def test_partitioned_writer_bounds_open_files(spark):
     assert T.read_where(spark, root, "p = 2").count() == 4
     for _dirpath, _d, files in os.walk(root):
         assert not [f for f in files if f.endswith(".tmp")]
+
+
+def test_date_partitioned_write(spark):
+    # date partition columns (the canonical 100 TB layout key):
+    # ISO tokens in the dirs, both readers reconstruct the dates,
+    # parity with the function API; pruning stays conservative
+    # (dates don't type into range stats — correct, just unpruned)
+    root_w = tempfile.mkdtemp(prefix="txw_dt_") + "/t"
+    root_f = tempfile.mkdtemp(prefix="txf_dt_") + "/t"
+    df = spark.range(90).selectExpr(
+        "id as k",
+        "date_add(date'2024-01-01', cast(id % 3 as int)) as d")
+    (df.write.format("txlog").mode("append")
+     .option("partition_by", "d").save(root_w))
+    T.append(df, root_f, checkpoint_every=0, partition_by=["d"])
+    a, b = T.read(spark, root_w), T.read(spark, root_f)
+    assert a.schema == b.schema
+    assert _rows(a) == _rows(b)
+    assert _rows(spark.read.format("txlog").load(root_w)) \
+        == _rows(b)
+    assert a.where("d = date'2024-01-02'").count() == 30
+    snap = T.snapshot(root_w)
+    assert all(p.startswith("d=2024-01-0") for p in snap["files"])
