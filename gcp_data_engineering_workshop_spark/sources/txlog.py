@@ -5053,14 +5053,16 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
             if batch.schema == target:
                 return batch
             names = list(batch.schema.names)
+            inv = {p: c for c, p in self._write_cmap.items()}
             cols = []
-            for i, f in enumerate(target):
-                # positional when names were renamed logical ->
-                # physical (Spark hands columns in declared order);
-                # by-name for hand-fed batches
-                src = (batch.column(i) if self._write_cmap
-                       else batch.column(names.index(f.name)))
-                cols.append(src.cast(f.type))
+            for f in target:
+                # ALWAYS by logical name (a reordered batch maps
+                # correctly; a missing column fails loudly instead
+                # of landing under the wrong physical name)
+                logical = inv.get(f.name, f.name)
+                cols.append(
+                    batch.column(names.index(logical))
+                    .cast(f.type))
             return pa.RecordBatch.from_arrays(cols, schema=target)
 
         def write(self, iterator):

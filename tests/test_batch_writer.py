@@ -335,3 +335,21 @@ def test_date_partitioned_write(spark):
     assert a.where("d = date'2024-01-02'").count() == 30
     snap = T.snapshot(root_w)
     assert all(p.startswith("d=2024-01-0") for p in snap["files"])
+
+
+def test_writer_casts_reordered_batches_by_name(spark):
+    # a hand-fed batch in a different column order maps by NAME
+    # (never positionally), including through a column mapping
+    root = tempfile.mkdtemp(prefix="txw_ro_") + "/t"
+    _df(spark, 0, 5).write.format("txlog").mode("append").save(root)
+    T.rename_column(root, "k", "key")
+    schema = (spark.range(1).select(
+        F.col("id").alias("key"), (F.col("id") % 7).alias("g"),
+        F.lit("x").alias("name")).schema)
+    w = T.TxLogBatchWriter({"path": root}, schema, False)
+    reordered = pa.RecordBatch.from_pydict(
+        {"name": ["n-9"], "g": [2], "key": [9000]})
+    w.commit([w.write(iter([reordered]))])
+    got = T.read(spark, root).where("key = 9000").collect()
+    assert [(x["key"], x["g"], x["name"]) for x in got] \
+        == [(9000, 2, "n-9")]
