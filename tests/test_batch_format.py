@@ -230,3 +230,28 @@ def test_plain_reader_when_conf_off(spark):
     finally:
         spark.conf.set("spark.sql.python.filterPushdown.enabled",
                        "true")
+
+
+def test_format_reads_clone_and_backfilled_bloom(spark):
+    # two cross-feature seams through the native reader: a SHALLOW
+    # CLONE's absolute file references plan and read correctly, and
+    # a bloom index BACK-FILLED after the data existed prunes the
+    # pushed point lookup exactly like a born-indexed table
+    src = tempfile.mkdtemp(prefix="txf_cl_") + "/t"
+    df = spark.range(0, 400).select(F.col("id").alias("k"))
+    for b in range(4):
+        T.append(df.where(F.col("k") % 4 == b).coalesce(1), src,
+                 checkpoint_every=0)
+    dst = tempfile.mkdtemp(prefix="txf_cl2_") + "/c"
+    T.clone(src, dst, checkpoint_every=0)
+    got = spark.read.format("txlog").load(dst)
+    assert _rows(got) == _rows(T.read(spark, dst))
+    assert got.count() == 400
+    # back-fill a bloom index on the SOURCE and prune through the
+    # format: hash-scattered commits mean ranges keep all 4 files
+    T.set_bloom_index(src, ["k"], checkpoint_every=0)
+    T.backfill_bloom_index(spark, src, checkpoint_every=0)
+    r = _reader(src, [EqualTo(("k",), 202)])
+    assert len(r._kept_paths()) < 4
+    assert [x["k"] for x in (spark.read.format("txlog").load(src)
+                             .where("k = 202").collect())] == [202]

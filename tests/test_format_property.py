@@ -53,10 +53,21 @@ _in_clause = st.tuples(
 _like_clause = st.sampled_from(
     ["s LIKE 's1%'", "s LIKE 's%'", "s LIKE 'z%'", "s LIKE '%7'"])
 
-_comparison = st.one_of(_cmp_clause, _cmp_clause, _null_clause,
-                        _in_clause, _like_clause)
+_between_clause = st.tuples(
+    st.sampled_from(("i", "f")), _lit_int, _lit_int
+).map(lambda t: f"{t[0]} BETWEEN {min(t[1], t[2])}"
+                f" AND {max(t[1], t[2])}")
 
-_predicate = st.lists(_comparison, min_size=1, max_size=3).flatmap(
+_comparison = st.one_of(_cmp_clause, _cmp_clause, _null_clause,
+                        _in_clause, _like_clause, _between_clause)
+
+# NOT wraps push as Not(...) filters the translation deliberately
+# skips — the residual filter must carry the whole predicate
+_maybe_not = _comparison.flatmap(
+    lambda c: st.booleans().map(
+        lambda n: f"NOT ({c})" if n else c))
+
+_predicate = st.lists(_maybe_not, min_size=1, max_size=3).flatmap(
     lambda cs: st.sampled_from([" AND ", " OR "]).map(
         lambda j: j.join(cs)))
 
