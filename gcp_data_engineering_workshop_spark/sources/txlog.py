@@ -4868,6 +4868,15 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
             return TxLogStreamNativeWriter(self.options, schema,
                                            overwrite)
 
+        def streamReader(self, schema) -> TxLogParallelStreamReader:
+            # ONE format name serves the whole matrix:
+            # readStream.format("txlog") is txlogstream's parallel
+            # reader verbatim (same options/contract; the dedicated
+            # name remains for existing pipelines). The Simple
+            # fallback stays txlogstream-only — this surface is
+            # executor-parallel, full stop.
+            return TxLogParallelStreamReader(self.options, schema)
+
     class TxLogWriteMessage(WriterCommitMessage):
         """One writer task's staged add actions (paths relative to
         the table root; empty for a zero-row task)."""

@@ -205,3 +205,19 @@ def test_sink_auto_compaction_bounds_files(spark):
     # a replayed batch still no-ops (idempotence unaffected)
     sink(spark.range(0, 10).selectExpr("id", "id * 2 as v"), 5)
     assert T.read(spark, dst).count() == 60
+
+
+def test_one_format_name_serves_stream_read_too(spark):
+    # readStream.format("txlog") == format("txlogstream") — one
+    # name for the whole matrix
+    src = _src(spark)
+    dst = tempfile.mkdtemp(prefix="tsw_one_") + "/t"
+    q = (spark.readStream.format("txlog").option("path", src)
+         .load()
+         .writeStream.format("txlog").option("path", dst)
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="tsw_onec_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert sorted(map(tuple, T.read(spark, dst).collect())) \
+        == sorted(map(tuple, T.read(spark, src).collect()))
