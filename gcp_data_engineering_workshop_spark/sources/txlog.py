@@ -77,6 +77,7 @@ import math
 import os
 import re
 import shutil
+import tempfile
 import time
 import uuid
 from datetime import timezone as _tz
@@ -5333,14 +5334,49 @@ except ImportError:  # pragma: no cover - pyspark<4 fallback
 
 def register(spark) -> None:
     """Register all three txlog Spark formats on a session: batch
-    ``format("txlog")`` (read, write, AND the native streaming
-    sink), the streaming source ``txlogstream``, and the row-level
-    change stream ``txlogcdf``."""
+    ``format("txlog")`` (read, write, stream-read AND the native
+    streaming sink), the streaming source ``txlogstream``, and the
+    row-level change stream ``txlogcdf``. Also SHIPS the package
+    source to Spark's Python workers (addPyFile zip): registered
+    data sources pickle by module REFERENCE, so a worker spawned
+    by a driver whose cwd isn't the repo root would otherwise die
+    with ModuleNotFoundError the first time it plans or reads a
+    txlog scan."""
     if TxLogBatchDataSource is None:  # pragma: no cover
         raise ImportError("txlog formats need pyspark >= 4")
+    _ship_package(spark)
     spark.dataSource.register(TxLogBatchDataSource)
     spark.dataSource.register(TxLogStreamDataSource)
     spark.dataSource.register(TxLogCdfStreamDataSource)
+
+
+def _ship_package(spark) -> None:
+    """Make ``gcp_data_engineering_workshop_spark`` importable in
+    every Python worker of this session regardless of the driver's
+    cwd/sys.path: zip the package source once and addPyFile it
+    (Spark puts the file dir on worker PYTHONPATH — the standard
+    dependency-shipping path, idempotent per session)."""
+    key = "_txlog_pkg_shipped"
+    sc = spark.sparkContext
+    if getattr(sc, key, False):
+        return
+    import zipfile
+
+    import gcp_data_engineering_workshop_spark as pkg
+
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    zpath = os.path.join(
+        tempfile.mkdtemp(prefix="txlogpkg_"),
+        "gcp_data_engineering_workshop_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _dirs, files in os.walk(pkg_dir):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    z.write(full, os.path.relpath(
+                        full, os.path.dirname(pkg_dir)))
+    sc.addPyFile(zpath)
+    setattr(sc, key, True)
 
 
 def refresh_stream(spark, src_root: str, dst_root: str, fn=None,
