@@ -27,9 +27,24 @@ from gcp_data_engineering_workshop_spark.sources import (
 )
 
 
+def _armored(fn: Callable) -> Callable:
+    """Ship the package source to Spark's Python workers before the
+    query runs (once per session): pickled UDF closures and
+    registered data sources reference package modules by NAME, so a
+    driver whose cwd/sys.path doesn't cover the repo would
+    otherwise fail worker-side imports. No-op when already shipped;
+    adds nothing to the query's plan."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from gcp_data_engineering_workshop_spark.sources.txlog import \
+            _ship_package
+        _ship_package(spark)
+        return fn(spark, sf_dir)
+    return run
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full reference-pipeline analog on sf0.001."""
-    return _sp.full_pipeline(spark, "/root/testdata/sf0.001")
+    return _armored(_sp.full_pipeline)(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -51,7 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the tail — its row stands as evidence while the stale keys
     refresh. Every key keeps its oracle regardless of position —
     selfcheck.py checks all of them locally."""
-    return {
+    return {k: _armored(f) for k, f in {
         # -- (0) CHANGED THIS ROUND (r12): the bloom sidecar fix
         #    (physical-name keying) touches the MERGE fast path and
         #    every probing read; the change feeds now resolve a
@@ -255,7 +270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": _tp.multimodal_meta,
         "multimodal_frames": _tp.multimodal_frames,
         "user_overlap_sketch": _an2.user_overlap_sketch,
-    }
+    }.items()}
 
 
 def oracle_sql() -> dict[str, str]:

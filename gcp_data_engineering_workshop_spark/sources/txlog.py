@@ -728,6 +728,10 @@ def _build_bloom_sidecars(spark_s, root: str, jobs: list[tuple],
         os.replace(tmp, final)
         return [(b, {"path": brel, "key": b}) for b in out]
 
+    # the closure references module-level helpers cloudpickle
+    # serializes by REFERENCE — ship the package so workers spawned
+    # by a foreign-cwd driver can import it (see _ship_package)
+    _ship_package(spark_s)
     return dict(spark_s.sparkContext.parallelize(
         groups, len(groups)).flatMap(_mk).collect())
 
@@ -2275,6 +2279,7 @@ def _files_possibly_matching(snap: dict,
                 return p
             return None
 
+        _ship_package(spark)  # closure refs module helpers
         drop = set(spark.sparkContext.parallelize(
             pending, min(len(pending), 256)).map(_probe)
             .filter(lambda x: x is not None).collect())
