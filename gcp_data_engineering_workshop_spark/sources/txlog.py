@@ -3241,7 +3241,14 @@ def stream_sink(root: str, app_id: str = "stream",
                  "actions": [{"add": a} for a in adds]}
         if rec is not None:
             entry["schema"] = rec
-        for _ in range(20):
+        for attempt in range(20):
+            if attempt and snapshot(root)["txn"].get(
+                    app_id, -1) >= batch_id:
+                # a concurrent instance of the same app_id (driver
+                # failover / zombie run) won the race we just lost
+                # and already landed this batchId — committing again
+                # would break exactly-once
+                return
             head = _list_versions(root)
             v = (head[-1] if head else 0) + 1
             if _try_commit(root, v, entry):
@@ -3253,13 +3260,20 @@ def stream_sink(root: str, app_id: str = "stream",
                 # commit — downstream streams skip it, replays just
                 # find already-compacted files and no-op the batch
                 # BEFORE this point). Failures don't poison the
-                # batch: the data is committed either way.
+                # batch: the data is committed either way — a
+                # transient optimize error (e.g. CommitConflict
+                # after losing version races) must not raise out of
+                # foreachBatch and fail a micro-batch whose data
+                # already landed.
                 if auto_optimize_every and \
                         batch_id % auto_optimize_every == \
                         auto_optimize_every - 1:
-                    optimize(batch_df.sparkSession, root,
-                             target_bytes=optimize_target_bytes,
-                             checkpoint_every=checkpoint_every)
+                    try:
+                        optimize(batch_df.sparkSession, root,
+                                 target_bytes=optimize_target_bytes,
+                                 checkpoint_every=checkpoint_every)
+                    except Exception:
+                        pass  # compaction retries next Nth batch
                 return
         raise CommitConflict(f"stream batch {batch_id} lost the "
                              f"version race under {root}")
@@ -4059,13 +4073,16 @@ def _dv_positions(dv_dir: str | None, basename: str) -> set:
     return set(t.column("pos").to_pylist())
 
 
-def _stream_fields(root: str):
+def _stream_fields(root: str, snap: dict | None = None):
     """(field names, tz-aware timestamp field names) for the stream
     row shape — from the RECORDED log schema when one exists (every
     table written since schema tracking; valid even while the live
     file set is empty, which is exactly the bronze-bootstrap case —
-    VERDICT r10 What's-wrong #2), else from one live file's footer."""
-    snap = snapshot(root)
+    VERDICT r10 What's-wrong #2), else from one live file's footer.
+    Pass ``snap`` to pin an already-resolved snapshot instead of
+    re-reading the log."""
+    if snap is None:
+        snap = snapshot(root)
     if snap.get("schema"):
         from pyspark.sql.types import StructType as _ST
         st = _ST.fromJson(json.loads(snap["schema"]))
@@ -4168,7 +4185,8 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
 
         _DEFAULT_PACK = 128 * 1024 * 1024
 
-        def __init__(self, options, schema):
+        def __init__(self, options, schema,
+                     snap: dict | None = None):
             self.root = options["path"]
             self.start_v = int(options.get("starting_version", 0))
             self.ignore_changes = (
@@ -4180,10 +4198,16 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
             self.reader_id = options.get("reader_id")
             self._schema_json = schema.json()
             self._last_end: int | None = None
-            _stream_fields(self.root)  # validate: schema resolvable
+            # one snapshot pins validation AND colmap together —
+            # callers that already resolved one (the CDF batch path)
+            # pass it so a commit landing mid-resolution can't make
+            # schema, colmap epoch and version window disagree
+            if snap is None:
+                snap = snapshot(self.root)
+            _stream_fields(self.root, snap)  # schema resolvable?
             # column mapping bound at open time (see
             # TxLogFilePartition.colmap)
-            self._colmap = snapshot(self.root).get("colmap") or {}
+            self._colmap = snap.get("colmap") or {}
 
         def _cursor_path(self) -> str:
             return os.path.join(_log_path(self.root),
@@ -4522,8 +4546,21 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
         def name(cls) -> str:
             return "txlogcdf"
 
+        def _pinned_snap(self) -> dict:
+            # ONE snapshot per source resolution: schema(), the
+            # wrapped stream reader's colmap and the batch reader's
+            # default to_version all read the SAME log state, so a
+            # commit (e.g. a rename) landing between them cannot
+            # make the projected schema, colmap epoch and version
+            # window disagree within one read (ADVICE r12)
+            snap = getattr(self, "_snap_cache", None)
+            if snap is None:
+                snap = self._snap_cache = snapshot(
+                    self.options["path"])
+            return snap
+
         def schema(self) -> str:
-            snap = snapshot(self.options["path"])
+            snap = self._pinned_snap()
             if not snap.get("schema"):
                 raise ValueError(
                     "txlogcdf: the row-level change stream needs a "
@@ -4537,10 +4574,12 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
                   "_change_type string")
 
         def streamReader(self, schema) -> TxLogCdfStreamReader:
-            return TxLogCdfStreamReader(self.options, schema)
+            return TxLogCdfStreamReader(self.options, schema,
+                                        self._pinned_snap())
 
         def reader(self, schema) -> "TxLogCdfBatchReader":
-            return TxLogCdfBatchReader(self.options, schema)
+            return TxLogCdfBatchReader(self.options, schema,
+                                       self._pinned_snap())
 
     class TxLogCdfBatchReader(DataSourceReader):
         """BATCH row-level CDF through the same format —
@@ -4557,12 +4596,16 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
         to_version inclusive, default the current head — pinned at
         plan time for snapshot isolation."""
 
-        def __init__(self, options, schema):
-            self._stream = TxLogCdfStreamReader(options, schema)
+        def __init__(self, options, schema,
+                     snap: dict | None = None):
+            if snap is None:
+                snap = snapshot(options["path"])
+            self._stream = TxLogCdfStreamReader(options, schema,
+                                                snap)
             self.from_v = int(options.get("from_version", 0))
             to = options.get("to_version")
             self.to_v = (int(to) if to is not None
-                         else snapshot(options["path"])["version"])
+                         else snap["version"])
 
         def partitions(self):
             parts = self._stream.partitions(
@@ -5006,6 +5049,19 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
                     "txlog.append()/overwrite()")
             if self._spec:
                 by_name = {f.name: f for f in schema.fields}
+                # Spark's own DataFrameWriter refuses all-column
+                # partitioning; _stage_write inherits that guard but
+                # the task-side router would drop_columns() down to a
+                # ZERO-column table — pyarrow then records 0 rows in
+                # the file while the task counts len(data), silently
+                # losing every row behind an add action that claims
+                # rows > 0. Refuse at plan time instead.
+                if set(self._spec) >= set(by_name):
+                    raise ValueError(
+                        "txlog: partition_by cannot cover every "
+                        "column of the write schema (no data "
+                        "columns would remain) — Spark's writer "
+                        "refuses this too")
                 for c in self._spec:
                     t = (by_name[c].dataType.simpleString()
                          if c in by_name else "<missing>")
@@ -5299,7 +5355,17 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
                 _mark_feature(entry, snap0, "column-mapping")
             if self._creating and self._spec:
                 entry["partition_by"] = self._spec
-            for _ in range(self.max_retries):
+            for attempt in range(self.max_retries):
+                if attempt:
+                    # a concurrent instance of the SAME app_id
+                    # (driver failover / zombie run) that passed the
+                    # entry check simultaneously may have won the
+                    # version race we just lost — re-read the txn
+                    # watermark before retrying or this batchId
+                    # lands twice, breaking exactly-once
+                    if snapshot(self.root)["txn"].get(
+                            self.app_id, -1) >= batchId:
+                        return
                 head = _list_versions(self.root)
                 v = (head[-1] if head else 0) + 1
                 if _try_commit(self.root, v, entry):

@@ -353,3 +353,20 @@ def test_writer_casts_reordered_batches_by_name(spark):
     got = T.read(spark, root).where("key = 9000").collect()
     assert [(x["key"], x["g"], x["name"]) for x in got] \
         == [(9000, 2, "n-9")]
+
+
+def test_all_column_partition_refused(spark):
+    """ADVICE r12 (medium): partition_by covering EVERY schema
+    column would leave zero data columns — pyarrow records 0 rows
+    while the task counts len(data), silently losing the write.
+    Spark's own writer refuses this; the native writer must too."""
+    root = tempfile.mkdtemp(prefix="txw_allpart_") + "/t"
+    df = spark.range(6).select(
+        (F.col("id") % 2).alias("a"), (F.col("id") % 3).alias("b"))
+    with pytest.raises(Exception, match="every column|all column"):
+        (df.write.format("txlog").mode("append")
+         .option("partition_by", "a,b").save(root))
+    # a proper subset still works and loses nothing
+    (df.write.format("txlog").mode("append")
+     .option("partition_by", "a").save(root))
+    assert T.read(spark, root).count() == 6

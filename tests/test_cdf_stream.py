@@ -233,3 +233,39 @@ def test_batch_cdf_through_format(spark):
             .option("from_version", 3).load())
     assert got3.collect() == []
     assert got3.schema == got.schema
+
+
+def test_cdf_source_pins_one_snapshot(spark, tmp_path):
+    """ADVICE r12: schema(), the wrapped stream reader's colmap and
+    the batch reader's default to_version must all resolve from ONE
+    snapshot — a commit landing between the calls (e.g. a rename)
+    cannot make them disagree within a single read."""
+    T.register(spark)
+    root = str(tmp_path / "t")
+    df = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("g"))
+    T.append(df, root, checkpoint_every=0)
+    T.append(df.where("k < 10"), root, checkpoint_every=0)
+
+    ds = T.TxLogCdfStreamDataSource({"path": root})
+    ddl = ds.schema()  # resolution starts: snapshot pinned HERE
+    v_pinned = T.snapshot(root)["version"]
+    # a commit lands mid-resolution (after schema(), before reader())
+    T.rename_column(root, "g", "g2")
+    T.append(spark.range(3).select(
+        F.col("id").alias("k"),
+        F.lit(0).cast("long").alias("g2")), root,
+        checkpoint_every=0)
+
+    struct = spark.createDataFrame([], ddl).schema
+    rdr = ds.reader(struct)
+    # the window default and the colmap both come from the PINNED
+    # snapshot, not the post-rename head
+    assert rdr.to_v == v_pinned
+    assert rdr._stream._colmap == {}
+    # and a fresh source resolution sees the new head consistently
+    ds2 = T.TxLogCdfStreamDataSource({"path": root})
+    assert "g2" in ds2.schema()
+    struct2 = spark.createDataFrame([], ds2.schema()).schema
+    rdr2 = ds2.reader(struct2)
+    assert rdr2.to_v == T.snapshot(root)["version"]

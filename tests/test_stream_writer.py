@@ -221,3 +221,67 @@ def test_one_format_name_serves_stream_read_too(spark):
     q.awaitTermination(120)
     assert sorted(map(tuple, T.read(spark, dst).collect())) \
         == sorted(map(tuple, T.read(spark, src).collect()))
+
+
+def test_lost_race_rechecks_watermark(spark, monkeypatch):
+    """ADVICE r12: a concurrent instance of the SAME app_id (driver
+    failover / zombie run) that passed the entry watermark check and
+    then WINS the version race we lose must make our retry a no-op —
+    the batchId must never land twice."""
+    dst = tempfile.mkdtemp(prefix="tsw_race_") + "/t"
+    os.makedirs(dst)
+    schema = (spark.range(1).select(F.col("id").alias("k"))
+              .schema)
+    w = T.TxLogStreamNativeWriter({"path": dst}, schema, False)
+    w.commit([w.write(iter([pa.RecordBatch.from_pydict(
+        {"k": [1]})]))], 0)
+
+    real = T._try_commit
+    fired = {"done": False}
+
+    def racing(root, v, entry):
+        # the FIRST attempt of our batch-1 commit loses to a zombie
+        # run of the same app_id landing batch 1 at this version
+        if (not fired["done"]
+                and entry.get("batch_id") == 1):
+            fired["done"] = True
+            zombie = T.TxLogStreamNativeWriter(
+                {"path": dst}, schema, False)
+            zmsg = zombie.write(iter([pa.RecordBatch.from_pydict(
+                {"k": [7, 8]})]))
+            assert real(dst, v, {
+                "op": "stream-append", "ts": entry["ts"],
+                "app_id": "stream", "batch_id": 1,
+                "actions": [{"add": a} for a in zmsg.adds]})
+            return False  # we lost the race
+        return real(root, v, entry)
+
+    monkeypatch.setattr(T, "_try_commit", racing)
+    w2 = T.TxLogStreamNativeWriter({"path": dst}, schema, False)
+    msg = w2.write(iter([pa.RecordBatch.from_pydict({"k": [9]})]))
+    w2.commit([msg], 1)  # must no-op on the retry, not double-land
+    monkeypatch.setattr(T, "_try_commit", real)
+    hist = T.history(dst)
+    assert [h.get("batch_id") for h in hist] == [0, 1]
+    assert T.read(spark, dst).count() == 3  # zombie's rows only
+    # our losing attempt's staged file is orphaned for vacuum
+    assert msg.adds[0]["path"] in T.vacuum(dst, retention_seconds=0)
+
+
+def test_sink_auto_compaction_failure_does_not_fail_batch(
+        spark, monkeypatch):
+    """ADVICE r12: a transient optimize() failure after the append
+    commit must not raise out of foreachBatch — the batch's data is
+    already committed."""
+    dst = tempfile.mkdtemp(prefix="tsw_optf_") + "/t"
+    os.makedirs(dst)
+
+    def boom(*a, **k):
+        raise T.CommitConflict("optimize lost every version race")
+
+    monkeypatch.setattr(T, "optimize", boom)
+    sink = T.stream_sink(dst, auto_optimize_every=1)
+    df = spark.range(5).select(F.col("id").alias("k"))
+    sink(df, 0)  # would raise CommitConflict before the fix
+    assert T.read(spark, dst).count() == 5
+    assert T.history(dst)[-1]["batch_id"] == 0
