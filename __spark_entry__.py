@@ -50,29 +50,92 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING POLICY: the driver records correctness rows for the
     FIRST 50 entries only (tests/test_entry_contract.py asserts the
-    boundary position). Entries rotate per round. The r12 window:
-    (0) the six txlog keys whose code paths changed this round — the
-    bloom sidecar physical-name keying fix rides the MERGE fast path
-    and every probing read (txlog_merge_scan), and the change feeds
-    resolve a per-version colmap across overwrite boundaries
-    (txlog_change_feed, txlog_incremental_scan, txlog_cdf_rows,
-    txlog_replica_scan, txlog_rename_scan); (1) the eleven keys
-    VERDICT r11 names as stranded at r7 evidence (event_transitions,
-    pagerank_knn, dedup_keep_best, decontaminate_spans,
-    quality_attributes, longest_dup_span, winnow_fingerprints,
-    shuffle_corpus, containment_pairs, semdedup_keep_central,
-    kneser_ney_score); (2) the oldest 33-key slice of the
-    r9-evidence cohort. Every r10/r11-windowed key rotates OUT to
-    the tail — its row stands as evidence while the stale keys
-    refresh. Every key keeps its oracle regardless of position —
-    selfcheck.py checks all of them locally."""
+    boundary position). Entries rotate per round. The r13 window:
+    (0) the keys whose code paths changed this round — snapshot
+    resolution itself moved to COLUMNAR parquet checkpoints with a
+    per-(root, version) cache and lazy file maps (VERDICT r12 #1),
+    so the new txlog_checkpoint_scan key takes first evidence and
+    the eight checkpoint-heavy txlog DML/scan keys re-evidence on
+    the new resolution code; (1) the FOURTEEN keys VERDICT r12
+    names at r9 evidence (the oldest cohort: bigram_lm_score,
+    bm25_topk, corpus_diff, corpus_report, corpus_report_by_source,
+    decontaminate, dedup_incremental, dedup_ingest_bloom,
+    dedup_minhash_auto, doc_chunking, line_dedup, tokenize_ids,
+    train_test_split, vocab_topk); (2) a 27-key slice of the
+    r10-evidence cohort (stock pipeline + TPC-H shapes). Every
+    r11/r12-windowed key rotates OUT to the tail — its row stands
+    as evidence while the stale keys refresh. Every key keeps its
+    oracle regardless of position — selfcheck.py checks all of
+    them locally."""
     return {k: _armored(f) for k, f in {
-        # -- (0) CHANGED THIS ROUND (r12): the bloom sidecar fix
-        #    (physical-name keying) touches the MERGE fast path and
-        #    every probing read; the change feeds now resolve a
-        #    PER-VERSION colmap across overwrite boundaries
-        #    (_feed_read_maps) — the six keys exercising those paths
-        #    re-evidence on the new code --
+        # -- (0) CHANGED THIS ROUND (r13): snapshot() now resolves
+        #    through columnar parquet checkpoints (lazy file maps,
+        #    snapshot cache, distributed prune) — the NEW key pins
+        #    the machinery under the gate and the checkpoint-heavy
+        #    DML/scan keys re-evidence on the new resolution code --
+        "txlog_checkpoint_scan": _tf.txlog_checkpoint_scan,
+        "txlog_dv_scan": _tf.txlog_dv_scan,
+        "txlog_delete_scan": _tf.txlog_delete_scan,
+        "txlog_update_scan": _tf.txlog_update_scan,
+        "txlog_partition_scan": _tf.txlog_partition_scan,
+        "txlog_range_scan": _tf.txlog_range_scan,
+        "txlog_replace_scan": _tf.txlog_replace_scan,
+        "txlog_generated_scan": _tf.txlog_generated_scan,
+        "dedup_corpus_inplace": _tf.dedup_corpus_inplace,
+        # -- (1) the FOURTEEN keys at r9 evidence (VERDICT r12
+        #    Missing #4 / next-round #2's named list) --
+        "bigram_lm_score": _tp.bigram_lm_score,
+        "bm25_topk": _tp.bm25_topk,
+        "corpus_diff": _tp.corpus_diff,
+        "corpus_report": _tp.corpus_report,
+        "corpus_report_by_source": _tp.corpus_report_by_source,
+        "decontaminate": _tp.decontaminate,
+        "dedup_incremental": _tp.dedup_incremental,
+        "dedup_ingest_bloom": _tp.dedup_ingest_bloom,
+        "dedup_minhash_auto": _tp.dedup_minhash_auto,
+        "doc_chunking": _tp.doc_chunking,
+        "line_dedup": _tp.line_dedup,
+        "tokenize_ids": _tp.tokenize_ids,
+        "train_test_split": _tp.train_test_split,
+        "vocab_topk": _tp.vocab_topk,
+        # -- (2) a 27-key slice of the r10-evidence cohort (next
+        #    oldest): the stock pipeline / reference-parity keys and
+        #    the r10 TPC-H shapes; the ~20 remaining r10 keys lead
+        #    the r14 rotation --
+        "ingest_parse_json": _ticks_fn,
+        "stock_agg_1m": _sp.agg_1m,
+        "stock_sma_5m": _sp.sma_5m,
+        "stock_join_metrics": _sp.joined_metrics,
+        "stock_volume_spike": _sp.volume_spikes,
+        "stock_pipeline_full": _sp.full_pipeline,
+        "ingest_replay": lambda spark, sf: _replay_fn(spark, sf, 7),
+        "minute_returns": _sp.minute_returns,
+        "daily_ohlc": _sp.daily_ohlc,
+        "daily_vwap": _sp.daily_vwap,
+        "q1_pricing_summary": _an.q1_pricing_summary,
+        "q3_top_revenue": _an.q3_top_revenue,
+        "q5_region_revenue": _an.q5_region_revenue,
+        "count_distinct_users": _an.count_distinct_users,
+        "anti_join_inactive": _an.anti_join_inactive,
+        "rollup_revenue": _an.rollup_revenue,
+        "sessionize_events": _an.sessionize_events,
+        "event_funnel": _an.event_funnel,
+        "q6_forecast_revenue": _an2.q6_forecast_revenue,
+        "q10_returned_items": _an2.q10_returned_items,
+        "q14_promo_revenue": _an2.q14_promo_revenue,
+        "q18_large_orders": _an2.q18_large_orders,
+        "q19_complex_predicates": _an2.q19_complex_predicates,
+        "q7_nation_volume": _an2.q7_nation_volume,
+        "q8_market_share": _an2.q8_market_share,
+        "merge_upsert_orders": _an2.merge_upsert_orders,
+        "q12_priority_shipping": _an2.q12_priority_shipping,
+        # ==== WINDOW BOUNDARY (50): q12_priority_shipping is entry
+        #      50; the driver records rows for nothing below this
+        #      line. tests/test_entry_contract.py asserts this
+        #      position. ====
+        # -- tail: the r12 window's keys rotate out first (their
+        #    r12 rows stand), then the rest of the catalog and the
+        #    declared rows-only set --
         "txlog_merge_scan": _tf.txlog_merge_scan,
         "txlog_change_feed": _tf.txlog_change_feed,
         "txlog_incremental_scan": _tf.txlog_incremental_scan,
@@ -81,9 +144,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txlog_rename_scan": _tf.txlog_rename_scan,
         "txlog_backfill_scan": _tf.txlog_backfill_scan,
         "txlog_pushdown_scan": _tf.txlog_pushdown_scan,
-        # -- (1) the ELEVEN keys stranded at r7 driver evidence
-        #    (VERDICT r11 next-round #1's named list — each gave way
-        #    to a new key's first evidence in r11) --
         "event_transitions": _an3.event_transitions,
         "pagerank_knn": _tp.pagerank_knn,
         "dedup_keep_best": _tp.dedup_keep_best,
@@ -95,10 +155,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": _tp.containment_pairs,
         "semdedup_keep_central": _tp.semdedup_keep_central,
         "kneser_ney_score": _tp.kneser_ney_score,
-        # -- (2) the oldest slice of the r9-evidence cohort (the
-        #    next-aging set VERDICT r11 names): dashboard/pipeline
-        #    parity keys, the r9 TPC-H shapes, SCD2/set-ops/deciles,
-        #    and the core dedup/text keys --
         "dash_overview": _sp.dash_overview,
         "dash_tickers": _sp.dash_tickers,
         "dash_detail": _sp.dash_detail,
@@ -130,30 +186,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _tp.text_lang_id,
         "text_quality": _tp.text_quality,
         "token_count": _tp.token_count,
-        # ==== WINDOW BOUNDARY (50): token_count is entry 50
-        #      (txlog_backfill_scan's and txlog_pushdown_scan's
-        #      first evidence displaced doc_chunking and
-        #      train_test_split to the tail head per the stated
-        #      new-key policy);
-        #      the driver records rows for nothing below this line.
-        #      tests/test_entry_contract.py asserts this position. ====
-        "doc_chunking": _tp.doc_chunking,
-        "train_test_split": _tp.train_test_split,
-        # -- tail: r10/r11-evidenced keys rotate out (their rows
-        #    stand), plus the declared rows-only set; the remaining
-        #    r9-evidence keys (vocab_topk, decontaminate,
-        #    dedup_incremental, line_dedup, tokenize_ids,
-        #    bigram_lm_score, corpus_diff, bm25_topk, corpus_report,
-        #    dedup_ingest_bloom, corpus_report_by_source,
-        #    dedup_minhash_auto, ...) lead the r13 rotation --
-        "txlog_dv_scan": _tf.txlog_dv_scan,
-        "txlog_replace_scan": _tf.txlog_replace_scan,
-        "txlog_generated_scan": _tf.txlog_generated_scan,
-        "dedup_corpus_inplace": _tf.dedup_corpus_inplace,
-        "txlog_delete_scan": _tf.txlog_delete_scan,
-        "txlog_update_scan": _tf.txlog_update_scan,
-        "txlog_partition_scan": _tf.txlog_partition_scan,
-        "txlog_range_scan": _tf.txlog_range_scan,
         "temperature_sample": _tp.temperature_sample,
         "mixture_schedule": _tp.mixture_schedule,
         "gopher_repetition": _tp.gopher_repetition,
@@ -191,8 +223,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": _tp.perplexity_buckets,
         "weighted_sample": _tp.weighted_sample,
         "contamination_report": _tp.contamination_report,
-        "merge_upsert_orders": _an2.merge_upsert_orders,
-        "q12_priority_shipping": _an2.q12_priority_shipping,
         "q16_supplier_part_counts": _an2.q16_supplier_part_counts,
         "q20_excess_suppliers": _an2.q20_excess_suppliers,
         "text_scrub": _tp.text_scrub,
@@ -203,33 +233,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_split": _tp.stratified_split,
         "bigram_pmi": _tp.bigram_pmi,
         "ngram_novelty": _tp.ngram_novelty,
-        "ingest_parse_json": _ticks_fn,
-        "stock_agg_1m": _sp.agg_1m,
-        "stock_sma_5m": _sp.sma_5m,
-        "stock_join_metrics": _sp.joined_metrics,
-        "stock_volume_spike": _sp.volume_spikes,
-        "stock_pipeline_full": _sp.full_pipeline,
-        "ingest_replay": lambda spark, sf: _replay_fn(spark, sf, 7),
-        "minute_returns": _sp.minute_returns,
-        "daily_ohlc": _sp.daily_ohlc,
-        "daily_vwap": _sp.daily_vwap,
-        "q1_pricing_summary": _an.q1_pricing_summary,
-        "q3_top_revenue": _an.q3_top_revenue,
-        "q5_region_revenue": _an.q5_region_revenue,
-        "count_distinct_users": _an.count_distinct_users,
-        "anti_join_inactive": _an.anti_join_inactive,
-        "rollup_revenue": _an.rollup_revenue,
-        "sessionize_events": _an.sessionize_events,
-        "event_funnel": _an.event_funnel,
         "tfidf_topterms": _tp.tfidf_topterms,
         "clean_corpus": _tp.clean_corpus,
-        "q6_forecast_revenue": _an2.q6_forecast_revenue,
-        "q10_returned_items": _an2.q10_returned_items,
-        "q14_promo_revenue": _an2.q14_promo_revenue,
-        "q18_large_orders": _an2.q18_large_orders,
-        "q19_complex_predicates": _an2.q19_complex_predicates,
-        "q7_nation_volume": _an2.q7_nation_volume,
-        "q8_market_share": _an2.q8_market_share,
         "zorder_keys": _an3.zorder_keys,
         "salted_join_revenue": _an2.salted_join_revenue,
         "quality_classifier": _tp.quality_classifier,
@@ -241,18 +246,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca": _tp.embedding_pca,
         "pagerank_knn_ivf": _tp.pagerank_knn_ivf,
         "ann_index_topk": _tp.ann_index_topk,
-        "bm25_topk": _tp.bm25_topk,
-        "corpus_report": _tp.corpus_report,
-        "dedup_ingest_bloom": _tp.dedup_ingest_bloom,
-        "corpus_report_by_source": _tp.corpus_report_by_source,
-        "dedup_minhash_auto": _tp.dedup_minhash_auto,
-        "dedup_incremental": _tp.dedup_incremental,
-        "line_dedup": _tp.line_dedup,
-        "tokenize_ids": _tp.tokenize_ids,
-        "bigram_lm_score": _tp.bigram_lm_score,
-        "vocab_topk": _tp.vocab_topk,
-        "decontaminate": _tp.decontaminate,
-        "corpus_diff": _tp.corpus_diff,
         "ann_ivfpq": _tp.ann_ivfpq,
         "image_phash": _tp.image_phash,
         "image_phash_neardup": _tp.image_phash_neardup,
@@ -284,6 +277,7 @@ def oracle_sql() -> dict[str, str]:
         "txlog_rename_scan": _tf.TXLOG_RENAME_SCAN_SQL,
         "txlog_backfill_scan": _tf.TXLOG_BACKFILL_SCAN_SQL,
         "txlog_pushdown_scan": _tf.TXLOG_PUSHDOWN_SCAN_SQL,
+        "txlog_checkpoint_scan": _tf.TXLOG_CHECKPOINT_SCAN_SQL,
         "txlog_replace_scan": _tf.TXLOG_REPLACE_SCAN_SQL,
         "txlog_generated_scan": _tf.TXLOG_GENERATED_SCAN_SQL,
         "dedup_corpus_inplace": _orc.DEDUP_CORPUS_SQL,

@@ -706,3 +706,55 @@ FROM (SELECT o_orderkey, o_custkey AS custkey, o_orderstatus,
         AND o_orderkey % 10 <> 3)
 ORDER BY o_orderkey
 """
+
+
+def txlog_checkpoint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COLUMNAR checkpoint under the oracle gate (new r13,
+    VERDICT r12 #1): snapshot resolution through a parquet
+    checkpoint + log suffix must be value-exact.
+
+    orders lands as six commits with checkpoint_every=3 (columnar
+    checkpoints at v3 and v6 — JSON meta + files parquet), then a
+    rewrite DELETE (v7) and a rewrite UPDATE (v8) pile a suffix of
+    removes AND shadowing re-adds on top of the v6 checkpoint. The
+    read resolves: checkpoint arrow buffers -> _LazyFiles suffix
+    overlay -> exact rows. In-query plan asserts pin the machinery:
+    the head checkpoint is columnar and loadable, the head snapshot
+    is a _LazyFiles with a live suffix, and a time-travel snapshot
+    AT v6 resolves purely from the checkpoint (empty suffix)."""
+    root = tempfile.mkdtemp(prefix="txlog_cp_") + "/t"
+    orders = _orders(spark, sf_dir)
+    for b in range(6):
+        T.append(orders.where(F.col("o_orderkey") % 6 == b),
+                 root, checkpoint_every=3)
+    T.delete_where(spark, root, "o_orderkey % 7 = 2",
+                   checkpoint_every=3)
+    T.update_where(spark, root, "o_orderstatus = 'F'",
+                   {"o_orderpriority": "'X'"}, checkpoint_every=3)
+    cps = T._list_checkpoints(root)
+    assert cps == [3, 6], cps
+    loaded = T._load_checkpoint(root, 6)
+    assert loaded is not None and "files_parquet" in loaded[0]
+    snap = T.snapshot(root)
+    assert isinstance(snap["files"], T._LazyFiles)
+    assert snap["files"]._added and snap["files"]._removed, \
+        "the DML suffix must ride the checkpoint as adds + removes"
+    # the cache may hold v6 in its pre-checkpoint suffix form (it
+    # was resolved DURING checkpointing); a fresh resolution must
+    # come purely from the columnar checkpoint
+    T._SNAPSHOTS.clear()
+    at6 = T.snapshot(root, 6)
+    assert isinstance(at6["files"], T._LazyFiles) \
+        and not at6["files"]._added and not at6["files"]._removed, \
+        "v6 must resolve purely from the columnar checkpoint"
+    return T.read(spark, root).orderBy("o_orderkey")
+
+
+TXLOG_CHECKPOINT_SCAN_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       CASE WHEN o_orderstatus = 'F' THEN 'X'
+            ELSE o_orderpriority END AS o_orderpriority
+FROM orders
+WHERE o_orderkey % 7 <> 2
+ORDER BY o_orderkey
+"""

@@ -36,19 +36,20 @@ ROWS_ONLY = {
     "ann_index_topk",
 }
 
-# Keys the r12 rotation promises the driver window (VERDICT r11
-# next-round #1): the eleven keys stranded at r7 evidence, plus the
-# six txlog keys re-evidencing this round's bloom/colmap-feed fixes.
-R12_WINDOW_PRIORITY = {
-    "event_transitions", "pagerank_knn", "dedup_keep_best",
-    "decontaminate_spans", "quality_attributes", "longest_dup_span",
-    "winnow_fingerprints", "shuffle_corpus", "containment_pairs",
-    "semdedup_keep_central", "kneser_ney_score",
-    "txlog_merge_scan", "txlog_change_feed",
-    "txlog_incremental_scan", "txlog_cdf_rows",
-    "txlog_replica_scan", "txlog_rename_scan",
-    "txlog_backfill_scan",  # NEW r12 key: first evidence
-    "txlog_pushdown_scan",  # NEW r12 key: the batch format
+# Keys the r13 rotation promises the driver window (VERDICT r12
+# next-round #2): the fourteen keys at r9 evidence, plus the new
+# columnar-checkpoint key and the checkpoint-heavy txlog keys
+# re-evidencing this round's snapshot-resolution rewrite.
+R13_WINDOW_PRIORITY = {
+    "bigram_lm_score", "bm25_topk", "corpus_diff", "corpus_report",
+    "corpus_report_by_source", "decontaminate", "dedup_incremental",
+    "dedup_ingest_bloom", "dedup_minhash_auto", "doc_chunking",
+    "line_dedup", "tokenize_ids", "train_test_split", "vocab_topk",
+    "txlog_checkpoint_scan",  # NEW r13 key: first evidence
+    "txlog_dv_scan", "txlog_delete_scan", "txlog_update_scan",
+    "txlog_partition_scan", "txlog_range_scan",
+    "txlog_replace_scan", "txlog_generated_scan",
+    "dedup_corpus_inplace",
 }
 
 
@@ -85,16 +86,16 @@ def test_driver_window_boundary_position():
     a comment that claimed the 50-row boundary at the wrong dict
     position (VERDICT r7 What's-wrong #1). Pin the REAL boundary:
     the documented last-in-window key must sit at index 49, and
-    every key the r12 rotation promises the window must be inside
+    every key the r13 rotation promises the window must be inside
     the first 50."""
     m = _entry_module()
     keys = list(m.queries())
-    assert keys.index("token_count") == 49, (
+    assert keys.index("q12_priority_shipping") == 49, (
         "the '==== WINDOW BOUNDARY (50)' comment in __spark_entry__ "
-        "no longer matches the dict: token_count is at "
-        f"index {keys.index('token_count')}")
+        "no longer matches the dict: q12_priority_shipping is at "
+        f"index {keys.index('q12_priority_shipping')}")
     window = set(keys[:50])
-    assert R12_WINDOW_PRIORITY <= window, R12_WINDOW_PRIORITY - window
+    assert R13_WINDOW_PRIORITY <= window, R13_WINDOW_PRIORITY - window
 
 
 def test_entry_returns_flagship(spark):

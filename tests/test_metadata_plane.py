@@ -1,0 +1,194 @@
+"""The metadata plane at scale (VERDICT r12 #1): columnar parquet
+checkpoints, the per-(root, version) snapshot cache, lazy file maps,
+legacy-JSON compatibility, torn-checkpoint degradation, and the
+distributed checkpoint-prune path's equivalence with the driver
+loop."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_data_engineering_workshop_spark.sources import txlog as T
+
+
+def _ids(df):
+    return sorted(r[0] for r in df.select("id").collect())
+
+
+def _mk(spark, root, commits=12, every=5):
+    for i in range(commits):
+        T.append(spark.range(i * 2, i * 2 + 2), root,
+                 checkpoint_every=every)
+
+
+def test_columnar_checkpoint_layout(spark, tmp_path):
+    """New checkpoints are JSON meta + a files parquet sidecar; the
+    JSON carries no inline file entries."""
+    root = str(tmp_path / "t")
+    _mk(spark, root)
+    log = os.path.join(root, T.LOG_DIR)
+    cp = json.load(open(os.path.join(
+        log, f"checkpoint-{10:0{T._W}d}.json")))
+    assert "files" not in cp
+    assert cp["files_parquet"] == \
+        f"checkpoint-{10:0{T._W}d}.files.parquet"
+    assert cp["num_files"] == 20
+    assert os.path.exists(os.path.join(log, cp["files_parquet"]))
+    snap = T.snapshot(root)
+    assert isinstance(snap["files"], T._LazyFiles)
+    assert _ids(T.read(spark, root)) == list(range(24))
+
+
+def test_legacy_json_checkpoint_still_reads(spark, tmp_path):
+    """Tables checkpointed by earlier rounds carry inline "files"
+    JSON — snapshot() must keep resolving them unchanged."""
+    root = str(tmp_path / "t")
+    _mk(spark, root, commits=7, every=0)  # no checkpoints
+    snap = T.snapshot(root)
+    log = os.path.join(root, T.LOG_DIR)
+    with open(os.path.join(
+            log, f"checkpoint-{5:0{T._W}d}.json"), "w") as fh:
+        json.dump({"version": 5,
+                   "files": dict(T.snapshot(root, 5)["files"]),
+                   "txn": {}, "schema": snap["schema"],
+                   "partition_by": [], "colmap": {},
+                   "phys_dropped": [], "features": []}, fh)
+    T._SNAPSHOTS.clear()
+    s2 = T.snapshot(root)
+    assert isinstance(s2["files"], dict)
+    assert dict(s2["files"]) == dict(snap["files"])
+    assert _ids(T.read(spark, root)) == list(range(14))
+
+
+def test_torn_checkpoint_degrades_to_older(spark, tmp_path):
+    """A checkpoint JSON whose parquet sidecar is missing (torn
+    write / partial copy) is skipped: resolution falls back to the
+    previous checkpoint (or a full replay) — slower, never wrong."""
+    root = str(tmp_path / "t")
+    _mk(spark, root)  # checkpoints at 5 and 10
+    log = os.path.join(root, T.LOG_DIR)
+    os.unlink(os.path.join(
+        log, f"checkpoint-{10:0{T._W}d}.files.parquet"))
+    T._SNAPSHOTS.clear()
+    T._CP_STORES.clear()
+    snap = T.snapshot(root)
+    assert _ids(T.read(spark, root)) == list(range(24))
+    assert len(snap["files"]) == 24
+    # ...and with every checkpoint torn, full replay still resolves
+    os.unlink(os.path.join(
+        log, f"checkpoint-{5:0{T._W}d}.files.parquet"))
+    T._SNAPSHOTS.clear()
+    T._CP_STORES.clear()
+    assert _ids(T.read(spark, root)) == list(range(24))
+
+
+def test_checkpoint_incremental_build_after_dml(spark, tmp_path):
+    """A checkpoint built on top of a previous columnar checkpoint
+    (filter + append on arrow buffers) equals the full state —
+    through deletes, dv re-adds and overwrites."""
+    root = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 10).alias("g"))
+    T.append(df, root, checkpoint_every=2)          # v1
+    T.append(df.where("id >= 100"), root, checkpoint_every=2)  # v2+cp
+    T.delete_where(spark, root, "g = 3", checkpoint_every=2)   # v3
+    T.update_where(spark, root, "g = 4", {"g": "99"},
+                   checkpoint_every=2)                         # v4+cp
+    loaded = T._load_checkpoint(root, 4)
+    assert loaded is not None
+    _meta, cp_files = loaded
+    T._SNAPSHOTS.clear()
+    full = T.snapshot(root, 4)["files"]
+    assert dict(cp_files.items()) == dict(full.items())
+    got = T.read(spark, root)
+    assert got.where("g = 3").count() == 0
+    assert got.where("g = 99").count() == 10
+
+
+def test_snapshot_cache_hits_and_isolation(spark, tmp_path):
+    """Repeated snapshot() calls for one (root, version) resolve
+    from the cache; callers get isolated copies (suffix replay into
+    one snapshot never leaks into another); a recreated table under
+    the same path is NOT served stale."""
+    root = str(tmp_path / "t")
+    _mk(spark, root, commits=6, every=5)
+    s1 = T.snapshot(root)
+    key = (os.path.abspath(root), s1["version"])
+    assert any(k[:2] == key for k in T._SNAPSHOTS)
+    s2 = T.snapshot(root)
+    assert dict(s1["files"]) == dict(s2["files"])
+    p = next(iter(s2["files"]))
+    s2["files"].pop(p, None)
+    s2["txn"]["x"] = 1
+    s3 = T.snapshot(root)
+    assert p in s3["files"] and "x" not in s3["txn"]
+    # same path, new table: the head version file's identity changed
+    shutil.rmtree(root)
+    T.append(spark.range(3), root, checkpoint_every=0)
+    for _ in range(5):
+        T.append(spark.range(3), root, checkpoint_every=0)
+    assert T.snapshot(root)["version"] == 6
+    assert T.read(spark, root).count() == 18
+
+
+def test_distributed_prune_matches_driver_loop(spark, tmp_path,
+                                               monkeypatch):
+    """With the bound forced low, the Spark-job prune over the
+    columnar checkpoint returns exactly the driver loop's surviving
+    set — including suffix adds, suffix removes and dv shadows."""
+    root = str(tmp_path / "t")
+    df = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") % 50).alias("g"))
+    # several commits so files cluster by range; checkpoint at v4
+    for i in range(4):
+        T.append(df.where((F.col("k") >= i * 125)
+                          & (F.col("k") < (i + 1) * 125)),
+                 root, checkpoint_every=4)
+    # suffix beyond the checkpoint: new add + a dv delete (re-add)
+    T.append(spark.range(500, 520).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("g")),
+        root, checkpoint_every=0)
+    T.delete_where(spark, root, "k = 10", checkpoint_every=0,
+                   mode="dv")
+    snap = T.snapshot(root)
+    assert isinstance(snap["files"], T._LazyFiles)
+    for conj in ([("k", "=", 130)], [("k", ">=", 400)],
+                 [("k", "<", 50), ("g", "=", 3)],
+                 [("k", "=", 510)], [("g", "notnull", None)]):
+        driver = sorted(T._files_possibly_matching(
+            snap, conj, root, None))
+        monkeypatch.setattr(T, "_DISTRIBUTED_PRUNE_BOUND", 1)
+        dist = sorted(T._files_possibly_matching(
+            snap, conj, root, spark))
+        monkeypatch.setattr(T, "_DISTRIBUTED_PRUNE_BOUND", 50_000)
+        assert dist == driver, conj
+    # and the pruned read itself stays hash-correct
+    got = sorted(r[0] for r in T.read_where(
+        spark, root, "k >= 400 and k < 410").select("k").collect())
+    assert got == list(range(400, 410))
+
+
+def test_lazy_files_survive_full_scan_paths(spark, tmp_path):
+    """describe / history / optimize / vacuum / restore / clone all
+    walk the lazy map like a dict."""
+    root = str(tmp_path / "t")
+    _mk(spark, root)
+    d = T.describe(root)
+    assert d["num_files"] == 24 and d["total_bytes"] > 0
+    T.optimize(spark, root, checkpoint_every=1)  # v13, checkpointed
+    assert _ids(T.read(spark, root)) == list(range(24))
+    dst = str(tmp_path / "c")
+    T.clone(root, dst)
+    assert _ids(T.read(spark, dst)) == list(range(24))
+    # restore to the pre-optimize file set (checkpointed, so the
+    # folded file drops out of the newest reference set)...
+    v = T.restore(root, version=12, checkpoint_every=1)
+    assert v == 14 and _ids(T.read(spark, root)) == list(range(24))
+    # ...and vacuum reclaims the now-unreferenced optimize output
+    assert T.vacuum(root, retention_seconds=0)
+    assert _ids(T.read(spark, root)) == list(range(24))

@@ -112,8 +112,10 @@ def test_checkpoint_bounds_log_replay(spark, tmp_path):
     assert snap["version"] == 12
     assert _ids(T.read(spark, root)) == list(range(24))
     # checkpoint content equals a from-scratch replay at its version
-    cp = json.load(open(os.path.join(
-        root, T.LOG_DIR, f"checkpoint-{10:0{T._W}d}.json")))
+    # (checkpoints are columnar since r13: JSON meta + files parquet)
+    loaded = T._load_checkpoint(root, 10)
+    assert loaded is not None
+    _meta, cp_files = loaded
     full = {}
     for v in range(1, 11):
         e = json.load(open(T._version_file(root, v)))
@@ -122,7 +124,7 @@ def test_checkpoint_bounds_log_replay(spark, tmp_path):
                 full[a["add"]["path"]] = a["add"]
             elif "remove" in a:
                 full.pop(a["remove"]["path"], None)
-    assert cp["files"] == full
+    assert dict(cp_files.items()) == full
 
 
 def test_empty_table_read(spark, tmp_path):
