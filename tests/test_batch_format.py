@@ -255,3 +255,96 @@ def test_format_reads_clone_and_backfilled_bloom(spark):
     assert len(r._kept_paths()) < 4
     assert [x["k"] for x in (spark.read.format("txlog").load(src)
                              .where("k = 202").collect())] == [202]
+
+
+def test_date_literal_pushdown_prunes_partitions(spark):
+    """VERDICT r12 #3: `.where(col('ds') >= date'...')` on a
+    date-partitioned table — the single most common lakehouse
+    predicate — must prune through format('txlog'). Date literals
+    normalize to ISO strings; date partition tokens are ISO
+    strings; code-point order is date order."""
+    import datetime as dt
+    from pyspark.sql.datasource import (GreaterThanOrEqual,
+                                        LessThan)
+
+    root = tempfile.mkdtemp(prefix="txdate_") + "/t"
+    df = spark.range(40).select(
+        F.col("id").alias("k"),
+        F.date_add(F.lit("2024-03-01").cast("date"),
+                   (F.col("id") % 4 * 7).cast("int")).alias("ds"))
+    (df.coalesce(1).write.format("txlog").mode("append")
+     .option("partition_by", "ds").save(root))
+    snap = T.snapshot(root)
+    assert len(snap["files"]) == 4  # one per date partition
+    # range: >= 2024-03-15 keeps the two later partitions
+    r = _reader(root, [GreaterThanOrEqual(
+        ("ds",), dt.date(2024, 3, 15))])
+    assert len(r._kept_paths()) == 2
+    # equality: exactly one partition
+    r2 = _reader(root, [EqualTo(("ds",), dt.date(2024, 3, 8))])
+    assert len(r2._kept_paths()) == 1
+    # a half-open window
+    r3 = _reader(root, [GreaterThanOrEqual(("ds",),
+                                           dt.date(2024, 3, 8)),
+                        LessThan(("ds",), dt.date(2024, 3, 22))])
+    assert len(r3._kept_paths()) == 2
+    # in-list of dates
+    r4 = _reader(root, [In(("ds",), (dt.date(2024, 3, 1),
+                                     dt.date(2024, 3, 22)))])
+    assert len(r4._kept_paths()) == 2
+    # and the results are exact, not just pruned
+    got = (spark.read.format("txlog").load(root)
+           .where(F.col("ds") >= F.lit(dt.date(2024, 3, 15))))
+    assert got.count() == 20
+    assert {r[0] for r in got.select("ds").distinct().collect()} \
+        == {dt.date(2024, 3, 15), dt.date(2024, 3, 22)}
+
+
+def test_timestamp_and_decimal_literals_push_inert(spark):
+    """datetime/Decimal literals PUSH (uniform planner contract)
+    but prune nothing today — no stat source exists for them; the
+    type guards must keep every file surviving and results exact."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from pyspark.sql.datasource import (GreaterThanOrEqual,
+                                        LessThan)
+
+    root = tempfile.mkdtemp(prefix="txtsdec_") + "/t"
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.timestamp_seconds(F.col("id") * 3600).alias("ts"),
+        (F.col("id").cast("decimal(10,2)") / 4).alias("amt"))
+    for b in range(2):
+        T.append(df.where(F.col("k") % 2 == b).coalesce(1),
+                 root, checkpoint_every=0)
+    r = _reader(root, [GreaterThanOrEqual(
+        ("ts",), dt.datetime(1970, 1, 2)),
+        LessThan(("amt",), Decimal("12.50"))])
+    assert (r._conjuncts[0][1], r._conjuncts[1][1]) == (">=", "<")
+    assert len(r._kept_paths()) == 2  # inert: nothing excluded
+    got = (spark.read.format("txlog").load(root)
+           .where("ts >= timestamp'1970-01-02 00:00:00' "
+                  "AND amt < 12.50"))
+    want = df.where("ts >= timestamp'1970-01-02 00:00:00' "
+                    "AND amt < 12.50")
+    assert _rows(got) == _rows(want)
+
+
+def test_date_pushdown_function_api_parity(spark):
+    """The same date window through read_where (the function API's
+    string-literal form) and the format scan agree row-for-row."""
+    import datetime as dt
+
+    root = tempfile.mkdtemp(prefix="txdate2_") + "/t"
+    df = spark.range(60).select(
+        F.col("id").alias("k"),
+        F.date_add(F.lit("2024-06-01").cast("date"),
+                   (F.col("id") % 3 * 10).cast("int")).alias("ds"))
+    (df.coalesce(1).write.format("txlog").mode("append")
+     .option("partition_by", "ds").save(root))
+    fmt = (spark.read.format("txlog").load(root)
+           .where(F.col("ds") >= F.lit(dt.date(2024, 6, 11))))
+    fn = T.read_where(spark, root, "ds >= '2024-06-11'")
+    assert _rows(fmt) == _rows(fn)
+    assert fmt.count() == 40

@@ -112,9 +112,12 @@ def test_bloom_sidecars_built_by_writer_tasks(spark):
 
 def test_refusals_route_to_function_api(spark):
     df = _df(spark)
+    # r13: conjunct-shaped constraints now validate arrow-side —
+    # only NON-conjunct predicates (ORs, functions, col-to-col)
+    # keep the refusal
     root_c = tempfile.mkdtemp(prefix="txw_rc_") + "/t"
     T.append(df, root_c, checkpoint_every=0)
-    T.add_constraint(root_c, "k_pos", "k >= 0")
+    T.add_constraint(root_c, "odd_or_low", "k % 2 = 1 OR k < 10")
     with pytest.raises(Exception, match="CHECK constraints"):
         df.write.format("txlog").mode("append").save(root_c)
     root_g = tempfile.mkdtemp(prefix="txw_rg_") + "/t"
@@ -370,3 +373,53 @@ def test_all_column_partition_refused(spark):
     (df.write.format("txlog").mode("append")
      .option("partition_by", "a").save(root))
     assert T.read(spark, root).count() == 6
+
+
+def test_conjunct_constraints_enforce_arrow_side(spark):
+    """r13 (VERDICT r12 #4): conjunct-shaped CHECK constraints
+    validate IN the arrow tasks with enforcement parity vs
+    append() — a clean write lands, a violating write raises and
+    commits NOTHING, and NULLs pass (SQL CHECK semantics)."""
+    root = tempfile.mkdtemp(prefix="txw_cc_") + "/t"
+    T.append(_df(spark, 0, 50), root, checkpoint_every=0)
+    T.add_constraint(root, "k_pos", "k >= 0")
+    T.add_constraint(root, "named", "name IS NOT NULL AND g < 100")
+    ok = _df(spark, 50, 80)
+    ok.write.format("txlog").mode("append").save(root)
+    assert T.read(spark, root).count() == 80
+    v_before = T.snapshot(root)["version"]
+    bad = spark.range(3).select(
+        (F.col("id") - 7).alias("k"), F.col("id").alias("g"),
+        F.concat(F.lit("n-"), F.col("id")).alias("name"))
+    with pytest.raises(Exception, match="k_pos|ConstraintViolation"):
+        bad.write.format("txlog").mode("append").save(root)
+    # enforcement parity: append() refuses the same frame
+    with pytest.raises(Exception, match="k_pos"):
+        T.append(bad, root, checkpoint_every=0)
+    assert T.snapshot(root)["version"] == v_before  # nothing landed
+    assert T.read(spark, root).count() == 80
+    # the failed tasks' staged files are vacuum-reclaimable orphans
+    T.vacuum(root, retention_seconds=0)
+    assert T.read(spark, root).count() == 80
+    # NULL passes: a NULL k row satisfies CHECK (k >= 0)
+    nulls = spark.sql(
+        "SELECT cast(null as bigint) k, cast(1 as bigint) g, "
+        "'x' name")
+    nulls.write.format("txlog").mode("append").save(root)
+    assert T.read(spark, root).where("k is null").count() == 1
+    # ...but a NULL name still violates the notnull conjunct
+    with pytest.raises(Exception, match="named"):
+        (spark.sql("SELECT cast(5 as bigint) k, cast(1 as bigint) "
+                   "g, cast(null as string) name")
+         .write.format("txlog").mode("append").save(root))
+
+
+def test_constraint_type_mismatch_refuses_at_plan(spark):
+    """A constraint whose literal cannot compare against the column
+    type in arrow refuses at PLAN time with a routing message."""
+    root = tempfile.mkdtemp(prefix="txw_ct_") + "/t"
+    T.append(_df(spark), root, checkpoint_every=0)
+    T.add_constraint(root, "weird", "k >= 'abc'")
+    with pytest.raises(Exception,
+                       match="does not evaluate|append"):
+        _df(spark).write.format("txlog").mode("append").save(root)

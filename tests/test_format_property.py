@@ -15,7 +15,7 @@ from hypothesis import strategies as st
 
 from gcp_data_engineering_workshop_spark.sources import txlog as T
 
-_COLS = ("i", "f", "s", "p")
+_COLS = ("i", "f", "s", "p", "d", "m")
 _OPS = ("<", "<=", ">", ">=", "=", "==")
 
 _lit_int = st.integers(min_value=-50, max_value=150)
@@ -24,6 +24,13 @@ _lit_float = st.floats(min_value=-50, max_value=150,
                        width=32).map(lambda v: round(v, 3))
 _lit_str = st.sampled_from(
     ["", "a", "abc", "zzz", "s1", "s-17"])
+# date literals straddling the generated domain (2024-01-01 .. +12d)
+# plus out-of-range ends; decimal literals on and off the value grid
+_lit_date = st.sampled_from(
+    ["2023-12-31", "2024-01-01", "2024-01-04", "2024-01-06",
+     "2024-01-07", "2024-01-13", "2024-02-01"])
+_lit_dec = st.sampled_from(
+    ["0.00", "7.25", "12.50", "12.51", "-3.00", "29.75"])
 
 
 def _render(lit) -> str:
@@ -37,6 +44,17 @@ _cmp_clause = st.sampled_from(("i", "f", "p", "s")).flatmap(
         st.just(c), st.sampled_from(_OPS),
         _lit_str if c == "s" else st.one_of(_lit_int, _lit_float))
 ).map(lambda t: f"{t[0]} {t[1]} {_render(t[2])}")
+
+# r13 (VERDICT r12 #3): date and decimal literals push through
+# pushFilters' normalization — dates prune via ISO partition
+# tokens, decimals ride the inert-but-pushed path
+_date_clause = st.tuples(
+    st.sampled_from(_OPS), _lit_date
+).map(lambda t: f"d {t[0]} date '{t[1]}'")
+
+_dec_clause = st.tuples(
+    st.sampled_from(_OPS), _lit_dec
+).map(lambda t: f"m {t[0]} {t[1]}")
 
 _null_clause = st.tuples(
     st.sampled_from(_COLS),
@@ -59,7 +77,8 @@ _between_clause = st.tuples(
                 f" AND {max(t[1], t[2])}")
 
 _comparison = st.one_of(_cmp_clause, _cmp_clause, _null_clause,
-                        _in_clause, _like_clause, _between_clause)
+                        _in_clause, _like_clause, _between_clause,
+                        _date_clause, _dec_clause)
 
 # NOT wraps push as Not(...) filters the translation deliberately
 # skips — the residual filter must carry the whole predicate
@@ -82,7 +101,10 @@ def tables(spark, tmp_path_factory):
         " if(id % 13 = 0, cast('NaN' as double),"
         "  cast(id - 40 as double))) as f",
         "if(id % 7 = 0, '', concat('s', id % 19)) as s",
-        "cast(id % 3 as int) as p").coalesce(1))
+        "cast(id % 3 as int) as p",
+        "if(id % 17 = 0, cast(null as date), date_add("
+        "date'2024-01-01', cast(id % 5 as int) * 3)) as d",
+        "cast(id as decimal(10,2)) / 4 as m").coalesce(1))
     flat = str(base / "flat")
     part = str(base / "part")
     for lo in range(0, 120, 30):  # 4 range-clustered files
@@ -91,7 +113,11 @@ def tables(spark, tmp_path_factory):
     T.delete_where(spark, flat, "i >= 100 AND i < 110", mode="dv")
     T.append(mk(0, 120), part, partition_by=["p"],
              checkpoint_every=0)
-    return flat, part
+    # a DATE-partitioned twin: ISO tokens must prune date literals
+    dpart = str(base / "dpart")
+    T.append(mk(0, 120), dpart, partition_by=["d"],
+             checkpoint_every=0)
+    return flat, part, dpart
 
 
 def _norm(v):
