@@ -348,3 +348,47 @@ def test_date_pushdown_function_api_parity(spark):
     fn = T.read_where(spark, root, "ds >= '2024-06-11'")
     assert _rows(fmt) == _rows(fn)
     assert fmt.count() == 40
+
+
+def test_explicit_narrow_schema_reads_only_named_columns(
+        spark, monkeypatch):
+    """Missing #3 (API-blocked for .select(): the 4.1 Python DS API
+    has no pruneColumns hook) — the EXPLICIT-SCHEMA idiom is the
+    column-pruned read today: ``.schema(narrow)`` on
+    format('txlog') must read ONLY the named physical columns from
+    each parquet file. The spy wraps pq.ParquetFile in-process and
+    drives the reader's read() directly (the same code executors
+    run)."""
+    import pyarrow.parquet as pq
+
+    root = _mk_range_table(spark)
+    snap = T.snapshot(root)
+    narrow = StructType.fromJson(json.loads(snap["schema"]))
+    narrow = StructType([f for f in narrow.fields
+                         if f.name == "k"])
+    rdr = T.TxLogBatchReader({"path": root}, narrow, snap, root)
+    parts = rdr.partitions()
+    calls: list = []
+    real = pq.ParquetFile
+
+    class Spy(real):
+        def read(self, columns=None, **kw):
+            calls.append(columns)
+            return super().read(columns=columns, **kw)
+
+    monkeypatch.setattr(pq, "ParquetFile", Spy)
+    total = sum(b.num_rows for p in parts for b in rdr.read(p))
+    assert total == 1000
+    assert calls and all(c == ["k"] for c in calls), calls
+    # end-to-end: the narrow scan returns exactly the named column
+    got = (spark.read.format("txlog").schema("k bigint").load(root)
+           .where("k >= 998"))
+    assert got.columns == ["k"]
+    assert sorted(r[0] for r in got.collect()) == [998, 999]
+    # ...and under a column mapping, the narrow LOGICAL name reads
+    # its PHYSICAL column
+    T.rename_column(root, "k", "key")
+    got2 = (spark.read.format("txlog").schema("key bigint")
+            .load(root).where("key < 2"))
+    assert got2.columns == ["key"]
+    assert sorted(r[0] for r in got2.collect()) == [0, 1]

@@ -880,3 +880,60 @@ def test_ann_ivf_two_level_full_probe_matches_flat(spark, sf_dir):
     want = sorted(tuple(r) for r in S.ann_ivf_topk(
         emb, n_queries=10, k=5, n_lists=16, n_probe=16).collect())
     assert got == want and len(got) > 0
+
+
+def test_ann_index_append_equals_rebuild(spark, sf_dir, tmp_path):
+    """r13 (VERDICT r12 #6): ann_index_append routes new vectors
+    through the SAVED quantizer into the existing layout — no
+    rebuild, no retrain. At n_probe == n_lists the appended index
+    answers EQUAL the full-rebuild index's (exact contract); the
+    sidecar is byte-identical; old files are untouched; and at
+    default probe the appended rows obey the saved routing rule."""
+    import json
+    import os
+
+    import numpy as np
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    half1 = emb.where(F.col("vec_id") % 2 == 0)
+    half2 = emb.where(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "ivf_inc")
+    n_lists = S.ann_index_build(half1, idx, n_lists=8)
+    side_before = open(os.path.join(idx, "centroids.json")).read()
+    files_before = {
+        os.path.join(dp, f): os.path.getmtime(os.path.join(dp, f))
+        for dp, _, fs in os.walk(os.path.join(idx, "lists"))
+        for f in fs if f.endswith(".parquet")}
+    n = S.ann_index_append(half2, idx)
+    assert n == half2.count()
+    # sidecar unchanged, old files untouched
+    assert open(os.path.join(idx, "centroids.json")).read() \
+        == side_before
+    for p, mt in files_before.items():
+        assert os.path.getmtime(p) == mt, p
+    # exact contract: full probe == brute force over the FULL corpus
+    q = emb.where(F.col("vec_id") < 10)
+    got = sorted(tuple(r) for r in
+                 S.ann_index_topk(spark, idx, q, k=5,
+                                  n_probe=n_lists).collect())
+    want = sorted(tuple(r) for r in
+                  S.ann_topk(emb, n_queries=10, k=5).collect())
+    assert got == want and len(got) > 0
+    # routing rule: every appended row sits in the list the SAVED
+    # centroids assign it (what a rebuild with this quantizer does)
+    side = json.loads(side_before)
+    cent = np.asarray(side["centroids"], dtype=np.float64)
+    rows = (spark.read.parquet(os.path.join(idx, "lists"))
+            .where(F.col("vec_id") % 2 == 1).collect())
+    assert rows
+    for r in rows:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        assert int((cent @ v).argmax()) == r.list_id
+    # default-probe recall bound over the grown corpus (the C88
+    # recall contract carried to the appended index)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in S.ann_topk(emb, n_queries=10, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in
+              S.ann_index_topk(spark, idx, q, k=5,
+                               n_probe=3).collect()}
+    assert len(exact & approx) / len(exact) >= 0.6
