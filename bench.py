@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     # r12 additions:
     "txlog_backfill_scan",   # E22 sidecar-only bloom back-fill
     "txlog_pushdown_scan",   # E23/E24 native writer + pushed-filter scan
+    # r13 addition:
+    "txlog_checkpoint_scan",  # E22 columnar-checkpoint resolution + DML
 ]
 
 

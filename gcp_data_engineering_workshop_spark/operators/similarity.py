@@ -1315,7 +1315,13 @@ def ann_index_append(emb: DataFrame, index_dir: str) -> int:
     assigned = emb.select(
         "vec_id", "embedding",
         assign_udf("embedding").alias("list_id"))
+    # co-locate each list's rows before the partitioned write: a
+    # small ingest batch scatters over up to n_lists lists, and an
+    # unshuffled partitionBy would open one tiny file per (task,
+    # list) SEQUENTIALLY per task — the repartition makes the write
+    # one file per touched list, opened in parallel
     (assigned.select("vec_id", "embedding", "list_id")
+        .repartition(F.col("list_id"))
         .write.mode("append").partitionBy("list_id")
         .parquet(os.path.join(index_dir, "lists")))
     return emb.count()

@@ -2512,6 +2512,18 @@ def _prune_survives(m: dict, conjuncts: list[tuple], types: dict,
     for col, op, lit in conjuncts:
         pcol = cmap.get(col, col)  # physical key for raw
         # file-side metadata (nulls / partition tokens)
+        if op == "in":
+            # IN-list (r13): the file survives if ANY value might
+            # hit — one metadata pass for the whole list instead of
+            # one pass per value
+            st = stats.get(col)
+            if st is not None:
+                is_f = col in float_cols \
+                    or isinstance(st[0], float)
+                if all(_stat_excludes(st, "=", v, is_f)
+                       for v in lit):
+                    return False
+            continue
         if op in ("isnull", "notnull"):
             # NULL-count skipping (r11): a partition token is
             # definitive for its column (None = every row NULL);
@@ -2589,7 +2601,7 @@ def _files_possibly_matching(snap: dict,
     # into the old name) would otherwise mis-prune (code-review r11)
     bloom_cols = set((snap.get("bloom") or {}).get("cols", []))
     eq_conjs = [(c, l) for c, o, l in conjuncts
-                if o in ("=", "==") and c in bloom_cols]
+                if o in ("=", "==", "in") and c in bloom_cols]
     files = snap["files"]
     store = files._store if isinstance(files, _LazyFiles) else None
     survivors: list[tuple]  # (path, meta)
@@ -2664,8 +2676,12 @@ def _files_possibly_matching(snap: dict,
         excluded = False
         if eq_conjs and "bloom" in m and snap_root:
             for col, op, lit in conjuncts:
-                if op not in ("=", "==") or col not in bloom_cols:
+                if op not in ("=", "==", "in") \
+                        or col not in bloom_cols:
                     continue
+                # an IN survives when ANY value might hit; a plain
+                # equality is the one-value case of the same rule
+                lits = tuple(lit) if op == "in" else (lit,)
                 pcol = cmap.get(col, col)
                 # sidecars are PHYSICALLY keyed (ADVICE r11): a
                 # reused logical name can never revive a stale entry
@@ -2676,19 +2692,20 @@ def _files_possibly_matching(snap: dict,
                     ent = _bloom_probe_entry(
                         snap_root, m["bloom"],
                         os.path.basename(p), pcol)
-                    if ent is not None and \
-                            not _bloom_might_contain(ent, lit):
+                    if ent is not None and all(
+                            not _bloom_might_contain(ent, v)
+                            for v in lits):
                         excluded = True
                         break
                 elif spark is not None:
-                    pending.append((p, m["bloom"], pcol, lit))
+                    pending.append((p, m["bloom"], pcol, lits))
         if not excluded:
             keep.append(p)
     if pending and spark is not None:
         root_abs = os.path.abspath(snap_root)
 
         def _probe(job):
-            p, ref, pcol, lit = job
+            p, ref, pcol, lits = job  # lits: tuple of candidates
             path = os.path.join(
                 root_abs, ref["path"] if isinstance(ref, dict)
                 else ref)
@@ -2702,8 +2719,9 @@ def _files_possibly_matching(snap: dict,
                 sc = sc.get(ref.get("key", os.path.basename(p))) \
                     or {}
             ent = sc.get(pcol)
-            if ent is not None and \
-                    not _bloom_might_contain(ent, lit):
+            if ent is not None and all(
+                    not _bloom_might_contain(ent, v)
+                    for v in lits):
                 return p
             return None
 
@@ -5122,19 +5140,16 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
             snap = self._snap
             if not snap["files"]:
                 return []
-            keep = set(
-                _files_possibly_matching(snap, self._conjuncts,
-                                         self.root, None)
-                if self._conjuncts else snap["files"])
-            for col, vals in self._in_lists:
-                union: set = set()
-                for v in vals:
-                    union.update(_files_possibly_matching(
-                        snap, [(col, "=", v)], self.root, None))
-                    if len(union) == len(snap["files"]):
-                        break  # nothing left to prune
-                keep &= union
-            return sorted(keep)
+            # IN-lists join the conjunct pass as ("in", values)
+            # tuples (r13): ONE metadata pass for the whole
+            # predicate instead of one full pass per in-list value
+            conj = self._conjuncts + [
+                (col, "in", tuple(vals))
+                for col, vals in self._in_lists]
+            if not conj:
+                return sorted(snap["files"])
+            return sorted(_files_possibly_matching(
+                snap, conj, self.root, None))
 
         def partitions(self):
             snap = self._snap

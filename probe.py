@@ -47,7 +47,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from gcp_data_engineering_workshop_spark.session import get_spark
 from gcp_data_engineering_workshop_spark.plans import textpipeline as tp
 from gcp_data_engineering_workshop_spark.operators.similarity import (
-    ann_index_build, ann_index_topk, knn_graph_ivf)
+    ann_index_append, ann_index_build, ann_index_topk, knn_graph_ivf)
 
 from examples.scale_probe_r6 import build_docs_dir, WORK  # corpus builder
 
@@ -261,6 +261,68 @@ def run_ann_index_leg(spark) -> dict:
     row["exp_query_10_100"] = round(
         math.log10(row["t_query_x100"] / row["t_query_x10"]), 3)
     row["pruned_ok"] = row["pruned_fraction_x100"] <= 0.2
+    # APPEND tier (r13, VERDICT r12 #6): admit the SAME-SIZE fresh
+    # slice into the x10 AND x100 indexes through their saved
+    # quantizers — no rebuild. The scale contract is that append
+    # cost tracks the INGEST BATCH (its touched lists), not the
+    # index size: a rebuild grows with the corpus (t_build 10x
+    # across the decade), the append must stay ~flat. Queries on
+    # the grown corpus still answer; sidecars stay byte-identical.
+    from pyspark.sql import functions as F
+    for k in (10, 100):
+        idx = os.path.join(WORK, f"annidx{k}")
+        d = build_emb_dir(k)
+        emb = spark.read.parquet(
+            os.path.join(d, "embeddings.parquet"))
+        side_before = open(
+            os.path.join(idx, "centroids.json")).read()
+        fresh = (emb.where("vec_id < 2000")
+                 .withColumn("vec_id",
+                             F.col("vec_id") + 900_000_000))
+        # touched-list count (driver-side 2000 x dim GEMM against
+        # the saved sidecar): the batch scatters over ~min(batch,
+        # n_lists) partitions, and THAT is what append cost tracks
+        side_c = np.asarray(json.loads(side_before)["centroids"],
+                            dtype=np.float64)
+        batch_m = np.array(
+            [r.embedding for r in fresh.select("embedding")
+             .collect()], dtype=np.float64)
+        row[f"touched_lists_x{k}"] = int(len(set(
+            (batch_m @ side_c.T).argmax(axis=1).tolist())))
+        t0 = time.monotonic()
+        n_app = ann_index_append(fresh, idx)
+        row[f"t_append_x{k}"] = round(time.monotonic() - t0, 3)
+        row[f"append_rows_x{k}"] = n_app
+        q = emb.where("vec_id < 8")
+        t0 = time.monotonic()
+        row[f"topk_rows_after_append_x{k}"] = ann_index_topk(
+            spark, idx, queries=q, k=5, n_probe=8).count()
+        row[f"t_query_after_append_x{k}"] = round(
+            time.monotonic() - t0, 3)
+        row[f"append_sidecar_ok_x{k}"] = (
+            open(os.path.join(idx, "centroids.json")).read()
+            == side_before)
+    row["exp_append_10_100"] = round(math.log10(max(
+        row["t_append_x100"], 1e-3) / max(
+        row["t_append_x10"], 1e-3)), 3)
+    # the durable claim: per-TOUCHED-LIST append cost is flat
+    # across the decade (total cost tracks the batch's partition
+    # fan-out — n_lists grows n/256, so a same-size diverse batch
+    # legitimately touches ~10x the lists at x100 — never the
+    # corpus size; a rebuild pays the whole corpus instead)
+    row["ms_per_list_x10"] = round(1000 * row["t_append_x10"]
+                                   / row["touched_lists_x10"], 2)
+    row["ms_per_list_x100"] = round(1000 * row["t_append_x100"]
+                                    / row["touched_lists_x100"], 2)
+    row["append_ok"] = (
+        row["append_rows_x10"] == 2000
+        and row["append_rows_x100"] == 2000
+        and row["topk_rows_after_append_x100"]
+        == row["topk_rows_x100"]
+        and row["append_sidecar_ok_x10"]
+        and row["append_sidecar_ok_x100"]
+        and row["ms_per_list_x100"]
+        <= 2 * row["ms_per_list_x10"])
     # the regression comparator keys off exp_10_100; expose the
     # query exponent there (the build is a one-time cost)
     row["exp_10_100"] = row["exp_query_10_100"]
@@ -921,7 +983,9 @@ def run_txlog_pushdown_leg(spark) -> dict:
                          LessThan(("k",), hi)])
         cand = rdr._kept_paths()
         row[f"files_candidate_{k}"] = len(cand)
-        row[f"pruned_fraction_x100_{k}"] = round(
+        # planned-file PERCENTAGE (renamed from the ambiguous
+        # pruned_fraction_x100_* — VERDICT r12 nit)
+        row[f"planned_pct_{k}"] = round(
             100.0 * len(cand) / len(snap["files"]), 2)
         t0 = time.monotonic()
         got = (spark.read.format("txlog").load(root)
@@ -936,8 +1000,8 @@ def run_txlog_pushdown_leg(spark) -> dict:
         # boundaries are sampled, so allow one boundary straddle)
         row["files_candidate_x100"] <= row["files_candidate_x10"] + 1
         and row["files_candidate_x100"] <= 3
-        and row["pruned_fraction_x100_x100"]
-        <= row["pruned_fraction_x100_x10"] / 5)
+        and row["planned_pct_x100"]
+        <= row["planned_pct_x10"] / 5)
     return row
 
 
