@@ -1254,17 +1254,9 @@ def ann_index_build(emb: DataFrame, out_dir: str, n_lists: int = 16,
                                     block_probe=1,
                                     carry_embedding=True)
     else:
-        def _assign(embs):
-            mat = np.vstack(embs.to_numpy()).astype(np.float64)
-            return pd.Series(
-                (mat @ cent.T).argmax(axis=1).astype(np.int32))
-
-        _assign.__annotations__ = {"embs": pd.Series,
-                                   "return": pd.Series}
-        assign_udf = pandas_udf(_assign, "int")
         assigned = emb.select(
             "vec_id", "embedding",
-            assign_udf("embedding").alias("list_id"))
+            _flat_assign_udf(cent)("embedding").alias("list_id"))
 
     (assigned.select("vec_id", "embedding", "list_id")
         .write.mode("overwrite").partitionBy("list_id")
@@ -1273,6 +1265,26 @@ def ann_index_build(emb: DataFrame, out_dir: str, n_lists: int = 16,
         _json.dump({"n_lists": n_lists, "centroids": cent.tolist()},
                    fh)
     return n_lists
+
+
+def _flat_assign_udf(cent: np.ndarray):
+    """The flat IVF routing rule as a pandas UDF — dot-product
+    argmax against ``cent``. SINGLE-SOURCED for ann_index_build's
+    flat branch AND ann_index_append: the append's exactness
+    contract (appended rows land exactly where a rebuild with the
+    same quantizer would put them) is definitionally true only
+    while both paths share this function."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _assign(embs):
+        mat = np.vstack(embs.to_numpy()).astype(np.float64)
+        return pd.Series(
+            (mat @ cent.T).argmax(axis=1).astype(np.int32))
+
+    _assign.__annotations__ = {"embs": pd.Series,
+                               "return": pd.Series}
+    return pandas_udf(_assign, "int")
 
 
 def ann_index_append(emb: DataFrame, index_dir: str) -> int:
@@ -1297,34 +1309,30 @@ def ann_index_append(emb: DataFrame, index_dir: str) -> int:
     import json as _json
     import os
 
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
     side = _json.load(open(os.path.join(index_dir,
                                         "centroids.json")))
     cent = np.asarray(side["centroids"], dtype=np.float64)
-
-    def _assign(embs):
-        mat = np.vstack(embs.to_numpy()).astype(np.float64)
-        return pd.Series(
-            (mat @ cent.T).argmax(axis=1).astype(np.int32))
-
-    _assign.__annotations__ = {"embs": pd.Series,
-                               "return": pd.Series}
-    assign_udf = pandas_udf(_assign, "int")
     assigned = emb.select(
         "vec_id", "embedding",
-        assign_udf("embedding").alias("list_id"))
+        _flat_assign_udf(cent)("embedding").alias("list_id"))
     # co-locate each list's rows before the partitioned write: a
     # small ingest batch scatters over up to n_lists lists, and an
     # unshuffled partitionBy would open one tiny file per (task,
     # list) SEQUENTIALLY per task — the repartition makes the write
-    # one file per touched list, opened in parallel
-    (assigned.select("vec_id", "embedding", "list_id")
-        .repartition(F.col("list_id"))
-        .write.mode("append").partitionBy("list_id")
-        .parquet(os.path.join(index_dir, "lists")))
-    return emb.count()
+    # one file per touched list, opened in parallel. The persist
+    # pins ONE evaluation, so the returned count describes exactly
+    # the rows the write landed (a non-deterministic ingest source
+    # re-counted after the fact could disagree — code-review r13)
+    assigned = assigned.select(
+        "vec_id", "embedding", "list_id").persist()
+    try:
+        n = assigned.count()
+        (assigned.repartition(F.col("list_id"))
+            .write.mode("append").partitionBy("list_id")
+            .parquet(os.path.join(index_dir, "lists")))
+    finally:
+        assigned.unpersist()
+    return n
 
 
 def ann_index_topk(spark, index_dir: str, queries: DataFrame,

@@ -387,17 +387,28 @@ class _LazyFiles(MutableMapping):
             self._removed.discard(p)
             raise KeyError(p)
 
+    def discard(self, p: str) -> None:
+        """Remove-if-present WITHOUT resolving the store (the
+        snapshot-replay hot path: a remove action's meta is never
+        needed, and resolving it would force the full path index a
+        million-file replay exists to avoid). A tombstone for a
+        path the store never had is harmless."""
+        self._added.pop(p, None)
+        self._removed.add(p)
+
     def pop(self, p, *default):
-        # the replay hot path: remove-if-present without forcing
-        # the store index when a default is given
-        had = self._added.pop(p, None)
-        if had is not None:
-            self._removed.add(p)
-            return had
-        if default:
-            self._removed.add(p)
-            return default[0]
-        return MutableMapping.pop(self, p)
+        # full Mapping semantics (returns the STORED meta even when
+        # it lives in the checkpoint store — code-review r13); hot
+        # paths that don't need the value use discard()
+        try:
+            m = self[p]
+        except KeyError:
+            if default:
+                return default[0]
+            raise
+        self._added.pop(p, None)
+        self._removed.add(p)
+        return m
 
     def __iter__(self):
         yield from self._added
@@ -585,11 +596,17 @@ def snapshot(root: str, version: int | None = None) -> dict:
         if v <= start or v > version:
             continue
         entry = json.load(open(_version_file(root, v)))
+        lazy = isinstance(live, _LazyFiles)
         for a in entry["actions"]:
             if "add" in a:
                 live[a["add"]["path"]] = a["add"]
             elif "remove" in a:
-                live.pop(a["remove"]["path"], None)
+                # discard() never resolves the store (a remove's
+                # meta is unused); pop on a plain dict is the same
+                if lazy:
+                    live.discard(a["remove"]["path"])
+                else:
+                    live.pop(a["remove"]["path"], None)
         if "batch_id" in entry:
             app = entry.get("app_id", "stream")
             txn[app] = max(txn.get(app, -1), entry["batch_id"])
@@ -2630,29 +2647,29 @@ def _files_possibly_matching(snap: dict,
                 .collect())
         dead = files._removed | set(files._added)
         survivors = []
-        overlay = {}
         for r in rows:
             if r["path"] in dead:
                 continue  # suffix removed/shadowed this path
-            m = json.loads(r["meta"])
-            overlay[r["path"]] = m
-            survivors.append((r["path"], m))
-        store._overlay.update(overlay)
+            survivors.append((r["path"], json.loads(r["meta"])))
+        if len(survivors) <= 10_000:
+            # seed the store overlay so planners resolve survivors
+            # without the full path index — bounded exactly like the
+            # driver branch (an unselective predicate must not pin
+            # a million parsed metas in the process-global store
+            # cache — code-review r13)
+            store._overlay.update(dict(survivors))
         # the suffix's own adds evaluate driver-side (small)
         survivors.extend(
             (p, m) for p, m in files._added.items()
             if _prune_survives(m, conjuncts, types, float_cols,
                                cmap, inv))
         if eq_conjs:
-            # regime choice only (never correctness): count the
-            # bloom-carrying files JVM-side — the substring test can
-            # overcount if a data column is literally named "bloom",
-            # which at worst flips to the spark-job probe path
-            from pyspark.sql import functions as F
-            n_bloom_cand = cp_df.where(
-                F.col("meta").contains('"bloom"')).count()
-            n_bloom_cand += sum(
-                1 for m in files._added.values() if "bloom" in m)
+            # regime choice: only SURVIVORS are ever bloom-probed,
+            # and their metas are already driver-side — no extra
+            # Spark job, and the count reflects the actual number
+            # of sidecar loads the driver would do
+            n_bloom_cand = sum(1 for _p, m in survivors
+                               if "bloom" in m)
     else:
         survivors = [
             (p, m) for p, m in files.items()
@@ -3759,9 +3776,7 @@ def vacuum(root: str, retention_seconds: float = 3600.0,
         _cpm, cpfiles = loaded
         # columnar checkpoints iterate off the arrow buffers; bloom
         # and dv refs live inside the meta JSON either way
-        for p, m in (cpfiles.items()
-                     if isinstance(cpfiles, _LazyFiles)
-                     else cpfiles.items()):
+        for p, m in cpfiles.items():
             referenced.add(p)
             if "bloom" in m:
                 ref = m["bloom"]
