@@ -15,7 +15,11 @@ wire compatibility.
 Layout under a table root:
     _txlog/00000000000000000001.json      one commit = one version
     _txlog/00000000000000000002.json
-    _txlog/checkpoint-<V>.json            full live-file snapshot
+    _txlog/checkpoint-<V>.json            table state + a pointer to
+    _txlog/checkpoint-<V>.files.parquet   the COLUMNAR live-file set
+                                          (r13; legacy checkpoints
+                                           inline "files" JSON and
+                                           still read)
     part-<uuid>.parquet                   immutable data files
     col=value/part-<uuid>.parquet         (hive-partitioned tables,
                                            r11: spec recorded in the
@@ -42,12 +46,18 @@ Guarantees (each pytest-enforced):
   the paper's VACUUM, deep-history time travel is bounded by the
   retention window once checkpoints exist (see vacuum()).
 - CHECKPOINTS: every ``checkpoint_every`` commits the full live set
-  (plus the per-app streaming txn watermarks) is written as
-  checkpoint-<V>.json; readers start from the newest checkpoint <=
+  (plus the per-app streaming txn watermarks) is written as a
+  COLUMNAR pair — checkpoint-<V>.files.parquet for the file
+  entries, checkpoint-<V>.json for the table-level state (r13, the
+  Delta parquet-checkpoint shape; legacy inline-JSON checkpoints
+  still read). Readers start from the newest usable checkpoint <=
   target and replay only the suffix — O(1) resolution at steady
-  state, the property that makes a million-commit table readable.
-  The stream sink's idempotence check and vacuum's reference scan
-  ride the same suffix bound.
+  state, the property that makes a million-commit table readable —
+  and the file entries load LAZILY through a shared arrow store
+  with a per-(root, version) snapshot cache, so a million-FILE
+  table resolves in sub-millisecond too and a pruned plan
+  materializes only its survivors. The stream sink's idempotence
+  check and vacuum's reference scan ride the same suffix bound.
 
 FILE-LEVEL GRANULARITY (the r8->r9 upgrade): every add action
 carries per-file min/max column stats lifted from the parquet

@@ -372,6 +372,14 @@ def run_avrolite_zonemap_leg(spark) -> dict:
                     LessThan(("day",), "2005-12-31")])
     row["blocks_opened_string"] = sum(
         len(p.value[1]) for p in rs.partitions())
+    # restore the PRIOR conf value, never a hardcoded default —
+    # session.py defaults this true since r12 and the
+    # format("txlog") legs downstream NEED it (the hardcoded
+    # "false" here crashed the r13 full probe run with
+    # DATA_SOURCE_PUSHDOWN_DISABLED — the exact suite-order bug
+    # class PLANS r12 recorded for the pytest suite)
+    prior = spark.conf.get(
+        "spark.sql.python.filterPushdown.enabled", "false")
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     try:
         t0 = time.monotonic()
@@ -381,12 +389,13 @@ def run_avrolite_zonemap_leg(spark) -> dict:
         row["t_pruned_read"] = round(time.monotonic() - t0, 3)
     finally:
         spark.conf.set("spark.sql.python.filterPushdown.enabled",
-                       "false")
+                       "false")  # the full-read twin needs it OFF
     t0 = time.monotonic()
     row["rows_full_read"] = (
         spark.read.format("avrolite").option("path", d).load()
         .where("id >= 200000 and id < 220000").count())
     row["t_full_read"] = round(time.monotonic() - t0, 3)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", prior)
     row["pruned_ok"] = (
         row["blocks_opened_numeric"] <= 3
         and row["blocks_opened_string"] <= blocks_total // 4)
