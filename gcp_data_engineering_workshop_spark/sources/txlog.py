@@ -1810,6 +1810,123 @@ def _key_collect_ok(n_keys: int, est_bytes: float) -> bool:
             and est_bytes <= _KEY_COLLECT_BYTES)
 
 
+def _collectable_keys(updates: DataFrame, key: str):
+    """(sorted non-NaN key list, has_nan) when the distinct key set
+    passes the collect gate (_key_collect_ok: row count AND
+    estimated bytes), else (None, has_nan_unknown=False). Factored
+    from _files_touching_keys_col so the distributed merge-prune
+    job can ship the same bounded list."""
+    from pyspark.sql import functions as F
+
+    ks_df = updates.select(F.col(key).alias("_k")).distinct()
+    dt = updates.schema[key].dataType.simpleString()
+    if dt in ("string", "binary"):
+        row = ks_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.length("_k")).alias("w")).collect()[0]
+        n_keys = row["n"]
+        est_bytes = n_keys * ((row["w"] or 0.0)
+                              + _KEY_PYOBJ_OVERHEAD)
+    else:
+        n_keys = ks_df.count()
+        est_bytes = n_keys * 32
+    if not _key_collect_ok(n_keys, est_bytes):
+        return None, False
+    ks = [r[0] for r in ks_df.collect() if r[0] is not None]
+    has_nan = (dt in ("float", "double")
+               and any(k != k for k in ks))
+    return sorted(k for k in ks if k == k), has_nan
+
+
+def _merge_touch_test(m: dict, col_tests: list[tuple],
+                      root_abs: str | None, basename: str) -> bool:
+    """ONE file's conjunctive merge-touch test — shared by the
+    distributed checkpoint job and the driver suffix loop.
+    ``col_tests`` = [(key, phys_key, sorted_keys, has_nan,
+    is_float, blooming)]: the file is touched only if EVERY key
+    column's footer range intersects some update key (missing
+    stats / NaN float keys conservatively pass; bloom refinement
+    can still prove a range-hit absent)."""
+    import bisect
+
+    stats = m.get("stats", {})
+    for key, pcol, ks, has_nan, is_float, blooming in col_tests:
+        st = stats.get(key)
+        if st is None:
+            continue  # no stat: this column can't exclude
+        if is_float and has_nan:
+            continue  # NaN update key matches invisibly: pass
+        lo, hi = st
+        i = bisect.bisect_left(ks, lo)
+        if not (i < len(ks) and ks[i] <= hi):
+            return False  # range proves no key in this file
+        if blooming and root_abs is not None and "bloom" in m:
+            j = bisect.bisect_right(ks, hi)
+            in_range = ks[i:j]
+            if len(in_range) <= _BLOOM_PROBE_BOUND:
+                ent = _bloom_probe_entry(
+                    root_abs, m["bloom"], basename, pcol)
+                if ent is not None and not any(
+                        _bloom_might_contain(ent, kv)
+                        for kv in in_range):
+                    return False
+    return True
+
+
+def _files_touching_keys_dist(spark, files: "_LazyFiles",
+                              updates: DataFrame, keys: list[str],
+                              snap_root: str | None,
+                              bloom_cols: set,
+                              colmap: dict) -> list[str] | None:
+    """Distributed merge-prune over a COLUMNAR checkpoint (r13):
+    when the merge key sets pass the collect gate, ONE Spark job
+    over the checkpoint parquet evaluates the conjunctive
+    range+bloom touch test executor-side (key lists ship as a
+    broadcast, sidecars read where the files live), and the driver
+    evaluates only the log suffix — a bounded daily upsert against
+    a million-file table plans O(touched + suffix) driver-side
+    instead of parsing a million metas. Returns None when any key
+    column's distinct set exceeds the collect gate (the caller's
+    batched-aggregate regime takes over, honestly O(files))."""
+    col_tests: list[tuple] = []
+    for k in keys:
+        ks, has_nan = _collectable_keys(updates, k)
+        if ks is None:
+            return None
+        dt = updates.schema[k].dataType.simpleString()
+        col_tests.append((
+            k, (colmap or {}).get(k, k), ks, has_nan,
+            dt in ("float", "double"), k in (bloom_cols or ())))
+    store = files._store
+    root_abs = (os.path.abspath(snap_root)
+                if snap_root is not None else None)
+    _ship_package(spark)
+    b_tests = spark.sparkContext.broadcast(col_tests)
+
+    def _scan(batches):
+        import pandas as _pd
+        tests = b_tests.value
+        for pdf in batches:
+            kp = []
+            for p, mj in zip(pdf["path"], pdf["meta"]):
+                if _merge_touch_test(json.loads(mj), tests,
+                                     root_abs,
+                                     os.path.basename(p)):
+                    kp.append(p)
+            yield _pd.DataFrame({"path": kp})
+
+    rows = (spark.read.parquet(store.path)
+            .mapInPandas(_scan, "path string").collect())
+    b_tests.unpersist()
+    dead = files._removed | set(files._added)
+    touched = [r["path"] for r in rows if r["path"] not in dead]
+    touched.extend(
+        p for p, m in files._added.items()
+        if _merge_touch_test(m, col_tests, root_abs,
+                             os.path.basename(p)))
+    return sorted(touched)
+
+
 def _files_touching_keys(spark, files: dict[str, dict], updates: DataFrame,
                          keys: str | list[str],
                          snap_root: str | None = None,
@@ -1830,6 +1947,21 @@ def _files_touching_keys(spark, files: dict[str, dict], updates: DataFrame,
     it — never the reverse."""
     if isinstance(keys, str):
         keys = [keys]
+    store = files._store if isinstance(files, _LazyFiles) else None
+    if (spark is not None and store is not None
+            and store.n > _DISTRIBUTED_PRUNE_BOUND):
+        # columnar-checkpoint fast path (r13): one Spark job
+        # evaluates the conjunctive touch test over the checkpoint
+        # parquet; the driver sees O(touched + suffix). Falls
+        # through to the per-column machinery when a key set
+        # exceeds the collect gate. (Partitioned/mapped tables
+        # arrive as _pruning_view's materialized dict, never here —
+        # their typed partition-token stats need the driver path.)
+        dist = _files_touching_keys_dist(
+            spark, files, updates, keys, snap_root,
+            bloom_cols or set(), colmap or {})
+        if dist is not None:
+            return dist
     touched: set[str] | None = None
     for k in keys:
         t = set(_files_touching_keys_col(

@@ -192,3 +192,65 @@ def test_lazy_files_survive_full_scan_paths(spark, tmp_path):
     # ...and vacuum reclaims the now-unreferenced optimize output
     assert T.vacuum(root, retention_seconds=0)
     assert _ids(T.read(spark, root)) == list(range(24))
+
+
+def test_distributed_merge_prune_matches_driver(spark, tmp_path,
+                                                monkeypatch):
+    """r13: the merge touch test over the columnar checkpoint (one
+    Spark job) returns exactly the per-column driver machinery's
+    file set — single and composite keys, bloom refinement, NaN
+    float keys, suffix adds and dv shadows."""
+    root = str(tmp_path / "t")
+    T.set_bloom_index(root, ["k"])
+    df = spark.range(600).select(
+        F.col("id").alias("k"), (F.col("id") % 6).alias("g"),
+        (F.col("id") % 97).cast("double").alias("f"))
+    for i in range(4):  # range-clustered files, checkpoint at v5
+        T.append(df.where((F.col("k") >= i * 150)
+                          & (F.col("k") < (i + 1) * 150))
+                 .coalesce(1), root, checkpoint_every=5)
+    T.append(df.where("k < 10").coalesce(1), root,
+             checkpoint_every=5)  # v5 + columnar checkpoint
+    T.append(spark.range(600, 650).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("g"),
+        F.lit(0.5).alias("f")).coalesce(1), root,
+        checkpoint_every=0)  # suffix add
+    T.delete_where(spark, root, "k = 160", checkpoint_every=0,
+                   mode="dv")  # suffix dv shadow
+    snap = T.snapshot(root)
+    assert isinstance(snap["files"], T._LazyFiles)
+    bloom_cols = set(snap["bloom"]["cols"])
+
+    def mk_updates(rows, schema):
+        return spark.createDataFrame(rows, schema)
+
+    cases = [
+        (mk_updates([(155,), (610,)], "k bigint"), ["k"]),
+        (mk_updates([(5, 2), (300, 0)], "k bigint, g bigint"),
+         ["k", "g"]),
+        (mk_updates([(float("nan"),)], "f double"), ["f"]),
+        (mk_updates([(999999,)], "k bigint"), ["k"]),
+    ]
+    for ups, keys in cases:
+        driver = T._files_touching_keys(
+            spark, dict(snap["files"].items()), ups, keys, root,
+            bloom_cols, snap.get("colmap"))
+        monkeypatch.setattr(T, "_DISTRIBUTED_PRUNE_BOUND", 1)
+        dist = T._files_touching_keys(
+            spark, snap["files"], ups, keys, root,
+            bloom_cols, snap.get("colmap"))
+        monkeypatch.setattr(T, "_DISTRIBUTED_PRUNE_BOUND", 50_000)
+        assert dist == driver, (keys, dist, driver)
+    # ...and a real merge through the distributed plan stays exact
+    monkeypatch.setattr(T, "_DISTRIBUTED_PRUNE_BOUND", 1)
+    ups = spark.range(100, 110).select(
+        F.col("id").alias("k"), F.lit(99).cast("long").alias("g"),
+        F.lit(1.0).alias("f"))
+    T.merge_upsert(spark, root, ups, "k", checkpoint_every=0)
+    monkeypatch.setattr(T, "_DISTRIBUTED_PRUNE_BOUND", 50_000)
+    got = T.read(spark, root)
+    assert got.where("g = 99").count() == 10
+    assert got.where("k = 160").count() == 0  # dv held
+    # 600 + 10 duplicated k<10 rows + 50 suffix - 1 dv-deleted;
+    # the merge replaces its 10 matched rows in place
+    assert got.count() == 659
