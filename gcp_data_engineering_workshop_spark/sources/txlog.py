@@ -1839,17 +1839,25 @@ def _collectable_keys(updates: DataFrame, key: str):
 
 
 def _merge_touch_test(m: dict, col_tests: list[tuple],
-                      root_abs: str | None, basename: str) -> bool:
+                      root_abs: str | None, basename: str,
+                      types: dict | None = None,
+                      inv: dict | None = None) -> bool:
     """ONE file's conjunctive merge-touch test — shared by the
     distributed checkpoint job and the driver suffix loop.
     ``col_tests`` = [(key, phys_key, sorted_keys, has_nan,
     is_float, blooming)]: the file is touched only if EVERY key
     column's footer range intersects some update key (missing
     stats / NaN float keys conservatively pass; bloom refinement
-    can still prove a range-hit absent)."""
+    can still prove a range-hit absent). ``types``/``inv`` turn on
+    the EFFECTIVE-stats view (partition tokens as exact [v, v]
+    ranges, physical->logical re-keying) so partitioned and
+    column-mapped tables prune identically to the driver's
+    materialized view."""
     import bisect
 
-    stats = m.get("stats", {})
+    stats = (_effective_stats(m, types, inv)
+             if types is not None or inv is not None
+             else m.get("stats", {}))
     for key, pcol, ks, has_nan, is_float, blooming in col_tests:
         st = stats.get(key)
         if st is None:
@@ -1877,7 +1885,10 @@ def _files_touching_keys_dist(spark, files: "_LazyFiles",
                               updates: DataFrame, keys: list[str],
                               snap_root: str | None,
                               bloom_cols: set,
-                              colmap: dict) -> list[str] | None:
+                              colmap: dict,
+                              types: dict | None = None,
+                              inv: dict | None = None
+                              ) -> list[str] | None:
     """Distributed merge-prune over a COLUMNAR checkpoint (r13):
     when the merge key sets pass the collect gate, ONE Spark job
     over the checkpoint parquet evaluates the conjunctive
@@ -1903,6 +1914,9 @@ def _files_touching_keys_dist(spark, files: "_LazyFiles",
     _ship_package(spark)
     b_tests = spark.sparkContext.broadcast(col_tests)
 
+    ti, iv = ((dict(types) if types is not None else None),
+              (dict(inv) if inv is not None else None))
+
     def _scan(batches):
         import pandas as _pd
         tests = b_tests.value
@@ -1911,7 +1925,8 @@ def _files_touching_keys_dist(spark, files: "_LazyFiles",
             for p, mj in zip(pdf["path"], pdf["meta"]):
                 if _merge_touch_test(json.loads(mj), tests,
                                      root_abs,
-                                     os.path.basename(p)):
+                                     os.path.basename(p),
+                                     ti, iv):
                     kp.append(p)
             yield _pd.DataFrame({"path": kp})
 
@@ -1923,7 +1938,7 @@ def _files_touching_keys_dist(spark, files: "_LazyFiles",
     touched.extend(
         p for p, m in files._added.items()
         if _merge_touch_test(m, col_tests, root_abs,
-                             os.path.basename(p)))
+                             os.path.basename(p), ti, iv))
     return sorted(touched)
 
 
@@ -1931,7 +1946,9 @@ def _files_touching_keys(spark, files: dict[str, dict], updates: DataFrame,
                          keys: str | list[str],
                          snap_root: str | None = None,
                          bloom_cols: set | None = None,
-                         colmap: dict | None = None) -> list[str]:
+                         colmap: dict | None = None,
+                         types: dict | None = None,
+                         inv: dict | None = None) -> list[str]:
     """The live files that MAY hold a row matching some update row
     on the (possibly composite) ``keys`` — the conjunctive
     per-column intersection of the single-column tests: a row in
@@ -1954,14 +1971,21 @@ def _files_touching_keys(spark, files: dict[str, dict], updates: DataFrame,
         # evaluates the conjunctive touch test over the checkpoint
         # parquet; the driver sees O(touched + suffix). Falls
         # through to the per-column machinery when a key set
-        # exceeds the collect gate. (Partitioned/mapped tables
-        # arrive as _pruning_view's materialized dict, never here —
-        # their typed partition-token stats need the driver path.)
+        # exceeds the collect gate. types/inv carry the effective-
+        # stats view into the job, so partitioned and column-mapped
+        # tables prune with their typed partition tokens too.
         dist = _files_touching_keys_dist(
             spark, files, updates, keys, snap_root,
-            bloom_cols or set(), colmap or {})
+            bloom_cols or set(), colmap or {}, types, inv)
         if dist is not None:
             return dist
+    if types is not None or inv is not None:
+        # driver machinery consumes the materialized effective-
+        # stats view (partition tokens as [v, v], logical keying) —
+        # what the call sites built via _pruning_view before r13
+        files = {p: {**m, "stats": _effective_stats(m, types or {},
+                                                    inv)}
+                 for p, m in files.items()}
     touched: set[str] | None = None
     for k in keys:
         t = set(_files_touching_keys_col(
@@ -2299,9 +2323,12 @@ def merge_upsert(spark, root: str, updates: DataFrame,
                     f"only ADD columns")
         _check_constraints(updates, snap.get("constraints", {}))
         touched = _files_touching_keys(
-            spark, _pruning_view(snap), updates, keys, root,
+            spark, snap["files"], updates, keys, root,
             set((snap.get("bloom") or {}).get("cols", [])),
-            colmap=snap.get("colmap")) \
+            colmap=snap.get("colmap"),
+            types=(_schema_types(snap)
+                   if snap.get("partition_by") else None),
+            inv=_inv_colmap(snap)) \
             if snap["files"] else []
         if touched:
             cur = _read_files(spark, root, snap, touched)
@@ -2376,9 +2403,12 @@ def merge_delete(spark, root: str, keys_df: DataFrame,
         snap = snapshot(root)
         probe = keys_df.select(*keys).dropDuplicates(keys)
         touched = _files_touching_keys(
-            spark, _pruning_view(snap), probe, keys, root,
+            spark, snap["files"], probe, keys, root,
             set((snap.get("bloom") or {}).get("cols", [])),
-            colmap=snap.get("colmap")) \
+            colmap=snap.get("colmap"),
+            types=(_schema_types(snap)
+                   if snap.get("partition_by") else None),
+            inv=_inv_colmap(snap)) \
             if snap["files"] else []
         if not touched:
             return snap["version"]  # provably nothing to delete
@@ -2617,20 +2647,6 @@ def _inv_colmap(snap: dict) -> dict[str, str] | None:
     keys arrive LOGICALLY."""
     cmap = snap.get("colmap") or {}
     return ({v: k for k, v in cmap.items()} if cmap else None)
-
-
-def _pruning_view(snap: dict) -> dict[str, dict]:
-    """The live file dict with each file's stats replaced by its
-    EFFECTIVE stats (footer ranges + exact partition values,
-    re-keyed to LOGICAL column names under a column mapping) — what
-    the by-key pruning machinery should see. Plain unpartitioned
-    tables pass through unchanged (zero copy)."""
-    inv = _inv_colmap(snap)
-    if not snap.get("partition_by") and inv is None:
-        return snap["files"]
-    types = _schema_types(snap)
-    return {p: {**m, "stats": _effective_stats(m, types, inv)}
-            for p, m in snap["files"].items()}
 
 
 def _effective_stats(meta: dict, types: dict[str, str],

@@ -739,6 +739,19 @@ def run_txlog_metadata_scale_leg(spark) -> dict:
         row[f"t_prune_{k}"] = round(time.monotonic() - t0, 3)
         row[f"files_candidate_{k}"] = len(cand)
         row[f"rss_mb_prune_{k}"] = _rss_mb()
+        # MERGE planning tier (r13 follow-up): the distributed
+        # touch test over the same checkpoint — a bounded upsert's
+        # key set against 10k/100k/1M files must plan O(touched)
+        # driver-side through one Spark job
+        ups = spark.createDataFrame(
+            [(target,), (target + 1,), (target + 500,)],
+            "k bigint")
+        t0 = time.monotonic()
+        touched = T._files_touching_keys(
+            spark, snap["files"], ups, "k", root, set(), {})
+        row[f"t_merge_prune_{k}"] = round(
+            time.monotonic() - t0, 3)
+        row[f"files_touched_{k}"] = len(touched)
         # incremental checkpoint: one suffix add on top of tier-1
         with open(os.path.join(log, f"{2:020d}.json"), "w") as fh:
             _json.dump({"op": "append", "ts": 0.0, "actions": [
@@ -768,7 +781,8 @@ def run_txlog_metadata_scale_leg(spark) -> dict:
             row[f"t_{phase}_x100k"], 1e-3)), 3)
     row["pruned_ok"] = all(row[f"files_candidate_{k}"] == 1
                            for k, _ in tiers) \
-        and row["planned_tasks_x1m"] == 1
+        and row["planned_tasks_x1m"] == 1 \
+        and all(row[f"files_touched_{k}"] <= 2 for k, _ in tiers)
     return row
 
 

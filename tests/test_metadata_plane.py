@@ -254,3 +254,43 @@ def test_distributed_merge_prune_matches_driver(spark, tmp_path,
     # 600 + 10 duplicated k<10 rows + 50 suffix - 1 dv-deleted;
     # the merge replaces its 10 matched rows in place
     assert got.count() == 659
+
+
+def test_distributed_merge_prune_partitioned_and_mapped(
+        spark, tmp_path, monkeypatch):
+    """r13 follow-up: partitioned AND column-mapped tables ride the
+    distributed merge touch test too — effective stats (typed
+    partition tokens as [v, v], physical->logical re-keying) travel
+    into the job, so pruning matches the driver's materialized view
+    exactly and a real merge stays correct."""
+    root = str(tmp_path / "t")
+    df = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("p"),
+        F.concat(F.lit("n"), F.col("id")).alias("name"))
+    T.append(df, root, checkpoint_every=1, partition_by=["p"])
+    T.rename_column(root, "k", "key")  # colmap epoch
+    snap = T.snapshot(root)
+    assert isinstance(snap["files"], T._LazyFiles)
+    ups = spark.createDataFrame(
+        [(101, 1, "xx"), (105, 1, "yy")],  # both rows live in p=1
+        "key bigint, p bigint, name string")
+    kwargs = dict(
+        snap_root=root, bloom_cols=set(),
+        colmap=snap.get("colmap"),
+        types=T._schema_types(snap), inv=T._inv_colmap(snap))
+    driver = T._files_touching_keys(
+        spark, snap["files"].copy(), ups, ["key", "p"], **kwargs)
+    monkeypatch.setattr(T, "_DISTRIBUTED_PRUNE_BOUND", 1)
+    dist = T._files_touching_keys(
+        spark, snap["files"], ups, ["key", "p"], **kwargs)
+    assert dist == driver
+    # partition-token pruning is LIVE in the job: only p=1 files
+    assert driver and all("p=1" in f for f in driver)
+    # end-to-end merge through the distributed plan
+    T.merge_upsert(spark, root, ups, ["key", "p"],
+                   checkpoint_every=0)
+    monkeypatch.setattr(T, "_DISTRIBUTED_PRUNE_BOUND", 50_000)
+    got = T.read(spark, root)
+    assert got.count() == 400
+    assert sorted(r[0] for r in got.where("key in (101, 105)")
+                  .select("name").collect()) == ["xx", "yy"]
