@@ -1,11 +1,13 @@
 """E22 driver-oracle queries: the transaction-log table format
-exercised END-TO-END against plain-SQL oracles (new r10).
+exercised END-TO-END against plain-SQL oracles (new r10; seventeen
+keys as of r13, from the original three up through
+txlog_checkpoint_scan).
 
-The txlog layer was pytest-only evidence until this round — these
-three queries put the format itself under the driver's rows/schema/
+The txlog layer was pytest-only evidence until r10 — these queries
+put the format itself under the driver's rows/schema/
 value-hash gate by building a REAL table from the test data inside
 the query, running the table op, and reading the result back
-through the log:
+through the log. The founding three:
 
 - txlog_range_scan: append -> read_range (read-side data skipping)
   == a plain BETWEEN filter over the source table;
