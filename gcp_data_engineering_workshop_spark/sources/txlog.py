@@ -490,7 +490,8 @@ class _LazyFiles(MutableMapping):
 # removed — exactly like Delta's protocol upgrades; time travel to a
 # version before a feature's first use replays the smaller set.
 SUPPORTED_FEATURES = frozenset({"deletion-vectors", "column-mapping",
-                                "generated-columns"})
+                                "generated-columns",
+                                "columnar-checkpoint"})
 
 
 class UnsupportedTableFeature(Exception):
@@ -637,6 +638,12 @@ def snapshot(root: str, version: int | None = None) -> dict:
             constraints[entry["name"]] = entry["expr"]
         elif entry["op"] == "drop-constraint":
             constraints.pop(entry["name"], None)
+    # 'columnar-checkpoint' is a CHECKPOINT-FORMAT gate, not table
+    # semantics: it lives in the checkpoint JSON so pre-columnar
+    # readers refuse cleanly (ADVICE r14), but it does not describe
+    # the data — strip it so snapshot features stay stable whether
+    # resolution came from cache, checkpoint, or full replay
+    feats.discard("columnar-checkpoint")
     unknown = feats - SUPPORTED_FEATURES
     if unknown:
         raise UnsupportedTableFeature(
@@ -1310,7 +1317,19 @@ def _maybe_checkpoint(root: str, version: int,
                    "partition_by": snap.get("partition_by", []),
                    "colmap": snap.get("colmap", {}),
                    "phys_dropped": snap.get("phys_dropped", []),
-                   "features": snap.get("features", []),
+                   # PROTOCOL GATE (ADVICE r14): a columnar
+                   # checkpoint is a semantics-bearing format change
+                   # — stamp it as a table feature, and carry an
+                   # EMPTY legacy "files" stub so a pre-columnar
+                   # reader loads cleanly and then refuses with the
+                   # intended UnsupportedTableFeature message
+                   # instead of a raw KeyError (Delta gates its
+                   # parquet checkpoints via protocol versioning
+                   # the same way)
+                   "files": {},
+                   "features": sorted(
+                       set(snap.get("features", []))
+                       | {"columnar-checkpoint"}),
                    "generated": snap.get("generated", {}),
                    "bloom": snap.get("bloom", {}),
                    "constraints": snap.get("constraints", {})},
@@ -1820,6 +1839,15 @@ def _collectable_keys(updates: DataFrame, key: str):
 
     ks_df = updates.select(F.col(key).alias("_k")).distinct()
     dt = updates.schema[key].dataType.simpleString()
+    if dt == "date":
+        # the ONLY stat source for a date column is its ISO
+        # partition token (string [lo,hi], _typed_partition_value) —
+        # collect keys in the same domain (cast gives ISO
+        # 'YYYY-MM-DD'; code-point order IS date order). Mirrors
+        # _lit_norm; without it datetime.date keys bisect against
+        # string stats and raise TypeError (ADVICE r14 high).
+        ks_df = ks_df.select(F.col("_k").cast("string").alias("_k"))
+        dt = "string"
     if dt in ("string", "binary"):
         row = ks_df.agg(
             F.count(F.lit(1)).alias("n"),
@@ -1865,9 +1893,12 @@ def _merge_touch_test(m: dict, col_tests: list[tuple],
         if is_float and has_nan:
             continue  # NaN update key matches invisibly: pass
         lo, hi = st
-        i = bisect.bisect_left(ks, lo)
-        if not (i < len(ks) and ks[i] <= hi):
-            return False  # range proves no key in this file
+        try:
+            i = bisect.bisect_left(ks, lo)
+            if not (i < len(ks) and ks[i] <= hi):
+                return False  # range proves no key in this file
+        except TypeError:
+            continue  # stat/key type mismatch: cannot exclude
         if blooming and root_abs is not None and "bloom" in m:
             j = bisect.bisect_right(ks, hi)
             in_range = ks[i:j]
@@ -2036,6 +2067,13 @@ def _files_touching_keys_col(spark, files: dict[str, dict],
         return touched
     keys = updates.select(F.col(key).alias("_k")).distinct()
     dt = updates.schema[key].dataType.simpleString()
+    if dt == "date":
+        # date stats exist only as ISO partition-token strings —
+        # normalize the key domain to match (see _collectable_keys;
+        # ADVICE r14 high). Covers BOTH regimes: the collected
+        # bisect AND the distributed range aggregate below.
+        keys = keys.select(F.col("_k").cast("string").alias("_k"))
+        dt = "string"
     is_float = dt in ("float", "double")
     if dt in ("string", "binary"):
         # one job: count + sampled average width (bytes-aware
@@ -2066,8 +2104,16 @@ def _files_touching_keys_col(spark, files: dict[str, dict],
         if not ks:
             return touched
         for p, (lo, hi) in ranged:
-            i = bisect.bisect_left(ks, lo)
-            if i < len(ks) and ks[i] <= hi:
+            try:
+                i = bisect.bisect_left(ks, lo)
+                hit = i < len(ks) and ks[i] <= hi
+            except TypeError:
+                # stat/key type mismatch (e.g. a stat domain this
+                # code doesn't normalize yet): conservative touch,
+                # mirroring _stat_excludes' guard
+                touched.append(p)
+                continue
+            if hit:
                 # BLOOM refinement (r11 third stint): the range says
                 # "maybe" — on an indexed column, probe the file's
                 # sidecar with the in-range update keys; a file whose
@@ -3893,8 +3939,18 @@ def stream_sink(root: str, app_id: str = "stream",
                         optimize(batch_df.sparkSession, root,
                                  target_bytes=optimize_target_bytes,
                                  checkpoint_every=checkpoint_every)
-                    except Exception:
-                        pass  # compaction retries next Nth batch
+                    except (CommitConflict, OSError) as e:
+                        # TRANSIENT only (ADVICE r14): a lost
+                        # version race / fs hiccup retries at the
+                        # next Nth batch — but log it, so compaction
+                        # silently stopping leaves a signal. Any
+                        # other exception is a genuine bug and MUST
+                        # surface (a blanket swallow here once hid
+                        # a TypeError for a full round).
+                        import logging
+                        logging.getLogger(__name__).warning(
+                            "auto-optimize skipped at batch %s "
+                            "under %s: %s", batch_id, root, e)
                 return
         raise CommitConflict(f"stream batch {batch_id} lost the "
                              f"version race under {root}")
@@ -5870,7 +5926,15 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
                 for col, op, lit in conjs:
                     pcol = self._write_cmap.get(col, col)
                     if pcol not in names:
-                        continue  # absent column = NULL = passes
+                        # INVARIANT (VERDICT r13 nit): _cast_batch
+                        # projects EVERY physical schema column
+                        # before validation runs, so absence can
+                        # only be a wiring bug — fail loudly, never
+                        # silently pass a constraint
+                        raise AssertionError(
+                            f"constraint {cname!r} references "
+                            f"column {pcol!r} absent from the cast "
+                            f"batch — writer wiring bug")
                     a = data.column(names.index(pcol))
                     if op == "isnull":
                         bad = a.null_count < len(a)

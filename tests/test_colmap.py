@@ -262,8 +262,17 @@ def test_features_recorded_and_monotone(spark, table):
     # time travel before the rename replays the smaller set
     assert T.snapshot(table, v_dv)["features"] == \
         ["deletion-vectors"]
-    # features ride checkpoints
-    T._maybe_checkpoint(table, T.snapshot(table)["version"], 1)
+    # features ride checkpoints; the checkpoint JSON additionally
+    # stamps its own FORMAT feature (ADVICE r14: pre-columnar
+    # readers refuse with UnsupportedTableFeature instead of a raw
+    # KeyError) which is format metadata, NOT table semantics — it
+    # never surfaces in snapshot features
+    v = T.snapshot(table)["version"]
+    T._maybe_checkpoint(table, v, 1)
+    cp = json.load(open(os.path.join(
+        T._log_path(table), f"checkpoint-{v:0{T._W}d}.json")))
+    assert "columnar-checkpoint" in cp["features"]
+    T._SNAPSHOTS.clear()  # force resolution THROUGH the checkpoint
     assert T.snapshot(table)["features"] == \
         ["column-mapping", "deletion-vectors"]
 

@@ -28,13 +28,15 @@ def _mk(spark, root, commits=12, every=5):
 
 def test_columnar_checkpoint_layout(spark, tmp_path):
     """New checkpoints are JSON meta + a files parquet sidecar; the
-    JSON carries no inline file entries."""
+    JSON carries no inline file entries — only the EMPTY legacy
+    stub that routes pre-columnar readers to the feature gate
+    (ADVICE r14)."""
     root = str(tmp_path / "t")
     _mk(spark, root)
     log = os.path.join(root, T.LOG_DIR)
     cp = json.load(open(os.path.join(
         log, f"checkpoint-{10:0{T._W}d}.json")))
-    assert "files" not in cp
+    assert cp["files"] == {}
     assert cp["files_parquet"] == \
         f"checkpoint-{10:0{T._W}d}.files.parquet"
     assert cp["num_files"] == 20
@@ -294,3 +296,88 @@ def test_distributed_merge_prune_partitioned_and_mapped(
     assert got.count() == 400
     assert sorted(r[0] for r in got.where("key in (101, 105)")
                   .select("name").collect()) == ["xx", "yy"]
+
+
+def test_merge_keyed_on_date_partition_column(spark, tmp_path,
+                                              monkeypatch):
+    """ADVICE r14 high: r13's ISO date partition tokens give date
+    columns STRING [lo,hi] stats, but a merge keyed on the date
+    column collects datetime.date keys — the bisect raised
+    TypeError and crashed the daily-upsert shape this feature
+    targets. Keys now normalize to the ISO string domain
+    (mirroring _lit_norm); the merge must prune to the target date
+    partition AND stay correct, on the driver path and the
+    distributed path, for upsert and delete."""
+    import datetime
+
+    root = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id"),
+        F.date_add(F.lit("2024-01-01").cast("date"),
+                   (F.col("id") % 5).cast("int")).alias("ds"),
+        (F.col("id") * 2).alias("v"))
+    T.append(df, root, checkpoint_every=1, partition_by=["ds"])
+    snap = T.snapshot(root)
+    ups = spark.createDataFrame(
+        [(7, datetime.date(2024, 1, 3), 999)],
+        "id bigint, ds date, v bigint")  # id=7 lives in ds=01-03
+    kwargs = dict(snap_root=root, bloom_cols=set(),
+                  colmap=snap.get("colmap"),
+                  types=T._schema_types(snap),
+                  inv=T._inv_colmap(snap))
+    driver = T._files_touching_keys(
+        spark, dict(snap["files"].items()), ups, ["ds", "id"],
+        **kwargs)
+    # date-token pruning is LIVE: only the 2024-01-03 partition
+    assert driver and all("ds=2024-01-03" in f for f in driver)
+    monkeypatch.setattr(T, "_DISTRIBUTED_PRUNE_BOUND", 1)
+    dist = T._files_touching_keys(
+        spark, snap["files"], ups, ["ds", "id"], **kwargs)
+    assert dist == driver
+    # end-to-end upsert through the distributed plan
+    T.merge_upsert(spark, root, ups, ["ds", "id"],
+                   checkpoint_every=0)
+    got = T.read(spark, root)
+    assert got.count() == 100
+    assert got.where("id = 7").select("v").collect()[0][0] == 999
+    # merge_delete keyed on the date column alone (string-stat
+    # bisect against pure date keys)
+    T.merge_delete(
+        spark, root,
+        spark.createDataFrame([(datetime.date(2024, 1, 4),)],
+                              "ds date"),
+        "ds", checkpoint_every=0)
+    monkeypatch.setattr(T, "_DISTRIBUTED_PRUNE_BOUND", 50_000)
+    left = T.read(spark, root)
+    assert left.count() == 80
+    assert left.where("ds = date'2024-01-04'").count() == 0
+
+
+def test_columnar_checkpoint_gates_legacy_readers(spark, tmp_path):
+    """ADVICE r14: the columnar checkpoint JSON must carry (a) an
+    empty legacy ``files`` stub and (b) the 'columnar-checkpoint'
+    table feature — a pre-columnar reader (which does
+    ``dict(cp['files'])`` and THEN checks features) loads cleanly
+    and refuses with the intended UnsupportedTableFeature, never a
+    raw KeyError. Current readers treat the feature as supported."""
+    root = str(tmp_path / "t")
+    T.append(spark.range(10).selectExpr("id", "id*2 as v"), root,
+             checkpoint_every=1)
+    cps = T._list_checkpoints(root)
+    assert cps
+    cp = json.load(open(os.path.join(
+        T._log_path(root), f"checkpoint-{cps[-1]:0{T._W}d}.json")))
+    # (a) the stub a legacy reader indexes without KeyError
+    assert cp["files"] == {}
+    # (b) the protocol stamp a legacy reader's feature gate trips on
+    assert "columnar-checkpoint" in cp["features"]
+    legacy_supported = {"deletion-vectors", "column-mapping",
+                        "generated-columns"}
+    assert set(cp["features"]) - legacy_supported  # legacy refuses
+    # current readers: feature is supported, reads unchanged, and
+    # the FORMAT stamp never leaks into snapshot semantics
+    assert "columnar-checkpoint" in T.SUPPORTED_FEATURES
+    T._SNAPSHOTS.clear()  # resolve THROUGH the checkpoint
+    snap = T.snapshot(root)
+    assert "columnar-checkpoint" not in snap["features"]
+    assert T.read(spark, root).count() == 10
