@@ -271,7 +271,7 @@ class _CpStore:
     adds/removes live in the _LazyFiles wrapper."""
 
     __slots__ = ("path", "n", "_tbl", "_paths", "_idx", "_parsed",
-                 "_overlay")
+                 "_overlay", "_stats_tbl", "_has_stats")
 
     def __init__(self, path: str, n: int):
         self.path = path
@@ -283,6 +283,8 @@ class _CpStore:
         self._overlay: dict[str, dict] = {}  # distributed-prune
         # prefetch: path -> meta, lets a pruned plan resolve its
         # few survivors without materializing the 1M-path index
+        self._stats_tbl = None  # stats-only projection (r14)
+        self._has_stats = None  # schema carries stats_parsed cols?
 
     def table(self):
         if self._tbl is None:
@@ -290,6 +292,40 @@ class _CpStore:
             self._tbl = pq.read_table(self.path)
             self.n = self._tbl.num_rows
         return self._tbl
+
+    def has_stats(self) -> bool:
+        """Does the checkpoint carry stats_parsed columns? Answered
+        from parquet FOOTER metadata — no data read."""
+        if self._has_stats is None:
+            if self._tbl is not None:
+                names = self._tbl.schema.names
+            else:
+                import pyarrow.parquet as pq
+                try:
+                    names = pq.read_schema(self.path).names
+                except OSError:
+                    names = []
+            self._has_stats = any(
+                nm.startswith(_CP_STAT_PREFIXES) for nm in names)
+        return self._has_stats
+
+    def stats_table(self):
+        """The vector prune's working set: path + stats_parsed
+        columns ONLY — the meta JSON strings (the checkpoint's
+        heavy 90%) stay on disk; survivors fetch theirs by row
+        index (row-group-targeted take). Reuses the full table
+        when something already loaded it."""
+        if self._tbl is not None:
+            return self._tbl
+        if self._stats_tbl is None:
+            import pyarrow.parquet as pq
+            cols = [nm for nm in pq.read_schema(self.path).names
+                    if nm == "path"
+                    or nm.startswith(_CP_STAT_PREFIXES)]
+            self._stats_tbl = pq.read_table(self.path,
+                                            columns=cols)
+            self.n = self._stats_tbl.num_rows
+        return self._stats_tbl
 
     def paths(self) -> list[str]:
         if self._paths is None:
@@ -1261,6 +1297,222 @@ def _try_commit(root: str, version: int, entry: dict) -> bool:
         os.unlink(tmp)
 
 
+# ------------------------------------------------------------------ #
+# stats_parsed checkpoint columns (VERDICT r13 #1)
+# ------------------------------------------------------------------ #
+# Per-file pruning metadata lifted out of the meta JSON into REAL
+# typed parquet columns of the columnar checkpoint — Delta's
+# stats_parsed shape. Plan-time stat pruning then evaluates as
+# pyarrow compute over the checkpoint buffers IN-PROCESS (no Spark
+# job, no json.loads per file); only survivors parse their metas.
+# Column naming (':' keeps any real column name collision-free):
+#   s_lo:<phys> / s_hi:<phys>  footer [min, max], schema-typed
+#   s_nn:<phys> / s_nr:<phys>  null count / row count (int64)
+#   s_pt:<phys> / s_pn:<phys>  partition token (string) /
+#                              token-is-NULL flag (bool; NULL cell
+#                              = file carries no token for <phys>)
+# All cells are NULLABLE and NULL always means "no stat" = the file
+# survives — every conversion that can't be represented exactly in
+# the target domain lands as NULL, so the columns can only ever
+# under-prune relative to the meta JSON, never over-prune.
+
+_CP_STAT_PREFIXES = ("s_lo:", "s_hi:", "s_nn:", "s_nr:",
+                     "s_pt:", "s_pn:")
+
+
+def _cp_stat_type(type_str: str | None):
+    """pyarrow target type for a column's s_lo/s_hi stat columns,
+    or None = that column's footer stats stay JSON-only (date /
+    timestamp / decimal / bool footer stats are never recorded by
+    the writer anyway; this just makes the contract explicit)."""
+    import pyarrow as pa
+
+    if type_str in ("tinyint", "smallint", "int", "bigint"):
+        return pa.int64()
+    if type_str in ("float", "double"):
+        return pa.float64()
+    if type_str == "string":
+        return pa.string()
+    return None
+
+
+def _cp_stat_value(v, pt, is_lo: bool):
+    """One footer stat endpoint in the column's target domain, or
+    None (= no stat, conservative). Ints land in a float64 column
+    with DIRECTIONAL rounding (lo down, hi up) so the widened range
+    can never exclude a file the exact range keeps."""
+    import pyarrow as pa
+
+    if v is None or isinstance(v, bool):
+        return None
+    if pa.types.is_integer(pt):
+        return v if isinstance(v, int) else None
+    if pa.types.is_floating(pt):
+        if isinstance(v, float):
+            return v if math.isfinite(v) else None
+        if isinstance(v, int):
+            try:
+                f = float(v)
+            except OverflowError:
+                return None
+            if is_lo and f > v:
+                f = math.nextafter(f, -math.inf)
+            elif not is_lo and f < v:
+                f = math.nextafter(f, math.inf)
+            return f
+        return None
+    if pa.types.is_string(pt):
+        return v if isinstance(v, str) else None
+    return None
+
+
+def _cp_stat_arrays(metas: list, types: dict,
+                    inv: dict | None) -> dict:
+    """{stat column name: pa.Array} over ``metas`` (parsed meta
+    dicts, row-aligned). Stats are keyed by PHYSICAL column name
+    (file-side metadata is physical forever; the query-time colmap
+    translates). s_lo/s_hi types come from the recorded schema;
+    tables predating schema tracking infer per column from the
+    values (any str+non-str mix → column omitted)."""
+    import pyarrow as pa
+
+    inv = inv or {}
+    n = len(metas)
+
+    def _target(c):
+        if types:
+            return _cp_stat_type(types.get(inv.get(c, c)))
+        # schema-less legacy table: infer from the values
+        has_i = has_f = has_s = False
+        for m in metas:
+            st = (m.get("stats") or {}).get(c)
+            if not st:
+                continue
+            for v in st:
+                if isinstance(v, bool) or v is None:
+                    return None
+                if isinstance(v, str):
+                    has_s = True
+                elif isinstance(v, float):
+                    has_f = True
+                elif isinstance(v, int):
+                    has_i = True
+        if has_s:
+            return pa.string() if not (has_i or has_f) else None
+        if has_f:
+            return pa.float64()
+        if has_i:
+            return pa.int64()
+        return None
+
+    stat_cols: dict = {}
+    null_cols: set = set()
+    part_cols: set = set()
+    for m in metas:
+        for c in (m.get("stats") or {}):
+            if c not in stat_cols:
+                stat_cols[c] = _target(c)
+        null_cols.update(m.get("nulls") or ())
+        part_cols.update(m.get("partition") or ())
+    out: dict = {}
+    for c, pt in sorted(stat_cols.items()):
+        if pt is None:
+            continue
+        lo: list = [None] * n
+        hi: list = [None] * n
+        for i, m in enumerate(metas):
+            st = (m.get("stats") or {}).get(c)
+            if st:
+                lo[i] = _cp_stat_value(st[0], pt, True)
+                hi[i] = _cp_stat_value(st[1], pt, False)
+        out[f"s_lo:{c}"] = pa.array(lo, type=pt)
+        out[f"s_hi:{c}"] = pa.array(hi, type=pt)
+    for c in sorted(null_cols):
+        nn: list = [None] * n
+        nr: list = [None] * n
+        for i, m in enumerate(metas):
+            nl = (m.get("nulls") or {}).get(c)
+            if (nl and isinstance(nl[0], int) and
+                    isinstance(nl[1], int)
+                    and not isinstance(nl[0], bool)
+                    and not isinstance(nl[1], bool)):
+                nn[i], nr[i] = nl
+        out[f"s_nn:{c}"] = pa.array(nn, type=pa.int64())
+        out[f"s_nr:{c}"] = pa.array(nr, type=pa.int64())
+    for c in sorted(part_cols):
+        tok: list = [None] * n
+        tnul: list = [None] * n
+        for i, m in enumerate(metas):
+            part = m.get("partition") or {}
+            if c in part:
+                t = part[c]
+                if t is None:
+                    tnul[i] = True
+                elif isinstance(t, str):
+                    tok[i], tnul[i] = t, False
+        out[f"s_pt:{c}"] = pa.array(tok, type=pa.string())
+        out[f"s_pn:{c}"] = pa.array(tnul, type=pa.bool_())
+    return out
+
+
+def _cp_concat(base, add):
+    """Concat two checkpoint tables with UNION column alignment: a
+    column missing on one side fills NULL (a legacy base simply
+    carries no stats until its entries churn or a full rebuild
+    runs); an int64/float64 conflict on an s_lo/s_hi pair (type
+    widening between checkpoints) casts the int side with one-ulp
+    directional widening (sound — a widened range only ever
+    under-prunes); any other type conflict nulls the column out
+    (conservative)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    names = list(dict.fromkeys(list(base.schema.names)
+                               + list(add.schema.names)))
+
+    def _t(tbl, name):
+        i = tbl.schema.get_field_index(name)
+        return tbl.schema.field(i).type if i >= 0 else None
+
+    final: dict = {}
+    nulled: set = set()
+    for name in names:
+        bt, at = _t(base, name), _t(add, name)
+        if bt is None or at is None or bt == at:
+            final[name] = at if at is not None else bt
+        elif (name.startswith(("s_lo:", "s_hi:"))
+                and {str(bt), str(at)} == {"int64", "double"}):
+            final[name] = pa.float64()
+        else:
+            final[name] = at
+            nulled.add(name)
+
+    def _side(tbl):
+        cols = []
+        for name in names:
+            ft = final[name]
+            st = _t(tbl, name)
+            if name in nulled or st is None:
+                cols.append(pa.nulls(tbl.num_rows, type=ft))
+            elif st == ft:
+                cols.append(tbl.column(name))
+            else:
+                col = tbl.column(name).combine_chunks()
+                v = col.to_numpy(zero_copy_only=False) \
+                    .astype("float64")
+                v = np.nextafter(
+                    v, -np.inf if name.startswith("s_lo:")
+                    else np.inf)
+                mask = pc.is_null(col).to_numpy(
+                    zero_copy_only=False)
+                cols.append(pa.array(v, type=pa.float64(),
+                                     mask=mask))
+        return pa.table(dict(zip(names, cols)))
+
+    return pa.concat_tables([_side(base), _side(add)])
+
+
 def _maybe_checkpoint(root: str, version: int,
                       checkpoint_every: int) -> None:
     """COLUMNAR checkpoints (the Delta parquet-checkpoint shape,
@@ -1283,7 +1535,7 @@ def _maybe_checkpoint(root: str, version: int,
     snap = snapshot(root, version)
     files = snap["files"]
     if isinstance(files, _LazyFiles) and files._store is not None:
-        base = files._store.table().select(["path", "meta"])
+        base = files._store.table()
         drop = files._removed | set(files._added)
         if drop:
             import pyarrow.compute as pc
@@ -1294,16 +1546,26 @@ def _maybe_checkpoint(root: str, version: int,
     else:
         base = None
         added = dict(files)
-    add_tbl = pa.table(
-        {"path": pa.array(list(added), type=pa.string()),
-         "meta": pa.array([json.dumps(m) for m in added.values()],
-                          type=pa.string())})
-    tbl = (pa.concat_tables([base, add_tbl])
+    # stats_parsed columns (VERDICT r13 #1): typed per-file pruning
+    # metadata rides the checkpoint as real parquet columns; the
+    # incremental path computes them only for the suffix ADDS (the
+    # base carries its own, filtered on arrow buffers)
+    add_metas = list(added.values())
+    add_cols = {"path": pa.array(list(added), type=pa.string()),
+                "meta": pa.array([json.dumps(m) for m in add_metas],
+                                 type=pa.string())}
+    add_cols.update(_cp_stat_arrays(add_metas, _schema_types(snap),
+                                    _inv_colmap(snap)))
+    add_tbl = pa.table(add_cols)
+    tbl = (_cp_concat(base, add_tbl)
            if base is not None else add_tbl)
     rel_parquet = f"checkpoint-{version:0{_W}d}.files.parquet"
     fpath = os.path.join(_log_path(root), rel_parquet)
     tmp = fpath + f".tmp-{uuid.uuid4().hex}"
-    pq.write_table(tbl, tmp)
+    # bounded row groups: a pruned plan's survivor-meta take
+    # decodes only the groups its row indices land in, not the
+    # whole meta column
+    pq.write_table(tbl, tmp, row_group_size=131_072)
     os.replace(tmp, fpath)
     path = os.path.join(_log_path(root),
                         f"checkpoint-{version:0{_W}d}.json")
@@ -1962,6 +2224,7 @@ def _files_touching_keys_dist(spark, files: "_LazyFiles",
             yield _pd.DataFrame({"path": kp})
 
     rows = (spark.read.parquet(store.path)
+            .select("path", "meta")  # stat columns stay columnar
             .mapInPandas(_scan, "path string").collect())
     b_tests.unpersist()
     dead = files._removed | set(files._added)
@@ -2779,6 +3042,256 @@ def _prune_survives(m: dict, conjuncts: list[tuple], types: dict,
 # the small log suffix) ever materialize on the driver.
 _DISTRIBUTED_PRUNE_BOUND = 50_000
 
+# Tests flip this off to pin the driver-loop / Spark-job regimes
+# against the stats_parsed vector path (three-way parity).
+_VECTOR_PRUNE = True
+
+
+def _cp_vector_prune(store: "_CpStore", conjuncts: list[tuple],
+                     types: dict, float_cols: set,
+                     cmap: dict | None, inv: dict | None):
+    """IN-PROCESS vectorized stat prune over a checkpoint carrying
+    stats_parsed columns (VERDICT r13 #1 — the last O(files) hot
+    surface): the recognized conjuncts' exclusion masks evaluate as
+    pyarrow compute directly on the checkpoint buffers — no Spark
+    job, no json.loads per file; only SURVIVORS parse their metas.
+    Returns (paths, meta-JSON strings) of the surviving checkpoint
+    rows, or None when the checkpoint predates stat columns or no
+    conjunct is vectorizable (the caller's driver-loop /
+    Spark-job regimes take over).
+
+    Soundness mirrors _stat_excludes/_prune_survives cell-for-cell:
+    - a NULL stat cell never excludes (fill_null False);
+    - float columns: lower-bound ops never exclude (NaN hides
+      above max);
+    - cross-domain compares skip the conjunct (conservative, the
+      TypeError guard's vector twin);
+    - int columns vs float literals compare through EXACT
+      floor/ceil thresholds, never a lossy cast; float columns vs
+      int literals only below 2**53;
+    - partition tokens fill a NULL footer cell as an exact [v, v]
+      range typed by the QUERY-TIME schema (footer precedence,
+      mirroring _effective_stats)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not store.has_stats():  # footer-metadata check, no IO
+        return None
+    tbl = store.stats_table()  # path + stat columns; meta strings
+    names = set(tbl.schema.names)  # stay on disk until survivors
+    cmap = cmap or {}
+    inv = inv or {}
+    n = tbl.num_rows
+
+    def _phys(col):
+        if col in cmap:
+            return cmap[col]
+        if col in inv:
+            # `col` is the PHYSICAL name of some other mapped
+            # column — _effective_stats would re-key that stat away
+            # from this name, so the checkpoint column must not
+            # answer for it
+            return None
+        return col
+
+    def _lit_adapt(arr, lit, mode):
+        """``lit`` adapted for an EXACT compare against ``arr``
+        (mode = floor/ceil picks the integer threshold direction),
+        or None = incomparable (conjunct skipped)."""
+        if arr is None or lit is None or isinstance(lit, bool):
+            return None
+        t = arr.type
+        if pa.types.is_string(t):
+            return lit if isinstance(lit, str) else None
+        if isinstance(lit, str):
+            return None
+        if pa.types.is_integer(t):
+            if isinstance(lit, int):
+                return lit
+            if isinstance(lit, float):
+                if not math.isfinite(lit):
+                    return None
+                return (math.ceil(lit) if mode == "ceil"
+                        else math.floor(lit))
+            return None
+        if pa.types.is_floating(t):
+            if isinstance(lit, int):
+                return float(lit) if abs(lit) < 2 ** 53 else None
+            if isinstance(lit, float):
+                return lit if not math.isnan(lit) else None
+        return None
+
+    def _eff_range(pcol, lc):
+        """Effective (lo, hi) stat arrays for physical ``pcol`` /
+        logical ``lc`` — footer columns with partition tokens
+        filling the NULL cells, typed by the query-time schema."""
+        lo = (tbl.column(f"s_lo:{pcol}")
+              if f"s_lo:{pcol}" in names else None)
+        hi = (tbl.column(f"s_hi:{pcol}")
+              if f"s_hi:{pcol}" in names else None)
+        tk = (tbl.column(f"s_pt:{pcol}")
+              if f"s_pt:{pcol}" in names else None)
+        if tk is not None:
+            t = types.get(lc, "string")
+            if t in ("tinyint", "smallint", "int", "bigint"):
+                try:
+                    tk = pc.cast(tk, pa.int64())
+                except (pa.ArrowInvalid,
+                        pa.ArrowNotImplementedError):
+                    tk = None
+            elif t in ("float", "double"):
+                try:
+                    tk = pc.cast(tk, pa.float64())
+                except (pa.ArrowInvalid,
+                        pa.ArrowNotImplementedError):
+                    tk = None
+            elif t not in ("string", "date"):
+                # timestamp/bool/decimal tokens: no stat domain
+                # (mirrors _typed_partition_value returning None)
+                tk = None
+        if tk is not None:
+            # footer stat wins where present; the token fills NULL
+            # cells. A type conflict (e.g. int64 footer vs float64
+            # token after widening) drops the token — conservative
+            lo = (tk if lo is None
+                  else (pc.coalesce(lo, tk) if lo.type == tk.type
+                        else lo))
+            hi = (tk if hi is None
+                  else (pc.coalesce(hi, tk) if hi.type == tk.type
+                        else hi))
+        return lo, hi
+
+    def _eq_excl(lo, hi, lit):
+        """Exclusion mask for ``col = lit`` over [lo, hi], or
+        None."""
+        parts = []
+        # lo > lit  <=>  lo > floor(lit) on an int column
+        l2 = _lit_adapt(lo, lit, "floor")
+        if l2 is not None:
+            parts.append(pc.fill_null(pc.greater(lo, l2), False))
+        # hi < lit  <=>  hi < ceil(lit) on an int column
+        h2 = _lit_adapt(hi, lit, "ceil")
+        if h2 is not None:
+            parts.append(pc.fill_null(pc.less(hi, h2), False))
+        # (a non-integral float literal can never equal an int row,
+        # but the per-file loop doesn't use that fact either —
+        # exact regime parity is worth more than pruning a
+        # degenerate predicate)
+        if not parts:
+            return None
+        out = parts[0]
+        for p_ in parts[1:]:
+            out = pc.or_(out, p_)
+        return out
+
+    def _op_excl(lo, hi, op, lit, is_f):
+        if op in ("=", "=="):
+            return _eq_excl(lo, hi, lit)
+        if op == "<":
+            l2 = _lit_adapt(lo, lit, "ceil")  # lo >= ceil(lit)
+            return (None if l2 is None
+                    else pc.greater_equal(lo, l2))
+        if op == "<=":
+            l2 = _lit_adapt(lo, lit, "floor")  # lo > floor(lit)
+            return None if l2 is None else pc.greater(lo, l2)
+        if is_f:
+            return None  # NaN may hide above hi (float rule)
+        if op == ">":
+            l2 = _lit_adapt(hi, lit, "floor")  # hi <= floor(lit)
+            return None if l2 is None else pc.less_equal(hi, l2)
+        if op == ">=":
+            l2 = _lit_adapt(hi, lit, "ceil")  # hi < ceil(lit)
+            return None if l2 is None else pc.less(hi, l2)
+        return None
+
+    excluded = None
+
+    def _merge(ex):
+        nonlocal excluded
+        ex = pc.fill_null(ex, False)
+        excluded = (ex if excluded is None
+                    else pc.or_(excluded, ex))
+
+    for col, op, lit in conjuncts:
+        pcol = _phys(col)
+        if pcol is None:
+            continue
+        try:
+            if op in ("isnull", "notnull"):
+                pn = (tbl.column(f"s_pn:{pcol}")
+                      if f"s_pn:{pcol}" in names else None)
+                nulls_ex = None
+                if (f"s_nn:{pcol}" in names
+                        and f"s_nr:{pcol}" in names):
+                    nn = tbl.column(f"s_nn:{pcol}")
+                    nr = tbl.column(f"s_nr:{pcol}")
+                    if op == "isnull":
+                        nulls_ex = pc.equal(nn, 0)
+                    else:
+                        nulls_ex = pc.and_(pc.greater(nr, 0),
+                                           pc.equal(nn, nr))
+                if pn is not None:
+                    # a partition token is DEFINITIVE for its
+                    # column where present (pn valid); elsewhere
+                    # the footer null counts decide
+                    part_ex = (pc.equal(pn, False)
+                               if op == "isnull"
+                               else pc.equal(pn, True))
+                    ex = (pc.if_else(pc.is_valid(pn), part_ex,
+                                     nulls_ex)
+                          if nulls_ex is not None else part_ex)
+                else:
+                    ex = nulls_ex
+                if ex is not None:
+                    _merge(ex)
+                continue
+            lo, hi = _eff_range(pcol, col)
+            if lo is None and hi is None:
+                continue
+            is_f = (col in float_cols
+                    or (lo is not None
+                        and pa.types.is_floating(lo.type))
+                    or (hi is not None
+                        and pa.types.is_floating(hi.type)))
+            if op == "in":
+                ex = None
+                ok = True
+                for v in lit:
+                    m = _eq_excl(lo, hi, v)
+                    if m is None:
+                        ok = False  # some value might hit anywhere
+                        break
+                    m = pc.fill_null(m, False)
+                    ex = m if ex is None else pc.and_(ex, m)
+                if ok and ex is not None:
+                    _merge(ex)
+                continue
+            ex = _op_excl(lo, hi, op, lit, is_f)
+            if ex is not None:
+                _merge(ex)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
+                OverflowError, ValueError, TypeError):
+            continue  # incomparable: conjunct contributes nothing
+    if excluded is None:
+        return None
+    keep = pc.invert(excluded)
+    if store._tbl is not None or "meta" in names:
+        kept = store.table().select(["path", "meta"]).filter(keep)
+        return (kept.column("path").to_pylist(),
+                kept.column("meta").to_pylist())
+    idx = pc.indices_nonzero(keep)
+    if len(idx) > max(10_000, n // 4):
+        # unselective predicate: one full-column read beats a
+        # scattered half-table take
+        kept = store.table().select(["path", "meta"]).filter(keep)
+        return (kept.column("path").to_pylist(),
+                kept.column("meta").to_pylist())
+    import pyarrow.dataset as ds
+    kept = (ds.dataset(store.path)
+            .take(idx, columns=["path", "meta"]))
+    return (kept.column("path").to_pylist(),
+            kept.column("meta").to_pylist())
+
 
 def _files_possibly_matching(snap: dict,
                              conjuncts: list[tuple],
@@ -2827,7 +3340,33 @@ def _files_possibly_matching(snap: dict,
     store = files._store if isinstance(files, _LazyFiles) else None
     survivors: list[tuple]  # (path, meta)
     n_bloom_cand = 0
-    if (spark is not None and store is not None and conjuncts
+    vec = (_cp_vector_prune(store, conjuncts, types, float_cols,
+                            cmap, inv)
+           if _VECTOR_PRUNE and store is not None and conjuncts
+           else None)
+    if vec is not None:
+        # stats_parsed fast path (VERDICT r13 #1): the conjunct
+        # test already ran as pyarrow compute over the checkpoint
+        # buffers — works with OR WITHOUT a spark handle, so the
+        # format("txlog") plan path (no handle inside planning)
+        # rides it too. Only survivors parse their metas.
+        vpaths, vmetas = vec
+        dead = files._removed | set(files._added)
+        survivors = [(p, json.loads(mj))
+                     for p, mj in zip(vpaths, vmetas)
+                     if p not in dead]
+        if len(survivors) <= 10_000:
+            # bounded overlay seed, same rule as the other regimes
+            store._overlay.update(dict(survivors))
+        # the suffix's own adds evaluate driver-side (small)
+        survivors.extend(
+            (p, m) for p, m in files._added.items()
+            if _prune_survives(m, conjuncts, types, float_cols,
+                               cmap, inv))
+        if eq_conjs:
+            n_bloom_cand = sum(1 for _p, m in survivors
+                               if "bloom" in m)
+    elif (spark is not None and store is not None and conjuncts
             and store.n > _DISTRIBUTED_PRUNE_BOUND):
         _ship_package(spark)  # job closure refs module helpers
         import pandas as pd  # noqa: F401  (worker dependency)
@@ -2846,7 +3385,8 @@ def _files_possibly_matching(snap: dict,
                         km.append(mj)
                 yield _pd.DataFrame({"path": kp, "meta": km})
 
-        cp_df = spark.read.parquet(store.path)
+        cp_df = spark.read.parquet(store.path) \
+            .select("path", "meta")  # stat columns stay columnar
         rows = (cp_df.mapInPandas(_scan, "path string, meta string")
                 .collect())
         dead = files._removed | set(files._added)

@@ -1,0 +1,136 @@
+"""Property: the stats_parsed vectorized prune (r14, VERDICT r13
+#1) keeps EXACTLY the files the per-file _prune_survives loop
+keeps, over randomized footer stats / null counts / partition
+tokens and randomized conjuncts — plus hand-written edge cases for
+the domains where the vector path is deliberately conservative
+(superset-only)."""
+
+from __future__ import annotations
+
+import json
+import math
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gcp_data_engineering_workshop_spark.sources import txlog as T
+
+TYPES = {"k": "bigint", "f": "double", "s": "string", "p": "int"}
+FLOAT_COLS = {"f"}
+
+_ints = st.integers(-50, 50)
+_flts = st.floats(-50, 50, allow_nan=False, allow_infinity=False)
+_strs = st.text(alphabet="abcx", min_size=0, max_size=3)
+
+
+def _rng(vals):
+    return st.tuples(vals, vals).map(lambda t: sorted(t))
+
+
+_meta = st.fixed_dictionaries({}, optional={
+    "stats": st.fixed_dictionaries({}, optional={
+        "k": _rng(_ints), "f": _rng(_flts), "s": _rng(_strs)}),
+    "nulls": st.fixed_dictionaries({}, optional={
+        "k": st.tuples(st.integers(0, 10), st.integers(0, 10))
+             .map(lambda t: [min(t), max(t)]),
+        "s": st.tuples(st.integers(0, 10), st.integers(0, 10))
+             .map(lambda t: [min(t), max(t)])}),
+    "partition": st.fixed_dictionaries({}, optional={
+        "p": st.one_of(st.none(),
+                       st.integers(0, 5).map(str))}),
+})
+
+_lit = st.one_of(_ints, _flts, _strs)
+_col = st.sampled_from(["k", "f", "s", "p"])
+_conj = st.one_of(
+    st.tuples(_col, st.sampled_from(["<", "<=", "=", ">", ">="]),
+              _lit),
+    st.tuples(_col, st.sampled_from(["isnull", "notnull"]),
+              st.none()),
+    st.tuples(_col, st.just("in"),
+              st.lists(_lit, min_size=1, max_size=3)
+              .map(tuple)),
+)
+
+
+def _mk_store(tmp_path, metas, types=TYPES, inv=None):
+    arrays = {"path": pa.array([f"p{i}" for i in range(len(metas))],
+                               type=pa.string()),
+              "meta": pa.array([json.dumps(m) for m in metas],
+                               type=pa.string())}
+    arrays.update(T._cp_stat_arrays(metas, types, inv or {}))
+    p = str(tmp_path / "cp.parquet")
+    pq.write_table(pa.table(arrays), p)
+    return T._CpStore(p, len(metas))
+
+
+@settings(max_examples=120, deadline=None)
+@given(metas=st.lists(_meta, min_size=1, max_size=12),
+       conjuncts=st.lists(_conj, min_size=1, max_size=3))
+def test_vector_prune_equals_slow_path(tmp_path_factory, metas,
+                                       conjuncts):
+    tmp = tmp_path_factory.mktemp("vp")
+    store = _mk_store(tmp, metas)
+    vec = T._cp_vector_prune(store, conjuncts, TYPES, FLOAT_COLS,
+                             {}, {})
+    slow = {f"p{i}" for i, m in enumerate(metas)
+            if T._prune_survives(m, conjuncts, TYPES, FLOAT_COLS,
+                                 {}, {})}
+    if vec is None:
+        return  # no vectorizable conjunct: caller falls back
+    assert set(vec[0]) == slow, (metas, conjuncts)
+
+
+def test_vector_prune_conservative_on_unsafe_domains(tmp_path):
+    """Where exactness can't be guaranteed the vector path keeps a
+    SUPERSET (never fewer) of the slow path's survivors: huge int
+    literals against float columns skip the conjunct."""
+    metas = [{"stats": {"f": [0.0, 10.0]}},
+             {"stats": {"f": [1e18, 2e18]}}]
+    store = _mk_store(tmp_path, metas)
+    conj = [("f", "=", 2 ** 53 + 1)]
+    vec = T._cp_vector_prune(store, conj, TYPES, FLOAT_COLS, {}, {})
+    slow = {f"p{i}" for i, m in enumerate(metas)
+            if T._prune_survives(m, conj, TYPES, FLOAT_COLS,
+                                 {}, {})}
+    assert vec is None or set(vec[0]) >= slow
+
+
+def test_vector_prune_int_col_float_literals(tmp_path):
+    """floor/ceil threshold exactness on int columns: every op,
+    integral and non-integral float literals, boundary values."""
+    metas = [{"stats": {"k": [0, 9]}}, {"stats": {"k": [10, 19]}},
+             {"stats": {"k": [20, 29]}}]
+    store = _mk_store(tmp_path, metas)
+    for lit in (9.5, 10.0, 10.5, 19.0, 19.5, 20.0, -0.5, 29.0,
+                29.5):
+        for op in ("<", "<=", "=", ">", ">="):
+            conj = [("k", op, lit)]
+            vec = T._cp_vector_prune(store, conj, TYPES,
+                                     FLOAT_COLS, {}, {})
+            slow = {f"p{i}" for i, m in enumerate(metas)
+                    if T._prune_survives(m, conj, TYPES,
+                                         FLOAT_COLS, {}, {})}
+            assert vec is not None and set(vec[0]) == slow, \
+                (op, lit)
+
+
+def test_vector_prune_colmap_rekeying(tmp_path):
+    """Stat columns are PHYSICALLY keyed: a renamed logical column
+    resolves through cmap; a logical name that equals another
+    column's physical name must NOT answer from the stale
+    column."""
+    metas = [{"stats": {"c1": [0, 9]}}, {"stats": {"c1": [10, 19]}}]
+    types = {"key": "bigint"}
+    cmap, inv = {"key": "c1"}, {"c1": "key"}
+    store = _mk_store(tmp_path, metas, types, inv)
+    vec = T._cp_vector_prune(store, [("key", "=", 15)], types,
+                             set(), cmap, inv)
+    assert vec is not None and set(vec[0]) == {"p1"}
+    # 'c1' as a LOGICAL name is someone else's physical name now
+    vec2 = T._cp_vector_prune(store, [("c1", "=", 15)], types,
+                              set(), cmap, inv)
+    assert vec2 is None or set(vec2[0]) == {"p0", "p1"}
