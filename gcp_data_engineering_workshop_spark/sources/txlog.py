@@ -2091,6 +2091,154 @@ def _key_collect_ok(n_keys: int, est_bytes: float) -> bool:
             and est_bytes <= _KEY_COLLECT_BYTES)
 
 
+# Value-range bucket count for the over-collect-gate key digest.
+# 2^18 buckets = a 256 KB bitmap per key column — broadcastable,
+# with bucket resolution fine enough that a clustered 5M-key upsert
+# still prunes to its key range's files.
+_KEY_DIGEST_BUCKETS = 1 << 18
+
+
+class _KeyDigest:
+    """Bounded digest of a merge's distinct keys for ONE column —
+    the over-collect-gate regime (VERDICT r13 #4): when the
+    distinct key set exceeds the collect gate, executors test each
+    file's [lo, hi] against a VALUE-RANGE bucket bitmap instead of
+    the driver falling back to O(files) batched aggregates.
+
+    Construction: a MONOTONE projection to float64 (identity for
+    numbers; big-endian first-8-bytes for strings — truncation +
+    zero-pad preserves code-point order, and UTF-8 byte order IS
+    code-point order) -> equal-width buckets over [pmin, pmax] ->
+    a bucket is marked when >= 1 distinct key projects into it.
+    The bucket formula is the SAME IEEE-754 double expression on
+    both sides (Spark JVM at build, Python at test), so the grids
+    agree exactly.
+
+    may_intersect() is conservative by construction: monotonicity
+    puts every key of [lo, hi] inside the tested bucket span, a
+    marked bucket only proves some key lands in it, and any domain
+    mismatch or projection failure answers True (touch)."""
+
+    __slots__ = ("kind", "kmin", "kmax", "pmin", "w", "bits",
+                 "has_nan", "empty")
+
+    def __init__(self, kind, kmin, kmax, pmin, w, bits, has_nan,
+                 empty=False):
+        self.kind = kind        # "num" | "str"
+        self.kmin, self.kmax = kmin, kmax
+        self.pmin, self.w = pmin, w
+        self.bits = bits        # np bool array, _KEY_DIGEST_BUCKETS
+        self.has_nan = has_nan
+        self.empty = empty
+
+    @staticmethod
+    def _proj_str(s: str):
+        try:
+            b = s.encode("utf-8", "surrogatepass")[:8]
+        except UnicodeEncodeError:
+            return None
+        return float(int.from_bytes(b.ljust(8, b"\0"), "big"))
+
+    def _proj(self, v):
+        if self.kind == "str":
+            return self._proj_str(v) if isinstance(v, str) else None
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            return None
+        try:
+            return float(v)
+        except OverflowError:
+            return None
+
+    def may_intersect(self, lo, hi) -> bool:
+        if self.empty:
+            return False  # zero non-null keys: nothing matches
+        if (isinstance(lo, str) != (self.kind == "str")
+                or isinstance(hi, str) != (self.kind == "str")):
+            return True  # stat/digest domain mismatch: cannot skip
+        try:
+            if hi < self.kmin or lo > self.kmax:
+                return False
+        except TypeError:
+            return True
+        plo, phi = self._proj(lo), self._proj(hi)
+        if plo is None or phi is None or self.w == 0.0:
+            return True  # single-bucket digest: coarse test decided
+        nb = len(self.bits)
+        b0 = max(0, min(int(math.floor((plo - self.pmin) / self.w)),
+                        nb - 1))
+        b1 = max(0, min(int(math.floor((phi - self.pmin) / self.w)),
+                        nb - 1))
+        if b1 < b0:
+            return True
+        return bool(self.bits[b0:b1 + 1].any())
+
+
+def _key_digest(updates: DataFrame, key: str) -> "_KeyDigest | None":
+    """Build the over-gate digest for one key column in THREE
+    bounded Spark jobs (min/max/has-NaN agg + distinct-bucket
+    collect), never collecting the keys themselves. Returns None
+    for domains without a monotone projection (exotic types) —
+    the caller's legacy fallback stands."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    dt = updates.schema[key].dataType.simpleString()
+    kdf = updates.select(F.col(key).alias("_k")) \
+        .where(F.col("_k").isNotNull())
+    if dt == "date":
+        # the stat domain for date columns is the ISO token string
+        # (see _collectable_keys)
+        kdf = kdf.select(F.col("_k").cast("string").alias("_k"))
+        dt = "string"
+    is_float = dt in ("float", "double")
+    if dt in ("tinyint", "smallint", "int", "bigint", "float",
+              "double"):
+        kind = "num"
+        proj = F.col("_k").cast("double")
+        if is_float:
+            kdf = kdf.where(~F.isnan(F.col("_k")))
+    elif dt == "string":
+        kind = "str"
+        # big-endian first-8-bytes as uint64: rpad keeps short
+        # strings left-aligned (matching the Python-side zero-pad),
+        # conv(hex, 16, 10) is unsigned, the double cast is
+        # monotone
+        proj = F.expr(
+            "cast(conv(hex(substring(rpad(encode(_k, 'utf-8'), 8,"
+            " x'00'), 1, 8)), 16, 10) as double)")
+    else:
+        return None
+    has_nan = False
+    if is_float:
+        row = updates.select(F.col(key).alias("_k")) \
+            .where(F.col("_k").isNotNull()) \
+            .agg(F.max(F.isnan(F.col("_k")))).collect()[0]
+        has_nan = bool(row[0])
+    kdf = kdf.select(F.col("_k"), proj.alias("_p"))
+    row = kdf.agg(F.min("_k"), F.max("_k"),
+                  F.min("_p"), F.max("_p")).collect()[0]
+    kmin, kmax, pmin, pmax = row
+    if kmin is None:
+        return _KeyDigest(kind, None, None, 0.0,  0.0, None,
+                          has_nan, empty=True)
+    pmin, pmax = float(pmin), float(pmax)
+    nb = _KEY_DIGEST_BUCKETS
+    w = (pmax - pmin) / nb
+    bits = np.zeros(nb, dtype=bool)
+    if w == 0.0:
+        bits[0] = True
+        return _KeyDigest(kind, kmin, kmax, pmin, 0.0, bits,
+                          has_nan)
+    # the SAME double expression the Python-side test evaluates:
+    # floor((p - pmin) / w), clamped
+    bucket = F.least(
+        F.lit(nb - 1), F.greatest(F.lit(0), F.floor(
+            (F.col("_p") - F.lit(pmin)) / F.lit(w)).cast("int")))
+    ids = kdf.select(bucket.alias("_b")).distinct().collect()
+    bits[[r[0] for r in ids]] = True
+    return _KeyDigest(kind, kmin, kmax, pmin, w, bits, has_nan)
+
+
 def _collectable_keys(updates: DataFrame, key: str):
     """(sorted non-NaN key list, has_nan) when the distinct key set
     passes the collect gate (_key_collect_ok: row count AND
@@ -2155,6 +2303,14 @@ def _merge_touch_test(m: dict, col_tests: list[tuple],
         if is_float and has_nan:
             continue  # NaN update key matches invisibly: pass
         lo, hi = st
+        if isinstance(ks, _KeyDigest):
+            # over-collect-gate regime (VERDICT r13 #4): the key
+            # set never collected — test the file range against
+            # the bucket bitmap; no key values, so bloom
+            # refinement is unavailable for this column
+            if not ks.may_intersect(lo, hi):
+                return False
+            continue
         try:
             i = bisect.bisect_left(ks, lo)
             if not (i < len(ks) and ks[i] <= hi):
@@ -2196,11 +2352,20 @@ def _files_touching_keys_dist(spark, files: "_LazyFiles",
     for k in keys:
         ks, has_nan = _collectable_keys(updates, k)
         if ks is None:
-            return None
+            # over the collect gate: ship a bounded VALUE-RANGE
+            # digest instead of falling back to the O(files)
+            # driver aggregates (VERDICT r13 #4); conservative-only
+            # (a digest can over-touch, never under-touch)
+            dg = _key_digest(updates, k)
+            if dg is None:
+                return None  # exotic key domain: legacy fallback
+            ks, has_nan = dg, dg.has_nan
         dt = updates.schema[k].dataType.simpleString()
         col_tests.append((
             k, (colmap or {}).get(k, k), ks, has_nan,
-            dt in ("float", "double"), k in (bloom_cols or ())))
+            dt in ("float", "double"),
+            k in (bloom_cols or ())
+            and not isinstance(ks, _KeyDigest)))
     store = files._store
     root_abs = (os.path.abspath(snap_root)
                 if snap_root is not None else None)

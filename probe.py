@@ -764,6 +764,21 @@ def run_txlog_metadata_scale_leg(spark) -> dict:
         row[f"t_merge_prune_{k}"] = round(
             time.monotonic() - t0, 3)
         row[f"files_touched_{k}"] = len(touched)
+        if n_files > T._DISTRIBUTED_PRUNE_BOUND:
+            # OVER-COLLECT-GATE tier (r14, VERDICT r13 #4): 5M
+            # distinct keys blow the collect gate; the bounded
+            # VALUE-RANGE digest must plan exactly the ~5000 files
+            # whose ranges the key span covers, with driver cost
+            # O(survivors + digest jobs), never O(files)
+            lo_k = (n_files // 2) * 1000
+            big = spark.range(lo_k, lo_k + 5_000_000) \
+                .selectExpr("id as k")
+            t0 = time.monotonic()
+            touched_og = T._files_touching_keys(
+                spark, snap["files"], big, "k", root, set(), {})
+            row[f"t_merge_overgate_{k}"] = round(
+                time.monotonic() - t0, 3)
+            row[f"files_touched_overgate_{k}"] = len(touched_og)
         # incremental checkpoint: one suffix add on top of tier-1
         with open(os.path.join(log, f"{2:020d}.json"), "w") as fh:
             _json.dump({"op": "append", "ts": 0.0, "actions": [
@@ -812,6 +827,12 @@ def run_txlog_metadata_scale_leg(spark) -> dict:
                            for k, _ in tiers) \
         and row["planned_tasks_x1m"] == 1 \
         and all(row[f"files_touched_{k}"] <= 2 for k, _ in tiers)
+    # r14 over-gate contract: the digest plans exactly the files
+    # the 5M-key span covers (5000 + the suffix file), at both
+    # distributed tiers
+    row["overgate_ok"] = all(
+        row.get(f"files_touched_overgate_{k}", 5001) <= 5001
+        for k in ("x100k", "x1m"))
     # r14 t_plan CONTRACT (VERDICT r13 #1): the vectorized
     # stats_parsed plan path must beat the r13 json.loads loop by
     # >= 5x at the 1M tier and stay under an absolute 2 s bound

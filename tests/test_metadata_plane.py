@@ -457,3 +457,91 @@ def test_vector_prune_plan_path_no_spark(spark, tmp_path,
     rdr2.pushFilters([EqualTo(("k",), 150)])
     parts2 = rdr2.partitions()
     assert [p.files for p in parts] == [p.files for p in parts2]
+
+
+def test_over_gate_merge_key_digest(spark, tmp_path, monkeypatch):
+    """VERDICT r13 #4: when the distinct merge keys exceed the
+    collect gate, the distributed touch test ships a VALUE-RANGE
+    bucket digest instead of falling back to O(files) driver
+    aggregates. The digest is sound (never under-touches: every
+    range containing a key answers True) and the end-to-end merge
+    through the digest regime stays exact."""
+    import numpy as np
+
+    root = str(tmp_path / "t")
+    df = spark.range(2000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("s"), (F.col("id") % 7)).alias("s"),
+        (F.col("id") * 2).alias("v"))
+    for i in range(4):
+        T.append(df.where((F.col("k") >= i * 500)
+                          & (F.col("k") < (i + 1) * 500))
+                 .coalesce(1), root, checkpoint_every=4)
+    snap = T.snapshot(root)
+    # updates clustered in [1000, 1100): digest must touch ONLY
+    # the [1000, 1500) file even with the collect gate forced shut
+    ups = spark.range(1000, 1100).select(
+        F.col("id").alias("k"), F.lit("zz").alias("s"),
+        F.lit(0).cast("long").alias("v"))
+    exact = T._files_touching_keys(
+        spark, dict(snap["files"].items()), ups, ["k"], root,
+        set(), {})
+    monkeypatch.setattr(T, "_KEY_COLLECT_BOUND", 0)
+    monkeypatch.setattr(T, "_DISTRIBUTED_PRUNE_BOUND", 1)
+    dig = T._files_touching_keys(
+        spark, snap["files"], ups, ["k"], root, set(), {})
+    assert set(dig) >= set(exact)
+    assert len(dig) == 1, dig  # clustered keys: same single file
+    # end-to-end merge THROUGH the digest regime stays exact
+    T.merge_upsert(spark, root, ups, "k", checkpoint_every=0)
+    monkeypatch.setattr(T, "_KEY_COLLECT_BOUND", 2_000_000)
+    monkeypatch.setattr(T, "_DISTRIBUTED_PRUNE_BOUND", 50_000)
+    got = T.read(spark, root)
+    assert got.count() == 2000
+    assert got.where("s = 'zz'").count() == 100
+    assert got.where("k = 1050").select("v").collect()[0][0] == 0
+
+    # digest soundness, brute force: every [lo, hi] containing a
+    # key answers may_intersect True (num AND str domains)
+    for col, vals in (("k", list(range(300, 420, 3))),
+                      ("s", [f"s{i}" for i in range(7)])):
+        dg = T._key_digest(
+            df.where(F.col("k").between(300, 420)) if col == "k"
+            else df, col)
+        assert dg is not None
+        import random
+        rnd = random.Random(7)
+        for _ in range(300):
+            if col == "k":
+                a, b = sorted((rnd.randint(250, 470),
+                               rnd.randint(250, 470)))
+            else:
+                a, b = sorted((f"s{rnd.randint(0, 9)}",
+                               f"s{rnd.randint(0, 9)}"))
+            has = any(a <= v <= b for v in vals)
+            got_mi = dg.may_intersect(a, b)
+            assert got_mi or not has, (col, a, b)
+
+
+def test_key_digest_edges(spark):
+    """Digest edge domains: all-NULL keys (empty digest matches
+    nothing), NaN float keys (has_nan rides the digest), date keys
+    (ISO string domain), domain-mismatched stats (conservative
+    True)."""
+    import datetime
+
+    ups = spark.createDataFrame([(None,), (None,)], "k double")
+    dg = T._key_digest(ups, "k")
+    assert dg.empty and not dg.may_intersect(0.0, 1e9)
+    ups2 = spark.createDataFrame(
+        [(1.0,), (float("nan"),)], "k double")
+    dg2 = T._key_digest(ups2, "k")
+    assert dg2.has_nan and dg2.may_intersect(0.5, 2.0)
+    ups3 = spark.createDataFrame(
+        [(datetime.date(2024, 1, 3),)], "ds date")
+    dg3 = T._key_digest(ups3, "ds")
+    assert dg3.kind == "str"
+    assert dg3.may_intersect("2024-01-01", "2024-01-04")
+    assert not dg3.may_intersect("2024-01-04", "2024-01-09")
+    # stats in a foreign domain can never exclude
+    assert dg3.may_intersect(0, 100)
