@@ -811,16 +811,61 @@ def _footer_nulls(path: str) -> dict:
     return agg
 
 
+def _dec_widen(d, is_lo: bool):
+    """One DECIMAL footer stat endpoint as a directionally-widened
+    float (lo rounds down, hi up): the float pair can only ever
+    under-prune relative to the exact decimal range, and Python
+    compares a pushed Decimal literal against floats exactly — so
+    decimal range predicates prune with zero literal conversion
+    (r14, VERDICT r13 #5). None = unrepresentable, stat absent."""
+    import decimal as _dec
+
+    try:
+        f = float(d)
+    except (OverflowError, ValueError):
+        return None
+    if not math.isfinite(f):
+        return None
+    df = _dec.Decimal(f)
+    if is_lo and df > d:
+        f = math.nextafter(f, -math.inf)
+    elif not is_lo and df < d:
+        f = math.nextafter(f, math.inf)
+    return f
+
+
+def _dec_stat_raw(raw, scale: int, is_lo: bool):
+    """Decode one decimal stat endpoint from the footer's RAW
+    physical value (big-endian two's-complement scaled integer for
+    FLBA/BYTE_ARRAY, plain int for INT32/INT64 backing)."""
+    import decimal as _dec
+
+    if isinstance(raw, bytes):
+        if not raw:
+            return None
+        unscaled = int.from_bytes(raw, "big", signed=True)
+    elif isinstance(raw, int) and not isinstance(raw, bool):
+        unscaled = raw
+    else:
+        return None
+    return _dec_widen(_dec.Decimal(unscaled).scaleb(-scale), is_lo)
+
+
 def _footer_stats(path: str) -> dict:
     """Per-file min/max column stats from the parquet FOOTER only
     (pyarrow metadata — zero data pages read). Primitive top-level
-    int/float/str columns; a column whose footer lacks min/max (or
-    whose min/max is non-finite) is simply absent — consumers treat
-    a missing stat as "may contain anything", the conservative
-    direction."""
+    int/float/str columns; DECIMAL columns land as directionally-
+    widened floats (r14 — see _dec_widen); a column whose footer
+    lacks min/max (or whose min/max is non-finite) is simply
+    absent — consumers treat a missing stat as "may contain
+    anything", the conservative direction."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
-    md = pq.ParquetFile(path).metadata
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    dec_scale = {f_.name: f_.type.scale for f_ in pf.schema_arrow
+                 if pa.types.is_decimal(f_.type)}
     agg: dict[str, list] = {}
     dropped: set[str] = set()
     for rg in range(md.num_row_groups):
@@ -830,6 +875,7 @@ def _footer_stats(path: str) -> dict:
             name = col.path_in_schema
             if "." in name or name in dropped:
                 continue  # nested / already disqualified
+            st = None
             try:
                 st = col.statistics
                 has = st is not None and st.has_min_max
@@ -838,6 +884,26 @@ def _footer_stats(path: str) -> dict:
                 # (ArrowNotImplementedError on e.g. decimal stats
                 # from a pyarrow-written footer) — treat as absent
                 has = False
+            if not has and name in dec_scale and st is not None:
+                # decimal stats: decode the raw scaled integers
+                # pyarrow refuses to cast (r14)
+                try:
+                    if st.has_min_max:
+                        mn = _dec_stat_raw(st.min_raw,
+                                           dec_scale[name], True)
+                        mx = _dec_stat_raw(st.max_raw,
+                                           dec_scale[name], False)
+                        has = mn is not None and mx is not None
+                except Exception:
+                    has = False
+            elif has and name in dec_scale:
+                # a pyarrow that CAN read decimal stats hands back
+                # Decimal objects: widen the same way
+                import decimal as _dec
+                if isinstance(mn, _dec.Decimal):
+                    mn = _dec_widen(mn, True)
+                    mx = _dec_widen(mx, False)
+                    has = mn is not None and mx is not None
             if not has:
                 dropped.add(name)
                 agg.pop(name, None)
@@ -867,6 +933,33 @@ def _footer_stats(path: str) -> dict:
 
 
 _PART_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _utc_token(tok: str, tz_name: str) -> str | None:
+    """UTC-normalize a TIMESTAMP partition directory token (r14,
+    VERDICT r13 #5): Spark renders hive timestamp tokens as wall
+    time in the WRITER's session timezone — lexical compare across
+    sessions is unsound, so the recorded token re-encodes as
+    sortable UTC ISO-8601 with a 'T' separator ('YYYY-MM-DDTHH:MM:
+    SS[.ffffff]'; the fraction is dropped when zero, and a '.'
+    suffix sorts below any digit, so mixed precision stays in
+    chronological code-point order). The 'T' doubles as the domain
+    marker: consumers prune only 'T'-form tokens, legacy space-form
+    tokens stay inert. None = unparseable, keep the raw token."""
+    import datetime as _dt
+
+    try:
+        dt = _dt.datetime.fromisoformat(tok)
+        if dt.tzinfo is None:
+            import zoneinfo
+            dt = dt.replace(tzinfo=zoneinfo.ZoneInfo(tz_name))
+        dt = dt.astimezone(_dt.timezone.utc)
+        out = dt.strftime("%Y-%m-%dT%H:%M:%S")
+        if dt.microsecond:
+            out += f".{dt.microsecond:06d}"
+        return out
+    except (ValueError, KeyError, OSError):
+        return None
 
 
 def _parse_partition_dirs(rel_dir: str,
@@ -1229,8 +1322,22 @@ def _stage_write(df: DataFrame, root: str,
                         for c in (partition_by or [])] or None
     stage = os.path.join(root, f"_stage-{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
+    ts_parts: set[str] = set()
+    tz_name = "UTC"
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+        # timestamp partition tokens record UTC-NORMALIZED (r14):
+        # the directory name stays as Spark rendered it (writer
+        # session wall time), the RECORDED token is the sortable
+        # UTC ISO form every consumer (pruning, the native read's
+        # token injection) shares
+        by_name = {f.name: f.dataType.simpleString()
+                   for f in df.schema.fields}
+        ts_parts = {c for c in partition_by
+                    if by_name.get(c) == "timestamp"}
+        if ts_parts:
+            tz_name = df.sparkSession.conf.get(
+                "spark.sql.session.timeZone", "UTC")
     writer.parquet(stage)
     adds = []
     for dirpath, _dirs, files in sorted(os.walk(stage)):
@@ -1246,6 +1353,11 @@ def _stage_write(df: DataFrame, root: str,
             name = f"part-{uuid.uuid4().hex}.parquet"
             if partition_by:
                 part = _parse_partition_dirs(rel_dir, partition_by)
+                for c in ts_parts:
+                    if part.get(c) is not None:
+                        norm = _utc_token(part[c], tz_name)
+                        if norm is not None:
+                            part[c] = norm
                 rel = "/".join([rel_dir.replace(os.sep, "/"), name])
                 os.makedirs(os.path.join(root, rel_dir), exist_ok=True)
             else:
@@ -1330,6 +1442,10 @@ def _cp_stat_type(type_str: str | None):
     if type_str in ("tinyint", "smallint", "int", "bigint"):
         return pa.int64()
     if type_str in ("float", "double"):
+        return pa.float64()
+    if type_str is not None and type_str.startswith("decimal"):
+        # decimal footer stats are recorded as directionally-
+        # widened floats (r14, _dec_widen)
         return pa.float64()
     if type_str == "string":
         return pa.string()
@@ -2091,6 +2207,33 @@ def _key_collect_ok(n_keys: int, est_bytes: float) -> bool:
             and est_bytes <= _KEY_COLLECT_BYTES)
 
 
+def _key_stat_domain(kdf, dt: str):
+    """(kdf, dt) with the ``_k`` key column cast to the STAT domain
+    its column's file-side metadata lives in:
+
+    - date -> ISO string (the partition-token domain; cast gives
+      'YYYY-MM-DD' and code-point order IS date order). Without it
+      datetime.date keys bisect against string stats and raise
+      TypeError (ADVICE r14 high).
+    - timestamp -> the UTC-normalized 'T'-form token domain
+      (_utc_token), rendered with date_format under a UTC session
+      ONLY — any other session renders wall time in the wrong zone,
+      so the keys stay raw there (conservative: bisect's TypeError
+      guard and the digest's domain guard keep them inert).
+    - everything else: unchanged."""
+    from pyspark.sql import functions as F
+
+    if dt == "date":
+        return (kdf.select(F.col("_k").cast("string").alias("_k")),
+                "string")
+    if dt == "timestamp" and kdf.sparkSession.conf.get(
+            "spark.sql.session.timeZone", "") == "UTC":
+        return (kdf.select(F.regexp_replace(
+            F.date_format("_k", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+            "\\.000000$", "").alias("_k")), "string")
+    return kdf, dt
+
+
 # Value-range bucket count for the over-collect-gate key digest.
 # 2^18 buckets = a 256 KB bitmap per key column — broadcastable,
 # with bucket resolution fine enough that a clustered 5M-key upsert
@@ -2185,11 +2328,8 @@ def _key_digest(updates: DataFrame, key: str) -> "_KeyDigest | None":
     dt = updates.schema[key].dataType.simpleString()
     kdf = updates.select(F.col(key).alias("_k")) \
         .where(F.col("_k").isNotNull())
-    if dt == "date":
-        # the stat domain for date columns is the ISO token string
-        # (see _collectable_keys)
-        kdf = kdf.select(F.col("_k").cast("string").alias("_k"))
-        dt = "string"
+    # digest in the stat domain (date/timestamp -> ISO tokens)
+    kdf, dt = _key_stat_domain(kdf, dt)
     is_float = dt in ("float", "double")
     if dt in ("tinyint", "smallint", "int", "bigint", "float",
               "double"):
@@ -2249,15 +2389,9 @@ def _collectable_keys(updates: DataFrame, key: str):
 
     ks_df = updates.select(F.col(key).alias("_k")).distinct()
     dt = updates.schema[key].dataType.simpleString()
-    if dt == "date":
-        # the ONLY stat source for a date column is its ISO
-        # partition token (string [lo,hi], _typed_partition_value) —
-        # collect keys in the same domain (cast gives ISO
-        # 'YYYY-MM-DD'; code-point order IS date order). Mirrors
-        # _lit_norm; without it datetime.date keys bisect against
-        # string stats and raise TypeError (ADVICE r14 high).
-        ks_df = ks_df.select(F.col("_k").cast("string").alias("_k"))
-        dt = "string"
+    # collect keys in the domain the stats live in (date/timestamp
+    # -> ISO token strings; ADVICE r14 high / VERDICT r13 #5)
+    ks_df, dt = _key_stat_domain(ks_df, dt)
     if dt in ("string", "binary"):
         row = ks_df.agg(
             F.count(F.lit(1)).alias("n"),
@@ -2495,13 +2629,10 @@ def _files_touching_keys_col(spark, files: dict[str, dict],
         return touched
     keys = updates.select(F.col(key).alias("_k")).distinct()
     dt = updates.schema[key].dataType.simpleString()
-    if dt == "date":
-        # date stats exist only as ISO partition-token strings —
-        # normalize the key domain to match (see _collectable_keys;
-        # ADVICE r14 high). Covers BOTH regimes: the collected
-        # bisect AND the distributed range aggregate below.
-        keys = keys.select(F.col("_k").cast("string").alias("_k"))
-        dt = "string"
+    # normalize the key domain to the stats' (see _key_stat_domain;
+    # ADVICE r14 high / VERDICT r13 #5). Covers BOTH regimes: the
+    # collected bisect AND the distributed range aggregate below.
+    keys, dt = _key_stat_domain(keys, dt)
     is_float = dt in ("float", "double")
     if dt in ("string", "binary"):
         # one job: count + sampled average width (bytes-aware
@@ -3108,6 +3239,13 @@ def _typed_partition_value(tok: str, type_str: str):
             return tok
         if type_str == "date":
             return tok  # ISO 'YYYY-MM-DD': lexical == chronological
+        if type_str == "timestamp":
+            # r14 (VERDICT r13 #5): UTC-normalized tokens ('T'
+            # form, _utc_token) are lexically chronological and
+            # share the domain _lit_norm gives aware datetime
+            # literals. Legacy space-form tokens (writer-session
+            # wall time, unknown zone) stay inert.
+            return tok if "T" in tok else None
     except (ValueError, TypeError):
         return None
     return None
@@ -3167,8 +3305,13 @@ def _prune_survives(m: dict, conjuncts: list[tuple], types: dict,
             # one pass per value
             st = stats.get(col)
             if st is not None:
-                is_f = col in float_cols \
-                    or isinstance(st[0], float)
+                # NaN blind spot applies to REAL float columns
+                # only: trust the schema when it knows the column
+                # (r14 — decimal stats are floats but decimals
+                # have no NaN); value-type fallback for schema-less
+                # tables
+                is_f = (col in float_cols if col in types
+                        else isinstance(st[0], float))
                 if all(_stat_excludes(st, "=", v, is_f)
                        for v in lit):
                     return False
@@ -3195,7 +3338,8 @@ def _prune_survives(m: dict, conjuncts: list[tuple], types: dict,
             continue
         st = stats.get(col)
         if st is not None:
-            is_f = col in float_cols or isinstance(st[0], float)
+            is_f = (col in float_cols if col in types
+                    else isinstance(st[0], float))
             if _stat_excludes(st, op, lit, is_f):
                 return False
     return True
@@ -3259,10 +3403,17 @@ def _cp_vector_prune(store: "_CpStore", conjuncts: list[tuple],
             return None
         return col
 
-    def _lit_adapt(arr, lit, mode):
-        """``lit`` adapted for an EXACT compare against ``arr``
-        (mode = floor/ceil picks the integer threshold direction),
-        or None = incomparable (conjunct skipped)."""
+    def _lit_adapt(arr, lit, imode, fdir):
+        """``lit`` adapted for an EXACT-or-safe compare against
+        ``arr``, or None = incomparable (conjunct skipped).
+        ``imode`` (floor/ceil) is the EXACT integer threshold for
+        fractional literals on int columns; ``fdir`` (up/down) is
+        the SAFE rounding direction when an inexact literal
+        (Decimal, r14) must land on the float grid — rounding that
+        way makes the exclusion test strictly harder, never
+        unsound."""
+        import decimal as _dec
+
         if arr is None or lit is None or isinstance(lit, bool):
             return None
         t = arr.type
@@ -3273,10 +3424,13 @@ def _cp_vector_prune(store: "_CpStore", conjuncts: list[tuple],
         if pa.types.is_integer(t):
             if isinstance(lit, int):
                 return lit
-            if isinstance(lit, float):
-                if not math.isfinite(lit):
+            if isinstance(lit, (float, _dec.Decimal)):
+                if isinstance(lit, float) and not math.isfinite(lit):
                     return None
-                return (math.ceil(lit) if mode == "ceil"
+                if (isinstance(lit, _dec.Decimal)
+                        and not lit.is_finite()):
+                    return None
+                return (math.ceil(lit) if imode == "ceil"
                         else math.floor(lit))
             return None
         if pa.types.is_floating(t):
@@ -3284,6 +3438,18 @@ def _cp_vector_prune(store: "_CpStore", conjuncts: list[tuple],
                 return float(lit) if abs(lit) < 2 ** 53 else None
             if isinstance(lit, float):
                 return lit if not math.isnan(lit) else None
+            if isinstance(lit, _dec.Decimal):
+                if not lit.is_finite():
+                    return None
+                f = float(lit)
+                if not math.isfinite(f):
+                    return None
+                d = _dec.Decimal(f)
+                if fdir == "up" and d < lit:
+                    f = math.nextafter(f, math.inf)
+                elif fdir == "down" and d > lit:
+                    f = math.nextafter(f, -math.inf)
+                return f
         return None
 
     def _eff_range(pcol, lc):
@@ -3310,9 +3476,16 @@ def _cp_vector_prune(store: "_CpStore", conjuncts: list[tuple],
                 except (pa.ArrowInvalid,
                         pa.ArrowNotImplementedError):
                     tk = None
+            elif t == "timestamp":
+                # only UTC-normalized ('T'-form) tokens are in the
+                # sortable domain (mirrors _typed_partition_value);
+                # legacy space-form cells null out
+                tk = pc.if_else(
+                    pc.match_substring(tk, "T"), tk,
+                    pa.scalar(None, pa.string()))
             elif t not in ("string", "date"):
-                # timestamp/bool/decimal tokens: no stat domain
-                # (mirrors _typed_partition_value returning None)
+                # bool/decimal tokens: no stat domain (mirrors
+                # _typed_partition_value returning None)
                 tk = None
         if tk is not None:
             # footer stat wins where present; the token fills NULL
@@ -3331,11 +3504,11 @@ def _cp_vector_prune(store: "_CpStore", conjuncts: list[tuple],
         None."""
         parts = []
         # lo > lit  <=>  lo > floor(lit) on an int column
-        l2 = _lit_adapt(lo, lit, "floor")
+        l2 = _lit_adapt(lo, lit, "floor", "up")
         if l2 is not None:
             parts.append(pc.fill_null(pc.greater(lo, l2), False))
         # hi < lit  <=>  hi < ceil(lit) on an int column
-        h2 = _lit_adapt(hi, lit, "ceil")
+        h2 = _lit_adapt(hi, lit, "ceil", "down")
         if h2 is not None:
             parts.append(pc.fill_null(pc.less(hi, h2), False))
         # (a non-integral float literal can never equal an int row,
@@ -3353,19 +3526,19 @@ def _cp_vector_prune(store: "_CpStore", conjuncts: list[tuple],
         if op in ("=", "=="):
             return _eq_excl(lo, hi, lit)
         if op == "<":
-            l2 = _lit_adapt(lo, lit, "ceil")  # lo >= ceil(lit)
+            l2 = _lit_adapt(lo, lit, "ceil", "up")  # lo >= ceil
             return (None if l2 is None
                     else pc.greater_equal(lo, l2))
         if op == "<=":
-            l2 = _lit_adapt(lo, lit, "floor")  # lo > floor(lit)
+            l2 = _lit_adapt(lo, lit, "floor", "up")  # lo > floor
             return None if l2 is None else pc.greater(lo, l2)
         if is_f:
             return None  # NaN may hide above hi (float rule)
         if op == ">":
-            l2 = _lit_adapt(hi, lit, "floor")  # hi <= floor(lit)
+            l2 = _lit_adapt(hi, lit, "floor", "down")  # hi <= floor
             return None if l2 is None else pc.less_equal(hi, l2)
         if op == ">=":
-            l2 = _lit_adapt(hi, lit, "ceil")  # hi < ceil(lit)
+            l2 = _lit_adapt(hi, lit, "ceil", "down")  # hi < ceil
             return None if l2 is None else pc.less(hi, l2)
         return None
 
@@ -3413,11 +3586,13 @@ def _cp_vector_prune(store: "_CpStore", conjuncts: list[tuple],
             lo, hi = _eff_range(pcol, col)
             if lo is None and hi is None:
                 continue
-            is_f = (col in float_cols
-                    or (lo is not None
-                        and pa.types.is_floating(lo.type))
-                    or (hi is not None
-                        and pa.types.is_floating(hi.type)))
+            # schema-first float detection (r14): decimal stat
+            # columns are float64 but decimals carry no NaN
+            is_f = (col in float_cols if col in types
+                    else ((lo is not None
+                           and pa.types.is_floating(lo.type))
+                          or (hi is not None
+                              and pa.types.is_floating(hi.type))))
             if op == "in":
                 ex = None
                 ok = True
@@ -5441,9 +5616,26 @@ def _arrow_project(tbl, target, cmap: dict, part: dict | None):
         if pname in tbl.column_names:
             cols.append(tbl.column(pname).cast(field.type))
         elif part and part.get(pname) is not None:
-            cols.append(pa.chunked_array([
-                pa.array([part[pname]] * len(tbl), type=pa.string())
-                .cast(field.type)]))
+            tok_arr = pa.array([part[pname]] * len(tbl),
+                               type=pa.string())
+            if (pa.types.is_timestamp(field.type)
+                    and field.type.tz is not None):
+                # r14: recorded timestamp tokens are UTC-normalized
+                # (_utc_token); arrow refuses a zone-less string ->
+                # zoned-timestamp cast, so parse naive then pin UTC.
+                # Legacy space-form tokens parse the same way (the
+                # engine's sessions run UTC; pre-r14 the native
+                # read of a timestamp-partitioned table CRASHED
+                # here, so there is no other behavior to keep)
+                import pyarrow.compute as pc
+                naive = tok_arr.cast(
+                    pa.timestamp(field.type.unit))
+                cols.append(pa.chunked_array([
+                    pc.assume_timezone(naive, "UTC")
+                    .cast(field.type)]))
+            else:
+                cols.append(pa.chunked_array(
+                    [tok_arr.cast(field.type)]))
         else:
             cols.append(pa.chunked_array(
                 [pa.nulls(len(tbl), field.type)]))
@@ -6202,13 +6394,19 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
               bloom sidecars omit date columns entirely (_bloom_key
               indexes int/str only), so the string form can never
               falsely exclude.
-            - datetime.datetime / Decimal: pushed RAW. No stat
-              source exists for them today (timestamp partition
-              tokens stay untyped — session-timezone clock domains
-              make lexical compare unsound; decimal footer stats are
-              dropped at write), so they prune nothing — but pushing
-              keeps the planner's contract uniform and
-              _stat_excludes' type guards keep them inert."""
+            - AWARE datetime.datetime -> sortable UTC ISO string
+              (r14, VERDICT r13 #5): Spark pushes timestamp
+              literals tz-aware (the internal value is an absolute
+              instant), so the normalized form shares the domain
+              _utc_token records for timestamp partition tokens —
+              ``ts >= timestamp'...'`` on a timestamp-partitioned
+              table prunes. A NAIVE datetime (no instant without a
+              zone) pushes RAW and stays inert.
+            - Decimal: pushed RAW. Footer stats for decimal columns
+              land as directionally-widened floats (r14,
+              _footer_stats), and Python compares Decimal against
+              float exactly — so decimal range predicates prune
+              with no conversion of the literal."""
             import datetime as _dt
             import decimal as _dec
             if isinstance(v, bool) or v is None:
@@ -6216,7 +6414,13 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
             if isinstance(v, (int, float, str)):
                 return v
             if isinstance(v, _dt.datetime):  # BEFORE date: subclass
-                return v
+                if v.tzinfo is None:
+                    return v  # zone-less: inert (type guards hold)
+                u = v.astimezone(_dt.timezone.utc)
+                out = u.strftime("%Y-%m-%dT%H:%M:%S")
+                if u.microsecond:
+                    out += f".{u.microsecond:06d}"
+                return out
             if isinstance(v, _dt.date):
                 return v.isoformat()
             if isinstance(v, _dec.Decimal):

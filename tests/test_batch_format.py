@@ -300,10 +300,12 @@ def test_date_literal_pushdown_prunes_partitions(spark):
         == {dt.date(2024, 3, 15), dt.date(2024, 3, 22)}
 
 
-def test_timestamp_and_decimal_literals_push_inert(spark):
-    """datetime/Decimal literals PUSH (uniform planner contract)
-    but prune nothing today — no stat source exists for them; the
-    type guards must keep every file surviving and results exact."""
+def test_timestamp_and_decimal_literals_push_and_stay_exact(spark):
+    """datetime/Decimal literals PUSH; on an UNPARTITIONED table a
+    timestamp conjunct has no stat source (footer timestamp stats
+    are dropped) and stays inert; a decimal conjunct sees the r14
+    widened-float footer stats but these files all span the
+    predicate, so everything survives — and results stay exact."""
     import datetime as dt
     from decimal import Decimal
 
@@ -322,13 +324,137 @@ def test_timestamp_and_decimal_literals_push_inert(spark):
         ("ts",), dt.datetime(1970, 1, 2)),
         LessThan(("amt",), Decimal("12.50"))])
     assert (r._conjuncts[0][1], r._conjuncts[1][1]) == (">=", "<")
-    assert len(r._kept_paths()) == 2  # inert: nothing excluded
+    assert len(r._kept_paths()) == 2  # both files span the range
     got = (spark.read.format("txlog").load(root)
            .where("ts >= timestamp'1970-01-02 00:00:00' "
                   "AND amt < 12.50"))
     want = df.where("ts >= timestamp'1970-01-02 00:00:00' "
                     "AND amt < 12.50")
     assert _rows(got) == _rows(want)
+
+
+def test_decimal_footer_stats_prune(spark):
+    """r14 (VERDICT r13 #5): decimal footer stats land as
+    directionally-widened floats, so a pushed Decimal range
+    predicate excludes files — exactly, including the boundary
+    file whose range STARTS at the literal."""
+    from decimal import Decimal
+
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    root = tempfile.mkdtemp(prefix="txdec_") + "/t"
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id").cast("decimal(10,2)") / 4).alias("amt"))
+    # four range-clustered files: amt in [0,6.25) [6.25,12.5) ...
+    for b in range(4):
+        T.append(df.where((F.col("id") >= b * 25)
+                          & (F.col("id") < (b + 1) * 25))
+                 .coalesce(1), root, checkpoint_every=0)
+    snap = T.snapshot(root)
+    sts = [m["stats"].get("amt") for m in snap["files"].values()]
+    assert all(st and isinstance(st[0], float) for st in sts), sts
+    r = _reader(root, [GreaterThanOrEqual(("amt",),
+                                          Decimal("12.50"))])
+    kept = r._kept_paths()
+    assert len(kept) == 2, kept  # the two upper-range files
+    r2 = _reader(root, [LessThan(("amt",), Decimal("6.25"))])
+    assert len(r2._kept_paths()) == 1
+    got = (spark.read.format("txlog").load(root)
+           .where("amt >= 12.50"))
+    assert got.count() == 50
+    assert got.agg(F.min("amt")).collect()[0][0] == Decimal("12.50")
+
+
+def test_timestamp_partition_pushdown_prunes(spark):
+    """r14 (VERDICT r13 #5): timestamp partition tokens record
+    UTC-normalized sortable ISO ('T' form); aware datetime literals
+    normalize to the same domain — a timestamp-partitioned
+    format('txlog') scan prunes to the target partitions, and the
+    native read reconstructs the partition column exactly (pre-r14
+    it CRASHED casting the token to timestamp[us, tz=UTC])."""
+    import datetime as dt
+
+    from pyspark.sql.datasource import (GreaterThanOrEqual,
+                                        LessThan)
+
+    root = tempfile.mkdtemp(prefix="txts_") + "/t"
+    df = spark.range(40).select(
+        F.col("id").alias("k"),
+        (F.to_timestamp(F.lit("2024-03-01 10:00:00"))
+         + F.expr("make_interval(0,0,0,0, cast(id % 4 as int) * 6,"
+                  " 0, 0)")).alias("ts"))
+    T.append(df.coalesce(1), root, partition_by=["ts"])
+    snap = T.snapshot(root)
+    toks = sorted(m["partition"]["ts"]
+                  for m in snap["files"].values())
+    assert all("T" in t for t in toks), toks  # UTC-normalized form
+    assert toks[0] == "2024-03-01T10:00:00"
+    n_files = len(snap["files"])  # partitions: 10:00 16:00 22:00
+    assert n_files == 4           # and 2024-03-02T04:00
+
+    def _dirs(paths):
+        return {p.split("/")[0] for p in paths}
+
+    # range: >= 22:00 UTC keeps the two later partitions
+    lit = dt.datetime(2024, 3, 1, 22, 0,
+                      tzinfo=dt.timezone.utc)
+    r = _reader(root, [GreaterThanOrEqual(("ts",), lit)])
+    assert len(_dirs(r._kept_paths())) == 2
+    # window keeps the middle two
+    r2 = _reader(root, [
+        GreaterThanOrEqual(("ts",), dt.datetime(
+            2024, 3, 1, 16, 0, tzinfo=dt.timezone.utc)),
+        LessThan(("ts",), dt.datetime(
+            2024, 3, 2, 4, 0, tzinfo=dt.timezone.utc))])
+    assert len(_dirs(r2._kept_paths())) == 2
+    assert _dirs(r2._kept_paths()) != _dirs(r._kept_paths())
+    # NAIVE literal: inert (no instant without a zone), all survive
+    r3 = _reader(root, [GreaterThanOrEqual(
+        ("ts",), dt.datetime(2024, 3, 1, 22, 0))])
+    assert len(r3._kept_paths()) == n_files
+    # the native read reconstructs the partition column (crash fix)
+    got = (spark.read.format("txlog").load(root)
+           .where("ts >= timestamp'2024-03-01 22:00:00'"))
+    want = df.where("ts >= timestamp'2024-03-01 22:00:00'")
+    assert _rows(got) == _rows(want)
+    assert got.count() == 20  # the 22:00 and 04:00 partitions
+    # function-API read agrees (Spark's own partition discovery)
+    fn = T.read(spark, root).where(
+        "ts >= timestamp'2024-03-01 22:00:00'")
+    assert _rows(fn) == _rows(want)
+
+
+def test_merge_keyed_on_timestamp_partition_column(spark):
+    """The daily-upsert shape, hourly edition: a merge keyed on the
+    timestamp partition column must not crash (datetime keys vs
+    string tokens) and must prune to the target partition under a
+    UTC session."""
+    import datetime as dt
+
+    root = tempfile.mkdtemp(prefix="txtsm_") + "/t"
+    df = spark.range(40).select(
+        F.col("id").alias("k"),
+        (F.to_timestamp(F.lit("2024-03-01 10:00:00"))
+         + F.expr("make_interval(0,0,0,0, cast(id % 4 as int) * 6,"
+                  " 0, 0)")).alias("ts"),
+        (F.col("id") * 2).alias("v"))
+    T.append(df, root, partition_by=["ts"])
+    snap = T.snapshot(root)
+    ups = spark.createDataFrame(
+        [(6, dt.datetime(2024, 3, 1, 22, 0), 999)],
+        "k bigint, ts timestamp, v bigint")  # k=6 lives in 22:00
+    touched = T._files_touching_keys(
+        spark, dict(snap["files"].items()), ups, ["ts", "k"],
+        root, set(), {}, types=T._schema_types(snap),
+        inv=T._inv_colmap(snap))
+    assert touched and all("22%3A00" in p or "22:00" in p
+                           for p in touched), touched
+    T.merge_upsert(spark, root, ups, ["ts", "k"],
+                   checkpoint_every=0)
+    got = T.read(spark, root)
+    assert got.count() == 40
+    assert got.where("k = 6").select("v").collect()[0][0] == 999
 
 
 def test_date_pushdown_function_api_parity(spark):

@@ -15,7 +15,7 @@ from hypothesis import strategies as st
 
 from gcp_data_engineering_workshop_spark.sources import txlog as T
 
-_COLS = ("i", "f", "s", "p", "d", "m")
+_COLS = ("i", "f", "s", "p", "d", "m", "t")
 _OPS = ("<", "<=", ">", ">=", "=", "==")
 
 _lit_int = st.integers(min_value=-50, max_value=150)
@@ -31,6 +31,13 @@ _lit_date = st.sampled_from(
      "2024-01-07", "2024-01-13", "2024-02-01"])
 _lit_dec = st.sampled_from(
     ["0.00", "7.25", "12.50", "12.51", "-3.00", "29.75"])
+# timestamp literals straddling the generated 4-partition domain
+# (2024-03-01 08:00 UTC + 6h steps) plus out-of-range ends
+_lit_ts = st.sampled_from(
+    ["2024-02-28 00:00:00", "2024-03-01 08:00:00",
+     "2024-03-01 11:30:00", "2024-03-01 14:00:00",
+     "2024-03-01 20:00:00", "2024-03-02 02:00:00",
+     "2024-03-05 00:00:00"])
 
 
 def _render(lit) -> str:
@@ -56,6 +63,13 @@ _dec_clause = st.tuples(
     st.sampled_from(_OPS), _lit_dec
 ).map(lambda t: f"m {t[0]} {t[1]}")
 
+# r14 (VERDICT r13 #5): timestamp literals push tz-aware and
+# normalize to the UTC token domain — they must prune the
+# ts-partitioned twin and stay exact everywhere
+_ts_clause = st.tuples(
+    st.sampled_from(_OPS), _lit_ts
+).map(lambda t: f"t {t[0]} timestamp '{t[1]}'")
+
 _null_clause = st.tuples(
     st.sampled_from(_COLS),
     st.sampled_from(("IS NULL", "IS NOT NULL"))
@@ -78,7 +92,7 @@ _between_clause = st.tuples(
 
 _comparison = st.one_of(_cmp_clause, _cmp_clause, _null_clause,
                         _in_clause, _like_clause, _between_clause,
-                        _date_clause, _dec_clause)
+                        _date_clause, _dec_clause, _ts_clause)
 
 # NOT wraps push as Not(...) filters the translation deliberately
 # skips — the residual filter must carry the whole predicate
@@ -104,7 +118,10 @@ def tables(spark, tmp_path_factory):
         "cast(id % 3 as int) as p",
         "if(id % 17 = 0, cast(null as date), date_add("
         "date'2024-01-01', cast(id % 5 as int) * 3)) as d",
-        "cast(id as decimal(10,2)) / 4 as m").coalesce(1))
+        "cast(id as decimal(10,2)) / 4 as m",
+        "if(id % 23 = 0, cast(null as timestamp), "
+        "timestamp_seconds(1709280000 + (id % 4) * 21600)) as t")
+        .coalesce(1))
     flat = str(base / "flat")
     part = str(base / "part")
     for lo in range(0, 120, 30):  # 4 range-clustered files
@@ -117,7 +134,13 @@ def tables(spark, tmp_path_factory):
     dpart = str(base / "dpart")
     T.append(mk(0, 120), dpart, partition_by=["d"],
              checkpoint_every=0)
-    return flat, part, dpart
+    # a TIMESTAMP-partitioned twin (r14): UTC-normalized tokens
+    # must prune aware timestamp literals, NULL ts rides the hive
+    # default sentinel
+    tpart = str(base / "tpart")
+    T.append(mk(0, 120), tpart, partition_by=["t"],
+             checkpoint_every=0)
+    return flat, part, dpart, tpart
 
 
 def _norm(v):
