@@ -3122,6 +3122,344 @@ def _parse_literal(tok: str):
         return None
 
 
+# ------------------------------------------------------------------ #
+# arrow-side generated-column expressions (r14, VERDICT r13 #6)
+# ------------------------------------------------------------------ #
+
+_EXPR_TOKEN = re.compile(
+    r"\s*(?:(?P<num>\d+(?:\.\d+)?)|(?P<str>'[^']*')"
+    r"|(?P<id>[A-Za-z_][A-Za-z0-9_]*)"
+    r"|(?P<op><=|>=|==|!=|<>|[-+*/%()=<>,]))")
+
+_EXPR_KEYWORDS = {"CASE", "WHEN", "THEN", "ELSE", "END", "CAST",
+                  "AS", "AND", "OR"}
+
+
+def _arrow_expr_compile(expr: str, types: dict):
+    """Compile a generated-column expression into a pyarrow-compute
+    evaluator over one record batch, or None when ANY part falls
+    outside the PROVEN grammar (the caller keeps its refusal — a
+    silently wrong value would be worse than no native path).
+
+    Grammar (case-insensitive keywords):
+      expr  := term (('+'|'-') term)*
+      term  := unary (('*'|'/'|'%') unary)*
+      unary := '-' unary | atom
+      atom  := number | 'string' | column | '(' expr ')'
+             | CAST '(' expr AS int|bigint|double|string|date ')'
+             | CASE (WHEN cond THEN expr)+ (ELSE expr)? END
+      cond  := expr CMP expr ((AND|OR) cond)*
+
+    Spark semantics mirrored exactly where they differ from arrow
+    defaults: '/' is ALWAYS double division, '%' is Java remainder
+    (sign of the dividend; arrow integer divide truncates toward
+    zero, so a - (a/b)*b matches), int arithmetic stays int64, a
+    NULL CASE condition selects the ELSE branch (comparisons
+    fill_null False — sound for branch selection through AND/OR),
+    CAST to int truncates toward zero. Column types outside
+    int/float/string refuse (decimal/timestamp arithmetic parity
+    is precision- and zone-sensitive — append() handles those).
+    Returns fn(batch) -> pa.Array."""
+    toks: list[tuple] = []
+    pos = 0
+    while pos < len(expr):
+        m = _EXPR_TOKEN.match(expr, pos)
+        if m is None:
+            return None if expr[pos:].strip() else None
+        pos = m.end()
+        if m.group("num") is not None:
+            v = m.group("num")
+            toks.append(("lit", float(v) if "." in v else int(v)))
+        elif m.group("str") is not None:
+            toks.append(("lit", m.group("str")[1:-1]))
+        elif m.group("id") is not None:
+            up = m.group("id").upper()
+            if up in _EXPR_KEYWORDS:
+                toks.append(("kw", up))
+            else:
+                toks.append(("col", m.group("id")))
+        else:
+            toks.append(("op", m.group("op")))
+    if expr[pos:].strip():
+        return None
+    toks.append(("end", None))
+
+    def col_kind(name):
+        t = types.get(name)
+        if t in ("tinyint", "smallint", "int", "bigint"):
+            return "int"
+        if t in ("float", "double"):
+            return "float"
+        if t == "string":
+            return "str"
+        return None
+
+    i = 0
+
+    class _Bail(Exception):
+        pass
+
+    def peek():
+        return toks[i]
+
+    def take(kind=None, val=None):
+        nonlocal i
+        t = toks[i]
+        if (kind and t[0] != kind) or (val is not None
+                                       and t[1] != val):
+            raise _Bail()
+        i += 1
+        return t
+
+    # each node compiles to (fn(cols, n) -> array-or-python-scalar,
+    # kind) where kind in {"int", "float", "str"}
+    def p_expr():
+        left = p_term()
+        while peek() == ("op", "+") or peek() == ("op", "-"):
+            op = take("op")[1]
+            right = p_term()
+            left = arith(left, right, op)
+        return left
+
+    def p_term():
+        left = p_unary()
+        while peek()[0] == "op" and peek()[1] in ("*", "/", "%"):
+            op = take("op")[1]
+            right = p_unary()
+            left = arith(left, right, op)
+        return left
+
+    def p_unary():
+        if peek() == ("op", "-"):
+            take("op")
+            fn, k = p_unary()
+            if k == "str":
+                raise _Bail()
+
+            def neg(cols, n, _f=fn):
+                import pyarrow.compute as pc
+                v = _f(cols, n)
+                return -v if isinstance(v, (int, float)) \
+                    else pc.negate(v)
+            return neg, k
+        return p_atom()
+
+    def arith(left, right, op):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        (lf, lk), (rf, rk) = left, right
+        if "str" in (lk, rk):
+            raise _Bail()
+        out_k = ("float" if op == "/" or "float" in (lk, rk)
+                 else "int")
+
+        def run(cols, n):
+            a, b = lf(cols, n), rf(cols, n)
+            both_scalar = (isinstance(a, (int, float))
+                           and isinstance(b, (int, float)))
+            if op == "/":
+                if both_scalar:
+                    return a / b
+                a = a if isinstance(a, (int, float)) \
+                    else pc.cast(a, pa.float64())
+                b = b if isinstance(b, (int, float)) \
+                    else pc.cast(b, pa.float64())
+                return pc.divide(float(a) if isinstance(
+                    a, (int, float)) else a,
+                    float(b) if isinstance(b, (int, float)) else b)
+            if op == "%":
+                if both_scalar:
+                    import math as _m
+                    return _m.fmod(a, b)
+                q = pc.divide(a, b)
+                if out_k == "float":
+                    q = pc.trunc(pc.cast(q, pa.float64()))
+                return pc.subtract(a, pc.multiply(q, b))
+            f = {"+": pc.add, "-": pc.subtract,
+                 "*": pc.multiply}[op]
+            if both_scalar:
+                return {"+": a + b, "-": a - b, "*": a * b}[op]
+            return f(a, b)
+        return run, out_k
+
+    def p_atom():
+        t = peek()
+        if t[0] == "lit":
+            v = t[1]
+            take("lit")
+            k = ("str" if isinstance(v, str)
+                 else "float" if isinstance(v, float) else "int")
+            return (lambda cols, n, _v=v: _v), k
+        if t[0] == "col":
+            name = take("col")[1]
+            k = col_kind(name)
+            if k is None:
+                raise _Bail()
+
+            def get(cols, n, _c=name):
+                try:
+                    return cols[_c]
+                except KeyError:
+                    raise KeyError(
+                        f"generated expression references column "
+                        f"{_c!r} absent from the write batch")
+            return get, k
+        if t == ("op", "("):
+            take("op", "(")
+            node = p_expr()
+            take("op", ")")
+            return node
+        if t == ("kw", "CAST"):
+            return p_cast()
+        if t == ("kw", "CASE"):
+            return p_case()
+        raise _Bail()
+
+    def p_cast():
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        take("kw", "CAST")
+        take("op", "(")
+        fn, k = p_expr()
+        take("kw", "AS")
+        tgt = take("col")[1].lower()  # type name lexes as ident
+        take("op", ")")
+        if tgt in ("int", "bigint", "long"):
+            if k == "str":
+                raise _Bail()
+
+            def c_i(cols, n, _f=fn):
+                v = _f(cols, n)
+                if isinstance(v, (int, float)):
+                    return int(v)
+                return pc.cast(v, pa.int64(), safe=False)
+            return c_i, "int"
+        if tgt == "double":
+            if k == "str":
+                raise _Bail()
+
+            def c_d(cols, n, _f=fn):
+                v = _f(cols, n)
+                if isinstance(v, (int, float)):
+                    return float(v)
+                return pc.cast(v, pa.float64())
+            return c_d, "float"
+        if tgt == "string":
+            if k != "int":  # float rendering differs from Spark
+                raise _Bail()
+
+            def c_s(cols, n, _f=fn):
+                v = _f(cols, n)
+                if isinstance(v, (int, float)):
+                    return str(int(v))
+                return pc.cast(pc.cast(v, pa.int64()), pa.string())
+            return c_s, "str"
+        raise _Bail()
+
+    def p_cond():
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        lf, lk = p_expr()
+        opt = take("op")[1]
+        if opt not in ("=", "==", "!=", "<>", "<", "<=", ">", ">="):
+            raise _Bail()
+        rf, rk = p_expr()
+        if ("str" in (lk, rk)) != (lk == rk == "str"):
+            raise _Bail()  # string vs numeric never compares
+        cmp_f = {"=": pc.equal, "==": pc.equal,
+                 "!=": pc.not_equal, "<>": pc.not_equal,
+                 "<": pc.less, "<=": pc.less_equal,
+                 ">": pc.greater, ">=": pc.greater_equal}[opt]
+
+        def run(cols, n):
+            a, b = lf(cols, n), rf(cols, n)
+            if isinstance(a, (int, float, str)) \
+                    and isinstance(b, (int, float, str)):
+                ok = {"=": a == b, "==": a == b, "!=": a != b,
+                      "<>": a != b, "<": a < b, "<=": a <= b,
+                      ">": a > b, ">=": a >= b}[opt]
+                return pa.array([ok] * n)
+            return pc.fill_null(cmp_f(a, b), False)
+        node = run
+        while peek()[0] == "kw" and peek()[1] in ("AND", "OR"):
+            conj = take("kw")[1]
+            rest = p_cond()
+
+            def combo(cols, n, _l=node, _r=rest, _c=conj):
+                f = pc.and_ if _c == "AND" else pc.or_
+                return f(_l(cols, n), _r(cols, n))
+            node = combo
+        return node
+
+    def p_case():
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        take("kw", "CASE")
+        arms = []
+        while peek() == ("kw", "WHEN"):
+            take("kw", "WHEN")
+            cond = p_cond()
+            take("kw", "THEN")
+            arms.append((cond, p_expr()))
+        if not arms:
+            raise _Bail()
+        els = None
+        if peek() == ("kw", "ELSE"):
+            take("kw", "ELSE")
+            els = p_expr()
+        take("kw", "END")
+        kinds = {k for _c, (_f, k) in arms}
+        if els is not None:
+            kinds.add(els[1])
+        if kinds == {"str"}:
+            out_k = "str"
+        elif "str" in kinds:
+            raise _Bail()
+        else:
+            out_k = "float" if "float" in kinds else "int"
+
+        def to_arr(v, n):
+            if isinstance(v, (int, float, str)):
+                if out_k == "float":
+                    v = float(v)
+                elif out_k == "int":
+                    v = int(v)
+                return pa.array([v] * n)
+            if out_k == "float":
+                return pc.cast(v, pa.float64())
+            return v
+
+        def run(cols, n):
+            if els is None:
+                t = {"str": pa.string(), "float": pa.float64(),
+                     "int": pa.int64()}[out_k]
+                out = pa.nulls(n, type=t)
+            else:
+                out = to_arr(els[0](cols, n), n)
+            for cond, (vf, _vk) in reversed(arms):
+                out = pc.if_else(cond(cols, n),
+                                 to_arr(vf(cols, n), n), out)
+            return out
+        return run, out_k
+
+    try:
+        fn, kind = p_expr()
+        take("end")
+    except _Bail:
+        return None
+
+    def evaluate(batch):
+        import pyarrow as pa
+        cols = {nm: batch.column(j)
+                for j, nm in enumerate(batch.schema.names)}
+        n = batch.num_rows
+        v = fn(cols, n)
+        if isinstance(v, (int, float, str)):
+            v = pa.array([v] * n)
+        return v
+    return evaluate
+
+
 def _parse_conjuncts(condition: str) -> list[tuple[str, str, object]]:
     """The data-skipping view of a predicate: the top-level AND
     conjuncts of shape ``col OP literal`` (or the mirrored
@@ -6626,12 +6964,56 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
                 "checkpoint_every", 10))
             self.max_retries = int(options.get("max_retries", 20))
             snap0 = snapshot(self.root)
-            if snap0.get("generated"):
-                raise ValueError(
-                    f"txlog: the table under {self.root} has "
-                    "generated columns, which the native writer "
-                    "cannot produce in arrow tasks — use "
-                    "txlog.append()/overwrite()")
+            # GENERATED columns (r14, VERDICT r13 #6): expressions
+            # the PROVEN grammar compiles (_arrow_expr_compile —
+            # arithmetic / CASE / narrow CASTs over batch columns)
+            # compute in the arrow tasks with append()'s exact
+            # semantics (omitted -> computed, provided -> null-safe
+            # validated). Anything the compiler can't prove still
+            # refuses — a silently wrong generated value (worse: a
+            # wrong generated PARTITION value) beats no native path
+            self._gen_arrow: list[tuple] = []
+            gen = snap0.get("generated") or {}
+            if gen:
+                if snap0.get("colmap"):
+                    raise ValueError(
+                        f"txlog: the table under {self.root} "
+                        "combines generated columns with column "
+                        "mapping — use txlog.append()/overwrite()")
+                rec_types = _schema_types(snap0)
+                bad = []
+                for c, gexpr in sorted(gen.items()):
+                    fn = _arrow_expr_compile(gexpr, rec_types)
+                    if fn is None:
+                        bad.append(c)
+                    else:
+                        self._gen_arrow.append((c, gexpr, fn))
+                if bad:
+                    raise ValueError(
+                        f"txlog: generated columns {bad} on the "
+                        f"table under {self.root} use expressions "
+                        "the arrow task path cannot prove (only "
+                        "arithmetic / CASE / narrow CASTs over "
+                        "batch columns compile) — use "
+                        "txlog.append()/overwrite()")
+                inc_names = {f.name for f in schema.fields}
+                if snap0.get("schema") and \
+                        any(c not in inc_names for c in gen):
+                    # the frame omits generated columns (the normal
+                    # shape — append() computes them too): extend
+                    # the schema in RECORDED order before the
+                    # schema check; the tasks compute the values
+                    from pyspark.sql.types import StructType as _SG
+                    inc = {f.name: f for f in schema.fields}
+                    ext = []
+                    for f in _SG.fromJson(
+                            json.loads(snap0["schema"])).fields:
+                        if f.name in inc:
+                            ext.append(inc.pop(f.name))
+                        elif f.name in gen:
+                            ext.append(f)
+                    ext.extend(inc.values())
+                    schema = _SG(ext)
             # CHECK constraints whose predicate parses COMPLETELY
             # as recognized ``col OP literal`` conjuncts (the
             # engine's own _parse_conjuncts grammar) validate
@@ -6752,6 +7134,29 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
                         f"under {self.root} does not evaluate "
                         f"against the write schema in arrow tasks "
                         f"({e}) — use txlog.append()/overwrite()")
+            if self._gen_arrow:
+                # plan-time dry run on a ZERO-ROW batch shaped like
+                # the frame Spark will feed: an expression that
+                # references a missing column or hits an arrow
+                # kernel gap refuses HERE, not mid-task
+                import pyarrow as pa
+                from pyspark.sql.pandas.types import to_arrow_schema
+                from pyspark.sql.types import StructType as _ST5
+                feed = to_arrow_schema(_ST5(
+                    [f for f in schema.fields
+                     if f.name in inc_names]))
+                empty = pa.RecordBatch.from_arrays(
+                    [pa.array([], type=f.type) for f in feed],
+                    schema=feed)
+                try:
+                    self._cast_batch(
+                        self._apply_generated_arrow(empty))
+                except Exception as e:
+                    raise ValueError(
+                        f"txlog: the generated columns on the "
+                        f"table under {self.root} do not evaluate "
+                        f"against the write schema in arrow tasks "
+                        f"({e}) — use txlog.append()/overwrite()")
 
         def _finish_file(self, rel: str, rows: int,
                          part: dict | None) -> dict:
@@ -6815,6 +7220,41 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
                     .cast(f.type))
             return pa.RecordBatch.from_arrays(cols, schema=target)
 
+        def _apply_generated_arrow(self, batch):
+            """GENERATED ALWAYS AS in the arrow task (r14, VERDICT
+            r13 #6) — append()'s _apply_generated contract,
+            task-side: a column the batch OMITS computes from its
+            recorded expression (the compiled pyarrow evaluator);
+            one it PROVIDES validates null-safe equality against
+            the recomputation, so a writer can never land a value
+            contradicting the declaration. Runs BEFORE _cast_batch
+            (which projects the full write schema by name)."""
+            if not self._gen_arrow:
+                return batch
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            for c, gexpr, fn in self._gen_arrow:
+                computed = fn(batch)
+                names = list(batch.schema.names)
+                if c in names:
+                    provided = batch.column(names.index(c))
+                    comp = pc.cast(computed, provided.type,
+                                   safe=False)
+                    eq = pc.or_(
+                        pc.and_(pc.is_null(provided),
+                                pc.is_null(comp)),
+                        pc.fill_null(pc.equal(provided, comp),
+                                     False))
+                    if batch.num_rows and not pc.min(eq).as_py():
+                        raise ConstraintViolation(
+                            f"generated column {c!r} ({gexpr}) is "
+                            f"contradicted by the write")
+                else:
+                    batch = pa.RecordBatch.from_arrays(
+                        list(batch.columns) + [computed],
+                        names=names + [c])
+            return batch
+
         def _validate_constraints(self, data) -> None:
             """Enforce the table's conjunct-shaped CHECK constraints
             on one cast batch/table (PHYSICAL names), NULL-passes
@@ -6873,7 +7313,8 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
             rows = 0
             try:
                 for batch in iterator:
-                    batch = self._cast_batch(batch)
+                    batch = self._cast_batch(
+                        self._apply_generated_arrow(batch))
                     self._validate_constraints(batch)
                     if writer is None:
                         os.makedirs(self.root, exist_ok=True)
@@ -6926,7 +7367,8 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
 
             try:
                 for batch in iterator:
-                    cast = self._cast_batch(batch)
+                    cast = self._cast_batch(
+                        self._apply_generated_arrow(batch))
                     self._validate_constraints(cast)
                     tbl = pa.Table.from_batches([cast])
                     combos = (tbl.select(self._spec)

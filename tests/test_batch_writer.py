@@ -120,9 +120,12 @@ def test_refusals_route_to_function_api(spark):
     T.add_constraint(root_c, "odd_or_low", "k % 2 = 1 OR k < 10")
     with pytest.raises(Exception, match="CHECK constraints"):
         df.write.format("txlog").mode("append").save(root_c)
+    # r14: PROVEN generated expressions compute in the arrow tasks
+    # (see test_generated_columns_native_write) — only expressions
+    # the compiler can't prove keep the refusal
     root_g = tempfile.mkdtemp(prefix="txw_rg_") + "/t"
-    T.append(df, root_g, checkpoint_every=0,
-             generated={"g2": "k % 3"})
+    T.append(df.withColumn("g2", F.expr("upper(name)")), root_g,
+             checkpoint_every=0, generated={"g2": "upper(name)"})
     with pytest.raises(Exception, match="generated columns"):
         df.write.format("txlog").mode("append").save(root_g)
     # a partition layout COMBINED with column mapping refuses
@@ -423,3 +426,60 @@ def test_constraint_type_mismatch_refuses_at_plan(spark):
     with pytest.raises(Exception,
                        match="does not evaluate|append"):
         _df(spark).write.format("txlog").mode("append").save(root)
+
+
+def test_generated_columns_native_write(spark):
+    """r14 (VERDICT r13 #6): generated expressions the PROVEN
+    grammar compiles (arithmetic / CASE / narrow CASTs) compute in
+    the arrow tasks — a frame OMITTING the column lands exactly
+    what append() lands, a frame PROVIDING a contradicting value
+    fails its task, and a generated PARTITION column routes the
+    hive layout."""
+    df = _df(spark)
+    # recompute parity vs append(), column omitted
+    root_w = tempfile.mkdtemp(prefix="txw_g1_") + "/t"
+    root_f = tempfile.mkdtemp(prefix="txw_g2_") + "/t"
+    gen = {"bucket": "k % 5",
+           "tier": "CASE WHEN g >= 4 THEN 'hi' ELSE 'lo' END",
+           "ratio": "cast(k as double) / 8"}
+    T.append(df, root_f, checkpoint_every=0, generated=gen)
+    T.append(df.limit(0), root_w, checkpoint_every=0,
+             generated=gen)  # record the spec, then write natively
+    df.write.format("txlog").mode("append").save(root_w)
+    assert _rows(T.read(spark, root_w)) == \
+        _rows(T.read(spark, root_f))
+    assert _rows(spark.read.format("txlog").load(root_w)) == \
+        _rows(T.read(spark, root_f))
+    # a PROVIDED matching value passes; a contradiction fails
+    ok = df.withColumn("bucket", F.expr("k % 5")) \
+        .withColumn("tier",
+                    F.expr("CASE WHEN g >= 4 THEN 'hi' "
+                           "ELSE 'lo' END")) \
+        .withColumn("ratio", F.expr("cast(k as double) / 8"))
+    ok.write.format("txlog").mode("append").save(root_w)
+    assert T.read(spark, root_w).count() == 2000
+    bad = ok.withColumn("bucket", F.expr("k % 5 + 1"))
+    with pytest.raises(Exception, match="generated|contradict"):
+        bad.write.format("txlog").mode("append").save(root_w)
+    assert T.read(spark, root_w).count() == 2000  # nothing landed
+
+    # generated PARTITION column: computed task-side, routes the
+    # hive layout, prunes
+    root_p = tempfile.mkdtemp(prefix="txw_g3_") + "/t"
+    root_q = tempfile.mkdtemp(prefix="txw_g4_") + "/t"
+    T.append(df.limit(0), root_p, checkpoint_every=0,
+             generated={"pb": "k % 4"}, partition_by=["pb"])
+    df.write.format("txlog").mode("append").save(root_p)
+    T.append(df, root_q, checkpoint_every=0,
+             generated={"pb": "k % 4"}, partition_by=["pb"])
+    assert _rows(T.read(spark, root_p)) == \
+        _rows(T.read(spark, root_q))
+    snap = T.snapshot(root_p)
+    toks = {m["partition"]["pb"] for m in snap["files"].values()
+            if m.get("partition")}
+    assert toks == {"0", "1", "2", "3"}
+    got = (spark.read.format("txlog").load(root_p)
+           .where("pb = 2"))
+    assert got.count() == 250
+    assert {r[0] for r in got.select("k").collect()} \
+        == {k for k in range(1000) if k % 4 == 2}
