@@ -76,11 +76,11 @@ def _apply(spark, state, op):
         if (kind == "native_append" and not state["constraint"]
                 and not state["gen"]):
             (df.write.format("txlog").mode("append")
-             .option("checkpoint_every", "0").save(root))
+             .option("checkpoint_every", str(state["ckpt"])).save(root))
         else:
             # constraint/generated tables refuse the native writer
             # by contract; the function API is the documented route
-            T.append(df, root, checkpoint_every=0)
+            T.append(df, root, checkpoint_every=state["ckpt"])
         model.update({i: v for i, v in rows})
         state["next_id"] = base + n
         return
@@ -90,15 +90,15 @@ def _apply(spark, state, op):
         # constraints/colmap/generated specs must carry
         state["n_clones"] += 1
         dst = f"{root}-c{state['n_clones']}"
-        T.clone(root, dst, checkpoint_every=0)
+        T.clone(root, dst, checkpoint_every=state["ckpt"])
         state["root"] = dst
         return
     if kind == "constraint":
         if state["constraint"]:
-            T.drop_constraint(root, "c_nonneg", checkpoint_every=0)
+            T.drop_constraint(root, "c_nonneg", checkpoint_every=state["ckpt"])
         else:
             T.add_constraint(root, "c_nonneg", f"{idc} >= 0",
-                             checkpoint_every=0)
+                             checkpoint_every=state["ckpt"])
         state["constraint"] = not state["constraint"]
         return
     if not model:
@@ -107,7 +107,7 @@ def _apply(spark, state, op):
         _, lo, mode = op
         T.delete_where(spark, root,
                        f"{idc} >= {lo} AND {idc} < {lo + 10}",
-                       mode=mode, checkpoint_every=0)
+                       mode=mode, checkpoint_every=state["ckpt"])
         for i in [i for i in model if lo <= i < lo + 10]:
             del model[i]
     elif kind == "update":
@@ -115,7 +115,7 @@ def _apply(spark, state, op):
         T.update_where(spark, root,
                        f"{idc} >= {lo} AND {idc} < {lo + 10}",
                        {vc: f"{vc} + {add}"},
-                       mode=mode, checkpoint_every=0)
+                       mode=mode, checkpoint_every=state["ckpt"])
         for i in [i for i in model if lo <= i < lo + 10]:
             model[i] += add
     elif kind == "merge_upsert":
@@ -125,15 +125,19 @@ def _apply(spark, state, op):
         keys = [lo, lo + 3, lo + 100000]
         ups = [(k, val) for k in keys]
         T.merge_upsert(spark, root, _append_df(spark, state, ups),
-                       idc, checkpoint_every=0)
+                       idc, checkpoint_every=state["ckpt"])
         for k in keys:
             model[k] = val
+        # an upsert may INSERT lo/lo+3 — keep the append id space
+        # ahead of them or a later append would duplicate the id
+        # (the model is a dict; the table would hold both rows)
+        state["next_id"] = max(state["next_id"], lo + 4)
     elif kind == "merge_delete":
         _, lo, mode = op
         keys = [lo, lo + 1, lo + 2]
         T.merge_delete(spark, root, spark.createDataFrame(
             [(k,) for k in keys], f"{idc} bigint"), idc,
-            mode=mode, checkpoint_every=0)
+            mode=mode, checkpoint_every=state["ckpt"])
         for k in keys:
             model.pop(k, None)
     elif kind == "replace":
@@ -142,16 +146,18 @@ def _apply(spark, state, op):
         T.overwrite_where(spark, _append_df(spark, state, rows),
                           root,
                           f"{idc} >= {lo} AND {idc} < {lo + 10}",
-                          checkpoint_every=0)
+                          checkpoint_every=state["ckpt"])
         for i in [i for i in model if lo <= i < lo + 10]:
             del model[i]
         model.update({i: v for i, v in rows})
+        # replace INSERTS lo..lo+n-1 — same id-space rule as above
+        state["next_id"] = max(state["next_id"], lo + n)
     elif kind == "optimize":
         T.optimize(spark, root, target_bytes=1 << 20,
-                   purge=op[1], checkpoint_every=0)
+                   purge=op[1], checkpoint_every=state["ckpt"])
     elif kind == "rename":
         new = "w" if vc == "v" else "v"
-        T.rename_column(root, vc, new, checkpoint_every=0)
+        T.rename_column(root, vc, new, checkpoint_every=state["ckpt"])
         state["names"][1] = new
 
 
@@ -182,17 +188,17 @@ def test_op_sequences_match_model(spark, tmp_path_factory, ops, gen):
     T.register(spark)
     state = {"root": root, "model": {}, "names": ["id", "v"],
              "next_id": 0, "constraint": False, "n_clones": 0,
-             "gen": gen}
+             "gen": gen, "ckpt": 0}
     # always start with data so every op sequence is meaningful; a
     # generated table declares g = id*2+1 on the creating append
     # (writers omit it forever after — every write path computes it)
     base_rows = [(i, i * 3) for i in range(30)]
     if gen:
         T.append(_append_df(spark, state, base_rows), root,
-                 checkpoint_every=0, generated={"g": "id * 2 + 1"})
+                 checkpoint_every=state["ckpt"], generated={"g": "id * 2 + 1"})
     else:
         T.append(_append_df(spark, state, base_rows), root,
-                 checkpoint_every=0)
+                 checkpoint_every=state["ckpt"])
     state["model"].update({i: v for i, v in base_rows})
     state["next_id"] = 30
     for op in ops:
@@ -223,3 +229,88 @@ def test_op_sequences_match_model(spark, tmp_path_factory, ops, gen):
             else:  # delete / update_preimage
                 st_.pop(i, None)
         assert sorted(st_.values()) == want, (ops, gen)
+
+
+def _full_replay_snapshot(root, v):
+    """snapshot(v) resolved with every checkpoint IGNORED — the
+    ground truth the checkpoint machinery must reproduce."""
+    orig = T._list_checkpoints
+    T._SNAPSHOTS.clear()
+    T._list_checkpoints = lambda r: []
+    try:
+        return T.snapshot(root, v)
+    finally:
+        T._list_checkpoints = orig
+        T._SNAPSHOTS.clear()
+
+
+@settings(max_examples=25, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ops=st.lists(_op, min_size=4, max_size=8),
+       gen=st.booleans(), tear=st.booleans())
+@example(ops=[("clone",), ("delete", 0, "dv"), ("constraint",),
+              ("update", 0, 5, "dv"), ("rename",),
+              ("merge_delete", 3, "dv"), ("replace", 10, 3),
+              ("optimize", True)], gen=True, tear=True)
+def test_op_sequences_under_aggressive_checkpointing(
+        spark, tmp_path_factory, ops, gen, tear):
+    """VERDICT r13 #7: the model property under checkpoint_every=2
+    — every other commit lands a columnar checkpoint (incremental
+    stats_parsed build through DML/rename/clone/optimize), read
+    parity holds after EVERY op, snapshot(v) equals the
+    checkpoint-free full replay at EVERY version, and a TORN
+    checkpoint mid-sequence (parquet sidecar deleted) degrades to
+    older/full-replay with identical results."""
+    import os
+
+    root = str(tmp_path_factory.mktemp("modelck") / "t")
+    T.register(spark)
+    state = {"root": root, "model": {}, "names": ["id", "v"],
+             "next_id": 0, "constraint": False, "n_clones": 0,
+             "gen": gen, "ckpt": 2}
+    base_rows = [(i, i * 3) for i in range(30)]
+    if gen:
+        T.append(_append_df(spark, state, base_rows), root,
+                 checkpoint_every=state["ckpt"],
+                 generated={"g": "id * 2 + 1"})
+    else:
+        T.append(_append_df(spark, state, base_rows), root,
+                 checkpoint_every=state["ckpt"])
+    state["model"].update({i: v for i, v in base_rows})
+    state["next_id"] = 30
+
+    def check_read():
+        got = sorted(tuple(r) for r in
+                     T.read(spark, state["root"]).collect())
+        want = sorted((i, v, i * 2 + 1) if gen else (i, v)
+                      for i, v in state["model"].items())
+        assert got == want, (ops, gen, tear, state["names"])
+
+    for j, op in enumerate(ops):
+        _apply(spark, state, op)
+        check_read()  # parity after EVERY op
+        if tear and j == len(ops) // 2:
+            # torn checkpoint: newest parquet sidecar vanishes
+            cps = T._list_checkpoints(state["root"])
+            if cps:
+                sidecar = os.path.join(
+                    T._log_path(state["root"]),
+                    f"checkpoint-{cps[-1]:0{T._W}d}.files.parquet")
+                if os.path.exists(sidecar):
+                    os.unlink(sidecar)
+                T._SNAPSHOTS.clear()
+                T._CP_STORES.clear()
+                check_read()  # degraded resolution stays exact
+    # snapshot(v) == full replay(v) at EVERY version of the final
+    # table (checkpoints are pure acceleration, never semantics)
+    root = state["root"]
+    for v in T._list_versions(root):
+        T._SNAPSHOTS.clear()
+        got_s = T.snapshot(root, v)
+        want_s = _full_replay_snapshot(root, v)
+        assert dict(got_s["files"].items()) == \
+            dict(want_s["files"].items()), (ops, v)
+        for k in ("txn", "schema", "partition_by", "colmap",
+                  "generated", "bloom", "constraints", "features",
+                  "phys_dropped"):
+            assert got_s[k] == want_s[k], (ops, v, k)
