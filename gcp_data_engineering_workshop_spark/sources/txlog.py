@@ -363,11 +363,31 @@ class _CpStore:
 
 # Checkpoint stores are immutable once written, so they cache per
 # (file path, mtime_ns) — the mtime guards a test-style rm-rf +
-# recreate under the same path. Bounded: a store's arrow buffers are
-# the heavy piece and 8 distinct live checkpoints per process is
-# already generous.
+# recreate under the same path. Bounded by BYTES, not depth (r14,
+# VERDICT r13 #8): a store's weight is its resident arrow buffers
+# plus its parsed/overlay dicts, so a session touching dozens of
+# small tables keeps every hit while one 1M-file store can't pin
+# more than its real footprint. LRU by access; the just-used entry
+# never evicts.
 _CP_STORES: "dict[tuple, _CpStore]" = {}
-_CP_STORES_MAX = 8
+_CP_STORES_BYTES = 256 * 1024 * 1024
+
+
+def _store_weight(st: "_CpStore") -> int:
+    """Resident bytes of one cached store — arrow buffers (the
+    heavy piece; ~0 while unloaded) plus rough per-entry costs of
+    the lazy python-side maps."""
+    w = 4096
+    if st._tbl is not None:
+        w += st._tbl.nbytes
+    if st._stats_tbl is not None and st._stats_tbl is not st._tbl:
+        w += st._stats_tbl.nbytes
+    if st._paths is not None:
+        w += 100 * len(st._paths)
+    if st._idx is not None:
+        w += 150 * len(st._idx)
+    w += 600 * (len(st._parsed) + len(st._overlay))
+    return w
 
 
 def _cp_store(path: str, n: int) -> _CpStore:
@@ -375,11 +395,17 @@ def _cp_store(path: str, n: int) -> _CpStore:
         key = (path, os.stat(path).st_mtime_ns)
     except OSError:
         return _CpStore(path, n)  # torn: caller's exists-check gates
-    st = _CP_STORES.get(key)
+    st = _CP_STORES.pop(key, None)
     if st is None:
-        while len(_CP_STORES) >= _CP_STORES_MAX:
-            _CP_STORES.pop(next(iter(_CP_STORES)))
-        st = _CP_STORES[key] = _CpStore(path, n)
+        st = _CpStore(path, n)
+    _CP_STORES[key] = st  # (re)insert at the recent end
+    total = sum(_store_weight(s) for s in _CP_STORES.values())
+    for k in list(_CP_STORES):
+        if total <= _CP_STORES_BYTES or len(_CP_STORES) == 1:
+            break
+        if k == key:
+            continue  # never evict the entry just used
+        total -= _store_weight(_CP_STORES.pop(k))
     return st
 
 
@@ -540,9 +566,22 @@ class UnsupportedTableFeature(Exception):
 # checkpoint load + suffix replay ONCE (VERDICT r12 #1). The stat
 # signature guards test-style rm-rf + recreate under the same path.
 # Entries hand out copy-on-write views (_snap_copy), so callers can
-# replay suffixes into them without poisoning the cache.
+# replay suffixes into them without poisoning the cache. Bounded by
+# BYTES (r14, VERDICT r13 #8): a small-table snapshot weighs its
+# file-dict, a columnar one only its suffix overlays (the store is
+# weighed in _CP_STORES) — so a session touching many tables keeps
+# every hit instead of thrashing a depth-8 LRU.
 _SNAPSHOTS: dict[tuple, dict] = {}
-_SNAPSHOTS_MAX = 16
+_SNAPSHOTS_BYTES = 64 * 1024 * 1024
+
+
+def _snap_weight(snap: dict) -> int:
+    files = snap["files"]
+    if isinstance(files, _LazyFiles):
+        n = len(files._added) + len(files._removed)
+    else:
+        n = len(files)
+    return 4096 + 700 * n
 
 
 def _snap_copy(snap: dict) -> dict:
@@ -606,8 +645,9 @@ def snapshot(root: str, version: int | None = None) -> dict:
         except OSError:
             key = None
         if key is not None:
-            hit = _SNAPSHOTS.get(key)
+            hit = _SNAPSHOTS.pop(key, None)
             if hit is not None:
+                _SNAPSHOTS[key] = hit  # refresh LRU recency
                 return _snap_copy(hit)
     live: MutableMapping = {}
     txn: dict[str, int] = {}
@@ -693,9 +733,14 @@ def snapshot(root: str, version: int | None = None) -> dict:
             "features": sorted(feats), "generated": generated,
             "bloom": bloom, "constraints": constraints}
     if key is not None:
-        while len(_SNAPSHOTS) >= _SNAPSHOTS_MAX:
-            _SNAPSHOTS.pop(next(iter(_SNAPSHOTS)))
         _SNAPSHOTS[key] = _snap_copy(snap)
+        total = sum(_snap_weight(s) for s in _SNAPSHOTS.values())
+        for k in list(_SNAPSHOTS):
+            if total <= _SNAPSHOTS_BYTES or len(_SNAPSHOTS) == 1:
+                break
+            if k == key:
+                continue  # never evict the entry just written
+            total -= _snap_weight(_SNAPSHOTS.pop(k))
     return snap
 
 
