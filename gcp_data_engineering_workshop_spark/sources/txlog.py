@@ -2509,6 +2509,151 @@ def _merge_touch_test(m: dict, col_tests: list[tuple],
     return True
 
 
+# Above this many coarse-surviving checkpoint rows the vectorized
+# merge prune hands back to the Spark-job regime: the exact
+# per-survivor re-verify (meta parse + bloom probes) is driver-side
+# and must stay bounded.
+_MERGE_VEC_SURVIVOR_BOUND = 100_000
+
+
+def _merge_touch_vec(store: "_CpStore", col_tests: list[tuple],
+                     root_abs: str | None,
+                     types: dict | None, inv: dict | None):
+    """IN-PROCESS vectorized merge touch test over a stats_parsed
+    checkpoint (r14, the merge twin of _cp_vector_prune): numeric
+    key columns evaluate as np.searchsorted (sorted-list regime) or
+    a cumulative-sum bucket probe (digest regime) over the
+    checkpoint's stat columns — no Spark job; the coarse survivors
+    then re-verify through the EXACT per-file _merge_touch_test
+    (which also covers string-keyed columns this pass skips, and
+    bloom refinement, both bounded by the survivor count). Returns
+    the touched checkpoint paths, or None when no numeric column is
+    vectorizable / survivors exceed the re-verify bound (the
+    Spark-job regime stands).
+
+    Soundness: every compare rides a MONOTONE conversion (int64 ->
+    float64 rounds to nearest but preserves order, and the digest's
+    build-side projection is the same float64 grid), NULL stat
+    cells conservatively fill with an always-hit range, and the
+    final answer comes from the exact test — the vector pass can
+    only over-keep, never over-prune."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not store.has_stats():
+        return None
+    tbl = store.stats_table()
+    names = set(tbl.schema.names)
+    n = tbl.num_rows
+    excl = None
+    usable = False
+    for key, pcol, ks, has_nan, is_float, _bl in col_tests:
+        if is_float and has_nan:
+            continue  # NaN update key matches invisibly
+        lo, hi = _cp_eff_range(tbl, names, pcol, key, types or {})
+        if lo is None or hi is None:
+            continue
+        if (pa.types.is_string(lo.type)
+                or pa.types.is_string(hi.type)):
+            continue  # string stats: the exact re-verify covers
+        valid = pc.and_(pc.is_valid(lo), pc.is_valid(hi))
+        valid_np = valid.combine_chunks().to_numpy(
+            zero_copy_only=False)
+        lo_np = pc.fill_null(lo, 0).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        hi_np = pc.fill_null(hi, 0).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        if lo_np.dtype.kind not in "if" \
+                or hi_np.dtype.kind not in "if":
+            continue
+        if isinstance(ks, _KeyDigest):
+            if ks.kind != "num":
+                continue  # string digest: re-verify can't help
+                # either (no key values) — but other columns may
+            if ks.empty:
+                c = valid_np.copy()  # zero keys: every stat-
+                excl = c if excl is None else (excl | c)  # bearing
+                usable = True        # file provably untouched
+                continue
+            lo_f = lo_np.astype("float64")
+            hi_f = hi_np.astype("float64")
+            coarse = (hi_f < ks.kmin) | (lo_f > ks.kmax)
+            if ks.w == 0.0:
+                c = valid_np & coarse
+            else:
+                nb = len(ks.bits)
+                b0 = np.clip(np.floor(
+                    (lo_f - ks.pmin) / ks.w).astype("int64"),
+                    0, nb - 1)
+                b1 = np.clip(np.floor(
+                    (hi_f - ks.pmin) / ks.w).astype("int64"),
+                    0, nb - 1)
+                cs = np.concatenate(
+                    ([0], np.cumsum(ks.bits, dtype="int64")))
+                no_key = (cs[b1 + 1] - cs[b0]) == 0
+                c = valid_np & (coarse
+                                | (~coarse & (b1 >= b0) & no_key))
+            excl = c if excl is None else (excl | c)
+            usable = True
+            continue
+        # sorted-key-list regime
+        if not ks:
+            c = valid_np.copy()
+            excl = c if excl is None else (excl | c)
+            usable = True
+            continue
+        if isinstance(ks[0], str):
+            continue  # string keys: exact re-verify covers
+        ks_np = np.asarray(ks)
+        if ks_np.dtype.kind not in "if":
+            continue  # huge ints fell to object dtype: skip
+        if len({ks_np.dtype.kind, lo_np.dtype.kind,
+                hi_np.dtype.kind}) > 1:
+            # mixed int/float domains: exact only below 2**53
+            cap = 2.0 ** 53
+            vals = [np.abs(ks_np).max()]
+            if valid_np.any():
+                vals.append(np.abs(lo_np[valid_np]).max())
+                vals.append(np.abs(hi_np[valid_np]).max())
+            if max(float(v) for v in vals) >= cap:
+                continue
+            ks_np = ks_np.astype("float64")
+            lo_np = lo_np.astype("float64")
+            hi_np = hi_np.astype("float64")
+        idx = np.searchsorted(ks_np, lo_np, side="left")
+        hit = np.zeros(n, dtype=bool)
+        inb = idx < len(ks_np)
+        hit[inb] = ks_np[idx[inb]] <= hi_np[inb]
+        c = valid_np & ~hit
+        excl = c if excl is None else (excl | c)
+        usable = True
+    if not usable:
+        return None
+    keep = ~excl
+    n_keep = int(keep.sum())
+    if n_keep > _MERGE_VEC_SURVIVOR_BOUND:
+        return None  # unselective: the Spark-job regime scales
+    if n_keep == 0:
+        return []
+    keep_pa = pa.array(keep)
+    if store._tbl is not None or "meta" in names:
+        kept = store.table().select(["path", "meta"]) \
+            .filter(keep_pa)
+    else:
+        import pyarrow.dataset as ds
+        idxs = pc.indices_nonzero(keep_pa)
+        kept = ds.dataset(store.path).take(
+            idxs, columns=["path", "meta"])
+    out = []
+    for p, mj in zip(kept.column("path").to_pylist(),
+                     kept.column("meta").to_pylist()):
+        if _merge_touch_test(json.loads(mj), col_tests, root_abs,
+                             os.path.basename(p), types, inv):
+            out.append(p)
+    return out
+
+
 def _files_touching_keys_dist(spark, files: "_LazyFiles",
                               updates: DataFrame, keys: list[str],
                               snap_root: str | None,
@@ -2548,31 +2693,37 @@ def _files_touching_keys_dist(spark, files: "_LazyFiles",
     store = files._store
     root_abs = (os.path.abspath(snap_root)
                 if snap_root is not None else None)
-    _ship_package(spark)
-    b_tests = spark.sparkContext.broadcast(col_tests)
-
     ti, iv = ((dict(types) if types is not None else None),
               (dict(inv) if inv is not None else None))
+    # stats_parsed fast path (r14): the touch test vectorizes
+    # IN-PROCESS over the checkpoint's stat columns — no Spark job;
+    # exact per-file re-verify bounded by the coarse survivors
+    kept = (_merge_touch_vec(store, col_tests, root_abs, ti, iv)
+            if _VECTOR_PRUNE else None)
+    if kept is None:
+        _ship_package(spark)
+        b_tests = spark.sparkContext.broadcast(col_tests)
 
-    def _scan(batches):
-        import pandas as _pd
-        tests = b_tests.value
-        for pdf in batches:
-            kp = []
-            for p, mj in zip(pdf["path"], pdf["meta"]):
-                if _merge_touch_test(json.loads(mj), tests,
-                                     root_abs,
-                                     os.path.basename(p),
-                                     ti, iv):
-                    kp.append(p)
-            yield _pd.DataFrame({"path": kp})
+        def _scan(batches):
+            import pandas as _pd
+            tests = b_tests.value
+            for pdf in batches:
+                kp = []
+                for p, mj in zip(pdf["path"], pdf["meta"]):
+                    if _merge_touch_test(json.loads(mj), tests,
+                                         root_abs,
+                                         os.path.basename(p),
+                                         ti, iv):
+                        kp.append(p)
+                yield _pd.DataFrame({"path": kp})
 
-    rows = (spark.read.parquet(store.path)
-            .select("path", "meta")  # stat columns stay columnar
-            .mapInPandas(_scan, "path string").collect())
-    b_tests.unpersist()
+        rows = (spark.read.parquet(store.path)
+                .select("path", "meta")  # stat cols stay columnar
+                .mapInPandas(_scan, "path string").collect())
+        b_tests.unpersist()
+        kept = [r["path"] for r in rows]
     dead = files._removed | set(files._added)
-    touched = [r["path"] for r in rows if r["path"] not in dead]
+    touched = [p for p in kept if p not in dead]
     touched.extend(
         p for p, m in files._added.items()
         if _merge_touch_test(m, col_tests, root_abs,
@@ -3739,6 +3890,58 @@ _DISTRIBUTED_PRUNE_BOUND = 50_000
 _VECTOR_PRUNE = True
 
 
+def _cp_eff_range(tbl, names: set, pcol: str, lc: str,
+                  types: dict):
+    """Effective (lo, hi) stat arrays for physical ``pcol`` /
+    logical ``lc`` over a stats_parsed checkpoint table — footer
+    columns with partition tokens filling the NULL cells, typed by
+    the query-time schema. Shared by the vectorized scan prune and
+    the vectorized merge touch test."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    lo = (tbl.column(f"s_lo:{pcol}")
+          if f"s_lo:{pcol}" in names else None)
+    hi = (tbl.column(f"s_hi:{pcol}")
+          if f"s_hi:{pcol}" in names else None)
+    tk = (tbl.column(f"s_pt:{pcol}")
+          if f"s_pt:{pcol}" in names else None)
+    if tk is not None:
+        t = types.get(lc, "string")
+        if t in ("tinyint", "smallint", "int", "bigint"):
+            try:
+                tk = pc.cast(tk, pa.int64())
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                tk = None
+        elif t in ("float", "double"):
+            try:
+                tk = pc.cast(tk, pa.float64())
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                tk = None
+        elif t == "timestamp":
+            # only UTC-normalized ('T'-form) tokens are in the
+            # sortable domain (mirrors _typed_partition_value);
+            # legacy space-form cells null out
+            tk = pc.if_else(
+                pc.match_substring(tk, "T"), tk,
+                pa.scalar(None, pa.string()))
+        elif t not in ("string", "date"):
+            # bool/decimal tokens: no stat domain (mirrors
+            # _typed_partition_value returning None)
+            tk = None
+    if tk is not None:
+        # footer stat wins where present; the token fills NULL
+        # cells. A type conflict (e.g. int64 footer vs float64
+        # token after widening) drops the token — conservative
+        lo = (tk if lo is None
+              else (pc.coalesce(lo, tk) if lo.type == tk.type
+                    else lo))
+        hi = (tk if hi is None
+              else (pc.coalesce(hi, tk) if hi.type == tk.type
+                    else hi))
+    return lo, hi
+
+
 def _cp_vector_prune(store: "_CpStore", conjuncts: list[tuple],
                      types: dict, float_cols: set,
                      cmap: dict | None, inv: dict | None):
@@ -3836,51 +4039,7 @@ def _cp_vector_prune(store: "_CpStore", conjuncts: list[tuple],
         return None
 
     def _eff_range(pcol, lc):
-        """Effective (lo, hi) stat arrays for physical ``pcol`` /
-        logical ``lc`` — footer columns with partition tokens
-        filling the NULL cells, typed by the query-time schema."""
-        lo = (tbl.column(f"s_lo:{pcol}")
-              if f"s_lo:{pcol}" in names else None)
-        hi = (tbl.column(f"s_hi:{pcol}")
-              if f"s_hi:{pcol}" in names else None)
-        tk = (tbl.column(f"s_pt:{pcol}")
-              if f"s_pt:{pcol}" in names else None)
-        if tk is not None:
-            t = types.get(lc, "string")
-            if t in ("tinyint", "smallint", "int", "bigint"):
-                try:
-                    tk = pc.cast(tk, pa.int64())
-                except (pa.ArrowInvalid,
-                        pa.ArrowNotImplementedError):
-                    tk = None
-            elif t in ("float", "double"):
-                try:
-                    tk = pc.cast(tk, pa.float64())
-                except (pa.ArrowInvalid,
-                        pa.ArrowNotImplementedError):
-                    tk = None
-            elif t == "timestamp":
-                # only UTC-normalized ('T'-form) tokens are in the
-                # sortable domain (mirrors _typed_partition_value);
-                # legacy space-form cells null out
-                tk = pc.if_else(
-                    pc.match_substring(tk, "T"), tk,
-                    pa.scalar(None, pa.string()))
-            elif t not in ("string", "date"):
-                # bool/decimal tokens: no stat domain (mirrors
-                # _typed_partition_value returning None)
-                tk = None
-        if tk is not None:
-            # footer stat wins where present; the token fills NULL
-            # cells. A type conflict (e.g. int64 footer vs float64
-            # token after widening) drops the token — conservative
-            lo = (tk if lo is None
-                  else (pc.coalesce(lo, tk) if lo.type == tk.type
-                        else lo))
-            hi = (tk if hi is None
-                  else (pc.coalesce(hi, tk) if hi.type == tk.type
-                        else hi))
-        return lo, hi
+        return _cp_eff_range(tbl, names, pcol, lc, types)
 
     def _eq_excl(lo, hi, lit):
         """Exclusion mask for ``col = lit`` over [lo, hi], or

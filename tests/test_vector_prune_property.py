@@ -134,3 +134,96 @@ def test_vector_prune_colmap_rekeying(tmp_path):
     vec2 = T._cp_vector_prune(store, [("c1", "=", 15)], types,
                               set(), cmap, inv)
     assert vec2 is None or set(vec2[0]) == {"p0", "p1"}
+
+
+def _mk_digest(vals, nb=64):
+    """A _KeyDigest built in pure python with the same formula the
+    Spark build uses (float64 projection, equal-width buckets)."""
+    import numpy as np
+    vals = sorted(vals)
+    pmin, pmax = float(vals[0]), float(vals[-1])
+    w = (pmax - pmin) / nb
+    bits = np.zeros(nb, dtype=bool)
+    if w == 0.0:
+        bits[0] = True
+    else:
+        for v in vals:
+            b = int(math.floor((float(v) - pmin) / w))
+            bits[max(0, min(b, nb - 1))] = True
+    return T._KeyDigest("num", vals[0], vals[-1], pmin, w, bits,
+                        has_nan=False)
+
+
+_keyset = st.lists(st.integers(-60, 60), min_size=1, max_size=8,
+                   unique=True).map(sorted)
+_fkeyset = st.lists(st.floats(-60, 60, allow_nan=False,
+                              allow_infinity=False),
+                    min_size=1, max_size=8, unique=True).map(sorted)
+
+
+@settings(max_examples=100, deadline=None)
+@given(metas=st.lists(_meta, min_size=1, max_size=12),
+       iks=_keyset, fks=_fkeyset,
+       use_digest=st.booleans(),
+       composite=st.booleans())
+def test_vector_merge_touch_equals_per_file_loop(
+        tmp_path_factory, metas, iks, fks, use_digest, composite):
+    """r14: the in-process vectorized merge touch test (coarse
+    searchsorted/bucket masks + exact re-verify) returns EXACTLY
+    the per-file _merge_touch_test survivors, over randomized
+    stats/tokens and int/float/digest key regimes."""
+    tmp = tmp_path_factory.mktemp("vm")
+    store = _mk_store(tmp, metas)
+    ik = _mk_digest(iks) if use_digest else iks
+    col_tests = [("k", "k", ik, False, False, False)]
+    if composite:
+        col_tests.append(("f", "f", fks, False, True, False))
+    vec = T._merge_touch_vec(store, col_tests, None, TYPES, {})
+    slow = [f"p{i}" for i, m in enumerate(metas)
+            if T._merge_touch_test(m, col_tests, None, f"p{i}",
+                                   TYPES, {})]
+    if vec is None:
+        return
+    assert vec == slow, (metas, col_tests)
+
+
+def test_vector_merge_touch_edges(tmp_path):
+    """Edge regimes: empty key list (stat-bearing files provably
+    untouched, stat-less files stay), string keys (column skipped
+    coarse, exact re-verify still applies it), NaN float keys
+    (column contributes nothing), unselective fallback bound."""
+    metas = [{"stats": {"k": [0, 9], "s": ["a", "c"]}},
+             {"stats": {"k": [10, 19]}},
+             {}]  # stat-less: conservative touch
+    store = _mk_store(tmp_path, metas)
+    # empty keys: only the stat-less file survives
+    vec = T._merge_touch_vec(
+        store, [("k", "k", [], False, False, False)], None,
+        TYPES, {})
+    assert vec == ["p2"]
+    # string keys alone: coarse pass unusable -> None (fallback)
+    assert T._merge_touch_vec(
+        store, [("s", "s", ["b"], False, False, False)], None,
+        TYPES, {}) is None
+    # but combined with a numeric column, the exact re-verify
+    # applies the string test to the numeric survivors
+    vec2 = T._merge_touch_vec(
+        store, [("k", "k", [5], False, False, False),
+                ("s", "s", ["x"], False, False, False)], None,
+        TYPES, {})
+    assert vec2 == ["p2"]  # k hits p0, but s='x' excludes it
+    # NaN float keys: the float column can't exclude
+    vec3 = T._merge_touch_vec(
+        store, [("k", "k", [5], False, False, False),
+                ("f", "f", [1.0], True, True, False)], None,
+        TYPES, {})
+    assert vec3 == ["p0", "p2"]
+    # survivor bound: shrink it and the fallback engages
+    orig = T._MERGE_VEC_SURVIVOR_BOUND
+    try:
+        T._MERGE_VEC_SURVIVOR_BOUND = 0
+        assert T._merge_touch_vec(
+            store, [("k", "k", [5], False, False, False)], None,
+            TYPES, {}) is None
+    finally:
+        T._MERGE_VEC_SURVIVOR_BOUND = orig
