@@ -716,7 +716,8 @@ def run_txlog_metadata_scale_leg(spark) -> dict:
         _pq.write_table(_pa.table(cp_cols),
                         os.path.join(log, cp_parquet),
                         row_group_size=131_072)  # writer parity
-        del mdicts
+        del mdicts, cp_cols  # synth garbage must not ride the
+        # leg's RSS samples (the r14 stat arrays are ~350 MB at 1M)
         with open(os.path.join(log, "checkpoint-" + f"{1:020d}"
                                + ".json"), "w") as fh:
             _json.dump({"version": 1, "files_parquet": cp_parquet,
@@ -798,7 +799,14 @@ def run_txlog_metadata_scale_leg(spark) -> dict:
         parts = rdr.partitions()
         row[f"t_plan_{k}"] = round(time.monotonic() - t0, 3)
         row[f"planned_tasks_{k}"] = len(parts)
+        # rss_mb_* is the PROCESS high-water and the 1M synth
+        # dominates it; store_mb_* is the ENGINE's actual resident
+        # checkpoint weight (the byte-budgeted cache's own metric)
+        # sampled on the VECTOR path, before the legacy loop below
+        # loads the full meta column for its before/after number
         row[f"rss_mb_{k}"] = _rss_mb()
+        row[f"store_mb_{k}"] = round(T._store_weight(
+            snap["files"]._store) / 1e6, 1)
         # before/after honesty: the same plan through the r13
         # driver json.loads loop (what t_plan measured last round)
         T._VECTOR_PRUNE = False
