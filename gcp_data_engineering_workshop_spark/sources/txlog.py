@@ -3297,13 +3297,33 @@ def _split_top_and(s: str) -> list[str]:
     return parts
 
 
-def _parse_literal(tok: str):
-    """A pruning-usable literal: int, FINITE float, or a
-    single-quoted string without embedded quotes. None means "not a
-    literal we can reason about" — the conjunct is then ignored for
-    pruning (never unsound; just no IO savings from it). Non-finite
-    floats are refused because footer stats exclude NaN and clamp
-    nothing to infinity."""
+_TYPED_LIT_RE = re.compile(
+    r"^(date|timestamp)\s*'([^']*)'$", re.IGNORECASE)
+
+
+def _parse_literal(tok: str, tz: str | None = None):
+    """A pruning-usable literal: int, FINITE float, a single-quoted
+    string without embedded quotes, or (r14) a TYPED SQL literal —
+    ``date '...'`` normalizes to its ISO string (the partition-
+    token domain, always sound) and ``timestamp '...'`` to the
+    UTC-normalized 'T'-form token ONLY when the caller supplies the
+    session timezone ``tz`` (Spark evaluates the residual filter's
+    literal as wall time in the session zone, so pruning must
+    translate through the same zone; without it the conjunct is
+    ignored). None means "not a literal we can reason about" — the
+    conjunct is then ignored for pruning (never unsound; just no IO
+    savings from it). Non-finite floats are refused because footer
+    stats exclude NaN and clamp nothing to infinity."""
+    m = _TYPED_LIT_RE.match(tok.strip())
+    if m:
+        kind, body = m.group(1).lower(), m.group(2)
+        if kind == "date":
+            import datetime as _dt
+            try:
+                return _dt.date.fromisoformat(body).isoformat()
+            except ValueError:
+                return None
+        return _utc_token(body, tz) if tz else None
     if (len(tok) >= 2 and tok.startswith("'") and tok.endswith("'")
             and "'" not in tok[1:-1]):
         return tok[1:-1]
@@ -3656,7 +3676,9 @@ def _arrow_expr_compile(expr: str, types: dict):
     return evaluate
 
 
-def _parse_conjuncts(condition: str) -> list[tuple[str, str, object]]:
+def _parse_conjuncts(condition: str,
+                     tz: str | None = None
+                     ) -> list[tuple[str, str, object]]:
     """The data-skipping view of a predicate: the top-level AND
     conjuncts of shape ``col OP literal`` (or the mirrored
     ``literal OP col``, flipped). Everything else — ORs, NOT,
@@ -3664,7 +3686,9 @@ def _parse_conjuncts(condition: str) -> list[tuple[str, str, object]]:
     which is the CONSERVATIVE direction: pruning only ever uses a
     recognized conjunct to PROVE a file cannot match, so an
     unrecognized conjunct can only cost IO, never rows. This is the
-    same sound core Delta's data-skipping expression walk keeps."""
+    same sound core Delta's data-skipping expression walk keeps.
+    ``tz`` (the caller's Spark session timezone) unlocks
+    ``timestamp '...'`` typed literals — see _parse_literal."""
     out = []
     for raw in _split_top_and(condition):
         c = raw.strip()
@@ -3677,14 +3701,16 @@ def _parse_conjuncts(condition: str) -> list[tuple[str, str, object]]:
                         "notnull" if m.group(2) else "isnull", None))
             continue
         m = _CMP_RE.match(c)
-        if m and _parse_literal(m.group(3)) is not None:
+        if m and _parse_literal(m.group(3), tz) is not None:
             op = "=" if m.group(2) == "==" else m.group(2)
-            out.append((m.group(1), op, _parse_literal(m.group(3))))
+            out.append((m.group(1), op,
+                        _parse_literal(m.group(3), tz)))
             continue
         m = _CMP_REV_RE.match(c)
-        if m and _parse_literal(m.group(1)) is not None:
+        if m and _parse_literal(m.group(1), tz) is not None:
             op = "=" if m.group(2) == "==" else _FLIP[m.group(2)]
-            out.append((m.group(3), op, _parse_literal(m.group(1))))
+            out.append((m.group(3), op,
+                        _parse_literal(m.group(1), tz)))
     return out
 
 
@@ -4524,7 +4550,9 @@ def delete_where(spark, root: str, condition: str,
     if mode not in ("rewrite", "dv"):
         raise ValueError(f"delete_where mode={mode!r}: "
                          f"expected 'rewrite' or 'dv'")
-    conjuncts = _parse_conjuncts(condition)
+    conjuncts = _parse_conjuncts(
+        condition,
+        tz=spark.conf.get("spark.sql.session.timeZone", None))
     for _ in range(max_retries):
         snap = snapshot(root)
         if not snap["files"]:
@@ -4606,7 +4634,9 @@ def update_where(spark, root: str, condition: str,
     if mode not in ("rewrite", "dv"):
         raise ValueError(f"update_where mode={mode!r}: "
                          f"expected 'rewrite' or 'dv'")
-    conjuncts = _parse_conjuncts(condition)
+    conjuncts = _parse_conjuncts(
+        condition,
+        tz=spark.conf.get("spark.sql.session.timeZone", None))
     for _ in range(max_retries):
         snap = snapshot(root)
         if not snap["files"]:
@@ -4743,7 +4773,9 @@ def overwrite_where(spark, df: DataFrame, root: str, condition: str,
     contract as update."""
     from pyspark.sql import functions as F
 
-    conjuncts = _parse_conjuncts(condition)
+    conjuncts = _parse_conjuncts(
+        condition,
+        tz=spark.conf.get("spark.sql.session.timeZone", None))
     cond = F.expr(condition)
     os.makedirs(root, exist_ok=True)
     # generated columns apply BEFORE the leak guard: replaceWhere
@@ -4855,7 +4887,9 @@ def optimize(spark, root: str, target_bytes: int = 128 * 1024 * 1024,
         # over-inclusion only widens the rewrite, never the data).
         scope = set(snap["files"])
         if where is not None:
-            conj = _parse_conjuncts(where)
+            conj = _parse_conjuncts(
+                where, tz=spark.conf.get(
+                    "spark.sql.session.timeZone", None))
             if not conj:
                 raise ValueError(
                     f"optimize where={where!r} has no recognizable "
@@ -7941,7 +7975,9 @@ def read_where(spark, root: str, condition: str,
     base = read(spark, root, version)
     if not snap["files"]:
         return base.where(condition)
-    conjuncts = _parse_conjuncts(condition)
+    conjuncts = _parse_conjuncts(
+        condition,
+        tz=spark.conf.get("spark.sql.session.timeZone", None))
     if not conjuncts:
         return base.where(condition)
     keep = _files_possibly_matching(snap, conjuncts, root, spark)

@@ -518,3 +518,42 @@ def test_explicit_narrow_schema_reads_only_named_columns(
             .load(root).where("key < 2"))
     assert got2.columns == ["key"]
     assert sorted(r[0] for r in got2.collect()) == [0, 1]
+
+
+def test_typed_sql_literals_prune_function_api(spark, monkeypatch):
+    """r14: `date '...'` / `timestamp '...'` TYPED literals in
+    read_where/DML conditions parse into the pruning domain (ISO
+    token strings; timestamps translate through the session
+    timezone), so the function API prunes the same partitions the
+    pushed-literal format scan does — and stays value-exact."""
+    import tempfile as _tf
+
+    root = _tf.mkdtemp(prefix="txtl_") + "/t"
+    df = spark.range(40).select(
+        F.col("id").alias("k"),
+        (F.to_timestamp(F.lit("2024-03-01 10:00:00"))
+         + F.expr("make_interval(0,0,0,0, cast(id % 4 as int) * 6,"
+                  " 0, 0)")).alias("ts"),
+        F.date_add(F.lit("2024-05-01").cast("date"),
+                   (F.col("id") % 2).cast("int")).alias("ds"))
+    T.append(df.coalesce(1), root, partition_by=["ts"])
+    tzname = spark.conf.get("spark.sql.session.timeZone")
+    conj = T._parse_conjuncts(
+        "ts >= timestamp '2024-03-01 22:00:00'", tz=tzname)
+    assert conj == [("ts", ">=", "2024-03-01T22:00:00")]
+    # without the session zone the literal is inert (conservative)
+    assert T._parse_conjuncts(
+        "ts >= timestamp '2024-03-01 22:00:00'") == []
+    assert T._parse_conjuncts("ds = date '2024-05-02'") \
+        == [("ds", "=", "2024-05-02")]
+    snap = T.snapshot(root)
+    kept = T._files_possibly_matching(snap, conj, root, None)
+    assert 0 < len(kept) < len(snap["files"])
+    got = T.read_where(
+        spark, root, "ts >= timestamp '2024-03-01 22:00:00'")
+    want = df.where("ts >= timestamp '2024-03-01 22:00:00'")
+    assert _rows(got) == _rows(want) and got.count() == 20
+    # DML through a typed literal stays exact (delete one window)
+    T.delete_where(spark, root,
+                   "ts >= timestamp '2024-03-02 04:00:00'")
+    assert T.read(spark, root).count() == 30
