@@ -980,6 +980,22 @@ def _footer_stats(path: str) -> dict:
 _PART_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
+def _utc_iso(dt) -> str:
+    """An AWARE datetime as the sortable UTC token: 'YYYY-MM-DDTHH:
+    MM:SS[.ffffff]', fraction dropped when zero. ONE formatter for
+    both sides of the domain — recorded partition tokens
+    (_utc_token) and normalized pushed literals (_lit_norm) must
+    stay byte-identical for lexical pruning to be sound
+    (code-review r14)."""
+    import datetime as _dt
+
+    u = dt.astimezone(_dt.timezone.utc)
+    out = u.strftime("%Y-%m-%dT%H:%M:%S")
+    if u.microsecond:
+        out += f".{u.microsecond:06d}"
+    return out
+
+
 def _utc_token(tok: str, tz_name: str) -> str | None:
     """UTC-normalize a TIMESTAMP partition directory token (r14,
     VERDICT r13 #5): Spark renders hive timestamp tokens as wall
@@ -998,11 +1014,7 @@ def _utc_token(tok: str, tz_name: str) -> str | None:
         if dt.tzinfo is None:
             import zoneinfo
             dt = dt.replace(tzinfo=zoneinfo.ZoneInfo(tz_name))
-        dt = dt.astimezone(_dt.timezone.utc)
-        out = dt.strftime("%Y-%m-%dT%H:%M:%S")
-        if dt.microsecond:
-            out += f".{dt.microsecond:06d}"
-        return out
+        return _utc_iso(dt)
     except (ValueError, KeyError, OSError):
         return None
 
@@ -2829,6 +2841,19 @@ def _files_touching_keys_col(spark, files: dict[str, dict],
     # ADVICE r14 high / VERDICT r13 #5). Covers BOTH regimes: the
     # collected bisect AND the distributed range aggregate below.
     keys, dt = _key_stat_domain(keys, dt)
+    if dt == "timestamp":
+        # non-UTC session: the keys could NOT normalize into the
+        # UTC token domain. The bisect regime is guarded by its
+        # TypeError catch, but the aggregate regime below would
+        # feed the string stats to F.lit and Spark would cast them
+        # as SESSION wall time — shifting the range and silently
+        # under-touching (code-review r14). String-statted files
+        # are conservatively touched instead.
+        touched += [p for p, st in ranged if isinstance(st[0], str)]
+        ranged = [(p, st) for p, st in ranged
+                  if not isinstance(st[0], str)]
+        if not ranged:
+            return touched
     is_float = dt in ("float", "double")
     if dt in ("string", "binary"):
         # one job: count + sampled average width (bytes-aware
@@ -3362,9 +3387,14 @@ def _arrow_expr_compile(expr: str, types: dict):
       term  := unary (('*'|'/'|'%') unary)*
       unary := '-' unary | atom
       atom  := number | 'string' | column | '(' expr ')'
-             | CAST '(' expr AS int|bigint|double|string|date ')'
+             | CAST '(' expr AS int|bigint|long|double|string ')'
              | CASE (WHEN cond THEN expr)+ (ELSE expr)? END
-      cond  := expr CMP expr ((AND|OR) cond)*
+      cond  := and_chain (OR and_chain)*     -- Spark precedence:
+      and_chain := cmp (AND cmp)*            -- AND over OR
+      cmp   := expr CMP expr
+    '/' and '%' additionally require a NONZERO LITERAL divisor
+    (Spark's divide-by-zero semantics depend on the session's ANSI
+    conf and cannot be reproduced soundly arrow-side).
 
     Spark semantics mirrored exactly where they differ from arrow
     defaults: '/' is ALWAYS double division, '%' is Java remainder
@@ -3381,7 +3411,8 @@ def _arrow_expr_compile(expr: str, types: dict):
     while pos < len(expr):
         m = _EXPR_TOKEN.match(expr, pos)
         if m is None:
-            return None if expr[pos:].strip() else None
+            break  # trailing whitespace is fine; garbage is
+            # caught by the post-loop check (code-review r14)
         pos = m.end()
         if m.group("num") is not None:
             v = m.group("num")
@@ -3441,6 +3472,19 @@ def _arrow_expr_compile(expr: str, types: dict):
         left = p_unary()
         while peek()[0] == "op" and peek()[1] in ("*", "/", "%"):
             op = take("op")[1]
+            if op in ("/", "%"):
+                # the divisor must be a NONZERO LITERAL: Spark's
+                # divide-by-zero semantics (NULL or ANSI error by
+                # session conf) cannot be reproduced soundly
+                # arrow-side for a column divisor — pc.divide gives
+                # inf/raises instead (code-review r14); column
+                # divisors refuse to append()
+                nxt = toks[i]
+                lit_t = toks[i + 1] if nxt == ("op", "-") else nxt
+                if (lit_t[0] != "lit"
+                        or not isinstance(lit_t[1], (int, float))
+                        or lit_t[1] == 0):
+                    raise _Bail()
             right = p_unary()
             left = arith(left, right, op)
         return left
@@ -3572,7 +3616,7 @@ def _arrow_expr_compile(expr: str, types: dict):
             return c_s, "str"
         raise _Bail()
 
-    def p_cond():
+    def p_cmp():
         import pyarrow as pa
         import pyarrow.compute as pc
         lf, lk = p_expr()
@@ -3596,15 +3640,33 @@ def _arrow_expr_compile(expr: str, types: dict):
                       ">": a > b, ">=": a >= b}[opt]
                 return pa.array([ok] * n)
             return pc.fill_null(cmp_f(a, b), False)
-        node = run
-        while peek()[0] == "kw" and peek()[1] in ("AND", "OR"):
-            conj = take("kw")[1]
-            rest = p_cond()
+        return run
 
-            def combo(cols, n, _l=node, _r=rest, _c=conj):
-                f = pc.and_ if _c == "AND" else pc.or_
-                return f(_l(cols, n), _r(cols, n))
-            node = combo
+    def p_and():
+        import pyarrow.compute as pc
+        node = p_cmp()
+        while peek() == ("kw", "AND"):
+            take("kw", "AND")
+            rhs = p_cmp()
+
+            def both(cols, n, _l=node, _r=rhs):
+                return pc.and_(_l(cols, n), _r(cols, n))
+            node = both
+        return node
+
+    def p_cond():
+        # Spark precedence: AND binds tighter than OR — a flat
+        # left-to-right walk silently computed wrong values for
+        # `a AND b OR c` (code-review r14)
+        import pyarrow.compute as pc
+        node = p_and()
+        while peek() == ("kw", "OR"):
+            take("kw", "OR")
+            rhs = p_and()
+
+            def either(cols, n, _l=node, _r=rhs):
+                return pc.or_(_l(cols, n), _r(cols, n))
+            node = either
         return node
 
     def p_case():
@@ -4053,15 +4115,9 @@ def _cp_vector_prune(store: "_CpStore", conjuncts: list[tuple],
             if isinstance(lit, _dec.Decimal):
                 if not lit.is_finite():
                     return None
-                f = float(lit)
-                if not math.isfinite(f):
-                    return None
-                d = _dec.Decimal(f)
-                if fdir == "up" and d < lit:
-                    f = math.nextafter(f, math.inf)
-                elif fdir == "down" and d > lit:
-                    f = math.nextafter(f, -math.inf)
-                return f
+                # one rounding implementation (code-review r14):
+                # _dec_widen rounds DOWN when is_lo — 'down' here
+                return _dec_widen(lit, is_lo=(fdir == "down"))
         return None
 
     def _eff_range(pcol, lc):
@@ -5395,14 +5451,25 @@ def stream_sink(root: str, app_id: str = "stream",
                         optimize(batch_df.sparkSession, root,
                                  target_bytes=optimize_target_bytes,
                                  checkpoint_every=checkpoint_every)
-                    except (CommitConflict, OSError) as e:
-                        # TRANSIENT only (ADVICE r14): a lost
-                        # version race / fs hiccup retries at the
-                        # next Nth batch — but log it, so compaction
-                        # silently stopping leaves a signal. Any
-                        # other exception is a genuine bug and MUST
+                    except Exception as e:
+                        # TRANSIENT classes only (ADVICE r14 + the
+                        # code-review follow-up): a lost version
+                        # race, an fs hiccup, or a failed Spark
+                        # compaction JOB (executor loss, shuffle
+                        # fetch, vacuum race -> Py4JJavaError)
+                        # retries at the next Nth batch — logged,
+                        # so compaction silently stopping leaves a
+                        # signal. Python-side engine bugs MUST
                         # surface (a blanket swallow here once hid
                         # a TypeError for a full round).
+                        try:
+                            from py4j.protocol import Py4JJavaError
+                        except ImportError:  # pragma: no cover
+                            Py4JJavaError = ()
+                        if not isinstance(
+                                e, (CommitConflict, OSError,
+                                    Py4JJavaError)):
+                            raise
                         import logging
                         logging.getLogger(__name__).warning(
                             "auto-optimize skipped at batch %s "
@@ -6992,11 +7059,7 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
             if isinstance(v, _dt.datetime):  # BEFORE date: subclass
                 if v.tzinfo is None:
                     return v  # zone-less: inert (type guards hold)
-                u = v.astimezone(_dt.timezone.utc)
-                out = u.strftime("%Y-%m-%dT%H:%M:%S")
-                if u.microsecond:
-                    out += f".{u.microsecond:06d}"
-                return out
+                return _utc_iso(v)  # the shared token formatter
             if isinstance(v, _dt.date):
                 return v.isoformat()
             if isinstance(v, _dec.Decimal):

@@ -483,3 +483,36 @@ def test_generated_columns_native_write(spark):
     assert got.count() == 250
     assert {r[0] for r in got.select("k").collect()} \
         == {k for k in range(1000) if k % 4 == 2}
+
+
+def test_generated_expression_compiler_guards(spark):
+    """code-review r14 regressions: AND binds tighter than OR
+    (Spark precedence), '/' and '%' require a NONZERO LITERAL
+    divisor (Spark's divide-by-zero semantics are session-dependent
+    and unreproducible arrow-side), trailing whitespace compiles,
+    garbage refuses — and the mixed-AND/OR CASE lands the SAME
+    values through the native writer and append()."""
+    types = {"a": "bigint", "b": "bigint", "c": "bigint"}
+    C = T._arrow_expr_compile
+    assert C("a / b", types) is None
+    assert C("a % b", types) is None
+    assert C("a / 0", types) is None
+    assert C("a % 4", types) is not None
+    assert C("a + 1 ", types) is not None
+    assert C("a + 1 ;", types) is None
+    gexpr = "CASE WHEN a = 1 AND b = 2 OR c = 3 THEN 1 ELSE 0 END"
+    assert C(gexpr, types) is not None
+    df = spark.createDataFrame(
+        [(5, 2, 3), (1, 2, 0), (1, 0, 0), (9, 9, 9)],
+        "a bigint, b bigint, c bigint")
+    root_w = tempfile.mkdtemp(prefix="txw_pr1_") + "/t"
+    root_f = tempfile.mkdtemp(prefix="txw_pr2_") + "/t"
+    T.append(df.limit(0), root_w, checkpoint_every=0,
+             generated={"g": gexpr})
+    df.write.format("txlog").mode("append").save(root_w)
+    T.append(df, root_f, checkpoint_every=0, generated={"g": gexpr})
+    assert _rows(T.read(spark, root_w)) == \
+        _rows(T.read(spark, root_f))
+    # (5,2,3)->c=3:1, (1,2,0)->a=1&b=2:1, (1,0,0)->0, (9,9,9)->0
+    assert sorted(r["g"] for r in
+                  T.read(spark, root_w).collect()) == [0, 0, 1, 1]
