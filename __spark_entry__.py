@@ -50,33 +50,89 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING POLICY: the driver records correctness rows for the
     FIRST 50 entries only (tests/test_entry_contract.py asserts the
-    boundary position). Entries rotate per round. The r14 window:
-    (0) the keys whose code paths changed this round — plan-time
-    stat pruning now runs VECTORIZED over stats_parsed checkpoint
-    columns (VERDICT r13 #1): the new txlog_stats_prune_scan key
-    takes first evidence (in-query asserts pin has_stats, vector ==
-    per-file loop, partition-token pruning) and the three
-    pruned-scan keys re-evidence on the new prune code; (1) the
-    TWENTY keys VERDICT r13 names at r10 evidence (Missing #4's
-    list verbatim); (2) the oldest 26-key slice of the r11-evidence
-    cohort (the remaining 9 r11 keys lead the r15 rotation). Every
-    r12/r13-windowed key rotates OUT to the tail — its row stands
-    as evidence while the stale keys refresh. Every key keeps its
-    oracle regardless of position — selfcheck.py checks all of
-    them locally."""
+    boundary position). Entries rotate per round. The r15 window:
+    (0) the keys whose code paths changed this round — the metadata
+    plane STREAMS the stats_parsed projection one row group at a
+    time past _CP_STREAM_BYTES (VERDICT r14 #1) and the over-gate
+    digest aggregates string keys in the UTF-8 binary domain
+    (ADVICE r15 medium): the four prune-path txlog keys re-evidence
+    on the new resolution; (1) the TEN r11-evidence keys VERDICT
+    r14 Missing #4 names verbatim (the oldest cohort); (2) the
+    oldest 36-key slice of the r12-evidence cohort (the remaining
+    6 r12 keys — the dash reshape family — lead the r16 rotation).
+    Every r13/r14-windowed key rotates OUT to the tail — its row
+    stands as evidence while the stale keys refresh. Every key
+    keeps its oracle regardless of position — selfcheck.py checks
+    all of them locally."""
     return {k: _armored(f) for k, f in {
-        # -- (0) CHANGED THIS ROUND (r14): plan-time stat pruning now
-        #    runs VECTORIZED over stats_parsed checkpoint columns
-        #    (VERDICT r13 #1) — the NEW key pins the machinery under
-        #    the gate (in-query asserts: has_stats, vector == loop,
-        #    partition-token pruning) and the three pruned-scan keys
-        #    re-evidence on the new prune code --
+        # -- (0) CHANGED THIS ROUND (r15): the metadata plane now
+        #    STREAMS the stats_parsed projection one row group at
+        #    a time past _CP_STREAM_BYTES (VERDICT r14 #1) and the
+        #    over-gate digest aggregates string keys in the UTF-8
+        #    binary domain (ADVICE r15 medium) — the four prune-
+        #    path keys re-evidence on the new resolution --
         "txlog_stats_prune_scan": _tf.txlog_stats_prune_scan,
         "txlog_pushdown_scan": _tf.txlog_pushdown_scan,
         "txlog_partition_scan": _tf.txlog_partition_scan,
         "txlog_range_scan": _tf.txlog_range_scan,
-        # -- (1) the TWENTY keys at r10 evidence (VERDICT r13
-        #    Missing #4 / next-round #2's named list) --
+        # -- (1) the TEN r11-evidence keys VERDICT r14 Missing #4
+        #    names (the oldest cohort, three rounds old) --
+        "dsir_select": _tp.dsir_select,
+        "embed_docs": _tp.embed_docs,
+        "kmeans_embeddings": _tp.kmeans_embeddings,
+        "perplexity_buckets": _tp.perplexity_buckets,
+        "semdedup_incremental": _tp.semdedup_incremental,
+        "semdedup_trained": _tp.semdedup_trained,
+        "span_dedup_apply": _tp.span_dedup_apply,
+        "span_dedup_keep_first": _tp.span_dedup_keep_first,
+        "text_semdedup": _tp.text_semdedup,
+        "weighted_sample": _tp.weighted_sample,
+        # -- (2) the oldest 36-key slice of the r12-evidence
+        #    cohort (the remaining 6 r12 keys — the dash reshape
+        #    family — lead the r16 rotation) --
+        "volume_histogram": _sp.volume_histogram,
+        "enrich_model_batch": _sp.enrich_model_batch,
+        "topk_per_group": _an.topk_per_group,
+        "q4_order_priority": _an2.q4_order_priority,
+        "q21_waiting_suppliers": _an2.q21_waiting_suppliers,
+        "q13_customer_distribution": _an2.q13_customer_distribution,
+        "q15_top_supplier": _an2.q15_top_supplier,
+        "q17_small_quantity_revenue": _an2.q17_small_quantity_revenue,
+        "q22_inactive_rich_customers": _an2.q22_inactive_rich_customers,
+        "q2_min_cost_supplier": _an2.q2_min_cost_supplier,
+        "q9_product_profit": _an2.q9_product_profit,
+        "q11_important_inventory": _an2.q11_important_inventory,
+        "props_variant_stats": _an2.props_variant_stats,
+        "value_deciles": _an3.value_deciles,
+        "value_rank_dist": _an3.value_rank_dist,
+        "retention_set_ops": _an3.retention_set_ops,
+        "grouping_sets_revenue": _an3.grouping_sets_revenue,
+        "scd2_customer_dim": _an3.scd2_customer_dim,
+        "event_transitions": _an3.event_transitions,
+        "dedup_exact": _tp.dedup_exact,
+        "dedup_minhash_lsh": _tp.dedup_minhash_lsh,
+        "embedding_neardup": _tp.embedding_neardup,
+        "ann_topk": _tp.ann_topk,
+        "text_lang_id": _tp.text_lang_id,
+        "text_quality": _tp.text_quality,
+        "token_count": _tp.token_count,
+        "shuffle_corpus": _tp.shuffle_corpus,
+        "winnow_fingerprints": _tp.winnow_fingerprints,
+        "longest_dup_span": _tp.longest_dup_span,
+        "quality_attributes": _tp.quality_attributes,
+        "decontaminate_spans": _tp.decontaminate_spans,
+        "dedup_keep_best": _tp.dedup_keep_best,
+        "pagerank_knn": _tp.pagerank_knn,
+        "kneser_ney_score": _tp.kneser_ney_score,
+        "semdedup_keep_central": _tp.semdedup_keep_central,
+        "containment_pairs": _tp.containment_pairs,
+        # ==== WINDOW BOUNDARY (50): containment_pairs is entry
+        #      50; the driver records rows for nothing below this
+        #      line. tests/test_entry_contract.py asserts this
+        #      position. ====
+        # -- tail: the r14 window rotates out first (its r14 rows
+        #    stand), then the rest of the catalog and the declared
+        #    rows-only set --
         "bigram_pmi": _tp.bigram_pmi,
         "clean_corpus": _tp.clean_corpus,
         "contamination_report": _tp.contamination_report,
@@ -97,8 +153,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_scrub": _tp.text_scrub,
         "tfidf_topterms": _tp.tfidf_topterms,
         "zorder_keys": _an3.zorder_keys,
-        # -- (2) the oldest 26-key slice of the r11-evidence cohort
-        #    (the remaining 9 r11 keys lead the r15 rotation) --
         "quantity_percentiles": _an.quantity_percentiles,
         "asof_join_purchases": _an2.asof_join_purchases,
         "range_join_errors": _an2.range_join_errors,
@@ -125,13 +179,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_schedule": _tp.mixture_schedule,
         "kmeans_assign": _tp.kmeans_assign,
         "semdedup": _tp.semdedup,
-        # ==== WINDOW BOUNDARY (50): semdedup is entry 50; the
-        #      driver records rows for nothing below this line.
-        #      tests/test_entry_contract.py asserts this position.
-        #      ====
-        # -- tail: the r13 window's keys rotate out first (their
-        #    r13 rows stand), then the rest of the catalog and the
-        #    declared rows-only set --
         "txlog_checkpoint_scan": _tf.txlog_checkpoint_scan,
         "txlog_dv_scan": _tf.txlog_dv_scan,
         "txlog_delete_scan": _tf.txlog_delete_scan,
@@ -187,58 +234,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txlog_replica_scan": _tf.txlog_replica_scan,
         "txlog_rename_scan": _tf.txlog_rename_scan,
         "txlog_backfill_scan": _tf.txlog_backfill_scan,
-        "event_transitions": _an3.event_transitions,
-        "pagerank_knn": _tp.pagerank_knn,
-        "dedup_keep_best": _tp.dedup_keep_best,
-        "decontaminate_spans": _tp.decontaminate_spans,
-        "quality_attributes": _tp.quality_attributes,
-        "longest_dup_span": _tp.longest_dup_span,
-        "winnow_fingerprints": _tp.winnow_fingerprints,
-        "shuffle_corpus": _tp.shuffle_corpus,
-        "containment_pairs": _tp.containment_pairs,
-        "semdedup_keep_central": _tp.semdedup_keep_central,
-        "kneser_ney_score": _tp.kneser_ney_score,
         "dash_overview": _sp.dash_overview,
         "dash_tickers": _sp.dash_tickers,
         "dash_detail": _sp.dash_detail,
         "running_volume": _sp.running_volume,
-        "volume_histogram": _sp.volume_histogram,
-        "enrich_model_batch": _sp.enrich_model_batch,
         "dash_overview_wide": _sp.dash_overview_wide,
         "dash_price_sma_long": _sp.dash_price_sma_long,
-        "topk_per_group": _an.topk_per_group,
-        "q4_order_priority": _an2.q4_order_priority,
-        "q21_waiting_suppliers": _an2.q21_waiting_suppliers,
-        "q13_customer_distribution": _an2.q13_customer_distribution,
-        "q15_top_supplier": _an2.q15_top_supplier,
-        "q17_small_quantity_revenue": _an2.q17_small_quantity_revenue,
-        "q22_inactive_rich_customers": _an2.q22_inactive_rich_customers,
-        "q2_min_cost_supplier": _an2.q2_min_cost_supplier,
-        "q9_product_profit": _an2.q9_product_profit,
-        "q11_important_inventory": _an2.q11_important_inventory,
-        "props_variant_stats": _an2.props_variant_stats,
-        "value_deciles": _an3.value_deciles,
-        "value_rank_dist": _an3.value_rank_dist,
-        "retention_set_ops": _an3.retention_set_ops,
-        "grouping_sets_revenue": _an3.grouping_sets_revenue,
-        "scd2_customer_dim": _an3.scd2_customer_dim,
-        "dedup_exact": _tp.dedup_exact,
-        "dedup_minhash_lsh": _tp.dedup_minhash_lsh,
-        "embedding_neardup": _tp.embedding_neardup,
-        "ann_topk": _tp.ann_topk,
-        "text_lang_id": _tp.text_lang_id,
-        "text_quality": _tp.text_quality,
-        "token_count": _tp.token_count,
-        "kmeans_embeddings": _tp.kmeans_embeddings,
-        "semdedup_trained": _tp.semdedup_trained,
-        "semdedup_incremental": _tp.semdedup_incremental,
-        "text_semdedup": _tp.text_semdedup,
-        "span_dedup_apply": _tp.span_dedup_apply,
-        "span_dedup_keep_first": _tp.span_dedup_keep_first,
-        "embed_docs": _tp.embed_docs,
-        "dsir_select": _tp.dsir_select,
-        "perplexity_buckets": _tp.perplexity_buckets,
-        "weighted_sample": _tp.weighted_sample,
         "train_bpe_vocab": _tp.train_bpe_vocab,
         "embedding_pca": _tp.embedding_pca,
         "pagerank_knn_ivf": _tp.pagerank_knn_ivf,

@@ -40,17 +40,16 @@ ROWS_ONLY = {
 # next-round #2): the twenty keys at r10 evidence, plus the new
 # stats_parsed-prune key and the pruned-scan keys re-evidencing
 # this round's vectorized plan path.
-R14_WINDOW_PRIORITY = {
-    "bigram_pmi", "clean_corpus", "contamination_report",
-    "corpus_stats", "decontaminate_bloom", "doc_fingerprint",
-    "domain_cap", "embedding_neardup_lsh_auto", "heavy_hitters_cms",
-    "ngram_jaccard", "ngram_novelty", "q16_supplier_part_counts",
-    "q20_excess_suppliers", "quality_classifier",
-    "salted_join_revenue", "sample_corpus", "stratified_split",
-    "text_scrub", "tfidf_topterms", "zorder_keys",
-    "txlog_stats_prune_scan",  # NEW r14 key: first evidence
-    "txlog_pushdown_scan", "txlog_partition_scan",
-    "txlog_range_scan",
+R15_WINDOW_PRIORITY = {
+    # the ten r11-evidence keys (VERDICT r14 Missing #4, verbatim)
+    "dsir_select", "embed_docs", "kmeans_embeddings",
+    "perplexity_buckets", "semdedup_incremental", "semdedup_trained",
+    "span_dedup_apply", "span_dedup_keep_first", "text_semdedup",
+    "weighted_sample",
+    # the prune-path txlog keys re-evidencing on the r15 streamed
+    # stats resolution
+    "txlog_stats_prune_scan", "txlog_pushdown_scan",
+    "txlog_partition_scan", "txlog_range_scan",
 }
 
 
@@ -87,16 +86,16 @@ def test_driver_window_boundary_position():
     a comment that claimed the 50-row boundary at the wrong dict
     position (VERDICT r7 What's-wrong #1). Pin the REAL boundary:
     the documented last-in-window key must sit at index 49, and
-    every key the r14 rotation promises the window must be inside
+    every key the r15 rotation promises the window must be inside
     the first 50."""
     m = _entry_module()
     keys = list(m.queries())
-    assert keys.index("semdedup") == 49, (
+    assert keys.index("containment_pairs") == 49, (
         "the '==== WINDOW BOUNDARY (50)' comment in __spark_entry__ "
-        "no longer matches the dict: semdedup is at "
-        f"index {keys.index('semdedup')}")
+        "no longer matches the dict: containment_pairs is at "
+        f"index {keys.index('containment_pairs')}")
     window = set(keys[:50])
-    assert R14_WINDOW_PRIORITY <= window, R14_WINDOW_PRIORITY - window
+    assert R15_WINDOW_PRIORITY <= window, R15_WINDOW_PRIORITY - window
 
 
 def test_entry_returns_flagship(spark):
