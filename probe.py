@@ -639,6 +639,31 @@ def run_txlog_stream_leg(spark) -> dict:
         row[f"speedup_vs_simple_{k}"] = round(ts / t, 2)
     row["exp_10_100"] = round(
         math.log10(row["t_x100"] / row["t_x10"]), 3)
+    # r15 CAPPED path (VERDICT r14 #6): drain the x10 tier again
+    # under max_bytes_per_trigger sized to ~1/4 of the table —
+    # exactly-once row parity across >= 4 bounded batches through
+    # the file-cursor offsets
+    from gcp_data_engineering_workshop_spark.sources import (
+        txlog as _T)
+    root10 = os.path.join(WORK, "txstreamx10", "t")
+    total_b = sum(m["bytes"] for m in
+                  _T.snapshot(root10)["files"].values())
+    counts = []
+    q = (spark.readStream.format("txlogstream")
+         .option("path", root10)
+         .option("max_bytes_per_trigger", str(total_b // 4))
+         .option("reader_id", "probe-bytescap")
+         .load().writeStream
+         .foreachBatch(lambda df, bid: counts.append(df.count()))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    row["bytes_cap_batches"] = len([c for c in counts if c])
+    row["bytes_cap_rows"] = sum(counts)
+    row["bytes_cap_ok"] = (sum(counts) == 150_000
+                           and row["bytes_cap_batches"] >= 4)
     return row
 
 
@@ -765,6 +790,11 @@ def run_txlog_metadata_scale_leg(spark) -> dict:
         row[f"t_merge_prune_{k}"] = round(
             time.monotonic() - t0, 3)
         row[f"files_touched_{k}"] = len(touched)
+        # r15 (VERDICT r14 #7): which regime planned it, visible
+        mp = T.last_merge_plan() or {}
+        row[f"merge_regime_{k}"] = mp.get("regime")
+        row[f"merge_key_regime_{k}"] = (
+            mp.get("key_regimes") or {}).get("k")
         if n_files > T._DISTRIBUTED_PRUNE_BOUND:
             # OVER-COLLECT-GATE tier (r14, VERDICT r13 #4): 5M
             # distinct keys blow the collect gate; the bounded
@@ -780,6 +810,10 @@ def run_txlog_metadata_scale_leg(spark) -> dict:
             row[f"t_merge_overgate_{k}"] = round(
                 time.monotonic() - t0, 3)
             row[f"files_touched_overgate_{k}"] = len(touched_og)
+            mp = T.last_merge_plan() or {}
+            row[f"merge_regime_overgate_{k}"] = mp.get("regime")
+            row[f"merge_key_regime_overgate_{k}"] = (
+                mp.get("key_regimes") or {}).get("k")
         # incremental checkpoint: one suffix add on top of tier-1
         with open(os.path.join(log, f"{2:020d}.json"), "w") as fh:
             _json.dump({"op": "append", "ts": 0.0, "actions": [
@@ -849,6 +883,22 @@ def run_txlog_metadata_scale_leg(spark) -> dict:
         row["t_plan_x1m"] <= 2.0
         and row["t_plan_legacy_x1m"]
         >= 5 * max(row["t_plan_x1m"], 1e-3))
+    # r15 MEMORY contract (VERDICT r14 #1): past _CP_STREAM_BYTES
+    # the prune/merge/plan paths STREAM the stats projection one
+    # row group at a time — the engine-resident store weight at the
+    # 1M tier must stay far below the r14 resident figure (356 MB;
+    # streamed measures ~KB) and the streamed plan path must hold
+    # the r14 time class
+    row["store_ok"] = (row["store_mb_x1m"] <= 100.0
+                      and row["t_prune_x1m"] <= 2.0)
+    # drop the synthesized tiers (the 1M tier alone is ~100 MB of
+    # checkpoint + a million-entry dir) so later legs / adjudication
+    # re-runs don't inherit this leg's page-cache churn (VERDICT
+    # r14 #3 — suite-order false flags)
+    import shutil as _sh
+    for k, _n in tiers:
+        _sh.rmtree(os.path.join(WORK, f"txmeta{k}"),
+                   ignore_errors=True)
     return row
 
 
@@ -1196,6 +1246,7 @@ def main() -> None:
         if (m := re.search(r"PROBE_r(\d+)\.json", f))
         and int(m.group(1)) < rnd)
     regressions = []
+    adjudications = []
     if prev_rounds:
         prev_file = prev_rounds[-1][1]
         prev = json.load(open(prev_file))
@@ -1208,6 +1259,45 @@ def main() -> None:
                 regressions.append(
                     {"query": name, "prev_exp": p["exp_10_100"],
                      "exp": row["exp_10_100"], "prev_file": prev_file})
+    # ADJUDICATE flagged PANEL legs IN-HARNESS (VERDICT r14 #3):
+    # the 1M-file metadata tier churns the page cache, so a panel
+    # leg that ran cold can flag on suite order, not code. Re-run
+    # each flagged panel leg now (tiers done, box as quiet as this
+    # process gets) and write the adjudication INTO the artifact —
+    # a closed flag moves out of `regressions`, so a future reader
+    # never has to cross-reference PLANS.
+    flagged_panel = [r for r in regressions
+                     if any(r["query"] == nm for nm, _ in PANEL)]
+    if flagged_panel:
+        spark2 = get_spark("probe-adjudicate", extra_conf={
+            "spark.ui.showConsoleProgress": "false"})
+        spark2.sparkContext.setLogLevel("ERROR")
+        try:
+            dirs = {k: build_docs_dir(k) for k in SCALES}
+            for r in list(flagged_panel):
+                fn = dict(PANEL)[r["query"]]
+                rerun = {}
+                for k in SCALES:
+                    t0 = time.monotonic()
+                    rerun[f"rows_x{k}"] = fn(spark2, dirs[k]).count()
+                    rerun[f"t_x{k}"] = round(
+                        time.monotonic() - t0, 3)
+                    spark2.catalog.clearCache()
+                rerun["exp_10_100"] = round(math.log10(
+                    rerun["t_x100"] / rerun["t_x10"]), 3)
+                closed = (rerun["exp_10_100"] - r["prev_exp"]
+                          <= 0.2)
+                adjudications.append({
+                    **r, "rerun_exp": rerun["exp_10_100"],
+                    "rerun_t_x100": rerun["t_x100"],
+                    "status": "closed" if closed else "reproduced"})
+                if closed:
+                    regressions.remove(r)
+                    results[r["query"]] = rerun
+                print(f"## adjudicated {r['query']}: "
+                      f"{adjudications[-1]}", flush=True)
+        finally:
+            spark2.stop()
     # re-runs merge into an existing same-round file instead of
     # clobbering results this run didn't produce (ONLY-mode legs,
     # preserved counterexample records)
@@ -1217,7 +1307,8 @@ def main() -> None:
         merged.update(results)
         results = merged
     blob = {"round": rnd, "scales": list(SCALES),
-            "results": results, "regressions": regressions}
+            "results": results, "regressions": regressions,
+            "adjudications": adjudications}
     json.dump(blob, open(out_path, "w"), indent=1)
     print(json.dumps(blob))
     if regressions:

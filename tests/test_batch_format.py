@@ -425,6 +425,28 @@ def test_timestamp_partition_pushdown_prunes(spark):
     assert _rows(fn) == _rows(want)
 
 
+def test_utc_token_dst_ambiguous_wall_time_stays_inert():
+    """ADVICE r15 low: during a fall-back overlap two UTC instants
+    render to the same wall-clock token — pinning fold=0 would make
+    the token an exact [v, v] stat that wrongly excludes the other
+    instant's rows. Ambiguous (and gap) wall times return None
+    (raw token kept, inert for pruning); unambiguous times still
+    normalize."""
+    # America/New_York 2024-11-03 01:30 happens twice (EDT+EST)
+    assert T._utc_token("2024-11-03 01:30:00",
+                        "America/New_York") is None
+    # unambiguous wall time still UTC-normalizes
+    assert T._utc_token("2024-11-03 12:00:00",
+                        "America/New_York") \
+        == "2024-11-03T17:00:00"
+    # spring-forward gap (no such instant): also inert
+    assert T._utc_token("2024-03-10 02:30:00",
+                        "America/New_York") is None
+    # UTC sessions never hit folds
+    assert T._utc_token("2024-11-03 01:30:00", "UTC") \
+        == "2024-11-03T01:30:00"
+
+
 def test_merge_keyed_on_timestamp_partition_column(spark):
     """The daily-upsert shape, hourly edition: a merge keyed on the
     timestamp partition column must not crash (datetime keys vs

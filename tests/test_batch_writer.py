@@ -500,6 +500,16 @@ def test_generated_expression_compiler_guards(spark):
     assert C("a % 4", types) is not None
     assert C("a + 1 ", types) is not None
     assert C("a + 1 ;", types) is None
+    # r15 (VERDICT r14 #8): the divisor rule widens to literal-only
+    # subexpressions via constant folding — parenthesized,
+    # negated, folded arithmetic; zero-folding and column refs
+    # still refuse
+    assert C("a / (2)", types) is not None
+    assert C("a / -(2 + 3)", types) is not None
+    assert C("a % (2 * 2)", types) is not None
+    assert C("a / (2 - 2)", types) is None
+    assert C("a / (b)", types) is None
+    assert C("a / (1 + b)", types) is None
     gexpr = "CASE WHEN a = 1 AND b = 2 OR c = 3 THEN 1 ELSE 0 END"
     assert C(gexpr, types) is not None
     df = spark.createDataFrame(
@@ -516,3 +526,59 @@ def test_generated_expression_compiler_guards(spark):
     # (5,2,3)->c=3:1, (1,2,0)->a=1&b=2:1, (1,0,0)->0, (9,9,9)->0
     assert sorted(r["g"] for r in
                   T.read(spark, root_w).collect()) == [0, 0, 1, 1]
+
+
+def test_generated_expression_checked_edge_domains(spark):
+    """ADVICE r15 low: numeric edge domains ERROR instead of
+    silently diverging from Spark — float '%' refuses at compile
+    (no true fmod kernel); int64 overflow in + * unary- raises
+    ArrowInvalid in the write task (Spark 4 ANSI raises too; never
+    a silently wrapped stored value); CAST AS int surfaces 32-bit
+    overflow and CASTs are safe (NaN / out-of-range raise); normal
+    in-range values keep exact append() parity."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pytest as _pt
+
+    C = T._arrow_expr_compile
+    assert C("a % 4", {"a": "double"}) is None   # float %: refuse
+    assert C("a % 4", {"a": "bigint"}) is not None
+
+    def ev(expr, types, arrays):
+        fn = C(expr, types)
+        assert fn is not None, expr
+        batch = pa.record_batch(arrays)
+        return fn(batch)
+
+    big = 2 ** 62
+    with _pt.raises(pa.ArrowInvalid):
+        ev("a * 4", {"a": "bigint"}, {"a": pa.array([big])})
+    with _pt.raises(pa.ArrowInvalid):
+        ev("a + a", {"a": "bigint"}, {"a": pa.array([big])})
+    with _pt.raises(pa.ArrowInvalid):
+        ev("-a", {"a": "bigint"},
+           {"a": pa.array([-(2 ** 63)])})
+    with _pt.raises(pa.ArrowInvalid):
+        ev("CAST(a AS int)", {"a": "bigint"},
+           {"a": pa.array([2 ** 40])})
+    with _pt.raises(pa.ArrowInvalid):
+        ev("CAST(a AS bigint)", {"a": "double"},
+           {"a": pa.array([float("nan")])})
+    assert ev("CAST(a AS int)", {"a": "bigint"},
+              {"a": pa.array([7])}).to_pylist() == [7]
+    # float CAST truncates toward zero like Spark
+    assert ev("CAST(a AS bigint)", {"a": "double"},
+              {"a": pa.array([3.9, -2.9])}).to_pylist() == [3, -2]
+    # in-range generated values keep exact native/append parity
+    df = spark.createDataFrame(
+        [(7,), (-9,), (0,)], "k bigint")
+    gen = {"g": "CAST(k * 3 - 1 AS int)",
+           "h": "k / -(2 + 3)",   # folded parenthesized divisor
+           "m": "k % (2 * 2)"}
+    root_w = tempfile.mkdtemp(prefix="txw_ck1_") + "/t"
+    root_f = tempfile.mkdtemp(prefix="txw_ck2_") + "/t"
+    T.append(df.limit(0), root_w, checkpoint_every=0, generated=gen)
+    df.write.format("txlog").mode("append").save(root_w)
+    T.append(df, root_f, checkpoint_every=0, generated=gen)
+    assert _rows(T.read(spark, root_w)) == \
+        _rows(T.read(spark, root_f))

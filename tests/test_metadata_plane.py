@@ -547,6 +547,79 @@ def test_key_digest_edges(spark):
     assert dg3.may_intersect(0, 100)
 
 
+def test_key_digest_utf16_vs_codepoint_order(spark):
+    """ADVICE r15 medium: Spark F.min/F.max orders strings by
+    UTF-16 code units, where surrogate pairs (supplementary-plane
+    chars like emoji) sort BELOW U+E000..U+FFFF; Python/parquet
+    stats compare by code point. A raw kmin/kmax compare against
+    Spark's UTF-16 extrema could wrongly exclude a file whose stat
+    range holds a live supplementary-plane key. The digest must
+    answer True for every present key's exact [v, v] span."""
+    emoji = "\U0001f600"           # > U+FFFF by code point
+    high_bmp = "￿"            # > emoji by UTF-16 code units
+    ups = spark.createDataFrame(
+        [(emoji,), (high_bmp,), ("a",)], "s string")
+    dg = T._key_digest(ups, "s")
+    assert dg is not None and dg.kind == "str"
+    # footer stats of a file holding only the emoji key: Python
+    # (code-point) comparison says emoji > Spark's UTF-16 kmax
+    for v in (emoji, high_bmp, "a"):
+        assert dg.may_intersect(v, v), repr(v)
+    # exclusion power survives in the projection domain
+    assert not dg.may_intersect("Z", "`")
+
+
+def test_streamed_prune_matches_resident(spark, tmp_path,
+                                         monkeypatch):
+    """VERDICT r14 #1: with the stream threshold forced to 0 the
+    vectorized prune, merge touch test, and native plan path all
+    ride stats_stream() one row group at a time — identical
+    survivor sets to the resident regime, and the engine-resident
+    store weight stays ~KB (no stats projection pinned)."""
+    root = str(tmp_path / "t")
+    df = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") % 40).alias("g"))
+    for i in range(4):
+        T.append(df.where((F.col("k") >= i * 100)
+                          & (F.col("k") < (i + 1) * 100)),
+                 root, checkpoint_every=4)
+    T.append(spark.range(400, 420).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("g")),
+        root, checkpoint_every=0)
+    snap = T.snapshot(root)
+    conjs = ([("k", "=", 130)], [("k", ">=", 300)],
+             [("k", "<", 50), ("g", "=", 3)],
+             [("k", "in", (3, 130, 412))])
+    resident = [sorted(T._files_possibly_matching(
+        snap, c, root, None)) for c in conjs]
+    ups = spark.createDataFrame([(130,), (131,)], "k bigint")
+    touched_res = sorted(T._files_touching_keys(
+        spark, snap["files"], ups, "k", root, set(), {}))
+
+    # fresh caches, streaming forced on for every checkpoint; the
+    # merge must ride the vectorized regime (not the small-table
+    # driver loop, which loads the full table by design)
+    T._SNAPSHOTS.clear()
+    T._CP_STORES.clear()
+    monkeypatch.setattr(T, "_CP_STREAM_BYTES", 0)
+    monkeypatch.setattr(T, "_DISTRIBUTED_PRUNE_BOUND", 1)
+    snap2 = T.snapshot(root)
+    streamed = [sorted(T._files_possibly_matching(
+        snap2, c, root, None)) for c in conjs]
+    assert streamed == resident
+    touched_st = sorted(T._files_touching_keys(
+        spark, snap2["files"], ups, "k", root, set(), {}))
+    assert touched_st == touched_res
+    # the streamed regime must not have pinned the stats projection
+    st = snap2["files"]._store
+    assert st._tbl is None and st._stats_tbl is None
+    assert T._store_weight(st) < 256 * 1024
+    # pruned reads stay value-correct through the streamed plans
+    got = sorted(r[0] for r in T.read_where(
+        spark, root, "k >= 300 and k < 310").select("k").collect())
+    assert got == list(range(300, 310))
+
+
 def test_bytes_aware_cache_across_many_tables(spark, tmp_path):
     """VERDICT r13 #8: the snapshot/store caches bound by BYTES,
     not depth — a session round-robining 12 small tables keeps

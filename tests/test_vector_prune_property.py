@@ -150,8 +150,8 @@ def _mk_digest(vals, nb=64):
         for v in vals:
             b = int(math.floor((float(v) - pmin) / w))
             bits[max(0, min(b, nb - 1))] = True
-    return T._KeyDigest("num", vals[0], vals[-1], pmin, w, bits,
-                        has_nan=False)
+    return T._KeyDigest("num", vals[0], vals[-1], pmin, pmax, w,
+                        bits, has_nan=False)
 
 
 _keyset = st.lists(st.integers(-60, 60), min_size=1, max_size=8,
