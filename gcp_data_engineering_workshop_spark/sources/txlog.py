@@ -7028,7 +7028,11 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
         (via the shared _plan_window) and admission control match
         the parallel reader batch-for-batch; read(start) receives
         the committed start offset directly, so the cap here is
-        exact across restarts."""
+        exact across restarts. max_bytes_per_trigger is a
+        parallel-reader feature: this reader plans whole versions
+        only, so do NOT switch a checkpointed bytes-capped query
+        to use_simple_reader mid-history — a partial ("f"-cursor)
+        offset would resume at the version boundary."""
 
         def __init__(self, options):
             self.root = options["path"]
