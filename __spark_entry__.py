@@ -56,10 +56,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     time past _CP_STREAM_BYTES (VERDICT r14 #1) and the over-gate
     digest aggregates string keys in the UTF-8 binary domain
     (ADVICE r15 medium): the four prune-path txlog keys re-evidence
-    on the new resolution; (1) the TEN r11-evidence keys VERDICT
-    r14 Missing #4 names verbatim (the oldest cohort); (2) the
-    oldest 36-key slice of the r12-evidence cohort (the remaining
-    6 r12 keys — the dash reshape family — lead the r16 rotation).
+    on the new resolution and the NEW OR/DNF-pruning key (VERDICT
+    r14 #5) takes its first driver row; (1) the TEN r11-evidence
+    keys VERDICT r14 Missing #4 names verbatim (the oldest cohort);
+    (2) the oldest 35-key slice of the r12-evidence cohort (the
+    remaining 7 r12 keys — the dash reshape family +
+    semdedup_keep_central — lead the r16 rotation).
     Every r13/r14-windowed key rotates OUT to the tail — its row
     stands as evidence while the stale keys refresh. Every key
     keeps its oracle regardless of position — selfcheck.py checks
@@ -70,7 +72,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    a time past _CP_STREAM_BYTES (VERDICT r14 #1) and the
         #    over-gate digest aggregates string keys in the UTF-8
         #    binary domain (ADVICE r15 medium) — the four prune-
-        #    path keys re-evidence on the new resolution --
+        #    path keys re-evidence on the new resolution, and the
+        #    NEW OR/DNF-pruning key (VERDICT r14 #5) takes its
+        #    first driver row --
+        "txlog_or_prune_scan": _tf.txlog_or_prune_scan,
         "txlog_stats_prune_scan": _tf.txlog_stats_prune_scan,
         "txlog_pushdown_scan": _tf.txlog_pushdown_scan,
         "txlog_partition_scan": _tf.txlog_partition_scan,
@@ -124,15 +129,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": _tp.dedup_keep_best,
         "pagerank_knn": _tp.pagerank_knn,
         "kneser_ney_score": _tp.kneser_ney_score,
-        "semdedup_keep_central": _tp.semdedup_keep_central,
         "containment_pairs": _tp.containment_pairs,
         # ==== WINDOW BOUNDARY (50): containment_pairs is entry
         #      50; the driver records rows for nothing below this
         #      line. tests/test_entry_contract.py asserts this
         #      position. ====
-        # -- tail: the r14 window rotates out first (its r14 rows
-        #    stand), then the rest of the catalog and the declared
-        #    rows-only set --
+        # -- tail: semdedup_keep_central (r12 evidence) yields its
+        #    r15 slot to the new OR-prune key and joins the dash
+        #    family at the head of the r16 rotation; then the r14
+        #    window (its r14 rows stand), the rest of the catalog,
+        #    and the declared rows-only set --
+        "semdedup_keep_central": _tp.semdedup_keep_central,
         "bigram_pmi": _tp.bigram_pmi,
         "clean_corpus": _tp.clean_corpus,
         "contamination_report": _tp.contamination_report,
@@ -277,6 +284,7 @@ def oracle_sql() -> dict[str, str]:
         "txlog_pushdown_scan": _tf.TXLOG_PUSHDOWN_SCAN_SQL,
         "txlog_checkpoint_scan": _tf.TXLOG_CHECKPOINT_SCAN_SQL,
         "txlog_stats_prune_scan": _tf.TXLOG_STATS_PRUNE_SCAN_SQL,
+        "txlog_or_prune_scan": _tf.TXLOG_OR_PRUNE_SCAN_SQL,
         "txlog_replace_scan": _tf.TXLOG_REPLACE_SCAN_SQL,
         "txlog_generated_scan": _tf.TXLOG_GENERATED_SCAN_SQL,
         "dedup_corpus_inplace": _orc.DEDUP_CORPUS_SQL,

@@ -821,3 +821,54 @@ FROM orders
 WHERE o_orderkey % 4 = 2 AND o_orderkey >= 500
 ORDER BY o_orderkey
 """
+
+
+def txlog_or_prune_scan(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    """Bounded OR/DNF pruning under the oracle gate (new r15,
+    VERDICT r14 #5): a top-level OR of recognized conjunct groups
+    plans as the UNION of per-disjunct survivor sets — the
+    multi-partition reload shape (``ds='a' OR ds='b'``) and the
+    z-order box-union shape stop scanning every file.
+
+    orders lands HIVE-PARTITIONED by a bucket column, each bucket
+    split into a below-1000 and an at-or-above-1000 key file (two
+    files per partition with disjoint footer key ranges). The
+    predicate ``(o_bucket = 1 AND o_orderkey >= 1000) OR
+    o_bucket = 3`` mixes per-disjunct partition AND range pruning:
+    disjunct one keeps only bucket 1's upper-range file, disjunct
+    two keeps both bucket-3 files. In-query asserts pin the
+    machinery: _parse_dnf sees exactly two disjuncts, the survivor
+    union is exactly those 3 of 8 files, and read_where rides it.
+    The returned scan is value-exact against the residual SQL."""
+    root = tempfile.mkdtemp(prefix="txlog_or_") + "/t"
+    orders = _orders(spark, sf_dir).withColumn(
+        "o_bucket", F.col("o_orderkey") % 4)
+    for b in range(4):
+        bucket = orders.where(F.col("o_bucket") == b)
+        T.append(bucket.where(F.col("o_orderkey") < 1000)
+                 .coalesce(1), root, checkpoint_every=1,
+                 partition_by=["o_bucket"])
+        T.append(bucket.where(F.col("o_orderkey") >= 1000)
+                 .coalesce(1), root, checkpoint_every=1)
+    cond = ("(o_bucket = 1 AND o_orderkey >= 1000) "
+            "OR o_bucket = 3")
+    dnf = T._parse_dnf(cond)
+    assert len(dnf) == 2 and all(dnf), dnf
+    snap = T.snapshot(root)
+    assert len(snap["files"]) == 8, len(snap["files"])
+    keep = T._files_matching_pred(snap, cond, root, None)
+    assert keep is not None and len(keep) == 3, keep
+    assert sum("o_bucket=1" in p for p in keep) == 1 \
+        and sum("o_bucket=3" in p for p in keep) == 2, keep
+    return T.read_where(spark, root, cond).orderBy("o_orderkey")
+
+
+TXLOG_OR_PRUNE_SCAN_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderpriority, o_orderkey % 4 AS o_bucket
+FROM orders
+WHERE (o_orderkey % 4 = 1 AND o_orderkey >= 1000)
+   OR o_orderkey % 4 = 3
+ORDER BY o_orderkey
+"""

@@ -47,9 +47,11 @@ R15_WINDOW_PRIORITY = {
     "span_dedup_apply", "span_dedup_keep_first", "text_semdedup",
     "weighted_sample",
     # the prune-path txlog keys re-evidencing on the r15 streamed
-    # stats resolution
+    # stats resolution, plus the NEW r15 OR/DNF-pruning key
+    # (VERDICT r14 #5) taking its first driver row
     "txlog_stats_prune_scan", "txlog_pushdown_scan",
     "txlog_partition_scan", "txlog_range_scan",
+    "txlog_or_prune_scan",
 }
 
 
