@@ -4675,8 +4675,10 @@ def _cp_vector_prune(store: "_CpStore", conjuncts: list[tuple],
     off = 0
     for rg in range(pf.metadata.num_row_groups):
         t = pf.read_row_group(rg, columns=["path", "meta"])
-        t = t.filter(pa.array(keep_np[off:off + t.num_rows]))
-        off += t.num_rows
+        nrg = t.num_rows  # group size BEFORE filtering — the mask
+        # offset advances by it, never by the survivor count
+        t = t.filter(pa.array(keep_np[off:off + nrg]))
+        off += nrg
         paths_out.extend(t.column("path").to_pylist())
         metas_out.extend(t.column("meta").to_pylist())
     return paths_out, metas_out

@@ -620,6 +620,69 @@ def test_streamed_prune_matches_resident(spark, tmp_path,
     assert got == list(range(300, 310))
 
 
+def test_streamed_prune_unselective_multi_rowgroup(tmp_path,
+                                                   monkeypatch):
+    """Regression (r15): the streamed prune's UNSELECTIVE fallback
+    (survivors > max(10k, n/4) — a sequential filtered pass instead
+    of a scattered take) advanced its mask offset by the FILTERED
+    row count, so every row group after the first read a misaligned
+    mask slice — wrong (unsound) survivor sets whenever the first
+    groups kept few rows. Pin: a 60k-file checkpoint in 8k-row
+    groups, a half-keeping predicate whose survivors all live in
+    the UPPER row groups, exact expected survivor set."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema_json = json.dumps({
+        "type": "struct", "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "v", "type": "double", "nullable": True,
+             "metadata": {}}]})
+    root = str(tmp_path / "t")
+    log = os.path.join(root, T.LOG_DIR)
+    os.makedirs(log)
+    n_files = 60_000
+    paths = [f"part-{i:07d}.parquet" for i in range(n_files)]
+    mdicts = [{"path": p, "bytes": 1 << 20, "rows": 1000,
+               "stats": {"k": [i * 1000, (i + 1) * 1000 - 1],
+                         "v": [0.0, 9.0]},
+               "nulls": {"k": [0, 1000], "v": [0, 1000]}}
+              for i, p in enumerate(paths)]
+    with open(os.path.join(log, f"{1:0{T._W}d}.json"), "w") as fh:
+        json.dump({"op": "append", "ts": 0.0, "actions": [],
+                   "schema": schema_json}, fh)
+    cp_parquet = f"checkpoint-{1:0{T._W}d}.files.parquet"
+    cols = {"path": pa.array(paths, type=pa.string()),
+            "meta": pa.array([json.dumps(m) for m in mdicts],
+                             type=pa.string())}
+    cols.update(T._cp_stat_arrays(
+        mdicts, {"k": "bigint", "v": "double"}, {}))
+    pq.write_table(pa.table(cols), os.path.join(log, cp_parquet),
+                   row_group_size=8192)
+    with open(os.path.join(log, f"checkpoint-{1:0{T._W}d}.json"),
+              "w") as fh:
+        json.dump({"version": 1, "files_parquet": cp_parquet,
+                   "num_files": n_files, "txn": {},
+                   "schema": schema_json, "partition_by": [],
+                   "colmap": {}, "phys_dropped": [],
+                   "features": []}, fh)
+    T._SNAPSHOTS.clear()
+    T._CP_STORES.clear()
+    monkeypatch.setattr(T, "_CP_STREAM_BYTES", 0)  # force streamed
+    snap = T.snapshot(root)
+    cut = 30_000_017  # files i >= 30001 survive (file 30000 ends
+    # at 30000999 >= cut too): expected set is exact and entirely
+    # in the upper half — the buggy offset walk returned garbage
+    got = T._files_possibly_matching(
+        snap, [("k", ">=", cut)], root, None)
+    expected = [f"part-{i:07d}.parquet"
+                for i in range(30_000, n_files)]
+    assert sorted(got) == expected
+    st = snap["files"]._store
+    assert st._tbl is None and st._stats_tbl is None  # streamed
+
+
 def test_bytes_aware_cache_across_many_tables(spark, tmp_path):
     """VERDICT r13 #8: the snapshot/store caches bound by BYTES,
     not depth — a session round-robining 12 small tables keeps
