@@ -6918,7 +6918,18 @@ try:  # pyspark.sql.datasource needs an active PySpark >= 4 install
                 items = self._version_items(v)
                 for i in range(bf if v == bv else 0, len(items)):
                     if emitted and total + items[i] > self.max_bytes:
-                        return {"v": v, "f": i}
+                        # i == 0: NOTHING of v admits — the end is
+                        # the complete-version form {"v": v-1}, NOT
+                        # {"v": v, "f": 0}: partitions() reads a
+                        # falsy "f" as "version fully included", so
+                        # the f=0 spelling would ship ALL of v (a
+                        # giant backfill commit uncapped) whenever
+                        # the budget filled exactly at a version
+                        # boundary. (v > bv here: at v == bv the
+                        # loop starts at i = bf > 0 with emitted
+                        # still False, so it admits first.)
+                        return {"v": v, "f": i} if i else \
+                            {"v": v - 1}
                     total += items[i]
                     emitted = True
                 v += 1

@@ -1236,6 +1236,52 @@ def test_stream_bytes_admission_control(spark, tmp_path):
         or nxt == {"v": mid["v"]}
 
 
+def test_stream_bytes_cap_version_boundary(spark, tmp_path):
+    """Regression (r15): when the byte budget fills exactly at a
+    VERSION boundary (previous version's tail nearly fills the cap
+    and the next version's first file would cross), the capped end
+    must be the complete-version form {"v": v-1} — the rejected
+    {"v": v, "f": 0} spelling reads as "version v fully included"
+    in partitions(), which shipped the ENTIRE next commit (the very
+    backfill the cap exists to bound) in one batch."""
+    from gcp_data_engineering_workshop_spark.sources import txlog
+
+    root = str(tmp_path / "tbl")
+    T.append(spark.range(500).coalesce(1), root)            # v1
+    b1 = sum(m["bytes"] for m in T.snapshot(root)["files"].values())
+    T.append(spark.range(500, 1500).repartition(10), root)  # v2
+    snap = T.snapshot(root)
+    by_path = {os.path.join(root, p): m["bytes"]
+               for p, m in snap["files"].items()}
+    cap = b1 + 1  # v1 admits whole; v2's first file crosses
+    rdr = txlog.TxLogParallelStreamReader(
+        {"path": root, "max_bytes_per_trigger": str(cap)},
+        T.read(spark, root).schema)
+    off = rdr.initialOffset()
+    end1 = rdr.latestOffset()
+    assert end1 == {"v": 1}, end1  # NOT {"v": 2, "f": 0}
+    first = [p for pt in rdr.partitions(off, end1)
+             for p, _t in pt.files]
+    assert sum(by_path[f] for f in first) <= cap
+    # the rest of the drain stays bounded and exactly-once
+    seen = list(first)
+    off = end1
+    while True:
+        end = rdr.latestOffset()
+        if end == off:
+            break
+        # a partial end always names a POSITIVE file cursor
+        assert end.get("f", 1) > 0, end
+        files = [p for pt in rdr.partitions(off, end)
+                 for p, _t in pt.files]
+        assert sum(by_path[f] for f in files) \
+            <= cap + max(by_path.values())
+        seen.extend(files)
+        off = end
+    assert sorted(seen) == sorted(by_path)
+    assert len(seen) == len(set(seen))
+
+
 def test_stream_opens_on_empty_table_with_recorded_schema(
         spark, tmp_path):
     """Bronze bootstrap order (VERDICT r10 What's-wrong #2): create
