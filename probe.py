@@ -710,6 +710,15 @@ def run_txlog_metadata_scale_leg(spark) -> dict:
         lambda it: it, "id long").count()
     row: dict = {}
     tiers = (("x10k", 10_000), ("x100k", 100_000), ("x1m", 1_000_000))
+    if os.environ.get("SPARK_GRAFT_PROBE_10M"):
+        # opt-in 10M-FILE tier (r15): one decade past the per-round
+        # contract tier — a ~1.3 PB table at 128 MB/file. The
+        # streamed stats resolution (VERDICT r14 #1) makes this
+        # tier affordable: resident store stays O(row group), so
+        # only the synth build and the O(files) phases pay the 10x.
+        # The legacy json.loads plan comparison is skipped here
+        # (it alone would cost ~70 s and says nothing new).
+        tiers += (("x10m", 10_000_000),)
     for k, n_files in tiers:
         root = os.path.join(WORK, f"txmeta{k}", "t")
         import shutil as _sh
@@ -719,30 +728,41 @@ def run_txlog_metadata_scale_leg(spark) -> dict:
         _sh.rmtree(os.path.dirname(root), ignore_errors=True)
         log = os.path.join(root, "_txlog")
         os.makedirs(log)
-        paths = [f"part-{i:07d}.parquet" for i in range(n_files)]
-        mdicts = [{
-            "path": p, "bytes": 64 << 20, "rows": 500_000,
-            "stats": {"k": [i * 1000, (i + 1) * 1000 - 1],
-                      "v": [0.0, 999.0]},
-            "nulls": {"k": [0, 500_000], "v": [13, 500_000]}}
-            for i, p in enumerate(paths)]
-        metas = [_json.dumps(m) for m in mdicts]
         with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
             _json.dump({"op": "append", "ts": 0.0, "actions": [],
                         "schema": schema_json}, fh)
         cp_parquet = "checkpoint-" + f"{1:020d}" + ".files.parquet"
         # the r14 checkpoint shape: stats_parsed columns built by
         # the REAL writer-side builder (what _maybe_checkpoint
-        # writes), so the leg measures the production format
-        cp_cols = {"path": _pa.array(paths, type=_pa.string()),
-                   "meta": _pa.array(metas, type=_pa.string())}
-        cp_cols.update(T._cp_stat_arrays(
-            mdicts, {"k": "bigint", "v": "double"}, {}))
-        _pq.write_table(_pa.table(cp_cols),
-                        os.path.join(log, cp_parquet),
-                        row_group_size=131_072)  # writer parity
-        del mdicts, cp_cols  # synth garbage must not ride the
-        # leg's RSS samples (the r14 stat arrays are ~350 MB at 1M)
+        # writes), so the leg measures the production format.
+        # Built in <=1M-file slices through one ParquetWriter so
+        # the synth's own transient peak stays ~1 slice even at the
+        # opt-in 10M tier (a million dicts+metas is ~350 MB).
+        writer = None
+        for c0 in range(0, n_files, 1_000_000):
+            c1 = min(c0 + 1_000_000, n_files)
+            paths = [f"part-{i:08d}.parquet" for i in range(c0, c1)]
+            mdicts = [{
+                "path": p, "bytes": 64 << 20, "rows": 500_000,
+                "stats": {"k": [i * 1000, (i + 1) * 1000 - 1],
+                          "v": [0.0, 999.0]},
+                "nulls": {"k": [0, 500_000], "v": [13, 500_000]}}
+                for i, p in zip(range(c0, c1), paths)]
+            metas = [_json.dumps(m) for m in mdicts]
+            cp_cols = {"path": _pa.array(paths, type=_pa.string()),
+                       "meta": _pa.array(metas, type=_pa.string())}
+            cp_cols.update(T._cp_stat_arrays(
+                mdicts, {"k": "bigint", "v": "double"}, {}))
+            slice_tbl = _pa.table(cp_cols)
+            if writer is None:
+                writer = _pq.ParquetWriter(
+                    os.path.join(log, cp_parquet), slice_tbl.schema)
+            writer.write_table(slice_tbl,
+                               row_group_size=131_072)  # writer parity
+            del mdicts, metas, paths, cp_cols, slice_tbl
+            # synth garbage must not ride the leg's RSS samples
+            # (the r14 stat arrays are ~350 MB per 1M files)
+        writer.close()
         with open(os.path.join(log, "checkpoint-" + f"{1:020d}"
                                + ".json"), "w") as fh:
             _json.dump({"version": 1, "files_parquet": cp_parquet,
@@ -750,7 +770,6 @@ def run_txlog_metadata_scale_leg(spark) -> dict:
                         "schema": schema_json, "partition_by": [],
                         "colmap": {}, "phys_dropped": [],
                         "features": []}, fh)
-        del paths, metas
         row[f"ckpt_json_kb_{k}"] = round(os.path.getsize(
             os.path.join(log, "checkpoint-" + f"{1:020d}"
                          + ".json")) / 1e3, 1)
@@ -841,6 +860,10 @@ def run_txlog_metadata_scale_leg(spark) -> dict:
         row[f"rss_mb_{k}"] = _rss_mb()
         row[f"store_mb_{k}"] = round(T._store_weight(
             snap["files"]._store) / 1e6, 1)
+        if n_files > 1_000_000:
+            continue  # opt-in 10M tier: skip the legacy loop —
+            # ~70 s of json.loads that says nothing the 1M
+            # before/after doesn't already pin
         # before/after honesty: the same plan through the r13
         # driver json.loads loop (what t_plan measured last round)
         T._VECTOR_PRUNE = False
@@ -865,6 +888,10 @@ def run_txlog_metadata_scale_leg(spark) -> dict:
         row[f"exp_{phase}_100k_1m"] = round(math.log10(max(
             row[f"t_{phase}_x1m"], 1e-3) / max(
             row[f"t_{phase}_x100k"], 1e-3)), 3)
+        if "t_snapshot_cold_x10m" in row:
+            row[f"exp_{phase}_1m_10m"] = round(math.log10(max(
+                row[f"t_{phase}_x10m"], 1e-3) / max(
+                row[f"t_{phase}_x1m"], 1e-3)), 3)
     row["pruned_ok"] = all(row[f"files_candidate_{k}"] == 1
                            for k, _ in tiers) \
         and row["planned_tasks_x1m"] == 1 \
@@ -891,6 +918,13 @@ def run_txlog_metadata_scale_leg(spark) -> dict:
     # the r14 time class
     row["store_ok"] = (row["store_mb_x1m"] <= 100.0
                       and row["t_prune_x1m"] <= 2.0)
+    if "store_mb_x10m" in row:
+        # opt-in 10M-tier contract (informational — tier absent on
+        # the default run): streamed resolution keeps the engine-
+        # resident store O(row group) one decade further out, and
+        # the prune holds linear time (10x the 1M tier's 2 s bound)
+        row["store_ok_x10m"] = (row["store_mb_x10m"] <= 100.0
+                                and row["t_prune_x10m"] <= 20.0)
     # drop the synthesized tiers (the 1M tier alone is ~100 MB of
     # checkpoint + a million-entry dir) so later legs / adjudication
     # re-runs don't inherit this leg's page-cache churn (VERDICT
