@@ -450,6 +450,12 @@ _CP_STORES_BYTES = 256 * 1024 * 1024
 # 89 MB arrow, streams correctly).
 _CP_STREAM_BYTES = int(os.environ.get(
     "SPARK_GRAFT_TXLOG_STREAM_BYTES", 32 * 1024 * 1024))
+# Survivor-fetch regime split for the streamed vectorized prune: at
+# or below this many survivors (or n/4 if larger) a row-group-
+# targeted take fetches path+meta; above it a sequential filtered
+# pass over the checkpoint wins (and keeps peak memory at one row
+# group). Module-level so the property suite can force either path.
+_PRUNE_TAKE_BOUND = 10_000
 
 
 def _store_weight(st: "_CpStore") -> int:
@@ -4657,7 +4663,7 @@ def _cp_vector_prune(store: "_CpStore", conjuncts: list[tuple],
             pa.array(keep_np))
         return (kept.column("path").to_pylist(),
                 kept.column("meta").to_pylist())
-    if n_keep <= max(10_000, n // 4):
+    if n_keep <= max(_PRUNE_TAKE_BOUND, n // 4):
         import pyarrow.dataset as ds
         idx = np.flatnonzero(keep_np)
         kept = (ds.dataset(store.path)

@@ -56,14 +56,16 @@ _conj = st.one_of(
 )
 
 
-def _mk_store(tmp_path, metas, types=TYPES, inv=None):
+def _mk_store(tmp_path, metas, types=TYPES, inv=None,
+              row_group_size=None):
     arrays = {"path": pa.array([f"p{i}" for i in range(len(metas))],
                                type=pa.string()),
               "meta": pa.array([json.dumps(m) for m in metas],
                                type=pa.string())}
     arrays.update(T._cp_stat_arrays(metas, types, inv or {}))
     p = str(tmp_path / "cp.parquet")
-    pq.write_table(pa.table(arrays), p)
+    pq.write_table(pa.table(arrays), p,
+                   row_group_size=row_group_size)
     return T._CpStore(p, len(metas))
 
 
@@ -82,6 +84,36 @@ def test_vector_prune_equals_slow_path(tmp_path_factory, metas,
     if vec is None:
         return  # no vectorizable conjunct: caller falls back
     assert set(vec[0]) == slow, (metas, conjuncts)
+
+
+@settings(max_examples=60, deadline=None)
+@given(metas=st.lists(_meta, min_size=1, max_size=12),
+       conjuncts=st.lists(_conj, min_size=1, max_size=3))
+def test_vector_prune_streamed_regimes_equal_slow_path(
+        tmp_path_factory, metas, conjuncts):
+    """The r15 STREAMED resolution under the same property, with
+    BOTH survivor-fetch regimes forced reachable: tiny (4-row)
+    parquet row groups, _CP_STREAM_BYTES=0 (always stream), and
+    _PRUNE_TAKE_BOUND=0 so any example keeping > n/4 files rides
+    the sequential filtered pass (where the r15 mask-offset
+    regression hid) while selective examples ride the targeted
+    take — every path must equal the per-file loop exactly."""
+    tmp = tmp_path_factory.mktemp("vps")
+    store = _mk_store(tmp, metas, row_group_size=4)
+    prev_sb, prev_tb = T._CP_STREAM_BYTES, T._PRUNE_TAKE_BOUND
+    T._CP_STREAM_BYTES, T._PRUNE_TAKE_BOUND = 0, 0
+    try:
+        vec = T._cp_vector_prune(store, conjuncts, TYPES,
+                                 FLOAT_COLS, {}, {})
+    finally:
+        T._CP_STREAM_BYTES, T._PRUNE_TAKE_BOUND = prev_sb, prev_tb
+    slow = {f"p{i}" for i, m in enumerate(metas)
+            if T._prune_survives(m, conjuncts, TYPES, FLOAT_COLS,
+                                 {}, {})}
+    if vec is None:
+        return
+    assert set(vec[0]) == slow, (metas, conjuncts)
+    assert store._tbl is None and store._stats_tbl is None
 
 
 def test_vector_prune_conservative_on_unsafe_domains(tmp_path):
