@@ -116,6 +116,12 @@ BENCH_QUERIES = [
     "txlog_pushdown_scan",   # E23/E24 native writer + pushed-filter scan
     # r13 addition:
     "txlog_checkpoint_scan",  # E22 columnar-checkpoint resolution + DML
+    # r15 additions (first measured in BENCH_r15): the stats_parsed
+    # vectorized-prune key (added r14 without a bench row) and the
+    # new bounded OR/DNF-pruning key — both table BUILD + pruned
+    # read end-to-end like their txlog siblings
+    "txlog_stats_prune_scan",  # E22 vectorized stats_parsed prune
+    "txlog_or_prune_scan",   # E22 OR/DNF survivor-union prune
 ]
 
 
