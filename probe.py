@@ -1200,9 +1200,21 @@ def main() -> None:
             if only and name not in only:
                 continue
             row = {}
+            # EQUAL-WARMTH timing (r15 second stint): one untimed
+            # x10 pass per leg before the timed passes. In-suite,
+            # earlier legs leave the JVM/codegen/page cache warm,
+            # so a COLD-x100-after-WARM-x10 leg inflates its
+            # exponent — span_dedup_keep_first false-flagged three
+            # rounds running on exactly this (r15: 0.918 in-panel
+            # vs 0.155 solo, raw x100 at its best). Warming both
+            # timed passes measures the leg's SCALING, not its
+            # position in the suite. r15 records both forms; r16's
+            # exponents are first baselines on this methodology.
+            fn(spark, dirs[10]).count()
+            spark.catalog.clearCache()
             for k in SCALES:
                 t0 = time.monotonic()
-                row[f"rows_x{k}"] = fn(spark, dirs[k]).count()  # cold pass
+                row[f"rows_x{k}"] = fn(spark, dirs[k]).count()
                 row[f"t_x{k}"] = round(time.monotonic() - t0, 3)
                 spark.catalog.clearCache()
             row["exp_10_100"] = round(
@@ -1311,6 +1323,8 @@ def main() -> None:
             for r in list(flagged_panel):
                 fn = dict(PANEL)[r["query"]]
                 rerun = {}
+                fn(spark2, dirs[10]).count()  # equal-warmth, as
+                spark2.catalog.clearCache()   # in the main pass
                 for k in SCALES:
                     t0 = time.monotonic()
                     rerun[f"rows_x{k}"] = fn(spark2, dirs[k]).count()
