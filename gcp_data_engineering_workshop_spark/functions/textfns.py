@@ -194,6 +194,195 @@ def span_keys_sql(words_expr: str, span_words: int) -> str:
             f"({wh2})[i+1:i+{L}]), (a, x) -> (a * {SPAN_BASE2} + x) % {KR2_MOD}))")
 
 
+# --- Arrow-vectorized KR fold twins ------------------------------------
+#
+# The expression-tree folds above (kr_hash / word_hashes_of +
+# span_keys_of) run on Spark's INTERPRETED higher-order-function path
+# — split(c, '') allocates one single-char string per character and
+# the lambda body re-enters the interpreter per element, never
+# whole-stage codegen (the same pathology operators/dedup.py measured
+# and documented for shingle hashing in r8). The twins below compute
+# the IDENTICAL integers (same fold, same ord() domain the pytest
+# parity suite pins for the JVM forms) as one numpy pass per Arrow
+# batch: contribution form h = sum_i code_i * base^(len-1-i) mod M,
+# which is exact in int64 (codes < 2^21, powers < 2^31, each product
+# < 2^52, segment sums < rows * 2^31). Guide §4.2: hand whole batches
+# to vectorized native code instead of per-element interpreted trees.
+# The Column-expression forms stay for composition inside JVM lambdas
+# (e.g. transform(sh, g -> kr_hash(g)) in streaming) and as the
+# parity reference.
+
+
+def _kr_fold_np(strs: list, base: int, mod: int,
+                codes=None, lens=None, starts=None):
+    """Exact KR fold of a batch of Python strings, vectorized.
+    Returns int64 array; None entries hash to -1 sentinel (callers
+    mask back to NULL). Pass precomputed (codes, lens, starts) to
+    share the UTF-32 decode between the two channels."""
+    import numpy as np
+
+    n = len(strs)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return out
+    if codes is None:
+        codes, lens, starts = _kr_codes(strs)
+    null_mask = lens < 0
+    pos_lens = np.where(null_mask, 0, lens)
+    maxlen = int(pos_lens.max()) if n else 0
+    if maxlen:
+        pw = np.empty(maxlen, dtype=np.int64)
+        pw[0] = 1
+        for i in range(1, maxlen):
+            pw[i] = (pw[i - 1] * base) % mod
+        ends = starts + pos_lens
+        owner_end = np.repeat(ends, pos_lens)
+        gidx = np.arange(len(codes), dtype=np.int64)
+        exp = owner_end - 1 - gidx
+        contrib = codes * pw[exp] % mod
+        nz = pos_lens > 0
+        out[nz] = np.add.reduceat(contrib, starts[nz]) % mod
+    out[null_mask] = -1
+    return out
+
+
+def _kr_codes(strs: list):
+    """(codes, lens, starts) for a batch: UTF-32 code points of the
+    concatenation, per-string code-point counts (None -> -1), and
+    per-string start offsets. ONE encode call for the whole batch —
+    ord() semantics exactly (Python str == code points)."""
+    import numpy as np
+
+    n = len(strs)
+    lens = np.fromiter(
+        ((-1 if s is None else len(s)) for s in strs),
+        dtype=np.int64, count=n)
+    pos_lens = np.where(lens < 0, 0, lens)
+    joined = "".join(s for s in strs if s)
+    codes = np.frombuffer(
+        joined.encode("utf-32-le"), dtype="<u4").astype(np.int64)
+    ends = np.cumsum(pos_lens)
+    starts = ends - pos_lens
+    return codes, lens, starts
+
+
+def _kr_fold_pair(strs: list):
+    """Both KR channels of a batch in one decode pass:
+    (h1 mod KR_MOD base 31, h2 mod KR2_MOD base 131), -1 for None."""
+    codes, lens, starts = _kr_codes(strs)
+    h1 = _kr_fold_np(strs, KR_BASE, KR_MOD, codes, lens, starts)
+    h2 = _kr_fold_np(strs, KR2_BASE, KR2_MOD, codes, lens, starts)
+    return h1, h2
+
+
+def kr_hash_arrow(col) -> Column:
+    """Arrow-vectorized twin of ``kr_hash``: identical bigint per row
+    (NULL in, NULL out), one numpy pass per batch instead of the
+    interpreted per-character fold."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _h(s):
+        import pandas as pd
+
+        vals = _kr_fold_np(s.tolist(), KR_BASE, KR_MOD)
+        out = pd.Series(vals, dtype="int64").astype("Int64")
+        out[vals < 0] = pd.NA  # -1 sentinel = NULL input
+        return out
+
+    _h.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    f = pandas_udf(_h, "bigint")
+    c = F.col(col) if isinstance(col, str) else col
+    return f(c)
+
+
+def wide_hash_arrow(col) -> Column:
+    """Arrow-vectorized twin of ``wide_hash`` (same packed 62-bit
+    value, NULL-preserving)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _h(s):
+        import pandas as pd
+
+        h1, h2 = _kr_fold_pair(s.tolist())
+        packed = h1 * KR2_MOD + h2
+        out = pd.Series(packed, dtype="int64").astype("Int64")
+        out[h1 < 0] = pd.NA
+        return out
+
+    _h.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    f = pandas_udf(_h, "bigint")
+    c = F.col(col) if isinstance(col, str) else col
+    return f(c)
+
+
+def span_keys_arrow(ws: Column, span_words: int) -> Column:
+    """Arrow-vectorized fusion of ``word_hashes_of`` +
+    ``span_keys_of``: word array -> packed 62-bit span fingerprints in
+    ONE pass (per-batch token dedup via pd.factorize, both channel
+    folds over unique tokens only, then L shifted multiply-adds over
+    the span table). Bit-identical to the expression form — same word
+    folds, same span combine, same empty-array rule for docs shorter
+    than span_words (and for NULL word arrays, matching
+    size(NULL) = -1 taking the otherwise() branch)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    L = span_words
+
+    def _keys(col_ws):
+        import numpy as np
+
+        docs = col_ws.tolist()
+        nd = len(docs)
+        wlens = np.fromiter(
+            ((0 if w is None else len(w)) for w in docs),
+            dtype=np.int64, count=nd)
+        flat: list = []
+        for w in docs:
+            if w is not None and len(w):
+                flat.extend(w)
+        if flat:
+            codes_idx, uniq = pd.factorize(
+                np.asarray(flat, dtype=object))
+            uh1, uh2 = _kr_fold_pair(list(uniq))
+            # a None token inside an array folds like the JVM
+            # transform: hash NULL -> stays NULL -> span containing
+            # it NULL; corpora here never carry null tokens (words()
+            # output), but keep the sentinel honest
+            wh1 = uh1[codes_idx]
+            wh2 = uh2[codes_idx]
+        else:
+            wh1 = wh2 = np.empty(0, dtype=np.int64)
+        ends = np.cumsum(wlens)
+        starts = ends - wlens
+        m = np.maximum(wlens - L + 1, 0)
+        total = int(m.sum())
+        if total:
+            sm_ends = np.cumsum(m)
+            sm_starts = sm_ends - m
+            # global word index of each span's first word
+            sidx = (np.repeat(starts, m)
+                    + (np.arange(total, dtype=np.int64)
+                       - np.repeat(sm_starts, m)))
+            acc1 = np.zeros(total, dtype=np.int64)
+            acc2 = np.zeros(total, dtype=np.int64)
+            for j in range(L):
+                acc1 = (acc1 * SPAN_BASE1 + wh1[sidx + j]) % KR_MOD
+                acc2 = (acc2 * SPAN_BASE2 + wh2[sidx + j]) % KR2_MOD
+            packed = acc1 * KR2_MOD + acc2
+            out = [packed[sm_starts[i]:sm_ends[i]] for i in range(nd)]
+        else:
+            empty = np.empty(0, dtype=np.int64)
+            out = [empty for _ in range(nd)]
+        return pd.Series(out)
+
+    _keys.__annotations__ = {"col_ws": pd.Series, "return": pd.Series}
+    f = pandas_udf(_keys, "array<bigint>")
+    return f(ws)
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard similarity of two string arrays (set semantics)."""
     inter = F.size(F.array_intersect(a, b))

@@ -290,11 +290,13 @@ def train_test_split(spark: SparkSession, sf_dir: str,
     each doc 0-99; content-addressed, so re-runs and replicas agree
     without coordination."""
     d = _docs(spark, sf_dir)
-    bucket = T.kr_hash(T.normalize("text")) % 100
-    return d.select(
-        "doc_id", bucket.alias("bucket"),
-        F.when(bucket < train_pct, F.lit("train"))
-         .otherwise(F.lit("test")).alias("split"))
+    # r15: Arrow-vectorized fold (kr_hash_arrow, bit-identical);
+    # layered select so the UDF column evaluates once
+    bucket = T.kr_hash_arrow(T.normalize("text")) % 100
+    return (d.select("doc_id", bucket.alias("bucket"))
+            .select("doc_id", "bucket",
+                    F.when(F.col("bucket") < train_pct, F.lit("train"))
+                    .otherwise(F.lit("test")).alias("split")))
 
 
 def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -404,7 +406,7 @@ def sample_corpus(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
     and the plan is TakeOrderedAndProject (per-partition top-k), never
     a global sort."""
     d = _docs(spark, sf_dir)
-    h = T.kr_hash(T.normalize("text"))
+    h = T.kr_hash_arrow(T.normalize("text"))  # r15: vectorized fold
     return (d.select("doc_id", h.alias("sample_key"))
             .orderBy("sample_key", "doc_id")
             .limit(k))
@@ -505,11 +507,12 @@ def stratified_split(spark: SparkSession, sf_dir: str,
     stratum; emits the stratum so downstream samplers can verify
     proportions. No shuffle at all: one projection over the scan."""
     d = _docs(spark, sf_dir)
-    bucket = T.kr_hash(T.normalize("text")) % 100
-    return d.select(
-        "doc_id", "lang", bucket.alias("bucket"),
-        F.when(bucket < train_pct, F.lit("train"))
-         .otherwise(F.lit("test")).alias("split"))
+    # r15: vectorized fold, layered select (see train_test_split)
+    bucket = T.kr_hash_arrow(T.normalize("text")) % 100
+    return (d.select("doc_id", "lang", bucket.alias("bucket"))
+            .select("doc_id", "lang", "bucket",
+                    F.when(F.col("bucket") < train_pct, F.lit("train"))
+                    .otherwise(F.lit("test")).alias("split")))
 
 
 def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -638,7 +641,8 @@ def temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gcp_data_engineering_workshop_spark.operators.ids import assign_group_ranks
 
     d = _docs(spark, sf_dir).select(
-        "doc_id", "lang", T.kr_hash(T.normalize("text")).alias("h"))
+        "doc_id", "lang",
+        T.kr_hash_arrow(T.normalize("text")).alias("h"))
     counts = d.groupBy("lang").agg(F.count("*").alias("n_g"))
     n_min = counts.agg(F.min("n_g").alias("n_min"))
     targets = (counts.crossJoin(F.broadcast(n_min))
@@ -699,7 +703,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str,
     parity, proving the distributed fold loses no determinism."""
     d = (_docs(spark, sf_dir)
          .select("doc_id",
-                 T.kr_hash(T.normalize("text")).alias("h"),
+                 T.kr_hash_arrow(T.normalize("text")).alias("h"),
                  F.size(T.words("text")).cast("bigint").alias("n_tokens"))
          .withColumn("bucket", (F.col("h") % n_buckets).cast("int")))
 
@@ -728,7 +732,7 @@ def assign_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank."""
     from gcp_data_engineering_workshop_spark.operators import ids as I
     d = _docs(spark, sf_dir).select(
-        "doc_id", T.kr_hash(T.normalize("text")).alias("h"))
+        "doc_id", T.kr_hash_arrow(T.normalize("text")).alias("h"))
     out = I.assign_global_ids(d, ["h", "doc_id"], n_parts=8)
     n_shards = 16
     return out.select(
@@ -750,7 +754,8 @@ def domain_cap(spark: SparkSession, sf_dir: str, cap: int = 20) -> DataFrame:
     from gcp_data_engineering_workshop_spark.operators.ids import assign_group_ranks
 
     d = _docs(spark, sf_dir).select(
-        "doc_id", "source", T.kr_hash(T.normalize("text")).alias("h"))
+        "doc_id", "source",
+        T.kr_hash_arrow(T.normalize("text")).alias("h"))
     totals = d.groupBy("source").agg(F.count("*").alias("src_total"))
     return (assign_group_ranks(d, ["source"], ["h", "doc_id"],
                                rank_col="src_rank")
@@ -922,25 +927,19 @@ def span_dedup_stats(spark: SparkSession, sf_dir: str,
     L = span_words
     d = _docs(spark, sf_dir)
     par = spark.sparkContext.defaultParallelism
-    wh1, wh2 = T.word_hashes_of(F.col("w"))
-    # each projection layer materializes what the next references
-    # multiple times (words -> per-word hashes -> span keys):
-    # CollapseProject keeps expensive multiply-referenced aliases in
-    # their own layer, so the char folds run once per WORD, not once
-    # per span
     from gcp_data_engineering_workshop_spark.operators.cachepool import register
     # base is CACHED: the fingerprint build is the expensive stage
-    # now (interpreted HOF folds), and both the exploded span table
-    # and the final per-doc join read it — uncached it would run
-    # twice
+    # (both the exploded span table and the final per-doc join read
+    # it — uncached it would run twice). r15: the fingerprints come
+    # from ONE Arrow pass (span_keys_arrow: per-batch token dedup +
+    # vectorized folds) replacing the layered interpreted-HOF
+    # projections — same keys bit for bit (parity pytest), ~10x on
+    # the build stage
     base = register(
         d.repartition(par)
         .select("doc_id", T.words("text").alias("w"))
         .select("doc_id", F.size("w").alias("n_words"),
-                wh1.alias("h1"), wh2.alias("h2"))
-        .select("doc_id", "n_words",
-                T.span_keys_of(F.col("h1"), F.col("h2"), L)
-                .alias("sps")))
+                T.span_keys_arrow(F.col("w"), L).alias("sps")))
     sp = register(
         base.select("doc_id", F.posexplode("sps").alias("pos", "sp")))
     occ = sp.groupBy("sp").agg(F.count(F.lit(1)).alias("occ"))
@@ -980,17 +979,12 @@ def span_dedup_apply_docs(d: DataFrame, span_words: int = 10,
     (documented in span_dedup_stats; the string-keyed oracle is the
     collision check)."""
     L = span_words
-    wh1, wh2 = T.word_hashes_of(F.col("w"))
     base = d.select("doc_id", T.words("text").alias("w"))
     if par:
         base = base.repartition(par)
-    # layered projections: words -> per-word hashes -> span keys (see
-    # span_dedup_stats — keeps the char folds at once-per-word)
-    base = (base.select("doc_id", "w", F.size("w").alias("n_words"),
-                        wh1.alias("h1"), wh2.alias("h2"))
-            .select("doc_id", "w", "n_words",
-                    T.span_keys_of(F.col("h1"), F.col("h2"), L)
-                    .alias("sps")))
+    # r15: fused Arrow span-key pass (see span_dedup_stats)
+    base = base.select("doc_id", "w", F.size("w").alias("n_words"),
+                       T.span_keys_arrow(F.col("w"), L).alias("sps"))
     from gcp_data_engineering_workshop_spark.operators.cachepool import register
     base = register(base)
     sp = register(
@@ -1062,6 +1056,47 @@ def span_dedup_apply(spark: SparkSession, sf_dir: str,
                                  par=spark.sparkContext.defaultParallelism)
 
 
+def _embed_counts_arrow(ws, dim: int):
+    """r15: signed hashed-bucket count vector per doc, one Arrow pass
+    (the map-side replacement for embed_docs_vec's explode + two
+    shuffles). Exactly the JVM semantics it replaces: token KR hash
+    (per-batch dedup via factorize — repeated tokens fold once),
+    bucket h % dim, sign +1 iff (h div 64) % 2 = 0, per-bucket ±1
+    sums as float64 (exact integers, order-free)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _counts(col_ws):
+        import numpy as np
+
+        docs = col_ws.tolist()
+        nd = len(docs)
+        wlens = np.fromiter(
+            ((0 if w is None else len(w)) for w in docs),
+            dtype=np.int64, count=nd)
+        flat: list = []
+        for w in docs:
+            if w is not None and len(w):
+                flat.extend(w)
+        if flat:
+            codes_idx, uniq = pd.factorize(
+                np.asarray(flat, dtype=object))
+            uh = T._kr_fold_np(list(uniq), T.KR_BASE, T.KR_MOD)
+            h = uh[codes_idx]
+            idx = h % dim
+            sgn = np.where((h // 64) % 2 == 0, 1.0, -1.0)
+            owner = np.repeat(np.arange(nd, dtype=np.int64), wlens)
+            counts = np.bincount(owner * dim + idx, weights=sgn,
+                                 minlength=nd * dim)
+        else:
+            counts = np.zeros(nd * dim)
+        mat = counts.reshape(nd, dim)
+        return pd.Series(list(mat))
+
+    _counts.__annotations__ = {"col_ws": pd.Series, "return": pd.Series}
+    return pandas_udf(_counts, "array<double>")(ws)
+
+
 def embed_docs_vec(spark: SparkSession, sf_dir: str,
                    dim: int = 64) -> DataFrame:
     """C64 core: deterministic text embedder — signed feature hashing
@@ -1086,26 +1121,20 @@ def embed_docs_vec(spark: SparkSession, sf_dir: str,
     par = spark.sparkContext.defaultParallelism
     base = (d.select("doc_id", T.words("text").alias("w"))
             .repartition(par))
-    toks = base.select("doc_id", F.size("w").alias("n_tokens"),
-                       F.explode("w").alias("tok"))
-    h = T.kr_hash(F.col("tok"))
-    # materialize h in its own projection so the character fold
-    # evaluates once per token, not once per derived column
-    contrib = toks.select(
-        "doc_id", "n_tokens", h.alias("h")).select(
-        "doc_id", "n_tokens",
-        (F.col("h") % dim).cast("int").alias("idx"),
-        F.when(F.expr("h div 64 % 2 = 0"), F.lit(1))
-         .otherwise(F.lit(-1)).alias("sgn"))
-    acc = (contrib.groupBy("doc_id", "n_tokens", "idx")
-           .agg(F.sum("sgn").cast("double").alias("v")))
-    vec = (acc.groupBy("doc_id", "n_tokens")
-           .agg(F.map_from_entries(F.collect_list(F.struct("idx", "v")))
-                .alias("mp"))
-           .select("doc_id", "n_tokens",
-                   F.expr(f"transform(sequence(0, {dim - 1}), "
-                          f"i -> coalesce(element_at(mp, i), 0D))")
-                   .alias("raw")))
+    # r15: the signed bucket-count vector computes IN the Arrow task
+    # (one numpy pass per batch: per-batch token dedup + KR fold of
+    # the uniques + one signed bincount per doc) instead of the
+    # explode -> interpreted per-token char fold -> two groupBy
+    # shuffles it replaces — the plan is now MAP-ONLY up to the
+    # normalize tail (guide §2.4/§4.2). The counts are exact integers
+    # (sum of ±1 per bucket, order-free), so "raw" carries the same
+    # doubles and the UNCHANGED JVM normalize/round tail below keeps
+    # every output bit identical to the shuffle form (oracle-pinned).
+    # size(w) >= 1 mirrors the old explode exactly: a NULL/empty
+    # word array produced zero token rows, so the doc was absent
+    vec = base.where(F.size("w") >= 1).select(
+        "doc_id", F.size("w").cast("int").alias("n_tokens"),
+        _embed_counts_arrow(F.col("w"), dim).alias("raw"))
     nrm = F.sqrt(F.aggregate("raw", F.lit(0.0),
                              lambda a, x: a + x * x))
     return vec.select(
@@ -1202,17 +1231,13 @@ def span_dedup_keep_first(spark: SparkSession, sf_dir: str,
     L = span_words
     d = _docs(spark, sf_dir)
     par = spark.sparkContext.defaultParallelism
-    wh1, wh2 = T.word_hashes_of(F.col("w"))
     # packed 62-bit span fingerprints as the group/join key (see
-    # span_dedup_stats for the collision contract); layered
-    # projections keep the char folds at once-per-word
+    # span_dedup_stats for the collision contract); r15: fused
+    # Arrow span-key pass
     base = (d.select("doc_id", T.words("text").alias("w"))
             .repartition(par)
             .select("doc_id", "w", F.size("w").alias("n_words"),
-                    wh1.alias("h1"), wh2.alias("h2"))
-            .select("doc_id", "w", "n_words",
-                    T.span_keys_of(F.col("h1"), F.col("h2"), L)
-                    .alias("sps")))
+                    T.span_keys_arrow(F.col("w"), L).alias("sps")))
     from gcp_data_engineering_workshop_spark.operators.cachepool import (
         register)
     base = register(base)
@@ -1345,7 +1370,7 @@ def mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(F.sum("n_chars").cast("double")).alias("w"))
     ranked = assign_group_ranks(
         d.select("doc_id", "source",
-                 T.kr_hash(T.normalize("text")).alias("hh")),
+                 T.kr_hash_arrow(T.normalize("text")).alias("hh")),
         ["source"], ["hh", "doc_id"], rank_col="src_rank")
     return (ranked
             .join(F.broadcast(wts), "source")
@@ -1685,12 +1710,14 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str,
               T.shingles_of(F.col("w")))).alias("g")))
     eval_sh = register(sh.where(is_eval).select("g").distinct())
     bitmap = BL.bloom_build(
-        eval_sh.select(T.kr_hash(F.col("g")).alias("h")), "h",
+        eval_sh.select(T.kr_hash_arrow(F.col("g")).alias("h")), "h",
         m_bits=m_bits, n_hashes=n_hashes)
     probe = BL.bloom_might_contain(bitmap, n_hashes)
+    # r15: the per-shingle fold on the PROBE side (every training
+    # shingle) is the stage's hot loop — vectorized twin
     cand = (sh.where(~is_eval)
             .where(probe(BL.bloom_positions(
-                T.kr_hash(F.col("g")), m_bits, n_hashes))))
+                T.kr_hash_arrow(F.col("g")), m_bits, n_hashes))))
     hits = (cand.join(eval_sh, "g")
             .groupBy("doc_id").agg(F.countDistinct("g").alias("_n")))
     return (
@@ -1893,23 +1920,16 @@ def dsir_select(spark: SparkSession, sf_dir: str, m: int = 4096,
     d = (_docs(spark, sf_dir).repartition(par)
          .select("doc_id", "source", T.words("text").alias("w"))
          .repartition(par))
-    wh1, wh2 = T.word_hashes_of(F.col("w"))
     is_tgt = F.col("source").isin("src0", "src1")
-    # LAYERED projections (words -> per-word hashes -> bigram keys):
-    # feeding the hash EXPRESSIONS straight into span_keys_of lets
-    # CollapseProject inline the char folds into every per-span
-    # slice — measured 162s vs 20s at the 500k-doc probe tier (the
-    # span_dedup_stats pathology, re-found here)
-    hashed = d.select("doc_id", is_tgt.alias("is_tgt"),
-                      wh1.alias("h1"), wh2.alias("h2"))
     # cached: the bucket-count aggregate reads feats once for the
     # distributions and once more for the raw-side scoring join —
-    # uncached the explode + char folds would run three times
+    # uncached the explode + folds would run three times. r15: the
+    # bigram keys come from the fused Arrow span-key pass
     from gcp_data_engineering_workshop_spark.operators.cachepool import (
         register as _register)
-    feats = _register(hashed.select(
-        "doc_id", "is_tgt",
-        F.explode(T.span_keys_of(F.col("h1"), F.col("h2"), 2)).alias("k")
+    feats = _register(d.select(
+        "doc_id", is_tgt.alias("is_tgt"),
+        F.explode(T.span_keys_arrow(F.col("w"), 2)).alias("k")
     ).select("doc_id", "is_tgt", (F.col("k") % m).alias("b")))
     # cnt is m-bounded (<= 4096 rows) and feeds both tots and lr —
     # cached so the lr plan reads it twice without re-scanning the
@@ -2009,7 +2029,7 @@ def weighted_sample(spark: SparkSession, sf_dir: str,
     the engines disagree whenever such a row could reach the top-k."""
     d = _docs(spark, sf_dir)
     w = F.size(T.words("text"))
-    u = (T.kr_hash(T.normalize("text")) + 1).cast("double") \
+    u = (T.kr_hash_arrow(T.normalize("text")) + 1).cast("double") \
         / F.lit(2147483648.0)
     key = F.round(F.log(u) / w.cast("double"), 9)
     return (d.where(w > 0)
@@ -2038,7 +2058,7 @@ def shuffle_corpus(spark: SparkSession, sf_dir: str,
         assign_global_ids)
 
     d = _docs(spark, sf_dir).select(
-        "doc_id", T.kr_hash(T.normalize("text")).alias("_h"))
+        "doc_id", T.kr_hash_arrow(T.normalize("text")).alias("_h"))
     ranked = assign_global_ids(d, ["_h", "doc_id"], id_col="pos")
     r0 = F.col("pos") - 1
     return ranked.select(
@@ -2071,13 +2091,10 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str,
     d = (_docs(spark, sf_dir).repartition(par)
          .select("doc_id", T.words("text").alias("w"))
          .repartition(par))
-    # layered: words -> per-word hashes -> span keys (the
-    # CollapseProject contract — see span_dedup_stats / dsir_select)
-    wh1, wh2 = T.word_hashes_of(F.col("w"))
-    hashed = d.select("doc_id", wh1.alias("h1"), wh2.alias("h2"))
-    dd = hashed.select(
+    # r15: fused Arrow span-key pass (see span_dedup_stats)
+    dd = d.select(
         "doc_id",
-        T.span_keys_of(F.col("h1"), F.col("h2"), kgram).alias("sp"))
+        T.span_keys_arrow(F.col("w"), kgram).alias("sp"))
     sel = F.when(
         F.size("sp") >= window,
         F.array_distinct(F.transform(
@@ -2122,15 +2139,12 @@ def longest_dup_span(spark: SparkSession, sf_dir: str,
     L = span_words
     d = _docs(spark, sf_dir)
     par = spark.sparkContext.defaultParallelism
-    wh1, wh2 = T.word_hashes_of(F.col("w"))
+    # r15: fused Arrow span-key pass (see span_dedup_stats)
     base = register(
         d.repartition(par)
         .select("doc_id", T.words("text").alias("w"))
         .select("doc_id", F.size("w").alias("n_words"),
-                wh1.alias("h1"), wh2.alias("h2"))
-        .select("doc_id", "n_words",
-                T.span_keys_of(F.col("h1"), F.col("h2"), L)
-                .alias("sps")))
+                T.span_keys_arrow(F.col("w"), L).alias("sps")))
     sp = base.select("doc_id", F.posexplode("sps").alias("pos", "sp"))
     occ = sp.groupBy("sp").agg(F.count(F.lit(1)).alias("occ"))
     dup = (sp.join(occ, "sp").where(F.col("occ") >= 2)
@@ -2228,16 +2242,13 @@ def decontaminate_spans(spark: SparkSession, sf_dir: str,
     L = span_words
     d = _docs(spark, sf_dir)
     par = spark.sparkContext.defaultParallelism
-    wh1, wh2 = T.word_hashes_of(F.col("w"))
     is_eval = F.col("doc_id") % 97 == 0
+    # r15: fused Arrow span-key pass (see span_dedup_stats)
     base = register(
         d.repartition(par)
         .select("doc_id", T.words("text").alias("w"))
         .select("doc_id", "w", F.size("w").alias("n_words"),
-                wh1.alias("h1"), wh2.alias("h2"))
-        .select("doc_id", "w", "n_words",
-                T.span_keys_of(F.col("h1"), F.col("h2"), L)
-                .alias("sps")))
+                T.span_keys_arrow(F.col("w"), L).alias("sps")))
     sp = base.select("doc_id", F.posexplode("sps").alias("pos", "sp"))
     ev = sp.where(is_eval).select("sp").distinct()
     cont = (sp.where(~is_eval)

@@ -234,20 +234,24 @@ def test_logistic_fit_matches_numpy_gd(spark, sf_dir):
     assert acc >= base - 0.02  # at least the majority-class floor
 
 
-def test_cc_pointer_jumping_on_long_chain(spark):
+def test_cc_pointer_jumping_on_long_chain(spark, monkeypatch):
     """A 64-node path graph must converge in O(log n) rounds (plain
-    propagation would take ~63), with exact components."""
-    from gcp_data_engineering_workshop_spark.operators.graph import (
-        connected_components)
+    propagation would take ~63), with exact components. Forces the
+    DISTRIBUTED path — the r15 single-task gate would otherwise
+    absorb a graph this small (its parity has its own test)."""
+    from gcp_data_engineering_workshop_spark.operators import graph
+    monkeypatch.setattr(graph, "_CC_LOCAL_EDGE_BOUND", 0)
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(63)] + [(100, 101)],
         "doc_a bigint, doc_b bigint")
     stats = {}
     out = {r.doc_id: r.component
-           for r in connected_components(edges, stats=stats).collect()}
+           for r in graph.connected_components(
+               edges, stats=stats).collect()}
     assert all(out[i] == 0 for i in range(64))
     assert out[100] == 100 and out[101] == 100
     assert stats["rounds"] <= 10  # ~log2(63) + slack; was 63
+    assert stats["mode"] == "distributed"
 
 
 def test_kmeans_fit_early_exit_is_fixed_point(spark):

@@ -1,0 +1,97 @@
+"""Parity: the Arrow-vectorized KR fold twins (r15 optimization)
+must be bit-identical to the JVM expression forms they replace in
+hot plans — same fold, same NULL rule, same empty-array rule."""
+
+from __future__ import annotations
+
+import random
+import string
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_data_engineering_workshop_spark.functions import textfns as T
+
+
+ADVERSARIAL = [
+    "", " ", "a", "hello world", "The quick brown fox",
+    "tab\tand\nnewline", "é", "naïve café", "中文分词", "emoji 🙂 test",
+    "𝔘𝔫𝔦𝔠𝔬𝔡𝔢 math", "x" * 500, "mixed 中 and ascii", None,
+    "trailing space ", "  leading", "punct!?.,;", "0123456789",
+]
+
+
+def _rand_strings(n, rng):
+    pool = string.ascii_letters + string.digits + "   .,!?-_" + "éüñ中𝔘"
+    return ["".join(rng.choice(pool)
+                    for _ in range(rng.randrange(0, 60)))
+            for _ in range(n)]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = random.Random(1234)
+    vals = ADVERSARIAL + _rand_strings(400, rng)
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id bigint, s string")
+
+
+def test_kr_hash_arrow_parity(corpus):
+    rows = (corpus.select(
+        "id", T.kr_hash(F.col("s")).alias("jvm"),
+        T.kr_hash_arrow(F.col("s")).alias("vec")).collect())
+    assert rows
+    for r in rows:
+        assert r.jvm == r.vec, r.id
+
+
+def test_wide_hash_arrow_parity(corpus):
+    rows = (corpus.select(
+        "id", T.wide_hash(F.col("s")).alias("jvm"),
+        T.wide_hash_arrow(F.col("s")).alias("vec")).collect())
+    for r in rows:
+        assert r.jvm == r.vec, r.id
+
+
+@pytest.mark.parametrize("span_words", [2, 3, 10])
+def test_span_keys_arrow_parity(spark, span_words):
+    rng = random.Random(99)
+    vocab = ["the", "a", "dog", "cat", "ran", "中文", "naïve", "x" * 40]
+    docs = []
+    for i in range(120):
+        n = rng.randrange(0, 25)  # includes docs shorter than L
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    docs.append((997, ""))
+    docs.append((998, None))
+    d = spark.createDataFrame(docs, "doc_id bigint, text string")
+    base = d.select("doc_id", T.words("text").alias("w"))
+    wh1, wh2 = T.word_hashes_of(F.col("w"))
+    jvm = (base.select("doc_id", wh1.alias("h1"), wh2.alias("h2"))
+           .select("doc_id",
+                   T.span_keys_of(F.col("h1"), F.col("h2"), span_words)
+                   .alias("sps")))
+    vec = base.select("doc_id",
+                      T.span_keys_arrow(F.col("w"), span_words)
+                      .alias("sps"))
+    jm = {r.doc_id: r.sps for r in jvm.collect()}
+    vm = {r.doc_id: r.sps for r in vec.collect()}
+    assert jm.keys() == vm.keys()
+    for k in jm:
+        assert list(jm[k] or []) == list(vm[k] or []), k
+
+
+def test_python_reference_fold():
+    """The numpy fold against the ord() reference the JVM parity
+    tests already pin (tests/test_text.py)."""
+    rng = random.Random(7)
+    strs = [s for s in ADVERSARIAL if s is not None]
+    strs += _rand_strings(300, rng)
+    h1, h2 = T._kr_fold_pair(strs)
+    for i, s in enumerate(strs):
+        ref1 = 0
+        ref2 = 0
+        for ch in s:
+            ref1 = (ref1 * T.KR_BASE + ord(ch)) % T.KR_MOD
+            ref2 = (ref2 * T.KR2_BASE + ord(ch)) % T.KR2_MOD
+        assert h1[i] == ref1
+        assert h2[i] == ref2
