@@ -5699,10 +5699,17 @@ def _replicate_collapsed(spark, changes: DataFrame, dst_root: str,
         post = (winners.where(F.col("_change_type").isin(
             "insert", "update_postimage"))
             .drop("_commit_version", "_commit_op", "_change_type"))
-        if gone.limit(1).count():
+        # one counting job decides BOTH merge gates (and warms the
+        # winners cache the merges read) — r15: replaces two
+        # limit(1).count() jobs whose first run materialized the
+        # whole collapse window anyway
+        by_kind = {bool(r[0]): r[1] for r in winners.groupBy(
+            F.col("_change_type").isin("insert", "update_postimage")
+            .alias("_p")).count().collect()}
+        if by_kind.get(False, 0):
             merge_delete(spark, dst_root, gone, keys,
                          checkpoint_every=checkpoint_every)
-        if post.limit(1).count():
+        if by_kind.get(True, 0):
             merge_upsert(spark, dst_root, post, keys,
                          checkpoint_every=checkpoint_every)
     finally:
@@ -5767,15 +5774,48 @@ def replicate_incremental(spark, src_root: str, dst_root: str,
         return None
     changes = read_changes_rows(spark, src_root, from_version=last,
                                 to_version=head)
-    versions = sorted({r[0] for r in
-                       changes.select("_commit_version")
-                       .distinct().collect()})
+    # ONE aggregate job yields the version list AND per-type counts
+    # (r15 optimization: the per-version loop formerly ran a
+    # versions-distinct collect plus TWO gating limit(1).count()
+    # jobs per version — the "gone" gate alone planned the
+    # preimage anti-join, ~6 AQE jobs and ~1 s per version at
+    # bench scale, all to decide whether a merge would be empty.
+    # The decisions below are bit-equivalent: post is nonempty iff
+    # n_insert + n_postimage > 0; gone = dels ∪ moved is nonempty
+    # iff n_delete > 0 or some preimage key has no postimage in
+    # its version — the latter checked by ONE window-wide anti-join
+    # job, and only when any version carries preimages at all.)
+    cnt: dict[tuple[int, str], int] = {
+        (r[0], r[1]): r[2]
+        for r in changes.groupBy("_commit_version", "_change_type")
+        .count().collect()}
+    versions = sorted({v for v, _t in cnt})
     if collapse_after is not None and len(versions) > collapse_after:
         _replicate_collapsed(spark, changes, dst_root, keys,
                              checkpoint_every)
         versions = []
+    moved_versions: set[int] = set()
+    if versions and any(cnt.get((v, "update_preimage"), 0)
+                        for v in versions):
+        pre_all = changes.where(
+            F.col("_change_type") == "update_preimage") \
+            .select("_commit_version", *keys)
+        post_all = changes.where(
+            F.col("_change_type").isin("insert",
+                                       "update_postimage")) \
+            .select("_commit_version", *keys)
+        moved_versions = {
+            r[0] for r in pre_all
+            .join(post_all, ["_commit_version"] + keys, "left_anti")
+            .select("_commit_version").distinct().collect()}
     out = None
     for v in versions:
+        need_delete = (cnt.get((v, "delete"), 0) > 0
+                       or v in moved_versions)
+        need_upsert = (cnt.get((v, "insert"), 0)
+                       + cnt.get((v, "update_postimage"), 0)) > 0
+        if not (need_delete or need_upsert):
+            continue
         win = changes.where(F.col("_commit_version") == v).cache()
         try:
             dels = win.where(F.col("_change_type") == "delete") \
@@ -5790,10 +5830,10 @@ def replicate_incremental(spark, src_root: str, dst_root: str,
                       "_change_type")
             moved = pre.join(post.select(*keys), keys, "left_anti")
             gone = dels.unionByName(moved)
-            if gone.limit(1).count():
+            if need_delete:
                 merge_delete(spark, dst_root, gone, keys,
                              checkpoint_every=checkpoint_every)
-            if post.limit(1).count():
+            if need_upsert:
                 merge_upsert(spark, dst_root, post, keys,
                              checkpoint_every=checkpoint_every)
         finally:
