@@ -26,12 +26,21 @@ Scale posture:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
 _ASSIGN_SCHEMA = "vec_id bigint, cluster_id int, d2 double"
+
+# kmeans_fit routes through a single driver-local numpy loop when
+# n * dim stays at or below this bound (64 MB of float64 at the
+# default) — see the kmeans_fit docstring for the exactness
+# argument. 0 disables the local path entirely.
+_KMEANS_LOCAL_SCALARS = int(os.environ.get(
+    "SPARK_GRAFT_KMEANS_LOCAL_SCALARS", str(8_000_000)))
 
 
 def _d2_matrix(X: np.ndarray, cent: np.ndarray) -> np.ndarray:
@@ -140,10 +149,56 @@ def kmeans_fit(emb: DataFrame, k: int = 8, n_iter: int = 5,
 
     ``stats`` (optional) records "combine_rows", the max combined
     M-step frame ever collected — pytest asserts it is k * dim — and
-    "fit_rounds", the number of E/M rounds actually executed."""
+    "fit_rounds", the number of E/M rounds actually executed.
+
+    SIZE-GATED LOCAL PATH (r15 optimization, the connected-
+    components gate's principle): when the embedding matrix fits
+    one driver buffer (n * dim <= SPARK_GRAFT_KMEANS_LOCAL_SCALARS,
+    default 8M scalars = 64 MB float64; 0 disables), ONE Arrow
+    collect pulls it and all n_iter Lloyd rounds run in numpy —
+    identical E-step (_d2_matrix argmin, unrounded, first-min
+    ties), identical M-step (per-cluster mean rounded to the same
+    grid, empty clusters keep their centroid), identical early
+    exit. The produced centroids are the same by the decimal
+    contract above: the ONLY cross-path difference is float
+    summation order, and order-independence on the 1e-3 grid is
+    already what lets the DuckDB oracle (a third summation order)
+    replay the fit bit-for-bit. Past the gate the distributed loop
+    below is unchanged — the ~2 driver-synchronized jobs per round
+    it replaces are the dominant cost of a bench-scale fit, while
+    a 100 TB corpus blows through the gate and never collects.
+    ``stats``: "fit_mode" records which path ran; "combine_rows"
+    is recorded by the distributed path only (it is the size of a
+    frame the local path never builds)."""
     cent = seed_centroids(emb, k)
     dim = cent.shape[1]
     base = emb.select("vec_id", "embedding")
+
+    if _KMEANS_LOCAL_SCALARS > 0 \
+            and base.count() * dim <= _KMEANS_LOCAL_SCALARS:
+        from gcp_data_engineering_workshop_spark.functions.vectorfns import (
+            mat_from_arrow)
+
+        X = mat_from_arrow(
+            base.select("embedding").toArrow().column("embedding"))
+        if stats is not None:
+            stats["fit_mode"] = "local"
+        for it in range(n_iter):
+            a = _d2_matrix(X, cent).argmin(axis=1)
+            n = np.bincount(a, minlength=k)
+            s = np.zeros((k, dim))
+            np.add.at(s, a, X)
+            if stats is not None:
+                stats["fit_rounds"] = it + 1
+            nz = n > 0
+            new_cent = cent.copy()
+            new_cent[nz] = np.round(s[nz] / n[nz, None], round_dp)
+            if np.array_equal(new_cent, cent):
+                break
+            cent = new_cent
+        return kmeans_assign(emb, cent=cent), cent
+    if stats is not None:
+        stats["fit_mode"] = "distributed"
 
     def partials(c):
         import pyarrow as pa

@@ -73,15 +73,36 @@ def test_kmeans_fit_matches_numpy_lloyd(spark, sf_dir):
     assert agree >= 0.99 * len(ids)
 
 
-def test_kmeans_fit_collect_is_k_dim_bounded(spark, sf_dir):
+def test_kmeans_fit_collect_is_k_dim_bounded(spark, sf_dir,
+                                             monkeypatch):
     """100-TB posture: the M-step partials combine in the CLUSTER —
     the driver collect is exactly k * dim rows per round, independent
-    of both corpus size and partition count."""
+    of both corpus size and partition count. Forces the DISTRIBUTED
+    path — the r15 size gate would absorb a test-scale fit (its
+    parity has its own test below)."""
+    monkeypatch.setattr(C, "_KMEANS_LOCAL_SCALARS", 0)
     emb = load_table(spark, "embeddings", sf_dir).repartition(16)
     stats = {}
     _, cent = C.kmeans_fit(emb, k=8, n_iter=2, stats=stats)
     assert cent.shape == (8, 64)
     assert stats["combine_rows"] <= 8 * 64
+    assert stats["fit_mode"] == "distributed"
+
+
+def test_kmeans_fit_local_matches_distributed(spark, sf_dir,
+                                              monkeypatch):
+    """The r15 size-gated local fit must produce the IDENTICAL
+    rounded centroid grid and round count as the distributed loop
+    (the decimal contract makes summation order invisible)."""
+    emb = load_table(spark, "embeddings", sf_dir).repartition(16)
+    s_loc, s_dist = {}, {}
+    _, c_loc = C.kmeans_fit(emb, k=8, n_iter=5, stats=s_loc)
+    assert s_loc["fit_mode"] == "local"
+    monkeypatch.setattr(C, "_KMEANS_LOCAL_SCALARS", 0)
+    _, c_dist = C.kmeans_fit(emb, k=8, n_iter=5, stats=s_dist)
+    assert s_dist["fit_mode"] == "distributed"
+    assert np.array_equal(c_loc, c_dist)
+    assert s_loc["fit_rounds"] == s_dist["fit_rounds"]
 
 
 def test_semdedup_within_cluster_exactness(spark, sf_dir):
