@@ -5,6 +5,8 @@ needs, each as a (spark, sf_dir) -> DataFrame entry.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -13,6 +15,13 @@ from gcp_data_engineering_workshop_spark.functions import textfns as T
 from gcp_data_engineering_workshop_spark.operators import dedup as D
 from gcp_data_engineering_workshop_spark.operators import multimodal as M
 from gcp_data_engineering_workshop_spark.operators import similarity as S
+
+# pagerank_knn routes its power iteration through a single
+# driver-local int64 numpy loop when the kNN edge list (k * n rows)
+# is at or below this bound — exact arithmetic, so the local and
+# distributed rounds are bit-identical. 0 disables the local path.
+_PR_LOCAL_EDGE_BOUND = int(os.environ.get(
+    "SPARK_GRAFT_PAGERANK_LOCAL_EDGES", str(5_000_000)))
 
 
 def _docs(spark, sf_dir):
@@ -2473,6 +2482,39 @@ def pagerank_knn(spark: SparkSession, sf_dir: str, k: int = 5,
     nodes = register(emb.select("vec_id"))
     n = nodes.count()
     teleport = (3 * SCALE) // (20 * n)
+    # r15 size-gated local iteration (the connected-components
+    # gate's principle): the rounds are EXACT int64 arithmetic, so
+    # a driver-local replay is bit-identical by construction — no
+    # rounding contract even needed. When the edge list fits one
+    # bounded collect (k * n rows of two bigints; same env-knob
+    # family as the CC gate, 0 disables), pull it once and run all
+    # n_iter rounds in numpy instead of ~3 driver-synchronized
+    # jobs per round. Past the gate the distributed loop below is
+    # unchanged (at 100 TB the kNN edge list is billions of rows).
+    if _PR_LOCAL_EDGE_BOUND > 0 and n * k <= _PR_LOCAL_EDGE_BOUND:
+        import numpy as np
+
+        et = edges.toArrow()
+        q = et.column("query_id").to_numpy(zero_copy_only=False)
+        nb = et.column("neighbor_id").to_numpy(zero_copy_only=False)
+        ids = np.sort(nodes.toArrow().column("vec_id")
+                      .to_numpy(zero_copy_only=False))
+        qi = np.searchsorted(ids, q)
+        ni = np.searchsorted(ids, nb)
+        pr_v = np.full(len(ids), SCALE // n, dtype=np.int64)
+        for _ in range(n_iter):
+            mass = np.zeros(len(ids), dtype=np.int64)
+            # exact int64 adds — np.bincount would route through
+            # float64 weights and lose exactness past 2^53
+            np.add.at(mass, ni, pr_v[qi] // k)
+            pr_v = teleport + (17 * mass) // 20
+        release(edges)
+        release(nodes)
+        out = spark.createDataFrame(
+            [(int(v), int(p)) for v, p in zip(ids, pr_v)],
+            "vec_id bigint, pr_int bigint")
+        return out.select(
+            "vec_id", (F.col("pr_int") / F.lit(1e12)).alias("pagerank"))
     pr = register(nodes.select(
         "vec_id", F.lit(SCALE // n).alias("pr_int")))
     for _ in range(n_iter):

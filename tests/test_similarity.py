@@ -389,6 +389,25 @@ def test_pagerank_knn_invariants(spark, sf_dir):
     assert again == rows
 
 
+def test_pagerank_knn_local_matches_distributed(spark, sf_dir,
+                                                monkeypatch):
+    """C80 r15 gate parity: the size-gated driver-local power
+    iteration must reproduce the distributed loop bit-for-bit —
+    both run the identical exact int64 arithmetic (mass = sum of
+    pr div k over in-edges; pr' = teleport + (17*mass) div 20, all
+    values non-negative so python // == SQL div), and the final
+    /1e12 is the same single IEEE op in both paths."""
+    from gcp_data_engineering_workshop_spark.plans import textpipeline as tp
+
+    monkeypatch.setattr(tp, "_PR_LOCAL_EDGE_BOUND", 10_000_000)
+    local = {(r.vec_id, r.pagerank)
+             for r in tp.pagerank_knn(spark, sf_dir).collect()}
+    monkeypatch.setattr(tp, "_PR_LOCAL_EDGE_BOUND", 0)
+    dist = {(r.vec_id, r.pagerank)
+            for r in tp.pagerank_knn(spark, sf_dir).collect()}
+    assert local == dist
+
+
 def test_semdedup_keep_central_invariants(spark, sf_dir):
     """C82: same component partition as C55, exactly one survivor
     per component, and the survivor is the min-(d2, vec_id) member —
