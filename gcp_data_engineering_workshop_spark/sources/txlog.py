@@ -3217,6 +3217,18 @@ _DV_DIR = "_dv"
 # anti-join AQE can still re-plan.
 _DV_BROADCAST_BOUND = 2_000_000
 
+# r15 optimization: when a dv commit's CUMULATIVE sidecar (new
+# matches + carried old vectors — the exact row count is known from
+# the per-file counts BEFORE anything is written) fits this bound,
+# the positions are collected in one narrow Arrow job and the
+# sidecar parquet is written driver-side — no repartition exchange,
+# no distributed write job. The bound is exact, the collect is the
+# same bounded-metadata class as the merge planner's survivor sets
+# (~16 MB of (file, pos) rows per million positions). Past it the
+# unchanged distributed write runs. 0 disables the local path.
+_DV_LOCAL_POSITIONS = int(os.environ.get(
+    "SPARK_GRAFT_DV_LOCAL_POSITIONS", str(4_000_000)))
+
 # OPTIMIZE rewrites (purges) a dv-carrying file once this fraction
 # of its physical rows is deleted — Delta's deletedRowsRatio rule.
 _DV_PURGE_RATIO = 0.05
@@ -3499,21 +3511,29 @@ def merge_delete(spark, root: str, keys_df: DataFrame,
         if mode == "dv":
             base = _read_files(spark, root, snap, touched,
                                with_meta=True)
-            matches = base.join(probe, keys, "left_semi")
-            per_hit = {r[0]: r[1] for r in
-                       matches.groupBy(_DV_FILE).count().collect()}
-            if not per_hit:
+            # fused (r15): ONE left join against the (unique) probe
+            # keys yields per-file live AND hit counts in a single
+            # job — probe is deduplicated, so the join multiplies
+            # nothing and a row matches iff the old left_semi
+            # membership held (NULL keys never match either way)
+            mark = f"__txlog_md_{uuid.uuid4().hex[:8]}"
+            j = base.join(probe.withColumn(mark, F.lit(True)),
+                          keys, "left")
+            per_all = {r[0]: (r[1], r[2]) for r in
+                       (j.groupBy(_DV_FILE)
+                        .agg(F.count(F.lit(1)).alias("live"),
+                             F.count(F.when(F.col(mark), F.lit(1)))
+                             .alias("hit"))
+                        .collect())}
+            per_file = {n: (live, hit)
+                        for n, (live, hit) in per_all.items() if hit}
+            if not per_file:
                 return snap["version"]  # plausible but no real hit
             real = [p for p in touched
-                    if os.path.basename(p) in per_hit]
-            per_live = {r[0]: r[1] for r in
-                        base.where(F.col(_DV_FILE)
-                                   .isin(list(per_hit)))
-                        .groupBy(_DV_FILE).count().collect()}
-            per_file = {n: (per_live[n], h)
-                        for n, h in per_hit.items()}
+                    if os.path.basename(p) in per_file]
             actions = _dv_mark_actions(spark, root, snap, real,
-                                       matches, per_file)
+                                       j.where(F.col(mark)),
+                                       per_file)
         else:
             survivors = _size_merge_output(
                 _read_files(spark, root, snap, touched)
@@ -4952,18 +4972,55 @@ def _dv_mark_actions(spark, root: str, snap: dict,
                .select(F.col(_DV_FILE).alias("file"),
                        F.col(_DV_POS).alias("pos")))
         old_refs = _dv_refs(snap["files"], keep_touched)
-        if old_refs:
-            out = out.unionByName(
-                _dv_table(spark, root, old_refs, for_join=False))
         dv_rel = f"{_DV_DIR}/dv-{uuid.uuid4().hex}"
         total = sum(per_file[os.path.basename(p)][1]
                     + (old_refs.get(os.path.basename(p), {})
                        .get("deleted", 0))
                     for p in keep_touched)
-        n_parts = max(1, math.ceil(total / 20_000_000))
-        out.repartition(n_parts).write.parquet(
-            os.path.join(root, dv_rel))
-        _clean_non_parquet(os.path.join(root, dv_rel))
+        if _DV_LOCAL_POSITIONS > 0 and total <= _DV_LOCAL_POSITIONS:
+            # r15 size-gated local sidecar write: the cumulative
+            # row count is EXACTLY `total` (new hits + carried old
+            # vectors, both already counted), so the bound check is
+            # exact before any byte moves. One narrow Arrow collect
+            # of the new matches; the carried old vectors are read
+            # driver-side from their sidecar parquet (local files,
+            # columns file/pos only) — identical row SET to the
+            # distributed union, and readers only ever anti-join
+            # the set. Past the gate: the unchanged distributed
+            # repartition+write below.
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import pyarrow.parquet as _pq
+            schema = pa.schema([("file", pa.string()),
+                                ("pos", pa.int64())])
+            tabs = [out.toArrow().cast(schema)]
+            # same restriction as _dv_table: rows for the files
+            # whose CURRENT ref points at the old sidecars
+            ref_names = pa.array(sorted(old_refs), type=pa.string())
+            for d in sorted({r["path"] for r in old_refs.values()}):
+                dd = os.path.join(root, d)
+                for f in sorted(os.listdir(dd)):
+                    if not f.endswith(".parquet"):
+                        continue
+                    t = _pq.read_table(os.path.join(dd, f),
+                                       columns=["file", "pos"])
+                    mask = pc.is_in(t.column("file"),
+                                    value_set=ref_names)
+                    tabs.append(t.filter(mask).cast(schema))
+            dv_dir = os.path.join(root, dv_rel)
+            os.makedirs(dv_dir, exist_ok=True)
+            _pq.write_table(
+                pa.concat_tables(tabs),
+                os.path.join(dv_dir,
+                             f"part-{uuid.uuid4().hex}.parquet"))
+        else:
+            if old_refs:
+                out = out.unionByName(
+                    _dv_table(spark, root, old_refs, for_join=False))
+            n_parts = max(1, math.ceil(total / 20_000_000))
+            out.repartition(n_parts).write.parquet(
+                os.path.join(root, dv_rel))
+            _clean_non_parquet(os.path.join(root, dv_rel))
         for p in keep_touched:
             name = os.path.basename(p)
             deleted = per_file[name][1] + (
@@ -4975,21 +5032,33 @@ def _dv_mark_actions(spark, root: str, snap: dict,
 
 
 def _dv_delete_actions(spark, root: str, snap: dict,
-                       touched: list[str], cond) -> list[dict]:
-    """Merge-on-read predicate delete: ONE scan of the touched
-    files computes the per-file (live, matching) counts, then the
+                       candidates: list[str], cond
+                       ) -> tuple[list[str], list[dict]]:
+    """Merge-on-read predicate delete: ONE narrow scan of the
+    stat-surviving CANDIDATES computes the per-file (live,
+    matching) counts — which is also the exact hit test, so the
+    separate _files_with_hits pass the rewrite path needs is fused
+    away (r15; guide §2.4 — one pass decides AND plans). Returns
+    (touched, actions): touched = the files with a real live match
+    (empty = provably-no-op, the caller commits nothing), and the
     matching (file, pos) positions feed _dv_mark_actions."""
     from pyspark.sql import functions as F
 
-    base = _read_files(spark, root, snap, touched, with_meta=True)
+    base = _read_files(spark, root, snap, candidates, with_meta=True)
     flag = cond.isNotNull() & cond
-    per_file = {r[0]: (r[1], r[2]) for r in
-                (base.groupBy(_DV_FILE)
-                 .agg(F.count(F.lit(1)).alias("live"),
-                      F.sum(flag.cast("long")).alias("hit"))
-                 .collect())}
-    return _dv_mark_actions(spark, root, snap, touched,
-                            base.where(flag), per_file)
+    per_all = {r[0]: (r[1], r[2]) for r in
+               (base.groupBy(_DV_FILE)
+                .agg(F.count(F.lit(1)).alias("live"),
+                     F.sum(flag.cast("long")).alias("hit"))
+                .collect())}
+    per_file = {n: (live, hit) for n, (live, hit) in per_all.items()
+                if hit}
+    touched = sorted(p for p in candidates
+                     if os.path.basename(p) in per_file)
+    if not touched:
+        return [], []
+    return touched, _dv_mark_actions(spark, root, snap, touched,
+                                     base.where(flag), per_file)
 
 
 def delete_where(spark, root: str, condition: str,
@@ -5049,14 +5118,20 @@ def delete_where(spark, root: str, condition: str,
                                     tz=_tz)
         if cand is None:
             cand = sorted(snap["files"])
-        touched = _files_with_hits(spark, root, snap, cand, cond) \
-            if cand else []
-        if not touched:
+        if not cand:
             return snap["version"]
         if mode == "dv":
-            actions = _dv_delete_actions(spark, root, snap,
-                                         touched, cond)
+            # fused hit test (r15): the per-file counts scan over
+            # the candidates IS the exact hit test — no separate
+            # _files_with_hits job
+            touched, actions = _dv_delete_actions(spark, root, snap,
+                                                  cand, cond)
+            if not touched:
+                return snap["version"]
         else:
+            touched = _files_with_hits(spark, root, snap, cand, cond)
+            if not touched:
+                return snap["version"]
             survivors = _size_merge_output(
                 _read_files(spark, root, snap, touched)
                 .where(~cond | cond.isNull()), snap, touched)
@@ -5133,8 +5208,28 @@ def update_where(spark, root: str, condition: str,
                                     tz=_tz)
         if cand is None:
             cand = sorted(snap["files"])
-        touched = _files_with_hits(spark, root, snap, cand, cond) \
-            if cand else []
+        if not cand:
+            return snap["version"]
+        per_cand: dict[str, tuple[int, int]] = {}
+        if mode == "dv":
+            # fused hit test (r15): one narrow per-file counts scan
+            # over the candidates replaces _files_with_hits AND the
+            # later per-touched counts job — the dv path needs the
+            # (live, hit) counts anyway
+            basec = _read_files(spark, root, snap, cand,
+                                with_meta=True)
+            flagc = cond.isNotNull() & cond
+            per_cand = {r[0]: (r[1], r[2]) for r in
+                        (basec.groupBy(_DV_FILE)
+                         .agg(F.count(F.lit(1)).alias("live"),
+                              F.sum(flagc.cast("long")).alias("hit"))
+                         .collect())}
+            per_cand = {n: (live, hit)
+                        for n, (live, hit) in per_cand.items() if hit}
+            touched = sorted(p for p in cand
+                             if os.path.basename(p) in per_cand)
+        else:
+            touched = _files_with_hits(spark, root, snap, cand, cond)
         if not touched:
             return snap["version"]
         cur = _read_files(spark, root, snap, touched,
@@ -5171,12 +5266,8 @@ def update_where(spark, root: str, condition: str,
                 sel.append(F.col(name))
         pb = snap.get("partition_by")
         if mode == "dv":
-            per_file = {r[0]: (r[1], r[2]) for r in
-                        (flagged.groupBy(_DV_FILE)
-                         .agg(F.count(F.lit(1)).alias("live"),
-                              F.sum(F.col(flag).cast("long"))
-                              .alias("hit"))
-                         .collect())}
+            # the fused candidate scan above already counted
+            per_file = per_cand
             matched = flagged.where(F.col(flag))
             updated = matched.select(*sel)
             for c, e in gen.items():
