@@ -5760,6 +5760,78 @@ def replicate_stream(spark, dst_root: str, key: str | list[str],
     return _apply
 
 
+def _merge_apply(spark, root: str, gone: DataFrame, post: DataFrame,
+                 keys: list[str], checkpoint_every: int,
+                 has_post: bool) -> int:
+    """ONE-commit delete+upsert (r15): remove every live row whose
+    key matches ``gone`` ∪ ``post``, land the ``post`` rows —
+    algebraically identical to merge_delete(gone) followed by
+    merge_upsert(post): for a key in both sets the sequential
+    delete is undone by the upsert, and both merges find EVERY file
+    holding a matching key, so the final row set is
+
+        (live rows with key ∉ gone ∪ post) ∪ post
+
+    either way. The combined form runs ONE file-finding pass, ONE
+    read+anti-join+rewrite and ONE commit over the union key set
+    instead of two of each. Used by the collapse replication path,
+    where the halves always target the same snapshot back-to-back.
+    ``has_post`` carries the caller's already-counted gate: with no
+    post rows and no touched files the apply is a provable no-op
+    and commits nothing (merge_delete's contract)."""
+    for _ in range(5):
+        snap = snapshot(root)
+        if snap.get("schema") is not None and has_post:
+            # merge_upsert's strictness: exact schema or refuse
+            # (the collapse path never evolves — the replica mirrors
+            # the source schema)
+            _schema_check(post, snap["schema"], False)
+            from pyspark.sql.types import StructType as _ST
+            table_cols = {f.name for f in _ST.fromJson(
+                json.loads(snap["schema"])).fields}
+            narrower = table_cols - set(post.columns)
+            if narrower:
+                raise SchemaMismatch(
+                    f"collapsed apply lacks table columns "
+                    f"{sorted(narrower)}")
+        _check_constraints(post, snap.get("constraints", {}))
+        probe = (gone.select(*keys)
+                 .unionByName(post.select(*keys))
+                 .dropDuplicates(keys))
+        touched = _files_touching_keys(
+            spark, snap["files"], probe, keys, root,
+            set((snap.get("bloom") or {}).get("cols", [])),
+            colmap=snap.get("colmap"),
+            types=(_schema_types(snap)
+                   if snap.get("partition_by") else None),
+            inv=_inv_colmap(snap)) \
+            if snap["files"] else []
+        if not touched and not has_post:
+            return snap["version"]  # provably nothing to delete
+        if touched:
+            cur = _read_files(spark, root, snap, touched)
+            merged = _size_merge_output(
+                cur.join(probe, keys, "left_anti")
+                .unionByName(post, allowMissingColumns=True),
+                snap, touched)
+        else:
+            merged = post
+        adds = _stage_write(merged, root, snap.get("partition_by"),
+                            snap.get("colmap"), snap.get("bloom"))
+        entry = {"op": "merge", "ts": time.time(),
+                 "matched": "apply",
+                 "actions": ([{"remove": {"path": p}}
+                              for p in touched]
+                             + [{"add": a} for a in adds])}
+        if snapshot(root)["version"] == snap["version"] and \
+                _try_commit(root, snap["version"] + 1, entry):
+            _maybe_checkpoint(root, snap["version"] + 1,
+                              checkpoint_every)
+            return snap["version"] + 1
+    raise CommitConflict(
+        f"collapsed apply lost the snapshot race under {root}")
+
+
 def _replicate_collapsed(spark, changes: DataFrame, dst_root: str,
                          keys: list[str],
                          checkpoint_every: int) -> None:
@@ -5797,12 +5869,13 @@ def _replicate_collapsed(spark, changes: DataFrame, dst_root: str,
         by_kind = {bool(r[0]): r[1] for r in winners.groupBy(
             F.col("_change_type").isin("insert", "update_postimage")
             .alias("_p")).count().collect()}
-        if by_kind.get(False, 0):
-            merge_delete(spark, dst_root, gone, keys,
-                         checkpoint_every=checkpoint_every)
-        if by_kind.get(True, 0):
-            merge_upsert(spark, dst_root, post, keys,
-                         checkpoint_every=checkpoint_every)
+        if by_kind.get(False, 0) or by_kind.get(True, 0):
+            # r15: the delete half and the upsert half apply as ONE
+            # combined merge commit — one file-finding pass, one
+            # rewrite, one commit over the union key set
+            _merge_apply(spark, dst_root, gone, post, keys,
+                         checkpoint_every,
+                         has_post=bool(by_kind.get(True, 0)))
     finally:
         winners.unpersist()
 
