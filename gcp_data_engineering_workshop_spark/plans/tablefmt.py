@@ -51,9 +51,8 @@ def txlog_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     skipping pytests prove the IO savings)."""
     root = tempfile.mkdtemp(prefix="txlog_range_") + "/t"
     orders = _orders(spark, sf_dir)
-    for b in range(4):
-        T.append(orders.where(F.col("o_orderkey") % 4 == b),
-                 root, checkpoint_every=0)
+    T.append_sliced(orders, root, "o_orderkey % 4", 4,
+                    checkpoint_every=0)
     return (T.read_range(spark, root, "o_orderkey",
                          lo=1000, hi=5000)
             .orderBy("o_orderkey"))
@@ -66,9 +65,8 @@ def txlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     slices 1 and 2, tagged with their commit version and op."""
     root = tempfile.mkdtemp(prefix="txlog_cdf_") + "/t"
     orders = _orders(spark, sf_dir)
-    for b in range(3):
-        T.append(orders.where(F.col("o_orderkey") % 3 == b),
-                 root, checkpoint_every=0)
+    T.append_sliced(orders, root, "o_orderkey % 3", 3,
+                    checkpoint_every=0)
     return (T.read_changes(spark, root, from_version=1)
             .orderBy("o_orderkey"))
 
@@ -89,9 +87,8 @@ def txlog_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-column pruning path end-to-end (VERDICT r11 task #3)."""
     root = tempfile.mkdtemp(prefix="txlog_merge_") + "/t"
     orders = _orders(spark, sf_dir)
-    for b in range(4):
-        T.append(orders.where(F.col("o_orderkey") % 4 == b),
-                 root, checkpoint_every=0)
+    T.append_sliced(orders, root, "o_orderkey % 4", 4,
+                    checkpoint_every=0)
     updates = (
         orders.where(F.col("o_orderkey") % 97 == 0)
         .select("o_orderkey", "o_custkey",
@@ -119,9 +116,8 @@ def txlog_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     footer-stat pruning as the upsert."""
     root = tempfile.mkdtemp(prefix="txlog_del_") + "/t"
     orders = _orders(spark, sf_dir)
-    for b in range(4):
-        T.append(orders.where(F.col("o_orderkey") % 4 == b),
-                 root, checkpoint_every=0)
+    T.append_sliced(orders, root, "o_orderkey % 4", 4,
+                    checkpoint_every=0)
     keys = (orders.where(F.col("o_orderkey") % 31 == 0)
             .select("o_orderkey"))
     T.merge_delete(spark, root, keys, "o_orderkey",
@@ -148,9 +144,8 @@ def txlog_dv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal discipline as txlog_update_scan."""
     root = tempfile.mkdtemp(prefix="txlog_dv_") + "/t"
     orders = _orders(spark, sf_dir)
-    for b in range(4):
-        T.append(orders.where(F.col("o_orderkey") % 4 == b),
-                 root, checkpoint_every=0)
+    T.append_sliced(orders, root, "o_orderkey % 4", 4,
+                    checkpoint_every=0)
     files0 = set(T.snapshot(root)["files"])
     T.delete_where(spark, root, "o_orderkey % 13 = 0", mode="dv",
                    checkpoint_every=0)
@@ -180,9 +175,8 @@ def txlog_cdf_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     four-branch UNION ALL over the source."""
     root = tempfile.mkdtemp(prefix="txlog_cdfr_") + "/t"
     orders = _orders(spark, sf_dir)
-    for b in range(3):
-        T.append(orders.where(F.col("o_orderkey") % 3 == b),
-                 root, checkpoint_every=0)
+    T.append_sliced(orders, root, "o_orderkey % 3", 3,
+                    checkpoint_every=0)
     T.delete_where(spark, root, "o_orderkey % 17 = 0", mode="dv",
                    checkpoint_every=0)
     T.update_where(spark, root, "o_totalprice < 1500",
@@ -210,9 +204,9 @@ def txlog_replica_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="txlog_repl_") + "/src"
     dst = tempfile.mkdtemp(prefix="txlog_repl_") + "/dst"
     orders = _orders(spark, sf_dir)
-    for b in range(2):
-        T.append(orders.where(F.col("o_orderkey") % 3 == b),
-                 src, checkpoint_every=0)
+    T.append_sliced(orders.where(F.col("o_orderkey") % 3 < 2),
+                    src, "o_orderkey % 3", 2,
+                    checkpoint_every=0)
     T.replicate_incremental(spark, src, dst, "o_orderkey",
                             checkpoint_every=0)
     T.append(orders.where(F.col("o_orderkey") % 3 == 2),
@@ -272,9 +266,8 @@ def txlog_replace_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     verbatim UNION the transformed P slice."""
     root = tempfile.mkdtemp(prefix="txlog_repw_") + "/t"
     orders = _orders(spark, sf_dir)
-    for b in range(4):
-        T.append(orders.where(F.col("o_orderkey") % 4 == b),
-                 root, checkpoint_every=0)
+    T.append_sliced(orders, root, "o_orderkey % 4", 4,
+                    checkpoint_every=0)
     repl = (orders.where(F.col("o_orderstatus") == "P")
             .select("o_orderkey", "o_custkey", "o_orderstatus",
                     (F.col("o_totalprice") * 2).alias("o_totalprice"),
@@ -360,9 +353,8 @@ def txlog_update_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal scaffolding."""
     root = tempfile.mkdtemp(prefix="txlog_upd_") + "/t"
     orders = _orders(spark, sf_dir)
-    for b in range(4):
-        T.append(orders.where(F.col("o_orderkey") % 4 == b),
-                 root, checkpoint_every=0)
+    T.append_sliced(orders, root, "o_orderkey % 4", 4,
+                    checkpoint_every=0)
     T.update_where(
         spark, root,
         "o_totalprice < 1000 AND o_orderpriority = '1-URGENT'",
@@ -610,9 +602,8 @@ def txlog_backfill_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines)."""
     root = tempfile.mkdtemp(prefix="txlog_bf_") + "/t"
     orders = _orders(spark, sf_dir)
-    for b in range(8):
-        T.append(orders.where(F.col("o_orderkey") % 8 == b), root,
-                 checkpoint_every=0)
+    T.append_sliced(orders, root, "o_orderkey % 8", 8,
+                    checkpoint_every=0)
     files0 = set(T.snapshot(root)["files"])
     T.set_bloom_index(root, ["o_orderkey"], checkpoint_every=0)
     T.backfill_bloom_index(spark, root, checkpoint_every=0)
@@ -726,9 +717,8 @@ def txlog_checkpoint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     AT v6 resolves purely from the checkpoint (empty suffix)."""
     root = tempfile.mkdtemp(prefix="txlog_cp_") + "/t"
     orders = _orders(spark, sf_dir)
-    for b in range(6):
-        T.append(orders.where(F.col("o_orderkey") % 6 == b),
-                 root, checkpoint_every=3)
+    T.append_sliced(orders, root, "o_orderkey % 6", 6,
+                    checkpoint_every=3)
     T.delete_where(spark, root, "o_orderkey % 7 = 2",
                    checkpoint_every=3)
     T.update_where(spark, root, "o_orderstatus = 'F'",

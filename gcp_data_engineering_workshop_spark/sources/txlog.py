@@ -2267,6 +2267,103 @@ def append(df: DataFrame, root: str, max_retries: int = 20,
                          f"{max_retries} times under {root}")
 
 
+def append_sliced(df: DataFrame, root: str, slice_expr: str,
+                  n_slices: int, max_retries: int = 20,
+                  checkpoint_every: int = 10) -> list[int]:
+    """Land ``n_slices`` append COMMITS from ONE distributed write
+    (r15) — the multi-batch ingest shape (Delta's multi-batch txn):
+    ``df`` stages once, hive-partitioned by the integer
+    ``slice_expr``, and each slice's files commit as their own
+    version in slice order. Bit-equivalent on EVERY snapshot to
+
+        for s in range(n_slices):
+            append(df.where(slice_expr == s), root, ...)
+
+    — the s-th new version holds exactly the slice-s rows, the
+    first commit records the schema — but one scan and one write
+    job replace n_slices of each. At 100 TB, landing a day's K
+    ingest batches through one staging pass instead of K sequential
+    jobs is the difference between one cluster occupancy and K.
+
+    Restrictions (ValueError, use append()): the table must record
+    no partition spec / column mapping / generated columns /
+    constraints / bloom index — this primitive serves the plain
+    bulk-ingest shape. ``slice_expr`` must be non-NULL and land in
+    [0, n_slices) for every row (a row that would silently vanish
+    raises instead — append().where() semantics would drop it)."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(root, exist_ok=True)
+    snap0 = snapshot(root)
+    for blocker in ("partition_by", "colmap", "generated",
+                    "constraints", "bloom"):
+        if snap0.get(blocker):
+            raise ValueError(
+                f"append_sliced: table under {root} records "
+                f"{blocker}; use append()")
+    rec = _schema_check(df, snap0.get("schema"), False)
+    sl = "__txlog_slice"
+    stage = os.path.join(root, f"_stage-{uuid.uuid4().hex}")
+    (df.withColumn(sl, F.expr(slice_expr).cast("int"))
+       .write.mode("overwrite").partitionBy(sl).parquet(stage))
+    by_slice: dict[int, list[dict]] = {s: [] for s in range(n_slices)}
+    try:
+        for dirpath, _dirs, files in sorted(os.walk(stage)):
+            rel = os.path.relpath(dirpath, stage)
+            pfs = [f for f in sorted(files) if f.endswith(".parquet")]
+            if not pfs:
+                continue
+            if rel == "." or not rel.startswith(f"{sl}="):
+                raise ValueError(
+                    f"append_sliced: unexpected staged dir {rel!r}")
+            tok = rel.split("=", 1)[1]
+            try:
+                s = int(tok)
+            except ValueError:
+                s = -1
+            if s not in by_slice:
+                raise ValueError(
+                    f"append_sliced: slice value {tok!r} outside "
+                    f"[0, {n_slices}) — every row must land in a "
+                    f"declared slice")
+            for f in pfs:
+                src = os.path.join(dirpath, f)
+                n_rows = pq.ParquetFile(src).metadata.num_rows
+                if n_rows == 0:
+                    continue
+                name = f"part-{uuid.uuid4().hex}.parquet"
+                dst = os.path.join(root, name)
+                os.replace(src, dst)
+                by_slice[s].append(
+                    {"path": name, "bytes": os.path.getsize(dst),
+                     "rows": n_rows, "stats": _footer_stats(dst),
+                     "nulls": _footer_nulls(dst)})
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    versions: list[int] = []
+    for s in range(n_slices):
+        entry = {"op": "append", "ts": time.time(),
+                 "actions": [{"add": a} for a in by_slice[s]]}
+        if rec is not None and not versions:
+            entry["schema"] = rec
+        committed = False
+        for _ in range(max_retries):
+            head = _list_versions(root)
+            v = (head[-1] if head else 0) + 1
+            if _try_commit(root, v, entry):
+                _maybe_checkpoint(root, v, checkpoint_every)
+                versions.append(v)
+                committed = True
+                break
+        if not committed:
+            raise CommitConflict(
+                f"append_sliced lost the version race "
+                f"{max_retries} times under {root}")
+    return versions
+
+
 def overwrite(df: DataFrame, root: str, expected_version: int | None = None,
               max_retries: int = 20, checkpoint_every: int = 10,
               partition_by: list[str] | None = None,
