@@ -347,10 +347,14 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     integers; idf = ln(N/df) on identical doubles in both engines."""
     from pyspark.sql.window import Window
     d = _docs(spark, sf_dir)
-    tokens = d.select("doc_id", F.explode(T.words("text")).alias("term"))
-    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tokens.select("doc_id", "term").distinct() \
-        .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # r15: per-doc tf is map-local (one doc = one row) — the Arrow
+    # pass replaces explode + groupBy(doc, term) AND the
+    # distinct-then-count df derivation (distinct within a doc is
+    # inherent in the tf rows), dropping both token-stream exchanges
+    tf = _term_tf_arrow(
+        d.select("doc_id", F.lit(0).alias("dl"),
+                 T.words("text").alias("w"))).drop("dl")
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.select(F.countDistinct("doc_id").alias("n"))
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
     return (
@@ -1063,6 +1067,70 @@ def span_dedup_apply(spark: SparkSession, sf_dir: str,
     length. Everything stays linear in corpus size."""
     return span_dedup_apply_docs(_docs(spark, sf_dir), span_words,
                                  par=spark.sparkContext.defaultParallelism)
+
+
+def _term_tf_arrow(wt: DataFrame, id_col: str = "doc_id",
+                   dl_col: str = "dl") -> DataFrame:
+    """r15: per-doc term frequencies as ONE map-only Arrow pass —
+    (id, dl, w) rows in, (id, dl, term, tf) rows out, tf = the
+    term's count within its own doc. Replaces explode +
+    groupBy(id, dl, term) whose exchange shuffles the whole token
+    stream even though (doc, term) groups NEVER span docs (a doc is
+    one input row, so the aggregation is provably map-local —
+    guide §2.3/§2.4: the shuffle was pure waste). Emitted rows are
+    exactly the groupBy's: one per distinct (doc, term), exact
+    integer tf, term strings verbatim. Row ORDER differs from the
+    shuffled form — every consumer aggregates or joins, and float
+    sums downstream round on grids that absorb reorder noise (the
+    C44/C67 cross-engine contract)."""
+    from pyspark.sql.functions import col
+
+    sel = wt.select(col(id_col).alias("_id"),
+                    col(dl_col).alias("_dl"), "w")
+
+    def _gen(batches):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        for b in batches:
+            ids = b.column("_id").to_numpy(zero_copy_only=False)
+            dls = b.column("_dl").to_numpy(zero_copy_only=False)
+            docs = b.column("w").to_pylist()
+            nd = len(docs)
+            wlens = np.fromiter(
+                ((0 if w is None else len(w)) for w in docs),
+                dtype=np.int64, count=nd)
+            flat: list = []
+            for w in docs:
+                if w is not None and len(w):
+                    flat.extend(w)
+            if not flat:
+                yield pa.record_batch(
+                    [pa.array([], pa.int64()),
+                     pa.array([], pa.int32()),
+                     pa.array([], pa.string()),
+                     pa.array([], pa.int64())],
+                    names=["doc_id", "dl", "term", "tf"])
+                continue
+            codes, uniq = pd.factorize(
+                np.asarray(flat, dtype=object))
+            k = len(uniq)
+            owner = np.repeat(np.arange(nd, dtype=np.int64), wlens)
+            key = owner * k + codes
+            ukey, tf = np.unique(key, return_counts=True)
+            uowner = ukey // k
+            uterm = ukey % k
+            yield pa.record_batch(
+                [pa.array(ids[uowner], pa.int64()),
+                 pa.array(dls[uowner].astype("int32"), pa.int32()),
+                 pa.array(np.asarray(uniq, dtype=object)[uterm],
+                          pa.string()),
+                 pa.array(tf, pa.int64())],
+                names=["doc_id", "dl", "term", "tf"])
+
+    return sel.mapInArrow(
+        _gen, "doc_id bigint, dl int, term string, tf bigint")
 
 
 def _embed_counts_arrow(ws, dim: int):
@@ -1816,18 +1884,19 @@ def bm25_topk(spark: SparkSession, sf_dir: str, k: int = 5,
 
     d = _docs_with_words(spark, sf_dir)
     is_eval = F.col("doc_id") % 97 == 0
-    toks = d.select("doc_id", F.size("w").alias("dl"),
-                    F.explode("w").alias("term"))
-    tf = (toks.where(~is_eval)
-          .groupBy("doc_id", "dl", "term")
-          .agg(F.count(F.lit(1)).alias("tf")))
+    # r15: per-doc tf is provably map-local (a doc is one row), so
+    # ONE Arrow pass replaces explode + groupBy(doc, dl, term) and
+    # its full-token-stream exchange — and the eval side's distinct
+    # (query, term) set is the same pass's rows (distinct within a
+    # doc is inherent; (query, term) never spans docs)
+    wt = d.select("doc_id", F.size("w").alias("dl"), "w")
+    tf = _term_tf_arrow(wt.where(~is_eval))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = (d.where(~is_eval)
              .agg(F.count(F.lit(1)).alias("n_docs"),
                   F.avg(F.size("w")).alias("avgdl")))
-    qterms = (toks.where(is_eval)
-              .select(F.col("doc_id").alias("query_id"), "term")
-              .distinct())
+    qterms = (_term_tf_arrow(wt.where(is_eval))
+              .select(F.col("doc_id").alias("query_id"), "term"))
     idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5))
     sat = (F.col("tf") * (k1 + 1)

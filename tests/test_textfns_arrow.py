@@ -95,3 +95,37 @@ def test_python_reference_fold():
             ref2 = (ref2 * T.KR2_BASE + ord(ch)) % T.KR2_MOD
         assert h1[i] == ref1
         assert h2[i] == ref2
+
+
+def test_term_tf_arrow_matches_explode_groupby(spark):
+    """r15: the map-only Arrow tf pass must emit exactly the rows of
+    explode + groupBy(doc, dl, term) — including empty docs (no
+    rows), NULL word arrays, empty-string tokens, and repeated
+    terms — across enough docs to span multiple Arrow batches."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from gcp_data_engineering_workshop_spark.plans.textpipeline import (
+        _term_tf_arrow)
+
+    rng = random.Random(13)
+    vocab = ["a", "b", "ab", "", "cjk中文", "\U0001f600"]
+    rows = []
+    for i in range(500):
+        if i % 97 == 0:
+            rows.append((i, None))
+        elif i % 31 == 0:
+            rows.append((i, []))
+        else:
+            rows.append((i, [rng.choice(vocab)
+                             for _ in range(rng.randrange(1, 12))]))
+    df = spark.createDataFrame(rows, "doc_id bigint, w array<string>")
+    wt = df.select("doc_id", F.size("w").alias("dl"), "w")
+    want = {(r.doc_id, r.dl, r.term, r.tf) for r in
+            wt.select("doc_id", "dl", F.explode("w").alias("term"))
+            .groupBy("doc_id", "dl", "term")
+            .agg(F.count(F.lit(1)).alias("tf")).collect()}
+    got = {(r.doc_id, r.dl, r.term, r.tf) for r in
+           _term_tf_arrow(wt).collect()}
+    assert got == want
