@@ -21,9 +21,17 @@ column expression (JVM sigmoid), zero Python.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# logistic_fit routes through a single driver-local numpy loop when
+# n * (dim + 1) stays at or below this bound (the kmeans gate's
+# principle — operators/clustering.py). 0 disables the local path.
+_LOGREG_LOCAL_SCALARS = int(os.environ.get(
+    "SPARK_GRAFT_LOGREG_LOCAL_SCALARS", str(8_000_000)))
 
 
 def logistic_fit(feats: DataFrame, dim: int, n_iter: int = 5,
@@ -41,6 +49,38 @@ def logistic_fit(feats: DataFrame, dim: int, n_iter: int = 5,
     w = np.zeros(dim + 1)
     base = feats.select("features", F.col("label").cast("double")
                         .alias("label"))
+
+    # SIZE-GATED LOCAL PATH (r15; the kmeans-fit gate's principle):
+    # when the feature matrix fits one driver buffer, ONE Arrow
+    # collect pulls it and all n_iter GD rounds run locally. The
+    # produced weights are identical by the decimal contract above —
+    # the ONLY cross-path difference is partial-sum order, and the
+    # per-step 1e-6 rounding is ~10 orders coarser than reorder
+    # drift (the same argument that lets the DuckDB oracle replay
+    # the descent). Past the gate the distributed loop below (~2
+    # driver-synchronized jobs per round) is unchanged; ``stats``
+    # records "fit_mode"; "combine_rows" is distributed-only (it is
+    # the size of a frame the local path never builds).
+    if _LOGREG_LOCAL_SCALARS > 0 \
+            and base.count() * (dim + 1) <= _LOGREG_LOCAL_SCALARS:
+        if stats is not None:
+            stats["fit_mode"] = "local"
+        tb = base.toArrow()
+        n = tb.num_rows
+        if n == 0:
+            # the distributed rounds would leave w at the zero
+            # vector (g = 0, n = 0 every step)
+            return np.round(w, round_dp)
+        X = mat_from_arrow(tb.column("features"))
+        y = tb.column("label").to_numpy(zero_copy_only=False)
+        for _ in range(n_iter):
+            z = X @ w[:dim] + w[dim]
+            s = 1.0 / (1.0 + np.exp(-z))
+            g = np.concatenate([(s - y) @ X, [(s - y).sum()]])
+            w = np.round(w - lr * g / max(n, 1), round_dp)
+        return w
+    if stats is not None:
+        stats["fit_mode"] = "distributed"
 
     def partials(wv):
         def fn(batches):

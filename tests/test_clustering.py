@@ -241,11 +241,22 @@ def test_logistic_fit_matches_numpy_gd(spark, sf_dir):
         s = 1.0 / (1.0 + np.exp(-(X @ ref[:4] + ref[4])))
         g = np.concatenate([(s - y) @ X, [(s - y).sum()]]) / len(y)
         ref = np.round(ref - 0.5 * g, 6)
-    stats = {}
-    got = CL.logistic_fit(feats.repartition(8), dim=4, n_iter=5,
-                          stats=stats)
+    # r15: force the DISTRIBUTED path for the combine-size contract
+    # (the size gate would take the local loop at this corpus)
+    import unittest.mock as _mock
+    with _mock.patch.object(CL, "_LOGREG_LOCAL_SCALARS", 0):
+        stats = {}
+        got = CL.logistic_fit(feats.repartition(8), dim=4, n_iter=5,
+                              stats=stats)
+    assert stats["fit_mode"] == "distributed"
     assert stats["combine_rows"] <= 5
     assert np.array_equal(got, ref)
+    # the gated local path must produce the identical weights
+    stats_l = {}
+    got_l = CL.logistic_fit(feats.repartition(8), dim=4, n_iter=5,
+                            stats=stats_l)
+    assert stats_l["fit_mode"] == "local"
+    assert np.array_equal(got_l, ref)
     out = {r.doc_id: r.predicted
            for r in quality_classifier(spark, sf_dir).collect()}
     labels = {r.doc_id: bool(r.label) for r in rows}
