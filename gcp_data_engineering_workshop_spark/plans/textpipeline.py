@@ -534,23 +534,18 @@ def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-word fraction, most-common-word fraction, and
     most-common-bigram fraction, plus the keep/drop verdict.
 
-    Scale shape: the only exchanges are two (doc_id, gram) partial-agg
-    shuffles (words, bigrams) plus doc_id-aligned joins back to the
-    per-doc frame — no per-doc Python, no window over the corpus. The
-    gram counts never materialize a global vocabulary; they stay
-    keyed by doc_id so skew is bounded by document length."""
+    Scale shape (r15): ZERO exchanges past the tokenization barrier
+    — all four per-doc counts (n_words, n_distinct, top word/bigram
+    multiplicity) come from one map-only Arrow pass
+    (_gopher_counts_arrow; every gram group is keyed by doc_id and a
+    doc is one input row, so the former two explode +
+    groupBy(doc_id, gram) shuffles and their joins back were
+    provably map-local work — guide §2.3/§2.4). The verdict
+    arithmetic below is byte-identical to the join formulation
+    (exact integer counts into the same double expressions; parity
+    pytest + oracle)."""
     d = _docs_with_words(spark, sf_dir).select("doc_id", "w")
-    base = d.select("doc_id", F.size("w").alias("n_words"),
-                    F.size(F.array_distinct("w")).alias("n_distinct"))
-    topw = (d.select("doc_id", F.explode("w").alias("g"))
-            .groupBy("doc_id", "g").count()
-            .groupBy("doc_id").agg(F.max("count").alias("top_word_cnt")))
-    topb = (d.where(F.size("w") >= 2)
-            .select("doc_id", F.explode(F.expr(
-                "transform(sequence(0, size(w) - 2),"
-                " i -> concat(w[i], ' ', w[i + 1]))")).alias("g"))
-            .groupBy("doc_id", "g").count()
-            .groupBy("doc_id").agg(F.max("count").alias("top_bigram_cnt")))
+    g = _gopher_counts_arrow(d)
     n = F.col("n_words")
     dup_f = F.when(n > 0, 1.0 - F.col("n_distinct").cast("double") / n) \
              .otherwise(F.lit(0.0))
@@ -561,12 +556,11 @@ def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = ((n >= 20) & (F.round(dup_f, 6) <= 0.55)
             & (F.round(topw_f, 6) <= 0.15) & (F.round(topb_f, 6) <= 0.10))
     return (
-        base.join(topw, "doc_id").join(topb, "doc_id", "left")
-        .select("doc_id", n.cast("bigint").alias("n_words"),
-                F.round(dup_f, 6).alias("dup_word_frac"),
-                F.round(topw_f, 6).alias("top_word_frac"),
-                F.round(topb_f, 6).alias("top_bigram_frac"),
-                keep.alias("keep"))
+        g.select("doc_id", n.cast("bigint").alias("n_words"),
+                 F.round(dup_f, 6).alias("dup_word_frac"),
+                 F.round(topw_f, 6).alias("top_word_frac"),
+                 F.round(topb_f, 6).alias("top_bigram_frac"),
+                 keep.alias("keep"))
     )
 
 
@@ -1131,6 +1125,129 @@ def _term_tf_arrow(wt: DataFrame, id_col: str = "doc_id",
 
     return sel.mapInArrow(
         _gen, "doc_id bigint, dl int, term string, tf bigint")
+
+
+def _gopher_counts_arrow(d: DataFrame) -> DataFrame:
+    """r15: the four per-doc repetition counts gopher_repetition
+    needs — (doc_id, n_words, n_distinct, top_word_cnt,
+    top_bigram_cnt) — in ONE map-only Arrow pass. Replaces two
+    explode + groupBy(doc_id, gram) exchanges plus the two joins
+    back to the per-doc frame: every group is keyed by doc_id, and a
+    doc is ONE input row, so the aggregation is provably map-local
+    (guide §2.3/§2.4 — the same argument as _term_tf_arrow).
+
+    Emitted rows mirror the join shape exactly: one row per doc
+    whose word array explodes to >= 1 token (the inner join with
+    the word counts dropped empty/NULL docs), `top_bigram_cnt` NULL
+    when the doc has < 2 words (the bigram side was a left join),
+    counts as exact integers. Bigram groups key on the actual
+    concat(w[i], ' ', w[i+1]) STRING (built once per unique code
+    pair), so tokens containing spaces and NULL tokens group
+    exactly as the groupBy did — parity pytest covers both."""
+    sel = d.select("doc_id", "w")
+
+    def _gen(batches):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        def _seg_max_cnt(ukeys, cnts, k, nd):
+            """per-owner max(count) and n(distinct) from the SORTED
+            unique (owner*k + code) keys np.unique returns."""
+            top = np.zeros(nd, dtype=np.int64)
+            ndist = np.zeros(nd, dtype=np.int64)
+            if len(ukeys):
+                uowner = ukeys // k
+                starts = np.flatnonzero(
+                    np.r_[True, uowner[1:] != uowner[:-1]])
+                seg_owner = uowner[starts]
+                top[seg_owner] = np.maximum.reduceat(cnts, starts)
+                ndist[seg_owner] = np.diff(
+                    np.r_[starts, len(ukeys)])
+            return top, ndist
+
+        for b in batches:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            docs = b.column("w").to_pylist()
+            nd = len(docs)
+            wlens = np.fromiter(
+                ((0 if w is None else len(w)) for w in docs),
+                dtype=np.int64, count=nd)
+            flat: list = []
+            for w in docs:
+                if w is not None and len(w):
+                    flat.extend(w)
+            live = np.flatnonzero(wlens > 0)
+            if not len(live):
+                yield pa.record_batch(
+                    [pa.array([], pa.int64()),
+                     pa.array([], pa.int32()),
+                     pa.array([], pa.int32()),
+                     pa.array([], pa.int64()),
+                     pa.array([], pa.int64())],
+                    names=["doc_id", "n_words", "n_distinct",
+                           "top_word_cnt", "top_bigram_cnt"])
+                continue
+            # NULL-token semantics mirror the explode + groupBy
+            # exactly: explode("w") emits NULL elements as rows and
+            # groupBy keeps NULL as its own group; concat(a,' ',b)
+            # is NULL when either side is, so every NULL-touching
+            # bigram lands in one NULL group. factorize codes None
+            # as -1; shift by one so it is a regular group key.
+            codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+            k = len(uniq) + 1  # shift so code -1 (None) maps to 0
+            codes = codes + 1
+            owner = np.repeat(np.arange(nd, dtype=np.int64), wlens)
+            ukey, cnt = np.unique(owner * k + codes,
+                                  return_counts=True)
+            top_word, n_distinct = _seg_max_cnt(ukey, cnt, k, nd)
+            top_big = np.zeros(nd, dtype=np.int64)
+            if len(owner) > 1:
+                adj = owner[:-1] == owner[1:]
+                if adj.any():
+                    bw = owner[:-1][adj]
+                    c1 = codes[:-1][adj]
+                    c2 = codes[1:][adj]
+                    # concat(a, ' ', b) is NULL when either side is
+                    # NULL -> all such bigrams share the NULL group
+                    # (gid 0). Non-null bigrams group by their
+                    # CONCAT STRING, not the code pair — the groupBy
+                    # keyed the string, and tokens may contain
+                    # spaces ("a b"+"c" == "a"+"b c"); only the
+                    # UNIQUE pairs pay the string build.
+                    isnull = (c1 == 0) | (c2 == 0)
+                    gid = np.zeros(len(bw), dtype=np.int64)
+                    if (~isnull).any():
+                        upk, pidx = np.unique(
+                            (c1 * k + c2)[~isnull],
+                            return_inverse=True)
+                        uarr = np.asarray(uniq, dtype=object)
+                        ustr = np.asarray(
+                            [uarr[(v // k) - 1] + " "
+                             + uarr[(v % k) - 1] for v in upk],
+                            dtype=object)
+                        scodes, _ = pd.factorize(ustr)
+                        gid[~isnull] = scodes[pidx] + 1
+                    kb = int(gid.max()) + 1
+                    ubk, bcnt = np.unique(bw * kb + gid,
+                                          return_counts=True)
+                    tb, _ = _seg_max_cnt(ubk, bcnt, kb, nd)
+                    top_big = tb
+            lens_live = wlens[live]
+            yield pa.record_batch(
+                [pa.array(ids[live], pa.int64()),
+                 pa.array(lens_live.astype("int32"), pa.int32()),
+                 pa.array(n_distinct[live].astype("int32"),
+                          pa.int32()),
+                 pa.array(top_word[live], pa.int64()),
+                 pa.array(top_big[live], pa.int64(),
+                          mask=lens_live < 2)],
+                names=["doc_id", "n_words", "n_distinct",
+                       "top_word_cnt", "top_bigram_cnt"])
+
+    return sel.mapInArrow(
+        _gen, "doc_id bigint, n_words int, n_distinct int, "
+              "top_word_cnt bigint, top_bigram_cnt bigint")
 
 
 def _embed_counts_arrow(ws, dim: int):

@@ -129,3 +129,52 @@ def test_term_tf_arrow_matches_explode_groupby(spark):
     got = {(r.doc_id, r.dl, r.term, r.tf) for r in
            _term_tf_arrow(wt).collect()}
     assert got == want
+
+
+def test_gopher_counts_arrow_matches_joins(spark):
+    """r15: the one-pass gopher counts must emit exactly the rows of
+    the former base/topw/topb join shape — same inner-join drop of
+    empty/NULL docs, NULL top_bigram_cnt for 1-word docs, NULL
+    tokens grouping like groupBy's NULL handling, and token-code
+    bigram dedup equal to concat-string dedup (incl. tokens that
+    CONTAIN spaces) — across enough docs to span Arrow batches."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from gcp_data_engineering_workshop_spark.plans.textpipeline import (
+        _gopher_counts_arrow)
+
+    rng = random.Random(17)
+    vocab = ["a", "b", "ab", "", "cjk中文", "\U0001f600", "has space",
+             "x" * 30]
+    rows = [
+        (9001, None),                       # NULL array -> dropped
+        (9002, []),                         # empty -> dropped
+        (9003, ["solo"]),                   # 1 word -> NULL bigram
+        (9004, ["r", "r", "r", "r"]),       # max repetition
+        (9005, [None, "a", None, "a"]),     # NULL tokens group
+        (9006, ["a b", "c", "a", "b c"]),   # spaces inside tokens
+    ]
+    for i in range(600):
+        rows.append((i, [rng.choice(vocab)
+                         for _ in range(rng.randrange(1, 15))]))
+    d = spark.createDataFrame(rows, "doc_id bigint, w array<string>")
+    base = d.select("doc_id", F.size("w").alias("n_words"),
+                    F.size(F.array_distinct("w")).alias("n_distinct"))
+    topw = (d.select("doc_id", F.explode("w").alias("g"))
+            .groupBy("doc_id", "g").count()
+            .groupBy("doc_id").agg(F.max("count").alias("top_word_cnt")))
+    topb = (d.where(F.size("w") >= 2)
+            .select("doc_id", F.explode(F.expr(
+                "transform(sequence(0, size(w) - 2),"
+                " i -> concat(w[i], ' ', w[i + 1]))")).alias("g"))
+            .groupBy("doc_id", "g").count()
+            .groupBy("doc_id").agg(F.max("count").alias("top_bigram_cnt")))
+    want = {tuple(r) for r in
+            base.join(topw, "doc_id").join(topb, "doc_id", "left")
+            .select("doc_id", "n_words", "n_distinct",
+                    "top_word_cnt", "top_bigram_cnt").collect()}
+    got = {tuple(r) for r in _gopher_counts_arrow(d).collect()}
+    assert got == want
+
