@@ -177,4 +177,18 @@ def test_gopher_counts_arrow_matches_joins(spark):
                     "top_word_cnt", "top_bigram_cnt").collect()}
     got = {tuple(r) for r in _gopher_counts_arrow(d).collect()}
     assert got == want
+    # force many small Arrow batches so per-batch factorize domains
+    # and segment boundaries differ from the single-batch pass
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    saved = spark.conf.get(key, None)
+    spark.conf.set(key, "37")
+    try:
+        got_small = {tuple(r) for r in
+                     _gopher_counts_arrow(d).collect()}
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+    assert got_small == want
 
