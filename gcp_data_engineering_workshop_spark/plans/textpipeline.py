@@ -299,9 +299,9 @@ def train_test_split(spark: SparkSession, sf_dir: str,
     each doc 0-99; content-addressed, so re-runs and replicas agree
     without coordination."""
     d = _docs(spark, sf_dir)
-    # r15: Arrow-vectorized fold (kr_hash_arrow, bit-identical);
-    # layered select so the UDF column evaluates once
-    bucket = T.kr_hash_arrow(T.normalize("text")) % 100
+    # JVM fold (r16): the Arrow twin removed no exchange on this
+    # single-pass shape and its boundary cost lost the measured A/B
+    bucket = T.kr_hash(T.normalize("text")) % 100
     return (d.select("doc_id", bucket.alias("bucket"))
             .select("doc_id", "bucket",
                     F.when(F.col("bucket") < train_pct, F.lit("train"))
@@ -419,7 +419,7 @@ def sample_corpus(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
     and the plan is TakeOrderedAndProject (per-partition top-k), never
     a global sort."""
     d = _docs(spark, sf_dir)
-    h = T.kr_hash_arrow(T.normalize("text"))  # r15: vectorized fold
+    h = T.kr_hash(T.normalize("text"))  # JVM fold (r16 A/B)
     return (d.select("doc_id", h.alias("sample_key"))
             .orderBy("sample_key", "doc_id")
             .limit(k))
@@ -521,7 +521,7 @@ def stratified_split(spark: SparkSession, sf_dir: str,
     proportions. No shuffle at all: one projection over the scan."""
     d = _docs(spark, sf_dir)
     # r15: vectorized fold, layered select (see train_test_split)
-    bucket = T.kr_hash_arrow(T.normalize("text")) % 100
+    bucket = T.kr_hash(T.normalize("text")) % 100
     return (d.select("doc_id", "lang", bucket.alias("bucket"))
             .select("doc_id", "lang", "bucket",
                     F.when(F.col("bucket") < train_pct, F.lit("train"))
@@ -649,7 +649,7 @@ def temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir).select(
         "doc_id", "lang",
-        T.kr_hash_arrow(T.normalize("text")).alias("h"))
+        T.kr_hash(T.normalize("text")).alias("h"))
     counts = d.groupBy("lang").agg(F.count("*").alias("n_g"))
     n_min = counts.agg(F.min("n_g").alias("n_min"))
     targets = (counts.crossJoin(F.broadcast(n_min))
@@ -710,7 +710,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str,
     parity, proving the distributed fold loses no determinism."""
     d = (_docs(spark, sf_dir)
          .select("doc_id",
-                 T.kr_hash_arrow(T.normalize("text")).alias("h"),
+                 T.kr_hash(T.normalize("text")).alias("h"),
                  F.size(T.words("text")).cast("bigint").alias("n_tokens"))
          .withColumn("bucket", (F.col("h") % n_buckets).cast("int")))
 
@@ -739,7 +739,7 @@ def assign_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank."""
     from gcp_data_engineering_workshop_spark.operators import ids as I
     d = _docs(spark, sf_dir).select(
-        "doc_id", T.kr_hash_arrow(T.normalize("text")).alias("h"))
+        "doc_id", T.kr_hash(T.normalize("text")).alias("h"))
     out = I.assign_global_ids(d, ["h", "doc_id"], n_parts=8)
     n_shards = 16
     return out.select(
@@ -762,7 +762,7 @@ def domain_cap(spark: SparkSession, sf_dir: str, cap: int = 20) -> DataFrame:
 
     d = _docs(spark, sf_dir).select(
         "doc_id", "source",
-        T.kr_hash_arrow(T.normalize("text")).alias("h"))
+        T.kr_hash(T.normalize("text")).alias("h"))
     totals = d.groupBy("source").agg(F.count("*").alias("src_total"))
     return (assign_group_ranks(d, ["source"], ["h", "doc_id"],
                                rank_col="src_rank")
@@ -1564,7 +1564,7 @@ def mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(F.sum("n_chars").cast("double")).alias("w"))
     ranked = assign_group_ranks(
         d.select("doc_id", "source",
-                 T.kr_hash_arrow(T.normalize("text")).alias("hh")),
+                 T.kr_hash(T.normalize("text")).alias("hh")),
         ["source"], ["hh", "doc_id"], rank_col="src_rank")
     return (ranked
             .join(F.broadcast(wts), "source")
@@ -2224,7 +2224,7 @@ def weighted_sample(spark: SparkSession, sf_dir: str,
     the engines disagree whenever such a row could reach the top-k."""
     d = _docs(spark, sf_dir)
     w = F.size(T.words("text"))
-    u = (T.kr_hash_arrow(T.normalize("text")) + 1).cast("double") \
+    u = (T.kr_hash(T.normalize("text")) + 1).cast("double") \
         / F.lit(2147483648.0)
     key = F.round(F.log(u) / w.cast("double"), 9)
     return (d.where(w > 0)
@@ -2253,7 +2253,7 @@ def shuffle_corpus(spark: SparkSession, sf_dir: str,
         assign_global_ids)
 
     d = _docs(spark, sf_dir).select(
-        "doc_id", T.kr_hash_arrow(T.normalize("text")).alias("_h"))
+        "doc_id", T.kr_hash(T.normalize("text")).alias("_h"))
     ranked = assign_global_ids(d, ["_h", "doc_id"], id_col="pos")
     r0 = F.col("pos") - 1
     return ranked.select(
