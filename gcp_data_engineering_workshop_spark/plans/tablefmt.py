@@ -660,12 +660,49 @@ def txlog_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="txlog_pd_") + "/t"
     orders = _orders(spark, sf_dir)
     bounds = [(0, 1000), (1000, 2000), (2000, 3000), (3000, None)]
+    # r16 (VERDICT r15 #5): ONE native write job instead of four
+    # sequential ones — each range slice coalesces to one partition
+    # and the union concatenates partitions, so the single
+    # df.write.format("txlog") job runs four arrow tasks, each
+    # staging exactly one file whose footer stats cover one
+    # contiguous o_orderkey range, and lands ONE CAS commit. Same
+    # four range-partitioned files, same native-writer surface
+    # (arrow-task staging + commit) under the gate; 4 scans + 4
+    # write jobs + 4 commits -> one parallel job + 1 commit.
+    # Spark 4's UnionExec merges children that all report
+    # SinglePartition (spark.sql.unionOutputPartitioning, default
+    # true) — that would fuse the four slices into ONE file and
+    # silently void the pruning contract, so it is disabled for
+    # this write only and restored (the four-file assert below
+    # would catch any engine change here).
+    staged = None
     for lo, hi in bounds:
         part = orders.where(F.col("o_orderkey") >= lo)
         if hi is not None:
             part = part.where(F.col("o_orderkey") < hi)
-        part.coalesce(1).write.format("txlog").mode("append") \
+        part = part.coalesce(1)
+        staged = part if staged is None else staged.unionByName(part)
+    _UOP = "spark.sql.unionOutputPartitioning"
+    _uop_prev = spark.conf.get(_UOP, None)
+    spark.conf.set(_UOP, "false")
+    try:
+        staged.write.format("txlog").mode("append") \
             .option("checkpoint_every", "0").save(root)
+    finally:
+        if _uop_prev is None:
+            spark.conf.unset(_UOP)
+        else:
+            spark.conf.set(_UOP, _uop_prev)
+    # belt-and-braces for the staged shape: every landed file must
+    # sit inside ONE range slice (a merged file would span two and
+    # void the pruning contract); empty slices at tiny SFs simply
+    # land no file, exactly like the old empty append commits
+    _fmeta = T.snapshot(root)["files"]
+    assert 0 < len(_fmeta) <= len(bounds), _fmeta
+    for _p, _m in dict(_fmeta).items():
+        _mn, _mx = _m["stats"]["o_orderkey"]
+        assert min(int(_mn) // 1000, 3) == min(int(_mx) // 1000, 3), \
+            ("staged native write merged two range slices", _p, _mn, _mx)
     T.delete_where(spark, root, "o_orderkey % 10 = 3", mode="dv")
     T.rename_column(root, "o_custkey", "custkey")
     # plan-level contract: the pushed range + status conjuncts keep
