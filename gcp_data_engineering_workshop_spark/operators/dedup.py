@@ -491,9 +491,12 @@ def incremental_dedup(batch: DataFrame, corpus: DataFrame,
     """
     norm_hash = F.md5(normalize("text"))
     corpus_hashes = corpus.select(norm_hash.alias("h")).distinct()
-    surv = (batch.withColumn("h", norm_hash)
-            .join(corpus_hashes, "h", "left_anti")
-            .drop("h"))
+    # r16: surv is read twice (the shingle build AND the final
+    # anti-join) and each read re-derived the corpus-wide DISTINCT
+    # hash set — registered, stage 1 runs once instead of twice
+    surv = register(batch.withColumn("h", norm_hash)
+                    .join(corpus_hashes, "h", "left_anti")
+                    .drop("h"))
 
     shb = register(_shingle_sets(surv, n))
     shc = register(_shingle_sets(corpus, n))
@@ -502,7 +505,14 @@ def incremental_dedup(batch: DataFrame, corpus: DataFrame,
     inv_c = shc.select("doc_id", F.size("sh").alias("sz"),
                        F.explode("sh").alias("s"))
     # persisted: BOTH sides' prefix stages reference the shared df
-    # order — without the cache the union-wide aggregation runs twice
+    # order — without the cache the union-wide aggregation runs twice.
+    # (r16 MEASURED REJECTION: folding the two prefix pipelines into
+    # one side-tagged join+window — §2.4 exchange sharing — ran
+    # 4.31 -> 5.47 s median in a 5-round interleaved A/B: the extra
+    # cached materialization of the combined prefix frame serializes
+    # what are here two INDEPENDENT parallel subtrees, and total
+    # shuffled bytes are unchanged. Do not re-fold without beating
+    # that A/B.)
     dfreq = register(
         inv_b.select("s").unionAll(inv_c.select("s"))
              .groupBy("s").agg(F.count(F.lit(1)).alias("df")))
