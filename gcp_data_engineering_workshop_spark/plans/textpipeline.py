@@ -2078,6 +2078,78 @@ def embedding_pca(spark: SparkSession, sf_dir: str,
     return P.pca_project(emb, mean, comps)
 
 
+def _dsir_score_arrow(ws, span_words: int, m: int, lr_arr):
+    """Map-only Arrow scoring pass for dsir_select (r16; the r15
+    _term_tf/_gopher pattern): per-doc DSIR score = sum over the
+    doc's stride-1 span_words-word span keys k of lr_arr[k % m], as
+    ONE pandas-UDF pass — no explode, no per-occurrence rows, no
+    doc_id-keyed shuffle.
+
+    PRECONDITION (contract, as _term_tf_arrow): one input row per
+    document — per-doc sums never span rows here by construction.
+
+    Exactness: the span keys are computed by the IDENTICAL code
+    path as span_keys_arrow (same factorize + channel folds + L
+    shifted multiply-adds; packed values are always >= 0, so
+    numpy's floored % m equals SQL's sign-of-dividend % m), and the
+    score is an exact int64 sum of int64 lr values — the same
+    values in any summation order, which is what made the old
+    explode -> broadcast-join -> SUM(bigint) shape replayable.
+    Docs with no spans (NULL/short word arrays) score 0, exactly
+    the old left-join coalesce(score, 0)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from gcp_data_engineering_workshop_spark.functions.textfns import (
+        KR_MOD, KR2_MOD, SPAN_BASE1, SPAN_BASE2, _kr_fold_pair)
+
+    L = span_words
+    lr_np = np.asarray(lr_arr, dtype=np.int64)
+
+    def _score(col_ws):
+        docs = col_ws.tolist()
+        nd = len(docs)
+        wlens = np.fromiter(
+            ((0 if w is None else len(w)) for w in docs),
+            dtype=np.int64, count=nd)
+        flat: list = []
+        for w in docs:
+            if w is not None and len(w):
+                flat.extend(w)
+        if flat:
+            codes_idx, uniq = pd.factorize(
+                np.asarray(flat, dtype=object))
+            uh1, uh2 = _kr_fold_pair(list(uniq))
+            wh1 = uh1[codes_idx]
+            wh2 = uh2[codes_idx]
+        else:
+            wh1 = wh2 = np.empty(0, dtype=np.int64)
+        ends = np.cumsum(wlens)
+        starts = ends - wlens
+        nspan = np.maximum(wlens - L + 1, 0)
+        total = int(nspan.sum())
+        sums = np.zeros(nd, dtype=np.int64)
+        if total:
+            sm_ends = np.cumsum(nspan)
+            sm_starts = sm_ends - nspan
+            sidx = (np.repeat(starts, nspan)
+                    + (np.arange(total, dtype=np.int64)
+                       - np.repeat(sm_starts, nspan)))
+            acc1 = np.zeros(total, dtype=np.int64)
+            acc2 = np.zeros(total, dtype=np.int64)
+            for j in range(L):
+                acc1 = (acc1 * SPAN_BASE1 + wh1[sidx + j]) % KR_MOD
+                acc2 = (acc2 * SPAN_BASE2 + wh2[sidx + j]) % KR2_MOD
+            packed = acc1 * KR2_MOD + acc2
+            vals = lr_np[packed % m]
+            np.add.at(sums, np.repeat(np.arange(nd), nspan), vals)
+        return pd.Series(sums, dtype="int64")
+
+    _score.__annotations__ = {"col_ws": pd.Series, "return": pd.Series}
+    return pandas_udf(_score, "bigint")(ws)
+
+
 def dsir_select(spark: SparkSession, sf_dir: str, m: int = 4096,
                 keep_num: int = 1, keep_den: int = 4) -> DataFrame:
     """C70: DSIR — data selection via importance resampling (Xie et
@@ -2111,24 +2183,32 @@ def dsir_select(spark: SparkSession, sf_dir: str, m: int = 4096,
     from gcp_data_engineering_workshop_spark.operators.ids import (
         assign_global_ids)
 
+    import numpy as np
+
     par = spark.sparkContext.defaultParallelism
     d = (_docs(spark, sf_dir).repartition(par)
          .select("doc_id", "source", T.words("text").alias("w"))
          .repartition(par))
     is_tgt = F.col("source").isin("src0", "src1")
-    # cached: the bucket-count aggregate reads feats once for the
-    # distributions and once more for the raw-side scoring join —
-    # uncached the explode + folds would run three times. r15: the
-    # bigram keys come from the fused Arrow span-key pass
+    # r16 restructure (the r15 _term_tf/_gopher pattern — per-doc
+    # sums never span docs, so the scoring needs NO per-occurrence
+    # rows): pass 1 computes the m-BOUNDED bucket distributions
+    # (explode + map-side-combinable aggregate, as before); the
+    # m-row lr table then collects ONCE (a bounded driver action,
+    # the seed_centroids class) and pass 2 scores every raw doc in
+    # one map-only Arrow pass. Gone vs the old shape: the cached
+    # per-occurrence feats frame (~10 rows per doc of the corpus),
+    # the doc_id-keyed shuffle of those rows, the broadcast lr
+    # join, and the left-join of scores back onto the doc frame.
     from gcp_data_engineering_workshop_spark.operators.cachepool import (
         register as _register)
-    feats = _register(d.select(
-        "doc_id", is_tgt.alias("is_tgt"),
+    feats = d.select(
+        is_tgt.alias("is_tgt"),
         F.explode(T.span_keys_arrow(F.col("w"), 2)).alias("k")
-    ).select("doc_id", "is_tgt", (F.col("k") % m).alias("b")))
+    ).select("is_tgt", (F.col("k") % m).alias("b"))
     # cnt is m-bounded (<= 4096 rows) and feeds both tots and lr —
-    # cached so the lr plan reads it twice without re-scanning the
-    # 46M-row feats frame twice
+    # cached so the lr plan reads it twice without re-running the
+    # explode pass
     cnt = _register(feats.groupBy("b").agg(
         F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("ct"),
         F.sum(F.when(~F.col("is_tgt"), 1).otherwise(0)).alias("cr")))
@@ -2140,13 +2220,17 @@ def dsir_select(spark: SparkSession, sf_dir: str, m: int = 4096,
                - F.log(F.col("cr") + F.lit(1.0))
                + F.log(F.col("tr") + F.lit(float(m)))) * 1e6, 0)
               .cast("bigint").alias("lr")))
-    sc = (feats.where(~F.col("is_tgt"))
-          .join(F.broadcast(lr), "b")
-          .groupBy("doc_id").agg(F.sum("lr").alias("score")))
+    # bounded collect: <= m rows of (bucket, bigint). Buckets with
+    # zero occurrences corpus-wide can never be probed by a doc
+    # (their absence from cnt means no span maps to them), so the
+    # zero default is unreachable — kept only as the honest filler.
+    lr_arr = np.zeros(m, dtype=np.int64)
+    for r in lr.collect():
+        lr_arr[r.b] = r.lr
     scored = register(
-        d.where(~is_tgt).select("doc_id")
-        .join(sc, "doc_id", "left")
-        .select("doc_id", F.coalesce("score", F.lit(0)).alias("score")))
+        d.where(~is_tgt).select(
+            "doc_id",
+            _dsir_score_arrow(F.col("w"), 2, m, lr_arr).alias("score")))
     n_keep = scored.agg(
         F.floor(F.count(F.lit(1)) * keep_num / keep_den).alias("n_keep"))
     ranked = assign_global_ids(

@@ -192,3 +192,49 @@ def test_gopher_counts_arrow_matches_joins(spark):
             spark.conf.set(key, saved)
     assert got_small == want
 
+
+
+def test_dsir_score_arrow_matches_explode_join(spark):
+    """r16: the map-only DSIR scoring pass must equal the former
+    explode -> (k % m) -> broadcast-lr join -> SUM(bigint) ->
+    left-join coalesce(0) shape: zero-span docs (NULL arrays, docs
+    shorter than L) score 0, every other doc scores the exact int64
+    sum of its per-occurrence lr values — across enough docs to
+    span Arrow batches, with unicode/empty/repeated tokens and
+    negative lr values."""
+    import random
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from gcp_data_engineering_workshop_spark.plans.textpipeline import (
+        _dsir_score_arrow)
+
+    rng = random.Random(23)
+    m, L = 64, 2
+    vocab = ["a", "b", "ab", "", "cjk中文", "\U0001f600", "has space",
+             "x" * 30, "tok1", "tok2"]
+    rows = [(9001, None), (9002, []), (9003, ["solo"]),
+            (9004, ["r", "r", "r", "r"])]
+    for i in range(700):
+        rows.append((i, [rng.choice(vocab)
+                         for _ in range(rng.randrange(0, 12))]))
+    d = spark.createDataFrame(rows, "doc_id bigint, w array<string>")
+    lr_arr = np.asarray([rng.randrange(-10**7, 10**7) for _ in range(m)],
+                        dtype=np.int64)
+    lr_df = spark.createDataFrame(
+        [(int(b), int(v)) for b, v in enumerate(lr_arr)], "b int, lr bigint")
+    old = (d.select("doc_id",
+                    F.explode(T.span_keys_arrow(F.col("w"), L)).alias("k"))
+           .select("doc_id", (F.col("k") % m).cast("int").alias("b"))
+           .join(F.broadcast(lr_df), "b")
+           .groupBy("doc_id").agg(F.sum("lr").alias("score")))
+    old_full = {r.doc_id: r.score for r in
+                d.select("doc_id").join(old, "doc_id", "left")
+                .select("doc_id", F.coalesce("score", F.lit(0))
+                        .alias("score")).collect()}
+    new = {r.doc_id: r.score for r in
+           d.select("doc_id",
+                    _dsir_score_arrow(F.col("w"), L, m, lr_arr)
+                    .alias("score")).collect()}
+    assert new == old_full
