@@ -6700,6 +6700,14 @@ def read_changes_rows(spark, root: str,
                 .withColumn("_change_type", F.lit(ct)))
 
     parts = []
+    # r16 (VERDICT r15 #8): dv-free insert commits (append /
+    # stream-append / dv-less clone) batch into ONE scan per colmap
+    # epoch instead of one scan per version — _commit_version /
+    # _commit_op re-attach per FILE from the commit log (file names
+    # are uuid-unique), so the rows are identical to the per-version
+    # reads. dv-bearing clones keep the per-version path (their
+    # anti-join is version-specific).
+    ins_batches: dict[tuple, list] = {}
     for v in versions:
         e = json.load(open(_version_file(root, v)))
         op = e["op"]
@@ -6709,25 +6717,29 @@ def read_changes_rows(spark, root: str,
         removes = [a["remove"]["path"] for a in e["actions"]
                    if "remove" in a]
         if op in ("append", "stream-append", "clone"):
-            if adds:
+            if not adds:
+                continue
+            if any("dv" in a for a in adds):
                 ins = _read_paths_at(
                     spark, root, [a["path"] for a in adds],
-                    end_schema,
-                    with_meta=any("dv" in a for a in adds),
+                    end_schema, with_meta=True,
                     colmap=read_maps.get(v))
+                # a CLONE of a dv-bearing table references the
+                # source's vectored files: its "inserts" are the
+                # LIVE rows, not the raw bytes (code-review r11:
+                # the raw read resurrected deleted rows)
                 dvm = {os.path.basename(a["path"]): a["dv"]
                        for a in adds if "dv" in a}
-                if dvm:
-                    # a CLONE of a dv-bearing table references the
-                    # source's vectored files: its "inserts" are the
-                    # LIVE rows, not the raw bytes (code-review r11:
-                    # the raw read resurrected deleted rows)
-                    dvt = _dv_table(spark, root, dvm)
-                    ins = (ins.join(
-                        dvt, (ins[_DV_FILE] == dvt["file"])
-                        & (ins[_DV_POS] == dvt["pos"]), "left_anti")
-                        .drop(_DV_FILE, _DV_POS))
+                dvt = _dv_table(spark, root, dvm)
+                ins = (ins.join(
+                    dvt, (ins[_DV_FILE] == dvt["file"])
+                    & (ins[_DV_POS] == dvt["pos"]), "left_anti")
+                    .drop(_DV_FILE, _DV_POS))
                 parts.append(_tag(ins, v, op, "insert"))
+                continue
+            key = tuple(sorted((read_maps.get(v) or {}).items()))
+            ins_batches.setdefault(key, []).append(
+                (v, op, [a["path"] for a in adds]))
             continue
         if e.get("mode") != "dv":
             if not adds and not removes:
@@ -6784,6 +6796,43 @@ def read_changes_rows(spark, root: str,
             parts.append(_tag(_read_paths_at(
                 spark, root, sorted(fresh), end_schema,
                 colmap=read_maps.get(v)), v, op, "update_postimage"))
+    for key, group in ins_batches.items():
+        cmap = dict(key) or None
+        if len(group) == 1:
+            v, op, ps = group[0]
+            parts.append(_tag(_read_paths_at(
+                spark, root, ps, end_schema, colmap=cmap),
+                v, op, "insert"))
+            continue
+        vmap: dict[str, int] = {}
+        omap: dict[str, str] = {}
+        for v, op, ps in group:
+            for p in ps:
+                bn = os.path.basename(p)
+                vmap[bn] = v
+                omap[bn] = op
+        if len(vmap) != sum(len(ps) for _v, _op, ps in group):
+            # two versions reference a same-named file (e.g. the
+            # same source file cloned twice) — per-file tagging
+            # would be ambiguous; fall back to per-version scans
+            for v, op, ps in group:
+                parts.append(_tag(_read_paths_at(
+                    spark, root, ps, end_schema, colmap=cmap),
+                    v, op, "insert"))
+            continue
+        ins = _read_paths_at(
+            spark, root,
+            [p for _v, _op, ps in group for p in ps],
+            end_schema, with_meta=True, colmap=cmap)
+        vexpr = F.create_map(*[F.lit(x) for bn, vv in vmap.items()
+                               for x in (bn, vv)])[F.col(_DV_FILE)]
+        oexpr = F.create_map(*[F.lit(x) for bn, oo in omap.items()
+                               for x in (bn, oo)])[F.col(_DV_FILE)]
+        parts.append(
+            ins.withColumn("_commit_version", vexpr.cast("int"))
+               .withColumn("_commit_op", oexpr)
+               .withColumn("_change_type", F.lit("insert"))
+               .drop(_DV_FILE, _DV_POS))
     if not parts:
         return (read(spark, root)
                 .limit(0)
