@@ -2805,8 +2805,14 @@ def pagerank_knn(spark: SparkSession, sf_dir: str, k: int = 5,
             pr_v = teleport + (17 * mass) // 20
         release(edges)
         release(nodes)
+        import pandas as pd
+
+        # Arrow-path transfer (r16): a pickled row list costs ~1 s
+        # per million rows at the gate bound; the pandas frame rides
+        # spark.sql.execution.arrow.pyspark.enabled. Same int64
+        # values either way.
         out = spark.createDataFrame(
-            [(int(v), int(p)) for v, p in zip(ids, pr_v)],
+            pd.DataFrame({"vec_id": ids, "pr_int": pr_v}),
             "vec_id bigint, pr_int bigint")
         return out.select(
             "vec_id", (F.col("pr_int") / F.lit(1e12)).alias("pagerank"))
