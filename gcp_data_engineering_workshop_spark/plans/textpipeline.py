@@ -1168,7 +1168,14 @@ def _gopher_counts_arrow(d: DataFrame) -> DataFrame:
     counts as exact integers. Bigram groups key on the actual
     concat(w[i], ' ', w[i+1]) STRING (built once per unique code
     pair), so tokens containing spaces and NULL tokens group
-    exactly as the groupBy did — parity pytest covers both."""
+    exactly as the groupBy did — parity pytest covers both.
+
+    INPUT CONTRACT (ADVICE r15, the _term_tf_arrow precedent):
+    exactly ONE row per NON-NULL doc_id. A caller feeding
+    pre-exploded / duplicated doc_id rows would get one count row
+    per input row where the old groupBy merged them; a NULL doc_id
+    would turn the id column into float64+NaN on the numpy side
+    (asserted below rather than crashing in pa.array)."""
     sel = d.select("doc_id", "w")
 
     def _gen(batches):
@@ -1192,6 +1199,8 @@ def _gopher_counts_arrow(d: DataFrame) -> DataFrame:
             return top, ndist
 
         for b in batches:
+            assert b.column("doc_id").null_count == 0, \
+                "_gopher_counts_arrow: non-null doc_id contract"
             ids = b.column("doc_id").to_numpy(zero_copy_only=False)
             docs = b.column("w").to_pylist()
             nd = len(docs)
