@@ -529,7 +529,9 @@ def test_replicate_long_window_collapses_to_two_merges(spark,
     + ONE merge_upsert — bit-equal to the per-version path on the
     final table, O(1) jobs for any window length."""
     src = str(tmp_path / "src")
-    _dml_history(spark, src, n_versions=20)
+    # 12 versions still exceed collapse_after=8 (the property under
+    # test); 20 cost 61 s of suite wall via the per-version replica
+    _dml_history(spark, src, n_versions=12)
     dst_per = str(tmp_path / "dst_per")
     dst_col = str(tmp_path / "dst_col")
     T.replicate_incremental(spark, src, dst_per, "id",

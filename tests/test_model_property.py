@@ -244,7 +244,11 @@ def _full_replay_snapshot(root, v):
         T._SNAPSHOTS.clear()
 
 
-@settings(max_examples=25, deadline=None, derandomize=True,
+# r16 (VERDICT r15 #2, driver verify budget): 10 derandomized
+# examples, matching the base model property — this variant was 25
+# and alone cost 272 s of the 2740 s suite; the three pinned
+# regression @examples below are unaffected.
+@settings(max_examples=10, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(ops=st.lists(_op, min_size=4, max_size=8),
        gen=st.booleans(), tear=st.booleans())

@@ -447,9 +447,13 @@ def test_files_touching_keys_batches_column_groups(spark, tmp_path,
     the batch boundary (checked against the unbatched answer)."""
     root = str(tmp_path / "tbl")
     n_files = 23
-    for lo in range(0, n_files * 10, 10):
-        T.append(spark.createDataFrame(
-            [(lo + i,) for i in range(10)], "k int").coalesce(1), root)
+    # one staged write (append_sliced) lands the same 23 one-slice
+    # files as the old 23 sequential appends in ~1/5 the wall time
+    # (r16 suite budget); the pruning surface under test is the
+    # FILE set + stats, which is bit-identical either way
+    T.append_sliced(spark.createDataFrame(
+        [(i,) for i in range(n_files * 10)], "k int").coalesce(1),
+        root, f"k div 10", n_files, checkpoint_every=0)
     snap = T.snapshot(root)
     assert len(snap["files"]) == n_files
     ups = spark.createDataFrame([(5,), (105,), (222,)], "k int")
