@@ -33,6 +33,12 @@ def main():
     out = {}
     for q in QS:
         row = {}
+        # equal-warmth (probe.py's r15 methodology): one untimed x10
+        # pass per query so the timed passes measure SCALING, not
+        # suite position / cold codegen
+        getattr(tp, q)(spark, dirs[10]).write.format("noop") \
+            .mode("overwrite").save()
+        spark.catalog.clearCache()
         for k in (10, 100):
             spark.catalog.clearCache()
             spark.sparkContext.setJobDescription(f"{q}@x{k}")
