@@ -22,6 +22,7 @@ from examples.scale_probe_r6 import build_docs_dir
 QS = ["text_semdedup", "dedup_corpus", "span_dedup_keep_first",
       "bm25_topk", "dsir_select", "corpus_report", "dedup_incremental",
       "decontaminate_bloom", "gopher_repetition", "weighted_sample"]
+QS = os.environ.get("SPARK_GRAFT_SCALE_ONLY", ",".join(QS)).split(",")
 
 
 def main():
@@ -33,6 +34,25 @@ def main():
     out = {}
     for q in QS:
         row = {}
+        try:
+            _scale_one(spark, tp, dirs, q, row)
+        except Exception as e:  # noqa: BLE001
+            row["error"] = str(e)[:300]
+        out[q] = row
+        print(json.dumps({q: row}), flush=True)
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior = {}
+    pj = os.path.join(here, "scale_evidence.json")
+    if os.path.exists(pj):
+        prior = json.load(open(pj))
+    prior.update(out)
+    with open(pj, "w") as fh:
+        json.dump(prior, fh, indent=1)
+    spark.stop()
+
+
+def _scale_one(spark, tp, dirs, q, row):
+    if True:
         # equal-warmth (probe.py's r15 methodology): one untimed x10
         # pass per query so the timed passes measure SCALING, not
         # suite position / cold codegen
@@ -48,12 +68,6 @@ def main():
             row[f"t_x{k}"] = round(time.time() - t0, 2)
         row["exp_10_100"] = round(
             math.log10(row["t_x100"] / row["t_x10"]), 3)
-        out[q] = row
-        print(json.dumps({q: row}))
-    here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "scale_evidence.json"), "w") as fh:
-        json.dump(out, fh, indent=1)
-    spark.stop()
 
 
 if __name__ == "__main__":
